@@ -13,7 +13,11 @@ object SparkEntry {
 
   /** All graded capabilities, one GraftQuery per SURVEY.md §2b row. */
   def registry: Seq[GraftQuery] =
-    operators.Aggregates.all
+    operators.Relational.all ++
+    operators.Joins.all ++
+    operators.Aggregates.all ++
+    operators.Windows.all ++
+    functions.ScalarQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,154 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.GraftQuery
+import graft.sources.Tables
+
+/** Scalar function families (SURVEY.md §2b "Scalar functions").
+  *
+  * Everything here is `org.apache.spark.sql.functions._` built-ins —
+  * codegen'd, null-safe, whole-stage-compiled. No UDFs: at 100 TB a Scala
+  * closure in the hot path breaks codegen and serializes per row; these
+  * expressions stay inside one WholeStageCodegen span over the scan.
+  */
+object ScalarQueries {
+
+  /** String functions: substr/upper/trim/concat/split/regexp/levenshtein. */
+  val fnString: GraftQuery = GraftQuery(
+    "fn_string",
+    (s, dir) => {
+      import s.implicits._
+      Tables.part(s, dir)
+        .select(
+          $"p_partkey",
+          upper($"p_name").as("name_upper"),
+          substring($"p_name", 1, 5).as("name_pfx"),
+          length($"p_name").as("name_len"),
+          concat_ws("|", $"p_brand", $"p_type").as("brand_type"),
+          size(split($"p_name", " ")).as("n_tokens"),
+          regexp_extract($"p_brand", "Brand#(\\d+)", 1).as("brand_num"),
+          levenshtein($"p_brand", lit("Brand#11")).as("lev_to_b11"),
+          trim(lower($"p_type")).as("type_lower"))
+        .orderBy($"p_partkey")
+    },
+    Some("""SELECT p_partkey,
+                   upper(p_name) AS name_upper,
+                   substr(p_name, 1, 5) AS name_pfx,
+                   length(p_name) AS name_len,
+                   concat_ws('|', p_brand, p_type) AS brand_type,
+                   CAST(len(string_split(p_name, ' ')) AS INT) AS n_tokens,
+                   regexp_extract(p_brand, 'Brand#(\d+)', 1) AS brand_num,
+                   CAST(levenshtein(p_brand, 'Brand#11') AS INT) AS lev_to_b11,
+                   trim(lower(p_type)) AS type_lower
+            FROM part ORDER BY p_partkey""")
+  )
+
+  /** Date/time functions: year/month/day, date_trunc, datediff, intervals. */
+  val fnDate: GraftQuery = GraftQuery(
+    "fn_date",
+    (s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .select(
+          $"o_orderkey",
+          year($"o_orderdate").as("o_year"),
+          month($"o_orderdate").as("o_month"),
+          dayofmonth($"o_orderdate").as("o_day"),
+          date_trunc("month", $"o_orderdate").as("month_start"),
+          datediff(lit("2002-01-01").cast("date"), $"o_orderdate".cast("date"))
+            .as("days_to_2002"),
+          ($"o_orderdate" + expr("INTERVAL 30 DAYS")).as("plus_30d"),
+          quarter($"o_orderdate").as("o_quarter"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey,
+                   CAST(year(o_orderdate) AS INT) AS o_year,
+                   CAST(month(o_orderdate) AS INT) AS o_month,
+                   CAST(day(o_orderdate) AS INT) AS o_day,
+                   date_trunc('month', o_orderdate) AS month_start,
+                   CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT)
+                     AS days_to_2002,
+                   o_orderdate + INTERVAL 30 DAY AS plus_30d,
+                   CAST(quarter(o_orderdate) AS INT) AS o_quarter
+            FROM orders ORDER BY o_orderkey""")
+  )
+
+  /** Math functions: round/abs/ln/pow/sqrt/ceil/floor/mod. */
+  val fnMath: GraftQuery = GraftQuery(
+    "fn_math",
+    (s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .select(
+          $"l_orderkey", $"l_linenumber",
+          round($"l_extendedprice", 1).as("price_r1"),
+          round(abs($"l_discount" - 0.05), 6).as("disc_dev"),
+          round(log($"l_extendedprice"), 6).as("price_ln"),
+          round(pow($"l_quantity", 2.0), 2).as("qty_sq"),
+          round(sqrt($"l_extendedprice"), 6).as("price_sqrt"),
+          ceil($"l_quantity" / 7.0).cast("long").as("qty_ceil7"),
+          floor($"l_quantity" / 7.0).cast("long").as("qty_floor7"),
+          pmod($"l_orderkey", lit(97L)).as("okey_mod97"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+                   round(l_extendedprice, 1) AS price_r1,
+                   round(abs(l_discount - 0.05), 6) AS disc_dev,
+                   round(ln(l_extendedprice), 6) AS price_ln,
+                   round(pow(l_quantity, 2.0), 2) AS qty_sq,
+                   round(sqrt(l_extendedprice), 6) AS price_sqrt,
+                   CAST(ceil(l_quantity / 7.0) AS BIGINT) AS qty_ceil7,
+                   CAST(floor(l_quantity / 7.0) AS BIGINT) AS qty_floor7,
+                   l_orderkey % 97 AS okey_mod97
+            FROM lineitem ORDER BY l_orderkey, l_linenumber""")
+  )
+
+  /** JSON payload extraction — the reference's TimestampExtractor analogue
+    * (schema-on-read over the opaque `props` payload). */
+  val fnJson: GraftQuery = GraftQuery(
+    "fn_json",
+    (s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .select(
+          $"event_id",
+          get_json_object($"props", "$.k").cast("int").as("k_val"))
+        .withColumn("k_bucket", ($"k_val" / 10).cast("int"))
+        .orderBy($"event_id")
+    },
+    Some("""SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+                   CAST(floor(CAST(json_extract_string(props, '$.k') AS INT) / 10.0) AS INT)
+                     AS k_bucket
+            FROM events ORDER BY event_id""")
+  )
+
+  /** Array functions over the embedding column: explode + per-row stats.
+    * Elements are cast to double before any arithmetic so float/double
+    * summation differences can't leak into the comparison. */
+  val fnArray: GraftQuery = GraftQuery(
+    "fn_array",
+    (s, dir) => {
+      import s.implicits._
+      Tables.embeddings(s, dir)
+        .select($"vec_id", explode($"embedding").as("e"))
+        .select($"vec_id", $"e".cast("double").as("e"))
+        .groupBy($"vec_id")
+        .agg(
+          count(lit(1)).as("dim"),
+          max($"e").as("max_e"),
+          min($"e").as("min_e"),
+          round(sum($"e"), 4).as("sum_e"),
+          round(sum($"e" * $"e"), 4).as("l2sq"))
+        .orderBy($"vec_id")
+    },
+    Some("""SELECT vec_id, count(*) AS dim,
+                   max(e) AS max_e, min(e) AS min_e,
+                   round(sum(e), 4) AS sum_e,
+                   round(sum(e * e), 4) AS l2sq
+            FROM (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e FROM embeddings)
+            GROUP BY vec_id ORDER BY vec_id""")
+  )
+
+  def all: Seq[GraftQuery] = Seq(fnString, fnDate, fnMath, fnJson, fnArray)
+}

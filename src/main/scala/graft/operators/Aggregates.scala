@@ -8,14 +8,14 @@ import graft.sources.Tables
   *
   * All of these compile to partial (map-side) + final hash aggregates in
   * Spark — at 100 TB the map-side combine keeps shuffle volume proportional
-  * to group cardinality, not input rows. Group-by keys here are low-cardinality
-  * (flags, dates, keys) so the shuffled state is tiny regardless of input size.
+  * to group cardinality, not input rows. `count(DISTINCT)` expands to a
+  * two-stage aggregate (distinct shuffle then count); for very high
+  * cardinality at scale prefer `approx_count_distinct` (HLL, fixed-size
+  * sketch, single shuffle) — both are exposed below.
   */
 object Aggregates {
 
-  /** TPC-H Q1 shape: the flagship scan→filter→hash-aggregate pipeline.
-    * Filter is pushed to the parquet scan; aggregation is map-side combined.
-    */
+  /** TPC-H Q1 shape: the flagship scan→filter→hash-aggregate pipeline. */
   val q1Agg: GraftQuery = GraftQuery(
     "agg_hash_group",
     (s, dir) => {
@@ -47,5 +47,136 @@ object Aggregates {
     """.stripMargin.trim)
   )
 
-  def all: Seq[GraftQuery] = Seq(q1Agg)
+  /** Exact distinct counts (two-stage aggregate). */
+  val distinctCount: GraftQuery = GraftQuery(
+    "agg_distinct",
+    (s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(countDistinct($"l_partkey").as("n_parts"),
+             countDistinct($"l_suppkey").as("n_supps"),
+             countDistinct($"l_orderkey").as("n_orders"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+                   count(DISTINCT l_suppkey) AS n_supps,
+                   count(DISTINCT l_orderkey) AS n_orders
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+  )
+
+  /** HLL-sketch distinct — the 100 TB path for high-cardinality keys.
+    * No oracle: Spark's HLL++ and DuckDB's approx sketch differ by design;
+    * accuracy is asserted in AggregatesSpec instead. */
+  val approxDistinct: GraftQuery = GraftQuery(
+    "agg_approx_distinct",
+    (s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(approx_count_distinct($"l_orderkey", 0.01).as("approx_orders"))
+        .orderBy($"l_returnflag")
+    },
+    None
+  )
+
+  /** ROLLUP over (returnflag, linestatus); grouping-null keys are
+    * coalesced to 'ALL' so Spark/DuckDB null-ordering differences can't
+    * affect the comparison. */
+  val rollupAgg: GraftQuery = GraftQuery(
+    "agg_rollup",
+    (s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(round(sum($"l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .select(coalesce($"l_returnflag", lit("ALL")).as("flag"),
+                coalesce($"l_linestatus", lit("ALL")).as("status"),
+                $"sum_qty", $"n")
+        .orderBy($"flag", $"status")
+    },
+    Some("""SELECT coalesce(l_returnflag, 'ALL') AS flag,
+                   coalesce(l_linestatus, 'ALL') AS status,
+                   round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            ORDER BY flag, status""")
+  )
+
+  /** CUBE over (returnflag, linestatus). */
+  val cubeAgg: GraftQuery = GraftQuery(
+    "agg_cube",
+    (s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(round(sum($"l_extendedprice"), 2).as("sum_price"), count(lit(1)).as("n"))
+        .select(coalesce($"l_returnflag", lit("ALL")).as("flag"),
+                coalesce($"l_linestatus", lit("ALL")).as("status"),
+                $"sum_price", $"n")
+        .orderBy($"flag", $"status")
+    },
+    Some("""SELECT coalesce(l_returnflag, 'ALL') AS flag,
+                   coalesce(l_linestatus, 'ALL') AS status,
+                   round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+            ORDER BY flag, status""")
+  )
+
+  /** Explicit GROUPING SETS (SQL surface). */
+  val groupingSets: GraftQuery = GraftQuery(
+    "agg_gsets",
+    (s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir).createOrReplaceTempView("orders_gsets")
+      s.sql("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                      coalesce(o_orderpriority, 'ALL') AS priority,
+                      round(sum(o_totalprice), 2) AS sum_price, count(*) AS n
+               FROM orders_gsets
+               GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                       (o_orderstatus, o_orderpriority))
+               ORDER BY status, priority""")
+    },
+    Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                   coalesce(o_orderpriority, 'ALL') AS priority,
+                   round(sum(o_totalprice), 2) AS sum_price, count(*) AS n
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                    (o_orderstatus, o_orderpriority))
+            ORDER BY status, priority""")
+  )
+
+  /** Post-aggregation filter (HAVING). */
+  val having: GraftQuery = GraftQuery(
+    "agg_having",
+    (s, dir) => {
+      import s.implicits._
+      Tables.part(s, dir)
+        .groupBy($"p_brand")
+        .agg(count(lit(1)).as("n_parts"), round(avg($"p_retailprice"), 2).as("avg_price"))
+        .filter($"n_parts" > 3)
+        .orderBy($"p_brand")
+    },
+    Some("""SELECT p_brand, count(*) AS n_parts, round(avg(p_retailprice), 2) AS avg_price
+            FROM part GROUP BY p_brand HAVING count(*) > 3 ORDER BY p_brand""")
+  )
+
+  /** Custom typed aggregate (Aggregator API): quantity-weighted mean price. */
+  val typedCustom: GraftQuery = GraftQuery(
+    "agg_typed_custom",
+    (s, dir) => {
+      import s.implicits._
+      val wmean = udaf(graft.functions.WeightedMean)
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(round(wmean($"l_extendedprice", $"l_quantity"), 4).as("wmean_price"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+                   round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS wmean_price
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+  )
+
+  def all: Seq[GraftQuery] = Seq(
+    q1Agg, distinctCount, approxDistinct, rollupAgg, cubeAgg,
+    groupingSets, having, typedCustom)
 }

@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.GraftQuery
+import graft.sources.Tables
+
+/** Join operators (SURVEY.md §2b "Joins").
+  *
+  * Scale notes:
+  *  - Fact-to-fact equi joins (lineitem ⋈ orders) shuffle both sides on the
+  *    join key; AQE picks shuffle-hash vs sort-merge and handles skew at
+  *    runtime. At 100 TB this is the dominant shuffle — key choice
+  *    (l_orderkey) is the natural co-partitioning key, so a bucketed layout
+  *    on orderkey would eliminate it entirely; the code keeps the join key
+  *    bare (no wrapping expressions) so bucketed tables still co-locate.
+  *  - Dimension joins broadcast explicitly (`broadcast(...)`) — nation /
+  *    region / supplier stay < a few MB even at SF 100k, so no shuffle on
+  *    the fact side, ever.
+  *  - The theta/range join is a bounded band join: the build side is tiny
+  *    (supplier), so Spark plans BroadcastNestedLoopJoin — the fact side
+  *    streams once; no quadratic shuffle.
+  */
+object Joins {
+
+  /** Fact-to-fact equi inner join; planner picks SMJ/SHJ (AQE-adjusted). */
+  val innerHash: GraftQuery = GraftQuery(
+    "join_inner_hash",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+      val o  = Tables.orders(s, dir)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select($"o_orderkey", $"l_linenumber", $"o_totalprice", $"l_extendedprice")
+        .orderBy($"o_orderkey", $"l_linenumber")
+    },
+    Some("""SELECT o_orderkey, l_linenumber, o_totalprice, l_extendedprice
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            ORDER BY o_orderkey, l_linenumber""")
+  )
+
+  /** Explicit broadcast of small dimensions — zero shuffle on the fact side. */
+  val broadcastDim: GraftQuery = GraftQuery(
+    "join_broadcast",
+    (s, dir) => {
+      import s.implicits._
+      val c = Tables.customer(s, dir)
+      val n = broadcast(Tables.nation(s, dir))
+      val r = broadcast(Tables.region(s, dir))
+      c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy($"r_name")
+        .agg(count(lit(1)).as("n_customers"), round(sum($"c_acctbal"), 2).as("sum_acctbal"))
+        .orderBy($"r_name")
+    },
+    Some("""SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_acctbal
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+                          JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name""")
+  )
+
+  /** Left outer join: customers keep their row even with zero orders. */
+  val leftOuter: GraftQuery = GraftQuery(
+    "join_left",
+    (s, dir) => {
+      import s.implicits._
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("n_orders"),
+             round(coalesce(sum($"o_totalprice"), lit(0.0)), 2).as("total_spend"))
+        .orderBy($"c_custkey")
+    },
+    Some("""SELECT c_custkey, count(o_orderkey) AS n_orders,
+                   round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spend
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey ORDER BY c_custkey""")
+  )
+
+  /** Right outer join (mirror of join_left through the other side). */
+  val rightOuter: GraftQuery = GraftQuery(
+    "join_right",
+    (s, dir) => {
+      import s.implicits._
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      o.join(c, o("o_custkey") === c("c_custkey"), "right")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("n_orders"))
+        .orderBy($"c_custkey")
+    },
+    Some("""SELECT c_custkey, count(o_orderkey) AS n_orders
+            FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey ORDER BY c_custkey""")
+  )
+
+  /** Full outer join of two derived key sets (nulls on both sides). */
+  val fullOuter: GraftQuery = GraftQuery(
+    "join_full",
+    (s, dir) => {
+      import s.implicits._
+      val f = Tables.orders(s, dir).filter($"o_orderstatus" === "F")
+        .groupBy($"o_custkey".as("fk")).agg(count(lit(1)).as("n_f"))
+      val p = Tables.orders(s, dir).filter($"o_orderstatus" === "P")
+        .groupBy($"o_custkey".as("pk")).agg(count(lit(1)).as("n_p"))
+      f.join(p, $"fk" === $"pk", "full")
+        .select(coalesce($"fk", $"pk").as("custkey"),
+                coalesce($"n_f", lit(0L)).as("n_f"),
+                coalesce($"n_p", lit(0L)).as("n_p"))
+        .orderBy($"custkey")
+    },
+    Some("""SELECT coalesce(f.fk, p.pk) AS custkey,
+                   coalesce(f.n_f, 0) AS n_f, coalesce(p.n_p, 0) AS n_p
+            FROM (SELECT o_custkey AS fk, count(*) AS n_f FROM orders
+                  WHERE o_orderstatus = 'F' GROUP BY o_custkey) f
+            FULL JOIN (SELECT o_custkey AS pk, count(*) AS n_p FROM orders
+                  WHERE o_orderstatus = 'P' GROUP BY o_custkey) p
+            ON f.fk = p.pk
+            ORDER BY custkey""")
+  )
+
+  /** Left semi join — EXISTS. */
+  val semi: GraftQuery = GraftQuery(
+    "join_semi",
+    (s, dir) => {
+      import s.implicits._
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).filter($"o_totalprice" > 300000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select($"c_custkey", $"c_mktsegment")
+        .orderBy($"c_custkey")
+    },
+    Some("""SELECT c_custkey, c_mktsegment FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+            ORDER BY c_custkey""")
+  )
+
+  /** Left anti join — NOT EXISTS. */
+  val anti: GraftQuery = GraftQuery(
+    "join_anti",
+    (s, dir) => {
+      import s.implicits._
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).filter($"o_totalprice" > 300000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select($"c_custkey", $"c_mktsegment")
+        .orderBy($"c_custkey")
+    },
+    Some("""SELECT c_custkey, c_mktsegment FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+            ORDER BY c_custkey""")
+  )
+
+  /** Non-equi band join: tiny build side → BroadcastNestedLoopJoin. */
+  val thetaRange: GraftQuery = GraftQuery(
+    "join_theta_range",
+    (s, dir) => {
+      import s.implicits._
+      val sup = broadcast(Tables.supplier(s, dir))
+      val p   = Tables.part(s, dir)
+      p.join(sup, p("p_retailprice").between(sup("s_acctbal") / 10.0,
+                                             sup("s_acctbal") / 10.0 + 500.0))
+        .groupBy($"s_suppkey")
+        .agg(count(lit(1)).as("n_parts_in_band"))
+        .orderBy($"s_suppkey")
+    },
+    Some("""SELECT s_suppkey, count(*) AS n_parts_in_band
+            FROM part JOIN supplier
+              ON p_retailprice BETWEEN s_acctbal / 10.0 AND s_acctbal / 10.0 + 500.0
+            GROUP BY s_suppkey ORDER BY s_suppkey""")
+  )
+
+  /** Five-table star join; Catalyst reorders + broadcasts the dims. */
+  val multiway: GraftQuery = GraftQuery(
+    "join_multiway",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+      val o  = Tables.orders(s, dir)
+      val c  = Tables.customer(s, dir)
+      val n  = broadcast(Tables.nation(s, dir))
+      val r  = broadcast(Tables.region(s, dir))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy($"r_name", year($"o_orderdate").as("o_year"))
+        .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
+             count(lit(1)).as("n_lines"))
+        .orderBy($"r_name", $"o_year")
+    },
+    Some("""SELECT r_name, CAST(year(o_orderdate) AS INT) AS o_year,
+                   round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem
+              JOIN orders   ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation   ON c_nationkey = n_nationkey
+              JOIN region   ON n_regionkey = r_regionkey
+            GROUP BY r_name, o_year ORDER BY r_name, o_year""")
+  )
+
+  def all: Seq[GraftQuery] = Seq(
+    innerHash, broadcastDim, leftOuter, rightOuter, fullOuter,
+    semi, anti, thetaRange, multiway)
+}

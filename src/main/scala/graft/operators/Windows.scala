@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.GraftQuery
+import graft.sources.Tables
+
+/** Window functions (SURVEY.md §2b "Window functions").
+  *
+  * Scale notes: each window spec shuffles once on its partition key and
+  * sorts within partitions. All the specs below share one (key, order)
+  * per query so Spark plans a single Window exec per query — no repeated
+  * shuffles. Partition keys (user_id, priority, returnflag) are
+  * well-distributed; skew at 100 TB would be handled by pre-aggregating or
+  * salting the hot key before the window, not by the window itself.
+  * Ordering keys always end in a unique tiebreaker so rank/lag outputs are
+  * deterministic (required by the hash-compare oracle).
+  */
+object Windows {
+
+  /** rank / dense_rank / row_number with a deterministic total order. */
+  val rank3: GraftQuery = GraftQuery(
+    "win_rank",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"l_returnflag")
+        .orderBy($"l_quantity".desc, $"l_orderkey", $"l_linenumber")
+      Tables.lineitem(s, dir)
+        .select($"l_returnflag", $"l_orderkey", $"l_linenumber", $"l_quantity")
+        .withColumn("rnk", rank().over(w))
+        .withColumn("drnk", dense_rank().over(w))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 1000)
+        .orderBy($"l_returnflag", $"rn")
+    },
+    Some("""SELECT * FROM (
+              SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+                     rank()       OVER w AS rnk,
+                     dense_rank() OVER w AS drnk,
+                     row_number() OVER w AS rn
+              FROM lineitem
+              WINDOW w AS (PARTITION BY l_returnflag
+                           ORDER BY l_quantity DESC, l_orderkey, l_linenumber))
+            WHERE rn <= 1000
+            ORDER BY l_returnflag, rn""")
+  )
+
+  /** Top-k per group: the rank-then-filter idiom. */
+  val topkPerGroup: GraftQuery = GraftQuery(
+    "win_topk_per_group",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_orderpriority")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+      Tables.orders(s, dir)
+        .select($"o_orderpriority", $"o_orderkey", $"o_totalprice")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .orderBy($"o_orderpriority", $"rn")
+    },
+    Some("""SELECT * FROM (
+              SELECT o_orderpriority, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders)
+            WHERE rn <= 3
+            ORDER BY o_orderpriority, rn""")
+  )
+
+  /** Running sum + bounded moving average (ROWS frames). */
+  val running: GraftQuery = GraftQuery(
+    "win_running",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.events(s, dir)
+        .select($"user_id", $"event_id", $"ts", $"value")
+        .withColumn("running_sum",
+          round(sum($"value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4))
+        .withColumn("moving_avg4",
+          round(avg($"value").over(w.rowsBetween(-3, 0)), 4))
+        .drop("value", "ts")
+        .orderBy($"user_id", $"event_id")
+    },
+    Some("""SELECT user_id, event_id,
+                   round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_sum,
+                   round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS moving_avg4
+            FROM events
+            ORDER BY user_id, event_id""")
+  )
+
+  /** lag / lead / first_value analytics. */
+  val lagLead: GraftQuery = GraftQuery(
+    "win_lag_lead",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.events(s, dir)
+        .select($"user_id", $"event_id", $"ts", $"value")
+        .withColumn("prev_value", lag($"value", 1).over(w))
+        .withColumn("next_value", lead($"value", 1).over(w))
+        .withColumn("first_value", first($"value").over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .drop("value", "ts")
+        .orderBy($"user_id", $"event_id")
+    },
+    Some("""SELECT user_id, event_id,
+                   lag(value, 1)  OVER w AS prev_value,
+                   lead(value, 1) OVER w AS next_value,
+                   first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_value
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY user_id, event_id""")
+  )
+
+  def all: Seq[GraftQuery] = Seq(rank3, topkPerGroup, running, lagLead)
+}

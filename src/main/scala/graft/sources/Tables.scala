@@ -13,6 +13,18 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects.
+    * Read nanos as long (legacy conf) and truncate to microseconds — the
+    * precision Spark timestamps carry. The fixture data is µs-grained, so
+    * the truncation is lossless (FIXTURES.md "Stream table" note).
+    */
+  private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+  }
+
   def region(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "region")
   def nation(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "nation")
   def customer(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "customer")
@@ -20,7 +32,7 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame       = table(spark, sfDir, "part")
   def orders(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "orders")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "lineitem")
-  def events(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "events")
+  def events(spark: SparkSession, sfDir: String): DataFrame     = eventsRaw(spark, sfDir)
   def documents(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 }
