@@ -17,7 +17,13 @@ object SparkEntry {
     operators.Joins.all ++
     operators.Aggregates.all ++
     operators.Windows.all ++
-    functions.ScalarQueries.all
+    functions.ScalarQueries.all ++
+    operators.Ingest.all ++
+    streaming.StreamQueries.all ++
+    llm.Dedup.all ++
+    llm.Similarity.all ++
+    llm.TextStats.all ++
+    llm.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

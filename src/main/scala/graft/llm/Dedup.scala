@@ -1,0 +1,211 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.GraftQuery
+import graft.sources.Tables
+import graft.functions.{TextFunctions => TF, VectorFunctions}
+
+/** Deduplication operators for LLM training-data pipelines:
+  * exact (hash-groupBy), n-gram Jaccard (prefix-filtered all-pairs),
+  * MinHash+LSH, SimHash, and embedding-cosine near-dup.
+  *
+  * Scale design, common to all near-dup paths:
+  *  1. reduce each document to a compact signature (hash set / minhash /
+  *     simhash / vector) — map-side, codegen'd, no shuffle;
+  *  2. generate candidate pairs via an EQUI-join on a bucketing key
+  *     (prefix hash, LSH band, simhash chunk) — this is the only shuffle,
+  *     and it shuffles signatures, not documents;
+  *  3. verify candidates exactly, joining text signatures back by id.
+  * Nothing ever does a quadratic all-pairs shuffle; the only cross join in
+  * this file broadcasts a vector table measured in MBs.
+  */
+object Dedup {
+
+  /** Jaccard threshold for near-dup verification (fixture dups sit ≈0.98;
+    * background < 0.35 — see SURVEY probe). */
+  val Tau = 0.6
+
+  /** doc_id, shingles (distinct 3-gram set), n (set size). */
+  private def shingled(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", TF.shingleSet(TF.tokens($"text"), 3).as("shingles"))
+      .withColumn("n", size($"shingles"))
+  }
+
+  /** Exact-Jaccard verification of candidate (id_a, id_b) pairs. */
+  private def verifyPairs(s: SparkSession, dir: String, cands: DataFrame): DataFrame = {
+    import s.implicits._
+    val sh = shingled(s, dir)
+    cands
+      .join(sh.select($"doc_id".as("id_a"), $"shingles".as("sh_a"), $"n".as("n_a")), "id_a")
+      .join(sh.select($"doc_id".as("id_b"), $"shingles".as("sh_b"), $"n".as("n_b")), "id_b")
+      .filter(TF.sizeRatioPass($"n_a", $"n_b", Tau))
+      .withColumn("jaccard", round(TF.jaccard($"sh_a", $"sh_b"), 4))
+      .filter($"jaccard" >= Tau)
+      .select($"id_a", $"id_b", $"jaccard")
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** DuckDB ground truth: brute-force all-pairs 3-gram Jaccard (oracle runs
+    * at sf0.01 = 500 docs, so quadratic is fine *there*; the Spark side
+    * must never be quadratic). */
+  private val jaccardOracle: String =
+    """WITH sh AS (
+         SELECT doc_id,
+                list_distinct(list_transform(range(1, greatest(len(w) - 1, 1)),
+                              i -> array_to_string(w[i:i+2], ' '))) AS s
+         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 4) AS jaccard
+       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.6
+       ORDER BY id_a, id_b"""
+
+  /** Exact dedup by content hash. The corpus is unioned with itself so the
+    * dedup actually collapses something; grouping is on the 256-bit digest,
+    * not the text — at 100 TB the shuffle carries 32-byte keys, not
+    * documents. */
+  val exact: GraftQuery = GraftQuery(
+    "llm_dedup_exact",
+    (s, dir) => {
+      import s.implicits._
+      val d = Tables.documents(s, dir).select($"doc_id", $"text")
+      d.union(d)
+        .groupBy(sha2($"text", 256).as("content_sha"))
+        .agg(min($"doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
+        .select($"keeper_id", $"n_copies")
+        .orderBy($"keeper_id")
+    },
+    Some("""SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+            FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+            GROUP BY text ORDER BY keeper_id""")
+  )
+
+  /** N-gram Jaccard near-dup via lossless prefix filtering (All-Pairs /
+    * PPJoin family): a pair with J >= tau must share a shingle inside the
+    * first floor((1-tau)|A|)+1 elements of each doc's hash-ordered shingle
+    * set, so the candidate join is an equi-join on prefix-shingle hash. */
+  val ngramJaccard: GraftQuery = GraftQuery(
+    "llm_dedup_ngram_jaccard",
+    (s, dir) => {
+      import s.implicits._
+      val sh = shingled(s, dir)
+      val prefixes = sh.select(
+          $"doc_id",
+          explode(slice(
+            array_sort(transform($"shingles", t => xxhash64(t))),
+            lit(1),
+            (floor(lit(1.0 - Tau) * $"n") + 1).cast("int"))).as("hv"))
+      val cands = prefixes.as("a")
+        .join(prefixes.as("b"), $"a.hv" === $"b.hv" && $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+        .distinct()
+      verifyPairs(s, dir, cands)
+    },
+    Some(jaccardOracle)
+  )
+
+  /** MinHash signature table: 128 permutations, built as 128 codegen'd
+    * min-aggregates over exploded shingle hashes (one shuffle by doc_id). */
+  private[llm] def minhashSignatures(s: SparkSession, dir: String, k: Int = 128): DataFrame = {
+    import s.implicits._
+    val coeffs = TF.minhashCoeffs(k)
+    val hashed = shingled(s, dir)
+      .select($"doc_id", explode($"shingles").as("sh"))
+      .select($"doc_id", TF.shingleHash($"sh").as("h"))
+    val mins: Seq[Column] = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      min(TF.permute($"h", a, b)).as(s"m$i")
+    }
+    hashed.groupBy($"doc_id").agg(mins.head, mins.tail: _*)
+      .select($"doc_id", array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** MinHash + banded LSH near-dup: 32 bands × 4 rows (P[candidate] ≈
+    * 1-(1-s^4)^32 — >0.9998 at s=0.7, ≈1 at the fixture's s≈0.98), then
+    * exact-Jaccard verification, so the output equals the exact all-pairs
+    * result (same oracle) as long as LSH recall holds at tau. */
+  val minhashLsh: GraftQuery = GraftQuery(
+    "llm_dedup_near",
+    (s, dir) => {
+      import s.implicits._
+      val sigs = minhashSignatures(s, dir)
+      val bands = sigs.select($"doc_id",
+          posexplode(TF.bandHashes($"sig", numBands = 32, r = 4)).as(Seq("band", "bh")))
+      val cands = bands.as("a")
+        .join(bands.as("b"),
+          $"a.band" === $"b.band" && $"a.bh" === $"b.bh" && $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+        .distinct()
+      verifyPairs(s, dir, cands)
+    },
+    Some(jaccardOracle)
+  )
+
+  /** SimHash near-dup: 64-bit majority-vote fingerprint over token hashes,
+    * candidates via 4×16-bit chunk equality (any pair within Hamming
+    * distance 3 shares at least one intact chunk — pigeonhole), verified by
+    * bit_count(xor). No oracle: the fingerprint depends on Spark's
+    * xxhash64, which DuckDB cannot reproduce; DedupSpec property-tests it. */
+  val simhash: GraftQuery = GraftQuery(
+    "llm_dedup_simhash",
+    (s, dir) => {
+      import s.implicits._
+      val votes = Tables.documents(s, dir)
+        .select($"doc_id", explode(TF.tokens($"text")).as("tok"))
+        .select($"doc_id", xxhash64($"tok").as("h"))
+        .select($"doc_id", $"h", explode(sequence(lit(0), lit(63))).as("bit"))
+        .select($"doc_id", $"bit",
+          when(expr("shiftright(h, CAST(bit AS INT))").bitwiseAND(lit(1L)) === 1L, lit(1))
+            .otherwise(lit(-1)).as("sign"))
+        .groupBy($"doc_id", $"bit").agg(sum($"sign").as("s"))
+      val hashes = votes.groupBy($"doc_id")
+        .agg(sum(when($"s" > 0, expr("shiftleft(1L, CAST(bit AS INT))")).otherwise(lit(0L)))
+          .as("simhash"))
+      val chunks = hashes.select($"doc_id", $"simhash",
+          explode(sequence(lit(0), lit(3))).as("j"))
+        .select($"doc_id", $"simhash", $"j",
+          expr("shiftright(simhash, CAST(j AS INT) * 16)").bitwiseAND(lit(0xFFFFL)).as("chunk"))
+      val pairs = chunks.as("a")
+        .join(chunks.as("b"),
+          $"a.j" === $"b.j" && $"a.chunk" === $"b.chunk" && $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+          bit_count($"a.simhash".bitwiseXOR($"b.simhash")).as("hamming"))
+        .distinct()
+        .filter($"hamming" <= 3)
+        .orderBy($"id_a", $"id_b")
+      pairs
+    },
+    None
+  )
+
+  /** Embedding-cosine near-dup. The verification join broadcasts the
+    * (id, vector) table — fine to tens of MBs; beyond that the LSH
+    * hyperplane bucketing in Similarity.scala is the candidate generator.
+    * Cosine runs in the custom codegen expression (FloatVecCosine). */
+  val embedCosine: GraftQuery = GraftQuery(
+    "llm_dedup_embed",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      val a = e.select($"vec_id".as("id_a"), $"embedding".as("v_a"))
+      val b = e.select($"vec_id".as("id_b"), $"embedding".as("v_b"))
+      a.join(broadcast(b), $"id_a" < $"id_b")
+        .withColumn("cos", round(VectorFunctions.cosine(s, $"v_a", $"v_b"), 4))
+        .filter($"cos" >= 0.4)
+        .select($"id_a", $"id_b", $"cos")
+        .orderBy($"id_a", $"id_b")
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 4) AS cos
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4
+            ORDER BY id_a, id_b""")
+  )
+
+  def all: Seq[GraftQuery] = Seq(exact, ngramJaccard, minhashLsh, simhash, embedCosine)
+}

@@ -1,0 +1,114 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.GraftQuery
+import graft.sources.Tables
+import graft.functions.VectorFunctions
+
+/** Approximate-nearest-neighbor / similarity search over the embedding
+  * column (SURVEY.md §2b llm_sim_topk; north-star "similarity search").
+  *
+  * Two paths:
+  *  - brute force (exact): broadcast the query set, stream the candidate
+  *    table once, cosine in the custom codegen expression, per-query top-k
+  *    via window rank. At 100 TB the candidate side stays partitioned and
+  *    is read exactly once — cost is one scan per query batch, no shuffle
+  *    of the big side (the window partitions by query id over a result
+  *    already reduced to per-partition top-k by the rank filter).
+  *  - LSH-bucketed (approximate): random-hyperplane signatures bucket both
+  *    sides; each query probes its own bucket plus all Hamming-1 neighbors,
+  *    turning the scan into an equi-join on bucket id — the 1000-executor
+  *    path when query batches are large.
+  */
+object Similarity {
+
+  private val K = 10
+  private val NumQueries = 5
+
+  /** Exact brute-force cosine top-k for queries vec_id < NumQueries. */
+  val bruteTopK: GraftQuery = GraftQuery(
+    "llm_sim_topk",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      val q = broadcast(
+        e.filter($"vec_id" < NumQueries)
+          .select($"vec_id".as("qid"), $"embedding".as("qv")))
+      val scored = e.join(q, $"vec_id" =!= $"qid")
+        .withColumn("sim", round(VectorFunctions.cosine(s, $"qv", $"embedding"), 4))
+      val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id")
+      scored
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= K)
+        .select($"qid", $"rn", $"vec_id".as("nid"), $"sim")
+        .orderBy($"qid", $"rn")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $NumQueries),
+             scored AS (
+               SELECT q.qid, e.vec_id AS nid,
+                      round(list_cosine_similarity(q.qv, e.v), 4) AS sim
+               FROM q JOIN e ON e.vec_id <> q.qid),
+             ranked AS (
+               SELECT qid, nid, sim,
+                      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+               FROM scored)
+             SELECT qid, rn, nid, sim FROM ranked WHERE rn <= $K
+             ORDER BY qid, rn""")
+  )
+
+  /** Deterministic random hyperplanes (seeded) as float literals. */
+  private[llm] def planes(nPlanes: Int, dim: Int = 64, seed: Long = 7L): Seq[Array[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Array.fill(dim)((rnd.nextGaussian()).toFloat))
+  }
+
+  /** Bucket id = sign bits against `nPlanes` hyperplanes. */
+  private[llm] def bucketCol(s: SparkSession, vec: org.apache.spark.sql.Column,
+                             nPlanes: Int): org.apache.spark.sql.Column =
+    planes(nPlanes).zipWithIndex.map { case (p, i) =>
+      when(VectorFunctions.dot(s, vec, typedlit(p.toSeq)) > 0.0,
+           lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** All bucket ids within Hamming distance 1 of the vector's own bucket
+    * (multi-probe LSH): the query-side explode. */
+  private def probeBuckets(s: SparkSession, vec: org.apache.spark.sql.Column,
+                           nPlanes: Int): org.apache.spark.sql.Column = {
+    val own = bucketCol(s, vec, nPlanes)
+    array((own +: (0 until nPlanes).map(i => own.bitwiseXOR(lit(1 << i)))): _*)
+  }
+
+  /** Approximate LSH top-k: equi-join on bucket id instead of a full scan.
+    * No oracle (approximate by design); SimilaritySpec measures recall
+    * against bruteTopK on the fixture. */
+  val lshTopK: GraftQuery = GraftQuery(
+    "llm_sim_topk_lsh",
+    (s, dir) => {
+      import s.implicits._
+      val nPlanes = 6
+      val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      val cands = e.select($"vec_id", $"embedding",
+        bucketCol(s, $"embedding", nPlanes).as("bucket"))
+      val q = broadcast(
+        e.filter($"vec_id" < NumQueries)
+          .select($"vec_id".as("qid"), $"embedding".as("qv"),
+            explode(probeBuckets(s, $"embedding", nPlanes)).as("bucket")))
+      val scored = cands.join(q, Seq("bucket"))
+        .filter($"vec_id" =!= $"qid")
+        .withColumn("sim", round(VectorFunctions.cosine(s, $"qv", $"embedding"), 4))
+      val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id")
+      scored
+        .select($"qid", $"vec_id".as("nid"), $"sim").distinct()
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"qid").orderBy($"sim".desc, $"nid")))
+        .filter($"rn" <= K)
+        .orderBy($"qid", $"rn")
+    },
+    None
+  )
+
+  def all: Seq[GraftQuery] = Seq(bruteTopK, lshTopK)
+}

@@ -1,0 +1,132 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.GraftQuery
+import graft.sources.Tables
+import graft.functions.{TextFunctions => TF}
+
+/** Text-analysis operators: per-document quality stats, n-gram-marker
+  * language ID, rolling-hash fingerprinting, corpus language profile.
+  * All pure codegen'd built-ins over the scan — no UDFs, no shuffle except
+  * the final (tiny) aggregations.
+  */
+object TextStats {
+
+  /** Per-document stats: token count, char counts, token-length and
+    * stopword/vowel ratios. Ratios are exact integer-over-integer double
+    * divisions — bit-deterministic, no rounding needed. */
+  val textStats: GraftQuery = GraftQuery(
+    "llm_text_stats",
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", $"lang", $"text")
+        .withColumn("toks", TF.tokens($"text"))
+        .withColumn("n_tokens", size($"toks"))
+        .withColumn("n_chars", length($"text"))
+        .withColumn("avg_token_len",
+          ($"n_chars" - ($"n_tokens" - 1)).cast("double") / $"n_tokens".cast("double"))
+        .withColumn("stopword_ratio",
+          size(filter($"toks", t => t === "the" || t === "a" || t === "of"))
+            .cast("double") / $"n_tokens".cast("double"))
+        .withColumn("vowel_ratio",
+          regexp_count($"text", lit("[aeiou]")).cast("double") / $"n_chars".cast("double"))
+        .select($"doc_id", $"lang", $"n_tokens", $"n_chars",
+                $"avg_token_len", $"stopword_ratio", $"vowel_ratio")
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id, lang,
+                   CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+                   CAST(length(text) AS INT) AS n_chars,
+                   CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        t -> t IN ('the', 'a', 'of'))) AS DOUBLE)
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+                   CAST(len(regexp_extract_all(text, '[aeiou]')) AS DOUBLE)
+                     / CAST(length(text) AS DOUBLE) AS vowel_ratio
+            FROM documents ORDER BY doc_id""")
+  )
+
+  /** Marker-token language-ID heuristic: per-language marker counts with a
+    * fixed-precedence argmax. (On the synthetic shared-vocabulary corpus
+    * the scores are what matters; the heuristic itself is the operator.) */
+  val langId: GraftQuery = GraftQuery(
+    "llm_langid",
+    (s, dir) => {
+      import s.implicits._
+      def score(markers: Seq[String]) = {
+        val set = markers
+        size(filter(TF.tokens($"text"), t => set.map(m => t === m).reduce(_ || _)))
+      }
+      Tables.documents(s, dir)
+        .select($"doc_id", $"lang", $"text")
+        .withColumn("s_en", score(Seq("the", "a")))
+        .withColumn("s_es", score(Seq("data", "row")))
+        .withColumn("s_de", score(Seq("window", "merge")))
+        .withColumn("s_fr", score(Seq("table", "join")))
+        .withColumn("s_zh", score(Seq("spark", "hash")))
+        .withColumn("predicted",
+          when($"s_en" >= greatest($"s_es", $"s_de", $"s_fr", $"s_zh"), "en")
+            .when($"s_es" >= greatest($"s_de", $"s_fr", $"s_zh"), "es")
+            .when($"s_de" >= greatest($"s_fr", $"s_zh"), "de")
+            .when($"s_fr" >= $"s_zh", "fr")
+            .otherwise("zh"))
+        .select($"doc_id", $"lang", $"s_en", $"s_es", $"s_de", $"s_fr", $"s_zh", $"predicted")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+            sc AS (SELECT doc_id, lang,
+                   CAST(len(list_filter(w, x -> x IN ('the','a'))) AS INT)        AS s_en,
+                   CAST(len(list_filter(w, x -> x IN ('data','row'))) AS INT)     AS s_es,
+                   CAST(len(list_filter(w, x -> x IN ('window','merge'))) AS INT) AS s_de,
+                   CAST(len(list_filter(w, x -> x IN ('table','join'))) AS INT)   AS s_fr,
+                   CAST(len(list_filter(w, x -> x IN ('spark','hash'))) AS INT)   AS s_zh
+                   FROM t)
+            SELECT doc_id, lang, s_en, s_es, s_de, s_fr, s_zh,
+                   CASE WHEN s_en >= greatest(s_es, s_de, s_fr, s_zh) THEN 'en'
+                        WHEN s_es >= greatest(s_de, s_fr, s_zh) THEN 'es'
+                        WHEN s_de >= greatest(s_fr, s_zh) THEN 'de'
+                        WHEN s_fr >= s_zh THEN 'fr'
+                        ELSE 'zh' END AS predicted
+            FROM sc ORDER BY doc_id""")
+  )
+
+  /** Polynomial rolling-hash fingerprint per document (oracle-parity token
+    * values; production variant is xxhash64 — see DedupSpec). */
+  val fingerprint: GraftQuery = GraftQuery(
+    "llm_fingerprint",
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", TF.polyFingerprint(TF.tokens($"text")).as("fp"))
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id,
+                   list_reduce(
+                     list_transform(string_split(text, ' '),
+                                    t -> CAST(ascii(t) * 31 + length(t) AS BIGINT)),
+                     (a, b) -> (a * 131 + b) % 1000000007) AS fp
+            FROM documents ORDER BY doc_id""")
+  )
+
+  /** Corpus profile: per-language doc counts and mean sizes. */
+  val langProfile: GraftQuery = GraftQuery(
+    "llm_lang_profile",
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .withColumn("n_tokens", size(TF.tokens($"text")))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+             sum($"n_chars").as("sum_chars"),
+             round(avg($"n_tokens"), 4).as("avg_tokens"))
+        .orderBy($"lang")
+    },
+    Some("""SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+                   round(avg(len(string_split(text, ' '))), 4) AS avg_tokens
+            FROM documents GROUP BY lang ORDER BY lang""")
+  )
+
+  def all: Seq[GraftQuery] = Seq(textStats, langId, fingerprint, langProfile)
+}

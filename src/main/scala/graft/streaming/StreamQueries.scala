@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import graft.GraftQuery
+import graft.sources.Tables
+
+/** Event-time windowing and stateful-dedup operators (SURVEY.md §2b
+  * "Streaming"). Each is expressed with the same `window()` /
+  * `session_window()` / `dropDuplicates` primitives Structured Streaming
+  * executes incrementally — here run in batch mode so the DuckDB oracle can
+  * grade them; StreamingSpec drives the same pipelines through
+  * MemoryStream with watermarks to cover the streaming-only semantics
+  * (late-data drop, checkpoint resume).
+  *
+  * Scale notes: tumbling/sliding windows are hash aggregates on (window,
+  * key) — partial aggregation map-side, shuffle carries one row per
+  * (window × key). Session windows shuffle by user_id then merge sorted
+  * runs per key — the streaming form keeps per-key state bounded by the
+  * watermark.
+  */
+object StreamQueries {
+
+  /** Tumbling 1-hour windows: count + sum per (window, event_type). */
+  val tumbling: GraftQuery = GraftQuery(
+    "stream_tumbling",
+    (s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sum_value"))
+        .select($"window.start".as("wstart"), $"event_type", $"n", $"sum_value")
+        .orderBy($"wstart", $"event_type")
+    },
+    Some("""SELECT date_trunc('hour', ts) AS wstart, event_type,
+                   count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""")
+  )
+
+  /** Sliding windows (1 hour long, 15-minute slide): each event lands in 4
+    * windows. Oracle reconstructs the window set arithmetically. */
+  val sliding: GraftQuery = GraftQuery(
+    "stream_sliding",
+    (s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy(window($"ts", "1 hour", "15 minutes"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .select($"window.start".as("wstart"), $"event_type", $"n")
+        .orderBy($"wstart", $"event_type")
+    },
+    Some("""SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000
+                                  - CAST(k.k AS BIGINT) * 900000000) AS wstart,
+                   event_type, count(*) AS n
+            FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) k
+            GROUP BY 1, 2 ORDER BY wstart, event_type""")
+  )
+
+  /** Session windows per user (10-minute gap). Spark's session end is
+    * last-event-time + gap; the oracle mirrors that via gaps-and-islands. */
+  val session: GraftQuery = GraftQuery(
+    "stream_session",
+    (s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy(session_window($"ts", "10 minutes"), $"user_id")
+        .agg(count(lit(1)).as("n_events"), round(sum($"value"), 4).as("sum_value"))
+        .select($"user_id", $"session_window.start".as("session_start"),
+                $"session_window.end".as("session_end"), $"n_events", $"sum_value")
+        .orderBy($"user_id", $"session_start")
+    },
+    Some("""WITH flagged AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w >= INTERVAL '10 minutes'
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            numbered AS (
+              SELECT user_id, ts, value,
+                     sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM flagged)
+            SELECT user_id, min(ts) AS session_start,
+                   max(ts) + INTERVAL '10 minutes' AS session_end,
+                   count(*) AS n_events, round(sum(value), 4) AS sum_value
+            FROM numbered GROUP BY user_id, sid
+            ORDER BY user_id, session_start""")
+  )
+
+  /** Offset-keyed dedup (the stateful `dropDuplicates` shape; streaming
+    * form is dropDuplicatesWithinWatermark — StreamingSpec). The input is
+    * doubled so the dedup collapses real duplicates. */
+  val dedup: GraftQuery = GraftQuery(
+    "stream_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir).select($"event_id", $"event_type")
+      ev.union(ev)
+        .dropDuplicates("event_id")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"event_type")
+    },
+    Some("""SELECT event_type, count(DISTINCT event_id) AS n
+            FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
+            GROUP BY event_type ORDER BY event_type""")
+  )
+
+  def all: Seq[GraftQuery] = Seq(tumbling, sliding, session, dedup)
+}
