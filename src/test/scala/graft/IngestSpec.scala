@@ -1,0 +1,46 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Batch ingest pipeline: layout, row preservation, idempotent re-run,
+  * partition pruning. */
+class IngestSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("partitioned write preserves rows, lays out topic/date dirs, re-runs idempotently") {
+    val out = Files.createTempDirectory("graft_ing").toString + "/out"
+    val src = sources.Tables.events(spark, TestSpark.Sf)
+    operators.Ingest.writePartitioned(src, out)
+    val back = spark.read.parquet(out)
+    assert(back.count() === src.count())
+
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.forall(_.startsWith("event_type=")), s"got ${dirs.toSeq}")
+
+    operators.Ingest.writePartitioned(src, out) // idempotent re-run (R8)
+    assert(spark.read.parquet(out).count() === src.count())
+  }
+
+  test("partition pruning: a bucket filter reads only matching partitions") {
+    val out = Files.createTempDirectory("graft_prune").toString + "/out"
+    operators.Ingest.writePartitioned(sources.Tables.events(spark, TestSpark.Sf), out)
+    val pruned = spark.read.parquet(out).filter($"event_type" === "click")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || !plan.contains("event_type=error"),
+      "filter on a partition column must prune, not scan+filter")
+    val expected = sources.Tables.events(spark, TestSpark.Sf)
+      .filter($"event_type" === "click").count()
+    assert(pruned.count() === expected)
+  }
+
+  test("incremental watermark filter consumes exactly the new offsets") {
+    val ev = sources.Tables.events(spark, TestSpark.Sf)
+    val total = ev.count()
+    val out = operators.Ingest.ingestIncremental.run(spark, TestSpark.Sf)
+      .agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0)
+    val wm = math.floor((total - 1) / 2.0).toLong // event_ids are 0..total-1
+    assert(out === total - 1 - wm)
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.VectorFunctions
+
+/** Vector-expression parity (codegen vs interpreted vs HOF) and ANN
+  * structural/recall checks. */
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("FloatVecCosine matches higher-order-function formula") {
+    val e = sources.Tables.embeddings(spark, TestSpark.Sf).limit(50)
+    val a = e.select($"vec_id".as("ia"), $"embedding".as("va"))
+    val b = e.select($"vec_id".as("ib"), $"embedding".as("vb"))
+    def hofDot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    val rows = a.join(b, $"ia" < $"ib").limit(200)
+      .select(
+        VectorFunctions.cosine(spark, $"va", $"vb").as("custom"),
+        (hofDot($"va", $"vb") /
+          (sqrt(hofDot($"va", $"va")) * sqrt(hofDot($"vb", $"vb")))).as("hof"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9,
+        s"custom=${r.getDouble(0)} hof=${r.getDouble(1)}")
+    }
+  }
+
+  test("brute-force top-k: structure is k-per-query, descending, self-free") {
+    val out = llm.Similarity.bruteTopK.run(spark, TestSpark.Sf).collect()
+    val byQ = out.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size === 5)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length === 10)
+      assert(rows.map(_.getAs[Int]("rn")).sorted.toSeq === (1 to 10))
+      val sims = rows.sortBy(_.getAs[Int]("rn")).map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
+      assert(rows.forall(_.getAs[Long]("nid") != q))
+    }
+  }
+
+  test("LSH top-k: valid structure and measurable recall vs brute force") {
+    val brute = llm.Similarity.bruteTopK.run(spark, TestSpark.Sf)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = llm.Similarity.lshTopK.run(spark, TestSpark.Sf)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx.nonEmpty)
+    val recall = brute.intersect(approx).size.toDouble / brute.size
+    info(f"LSH recall@10 vs brute force: $recall%.2f")
+    assert(recall > 0.0) // approximate by design; near-uniform fixture vectors
+  }
+}

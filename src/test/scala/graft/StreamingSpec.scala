@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming-only semantics the batch oracle can't grade: watermark
+  * late-data drop, stateful dedup within watermark, and checkpointed
+  * incremental-load resume (the reference's R2/R3). */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("watermark drops late events from append-mode tumbling windows") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val agg = input.toDF().toDF("ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("wstart"), $"n")
+    val q = agg.writeStream.format("memory").queryName("wm_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((ts(1), 1.0), (ts(5), 1.0))    // window [10:00,10:10)
+      q.processAllAvailable()
+      input.addData((ts(35), 1.0))                 // advances watermark to 10:25
+      q.processAllAvailable()
+      input.addData((ts(2), 99.0))                 // late: before watermark → dropped
+      input.addData((ts(55), 1.0))                 // advances watermark to 10:45
+      q.processAllAvailable()
+      val rows = spark.table("wm_out").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+      assert(rows(ts(0)) === 2L, "late event must not be counted")
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val deduped = input.toDF().toDF("event_id", "ts")
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((1L, ts(1)), (2L, ts(2)))
+      q.processAllAvailable()
+      input.addData((1L, ts(3)), (3L, ts(4)))      // 1L is a duplicate
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("incremental loader consumes once, resumes from checkpoint, idempotent re-run") {
+    val base = Files.createTempDirectory("graft_inc").toString
+    val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+    def mkBatch(ids: Range, path: String): Unit =
+      ids.map(i => (i.toLong, ts(i % 60), s"t${i % 3}", i * 1.0))
+        .toDF("event_id", "ts", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(path)
+
+    mkBatch(0 until 40, src)
+    val schema = spark.read.parquet(src).schema
+    streaming.IncrementalLoader.runOnce(spark, src, schema, out, ckpt)
+    val afterA = streaming.IncrementalLoader.loaded(spark, out)
+    assert(afterA.count() === 40)
+
+    mkBatch(40 until 70, src)                      // new files arrive
+    streaming.IncrementalLoader.runOnce(spark, src, schema, out, ckpt)
+    val afterB = streaming.IncrementalLoader.loaded(spark, out)
+    assert(afterB.count() === 70, "resume must pick up only new files")
+    assert(afterB.select("event_id").distinct().count() === 70,
+      "no event may be loaded twice")
+
+    streaming.IncrementalLoader.runOnce(spark, src, schema, out, ckpt)
+    assert(streaming.IncrementalLoader.loaded(spark, out).count() === 70,
+      "re-run with no new input must be a no-op")
+  }
+
+  test("batch session windows match hand-computed sessions for one user") {
+    val events = Seq(
+      (1L, ts(0), 1.0), (1L, ts(5), 1.0), (1L, ts(9), 1.0),   // session 1
+      (1L, ts(30), 1.0), (1L, ts(35), 1.0)                    // session 2
+    ).toDF("user_id", "ts", "value")
+    val out = events.groupBy(session_window($"ts", "10 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n"))
+      .select($"session_window.start".as("s"), $"session_window.end".as("e"), $"n")
+      .orderBy($"s").collect()
+    assert(out.length === 2)
+    assert(out(0).getTimestamp(0) === ts(0) && out(0).getTimestamp(1) === ts(19)
+      && out(0).getLong(2) === 3)
+    assert(out(1).getTimestamp(0) === ts(30) && out(1).getTimestamp(1) === ts(45)
+      && out(1).getLong(2) === 2)
+  }
+}
