@@ -16,6 +16,7 @@ object SparkEntry {
     operators.Relational.all ++
     operators.Joins.all ++
     operators.Aggregates.all ++
+    operators.Analytics.all ++
     operators.Windows.all ++
     functions.ScalarQueries.all ++
     operators.Ingest.all ++

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.GraftQuery
+import graft.sources.Tables
+
+/** Second-tier analytics operators: statistical aggregates, exact
+  * percentiles, ordered string aggregation, pivot, structured JSON parsing.
+  * All single-shuffle hash/sort aggregates — the 100 TB story is the same
+  * as Aggregates.scala (map-side partials, group-cardinality-bound state).
+  */
+object Analytics {
+
+  /** Statistical moments + correlation. Welford-style distributed variance
+    * (Spark's CentralMomentAgg) vs DuckDB's — numerically different
+    * accumulation orders, so results are rounded at 6dp. */
+  val statsAgg: GraftQuery = GraftQuery(
+    "agg_stats",
+    (s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(
+          round(stddev_samp($"l_extendedprice"), 4).as("sd_price"),
+          round(var_samp($"l_quantity"), 4).as("var_qty"),
+          round(corr($"l_extendedprice", $"l_quantity"), 6).as("corr_pq"),
+          round(covar_samp($"l_extendedprice", $"l_discount"), 4).as("cov_pd"),
+          // Spark's skewness is the population estimator g1; DuckDB reports
+          // the bias-corrected sample estimator G1 = g1·√(n(n-1))/(n-2).
+          round(skewness($"l_quantity") *
+            sqrt(count(lit(1)) * (count(lit(1)) - 1)) / (count(lit(1)) - 2), 6)
+            .as("skew_qty"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+                   round(stddev_samp(l_extendedprice), 4) AS sd_price,
+                   round(var_samp(l_quantity), 4) AS var_qty,
+                   round(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
+                   round(covar_samp(l_extendedprice, l_discount), 4) AS cov_pd,
+                   round(skewness(l_quantity), 6) AS skew_qty
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+  )
+
+  /** Exact percentiles (interpolated, SQL PERCENTILE_CONT semantics).
+    * Exact percentile needs the sorted group — fine for bounded groups;
+    * at 100 TB unbounded cardinality, switch to approx_percentile (fixed
+    * sketch, single pass) — exposed rows-only below. */
+  val percentiles: GraftQuery = GraftQuery(
+    "agg_percentile",
+    (s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .groupBy($"o_orderstatus")
+        .agg(
+          round(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)"), 4).as("p50"),
+          round(expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice)"), 4).as("p90"),
+          round(expr("percentile_cont(0.99) WITHIN GROUP (ORDER BY o_totalprice)"), 4).as("p99"))
+        .orderBy($"o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus,
+                   round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p50,
+                   round(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p90,
+                   round(percentile_cont(0.99) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p99
+            FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  )
+
+  /** Sketch percentile — the unbounded-cardinality path (rows-only: the
+    * sketch algorithm differs from DuckDB's). */
+  val approxPercentile: GraftQuery = GraftQuery(
+    "agg_approx_percentile",
+    (s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .groupBy($"o_orderstatus")
+        .agg(approx_percentile($"o_totalprice", lit(0.5), lit(1000)).as("p50_approx"))
+        .orderBy($"o_orderstatus")
+    },
+    None
+  )
+
+  /** Ordered string aggregation (LISTAGG shape): deterministic via
+    * sort_array over the collected set. */
+  val stringAgg: GraftQuery = GraftQuery(
+    "agg_string",
+    (s, dir) => {
+      import s.implicits._
+      Tables.nation(s, dir)
+        .groupBy($"n_regionkey")
+        .agg(array_join(array_sort(collect_list($"n_name")), ",").as("nations"))
+        .orderBy($"n_regionkey")
+    },
+    Some("""SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+            FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")
+  )
+
+  /** Pivot: order counts per (year, status) as wide columns. */
+  val pivotAgg: GraftQuery = GraftQuery(
+    "agg_pivot",
+    (s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .select(year($"o_orderdate").as("o_year"), $"o_orderstatus")
+        .groupBy($"o_year")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("F", "O", "P"))
+        .orderBy($"o_year")
+    },
+    Some("""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                   count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+                   count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+                   count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+            FROM orders GROUP BY o_year ORDER BY o_year""")
+  )
+
+  /** Schema-on-read JSON parsing into a typed struct (from_json — the
+    * full-document form of fn_json's path extraction). */
+  val jsonStruct: GraftQuery = GraftQuery(
+    "fn_json_struct",
+    (s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .select($"event_id",
+          from_json($"props", org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.IntegerType)))).as("p"))
+        .select($"event_id", $"p.k".as("k"))
+        .filter($"k".isNotNull && $"k" % 7 === 0)
+        .orderBy($"event_id")
+    },
+    Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+            FROM events
+            WHERE CAST(json_extract_string(props, '$.k') AS INT) % 7 = 0
+            ORDER BY event_id""")
+  )
+
+  def all: Seq[GraftQuery] = Seq(
+    statsAgg, percentiles, approxPercentile, stringAgg, pivotAgg, jsonStruct)
+}
