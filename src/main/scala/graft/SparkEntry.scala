@@ -18,6 +18,7 @@ object SparkEntry {
     operators.Aggregates.all ++
     operators.Analytics.all ++
     operators.Windows.all ++
+    operators.TimeSeries.all ++
     functions.ScalarQueries.all ++
     operators.Ingest.all ++
     streaming.StreamQueries.all ++

@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.GraftQuery
+import graft.sources.Tables
+
+/** Time-series operators the reference's event-log consumers need but Spark
+  * has no single built-in for: as-of join, gap-fill/resample with forward
+  * fill, distribution windows, and an explicitly skew-salted join.
+  *
+  * Scale design: every operator here is one shuffle on its natural key
+  * (user_id) — the as-of join in particular avoids the quadratic
+  * range-join trap (per-row "latest preceding" via BNLJ) by expressing
+  * as-of as union + running `last(ignoreNulls)` over a single sorted
+  * window, which is the standard large-scale formulation.
+  */
+object TimeSeries {
+
+  /** As-of join: for every purchase event, the most recent click by the
+    * same user at or before the purchase time (ties on ts broken by max
+    * event_id).
+    *
+    * Implementation: tag click rows kind=0 and purchase rows kind=1, union,
+    * and run one window per user ordered by (ts, kind, event_id); the
+    * running `last` of click attributes at each purchase row IS the as-of
+    * match. One shuffle + one sort over events — at 100 TB this is
+    * O(n log n) per partition vs. the O(n·m) of a naive theta join, and the
+    * sort colocates with the session/window queries' partitioning.
+    */
+  val asofJoin: GraftQuery = GraftQuery(
+    "join_asof",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select($"user_id", $"ts", $"event_id", $"value", $"event_type")
+      val tagged = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts", $"event_id", $"value", lit(0).as("kind"))
+        .unionByName(ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"ts", $"event_id", $"value", lit(1).as("kind")))
+      // clicks sort before purchases at equal ts (kind 0 < 1) so ts-equal
+      // clicks are eligible, matching the oracle's `c.ts <= p.ts`.
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"kind", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      tagged
+        .withColumn("click_id",
+          last(when($"kind" === 0, $"event_id"), ignoreNulls = true).over(w))
+        .withColumn("click_value",
+          last(when($"kind" === 0, $"value"), ignoreNulls = true).over(w))
+        .filter($"kind" === 1)
+        .select($"event_id".as("purchase_id"), $"user_id", $"click_id", $"click_value")
+        .orderBy($"purchase_id")
+    },
+    Some("""SELECT p.event_id AS purchase_id, p.user_id,
+                   c.event_id AS click_id, c.value AS click_value
+            FROM events p
+            LEFT JOIN LATERAL (
+              SELECT event_id, value FROM events c
+              WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                AND c.ts <= p.ts
+              ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+            ) c ON true
+            WHERE p.event_type = 'purchase'
+            ORDER BY purchase_id""")
+  )
+
+  /** Resample to a daily grid per user and forward-fill gaps: daily sums,
+    * a generated min→max day spine per user, left join, and a running
+    * `last(ignoreNulls)` carry-forward.
+    *
+    * Scale: the spine is generated from a per-user min/max aggregate —
+    * rows ∝ users × days, never materializing a dense global calendar; the
+    * fill reuses the (user_id) partitioning of the daily aggregate, so the
+    * whole pipeline is two shuffles (agg, window) regardless of input size.
+    */
+  val gapFill: GraftQuery = GraftQuery(
+    "ts_gapfill",
+    (s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy($"user_id", date_trunc("day", $"ts").as("day"))
+        .agg(round(sum($"value"), 4).as("v"))
+      val spine = daily.groupBy($"user_id")
+        .agg(min($"day").as("d0"), max($"day").as("d1"))
+        .select($"user_id",
+          explode(sequence($"d0", $"d1", expr("INTERVAL 1 DAY"))).as("day"))
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("v_filled",
+          round(last($"v", ignoreNulls = true).over(
+            Window.partitionBy($"user_id").orderBy($"day")
+              .rowsBetween(Window.unboundedPreceding, 0)), 4))
+        .withColumn("is_gap", $"v".isNull)
+        .select($"user_id", $"day", $"v_filled", $"is_gap")
+        .orderBy($"user_id", $"day")
+    },
+    Some("""WITH daily AS (
+              SELECT user_id, date_trunc('day', ts) AS day, round(sum(value),4) AS v
+              FROM events GROUP BY 1, 2),
+            spans AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+            grid AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+                     FROM spans)
+            SELECT g.user_id, g.day,
+                   round(last_value(d.v IGNORE NULLS) OVER (
+                     PARTITION BY g.user_id ORDER BY g.day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS v_filled,
+                   d.v IS NULL AS is_gap
+            FROM grid g LEFT JOIN daily d USING (user_id, day)
+            ORDER BY user_id, day""")
+  )
+
+  /** Distribution windows: quartile bucket, percent_rank, cume_dist over a
+    * unique total order (value, event_id) per user. */
+  val ntileRanks: GraftQuery = GraftQuery(
+    "win_ntile",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"value", $"event_id")
+      Tables.events(s, dir)
+        .select($"user_id", $"event_id", $"value")
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pct_rank", round(percent_rank().over(w), 6))
+        .withColumn("cume", round(cume_dist().over(w), 6))
+        .drop("value")
+        .orderBy($"user_id", $"event_id")
+    },
+    Some("""SELECT user_id, event_id,
+                   ntile(4)               OVER w AS quartile,
+                   round(percent_rank() OVER w, 6) AS pct_rank,
+                   round(cume_dist()    OVER w, 6) AS cume
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+            ORDER BY user_id, event_id""")
+  )
+
+  /** Salt fan-out for the skewed join below. */
+  private val Salts = 8
+
+  /** Skew-salted broadcast-free join: events (hot, low-cardinality user_id)
+    * joined to a per-user dimension through a composite (user_id, salt) key.
+    * The fact side derives a deterministic salt from event_id; the dim side
+    * replicates each row `Salts` times. A hot user's rows now hash to
+    * `Salts` different shuffle partitions instead of one.
+    *
+    * At 100 TB this is the manual fallback when AQE skew-join can't help
+    * (e.g. the skew is in a shuffle-hash join's build side, or the join is
+    * feeding a window that repartitions anyway). Result is identical to the
+    * plain join — the oracle IS the plain join.
+    */
+  val skewSalted: GraftQuery = GraftQuery(
+    "join_skew_salted",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val dim = ev.groupBy($"user_id").agg(round(avg($"value"), 4).as("user_avg"))
+        .withColumn("salt", explode(array((0 until Salts).map(lit): _*)))
+      val fact = ev.select($"event_id", $"user_id",
+        pmod($"event_id", lit(Salts)).cast("int").as("salt"))
+      fact.join(dim, Seq("user_id", "salt"))
+        .select($"event_id", $"user_id", $"user_avg")
+        .orderBy($"event_id")
+    },
+    Some("""SELECT e.event_id, e.user_id, d.user_avg
+            FROM events e
+            JOIN (SELECT user_id, round(avg(value), 4) AS user_avg
+                  FROM events GROUP BY user_id) d USING (user_id)
+            ORDER BY e.event_id""")
+  )
+
+  def all: Seq[GraftQuery] = Seq(asofJoin, gapFill, ntileRanks, skewSalted)
+}
