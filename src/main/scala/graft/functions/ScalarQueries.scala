@@ -150,5 +150,50 @@ object ScalarQueries {
             GROUP BY vec_id ORDER BY vec_id""")
   )
 
-  def all: Seq[GraftQuery] = Seq(fnString, fnDate, fnMath, fnJson, fnArray)
+  /** MapType operations: build a typed map from the payload + columns, then
+    * map_keys / map_filter / transform_values / element_at / map_values.
+    * The oracle computes the same scalars straight from the base columns —
+    * the operator under test is the Spark-side MapType algebra, which all
+    * runs codegen'd inside the scan's projection (no shuffle, no UDF).
+    * floor() before int casts on both sides: Spark CAST(double AS INT)
+    * truncates while DuckDB rounds, so the cast input is always integral. */
+  val fnMap: GraftQuery = GraftQuery(
+    "fn_map",
+    (s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .withColumn("m", map(
+          lit("k"), get_json_object($"props", "$.k").cast("int"),
+          lit("uid"), $"user_id".cast("int"),
+          lit("v"), floor($"value" * 100).cast("int")))
+        .select(
+          $"event_id",
+          size($"m").as("n_keys"),
+          concat_ws(",", array_sort(map_keys($"m"))).as("keys_csv"),
+          element_at($"m", "k").as("k_val"),
+          concat_ws(",",
+            array_sort(map_keys(map_filter($"m", (_, v) => v > 50)))).as("big_csv"),
+          aggregate(map_values(transform_values($"m", (_, v) => v * 2)),
+            lit(0), (acc, v) => acc + v).as("sum2"))
+        .orderBy($"event_id")
+    },
+    Some("""WITH base AS (
+              SELECT event_id,
+                     CAST(json_extract_string(props, '$.k') AS INT) AS kv,
+                     CAST(user_id AS INT) AS uv,
+                     CAST(floor(value * 100) AS INT) AS vv
+              FROM events)
+            SELECT event_id,
+                   3 AS n_keys,
+                   'k,uid,v' AS keys_csv,
+                   kv AS k_val,
+                   concat_ws(',',
+                     CASE WHEN kv > 50 THEN 'k' END,
+                     CASE WHEN uv > 50 THEN 'uid' END,
+                     CASE WHEN vv > 50 THEN 'v' END) AS big_csv,
+                   2 * (kv + uv + vv) AS sum2
+            FROM base ORDER BY event_id""")
+  )
+
+  def all: Seq[GraftQuery] = Seq(fnString, fnDate, fnMath, fnJson, fnArray, fnMap)
 }

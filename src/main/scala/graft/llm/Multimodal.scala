@@ -97,5 +97,38 @@ object Multimodal {
             FROM documents ORDER BY doc_id""")
   )
 
-  def all: Seq[GraftQuery] = Seq(multimodalCols, decodeStubQuery)
+  /** Frame sampling: every 2nd frame index from each media payload's
+    * decoded frame count, exploded to one row per sampled frame with a
+    * deterministic per-frame tag (stand-in for the frame's bytes — a real
+    * deployment emits the decoded frame here).
+    *
+    * Scale shape: generate-and-explode at the scan (no shuffle); output
+    * rows ∝ Σ n_frames/stride, never a dense cross join. The stride lives
+    * in one `sequence()` literal — sampling policy changes are plan-side
+    * only. */
+  val frameSample: GraftQuery = GraftQuery(
+    "mm_frame_sample",
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", $"text".cast("binary").as("payload"))
+        .select($"doc_id",
+          octet_length($"payload").as("n_bytes"),
+          (lit(1) + pmod(octet_length($"payload"), lit(16))).as("n_frames"))
+        .select($"doc_id", $"n_frames",
+          explode(sequence(lit(0), $"n_frames" - 1, lit(2))).as("frame_idx"))
+        .withColumn("frame_tag",
+          pmod($"doc_id" * 31 + $"frame_idx" * 7, lit(997L)))
+        .orderBy($"doc_id", $"frame_idx")
+    },
+    Some("""SELECT doc_id,
+                   CAST(1 + octet_length(encode(text)) % 16 AS INT) AS n_frames,
+                   CAST(unnest(range(0, 1 + octet_length(encode(text)) % 16, 2)) AS INT)
+                     AS frame_idx,
+                   (doc_id * 31 + CAST(unnest(range(0, 1 + octet_length(encode(text)) % 16, 2)) AS INT) * 7) % 997
+                     AS frame_tag
+            FROM documents ORDER BY doc_id, frame_idx""")
+  )
+
+  def all: Seq[GraftQuery] = Seq(multimodalCols, decodeStubQuery, frameSample)
 }

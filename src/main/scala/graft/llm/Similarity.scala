@@ -110,5 +110,57 @@ object Similarity {
     None
   )
 
-  def all: Seq[GraftQuery] = Seq(bruteTopK, lshTopK)
+  /** IVF (inverted-file) ANN: a deterministic centroid sample partitions
+    * the vector space; every candidate is assigned to its nearest centroid
+    * (the inverted list), and each query probes only its `NProbe` nearest
+    * lists — turning the all-pairs scan into an equi-join on centroid id.
+    *
+    * Scale shape: assignment is a broadcast nested-loop against ~√N
+    * centroids followed by a map-side-complete max_by aggregate — the
+    * shuffle carries exactly N rows (one per vector), and at 100 TB the
+    * assigned table is the thing you'd persist bucketed by `cid` so that
+    * every later query batch is a bucket-pruned join, not a re-scan.
+    * No oracle (approximate by design); SimilaritySpec measures recall
+    * against bruteTopK.
+    */
+  val ivfTopK: GraftQuery = GraftQuery(
+    "llm_sim_topk_ivf",
+    (s, dir) => {
+      import s.implicits._
+      val NProbe = 3
+      val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      // Deterministic ~1/37 sample as centroids (k-means would refine these;
+      // the IVF dataflow is identical either way).
+      val cents = broadcast(
+        e.filter(pmod($"vec_id", lit(37)) === lit(5))
+          .select($"vec_id".as("cid"), $"embedding".as("cv")))
+      // Inverted lists: nearest centroid per candidate. The crossJoin output
+      // never shuffles — max_by reduces it to one row per vec_id map-side.
+      val assigned = e.crossJoin(cents)
+        .withColumn("csim", VectorFunctions.cosine(s, $"cv", $"embedding"))
+        .groupBy($"vec_id")
+        .agg(max_by($"cid", struct($"csim", $"cid")).as("cid"),
+             first($"embedding").as("embedding"))
+      // Query side: probe the NProbe nearest lists.
+      val probes = broadcast(
+        e.filter($"vec_id" < NumQueries).crossJoin(cents)
+          .withColumn("csim", VectorFunctions.cosine(s, $"cv", $"embedding"))
+          .withColumn("pr", row_number().over(
+            Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cid")))
+          .filter($"pr" <= NProbe)
+          .select($"vec_id".as("qid"), $"embedding".as("qv"), $"cid"))
+      val scored = assigned.join(probes, Seq("cid"))
+        .filter($"vec_id" =!= $"qid")
+        .withColumn("sim", round(VectorFunctions.cosine(s, $"qv", $"embedding"), 4))
+      scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id")))
+        .filter($"rn" <= K)
+        .select($"qid", $"rn", $"vec_id".as("nid"), $"sim")
+        .orderBy($"qid", $"rn")
+    },
+    None
+  )
+
+  def all: Seq[GraftQuery] = Seq(bruteTopK, lshTopK, ivfTopK)
 }

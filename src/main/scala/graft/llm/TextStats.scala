@@ -128,5 +128,72 @@ object TextStats {
             FROM documents GROUP BY lang ORDER BY lang""")
   )
 
-  def all: Seq[GraftQuery] = Seq(textStats, langId, fingerprint, langProfile)
+  /** BPE-ish token counting: a GPT-style pre-tokenizer regex (letter runs,
+    * digit runs, single punctuation) plus a subword estimate of
+    * ceil(len/4) pieces per pre-token — the standard "~4 chars per BPE
+    * token" heuristic, exact-arithmetic so it oracles. The regex is shared
+    * ASCII-safe syntax between Java regex (Spark) and RE2 (DuckDB). */
+  val tokenBpe: GraftQuery = GraftQuery(
+    "llm_token_bpe",
+    (s, dir) => {
+      import s.implicits._
+      val pre = regexp_extract_all($"text", lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))
+      Tables.documents(s, dir)
+        .select($"doc_id", pre.as("pre"))
+        .select($"doc_id",
+          size($"pre").as("n_pretokens"),
+          aggregate(transform($"pre", t => ceil(length(t) / lit(4.0)).cast("long")),
+            lit(0L), (acc, v) => acc + v).as("n_bpe"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH pre AS (
+              SELECT doc_id, regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]') AS p
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(p) AS INT) AS n_pretokens,
+                   CAST(list_sum(list_transform(p, t -> CAST(ceil(length(t) / 4.0) AS BIGINT)))
+                        AS BIGINT) AS n_bpe
+            FROM pre ORDER BY doc_id""")
+  )
+
+  /** Composite quality score: saturating length terms + stopword density,
+    * bucketed. The formula is integer-over-constant double arithmetic —
+    * identical FP sequence in both engines, rounded only at the end. */
+  val quality: GraftQuery = GraftQuery(
+    "llm_quality",
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .withColumn("toks", TF.tokens($"text"))
+        .withColumn("n_tokens", size($"toks"))
+        .withColumn("stop_ratio",
+          size(filter($"toks", t => t === "the" || t === "a" || t === "of"))
+            .cast("double") / $"n_tokens".cast("double"))
+        .withColumn("score", round(
+          least($"n_tokens".cast("double") / 50.0, lit(1.0)) * 0.5 +
+          $"stop_ratio" * 0.3 +
+          least($"n_chars".cast("double") / 300.0, lit(1.0)) * 0.2, 4))
+        .select($"doc_id", $"score",
+          when($"score" >= 0.8, "high").when($"score" >= 0.5, "medium")
+            .otherwise("low").as("bucket"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH q AS (
+              SELECT doc_id,
+                     round(
+                       least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) * 0.5 +
+                       CAST(len(list_filter(string_split(text, ' '),
+                            t -> t IN ('the', 'a', 'of'))) AS DOUBLE)
+                         / CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.3 +
+                       least(CAST(n_chars AS DOUBLE) / 300.0, 1.0) * 0.2, 4) AS score
+              FROM documents)
+            SELECT doc_id, score,
+                   CASE WHEN score >= 0.8 THEN 'high'
+                        WHEN score >= 0.5 THEN 'medium'
+                        ELSE 'low' END AS bucket
+            FROM q ORDER BY doc_id""")
+  )
+
+  def all: Seq[GraftQuery] =
+    Seq(textStats, langId, fingerprint, langProfile, tokenBpe, quality)
 }

@@ -53,4 +53,24 @@ class SimilaritySpec extends AnyFunSuite {
     info(f"LSH recall@10 vs brute force: $recall%.2f")
     assert(recall > 0.0) // approximate by design; near-uniform fixture vectors
   }
+
+  test("IVF top-k: valid structure and measurable recall vs brute force") {
+    val brute = llm.Similarity.bruteTopK.run(spark, TestSpark.Sf)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val out = llm.Similarity.ivfTopK.run(spark, TestSpark.Sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // structure: ≤ k per query, rank contiguous from 1, descending sim
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (q, rs) =>
+      assert(rs.length <= 10)
+      assert(rs.map(_.getAs[Int]("rn")).sorted.toSeq === (1 to rs.length))
+      val sims = rs.sortBy(_.getAs[Int]("rn")).map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
+      assert(rs.forall(_.getAs[Long]("nid") != q))
+    }
+    val approx = rows.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    val recall = brute.intersect(approx).size.toDouble / brute.size
+    info(f"IVF recall@10 vs brute force: $recall%.2f")
+    assert(recall > 0.0)
+  }
 }
