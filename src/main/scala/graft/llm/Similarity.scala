@@ -129,26 +129,34 @@ object Similarity {
       import s.implicits._
       val NProbe = 3
       val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
-      // Deterministic ~1/37 sample as centroids (k-means would refine these;
-      // the IVF dataflow is identical either way).
-      val cents = broadcast(
-        e.filter(pmod($"vec_id", lit(37)) === lit(5))
-          .select($"vec_id".as("cid"), $"embedding".as("cv")))
-      // Inverted lists: nearest centroid per candidate. The crossJoin output
-      // never shuffles — max_by reduces it to one row per vec_id map-side.
-      val assigned = e.crossJoin(cents)
-        .withColumn("csim", VectorFunctions.cosine(s, $"cv", $"embedding"))
-        .groupBy($"vec_id")
-        .agg(max_by($"cid", struct($"csim", $"cid")).as("cid"),
-             first($"embedding").as("embedding"))
+      // The centroid codebook: a deterministic ~1/37 sample (k-means would
+      // refine it; the IVF dataflow is identical). It is a bounded model
+      // artifact (~√N rows), collected once and folded into the plan as a
+      // literal — so assignment is a PURE PROJECTION over the scan: zero
+      // shuffle, vs. the sort-aggregate a join+argmax formulation plans.
+      // (At codebook sizes where a literal is unreasonable, the same
+      // dataflow runs with a broadcast join on a coarse quantizer first.)
+      val centroids: Seq[(Long, Seq[Float])] = e
+        .filter(pmod($"vec_id", lit(37)) === lit(5))
+        .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val centsLit = typedlit(centroids)
+      // Per-row scored centroid list: array<struct<csim,cid>> — struct
+      // comparison is lexicographic, so array_max/array_sort give a
+      // deterministic argmax with cid tie-break.
+      def centScores(vec: org.apache.spark.sql.Column) =
+        transform(centsLit, c =>
+          struct(VectorFunctions.cosine(s, c.getField("_2"), vec).as("csim"),
+                 c.getField("_1").as("cid")))
+      // Inverted-list assignment: nearest centroid, computed in the scan
+      // projection. At 100 TB this is the table you persist bucketed by cid.
+      val assigned = e.withColumn("cid",
+        array_max(centScores($"embedding")).getField("cid"))
       // Query side: probe the NProbe nearest lists.
       val probes = broadcast(
-        e.filter($"vec_id" < NumQueries).crossJoin(cents)
-          .withColumn("csim", VectorFunctions.cosine(s, $"cv", $"embedding"))
-          .withColumn("pr", row_number().over(
-            Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cid")))
-          .filter($"pr" <= NProbe)
-          .select($"vec_id".as("qid"), $"embedding".as("qv"), $"cid"))
+        e.filter($"vec_id" < NumQueries)
+          .select($"vec_id".as("qid"), $"embedding".as("qv"),
+            explode(slice(reverse(array_sort(centScores($"embedding"))), 1, NProbe)
+              .getField("cid")).as("cid")))
       val scored = assigned.join(probes, Seq("cid"))
         .filter($"vec_id" =!= $"qid")
         .withColumn("sim", round(VectorFunctions.cosine(s, $"qv", $"embedding"), 4))
