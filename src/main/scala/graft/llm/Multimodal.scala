@@ -130,5 +130,89 @@ object Multimodal {
             FROM documents ORDER BY doc_id, frame_idx""")
   )
 
-  def all: Seq[GraftQuery] = Seq(multimodalCols, decodeStubQuery, frameSample)
+  /** Resize planning: aspect-preserving fit of each decoded frame into a
+    * 224×224 budget. The pixel work belongs to the binary stage (stubbed
+    * per the environment); the metadata transform — scale factor, output
+    * dims, letterbox padding — is the real, testable plumbing and is what
+    * the shuffle-free scan projection computes here. Scale arithmetic is
+    * int-over-double with floor, bit-identical in both engines. */
+  val resize: GraftQuery = GraftQuery(
+    "mm_resize",
+    (s, dir) => {
+      import s.implicits._
+      val Target = 224
+      Tables.documents(s, dir)
+        .select($"doc_id", $"text".cast("binary").as("payload"))
+        .select($"doc_id",
+          (lit(64) + pmod(octet_length($"payload"), lit(577))).as("width"),
+          (lit(64) + pmod(octet_length($"payload") * 7, lit(417))).as("height"))
+        .withColumn("scale",
+          round(lit(Target.toDouble) /
+            greatest($"width", $"height").cast("double"), 6))
+        .select($"doc_id", $"width", $"height", $"scale",
+          floor($"width" * $"scale").cast("int").as("out_w"),
+          floor($"height" * $"scale").cast("int").as("out_h"))
+        .withColumn("pad_x", (lit(Target) - $"out_w"))
+        .withColumn("pad_y", (lit(Target) - $"out_h"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH dims AS (
+              SELECT doc_id,
+                     CAST(64 + octet_length(encode(text)) % 577 AS INT) AS width,
+                     CAST(64 + (octet_length(encode(text)) * 7) % 417 AS INT) AS height
+              FROM documents),
+            scaled AS (
+              SELECT doc_id, width, height,
+                     round(224.0 / CAST(greatest(width, height) AS DOUBLE), 6) AS scale
+              FROM dims)
+            SELECT doc_id, width, height, scale,
+                   CAST(floor(width * scale) AS INT) AS out_w,
+                   CAST(floor(height * scale) AS INT) AS out_h,
+                   224 - CAST(floor(width * scale) AS INT) AS pad_x,
+                   224 - CAST(floor(height * scale) AS INT) AS pad_y
+            FROM scaled ORDER BY doc_id""")
+  )
+
+  /** Feature extraction over the opaque payload: decode bytes → character-
+    * class histogram assembled into a feature vector. Unlike the codec stub
+    * this stage is fully real — byte-level statistics need no external
+    * library — and shows the assemble-a-vector-column shape (array built in
+    * the projection, exported per-component for the oracle). */
+  val featureExtract: GraftQuery = GraftQuery(
+    "mm_feature_extract",
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", $"text".cast("binary").as("payload"))
+        .withColumn("decoded", decode($"payload", "UTF-8"))
+        .withColumn("feat", array(
+          regexp_count($"decoded", lit("[aeiou]")),
+          regexp_count($"decoded", lit("[b-df-hj-np-tv-z]")),
+          regexp_count($"decoded", lit(" ")),
+          octet_length($"payload")))
+        .select($"doc_id",
+          concat_ws(",", transform($"feat", _.cast("string"))).as("feat_csv"),
+          element_at($"feat", 1).as("f_vowel"),
+          element_at($"feat", 2).as("f_conson"),
+          element_at($"feat", 3).as("f_space"),
+          element_at($"feat", 4).as("f_bytes"),
+          aggregate($"feat", lit(0), (a, v) => a + v).as("l1"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH f AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, '[aeiou]')) AS INT) AS f_vowel,
+                     CAST(len(regexp_extract_all(text, '[b-df-hj-np-tv-z]')) AS INT) AS f_conson,
+                     CAST(len(regexp_extract_all(text, ' ')) AS INT) AS f_space,
+                     CAST(octet_length(encode(text)) AS INT) AS f_bytes
+              FROM documents)
+            SELECT doc_id,
+                   concat_ws(',', f_vowel, f_conson, f_space, f_bytes) AS feat_csv,
+                   f_vowel, f_conson, f_space, f_bytes,
+                   f_vowel + f_conson + f_space + f_bytes AS l1
+            FROM f ORDER BY doc_id""")
+  )
+
+  def all: Seq[GraftQuery] =
+    Seq(multimodalCols, decodeStubQuery, frameSample, resize, featureExtract)
 }
