@@ -96,5 +96,77 @@ object Ingest {
             GROUP BY event_type ORDER BY event_type""")
   )
 
-  def all: Seq[GraftQuery] = Seq(ingestPartitioned, ingestIncremental)
+  /** Partition-pruned scan: a day-partitioned layout is written once per
+    * sf-dir (reused if present — both writers produce identical bytes), and
+    * the query reads one week of it through a partition-column filter.
+    * Catalyst prunes at directory listing: only the 7 matching `d=` dirs
+    * are ever opened. At 100 TB bucket granularity IS the index — a day
+    * query touches 1/30th of the files, no footer reads elsewhere. */
+  val scanPartitionPrune: GraftQuery = GraftQuery(
+    "scan_partition_prune",
+    (s, dir) => {
+      import s.implicits._
+      val out = s"/tmp/graft_ingest_byday/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      if (!new java.io.File(out, "_SUCCESS").exists()) {
+        Tables.events(s, dir)
+          .withColumn("d", date_format($"ts", "yyyy-MM-dd"))
+          .repartition($"d")
+          .write.partitionBy("d").mode("overwrite").parquet(out)
+      }
+      s.read.parquet(out)
+        .filter($"d" >= "2024-01-08" && $"d" <= "2024-01-14")
+        .groupBy($"d".cast("string").as("d"))
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sum_value"))
+        .orderBy($"d")
+    },
+    Some("""SELECT strftime(ts, '%Y-%m-%d') AS d,
+                   count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events
+            WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-08' AND '2024-01-14'
+            GROUP BY 1 ORDER BY d""")
+  )
+
+  /** Bucketed co-located join: lineitem and orders persisted bucketed on
+    * the join key (8 buckets, sorted), then sort-merge joined with ZERO
+    * shuffle on either side — the bucket layout satisfies the join's
+    * distribution requirement at read time. This is the 100 TB fact-fact
+    * join answer: pay the shuffle once at write, join free forever after.
+    * (`.hint("merge")` pins SMJ so broadcast selection at toy scale doesn't
+    * hide the property; IngestSpec asserts the exchange count.) */
+  val joinBucketed: GraftQuery = GraftQuery(
+    "join_bucketed",
+    (s, dir) => {
+      import s.implicits._
+      val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val base = s"/tmp/graft_bucketed/$sfx"
+      def persistBucketed(df: DataFrame, name: String, key: String): Unit = {
+        val tbl = s"graft_${name}_$sfx"
+        if (!s.catalog.tableExists(tbl)) {
+          df.write.bucketBy(8, key).sortBy(key)
+            .option("path", s"$base/$name").mode("overwrite").saveAsTable(tbl)
+        }
+      }
+      persistBucketed(Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_extendedprice", $"l_discount"),
+        "lineitem", "l_orderkey")
+      persistBucketed(Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_orderpriority"),
+        "orders", "o_orderkey")
+      s.table(s"graft_lineitem_$sfx").hint("merge")
+        .join(s.table(s"graft_orders_$sfx"),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+             round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+               .as("revenue"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n_lines,
+                   round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+  )
+
+  def all: Seq[GraftQuery] =
+    Seq(ingestPartitioned, ingestIncremental, scanPartitionPrune, joinBucketed)
 }

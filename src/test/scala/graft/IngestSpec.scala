@@ -35,6 +35,26 @@ class IngestSpec extends AnyFunSuite {
     assert(pruned.count() === expected)
   }
 
+  test("bucketed join plans with zero exchanges below the sort-merge join") {
+    val df = operators.Ingest.joinBucketed.run(spark, TestSpark.Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), "merge hint must pin SMJ")
+    // the only exchanges allowed are post-aggregation / final-sort ones:
+    // the join inputs are bucketed scans, so nothing shuffles before the join
+    val joinIdx = plan.indexOf("SortMergeJoin")
+    val belowJoin = plan.substring(joinIdx)
+    assert(!belowJoin.contains("Exchange"),
+      s"bucketed SMJ inputs must not shuffle:\n$belowJoin")
+    assert(belowJoin.contains("Bucketed: true"))
+  }
+
+  test("scan_partition_prune pushes the day filter to partition listing") {
+    val df = operators.Ingest.scanPartitionPrune.run(spark, TestSpark.Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(d"),
+      "day-range predicate must appear as a PartitionFilter")
+  }
+
   test("incremental watermark filter consumes exactly the new offsets") {
     val ev = sources.Tables.events(spark, TestSpark.Sf)
     val total = ev.count()
