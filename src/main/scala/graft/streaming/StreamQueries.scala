@@ -95,8 +95,13 @@ object StreamQueries {
     (s, dir) => {
       import s.implicits._
       val ev = Tables.events(s, dir).select($"event_id", $"event_type")
+      // replay dedup as a pure hash aggregate: dropDuplicates("event_id")
+      // plans a sort-based partial_first (string agg buffers can't hash-agg),
+      // but replayed records are bit-identical rows, so full-row distinct()
+      // — strings in the GROUP BY key, empty buffer — dedups in
+      // HashAggregate with no per-partition sort at 100 TB.
       ev.union(ev)
-        .dropDuplicates("event_id")
+        .distinct()
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n"))
         .orderBy($"event_type")
