@@ -134,6 +134,45 @@ object Analytics {
             ORDER BY event_id""")
   )
 
+  /** TPC-H Q3-shaped composite: the shipping-priority top-N — a
+    * three-table selective join, revenue aggregate, global sort, limit.
+    * The canonical OLAP plan shape end-to-end: both filters push into
+    * their scans before the join (BUILDING customers ≈ 1/5, orders before
+    * the date ≈ half), customer is broadcast, and the final top-10 plans
+    * as TakeOrderedAndProject — per-partition heaps, no global sort
+    * materialization. */
+  val topNRevenue: GraftQuery = GraftQuery(
+    "agg_topn_revenue",
+    (s, dir) => {
+      import s.implicits._
+      val cut = lit("1998-06-30").cast("timestamp")
+      val c = Tables.customer(s, dir)
+        .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+      val o = Tables.orders(s, dir)
+        .filter($"o_orderdate" < cut)
+        .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+      val l = Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .groupBy($"o_orderkey", $"o_orderdate")
+        .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+          .as("revenue"))
+        .orderBy($"revenue".desc, $"o_orderkey")
+        .limit(10)
+    },
+    Some("""SELECT o_orderkey, o_orderdate,
+                   round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-06-30'
+            GROUP BY o_orderkey, o_orderdate
+            ORDER BY revenue DESC, o_orderkey LIMIT 10""")
+  )
+
   def all: Seq[GraftQuery] = Seq(
-    statsAgg, percentiles, approxPercentile, stringAgg, pivotAgg, jsonStruct)
+    statsAgg, percentiles, approxPercentile, stringAgg, pivotAgg, jsonStruct,
+    topNRevenue)
 }
