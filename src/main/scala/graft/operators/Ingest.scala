@@ -167,6 +167,58 @@ object Ingest {
             GROUP BY o_orderpriority ORDER BY o_orderpriority""")
   )
 
+  /** CDC upsert (MERGE emulation): the incremental batch past the
+    * watermark is applied to the base snapshot keyed by user_id —
+    * latest-event-wins on both sides (argmax by offset), then a full outer
+    * join with coalesce picks delta over base and tags each key
+    * insert/update/keep. This is the loader's natural extension from
+    * append-only to keyed state: at 100 TB both argmax aggregates are
+    * map-partial, the merge is one co-partitioned join on the key, and the
+    * result is what you'd write back with dynamic partition overwrite. */
+  val ingestUpsert: GraftQuery = GraftQuery(
+    "ingest_upsert",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select($"user_id", $"event_id", $"value")
+      val wm = ev.agg(floor(max($"event_id") / 2.0).cast("long").as("wm"))
+      def latest(df: DataFrame) =
+        df.groupBy($"user_id").agg(
+          max($"event_id").as("version"),
+          max_by($"value", $"event_id").as("value"))
+      val base = latest(ev.join(broadcast(wm), ev("event_id") <= wm("wm")))
+        .select($"user_id", $"version".as("b_version"), $"value".as("b_value"))
+      val delta = latest(ev.join(broadcast(wm), ev("event_id") > wm("wm")))
+        .select($"user_id", $"version".as("d_version"), $"value".as("d_value"))
+      base.join(delta, Seq("user_id"), "full_outer")
+        .select($"user_id",
+          coalesce($"d_version", $"b_version").as("version"),
+          round(coalesce($"d_value", $"b_value"), 4).as("value"),
+          when($"d_version".isNull, "keep")
+            .when($"b_version".isNull, "insert")
+            .otherwise("update").as("op"))
+        .orderBy($"user_id")
+    },
+    Some("""WITH wm AS (SELECT CAST(floor(max(event_id) / 2.0) AS BIGINT) AS wm FROM events),
+            base AS (
+              SELECT user_id, max(event_id) AS version,
+                     max_by(value, event_id) AS value
+              FROM events, wm WHERE event_id <= wm GROUP BY user_id),
+            delta AS (
+              SELECT user_id, max(event_id) AS version,
+                     max_by(value, event_id) AS value
+              FROM events, wm WHERE event_id > wm GROUP BY user_id)
+            SELECT coalesce(b.user_id, d.user_id) AS user_id,
+                   coalesce(d.version, b.version) AS version,
+                   round(coalesce(d.value, b.value), 4) AS value,
+                   CASE WHEN d.version IS NULL THEN 'keep'
+                        WHEN b.version IS NULL THEN 'insert'
+                        ELSE 'update' END AS op
+            FROM base b FULL OUTER JOIN delta d ON b.user_id = d.user_id
+            ORDER BY user_id""")
+  )
+
   def all: Seq[GraftQuery] =
-    Seq(ingestPartitioned, ingestIncremental, scanPartitionPrune, joinBucketed)
+    Seq(ingestPartitioned, ingestIncremental, scanPartitionPrune, joinBucketed,
+        ingestUpsert)
 }

@@ -116,5 +116,35 @@ object Windows {
             ORDER BY user_id, event_id""")
   )
 
-  def all: Seq[GraftQuery] = Seq(rank3, topkPerGroup, running, lagLead)
+  /** RANGE frames (value-distance windows, not row-count): a numeric
+    * offset-id range and a 10-minute event-time range. Time range frames
+    * order by epoch seconds because Spark's rangeBetween takes numeric
+    * bounds; floor() keeps both engines on identical integer keys. */
+  val rangeFrame: GraftQuery = GraftQuery(
+    "win_range_frame",
+    (s, dir) => {
+      import s.implicits._
+      val byId = Window.partitionBy($"user_id").orderBy($"event_id")
+        .rangeBetween(-5, 0)
+      val byTime = Window.partitionBy($"user_id").orderBy($"tsec")
+        .rangeBetween(-600, 0)
+      Tables.events(s, dir)
+        .select($"user_id", $"event_id", $"value",
+          floor($"ts".cast("double")).cast("long").as("tsec"))
+        .withColumn("sum_id_range", round(sum($"value").over(byId), 4))
+        .withColumn("sum_10min", round(sum($"value").over(byTime), 4))
+        .drop("value", "tsec")
+        .orderBy($"user_id", $"event_id")
+    },
+    Some("""SELECT user_id, event_id,
+                   round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+                         RANGE BETWEEN 5 PRECEDING AND CURRENT ROW), 4) AS sum_id_range,
+                   round(sum(value) OVER (PARTITION BY user_id
+                         ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                         RANGE BETWEEN 600 PRECEDING AND CURRENT ROW), 4) AS sum_10min
+            FROM events
+            ORDER BY user_id, event_id""")
+  )
+
+  def all: Seq[GraftQuery] = Seq(rank3, topkPerGroup, running, lagLead, rangeFrame)
 }

@@ -152,5 +152,36 @@ object StreamQueries {
             FROM marked GROUP BY event_type ORDER BY event_type""")
   )
 
-  def all: Seq[GraftQuery] = Seq(tumbling, sliding, session, dedup, watermarkLate)
+  /** Stream-stream interval join, batch-graded: each purchase pairs with
+    * every click by the same user in the preceding 30 minutes. This is the
+    * exact shape Structured Streaming runs as a watermarked stream-stream
+    * inner join (both sides buffered, state expired past the interval —
+    * StreamingSpec drives that form); in batch it plans as one shuffle per
+    * side on user_id with the time bound as the join residual. */
+  val intervalJoin: GraftQuery = GraftQuery(
+    "stream_join_interval",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts".as("c_ts"), $"event_id".as("click_id"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts".as("p_ts"), $"event_id".as("purchase_id"))
+      purchases.join(clicks, Seq("user_id"))
+        .filter($"c_ts" <= $"p_ts" &&
+                $"c_ts" >= $"p_ts" - expr("INTERVAL 30 MINUTES"))
+        .select($"purchase_id", $"click_id", $"user_id")
+        .orderBy($"purchase_id", $"click_id")
+    },
+    Some("""SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+            FROM events p JOIN events c
+              ON p.user_id = c.user_id
+             AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL '30 minutes'
+            WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+            ORDER BY purchase_id, click_id""")
+  )
+
+  def all: Seq[GraftQuery] =
+    Seq(tumbling, sliding, session, dedup, watermarkLate, intervalJoin)
 }

@@ -59,6 +59,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs purchases with preceding clicks only") {
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+    val c = clicks.toDF().toDF("c_user", "click_id", "c_ts")
+      .withWatermark("c_ts", "1 hour")
+    val p = purchases.toDF().toDF("p_user", "purchase_id", "p_ts")
+      .withWatermark("p_ts", "1 hour")
+    // same interval condition as the batch-graded stream_join_interval
+    val joined = p.join(c,
+      $"p_user" === $"c_user" &&
+        $"c_ts" <= $"p_ts" && $"c_ts" >= $"p_ts" - expr("INTERVAL 30 MINUTES"))
+      .select($"purchase_id", $"click_id")
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData((7L, 100L, ts(1)), (7L, 101L, ts(20)), (8L, 102L, ts(2)))
+      purchases.addData((7L, 200L, ts(25)), (8L, 201L, ts(40)))
+      q.processAllAvailable()
+      val got = spark.table("ssj_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // purchase 200 @10:25 pairs with clicks 100 @10:01 and 101 @10:20;
+      // purchase 201 @10:40 sees click 102 @10:02 outside the 30-min bound
+      assert(got === Set((200L, 100L), (200L, 101L)))
+    } finally q.stop()
+  }
+
   test("incremental loader consumes once, resumes from checkpoint, idempotent re-run") {
     val base = Files.createTempDirectory("graft_inc").toString
     val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
