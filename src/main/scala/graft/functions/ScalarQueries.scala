@@ -195,5 +195,33 @@ object ScalarQueries {
             FROM base ORDER BY event_id""")
   )
 
-  def all: Seq[GraftQuery] = Seq(fnString, fnDate, fnMath, fnJson, fnArray, fnMap)
+  /** Bitwise operators — the primitive layer under SimHash chunking,
+    * bucket ids, and bloom-style membership tricks elsewhere in the
+    * engine. All codegen'd long ops in the scan projection. */
+  val fnBitwise: GraftQuery = GraftQuery(
+    "fn_bitwise",
+    (s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .select($"event_id",
+          ($"event_id".bitwiseAND(255L)).as("b_and"),
+          ($"event_id".bitwiseOR(16L)).as("b_or"),
+          ($"event_id".bitwiseXOR(85L)).as("b_xor"),
+          shiftleft($"event_id", 2).as("b_shl"),
+          shiftright($"event_id", 3).as("b_shr"),
+          bit_count($"event_id").as("popcnt"))
+        .orderBy($"event_id")
+    },
+    Some("""SELECT event_id,
+                   event_id & 255 AS b_and,
+                   event_id | 16 AS b_or,
+                   xor(event_id, 85) AS b_xor,
+                   event_id << 2 AS b_shl,
+                   event_id >> 3 AS b_shr,
+                   CAST(bit_count(event_id) AS INT) AS popcnt
+            FROM events ORDER BY event_id""")
+  )
+
+  def all: Seq[GraftQuery] =
+    Seq(fnString, fnDate, fnMath, fnJson, fnArray, fnMap, fnBitwise)
 }
