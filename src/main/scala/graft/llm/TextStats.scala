@@ -194,6 +194,57 @@ object TextStats {
             FROM q ORDER BY doc_id""")
   )
 
+  /** Vocabulary construction: token frequencies with a deterministic
+    * top-K cut. Explode + hash aggregate — map-side partials mean the
+    * shuffle carries one row per (token × partition), and the top-K is
+    * TakeOrderedAndProject (per-partition heaps), so corpus size only
+    * touches the scan. Docs-per-token rides along (distinct doc count). */
+  val vocabTopK: GraftQuery = GraftQuery(
+    "llm_vocab_topk",
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", explode(TF.tokens($"text")).as("token"))
+        .groupBy($"token")
+        .agg(count(lit(1)).as("n"), countDistinct($"doc_id").as("n_docs"))
+        .orderBy($"n".desc, $"token")
+        .limit(50)
+    },
+    Some("""SELECT token, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                  FROM documents)
+            GROUP BY token ORDER BY n DESC, token LIMIT 50""")
+  )
+
+  /** Deterministic train/val/test split: a multiplicative-hash bucket of
+    * the stable doc_id decides membership — reproducible across runs,
+    * engines, and repartitioning (never `rand()`, which breaks on retry
+    * and resists auditing). 90/5/5; the query reports per-split corpus
+    * stats. The mixer constant is Knuth's 2^32/φ; values stay well inside
+    * Long so Spark and DuckDB agree bit-for-bit. */
+  val trainSplit: GraftQuery = GraftQuery(
+    "llm_train_split",
+    (s, dir) => {
+      import s.implicits._
+      val bucket = pmod($"doc_id" * lit(2654435761L), lit(100L))
+      Tables.documents(s, dir)
+        .withColumn("split",
+          when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n_docs"),
+             sum($"n_chars").as("sum_chars"),
+             min($"doc_id").as("min_id"))
+        .orderBy($"split")
+    },
+    Some("""SELECT CASE WHEN (doc_id * 2654435761) % 100 < 90 THEN 'train'
+                        WHEN (doc_id * 2654435761) % 100 < 95 THEN 'val'
+                        ELSE 'test' END AS split,
+                   count(*) AS n_docs, sum(n_chars) AS sum_chars,
+                   min(doc_id) AS min_id
+            FROM documents GROUP BY 1 ORDER BY split""")
+  )
+
   def all: Seq[GraftQuery] =
-    Seq(textStats, langId, fingerprint, langProfile, tokenBpe, quality)
+    Seq(textStats, langId, fingerprint, langProfile, tokenBpe, quality,
+        vocabTopK, trainSplit)
 }
