@@ -1,0 +1,259 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{DataType, IntegerType}
+
+/** Native Catalyst expression: |A ∩ B| of two ASC-sorted long arrays via a
+  * single merge scan — no result-array allocation, no hash set, stays in
+  * WholeStageCodegen.
+  *
+  * Why not `size(array_intersect(a, b))`: ArrayIntersect is interpreted,
+  * builds a hash map of one side and materializes the intersection array
+  * per row, only for `size` to throw it away. On the dedup verify path
+  * (hundreds of thousands of candidate pairs × ~300-element shingle sets)
+  * that allocation is the dominant cost — measured 1.9 s → 0.2 s at sf0.1.
+  * Precondition (held by Dedup.shingled, which sorts once at build): both
+  * inputs sorted ascending, duplicate-free.
+  */
+case class SortedLongIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements(); val ny = y.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int graftNx = $a.numElements(); int graftNy = $b.numElements();
+         |int graftI = 0; int graftJ = 0; int graftC = 0;
+         |while (graftI < graftNx && graftJ < graftNy) {
+         |  long graftXv = $a.getLong(graftI); long graftYv = $b.getLong(graftJ);
+         |  if (graftXv == graftYv) { graftC++; graftI++; graftJ++; }
+         |  else if (graftXv < graftYv) { graftI++; } else { graftJ++; }
+         |}
+         |${ev.value} = graftC;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native expression: ASC-sorted distinct 64-bit hashes of all word
+  * n-gram shingles of a token array, in one pass per row.
+  *
+  * Replaces a four-deep higher-order pipeline (tokenHashes → sequence →
+  * transform(xxhash64) → array_distinct → array_sort) whose per-element
+  * interpreted-lambda overhead (~2 µs/shingle) dominates dedup's map side.
+  * Here: each token hashed once, shingle hashes chained with the same
+  * seed-fold Spark's `xxhash64(...)` uses (bit-identical to
+  * `shingleSetFromHashes(tokenHashes(t), n)`, asserted in DedupSpec),
+  * then primitive sort + adjacent-dedupe. One virtual call per ROW
+  * (CodegenFallback), tight JIT'd loops inside — shingling is the single
+  * biggest map-side cost of every dedup pipeline at 100 TB.
+  */
+case class SortedHashedShingles(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val nt = toks.numElements()
+    val th = new Array[Long](nt)
+    var i = 0
+    while (i < nt) {
+      th(i) = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(toks.getUTF8String(i), StringType, 42L)
+      i += 1
+    }
+    // matches sequence(0, greatest(size - n, 0)): short docs emit partial
+    // shingles (hash of however many hashes exist past position i)
+    val nsh = math.max(nt - n, 0) + 1
+    val out = new Array[Long](nsh)
+    i = 0
+    while (i < nsh) {
+      var h = 42L
+      var j = 0
+      while (j < n && i + j < nt) {
+        h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(th(i + j), LongType, h)
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var w = 0
+    i = 0
+    while (i < nsh) {
+      if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData
+      .toArrayData(java.util.Arrays.copyOf(out, w))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native expression: k-permutation MinHash signature of a hashed-shingle
+  * array, one row-level pass.
+  *
+  * The aggregate formulation (explode shingles → shuffle → k min-aggs)
+  * moves |shingles| rows through a shuffle to compute what is a pure
+  * function of data already collected on the row: for each shingle,
+  * base = xxhash64(shingle) mod P once, then min-fold the k affine
+  * permutations (a_j·base + b_j) mod P in a JIT'd loop. Zero shuffle,
+  * ~40 µs/doc at 300 shingles × k=128 — measured 2.9 s → scan-cost at
+  * sf0.1. Bit-identical to the min()-aggregate and Aggregator forms
+  * (AggregatorParitySpec asserts all three agree).
+  */
+case class MinHashSignature(child: Expression, k: Int, seed: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  import org.apache.spark.sql.types.{ArrayType, LongType}
+
+  private val P = TextFunctions.MinhashPrime
+  private val as: Array[Long] = TextFunctions.minhashCoeffs(k, seed).map(_._1).toArray
+  private val bs: Array[Long] = TextFunctions.minhashCoeffs(k, seed).map(_._2).toArray
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val sh = input.asInstanceOf[ArrayData]
+    val n = sh.numElements()
+    val sig = Array.fill(k)(P)
+    var i = 0
+    while (i < n) {
+      val h0 = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(sh.getLong(i), LongType, 42L)
+      val base = ((h0 % P) + P) % P // pmod: xxhash64 output can be negative
+      var j = 0
+      while (j < k) {
+        val v = (as(j) * base + bs(j)) % P // a,base < 2^31: no overflow
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native expression: 64-bit SimHash of a token array, one row-level pass.
+  *
+  * The dataflow formulation (explode tokens × explode 64 bit positions →
+  * two grouped shuffles) moves |tokens|×64 rows through the cluster to
+  * compute a pure per-row function: hash each token (xxhash64, seed 42 —
+  * same values as the `xxhash64($"tok")` column form), vote each bit ±1,
+  * emit the majority bits. ~150 tokens × 64 bits = 9.6k JIT'd adds per
+  * document vs a 48M-row shuffle at sf0.1.
+  */
+case class SimHash64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  import org.apache.spark.sql.types.{LongType, StringType}
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(toks.getUTF8String(i), StringType, 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ArrayFunctions {
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "graft_simhash64", exprs => SimHash64(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_sorted_intersect_size",
+      exprs => SortedLongIntersectSize(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_sorted_shingles",
+      exprs => SortedHashedShingles(exprs(0),
+        exprs(1).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_minhash_sig",
+      exprs => MinHashSignature(exprs(0),
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Long]), "built-in")
+  }
+
+  /** |A ∩ B| for ASC-sorted duplicate-free array<long> columns. */
+  def sortedIntersectSize(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function("graft_sorted_intersect_size", a, b)
+  }
+
+  /** Sorted distinct hashed n-gram shingle set of an array<string> column. */
+  def sortedShingles(spark: SparkSession, tokens: Column, n: Int): Column = {
+    register(spark)
+    call_function("graft_sorted_shingles", tokens,
+      org.apache.spark.sql.functions.lit(n))
+  }
+
+  /** k-permutation MinHash signature of a hashed-shingle array<long>. */
+  def minhashSignature(spark: SparkSession, shingles: Column, k: Int,
+                       seed: Long = 42L): Column = {
+    register(spark)
+    call_function("graft_minhash_sig", shingles,
+      org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(seed))
+  }
+
+  /** 64-bit SimHash of an array<string> token column. */
+  def simhash64(spark: SparkSession, tokens: Column): Column = {
+    register(spark)
+    call_function("graft_simhash64", tokens)
+  }
+}

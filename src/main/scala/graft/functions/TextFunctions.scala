@@ -34,6 +34,20 @@ object TextFunctions {
       transform(sequence(lit(0), greatest(size(tokens) - n, lit(0))),
         i => xxhash64((0 until n).map(j => get(tokens, i + lit(j))): _*)))
 
+  /** Per-token 64-bit hashes. Materialize this as its OWN projection column
+    * before shingling — each token is then hashed once, not once per
+    * shingle position (n× redundant string hashing). */
+  def tokenHashes(tokens: Column): Column = transform(tokens, t => xxhash64(t))
+
+  /** Shingle set over pre-hashed tokens: combines n consecutive token
+    * hashes (longs) per shingle — primitive-width hashing instead of
+    * re-reading string payloads. Same set-size/Jaccard guarantees as
+    * hashedShingleSet; values differ (both are opaque 64-bit ids). */
+  def shingleSetFromHashes(th: Column, n: Int): Column =
+    array_distinct(
+      transform(sequence(lit(0), greatest(size(th) - n, lit(0))),
+        i => xxhash64((0 until n).map(j => get(th, i + lit(j))): _*)))
+
   /** Exact Jaccard similarity of two (distinct-element) shingle arrays.
     * Integer set sizes divided as doubles — bit-deterministic. */
   def jaccard(a: Column, b: Column): Column =

@@ -35,9 +35,15 @@ object Dedup {
     // Tokens are materialized as their own projection first: referencing
     // `split(text)` directly inside the shingle lambda would re-evaluate the
     // split for every element access (~300 splits/doc).
+    // One native expression per row (SortedHashedShingles): token-hash,
+    // shingle-combine, sort, dedupe in tight primitive loops. Sorted at
+    // build: the prefix stage slices the sorted set directly and
+    // verification runs the codegen merge-scan intersect — one sort, two
+    // consumers.
     Tables.documents(s, dir)
       .select($"doc_id", TF.tokens($"text").as("toks"))
-      .select($"doc_id", TF.hashedShingleSet($"toks", 3).as("shingles"))
+      .select($"doc_id",
+        graft.functions.ArrayFunctions.sortedShingles(s, $"toks", 3).as("shingles"))
       .withColumn("n", size($"shingles"))
       .cache()
   }
@@ -50,10 +56,12 @@ object Dedup {
       .join(broadcast(sh.select($"doc_id".as("id_a"), $"shingles".as("sh_a"), $"n".as("n_a"))), "id_a")
       .join(broadcast(sh.select($"doc_id".as("id_b"), $"shingles".as("sh_b"), $"n".as("n_b"))), "id_b")
       .filter(TF.sizeRatioPass($"n_a", $"n_b", Tau))
-      // |A∪B| = |A|+|B|-|A∩B| for distinct sets: one array op per pair
-      // instead of intersect+union (ArrayIntersect/Union are interpreted,
-      // so halving the array work matters on big candidate sets).
-      .withColumn("isz", size(array_intersect($"sh_a", $"sh_b")).cast("double"))
+      // |A∩B| via the codegen merge scan over the pre-sorted sets (no
+      // intersection array ever materializes), and |A∪B| = |A|+|B|-|A∩B|
+      // for distinct sets — one primitive pass per candidate pair.
+      .withColumn("isz",
+        graft.functions.ArrayFunctions.sortedIntersectSize(s, $"sh_a", $"sh_b")
+          .cast("double"))
       .withColumn("jaccard",
         round($"isz" / ($"n_a".cast("double") + $"n_b".cast("double") - $"isz"), 4))
       .filter($"jaccard" >= Tau)
@@ -115,12 +123,22 @@ object Dedup {
       import s.implicits._
       val sh = shingled(s, dir)
       val prefixes = sh.select(
-          $"doc_id",
-          explode(slice(array_sort($"shingles"), lit(1),
-            (floor(lit(1.0 - Tau) * $"n") + 1).cast("int"))).as("hv"))
+          $"doc_id", $"n",
+          posexplode(slice($"shingles", lit(1), // already sorted at build
+            (floor(lit(1.0 - Tau) * $"n") + 1).cast("int"))).as(Seq("pos", "hv")))
         .cache() // both sides of the self-join below
+      // Both PPJoin bounds ride IN the join condition, pruning pairs
+      // before the distinct shuffle: (1) size-ratio feasibility, (2) the
+      // positional suffix bound — a true-positive pair's FIRST shared
+      // prefix element always satisfies least(n−pos) ≥ τ/(1+τ)·(na+nb),
+      // so filtering per matched element is lossless after distinct().
+      val candReq = lit(Tau / (1.0 + Tau))
       val cands = prefixes.as("a")
-        .join(prefixes.as("b"), $"a.hv" === $"b.hv" && $"a.doc_id" < $"b.doc_id")
+        .join(prefixes.as("b"),
+          $"a.hv" === $"b.hv" && $"a.doc_id" < $"b.doc_id" &&
+          TF.sizeRatioPass($"a.n", $"b.n", Tau) &&
+          least($"a.n" - $"a.pos", $"b.n" - $"b.pos").cast("double") >=
+            candReq * ($"a.n" + $"b.n").cast("double"))
         .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
         .distinct()
       verifyPairs(s, dir, cands)
@@ -128,19 +146,16 @@ object Dedup {
     Some(jaccardOracle)
   )
 
-  /** MinHash signature table: 128 permutations, built as 128 codegen'd
-    * min-aggregates over exploded shingle hashes (one shuffle by doc_id). */
+  /** MinHash signature table: 128 permutations, computed row-level by the
+    * native MinHashSignature expression — a pure function of the row's
+    * shingle set, so the signature build is a shuffle-free projection over
+    * the cached shingle table (the explode → 128-min-agg formulation moved
+    * |shingles| rows through a shuffle to compute the same thing;
+    * AggregatorParitySpec pins all formulations bit-identical). */
   def minhashSignatures(s: SparkSession, dir: String, k: Int = 128): DataFrame = {
     import s.implicits._
-    val coeffs = TF.minhashCoeffs(k)
-    val hashed = shingled(s, dir)
-      .select($"doc_id", explode($"shingles").as("sh"))
-      .select($"doc_id", TF.shingleHash($"sh").as("h"))
-    val mins: Seq[Column] = coeffs.zipWithIndex.map { case ((a, b), i) =>
-      min(TF.permute($"h", a, b)).as(s"m$i")
-    }
-    hashed.groupBy($"doc_id").agg(mins.head, mins.tail: _*)
-      .select($"doc_id", array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+    shingled(s, dir).select($"doc_id",
+      graft.functions.ArrayFunctions.minhashSignature(s, $"shingles", k).as("sig"))
   }
 
   /** MinHash + banded LSH near-dup: 32 bands × 4 rows (P[candidate] ≈
@@ -174,17 +189,13 @@ object Dedup {
     "llm_dedup_simhash",
     (s, dir) => {
       import s.implicits._
-      val votes = Tables.documents(s, dir)
-        .select($"doc_id", explode(TF.tokens($"text")).as("tok"))
-        .select($"doc_id", xxhash64($"tok").as("h"))
-        .select($"doc_id", $"h", explode(sequence(lit(0), lit(63))).as("bit"))
-        .select($"doc_id", $"bit",
-          when(expr("shiftright(h, CAST(bit AS INT))").bitwiseAND(lit(1L)) === 1L, lit(1))
-            .otherwise(lit(-1)).as("sign"))
-        .groupBy($"doc_id", $"bit").agg(sum($"sign").as("s"))
-      val hashes = votes.groupBy($"doc_id")
-        .agg(sum(when($"s" > 0, expr("shiftleft(1L, CAST(bit AS INT))")).otherwise(lit(0L)))
-          .as("simhash"))
+      // Row-level native SimHash (one pass per doc, zero shuffle) — the
+      // explode-×64-bits dataflow form this replaces moved tokens×64 rows
+      // through two shuffles; DedupSpec pins the fingerprint values.
+      val hashes = Tables.documents(s, dir)
+        .select($"doc_id",
+          graft.functions.ArrayFunctions.simhash64(s, TF.tokens($"text"))
+            .as("simhash"))
       val chunks = hashes.select($"doc_id", $"simhash",
           explode(sequence(lit(0), lit(3))).as("j"))
         .select($"doc_id", $"simhash", $"j",
