@@ -244,7 +244,48 @@ object TextStats {
             FROM documents GROUP BY 1 ORDER BY split""")
   )
 
+  /** PII scrubbing — the redaction pass every training-data pipeline runs
+    * before tokenization. The fixture corpus carries no PII, so a
+    * deterministic synthetic email+phone is appended per doc and then
+    * scrubbed; per-doc detection counts plus an md5 of the scrubbed text
+    * prove the replacement byte-exactly against the oracle. Pure
+    * regexp_replace/regexp_count in the scan projection — ASCII-safe
+    * patterns shared between Java regex and RE2. */
+  val piiScrub: GraftQuery = GraftQuery(
+    "llm_pii_scrub",
+    (s, dir) => {
+      import s.implicits._
+      val email = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+      val phone = "\\+1-555-[0-9]{4}"
+      Tables.documents(s, dir)
+        .select($"doc_id",
+          concat($"text", lit(" contact user"), $"doc_id",
+            lit("@example.com or +1-555-"),
+            lpad(pmod($"doc_id", lit(10000)).cast("string"), 4, "0")).as("raw"))
+        .select($"doc_id",
+          regexp_count($"raw", lit(email)).as("n_emails"),
+          regexp_count($"raw", lit(phone)).as("n_phones"),
+          md5(regexp_replace(regexp_replace($"raw", email, "<EMAIL>"),
+            phone, "<PHONE>")).as("scrub_md5"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH raw AS (
+              SELECT doc_id,
+                     concat(text, ' contact user', doc_id, '@example.com or +1-555-',
+                            lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS raw
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(raw, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS INT)
+                     AS n_emails,
+                   CAST(len(regexp_extract_all(raw, '\+1-555-[0-9]{4}')) AS INT)
+                     AS n_phones,
+                   md5(regexp_replace(
+                       regexp_replace(raw, '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+                       '\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS scrub_md5
+            FROM raw ORDER BY doc_id""")
+  )
+
   def all: Seq[GraftQuery] =
     Seq(textStats, langId, fingerprint, langProfile, tokenBpe, quality,
-        vocabTopK, trainSplit)
+        vocabTopK, trainSplit, piiScrub)
 }

@@ -142,8 +142,21 @@ object Ingest {
       def persistBucketed(df: DataFrame, name: String, key: String): Unit = {
         val tbl = s"graft_${name}_$sfx"
         if (!s.catalog.tableExists(tbl)) {
-          df.write.bucketBy(8, key).sortBy(key)
-            .option("path", s"$base/$name").mode("overwrite").saveAsTable(tbl)
+          val path = s"$base/$name"
+          if (new java.io.File(path, "_SUCCESS").exists()) {
+            // layout already on disk from an earlier session — the
+            // in-memory catalog forgot it, so re-register the external
+            // bucketed table over the existing files (bucket ids are
+            // encoded in the filenames) instead of rewriting.
+            val cols = df.schema.fields
+              .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+            s.sql(s"""CREATE TABLE $tbl ($cols) USING PARQUET
+                      CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS
+                      LOCATION '$path'""")
+          } else {
+            df.write.bucketBy(8, key).sortBy(key)
+              .option("path", path).mode("overwrite").saveAsTable(tbl)
+          }
         }
       }
       persistBucketed(Tables.lineitem(s, dir)
