@@ -231,7 +231,42 @@ object Ingest {
             ORDER BY user_id""")
   )
 
+  /** Multi-format source support: the same event rows round-tripped
+    * through a non-columnar format with an EXPLICIT schema (inference is
+    * test-only per FIXTURES.md) and aggregated back to the parquet truth.
+    * Timestamps are excluded from the round-trip on purpose — text formats
+    * truncate sub-millisecond precision; schema-on-read of the payload
+    * columns is the operator under test. */
+  private def roundTrip(fmt: String): GraftQuery = GraftQuery(
+    s"source_$fmt",
+    (s, dir) => {
+      import s.implicits._
+      val out = s"/tmp/graft_src_$fmt/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val cols = Tables.events(s, dir)
+        .select($"event_id", $"event_type", $"value")
+      if (!new java.io.File(out, "_SUCCESS").exists()) {
+        cols.write.format(fmt).option("header", "true").mode("overwrite").save(out)
+      }
+      s.read.format(fmt)
+        .schema("event_id LONG, event_type STRING, value DOUBLE")
+        .option("header", "true")
+        .load(out)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+             round(sum($"value"), 4).as("sum_value"),
+             min($"event_id").as("min_id"),
+             max($"event_id").as("max_id"))
+        .orderBy($"event_type")
+    },
+    Some("""SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value,
+                   min(event_id) AS min_id, max(event_id) AS max_id
+            FROM events GROUP BY event_type ORDER BY event_type""")
+  )
+
+  val sourceCsv: GraftQuery = roundTrip("csv")
+  val sourceJson: GraftQuery = roundTrip("json")
+
   def all: Seq[GraftQuery] =
     Seq(ingestPartitioned, ingestIncremental, scanPartitionPrune, joinBucketed,
-        ingestUpsert)
+        ingestUpsert, sourceCsv, sourceJson)
 }
