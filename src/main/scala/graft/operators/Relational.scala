@@ -156,7 +156,82 @@ object Relational {
             ORDER BY o_custkey""")
   )
 
+  /** The SQL-string surface: temp views + `spark.sql` through the same
+    * Catalyst pipeline as the DataFrame API — proven here on a TPC-H
+    * Q5-shaped five-table star join (revenue by nation within a region and
+    * date range). Same plan quality as the fluent form: filters push to
+    * scans, small dims broadcast, join order is Catalyst's. */
+  val sqlStarQ5: GraftQuery = GraftQuery(
+    "sql_star_q5",
+    (s, dir) => {
+      for (t <- Seq("region", "nation", "customer", "orders", "lineitem"))
+        graft.sources.Tables.table(s, dir, t).createOrReplaceTempView(s"v_$t")
+      s.sql("""SELECT n_name,
+                      round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+                      count(*) AS n_lines
+               FROM v_region
+               JOIN v_nation   ON n_regionkey = r_regionkey
+               JOIN v_customer ON c_nationkey = n_nationkey
+               JOIN v_orders   ON o_custkey = c_custkey
+               JOIN v_lineitem ON l_orderkey = o_orderkey
+               WHERE r_name = 'ASIA'
+                 AND o_orderdate >= TIMESTAMP '1996-01-01'
+                 AND o_orderdate <  TIMESTAMP '1998-01-01'
+               GROUP BY n_name
+               ORDER BY revenue DESC, n_name""")
+    },
+    Some("""SELECT n_name,
+                   round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+                   count(*) AS n_lines
+            FROM region
+            JOIN nation   ON n_regionkey = r_regionkey
+            JOIN customer ON c_nationkey = n_nationkey
+            JOIN orders   ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1998-01-01'
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name""")
+  )
+
+  /** Null cleaning (na.fill / na.drop / replace): nulls are introduced
+    * deterministically via nullif so the fixtures' null-free data gains a
+    * real null pattern, then cleaned both ways with counts proving each
+    * policy. The na API is plain Catalyst projections — scan-side, no
+    * shuffle. */
+  val cleanNa: GraftQuery = GraftQuery(
+    "clean_na",
+    (s, dir) => {
+      import s.implicits._
+      val withNulls = graft.sources.Tables.events(s, dir)
+        .select($"event_id", $"event_type",
+          nullif($"value", round($"value", 0)).as("v"), // integral values -> null
+          nullif($"user_id", lit(7L)).as("uid"))        // one hot user -> null
+      val filled = withNulls.na.fill(Map("v" -> -1.0, "uid" -> -1L))
+      val dropped = withNulls.na.drop(Seq("v", "uid"))
+      filled.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+             sum(when($"v" === -1.0, 1L).otherwise(0L)).as("n_filled_v"),
+             sum(when($"uid" === -1L, 1L).otherwise(0L)).as("n_filled_uid"))
+        .join(dropped.groupBy($"event_type").agg(count(lit(1)).as("n_complete")),
+          Seq("event_type"), "left")
+        .orderBy($"event_type")
+    },
+    Some("""WITH wn AS (
+              SELECT event_type,
+                     nullif(value, round(value, 0)) AS v,
+                     nullif(user_id, 7) AS uid
+              FROM events)
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_filled_v,
+                   CAST(sum(CASE WHEN uid IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_filled_uid,
+                   CAST(sum(CASE WHEN v IS NOT NULL AND uid IS NOT NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_complete
+            FROM wn GROUP BY event_type ORDER BY event_type""")
+  )
+
   def all: Seq[GraftQuery] = Seq(
     scanProject, scanFilterPushdown, filterPred, projectCompute,
-    sortLimit, setUnion, setIntersect, setExcept)
+    sortLimit, setUnion, setIntersect, setExcept, sqlStarQ5, cleanNa)
 }
