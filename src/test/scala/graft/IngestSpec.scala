@@ -35,6 +35,23 @@ class IngestSpec extends AnyFunSuite {
     assert(pruned.count() === expected)
   }
 
+  test("partial load with dynamicOverwrite replaces only its own buckets") {
+    val out = Files.createTempDirectory("graft_dyn").toString + "/out"
+    val src = sources.Tables.events(spark, TestSpark.Sf)
+    operators.Ingest.writePartitioned(src, out) // full load, static
+    val fullCount = spark.read.parquet(out).count()
+    // partial re-load of one event_type only, dynamic mode
+    operators.Ingest.writePartitioned(
+      src.filter($"event_type" === "click"), out, dynamicOverwrite = true)
+    val after = spark.read.parquet(out)
+    assert(after.count() === fullCount,
+      "sibling partitions must survive a dynamic partial load")
+    // static mode on the same partial input would have truncated the rest
+    operators.Ingest.writePartitioned(
+      src.filter($"event_type" === "click"), out)
+    assert(spark.read.parquet(out).select("event_type").distinct().count() === 1)
+  }
+
   test("bucketed join plans with zero exchanges below the sort-merge join") {
     val df = operators.Ingest.joinBucketed.run(spark, TestSpark.Sf)
     val plan = df.queryExecution.executedPlan.toString
