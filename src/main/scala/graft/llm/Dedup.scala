@@ -238,5 +238,37 @@ object Dedup {
             ORDER BY id_a, id_b""")
   )
 
-  def all: Seq[GraftQuery] = Seq(exact, ngramJaccard, minhashLsh, simhash, embedCosine)
+  /** Embedding-cosine near-dup, LSH-bucketed: the 100 TB form of
+    * embedCosine. Random-hyperplane buckets with Hamming-1 multi-probe on
+    * both sides turn the all-pairs scan into an equi-join on bucket id;
+    * survivors are verified with the exact codegen cosine, so precision is
+    * 1.0 by construction (every emitted pair is a true near-dup) and only
+    * recall is approximate — DedupSpec measures it against embedCosine.
+    * No oracle (approximate by design). */
+  val embedCosineLsh: GraftQuery = GraftQuery(
+    "llm_dedup_embed_lsh",
+    (s, dir) => {
+      import s.implicits._
+      val nPlanes = 5
+      val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      val probed = e.select($"vec_id",
+        explode(Similarity.probeBuckets(s, $"embedding", nPlanes)).as("bucket"))
+      val pairs = probed.as("a")
+        .join(probed.as("b"),
+          $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
+        .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"))
+        .distinct() // dedupe multi-probe collisions on slim id pairs
+      pairs
+        .join(broadcast(e.select($"vec_id".as("id_a"), $"embedding".as("v_a"))), "id_a")
+        .join(broadcast(e.select($"vec_id".as("id_b"), $"embedding".as("v_b"))), "id_b")
+        .withColumn("cos", round(VectorFunctions.cosine(s, $"v_a", $"v_b"), 4))
+        .filter($"cos" >= 0.4)
+        .select($"id_a", $"id_b", $"cos")
+        .orderBy($"id_a", $"id_b")
+    },
+    None
+  )
+
+  def all: Seq[GraftQuery] =
+    Seq(exact, ngramJaccard, minhashLsh, simhash, embedCosine, embedCosineLsh)
 }

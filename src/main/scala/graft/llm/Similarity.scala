@@ -75,8 +75,8 @@ object Similarity {
 
   /** All bucket ids within Hamming distance 1 of the vector's own bucket
     * (multi-probe LSH): the query-side explode. */
-  private def probeBuckets(s: SparkSession, vec: org.apache.spark.sql.Column,
-                           nPlanes: Int): org.apache.spark.sql.Column = {
+  private[llm] def probeBuckets(s: SparkSession, vec: org.apache.spark.sql.Column,
+                                nPlanes: Int): org.apache.spark.sql.Column = {
     val own = bucketCol(s, vec, nPlanes)
     array((own +: (0 until nPlanes).map(i => own.bitwiseXOR(lit(1 << i)))): _*)
   }

@@ -47,6 +47,21 @@ class DedupSpec extends AnyFunSuite {
     assert(out.forall(_.getAs[Int]("hamming") <= 3))
   }
 
+  test("LSH embed dedup: perfect precision vs exact, measurable recall") {
+    val exact = llm.Dedup.embedCosine.run(spark, TestSpark.Sf)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = llm.Dedup.embedCosineLsh.run(spark, TestSpark.Sf)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx.nonEmpty)
+    assert(approx.subsetOf(exact),
+      "verified LSH pairs must all be true near-dups (precision 1.0)")
+    val recall = approx.size.toDouble / exact.size
+    info(f"LSH embed-dedup recall vs exact all-pairs: $recall%.2f")
+    assert(recall > 0.0)
+  }
+
   test("jaccard column function matches scala set computation") {
     val docs = sources.Tables.documents(spark, TestSpark.Sf).limit(20)
       .select($"doc_id", $"text").collect().map(r => (r.getLong(0), r.getString(1)))
