@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality gate over the ENTIRE registry: the anti-patterns that
+  * break at 100 TB must never re-enter any query's physical plan.
+  *
+  * - CartesianProduct: never.
+  * - SortAggregate: never (hash-aggregable formulations exist for every
+  *   query here; a string agg-buffer regression would reintroduce one).
+  * - BroadcastNestedLoopJoin: only where non-equi semantics or a scalar
+  *   broadcast make it the right plan, by explicit allowlist.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val bnljAllowed = Set(
+    "ingest_incremental", // 1-row watermark broadcast
+    "ingest_upsert",      // 1-row watermark broadcast ×2
+    "join_theta_range",   // inherently non-equi, bounded broadcast side
+    "llm_dedup_embed",    // exact all-pairs verifier, documented bounded
+    "llm_sim_topk"        // tiny query-set broadcast, non-equi self-guard
+  )
+
+  for (q <- SparkEntry.registry) {
+    test(s"${q.name}: no scale anti-patterns in the physical plan") {
+      val plan = q.run(spark, TestSpark.Sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"${q.name} plans a cartesian product")
+      assert(!plan.contains("SortAggregate"),
+        s"${q.name} fell back to sort-based aggregation")
+      if (!bnljAllowed(q.name)) {
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"${q.name} plans an unexpected nested-loop join")
+      }
+    }
+  }
+
+  test("scan_filter_pushdown actually pushes its predicate") {
+    val plan = SparkEntry.queries("scan_filter_pushdown")(spark, TestSpark.Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && !plan.contains("PushedFilters: []"),
+      "predicate must reach the parquet scan")
+  }
+}
