@@ -7,10 +7,13 @@ import org.apache.spark.sql.functions._
   * (tokenize, shingles, MinHash, SimHash, fingerprints).
   *
   * Everything here is built from codegen'd built-ins or cheap higher-order
-  * fns over short arrays; the per-row heavy lifting (MinHash signatures,
-  * SimHash bit votes) is deliberately restructured as explode + hash
-  * aggregate in graft.llm.Dedup so it scales as a shuffle, not as a per-row
-  * interpreted loop.
+  * fns over short arrays. The per-row heavy lifting (shingle sets, MinHash
+  * signatures, SimHash bit votes) lives in the native expressions of
+  * graft.functions.ArrayExpressions — single tight JVM passes per row; the
+  * HOF formulations kept here (shingleSetFromHashes, permute, bandHashes)
+  * are the declarative reference implementations those expressions are
+  * parity-tested against (ExpressionParitySpec) plus the pieces still used
+  * directly (band hashes over short signature arrays).
   */
 object TextFunctions {
 

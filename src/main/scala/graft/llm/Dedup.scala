@@ -213,10 +213,11 @@ object Dedup {
     None
   )
 
-  /** Embedding-cosine near-dup. The verification join broadcasts the
-    * (id, vector) table — fine to tens of MBs; beyond that the LSH
-    * hyperplane bucketing in Similarity.scala is the candidate generator.
-    * Cosine runs in the custom codegen expression (FloatVecCosine). */
+  /** Embedding-cosine near-dup, exact all-pairs form — the oracle-able
+    * verifier. The join broadcasts the (id, vector) table: fine to tens of
+    * MBs; beyond that, embedCosineLsh below is the same operator with LSH
+    * candidate generation. Cosine runs in the custom codegen expression
+    * (FloatVecCosine). */
   val embedCosine: GraftQuery = GraftQuery(
     "llm_dedup_embed",
     (s, dir) => {
