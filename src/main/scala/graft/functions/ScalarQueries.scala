@@ -222,6 +222,42 @@ object ScalarQueries {
             FROM events ORDER BY event_id""")
   )
 
+  /** Dirty-payload resilience — the reference consumed raw Kafka bytes,
+    * where malformed payloads are a fact of life. 1/7 of the JSON payloads
+    * are deterministically corrupted, then parsed with from_json's
+    * PERMISSIVE default: bad records surface as nulls to count and route
+    * (a dead-letter bucket at scale), never as task failures. */
+  val fnJsonDirty: GraftQuery = GraftQuery(
+    "fn_json_dirty",
+    (s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .select($"event_id", $"event_type",
+          when(pmod($"event_id", lit(7)) === 0, concat(lit("x"), $"props"))
+            .otherwise($"props").as("p"))
+        .withColumn("parsed",
+          from_json($"p", org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+             sum(when($"parsed".isNull || $"parsed.k".isNull, 1L).otherwise(0L))
+               .as("n_corrupt"),
+             sum(coalesce($"parsed.k".cast("long"), lit(0L))).as("sum_k"))
+        .orderBy($"event_type")
+    },
+    Some("""WITH dirty AS (
+              SELECT event_id, event_type,
+                     CASE WHEN event_id % 7 = 0 THEN concat('x', props)
+                          ELSE props END AS p
+              FROM events)
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(CASE WHEN json_valid(p) THEN 0 ELSE 1 END) AS BIGINT)
+                     AS n_corrupt,
+                   CAST(sum(CASE WHEN json_valid(p)
+                            THEN CAST(json_extract_string(p, '$.k') AS INT)
+                            ELSE 0 END) AS BIGINT) AS sum_k
+            FROM dirty GROUP BY event_type ORDER BY event_type""")
+  )
+
   def all: Seq[GraftQuery] =
-    Seq(fnString, fnDate, fnMath, fnJson, fnArray, fnMap, fnBitwise)
+    Seq(fnString, fnDate, fnMath, fnJson, fnArray, fnMap, fnBitwise, fnJsonDirty)
 }
