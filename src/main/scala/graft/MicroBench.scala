@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.functions.{ArrayFunctions => AF, TextFunctions => TF}
+import graft.sources.Tables
+
+/** Micro-benchmark: native row-level expressions vs the declarative
+  * (higher-order-function / dataflow) formulations they replaced.
+  * Run: `tools/run_class.sh graft.MicroBench [sfDir]`. Numbers land in
+  * SCALE.md; ExpressionParitySpec pins that both forms agree bit-for-bit.
+  */
+object MicroBench {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", TF.tokens($"text").as("toks")).cache()
+    toks.count() // warm cache + JVM
+
+    def best3[A](label: String)(f: => A): Unit = {
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$label%-46s ${times.min}%8.3f s (best of 3)")
+    }
+
+    best3("shingles: HOF transform+distinct+sort") {
+      toks.select($"doc_id", TF.tokenHashes($"toks").as("th"))
+        .select(array_sort(TF.shingleSetFromHashes($"th", 3)).as("s"))
+        .agg(sum(size($"s"))).collect()
+    }
+    best3("shingles: native SortedHashedShingles") {
+      toks.select(AF.sortedShingles(spark, $"toks", 3).as("s"))
+        .agg(sum(size($"s"))).collect()
+    }
+
+    val sh = toks.select($"doc_id",
+      AF.sortedShingles(spark, $"toks", 3).as("shingles")).cache()
+    sh.count()
+
+    best3("minhash-128: explode + 128 min-aggregates") {
+      val coeffs = TF.minhashCoeffs(128)
+      val mins = coeffs.zipWithIndex.map { case ((a, b), i) =>
+        min(TF.permute($"h", a, b)).as(s"m$i")
+      }
+      sh.select($"doc_id", explode($"shingles").as("s"))
+        .select($"doc_id", TF.shingleHash($"s").as("h"))
+        .groupBy($"doc_id").agg(mins.head, mins.tail: _*)
+        .agg(count(lit(1))).collect()
+    }
+    best3("minhash-128: native MinHashSignature") {
+      sh.select($"doc_id", AF.minhashSignature(spark, $"shingles", 128).as("sig"))
+        .agg(count(lit(1))).collect()
+    }
+
+    best3("simhash: explode tokens x 64-bit votes") {
+      toks.select($"doc_id", explode($"toks").as("tok"))
+        .select($"doc_id", xxhash64($"tok").as("h"))
+        .select($"doc_id", $"h", explode(sequence(lit(0), lit(63))).as("bit"))
+        .select($"doc_id", $"bit",
+          when(expr("shiftright(h, CAST(bit AS INT))").bitwiseAND(lit(1L)) === 1L,
+            lit(1)).otherwise(lit(-1)).as("sign"))
+        .groupBy($"doc_id", $"bit").agg(sum($"sign").as("s"))
+        .groupBy($"doc_id")
+        .agg(sum(when($"s" > 0, expr("shiftleft(1L, CAST(bit AS INT))"))
+          .otherwise(lit(0L))).as("sig"))
+        .agg(count(lit(1))).collect()
+    }
+    best3("simhash: native SimHash64") {
+      toks.select($"doc_id", AF.simhash64(spark, $"toks").as("sig"))
+        .agg(count(lit(1))).collect()
+    }
+
+    val pairs = sh.limit(500).as("a").crossJoin(sh.limit(500).as("b"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .select($"a.shingles".as("sa"), $"b.shingles".as("sb")).cache()
+    pairs.count()
+
+    best3("pair intersect: size(array_intersect)") {
+      pairs.select(size(array_intersect($"sa", $"sb")).as("n"))
+        .agg(sum($"n")).collect()
+    }
+    best3("pair intersect: native SortedLongIntersectSize") {
+      pairs.select(AF.sortedIntersectSize(spark, $"sa", $"sb").as("n"))
+        .agg(sum($"n")).collect()
+    }
+    spark.stop()
+  }
+}
