@@ -48,13 +48,20 @@ object Dedup {
       .cache()
   }
 
-  /** Exact-Jaccard verification of candidate (id_a, id_b) pairs. */
+  /** Exact-Jaccard verification of candidate (id_a, id_b) pairs.
+    * The shingle table joins back by id WITHOUT a broadcast: at 100 TB the
+    * signature table is itself TBs, so broadcasting it fails outright. A
+    * shuffle-hash join on the id key is co-partitioned with the candidate
+    * set (which is small — bounded by true-dups × bucket collisions) and
+    * never materializes either side whole on one node. */
   private def verifyPairs(s: SparkSession, dir: String, cands: DataFrame): DataFrame = {
     import s.implicits._
     val sh = shingled(s, dir)
     cands
-      .join(broadcast(sh.select($"doc_id".as("id_a"), $"shingles".as("sh_a"), $"n".as("n_a"))), "id_a")
-      .join(broadcast(sh.select($"doc_id".as("id_b"), $"shingles".as("sh_b"), $"n".as("n_b"))), "id_b")
+      .join(sh.select($"doc_id".as("id_a"), $"shingles".as("sh_a"), $"n".as("n_a"))
+              .hint("shuffle_hash"), "id_a")
+      .join(sh.select($"doc_id".as("id_b"), $"shingles".as("sh_b"), $"n".as("n_b"))
+              .hint("shuffle_hash"), "id_b")
       .filter(TF.sizeRatioPass($"n_a", $"n_b", Tau))
       // |A∩B| via the codegen merge scan over the pre-sorted sets (no
       // intersection array ever materializes), and |A∪B| = |A|+|B|-|A∩B|
@@ -133,8 +140,11 @@ object Dedup {
       // prefix element always satisfies least(n−pos) ≥ τ/(1+τ)·(na+nb),
       // so filtering per matched element is lossless after distinct().
       val candReq = lit(Tau / (1.0 + Tau))
+      // Candidate self-join: both sides are O(N·prefix) — shuffle-hash on
+      // the equi key, never a broadcast (auto-broadcast at test SF would
+      // hide a plan that fails at 100 TB).
       val cands = prefixes.as("a")
-        .join(prefixes.as("b"),
+        .join(prefixes.hint("shuffle_hash").as("b"),
           $"a.hv" === $"b.hv" && $"a.doc_id" < $"b.doc_id" &&
           TF.sizeRatioPass($"a.n", $"b.n", Tau) &&
           least($"a.n" - $"a.pos", $"b.n" - $"b.pos").cast("double") >=
@@ -171,7 +181,7 @@ object Dedup {
           posexplode(TF.bandHashes($"sig", numBands = 32, r = 4)).as(Seq("band", "bh")))
         .cache() // both sides of the self-join below
       val cands = bands.as("a")
-        .join(bands.as("b"),
+        .join(bands.hint("shuffle_hash").as("b"),
           $"a.band" === $"b.band" && $"a.bh" === $"b.bh" && $"a.doc_id" < $"b.doc_id")
         .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
         .distinct()
@@ -255,13 +265,17 @@ object Dedup {
       val probed = e.select($"vec_id",
         explode(Similarity.probeBuckets(s, $"embedding", nPlanes)).as("bucket"))
       val pairs = probed.as("a")
-        .join(probed.as("b"),
+        .join(probed.hint("shuffle_hash").as("b"),
           $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
         .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"))
         .distinct() // dedupe multi-probe collisions on slim id pairs
+      // Verification joins the embedding table back by id WITHOUT a
+      // broadcast (the embedding table is O(N); see verifyPairs rationale).
       pairs
-        .join(broadcast(e.select($"vec_id".as("id_a"), $"embedding".as("v_a"))), "id_a")
-        .join(broadcast(e.select($"vec_id".as("id_b"), $"embedding".as("v_b"))), "id_b")
+        .join(e.select($"vec_id".as("id_a"), $"embedding".as("v_a"))
+               .hint("shuffle_hash"), "id_a")
+        .join(e.select($"vec_id".as("id_b"), $"embedding".as("v_b"))
+               .hint("shuffle_hash"), "id_b")
         .withColumn("cos", round(VectorFunctions.cosine(s, $"v_a", $"v_b"), 4))
         .filter($"cos" >= 0.4)
         .select($"id_a", $"id_b", $"cos")

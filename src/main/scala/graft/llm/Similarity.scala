@@ -131,29 +131,33 @@ object Similarity {
       val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
       // The centroid codebook: a deterministic ~1/37 sample (k-means would
       // refine it; the IVF dataflow is identical). It is a bounded model
-      // artifact (~√N rows), collected once and folded into the plan as a
-      // literal — so assignment is a PURE PROJECTION over the scan: zero
-      // shuffle, vs. the sort-aggregate a join+argmax formulation plans.
-      // (At codebook sizes where a literal is unreasonable, the same
-      // dataflow runs with a broadcast join on a coarse quantizer first.)
-      val centroids: Seq[(Long, Seq[Float])] = e
-        .filter(pmod($"vec_id", lit(37)) === lit(5))
-        .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Float](1)))
-      val centsLit = typedlit(centroids)
+      // artifact, aggregated EXECUTOR-SIDE into a single array row and
+      // attached to every scan partition by a broadcast join — the driver
+      // never materializes it (the round-1 form collected it to the driver
+      // and folded it into the plan as a literal: O(codebook) driver memory
+      // and plan size). Classic IVF premise: the codebook fits in executor
+      // memory; beyond that, front it with a coarse quantizer (same
+      // dataflow, two levels).
+      val codebook = broadcast(
+        e.filter(pmod($"vec_id", lit(37)) === lit(5))
+          .agg(collect_list(struct($"vec_id".as("cid"), $"embedding".as("cv")))
+            .as("cb")))
       // Per-row scored centroid list: array<struct<csim,cid>> — struct
       // comparison is lexicographic, so array_max/array_sort give a
       // deterministic argmax with cid tie-break.
       def centScores(vec: org.apache.spark.sql.Column) =
-        transform(centsLit, c =>
-          struct(VectorFunctions.cosine(s, c.getField("_2"), vec).as("csim"),
-                 c.getField("_1").as("cid")))
+        transform(col("cb"), c =>
+          struct(VectorFunctions.cosine(s, c.getField("cv"), vec).as("csim"),
+                 c.getField("cid").as("cid")))
       // Inverted-list assignment: nearest centroid, computed in the scan
-      // projection. At 100 TB this is the table you persist bucketed by cid.
-      val assigned = e.withColumn("cid",
-        array_max(centScores($"embedding")).getField("cid"))
+      // projection (the 1-row codebook join adds no shuffle to the big
+      // side). At 100 TB this is the table you persist bucketed by cid.
+      val assigned = e.crossJoin(codebook)
+        .withColumn("cid", array_max(centScores($"embedding")).getField("cid"))
+        .drop("cb")
       // Query side: probe the NProbe nearest lists.
       val probes = broadcast(
-        e.filter($"vec_id" < NumQueries)
+        e.filter($"vec_id" < NumQueries).crossJoin(codebook)
           .select($"vec_id".as("qid"), $"embedding".as("qv"),
             explode(slice(reverse(array_sort(centScores($"embedding"))), 1, NProbe)
               .getField("cid")).as("cid")))

@@ -123,7 +123,7 @@ object TextStats {
              round(avg($"n_tokens"), 4).as("avg_tokens"))
         .orderBy($"lang")
     },
-    Some("""SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+    Some("""SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                    round(avg(len(string_split(text, ' '))), 4) AS avg_tokens
             FROM documents GROUP BY lang ORDER BY lang""")
   )
@@ -239,7 +239,7 @@ object TextStats {
     Some("""SELECT CASE WHEN (doc_id * 2654435761) % 100 < 90 THEN 'train'
                         WHEN (doc_id * 2654435761) % 100 < 95 THEN 'val'
                         ELSE 'test' END AS split,
-                   count(*) AS n_docs, sum(n_chars) AS sum_chars,
+                   count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                    min(doc_id) AS min_id
             FROM documents GROUP BY 1 ORDER BY split""")
   )

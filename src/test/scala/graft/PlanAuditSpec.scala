@@ -19,8 +19,15 @@ class PlanAuditSpec extends AnyFunSuite {
     "ingest_upsert",      // 1-row watermark broadcast ×2
     "join_theta_range",   // inherently non-equi, bounded broadcast side
     "llm_dedup_embed",    // exact all-pairs verifier, documented bounded
-    "llm_sim_topk"        // tiny query-set broadcast, non-equi self-guard
+    "llm_sim_topk",       // tiny query-set broadcast, non-equi self-guard
+    "llm_sim_topk_ivf"    // 1-row codebook broadcast onto the scan
   )
+
+  /** Round-2 gate: the dedup verification joins must NOT broadcast the
+    * O(N) signature/embedding tables (VERDICT r1 #4) — they join back by
+    * id as shuffle-hash. */
+  private val noSignatureBroadcast =
+    Set("llm_dedup_ngram_jaccard", "llm_dedup_near", "llm_dedup_embed_lsh")
 
   for (q <- SparkEntry.registry) {
     test(s"${q.name}: no scale anti-patterns in the physical plan") {
@@ -32,6 +39,10 @@ class PlanAuditSpec extends AnyFunSuite {
       if (!bnljAllowed(q.name)) {
         assert(!plan.contains("BroadcastNestedLoopJoin"),
           s"${q.name} plans an unexpected nested-loop join")
+      }
+      if (noSignatureBroadcast(q.name)) {
+        assert(!plan.contains("BroadcastHashJoin"),
+          s"${q.name} broadcasts an O(N) signature/embedding table")
       }
     }
   }
