@@ -15,14 +15,38 @@ import org.apache.spark.sql.types.StructType
   *    logs (a batch's offsets are committed only after its files land);
   *  - partitioned multi-file output with codec → `partitionBy` + codec
   *    option on the file sink;
-  *  - offset-reset-to-earliest bootstrap → an empty checkpoint directory.
+  *  - offset-reset policy on bootstrap (no committed watermark):
+  *    `earliest` → an empty checkpoint directory consumes the whole
+  *    backlog; `latest` → the backlog is fast-forwarded past (committed to
+  *    the checkpoint without being loaded), so the first real run consumes
+  *    only files that arrive after bootstrap — the consumer-group
+  *    re-pointing case.
   *
   * Scale notes: the file source lists only unseen files per trigger
   * (`maxFilesPerTrigger` bounds micro-batch size); state is the file list
   * in the checkpoint, not data. The transform below is map-only — the
   * whole pipeline is shuffle-free, like the reference's zero-reducer job.
+  * The `latest` fast-forward runs the regular pipeline under a
+  * constant-false filter: the optimizer prunes the scan to an empty
+  * relation (zero data I/O — the file analogue of a Kafka seek-to-end),
+  * while the source still lists and commits the backlog offsets and the
+  * sink's metadata log stays contiguous from batch 0.
   */
 object IncrementalLoader {
+
+  /** Bootstrap policy when the checkpoint holds no committed offsets. */
+  sealed trait OffsetReset
+  object OffsetReset {
+    case object Earliest extends OffsetReset
+    case object Latest extends OffsetReset
+  }
+
+  /** True once any micro-batch offset has been committed under `ckpt`. */
+  private def bootstrapped(ckpt: String): Boolean = {
+    val offsets = new java.io.File(ckpt, "offsets")
+    offsets.isDirectory && offsets.list() != null && offsets.list().nonEmpty
+  }
+
 
   /** One incremental run: consume all files not yet committed to the
     * checkpoint, write them to the partitioned sink, commit, stop.
@@ -34,12 +58,33 @@ object IncrementalLoader {
       outDir: String,
       checkpointDir: String,
       maxFilesPerTrigger: Int = 4,
-      codec: String = "snappy"): Long = {
+      codec: String = "snappy",
+      reset: OffsetReset = OffsetReset.Earliest): Long = {
+    if (reset == OffsetReset.Latest && !bootstrapped(checkpointDir))
+      // Seek-to-end bootstrap: same pipeline, constant-false filter — the
+      // source commits the backlog offsets, the sink lands zero rows, and
+      // no data bytes are read (Filter(false) prunes to an empty relation).
+      runPipeline(spark, srcDir, schema, outDir, checkpointDir,
+        Int.MaxValue, codec, dropAll = true)
+    runPipeline(spark, srcDir, schema, outDir, checkpointDir,
+      maxFilesPerTrigger, codec, dropAll = false)
+  }
+
+  private def runPipeline(
+      spark: SparkSession,
+      srcDir: String,
+      schema: StructType,
+      outDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int,
+      codec: String,
+      dropAll: Boolean): Long = {
     val in = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(srcDir)
-    val bucketed = in.withColumn("d", date_format(col("ts"), "yyyy-MM-dd"))
+    val staged = if (dropAll) in.filter(lit(false)) else in
+    val bucketed = staged.withColumn("d", date_format(col("ts"), "yyyy-MM-dd"))
     val q = bucketed.writeStream
       .format("parquet")
       .option("path", outDir)

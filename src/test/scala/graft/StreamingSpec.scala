@@ -112,6 +112,40 @@ class StreamingSpec extends AnyFunSuite {
       "re-run with no new input must be a no-op")
   }
 
+  test("offset reset=latest skips the pre-bootstrap backlog, then resumes normally") {
+    val base = Files.createTempDirectory("graft_inc_latest").toString
+    val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+    def mkBatch(ids: Range, path: String): Unit =
+      ids.map(i => (i.toLong, ts(i % 60), s"t${i % 3}", i * 1.0))
+        .toDF("event_id", "ts", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(path)
+
+    mkBatch(0 until 40, src)                       // pre-existing backlog
+    val schema = spark.read.parquet(src).schema
+    // Bootstrap with reset=latest: the 40 backlog events must NOT load.
+    streaming.IncrementalLoader.runOnce(spark, src, schema, out, ckpt,
+      reset = streaming.IncrementalLoader.OffsetReset.Latest)
+    def dataFiles(f: java.io.File): Int =
+      if (!f.exists()) 0
+      else if (f.isFile) { if (f.getName.endsWith(".parquet")) 1 else 0 }
+      else f.listFiles().filterNot(_.getName == "_spark_metadata").map(dataFiles).sum
+    assert(dataFiles(new java.io.File(out)) === 0,
+      "reset=latest must not load the pre-bootstrap backlog")
+
+    mkBatch(40 until 55, src)                      // post-bootstrap arrivals
+    streaming.IncrementalLoader.runOnce(spark, src, schema, out, ckpt,
+      reset = streaming.IncrementalLoader.OffsetReset.Latest)
+    val loaded = streaming.IncrementalLoader.loaded(spark, out)
+    assert(loaded.count() === 15, "only post-bootstrap files may load")
+    assert(loaded.agg(min($"event_id")).head.getLong(0) === 40L)
+
+    // Once bootstrapped, reset no longer applies: plain resume semantics.
+    mkBatch(55 until 60, src)
+    streaming.IncrementalLoader.runOnce(spark, src, schema, out, ckpt,
+      reset = streaming.IncrementalLoader.OffsetReset.Latest)
+    assert(streaming.IncrementalLoader.loaded(spark, out).count() === 20)
+  }
+
   test("batch session windows match hand-computed sessions for one user") {
     val events = Seq(
       (1L, ts(0), 1.0), (1L, ts(5), 1.0), (1L, ts(9), 1.0),   // session 1
