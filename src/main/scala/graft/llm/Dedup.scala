@@ -223,6 +223,64 @@ object Dedup {
     None
   )
 
+  /** Oracle-able SimHash twin: same chunk-bucketed dataflow as
+    * llm_dedup_simhash, but the per-token hash is the first 60 bits of
+    * md5 (15 hex chars, fits BIGINT in both engines) — reproducible bit-for-bit in DuckDB (xxhash64, the production
+    * default above, is not). 60-bit signature, majority vote per bit,
+    * candidates via 4×15-bit chunk equality (pigeonhole: any pair within
+    * Hamming distance 3 shares an intact chunk), exact Hamming verify.
+    * The vote sums are order-independent integers, so Spark's array fold
+    * and DuckDB's group-sum agree exactly. */
+  val simhashPoly: GraftQuery = GraftQuery(
+    "llm_dedup_simhash_poly",
+    (s, dir) => {
+      import s.implicits._
+      val sigs = Tables.documents(s, dir)
+        .select($"doc_id", TF.tokens($"text").as("toks"))
+        .withColumn("hashes",
+          expr("transform(toks, t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT))"))
+        .withColumn("simhash", expr(
+          """aggregate(sequence(0, 59), CAST(0 AS BIGINT),
+             (acc, j) -> acc + IF(
+               aggregate(hashes, CAST(0 AS BIGINT),
+                 (a, h) -> a + (shiftright(h, j) % 2) * 2 - 1) > 0,
+               CAST(pow(2, j) AS BIGINT), CAST(0 AS BIGINT)))"""))
+        .select($"doc_id", $"simhash")
+      val chunks = sigs.select($"doc_id", $"simhash",
+          explode(sequence(lit(0), lit(3))).as("j"))
+        .select($"doc_id", $"simhash", $"j",
+          expr("shiftright(simhash, CAST(j AS INT) * 15)").bitwiseAND(lit(0x7FFFL)).as("chunk"))
+      chunks.as("a")
+        .join(chunks.hint("shuffle_hash").as("b"),
+          $"a.j" === $"b.j" && $"a.chunk" === $"b.chunk" && $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+          bit_count($"a.simhash".bitwiseXOR($"b.simhash")).as("hamming"))
+        .distinct()
+        .filter($"hamming" <= 3)
+        .orderBy($"id_a", $"id_b")
+    },
+    Some("""WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+            h AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h
+              FROM tok),
+            bits AS (
+              SELECT doc_id, j,
+                     CASE WHEN sum(((h >> j) & 1) * 2 - 1) > 0
+                          THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END AS bitv
+              FROM h, range(60) r(j)
+              GROUP BY doc_id, j),
+            sig AS (
+              SELECT doc_id, CAST(sum(bitv) AS BIGINT) AS simhash
+              FROM bits GROUP BY doc_id)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+            ORDER BY id_a, id_b""")
+  )
+
   /** Embedding-cosine near-dup, exact all-pairs form — the oracle-able
     * verifier. The join broadcasts the (id, vector) table: fine to tens of
     * MBs; beyond that, embedCosineLsh below is the same operator with LSH
@@ -285,5 +343,6 @@ object Dedup {
   )
 
   def all: Seq[GraftQuery] =
-    Seq(exact, ngramJaccard, minhashLsh, simhash, embedCosine, embedCosineLsh)
+    Seq(exact, ngramJaccard, minhashLsh, simhash, simhashPoly,
+        embedCosine, embedCosineLsh)
 }
