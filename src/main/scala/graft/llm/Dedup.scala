@@ -117,44 +117,86 @@ object Dedup {
     * PPJoin family): a pair with J >= tau must share a shingle inside the
     * first floor((1-tau)|A|)+1 elements of each doc's shingle set under a
     * consistent global order — so the candidate join is an equi-join on
-    * prefix-shingle hash. The global order here is plain hash order; on a
-    * real (Zipfian) corpus, switch the order to rarest-first (ascending
-    * document frequency — one groupBy(hv).count + join before the sort):
-    * prefixes then hold the most selective shingles and the candidate set
-    * collapses toward the true-positive count. On this synthetic corpus
-    * trigram frequencies are near-uniform, so df-ordering was measured to
-    * prune only 1.5× while costing two extra shuffles — not worth it. */
+    * prefix-shingle hash. The default global order is plain hash order;
+    * rarest-first (document-frequency) order is available behind the
+    * `rarestFirstPrefixes` flag — see `prefixes` for the trade-off. */
   val ngramJaccard: GraftQuery = GraftQuery(
     "llm_dedup_ngram_jaccard",
-    (s, dir) => {
-      import s.implicits._
-      val sh = shingled(s, dir)
-      val prefixes = sh.select(
-          $"doc_id", $"n",
-          posexplode(slice($"shingles", lit(1), // already sorted at build
-            (floor(lit(1.0 - Tau) * $"n") + 1).cast("int"))).as(Seq("pos", "hv")))
-        .cache() // both sides of the self-join below
-      // Both PPJoin bounds ride IN the join condition, pruning pairs
-      // before the distinct shuffle: (1) size-ratio feasibility, (2) the
-      // positional suffix bound — a true-positive pair's FIRST shared
-      // prefix element always satisfies least(n−pos) ≥ τ/(1+τ)·(na+nb),
-      // so filtering per matched element is lossless after distinct().
-      val candReq = lit(Tau / (1.0 + Tau))
-      // Candidate self-join: both sides are O(N·prefix) — shuffle-hash on
-      // the equi key, never a broadcast (auto-broadcast at test SF would
-      // hide a plan that fails at 100 TB).
-      val cands = prefixes.as("a")
-        .join(prefixes.hint("shuffle_hash").as("b"),
-          $"a.hv" === $"b.hv" && $"a.doc_id" < $"b.doc_id" &&
-          TF.sizeRatioPass($"a.n", $"b.n", Tau) &&
-          least($"a.n" - $"a.pos", $"b.n" - $"b.pos").cast("double") >=
-            candReq * ($"a.n" + $"b.n").cast("double"))
-        .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
-        .distinct()
-      verifyPairs(s, dir, cands)
-    },
+    (s, dir) => ngramJaccardPipeline(s, dir, rarestFirstPrefixes),
     Some(jaccardOracle)
   )
+
+  /** Flag for the PPJoin prefix order (default off): rarest-first prefixes
+    * win on Zipfian corpora — see the scaladoc on `prefixes`. Settable per
+    * run via `-Dgraft.ppjoin.rarestFirst=true` or
+    * `GRAFT_PPJOIN_RAREST_FIRST=true`. */
+  def rarestFirstPrefixes: Boolean =
+    sys.props.get("graft.ppjoin.rarestFirst")
+      .orElse(sys.env.get("GRAFT_PPJOIN_RAREST_FIRST"))
+      .exists(_.equalsIgnoreCase("true"))
+
+  /** PPJoin prefix table: (doc_id, n, pos, hv) — the first
+    * floor((1-tau)·n)+1 shingles of each doc under a consistent GLOBAL
+    * total order, which is what makes prefix filtering lossless.
+    *
+    * Two orders, both lossless:
+    *  - default: plain hash order — free, because `shingled` builds the
+    *    sets pre-sorted, so the prefix is a `slice` in the scan projection;
+    *  - rarest-first: ascending document frequency (ties by hash) — one
+    *    groupBy(hv).count + join + per-doc window sort extra. Prefixes then
+    *    hold each doc's most SELECTIVE shingles, so on Zipfian corpora the
+    *    candidate set collapses toward the true-positive count. On this
+    *    synthetic near-uniform corpus it was measured to prune only ~1.5×
+    *    for two extra shuffles — hence default off (SCALE.md records the
+    *    crossover reasoning).
+    * The positional suffix bound stays valid under either order because
+    * `pos` is the element's rank in the SAME global order on both sides. */
+  private[graft] def prefixes(s: SparkSession, dir: String,
+                            rarestFirst: Boolean): DataFrame = {
+    import s.implicits._
+    val sh = shingled(s, dir)
+    val plen = (floor(lit(1.0 - Tau) * $"n") + 1).cast("int")
+    if (!rarestFirst) {
+      sh.select($"doc_id", $"n",
+        posexplode(slice($"shingles", lit(1), plen)).as(Seq("pos", "hv")))
+    } else {
+      val ex = sh.select($"doc_id", $"n", explode($"shingles").as("hv"))
+      val dfreq = ex.groupBy($"hv").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"df".asc, $"hv".asc)
+      ex.join(dfreq.hint("shuffle_hash"), "hv")
+        .withColumn("pos", row_number().over(w) - 1)
+        .filter($"pos" < plen)
+        .select($"doc_id", $"n", $"pos", $"hv")
+    }
+  }
+
+  /** The llm_dedup_ngram_jaccard dataflow, parameterized on prefix order
+    * so DedupSpec can pin both orders to identical results. */
+  private[graft] def ngramJaccardPipeline(s: SparkSession, dir: String,
+                                        rarestFirst: Boolean): DataFrame = {
+    import s.implicits._
+    val prefixTable = prefixes(s, dir, rarestFirst)
+      .cache() // both sides of the self-join below
+    // Both PPJoin bounds ride IN the join condition, pruning pairs
+    // before the distinct shuffle: (1) size-ratio feasibility, (2) the
+    // positional suffix bound — a true-positive pair's FIRST shared
+    // prefix element always satisfies least(n−pos) ≥ τ/(1+τ)·(na+nb),
+    // so filtering per matched element is lossless after distinct().
+    val candReq = lit(Tau / (1.0 + Tau))
+    // Candidate self-join: both sides are O(N·prefix) — shuffle-hash on
+    // the equi key, never a broadcast (auto-broadcast at test SF would
+    // hide a plan that fails at 100 TB).
+    val cands = prefixTable.as("a")
+      .join(prefixTable.hint("shuffle_hash").as("b"),
+        $"a.hv" === $"b.hv" && $"a.doc_id" < $"b.doc_id" &&
+        TF.sizeRatioPass($"a.n", $"b.n", Tau) &&
+        least($"a.n" - $"a.pos", $"b.n" - $"b.pos").cast("double") >=
+          candReq * ($"a.n" + $"b.n").cast("double"))
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+      .distinct()
+    verifyPairs(s, dir, cands)
+  }
 
   /** MinHash signature table: 128 permutations, computed row-level by the
     * native MinHashSignature expression — a pure function of the row's

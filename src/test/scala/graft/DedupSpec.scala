@@ -25,6 +25,17 @@ class DedupSpec extends AnyFunSuite {
     assert(a.nonEmpty) // fixture plants near-dup pairs by construction
   }
 
+  test("PPJoin rarest-first prefix order finds the identical pair set") {
+    // Both prefix orders are global total orders, so prefix filtering is
+    // lossless under either; the final verified pair sets must be equal.
+    val hashOrder = llm.Dedup.ngramJaccardPipeline(spark, TestSpark.Sf, rarestFirst = false)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dfOrder = llm.Dedup.ngramJaccardPipeline(spark, TestSpark.Sf, rarestFirst = true)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hashOrder === dfOrder)
+    assert(hashOrder.nonEmpty)
+  }
+
   test("minhash signature agreement approximates jaccard on planted pairs") {
     val sigs = llm.Dedup.minhashSignatures(spark, TestSpark.Sf)
     val pairs = llm.Dedup.ngramJaccard.run(spark, TestSpark.Sf).limit(5)
