@@ -25,6 +25,7 @@ object SparkEntry {
     llm.Dedup.all ++
     llm.Similarity.all ++
     llm.TextStats.all ++
+    llm.Corpus.all ++
     llm.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

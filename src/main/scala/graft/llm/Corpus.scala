@@ -1,0 +1,200 @@
+package graft.llm
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.GraftQuery
+import graft.sources.Tables
+import graft.functions.{TextFunctions => TF}
+
+/** Corpus-level curation operators for LLM training-data pipelines:
+  * benchmark-contamination detection, repetition quality metrics in the
+  * style of the Gopher rules, and TF-IDF term profiling.
+  *
+  * Scale design, common to all three:
+  *  - everything reduces each document map-side (tokenize / n-gram /
+  *    count) before any shuffle, so shuffles carry per-(doc, term)
+  *    partial counts or fixed-width gram hashes — never document text;
+  *  - cross-document work is always an equi-join or hash aggregate on a
+  *    term/gram key; nothing is all-pairs.
+  */
+object Corpus {
+
+  /** Contamination n-gram order: 8 word-grams is long enough that chance
+    * collisions vanish even on a small vocabulary, short enough to catch
+    * partial quote/overlap contamination (the 13-gram convention from
+    * GPT-3's dedup applies the same dataflow — only the constant moves). */
+  private val ContamN = 8
+
+  /** Deterministic eval-set membership: docs with doc_id % 10 == 2 play
+    * the role of the benchmark (in production this side is the actual
+    * benchmark corpus — tiny next to the training corpus). */
+  private val BenchMod = 10
+  private val BenchRem = 2
+
+  /** Benchmark contamination: which training docs share ≥1 distinct
+    * `ContamN`-gram with the eval set, and how many.
+    *
+    * Scale shape: both sides reduce to distinct (doc, gram-hash) rows
+    * map-side (explode + distinct carries 8-byte xxhash64 keys, not
+    * strings); the contamination check is one equi-join on the gram hash
+    * followed by a per-doc count. The benchmark side is small by
+    * construction, so at cluster scale Catalyst broadcasts it and the
+    * training corpus is never shuffled at all — the batch form here leaves
+    * the choice to the planner. 64-bit gram hashing admits birthday
+    * collisions near ~2^32 distinct grams; collisions only ever inflate
+    * `n_shared` by the colliding gram, never drop a contamination. */
+  val contamination: GraftQuery = GraftQuery(
+    "llm_contamination",
+    (s, dir) => {
+      import s.implicits._
+      val grams = Tables.documents(s, dir)
+        .select($"doc_id",
+          explode(TF.shingleSet(TF.tokens($"text"), ContamN)).as("g"))
+        .select($"doc_id", xxhash64($"g").as("gh"))
+      val bench = grams.filter($"doc_id" % BenchMod === BenchRem)
+        .select($"gh").distinct()
+      val corpus = grams.filter($"doc_id" % BenchMod =!= BenchRem).distinct()
+      corpus.join(bench, "gh")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH grams AS (
+               SELECT doc_id,
+                      list_distinct(list_transform(range(1, greatest(len(w) - ${ContamN - 2}, 1)),
+                        i -> array_to_string(w[i:i+${ContamN - 1}], ' '))) AS g
+               FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+             bench AS (
+               SELECT DISTINCT gu.x AS g FROM grams, unnest(g) AS gu(x)
+               WHERE doc_id % $BenchMod = $BenchRem),
+             corpus AS (
+               SELECT DISTINCT doc_id, gu.x AS g FROM grams, unnest(g) AS gu(x)
+               WHERE doc_id % $BenchMod != $BenchRem)
+             SELECT c.doc_id, count(*) AS n_shared
+             FROM corpus c JOIN bench b ON c.g = b.g
+             GROUP BY c.doc_id ORDER BY c.doc_id""")
+  )
+
+  /** Repetition thresholds (tuned on the fixture distributions so the
+    * flag splits the corpus non-trivially; production values are
+    * corpus-dependent — Gopher used e.g. top-2-gram fraction > 0.18). */
+  private val TopTokMax = 0.15
+  private val DistinctMin = 0.35
+  private val TopBigramMax = 0.10
+
+  /** Gopher-style repetition metrics per document: distinct-token ratio,
+    * top-token fraction, top-bigram fraction, plus a composite
+    * `repetitive` flag. Repetitious boilerplate (nav bars, spam keyword
+    * stuffing) is the #1 quality cut in web-scale corpora.
+    *
+    * Scale shape: explode → two-level hash aggregate — the first level
+    * keys (doc_id, term) and combines map-side, the second reduces to one
+    * row per doc. Every ratio is a single IEEE division of exact integer
+    * counts, so threshold comparisons are bit-stable across engines. */
+  val repetition: GraftQuery = GraftQuery(
+    "llm_quality_repetition",
+    (s, dir) => {
+      import s.implicits._
+      val toksArr = Tables.documents(s, dir)
+        .select($"doc_id", TF.tokens($"text").as("w"))
+      val tokStats = toksArr.select($"doc_id", explode($"w").as("tok"))
+        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id")
+        .agg(sum($"c").as("n_tokens"), count(lit(1)).as("n_distinct"),
+             max($"c").as("top_tok"))
+      // Bigram MULTISET (no distinct — repetition is about repeats).
+      val biStats = toksArr
+        .select($"doc_id", explode(transform(sequence(lit(0), size($"w") - 2),
+          i => concat_ws(" ", slice($"w", i + lit(1), lit(2))))).as("bg"))
+        .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id")
+        .agg(sum($"c").as("n_bigrams"), max($"c").as("top_bg"))
+      tokStats.join(biStats, "doc_id")
+        .select($"doc_id", $"n_tokens",
+          round($"n_distinct".cast("double") / $"n_tokens", 4).as("distinct_ratio"),
+          round($"top_tok".cast("double") / $"n_tokens", 4).as("top_token_ratio"),
+          round($"top_bg".cast("double") / $"n_bigrams", 4).as("top_bigram_ratio"),
+          ($"top_tok".cast("double") / $"n_tokens" >= TopTokMax ||
+           $"n_distinct".cast("double") / $"n_tokens" <= DistinctMin ||
+           $"top_bg".cast("double") / $"n_bigrams" >= TopBigramMax).as("repetitive"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             tc AS (SELECT doc_id, tok, count(*) AS c
+                    FROM (SELECT doc_id, unnest(w) AS tok FROM t) GROUP BY 1, 2),
+             ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                           count(*) AS n_distinct, max(c) AS top_tok
+                    FROM tc GROUP BY 1),
+             bgr AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+                              i -> array_to_string(w[i:i+1], ' '))) AS bg
+                     FROM t),
+             bc AS (SELECT doc_id, bg, count(*) AS c FROM bgr GROUP BY 1, 2),
+             bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                           max(c) AS top_bg
+                    FROM bc GROUP BY 1)
+             SELECT ts.doc_id, ts.n_tokens,
+                    round(ts.n_distinct * 1.0 / ts.n_tokens, 4) AS distinct_ratio,
+                    round(ts.top_tok * 1.0 / ts.n_tokens, 4) AS top_token_ratio,
+                    round(bs.top_bg * 1.0 / bs.n_bigrams, 4) AS top_bigram_ratio,
+                    (ts.top_tok * 1.0 / ts.n_tokens >= $TopTokMax OR
+                     ts.n_distinct * 1.0 / ts.n_tokens <= $DistinctMin OR
+                     bs.top_bg * 1.0 / bs.n_bigrams >= $TopBigramMax) AS repetitive
+             FROM ts JOIN bs USING (doc_id) ORDER BY ts.doc_id""")
+  )
+
+  /** TF-IDF top-3 terms per document (ln idf, tf normalized by doc
+    * length). The classic "what is this document about" profile; also the
+    * standard weighting for sparse retrieval baselines next to the dense
+    * ANN operators in [[Similarity]].
+    *
+    * Scale shape: one (doc, term) hash aggregate feeds both the per-doc
+    * length and the per-term document frequency; the scoring join keys
+    * (doc_id) then (tok) — both plain equi-joins. The corpus size is a
+    * 1-row aggregate attached by broadcast, never collected. Ranking
+    * orders by round(tfidf, 6) with a term tie-break so rank boundaries
+    * cannot flip on cross-engine ulp differences in ln. */
+  val tfidf: GraftQuery = GraftQuery(
+    "llm_tfidf",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val tc = docs.select($"doc_id", explode(TF.tokens($"text")).as("tok"))
+        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+      val dl = tc.groupBy($"doc_id").agg(sum($"c").as("n_tokens"))
+      val dfreq = tc.groupBy($"tok").agg(count(lit(1)).as("df"))
+      val scored = tc.join(dl, "doc_id").join(dfreq, "tok")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("tfidf",
+          $"c".cast("double") / $"n_tokens" *
+            log($"n_docs".cast("double") / $"df"))
+      scored
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy($"doc_id").orderBy(round($"tfidf", 6).desc, $"tok".asc)))
+        .filter($"rnk" <= 3)
+        .select($"doc_id", $"rnk", $"tok", round($"tfidf", 4).as("tfidf"))
+        .orderBy($"doc_id", $"rnk")
+    },
+    Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                       FROM documents),
+            tc AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+            dl AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens
+                   FROM tc GROUP BY 1),
+            dfq AS (SELECT tok, count(*) AS df FROM tc GROUP BY 1),
+            nd AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+              SELECT tc.doc_id, tc.tok,
+                     tc.c * 1.0 / dl.n_tokens * ln(nd.n_docs * 1.0 / dfq.df) AS tfidf
+              FROM tc JOIN dl USING (doc_id) JOIN dfq USING (tok) CROSS JOIN nd),
+            ranked AS (
+              SELECT doc_id, tok, tfidf,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY round(tfidf, 6) DESC, tok ASC) AS rnk
+              FROM scored)
+            SELECT doc_id, CAST(rnk AS INT) AS rnk, tok, round(tfidf, 4) AS tfidf
+            FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""")
+  )
+
+  def all: Seq[GraftQuery] = Seq(contamination, repetition, tfidf)
+}

@@ -384,7 +384,90 @@ object Dedup {
     None
   )
 
+  /** Distributed connected components by iterative min-label propagation
+    * (the dataflow form of Pregel CC): every vertex repeatedly adopts the
+    * minimum label among itself and its neighbors until a fixpoint.
+    *
+    * Scale shape: each round is one equi-join (edges ⋈ labels on src) and
+    * one hash aggregate (min label per vertex) — both co-partitioned on the
+    * vertex key, so a round is two bounded shuffles over O(V+E) rows.
+    * Rounds needed = graph diameter; dedup similarity graphs are unions of
+    * near-cliques (diameter 1–3 in practice), which is why propagation is
+    * the right variant here — the O(log n)-round large-star/small-star
+    * alternation only pays off on long-path adversarial graphs.
+    * `localCheckpoint` truncates lineage each round so the plan doesn't
+    * grow with iteration count; the only driver-side values are the scalar
+    * convergence counters. */
+  private[graft] def connectedComponents(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val sym = edges.select($"src", $"dst")
+      .union(edges.select($"dst".as("src"), $"src".as("dst")))
+      .localCheckpoint()
+    var labels = sym.select($"src".as("v")).distinct()
+      .select($"v", $"v".as("cid"))
+      .localCheckpoint()
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      val next = sym
+        .join(labels.withColumnRenamed("v", "src"), "src")
+        .select($"dst".as("v"), $"cid")
+        .union(labels)
+        .groupBy($"v").agg(min($"cid").as("ncid"))
+        .join(labels, "v")
+        .select($"v", $"cid".as("old"), $"ncid".as("cid"))
+        .localCheckpoint()
+      changed = next.filter($"cid" < $"old").count()
+      labels = next.select($"v", $"cid")
+      round += 1
+    }
+    labels
+  }
+
+  /** Near-dup clustering: the verified n-gram-Jaccard pair set becomes an
+    * undirected graph; its connected components are the duplicate clusters
+    * and min(doc_id) is the deterministic cluster representative. This is
+    * the step that turns pairwise dedup output into an actionable
+    * keep/drop list — at corpus scale a transitive closure, not a pair
+    * list, is what the pipeline acts on (keep `cluster_id`, drop the
+    * rest). Oracle: DuckDB recursive CTE transitive closure over the same
+    * pair set. */
+  val cluster: GraftQuery = GraftQuery(
+    "llm_dedup_cluster",
+    (s, dir) => {
+      import s.implicits._
+      val pairs = ngramJaccardPipeline(s, dir, rarestFirstPrefixes)
+        .select($"id_a".as("src"), $"id_b".as("dst"))
+      val labels = connectedComponents(pairs)
+      labels
+        .withColumn("cluster_size",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy($"cid")))
+        .select($"v".as("doc_id"), $"cid".as("cluster_id"), $"cluster_size")
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH RECURSIVE sh AS (
+               SELECT doc_id,
+                      list_distinct(list_transform(range(1, greatest(len(w) - 1, 1)),
+                        i -> array_to_string(w[i:i+2], ' '))) AS s
+               FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+             pairs AS (
+               SELECT a.doc_id AS u, b.doc_id AS v
+               FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+               WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= $Tau),
+             edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+             reach(v, r) AS (
+               SELECT u, u FROM edges
+               UNION
+               SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.v),
+             comp AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v)
+             SELECT doc_id, cluster_id,
+                    CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+             FROM comp ORDER BY doc_id""")
+  )
+
   def all: Seq[GraftQuery] =
     Seq(exact, ngramJaccard, minhashLsh, simhash, simhashPoly,
-        embedCosine, embedCosineLsh)
+        embedCosine, embedCosineLsh, cluster)
 }

@@ -114,25 +114,43 @@ object StreamQueries {
   /** Watermark late-data accounting, batch-emulated exactly as Structured
     * Streaming defines it: a record is late if its event time is below the
     * watermark — the max event time seen in *earlier* arrivals (arrival
-    * order = event_id, the offset) minus the delay. One window pass
-    * (running max over arrival order), then a per-type late/kept rollup.
-    * StreamingSpec drives the same policy through MemoryStream +
-    * withWatermark to show the streaming engine agrees.
+    * order = event_id, the offset) minus the delay. StreamingSpec drives
+    * the same policy through MemoryStream + withWatermark to show the
+    * streaming engine agrees.
     *
-    * The running max is a deliberately GLOBAL-order window — watermark
-    * state is per-source-scalar by definition. In production this
-    * bookkeeping is the streaming engine's per-microbatch watermark (O(1)
-    * state), never a batch global sort; this batch form exists to grade
-    * the policy. */
+    * The prefix max over arrival order is computed two-level so no task
+    * ever sorts the whole table (the naive `Window.orderBy(event_id)` is a
+    * single-partition sort — a one-task bottleneck at scale): rows bucket
+    * by `floor(event_id / W)`; a per-bucket max (hash aggregate, N/W rows)
+    * gets its own prefix max on the tiny bucket table; each row then
+    * combines the prior-bucket prefix max (attached by broadcast) with a
+    * within-bucket running max windowed BY bucket — distributed across W
+    * buckets. Exact same semantics: earlier buckets ∪ earlier rows in own
+    * bucket = all earlier arrivals. The bucket table is N/W rows; if that
+    * ever outgrows one task, the same construction recurses (it never has
+    * to in practice — W=4096 puts 100 TB of events at ~10^7 bucket rows,
+    * one more level at ~10^3). In production this bookkeeping is the
+    * streaming engine's per-microbatch watermark (O(1) state); this batch
+    * form exists to grade the policy. */
   val watermarkLate: GraftQuery = GraftQuery(
     "stream_watermark_late",
     (s, dir) => {
       import s.implicits._
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy($"event_id")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      Tables.events(s, dir)
-        .withColumn("max_seen", max($"ts").over(w))
+      val W = org.apache.spark.sql.expressions.Window
+      val bucketW = 4096
+      val ev = Tables.events(s, dir)
+        .select($"event_type", $"ts", $"event_id")
+        .withColumn("b", floor($"event_id" / bucketW))
+      val bucketPrefix = ev.groupBy($"b").agg(max($"ts").as("bmax"))
+        .withColumn("prev_bmax",
+          max($"bmax").over(W.orderBy($"b").rowsBetween(W.unboundedPreceding, -1)))
+        .select($"b", $"prev_bmax")
+      val withinW = W.partitionBy($"b").orderBy($"event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+      ev.join(broadcast(bucketPrefix), "b")
+        .withColumn("in_max", max($"ts").over(withinW))
+        // greatest() skips nulls (first row of first bucket has neither).
+        .withColumn("max_seen", greatest($"prev_bmax", $"in_max"))
         .withColumn("late",
           $"max_seen".isNotNull &&
             $"ts" < $"max_seen" - expr("INTERVAL 10 MINUTES"))

@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the corpus-curation operators beyond what the DuckDB
+  * oracle grades: cross-checks against independent Scala recomputation. */
+class CorpusSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docsById: Map[Long, String] =
+    sources.Tables.documents(spark, TestSpark.Sf)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  private def grams(text: String, n: Int): Set[String] =
+    text.split(" ").sliding(n).filter(_.length == n).map(_.mkString(" ")).toSet
+
+  test("contamination: reported docs are corpus-side and truly share an 8-gram") {
+    val out = llm.Corpus.contamination.run(spark, TestSpark.Sf).collect()
+    assert(out.nonEmpty)
+    val all = docsById
+    val benchGrams = all.collect { case (id, t) if id % 10 == 2 => grams(t, 8) }
+      .foldLeft(Set.empty[String])(_ ++ _)
+    out.foreach { r =>
+      val (id, nShared) = (r.getLong(0), r.getLong(1))
+      assert(id % 10 != 2, s"doc $id is benchmark-side")
+      val shared = grams(all(id), 8).intersect(benchGrams)
+      assert(shared.size.toLong == nShared,
+        s"doc $id: reported $nShared shared grams, recomputed ${shared.size}")
+    }
+  }
+
+  test("contamination finds every corpus doc sharing a benchmark 8-gram") {
+    val all = docsById
+    val benchGrams = all.collect { case (id, t) if id % 10 == 2 => grams(t, 8) }
+      .foldLeft(Set.empty[String])(_ ++ _)
+    val expected = all.collect {
+      case (id, t) if id % 10 != 2 && grams(t, 8).intersect(benchGrams).nonEmpty => id
+    }.toSet
+    val got = llm.Corpus.contamination.run(spark, TestSpark.Sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === expected)
+  }
+
+  test("repetition: metrics match Scala recomputation, flag is consistent") {
+    val out = llm.Corpus.repetition.run(spark, TestSpark.Sf).collect()
+    val all = docsById
+    assert(out.length === all.size)
+    assert(out.exists(_.getAs[Boolean]("repetitive")) &&
+           out.exists(!_.getAs[Boolean]("repetitive")),
+      "thresholds should split the corpus non-trivially")
+    out.take(50).foreach { r =>
+      val toks = all(r.getLong(0)).split(" ").toSeq
+      val n = toks.size
+      val distinct = toks.distinct.size
+      val topTok = toks.groupBy(identity).values.map(_.size).max
+      val bigrams = toks.sliding(2).map(_.mkString(" ")).toSeq
+      val topBg = bigrams.groupBy(identity).values.map(_.size).max
+      assert(r.getAs[Long]("n_tokens") == n.toLong)
+      assert(math.abs(r.getAs[Double]("distinct_ratio") - distinct.toDouble / n) < 1e-4)
+      assert(math.abs(r.getAs[Double]("top_token_ratio") - topTok.toDouble / n) < 1e-4)
+      assert(math.abs(r.getAs[Double]("top_bigram_ratio") - topBg.toDouble / bigrams.size) < 1e-4)
+      val flag = topTok.toDouble / n >= 0.15 || distinct.toDouble / n <= 0.35 ||
+        topBg.toDouble / bigrams.size >= 0.10
+      assert(r.getAs[Boolean]("repetitive") == flag, s"doc ${r.getLong(0)} flag")
+    }
+  }
+
+  test("tfidf: 3 ranked terms per doc, scores descending, match recomputation") {
+    val out = llm.Corpus.tfidf.run(spark, TestSpark.Sf).collect()
+    val all = docsById
+    assert(out.length === all.size * 3)
+    val byDoc = out.groupBy(_.getLong(0))
+    byDoc.values.foreach { rows =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3))
+      val scores = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+    // Independent recomputation for one doc.
+    val nDocs = all.size
+    val dfMap = all.values.flatMap(_.split(" ").distinct).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size }
+    val (sampleId, sampleText) = all.minBy(_._1)
+    val toks = sampleText.split(" ").toSeq
+    val expected = toks.groupBy(identity).map { case (t, xs) =>
+      t -> xs.size.toDouble / toks.size * math.log(nDocs.toDouble / dfMap(t))
+    }.toSeq
+      .sortBy { case (t, s) => (-BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP), t) }
+      .take(3)
+    val got = byDoc(sampleId).sortBy(_.getInt(1)).map(r => (r.getString(2), r.getDouble(3)))
+    expected.zip(got).foreach { case ((et, es), (gt, gs)) =>
+      assert(et == gt, s"doc $sampleId term order")
+      assert(math.abs(es - gs) < 1e-3, s"doc $sampleId score for $et")
+    }
+  }
+}

@@ -93,6 +93,46 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents: min-label fixpoint on a diameter-4 path graph") {
+    // Path 1-2-3-4-5 forces multi-round propagation; (10,11) is isolated.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("src", "dst")
+    val labels = llm.Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+                          10L -> 10L, 11L -> 10L))
+  }
+
+  test("dedup clusters: valid partition of the pair graph with min-id labels") {
+    val pairs = llm.Dedup.ngramJaccard.run(spark, TestSpark.Sf)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val out = llm.Dedup.cluster.run(spark, TestSpark.Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val label = out.map { case (d, c, _) => d -> c }.toMap
+    // Every pair endpoint is labeled, pairs share a cluster, label ≤ member.
+    pairs.foreach { case (a, b) =>
+      assert(label(a) == label(b), s"pair ($a,$b) split across clusters")
+    }
+    assert(label.forall { case (d, c) => c <= d })
+    assert(label.values.toSet.subsetOf(label.keySet), "labels are member ids")
+    // Reference union-find agrees on the full partition.
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val expected = parent.keys.map(v => v -> find(v)).toMap
+    val canon = expected.groupBy(_._2).flatMap { case (_, m) =>
+      val mn = m.keys.min; m.keys.map(_ -> mn)
+    }
+    assert(label === canon)
+    // cluster_size agrees with the partition.
+    out.foreach { case (_, c, sz) =>
+      assert(sz == out.count(_._2 == c).toLong)
+    }
+  }
+
   test("dedup by content hash is idempotent") {
     val d = sources.Tables.documents(spark, TestSpark.Sf)
     val once = d.dropDuplicates("text")

@@ -20,7 +20,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "join_theta_range",   // inherently non-equi, bounded broadcast side
     "llm_dedup_embed",    // exact all-pairs verifier, documented bounded
     "llm_sim_topk",       // tiny query-set broadcast, non-equi self-guard
-    "llm_sim_topk_ivf"    // 1-row codebook broadcast onto the scan
+    "llm_sim_topk_ivf",   // 1-row codebook broadcast onto the scan
+    "llm_tfidf"           // 1-row corpus-count broadcast onto the scoring join
   )
 
   /** Round-2 gate: the dedup verification joins must NOT broadcast the
