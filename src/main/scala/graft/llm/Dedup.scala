@@ -277,16 +277,18 @@ object Dedup {
     "llm_dedup_simhash_poly",
     (s, dir) => {
       import s.implicits._
+      // Token hash: codegen'd built-in chain (md5 → substring → conv),
+      // DuckDB-reproducible. The vote fold runs in the native
+      // SimHashFromHashes expression — the declarative
+      // aggregate-per-bit form re-traversed the hash array 60× through
+      // interpreted lambdas (33.9 s at sf0.1 → ~1 s; parity pinned in
+      // ExpressionParitySpec).
       val sigs = Tables.documents(s, dir)
         .select($"doc_id", TF.tokens($"text").as("toks"))
         .withColumn("hashes",
           expr("transform(toks, t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT))"))
-        .withColumn("simhash", expr(
-          """aggregate(sequence(0, 59), CAST(0 AS BIGINT),
-             (acc, j) -> acc + IF(
-               aggregate(hashes, CAST(0 AS BIGINT),
-                 (a, h) -> a + (shiftright(h, j) % 2) * 2 - 1) > 0,
-               CAST(pow(2, j) AS BIGINT), CAST(0 AS BIGINT)))"""))
+        .withColumn("simhash",
+          graft.functions.ArrayFunctions.simhashFromHashes(s, $"hashes", 60))
         .select($"doc_id", $"simhash")
       val chunks = sigs.select($"doc_id", $"simhash",
           explode(sequence(lit(0), lit(3))).as("j"))

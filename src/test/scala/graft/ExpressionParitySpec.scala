@@ -70,6 +70,26 @@ class ExpressionParitySpec extends AnyFunSuite {
     native.foreach { case (id, sh) => assert(sh === dataflow(id), s"doc $id") }
   }
 
+  test("SimHashFromHashes == aggregate-per-bit declarative form (60-bit md5)") {
+    val rows = docs
+      .select($"doc_id", TF.tokens($"text").as("toks"))
+      .withColumn("hashes",
+        expr("transform(toks, t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT))"))
+      .select($"doc_id",
+        AF.simhashFromHashes(spark, $"hashes", 60).as("native"),
+        expr("""aggregate(sequence(0, 59), CAST(0 AS BIGINT),
+                (acc, j) -> acc + IF(
+                  aggregate(hashes, CAST(0 AS BIGINT),
+                    (a, h) -> a + (shiftright(h, j) % 2) * 2 - 1) > 0,
+                  CAST(pow(2, j) AS BIGINT), CAST(0 AS BIGINT)))""").as("hof"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2),
+        s"simhash mismatch for doc ${r.getLong(0)}")
+    }
+  }
+
   test("SortedLongIntersectSize == size(array_intersect) on sorted sets") {
     val sh = docs
       .select($"doc_id", AF.sortedShingles(spark, TF.tokens($"text"), 3).as("s"))
