@@ -143,6 +143,66 @@ object Corpus {
              FROM ts JOIN bs USING (doc_id) ORDER BY ts.doc_id""")
   )
 
+  /** Within-corpus duplicated-substring coverage (the substring-dedup
+    * signal of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better"): for each document, how many of its 8-grams occur in
+    * at least one OTHER document, and what fraction of its tokens those
+    * duplicated 8-grams cover. Pipelines cut or trim documents whose
+    * coverage exceeds a threshold — boilerplate and templated text light
+    * up here long before whole-document dedup fires.
+    *
+    * Scale shape: grams reduce to (doc, pos, gram-hash) map-side; the
+    * duplicated-gram set is one hash aggregate on the gram key (count of
+    * distinct source docs > 1), and occurrences join back by gram hash —
+    * an equi-join against a set bounded by actual duplication, not corpus
+    * size. Token coverage explodes each duplicated occurrence to its ≤8
+    * covered positions — output rows ∝ duplicated grams × 8, never
+    * |corpus| × |corpus|. */
+  val substringDup: GraftQuery = GraftQuery(
+    "llm_dedup_substring",
+    (s, dir) => {
+      import s.implicits._
+      val grams = Tables.documents(s, dir)
+        .select($"doc_id", TF.tokens($"text").as("w"))
+        .select($"doc_id", size($"w").cast("long").as("n_toks"),
+          posexplode(transform(
+            sequence(lit(0), greatest(size($"w") - ContamN, lit(0))),
+            i => concat_ws(" ", slice($"w", i + lit(1), lit(ContamN)))))
+            .as(Seq("pos", "g")))
+        .select($"doc_id", $"n_toks", $"pos", xxhash64($"g").as("gh"))
+      val dup = grams.groupBy($"gh")
+        .agg(countDistinct($"doc_id").as("nd"))
+        .filter($"nd" > 1).select($"gh")
+      val occ = grams.join(dup, "gh")
+      val stats = occ.groupBy($"doc_id")
+        .agg(max($"n_toks").as("n_toks"), count(lit(1)).as("n_dup_grams"))
+      val covered = occ
+        .select($"doc_id", explode(sequence($"pos", $"pos" + (ContamN - 1))).as("p"))
+        .distinct()
+        .groupBy($"doc_id").agg(count(lit(1)).as("covered"))
+      stats.join(covered, "doc_id")
+        .select($"doc_id", $"n_toks", $"n_dup_grams", $"covered",
+          round($"covered".cast("double") / $"n_toks", 4).as("dup_coverage"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             gr AS (SELECT doc_id, len(w) AS n_toks, i - 1 AS pos,
+                           array_to_string(w[i:i+${ContamN - 1}], ' ') AS g
+                    FROM t, unnest(range(1, greatest(len(w) - ${ContamN - 2}, 1))) u(i)),
+             dup AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd
+                                    FROM gr GROUP BY g) WHERE nd > 1),
+             occ AS (SELECT doc_id, n_toks, pos FROM gr JOIN dup USING (g)),
+             stats AS (SELECT doc_id, max(n_toks) AS n_toks,
+                              count(*) AS n_dup_grams
+                       FROM occ GROUP BY doc_id),
+             cov AS (SELECT DISTINCT doc_id, p
+                     FROM occ, unnest(range(pos, pos + $ContamN)) r(p)),
+             covc AS (SELECT doc_id, count(*) AS covered FROM cov GROUP BY doc_id)
+             SELECT s.doc_id, s.n_toks, s.n_dup_grams, c.covered,
+                    round(c.covered * 1.0 / s.n_toks, 4) AS dup_coverage
+             FROM stats s JOIN covc c USING (doc_id) ORDER BY s.doc_id""")
+  )
+
   /** TF-IDF top-3 terms per document (ln idf, tf normalized by doc
     * length). The classic "what is this document about" profile; also the
     * standard weighting for sparse retrieval baselines next to the dense
@@ -196,5 +256,5 @@ object Corpus {
             FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""")
   )
 
-  def all: Seq[GraftQuery] = Seq(contamination, repetition, tfidf)
+  def all: Seq[GraftQuery] = Seq(contamination, repetition, substringDup, tfidf)
 }

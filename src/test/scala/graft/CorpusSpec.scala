@@ -67,6 +67,32 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("substring dedup: coverage matches Scala recomputation") {
+    val out = llm.Corpus.substringDup.run(spark, TestSpark.Sf).collect()
+    assert(out.nonEmpty)
+    val all = docsById
+    // Recompute: grams occurring in >1 doc, per-doc occurrence + coverage.
+    val byGram = all.toSeq.flatMap { case (id, t) =>
+      t.split(" ").sliding(8).filter(_.length > 0).zipWithIndex
+        .map { case (g, i) => (g.mkString(" "), id, i) }
+    }
+    val dupGrams = byGram.groupBy(_._1).filter(_._2.map(_._2).distinct.size > 1).keySet
+    val occ = byGram.filter(o => dupGrams(o._1))
+    val expected = occ.groupBy(_._2).map { case (id, os) =>
+      val n = all(id).split(" ").length
+      val covered = os.flatMap(o => o._3 until math.min(o._3 + 8, n)).distinct.size
+      id -> (os.size.toLong, covered.toLong)
+    }
+    assert(out.map(_.getLong(0)).toSet === expected.keySet)
+    out.foreach { r =>
+      val (nd, cov) = expected(r.getLong(0))
+      assert(r.getAs[Long]("n_dup_grams") == nd, s"doc ${r.getLong(0)} n_dup_grams")
+      assert(r.getAs[Long]("covered") == cov, s"doc ${r.getLong(0)} covered")
+      assert(math.abs(r.getAs[Double]("dup_coverage") -
+        cov.toDouble / r.getAs[Long]("n_toks")) < 1e-4)
+    }
+  }
+
   test("tfidf: 3 ranked terms per doc, scores descending, match recomputation") {
     val out = llm.Corpus.tfidf.run(spark, TestSpark.Sf).collect()
     val all = docsById
