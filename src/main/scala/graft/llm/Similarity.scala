@@ -110,10 +110,11 @@ object Similarity {
     None
   )
 
-  /** IVF (inverted-file) ANN: a deterministic centroid sample partitions
-    * the vector space; every candidate is assigned to its nearest centroid
-    * (the inverted list), and each query probes only its `NProbe` nearest
-    * lists — turning the all-pairs scan into an equi-join on centroid id.
+  /** IVF (inverted-file) ANN: a deterministic centroid sample, refined by
+    * two distributed Lloyd (k-means) rounds, partitions the vector space;
+    * every candidate is assigned to its nearest centroid (the inverted
+    * list), and each query probes only its `NProbe` nearest lists —
+    * turning the all-pairs scan into an equi-join on centroid id.
     *
     * Scale shape: assignment is a broadcast nested-loop against ~√N
     * centroids followed by a map-side-complete max_by aggregate — the
@@ -128,20 +129,8 @@ object Similarity {
     (s, dir) => {
       import s.implicits._
       val NProbe = 3
+      val LloydRounds = 2
       val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
-      // The centroid codebook: a deterministic ~1/37 sample (k-means would
-      // refine it; the IVF dataflow is identical). It is a bounded model
-      // artifact, aggregated EXECUTOR-SIDE into a single array row and
-      // attached to every scan partition by a broadcast join — the driver
-      // never materializes it (the round-1 form collected it to the driver
-      // and folded it into the plan as a literal: O(codebook) driver memory
-      // and plan size). Classic IVF premise: the codebook fits in executor
-      // memory; beyond that, front it with a coarse quantizer (same
-      // dataflow, two levels).
-      val codebook = broadcast(
-        e.filter(pmod($"vec_id", lit(37)) === lit(5))
-          .agg(collect_list(struct($"vec_id".as("cid"), $"embedding".as("cv")))
-            .as("cb")))
       // Per-row scored centroid list: array<struct<csim,cid>> — struct
       // comparison is lexicographic, so array_max/array_sort give a
       // deterministic argmax with cid tie-break.
@@ -149,6 +138,37 @@ object Similarity {
         transform(col("cb"), c =>
           struct(VectorFunctions.cosine(s, c.getField("cv"), vec).as("csim"),
                  c.getField("cid").as("cid")))
+      // Codebook as a bounded model artifact: aggregated EXECUTOR-SIDE
+      // into a single array row and attached to every scan partition by a
+      // broadcast join — the driver never materializes it (the round-1
+      // form collected it to the driver and folded it into the plan as a
+      // literal: O(codebook) driver memory and plan size). Classic IVF
+      // premise: the codebook fits in executor memory; beyond that, front
+      // it with a coarse quantizer (same dataflow, two levels).
+      def cbOf(cents: DataFrame): DataFrame = broadcast(
+        cents.agg(collect_list(struct($"cid", $"cv")).as("cb")))
+      // Seed centroids: deterministic ~1/37 sample, then LloydRounds of
+      // distributed k-means refinement — pure dataflow per round (assign =
+      // argmax against the broadcast codebook; update = per-(cid, dim)
+      // mean via posexplode + re-assembly), fixed iteration count so no
+      // driver actions are needed; the refined codebook caches because the
+      // assignment and probe sides below both consume it. Empty clusters
+      // drop, as in standard Lloyd.
+      var cents: DataFrame = e.filter(pmod($"vec_id", lit(37)) === lit(5))
+        .select($"vec_id".as("cid"), $"embedding".as("cv"))
+      for (_ <- 1 to LloydRounds) {
+        val assigned = e.crossJoin(cbOf(cents))
+          .select($"embedding",
+            array_max(centScores($"embedding")).getField("cid").as("cid"))
+        cents = assigned
+          .select($"cid", posexplode($"embedding").as(Seq("dim", "x")))
+          .groupBy($"cid", $"dim").agg(avg($"x").as("m"))
+          .groupBy($"cid")
+          .agg(transform(array_sort(collect_list(struct($"dim", $"m"))),
+            c => c.getField("m").cast("float")).as("cv"))
+          .cache()
+      }
+      val codebook = cbOf(cents)
       // Inverted-list assignment: nearest centroid, computed in the scan
       // projection (the 1-row codebook join adds no shuffle to the big
       // side). At 100 TB this is the table you persist bucketed by cid.

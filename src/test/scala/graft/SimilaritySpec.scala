@@ -71,6 +71,9 @@ class SimilaritySpec extends AnyFunSuite {
     val approx = rows.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
     val recall = brute.intersect(approx).size.toDouble / brute.size
     info(f"IVF recall@10 vs brute force: $recall%.2f")
-    assert(recall > 0.0)
+    // 0.32 unrefined sample codebook; 0.52 after 2 Lloyd rounds. The floor
+    // is below the measured value because Lloyd means sum doubles in
+    // partition order (assignments can flip on ties across runs).
+    assert(recall > 0.2)
   }
 }
