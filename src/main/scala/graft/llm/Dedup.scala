@@ -54,14 +54,21 @@ object Dedup {
     * shuffle-hash join on the id key is co-partitioned with the candidate
     * set (which is small — bounded by true-dups × bucket collisions) and
     * never materializes either side whole on one node. */
-  private def verifyPairs(s: SparkSession, dir: String, cands: DataFrame): DataFrame = {
+  private def verifyPairs(s: SparkSession, dir: String, cands: DataFrame): DataFrame =
+    verifyPairsOf(s, shingled(s, dir), cands, merge = false)
+
+  private def verifyPairsOf(s: SparkSession, sh: DataFrame, cands: DataFrame,
+                            merge: Boolean): DataFrame = {
     import s.implicits._
-    val sh = shingled(s, dir)
+    // shuffle_hash for the ad-hoc table; merge (SMJ) when sh is a persisted
+    // bucketed layout, whose bucket distribution satisfies the join's
+    // requirement at read time — zero exchange on the signature side.
+    val strategy = if (merge) "merge" else "shuffle_hash"
     cands
       .join(sh.select($"doc_id".as("id_a"), $"shingles".as("sh_a"), $"n".as("n_a"))
-              .hint("shuffle_hash"), "id_a")
+              .hint(strategy), "id_a")
       .join(sh.select($"doc_id".as("id_b"), $"shingles".as("sh_b"), $"n".as("n_b"))
-              .hint("shuffle_hash"), "id_b")
+              .hint(strategy), "id_b")
       .filter(TF.sizeRatioPass($"n_a", $"n_b", Tau))
       // |A∩B| via the codegen merge scan over the pre-sorted sets (no
       // intersection array ever materializes), and |A∪B| = |A|+|B|-|A∩B|
@@ -152,9 +159,12 @@ object Dedup {
     * The positional suffix bound stays valid under either order because
     * `pos` is the element's rank in the SAME global order on both sides. */
   private[graft] def prefixes(s: SparkSession, dir: String,
-                            rarestFirst: Boolean): DataFrame = {
+                            rarestFirst: Boolean): DataFrame =
+    prefixesOf(s, shingled(s, dir), rarestFirst)
+
+  private def prefixesOf(s: SparkSession, sh: DataFrame,
+                         rarestFirst: Boolean): DataFrame = {
     import s.implicits._
-    val sh = shingled(s, dir)
     val plen = (floor(lit(1.0 - Tau) * $"n") + 1).cast("int")
     if (!rarestFirst) {
       sh.select($"doc_id", $"n",
@@ -174,9 +184,18 @@ object Dedup {
   /** The llm_dedup_ngram_jaccard dataflow, parameterized on prefix order
     * so DedupSpec can pin both orders to identical results. */
   private[graft] def ngramJaccardPipeline(s: SparkSession, dir: String,
-                                        rarestFirst: Boolean): DataFrame = {
+                                        rarestFirst: Boolean): DataFrame =
+    jaccardPipelineOver(s, shingled(s, dir), rarestFirst, merge = false)
+
+  /** Same dataflow over an arbitrary (doc_id, shingles, n) signature table
+    * — the layout-reuse entry point: `llm_dedup_bucketed` passes the
+    * persisted bucketed table and `merge = true` so the verification joins
+    * plan as SMJ with the bucketed side exchange-free. */
+  private def jaccardPipelineOver(s: SparkSession, sh: DataFrame,
+                                  rarestFirst: Boolean,
+                                  merge: Boolean): DataFrame = {
     import s.implicits._
-    val prefixTable = prefixes(s, dir, rarestFirst)
+    val prefixTable = prefixesOf(s, sh, rarestFirst)
       .cache() // both sides of the self-join below
     // Both PPJoin bounds ride IN the join condition, pruning pairs
     // before the distinct shuffle: (1) size-ratio feasibility, (2) the
@@ -195,8 +214,42 @@ object Dedup {
           candReq * ($"a.n" + $"b.n").cast("double"))
       .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
       .distinct()
-    verifyPairs(s, dir, cands)
+    verifyPairsOf(s, sh, cands, merge)
   }
+
+  /** N-gram Jaccard dedup over a PERSISTED bucketed signature layout —
+    * the layout-reuse answer for recurring dedup at 100 TB: the shingle
+    * table is written once bucketed by doc_id (8 buckets, sorted), and
+    * every subsequent dedup run's verification joins read it co-located —
+    * SMJ with ZERO exchange and zero sort on the signature side (the fat
+    * side: shingle arrays dwarf the candidate id pairs). Same pair set and
+    * oracle as llm_dedup_ngram_jaccard; the plan, not the answer, is the
+    * point. Mirrors join_bucketed's persist/re-register convention. */
+  val bucketed: GraftQuery = GraftQuery(
+    "llm_dedup_bucketed",
+    (s, dir) => {
+      import s.implicits._
+      val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val tbl = s"graft_signatures_$sfx"
+      val path = s"/tmp/graft_signatures/$sfx"
+      if (!s.catalog.tableExists(tbl)) {
+        if (new java.io.File(path, "_SUCCESS").exists()) {
+          // layout on disk from an earlier session — re-register the
+          // external bucketed table (bucket ids live in the filenames).
+          s.sql(s"""CREATE TABLE $tbl
+                    (`doc_id` BIGINT, `shingles` ARRAY<BIGINT>, `n` INT)
+                    USING PARQUET
+                    CLUSTERED BY (doc_id) SORTED BY (doc_id) INTO 8 BUCKETS
+                    LOCATION '$path'""")
+        } else {
+          shingled(s, dir).write.bucketBy(8, "doc_id").sortBy("doc_id")
+            .option("path", path).mode("overwrite").saveAsTable(tbl)
+        }
+      }
+      jaccardPipelineOver(s, s.table(tbl), rarestFirstPrefixes, merge = true)
+    },
+    Some(jaccardOracle)
+  )
 
   /** MinHash signature table: 128 permutations, computed row-level by the
     * native MinHashSignature expression — a pure function of the row's
@@ -470,6 +523,6 @@ object Dedup {
   )
 
   def all: Seq[GraftQuery] =
-    Seq(exact, ngramJaccard, minhashLsh, simhash, simhashPoly,
+    Seq(exact, ngramJaccard, bucketed, minhashLsh, simhash, simhashPoly,
         embedCosine, embedCosineLsh, cluster)
 }

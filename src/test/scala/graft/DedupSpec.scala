@@ -93,6 +93,27 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed signature dedup: identical pairs, co-located verification") {
+    val plain = llm.Dedup.ngramJaccard.run(spark, TestSpark.Sf)
+    val buck = llm.Dedup.bucketed.run(spark, TestSpark.Sf)
+    val p = plain.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = buck.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(b === p)
+    assert(b.nonEmpty)
+    val bPlan = buck.queryExecution.executedPlan.toString
+    assert(bPlan.contains("Bucketed: true"),
+      "verification must read the persisted bucketed signature layout")
+    assert(bPlan.contains("SortMergeJoin"), "merge hint must pin SMJ")
+    // The signature (fat) side of both verification joins reads
+    // pre-bucketed — strictly fewer exchanges than the ad-hoc form.
+    def nEx(pl: String) = "Exchange".r.findAllIn(pl).length
+    val pPlan = plain.queryExecution.executedPlan.toString
+    assert(nEx(bPlan) < nEx(pPlan),
+      s"bucketed=${nEx(bPlan)} exchanges vs ad-hoc=${nEx(pPlan)}")
+  }
+
   test("connectedComponents: min-label fixpoint on a diameter-4 path graph") {
     // Path 1-2-3-4-5 forces multi-round propagation; (10,11) is isolated.
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
