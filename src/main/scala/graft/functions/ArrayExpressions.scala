@@ -210,6 +210,52 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** Native expression: hashed word n-gram shingles in POSITION order (no
+  * sort, no dedupe) — the positional twin of [[SortedHashedShingles]],
+  * same chained token-hash values (parity-pinned: sort+distinct of this
+  * equals the sorted form). For operators that need gram offsets
+  * (duplicated-substring coverage), where building gram STRINGS via
+  * concat_ws just to hash them afterwards doubles the map-side cost.
+  */
+case class PositionalHashedShingles(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val nt = toks.numElements()
+    val th = new Array[Long](nt)
+    var i = 0
+    while (i < nt) {
+      th(i) = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(toks.getUTF8String(i), StringType, 42L)
+      i += 1
+    }
+    val nsh = math.max(nt - n, 0) + 1
+    val out = new Array[Long](nsh)
+    i = 0
+    while (i < nsh) {
+      var h = 42L
+      var j = 0
+      while (j < n && i + j < nt) {
+        h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(th(i + j), LongType, h)
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Native expression: SimHash over PRE-COMPUTED per-token hashes — one
   * row-level pass, parameterized on signature width.
   *
@@ -269,6 +315,10 @@ object ArrayFunctions {
       exprs => SortedHashedShingles(exprs(0),
         exprs(1).eval().asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction(
+      "graft_positional_shingles",
+      exprs => PositionalHashedShingles(exprs(0),
+        exprs(1).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction(
       "graft_simhash_from_hashes",
       exprs => SimHashFromHashes(exprs(0),
         exprs(1).eval().asInstanceOf[Int]), "built-in")
@@ -305,6 +355,13 @@ object ArrayFunctions {
   def simhash64(spark: SparkSession, tokens: Column): Column = {
     register(spark)
     call_function("graft_simhash64", tokens)
+  }
+
+  /** Position-ordered hashed n-gram shingles of an array<string> column. */
+  def positionalShingles(spark: SparkSession, tokens: Column, n: Int): Column = {
+    register(spark)
+    call_function("graft_positional_shingles", tokens,
+      org.apache.spark.sql.functions.lit(n))
   }
 
   /** `bits`-wide SimHash of a pre-hashed array<long> token column. */

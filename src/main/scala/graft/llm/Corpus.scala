@@ -170,14 +170,15 @@ object Corpus {
     "llm_dedup_substring",
     (s, dir) => {
       import s.implicits._
+      // Position-ordered hashed grams from the native expression — no
+      // gram strings ever materialize (concat_ws + xxhash64 of the string
+      // measured ~2x the map-side cost at sf0.1); `pos` is the gram's
+      // token offset, which the coverage explode below depends on.
       val grams = Tables.documents(s, dir)
         .select($"doc_id", TF.tokens($"text").as("w"))
         .select($"doc_id", size($"w").cast("long").as("n_toks"),
-          posexplode(transform(
-            sequence(lit(0), greatest(size($"w") - ContamN, lit(0))),
-            i => concat_ws(" ", slice($"w", i + lit(1), lit(ContamN)))))
-            .as(Seq("pos", "g")))
-        .select($"doc_id", $"n_toks", $"pos", xxhash64($"g").as("gh"))
+          posexplode(graft.functions.ArrayFunctions.positionalShingles(
+            s, $"w", ContamN)).as(Seq("pos", "gh")))
       val dup = grams.groupBy($"gh")
         .agg(countDistinct($"doc_id").as("nd"))
         .filter($"nd" > 1).select($"gh")

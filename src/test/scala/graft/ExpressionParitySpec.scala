@@ -70,6 +70,25 @@ class ExpressionParitySpec extends AnyFunSuite {
     native.foreach { case (id, sh) => assert(sh === dataflow(id), s"doc $id") }
   }
 
+  test("PositionalHashedShingles: sort+distinct equals SortedHashedShingles") {
+    val rows = docs
+      .select($"doc_id", TF.tokens($"text").as("toks"))
+      .select($"doc_id",
+        array_sort(array_distinct(
+          AF.positionalShingles(spark, $"toks", 3))).as("posDeduped"),
+        AF.sortedShingles(spark, $"toks", 3).as("sorted"),
+        size(AF.positionalShingles(spark, $"toks", 3)).as("nPos"),
+        (greatest(size($"toks") - 3, lit(0)) + 1).as("nExpected"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) === r.getSeq[Long](2),
+        s"hash-set mismatch for doc ${r.getLong(0)}")
+      assert(r.getInt(3) === r.getInt(4),
+        s"positional count mismatch for doc ${r.getLong(0)}")
+    }
+  }
+
   test("SimHashFromHashes == aggregate-per-bit declarative form (60-bit md5)") {
     val rows = docs
       .select($"doc_id", TF.tokens($"text").as("toks"))
