@@ -41,5 +41,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_minhash_sig", "k-permutation MinHash signature"),
       (e: Seq[Expression]) => MinHashSignature(e(0),
         e(1).eval().asInstanceOf[Int], e(2).eval().asInstanceOf[Long])))
+    ext.injectFunction((FunctionIdentifier("graft_positional_shingles"),
+      info("graft_positional_shingles",
+        "position-ordered hashed n-gram shingles"),
+      (e: Seq[Expression]) => PositionalHashedShingles(e(0),
+        e(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((FunctionIdentifier("graft_simhash_from_hashes"),
+      info("graft_simhash_from_hashes",
+        "bits-wide SimHash of a pre-hashed token array"),
+      (e: Seq[Expression]) => SimHashFromHashes(e(0),
+        e(1).eval().asInstanceOf[Int])))
   }
 }

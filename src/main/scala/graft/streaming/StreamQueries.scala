@@ -200,6 +200,41 @@ object StreamQueries {
             ORDER BY purchase_id, click_id""")
   )
 
+  /** Top-3 event types per tumbling hour — the trending-items staple.
+    * Batch-graded form: windowed hash aggregate, then a rank window
+    * PARTITIONED by the time window (distributed across windows; the
+    * per-partition heap prunes to k via Spark 4's WindowGroupLimit before
+    * the final filter). In production streaming this runs as the same
+    * windowed aggregate with the rank applied per micro-batch in
+    * foreachBatch (rank-over-agg isn't incrementalizable in-engine;
+    * the aggregate state is, and it's watermark-bounded). */
+  val topkWindow: GraftQuery = GraftQuery(
+    "stream_topk_window",
+    (s, dir) => {
+      import s.implicits._
+      val counts = Tables.events(s, dir)
+        .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+      counts
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"w").orderBy($"n".desc, $"event_type".asc)))
+        .filter($"rnk" <= 3)
+        .select($"w.start".as("ws"), $"rnk", $"event_type", $"n")
+        .orderBy($"ws", $"rnk")
+    },
+    Some("""WITH c AS (SELECT date_trunc('hour', ts) AS ws, event_type,
+                              count(*) AS n
+                       FROM events GROUP BY 1, 2),
+            r AS (SELECT ws, event_type, n,
+                         row_number() OVER (PARTITION BY ws
+                           ORDER BY n DESC, event_type) AS rnk
+                  FROM c)
+            SELECT ws, CAST(rnk AS INT) AS rnk, event_type, n
+            FROM r WHERE rnk <= 3 ORDER BY ws, rnk""")
+  )
+
   def all: Seq[GraftQuery] =
-    Seq(tumbling, sliding, session, dedup, watermarkLate, intervalJoin)
+    Seq(tumbling, sliding, session, dedup, watermarkLate, intervalJoin,
+        topkWindow)
 }

@@ -48,6 +48,21 @@ class ExtensionsSpec extends AnyFunSuite {
         array(CAST(2 AS BIGINT), CAST(5 AS BIGINT), CAST(9 AS BIGINT))) AS n
     """).collect().head.getInt(0)
     assert(isz === 2)
+    val row2 = spark.sql("""
+      SELECT graft_positional_shingles(array('a', 'b', 'c', 'd'), 3) AS ps,
+             graft_simhash_from_hashes(
+               array(CAST(5 AS BIGINT), CAST(5 AS BIGINT)), 60) AS sh
+    """).collect().head
+    assert(row2.getSeq[Long](0).length === 2)
+    // every hash = 5 (0b101): unanimous votes reproduce the hash itself
+    assert(row2.getLong(1) === 5L)
+    // positional sort+distinct == sorted form
+    val parity = spark.sql("""
+      SELECT array_sort(array_distinct(
+               graft_positional_shingles(array('a', 'b', 'c', 'd'), 3)))
+             = graft_sorted_shingles(array('a', 'b', 'c', 'd'), 3) AS eq
+    """).collect().head.getBoolean(0)
+    assert(parity)
   }
 
   test("SQL-form expressions agree with the Column-form registrations") {

@@ -41,6 +41,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed top-k runs as streaming agg + foreachBatch rank") {
+    // The production form of stream_topk_window: the windowed count is
+    // incremental engine state (watermark-bounded); the rank applies per
+    // micro-batch output in foreachBatch (rank-over-agg isn't
+    // incrementalizable in-engine).
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val counts = input.toDF().toDF("ts", "event_type")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "10 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+    val got = scala.collection.mutable.Map[(Timestamp, String), (Int, Long)]()
+    val q = counts.writeStream
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ranked = batch
+          .withColumn("rnk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy($"w").orderBy($"n".desc, $"event_type".asc)))
+          .filter($"rnk" <= 2)
+          .select($"w.start".as("ws"), $"event_type", $"rnk", $"n")
+          .collect()
+        got.synchronized {
+          ranked.foreach(r => got((r.getTimestamp(0), r.getString(1))) =
+            (r.getInt(2), r.getLong(3)))
+        }
+      }
+      .start()
+    try {
+      input.addData((ts(1), "click"), (ts(2), "click"), (ts(3), "view"),
+                    (ts(4), "view"), (ts(5), "view"), (ts(6), "error"))
+      q.processAllAvailable()
+      // window [10:00,10:10): view×3 rank 1, click×2 rank 2, error pruned
+      assert(got((ts(0), "view")) === ((1, 3L)))
+      assert(got((ts(0), "click")) === ((2, 2L)))
+      assert(!got.contains((ts(0), "error")))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups across micro-batches") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp)]
