@@ -65,6 +65,22 @@ class IngestSpec extends AnyFunSuite {
     assert(belowJoin.contains("Bucketed: true"))
   }
 
+  test("partition+bucket layout: pruned listing AND shuffle-free aggregation") {
+    val df = operators.Ingest.partitionBucket.run(spark, TestSpark.Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"), "must read the bucketed layout")
+    assert(plan.contains("PartitionFilters: [") &&
+           plan.contains("(d"), // day-range predicates reach the dir listing
+      "day filter must prune at partition listing")
+    // The bucket distribution satisfies groupBy(user_id): the ONLY
+    // exchange is the final orderBy's range partitioning — no hash
+    // shuffle anywhere.
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"aggregation must be shuffle-free over the bucketed layout:\n$plan")
+    assert(plan.contains("ReadSchema: struct<user_id:bigint,value:double>"),
+      "column pruning must reach the scan")
+  }
+
   test("scan_partition_prune pushes the day filter to partition listing") {
     val df = operators.Ingest.scanPartitionPrune.run(spark, TestSpark.Sf)
     val plan = df.queryExecution.executedPlan.toString
