@@ -57,7 +57,7 @@ object MicroBench {
     }
     best3("minhash-128: native MinHashSignature") {
       sh.select($"doc_id", AF.minhashSignature(spark, $"shingles", 128).as("sig"))
-        .agg(count(lit(1))).collect()
+        .agg(sum(size($"sig"))).collect() // consume sig: defeat column pruning
     }
 
     best3("simhash: explode tokens x 64-bit votes") {
@@ -75,7 +75,40 @@ object MicroBench {
     }
     best3("simhash: native SimHash64") {
       toks.select($"doc_id", AF.simhash64(spark, $"toks").as("sig"))
-        .agg(count(lit(1))).collect()
+        .agg(max($"sig")).collect() // consume sig: defeat column pruning
+    }
+
+    best3("simhash-60 md5: aggregate-per-bit HOF") {
+      toks
+        .withColumn("hashes",
+          expr("transform(toks, t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT))"))
+        .select(expr("""aggregate(sequence(0, 59), CAST(0 AS BIGINT),
+            (acc, j) -> acc + IF(
+              aggregate(hashes, CAST(0 AS BIGINT),
+                (a, h) -> a + (shiftright(h, j) % 2) * 2 - 1) > 0,
+              CAST(pow(2, j) AS BIGINT), CAST(0 AS BIGINT)))""").as("sig"))
+        .agg(max($"sig")).collect()
+    }
+    best3("simhash-60 md5: native SimHashFromHashes") {
+      toks
+        .withColumn("hashes",
+          expr("transform(toks, t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT))"))
+        .select(AF.simhashFromHashes(spark, $"hashes", 60).as("sig"))
+        .agg(max($"sig")).collect()
+    }
+
+    best3("positional 8-grams: concat_ws strings + xxhash64") {
+      toks.select(posexplode(transform(
+          sequence(lit(0), greatest(size($"toks") - 8, lit(0))),
+          i => concat_ws(" ", slice($"toks", i + lit(1), lit(8)))))
+          .as(Seq("pos", "g")))
+        .select(xxhash64($"g").as("gh"))
+        .agg(max($"gh")).collect()
+    }
+    best3("positional 8-grams: native PositionalHashedShingles") {
+      toks.select(posexplode(AF.positionalShingles(spark, $"toks", 8))
+          .as(Seq("pos", "gh")))
+        .agg(max($"gh")).collect()
     }
 
     val pairs = sh.limit(500).as("a").crossJoin(sh.limit(500).as("b"))
