@@ -195,6 +195,38 @@ object Relational {
             ORDER BY revenue DESC, n_name""")
   )
 
+  /** Correlated subqueries through the SQL surface: a correlated scalar
+    * aggregate (balance above own-nation average) plus a correlated
+    * EXISTS (has an urgent order). Catalyst DECORRELATES both — the
+    * scalar subquery becomes an aggregate joined back on the correlation
+    * key, EXISTS becomes a left-semi join — so the executed plan is
+    * ordinary co-partitioned joins + hash aggregates, never a per-row
+    * re-execution of the subquery (the thing that would be quadratic at
+    * scale). Same SQL text runs in DuckDB as the oracle. */
+  val sqlSubquery: GraftQuery = GraftQuery(
+    "sql_subquery",
+    (s, dir) => {
+      for (t <- Seq("customer", "orders"))
+        graft.sources.Tables.table(s, dir, t).createOrReplaceTempView(s"v_$t")
+      s.sql("""SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+               FROM v_customer c
+               WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM v_customer c2
+                                  WHERE c2.c_nationkey = c.c_nationkey)
+                 AND EXISTS (SELECT 1 FROM v_orders o
+                             WHERE o.o_custkey = c.c_custkey
+                               AND o.o_orderpriority = '1-URGENT')
+               ORDER BY c_custkey""")
+    },
+    Some("""SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+            FROM customer c
+            WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                               WHERE c2.c_nationkey = c.c_nationkey)
+              AND EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+            ORDER BY c_custkey""")
+  )
+
   /** Null cleaning (na.fill / na.drop / replace): nulls are introduced
     * deterministically via nullif so the fixtures' null-free data gains a
     * real null pattern, then cleaned both ways with counts proving each
@@ -233,5 +265,6 @@ object Relational {
 
   def all: Seq[GraftQuery] = Seq(
     scanProject, scanFilterPushdown, filterPred, projectCompute,
-    sortLimit, setUnion, setIntersect, setExcept, sqlStarQ5, cleanNa)
+    sortLimit, setUnion, setIntersect, setExcept, sqlStarQ5, sqlSubquery,
+    cleanNa)
 }
