@@ -58,29 +58,19 @@ case class SortedLongIntersectSize(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Native expression: ASC-sorted distinct 64-bit hashes of all word
-  * n-gram shingles of a token array, in one pass per row.
-  *
-  * Replaces a four-deep higher-order pipeline (tokenHashes → sequence →
-  * transform(xxhash64) → array_distinct → array_sort) whose per-element
-  * interpreted-lambda overhead (~2 µs/shingle) dominates dedup's map side.
-  * Here: each token hashed once, shingle hashes chained with the same
-  * seed-fold Spark's `xxhash64(...)` uses (bit-identical to
-  * `shingleSetFromHashes(tokenHashes(t), n)`, asserted in DedupSpec),
-  * then primitive sort + adjacent-dedupe. One virtual call per ROW
-  * (CodegenFallback), tight JIT'd loops inside — shingling is the single
-  * biggest map-side cost of every dedup pipeline at 100 TB.
-  */
-case class SortedHashedShingles(child: Expression, n: Int)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+/** The one shingle-hash definition both shingle expressions share: each
+  * token hashed once (xxhash64, seed 42), then each n-gram's token hashes
+  * chained with the same seed-fold Spark's `xxhash64(...)` uses —
+  * bit-identical to `shingleSetFromHashes(tokenHashes(t), n)` (asserted
+  * in DedupSpec/ExpressionParitySpec). Living in ONE place is
+  * load-bearing: the sorted and positional expressions must emit the
+  * same values or the sort+distinct parity invariant silently breaks. */
+private object ShingleHashing {
+  import org.apache.spark.sql.types.{LongType, StringType}
 
-  import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
-
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[ArrayData]
+  /** Position-ordered chained hashes; short docs (nt < n) emit one
+    * partial shingle, matching `sequence(0, greatest(size - n, 0))`. */
+  def positional(toks: ArrayData, n: Int): Array[Long] = {
     val nt = toks.numElements()
     val th = new Array[Long](nt)
     var i = 0
@@ -89,8 +79,6 @@ case class SortedHashedShingles(child: Expression, n: Int)
         .hash(toks.getUTF8String(i), StringType, 42L)
       i += 1
     }
-    // matches sequence(0, greatest(size - n, 0)): short docs emit partial
-    // shingles (hash of however many hashes exist past position i)
     val nsh = math.max(nt - n, 0) + 1
     val out = new Array[Long](nsh)
     i = 0
@@ -105,9 +93,34 @@ case class SortedHashedShingles(child: Expression, n: Int)
       out(i) = h
       i += 1
     }
+    out
+  }
+}
+
+/** Native expression: ASC-sorted distinct 64-bit hashes of all word
+  * n-gram shingles of a token array, in one pass per row.
+  *
+  * Replaces a four-deep higher-order pipeline (tokenHashes → sequence →
+  * transform(xxhash64) → array_distinct → array_sort) whose per-element
+  * interpreted-lambda overhead (~2 µs/shingle) dominates dedup's map side.
+  * Sort + adjacent-dedupe over [[ShingleHashing.positional]]. One virtual
+  * call per ROW (CodegenFallback), tight JIT'd loops inside — shingling is
+  * the single biggest map-side cost of every dedup pipeline at 100 TB.
+  */
+case class SortedHashedShingles(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  import org.apache.spark.sql.types.{ArrayType, LongType}
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val out = ShingleHashing.positional(input.asInstanceOf[ArrayData], n)
+    val nsh = out.length
     java.util.Arrays.sort(out)
     var w = 0
-    i = 0
+    var i = 0
     while (i < nsh) {
       if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
       i += 1
@@ -221,36 +234,13 @@ case class PositionalHashedShingles(child: Expression, n: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
-  import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
+  import org.apache.spark.sql.types.{ArrayType, LongType}
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[ArrayData]
-    val nt = toks.numElements()
-    val th = new Array[Long](nt)
-    var i = 0
-    while (i < nt) {
-      th(i) = org.apache.spark.sql.catalyst.expressions.XxHash64Function
-        .hash(toks.getUTF8String(i), StringType, 42L)
-      i += 1
-    }
-    val nsh = math.max(nt - n, 0) + 1
-    val out = new Array[Long](nsh)
-    i = 0
-    while (i < nsh) {
-      var h = 42L
-      var j = 0
-      while (j < n && i + j < nt) {
-        h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
-          .hash(th(i + j), LongType, h)
-        j += 1
-      }
-      out(i) = h
-      i += 1
-    }
-    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      ShingleHashing.positional(input.asInstanceOf[ArrayData], n))
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -52,11 +52,21 @@ object Corpus {
       // expression emits the distinct hashed 8-gram set in one pass per
       // row (the concat_ws string form measured ~2x slower at sf0.1). The
       // oracle builds string grams — only the per-doc counts must agree,
-      // and they do for any injective gram representation.
-      val grams = Tables.documents(s, dir)
+      // and they do for any injective gram representation. Docs shorter
+      // than the gram order carry no full 8-gram and are skipped (the
+      // native expression would emit a partial shingle for them, which
+      // the oracle's range() formulation never does). The CACHE holds the
+      // compact pre-explode signature rows (one array per doc), not the
+      // exploded gram table — both branches below explode their own copy,
+      // so the expensive hash pass runs once while memory stays O(docs).
+      val sigs = Tables.documents(s, dir)
+        .select($"doc_id", TF.tokens($"text").as("w"))
+        .filter(size($"w") >= ContamN)
         .select($"doc_id",
-          explode(graft.functions.ArrayFunctions.sortedShingles(
-            s, TF.tokens($"text"), ContamN)).as("gh"))
+          graft.functions.ArrayFunctions.sortedShingles(s, $"w", ContamN)
+            .as("ghs"))
+        .cache()
+      val grams = sigs.select($"doc_id", explode($"ghs").as("gh"))
       val bench = grams.filter($"doc_id" % BenchMod === BenchRem)
         .select($"gh").distinct()
       // No distinct on the corpus side: SortedHashedShingles already
@@ -106,15 +116,22 @@ object Corpus {
       import s.implicits._
       val toksArr = Tables.documents(s, dir)
         .select($"doc_id", TF.tokens($"text").as("w"))
+        .cache() // token and bigram branches both read it
       val tokStats = toksArr.select($"doc_id", explode($"w").as("tok"))
         .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
         .groupBy($"doc_id")
         .agg(sum($"c").as("n_tokens"), count(lit(1)).as("n_distinct"),
              max($"c").as("top_tok"))
-      // Bigram MULTISET (no distinct — repetition is about repeats).
+      // Bigram MULTISET (no distinct — repetition is about repeats). The
+      // when() guard keeps sequence() off the size=1 case, where
+      // sequence(0, -1) would DESCEND and the i = -1 slice throws; a
+      // 1-token doc emits no bigrams (matching the oracle's range(1,1) =
+      // empty) and so drops from the joined output in both engines.
       val biStats = toksArr
-        .select($"doc_id", explode(transform(sequence(lit(0), size($"w") - 2),
-          i => concat_ws(" ", slice($"w", i + lit(1), lit(2))))).as("bg"))
+        .select($"doc_id", explode(
+          when(size($"w") >= 2, transform(sequence(lit(0), size($"w") - 2),
+            i => concat_ws(" ", slice($"w", i + lit(1), lit(2)))))
+            .otherwise(array())).as("bg"))
         .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
         .groupBy($"doc_id")
         .agg(sum($"c").as("n_bigrams"), max($"c").as("top_bg"))
@@ -173,12 +190,22 @@ object Corpus {
       // Position-ordered hashed grams from the native expression — no
       // gram strings ever materialize (concat_ws + xxhash64 of the string
       // measured ~2x the map-side cost at sf0.1); `pos` is the gram's
-      // token offset, which the coverage explode below depends on.
-      val grams = Tables.documents(s, dir)
+      // token offset, which the coverage explode below depends on. Docs
+      // shorter than the gram order are skipped (no full 8-gram exists —
+      // and the expression's partial shingle would otherwise claim 8
+      // covered positions in a shorter doc). The CACHE holds the compact
+      // pre-explode signature rows; the dup-gram aggregate and the
+      // occurrence join each explode their own copy, so the hash pass
+      // runs once and memory stays O(docs), not O(grams).
+      val sigs = Tables.documents(s, dir)
         .select($"doc_id", TF.tokens($"text").as("w"))
+        .filter(size($"w") >= ContamN)
         .select($"doc_id", size($"w").cast("long").as("n_toks"),
-          posexplode(graft.functions.ArrayFunctions.positionalShingles(
-            s, $"w", ContamN)).as(Seq("pos", "gh")))
+          graft.functions.ArrayFunctions.positionalShingles(s, $"w", ContamN)
+            .as("ghs"))
+        .cache()
+      val grams = sigs.select($"doc_id", $"n_toks",
+        posexplode($"ghs").as(Seq("pos", "gh")))
       val dup = grams.groupBy($"gh")
         .agg(countDistinct($"doc_id").as("nd"))
         .filter($"nd" > 1).select($"gh")
@@ -231,6 +258,7 @@ object Corpus {
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
       val tc = docs.select($"doc_id", explode(TF.tokens($"text")).as("tok"))
         .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+        .cache() // feeds doc length, document frequency, AND the scoring join
       val dl = tc.groupBy($"doc_id").agg(sum($"c").as("n_tokens"))
       val dfreq = tc.groupBy($"tok").agg(count(lit(1)).as("df"))
       val scored = tc.join(dl, "doc_id").join(dfreq, "tok")

@@ -477,6 +477,12 @@ object Dedup {
       labels = next.select($"v", $"cid")
       round += 1
     }
+    // Fail loudly rather than return a partition that splits a real
+    // component (a keep/drop list built from it would keep duplicates).
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds rounds " +
+        s"($changed labels still changing); raise maxRounds for graphs of this diameter")
     labels
   }
 

@@ -298,7 +298,9 @@ object Ingest {
       val tbl = s"graft_events_pb_$sfx"
       val path = s"/tmp/graft_pb/$sfx"
       if (!s.catalog.tableExists(tbl)) {
-        if (new java.io.File(path).exists()) {
+        // _SUCCESS, not bare existence: a partially-written layout from a
+        // killed earlier run must be rewritten, not silently served.
+        if (new java.io.File(path, "_SUCCESS").exists()) {
           // layout on disk from an earlier session — re-register and
           // recover the partition directories into the catalog.
           s.sql(s"""CREATE TABLE $tbl

@@ -41,10 +41,14 @@ object IncrementalLoader {
     case object Latest extends OffsetReset
   }
 
-  /** True once any micro-batch offset has been committed under `ckpt`. */
+  /** True once any micro-batch has COMMITTED under `ckpt`. Checks the
+    * commits/ log, not offsets/: the engine writes a batch's offsets
+    * BEFORE the sink lands, so an offsets/-based check after a crash
+    * mid-fast-forward would skip the bootstrap and replay the entire
+    * backlog the reset=Latest policy exists to skip. */
   private def bootstrapped(ckpt: String): Boolean = {
-    val offsets = new java.io.File(ckpt, "offsets")
-    offsets.isDirectory && offsets.list() != null && offsets.list().nonEmpty
+    val commits = new java.io.File(ckpt, "commits")
+    commits.isDirectory && commits.list() != null && commits.list().nonEmpty
   }
 
 

@@ -124,6 +124,17 @@ class DedupSpec extends AnyFunSuite {
                           10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents fails loudly when maxRounds truncates propagation") {
+    // A diameter-5 path cannot converge in 2 rounds: better an exception
+    // than a keep/drop list that splits one real cluster.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("src", "dst")
+    val e = intercept[IllegalStateException] {
+      llm.Dedup.connectedComponents(edges, maxRounds = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("dedup clusters: valid partition of the pair graph with min-id labels") {
     val pairs = llm.Dedup.ngramJaccard.run(spark, TestSpark.Sf)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
