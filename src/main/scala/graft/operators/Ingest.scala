@@ -308,13 +308,17 @@ object Ingest {
                      `event_type` STRING, `value` DOUBLE, `props` STRING,
                      `d` STRING)
                     USING PARQUET PARTITIONED BY (d)
-                    CLUSTERED BY (user_id) SORTED BY (user_id) INTO 8 BUCKETS
+                    CLUSTERED BY (user_id) SORTED BY (user_id) INTO 4 BUCKETS
                     LOCATION '$path'""")
           s.sql(s"MSCK REPAIR TABLE $tbl")
         } else {
           Tables.events(s, dir)
             .withColumn("d", date_format($"ts", "yyyy-MM-dd"))
-            .write.partitionBy("d").bucketBy(8, "user_id").sortBy("user_id")
+            // 4 buckets: the layout writes days x buckets files, and the
+            // local-FS per-file writer cost (see BASELINE.md) is the whole
+            // cold price — size bucket count to the data, not habit. The
+            // shuffle-free aggregation property is bucket-count-independent.
+            .write.partitionBy("d").bucketBy(4, "user_id").sortBy("user_id")
             .option("path", path).mode("overwrite").saveAsTable(tbl)
         }
       }
