@@ -225,29 +225,35 @@ object Dedup {
     * side: shingle arrays dwarf the candidate id pairs). Same pair set and
     * oracle as llm_dedup_ngram_jaccard; the plan, not the answer, is the
     * point. Mirrors join_bucketed's persist/re-register convention. */
+  /** The persisted bucketed signature table: written once per sf-dir,
+    * re-registered (not rewritten) on later sessions. Shared by
+    * `llm_dedup_bucketed` and `llm_dedup_cluster`. */
+  private def bucketedSignatures(s: SparkSession, dir: String): DataFrame = {
+    val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val tbl = s"graft_signatures_$sfx"
+    val path = s"/tmp/graft_signatures/$sfx"
+    if (!s.catalog.tableExists(tbl)) {
+      if (new java.io.File(path, "_SUCCESS").exists()) {
+        // layout on disk from an earlier session — re-register the
+        // external bucketed table (bucket ids live in the filenames).
+        s.sql(s"""CREATE TABLE $tbl
+                  (`doc_id` BIGINT, `shingles` ARRAY<BIGINT>, `n` INT)
+                  USING PARQUET
+                  CLUSTERED BY (doc_id) SORTED BY (doc_id) INTO 8 BUCKETS
+                  LOCATION '$path'""")
+      } else {
+        shingled(s, dir).write.bucketBy(8, "doc_id").sortBy("doc_id")
+          .option("path", path).mode("overwrite").saveAsTable(tbl)
+      }
+    }
+    s.table(tbl)
+  }
+
   val bucketed: GraftQuery = GraftQuery(
     "llm_dedup_bucketed",
-    (s, dir) => {
-      import s.implicits._
-      val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
-      val tbl = s"graft_signatures_$sfx"
-      val path = s"/tmp/graft_signatures/$sfx"
-      if (!s.catalog.tableExists(tbl)) {
-        if (new java.io.File(path, "_SUCCESS").exists()) {
-          // layout on disk from an earlier session — re-register the
-          // external bucketed table (bucket ids live in the filenames).
-          s.sql(s"""CREATE TABLE $tbl
-                    (`doc_id` BIGINT, `shingles` ARRAY<BIGINT>, `n` INT)
-                    USING PARQUET
-                    CLUSTERED BY (doc_id) SORTED BY (doc_id) INTO 8 BUCKETS
-                    LOCATION '$path'""")
-        } else {
-          shingled(s, dir).write.bucketBy(8, "doc_id").sortBy("doc_id")
-            .option("path", path).mode("overwrite").saveAsTable(tbl)
-        }
-      }
-      jaccardPipelineOver(s, s.table(tbl), rarestFirstPrefixes, merge = true)
-    },
+    (s, dir) =>
+      jaccardPipelineOver(s, bucketedSignatures(s, dir), rarestFirstPrefixes,
+        merge = true),
     Some(jaccardOracle)
   )
 
@@ -498,7 +504,12 @@ object Dedup {
     "llm_dedup_cluster",
     (s, dir) => {
       import s.implicits._
-      val pairs = ngramJaccardPipeline(s, dir, rarestFirstPrefixes)
+      // Pairs come from the PERSISTED bucketed signature layout (shared
+      // with llm_dedup_bucketed): a recurring clustering run re-reads the
+      // layout co-located instead of re-shingling the corpus — the
+      // incremental-dedup story end to end.
+      val pairs = jaccardPipelineOver(s, bucketedSignatures(s, dir),
+          rarestFirstPrefixes, merge = true)
         .select($"id_a".as("src"), $"id_b".as("dst"))
       val labels = connectedComponents(pairs)
       labels
