@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the FINAL stdout line of `sbt "runMain graft.Bench"` as
+// JSON. By default sbt (a) routes forked-process stdout through its logger,
+// prefixing every line with "[info] ", and (b) appends a "[success] Total
+// time: ..." line after the run — both of which made BENCH_r{1,2}.json land
+// as unparsed tail-scrapes. StdoutOutput passes program output through raw,
+// and showSuccess := false drops the trailing banner, so the bench's own
+// JSON line is genuinely last.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

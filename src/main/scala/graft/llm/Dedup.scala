@@ -30,22 +30,26 @@ object Dedup {
     * Cached: every dedup query reuses this table 2–3 times (candidate
     * generation + both sides of the verification join); at cluster scale
     * you'd persist the signature table for exactly the same reason. */
-  private def shingled(s: SparkSession, dir: String): DataFrame = {
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    shingleOf(s, Tables.documents(s, dir)).cache()
+
+  /** (doc_id, shingles, n) from any (doc_id, text) frame — the signature
+    * build shared by the full-corpus path, the incremental batch path, and
+    * the spec fixtures. Tokens are materialized as their own projection
+    * first: referencing `split(text)` directly inside the shingle lambda
+    * would re-evaluate the split for every element access (~300 splits/doc).
+    * One native expression per row (SortedHashedShingles): token-hash,
+    * shingle-combine, sort, dedupe in tight primitive loops. Sorted at
+    * build: the prefix stage slices the sorted set directly and
+    * verification runs the codegen merge-scan intersect — one sort, two
+    * consumers. */
+  private[graft] def shingleOf(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
-    // Tokens are materialized as their own projection first: referencing
-    // `split(text)` directly inside the shingle lambda would re-evaluate the
-    // split for every element access (~300 splits/doc).
-    // One native expression per row (SortedHashedShingles): token-hash,
-    // shingle-combine, sort, dedupe in tight primitive loops. Sorted at
-    // build: the prefix stage slices the sorted set directly and
-    // verification runs the codegen merge-scan intersect — one sort, two
-    // consumers.
-    Tables.documents(s, dir)
+    docs
       .select($"doc_id", TF.tokens($"text").as("toks"))
       .select($"doc_id",
         graft.functions.ArrayFunctions.sortedShingles(s, $"toks", 3).as("shingles"))
       .withColumn("n", size($"shingles"))
-      .cache()
   }
 
   /** Exact-Jaccard verification of candidate (id_a, id_b) pairs.
@@ -59,16 +63,27 @@ object Dedup {
 
   private def verifyPairsOf(s: SparkSession, sh: DataFrame, cands: DataFrame,
                             merge: Boolean): DataFrame = {
-    import s.implicits._
     // shuffle_hash for the ad-hoc table; merge (SMJ) when sh is a persisted
     // bucketed layout, whose bucket distribution satisfies the join's
     // requirement at read time — zero exchange on the signature side.
     val strategy = if (merge) "merge" else "shuffle_hash"
+    verifyPairsSides(s, sh, strategy, sh, strategy, cands)
+  }
+
+  /** Verification with per-side signature tables and join strategies: the
+    * incremental path looks up id_a in the persisted corpus layout (SMJ,
+    * exchange-free on the bucketed side) and id_b in the fresh batch table
+    * (shuffle_hash) — sides differ, so the plain verifyPairsOf can't. */
+  private def verifyPairsSides(s: SparkSession,
+                               shA: DataFrame, strategyA: String,
+                               shB: DataFrame, strategyB: String,
+                               cands: DataFrame): DataFrame = {
+    import s.implicits._
     cands
-      .join(sh.select($"doc_id".as("id_a"), $"shingles".as("sh_a"), $"n".as("n_a"))
-              .hint(strategy), "id_a")
-      .join(sh.select($"doc_id".as("id_b"), $"shingles".as("sh_b"), $"n".as("n_b"))
-              .hint(strategy), "id_b")
+      .join(shA.select($"doc_id".as("id_a"), $"shingles".as("sh_a"), $"n".as("n_a"))
+               .hint(strategyA), "id_a")
+      .join(shB.select($"doc_id".as("id_b"), $"shingles".as("sh_b"), $"n".as("n_b"))
+               .hint(strategyB), "id_b")
       .filter(TF.sizeRatioPass($"n_a", $"n_b", Tau))
       // |A∩B| via the codegen merge scan over the pre-sorted sets (no
       // intersection array ever materializes), and |A∪B| = |A|+|B|-|A∩B|
@@ -194,27 +209,85 @@ object Dedup {
   private def jaccardPipelineOver(s: SparkSession, sh: DataFrame,
                                   rarestFirst: Boolean,
                                   merge: Boolean): DataFrame = {
-    import s.implicits._
     val prefixTable = prefixesOf(s, sh, rarestFirst)
       .cache() // both sides of the self-join below
-    // Both PPJoin bounds ride IN the join condition, pruning pairs
-    // before the distinct shuffle: (1) size-ratio feasibility, (2) the
-    // positional suffix bound — a true-positive pair's FIRST shared
-    // prefix element always satisfies least(n−pos) ≥ τ/(1+τ)·(na+nb),
-    // so filtering per matched element is lossless after distinct().
+    val cands = candidatesBetween(s, prefixTable, prefixTable,
+      saltedPrefixes, DefaultSaltHotDf)
+    verifyPairsOf(s, sh, cands, merge)
+  }
+
+  /** Flag for deterministic hot-prefix salting (default off): on Zipfian
+    * corpora a handful of prefix hashes land in millions of docs, making
+    * the candidate join's hottest `hv` partition the straggler; AQE
+    * skew-split is the implicit fallback, the salt below is the explicit
+    * plan. Settable per run via `-Dgraft.ppjoin.salted=true` or
+    * `GRAFT_PPJOIN_SALTED=true`. SCALE.md records the crossover. */
+  def saltedPrefixes: Boolean =
+    sys.props.get("graft.ppjoin.salted")
+      .orElse(sys.env.get("GRAFT_PPJOIN_SALTED"))
+      .exists(_.equalsIgnoreCase("true"))
+
+  /** df above which a prefix hash counts as hot; fan-out per hot key. The
+    * hot-key SET is bounded by |prefix rows| / HotDf, so the broadcast in
+    * candidatesBetween shrinks as the threshold rises — size it so the
+    * head you salt is the head that actually straggles. */
+  private[graft] val DefaultSaltHotDf = 64L
+  private[graft] val SaltFanout = 8L
+
+  /** PPJoin candidate generation between two prefix tables (self-join when
+    * `pa eq pb`). Both PPJoin bounds ride IN the join condition, pruning
+    * pairs before the distinct shuffle: (1) size-ratio feasibility, (2) the
+    * positional suffix bound — a true-positive pair's FIRST shared prefix
+    * element always satisfies least(n−pos) ≥ τ/(1+τ)·(na+nb), so filtering
+    * per matched element is lossless after distinct(). Shuffle-hash on the
+    * equi key, never a broadcast (auto-broadcast at test SF would hide a
+    * plan that fails at 100 TB).
+    *
+    * With `salted = true`, rows whose `hv` is hot (document frequency >
+    * hotDf) join on (hv, salt) instead of bare hv: the a-side gets its own
+    * deterministic salt `xxhash64(doc_id) mod SaltFanout` and the b-side
+    * replicates each hot row to every salt value — each qualifying pair
+    * still meets EXACTLY once (at the a-row's salt), so the pair set is
+    * unchanged (DedupSpec pins parity on a Zipfian fixture) while the
+    * hottest key's work spreads over SaltFanout reducers. Cold keys keep
+    * salt 0 — no replication cost outside the Zipf head. The hot-key set
+    * (≤ |prefix rows|/hotDf keys by construction) is broadcast. */
+  private[graft] def candidatesBetween(s: SparkSession,
+                                       pa: DataFrame, pb: DataFrame,
+                                       salted: Boolean,
+                                       hotDf: Long): DataFrame = {
+    import s.implicits._
     val candReq = lit(Tau / (1.0 + Tau))
-    // Candidate self-join: both sides are O(N·prefix) — shuffle-hash on
-    // the equi key, never a broadcast (auto-broadcast at test SF would
-    // hide a plan that fails at 100 TB).
-    val cands = prefixTable.as("a")
-      .join(prefixTable.hint("shuffle_hash").as("b"),
-        $"a.hv" === $"b.hv" && $"a.doc_id" < $"b.doc_id" &&
+    val cond =
+      $"a.hv" === $"b.hv" && $"a.doc_id" < $"b.doc_id" &&
         TF.sizeRatioPass($"a.n", $"b.n", Tau) &&
         least($"a.n" - $"a.pos", $"b.n" - $"b.pos").cast("double") >=
-          candReq * ($"a.n" + $"b.n").cast("double"))
+          candReq * ($"a.n" + $"b.n").cast("double")
+    val joined = if (!salted) {
+      pa.as("a").join(pb.hint("shuffle_hash").as("b"), cond)
+    } else {
+      // Hot keys from the b side (either side works for the Zipf head —
+      // both sides of a self-join see the same distribution).
+      val hot = broadcast(
+        pb.groupBy($"hv").agg(count(lit(1)).as("df"))
+          .filter($"df" > hotDf)
+          .select($"hv", lit(true).as("is_hot")))
+      val aSalted = pa.join(hot, Seq("hv"), "left")
+        .withColumn("salt",
+          when($"is_hot", pmod(xxhash64($"doc_id"), lit(SaltFanout)))
+            .otherwise(lit(0L)))
+        .drop("is_hot")
+      val bSalted = pb.join(hot, Seq("hv"), "left")
+        .withColumn("salt",
+          explode(when($"is_hot", sequence(lit(0L), lit(SaltFanout - 1L)))
+            .otherwise(array(lit(0L)))))
+        .drop("is_hot")
+      aSalted.as("a").join(bSalted.hint("shuffle_hash").as("b"),
+        cond && $"a.salt" === $"b.salt")
+    }
+    joined
       .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
       .distinct()
-    verifyPairsOf(s, sh, cands, merge)
   }
 
   /** N-gram Jaccard dedup over a PERSISTED bucketed signature layout —

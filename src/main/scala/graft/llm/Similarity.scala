@@ -27,6 +27,30 @@ object Similarity {
   private val K = 10
   private val NumQueries = 5
 
+  /** Hard cap on IVF codebook size: the codebook must stay a bounded model
+    * artifact that fits one executor's broadcast budget regardless of corpus
+    * size (4096 × 64 float dims ≈ 1 MB). Beyond ~cap² rows (≈16M at dim 64),
+    * √N exceeds the cap and the flat codebook stops being ideal IVF — the
+    * documented next step is a two-level coarse quantizer, same dataflow. */
+  private[graft] val MaxCodebook = 4096
+
+  /** Seed centroids: deterministic hash-threshold sample sized to
+    * ~min(⌈√N⌉, MaxCodebook) rows — SUB-LINEAR in corpus size, unlike a
+    * constant-fraction modulus sample (N/k grows linearly: at 100 TB that
+    * broadcast is TBs and fails outright). The corpus count is aggregated to
+    * a 1-row frame and broadcast-joined, never collected to the driver; the
+    * keep-decision `pmod(xxhash64(vec_id), 2^20) < 2^20·target/N` is a pure
+    * per-row projection, so seeding costs one count-agg plus one scan. */
+  private[graft] def seedCentroids(s: SparkSession, e: DataFrame): DataFrame = {
+    import s.implicits._
+    val denom = 1L << 20
+    val nRow = e.agg(count(lit(1)).cast("double").as("n"))
+    e.crossJoin(broadcast(nRow))
+      .filter(pmod(xxhash64($"vec_id"), lit(denom)) <
+        lit(denom.toDouble) * least(lit(MaxCodebook.toDouble), ceil(sqrt($"n"))) / $"n")
+      .select($"vec_id".as("cid"), $"embedding".as("cv"))
+  }
+
   /** Exact brute-force cosine top-k for queries vec_id < NumQueries. */
   val bruteTopK: GraftQuery = GraftQuery(
     "llm_sim_topk",
@@ -128,7 +152,10 @@ object Similarity {
     "llm_sim_topk_ivf",
     (s, dir) => {
       import s.implicits._
-      val NProbe = 3
+      // 4 probes of a √N-list codebook scan ≈ 4·√N candidates per query —
+      // the per-query cost now SHRINKS as a fraction of the corpus as N
+      // grows, where the old constant-fraction codebook kept it linear.
+      val NProbe = 4
       val LloydRounds = 2
       val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
       // Per-row scored centroid list: array<struct<csim,cid>> — struct
@@ -147,15 +174,14 @@ object Similarity {
       // it with a coarse quantizer (same dataflow, two levels).
       def cbOf(cents: DataFrame): DataFrame = broadcast(
         cents.agg(collect_list(struct($"cid", $"cv")).as("cb")))
-      // Seed centroids: deterministic ~1/37 sample, then LloydRounds of
-      // distributed k-means refinement — pure dataflow per round (assign =
-      // argmax against the broadcast codebook; update = per-(cid, dim)
-      // mean via posexplode + re-assembly), fixed iteration count so no
-      // driver actions are needed; the refined codebook caches because the
-      // assignment and probe sides below both consume it. Empty clusters
-      // drop, as in standard Lloyd.
-      var cents: DataFrame = e.filter(pmod($"vec_id", lit(37)) === lit(5))
-        .select($"vec_id".as("cid"), $"embedding".as("cv"))
+      // Seed centroids: ~√N hash-threshold sample (see seedCentroids), then
+      // LloydRounds of distributed k-means refinement — pure dataflow per
+      // round (assign = argmax against the broadcast codebook; update =
+      // per-(cid, dim) mean via posexplode + re-assembly), fixed iteration
+      // count so no driver actions are needed; the refined codebook caches
+      // because the assignment and probe sides below both consume it. Empty
+      // clusters drop, as in standard Lloyd.
+      var cents: DataFrame = seedCentroids(s, e)
       for (_ <- 1 to LloydRounds) {
         val assigned = e.crossJoin(cbOf(cents))
           .select($"embedding",

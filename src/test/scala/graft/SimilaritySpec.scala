@@ -76,4 +76,57 @@ class SimilaritySpec extends AnyFunSuite {
     // partition order (assignments can flip on ties across runs).
     assert(recall > 0.2)
   }
+
+  test("IVF codebook size is ~sqrt(N) — sub-linear in corpus rows") {
+    // seedCentroids only reads vec_id (hash-threshold keep decision) and the
+    // corpus count, so a synthetic constant-embedding frame exercises the
+    // real sizing logic at several corpus scales cheaply.
+    def synth(n: Long) = spark.range(n)
+      .select($"id".as("vec_id"), array(lit(1.0f)).as("embedding"))
+    val c1k = llm.Similarity.seedCentroids(spark, synth(1000L)).count()
+    val c16k = llm.Similarity.seedCentroids(spark, synth(16000L)).count()
+    info(s"codebook sizes: N=1000 -> $c1k, N=16000 -> $c16k")
+    // √N targets are ~32 and ~127; the hash-threshold sample is binomial
+    // around the target, so assert generous two-sided bounds...
+    assert(c1k >= 12 && c1k <= 64, s"N=1000 codebook $c1k not ~sqrt")
+    assert(c16k >= 64 && c16k <= 256, s"N=16000 codebook $c16k not ~sqrt")
+    // ...and the load-bearing property: 16× the rows must yield FAR less
+    // than 16× the centroids (√ scaling gives 4×; the old constant-fraction
+    // sample gave exactly 16× and a linearly-growing broadcast).
+    assert(c16k < 8 * c1k, s"codebook grew near-linearly: $c1k -> $c16k")
+    assert(c16k <= llm.Similarity.MaxCodebook)
+  }
+
+  test("ANN top-k sims are exact values and rank-dominated by brute force") {
+    // Containment discipline for the recall-bounded trio: every (qid, nid,
+    // sim) an ANN variant emits must carry the TRUE cosine (no fabricated
+    // scores), and at each rank the ANN sim can never exceed the exact
+    // brute-force sim at that rank (ANN candidates ⊆ corpus). Together with
+    // DedupSpec's pairs-subset check this machine-checks "approximate means
+    // fewer candidates, never wrong answers".
+    val e = sources.Tables.embeddings(spark, TestSpark.Sf)
+    val q = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val exactSim = e.join(broadcast(q), $"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("nid"),
+        round(VectorFunctions.cosine(spark, $"qv", $"embedding"), 4).as("sim"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val bruteByRank = llm.Similarity.bruteTopK.run(spark, TestSpark.Sf)
+      .collect().groupBy(_.getAs[Long]("qid"))
+      .map { case (qid, rs) =>
+        qid -> rs.sortBy(_.getAs[Int]("rn")).map(_.getAs[Double]("sim")) }
+    for (ann <- Seq(llm.Similarity.lshTopK, llm.Similarity.ivfTopK)) {
+      val rows = ann.run(spark, TestSpark.Sf).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val (qid, nid) = (r.getAs[Long]("qid"), r.getAs[Long]("nid"))
+        val (sim, rn) = (r.getAs[Double]("sim"), r.getAs[Int]("rn"))
+        assert(math.abs(exactSim((qid, nid)) - sim) < 1e-9,
+          s"${ann.name}: ($qid,$nid) reported $sim != exact ${exactSim((qid, nid))}")
+        assert(sim <= bruteByRank(qid)(rn - 1) + 1e-9,
+          s"${ann.name}: rank-$rn sim $sim exceeds exact rank-$rn ${bruteByRank(qid)(rn - 1)}")
+      }
+    }
+  }
 }
