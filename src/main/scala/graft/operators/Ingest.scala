@@ -314,6 +314,16 @@ object Ingest {
         } else {
           Tables.events(s, dir)
             .withColumn("d", date_format($"ts", "yyyy-MM-dd"))
+            // Pre-shuffle on (day, bucket-id) so each (d, bucket) pair is
+            // held by exactly one write task: without this, EVERY input
+            // task emits its own file per (day x bucket) it touches, and
+            // cold file count scales with cluster parallelism (thousands
+            // of tasks -> small-files explosion at the exact layer meant
+            // to be the scale-ready layout). pmod(hash(user_id), 4) is
+            // Spark's own bucket-id function (Murmur3 then pmod), so the
+            // co-location is exact and the layout is days x 4 files at
+            // any parallelism. IngestSpec pins the file count.
+            .repartition($"d", pmod(hash($"user_id"), lit(4)))
             // 4 buckets: the layout writes days x buckets files, and the
             // local-FS per-file writer cost (see BASELINE.md) is the whole
             // cold price — size bucket count to the data, not habit. The

@@ -81,6 +81,37 @@ class IngestSpec extends AnyFunSuite {
       "column pruning must reach the scan")
   }
 
+  test("bucketed layout cold write emits days x buckets files, independent of task count") {
+    import org.apache.spark.sql.functions.date_format
+    // Force the COLD write path: drop any registered table / on-disk layout
+    // so the file-count assertion sees this build's writer, not a stale one.
+    val sfx = TestSpark.Sf.replaceAll("[^a-zA-Z0-9]", "_")
+    spark.sql(s"DROP TABLE IF EXISTS graft_events_pb_$sfx")
+    val root = new java.io.File(s"/tmp/graft_pb/$sfx")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    if (root.exists()) rm(root)
+
+    operators.Ingest.partitionBucket.run(spark, TestSpark.Sf).collect()
+
+    import org.apache.spark.sql.functions.{hash, lit, pmod}
+    // Exactly one file per NON-EMPTY (day, bucket) pair: the pre-write
+    // repartition on (d, bucket-id) means each pair is written by one
+    // task (sql hash() is Spark's own bucket-id function, so this count
+    // uses the writer's exact bucket assignment). Before the fix this was
+    // ~tasks x days x 4 — at local[32] a 15.8 s cold write (BASELINE.md).
+    val pairs = sources.Tables.events(spark, TestSpark.Sf)
+      .select(date_format($"ts", "yyyy-MM-dd"),
+              pmod(hash($"user_id"), lit(4))).distinct().count()
+    def parquetFiles(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles().map(parquetFiles).sum
+      else if (f.getName.endsWith(".parquet")) 1L else 0L
+    assert(parquetFiles(root) === pairs,
+      s"expected $pairs files (one per non-empty day x bucket pair)")
+  }
+
   test("scan_partition_prune pushes the day filter to partition listing") {
     val df = operators.Ingest.scanPartitionPrune.run(spark, TestSpark.Sf)
     val plan = df.queryExecution.executedPlan.toString
