@@ -177,8 +177,8 @@ object Dedup {
                             rarestFirst: Boolean): DataFrame =
     prefixesOf(s, shingled(s, dir), rarestFirst)
 
-  private def prefixesOf(s: SparkSession, sh: DataFrame,
-                         rarestFirst: Boolean): DataFrame = {
+  private[graft] def prefixesOf(s: SparkSession, sh: DataFrame,
+                                rarestFirst: Boolean): DataFrame = {
     import s.implicits._
     val plen = (floor(lit(1.0 - Tau) * $"n") + 1).cast("int")
     if (!rarestFirst) {

@@ -36,6 +36,38 @@ class DedupSpec extends AnyFunSuite {
     assert(hashOrder.nonEmpty)
   }
 
+  test("salted PPJoin candidate join: identical pair set on a Zipfian fixture") {
+    // Zipfian corpus: a 10-token preamble shared by EVERY doc (its 3-gram
+    // hashes are the Zipf head — df = 120), an 8-way mid tier, and a
+    // unique tail per doc. Hot prefix hashes therefore far exceed the
+    // test's hotDf, so the salted path's replicate/meet-once argument is
+    // actually exercised, not vacuously skipped.
+    val docs = (1 to 120).map { i =>
+      val hot = (0 until 10).map(j => s"the$j")
+      val mid = (0 until 6).map(j => s"mid${i % 8}_$j")
+      val uniq = (0 until 12).map(j => s"u${i}_$j")
+      (i.toLong, (hot ++ mid ++ uniq).mkString(" "))
+    }.toDF("doc_id", "text")
+    val sh = llm.Dedup.shingleOf(spark, docs).cache()
+    val prefixTable = llm.Dedup.prefixesOf(spark, sh, rarestFirst = false).cache()
+
+    val hotDf = 16L
+    val maxDf = prefixTable.groupBy($"hv").count()
+      .agg(max($"count")).collect()(0).getLong(0)
+    assert(maxDf > hotDf,
+      s"fixture must contain hot prefix hashes (max df=$maxDf <= hotDf=$hotDf)")
+
+    def pairs(salted: Boolean) =
+      llm.Dedup.candidatesBetween(spark, prefixTable, prefixTable, salted, hotDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unsalted = pairs(salted = false)
+    val salted = pairs(salted = true)
+    // Each qualifying pair must meet EXACTLY once under salting (at the
+    // a-row's deterministic salt): the candidate sets are identical.
+    assert(salted === unsalted)
+    assert(unsalted.nonEmpty, "Zipf head must generate candidates")
+  }
+
   test("minhash signature agreement approximates jaccard on planted pairs") {
     val sigs = llm.Dedup.minhashSignatures(spark, TestSpark.Sf)
     val pairs = llm.Dedup.ngramJaccard.run(spark, TestSpark.Sf).limit(5)
