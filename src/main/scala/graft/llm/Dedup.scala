@@ -67,7 +67,9 @@ object Dedup {
     // bucketed layout, whose bucket distribution satisfies the join's
     // requirement at read time — zero exchange on the signature side.
     val strategy = if (merge) "merge" else "shuffle_hash"
+    import s.implicits._
     verifyPairsSides(s, sh, strategy, sh, strategy, cands)
+      .orderBy($"id_a", $"id_b")
   }
 
   /** Verification with per-side signature tables and join strategies: the
@@ -95,7 +97,6 @@ object Dedup {
         round($"isz" / ($"n_a".cast("double") + $"n_b".cast("double") - $"isz"), 4))
       .filter($"jaccard" >= Tau)
       .select($"id_a", $"id_b", $"jaccard")
-      .orderBy($"id_a", $"id_b")
   }
 
   /** DuckDB ground truth: brute-force all-pairs 3-gram Jaccard (oracle runs
@@ -266,10 +267,16 @@ object Dedup {
     val joined = if (!salted) {
       pa.as("a").join(pb.hint("shuffle_hash").as("b"), cond)
     } else {
-      // Hot keys from the b side (either side works for the Zipf head —
-      // both sides of a self-join see the same distribution).
+      // Hot keys from BOTH sides: a self-join sees one distribution (count
+      // pb once), but the asymmetric incremental use (a = corpus prefixes,
+      // b = batch prefixes) has its Zipf head on the a side — sampling
+      // only pb would under-salt exactly the keys that straggle. The
+      // combined df is the join-skew signal either way.
+      val hotSrc =
+        if (pa eq pb) pb.select($"hv")
+        else pa.select($"hv").unionAll(pb.select($"hv"))
       val hot = broadcast(
-        pb.groupBy($"hv").agg(count(lit(1)).as("df"))
+        hotSrc.groupBy($"hv").agg(count(lit(1)).as("df"))
           .filter($"df" > hotDf)
           .select($"hv", lit(true).as("is_hot")))
       val aSalted = pa.join(hot, Seq("hv"), "left")
@@ -329,6 +336,76 @@ object Dedup {
         merge = true),
     Some(jaccardOracle)
   )
+
+  /** Incremental-batch near-dup — THE recurring dedup operation at 100 TB:
+    * a new batch of documents arrives (post-watermark), the corpus is
+    * already shingled and persisted in the bucketed signature layout, and
+    * the question is "which new docs duplicate the corpus or each other".
+    * Nothing corpus-sized is ever recomputed:
+    *  - only the BATCH is shingled — the recurring signature cost is
+    *    O(batch), never O(corpus);
+    *  - corpus prefixes derive from the persisted layout by a scan
+    *    projection (slice + posexplode — no shuffle); at cluster scale
+    *    you'd additionally persist the prefix table bucketed by `hv` so
+    *    the candidate join's corpus side is exchange-free too;
+    *  - verification looks up id_a in the persisted layout (SMJ — the
+    *    bucket distribution means the fat signature side moves through
+    *    ZERO exchange) and id_b in the fresh batch table (shuffle_hash);
+    *  - within-batch pairs run the ordinary self-join path over the small
+    *    batch table.
+    * Output = all verified pairs whose NEWER doc is post-watermark (cross
+    * corpus→batch pairs ∪ batch-internal pairs), same schema and τ as
+    * llm_dedup_ngram_jaccard. Watermark = midpoint doc_id, derived, so the
+    * query is scale-factor-independent (cf. ingest_incremental). */
+  val incremental: GraftQuery = GraftQuery(
+    "llm_dedup_incremental",
+    (s, dir) => incrementalPipeline(s, dir, saltedPrefixes),
+    Some("""WITH wm AS (SELECT CAST(floor(max(doc_id) / 2.0) AS BIGINT) AS w
+                        FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(1, greatest(len(w) - 1, 1)),
+                                   i -> array_to_string(w[i:i+2], ' '))) AS s
+              FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                         / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 4) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE b.doc_id > (SELECT w FROM wm)
+              AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.6
+            ORDER BY id_a, id_b""")
+  )
+
+  private[graft] def incrementalPipeline(s: SparkSession, dir: String,
+                                         salted: Boolean): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val wm = docs.agg(floor(max($"doc_id") / 2.0).cast("long").as("wm"))
+    // Shingle ONLY the new batch. The broadcast watermark join keeps the
+    // split declarative (no driver collect) and pushes as a runtime filter.
+    val batchSh = shingleOf(s,
+        docs.join(broadcast(wm), $"doc_id" > $"wm").select($"doc_id", $"text"))
+      .cache() // prefix build + both verification sides reuse it
+    // The corpus side READS the persisted bucketed layout; the watermark
+    // filter broadcasts over the scan, preserving the bucket distribution
+    // (BNLJ keeps the streamed side's partitioning) for the SMJ below.
+    val corpusSh = bucketedSignatures(s, dir)
+      .join(broadcast(wm), $"doc_id" <= $"wm")
+      .select($"doc_id", $"shingles", $"n")
+    val pBatch = prefixesOf(s, batchSh, rarestFirst = false).cache()
+    val pCorpus = prefixesOf(s, corpusSh, rarestFirst = false)
+    // corpus ids ≤ wm < batch ids, so candidatesBetween's a.doc_id <
+    // b.doc_id orientation is exact for the cross join and dedups the
+    // within-batch self-join as usual.
+    val crossCands = candidatesBetween(s, pCorpus, pBatch, salted, DefaultSaltHotDf)
+    val newCands = candidatesBetween(s, pBatch, pBatch, salted, DefaultSaltHotDf)
+    val crossPairs = verifyPairsSides(s, corpusSh, "merge",
+      batchSh, "shuffle_hash", crossCands)
+    val newPairs = verifyPairsSides(s, batchSh, "shuffle_hash",
+      batchSh, "shuffle_hash", newCands)
+    crossPairs.unionAll(newPairs).orderBy($"id_a", $"id_b")
+  }
 
   /** MinHash signature table: 128 permutations, computed row-level by the
     * native MinHashSignature expression — a pure function of the row's
@@ -613,6 +690,6 @@ object Dedup {
   )
 
   def all: Seq[GraftQuery] =
-    Seq(exact, ngramJaccard, bucketed, minhashLsh, simhash, simhashPoly,
-        embedCosine, embedCosineLsh, cluster)
+    Seq(exact, ngramJaccard, bucketed, incremental, minhashLsh, simhash,
+        simhashPoly, embedCosine, embedCosineLsh, cluster)
 }

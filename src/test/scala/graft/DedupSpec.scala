@@ -146,6 +146,42 @@ class DedupSpec extends AnyFunSuite {
       s"bucketed=${nEx(bPlan)} exchanges vs ad-hoc=${nEx(pPlan)}")
   }
 
+  test("incremental dedup: exact watermark slice of the full pair set, batch-only shingling") {
+    import org.apache.spark.sql.functions.{floor => sfloor, max => smax}
+    val wm = sources.Tables.documents(spark, TestSpark.Sf)
+      .agg(sfloor(smax($"doc_id") / 2.0).cast("long")).collect()(0).getLong(0)
+    // The incremental output must equal the full-corpus pair set restricted
+    // to pairs whose NEWER doc is post-watermark — no pair lost at the
+    // corpus/batch seam, none duplicated by the two verification paths.
+    val full = llm.Dedup.ngramJaccard.run(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(_._2 > wm).toSet
+    val inc = llm.Dedup.incremental.run(spark, TestSpark.Sf)
+    val got = inc.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === full)
+    assert(got.exists(_._1 <= wm), "fixture must plant cross-watermark pairs")
+    assert(got.exists(_._1 > wm), "fixture must plant within-batch pairs")
+
+    // Plan shape: the corpus side of the cross verification reads the
+    // persisted bucketed signature layout via SMJ — the fat side is never
+    // re-shingled and never re-shuffled.
+    val plan = inc.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"),
+      "corpus signatures must come from the persisted bucketed layout")
+    assert(plan.contains("SortMergeJoin"), "merge hint must pin SMJ on the corpus side")
+  }
+
+  test("incremental dedup: salted and unsalted asymmetric candidate joins agree") {
+    // End-to-end parity through the asymmetric (corpus-prefix vs
+    // batch-prefix) salted path — complements the self-join Zipfian unit.
+    val off = llm.Dedup.incrementalPipeline(spark, TestSpark.Sf, salted = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val on = llm.Dedup.incrementalPipeline(spark, TestSpark.Sf, salted = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(on === off)
+    assert(off.nonEmpty)
+  }
+
   test("connectedComponents: min-label fixpoint on a diameter-4 path graph") {
     // Path 1-2-3-4-5 forces multi-round propagation; (10,11) is isolated.
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))

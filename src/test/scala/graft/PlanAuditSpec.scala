@@ -19,6 +19,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "ingest_upsert",      // 1-row watermark broadcast ×2
     "join_theta_range",   // inherently non-equi, bounded broadcast side
     "llm_dedup_embed",    // exact all-pairs verifier, documented bounded
+    "llm_dedup_incremental", // 1-row watermark broadcast onto docs + corpus scans
     "llm_sim_topk",       // tiny query-set broadcast, non-equi self-guard
     "llm_sim_topk_ivf",   // 1-row codebook broadcast onto the scan
     "llm_tfidf"           // 1-row corpus-count broadcast onto the scoring join
