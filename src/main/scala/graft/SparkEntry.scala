@@ -22,6 +22,7 @@ object SparkEntry {
     functions.ScalarQueries.all ++
     operators.Ingest.all ++
     streaming.StreamQueries.all ++
+    streaming.CorpusStream.all ++
     llm.Dedup.all ++
     llm.Similarity.all ++
     llm.TextStats.all ++

@@ -24,13 +24,31 @@ object Corpus {
     * collisions vanish even on a small vocabulary, short enough to catch
     * partial quote/overlap contamination (the 13-gram convention from
     * GPT-3's dedup applies the same dataflow — only the constant moves). */
-  private val ContamN = 8
+  private[graft] val ContamN = 8
 
   /** Deterministic eval-set membership: docs with doc_id % 10 == 2 play
     * the role of the benchmark (in production this side is the actual
     * benchmark corpus — tiny next to the training corpus). */
-  private val BenchMod = 10
-  private val BenchRem = 2
+  private[graft] val BenchMod = 10
+  private[graft] val BenchRem = 2
+
+  /** Per-doc distinct hashed `ContamN`-gram signatures: (doc_id, ghs).
+    * Shared by the batch contamination query below and the incremental
+    * foreachBatch form (streaming.CorpusStream) — one compact array row
+    * per doc, grams never materialize as strings. Docs shorter than the
+    * gram order carry no full 8-gram and are skipped (the native
+    * expression would emit a partial shingle for them, which the oracle's
+    * range() formulation never does). */
+  private[graft] def gramSigs(s: SparkSession,
+                              docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    docs
+      .select($"doc_id", TF.tokens($"text").as("w"))
+      .filter(size($"w") >= ContamN)
+      .select($"doc_id",
+        graft.functions.ArrayFunctions.sortedShingles(s, $"w", ContamN)
+          .as("ghs"))
+  }
 
   /** Benchmark contamination: which training docs share ≥1 distinct
     * `ContamN`-gram with the eval set, and how many.
@@ -52,20 +70,11 @@ object Corpus {
       // expression emits the distinct hashed 8-gram set in one pass per
       // row (the concat_ws string form measured ~2x slower at sf0.1). The
       // oracle builds string grams — only the per-doc counts must agree,
-      // and they do for any injective gram representation. Docs shorter
-      // than the gram order carry no full 8-gram and are skipped (the
-      // native expression would emit a partial shingle for them, which
-      // the oracle's range() formulation never does). The CACHE holds the
-      // compact pre-explode signature rows (one array per doc), not the
+      // and they do for any injective gram representation. The CACHE holds
+      // the compact pre-explode signature rows (one array per doc), not the
       // exploded gram table — both branches below explode their own copy,
       // so the expensive hash pass runs once while memory stays O(docs).
-      val sigs = Tables.documents(s, dir)
-        .select($"doc_id", TF.tokens($"text").as("w"))
-        .filter(size($"w") >= ContamN)
-        .select($"doc_id",
-          graft.functions.ArrayFunctions.sortedShingles(s, $"w", ContamN)
-            .as("ghs"))
-        .cache()
+      val sigs = gramSigs(s, Tables.documents(s, dir)).cache()
       val grams = sigs.select($"doc_id", explode($"ghs").as("gh"))
       val bench = grams.filter($"doc_id" % BenchMod === BenchRem)
         .select($"gh").distinct()

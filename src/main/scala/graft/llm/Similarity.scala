@@ -40,14 +40,20 @@ object Similarity {
     * broadcast is TBs and fails outright). The corpus count is aggregated to
     * a 1-row frame and broadcast-joined, never collected to the driver; the
     * keep-decision `pmod(xxhash64(vec_id), 2^20) < 2^20·target/N` is a pure
-    * per-row projection, so seeding costs one count-agg plus one scan. */
+    * per-row projection, so seeding costs one count-agg plus one scan.
+    * The min-vec_id row is always kept: the binomial sample has no floor,
+    * and on a tiny corpus an unlucky hash layout could otherwise keep zero
+    * rows — an empty codebook makes ivfTopK silently return nothing. The
+    * floor rides the same 1-row aggregate, so the plan shape is unchanged. */
   private[graft] def seedCentroids(s: SparkSession, e: DataFrame): DataFrame = {
     import s.implicits._
     val denom = 1L << 20
-    val nRow = e.agg(count(lit(1)).cast("double").as("n"))
+    val nRow = e.agg(count(lit(1)).cast("double").as("n"),
+                     min($"vec_id").as("mn"))
     e.crossJoin(broadcast(nRow))
-      .filter(pmod(xxhash64($"vec_id"), lit(denom)) <
-        lit(denom.toDouble) * least(lit(MaxCodebook.toDouble), ceil(sqrt($"n"))) / $"n")
+      .filter($"vec_id" === $"mn" ||
+        pmod(xxhash64($"vec_id"), lit(denom)) <
+          lit(denom.toDouble) * least(lit(MaxCodebook.toDouble), ceil(sqrt($"n"))) / $"n")
       .select($"vec_id".as("cid"), $"embedding".as("cv"))
   }
 

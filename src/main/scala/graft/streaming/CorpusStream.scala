@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.GraftQuery
+import graft.llm.Corpus
+import graft.sources.Tables
+
+/** Streaming corpus curation — benchmark-contamination detection as an
+  * incremental foreachBatch pipeline (SURVEY.md §2b `stream_contamination`;
+  * the round-2/3 "streaming graded forms of the corpus family" backlog).
+  *
+  * The production shape: the benchmark gram set is STATIC (the eval suite
+  * is fixed and tiny next to the corpus), so contamination is per-document
+  * against a broadcast side — embarrassingly incremental. New documents
+  * stream in via the checkpointed incremental loader (IncrementalLoader);
+  * each micro-batch is gram-hashed, joined against the broadcast benchmark
+  * set, and its per-doc counts appended to the sink. No state crosses
+  * micro-batches, so results are exactly the batch query's, independent of
+  * how arrivals were batched — which is what the graded form exploits: it
+  * runs the SAME per-batch increment over a deterministic 3-way split and
+  * must reproduce `llm_contamination`'s oracle bit-for-bit.
+  *
+  * Scale shape per micro-batch: gram hashing is a scan projection (native
+  * SortedHashedShingles — no strings), the bench join is a broadcast hash
+  * join (bench set ~KBs–MBs), and the per-doc count is a map-side-partial
+  * hash aggregate keyed by doc_id. The corpus side is never shuffled on
+  * gram hash; the only exchange is the doc_id aggregate of the already
+  * bench-filtered (tiny) match set. StreamingSpec drives the real
+  * file-source + checkpoint + foreachBatch form over two arrival waves and
+  * shows no micro-batch is reprocessed on resume.
+  */
+object CorpusStream {
+
+  /** The static benchmark side: distinct hashed 8-grams of the eval docs.
+    * Computed once per pipeline (in production: once per benchmark
+    * release) and broadcast into every micro-batch's join. */
+  def benchGrams(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    Corpus.gramSigs(s, docs.filter($"doc_id" % Corpus.BenchMod === Corpus.BenchRem))
+      .select(explode($"ghs").as("gh"))
+      .distinct()
+  }
+
+  /** The foreachBatch increment: contamination counts for one micro-batch
+    * of newly-arrived docs. Pure per-document against the static bench
+    * set — no cross-batch state, so union-of-batches == whole-corpus. Docs
+    * that ARE benchmark members are excluded (they'd trivially self-match).
+    * SortedHashedShingles dedups within a doc, so (doc_id, gh) rows are
+    * already unique — no distinct, the batch side never shuffles pre-join. */
+  def contaminationBatch(s: SparkSession, batch: DataFrame,
+                         bench: DataFrame): DataFrame = {
+    import s.implicits._
+    Corpus.gramSigs(s, batch.filter($"doc_id" % Corpus.BenchMod =!= Corpus.BenchRem))
+      .select($"doc_id", explode($"ghs").as("gh"))
+      .join(broadcast(bench), "gh")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Graded form: the incremental pipeline batch-emulated over a
+    * deterministic 3-way arrival split (pmod(doc_id, 3) — the same
+    * batch-independence argument StreamQueries uses for its windowed
+    * forms). Oracle = llm_contamination's: batching must not change one
+    * count. */
+  val streamContamination: GraftQuery = GraftQuery(
+    "stream_contamination",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val bench = benchGrams(s, docs).cache()
+      (0 until 3)
+        .map(b => contaminationBatch(s, docs.filter(pmod($"doc_id", lit(3)) === b), bench))
+        .reduce(_.unionAll(_))
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH grams AS (
+               SELECT doc_id,
+                      list_distinct(list_transform(range(1, greatest(len(w) - ${Corpus.ContamN - 2}, 1)),
+                        i -> array_to_string(w[i:i+${Corpus.ContamN - 1}], ' '))) AS g
+               FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+             bench AS (
+               SELECT DISTINCT gu.x AS g FROM grams, unnest(g) AS gu(x)
+               WHERE doc_id % ${Corpus.BenchMod} = ${Corpus.BenchRem}),
+             corpus AS (
+               SELECT DISTINCT doc_id, gu.x AS g FROM grams, unnest(g) AS gu(x)
+               WHERE doc_id % ${Corpus.BenchMod} != ${Corpus.BenchRem})
+             SELECT c.doc_id, count(*) AS n_shared
+             FROM corpus c JOIN bench b ON c.g = b.g
+             GROUP BY c.doc_id ORDER BY c.doc_id""")
+  )
+
+  def all: Seq[GraftQuery] = Seq(streamContamination)
+}

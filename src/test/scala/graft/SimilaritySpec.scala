@@ -97,6 +97,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(c16k <= llm.Similarity.MaxCodebook)
   }
 
+  test("seedCentroids never yields an empty codebook, even on degenerate corpora") {
+    // The binomial hash-threshold sample has no floor: on a tiny corpus an
+    // unlucky (deterministic) hash layout can keep zero rows, which would
+    // make ivfTopK silently return nothing. The min-vec_id row is always
+    // kept, so every non-empty corpus yields >= 1 centroid. Sweep small Ns
+    // and arbitrary id offsets to hit adversarial hash layouts.
+    def synth(n: Long, off: Long) = spark.range(off, off + n)
+      .select($"id".as("vec_id"), array(lit(1.0f)).as("embedding"))
+    for (n <- Seq(1L, 2L, 3L, 5L, 8L); off <- Seq(0L, 17L, 1000003L)) {
+      val c = llm.Similarity.seedCentroids(spark, synth(n, off)).count()
+      assert(c >= 1, s"empty codebook at n=$n off=$off")
+      assert(c <= n)
+    }
+  }
+
   test("ANN top-k sims are exact values and rank-dominated by brute force") {
     // Containment discipline for the recall-bounded trio: every (qid, nid,
     // sim) an ANN variant emits must carry the TRUE cosine (no fabricated

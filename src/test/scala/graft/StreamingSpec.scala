@@ -151,6 +151,54 @@ class StreamingSpec extends AnyFunSuite {
       "re-run with no new input must be a no-op")
   }
 
+  test("contamination foreachBatch pipeline: incremental arrivals, no reprocessing on resume") {
+    // The production form of stream_contamination: docs land incrementally
+    // (here: two parquet arrival waves, the incremental-loader source
+    // shape), each micro-batch runs CorpusStream.contaminationBatch
+    // against the STATIC broadcast benchmark gram set inside foreachBatch,
+    // and results append to the sink. The checkpoint guarantees wave-1
+    // files are not re-read on the wave-2 run.
+    val docs = sources.Tables.documents(spark, TestSpark.Sf).cache()
+    val bench = streaming.CorpusStream.benchGrams(spark, docs).cache()
+    val wmid = docs.agg(org.apache.spark.sql.functions.floor(
+      org.apache.spark.sql.functions.max($"doc_id") / 2.0).cast("long"))
+      .collect()(0).getLong(0)
+    val base = Files.createTempDirectory("graft_cstrm").toString
+    val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+
+    def runWave(): Unit = {
+      val q = spark.readStream.schema(docs.schema).parquet(src)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          streaming.CorpusStream.contaminationBatch(spark, b, bench)
+            .write.mode("append").parquet(out)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    docs.filter($"doc_id" <= wmid).write.mode("append").parquet(src)
+    runWave()
+    docs.filter($"doc_id" > wmid).write.mode("append").parquet(src)
+    runWave()
+
+    val batchTruth = llm.Corpus.contamination.run(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val acc = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(acc.toSet === batchTruth,
+      "accumulated incremental output must equal the batch contamination")
+    assert(acc.length === acc.map(_._1).distinct.length,
+      "a doc counted twice means wave-1 files were reprocessed")
+    // The no-reprocessing assertion above only bites if both waves carry
+    // contaminated docs — pin that the fixture split actually does.
+    assert(batchTruth.exists(_._1 <= wmid) && batchTruth.exists(_._1 > wmid),
+      "fixture must plant contaminated docs in both arrival waves")
+  }
+
   test("offset reset=latest skips the pre-bootstrap backlog, then resumes normally") {
     val base = Files.createTempDirectory("graft_inc_latest").toString
     val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
