@@ -140,6 +140,51 @@ object Similarity {
     None
   )
 
+  /** Per-row scored centroid list over a broadcast codebook column `cb`:
+    * array<struct<csim,cid>> — struct comparison is lexicographic, so
+    * array_max/array_sort give a deterministic argmax with cid tie-break. */
+  private def centScores(s: SparkSession, vec: org.apache.spark.sql.Column) =
+    transform(col("cb"), c =>
+      struct(VectorFunctions.cosine(s, c.getField("cv"), vec).as("csim"),
+             c.getField("cid").as("cid")))
+
+  /** Codebook as a bounded model artifact: aggregated EXECUTOR-SIDE into a
+    * single array row and attached to every scan partition by a broadcast
+    * join — the driver never materializes it (the round-1 form collected it
+    * to the driver and folded it into the plan as a literal: O(codebook)
+    * driver memory and plan size). Classic IVF premise: the codebook fits
+    * in executor memory; beyond that, front it with a coarse quantizer
+    * (same dataflow, two levels — see ivf2TopK). */
+  private def cbOf(s: SparkSession, cents: DataFrame): DataFrame = {
+    import s.implicits._
+    broadcast(cents.agg(collect_list(struct($"cid", $"cv")).as("cb")))
+  }
+
+  /** `rounds` of distributed k-means refinement over (vec_id, embedding)
+    * rows — pure dataflow per round (assign = argmax against the broadcast
+    * codebook; update = per-(cid, dim) mean via posexplode + re-assembly),
+    * fixed iteration count so no driver actions are needed; each refined
+    * codebook caches because the assignment and probe sides downstream both
+    * consume it. Empty clusters drop, as in standard Lloyd. */
+  private def lloydRefine(s: SparkSession, rows: DataFrame,
+                          seed: DataFrame, rounds: Int): DataFrame = {
+    import s.implicits._
+    var cents = seed
+    for (_ <- 1 to rounds) {
+      val assigned = rows.crossJoin(cbOf(s, cents))
+        .select($"embedding",
+          array_max(centScores(s, $"embedding")).getField("cid").as("cid"))
+      cents = assigned
+        .select($"cid", posexplode($"embedding").as(Seq("dim", "x")))
+        .groupBy($"cid", $"dim").agg(avg($"x").as("m"))
+        .groupBy($"cid")
+        .agg(transform(array_sort(collect_list(struct($"dim", $"m"))),
+          c => c.getField("m").cast("float")).as("cv"))
+        .cache()
+    }
+    cents
+  }
+
   /** IVF (inverted-file) ANN: a deterministic centroid sample, refined by
     * two distributed Lloyd (k-means) rounds, partitions the vector space;
     * every candidate is assigned to its nearest centroid (the inverted
@@ -164,43 +209,12 @@ object Similarity {
       val NProbe = 4
       val LloydRounds = 2
       val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
-      // Per-row scored centroid list: array<struct<csim,cid>> — struct
-      // comparison is lexicographic, so array_max/array_sort give a
-      // deterministic argmax with cid tie-break.
       def centScores(vec: org.apache.spark.sql.Column) =
-        transform(col("cb"), c =>
-          struct(VectorFunctions.cosine(s, c.getField("cv"), vec).as("csim"),
-                 c.getField("cid").as("cid")))
-      // Codebook as a bounded model artifact: aggregated EXECUTOR-SIDE
-      // into a single array row and attached to every scan partition by a
-      // broadcast join — the driver never materializes it (the round-1
-      // form collected it to the driver and folded it into the plan as a
-      // literal: O(codebook) driver memory and plan size). Classic IVF
-      // premise: the codebook fits in executor memory; beyond that, front
-      // it with a coarse quantizer (same dataflow, two levels).
-      def cbOf(cents: DataFrame): DataFrame = broadcast(
-        cents.agg(collect_list(struct($"cid", $"cv")).as("cb")))
+        Similarity.centScores(s, vec)
       // Seed centroids: ~√N hash-threshold sample (see seedCentroids), then
-      // LloydRounds of distributed k-means refinement — pure dataflow per
-      // round (assign = argmax against the broadcast codebook; update =
-      // per-(cid, dim) mean via posexplode + re-assembly), fixed iteration
-      // count so no driver actions are needed; the refined codebook caches
-      // because the assignment and probe sides below both consume it. Empty
-      // clusters drop, as in standard Lloyd.
-      var cents: DataFrame = seedCentroids(s, e)
-      for (_ <- 1 to LloydRounds) {
-        val assigned = e.crossJoin(cbOf(cents))
-          .select($"embedding",
-            array_max(centScores($"embedding")).getField("cid").as("cid"))
-        cents = assigned
-          .select($"cid", posexplode($"embedding").as(Seq("dim", "x")))
-          .groupBy($"cid", $"dim").agg(avg($"x").as("m"))
-          .groupBy($"cid")
-          .agg(transform(array_sort(collect_list(struct($"dim", $"m"))),
-            c => c.getField("m").cast("float")).as("cv"))
-          .cache()
-      }
-      val codebook = cbOf(cents)
+      // LloydRounds of k-means refinement (see lloydRefine).
+      val cents = lloydRefine(s, e, seedCentroids(s, e), LloydRounds)
+      val codebook = cbOf(s, cents)
       // Inverted-list assignment: nearest centroid, computed in the scan
       // projection (the 1-row codebook join adds no shuffle to the big
       // side). At 100 TB this is the table you persist bucketed by cid.
@@ -226,5 +240,112 @@ object Similarity {
     None
   )
 
-  def all: Seq[GraftQuery] = Seq(bruteTopK, lshTopK, ivfTopK)
+  /** How many coarse cells assignment/probing descends into. W=1 is pure
+    * hierarchical IVF; W=2 recovers most boundary-loss recall (a vector near
+    * a coarse-cell border may belong to a fine list whose centroid sits in
+    * the neighboring cell) at 2× the fine-compare cost — still ~2√K per row
+    * instead of K. */
+  private[graft] val CoarseProbe = 2
+
+  /** Two-level (coarse-quantized) IVF — the documented >16M-row step beyond
+    * the flat codebook. The flat √N codebook is ideal IVF until √N exceeds
+    * the broadcast cap (≈16M rows at dim 64, MaxCodebook 4096); past that,
+    * scoring all K fine centroids per row also dominates assignment cost.
+    * The fix is hierarchical: cluster the FINE CODEBOOK ITSELF into ~√K
+    * coarse cells, broadcast the two-level structure (coarse vector + its
+    * member fine centroids per cell, one nested array row), and per row
+    * score √K coarse cells, descend into the best `CoarseProbe`, and argmax
+    * only those cells' fine members — ~(√K + W·√K) cosines instead of K
+    * (128 vs 4096 at the cap, 32×). The broadcast payload is the SAME
+    * codebook, reshaped — nothing new grows with N.
+    *
+    * Scale shape: identical to ivfTopK downstream (assignment shuffles N
+    * rows once; queries equi-join on fine cid). Both levels are built from
+    * bounded frames: coarse seeding/refinement runs over the K fine
+    * centroids (≤ MaxCodebook rows), so the extra Lloyd level costs O(K·√K)
+    * — trivia next to the corpus scan. No oracle (approximate by design);
+    * SimilaritySpec measures recall and containment against bruteTopK.
+    */
+  val ivf2TopK: GraftQuery = GraftQuery(
+    "llm_sim_topk_ivf2",
+    (s, dir) => {
+      import s.implicits._
+      val NProbe = 4
+      val LloydRounds = 2
+      val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      // Level 2 (fine): the same √N codebook ivfTopK uses.
+      val fine = lloydRefine(s, e, seedCentroids(s, e), LloydRounds)
+      // Level 1 (coarse): seed ~√K from the fine centroids themselves —
+      // seedCentroids is reused verbatim on the (cid, cv)→(vec_id,
+      // embedding) renaming — then one Lloyd round over the K fine rows.
+      val fineAsRows = fine.select($"cid".as("vec_id"), $"cv".as("embedding"))
+      val coarse = lloydRefine(s, fineAsRows,
+        seedCentroids(s, fineAsRows), 1)
+        .select($"cid".as("ccid"), $"cv".as("ccv"))
+      // Group fine centroids under their nearest coarse cell and fold the
+      // whole two-level structure into ONE nested-array broadcast row:
+      // cb2: array<struct<ccid, ccv, cells: array<struct<cid, cv>>>>.
+      // Both levels are array_sort-ed so the structure (and thus tie-breaks
+      // downstream) is deterministic despite collect_list ordering.
+      val fineAssigned = fineAsRows
+        .crossJoin(broadcast(coarse.agg(
+          collect_list(struct($"ccid".as("cid"), $"ccv".as("cv"))).as("cb"))))
+        .select($"vec_id".as("cid"), $"embedding".as("cv"),
+          array_max(centScores(s, $"embedding")).getField("cid").as("ccid"))
+      val cb2 = broadcast(
+        fineAssigned
+          .groupBy($"ccid")
+          .agg(array_sort(collect_list(struct($"cid", $"cv"))).as("cells"))
+          .join(broadcast(coarse), Seq("ccid"))
+          .agg(array_sort(
+            collect_list(struct($"ccid", $"ccv", $"cells"))).as("cb2")))
+      // Per-row two-level descent, entirely inside one scan projection:
+      // score the √K coarse cells ONCE, keep the best CoarseProbe, flatten
+      // their member lists, and score only those ~W·√K fine centroids. The
+      // sort runs over light (csim, idx) pairs and the heavy `cells` arrays
+      // are fetched by index after the cut — never re-scored (a filter
+      // whose predicate recomputed the coarse top-W per element would cost
+      // √K × √K = K cosines per row, i.e. the flat-codebook cost back) and
+      // never compared. Ties break on idx; cb2 is array_sort-ed by ccid, so
+      // idx order — and with it every downstream tie-break — is
+      // deterministic.
+      def fineScores(vec: org.apache.spark.sql.Column) = {
+        val scoredCoarse = transform($"cb2", (g, i) =>
+          struct(VectorFunctions.cosine(s, g.getField("ccv"), vec).as("csim"),
+                 i.as("idx")))
+        val topIdx = slice(reverse(array_sort(scoredCoarse)), 1, CoarseProbe)
+          .getField("idx")
+        val cand = flatten(transform(topIdx, i =>
+          element_at($"cb2", i + 1).getField("cells")))
+        transform(cand, c =>
+          struct(VectorFunctions.cosine(s, c.getField("cv"), vec).as("csim"),
+                 c.getField("cid").as("cid")))
+      }
+      // Inverted-list assignment: nearest fine centroid reached through the
+      // coarse descent. At 100 TB this is the table persisted bucketed by
+      // cid, exactly as in ivfTopK.
+      val assigned = e.crossJoin(cb2)
+        .withColumn("cid", array_max(fineScores($"embedding")).getField("cid"))
+        .drop("cb2")
+      // Query side: descend the same two levels, probe the NProbe best
+      // fine lists among the selected coarse cells' members.
+      val probes = broadcast(
+        e.filter($"vec_id" < NumQueries).crossJoin(cb2)
+          .select($"vec_id".as("qid"), $"embedding".as("qv"),
+            explode(slice(reverse(array_sort(fineScores($"embedding"))), 1, NProbe)
+              .getField("cid")).as("cid")))
+      val scored = assigned.join(probes, Seq("cid"))
+        .filter($"vec_id" =!= $"qid")
+        .withColumn("sim", round(VectorFunctions.cosine(s, $"qv", $"embedding"), 4))
+      scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id")))
+        .filter($"rn" <= K)
+        .select($"qid", $"rn", $"vec_id".as("nid"), $"sim")
+        .orderBy($"qid", $"rn")
+    },
+    None
+  )
+
+  def all: Seq[GraftQuery] = Seq(bruteTopK, lshTopK, ivfTopK, ivf2TopK)
 }
