@@ -47,6 +47,16 @@ object PlanMetrics {
   * gated node kind than the snapshot records — run this main (and review
   * the diff!) to bless an intentional plan change.
   * Usage: run_class.sh graft.PlanSnapshot [sfDir] [outFile]
+  *
+  * Capture protocol — COLD CACHE, always: `spark.catalog.clearCache()` runs
+  * before every query's plan is built, here and in PlanSnapshotSpec /
+  * PlanAuditSpec. Spark's CacheManager substitutes ANY registered matching
+  * subtree (materialized or not) with an InMemoryRelation at planning time,
+  * so a plan captured after other queries cached shared subtrees (shingle
+  * tables, bench grams) carries fewer visible exchanges than the same query
+  * planned cold — the round-4 snapshot only reproduced in full-suite order.
+  * Clearing first means the captured metrics are a pure function of the
+  * query itself: deterministic in isolation, under reordering, and here.
   */
 object PlanSnapshot {
   val DefaultPath = "plans/PLAN_SNAPSHOT.txt"
@@ -63,6 +73,7 @@ object PlanSnapshot {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val lines = SparkEntry.registry.map { q =>
+      spark.catalog.clearCache() // cold-cache protocol — see scaladoc above
       PlanMetrics.line(q.name, PlanMetrics.of(q.run(spark, sfDir)))
     }
     val p = java.nio.file.Paths.get(out)

@@ -163,9 +163,14 @@ object Similarity {
   /** `rounds` of distributed k-means refinement over (vec_id, embedding)
     * rows — pure dataflow per round (assign = argmax against the broadcast
     * codebook; update = per-(cid, dim) mean via posexplode + re-assembly),
-    * fixed iteration count so no driver actions are needed; each refined
-    * codebook caches because the assignment and probe sides downstream both
-    * consume it. Empty clusters drop, as in standard Lloyd. */
+    * fixed iteration count so no driver actions are needed. Only the FINAL
+    * codebook frame is cached: each intermediate round is referenced exactly
+    * once (by the next round's assignment), so caching it pinned memory
+    * without ever saving a recompute — and the registrations accumulated
+    * across repeated invocations (round-4 advice). The final frame is the
+    * one consumed twice (assignment + probe sides), and it is bounded at
+    * ≤ MaxCodebook rows, so the single retained registration is ~1 MB.
+    * Empty clusters drop, as in standard Lloyd. */
   private def lloydRefine(s: SparkSession, rows: DataFrame,
                           seed: DataFrame, rounds: Int): DataFrame = {
     import s.implicits._
@@ -180,9 +185,8 @@ object Similarity {
         .groupBy($"cid")
         .agg(transform(array_sort(collect_list(struct($"dim", $"m"))),
           c => c.getField("m").cast("float")).as("cv"))
-        .cache()
     }
-    cents
+    cents.cache()
   }
 
   /** IVF (inverted-file) ANN: a deterministic centroid sample, refined by
@@ -268,7 +272,13 @@ object Similarity {
     */
   val ivf2TopK: GraftQuery = GraftQuery(
     "llm_sim_topk_ivf2",
-    (s, dir) => {
+    (s, dir) => ivf2Pipeline(s, dir, CoarseProbe))
+
+  /** The llm_sim_topk_ivf2 dataflow, parameterized on the coarse-probe
+    * width so SimilaritySpec can sweep W (recall vs fine-compare count —
+    * the evidence behind the CoarseProbe=2 default, recorded in SCALE.md). */
+  private[graft] def ivf2Pipeline(s: SparkSession, dir: String,
+                                  coarseProbe: Int): DataFrame = {
       import s.implicits._
       val NProbe = 4
       val LloydRounds = 2
@@ -313,7 +323,7 @@ object Similarity {
         val scoredCoarse = transform($"cb2", (g, i) =>
           struct(VectorFunctions.cosine(s, g.getField("ccv"), vec).as("csim"),
                  i.as("idx")))
-        val topIdx = slice(reverse(array_sort(scoredCoarse)), 1, CoarseProbe)
+        val topIdx = slice(reverse(array_sort(scoredCoarse)), 1, coarseProbe)
           .getField("idx")
         val cand = flatten(transform(topIdx, i =>
           element_at($"cb2", i + 1).getField("cells")))
@@ -343,9 +353,7 @@ object Similarity {
         .filter($"rn" <= K)
         .select($"qid", $"rn", $"vec_id".as("nid"), $"sim")
         .orderBy($"qid", $"rn")
-    },
-    None
-  )
+  }
 
   def all: Seq[GraftQuery] = Seq(bruteTopK, lshTopK, ivfTopK, ivf2TopK)
 }

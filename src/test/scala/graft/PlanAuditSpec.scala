@@ -22,6 +22,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "llm_dedup_incremental", // 1-row watermark broadcast onto docs + corpus scans
     "llm_sim_topk",       // tiny query-set broadcast, non-equi self-guard
     "llm_sim_topk_ivf",   // 1-row codebook broadcast onto the scan
+    "llm_sim_topk_ivf2",  // same pattern: 1-row two-level codebook broadcast
     "llm_tfidf"           // 1-row corpus-count broadcast onto the scoring join
   )
 
@@ -33,6 +34,10 @@ class PlanAuditSpec extends AnyFunSuite {
 
   for (q <- SparkEntry.registry) {
     test(s"${q.name}: no scale anti-patterns in the physical plan") {
+      // Audit the canonical cold-cache plan (same protocol as PlanSnapshot):
+      // cached subtrees registered by OTHER queries otherwise collapse into
+      // InMemoryRelations and the audited plan depends on suite order.
+      spark.catalog.clearCache()
       val plan = q.run(spark, TestSpark.Sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
         s"${q.name} plans a cartesian product")
