@@ -23,6 +23,7 @@ object SparkEntry {
     operators.Ingest.all ++
     streaming.StreamQueries.all ++
     streaming.CorpusStream.all ++
+    streaming.DedupStream.all ++
     llm.Dedup.all ++
     llm.Similarity.all ++
     llm.TextStats.all ++

@@ -76,7 +76,7 @@ object Dedup {
     * incremental path looks up id_a in the persisted corpus layout (SMJ,
     * exchange-free on the bucketed side) and id_b in the fresh batch table
     * (shuffle_hash) — sides differ, so the plain verifyPairsOf can't. */
-  private def verifyPairsSides(s: SparkSession,
+  private[graft] def verifyPairsSides(s: SparkSession,
                                shA: DataFrame, strategyA: String,
                                shB: DataFrame, strategyB: String,
                                cands: DataFrame): DataFrame = {
@@ -308,7 +308,7 @@ object Dedup {
   /** The persisted bucketed signature table: written once per sf-dir,
     * re-registered (not rewritten) on later sessions. Shared by
     * `llm_dedup_bucketed` and `llm_dedup_cluster`. */
-  private def bucketedSignatures(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def bucketedSignatures(s: SparkSession, dir: String): DataFrame = {
     val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val tbl = s"graft_signatures_$sfx"
     val path = s"/tmp/graft_signatures/$sfx"
@@ -337,6 +337,41 @@ object Dedup {
     Some(jaccardOracle)
   )
 
+  /** The persisted corpus PREFIX table, bucketed by `hv` — the second half
+    * of the incremental-dedup layout (round-4 verdict item 4). The candidate
+    * join between corpus prefixes and batch prefixes is an equi-join on
+    * `hv`, so persisting corpus prefixes CLUSTERED BY hv lets every
+    * incremental run read the corpus side of that join EXCHANGE-FREE: the
+    * bucketed scan's HashPartitioning(hv, 8) satisfies the join's clustered
+    * distribution (also under salting — {hv} ⊆ {hv, salt}), and only the
+    * O(batch) side shuffles to the bucket count. Derived once from the
+    * persisted signature layout (slice + posexplode, no shuffle);
+    * re-registered, not rewritten, on later sessions — same convention as
+    * bucketedSignatures. The pre-write repartition on `hv` aligns rows to
+    * their bucket so the file count is exactly the bucket count, not
+    * tasks × buckets (the round-3 ingest_partition_bucket fan-out lesson). */
+  private[graft] def bucketedPrefixes(s: SparkSession, dir: String): DataFrame = {
+    val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val tbl = s"graft_prefixes_$sfx"
+    val path = s"/tmp/graft_prefixes/$sfx"
+    if (!s.catalog.tableExists(tbl)) {
+      if (new java.io.File(path, "_SUCCESS").exists()) {
+        s.sql(s"""CREATE TABLE $tbl
+                  (`doc_id` BIGINT, `n` INT, `pos` INT, `hv` BIGINT)
+                  USING PARQUET
+                  CLUSTERED BY (hv) SORTED BY (hv) INTO 8 BUCKETS
+                  LOCATION '$path'""")
+      } else {
+        import s.implicits._
+        prefixesOf(s, bucketedSignatures(s, dir), rarestFirst = false)
+          .repartition(8, $"hv")
+          .write.bucketBy(8, "hv").sortBy("hv")
+          .option("path", path).mode("overwrite").saveAsTable(tbl)
+      }
+    }
+    s.table(tbl)
+  }
+
   /** Incremental-batch near-dup — THE recurring dedup operation at 100 TB:
     * a new batch of documents arrives (post-watermark), the corpus is
     * already shingled and persisted in the bucketed signature layout, and
@@ -344,10 +379,9 @@ object Dedup {
     * Nothing corpus-sized is ever recomputed:
     *  - only the BATCH is shingled — the recurring signature cost is
     *    O(batch), never O(corpus);
-    *  - corpus prefixes derive from the persisted layout by a scan
-    *    projection (slice + posexplode — no shuffle); at cluster scale
-    *    you'd additionally persist the prefix table bucketed by `hv` so
-    *    the candidate join's corpus side is exchange-free too;
+    *  - corpus prefixes read the persisted hv-bucketed prefix layout
+    *    (bucketedPrefixes), so the candidate join's corpus side moves
+    *    through ZERO exchange — only the O(batch) prefix side shuffles;
     *  - verification looks up id_a in the persisted layout (SMJ — the
     *    bucket distribution means the fat signature side moves through
     *    ZERO exchange) and id_b in the fresh batch table (shuffle_hash);
@@ -378,7 +412,8 @@ object Dedup {
   )
 
   private[graft] def incrementalPipeline(s: SparkSession, dir: String,
-                                         salted: Boolean): DataFrame = {
+                                         salted: Boolean,
+                                         persistedPrefixes: Boolean = true): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
     val wm = docs.agg(floor(max($"doc_id") / 2.0).cast("long").as("wm"))
@@ -393,18 +428,60 @@ object Dedup {
     val corpusSh = bucketedSignatures(s, dir)
       .join(broadcast(wm), $"doc_id" <= $"wm")
       .select($"doc_id", $"shingles", $"n")
-    val pBatch = prefixesOf(s, batchSh, rarestFirst = false).cache()
-    val pCorpus = prefixesOf(s, corpusSh, rarestFirst = false)
-    // corpus ids ≤ wm < batch ids, so candidatesBetween's a.doc_id <
-    // b.doc_id orientation is exact for the cross join and dedups the
-    // within-batch self-join as usual.
-    val crossCands = candidatesBetween(s, pCorpus, pBatch, salted, DefaultSaltHotDf)
-    val newCands = candidatesBetween(s, pBatch, pBatch, salted, DefaultSaltHotDf)
-    val crossPairs = verifyPairsSides(s, corpusSh, "merge",
-      batchSh, "shuffle_hash", crossCands)
-    val newPairs = verifyPairsSides(s, batchSh, "shuffle_hash",
-      batchSh, "shuffle_hash", newCands)
-    crossPairs.unionAll(newPairs).orderBy($"id_a", $"id_b")
+    // Corpus prefixes: the persisted hv-bucketed layout, watermark-filtered
+    // the same partitioning-preserving way (in production the layout only
+    // holds already-ingested docs; the filter emulates that split). The
+    // `persistedPrefixes = false` leg re-derives them from the signature
+    // layout — kept so DedupSpec can pin pair-set parity and the exchange
+    // saving between the two forms.
+    val pCorpus =
+      if (persistedPrefixes)
+        bucketedPrefixes(s, dir).join(broadcast(wm), $"doc_id" <= $"wm")
+          .select($"doc_id", $"n", $"pos", $"hv")
+      else prefixesOf(s, corpusSh, rarestFirst = false)
+    dedupIncrement(s, corpusSh, pCorpus, None, batchSh, salted)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** One arrival-wave increment of incremental near-dup — the unit a
+    * checkpointed streaming pipeline runs per micro-batch
+    * (stream_dedup_incremental grades a deterministic 3-wave batch
+    * emulation against llm_dedup_incremental's oracle; StreamingSpec
+    * drives the real file-source + checkpoint + foreachBatch form).
+    *
+    * State model: `base`/`basePrefixes` are the IMMUTABLE persisted corpus
+    * layouts — the signature side verifies by SMJ over the doc_id-bucketed
+    * table and the candidate join reads the hv-bucketed prefix table, both
+    * exchange-free every wave; `delta` is the accumulated signature table
+    * of previously-arrived batch docs (None on the first wave — in
+    * production, parquet appended per micro-batch, O(arrivals-so-far) and
+    * disjoint from the base). Only the WAVE is ever shingled.
+    *
+    * The append-only id contract (every wave id exceeds every seen id —
+    * the same monotone-watermark semantics ingest_incremental grades)
+    * orients each qualifying pair as (seen, new) exactly once across
+    * waves: candidatesBetween's a.doc_id < b.doc_id is exact for both
+    * cross joins and dedups the within-wave self-join as usual. */
+  private[graft] def dedupIncrement(s: SparkSession,
+                                    base: DataFrame, basePrefixes: DataFrame,
+                                    delta: Option[DataFrame],
+                                    waveSh: DataFrame,
+                                    salted: Boolean): DataFrame = {
+    val pWave = prefixesOf(s, waveSh, rarestFirst = false).cache()
+    val baseCands = candidatesBetween(s, basePrefixes, pWave, salted, DefaultSaltHotDf)
+    val basePairs = verifyPairsSides(s, base, "merge",
+      waveSh, "shuffle_hash", baseCands)
+    val deltaPairs = delta.map { d =>
+      // Delta prefixes re-derive by scan projection (slice + posexplode,
+      // no shuffle); the delta stays O(batch arrivals), not O(corpus).
+      val pd = prefixesOf(s, d, rarestFirst = false)
+      val cands = candidatesBetween(s, pd, pWave, salted, DefaultSaltHotDf)
+      verifyPairsSides(s, d, "shuffle_hash", waveSh, "shuffle_hash", cands)
+    }
+    val selfCands = candidatesBetween(s, pWave, pWave, salted, DefaultSaltHotDf)
+    val selfPairs = verifyPairsSides(s, waveSh, "shuffle_hash",
+      waveSh, "shuffle_hash", selfCands)
+    (Seq(basePairs) ++ deltaPairs :+ selfPairs).reduce(_.unionAll(_))
   }
 
   /** MinHash signature table: 128 permutations, computed row-level by the

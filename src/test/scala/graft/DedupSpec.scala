@@ -171,6 +171,30 @@ class DedupSpec extends AnyFunSuite {
     assert(plan.contains("SortMergeJoin"), "merge hint must pin SMJ on the corpus side")
   }
 
+  test("incremental dedup: persisted hv-bucketed prefixes — same pairs, corpus side exchange-free") {
+    // Round-4 verdict item 4: the candidate join's corpus side must read
+    // the persisted hv-bucketed prefix layout with zero exchange. Pin (a)
+    // pair-set parity against the derive-per-run form, (b) that the plan
+    // reads the prefix table bucketed, (c) that dropping the per-run
+    // prefix shuffle shows up as strictly fewer exchanges.
+    val persisted = llm.Dedup.incrementalPipeline(spark, TestSpark.Sf, salted = false)
+    val derived = llm.Dedup.incrementalPipeline(spark, TestSpark.Sf,
+      salted = false, persistedPrefixes = false)
+    val p = persisted.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val d = derived.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p === d)
+    assert(p.nonEmpty)
+    val pPlan = persisted.queryExecution.executedPlan.toString
+    assert(pPlan.contains("graft_prefixes"),
+      "corpus prefixes must read the persisted hv-bucketed layout")
+    assert("Bucketed: true".r.findAllIn(pPlan).length >= 2,
+      "both the signature and the prefix layouts must scan bucketed")
+    def nEx(pl: String) = "Exchange".r.findAllIn(pl).length
+    val dPlan = derived.queryExecution.executedPlan.toString
+    assert(nEx(pPlan) < nEx(dPlan),
+      s"persisted=${nEx(pPlan)} exchanges vs derived=${nEx(dPlan)}")
+  }
+
   test("incremental dedup: salted and unsalted asymmetric candidate joins agree") {
     // End-to-end parity through the asymmetric (corpus-prefix vs
     // batch-prefix) salted path — complements the self-join Zipfian unit.

@@ -20,6 +20,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "join_theta_range",   // inherently non-equi, bounded broadcast side
     "llm_dedup_embed",    // exact all-pairs verifier, documented bounded
     "llm_dedup_incremental", // 1-row watermark broadcast onto docs + corpus scans
+    "stream_dedup_incremental", // 1-row watermark/wave-bound broadcasts
     "llm_sim_topk",       // tiny query-set broadcast, non-equi self-guard
     "llm_sim_topk_ivf",   // 1-row codebook broadcast onto the scan
     "llm_sim_topk_ivf2",  // same pattern: 1-row two-level codebook broadcast

@@ -199,6 +199,74 @@ class StreamingSpec extends AnyFunSuite {
       "fixture must plant contaminated docs in both arrival waves")
   }
 
+  test("incremental dedup foreachBatch pipeline: persisted base + appended delta, no reprocessing on resume") {
+    // The production form of stream_dedup_incremental: post-watermark docs
+    // land incrementally (two parquet arrival waves through a checkpointed
+    // file source); each micro-batch shingles ONLY its own docs, runs
+    // Dedup.dedupIncrement against the immutable persisted base layouts
+    // plus the appended delta signature parquet, appends its pairs to the
+    // sink and its signatures to the delta. The accumulated sink must equal
+    // the batch incremental answer, with no pair emitted twice on resume.
+    import org.apache.spark.sql.functions.{broadcast, floor => sfloor, max => smax}
+    val docs = sources.Tables.documents(spark, TestSpark.Sf).cache()
+    val wmid = docs.agg(sfloor(smax($"doc_id") / 2.0).cast("long"))
+      .collect()(0).getLong(0)
+    val truth = llm.Dedup.incremental.run(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Split the batch where it provably exercises the delta path: seat the
+    // wave seam between the two ids of a within-batch pair, so that pair
+    // can only be found by verifying wave 2 against wave 1's appended
+    // signatures (not against the persisted base).
+    val seam = truth.filter(_._1 > wmid).map(_._1).min
+    assert(truth.exists(p => p._1 > wmid && p._1 <= seam && p._2 > seam),
+      "fixture must plant a cross-seam within-batch pair")
+
+    val base = Files.createTempDirectory("graft_dstrm").toString
+    val (src, out, ckpt, state) =
+      (s"$base/src", s"$base/out", s"$base/ckpt", s"$base/state")
+    val bounds = docs.agg(sfloor(smax($"doc_id") / 2.0).cast("long").as("wm"))
+    val baseSh = llm.Dedup.bucketedSignatures(spark, TestSpark.Sf)
+      .join(broadcast(bounds), $"doc_id" <= $"wm")
+      .select($"doc_id", $"shingles", $"n")
+    val basePref = llm.Dedup.bucketedPrefixes(spark, TestSpark.Sf)
+      .join(broadcast(bounds), $"doc_id" <= $"wm")
+      .select($"doc_id", $"n", $"pos", $"hv")
+
+    def runWave(): Unit = {
+      val q = spark.readStream.schema(docs.schema).parquet(src)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val waveSh = llm.Dedup.shingleOf(spark, b.select($"doc_id", $"text")).cache()
+          val delta =
+            if (new java.io.File(state, "_SUCCESS").exists())
+              Some(spark.read.parquet(state))
+            else None
+          llm.Dedup.dedupIncrement(spark, baseSh, basePref, delta, waveSh,
+              salted = false)
+            .write.mode("append").parquet(out)
+          waveSh.write.mode("append").parquet(state)
+          waveSh.unpersist()
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    docs.filter($"doc_id" > wmid && $"doc_id" <= seam).write.mode("append").parquet(src)
+    runWave()
+    docs.filter($"doc_id" > seam).write.mode("append").parquet(src)
+    runWave()
+
+    val acc = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(acc.toSet === truth,
+      "accumulated incremental output must equal the batch incremental answer")
+    assert(acc.length === acc.distinct.length,
+      "a pair emitted twice means wave-1 files were reprocessed or a seam double-counted")
+  }
+
   test("offset reset=latest skips the pre-bootstrap backlog, then resumes normally") {
     val base = Files.createTempDirectory("graft_inc_latest").toString
     val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
