@@ -766,7 +766,107 @@ object Dedup {
              FROM comp ORDER BY doc_id""")
   )
 
+  /** Persisted corpus-only cluster labels (v, cid) — the state the
+    * incremental clustering path merges into. Written once per sf-dir by
+    * clustering the corpus-internal pair graph (both endpoints ≤ the
+    * derived watermark); re-registered, not recomputed, on later sessions
+    * (the bucketedSignatures convention). Bucketed by `v` so the
+    * endpoint-relabel joins read it co-partitioned. Labels are component-
+    * min doc_ids by construction (min-label CC), which is what makes the
+    * incremental merge's reduced-graph labels equal a full re-run's. */
+  private[graft] def corpusLabels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val tbl = s"graft_labels_$sfx"
+    val path = s"/tmp/graft_labels/$sfx"
+    if (!s.catalog.tableExists(tbl)) {
+      if (new java.io.File(path, "_SUCCESS").exists()) {
+        s.sql(s"""CREATE TABLE $tbl (`v` BIGINT, `cid` BIGINT)
+                  USING PARQUET
+                  CLUSTERED BY (v) SORTED BY (v) INTO 8 BUCKETS
+                  LOCATION '$path'""")
+      } else {
+        val docs = Tables.documents(s, dir)
+        val wm = docs.agg(floor(max($"doc_id") / 2.0).cast("long").as("wm"))
+        val corpusSh = bucketedSignatures(s, dir)
+          .join(broadcast(wm), $"doc_id" <= $"wm")
+          .select($"doc_id", $"shingles", $"n")
+        val corpusPairs = jaccardPipelineOver(s, corpusSh,
+            rarestFirstPrefixes, merge = true)
+          .select($"id_a".as("src"), $"id_b".as("dst"))
+        connectedComponents(corpusPairs)
+          .repartition(8, $"v")
+          .write.bucketBy(8, "v").sortBy("v")
+          .option("path", path).mode("overwrite").saveAsTable(tbl)
+      }
+    }
+    s.table(tbl)
+  }
+
+  /** Incremental near-dup clustering — merging a batch's verified pairs
+    * into the persisted corpus clustering WITHOUT re-running connected
+    * components over the full graph (the last batch-only step in the
+    * recurring dedup story). The algebra: old components are internally
+    * connected, and new edges are the only way anything merges, so
+    * contract each old component to its label super-node (one
+    * co-partitioned left join per endpoint against the persisted labels),
+    * run min-label CC on the REDUCED graph — O(new pairs) edges, rounds
+    * bounded by the reduced diameter, independent of corpus size — and
+    * relabel: an old vertex's final label is its component label mapped
+    * through the reduced labeling; a vertex first seen in the new pairs
+    * takes its reduced label directly. Because old labels are component-
+    * min doc_ids, the reduced min-label equals the merged component's
+    * global min doc_id — i.e. EXACTLY what a full re-run yields, which is
+    * why the oracle is llm_dedup_cluster's verbatim.
+    *
+    * Scale shape: the recurring cost is the incremental pair set (O(batch)
+    * via the persisted layouts), a CC over O(new pairs) reduced edges, and
+    * ONE pass of co-partitioned relabel joins over the labels table —
+    * never an iterative walk over O(V+E). */
+  val clusterIncremental: GraftQuery = GraftQuery(
+    "llm_dedup_cluster_incremental",
+    (s, dir) => {
+      import s.implicits._
+      val oldLabels = corpusLabels(s, dir)
+      val newPairs = incrementalPipeline(s, dir, saltedPrefixes)
+        .select($"id_a".as("src"), $"id_b".as("dst"))
+      // Contract endpoints to super-nodes: an endpoint inside an old
+      // component becomes that component's label; anything else (batch
+      // docs, corpus singletons with no corpus-internal pair) stands for
+      // itself.
+      val contracted = newPairs
+        .join(oldLabels.select($"v".as("src"), $"cid".as("scid"))
+                .hint("shuffle_hash"), Seq("src"), "left")
+        .join(oldLabels.select($"v".as("dst"), $"cid".as("dcid"))
+                .hint("shuffle_hash"), Seq("dst"), "left")
+        .select(coalesce($"scid", $"src").as("src"),
+                coalesce($"dcid", $"dst").as("dst"))
+        // Self-loops appear when both endpoints already share an old
+        // component — no merge information, drop before the reduced CC.
+        .filter($"src" =!= $"dst")
+      val reduced = connectedComponents(contracted)
+      // Relabel the old world through the reduced labeling (label → new
+      // label, identity where untouched by any new edge)...
+      val oldFinal = oldLabels
+        .join(reduced.select($"v".as("cid"), $"cid".as("ncid")), Seq("cid"), "left")
+        .select($"v", coalesce($"ncid", $"cid").as("cid"))
+      // ...and label the vertices first seen in the new pairs: their
+      // super-node IS the vertex, so the reduced labeling carries them
+      // (anything reduced-CC never saw kept no pair and emits nothing).
+      val newFinal = newPairs
+        .select(explode(array($"src", $"dst")).as("v")).distinct()
+        .join(oldLabels.select($"v"), Seq("v"), "left_anti")
+        .join(reduced, Seq("v"))
+      oldFinal.unionAll(newFinal)
+        .withColumn("cluster_size",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy($"cid")))
+        .select($"v".as("doc_id"), $"cid".as("cluster_id"), $"cluster_size")
+        .orderBy($"doc_id")
+    },
+    cluster.oracle
+  )
+
   def all: Seq[GraftQuery] =
     Seq(exact, ngramJaccard, bucketed, incremental, minhashLsh, simhash,
-        simhashPoly, embedCosine, embedCosineLsh, cluster)
+        simhashPoly, embedCosine, embedCosineLsh, cluster, clusterIncremental)
 }

@@ -206,6 +206,24 @@ class DedupSpec extends AnyFunSuite {
     assert(off.nonEmpty)
   }
 
+  test("incremental clustering: merged labels equal a full re-run, spanning the watermark") {
+    import org.apache.spark.sql.functions.{floor => sfloor, max => smax}
+    val full = llm.Dedup.cluster.run(spark, TestSpark.Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val inc = llm.Dedup.clusterIncremental.run(spark, TestSpark.Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc === full,
+      "reduced-graph merge must reproduce the full connected-components run")
+    assert(inc.nonEmpty)
+    // The merge only earns its keep if some cluster actually unions corpus
+    // and batch docs — otherwise the reduced CC never contracted anything.
+    val wm = sources.Tables.documents(spark, TestSpark.Sf)
+      .agg(sfloor(smax($"doc_id") / 2.0).cast("long")).collect()(0).getLong(0)
+    assert(inc.groupBy(_._2).exists { case (_, ms) =>
+      ms.exists(_._1 <= wm) && ms.exists(_._1 > wm) },
+      "fixture must plant a cluster spanning the watermark")
+  }
+
   test("connectedComponents: min-label fixpoint on a diameter-4 path graph") {
     // Path 1-2-3-4-5 forces multi-round propagation; (10,11) is isolated.
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))

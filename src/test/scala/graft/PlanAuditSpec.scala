@@ -20,6 +20,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "join_theta_range",   // inherently non-equi, bounded broadcast side
     "llm_dedup_embed",    // exact all-pairs verifier, documented bounded
     "llm_dedup_incremental", // 1-row watermark broadcast onto docs + corpus scans
+    "llm_dedup_cluster_incremental", // same watermark broadcasts via incrementalPipeline
     "stream_dedup_incremental", // 1-row watermark/wave-bound broadcasts
     "llm_sim_topk",       // tiny query-set broadcast, non-equi self-guard
     "llm_sim_topk_ivf",   // 1-row codebook broadcast onto the scan
