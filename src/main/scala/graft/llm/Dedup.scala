@@ -206,14 +206,21 @@ object Dedup {
   /** Same dataflow over an arbitrary (doc_id, shingles, n) signature table
     * — the layout-reuse entry point: `llm_dedup_bucketed` passes the
     * persisted bucketed table and `merge = true` so the verification joins
-    * plan as SMJ with the bucketed side exchange-free. */
+    * plan as SMJ with the bucketed side exchange-free. When `prefixTable`
+    * is given (the persisted hv-bucketed layout), the candidate self-join
+    * reads BOTH sides co-partitioned on `hv` — zero exchange — instead of
+    * deriving and shuffling prefixes per run; the pair set is identical
+    * under any lossless global prefix order (DedupSpec pins hash-order ==
+    * rarest-first), so the persisted hash-order table serves regardless of
+    * the rarestFirst flag. */
   private def jaccardPipelineOver(s: SparkSession, sh: DataFrame,
                                   rarestFirst: Boolean,
-                                  merge: Boolean): DataFrame = {
-    val prefixTable = prefixesOf(s, sh, rarestFirst)
-      .cache() // both sides of the self-join below
-    val cands = candidatesBetween(s, prefixTable, prefixTable,
-      saltedPrefixes, DefaultSaltHotDf)
+                                  merge: Boolean,
+                                  prefixTable: Option[DataFrame] = None): DataFrame = {
+    val pt = prefixTable.getOrElse(
+      prefixesOf(s, sh, rarestFirst)
+        .cache()) // both sides of the self-join below
+    val cands = candidatesBetween(s, pt, pt, saltedPrefixes, DefaultSaltHotDf)
     verifyPairsOf(s, sh, cands, merge)
   }
 
@@ -731,12 +738,14 @@ object Dedup {
     "llm_dedup_cluster",
     (s, dir) => {
       import s.implicits._
-      // Pairs come from the PERSISTED bucketed signature layout (shared
-      // with llm_dedup_bucketed): a recurring clustering run re-reads the
-      // layout co-located instead of re-shingling the corpus — the
-      // incremental-dedup story end to end.
+      // Pairs come from the PERSISTED layouts (shared with
+      // llm_dedup_bucketed / llm_dedup_incremental): signatures feed the
+      // verification SMJ co-located, and the candidate self-join reads the
+      // hv-bucketed prefix table on BOTH sides — a recurring clustering
+      // run re-shingles nothing and shuffles only candidate id pairs.
       val pairs = jaccardPipelineOver(s, bucketedSignatures(s, dir),
-          rarestFirstPrefixes, merge = true)
+          rarestFirstPrefixes, merge = true,
+          prefixTable = Some(bucketedPrefixes(s, dir)))
         .select($"id_a".as("src"), $"id_b".as("dst"))
       val labels = connectedComponents(pairs)
       labels
@@ -791,8 +800,17 @@ object Dedup {
         val corpusSh = bucketedSignatures(s, dir)
           .join(broadcast(wm), $"doc_id" <= $"wm")
           .select($"doc_id", $"shingles", $"n")
-        val corpusPairs = jaccardPipelineOver(s, corpusSh,
-            rarestFirstPrefixes, merge = true)
+        // Candidates self-join the persisted hv-bucketed prefix layout
+        // (watermark-filtered, partitioning preserved): both sides arrive
+        // co-partitioned on hv, zero exchange — the write pays only the
+        // verification and CC, not a prefix re-derivation.
+        val pCorpus = bucketedPrefixes(s, dir)
+          .join(broadcast(wm), $"doc_id" <= $"wm")
+          .select($"doc_id", $"n", $"pos", $"hv")
+        val cands = candidatesBetween(s, pCorpus, pCorpus,
+          saltedPrefixes, DefaultSaltHotDf)
+        val corpusPairs = verifyPairsSides(s, corpusSh, "merge",
+            corpusSh, "merge", cands)
           .select($"id_a".as("src"), $"id_b".as("dst"))
         connectedComponents(corpusPairs)
           .repartition(8, $"v")
