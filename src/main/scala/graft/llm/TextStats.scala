@@ -285,7 +285,85 @@ object TextStats {
             FROM raw ORDER BY doc_id""")
   )
 
+  /** Stratified source/language mixing — the data-mixing pass that sets
+    * per-stratum sampling rates when assembling a training corpus (e.g.
+    * downweight the dominant web crawl, keep all of the rare languages).
+    * The keep decision is a deterministic md5-hash threshold on the stable
+    * doc_id (the simhash_poly trick: first 15 hex chars fit a BIGINT in
+    * both engines), so the sample is reproducible across runs, engines,
+    * retries, and repartitioning — never `rand()` — and UNIFORM within
+    * each stratum regardless of id layout. Pure scan-projection filter:
+    * zero shuffles at any corpus size (the final sort exists for the
+    * oracle-determinism rule only; production drops it). Rates here
+    * downweight English 4× and keep every other language whole. */
+  val sampleStratified: GraftQuery = GraftQuery(
+    "llm_sample_stratified",
+    (s, dir) => {
+      import s.implicits._
+      val frac = expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS DOUBLE)") /
+        lit(math.pow(2.0, 60))
+      val rate = when($"lang" === "en", lit(0.25)).otherwise(lit(1.0))
+      Tables.documents(s, dir)
+        .filter(frac < rate)
+        .select($"doc_id", $"lang", $"source")
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id, lang, source
+            FROM documents
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                  / POW(2, 60)
+                  < CASE WHEN lang = 'en' THEN 0.25 ELSE 1.0 END
+            ORDER BY doc_id""")
+  )
+
+  /** Sequence packing — the concat-and-chunk assignment that turns a
+    * filtered corpus into fixed-length training sequences: documents are
+    * concatenated in a deterministic order and sliced every CtxLen
+    * tokens; each doc is assigned the sequence its first token lands in
+    * plus its offset there (the table a packer executes; boundary-
+    * straddling docs split downstream). Packing is embarrassingly
+    * parallel ACROSS packing groups but sequential within one, so the
+    * corpus shards into `PackBuckets` deterministic hash groups and the
+    * running token count is a window per group — ONE shuffle on the
+    * bucket key, per-bucket sort, no global order anywhere. At 100 TB,
+    * size the bucket count to the cluster (e.g. 100k buckets ≈ 1 GB of
+    * tokens each); the per-sequence fill is unaffected because sequences
+    * never cross buckets. Integer-only arithmetic → bit-exact oracle. */
+  val packChunks: GraftQuery = GraftQuery(
+    "llm_pack_chunks",
+    (s, dir) => {
+      import s.implicits._
+      val CtxLen = 2048L
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"bucket").orderBy($"doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      Tables.documents(s, dir)
+        .select($"doc_id", pmod($"doc_id", lit(8L)).as("bucket"),
+          size(split($"text", " ")).cast("long").as("n_tok"))
+        .withColumn("tok_before", coalesce(sum($"n_tok").over(w), lit(0L)))
+        .select($"doc_id", $"bucket",
+          floor($"tok_before" / CtxLen).as("seq_id"),
+          ($"tok_before" % CtxLen).as("tok_offset"),
+          $"n_tok")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH t AS (
+              SELECT doc_id, doc_id % 8 AS bucket,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+              FROM documents),
+            c AS (
+              SELECT doc_id, bucket, n_tok,
+                     COALESCE(sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
+              FROM t)
+            SELECT doc_id, bucket,
+                   CAST(floor(tok_before / 2048) AS BIGINT) AS seq_id,
+                   tok_before % 2048 AS tok_offset, n_tok
+            FROM c ORDER BY doc_id""")
+  )
+
   def all: Seq[GraftQuery] =
     Seq(textStats, langId, fingerprint, langProfile, tokenBpe, quality,
-        vocabTopK, trainSplit, piiScrub)
+        vocabTopK, trainSplit, piiScrub, sampleStratified, packChunks)
 }

@@ -93,6 +93,45 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("pack_chunks: token runs are contiguous per bucket, offsets in range") {
+    // The packing contract: within a bucket, doc i+1's start offset is
+    // doc i's start + length (no gaps, no overlaps across the whole
+    // concatenation), offsets stay inside the context window, and
+    // sequence ids advance monotonically. Pins the semantics (not just
+    // the hash) against window-frame refactors.
+    val rows = llm.TextStats.packChunks.run(spark, TestSpark.Sf).collect()
+      .map(r => (r.getLong(1), r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, b) =>
+      val inOrder = b.sortBy(_._2)
+      val starts = inOrder.scanLeft(0L) { case (cum, (_, _, _, _, nTok)) => cum + nTok }
+      inOrder.zip(starts).foreach { case ((_, id, seqId, off, _), expectedStart) =>
+        assert(seqId === expectedStart / 2048, s"doc $id seq_id")
+        assert(off === expectedStart % 2048, s"doc $id offset")
+        assert(off >= 0 && off < 2048)
+      }
+      val seqIds = inOrder.map(_._3)
+      assert(seqIds.zip(seqIds.tail).forall { case (a, c) => a <= c })
+    }
+  }
+
+  test("stratified sample: deterministic, uniform within stratum, rates honored") {
+    val docs = sources.Tables.documents(spark, TestSpark.Sf)
+      .select($"doc_id", $"lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val kept = llm.TextStats.sampleStratified.run(spark, TestSpark.Sf)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val keptAgain = llm.TextStats.sampleStratified.run(spark, TestSpark.Sf)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === keptAgain, "hash-threshold sample must be reproducible")
+    val (en, rest) = docs.partition(_._2 == "en")
+    assert(rest.forall(d => kept(d._1)), "non-en strata keep rate is 1.0")
+    val enRate = en.count(d => kept(d._1)).toDouble / en.length
+    info(f"en keep rate: $enRate%.2f of ${en.length} docs (target 0.25)")
+    // binomial around 0.25; generous two-sided bound at fixture size
+    assert(enRate > 0.05 && enRate < 0.5, s"en rate $enRate far from 0.25")
+  }
+
   test("tfidf: 3 ranked terms per doc, scores descending, match recomputation") {
     val out = llm.Corpus.tfidf.run(spark, TestSpark.Sf).collect()
     val all = docsById
