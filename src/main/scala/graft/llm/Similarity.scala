@@ -355,5 +355,63 @@ object Similarity {
         .orderBy($"qid", $"rn")
   }
 
-  def all: Seq[GraftQuery] = Seq(bruteTopK, lshTopK, ivfTopK, ivf2TopK)
+  /** Embedding QA — per-label centroid statistics (count, mean L2 norm,
+    * mean cosine to the label centroid): the dispersion profile that flags
+    * mislabeled or degenerate embedding batches before they enter
+    * training. Same dataflow as a Lloyd update: per-(label, dim) mean via
+    * posexplode + hash agg (shuffle carries labels × dims rows, never
+    * vectors), centroids re-assembled and broadcast back (labels are a
+    * bounded set), cosines in the scan projection via the codegen
+    * expression. The centroid is cast through FLOAT before the cosine so
+    * both engines feed the expression identical 32-bit values; rounding
+    * happens only at the final projection (oracle-determinism rule). */
+  val embedStats: GraftQuery = GraftQuery(
+    "llm_embed_stats",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+        .select($"vec_id", $"label", $"embedding")
+      val cents = e
+        .select($"label", posexplode($"embedding").as(Seq("dim", "x")))
+        .groupBy($"label", $"dim").agg(avg($"x").as("m"))
+        .groupBy($"label")
+        .agg(transform(array_sort(collect_list(struct($"dim", $"m"))),
+          c => c.getField("m").cast("float")).as("centroid"))
+      val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+        VectorFunctions.dot(s, a, b)
+      e.join(broadcast(cents), Seq("label"))
+        .select($"label",
+          sqrt(dot($"embedding", $"embedding")).as("norm"),
+          VectorFunctions.cosine(s, $"embedding", $"centroid").as("cos"))
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(avg($"norm"), 4).as("mean_norm"),
+          round(avg($"cos"), 4).as("mean_cos_to_centroid"))
+        .orderBy($"label")
+    },
+    Some("""WITH e AS (
+              SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+            dims AS (
+              SELECT label, r.i AS dim, avg(v[r.i]) AS m
+              FROM e, range(1, 65) r(i)
+              GROUP BY label, r.i),
+            cents AS (
+              SELECT label,
+                     list_transform(list(m ORDER BY dim),
+                                    y -> CAST(CAST(y AS FLOAT) AS DOUBLE)) AS c
+              FROM dims GROUP BY label),
+            scored AS (
+              SELECT e.label,
+                     sqrt(list_sum(list_transform(e.v, y -> y * y))) AS norm,
+                     list_cosine_similarity(e.v, cents.c) AS cos
+              FROM e JOIN cents USING (label))
+            SELECT label, count(*) AS n_vecs,
+                   round(avg(norm), 4) AS mean_norm,
+                   round(avg(cos), 4) AS mean_cos_to_centroid
+            FROM scored GROUP BY label ORDER BY label""")
+  )
+
+  def all: Seq[GraftQuery] =
+    Seq(bruteTopK, lshTopK, ivfTopK, ivf2TopK, embedStats)
 }
