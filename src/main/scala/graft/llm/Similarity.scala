@@ -355,6 +355,83 @@ object Similarity {
         .orderBy($"qid", $"rn")
   }
 
+  /** Number of coarse partition groups the persisted IVF index shards
+    * into: pmod(hash(cid), IndexGroups) is the partition column, so a
+    * query batch's probe join dynamically prunes the scan to only the
+    * groups holding probed lists. Size ∝ cluster at 100 TB (thousands);
+    * 16 here keeps the fixture's directory count sane. */
+  private[graft] val IndexGroups = 16
+
+  /** The persisted IVF index — codebook + inverted-list assignments,
+    * written once per dataset and re-read by every query batch (the
+    * "persist the assigned table" step the flat-IVF scaladoc names).
+    * Assignments are PARTITIONED by pmod(hash(cid), IndexGroups): unlike
+    * bucketing, partition values are visible to dynamic partition pruning,
+    * so the broadcast probe join prunes untouched groups at the directory
+    * level before any file opens. Plain partitioned parquet (no catalog
+    * table needed — partition discovery handles re-registration); the
+    * pre-write repartition on the group column pins file count to the
+    * group count. The codebook persists alongside because probes MUST
+    * descend the SAME codebook the index was built with — Lloyd means sum
+    * in partition order, so a rebuilt codebook is not bit-identical. */
+  private[graft] def ivfIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"/tmp/graft_ivf/$sfx"
+    val (centPath, assignPath) = (s"$base/centroids", s"$base/assign")
+    if (!new java.io.File(assignPath, "_SUCCESS").exists()) {
+      val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      lloydRefine(s, e, seedCentroids(s, e), 2)
+        .write.mode("overwrite").parquet(centPath)
+      val codebook = cbOf(s, s.read.parquet(centPath))
+      e.crossJoin(codebook)
+        .withColumn("cid", array_max(centScores(s, $"embedding")).getField("cid"))
+        .drop("cb")
+        .withColumn("cid_grp", pmod(hash($"cid"), lit(IndexGroups)))
+        .repartition($"cid_grp")
+        .write.mode("overwrite").partitionBy("cid_grp").parquet(assignPath)
+    }
+    (s.read.parquet(centPath), s.read.parquet(assignPath))
+  }
+
+  /** ANN top-k over the PERSISTED IVF index — the recurring-query form:
+    * Lloyd refinement and corpus assignment ran once at index-build time;
+    * a query batch pays only its own probe descent (broadcast codebook ×
+    * NumQueries rows) plus a broadcast hash join whose scan DYNAMICALLY
+    * PRUNES to the partition groups its probes touch (asserted on the
+    * plan). At 100 TB with thousands of groups, a small query batch reads
+    * a few list-groups, not the corpus — this is what makes ANN serving
+    * economical on the same layout analytics runs on. No oracle
+    * (approximate by design); SimilaritySpec pins structure, exact-sim
+    * containment, run-to-run determinism over the fixed index, and the
+    * dynamic-pruning plan shape. */
+  val ivfPersistedTopK: GraftQuery = GraftQuery(
+    "llm_sim_topk_ivf_persisted",
+    (s, dir) => {
+      import s.implicits._
+      val NProbe = 4
+      val (cents, assigned) = ivfIndex(s, dir)
+      val codebook = cbOf(s, cents)
+      val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      val probes = broadcast(
+        e.filter($"vec_id" < NumQueries).crossJoin(codebook)
+          .select($"vec_id".as("qid"), $"embedding".as("qv"),
+            explode(slice(reverse(array_sort(centScores(s, $"embedding"))), 1, NProbe)
+              .getField("cid")).as("cid"))
+          .withColumn("cid_grp", pmod(hash($"cid"), lit(IndexGroups))))
+      val scored = assigned.join(probes, Seq("cid_grp", "cid"))
+        .filter($"vec_id" =!= $"qid")
+        .withColumn("sim", round(VectorFunctions.cosine(s, $"qv", $"embedding"), 4))
+      scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id")))
+        .filter($"rn" <= K)
+        .select($"qid", $"rn", $"vec_id".as("nid"), $"sim")
+        .orderBy($"qid", $"rn")
+    },
+    None
+  )
+
   /** Embedding QA — per-label centroid statistics (count, mean L2 norm,
     * mean cosine to the label centroid): the dispersion profile that flags
     * mislabeled or degenerate embedding batches before they enter
@@ -413,5 +490,5 @@ object Similarity {
   )
 
   def all: Seq[GraftQuery] =
-    Seq(bruteTopK, lshTopK, ivfTopK, ivf2TopK, embedStats)
+    Seq(bruteTopK, lshTopK, ivfTopK, ivf2TopK, ivfPersistedTopK, embedStats)
 }

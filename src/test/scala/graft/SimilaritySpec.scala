@@ -121,6 +121,32 @@ class SimilaritySpec extends AnyFunSuite {
       s"widening the coarse descent lost recall: $recalls")
   }
 
+  test("persisted IVF index: deterministic serving, dynamically pruned scan") {
+    val df1 = llm.Similarity.ivfPersistedTopK.run(spark, TestSpark.Sf)
+    val r1 = df1.collect()
+    assert(r1.nonEmpty)
+    // structure: ≤ k per query, contiguous ranks, descending sims, no self
+    r1.groupBy(_.getAs[Long]("qid")).foreach { case (q, rs) =>
+      assert(rs.length <= 10)
+      assert(rs.map(_.getAs[Int]("rn")).sorted.toSeq === (1 to rs.length))
+      val sims = rs.sortBy(_.getAs[Int]("rn")).map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
+      assert(rs.forall(_.getAs[Long]("nid") != q))
+    }
+    // serving determinism: the index is fixed on disk, so a re-run is
+    // bit-identical (unlike the in-query Lloyd variants, whose codebooks
+    // can flip on partition-order ties across sessions)
+    val r2 = llm.Similarity.ivfPersistedTopK.run(spark, TestSpark.Sf).collect()
+    assert(r1.map(_.toString).toSeq === r2.map(_.toString).toSeq)
+    // the scale claim: the probe join must dynamically prune the
+    // assignment scan to the partition groups its probes touch
+    val plan = df1.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      "assignment scan must carry a dynamic partition pruning filter")
+    assert(plan.contains("graft_ivf"),
+      "scan must read the persisted index layout")
+  }
+
   test("IVF codebook size is ~sqrt(N) — sub-linear in corpus rows") {
     // seedCentroids only reads vec_id (hash-threshold keep decision) and the
     // corpus count, so a synthetic constant-embedding frame exercises the
@@ -176,7 +202,7 @@ class SimilaritySpec extends AnyFunSuite {
       .map { case (qid, rs) =>
         qid -> rs.sortBy(_.getAs[Int]("rn")).map(_.getAs[Double]("sim")) }
     for (ann <- Seq(llm.Similarity.lshTopK, llm.Similarity.ivfTopK,
-                    llm.Similarity.ivf2TopK)) {
+                    llm.Similarity.ivf2TopK, llm.Similarity.ivfPersistedTopK)) {
       val rows = ann.run(spark, TestSpark.Sf).collect()
       assert(rows.nonEmpty)
       rows.foreach { r =>
