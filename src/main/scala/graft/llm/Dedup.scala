@@ -884,7 +884,70 @@ object Dedup {
     cluster.oracle
   )
 
+  /** Quality-based keep/drop — the final act of the dedup story: each
+    * duplicate cluster keeps its HIGHEST-QUALITY copy (llm_quality's
+    * composite score; ties break to the lower doc_id), not simply its
+    * min-id. This is how production corpora actually dedup: the
+    * representatives you train on should be the best members, and
+    * "min-id" is only a stand-in when no quality signal exists.
+    *
+    * Scale shape: labels come from the persisted-layout cluster pipeline
+    * (checkpointed CC output, O(vertices-in-pairs) rows); the quality
+    * score is a scan projection joined back by id as shuffle_hash (the
+    * score table is O(N) — never broadcast); the per-cluster argmax is a
+    * rank window partitioned by cluster id — WindowGroupLimit prunes to
+    * the keeper before anything global. Oracle composes the cluster
+    * closure CTE with llm_quality's score expression verbatim. */
+  val keepBest: GraftQuery = GraftQuery(
+    "llm_dedup_keep_best",
+    (s, dir) => {
+      import s.implicits._
+      val pairs = jaccardPipelineOver(s, bucketedSignatures(s, dir),
+          rarestFirstPrefixes, merge = true,
+          prefixTable = Some(bucketedPrefixes(s, dir)))
+        .select($"id_a".as("src"), $"id_b".as("dst"))
+      val labels = connectedComponents(pairs)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy($"cid")
+      labels
+        .join(TextStats.scoredDocs(s, dir).withColumnRenamed("doc_id", "v")
+                .hint("shuffle_hash"), "v")
+        .withColumn("rn", row_number().over(
+          w.orderBy($"score".desc, $"v".asc)))
+        .withColumn("n_docs", count(lit(1)).over(w))
+        .filter($"rn" === 1)
+        .select($"cid".as("cluster_id"), $"v".as("keeper_id"),
+          $"score".as("keeper_score"), $"n_docs")
+        .orderBy($"cluster_id")
+    },
+    Some(s"""WITH RECURSIVE sh AS (
+               SELECT doc_id,
+                      list_distinct(list_transform(range(1, greatest(len(w) - 1, 1)),
+                        i -> array_to_string(w[i:i+2], ' '))) AS s
+               FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+             pairs AS (
+               SELECT a.doc_id AS u, b.doc_id AS v
+               FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+               WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= $Tau),
+             edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+             reach(v, r) AS (
+               SELECT u, u FROM edges
+               UNION
+               SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.v),
+             comp AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+             q AS (SELECT doc_id, ${TextStats.scoreSql} AS score FROM documents),
+             j AS (
+               SELECT comp.cluster_id, comp.doc_id, q.score,
+                      row_number() OVER (PARTITION BY comp.cluster_id
+                        ORDER BY q.score DESC, comp.doc_id ASC) AS rn,
+                      count(*) OVER (PARTITION BY comp.cluster_id) AS n_docs
+               FROM comp JOIN q USING (doc_id))
+             SELECT cluster_id, doc_id AS keeper_id, score AS keeper_score, n_docs
+             FROM j WHERE rn = 1 ORDER BY cluster_id""")
+  )
+
   def all: Seq[GraftQuery] =
     Seq(exact, ngramJaccard, bucketed, incremental, minhashLsh, simhash,
-        simhashPoly, embedCosine, embedCosineLsh, cluster, clusterIncremental)
+        simhashPoly, embedCosine, embedCosineLsh, cluster, clusterIncremental,
+        keepBest)
 }

@@ -1,5 +1,6 @@
 package graft.llm
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.GraftQuery
 import graft.sources.Tables
@@ -159,33 +160,47 @@ object TextStats {
   /** Composite quality score: saturating length terms + stopword density,
     * bucketed. The formula is integer-over-constant double arithmetic —
     * identical FP sequence in both engines, rounded only at the end. */
+  /** (doc_id, score): the llm_quality composite score as a reusable frame
+    * — shared by llm_quality and llm_dedup_keep_best (quality-based
+    * cluster-representative selection). Rounded here (4 dp) so downstream
+    * tie-breaks are cross-engine stable. */
+  private[graft] def scoredDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("toks", TF.tokens($"text"))
+      .withColumn("n_tokens", size($"toks"))
+      .withColumn("stop_ratio",
+        size(filter($"toks", t => t === "the" || t === "a" || t === "of"))
+          .cast("double") / $"n_tokens".cast("double"))
+      .withColumn("score", round(
+        least($"n_tokens".cast("double") / 50.0, lit(1.0)) * 0.5 +
+        $"stop_ratio" * 0.3 +
+        least($"n_chars".cast("double") / 300.0, lit(1.0)) * 0.2, 4))
+      .select($"doc_id", $"score")
+  }
+
+  /** The llm_quality oracle's score expression, for composition into
+    * other oracles (keeps the two SQL forms literally identical). */
+  private[graft] val scoreSql: String =
+    """round(
+         least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) * 0.5 +
+         CAST(len(list_filter(string_split(text, ' '),
+              t -> t IN ('the', 'a', 'of'))) AS DOUBLE)
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.3 +
+         least(CAST(n_chars AS DOUBLE) / 300.0, 1.0) * 0.2, 4)"""
+
   val quality: GraftQuery = GraftQuery(
     "llm_quality",
     (s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir)
-        .withColumn("toks", TF.tokens($"text"))
-        .withColumn("n_tokens", size($"toks"))
-        .withColumn("stop_ratio",
-          size(filter($"toks", t => t === "the" || t === "a" || t === "of"))
-            .cast("double") / $"n_tokens".cast("double"))
-        .withColumn("score", round(
-          least($"n_tokens".cast("double") / 50.0, lit(1.0)) * 0.5 +
-          $"stop_ratio" * 0.3 +
-          least($"n_chars".cast("double") / 300.0, lit(1.0)) * 0.2, 4))
+      scoredDocs(s, dir)
         .select($"doc_id", $"score",
           when($"score" >= 0.8, "high").when($"score" >= 0.5, "medium")
             .otherwise("low").as("bucket"))
         .orderBy($"doc_id")
     },
-    Some("""WITH q AS (
-              SELECT doc_id,
-                     round(
-                       least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) * 0.5 +
-                       CAST(len(list_filter(string_split(text, ' '),
-                            t -> t IN ('the', 'a', 'of'))) AS DOUBLE)
-                         / CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.3 +
-                       least(CAST(n_chars AS DOUBLE) / 300.0, 1.0) * 0.2, 4) AS score
+    Some(s"""WITH q AS (
+              SELECT doc_id, $scoreSql AS score
               FROM documents)
             SELECT doc_id, score,
                    CASE WHEN score >= 0.8 THEN 'high'
