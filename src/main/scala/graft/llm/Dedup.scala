@@ -848,34 +848,7 @@ object Dedup {
       val oldLabels = corpusLabels(s, dir)
       val newPairs = incrementalPipeline(s, dir, saltedPrefixes)
         .select($"id_a".as("src"), $"id_b".as("dst"))
-      // Contract endpoints to super-nodes: an endpoint inside an old
-      // component becomes that component's label; anything else (batch
-      // docs, corpus singletons with no corpus-internal pair) stands for
-      // itself.
-      val contracted = newPairs
-        .join(oldLabels.select($"v".as("src"), $"cid".as("scid"))
-                .hint("shuffle_hash"), Seq("src"), "left")
-        .join(oldLabels.select($"v".as("dst"), $"cid".as("dcid"))
-                .hint("shuffle_hash"), Seq("dst"), "left")
-        .select(coalesce($"scid", $"src").as("src"),
-                coalesce($"dcid", $"dst").as("dst"))
-        // Self-loops appear when both endpoints already share an old
-        // component — no merge information, drop before the reduced CC.
-        .filter($"src" =!= $"dst")
-      val reduced = connectedComponents(contracted)
-      // Relabel the old world through the reduced labeling (label → new
-      // label, identity where untouched by any new edge)...
-      val oldFinal = oldLabels
-        .join(reduced.select($"v".as("cid"), $"cid".as("ncid")), Seq("cid"), "left")
-        .select($"v", coalesce($"ncid", $"cid").as("cid"))
-      // ...and label the vertices first seen in the new pairs: their
-      // super-node IS the vertex, so the reduced labeling carries them
-      // (anything reduced-CC never saw kept no pair and emits nothing).
-      val newFinal = newPairs
-        .select(explode(array($"src", $"dst")).as("v")).distinct()
-        .join(oldLabels.select($"v"), Seq("v"), "left_anti")
-        .join(reduced, Seq("v"))
-      oldFinal.unionAll(newFinal)
+      mergeLabels(oldLabels, newPairs)
         .withColumn("cluster_size",
           count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy($"cid")))
         .select($"v".as("doc_id"), $"cid".as("cluster_id"), $"cluster_size")
@@ -883,6 +856,50 @@ object Dedup {
     },
     cluster.oracle
   )
+
+  /** The reduced-graph label merge at the heart of incremental
+    * clustering: given an existing min-label component labeling
+    * (`oldLabels`: (v, cid), cid = component-min vertex id) and a set of
+    * NEW edges, return the labeling of CC(old edges ∪ new edges) without
+    * touching the old edges. Old components are internally connected and
+    * new edges are the only way anything merges, so each old component
+    * contracts to its label super-node, min-label CC runs on the
+    * O(new edges) reduced graph, and one relabel pass maps everything
+    * through. Requires only that old labels are component-MIN ids (so
+    * the reduced min equals the merged component's global min) — NOT
+    * that new-edge endpoints exceed old ids. DedupSpec property-tests
+    * merged == full-CC over random graph splits. */
+  private[graft] def mergeLabels(oldLabels: DataFrame, newPairs: DataFrame): DataFrame = {
+    val s = oldLabels.sparkSession
+    import s.implicits._
+    // Contract endpoints to super-nodes: an endpoint inside an old
+    // component becomes that component's label; anything else (vertices
+    // first seen in the new edges) stands for itself.
+    val contracted = newPairs
+      .join(oldLabels.select($"v".as("src"), $"cid".as("scid"))
+              .hint("shuffle_hash"), Seq("src"), "left")
+      .join(oldLabels.select($"v".as("dst"), $"cid".as("dcid"))
+              .hint("shuffle_hash"), Seq("dst"), "left")
+      .select(coalesce($"scid", $"src").as("src"),
+              coalesce($"dcid", $"dst").as("dst"))
+      // Self-loops appear when both endpoints already share an old
+      // component — no merge information, drop before the reduced CC.
+      .filter($"src" =!= $"dst")
+    val reduced = connectedComponents(contracted)
+    // Relabel the old world through the reduced labeling (label → new
+    // label, identity where untouched by any new edge)...
+    val oldFinal = oldLabels
+      .join(reduced.select($"v".as("cid"), $"cid".as("ncid")), Seq("cid"), "left")
+      .select($"v", coalesce($"ncid", $"cid").as("cid"))
+    // ...and label the vertices first seen in the new pairs: their
+    // super-node IS the vertex, so the reduced labeling carries them
+    // (anything reduced-CC never saw kept no pair and emits nothing).
+    val newFinal = newPairs
+      .select(explode(array($"src", $"dst")).as("v")).distinct()
+      .join(oldLabels.select($"v"), Seq("v"), "left_anti")
+      .join(reduced, Seq("v"))
+    oldFinal.unionAll(newFinal)
+  }
 
   /** Quality-based keep/drop — the final act of the dedup story: each
     * duplicate cluster keeps its HIGHEST-QUALITY copy (llm_quality's

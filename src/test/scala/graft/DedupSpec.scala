@@ -224,6 +224,36 @@ class DedupSpec extends AnyFunSuite {
       "fixture must plant a cluster spanning the watermark")
   }
 
+  test("mergeLabels: merged == full CC over random graph splits (property)") {
+    // The incremental-clustering algebra, pinned beyond the fixture: for
+    // ANY graph and ANY split of its edges into old/new (no monotone-id
+    // assumption — the merge only needs old labels to be component-min
+    // ids), contracting old components to super-nodes, running CC on the
+    // reduced graph, and relabeling must equal CC over all edges. Random
+    // graphs include multi-way merges, fresh-vertex chains bridging old
+    // components, and edge splits that leave singletons everywhere.
+    val rnd = new scala.util.Random(20260813L)
+    for (trial <- 1 to 8) {
+      val n = 6 + rnd.nextInt(9)
+      val all = (for {
+        u <- 0L until n; v <- (u + 1) until n
+        if rnd.nextDouble() < 0.18
+      } yield (u, v)).toSeq
+      val (oldE, newE) = all.partition(_ => rnd.nextBoolean())
+      def edf(e: Seq[(Long, Long)]) = {
+        val base = Seq((-1L, -2L)) ++ e // schema anchor; filtered out below
+        base.toDF("src", "dst").filter($"src" >= 0)
+      }
+      val full = llm.Dedup.connectedComponents(edf(all)).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val oldLabels = llm.Dedup.connectedComponents(edf(oldE))
+      val merged = llm.Dedup.mergeLabels(oldLabels, edf(newE)).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(merged === full,
+        s"trial $trial: old=$oldE new=$newE merged=$merged full=$full")
+    }
+  }
+
   test("connectedComponents: min-label fixpoint on a diameter-4 path graph") {
     // Path 1-2-3-4-5 forces multi-round propagation; (10,11) is isolated.
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
