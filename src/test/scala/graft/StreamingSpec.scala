@@ -267,6 +267,79 @@ class StreamingSpec extends AnyFunSuite {
       "a pair emitted twice means wave-1 files were reprocessed or a seam double-counted")
   }
 
+  test("streaming clustering: per-micro-batch label merge converges to the full clustering") {
+    // The whole recurring dedup story composed end-to-end: docs arrive in
+    // waves through a checkpointed file source; each micro-batch runs
+    // dedupIncrement (new pairs vs persisted base + appended delta) and
+    // then mergeLabels (reduced-graph merge into the label state, stored
+    // as parquet and replaced atomically per batch). After all waves, the
+    // label state must equal llm_dedup_cluster's full-corpus clustering —
+    // no full CC re-run ever happened on the stream side.
+    import org.apache.spark.sql.functions.{broadcast, floor => sfloor, max => smax}
+    val docs = sources.Tables.documents(spark, TestSpark.Sf).cache()
+    val wmid = docs.agg(sfloor(smax($"doc_id") / 2.0).cast("long"))
+      .collect()(0).getLong(0)
+    val truthPairs = llm.Dedup.incremental.run(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val seam = truthPairs.filter(_._1 > wmid).map(_._1).min
+    val base = Files.createTempDirectory("graft_cstrm2").toString
+    val (src, ckpt, state) = (s"$base/src", s"$base/ckpt", s"$base/labels")
+    val bounds = docs.agg(sfloor(smax($"doc_id") / 2.0).cast("long").as("wm"))
+    val baseSh = llm.Dedup.bucketedSignatures(spark, TestSpark.Sf)
+      .join(broadcast(bounds), $"doc_id" <= $"wm")
+      .select($"doc_id", $"shingles", $"n")
+    val basePref = llm.Dedup.bucketedPrefixes(spark, TestSpark.Sf)
+      .join(broadcast(bounds), $"doc_id" <= $"wm")
+      .select($"doc_id", $"n", $"pos", $"hv")
+    val deltaDir = s"$base/delta"
+    // Bootstrap the label state with the corpus-only clustering — the
+    // persisted labels layout the incremental path starts from.
+    llm.Dedup.corpusLabels(spark, TestSpark.Sf)
+      .write.mode("overwrite").parquet(s"$state/v0")
+    var stateVersion = 0
+
+    def runWave(): Unit = {
+      val q = spark.readStream.schema(docs.schema).parquet(src)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val waveSh = llm.Dedup.shingleOf(spark, b.select($"doc_id", $"text")).cache()
+          val delta =
+            if (new java.io.File(deltaDir, "_SUCCESS").exists())
+              Some(spark.read.parquet(deltaDir))
+            else None
+          val newPairs = llm.Dedup.dedupIncrement(spark, baseSh, basePref,
+              delta, waveSh, salted = false)
+            .select($"id_a".as("src"), $"id_b".as("dst"))
+          val merged = llm.Dedup.mergeLabels(
+            spark.read.parquet(s"$state/v$stateVersion"), newPairs)
+          // version the label state rather than overwrite-in-place: the
+          // merge reads the previous version lazily while writing the next
+          stateVersion += 1
+          merged.write.mode("overwrite").parquet(s"$state/v$stateVersion")
+          waveSh.write.mode("append").parquet(deltaDir)
+          waveSh.unpersist()
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    docs.filter($"doc_id" > wmid && $"doc_id" <= seam).write.mode("append").parquet(src)
+    runWave()
+    docs.filter($"doc_id" > seam).write.mode("append").parquet(src)
+    runWave()
+
+    val streamed = spark.read.parquet(s"$state/v$stateVersion").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = llm.Dedup.cluster.run(spark, TestSpark.Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed === full,
+      "streamed label state must converge to the full-corpus clustering")
+    assert(stateVersion >= 2, "both waves must have produced a merge")
+  }
+
   test("offset reset=latest skips the pre-bootstrap backlog, then resumes normally") {
     val base = Files.createTempDirectory("graft_inc_latest").toString
     val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
