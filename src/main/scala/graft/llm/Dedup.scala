@@ -911,10 +911,17 @@ object Dedup {
     * Scale shape: labels come from the persisted-layout cluster pipeline
     * (checkpointed CC output, O(vertices-in-pairs) rows); the quality
     * score is a scan projection joined back by id as shuffle_hash (the
-    * score table is O(N) — never broadcast); the per-cluster argmax is a
-    * rank window partitioned by cluster id — WindowGroupLimit prunes to
-    * the keeper before anything global. Oracle composes the cluster
-    * closure CTE with llm_quality's score expression verbatim. */
+    * score table is O(N) — never broadcast); the per-cluster argmax is
+    * ONE primitive hash aggregate. The (score desc, id asc) argmax packs
+    * into a single long — score is rounded to 4 dp so score_key =
+    * round(score·10⁴) is an exact integer ≤ 10⁴, shifted past 40 bits of
+    * inverted id (ids must fit 40 bits ≈ 10¹²; widen the split if yours
+    * don't) — because a struct-ordered max_by/rank-window formulation
+    * forces SortAggregate / a full-partition window, while max(long)
+    * keeps map-side partials carrying one candidate per (cluster ×
+    * partition). Oracle composes the cluster closure CTE with
+    * llm_quality's score expression verbatim; the keeper's score is the
+    * cluster max by construction. */
   val keepBest: GraftQuery = GraftQuery(
     "llm_dedup_keep_best",
     (s, dir) => {
@@ -924,16 +931,21 @@ object Dedup {
           prefixTable = Some(bucketedPrefixes(s, dir)))
         .select($"id_a".as("src"), $"id_b".as("dst"))
       val labels = connectedComponents(pairs)
-      val w = org.apache.spark.sql.expressions.Window.partitionBy($"cid")
+      val IdBits = 40
+      val idMask = (1L << IdBits) - 1
+      val enc = round($"score" * 10000).cast("long") * lit(1L << IdBits) +
+        (lit(idMask) - $"v")
       labels
         .join(TextStats.scoredDocs(s, dir).withColumnRenamed("doc_id", "v")
                 .hint("shuffle_hash"), "v")
-        .withColumn("rn", row_number().over(
-          w.orderBy($"score".desc, $"v".asc)))
-        .withColumn("n_docs", count(lit(1)).over(w))
-        .filter($"rn" === 1)
-        .select($"cid".as("cluster_id"), $"v".as("keeper_id"),
-          $"score".as("keeper_score"), $"n_docs")
+        .groupBy($"cid")
+        .agg(
+          max(enc).as("c"),
+          max($"score").as("keeper_score"),
+          count(lit(1)).as("n_docs"))
+        .select($"cid".as("cluster_id"),
+          (lit(idMask) - pmod($"c", lit(1L << IdBits))).as("keeper_id"),
+          $"keeper_score", $"n_docs")
         .orderBy($"cluster_id")
     },
     Some(s"""WITH RECURSIVE sh AS (
