@@ -922,6 +922,19 @@ object Dedup {
     * partition). Oracle composes the cluster closure CTE with
     * llm_quality's score expression verbatim; the keeper's score is the
     * cluster max by construction. */
+  /** The (score desc, id asc) argmax packed into one long: score_key =
+    * round(score·10⁴) is an exact integer ≤ 10⁴ (score is 4-dp rounded),
+    * shifted past KeeperIdBits of INVERTED id so larger encodings mean
+    * higher score, then lower id. 14 + 40 bits stays far inside a long;
+    * ids must fit 40 bits (≈10¹²) — widen if yours don't. DedupSpec pins
+    * encode/decode round-trips and ordering at the id-range boundary. */
+  private[graft] val KeeperIdBits = 40
+  private[graft] def keeperEncode(score: Column, v: Column): Column =
+    round(score * 10000).cast("long") * lit(1L << KeeperIdBits) +
+      (lit((1L << KeeperIdBits) - 1) - v)
+  private[graft] def keeperDecodeId(c: Column): Column =
+    lit((1L << KeeperIdBits) - 1) - pmod(c, lit(1L << KeeperIdBits))
+
   val keepBest: GraftQuery = GraftQuery(
     "llm_dedup_keep_best",
     (s, dir) => {
@@ -931,20 +944,16 @@ object Dedup {
           prefixTable = Some(bucketedPrefixes(s, dir)))
         .select($"id_a".as("src"), $"id_b".as("dst"))
       val labels = connectedComponents(pairs)
-      val IdBits = 40
-      val idMask = (1L << IdBits) - 1
-      val enc = round($"score" * 10000).cast("long") * lit(1L << IdBits) +
-        (lit(idMask) - $"v")
       labels
         .join(TextStats.scoredDocs(s, dir).withColumnRenamed("doc_id", "v")
                 .hint("shuffle_hash"), "v")
         .groupBy($"cid")
         .agg(
-          max(enc).as("c"),
+          max(keeperEncode($"score", $"v")).as("c"),
           max($"score").as("keeper_score"),
           count(lit(1)).as("n_docs"))
         .select($"cid".as("cluster_id"),
-          (lit(idMask) - pmod($"c", lit(1L << IdBits))).as("keeper_id"),
+          keeperDecodeId($"c").as("keeper_id"),
           $"keeper_score", $"n_docs")
         .orderBy($"cluster_id")
     },

@@ -224,6 +224,27 @@ class DedupSpec extends AnyFunSuite {
       "fixture must plant a cluster spanning the watermark")
   }
 
+  test("keeper encoding: argmax order and decode hold at the 40-bit id boundary") {
+    // The keep-best argmax packs (score desc, id asc) into one long; the
+    // fixture only exercises tiny ids, so pin the encoding where it could
+    // break: ids at and near 2^40 - 1, score ties, and score dominance
+    // over any id difference. Expected keeper = max score, then min id.
+    val idMax = (1L << 40) - 1
+    val rows = Seq(
+      (1L, 0.9876, idMax),          // top score, biggest possible id
+      (1L, 0.9876, idMax - 1),      // tie on score → lower id must win
+      (1L, 0.9875, 0L),             // score dominates any id advantage
+      (2L, 0.0, idMax),             // zero score, boundary id
+      (2L, 0.0001, 123456789012L)   // one score step above zero
+    ).toDF("cid", "score", "v")
+    val got = rows.groupBy($"cid")
+      .agg(org.apache.spark.sql.functions.max(
+        llm.Dedup.keeperEncode($"score", $"v")).as("c"))
+      .select($"cid", llm.Dedup.keeperDecodeId($"c").as("keeper"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> (idMax - 1), 2L -> 123456789012L))
+  }
+
   test("mergeLabels: merged == full CC over random graph splits (property)") {
     // The incremental-clustering algebra, pinned beyond the fixture: for
     // ANY graph and ANY split of its edges into old/new (no monotone-id
