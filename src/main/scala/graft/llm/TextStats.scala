@@ -374,7 +374,7 @@ object TextStats {
               FROM t)
             SELECT doc_id, bucket,
                    CAST(floor(tok_before / 2048) AS BIGINT) AS seq_id,
-                   tok_before % 2048 AS tok_offset, n_tok
+                   CAST(tok_before % 2048 AS BIGINT) AS tok_offset, n_tok
             FROM c ORDER BY doc_id""")
   )
 

@@ -4,12 +4,41 @@
 Reads each Spark result parquet under OUT_DIR/<name>/, runs the matching
 oracle SQL (OUT_DIR/oracle_sql.json) in DuckDB against the sfDir parquet
 tables, sorts columns by name (like the driver), and compares row values
-exactly. Exit 0 iff everything matches.
+exactly AND result types. Exit 0 iff everything matches.
+
+The type check is the round-5 lesson: the driver's hash is type-sensitive,
+so a DuckDB HUGEINT (e.g. from an un-cast sum()) vs Spark BIGINT fails the
+driver even when every value matches. Both sides are read through DuckDB
+here, so we compare DuckDB type names column-by-column, modulo equivalences
+that the driver's own canonicalization tolerates (see TYPE_NORM).
 
 Usage: python3 tools/compare.py <sfDir> <outDir> [name ...]
 """
-import sys, os, json, glob
+import sys, os, json, glob, re
 import duckdb
+
+# Equivalences the driver tolerates (pandas canonicalization makes these
+# indistinguishable to its hash). Anything NOT listed — notably
+# HUGEINT vs BIGINT — is a real driver-visible divergence.
+#  - Spark writes timestamps as UTC-adjusted int64 → DuckDB reads
+#    TIMESTAMP WITH TIME ZONE; DuckDB computes plain TIMESTAMP. Sessions
+#    are UTC on both sides, so the instants are identical.
+#  - Spark FLOAT[] embeddings vs DuckDB list_transform output DOUBLE[]
+#    only appear inside value-compared array columns.
+#  - TINYINT/SMALLINT/INTEGER/BIGINT all land in pandas int64 (Spark
+#    rank() is INT, DuckDB's is BIGINT — r5-green queries prove the
+#    driver tolerates it). HUGEINT does NOT fold: pandas widens it to
+#    float64/object, which is exactly the pack_chunks r5 failure.
+#  - DATE folds into TIMESTAMP (datetime64 either way; fn_date was
+#    r5-green with a DATE month_start vs Spark's TIMESTAMP).
+def _norm(t):
+    t = str(t)
+    t = t.replace("TIMESTAMP WITH TIME ZONE", "TIMESTAMP")
+    t = t.replace("TIMESTAMP_NS", "TIMESTAMP")
+    t = re.sub(r"\bFLOAT\b", "DOUBLE", t)
+    t = re.sub(r"\b(TINYINT|SMALLINT|INTEGER)\b", "BIGINT", t)
+    t = re.sub(r"\bDATE\b", "TIMESTAMP", t)
+    return t
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -33,8 +62,10 @@ def main():
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         if not files:
             failures.append((name, "no spark output parquet")); continue
-        spark_df = con.sql(
-            f"SELECT * FROM read_parquet({files!r})").df()
+        spark_rel = con.sql(f"SELECT * FROM read_parquet({files!r})")
+        spark_types = dict(zip(spark_rel.columns,
+                               [_norm(t) for t in spark_rel.types]))
+        spark_df = spark_rel.df()
         if name not in oracles:
             print(f"  [rows-only] {name}: {len(spark_df)} rows")
             skipped += 1
@@ -42,13 +73,22 @@ def main():
                 failures.append((name, "rows-only check: 0 rows"))
             continue
         try:
-            oracle_df = con.sql(oracles[name]).df()
+            oracle_rel = con.sql(oracles[name])
+            oracle_types = dict(zip(oracle_rel.columns,
+                                    [_norm(t) for t in oracle_rel.types]))
+            oracle_df = oracle_rel.df()
         except Exception as e:
             failures.append((name, f"oracle SQL error: {e}")); continue
         s = spark_df[sorted(spark_df.columns)]
         o = oracle_df[sorted(oracle_df.columns)]
         if list(s.columns) != list(o.columns):
             failures.append((name, f"columns differ: spark={list(s.columns)} oracle={list(o.columns)}"))
+            continue
+        type_diffs = [f"{c}: spark={spark_types[c]} oracle={oracle_types[c]}"
+                      for c in s.columns if spark_types[c] != oracle_types[c]]
+        if type_diffs:
+            failures.append((name, "result TYPES differ (driver hash would fail): "
+                             + "; ".join(type_diffs)))
             continue
         if len(s) != len(o):
             failures.append((name, f"row count differs: spark={len(s)} oracle={len(o)}"))
