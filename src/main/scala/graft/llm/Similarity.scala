@@ -211,13 +211,13 @@ object Similarity {
       // the per-query cost now SHRINKS as a fraction of the corpus as N
       // grows, where the old constant-fraction codebook kept it linear.
       val NProbe = 4
-      val LloydRounds = 2
       val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
       def centScores(vec: org.apache.spark.sql.Column) =
         Similarity.centScores(s, vec)
-      // Seed centroids: ~√N hash-threshold sample (see seedCentroids), then
-      // LloydRounds of k-means refinement (see lloydRefine).
-      val cents = lloydRefine(s, e, seedCentroids(s, e), LloydRounds)
+      // Codebook: the SHARED persisted Lloyd product (fineCentroids) —
+      // ~√N hash-threshold seed + 2 k-means rounds, built once per
+      // dataset and reused across the whole IVF family.
+      val cents = fineCentroids(s, dir)
       val codebook = cbOf(s, cents)
       // Inverted-list assignment: nearest centroid, computed in the scan
       // projection (the 1-row codebook join adds no shuffle to the big
@@ -281,10 +281,11 @@ object Similarity {
                                   coarseProbe: Int): DataFrame = {
       import s.implicits._
       val NProbe = 4
-      val LloydRounds = 2
       val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
-      // Level 2 (fine): the same √N codebook ivfTopK uses.
-      val fine = lloydRefine(s, e, seedCentroids(s, e), LloydRounds)
+      // Level 2 (fine): the SAME persisted √N codebook ivfTopK uses
+      // (fineCentroids) — only the coarse level is (re)derived here, and
+      // it runs over ≤ MaxCodebook rows, i.e. O(K·√K) trivia.
+      val fine = fineCentroids(s, dir)
       // Level 1 (coarse): seed ~√K from the fine centroids themselves —
       // seedCentroids is reused verbatim on the (cid, cv)→(vec_id,
       // embedding) renaming — then one Lloyd round over the K fine rows.
@@ -362,6 +363,30 @@ object Similarity {
     * 16 here keeps the fixture's directory count sane. */
   private[graft] val IndexGroups = 16
 
+  /** The persisted fine codebook, SHARED by the whole IVF family:
+    * llm_sim_topk_ivf, llm_sim_topk_ivf2 (as its fine level), and the
+    * persisted index all read the same Lloyd product instead of each
+    * running seedCentroids+lloydRefine from scratch (round 5 ran three
+    * Lloyd builds per session; the codebook is the dominant cost of every
+    * IVF query, and at 100 TB re-deriving a model artifact per query is
+    * simply wrong). Persisting — not just session-caching — also makes
+    * the determinism contract structural: Lloyd means sum in partition
+    * order, so a REBUILT codebook is not bit-identical, but every probe
+    * in every session now descends the exact artifact the assignments
+    * were built with. Fingerprint-invalidated like every layout. */
+  private[graft] def fineCentroids(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val centPath = s"/tmp/graft_ivf/$sfx/centroids"
+    Layouts.parquetLayout(centPath, centPath,
+        Layouts.fingerprint(Tables.embeddings(s, dir), "vec_id")) {
+      val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      lloydRefine(s, e, seedCentroids(s, e), 2)
+        .write.mode("overwrite").parquet(centPath)
+    }
+    s.read.parquet(centPath)
+  }
+
   /** The persisted IVF index — codebook + inverted-list assignments,
     * written once per dataset and re-read by every query batch (the
     * "persist the assigned table" step the flat-IVF scaladoc names).
@@ -377,13 +402,14 @@ object Similarity {
   private[graft] def ivfIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import s.implicits._
     val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val base = s"/tmp/graft_ivf/$sfx"
-    val (centPath, assignPath) = (s"$base/centroids", s"$base/assign")
-    if (!new java.io.File(assignPath, "_SUCCESS").exists()) {
+    val assignPath = s"/tmp/graft_ivf/$sfx/assign"
+    // Assignments share the codebook's fingerprint source, so a fixture
+    // change invalidates BOTH together — probes can never descend a newer
+    // codebook than the one the surviving assignments were built with.
+    Layouts.parquetLayout(assignPath, assignPath,
+        Layouts.fingerprint(Tables.embeddings(s, dir), "vec_id")) {
       val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
-      lloydRefine(s, e, seedCentroids(s, e), 2)
-        .write.mode("overwrite").parquet(centPath)
-      val codebook = cbOf(s, s.read.parquet(centPath))
+      val codebook = cbOf(s, fineCentroids(s, dir))
       e.crossJoin(codebook)
         .withColumn("cid", array_max(centScores(s, $"embedding")).getField("cid"))
         .drop("cb")
@@ -391,7 +417,7 @@ object Similarity {
         .repartition($"cid_grp")
         .write.mode("overwrite").partitionBy("cid_grp").parquet(assignPath)
     }
-    (s.read.parquet(centPath), s.read.parquet(assignPath))
+    (fineCentroids(s, dir), s.read.parquet(assignPath))
   }
 
   /** ANN top-k over the PERSISTED IVF index — the recurring-query form:
@@ -469,10 +495,14 @@ object Similarity {
     Some("""WITH e AS (
               SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
               FROM embeddings),
+            -- dimension-agnostic: subscripts come from each row's own
+            -- vector length, not a hardcoded fixture dim (r5 ADVICE)
             dims AS (
-              SELECT label, r.i AS dim, avg(v[r.i]) AS m
-              FROM e, range(1, 65) r(i)
-              GROUP BY label, r.i),
+              SELECT label, dim, avg(x) AS m
+              FROM (SELECT label, generate_subscripts(v, 1) AS dim,
+                           unnest(v) AS x
+                    FROM e)
+              GROUP BY label, dim),
             cents AS (
               SELECT label,
                      list_transform(list(m ORDER BY dim),

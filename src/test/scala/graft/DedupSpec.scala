@@ -245,6 +245,23 @@ class DedupSpec extends AnyFunSuite {
     assert(got === Map(1L -> (idMax - 1), 2L -> 123456789012L))
   }
 
+  test("keeper encoding: out-of-range id fails loudly, not silently") {
+    // Above 2^40 the packed argmax would corrupt silently — the encoding
+    // carries an assert_true guard instead, so the job dies with a clear
+    // message naming the fix (widen KeeperIdBits).
+    val rows = Seq((1L, 0.5, 1L << 40)).toDF("cid", "score", "v")
+    val ex = intercept[Throwable] {
+      rows.groupBy($"cid")
+        .agg(org.apache.spark.sql.functions.max(
+          llm.Dedup.keeperEncode($"score", $"v")).as("c"))
+        .collect()
+    }
+    val msgs = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString("\n")
+    assert(msgs.contains("keeper encoding overflow"),
+      s"expected the overflow guard message, got:\n$msgs")
+  }
+
   test("mergeLabels: merged == full CC over random graph splits (property)") {
     // The incremental-clustering algebra, pinned beyond the fixture: for
     // ANY graph and ANY split of its edges into old/new (no monotone-id
