@@ -75,6 +75,14 @@ object DedupStream {
                     else Some(shSlice($"doc_id" <= waveEdge(k)))
         Dedup.dedupIncrement(s, baseSh, basePrefixes, delta, waveSh,
           Dedup.saltedPrefixes)
+          // Materialize each wave's (small) pair set eagerly — exactly how
+          // the true streaming form executes (one DAG per micro-batch,
+          // appended to the sink), instead of one 3-wave mega-plan that
+          // re-derives the shared base/delta subtrees and pays their
+          // whole-stage codegen three times over in a single first
+          // execution (the round-5 widest-DAG finding: 109 planned
+          // shuffles). The union below scans three materialized pair sets.
+          .localCheckpoint()
       }.reduce(_.unionAll(_)).orderBy($"id_a", $"id_b")
     },
     // Batching must not change one row: the oracle is the batch
