@@ -103,6 +103,66 @@ object Corpus {
              GROUP BY c.doc_id ORDER BY c.doc_id""")
   )
 
+  /** Decontamination threshold: docs sharing ≥ this many distinct
+    * 8-grams with the eval set are dropped. 20 (vs detection's ≥1)
+    * models the usual production split — heavy overlap is removed,
+    * borderline single-hit docs are kept for review — and non-trivially
+    * partitions the fixture's contaminated set (hits span 18–52). */
+  private[graft] val DecontamMinHits = 20L
+
+  /** Benchmark DECONTAMINATION — the act that follows detection: the
+    * training corpus with heavily-contaminated docs REMOVED (and the
+    * eval docs themselves excluded, since they are not training data).
+    * This is the operator a pipeline actually runs before training;
+    * llm_contamination is its diagnostic twin.
+    *
+    * Scale shape: detection as in llm_contamination (distinct gram
+    * hashes map-side, equi-join against the broadcast-small bench side,
+    * per-doc count); the kept-corpus output is then a LEFT ANTI join of
+    * the documents scan against the contaminated-id set — which is tiny
+    * (only docs over threshold), so Catalyst broadcasts it and the
+    * corpus side streams through the anti join with ZERO shuffle. */
+  val decontaminate: GraftQuery = GraftQuery(
+    "llm_decontaminate",
+    (s, dir) => {
+      import s.implicits._
+      val sigs = gramSigs(s, Tables.documents(s, dir)).cache()
+      val grams = sigs.select($"doc_id", explode($"ghs").as("gh"))
+      val bench = grams.filter($"doc_id" % BenchMod === BenchRem)
+        .select($"gh").distinct()
+      val contaminated = grams.filter($"doc_id" % BenchMod =!= BenchRem)
+        .join(bench, "gh")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .filter($"n_shared" >= DecontamMinHits)
+        .select($"doc_id")
+      Tables.documents(s, dir)
+        .filter($"doc_id" % BenchMod =!= BenchRem)
+        .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+        .select($"doc_id", $"lang", $"source")
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH grams AS (
+               SELECT doc_id,
+                      list_distinct(list_transform(range(1, greatest(len(w) - ${ContamN - 2}, 1)),
+                        i -> array_to_string(w[i:i+${ContamN - 1}], ' '))) AS g
+               FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+             bench AS (
+               SELECT DISTINCT gu.x AS g FROM grams, unnest(g) AS gu(x)
+               WHERE doc_id % $BenchMod = $BenchRem),
+             corpus AS (
+               SELECT DISTINCT doc_id, gu.x AS g FROM grams, unnest(g) AS gu(x)
+               WHERE doc_id % $BenchMod != $BenchRem),
+             contam AS (
+               SELECT c.doc_id FROM corpus c JOIN bench b ON c.g = b.g
+               GROUP BY c.doc_id HAVING count(*) >= $DecontamMinHits)
+             SELECT d.doc_id, d.lang, d.source
+             FROM documents d
+             WHERE d.doc_id % $BenchMod != $BenchRem
+               AND d.doc_id NOT IN (SELECT doc_id FROM contam)
+             ORDER BY d.doc_id""")
+  )
+
   /** Repetition thresholds (tuned on the fixture distributions so the
     * flag splits the corpus non-trivially; production values are
     * corpus-dependent — Gopher used e.g. top-2-gram fraction > 0.18). */
@@ -302,5 +362,6 @@ object Corpus {
             FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""")
   )
 
-  def all: Seq[GraftQuery] = Seq(contamination, repetition, substringDup, tfidf)
+  def all: Seq[GraftQuery] =
+    Seq(contamination, decontaminate, repetition, substringDup, tfidf)
 }

@@ -378,7 +378,97 @@ object TextStats {
             FROM c ORDER BY doc_id""")
   )
 
+  /** Data mixing — per-(lang, source) stratum token accounting and the
+    * deterministic downsampling rate that flattens the mixture toward a
+    * uniform target (rate = target_share / actual_share, capped at 1):
+    * the table a mixing step consumes to decide how hard to downweight
+    * dominant strata while keeping rare ones whole (the Pile/ROOTS-style
+    * recipe; a non-uniform target only changes the numerator).
+    *
+    * Scale shape: token counts reduce in the scan projection; ONE hash
+    * aggregate on the stratum key with map-side combine carries
+    * (stratum, count) partials; totals ride a broadcast 1-row aggregate
+    * of the (bounded, ≤ langs × sources) stratum table. The corpus is
+    * read once and never shuffled. */
+  val domainMix: GraftQuery = GraftQuery(
+    "llm_domain_mix",
+    (s, dir) => {
+      import s.implicits._
+      val strata = Tables.documents(s, dir)
+        .select($"lang", $"source",
+          size(split($"text", " ")).cast("long").as("n_tok"))
+        .groupBy($"lang", $"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+      val tot = strata.agg(sum($"n_tokens").as("tot_tokens"),
+        count(lit(1)).as("n_strata"))
+      strata.crossJoin(broadcast(tot))
+        .select($"lang", $"source", $"n_docs", $"n_tokens",
+          round($"n_tokens" / $"tot_tokens", 6).as("share"),
+          round(least(lit(1.0),
+            ($"tot_tokens" / $"n_strata") / $"n_tokens"), 6).as("mix_rate"))
+        .orderBy($"lang", $"source")
+    },
+    Some("""WITH strata AS (
+              SELECT lang, source, count(*) AS n_docs,
+                     CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+              FROM documents GROUP BY lang, source),
+            tot AS (
+              SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+                     count(*) AS n_strata
+              FROM strata)
+            SELECT lang, source, n_docs, n_tokens,
+                   round(n_tokens / tot_tokens, 6) AS share,
+                   round(least(1.0, (tot_tokens / n_strata) / n_tokens), 6) AS mix_rate
+            FROM strata, tot ORDER BY lang, source""")
+  )
+
+  /** Training-dataloader shards. At 100 TB size this ∝ cluster (one
+    * shard per reader worker group); 8 keeps the fixture legible. */
+  private[graft] val NumShards = 8L
+
+  /** Dataloader sharding — the deterministic global shuffle + shard
+    * assignment a training job consumes: each doc gets a pseudorandom
+    * sort key (md5 of its id — engine- and retry-reproducible, the
+    * llm_train_split/llm_sample_stratified discipline: never rand()),
+    * a shard = key mod NumShards, and a position within its shard in
+    * key order. Readers stream shard files in pos order and see a
+    * uniformly shuffled, disjoint, gap-free slice of the corpus.
+    *
+    * Scale shape: key + shard derive in the scan projection; the ONLY
+    * shuffle is the partition-by-shard exchange, and the per-shard
+    * position is a window sort WITHIN each shard — no global sort
+    * anywhere. This is exactly the write side of
+    * `partitionBy(shard) sortBy(key)`: at 100 TB the window becomes the
+    * sorted shard file write, and NumShards scales with the cluster so
+    * each shard sorts within executor memory (spilling if not). */
+  val shardShuffle: GraftQuery = GraftQuery(
+    "llm_shard_shuffle",
+    (s, dir) => {
+      import s.implicits._
+      val keyed = Tables.documents(s, dir)
+        .select($"doc_id", expr(
+          "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+          .as("hk"))
+        .withColumn("shard", pmod($"hk", lit(NumShards)))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"shard").orderBy($"hk", $"doc_id")
+      keyed
+        .select($"doc_id", $"shard",
+          row_number().over(w).cast("long").as("pos"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH k AS (
+               SELECT doc_id,
+                      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hk
+               FROM documents)
+             SELECT doc_id, hk % $NumShards AS shard,
+                    CAST(row_number() OVER (PARTITION BY hk % $NumShards
+                      ORDER BY hk, doc_id) AS BIGINT) AS pos
+             FROM k ORDER BY doc_id""")
+  )
+
   def all: Seq[GraftQuery] =
     Seq(textStats, langId, fingerprint, langProfile, tokenBpe, quality,
-        vocabTopK, trainSplit, piiScrub, sampleStratified, packChunks)
+        vocabTopK, trainSplit, piiScrub, sampleStratified, packChunks,
+        domainMix, shardShuffle)
 }

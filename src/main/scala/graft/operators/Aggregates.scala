@@ -176,7 +176,37 @@ object Aggregates {
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
   )
 
+  /** Mergeable-sketch pre-aggregation — the 100 TB distinct-count
+    * pattern: exact distincts don't re-aggregate (daily uniques can't
+    * sum to weekly uniques), so the pre-agg cube stores DataSketches HLL
+    * sketches per (event_type, day) and every coarser rollup is a sketch
+    * UNION over the tiny cube — the raw table is scanned once at cube
+    * build and never again.
+    *
+    * Scale shape: the daily-sketch build is one hash aggregate with
+    * map-side partials (sketches merge associatively, so partial
+    * aggregation applies); the rollup aggregates the bounded cube
+    * (event_types × days rows, each a ~KB binary). No oracle (DuckDB's
+    * approx_count_distinct is a different sketch); AggregatesSpec pins
+    * the mergeability contract instead: union-of-daily == one-shot
+    * sketch EXACTLY, and within the HLL error envelope of exact. */
+  val sketchMerge: GraftQuery = GraftQuery(
+    "agg_sketch_merge",
+    (s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(hll_sketch_agg($"user_id").as("sk"))
+      daily
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_days"),
+          hll_sketch_estimate(hll_union_agg($"sk")).as("est_users"))
+        .orderBy($"event_type")
+    },
+    None
+  )
+
   def all: Seq[GraftQuery] = Seq(
     q1Agg, distinctCount, approxDistinct, rollupAgg, cubeAgg,
-    groupingSets, having, typedCustom)
+    groupingSets, having, typedCustom, sketchMerge)
 }

@@ -20,6 +20,30 @@ class AggregatesSpec extends AnyFunSuite {
     }
   }
 
+  test("HLL sketch merge: union-of-daily equals one-shot, near exact") {
+    // The re-aggregation contract agg_sketch_merge sells: unioning the
+    // per-day sketches must give EXACTLY the estimate a single sketch
+    // over the raw data gives (associative merge — not just "close"),
+    // and both must sit inside the HLL error envelope of the true
+    // distinct count.
+    val ev = sources.Tables.events(spark, TestSpark.Sf)
+    val merged = ev
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(hll_sketch_agg($"user_id").as("sk"))
+      .groupBy($"event_type")
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est"))
+    val oneShot = ev.groupBy($"event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg($"user_id")).as("est"),
+           countDistinct($"user_id").as("exact"))
+    val m = merged.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    oneShot.collect().foreach { r =>
+      val (et, one, exact) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(m(et) == one, s"$et: merged=${m(et)} one-shot=$one must be equal")
+      assert(math.abs(one - exact).toDouble / exact < 0.05,
+        s"$et: est=$one exact=$exact outside HLL envelope")
+    }
+  }
+
   test("WeightedMean aggregator equals sum(x*w)/sum(w)") {
     val wm = udaf(functions.WeightedMean)
     val df = Seq((2.0, 1.0), (4.0, 3.0), (10.0, 0.0)).toDF("x", "w")

@@ -26,7 +26,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "llm_sim_topk_ivf",   // 1-row codebook broadcast onto the scan
     "llm_sim_topk_ivf2",  // same pattern: 1-row two-level codebook broadcast
     "llm_sim_topk_ivf_persisted", // 1-row codebook broadcast on the probe side
-    "llm_tfidf"           // 1-row corpus-count broadcast onto the scoring join
+    "llm_tfidf",          // 1-row corpus-count broadcast onto the scoring join
+    "llm_domain_mix"      // 1-row stratum-totals broadcast onto the bounded stratum table
   )
 
   /** Round-2 gate: the dedup verification joins must NOT broadcast the

@@ -123,4 +123,23 @@ object PropertySpec extends Properties("graft") {
       lastRunning == totals
     }
   }
+
+  property("shardShuffle: disjoint gap-free shards covering the corpus") = {
+    // The dataloader contract: every doc lands in exactly one shard,
+    // per-shard positions are 1..n with no gaps or ties, and the
+    // assignment is deterministic across runs (hash, never rand()).
+    val out = llm.TextStats.shardShuffle.run(spark, TestSpark.Sf)
+      .select($"doc_id", $"shard", $"pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nDocs = sources.Tables.documents(spark, TestSpark.Sf).count()
+    val coversAll = out.length.toLong == nDocs &&
+      out.map(_._1).distinct.length.toLong == nDocs
+    val gapFree = out.groupBy(_._2).forall { case (_, rows) =>
+      rows.map(_._3).sorted.sameElements(1L to rows.length.toLong)
+    }
+    val rerun = llm.TextStats.shardShuffle.run(spark, TestSpark.Sf)
+      .select($"doc_id", $"shard", $"pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    Prop(coversAll && gapFree && out.sameElements(rerun))
+  }
 }
