@@ -234,7 +234,44 @@ object StreamQueries {
             FROM r WHERE rnk <= 3 ORDER BY ws, rnk""")
   )
 
+  /** Streaming distinct-user analytics — the sketch cube maintained
+    * incrementally: each micro-batch builds its own per-(event_type, day)
+    * HLL sketches, which MERGE into the persisted cube by sketch union.
+    * Union is associative and commutative, so ANY batching of arrivals
+    * yields the identical cube — the foreachBatch sink needs no
+    * reprocessing, no read-modify-write of raw history, just a sketch
+    * union per touched cube cell (O(KB) state per cell, O(batch) work
+    * per trigger). This is the streaming twin of agg_sketch_merge: the
+    * batch form builds the cube in one pass; this form proves the same
+    * cube assembles from arrival slices.
+    *
+    * Graded over a deterministic 3-way arrival split (the
+    * stream_contamination convention): per-wave daily sketches → cube
+    * merge per (event_type, day) → rollup per event_type, which must
+    * reproduce agg_sketch_merge's answer row-for-row (spec-pinned;
+    * rows-only for the driver — DuckDB has no DataSketches HLL). */
+  val sketchMerge: GraftQuery = GraftQuery(
+    "stream_sketch_merge",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val waves = (0 until 3).map { b =>
+        ev.filter(pmod($"event_id", lit(3)) === b)
+          .groupBy($"event_type", to_date($"ts").as("day"))
+          .agg(hll_sketch_agg($"user_id").as("sk"))
+      }
+      waves.reduce(_.unionAll(_))
+        .groupBy($"event_type", $"day")
+        .agg(hll_union_agg($"sk").as("sk")) // the per-cell cube merge
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_days"),
+          hll_sketch_estimate(hll_union_agg($"sk")).as("est_users"))
+        .orderBy($"event_type")
+    },
+    None
+  )
+
   def all: Seq[GraftQuery] =
     Seq(tumbling, sliding, session, dedup, watermarkLate, intervalJoin,
-        topkWindow)
+        topkWindow, sketchMerge)
 }

@@ -44,6 +44,19 @@ class AggregatesSpec extends AnyFunSuite {
     }
   }
 
+  test("stream sketch merge reproduces the batch sketch cube exactly") {
+    // Sketch union is associative+commutative, so assembling the cube
+    // from 3 arrival waves must give byte-identical estimates to the
+    // one-pass batch build — the no-reprocessing contract the streaming
+    // form sells.
+    val batch = operators.Aggregates.sketchMerge.run(spark, TestSpark.Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val stream = streaming.StreamQueries.sketchMerge.run(spark, TestSpark.Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(batch.sameElements(stream))
+    assert(batch.nonEmpty)
+  }
+
   test("WeightedMean aggregator equals sum(x*w)/sum(w)") {
     val wm = udaf(functions.WeightedMean)
     val df = Seq((2.0, 1.0), (4.0, 3.0), (10.0, 0.0)).toDF("x", "w")
