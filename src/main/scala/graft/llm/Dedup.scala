@@ -871,8 +871,15 @@ object Dedup {
     (s, dir) => {
       import s.implicits._
       val oldLabels = corpusLabels(s, dir)
+      // Materialize the batch's pair set ONCE: mergeLabels consumes it
+      // twice (super-node contraction AND fresh-vertex relabel), and
+      // without the cut each consumer would re-execute the whole
+      // incremental pipeline — the single most expensive subtree here.
+      // The checkpoint holds O(new pairs) id rows, exactly the state a
+      // real incremental run would have just written to its pair sink.
       val newPairs = incrementalPipeline(s, dir, saltedPrefixes)
         .select($"id_a".as("src"), $"id_b".as("dst"))
+        .localCheckpoint()
       mergeLabels(oldLabels, newPairs)
         .withColumn("cluster_size",
           count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy($"cid")))
