@@ -122,23 +122,31 @@ object Corpus {
     * the documents scan against the contaminated-id set — which is tiny
     * (only docs over threshold), so Catalyst broadcasts it and the
     * corpus side streams through the anti join with ZERO shuffle. */
+  /** Ids of training docs sharing ≥ DecontamMinHits distinct 8-grams
+    * with the eval set — tiny by construction (only heavy overlappers),
+    * so consumers broadcast it into anti joins. Shared by
+    * llm_decontaminate and llm_curate. */
+  private[graft] def contaminatedIds(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val sigs = gramSigs(s, Tables.documents(s, dir)).cache()
+    val grams = sigs.select($"doc_id", explode($"ghs").as("gh"))
+    val bench = grams.filter($"doc_id" % BenchMod === BenchRem)
+      .select($"gh").distinct()
+    grams.filter($"doc_id" % BenchMod =!= BenchRem)
+      .join(bench, "gh")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= DecontamMinHits)
+      .select($"doc_id")
+  }
+
   val decontaminate: GraftQuery = GraftQuery(
     "llm_decontaminate",
     (s, dir) => {
       import s.implicits._
-      val sigs = gramSigs(s, Tables.documents(s, dir)).cache()
-      val grams = sigs.select($"doc_id", explode($"ghs").as("gh"))
-      val bench = grams.filter($"doc_id" % BenchMod === BenchRem)
-        .select($"gh").distinct()
-      val contaminated = grams.filter($"doc_id" % BenchMod =!= BenchRem)
-        .join(bench, "gh")
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_shared"))
-        .filter($"n_shared" >= DecontamMinHits)
-        .select($"doc_id")
       Tables.documents(s, dir)
         .filter($"doc_id" % BenchMod =!= BenchRem)
-        .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+        .join(broadcast(contaminatedIds(s, dir)), Seq("doc_id"), "left_anti")
         .select($"doc_id", $"lang", $"source")
         .orderBy($"doc_id")
     },
@@ -179,40 +187,48 @@ object Corpus {
     * keys (doc_id, term) and combines map-side, the second reduces to one
     * row per doc. Every ratio is a single IEEE division of exact integer
     * counts, so threshold comparisons are bit-stable across engines. */
+  /** Per-doc repetition metric frame (unordered), shared by
+    * llm_quality_repetition and llm_curate. Docs with no bigram (1-token)
+    * drop here in both engines — curate's LEFT join treats them as
+    * non-repetitive. */
+  private[graft] def repetitionMetrics(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val toksArr = Tables.documents(s, dir)
+      .select($"doc_id", TF.tokens($"text").as("w"))
+      .cache() // token and bigram branches both read it
+    val tokStats = toksArr.select($"doc_id", explode($"w").as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_tokens"), count(lit(1)).as("n_distinct"),
+           max($"c").as("top_tok"))
+    // Bigram MULTISET (no distinct — repetition is about repeats). The
+    // when() guard keeps sequence() off the size=1 case, where
+    // sequence(0, -1) would DESCEND and the i = -1 slice throws; a
+    // 1-token doc emits no bigrams (matching the oracle's range(1,1) =
+    // empty) and so drops from the joined output in both engines.
+    val biStats = toksArr
+      .select($"doc_id", explode(
+        when(size($"w") >= 2, transform(sequence(lit(0), size($"w") - 2),
+          i => concat_ws(" ", slice($"w", i + lit(1), lit(2)))))
+          .otherwise(array())).as("bg"))
+      .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_bigrams"), max($"c").as("top_bg"))
+    tokStats.join(biStats, "doc_id")
+      .select($"doc_id", $"n_tokens",
+        round($"n_distinct".cast("double") / $"n_tokens", 4).as("distinct_ratio"),
+        round($"top_tok".cast("double") / $"n_tokens", 4).as("top_token_ratio"),
+        round($"top_bg".cast("double") / $"n_bigrams", 4).as("top_bigram_ratio"),
+        ($"top_tok".cast("double") / $"n_tokens" >= TopTokMax ||
+         $"n_distinct".cast("double") / $"n_tokens" <= DistinctMin ||
+         $"top_bg".cast("double") / $"n_bigrams" >= TopBigramMax).as("repetitive"))
+  }
+
   val repetition: GraftQuery = GraftQuery(
     "llm_quality_repetition",
     (s, dir) => {
       import s.implicits._
-      val toksArr = Tables.documents(s, dir)
-        .select($"doc_id", TF.tokens($"text").as("w"))
-        .cache() // token and bigram branches both read it
-      val tokStats = toksArr.select($"doc_id", explode($"w").as("tok"))
-        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
-        .groupBy($"doc_id")
-        .agg(sum($"c").as("n_tokens"), count(lit(1)).as("n_distinct"),
-             max($"c").as("top_tok"))
-      // Bigram MULTISET (no distinct — repetition is about repeats). The
-      // when() guard keeps sequence() off the size=1 case, where
-      // sequence(0, -1) would DESCEND and the i = -1 slice throws; a
-      // 1-token doc emits no bigrams (matching the oracle's range(1,1) =
-      // empty) and so drops from the joined output in both engines.
-      val biStats = toksArr
-        .select($"doc_id", explode(
-          when(size($"w") >= 2, transform(sequence(lit(0), size($"w") - 2),
-            i => concat_ws(" ", slice($"w", i + lit(1), lit(2)))))
-            .otherwise(array())).as("bg"))
-        .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
-        .groupBy($"doc_id")
-        .agg(sum($"c").as("n_bigrams"), max($"c").as("top_bg"))
-      tokStats.join(biStats, "doc_id")
-        .select($"doc_id", $"n_tokens",
-          round($"n_distinct".cast("double") / $"n_tokens", 4).as("distinct_ratio"),
-          round($"top_tok".cast("double") / $"n_tokens", 4).as("top_token_ratio"),
-          round($"top_bg".cast("double") / $"n_bigrams", 4).as("top_bigram_ratio"),
-          ($"top_tok".cast("double") / $"n_tokens" >= TopTokMax ||
-           $"n_distinct".cast("double") / $"n_tokens" <= DistinctMin ||
-           $"top_bg".cast("double") / $"n_bigrams" >= TopBigramMax).as("repetitive"))
-        .orderBy($"doc_id")
+      repetitionMetrics(s, dir).orderBy($"doc_id")
     },
     Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
              tc AS (SELECT doc_id, tok, count(*) AS c
@@ -362,6 +378,117 @@ object Corpus {
             FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""")
   )
 
+  /** Minimum composite quality score a kept doc needs (llm_quality's
+    * "medium" boundary). */
+  private[graft] val QualityMin = 0.5
+
+  /** END-TO-END CURATION — the composed keep-list a training run actually
+    * consumes, in ONE call: keep a doc iff it (a) is not an eval-set
+    * member, (b) is not heavily benchmark-contaminated, (c) is not
+    * repetitive, (d) scores at least QualityMin, and (e) if it sits in a
+    * near-dup cluster, is that cluster's highest-quality keeper. Every
+    * stage is the corresponding standalone operator reused verbatim
+    * (contaminatedIds, repetitionMetrics, scoredDocs, fullLabels,
+    * clusterKeepers), so this query is the proof the engine's curation
+    * operators compose.
+    *
+    * Scale shape: one pass over documents; the repetition and score
+    * frames join back by doc_id as shuffle_hash on the SAME key, so the
+    * exchange is planned once and reused; cluster labels arrive
+    * exchange-free from the v-bucketed persisted layout; keepers join by
+    * cluster id shuffle_hash (O(clusters) — possibly huge, never
+    * broadcast); only the contaminated-id set — tiny by its ≥20-hit
+    * threshold — broadcasts into the anti join. */
+  val curate: GraftQuery = GraftQuery(
+    "llm_curate",
+    (s, dir) => {
+      import s.implicits._
+      val labels = Dedup.fullLabels(s, dir).withColumnRenamed("v", "doc_id")
+      val keepers = Dedup.clusterKeepers(s, dir)
+        .select($"cluster_id".as("cid"), $"keeper_id")
+      Tables.documents(s, dir)
+        .filter($"doc_id" % BenchMod =!= BenchRem)
+        .join(broadcast(contaminatedIds(s, dir)), Seq("doc_id"), "left_anti")
+        .join(repetitionMetrics(s, dir).select($"doc_id", $"repetitive")
+                .hint("shuffle_hash"), Seq("doc_id"), "left")
+        .filter(!coalesce($"repetitive", lit(false)))
+        .join(TextStats.scoredDocs(s, dir).hint("shuffle_hash"), Seq("doc_id"))
+        .filter($"score" >= QualityMin)
+        .join(labels, Seq("doc_id"), "left")
+        .join(keepers.hint("shuffle_hash"), Seq("cid"), "left")
+        .filter($"cid".isNull || $"doc_id" === $"keeper_id")
+        .select($"doc_id", $"lang", $"score")
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH RECURSIVE grams AS (
+               SELECT doc_id,
+                      list_distinct(list_transform(range(1, greatest(len(w) - ${ContamN - 2}, 1)),
+                        i -> array_to_string(w[i:i+${ContamN - 1}], ' '))) AS g
+               FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+             bench AS (
+               SELECT DISTINCT gu.x AS g FROM grams, unnest(g) AS gu(x)
+               WHERE doc_id % $BenchMod = $BenchRem),
+             corp AS (
+               SELECT DISTINCT doc_id, gu.x AS g FROM grams, unnest(g) AS gu(x)
+               WHERE doc_id % $BenchMod != $BenchRem),
+             contam AS (
+               SELECT c.doc_id FROM corp c JOIN bench b ON c.g = b.g
+               GROUP BY c.doc_id HAVING count(*) >= $DecontamMinHits),
+             t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             tc AS (SELECT doc_id, tok, count(*) AS c
+                    FROM (SELECT doc_id, unnest(w) AS tok FROM t) GROUP BY 1, 2),
+             ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                           count(*) AS n_distinct, max(c) AS top_tok
+                    FROM tc GROUP BY 1),
+             bgr AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+                              i -> array_to_string(w[i:i+1], ' '))) AS bg
+                     FROM t),
+             bc AS (SELECT doc_id, bg, count(*) AS c FROM bgr GROUP BY 1, 2),
+             bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                           max(c) AS top_bg
+                    FROM bc GROUP BY 1),
+             rep AS (SELECT ts.doc_id,
+                            (ts.top_tok * 1.0 / ts.n_tokens >= $TopTokMax OR
+                             ts.n_distinct * 1.0 / ts.n_tokens <= $DistinctMin OR
+                             bs.top_bg * 1.0 / bs.n_bigrams >= $TopBigramMax) AS repetitive
+                     FROM ts JOIN bs USING (doc_id)),
+             q AS (SELECT doc_id, ${TextStats.scoreSql} AS score FROM documents),
+             shg AS (
+               SELECT doc_id,
+                      list_distinct(list_transform(range(1, greatest(len(w) - 1, 1)),
+                        i -> array_to_string(w[i:i+2], ' '))) AS s
+               FROM t),
+             prs AS (
+               SELECT a.doc_id AS u, b.doc_id AS v
+               FROM shg a JOIN shg b ON a.doc_id < b.doc_id
+               WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= ${Dedup.Tau}),
+             edges AS (SELECT u, v FROM prs UNION SELECT v, u FROM prs),
+             reach(v, r) AS (
+               SELECT u, u FROM edges
+               UNION
+               SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.v),
+             comp AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+             jj AS (
+               SELECT comp.cluster_id, comp.doc_id,
+                      row_number() OVER (PARTITION BY comp.cluster_id
+                        ORDER BY q.score DESC, comp.doc_id ASC) AS rn
+               FROM comp JOIN q USING (doc_id)),
+             keep AS (SELECT cluster_id, doc_id AS keeper_id FROM jj WHERE rn = 1)
+             SELECT d.doc_id, d.lang, q.score
+             FROM documents d
+             JOIN q USING (doc_id)
+             LEFT JOIN rep USING (doc_id)
+             LEFT JOIN comp USING (doc_id)
+             LEFT JOIN keep ON comp.cluster_id = keep.cluster_id
+             WHERE d.doc_id % $BenchMod != $BenchRem
+               AND d.doc_id NOT IN (SELECT doc_id FROM contam)
+               AND NOT coalesce(rep.repetitive, false)
+               AND q.score >= $QualityMin
+               AND (comp.cluster_id IS NULL OR d.doc_id = keep.keeper_id)
+             ORDER BY d.doc_id""")
+  )
+
   def all: Seq[GraftQuery] =
-    Seq(contamination, decontaminate, repetition, substringDup, tfidf)
+    Seq(contamination, decontaminate, repetition, substringDup, tfidf, curate)
 }

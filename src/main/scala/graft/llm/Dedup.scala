@@ -375,6 +375,83 @@ object Dedup {
     }
   }
 
+  /** Containment (near-subset) threshold and the snippet fixture: Jaccard
+    * misses a short doc fully CONTAINED in a long one (the union term
+    * swamps the intersection), yet quote-farms and scraped excerpts are
+    * exactly that shape — so containment |A∩B| / min(|A|,|B|) is its own
+    * dedup signal. The corpus carries no natural subsets, so the query
+    * constructs them the way llm_dedup_exact constructs its duplicates:
+    * a snippet view (every 20th doc truncated to its first half) unions
+    * with the corpus and must light up at containment ≈ 1 while staying
+    * far below the Jaccard τ. */
+  private[graft] val ContainTau = 0.9
+  private[graft] val SnippetIdOffset = 10000000L
+
+  /** Near-subset dedup via an inverted gram index. Candidates come from a
+    * posting-list equi-join on the shingle hash — NOT the Jaccard prefix
+    * filter, whose bound assumes symmetric similarity and would drop
+    * small-in-large pairs (the pairs this operator exists to find).
+    *
+    * Scale shape: the posting join shuffles (gram-hash, doc_id) pairs and
+    * its output is Σ df² over grams — bounded by the df distribution, not
+    * |corpus|²; on web corpora the knob is a df cap (grams above it leave
+    * candidate generation — recall falls only for pairs sharing solely
+    * boilerplate grams, which containment should not fire on anyway).
+    * Verification is the same codegen merge-scan intersect as the Jaccard
+    * family, shuffle_hash joined by id — signatures are never broadcast
+    * (O(N) table). */
+  val containment: GraftQuery = GraftQuery(
+    "llm_dedup_containment",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+      val snippets = docs.filter($"doc_id" % 20 === 3)
+        .select(($"doc_id" + SnippetIdOffset).as("doc_id"),
+          expr("""array_join(slice(split(text, ' '), 1,
+                  greatest(CAST(ceil(size(split(text, ' ')) / 2.0) AS INT), 2)), ' ')""")
+            .as("text"))
+      val sh = shingleOf(s, docs.unionAll(snippets)).cache()
+      val posting = sh.select($"doc_id", explode($"shingles").as("gh"))
+      val cands = posting.as("a")
+        .join(posting.hint("shuffle_hash").as("b"),
+          $"a.gh" === $"b.gh" && $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+        .distinct()
+      cands
+        .join(sh.select($"doc_id".as("id_a"), $"shingles".as("sh_a"), $"n".as("n_a"))
+                .hint("shuffle_hash"), "id_a")
+        .join(sh.select($"doc_id".as("id_b"), $"shingles".as("sh_b"), $"n".as("n_b"))
+                .hint("shuffle_hash"), "id_b")
+        .withColumn("isz",
+          graft.functions.ArrayFunctions.sortedIntersectSize(s, $"sh_a", $"sh_b")
+            .cast("double"))
+        .withColumn("containment", $"isz" / least($"n_a", $"n_b").cast("double"))
+        .filter($"containment" >= ContainTau)
+        .select($"id_a", $"id_b", round($"containment", 4).as("containment"))
+        .orderBy($"id_a", $"id_b")
+    },
+    Some(s"""WITH snip AS (
+               SELECT doc_id + $SnippetIdOffset AS doc_id,
+                      array_to_string(w[1:greatest(CAST(ceil(len(w) / 2.0) AS INT), 2)], ' ') AS text
+               FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+               WHERE doc_id % 20 = 3),
+             corpus AS (
+               SELECT doc_id, text FROM documents
+               UNION ALL SELECT doc_id, text FROM snip),
+             sh AS (
+               SELECT doc_id,
+                      list_distinct(list_transform(range(1, greatest(len(w) - 1, 1)),
+                        i -> array_to_string(w[i:i+2], ' '))) AS s
+               FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus))
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                          / least(len(a.s), len(b.s)), 4) AS containment
+             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                   / least(len(a.s), len(b.s)) >= $ContainTau
+             ORDER BY id_a, id_b""")
+  )
+
   /** Incremental-batch near-dup — THE recurring dedup operation at 100 TB:
     * a new batch of documents arrives (post-watermark), the corpus is
     * already shingled and persisted in the bucketed signature layout, and
@@ -976,25 +1053,31 @@ object Dedup {
   private[graft] def keeperDecodeId(c: Column): Column =
     lit((1L << KeeperIdBits) - 1) - pmod(c, lit(1L << KeeperIdBits))
 
+  /** Per-cluster quality argmax (unordered): (cluster_id, keeper_id,
+    * keeper_score, n_docs). Labels are the SHARED persisted artifact — no
+    * CC of its own (the round-5 duplicate-CC fix); the bucketed-by-v
+    * layout means the labels side of the quality join arrives
+    * exchange-free. Shared by llm_dedup_keep_best and llm_curate. */
+  private[graft] def clusterKeepers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    fullLabels(s, dir)
+      .join(TextStats.scoredDocs(s, dir).withColumnRenamed("doc_id", "v")
+              .hint("shuffle_hash"), "v")
+      .groupBy($"cid")
+      .agg(
+        max(keeperEncode($"score", $"v")).as("c"),
+        max($"score").as("keeper_score"),
+        count(lit(1)).as("n_docs"))
+      .select($"cid".as("cluster_id"),
+        keeperDecodeId($"c").as("keeper_id"),
+        $"keeper_score", $"n_docs")
+  }
+
   val keepBest: GraftQuery = GraftQuery(
     "llm_dedup_keep_best",
     (s, dir) => {
       import s.implicits._
-      // Labels are the SHARED persisted artifact — no CC of this query's
-      // own (the round-5 duplicate-CC fix). The bucketed-by-v layout means
-      // the labels side of the quality join arrives exchange-free.
-      fullLabels(s, dir)
-        .join(TextStats.scoredDocs(s, dir).withColumnRenamed("doc_id", "v")
-                .hint("shuffle_hash"), "v")
-        .groupBy($"cid")
-        .agg(
-          max(keeperEncode($"score", $"v")).as("c"),
-          max($"score").as("keeper_score"),
-          count(lit(1)).as("n_docs"))
-        .select($"cid".as("cluster_id"),
-          keeperDecodeId($"c").as("keeper_id"),
-          $"keeper_score", $"n_docs")
-        .orderBy($"cluster_id")
+      clusterKeepers(s, dir).orderBy($"cluster_id")
     },
     Some(s"""WITH RECURSIVE sh AS (
                SELECT doc_id,
@@ -1024,7 +1107,7 @@ object Dedup {
   )
 
   def all: Seq[GraftQuery] =
-    Seq(exact, ngramJaccard, bucketed, incremental, minhashLsh, simhash,
-        simhashPoly, embedCosine, embedCosineLsh, cluster, clusterIncremental,
-        keepBest)
+    Seq(exact, ngramJaccard, bucketed, containment, incremental, minhashLsh,
+        simhash, simhashPoly, embedCosine, embedCosineLsh, cluster,
+        clusterIncremental, keepBest)
 }

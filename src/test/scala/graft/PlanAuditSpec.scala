@@ -34,7 +34,8 @@ class PlanAuditSpec extends AnyFunSuite {
     * O(N) signature/embedding tables (VERDICT r1 #4) — they join back by
     * id as shuffle-hash. */
   private val noSignatureBroadcast =
-    Set("llm_dedup_ngram_jaccard", "llm_dedup_near", "llm_dedup_embed_lsh")
+    Set("llm_dedup_ngram_jaccard", "llm_dedup_near", "llm_dedup_embed_lsh",
+        "llm_dedup_containment")
 
   for (q <- SparkEntry.registry) {
     test(s"${q.name}: no scale anti-patterns in the physical plan") {
