@@ -199,6 +199,53 @@ class StreamingSpec extends AnyFunSuite {
       "fixture must plant contaminated docs in both arrival waves")
   }
 
+  test("sketch cube foreachBatch pipeline: appended deltas serve the batch answer") {
+    // The production form of stream_sketch_merge: events land incrementally
+    // (two parquet arrival waves through a checkpointed file source); each
+    // micro-batch appends its own per-(event_type, day) HLL sketches to the
+    // cube-delta sink — no read-modify-write of prior state — and the serve
+    // step unions cells at read time. Associative merge means the served
+    // answer must equal the one-pass batch cube EXACTLY, and the checkpoint
+    // guarantees wave-1 events are sketched once.
+    import org.apache.spark.sql.functions._
+    val ev = sources.Tables.events(spark, TestSpark.Sf)
+      .select($"event_id", $"event_type", $"ts", $"user_id").cache()
+    val mid = ev.agg(floor(max($"event_id") / 2.0).cast("long"))
+      .collect()(0).getLong(0)
+    val base = Files.createTempDirectory("graft_skstrm").toString
+    val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+
+    def runWave(): Unit = {
+      val q = spark.readStream.schema(ev.schema).parquet(src)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+            .agg(hll_sketch_agg(col("user_id")).as("sk"))
+            .write.mode("append").parquet(out)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    ev.filter($"event_id" <= mid).write.mode("append").parquet(src)
+    runWave()
+    ev.filter($"event_id" > mid).write.mode("append").parquet(src)
+    runWave()
+
+    val served = spark.read.parquet(out)
+      .groupBy($"event_type")
+      .agg(countDistinct($"day").as("n_days"),
+        hll_sketch_estimate(hll_union_agg($"sk")).as("est_users"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val batchTruth = operators.Aggregates.sketchMerge.run(spark, TestSpark.Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(served === batchTruth,
+      "served sketch cube must equal the one-pass batch cube exactly")
+  }
+
   test("incremental dedup foreachBatch pipeline: persisted base + appended delta, no reprocessing on resume") {
     // The production form of stream_dedup_incremental: post-watermark docs
     // land incrementally (two parquet arrival waves through a checkpointed
