@@ -283,16 +283,18 @@ object Similarity {
       val NProbe = 4
       val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
       // Level 2 (fine): the SAME persisted √N codebook ivfTopK uses
-      // (fineCentroids) — only the coarse level is (re)derived here, and
-      // it runs over ≤ MaxCodebook rows, i.e. O(K·√K) trivia.
+      // (fineCentroids).
       val fine = fineCentroids(s, dir)
-      // Level 1 (coarse): seed ~√K from the fine centroids themselves —
-      // seedCentroids is reused verbatim on the (cid, cv)→(vec_id,
-      // embedding) renaming — then one Lloyd round over the K fine rows.
-      val fineAsRows = fine.select($"cid".as("vec_id"), $"cv".as("embedding"))
-      val coarse = lloydRefine(s, fineAsRows,
-        seedCentroids(s, fineAsRows), 1)
+      // Level 1 (coarse): persisted beside the fine codebook (it is a
+      // pure derivative — ~√K centroids from one Lloyd round over the K
+      // fine rows, seedCentroids reused verbatim on the (cid, cv) →
+      // (vec_id, embedding) renaming). Building it is only O(K·√K), but
+      // persistence makes every ivf2 descent — across calls AND sessions
+      // — walk the exact same two-level structure, the same contract the
+      // fine level already has.
+      val coarse = coarseCentroids(s, dir)
         .select($"cid".as("ccid"), $"cv".as("ccv"))
+      val fineAsRows = fine.select($"cid".as("vec_id"), $"cv".as("embedding"))
       // Group fine centroids under their nearest coarse cell and fold the
       // whole two-level structure into ONE nested-array broadcast row:
       // cb2: array<struct<ccid, ccv, cells: array<struct<cid, cv>>>>.
@@ -385,6 +387,23 @@ object Similarity {
         .write.mode("overwrite").parquet(centPath)
     }
     s.read.parquet(centPath)
+  }
+
+  /** The persisted coarse quantizer over the fine codebook — ivf2's
+    * level 1, derived from (and fingerprint-tied to) the same source as
+    * fineCentroids. See ivf2Pipeline for rationale. */
+  private[graft] def coarseCentroids(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val path = s"/tmp/graft_ivf/$sfx/coarse"
+    Layouts.parquetLayout(path, path,
+        Layouts.fingerprint(Tables.embeddings(s, dir), "vec_id")) {
+      val fineAsRows = fineCentroids(s, dir)
+        .select($"cid".as("vec_id"), $"cv".as("embedding"))
+      lloydRefine(s, fineAsRows, seedCentroids(s, fineAsRows), 1)
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
   }
 
   /** The persisted IVF index — codebook + inverted-list assignments,
