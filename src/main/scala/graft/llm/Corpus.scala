@@ -489,6 +489,102 @@ object Corpus {
              ORDER BY d.doc_id""")
   )
 
+  /** Reference-domain slice the bigram LM trains on: in production this is
+    * the high-quality target corpus (CCNet scores Common Crawl under a
+    * Wikipedia-trained LM); here src0 plays that role — 1/20th of the
+    * corpus, so most scored docs are out-of-domain for the LM, which is
+    * exactly the operating point the filter is built for. */
+  private[graft] val PplRefSource = "src0"
+
+  /** CCNet-style LM quality scoring: train an add-one-smoothed bigram
+    * language model on the reference domain, score every document by its
+    * average negative log-likelihood under that model (low = in-domain
+    * fluent text, high = out-of-domain / garbled — the classic
+    * perplexity-bucket filter for web corpora). CCNet uses a 5-gram KenLM;
+    * the dataflow is order-independent (only the gram width and the
+    * smoothing constant move) and a bigram keeps the oracle exact.
+    *
+    * Scale shape: the LM is vocabulary-bounded state, NEVER broadcast —
+    * C(w1,w2) at web scale is billions of rows. Documents reduce map-side
+    * to (doc_id, w1, w2, c) partial counts (one hash aggregate), then two
+    * equi-joins attach the bigram and backoff-denominator counts —
+    * shuffle_hash on (w1,w2), then on w1, the tfidf two-key pattern. Both
+    * LM tables partial-aggregate map-side before their shuffle. The only
+    * broadcast is the 1-row smoothing vocabulary size. Zipf-hot w1 keys
+    * (function words) are AQE skew-split territory, same as every term
+    * join in this file.
+    *
+    * Determinism: integer counts everywhere until the final ln; the
+    * per-doc sum of ~doc-length ln terms carries ~1e-13 association
+    * error, absorbed by round(4) (the tfidf precedent). Unseen bigrams
+    * (cb=0) and unseen first-words (cw1=0) are both well-defined under
+    * add-one smoothing — the left joins coalesce to 0, nothing drops. */
+  val perplexity: GraftQuery = GraftQuery(
+    "llm_perplexity",
+    (s, dir) => {
+      import s.implicits._
+      perplexityScores(s, dir).orderBy($"doc_id")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w
+                        FROM documents),
+             bg AS (SELECT doc_id, source, w[i] AS w1, w[i+1] AS w2
+                    FROM t, unnest(range(1, len(w))) u(i)),
+             ref AS (SELECT w1, w2 FROM bg WHERE source = '$PplRefSource'),
+             bc AS (SELECT w1, w2, count(*) AS cb FROM ref GROUP BY 1, 2),
+             uc AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cw1 FROM bc GROUP BY 1),
+             v AS (SELECT count(DISTINCT w2) + 1 AS v FROM ref),
+             db AS (SELECT doc_id, w1, w2, count(*) AS c FROM bg GROUP BY 1, 2, 3),
+             sc AS (SELECT d.doc_id, d.c,
+                           coalesce(bc.cb, 0) AS cb, coalesce(uc.cw1, 0) AS cw1
+                    FROM db d
+                    LEFT JOIN bc USING (w1, w2)
+                    LEFT JOIN uc USING (w1))
+             SELECT doc_id,
+                    CAST(sum(c) AS BIGINT) AS n_bigrams,
+                    CAST(sum(CASE WHEN cb = 0 THEN c ELSE 0 END) AS BIGINT) AS n_unseen,
+                    round(-sum(ln((cb + 1) * 1.0 / (cw1 + v.v)) * c) / sum(c), 4) AS nll
+             FROM sc CROSS JOIN v
+             GROUP BY doc_id ORDER BY doc_id""")
+  )
+
+  /** (doc_id, n_bigrams, n_unseen, nll) for every document — the
+    * llm_perplexity dataflow as a composable curation signal (unordered;
+    * the registered query adds the total-order sort, composers join it by
+    * doc_id like repetitionMetrics / scoredDocs). */
+  private[graft] def perplexityScores(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val bg = docs
+      .select($"doc_id", $"source", TF.tokens($"text").as("w"))
+      .select($"doc_id", $"source",
+        explode(expr(
+          "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))"))
+          .as("b"))
+      .select($"doc_id", $"source", $"b.w1", $"b.w2")
+    val ref = bg.filter($"source" === PplRefSource)
+    // LM state: bigram counts and their first-word (denominator) roll-up.
+    val bc = ref.groupBy($"w1", $"w2").agg(count(lit(1)).as("cb"))
+    val uc = bc.groupBy($"w1").agg(sum($"cb").as("cw1"))
+    val vocab = ref.agg((countDistinct($"w2") + 1L).as("v"))
+    // Per-doc bigram multiset, pre-aggregated so the scoring joins move
+    // (doc, w1, w2, c) rows — repeated bigrams join once, weighted by c.
+    val db = bg.groupBy($"doc_id", $"w1", $"w2").agg(count(lit(1)).as("c"))
+    db
+      .join(bc.hint("shuffle_hash"), Seq("w1", "w2"), "left")
+      .join(uc.hint("shuffle_hash"), Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("cb0", coalesce($"cb", lit(0L)))
+      .withColumn("cw10", coalesce($"cw1", lit(0L)))
+      .withColumn("lp",
+        log(($"cb0" + 1L).cast("double") / ($"cw10" + $"v").cast("double")))
+      .groupBy($"doc_id")
+      .agg(
+        sum($"c").as("n_bigrams"),
+        sum(when($"cb0" === 0L, $"c").otherwise(0L)).as("n_unseen"),
+        round(-sum($"lp" * $"c") / sum($"c"), 4).as("nll"))
+  }
+
   def all: Seq[GraftQuery] =
-    Seq(contamination, decontaminate, repetition, substringDup, tfidf, curate)
+    Seq(contamination, decontaminate, repetition, substringDup, tfidf, curate,
+      perplexity)
 }

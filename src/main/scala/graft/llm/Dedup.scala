@@ -402,35 +402,91 @@ object Dedup {
     * (O(N) table). */
   val containment: GraftQuery = GraftQuery(
     "llm_dedup_containment",
-    (s, dir) => {
-      import s.implicits._
-      val docs = Tables.documents(s, dir).select($"doc_id", $"text")
-      val snippets = docs.filter($"doc_id" % 20 === 3)
-        .select(($"doc_id" + SnippetIdOffset).as("doc_id"),
-          expr("""array_join(slice(split(text, ' '), 1,
-                  greatest(CAST(ceil(size(split(text, ' ')) / 2.0) AS INT), 2)), ' ')""")
-            .as("text"))
-      val sh = shingleOf(s, docs.unionAll(snippets)).cache()
-      val posting = sh.select($"doc_id", explode($"shingles").as("gh"))
-      val cands = posting.as("a")
-        .join(posting.hint("shuffle_hash").as("b"),
-          $"a.gh" === $"b.gh" && $"a.doc_id" < $"b.doc_id")
-        .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
-        .distinct()
-      cands
-        .join(sh.select($"doc_id".as("id_a"), $"shingles".as("sh_a"), $"n".as("n_a"))
-                .hint("shuffle_hash"), "id_a")
-        .join(sh.select($"doc_id".as("id_b"), $"shingles".as("sh_b"), $"n".as("n_b"))
-                .hint("shuffle_hash"), "id_b")
-        .withColumn("isz",
-          graft.functions.ArrayFunctions.sortedIntersectSize(s, $"sh_a", $"sh_b")
-            .cast("double"))
-        .withColumn("containment", $"isz" / least($"n_a", $"n_b").cast("double"))
-        .filter($"containment" >= ContainTau)
-        .select($"id_a", $"id_b", round($"containment", 4).as("containment"))
-        .orderBy($"id_a", $"id_b")
-    },
-    Some(s"""WITH snip AS (
+    (s, dir) => containmentPipeline(s, dir, dfCap = None),
+    Some(containmentOracle(dfCap = None))
+  )
+
+  /** Default document-frequency cap for the capped variant: grams seen in
+    * more than this many documents leave candidate generation. 8 keeps the
+    * fixture's result identical to the uncapped closure (DedupSpec sweeps
+    * the cap and records where recall starts to fall) while bounding the
+    * posting join's output by cap · |postings| — LINEAR in corpus size. */
+  private[graft] val ContainDfCap = 8
+
+  /** The web-scale form of `llm_dedup_containment`: identical semantics,
+    * but candidate generation drops grams with document frequency > cap.
+    * Uncapped, the posting self-join's output is Σ df² over grams — fine
+    * when df is bounded (this fixture), quadratic in the worst case when a
+    * boilerplate gram lands in millions of documents. With the cap, every
+    * surviving gram contributes ≤ cap·df pairs, so the join's output is
+    * ≤ cap · |postings| — the knob the uncapped scaladoc names, now
+    * measured: DedupSpec sweeps cap ∈ {1..8} against the closure and the
+    * only recall losses are pairs sharing solely high-df grams, which sit
+    * far below τ anyway (that is WHY a true near-subset pair must share a
+    * rare gram: at containment ≥ 0.9, most of the small doc's gram set
+    * intersects the big one's, and a doc's grams are mostly rare).
+    *
+    * Dataflow note: the df filter is a semi-join of the posting list
+    * against the ≤-cap gram set, hash-partitioned on the gram key — the
+    * SAME key the candidate self-join uses, so the semi output's
+    * partitioning carries straight into the self-join (no re-shuffle of
+    * the posting list). The rare-gram set is cached: both self-join sides
+    * consume it, and without the cache each would re-run the df
+    * aggregation (at 100 TB it would be persisted next to the signature
+    * layout — it is corpus-derived state on the candidate-generation hot
+    * path, exactly like the prefix table). */
+  val containmentCapped: GraftQuery = GraftQuery(
+    "llm_dedup_containment_capped",
+    (s, dir) => containmentPipeline(s, dir, dfCap = Some(ContainDfCap)),
+    Some(containmentOracle(dfCap = Some(ContainDfCap)))
+  )
+
+  /** Shared dataflow for the containment family — `dfCap` gates candidate
+    * generation only; verification always runs over full signatures. */
+  private[graft] def containmentPipeline(s: SparkSession, dir: String,
+                                         dfCap: Option[Int]): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+    val snippets = docs.filter($"doc_id" % 20 === 3)
+      .select(($"doc_id" + SnippetIdOffset).as("doc_id"),
+        expr("""array_join(slice(split(text, ' '), 1,
+                greatest(CAST(ceil(size(split(text, ' ')) / 2.0) AS INT), 2)), ' ')""")
+          .as("text"))
+    val sh = shingleOf(s, docs.unionAll(snippets)).cache()
+    val posting = sh.select($"doc_id", explode($"shingles").as("gh"))
+    val capped = dfCap match {
+      case Some(cap) =>
+        val rareGrams = posting.groupBy($"gh")
+          .agg(count(lit(1)).as("df")).filter($"df" <= cap).select($"gh")
+          .cache()
+        posting.join(rareGrams.hint("shuffle_hash"), Seq("gh"), "left_semi")
+      case None => posting
+    }
+    val cands = capped.as("a")
+      .join(capped.hint("shuffle_hash").as("b"),
+        $"a.gh" === $"b.gh" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+      .distinct()
+    cands
+      .join(sh.select($"doc_id".as("id_a"), $"shingles".as("sh_a"), $"n".as("n_a"))
+              .hint("shuffle_hash"), "id_a")
+      .join(sh.select($"doc_id".as("id_b"), $"shingles".as("sh_b"), $"n".as("n_b"))
+              .hint("shuffle_hash"), "id_b")
+      .withColumn("isz",
+        graft.functions.ArrayFunctions.sortedIntersectSize(s, $"sh_a", $"sh_b")
+          .cast("double"))
+      .withColumn("containment", $"isz" / least($"n_a", $"n_b").cast("double"))
+      .filter($"containment" >= ContainTau)
+      .select($"id_a", $"id_b", round($"containment", 4).as("containment"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** DuckDB side of the containment family. Uncapped: the quadratic
+    * closure (ground truth). Capped: candidates restricted to pairs
+    * sharing a gram with df ≤ cap — the same semantics the Spark side
+    * implements, over string grams instead of hashes. */
+  private def containmentOracle(dfCap: Option[Int]): String = {
+    val shared = s"""WITH snip AS (
                SELECT doc_id + $SnippetIdOffset AS doc_id,
                       array_to_string(w[1:greatest(CAST(ceil(len(w) / 2.0) AS INT), 2)], ' ') AS text
                FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
@@ -442,15 +498,35 @@ object Dedup {
                SELECT doc_id,
                       list_distinct(list_transform(range(1, greatest(len(w) - 1, 1)),
                         i -> array_to_string(w[i:i+2], ' '))) AS s
-               FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus))
+               FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus))"""
+    dfCap match {
+      case None =>
+        s"""$shared
              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                     round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                           / least(len(a.s), len(b.s)), 4) AS containment
              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
              WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                    / least(len(a.s), len(b.s)) >= $ContainTau
-             ORDER BY id_a, id_b""")
-  )
+             ORDER BY id_a, id_b"""
+      case Some(cap) =>
+        s"""$shared,
+             posting AS (SELECT doc_id, unnest(s) AS gh FROM sh),
+             rare AS (SELECT gh FROM posting GROUP BY gh HAVING count(*) <= $cap),
+             cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                      FROM posting a JOIN posting b ON a.gh = b.gh AND a.doc_id < b.doc_id
+                      WHERE a.gh IN (SELECT gh FROM rare))
+             SELECT c.id_a, c.id_b,
+                    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                          / least(len(a.s), len(b.s)), 4) AS containment
+             FROM cand c
+             JOIN sh a ON a.doc_id = c.id_a
+             JOIN sh b ON b.doc_id = c.id_b
+             WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                   / least(len(a.s), len(b.s)) >= $ContainTau
+             ORDER BY id_a, id_b"""
+    }
+  }
 
   /** Incremental-batch near-dup — THE recurring dedup operation at 100 TB:
     * a new batch of documents arrives (post-watermark), the corpus is
@@ -751,6 +827,77 @@ object Dedup {
     },
     None
   )
+
+  /** Cosine threshold for semantic dedup: SemDeDup's operating point —
+    * only near-identical directions count (fixture background pairs top
+    * out ≈0.55, planted twins sit at exactly 1.0). */
+  private[graft] val SemTau = 0.95
+
+  /** Planted-twin id offset for llm_dedup_semantic (distinct from
+    * SnippetIdOffset so the two constructed fixtures can never collide). */
+  private[graft] val SemTwinOffset = 20000000L
+
+  /** Semantic dedup (SemDeDup, Abbas et al. 2023): cluster the embedding
+    * space with k-means, then search for near-duplicate pairs ONLY within
+    * each cluster — the all-pairs comparison collapses from O(N²) to
+    * Σ m_c² over cell sizes (≈ N·√N at the √N-cell default, and the
+    * production knob is a per-cell size cap exactly like the containment
+    * df cap). Reuses the persisted IVF fine codebook (fineCentroids) as
+    * the clustering — the SAME model artifact ANN serving descends, so
+    * the index is built once and consumed by both workloads.
+    *
+    * Oracle-ability despite a non-deterministic codebook: the fixture
+    * unions the corpus with exact-direction twins (every 20th vector
+    * scaled by 2.0f — a power of two, so assignment scores and the final
+    * cosine are IDENTICAL floats to the original's, not merely close).
+    * Cosine is scale-invariant, so twin and original land in the same
+    * cell under ANY codebook, and their verified cosine rounds to exactly
+    * 1.0; background pairs cap at ≈0.55, far under τ=0.95. The emitted
+    * pair set is therefore a deterministic function of the data even
+    * though the cell partition is not — which is what makes a hash-grade
+    * DuckDB oracle possible for a clustering-dependent operator.
+    *
+    * Scale shape: assignment is a broadcast-codebook scan projection (no
+    * shuffle); the within-cell pair search is an equi-join on cid that
+    * shuffles (cid, id, vector) once per side; verification is the exact
+    * codegen cosine inline in the join projection. At 100 TB the base
+    * side reads the persisted ivfIndex assignments instead of
+    * re-assigning (same cid key, same join). */
+  val semantic: GraftQuery = GraftQuery(
+    "llm_dedup_semantic",
+    (s, dir) => semanticPipeline(s, dir, plantTwins = true),
+    Some(s"""SELECT vec_id AS id_a, vec_id + $SemTwinOffset AS id_b,
+                    CAST(1.0 AS DOUBLE) AS cos
+             FROM embeddings WHERE vec_id % 20 = 7
+             ORDER BY id_a, id_b""")
+  )
+
+  /** The llm_dedup_semantic dataflow; `plantTwins = false` runs it over
+    * the raw corpus alone, where the output must be EMPTY under any
+    * codebook (background pairs cap far below τ) — the precision property
+    * DedupSpec pins. */
+  private[graft] def semanticPipeline(s: SparkSession, dir: String,
+                                      plantTwins: Boolean): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+    val twins = e.filter($"vec_id" % 20 === 7)
+      .select(($"vec_id" + SemTwinOffset).as("vec_id"),
+        transform($"embedding", x => x * lit(2.0f)).as("embedding"))
+    val codebook = Similarity.cbOf(s, Similarity.fineCentroids(s, dir))
+    val assigned = (if (plantTwins) e.unionAll(twins) else e)
+      .crossJoin(codebook)
+      .withColumn("cid",
+        array_max(Similarity.centScores(s, $"embedding")).getField("cid"))
+      .drop("cb")
+    val a = assigned.select($"cid", $"vec_id".as("id_a"), $"embedding".as("v_a"))
+    val b = assigned.select($"cid".as("cid_b"), $"vec_id".as("id_b"),
+      $"embedding".as("v_b"))
+    a.join(b.hint("shuffle_hash"), $"cid" === $"cid_b" && $"id_a" < $"id_b")
+      .withColumn("cos", round(VectorFunctions.cosine(s, $"v_a", $"v_b"), 4))
+      .filter($"cos" >= SemTau)
+      .select($"id_a", $"id_b", $"cos")
+      .orderBy($"id_a", $"id_b")
+  }
 
   /** Distributed connected components by iterative min-label propagation
     * (the dataflow form of Pregel CC): every vertex repeatedly adopts the
@@ -1107,7 +1254,8 @@ object Dedup {
   )
 
   def all: Seq[GraftQuery] =
-    Seq(exact, ngramJaccard, bucketed, containment, incremental, minhashLsh,
-        simhash, simhashPoly, embedCosine, embedCosineLsh, cluster,
+    Seq(exact, ngramJaccard, bucketed, containment, containmentCapped,
+      incremental, minhashLsh,
+        simhash, simhashPoly, embedCosine, embedCosineLsh, semantic, cluster,
         clusterIncremental, keepBest)
 }

@@ -143,7 +143,7 @@ object Similarity {
   /** Per-row scored centroid list over a broadcast codebook column `cb`:
     * array<struct<csim,cid>> — struct comparison is lexicographic, so
     * array_max/array_sort give a deterministic argmax with cid tie-break. */
-  private def centScores(s: SparkSession, vec: org.apache.spark.sql.Column) =
+  private[llm] def centScores(s: SparkSession, vec: org.apache.spark.sql.Column) =
     transform(col("cb"), c =>
       struct(VectorFunctions.cosine(s, c.getField("cv"), vec).as("csim"),
              c.getField("cid").as("cid")))
@@ -155,7 +155,7 @@ object Similarity {
     * driver memory and plan size). Classic IVF premise: the codebook fits
     * in executor memory; beyond that, front it with a coarse quantizer
     * (same dataflow, two levels — see ivf2TopK). */
-  private def cbOf(s: SparkSession, cents: DataFrame): DataFrame = {
+  private[llm] def cbOf(s: SparkSession, cents: DataFrame): DataFrame = {
     import s.implicits._
     broadcast(cents.agg(collect_list(struct($"cid", $"cv")).as("cb")))
   }

@@ -159,4 +159,26 @@ class CorpusSpec extends AnyFunSuite {
       assert(math.abs(es - gs) < 1e-3, s"doc $sampleId score for $et")
     }
   }
+
+  test("perplexity: in-domain docs score fluent; reference slice has no unseen bigrams") {
+    // The filter's operating premise: text drawn from the LM's own domain
+    // must score lower NLL than the corpus at large, and every bigram of a
+    // reference-slice doc is by construction in the LM (n_unseen = 0).
+    val out = llm.Corpus.perplexity.run(spark, TestSpark.Sf).collect()
+    assert(out.length > 0)
+    val srcOf = sources.Tables.documents(spark, TestSpark.Sf)
+      .select($"doc_id", $"source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (ref, rest) = out.partition(r => srcOf(r.getLong(0)) == llm.Corpus.PplRefSource)
+    assert(ref.nonEmpty && rest.nonEmpty)
+    assert(ref.forall(_.getAs[Long]("n_unseen") == 0L),
+      "reference-slice docs must have every bigram in the LM")
+    val avgRef = ref.map(_.getAs[Double]("nll")).sum / ref.length
+    val avgRest = rest.map(_.getAs[Double]("nll")).sum / rest.length
+    assert(avgRef < avgRest,
+      f"in-domain avg NLL $avgRef%.3f must beat out-of-domain $avgRest%.3f")
+    // Out-of-domain docs DO carry unseen bigrams — otherwise the fixture
+    // couldn't distinguish the smoothing path from the seen path.
+    assert(rest.exists(_.getAs[Long]("n_unseen") > 0L))
+  }
 }

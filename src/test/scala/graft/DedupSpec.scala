@@ -349,4 +349,53 @@ class DedupSpec extends AnyFunSuite {
     val twice = once.dropDuplicates("text")
     assert(once.count() === twice.count())
   }
+
+  test("containment df cap: recall sweep against the closure; default cap lossless") {
+    // The capped variant's claim is two-sided: (a) at the default cap the
+    // pair set EQUALS the uncapped closure (the cap only prunes candidate
+    // generation, and every true near-subset pair shares ≥1 rare gram);
+    // (b) tightening the cap degrades recall monotonically-ish and never
+    // invents pairs (capped ⊆ closure at every cap — precision stays 1.0,
+    // the cap can only remove candidates).
+    def pairSet(cap: Option[Int]) =
+      llm.Dedup.containmentPipeline(spark, TestSpark.Sf, cap)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val closure = pairSet(None)
+    assert(closure.nonEmpty) // snippet view plants near-subset pairs
+    val atDefault = pairSet(Some(llm.Dedup.ContainDfCap))
+    assert(atDefault === closure,
+      s"default df cap ${llm.Dedup.ContainDfCap} must be lossless on the fixture")
+    val sweep = Seq(1, 2, 4).map { cap =>
+      val p = pairSet(Some(cap))
+      assert(p.subsetOf(closure), s"cap=$cap invented pairs not in the closure")
+      cap -> (p.size.toDouble / closure.size)
+    }
+    info(s"recall vs df cap: ${sweep.map { case (c, r) => f"cap=$c recall=$r%.2f" }.mkString(", ")}")
+    // df=1 grams exist only in one doc — candidate generation needs df >= 2
+    // to ever pair two docs, so cap=1 must yield zero candidates.
+    assert(pairSet(Some(1)).isEmpty)
+  }
+
+  test("semantic dedup: exact twin recall, zero background pairs, scale-exact scores") {
+    // Precision leg: over the raw corpus (no planted twins) the within-cell
+    // search must emit NOTHING — background cosines cap ≈0.55 < τ=0.95 —
+    // under whatever codebook the persisted layout currently holds.
+    assert(llm.Dedup.semanticPipeline(spark, TestSpark.Sf, plantTwins = false)
+      .collect().isEmpty)
+    // Recall leg: every planted twin pairs with its original at exactly
+    // 1.0 — scale-invariance of cosine guarantees co-location in the same
+    // cell regardless of the codebook, and the 2.0f (power-of-two) scale
+    // makes the scores bit-identical, not merely close.
+    val out = llm.Dedup.semantic.run(spark, TestSpark.Sf).collect()
+    val planted = sources.Tables.embeddings(spark, TestSpark.Sf)
+      .filter($"vec_id" % 20 === 7).select($"vec_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(out.length === planted.size)
+    out.foreach { r =>
+      assert(planted.contains(r.getLong(0)))
+      assert(r.getLong(1) === r.getLong(0) + llm.Dedup.SemTwinOffset)
+      assert(r.getDouble(2) === 1.0)
+    }
+  }
 }

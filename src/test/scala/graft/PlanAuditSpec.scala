@@ -27,7 +27,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "llm_sim_topk_ivf2",  // same pattern: 1-row two-level codebook broadcast
     "llm_sim_topk_ivf_persisted", // 1-row codebook broadcast on the probe side
     "llm_tfidf",          // 1-row corpus-count broadcast onto the scoring join
-    "llm_domain_mix"      // 1-row stratum-totals broadcast onto the bounded stratum table
+    "llm_domain_mix",     // 1-row stratum-totals broadcast onto the bounded stratum table
+    "llm_perplexity",     // 1-row smoothing-vocab broadcast onto the scoring join
+    "llm_dedup_semantic"  // 1-row codebook broadcast onto the assignment scans
   )
 
   /** Round-2 gate: the dedup verification joins must NOT broadcast the
