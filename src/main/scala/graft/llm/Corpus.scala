@@ -496,6 +496,32 @@ object Corpus {
     * exactly the operating point the filter is built for. */
   private[graft] val PplRefSource = "src0"
 
+  /** DuckDB side of both perplexity forms (the streaming emulation grades
+    * against the identical SQL — batching must not change one score).
+    * Declared BEFORE the GraftQuery vals that capture it: a forward
+    * reference inside an object is null at initialization time. */
+  private[graft] val pplOracle: String =
+    s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w
+                        FROM documents),
+             bg AS (SELECT doc_id, source, w[i] AS w1, w[i+1] AS w2
+                    FROM t, unnest(range(1, len(w))) u(i)),
+             ref AS (SELECT w1, w2 FROM bg WHERE source = '$PplRefSource'),
+             bc AS (SELECT w1, w2, count(*) AS cb FROM ref GROUP BY 1, 2),
+             uc AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cw1 FROM bc GROUP BY 1),
+             v AS (SELECT count(DISTINCT w2) + 1 AS v FROM ref),
+             db AS (SELECT doc_id, w1, w2, count(*) AS c FROM bg GROUP BY 1, 2, 3),
+             sc AS (SELECT d.doc_id, d.c,
+                           coalesce(bc.cb, 0) AS cb, coalesce(uc.cw1, 0) AS cw1
+                    FROM db d
+                    LEFT JOIN bc USING (w1, w2)
+                    LEFT JOIN uc USING (w1))
+             SELECT doc_id,
+                    CAST(sum(c) AS BIGINT) AS n_bigrams,
+                    CAST(sum(CASE WHEN cb = 0 THEN c ELSE 0 END) AS BIGINT) AS n_unseen,
+                    round(-sum(ln((cb + 1) * 1.0 / (cw1 + v.v)) * c) / sum(c), 4) AS nll
+             FROM sc CROSS JOIN v
+             GROUP BY doc_id ORDER BY doc_id"""
+
   /** CCNet-style LM quality scoring: train an add-one-smoothed bigram
     * language model on the reference domain, score every document by its
     * average negative log-likelihood under that model (low = in-domain
@@ -525,47 +551,60 @@ object Corpus {
       import s.implicits._
       perplexityScores(s, dir).orderBy($"doc_id")
     },
-    Some(s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w
-                        FROM documents),
-             bg AS (SELECT doc_id, source, w[i] AS w1, w[i+1] AS w2
-                    FROM t, unnest(range(1, len(w))) u(i)),
-             ref AS (SELECT w1, w2 FROM bg WHERE source = '$PplRefSource'),
-             bc AS (SELECT w1, w2, count(*) AS cb FROM ref GROUP BY 1, 2),
-             uc AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cw1 FROM bc GROUP BY 1),
-             v AS (SELECT count(DISTINCT w2) + 1 AS v FROM ref),
-             db AS (SELECT doc_id, w1, w2, count(*) AS c FROM bg GROUP BY 1, 2, 3),
-             sc AS (SELECT d.doc_id, d.c,
-                           coalesce(bc.cb, 0) AS cb, coalesce(uc.cw1, 0) AS cw1
-                    FROM db d
-                    LEFT JOIN bc USING (w1, w2)
-                    LEFT JOIN uc USING (w1))
-             SELECT doc_id,
-                    CAST(sum(c) AS BIGINT) AS n_bigrams,
-                    CAST(sum(CASE WHEN cb = 0 THEN c ELSE 0 END) AS BIGINT) AS n_unseen,
-                    round(-sum(ln((cb + 1) * 1.0 / (cw1 + v.v)) * c) / sum(c), 4) AS nll
-             FROM sc CROSS JOIN v
-             GROUP BY doc_id ORDER BY doc_id""")
+    Some(pplOracle)
   )
 
-  /** (doc_id, n_bigrams, n_unseen, nll) for every document — the
-    * llm_perplexity dataflow as a composable curation signal (unordered;
-    * the registered query adds the total-order sort, composers join it by
-    * doc_id like repetitionMetrics / scoredDocs). */
-  private[graft] def perplexityScores(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+  /** (doc_id, source, w1, w2) — one row per consecutive token pair of
+    * every document in `docs`; the map-side reduction both perplexity
+    * forms start from. */
+  private[graft] def docBigrams(s: SparkSession,
+                                docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val docs = Tables.documents(s, dir)
-    val bg = docs
+    docs
       .select($"doc_id", $"source", TF.tokens($"text").as("w"))
       .select($"doc_id", $"source",
         explode(expr(
           "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))"))
           .as("b"))
       .select($"doc_id", $"source", $"b.w1", $"b.w2")
-    val ref = bg.filter($"source" === PplRefSource)
-    // LM state: bigram counts and their first-word (denominator) roll-up.
-    val bc = ref.groupBy($"w1", $"w2").agg(count(lit(1)).as("cb"))
+  }
+
+  /** The FROZEN LM — reference-slice bigram counts (w1, w2, cb), persisted
+    * once per dataset under the Layouts fingerprint protocol and re-read
+    * by every scoring pass (CCNet trains its KenLM once and scores the
+    * whole crawl against the frozen artifact; this is that artifact).
+    * Counts are integers, so a rebuild is bit-identical — persistence here
+    * buys the recurring-cost shape (score O(batch), never re-train), not
+    * determinism. The denominator roll-up and smoothing vocabulary are
+    * DERIVED from this table (sum cb by w1; distinct w2 + 1), so one
+    * layout carries the whole model. */
+  private[graft] def lmCounts(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val path = s"/tmp/graft_lm/$sfx/bigram"
+    Layouts.parquetLayout(path, path,
+        Layouts.fingerprint(Tables.documents(s, dir), "doc_id")) {
+      docBigrams(s, Tables.documents(s, dir))
+        .filter($"source" === PplRefSource)
+        .groupBy($"w1", $"w2").agg(count(lit(1)).as("cb"))
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
+  /** Score a frame of (doc_id, source, w1, w2) bigram rows against the
+    * frozen LM `bc`: (doc_id, n_bigrams, n_unseen, nll), unordered. Pure
+    * per-document against static model state — no cross-batch dependence,
+    * which is what makes the streaming form's union-of-batches equal the
+    * whole-corpus pass. */
+  private[graft] def scoreBigrams(s: SparkSession,
+                                  bg: org.apache.spark.sql.DataFrame,
+                                  bc: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    // Denominator roll-up + smoothing vocab, derived from the LM table —
+    // LM-bounded work, no corpus scan.
     val uc = bc.groupBy($"w1").agg(sum($"cb").as("cw1"))
-    val vocab = ref.agg((countDistinct($"w2") + 1L).as("v"))
+    val vocab = bc.agg((countDistinct($"w2") + 1L).as("v"))
     // Per-doc bigram multiset, pre-aggregated so the scoring joins move
     // (doc, w1, w2, c) rows — repeated bigrams join once, weighted by c.
     val db = bg.groupBy($"doc_id", $"w1", $"w2").agg(count(lit(1)).as("c"))
@@ -583,6 +622,14 @@ object Corpus {
         sum(when($"cb0" === 0L, $"c").otherwise(0L)).as("n_unseen"),
         round(-sum($"lp" * $"c") / sum($"c"), 4).as("nll"))
   }
+
+  /** (doc_id, n_bigrams, n_unseen, nll) for every document — the
+    * llm_perplexity dataflow as a composable curation signal (unordered;
+    * the registered query adds the total-order sort, composers join it by
+    * doc_id like repetitionMetrics / scoredDocs). Reads the persisted LM
+    * layout, so repeated scoring passes share one trained model. */
+  private[graft] def perplexityScores(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    scoreBigrams(s, docBigrams(s, Tables.documents(s, dir)), lmCounts(s, dir))
 
   def all: Seq[GraftQuery] =
     Seq(contamination, decontaminate, repetition, substringDup, tfidf, curate,

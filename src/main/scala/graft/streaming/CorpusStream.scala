@@ -90,5 +90,40 @@ object CorpusStream {
              GROUP BY c.doc_id ORDER BY c.doc_id""")
   )
 
-  def all: Seq[GraftQuery] = Seq(streamContamination)
+  /** The foreachBatch increment for LM quality scoring: one micro-batch
+    * of newly-arrived docs scored against the FROZEN persisted bigram LM
+    * (Corpus.lmCounts — trained once on the reference slice, re-read per
+    * batch). Pure per-document against static model state, so
+    * union-of-batches == whole-corpus, independent of arrival batching —
+    * the same argument as contaminationBatch. Recurring cost is O(batch)
+    * bigrams through two LM-keyed joins; nothing corpus-sized recomputes. */
+  def perplexityBatch(s: SparkSession, batch: DataFrame,
+                      lm: DataFrame): DataFrame =
+    Corpus.scoreBigrams(s, Corpus.docBigrams(s, batch), lm)
+
+  /** Graded form: the scoring increment batch-emulated over the
+    * deterministic 3-way arrival split, against the one persisted LM.
+    * Oracle = llm_perplexity's, verbatim: batching must not change one
+    * score (the CCNet production shape — the crawl streams through a
+    * frozen model). */
+  val streamPerplexity: GraftQuery = GraftQuery(
+    "stream_perplexity",
+    (s, dir) => {
+      import s.implicits._
+      val lm = Corpus.lmCounts(s, dir)
+      val docs = Tables.documents(s, dir)
+      (0 until 3)
+        .map(b => perplexityBatch(s, docs.filter(pmod($"doc_id", lit(3)) === b), lm)
+          // One eagerly-executed DAG per emulated micro-batch (the true
+          // streaming execution shape) instead of a 3-batch mega-plan that
+          // re-derives the LM roll-ups three times in one first execution
+          // — the stream_dedup_incremental convention.
+          .localCheckpoint())
+        .reduce(_.unionAll(_))
+        .orderBy($"doc_id")
+    },
+    Some(Corpus.pplOracle)
+  )
+
+  def all: Seq[GraftQuery] = Seq(streamContamination, streamPerplexity)
 }

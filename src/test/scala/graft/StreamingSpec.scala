@@ -199,6 +199,51 @@ class StreamingSpec extends AnyFunSuite {
       "fixture must plant contaminated docs in both arrival waves")
   }
 
+  test("perplexity foreachBatch pipeline: frozen LM, incremental arrivals, batch parity") {
+    // The production form of stream_perplexity: the bigram LM is trained
+    // once (persisted layout), then documents stream through it in
+    // checkpointed file-source waves — each micro-batch scored by
+    // CorpusStream.perplexityBatch and appended to the sink. Scoring is
+    // stateless against the frozen model, so the accumulated sink must
+    // equal the whole-corpus batch query row-for-row.
+    val docs = sources.Tables.documents(spark, TestSpark.Sf).cache()
+    val lm = llm.Corpus.lmCounts(spark, TestSpark.Sf)
+    val wmid = docs.agg(org.apache.spark.sql.functions.floor(
+      org.apache.spark.sql.functions.max($"doc_id") / 2.0).cast("long"))
+      .collect()(0).getLong(0)
+    val base = Files.createTempDirectory("graft_pstrm").toString
+    val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+
+    def runWave(): Unit = {
+      val q = spark.readStream.schema(docs.schema).parquet(src)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          streaming.CorpusStream.perplexityBatch(spark, b, lm)
+            .write.mode("append").parquet(out)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    docs.filter($"doc_id" <= wmid).write.mode("append").parquet(src)
+    runWave()
+    docs.filter($"doc_id" > wmid).write.mode("append").parquet(src)
+    runWave()
+
+    val batchTruth = llm.Corpus.perplexity.run(spark, TestSpark.Sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val acc = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+    assert(acc.length === batchTruth.size,
+      "a doc scored twice means wave-1 files were reprocessed")
+    acc.foreach { case (id, v) =>
+      assert(batchTruth(id) === v, s"doc $id: incremental score != batch score")
+    }
+  }
+
   test("sketch cube foreachBatch pipeline: appended deltas serve the batch answer") {
     // The production form of stream_sketch_merge: events land incrementally
     // (two parquet arrival waves through a checkpointed file source); each
