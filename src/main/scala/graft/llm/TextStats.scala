@@ -231,6 +231,77 @@ object TextStats {
             GROUP BY token ORDER BY n DESC, token LIMIT 50""")
   )
 
+  /** Token-level fuzzy matching via the symmetric-delete neighborhood
+    * (SymSpell): two strings within edit distance 1 ALWAYS share an entry
+    * of {self} ∪ {one-deletion variants} — substitution at i: delete i
+    * from both; insertion/deletion: the shorter IS a variant of the
+    * longer — so candidate generation is an equi-join on the variant
+    * string, completing the similarity-join family (PPJoin = token sets,
+    * MinHash/SimHash = sketches, cosine = vectors, containment = posting
+    * lists; this one is CHARACTER edit distance, the vocabulary/entity
+    * canonicalization primitive). Exact `levenshtein` verifies survivors,
+    * so precision is 1.0 by construction and the neighborhood bound makes
+    * recall 1.0 at distance ≤ 1 — the join is lossless, like the prefix
+    * filter.
+    *
+    * The corpus vocabulary carries no distance-1 pairs (measured: 0), so
+    * the query constructs its matches the way llm_dedup_exact constructs
+    * duplicates: a typo view (first character doubled — one insertion)
+    * unions with the vocabulary and must pair with its source token.
+    *
+    * Scale shape: everything is vocabulary-bounded — distinct tokens, a
+    * few ×|tok| variants each, candidate output Σ df² over variant
+    * buckets (short-token neighborhoods are the hot buckets; the length
+    * floor is the guard, the containment df cap applies verbatim beyond
+    * it). Verification is codegen `levenshtein` on a candidate set that
+    * never touches the corpus. */
+  val vocabFuzzy: GraftQuery = GraftQuery(
+    "llm_vocab_fuzzy",
+    (s, dir) => {
+      import s.implicits._
+      val vocab = Tables.documents(s, dir)
+        .select(explode(TF.tokens($"text")).as("tok"))
+        .distinct()
+        .filter(length($"tok") >= 3)
+      val typos = vocab.select(
+        concat(substring($"tok", 1, 1), $"tok").as("tok"))
+      val toks = vocab.unionAll(typos).distinct()
+      val vars = toks.select($"tok",
+        explode(concat(array($"tok"), expr(
+          """transform(sequence(1, length(tok)),
+               i -> concat(substring(tok, 1, i - 1),
+                           substring(tok, i + 1, length(tok))))""")))
+          .as("variant"))
+      val cands = vars.as("a")
+        .join(vars.hint("shuffle_hash").as("b"),
+          $"a.variant" === $"b.variant" && $"a.tok" < $"b.tok")
+        .select($"a.tok".as("tok_a"), $"b.tok".as("tok_b"))
+        .distinct()
+      cands
+        .withColumn("dist", levenshtein($"tok_a", $"tok_b"))
+        .filter($"dist" === 1)
+        .orderBy($"tok_a", $"tok_b")
+    },
+    Some("""WITH v AS (SELECT DISTINCT t AS tok
+                       FROM (SELECT unnest(string_split(text, ' ')) AS t
+                             FROM documents)
+                       WHERE len(t) >= 3),
+            toks AS (SELECT DISTINCT tok FROM (
+                       SELECT tok FROM v
+                       UNION ALL SELECT substr(tok, 1, 1) || tok FROM v)),
+            d AS (SELECT tok, variant
+                  FROM toks, unnest(list_prepend(tok,
+                         list_transform(range(1, len(tok) + 1),
+                           i -> substr(tok, 1, i - 1) || substr(tok, i + 1, len(tok)))))
+                       u(variant)),
+            cand AS (SELECT DISTINCT a.tok AS tok_a, b.tok AS tok_b
+                     FROM d a JOIN d b
+                     ON a.variant = b.variant AND a.tok < b.tok)
+            SELECT tok_a, tok_b, CAST(levenshtein(tok_a, tok_b) AS INT) AS dist
+            FROM cand WHERE levenshtein(tok_a, tok_b) = 1
+            ORDER BY tok_a, tok_b""")
+  )
+
   /** Deterministic train/val/test split: a multiplicative-hash bucket of
     * the stable doc_id decides membership — reproducible across runs,
     * engines, and repartitioning (never `rand()`, which breaks on retry
@@ -469,6 +540,6 @@ object TextStats {
 
   def all: Seq[GraftQuery] =
     Seq(textStats, langId, fingerprint, langProfile, tokenBpe, quality,
-        vocabTopK, trainSplit, piiScrub, sampleStratified, packChunks,
-        domainMix, shardShuffle)
+        vocabTopK, vocabFuzzy, trainSplit, piiScrub, sampleStratified,
+        packChunks, domainMix, shardShuffle)
 }

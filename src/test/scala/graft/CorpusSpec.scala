@@ -181,4 +181,29 @@ class CorpusSpec extends AnyFunSuite {
     // couldn't distinguish the smoothing path from the seen path.
     assert(rest.exists(_.getAs[Long]("n_unseen") > 0L))
   }
+
+  test("fuzzy vocab: symmetric-delete join is lossless at edit distance 1") {
+    // The scaladoc claims the deletion-neighborhood equi-join has recall
+    // 1.0 at distance <= 1 — prove it against brute-force Levenshtein over
+    // the same constructed token set (vocab + first-char-doubled typos).
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val vocab = docsById.values.flatMap(_.split(" ")).toSet.filter(_.length >= 3)
+    val toks = (vocab ++ vocab.map(t => t.take(1) + t)).toSeq
+    val truth = (for {
+      a <- toks; b <- toks if a < b && lev(a, b) == 1
+    } yield (a, b)).toSet
+    val out = llm.TextStats.vocabFuzzy.run(spark, TestSpark.Sf).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(truth.nonEmpty, "constructed typos must create distance-1 pairs")
+    assert(out === truth,
+      "deletion-neighborhood candidates + exact verify must equal brute force")
+  }
 }
