@@ -872,12 +872,21 @@ object Dedup {
              ORDER BY id_a, id_b""")
   )
 
-  /** The llm_dedup_semantic dataflow; `plantTwins = false` runs it over
-    * the raw corpus alone, where the output must be EMPTY under any
-    * codebook (background pairs cap far below τ) — the precision property
-    * DedupSpec pins. */
-  private[graft] def semanticPipeline(s: SparkSession, dir: String,
-                                      plantTwins: Boolean): DataFrame = {
+  /** Per-vector cell assignment for the semantic family: nearest fine
+    * centroid, optionally refined by `subPlanes` random-hyperplane sign
+    * bits — the HOT-CELL knob. A k-means cell that collects millions of
+    * members would make the within-cell pair search quadratic in that
+    * cell; appending a 2^subPlanes-way hyperplane code splits every cell
+    * geometrically (nearby directions stay together) and, crucially, the
+    * sign code is SCALE-INVARIANT (dot(c·v, p) = c·dot(v, p) flips no
+    * sign for c > 0), so exact-direction duplicates can never be
+    * separated by the split — recall at the τ=0.95 operating point is
+    * untouched while Σ m_c² shrinks ~2^subPlanes-fold. DedupSpec sweeps
+    * the knob: planted pairs retained bit-for-bit, max cell strictly
+    * smaller. */
+  private[graft] def semanticAssignments(s: SparkSession, dir: String,
+                                         plantTwins: Boolean,
+                                         subPlanes: Int): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
     val twins = e.filter($"vec_id" % 20 === 7)
@@ -889,10 +898,26 @@ object Dedup {
       .withColumn("cid",
         array_max(Similarity.centScores(s, $"embedding")).getField("cid"))
       .drop("cb")
-    val a = assigned.select($"cid", $"vec_id".as("id_a"), $"embedding".as("v_a"))
-    val b = assigned.select($"cid".as("cid_b"), $"vec_id".as("id_b"),
+    if (subPlanes == 0) assigned.withColumn("cell", $"cid")
+    else assigned.withColumn("cell",
+      $"cid" * lit(1L << subPlanes) +
+        Similarity.bucketCol(s, $"embedding", subPlanes).cast("long"))
+  }
+
+  /** The llm_dedup_semantic dataflow; `plantTwins = false` runs it over
+    * the raw corpus alone, where the output must be EMPTY under any
+    * codebook (background pairs cap far below τ) — the precision property
+    * DedupSpec pins. `subPlanes` engages the hot-cell split (see
+    * semanticAssignments); the registered query runs unsplit. */
+  private[graft] def semanticPipeline(s: SparkSession, dir: String,
+                                      plantTwins: Boolean,
+                                      subPlanes: Int = 0): DataFrame = {
+    import s.implicits._
+    val assigned = semanticAssignments(s, dir, plantTwins, subPlanes)
+    val a = assigned.select($"cell", $"vec_id".as("id_a"), $"embedding".as("v_a"))
+    val b = assigned.select($"cell".as("cell_b"), $"vec_id".as("id_b"),
       $"embedding".as("v_b"))
-    a.join(b.hint("shuffle_hash"), $"cid" === $"cid_b" && $"id_a" < $"id_b")
+    a.join(b.hint("shuffle_hash"), $"cell" === $"cell_b" && $"id_a" < $"id_b")
       .withColumn("cos", round(VectorFunctions.cosine(s, $"v_a", $"v_b"), 4))
       .filter($"cos" >= SemTau)
       .select($"id_a", $"id_b", $"cos")

@@ -398,4 +398,29 @@ class DedupSpec extends AnyFunSuite {
       assert(r.getDouble(2) === 1.0)
     }
   }
+
+  test("semantic dedup hot-cell split: scale-invariant sub-cells, zero recall loss") {
+    // The hot-cell knob: hyperplane sign bits split every k-means cell.
+    // The sign code is scale-invariant, so exact-direction twins can never
+    // be separated — the pair set must be IDENTICAL at every split width —
+    // while the worst-case cell (the quadratic term in sum m^2) shrinks.
+    def pairs(subPlanes: Int) =
+      llm.Dedup.semanticPipeline(spark, TestSpark.Sf, plantTwins = true, subPlanes)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = pairs(0)
+    assert(base.nonEmpty)
+    assert(pairs(2) === base, "subPlanes=2 must retain every planted pair")
+    assert(pairs(4) === base, "subPlanes=4 must retain every planted pair")
+    def cellStats(subPlanes: Int): (Long, Long) = {
+      val sizes = llm.Dedup
+        .semanticAssignments(spark, TestSpark.Sf, plantTwins = true, subPlanes)
+        .groupBy($"cell").count().select($"count").collect().map(_.getLong(0))
+      (sizes.max, sizes.map(m => m * m).sum)
+    }
+    val (max0, sq0) = cellStats(0)
+    val (max4, sq4) = cellStats(4)
+    assert(max4 < max0, s"split must shrink the largest cell ($max4 vs $max0)")
+    assert(sq4 < sq0, s"split must shrink the comparison bound ($sq4 vs $sq0)")
+  }
 }
