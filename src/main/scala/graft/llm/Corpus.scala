@@ -382,19 +382,35 @@ object Corpus {
     * "medium" boundary). */
   private[graft] val QualityMin = 0.5
 
+  /** Reference-domain slice the bigram LM trains on: in production this is
+    * the high-quality target corpus (CCNet scores Common Crawl under a
+    * Wikipedia-trained LM); here src0 plays that role — 1/20th of the
+    * corpus, so most scored docs are out-of-domain for the LM, which is
+    * exactly the operating point the filter is built for. (Declared before
+    * `curate`, which interpolates it into its oracle — object-init order.) */
+  private[graft] val PplRefSource = "src0"
+
+  /** Maximum per-doc NLL under the reference bigram LM for a curated
+    * keep (the CCNet perplexity-bucket boundary): ≈ the fixture's 93rd
+    * percentile — the signal genuinely rejects the out-of-domain tail
+    * (8 of the 212 otherwise-kept docs at sf0.01, measured) without
+    * gutting the corpus. */
+  private[graft] val PplMax = 3.65
+
   /** END-TO-END CURATION — the composed keep-list a training run actually
     * consumes, in ONE call: keep a doc iff it (a) is not an eval-set
     * member, (b) is not heavily benchmark-contaminated, (c) is not
-    * repetitive, (d) scores at least QualityMin, and (e) if it sits in a
+    * repetitive, (d) scores at least QualityMin, (e) scores at most
+    * PplMax NLL under the frozen reference LM, and (f) if it sits in a
     * near-dup cluster, is that cluster's highest-quality keeper. Every
     * stage is the corresponding standalone operator reused verbatim
-    * (contaminatedIds, repetitionMetrics, scoredDocs, fullLabels,
-    * clusterKeepers), so this query is the proof the engine's curation
-    * operators compose.
+    * (contaminatedIds, repetitionMetrics, scoredDocs, perplexityScores,
+    * fullLabels, clusterKeepers), so this query is the proof the engine's
+    * curation operators compose.
     *
-    * Scale shape: one pass over documents; the repetition and score
-    * frames join back by doc_id as shuffle_hash on the SAME key, so the
-    * exchange is planned once and reused; cluster labels arrive
+    * Scale shape: one pass over documents; the repetition, score, and
+    * NLL frames join back by doc_id as shuffle_hash on the SAME key, so
+    * the exchange is planned once and reused; cluster labels arrive
     * exchange-free from the v-bucketed persisted layout; keepers join by
     * cluster id shuffle_hash (O(clusters) — possibly huge, never
     * broadcast); only the contaminated-id set — tiny by its ≥20-hit
@@ -414,6 +430,9 @@ object Corpus {
         .filter(!coalesce($"repetitive", lit(false)))
         .join(TextStats.scoredDocs(s, dir).hint("shuffle_hash"), Seq("doc_id"))
         .filter($"score" >= QualityMin)
+        .join(perplexityScores(s, dir).select($"doc_id", $"nll")
+                .hint("shuffle_hash"), Seq("doc_id"))
+        .filter($"nll" <= PplMax)
         .join(labels, Seq("doc_id"), "left")
         .join(keepers.hint("shuffle_hash"), Seq("cid"), "left")
         .filter($"cid".isNull || $"doc_id" === $"keeper_id")
@@ -474,10 +493,32 @@ object Corpus {
                       row_number() OVER (PARTITION BY comp.cluster_id
                         ORDER BY q.score DESC, comp.doc_id ASC) AS rn
                FROM comp JOIN q USING (doc_id)),
-             keep AS (SELECT cluster_id, doc_id AS keeper_id FROM jj WHERE rn = 1)
+             keep AS (SELECT cluster_id, doc_id AS keeper_id FROM jj WHERE rn = 1),
+             pt AS (SELECT doc_id, source, string_split(text, ' ') AS w
+                    FROM documents),
+             pbg AS (SELECT doc_id, source, w[i] AS w1, w[i+1] AS w2
+                     FROM pt, unnest(range(1, len(w))) u(i)),
+             pbc AS (SELECT w1, w2, count(*) AS cb FROM pbg
+                     WHERE source = '$PplRefSource' GROUP BY 1, 2),
+             puc AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cw1
+                     FROM pbc GROUP BY 1),
+             pv AS (SELECT count(DISTINCT w2) + 1 AS v
+                    FROM pbg WHERE source = '$PplRefSource'),
+             pdb AS (SELECT doc_id, w1, w2, count(*) AS c
+                     FROM pbg GROUP BY 1, 2, 3),
+             psc AS (SELECT d.doc_id, d.c,
+                            coalesce(pbc.cb, 0) AS cb, coalesce(puc.cw1, 0) AS cw1
+                     FROM pdb d
+                     LEFT JOIN pbc USING (w1, w2)
+                     LEFT JOIN puc USING (w1)),
+             ppl AS (SELECT doc_id,
+                            round(-sum(ln((cb + 1) * 1.0 / (cw1 + pv.v)) * c)
+                                  / sum(c), 4) AS nll
+                     FROM psc CROSS JOIN pv GROUP BY doc_id)
              SELECT d.doc_id, d.lang, q.score
              FROM documents d
              JOIN q USING (doc_id)
+             JOIN ppl USING (doc_id)
              LEFT JOIN rep USING (doc_id)
              LEFT JOIN comp USING (doc_id)
              LEFT JOIN keep ON comp.cluster_id = keep.cluster_id
@@ -485,16 +526,10 @@ object Corpus {
                AND d.doc_id NOT IN (SELECT doc_id FROM contam)
                AND NOT coalesce(rep.repetitive, false)
                AND q.score >= $QualityMin
+               AND ppl.nll <= $PplMax
                AND (comp.cluster_id IS NULL OR d.doc_id = keep.keeper_id)
              ORDER BY d.doc_id""")
   )
-
-  /** Reference-domain slice the bigram LM trains on: in production this is
-    * the high-quality target corpus (CCNet scores Common Crawl under a
-    * Wikipedia-trained LM); here src0 plays that role — 1/20th of the
-    * corpus, so most scored docs are out-of-domain for the LM, which is
-    * exactly the operating point the filter is built for. */
-  private[graft] val PplRefSource = "src0"
 
   /** DuckDB side of both perplexity forms (the streaming emulation grades
     * against the identical SQL — batching must not change one score).

@@ -29,6 +29,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "llm_tfidf",          // 1-row corpus-count broadcast onto the scoring join
     "llm_domain_mix",     // 1-row stratum-totals broadcast onto the bounded stratum table
     "llm_perplexity",     // 1-row smoothing-vocab broadcast onto the scoring join
+    "llm_curate",         // same 1-row vocab broadcast via the absorbed NLL signal
     "llm_dedup_semantic"  // 1-row codebook broadcast onto the assignment scans
   )
 
