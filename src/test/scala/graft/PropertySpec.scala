@@ -142,4 +142,32 @@ object PropertySpec extends Properties("graft") {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     Prop(coversAll && gapFree && out.sameElements(rerun))
   }
+
+  // llm_vocab_fuzzy's candidate-generation bound, generatively: ANY two
+  // strings within one edit (substitution / insertion / deletion) share
+  // an entry of {self} ∪ {one-deletion variants}, so the equi-join on
+  // deletion variants can never miss a distance-1 pair. Pure math — no
+  // Spark jobs — so it exercises far more cases than the fixture sweep.
+  private def delNbhd(t: String): Set[String] =
+    Set(t) ++ (0 until t.length).map(i => t.take(i) + t.drop(i + 1))
+
+  private val tokenGen: Gen[String] =
+    Gen.chooseNum(3, 9).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar))
+      .map(_.mkString)
+
+  private val singleEdit: Gen[(String, String)] = for {
+    a <- tokenGen
+    kind <- Gen.chooseNum(0, 2)
+    pos <- Gen.chooseNum(0, a.length - 1)
+    c <- Gen.alphaLowerChar
+  } yield kind match {
+    case 0 => (a, a.updated(pos, c))             // substitution
+    case 1 => (a, a.take(pos) + c + a.drop(pos)) // insertion
+    case 2 => (a, a.take(pos) + a.drop(pos + 1)) // deletion
+  }
+
+  property("symmetric-delete neighborhoods intersect for every single edit") =
+    Prop.forAll(singleEdit) { case (a, b) =>
+      delNbhd(a).intersect(delNbhd(b)).nonEmpty
+    }
 }
