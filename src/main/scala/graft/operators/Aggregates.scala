@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.GraftQuery
 import graft.sources.Tables
@@ -206,7 +207,92 @@ object Aggregates {
     None
   )
 
+  /** Count-min dimensions: D independent hash rows × W buckets = the
+    * ENTIRE sketch is D·W counters — fixed-size state no matter how many
+    * events stream through, the same bounded-state property the HLL cube
+    * exploits, for frequencies instead of cardinalities. */
+  private[graft] val CmDepth = 4
+  private[graft] val CmWidth = 256
+  private[graft] val HeavyMin = 200L
+
+  /** Heavy-hitter detection via a count-min sketch (Cormode & Muthu-
+    * krishnan): build D×W counters (bucket j = md5-derived hash of the
+    * key, salted by the row index — md5 so DuckDB reproduces the exact
+    * buckets, the simhashPoly convention), estimate a key's frequency as
+    * the MIN over its D counters, report keys estimated ≥ HeavyMin.
+    *
+    * The fixture constructs its hitters the way llm_dedup_exact
+    * constructs duplicates: events of users ≡ 3 (mod 50) are unioned in
+    * 4 extra times (~5× their base rate, ~330–430 vs a ≤ 86 background),
+    * so the threshold separates cleanly. CM never underestimates, and
+    * the overestimate (bucket collisions) is DETERMINISTIC given the
+    * fixed hashes — both engines compute identical estimates, which is
+    * what makes an exact-hash oracle possible for a sketch operator.
+    *
+    * Scale shape: the build is one hash aggregate over (row, bucket) —
+    * map-side partial, output bounded at D·W rows REGARDLESS of stream
+    * size; estimation joins candidates against the broadcast sketch
+    * (KBs). Merging shards/windows is elementwise counter addition —
+    * associative, so partial sketches combine exactly like the HLL cube
+    * deltas. Candidate enumeration here is the distinct key set (bounded
+    * fixture); at web scale candidates come from a sampled/windowed
+    * stream, never a full distinct — the sketch itself stays the only
+    * global state. */
+  val heavyHitters: GraftQuery = GraftQuery(
+    "agg_heavy_hitters",
+    (s, dir) => {
+      import s.implicits._
+      def bucket(j: Int, k: Column): Column =
+        conv(substring(md5(concat(k.cast("string"), lit("#" + j))), 1, 8),
+          16, 10).cast("long") % CmWidth
+      val ev = Tables.events(s, dir).select($"user_id")
+      val hot = ev.filter($"user_id" % 50 === 3)
+      val stream = (1 to 4).foldLeft(ev)((acc, _) => acc.unionAll(hot))
+      val cm = stream
+        .select(explode(array((0 until CmDepth).map(j =>
+          struct(lit(j).as("j"), bucket(j, $"user_id").as("b"))): _*)).as("rb"))
+        .groupBy($"rb.j".as("j"), $"rb.b".as("b"))
+        .agg(count(lit(1)).as("c"))
+      val cand = stream.distinct()
+        .select($"user_id",
+          explode(array((0 until CmDepth).map(j =>
+            struct(lit(j).as("j"), bucket(j, $"user_id").as("b"))): _*)).as("rb"))
+        .select($"user_id", $"rb.j".as("j"), $"rb.b".as("b"))
+      cand.join(broadcast(cm), Seq("j", "b"))
+        .groupBy($"user_id")
+        .agg(min($"c").as("est"))
+        .filter($"est" >= HeavyMin)
+        .orderBy($"user_id")
+    },
+    Some(s"""WITH ev AS (SELECT user_id FROM events),
+             hot AS (SELECT user_id FROM ev WHERE user_id % 50 = 3),
+             stream AS (
+               SELECT user_id FROM ev
+               UNION ALL SELECT user_id FROM hot
+               UNION ALL SELECT user_id FROM hot
+               UNION ALL SELECT user_id FROM hot
+               UNION ALL SELECT user_id FROM hot),
+             rb AS (
+               SELECT user_id, j,
+                      CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#' ||
+                                               CAST(j AS VARCHAR)), 1, 8)) AS BIGINT)
+                        % $CmWidth AS b
+               FROM stream, range($CmDepth) r(j)),
+             cm AS (SELECT j, b, count(*) AS c FROM rb GROUP BY 1, 2),
+             cand AS (
+               SELECT DISTINCT user_id, j,
+                      CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#' ||
+                                               CAST(j AS VARCHAR)), 1, 8)) AS BIGINT)
+                        % $CmWidth AS b
+               FROM (SELECT DISTINCT user_id FROM stream), range($CmDepth) r(j))
+             SELECT cand.user_id, CAST(min(cm.c) AS BIGINT) AS est
+             FROM cand JOIN cm USING (j, b)
+             GROUP BY cand.user_id
+             HAVING min(cm.c) >= $HeavyMin
+             ORDER BY user_id""")
+  )
+
   def all: Seq[GraftQuery] = Seq(
     q1Agg, distinctCount, approxDistinct, rollupAgg, cubeAgg,
-    groupingSets, having, typedCustom, sketchMerge)
+    groupingSets, having, typedCustom, sketchMerge, heavyHitters)
 }

@@ -69,4 +69,24 @@ class AggregatesSpec extends AnyFunSuite {
     val df = Seq((2.0, 0.0), (4.0, 0.0)).toDF("x", "w")
     assert(df.agg(wm($"x", $"w")).collect()(0).getDouble(0) === 0.0)
   }
+
+  test("count-min: never underestimates; heavy set = true heavy set on the fixture") {
+    // CM's one-sided error bound: est(k) >= true(k) for EVERY key (each
+    // of k's counters counts at least k's own occurrences), and on this
+    // fixture the ~5x planted gap means thresholding the estimates
+    // recovers exactly the true heavy set.
+    val ev = sources.Tables.events(spark, TestSpark.Sf).select($"user_id")
+    val hot = ev.filter($"user_id" % 50 === 3)
+    val truth = (1 to 4).foldLeft(ev)((a, _) => a.unionAll(hot))
+      .groupBy($"user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val est = operators.Aggregates.heavyHitters.run(spark, TestSpark.Sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val trueHeavy = truth.filter(_._2 >= operators.Aggregates.HeavyMin).keySet
+    assert(est.keySet === trueHeavy, "thresholded estimates must equal true heavy set")
+    est.foreach { case (k, e) =>
+      assert(e >= truth(k), s"user $k: estimate $e underestimates true ${truth(k)}")
+    }
+    assert(trueHeavy.nonEmpty)
+  }
 }
