@@ -591,15 +591,20 @@ object Corpus {
 
   /** (doc_id, source, w1, w2) — one row per consecutive token pair of
     * every document in `docs`; the map-side reduction both perplexity
-    * forms start from. */
+    * forms start from. The size>=2 guard matches repetitionMetrics (and
+    * the oracle's range(1, len) = empty): an unguarded sequence(1, 0)
+    * DESCENDS to [1, 0] and would emit two null-token rows per 1-token
+    * doc — polluting the persisted LM counts and assigning NLLs to docs
+    * the oracle excludes. */
   private[graft] def docBigrams(s: SparkSession,
                                 docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     docs
       .select($"doc_id", $"source", TF.tokens($"text").as("w"))
       .select($"doc_id", $"source",
-        explode(expr(
+        explode(when(size($"w") >= 2, expr(
           "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))"))
+          .otherwise(expr("array()")))
           .as("b"))
       .select($"doc_id", $"source", $"b.w1", $"b.w2")
   }
@@ -618,7 +623,7 @@ object Corpus {
     val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val path = s"/tmp/graft_lm/$sfx/bigram"
     Layouts.parquetLayout(path, path,
-        Layouts.fingerprint(Tables.documents(s, dir), "doc_id")) {
+        Layouts.fingerprint(Tables.documents(s, dir), "doc_id", "text", "source")) {
       docBigrams(s, Tables.documents(s, dir))
         .filter($"source" === PplRefSource)
         .groupBy($"w1", $"w2").agg(count(lit(1)).as("cb"))

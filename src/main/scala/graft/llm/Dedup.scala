@@ -320,7 +320,7 @@ object Dedup {
     val tbl = s"graft_signatures_$sfx"
     val path = s"/tmp/graft_signatures/$sfx"
     Layouts.table(s, tbl, path,
-        Layouts.fingerprint(Tables.documents(s, dir), "doc_id")) {
+        Layouts.fingerprint(Tables.documents(s, dir), "doc_id", "text")) {
       // layout on disk from an earlier session — re-register the
       // external bucketed table (bucket ids live in the filenames).
       s"""CREATE TABLE $tbl
@@ -360,7 +360,7 @@ object Dedup {
     val tbl = s"graft_prefixes_$sfx"
     val path = s"/tmp/graft_prefixes/$sfx"
     Layouts.table(s, tbl, path,
-        Layouts.fingerprint(Tables.documents(s, dir), "doc_id")) {
+        Layouts.fingerprint(Tables.documents(s, dir), "doc_id", "text")) {
       s"""CREATE TABLE $tbl
           (`doc_id` BIGINT, `n` INT, `pos` INT, `hv` BIGINT)
           USING PARQUET
@@ -990,7 +990,7 @@ object Dedup {
     val tbl = s"graft_full_labels_$sfx"
     val path = s"/tmp/graft_full_labels/$sfx"
     Layouts.table(s, tbl, path,
-        Layouts.fingerprint(Tables.documents(s, dir), "doc_id")) {
+        Layouts.fingerprint(Tables.documents(s, dir), "doc_id", "text")) {
       s"""CREATE TABLE $tbl (`v` BIGINT, `cid` BIGINT)
           USING PARQUET
           CLUSTERED BY (v) SORTED BY (v) INTO 8 BUCKETS
@@ -1065,7 +1065,7 @@ object Dedup {
     // carries — a fixture change invalidates rather than silently merging
     // new batches into stale labels.
     Layouts.table(s, tbl, path,
-        Layouts.fingerprint(Tables.documents(s, dir), "doc_id")) {
+        Layouts.fingerprint(Tables.documents(s, dir), "doc_id", "text")) {
       s"""CREATE TABLE $tbl (`v` BIGINT, `cid` BIGINT)
           USING PARQUET
           CLUSTERED BY (v) SORTED BY (v) INTO 8 BUCKETS

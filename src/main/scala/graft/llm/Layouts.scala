@@ -2,7 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, count, lit, max}
+import org.apache.spark.sql.functions.{bit_xor, col, count, lit, max, xxhash64}
 
 /** Registration protocol for the derived layouts persisted under /tmp
   * (bucketed signature/prefix/label tables, the IVF index): written once
@@ -20,15 +20,29 @@ import org.apache.spark.sql.functions.{col, count, lit, max}
 private[graft] object Layouts {
 
   /** Dataset fingerprint of the source table a layout derives from: row
-    * count + max id, one tiny single-column agg (columnar scan of one
-    * BIGINT column — trivial next to any layout build, and only paid at
-    * registration time, never on catalog-warm calls). Count catches
-    * appends and truncations; max id catches the watermark-bearing
-    * layouts (corpus labels bake the derived midpoint watermark into
-    * their contents, and the midpoint is a pure function of max id). */
-  def fingerprint(src: DataFrame, idCol: String): String = {
-    val r = src.agg(count(lit(1)), max(col(idCol))).head()
-    s"${r.getLong(0)}:${r.get(1)}"
+    * count + max id + an order-independent content hash (xor of xxhash64
+    * over the id and the caller-named content columns — xor, not sum, so
+    * ANSI overflow can't bite), one agg paid only at registration time,
+    * never on catalog-warm calls. Count catches appends and truncations;
+    * max id catches the watermark-bearing layouts (corpus labels bake the
+    * derived midpoint watermark into their contents, and the midpoint is
+    * a pure function of max id); the content xor catches a regenerated
+    * fixture with identical count/id-range but different text/embeddings
+    * — the round-6 residual staleness hole. Callers name the column(s)
+    * the layout actually derives from; hashing only those keeps the
+    * registration scan to the relevant bytes.
+    *
+    * In-session caveat (by design): the catalog-warm path and the
+    * per-JVM memo below do NOT re-validate — a fixture edited IN PLACE
+    * mid-session requires `resetMemo()` + dropping the catalog table (or
+    * a fresh JVM). The fingerprint guards cross-session staleness, which
+    * is the real 100 TB failure mode (a snapshot id in the catalog);
+    * within one session the source table is immutable by contract. */
+  def fingerprint(src: DataFrame, idCol: String, contentCols: String*): String = {
+    val hashCols = (idCol +: contentCols).map(col)
+    val r = src.agg(count(lit(1)), max(col(idCol)),
+      bit_xor(xxhash64(hashCols: _*))).head()
+    s"${r.getLong(0)}:${r.get(1)}:${r.get(2)}"
   }
 
   private def metaFile(path: String) = new java.io.File(path, "_GRAFT_META")

@@ -381,7 +381,7 @@ object Similarity {
     val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val centPath = s"/tmp/graft_ivf/$sfx/centroids"
     Layouts.parquetLayout(centPath, centPath,
-        Layouts.fingerprint(Tables.embeddings(s, dir), "vec_id")) {
+        Layouts.fingerprint(Tables.embeddings(s, dir), "vec_id", "embedding")) {
       val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
       lloydRefine(s, e, seedCentroids(s, e), 2)
         .write.mode("overwrite").parquet(centPath)
@@ -397,7 +397,7 @@ object Similarity {
     val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val path = s"/tmp/graft_ivf/$sfx/coarse"
     Layouts.parquetLayout(path, path,
-        Layouts.fingerprint(Tables.embeddings(s, dir), "vec_id")) {
+        Layouts.fingerprint(Tables.embeddings(s, dir), "vec_id", "embedding")) {
       val fineAsRows = fineCentroids(s, dir)
         .select($"cid".as("vec_id"), $"cv".as("embedding"))
       lloydRefine(s, fineAsRows, seedCentroids(s, fineAsRows), 1)
@@ -426,7 +426,7 @@ object Similarity {
     // change invalidates BOTH together — probes can never descend a newer
     // codebook than the one the surviving assignments were built with.
     Layouts.parquetLayout(assignPath, assignPath,
-        Layouts.fingerprint(Tables.embeddings(s, dir), "vec_id")) {
+        Layouts.fingerprint(Tables.embeddings(s, dir), "vec_id", "embedding")) {
       val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
       val codebook = cbOf(s, fineCentroids(s, dir))
       e.crossJoin(codebook)

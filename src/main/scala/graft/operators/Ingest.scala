@@ -369,7 +369,7 @@ object Ingest {
       val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
       val frag = s"/tmp/graft_frag/$sfx"
       val compacted = s"/tmp/graft_compacted/$sfx"
-      val meta = graft.llm.Layouts.fingerprint(Tables.events(s, dir), "event_id")
+      val meta = graft.llm.Layouts.fingerprint(Tables.events(s, dir), "event_id", "ts")
       graft.llm.Layouts.parquetLayout(frag, frag, meta) {
         Tables.events(s, dir)
           .withColumn("d", date_format($"ts", "yyyy-MM-dd"))

@@ -182,6 +182,23 @@ class CorpusSpec extends AnyFunSuite {
     assert(rest.exists(_.getAs[Long]("n_unseen") > 0L))
   }
 
+  test("docBigrams: 1-token and empty docs emit no bigram rows (oracle parity)") {
+    // Unguarded sequence(1, size-1) DESCENDS for size<2 ([1,0]) and would
+    // emit two null-token rows per 1-token doc — rows the DuckDB oracle
+    // (range(1, len) = empty) never produces. Latent in the fixture (no
+    // 1-token docs); pin the guard directly.
+    val docs = Seq(
+      (1L, "ref", "single"),
+      (2L, "ref", ""),
+      (3L, "web", "two tokens here")
+    ).toDF("doc_id", "source", "text")
+    val bg = llm.Corpus.docBigrams(spark, docs).collect()
+    assert(bg.forall(_.getLong(0) == 3L),
+      s"only the multi-token doc may emit bigrams, got: ${bg.mkString(", ")}")
+    assert(bg.length == 2)
+    assert(bg.forall(r => r.getString(2) != null && r.getString(3) != null))
+  }
+
   test("fuzzy vocab: symmetric-delete join is lossless at edit distance 1") {
     // The scaladoc claims the deletion-neighborhood equi-join has recall
     // 1.0 at distance <= 1 — prove it against brute-force Levenshtein over

@@ -66,4 +66,22 @@ class LayoutsSpec extends AnyFunSuite {
     reg("B"); assert(builds == 2) // fingerprint changed → rebuild
     llm.Layouts.resetMemo()
   }
+
+  test("fingerprint folds content: same count/max-id, changed text still invalidates") {
+    val a = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val b = Seq((1L, "alpha"), (2L, "GAMMA")).toDF("doc_id", "text")
+    val fa = llm.Layouts.fingerprint(a, "doc_id", "text")
+    val fb = llm.Layouts.fingerprint(b, "doc_id", "text")
+    // identical count and max id — the pre-round-7 fingerprint (count:max)
+    // could not tell these apart; the content xor must
+    assert(fa != fb)
+    // row order must NOT move the fingerprint (xor is commutative)
+    val aShuffled = Seq((2L, "beta"), (1L, "alpha")).toDF("doc_id", "text")
+    assert(llm.Layouts.fingerprint(aShuffled, "doc_id", "text") == fa)
+    // array content columns hash too (the embeddings call sites)
+    val e1 = Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val e2 = Seq((1L, Array(1.0f, 3.0f))).toDF("vec_id", "embedding")
+    assert(llm.Layouts.fingerprint(e1, "vec_id", "embedding") !=
+           llm.Layouts.fingerprint(e2, "vec_id", "embedding"))
+  }
 }
