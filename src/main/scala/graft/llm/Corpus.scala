@@ -324,6 +324,80 @@ object Corpus {
              FROM stats s JOIN covc c USING (doc_id) ORDER BY s.doc_id""")
   )
 
+  /** Paragraph-chunk width for span-level dedup: 8 tokens plays the role
+    * of CCNet's paragraph / C4's three-sentence span on the tokenized
+    * fixture (only the segmentation rule moves at production scale). */
+  private[graft] val ParaW = 8
+
+  /** Span-level dedup with text REASSEMBLY — the removal act that follows
+    * the llm_dedup_substring signal (CCNet dedups at paragraph level,
+    * C4 drops any three-sentence span seen before; this is that operator
+    * on the tokenized fixture): segment each doc into disjoint `ParaW`-token
+    * chunks, drop every chunk whose exact text occurs in ≥2 distinct docs,
+    * and rebuild the surviving text in original order. Boilerplate
+    * (headers, navboxes, license blocks) disappears from every copy while
+    * each document's unique prose survives — strictly finer-grained than
+    * whole-doc dedup.
+    *
+    * Scale shape: chunks reduce map-side to (doc, idx, chunk); the
+    * boilerplate set is ONE hash aggregate on xxhash64(chunk) (count of
+    * distinct docs ≥ 2 — fixed-width shuffle keys, chunk text never
+    * shuffles for the count); flagging is an equi-join on the hash; the
+    * reassembly is one per-doc hash aggregate whose collect_list carries
+    * only surviving chunk text — output-bounded, like any text-rewrite
+    * must be. Nothing is all-pairs; no window, no sort beyond the in-group
+    * array_sort on chunk index. 64-bit chunk hashing admits birthday
+    * collisions near ~2^32 distinct chunks; a collision can only
+    * over-DROP (conservative for boilerplate removal) — at larger scale
+    * widen to the 128-bit digest llm_dedup_exact uses. */
+  val paragraphDedup: GraftQuery = GraftQuery(
+    "llm_dedup_paragraph",
+    (s, dir) => {
+      import s.implicits._
+      // The size>=1 guard is the sequence-descend trap (docBigrams): an
+      // empty token array would make sequence(0, -1) emit [0, -1].
+      val chunks = Tables.documents(s, dir)
+        .select($"doc_id", TF.tokens($"text").as("w"))
+        .select($"doc_id", posexplode(
+          when(size($"w") >= 1, expr(
+            s"""transform(sequence(0, CAST(ceil(size(w) / ${ParaW}.0D) AS INT) - 1),
+                          i -> array_join(slice(w, i * $ParaW + 1, $ParaW), ' '))"""))
+            .otherwise(expr("array()"))).as(Seq("idx", "chunk")))
+        .withColumn("ch", xxhash64($"chunk"))
+      val boiler = chunks.groupBy($"ch")
+        .agg(countDistinct($"doc_id").as("nd"))
+        .filter($"nd" >= 2)
+        .select($"ch").withColumn("dup", lit(true))
+      chunks.join(boiler, Seq("ch"), "left")
+        .groupBy($"doc_id")
+        .agg(
+          count(lit(1)).as("n_chunks"),
+          sum(when($"dup", 1L).otherwise(0L)).as("n_dropped"),
+          array_join(
+            transform(
+              array_sort(collect_list(when($"dup".isNull, struct($"idx", $"chunk")))),
+              c => c.getField("chunk")),
+            " ").as("clean_text"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             chunks AS (
+               SELECT doc_id, i AS idx,
+                      array_to_string(w[(i * $ParaW + 1):(i * $ParaW + $ParaW)], ' ') AS chunk
+               FROM t, unnest(range(CAST(ceil(len(w) / ${ParaW}.0) AS BIGINT))) u(i)),
+             boiler AS (
+               SELECT chunk FROM chunks
+               GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2)
+             SELECT c.doc_id,
+                    count(*) AS n_chunks,
+                    CAST(sum(CASE WHEN b.chunk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_dropped,
+                    coalesce(string_agg(CASE WHEN b.chunk IS NULL THEN c.chunk END,
+                                        ' ' ORDER BY c.idx), '') AS clean_text
+             FROM chunks c LEFT JOIN boiler b USING (chunk)
+             GROUP BY c.doc_id ORDER BY c.doc_id""")
+  )
+
   /** TF-IDF top-3 terms per document (ln idf, tf normalized by doc
     * length). The classic "what is this document about" profile; also the
     * standard weighting for sparse retrieval baselines next to the dense
@@ -672,6 +746,6 @@ object Corpus {
     scoreBigrams(s, docBigrams(s, Tables.documents(s, dir)), lmCounts(s, dir))
 
   def all: Seq[GraftQuery] =
-    Seq(contamination, decontaminate, repetition, substringDup, tfidf, curate,
-      perplexity)
+    Seq(contamination, decontaminate, repetition, substringDup, paragraphDedup,
+      tfidf, curate, perplexity)
 }

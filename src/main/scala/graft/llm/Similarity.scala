@@ -89,6 +89,51 @@ object Similarity {
              ORDER BY qid, rn""")
   )
 
+  /** Radius-search similarity floor: pairs at or above this rounded cosine
+    * are "in range". 0.3 sits in the upper tail of the query set's cosine
+    * distribution on the fixture (max ~0.39, p99 ~0.29 at both graded SFs
+    * — the planted near-dup pairs don't involve the vec_id < NumQueries
+    * queries), so the result is non-empty but selective at every SF. */
+  private[graft] val RangeTau = 0.3
+
+  /** Cosine RANGE search: every corpus vector within similarity >= RangeTau
+    * of each query — retrieval by absolute similarity rather than fixed k
+    * (llm_sim_topk's complement: dedup candidate generation, neighborhood
+    * expansion, and recall-oriented retrieval all want "everything this
+    * close", where top-k silently truncates dense neighborhoods and pads
+    * sparse ones). Exact form, and the family's oracle anchor.
+    *
+    * Scale shape: the bounded query set broadcasts (same as llm_sim_topk);
+    * the corpus side is one codegen cosine scan projection + filter — no
+    * window at all (range search needs no per-query ranking), so the
+    * output is the only thing larger than the scan. Past the flat-scan
+    * cap the LSH/IVF bucketed forms serve the same predicate by probing
+    * buckets whose centroid similarity can still clear RangeTau. Threshold
+    * compares the ROUNDED value (round(_,4) >= tau) so both engines make
+    * the identical keep decision at the boundary. */
+  val rangeSearch: GraftQuery = GraftQuery(
+    "llm_sim_range",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      val q = broadcast(
+        e.filter($"vec_id" < NumQueries)
+          .select($"vec_id".as("qid"), $"embedding".as("qv")))
+      e.join(q, $"vec_id" =!= $"qid")
+        .withColumn("sim", round(VectorFunctions.cosine(s, $"qv", $"embedding"), 4))
+        .filter($"sim" >= RangeTau)
+        .select($"qid", $"vec_id".as("nid"), $"sim")
+        .orderBy($"qid", $"nid")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $NumQueries)
+             SELECT q.qid, e.vec_id AS nid,
+                    round(list_cosine_similarity(q.qv, e.v), 4) AS sim
+             FROM q JOIN e ON e.vec_id <> q.qid
+             WHERE round(list_cosine_similarity(q.qv, e.v), 4) >= $RangeTau
+             ORDER BY qid, nid""")
+  )
+
   /** Deterministic random hyperplanes (seeded) as float literals. */
   private[llm] def planes(nPlanes: Int, dim: Int = 64, seed: Long = 7L): Seq[Array[Float]] = {
     val rnd = new scala.util.Random(seed)
@@ -539,5 +584,6 @@ object Similarity {
   )
 
   def all: Seq[GraftQuery] =
-    Seq(bruteTopK, lshTopK, ivfTopK, ivf2TopK, ivfPersistedTopK, embedStats)
+    Seq(bruteTopK, rangeSearch, lshTopK, ivfTopK, ivf2TopK, ivfPersistedTopK,
+      embedStats)
 }

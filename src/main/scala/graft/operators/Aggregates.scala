@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.GraftQuery
 import graft.sources.Tables
@@ -238,31 +238,56 @@ object Aggregates {
     * fixture); at web scale candidates come from a sampled/windowed
     * stream, never a full distinct — the sketch itself stays the only
     * global state. */
+  /** Bucket j of the count-min row `j` for key `k` (md5-derived so DuckDB
+    * reproduces the exact buckets — the simhashPoly convention). Shared by
+    * the one-shot and incremental CM builds, which MUST hash identically
+    * for their sketches to be mergeable. */
+  private[graft] def cmBucket(j: Int, k: Column): Column =
+    conv(substring(md5(concat(k.cast("string"), lit("#" + j))), 1, 8),
+      16, 10).cast("long") % CmWidth
+
+  /** The skewed fixture stream both CM forms count: events with users
+    * ≡ 3 (mod 50) unioned in 4 extra times (~5× their base rate). Carries
+    * `ts` so the incremental form can cut daily deltas. */
+  private[graft] def cmStream(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).select($"ts", $"user_id")
+    val hot = ev.filter($"user_id" % 50 === 3)
+    (1 to 4).foldLeft(ev)((acc, _) => acc.unionAll(hot))
+  }
+
+  /** (j, b) bucket rows, CmDepth per input row — the pre-aggregation
+    * explode both CM builds share. */
+  private[graft] def cmRows(k: Column): Column =
+    explode(array((0 until CmDepth).map(j =>
+      struct(lit(j).as("j"), cmBucket(j, k).as("b"))): _*))
+
+  /** Heavy hitters from a materialized CM counter table `cm` (j, b, c):
+    * candidates probe the broadcast sketch, est = min over the D rows. */
+  private def cmHeavy(s: SparkSession,
+                      stream: org.apache.spark.sql.DataFrame,
+                      cm: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val cand = stream.select($"user_id").distinct()
+      .select($"user_id", cmRows($"user_id").as("rb"))
+      .select($"user_id", $"rb.j".as("j"), $"rb.b".as("b"))
+    cand.join(broadcast(cm), Seq("j", "b"))
+      .groupBy($"user_id")
+      .agg(min($"c").as("est"))
+      .filter($"est" >= HeavyMin)
+      .orderBy($"user_id")
+  }
+
   val heavyHitters: GraftQuery = GraftQuery(
     "agg_heavy_hitters",
     (s, dir) => {
       import s.implicits._
-      def bucket(j: Int, k: Column): Column =
-        conv(substring(md5(concat(k.cast("string"), lit("#" + j))), 1, 8),
-          16, 10).cast("long") % CmWidth
-      val ev = Tables.events(s, dir).select($"user_id")
-      val hot = ev.filter($"user_id" % 50 === 3)
-      val stream = (1 to 4).foldLeft(ev)((acc, _) => acc.unionAll(hot))
+      val stream = cmStream(s, dir)
       val cm = stream
-        .select(explode(array((0 until CmDepth).map(j =>
-          struct(lit(j).as("j"), bucket(j, $"user_id").as("b"))): _*)).as("rb"))
+        .select(cmRows($"user_id").as("rb"))
         .groupBy($"rb.j".as("j"), $"rb.b".as("b"))
         .agg(count(lit(1)).as("c"))
-      val cand = stream.distinct()
-        .select($"user_id",
-          explode(array((0 until CmDepth).map(j =>
-            struct(lit(j).as("j"), bucket(j, $"user_id").as("b"))): _*)).as("rb"))
-        .select($"user_id", $"rb.j".as("j"), $"rb.b".as("b"))
-      cand.join(broadcast(cm), Seq("j", "b"))
-        .groupBy($"user_id")
-        .agg(min($"c").as("est"))
-        .filter($"est" >= HeavyMin)
-        .orderBy($"user_id")
+      cmHeavy(s, stream, cm)
     },
     Some(s"""WITH ev AS (SELECT user_id FROM events),
              hot AS (SELECT user_id FROM ev WHERE user_id % 50 = 3),
@@ -292,7 +317,39 @@ object Aggregates {
              ORDER BY user_id""")
   )
 
+  /** Incremental count-min: build a CM counter DELTA per day (the natural
+    * ingest unit), merge deltas by elementwise counter addition, extract
+    * heavy hitters from the merged sketch — the same recurring-cost shape
+    * as the HLL cube (agg_sketch_merge): each new day costs O(day), the
+    * merge costs O(days × D·W counters), and nothing ever re-scans history.
+    * CM counters add associatively, so merged-then-extract is EXACTLY the
+    * one-shot sketch — this query shares agg_heavy_hitters' oracle
+    * verbatim, and AggregatesSpec pins counter-level equality of the two
+    * cubes.
+    *
+    * Scale shape: the daily build is one hash aggregate with map-side
+    * partials keyed (day, j, b) — bounded at days × D·W rows regardless of
+    * stream size; the merge is a second hash aggregate over that bounded
+    * cube. In production the daily deltas persist (the Layouts convention)
+    * and the merge reads only counters; here both stages run in-plan to
+    * keep the graded query self-contained. */
+  val heavyHittersIncremental: GraftQuery = GraftQuery(
+    "agg_heavy_hitters_incremental",
+    (s, dir) => {
+      import s.implicits._
+      val stream = cmStream(s, dir)
+      val daily = stream
+        .select(to_date($"ts").as("day"), cmRows($"user_id").as("rb"))
+        .groupBy($"day", $"rb.j".as("j"), $"rb.b".as("b"))
+        .agg(count(lit(1)).as("dc"))
+      val merged = daily.groupBy($"j", $"b").agg(sum($"dc").as("c"))
+      cmHeavy(s, stream, merged)
+    },
+    heavyHitters.oracle
+  )
+
   def all: Seq[GraftQuery] = Seq(
     q1Agg, distinctCount, approxDistinct, rollupAgg, cubeAgg,
-    groupingSets, having, typedCustom, sketchMerge, heavyHitters)
+    groupingSets, having, typedCustom, sketchMerge, heavyHitters,
+    heavyHittersIncremental)
 }

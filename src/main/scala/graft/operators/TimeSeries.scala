@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.GraftQuery
@@ -166,5 +167,116 @@ object TimeSeries {
             ORDER BY e.event_id""")
   )
 
-  def all: Seq[GraftQuery] = Seq(asofJoin, gapFill, ntileRanks, skewSalted)
+  /** OHLC-style downsampling: per (user, day) bucket, the open/close
+    * (first/last value by arrival order), low/high and mean — the canonical
+    * pre-aggregation a dashboard or feature store runs over raw event
+    * streams before any query touches them.
+    *
+    * Open/close anchor on `event_id` (the monotone offset), not `ts`:
+    * min_by/max_by over the offset is deterministic even if two events in
+    * a bucket share a timestamp, and the offset IS arrival order for a
+    * log-structured source (FIXTURES.md events table).
+    *
+    * Scale shape: ONE hash aggregate with map-side partials — min_by /
+    * max_by / min / max / avg all combine associatively, so 100 TB of
+    * events reduce to (users × days) rows before the only shuffle. No
+    * window, no sort: resampling must never pay a per-partition total
+    * order when every statistic is a fold. */
+  val resample: GraftQuery = GraftQuery(
+    "ts_resample",
+    (s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy($"user_id", date_trunc("day", $"ts").as("day"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(min_by($"value", $"event_id"), 4).as("open"),
+          round(max_by($"value", $"event_id"), 4).as("close"),
+          round(min($"value"), 4).as("lo"),
+          round(max($"value"), 4).as("hi"),
+          round(avg($"value"), 4).as("avg_v"))
+        .orderBy($"user_id", $"day")
+    },
+    Some("""SELECT user_id, date_trunc('day', ts) AS day,
+                   count(*) AS n,
+                   round(arg_min(value, event_id), 4) AS open,
+                   round(arg_max(value, event_id), 4) AS close,
+                   round(min(value), 4) AS lo,
+                   round(max(value), 4) AS hi,
+                   round(avg(value), 4) AS avg_v
+            FROM events GROUP BY 1, 2 ORDER BY user_id, day""")
+  )
+
+  /** Ordered-funnel analysis: per user, the earliest `view`, the earliest
+    * `click` strictly after that view, and the earliest `purchase` strictly
+    * after that click — the classic conversion funnel, where each stage
+    * must respect event-time order (a purchase before the first view does
+    * NOT count as stage 3).
+    *
+    * Implementation is a cascade of per-stage hash aggregates: stage k is
+    * min(ts) over the stage-k event type gated by the stage-(k-1) anchor,
+    * attached by an equi-join on user_id. No window and no per-user
+    * event-sequence sort: each stage touches only its own event type's
+    * rows, so the cascade is 3 filtered aggregates + 3 id joins — all
+    * shuffle-partitioned on user_id, which AQE coalesces into one
+    * exchange reuse chain. A MATCH_RECOGNIZE-style row walk would force a
+    * total per-user sort of 100 TB; min-gated aggregation is the
+    * scale-correct funnel formulation for strictly-ordered stages. */
+  /** The funnel cascade over any (user_id, event_type, ts) frame —
+    * extracted so TimeSeriesSpec can drive partial/violating funnels the
+    * fixture doesn't contain (every sf0.001 user completes all 3 stages). */
+  private[graft] def funnelOf(s: SparkSession,
+                              ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val s1 = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t_view"))
+    val s2 = ev.filter($"event_type" === "click")
+      .join(s1, "user_id").filter($"ts" > $"t_view")
+      .groupBy($"user_id").agg(min($"ts").as("t_click"))
+    val s3 = ev.filter($"event_type" === "purchase")
+      .join(s2, "user_id").filter($"ts" > $"t_click")
+      .groupBy($"user_id").agg(min($"ts").as("t_purchase"))
+    ev.select($"user_id").distinct()
+      .join(s1, Seq("user_id"), "left")
+      .join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .select($"user_id",
+        (when($"t_view".isNotNull, 1).otherwise(0) +
+         when($"t_click".isNotNull, 1).otherwise(0) +
+         when($"t_purchase".isNotNull, 1).otherwise(0)).as("depth"),
+        $"t_view", $"t_click", $"t_purchase")
+      .orderBy($"user_id")
+  }
+
+  val funnel: GraftQuery = GraftQuery(
+    "ts_funnel",
+    (s, dir) => {
+      import s.implicits._
+      funnelOf(s, Tables.events(s, dir).select($"user_id", $"event_type", $"ts"))
+    },
+    Some("""WITH s1 AS (SELECT user_id, min(ts) AS t_view FROM events
+                        WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t_click
+                   FROM events e JOIN s1 USING (user_id)
+                   WHERE e.event_type = 'click' AND e.ts > s1.t_view
+                   GROUP BY 1),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t_purchase
+                   FROM events e JOIN s2 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+                   GROUP BY 1)
+            SELECT u.user_id,
+                   (CASE WHEN s1.t_view IS NOT NULL THEN 1 ELSE 0 END +
+                    CASE WHEN s2.t_click IS NOT NULL THEN 1 ELSE 0 END +
+                    CASE WHEN s3.t_purchase IS NOT NULL THEN 1 ELSE 0 END)
+                     AS depth,
+                   s1.t_view, s2.t_click, s3.t_purchase
+            FROM (SELECT DISTINCT user_id FROM events) u
+            LEFT JOIN s1 USING (user_id)
+            LEFT JOIN s2 USING (user_id)
+            LEFT JOIN s3 USING (user_id)
+            ORDER BY u.user_id""")
+  )
+
+  def all: Seq[GraftQuery] =
+    Seq(asofJoin, gapFill, ntileRanks, skewSalted, resample, funnel)
 }

@@ -89,4 +89,28 @@ class AggregatesSpec extends AnyFunSuite {
     }
     assert(trueHeavy.nonEmpty)
   }
+
+  test("count-min incremental: daily-delta merge equals the one-shot cube counter-for-counter") {
+    // CM counters add associatively, so sum-of-daily-deltas must be
+    // EXACTLY the one-shot sketch — the property that makes the
+    // incremental form's recurring cost O(day) instead of O(history).
+    val stream = operators.Aggregates.cmStream(spark, TestSpark.Sf)
+    val oneShot = stream
+      .select(operators.Aggregates.cmRows($"user_id").as("rb"))
+      .groupBy($"rb.j".as("j"), $"rb.b".as("b"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val merged = stream
+      .select(to_date($"ts").as("day"),
+        operators.Aggregates.cmRows($"user_id").as("rb"))
+      .groupBy($"day", $"rb.j".as("j"), $"rb.b".as("b"))
+      .agg(count(lit(1)).as("dc"))
+      .groupBy($"j", $"b").agg(sum($"dc").as("c")).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged === oneShot)
+    // and the graded outputs agree row-for-row
+    val a = operators.Aggregates.heavyHitters.run(spark, TestSpark.Sf).collect().toSeq
+    val b = operators.Aggregates.heavyHittersIncremental.run(spark, TestSpark.Sf).collect().toSeq
+    assert(a === b && a.nonEmpty)
+  }
 }

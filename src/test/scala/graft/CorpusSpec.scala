@@ -182,6 +182,29 @@ class CorpusSpec extends AnyFunSuite {
     assert(rest.exists(_.getAs[Long]("n_unseen") > 0L))
   }
 
+  test("paragraph dedup: reassembly matches Scala recomputation; boilerplate drops") {
+    val all = docsById
+    def chunksOf(text: String): Seq[String] =
+      text.split(" ").grouped(llm.Corpus.ParaW).map(_.mkString(" ")).toSeq
+    val docCount = all.toSeq
+      .flatMap { case (id, t) => chunksOf(t).map(c => (c, id)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val boiler = docCount.collect { case (c, n) if n >= 2 => c }.toSet
+    val out = llm.Corpus.paragraphDedup.run(spark, TestSpark.Sf).collect()
+    assert(out.length === all.size)
+    var totalDropped = 0L
+    out.foreach { r =>
+      val (id, nChunks, nDropped, clean) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+      val cs = chunksOf(all(id))
+      assert(nChunks === cs.length.toLong, s"doc $id n_chunks")
+      assert(nDropped === cs.count(boiler).toLong, s"doc $id n_dropped")
+      assert(clean === cs.filterNot(boiler).mkString(" "), s"doc $id clean_text")
+      totalDropped += nDropped
+    }
+    assert(totalDropped > 0, "fixture must exercise the removal path")
+  }
+
   test("docBigrams: 1-token and empty docs emit no bigram rows (oracle parity)") {
     // Unguarded sequence(1, size-1) DESCENDS for size<2 ([1,0]) and would
     // emit two null-token rows per 1-token doc — rows the DuckDB oracle

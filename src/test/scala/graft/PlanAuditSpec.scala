@@ -23,6 +23,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "llm_dedup_cluster_incremental", // same watermark broadcasts via incrementalPipeline
     "stream_dedup_incremental", // 1-row watermark/wave-bound broadcasts
     "llm_sim_topk",       // tiny query-set broadcast, non-equi self-guard
+    "llm_sim_range",      // same broadcast query set + non-equi self-guard
     "llm_sim_topk_ivf",   // 1-row codebook broadcast onto the scan
     "llm_sim_topk_ivf2",  // same pattern: 1-row two-level codebook broadcast
     "llm_sim_topk_ivf_persisted", // 1-row codebook broadcast on the probe side

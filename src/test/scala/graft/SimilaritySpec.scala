@@ -43,6 +43,29 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("range search: exactly the pairs at or above RangeTau, recomputed in Scala") {
+    val vecs = sources.Tables.embeddings(spark, TestSpark.Sf)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = (for {
+      (q, qv) <- vecs.toSeq if q < 5
+      (n, nv) <- vecs.toSeq if n != q
+      s = r4(cos(qv, nv)) if s >= llm.Similarity.RangeTau
+    } yield (q, n) -> s).toMap
+    val out = llm.Similarity.rangeSearch.run(spark, TestSpark.Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.nonEmpty, "fixture must place neighbors inside the radius")
+    assert(out.keySet === expected.keySet,
+      s"missing=${(expected.keySet -- out.keySet).take(5)} extra=${(out.keySet -- expected.keySet).take(5)}")
+    out.foreach { case (k, s) => assert(math.abs(s - expected(k)) < 1e-9, s"$k") }
+  }
+
   test("LSH top-k: valid structure and measurable recall vs brute force") {
     val brute = llm.Similarity.bruteTopK.run(spark, TestSpark.Sf)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

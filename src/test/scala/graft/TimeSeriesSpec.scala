@@ -72,4 +72,71 @@ class TimeSeriesSpec extends AnyFunSuite {
       .collect().toSeq
     assert(salted === plain)
   }
+
+  test("resample: open/close anchor on the offset; lo/hi/avg recompute from raw events") {
+    val raw = sources.Tables.events(spark, TestSpark.Sf)
+      .select($"user_id", date_trunc("day", $"ts").as("day"), $"event_id", $"value")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+    val expected = raw.groupBy(t => (t._1, t._2)).map { case ((u, d), rs) =>
+      val byOffset = rs.sortBy(_._3)
+      (u, d) -> (rs.length.toLong,
+        BigDecimal(byOffset.head._4).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(byOffset.last._4).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        rs.map(_._4).min, rs.map(_._4).max)
+    }
+    val out = operators.TimeSeries.resample.run(spark, TestSpark.Sf).collect()
+    assert(out.length === expected.size)
+    out.foreach { r =>
+      val key = (r.getLong(0), r.getTimestamp(1))
+      val (n, open, close, lo, hi) = expected(key)
+      assert(r.getLong(2) === n, s"$key n")
+      assert(r.getDouble(3) === open, s"$key open must be the min-offset value")
+      assert(r.getDouble(4) === close, s"$key close must be the max-offset value")
+      assert(math.abs(r.getDouble(5) - lo) < 1e-4 && math.abs(r.getDouble(6) - hi) < 1e-4)
+    }
+  }
+
+  test("funnel: staged mins respect event-time order; depth counts reached stages") {
+    val ev = sources.Tables.events(spark, TestSpark.Sf)
+      .select($"user_id", $"event_type", $"ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2)))
+    def stageMin(u: Long, tpe: String, after: Option[Timestamp]): Option[Timestamp] = {
+      val c = ev.filter(e => e._1 == u && e._2 == tpe &&
+        after.forall(a => e._3.getTime > a.getTime)).map(_._3)
+      if (c.isEmpty) None else Some(c.minBy(_.getTime))
+    }
+    val out = operators.TimeSeries.funnel.run(spark, TestSpark.Sf).collect()
+    assert(out.length === ev.map(_._1).distinct.length)
+    out.foreach { r =>
+      val u = r.getLong(0)
+      val t1 = stageMin(u, "view", None)
+      val t2 = t1.flatMap(t => stageMin(u, "click", Some(t)))
+      val t3 = t2.flatMap(t => stageMin(u, "purchase", Some(t)))
+      assert(Option(r.getTimestamp(2)) === t1, s"user $u t_view")
+      assert(Option(r.getTimestamp(3)) === t2, s"user $u t_click")
+      assert(Option(r.getTimestamp(4)) === t3, s"user $u t_purchase")
+      assert(r.getInt(1) === Seq(t1, t2, t3).count(_.isDefined), s"user $u depth")
+    }
+  }
+
+  test("funnel gating: out-of-order and missing stages cap the depth (synthetic)") {
+    // Every sf0.001 user happens to complete all 3 stages, so the ordering
+    // gate never fires on the fixture — drive it directly. User 1: full
+    // funnel. User 2: purchase BEFORE its first view (depth must stop at
+    // the click). User 3: click precedes the first view (depth 1 — the
+    // early click must not count). User 4: never views (depth 0 even
+    // though it clicks and purchases).
+    val ev = Seq(
+      (1L, "view", ts("2024-01-01 10:00:00")), (1L, "click", ts("2024-01-01 11:00:00")),
+      (1L, "purchase", ts("2024-01-01 12:00:00")),
+      (2L, "purchase", ts("2024-01-02 08:00:00")), (2L, "view", ts("2024-01-02 09:00:00")),
+      (2L, "click", ts("2024-01-02 10:00:00")),
+      (3L, "click", ts("2024-01-03 08:00:00")), (3L, "view", ts("2024-01-03 09:00:00")),
+      (4L, "click", ts("2024-01-04 08:00:00")), (4L, "purchase", ts("2024-01-04 09:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val out = operators.TimeSeries.funnelOf(spark, ev).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out === Map(1L -> 3, 2L -> 2, 3L -> 1, 4L -> 0))
+  }
 }
