@@ -24,6 +24,8 @@ object SparkEntry {
     streaming.StreamQueries.all ++
     streaming.CorpusStream.all ++
     streaming.DedupStream.all ++
+    streaming.ResampleStream.all ++
+    streaming.CdcStream.all ++
     llm.Dedup.all ++
     llm.Similarity.all ++
     llm.TextStats.all ++

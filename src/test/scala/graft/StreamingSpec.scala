@@ -291,6 +291,134 @@ class StreamingSpec extends AnyFunSuite {
       "served sketch cube must equal the one-pass batch cube exactly")
   }
 
+  test("resample foreachBatch pipeline: appended OHLC partials serve the batch answer") {
+    // The production form of stream_resample: events land incrementally
+    // (two parquet arrival waves through a checkpointed file source); each
+    // micro-batch appends its own per-(user, day) OHLC PARTIALS — raw
+    // doubles, offset anchors — and the serve step merges them with the
+    // associative combine. Merging must equal the one-pass batch resample
+    // row-for-row; the checkpoint guarantees wave-1 events reduce once.
+    import org.apache.spark.sql.functions._
+    val ev = sources.Tables.events(spark, TestSpark.Sf)
+      .select($"user_id", $"ts", $"event_id", $"value").cache()
+    val mid = ev.agg(floor(max($"event_id") / 2.0).cast("long"))
+      .collect()(0).getLong(0)
+    val base = Files.createTempDirectory("graft_rsstrm").toString
+    val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+
+    def runWave(): Unit = {
+      val q = spark.readStream.schema(ev.schema).parquet(src)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+            .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"),
+              min(col("event_id")).as("first_eid"),
+              min_by(col("value"), col("event_id")).as("open"),
+              max(col("event_id")).as("last_eid"),
+              max_by(col("value"), col("event_id")).as("close"),
+              min(col("value")).as("lo_v"), max(col("value")).as("hi_v"))
+            .write.mode("append").parquet(out)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    ev.filter($"event_id" <= mid).write.mode("append").parquet(src)
+    runWave()
+    ev.filter($"event_id" > mid).write.mode("append").parquet(src)
+    runWave()
+
+    val served = spark.read.parquet(out)
+      .groupBy($"user_id", $"day")
+      .agg(sum($"n").as("n"),
+        round(min_by($"open", $"first_eid"), 4).as("open"),
+        round(max_by($"close", $"last_eid"), 4).as("close"),
+        round(min($"lo_v"), 4).as("lo"),
+        round(max($"hi_v"), 4).as("hi"),
+        round(sum($"sum_v") / sum($"n"), 4).as("avg_v"))
+      .collect().map(_.toSeq).toSet
+    val batchTruth = operators.TimeSeries.resample.run(spark, TestSpark.Sf)
+      .collect().map(_.toSeq).toSet
+    assert(served === batchTruth,
+      "merged OHLC partials must equal the one-pass batch resample exactly")
+  }
+
+  test("cdc foreachBatch pipeline: appended compaction partials serve the batch answer") {
+    // The production form of stream_cdc: the change log lands incrementally
+    // (two arrival waves through a checkpointed file source); each
+    // micro-batch compacts to per-key partials — tombstone FLAG carried,
+    // never pre-filtered — appended to the partials sink; serve re-runs
+    // the same argmax-by-seq folds and filters tombstones only then.
+    import org.apache.spark.sql.functions._
+    // Denser key space than the registered query's (%100 instead of %1000):
+    // sf0.001 has ~1000 events, so %1000 keys are singletons and no key
+    // could ever be tombstoned in wave 1 and overwritten in wave 2 — the
+    // exact cross-wave semantics this test exists to pin. Batch truth is
+    // the same compaction run one-shot over the same log.
+    val log = sources.Tables.events(spark, TestSpark.Sf).select(
+      pmod($"event_id", lit(100L)).as("k"),
+      $"event_id".as("seq"),
+      when(pmod($"event_id", lit(7L)) === 0, 1).otherwise(0).as("del"),
+      $"value").cache()
+    val mid = log.agg(floor(max($"seq") / 2.0).cast("long")).collect()(0).getLong(0)
+    val base = Files.createTempDirectory("graft_cdcstrm").toString
+    val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+
+    def runWave(): Unit = {
+      val q = spark.readStream.schema(log.schema).parquet(src)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.groupBy(col("k"))
+            .agg(max_by(col("del"), col("seq")).as("last_del"),
+              max_by(col("value"), col("seq")).as("last_value"),
+              max(col("seq")).as("last_seq"),
+              count(lit(1)).as("n_changes"))
+            .write.mode("append").parquet(out)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    log.filter($"seq" <= mid).write.mode("append").parquet(src)
+    runWave()
+    // cross-wave semantics must be exercised: some key's wave-1 state ends
+    // in a tombstone that a wave-2 change must resurrect
+    val deadAtMid = spark.read.parquet(out).filter($"last_del" === 1)
+      .select($"k").collect().map(_.getLong(0)).toSet
+    val laterKeys = log.filter($"seq" > mid && $"del" === 0)
+      .select($"k").distinct().collect().map(_.getLong(0)).toSet
+    assert(deadAtMid.intersect(laterKeys).nonEmpty,
+      "fixture must contain a wave-1 tombstone later overwritten")
+    log.filter($"seq" > mid).write.mode("append").parquet(src)
+    runWave()
+
+    val served = spark.read.parquet(out)
+      .groupBy($"k")
+      .agg(max_by($"last_del", $"last_seq").as("last_del"),
+        max_by($"last_value", $"last_seq").as("last_value"),
+        max($"last_seq").as("last_seq"),
+        sum($"n_changes").as("n_changes"))
+      .filter($"last_del" === 0)
+      .select($"k", round($"last_value", 4).as("value"), $"last_seq", $"n_changes")
+      .collect().map(_.toSeq).toSet
+    val batchTruth = log.groupBy($"k")
+      .agg(max_by($"del", $"seq").as("last_del"),
+        max_by($"value", $"seq").as("last_value"),
+        max($"seq").as("last_seq"),
+        count(lit(1)).as("n_changes"))
+      .filter($"last_del" === 0)
+      .select($"k", round($"last_value", 4).as("value"), $"last_seq", $"n_changes")
+      .collect().map(_.toSeq).toSet
+    assert(served === batchTruth,
+      "merged compaction partials must equal the one-pass batch compaction exactly")
+  }
+
   test("incremental dedup foreachBatch pipeline: persisted base + appended delta, no reprocessing on resume") {
     // The production form of stream_dedup_incremental: post-watermark docs
     // land incrementally (two parquet arrival waves through a checkpointed

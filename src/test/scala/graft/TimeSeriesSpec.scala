@@ -139,4 +139,128 @@ class TimeSeriesSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(out === Map(1L -> 3, 2L -> 2, 3L -> 1, 4L -> 0))
   }
+
+  test("windowed funnel: out-of-window stages don't count; depth never exceeds plain funnel") {
+    // Synthetic: user 1 converts fully in-window; user 2's first click is
+    // 4 days after the view (outside the 3-day window) so depth stops at
+    // 1 even though a later purchase exists; user 3 clicks in-window but
+    // purchases 5 days after the click (depth 2). User 4: a LATER
+    // in-window click must count even when an earlier out-of-window one
+    // exists? No — the gate is on min(ts) of qualifying rows: its day-2
+    // click qualifies, its day-5 purchase (3 days after that click) does.
+    val ev = Seq(
+      (1L, "view", ts("2024-01-01 10:00:00")), (1L, "click", ts("2024-01-02 10:00:00")),
+      (1L, "purchase", ts("2024-01-03 10:00:00")),
+      (2L, "view", ts("2024-01-01 10:00:00")), (2L, "click", ts("2024-01-05 10:00:00")),
+      (2L, "purchase", ts("2024-01-06 10:00:00")),
+      (3L, "view", ts("2024-01-01 10:00:00")), (3L, "click", ts("2024-01-02 10:00:00")),
+      (3L, "purchase", ts("2024-01-07 10:00:00")),
+      (4L, "view", ts("2024-01-01 10:00:00")), (4L, "click", ts("2024-01-03 09:00:00")),
+      (4L, "purchase", ts("2024-01-05 10:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val out = operators.TimeSeries.funnelWindowedOf(spark, ev).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out === Map(1L -> 3, 2L -> 1, 3L -> 2, 4L -> 3))
+    // on the fixture: windowed depth is pointwise <= the unbounded depth
+    val plain = operators.TimeSeries.funnel.run(spark, TestSpark.Sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val windowed = operators.TimeSeries.funnelWindowed.run(spark, TestSpark.Sf)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(windowed.keySet === plain.keySet)
+    windowed.foreach { case (u, d) =>
+      assert(d <= plain(u), s"user $u windowed depth exceeds unbounded depth")
+    }
+  }
+
+  test("sessionize: gap runs recompute from raw events; invariants hold globally") {
+    val out = operators.TimeSeries.sessionize.run(spark, TestSpark.Sf).collect()
+    assert(out.nonEmpty)
+    // conservation: every event lands in exactly one session
+    val nEvents = sources.Tables.events(spark, TestSpark.Sf).count()
+    assert(out.map(_.getAs[Long]("n_events")).sum === nEvents)
+    // per user: session ids are 1..k contiguous; duration matches bounds
+    out.groupBy(_.getAs[Long]("user_id")).foreach { case (u, rs) =>
+      val seqs = rs.map(_.getAs[Long]("session_seq")).sorted
+      assert(seqs === (1L to seqs.length).toArray.toSeq, s"user $u session ids")
+      rs.foreach { r =>
+        val d = r.getAs[Timestamp]("t_end").getTime / 1000 -
+          r.getAs[Timestamp]("t_start").getTime / 1000
+        assert(r.getAs[Long]("duration_sec") === d, s"user $u duration")
+      }
+    }
+    // full recompute for one user with >1 session: walk events in (ts,
+    // event_id) order, split at >12h gaps (truncated-second arithmetic,
+    // as both engines compute it)
+    val u = out.groupBy(_.getAs[Long]("user_id"))
+      .collectFirst { case (u, rs) if rs.length > 1 => u }.get
+    val ev = sources.Tables.events(spark, TestSpark.Sf)
+      .filter($"user_id" === u).select($"ts", $"event_id").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1)))
+      .sortBy { case (t, id) => (t.getTime, id) }
+    var sid = 1L
+    val sids = ev.indices.map { i =>
+      if (i > 0 &&
+          ev(i)._1.getTime / 1000 - ev(i - 1)._1.getTime / 1000 > 43200L) sid += 1
+      sid
+    }
+    val expCounts = sids.groupBy(identity).map { case (k, v) => (k, v.length.toLong) }
+    val gotCounts = out.filter(_.getAs[Long]("user_id") == u)
+      .map(r => r.getAs[Long]("session_seq") -> r.getAs[Long]("n_events")).toMap
+    assert(gotCounts === expCounts, s"user $u session event counts")
+  }
+
+  test("retention: offset-0 cell equals cohort size; cells never exceed it") {
+    val out = operators.TimeSeries.retention.run(spark, TestSpark.Sf).collect()
+    assert(out.nonEmpty)
+    val byCohort = out.groupBy(_.getAs[Timestamp]("cohort_day"))
+    // cohort size = distinct users whose first active day is the cohort day
+    val ev = sources.Tables.events(spark, TestSpark.Sf)
+      .select($"user_id", date_trunc("day", $"ts").as("day")).distinct()
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1)))
+    val firstDay = ev.groupBy(_._1).map { case (u, rs) => (u, rs.map(_._2.getTime).min) }
+    byCohort.foreach { case (cd, rs) =>
+      val size = firstDay.count(_._2 == cd.getTime).toLong
+      val zero = rs.find(_.getAs[Int]("day_offset") == 0).get.getAs[Long]("n_users")
+      assert(zero === size, s"cohort $cd offset-0 must equal cohort size")
+      rs.foreach(r => assert(r.getAs[Long]("n_users") <= size,
+        s"cohort $cd cell exceeds cohort size"))
+    }
+    // spot-recompute one non-zero cell
+    val r = out.find(_.getAs[Int]("day_offset") > 0).get
+    val cd = r.getAs[Timestamp]("cohort_day").getTime
+    val off = r.getAs[Int]("day_offset")
+    val cohortUsers = firstDay.filter(_._2 == cd).keySet
+    val active = ev.filter { case (u, d) =>
+      cohortUsers(u) && (d.getTime - cd) / 86400000L == off
+    }.map(_._1).toSet
+    assert(r.getAs[Long]("n_users") === active.size.toLong)
+  }
+
+  test("anomaly: flagged set recomputes exactly from a rolling 20-preceding window") {
+    val out = operators.TimeSeries.anomaly.run(spark, TestSpark.Sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[Double]("z"))).toSet
+    assert(out.nonEmpty)
+    val ev = sources.Tables.events(spark, TestSpark.Sf)
+      .select($"user_id", $"ts", $"event_id", $"value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+    val expected = ev.groupBy(_._1).flatMap { case (u, rows) =>
+      val sorted = rows.sortBy(r => (r._2.getTime, r._3))
+      sorted.indices.flatMap { i =>
+        val hist = sorted.slice(math.max(0, i - 20), i).map(_._4)
+        if (hist.length < 10) None
+        else {
+          val mu = hist.sum / hist.length
+          val sd = math.sqrt(hist.map(x => (x - mu) * (x - mu)).sum / (hist.length - 1))
+          if (sd <= 1e-9) None
+          else {
+            val z = BigDecimal((sorted(i)._4 - mu) / sd)
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+            if (math.abs(z) > 3.0) Some((u, sorted(i)._3, z)) else None
+          }
+        }
+      }
+    }.toSet
+    assert(out === expected, "flagged anomalies must recompute exactly")
+  }
 }

@@ -99,10 +99,17 @@ def main():
             for i, (a, b) in enumerate(zip(sv, ov)):
                 ok = (a == b) or (a is None and b is None)
                 if not ok:
+                    # Null canonicalization: pandas renders SQL NULL as NaN
+                    # (numeric), None (object), or NaT (timestamp) — the
+                    # driver's hash treats them all as the same null, so a
+                    # scalar-null pair on both sides matches. Arrays keep
+                    # element-wise comparison below (pd.isna on an array
+                    # returns an array, hence the __len__ guard).
                     try:
-                        import math
-                        ok = (isinstance(a, float) and isinstance(b, float)
-                              and math.isnan(a) and math.isnan(b))
+                        import pandas as pd
+                        ok = (not hasattr(a, "__len__")) and \
+                             (not hasattr(b, "__len__")) and \
+                             bool(pd.isna(a)) and bool(pd.isna(b))
                     except Exception:
                         ok = False
                 if not ok and hasattr(a, "__len__") and hasattr(b, "__len__") \
