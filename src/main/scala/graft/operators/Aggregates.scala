@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.GraftQuery
 import graft.sources.Tables
@@ -348,8 +349,47 @@ object Aggregates {
     heavyHitters.oracle
   )
 
+  /** Per-group mode (most frequent value), ties broken to the
+    * lexicographically smallest — the categorical summary statistic
+    * `mode()` gives you in DuckDB/pandas but with an EXPLICIT
+    * deterministic tiebreak (a bare mode() is engine-dependent under
+    * ties, which the oracle contract can't tolerate).
+    *
+    * Scale shape: the corpus-sized work is the (group, value) count —
+    * a hash aggregate with map-side partials; the argmax then runs on
+    * the already-reduced counts table (rows ∝ groups × distinct values,
+    * not events) as a row_number window. The window's input is the
+    * small table, so its sort is cheap; keeping the corpus pass a pure
+    * fold is what makes this scale — mode is the textbook example of an
+    * aggregate that is NOT associative in one pass but factors into
+    * count-then-argmax. */
+  /** The count-then-argmax mode pipeline over any (user_id, event_type)
+    * frame — extracted so AggregatesSpec can drive synthetic tie cases
+    * the fixture doesn't isolate. */
+  private[graft] def modeOf(s: SparkSession,
+                            ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    ev.groupBy($"user_id", $"event_type").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"user_id").orderBy($"cnt".desc, $"event_type")))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_type".as("mode_type"), $"cnt")
+      .orderBy($"user_id")
+  }
+
+  val aggMode: GraftQuery = GraftQuery(
+    "agg_mode",
+    (s, dir) => modeOf(s, Tables.events(s, dir)),
+    Some("""WITH c AS (SELECT user_id, event_type, count(*) AS cnt
+                       FROM events GROUP BY 1, 2),
+            r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                           ORDER BY cnt DESC, event_type) AS rn FROM c)
+            SELECT user_id, event_type AS mode_type, cnt
+            FROM r WHERE rn = 1 ORDER BY user_id""")
+  )
+
   def all: Seq[GraftQuery] = Seq(
     q1Agg, distinctCount, approxDistinct, rollupAgg, cubeAgg,
     groupingSets, having, typedCustom, sketchMerge, heavyHitters,
-    heavyHittersIncremental)
+    heavyHittersIncremental, aggMode)
 }

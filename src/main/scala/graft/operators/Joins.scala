@@ -202,7 +202,55 @@ object Joins {
             GROUP BY r_name, o_year ORDER BY r_name, o_year""")
   )
 
+  /** Interval-containment join via BINNING — the standard rewrite that
+    * turns a pure non-equi range join (every event against every
+    * interval: a nested-loop at any scale) into an equi-join: quantize
+    * time into fixed bins (here calendar days), explode each interval to
+    * the few bins it covers, map each event to its one bin, equi-join on
+    * the bin, and re-check the exact bounds as the join's residual
+    * filter. Work becomes O(events + intervals × bins-per-interval)
+    * instead of O(events × intervals).
+    *
+    * The fixture anchors 72-hour observation windows on the 20
+    * highest-value events (deterministic tiebreak on the id) and
+    * counts events per window. The interval side is tiny → broadcast;
+    * at scale with millions of intervals the same plan shuffles both
+    * sides on the bin key — an ordinary partitioned equi-join, with bin
+    * width as the fanout/selectivity dial (match it to median interval
+    * length). Windows may overlap: an event landing in two windows
+    * counts in both, exactly as the oracle's theta join does. */
+  val rangeBinned: GraftQuery = GraftQuery(
+    "join_range_binned",
+    (s, dir) => {
+      import s.implicits._
+      val iv = Tables.events(s, dir)
+        .orderBy($"value".desc, $"event_id").limit(20)
+        .select($"event_id".as("win_id"),
+          ($"ts" + expr("INTERVAL 1 HOUR")).as("t_lo"),
+          ($"ts" + expr("INTERVAL 73 HOUR")).as("t_hi"))
+      val ivBinned = iv.select($"win_id", $"t_lo", $"t_hi",
+        explode(sequence(date_trunc("day", $"t_lo"), date_trunc("day", $"t_hi"),
+          expr("INTERVAL 1 DAY"))).as("day"))
+      Tables.events(s, dir)
+        .select($"ts", $"value", date_trunc("day", $"ts").as("day"))
+        .join(broadcast(ivBinned), Seq("day"))
+        .filter($"ts" >= $"t_lo" && $"ts" < $"t_hi")
+        .groupBy($"win_id")
+        .agg(count(lit(1)).as("n_events"), round(sum($"value"), 4).as("sum_value"))
+        .orderBy($"win_id")
+    },
+    Some("""WITH iv AS (
+              SELECT event_id AS win_id,
+                     ts + INTERVAL 1 HOUR AS t_lo,
+                     ts + INTERVAL 73 HOUR AS t_hi
+              FROM events ORDER BY value DESC, event_id LIMIT 20)
+            SELECT win_id, count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events e JOIN iv ON e.ts >= iv.t_lo AND e.ts < iv.t_hi
+            GROUP BY win_id ORDER BY win_id""")
+  )
+
   def all: Seq[GraftQuery] = Seq(
     innerHash, broadcastDim, leftOuter, rightOuter, fullOuter,
-    semi, anti, thetaRange, multiway)
+    semi, anti, thetaRange, multiway, rangeBinned)
 }

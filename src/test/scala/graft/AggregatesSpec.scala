@@ -113,4 +113,26 @@ class AggregatesSpec extends AnyFunSuite {
     val b = operators.Aggregates.heavyHittersIncremental.run(spark, TestSpark.Sf).collect().toSeq
     assert(a === b && a.nonEmpty)
   }
+
+  test("agg_mode: hand-recomputed winner for one user; ties break to the smaller value") {
+    import spark.implicits._
+    val out = operators.Aggregates.aggMode.run(spark, TestSpark.Sf).collect()
+    assert(out.nonEmpty)
+    // recompute the first user's winner naively
+    val u = out.head.getAs[Long]("user_id")
+    val counts = sources.Tables.events(spark, TestSpark.Sf)
+      .filter($"user_id" === u)
+      .groupBy($"event_type").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expected = counts.minBy { case (t, c) => (-c, t) }
+    assert(out.head.getAs[String]("mode_type") === expected._1)
+    assert(out.head.getAs[Long]("cnt") === expected._2)
+
+    // deterministic tiebreak: equal counts → lexicographically smallest
+    val tied = Seq((1L, "zulu"), (1L, "alpha"), (1L, "zulu"), (1L, "alpha"),
+      (2L, "beta")).toDF("user_id", "event_type")
+    val rows = operators.Aggregates.modeOf(spark, tied).collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ===
+      Seq((1L, "alpha", 2L), (2L, "beta", 1L)))
+  }
 }

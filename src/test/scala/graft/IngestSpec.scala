@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Batch ingest pipeline: layout, row preservation, idempotent re-run,
@@ -154,5 +155,69 @@ class IngestSpec extends AnyFunSuite {
     assert(winners.exists(_._2 == "D"), "fixture must contain a final tombstone")
     val dead = winners.filter(_._2 == "D").map(_._1).toSet
     assert(out.forall(r => !dead(r.getAs[Long]("k"))), "tombstoned keys must be absent")
+  }
+
+  test("scd2: one version per upsert, chains closed by the next change, current set == CDC state") {
+    import org.apache.spark.sql.expressions.Window
+    val scd = operators.Ingest.ingestScd2.run(spark, TestSpark.Sf).cache()
+    val cdc = operators.Ingest.ingestCdc.run(spark, TestSpark.Sf)
+
+    // one history row per UPSERT change — deletes emit no version
+    val log = sources.Tables.events(spark, TestSpark.Sf)
+      .select(pmod($"event_id", lit(1000L)).as("k"), $"event_id".as("seq"))
+    val nUpserts = log.filter(pmod($"seq", lit(7L)) =!= 0).count()
+    assert(scd.count() === nUpserts)
+
+    // the current-version slice IS the CDC-compacted state, key for key
+    val current = scd.filter($"is_current" === 1).select($"k", $"value")
+    val compacted = cdc.select($"k", $"value")
+    assert(current.except(compacted).count() === 0)
+    assert(compacted.except(current).count() === 0)
+
+    // validity chains never overlap: each version closes at or before the
+    // next version opens (a delete between them closes it strictly before)
+    val w = Window.partitionBy($"k").orderBy($"eff_from")
+    val overlaps = scd
+      .withColumn("next_from", lead($"eff_from", 1).over(w))
+      .filter($"next_from".isNotNull && $"eff_to" > $"next_from")
+      .count()
+    assert(overlaps === 0, "version validity intervals must not overlap")
+  }
+
+  test("z-order layout: file min/max spans prune BOTH dimensions; a 1-D sort prunes only its own") {
+    // Force the fingerprinted layout, then audit the actual written files.
+    operators.Ingest.ingestZorder.run(spark, TestSpark.Sf).count()
+    val sfx = TestSpark.Sf.replaceAll("[^a-zA-Z0-9]", "_")
+    val z = spark.read.parquet(s"/tmp/graft_zorder/$sfx")
+    def fileSpans(df: org.apache.spark.sql.DataFrame): Array[(Long, Long, Long, Long)] =
+      df.select(col("_metadata.file_path").as("f"), $"user_id", $"d")
+        .groupBy($"f")
+        .agg(min($"user_id").as("ulo"), max($"user_id").as("uhi"),
+          min($"d").as("dlo"), max($"d").as("dhi"))
+        .collect()
+        .map(r => (r.getAs[Long]("ulo"), r.getAs[Long]("uhi"),
+          r.getAs[Long]("dlo"), r.getAs[Long]("dhi")))
+    val zSpans = fileSpans(z)
+    val uMin = zSpans.map(_._1).min; val uMax = zSpans.map(_._2).max
+    val dMin = zSpans.map(_._3).min; val dMax = zSpans.map(_._4).max
+    // a selective predicate: the first eighth of each dimension's range
+    val uCut = uMin + (uMax - uMin) / 8
+    val dCut = dMin + (dMax - dMin) / 8
+    val zU = zSpans.count(s => s._1 <= uCut) // files a u-range scan must read
+    val zD = zSpans.count(s => s._3 <= dCut) // files a d-range scan must read
+    assert(zU <= zSpans.length / 2,
+      s"z layout must prune user_id scans: $zU of ${zSpans.length} files overlap")
+    assert(zD <= zSpans.length / 2,
+      s"z layout must prune day scans: $zD of ${zSpans.length} files overlap")
+
+    // baseline: the same data clustered on user_id ONLY — day predicates
+    // cannot skip a single file (every file spans every day)
+    val base = Files.createTempDirectory("graft_usort").toString + "/out"
+    z.select($"user_id", $"d", $"value")
+      .repartitionByRange(16, $"user_id").sortWithinPartitions($"user_id")
+      .write.mode("overwrite").parquet(base)
+    val bSpans = fileSpans(spark.read.parquet(base))
+    assert(bSpans.count(s => s._3 <= dCut) === bSpans.length,
+      "the 1-D layout must NOT prune the non-sort dimension (else the fixture is degenerate)")
   }
 }

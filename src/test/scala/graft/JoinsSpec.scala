@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Join-operator semantics the oracle alone can't isolate: the binned
+  * range join must be a pure REWRITE of the naive theta join — identical
+  * rows, only a different (scalable) physical shape. */
+class JoinsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("binned range join == naive theta join, row for row") {
+    val binned = operators.Joins.rangeBinned.run(spark, TestSpark.Sf)
+    val ev = sources.Tables.events(spark, TestSpark.Sf)
+    val iv = ev.orderBy($"value".desc, $"event_id").limit(20)
+      .select($"event_id".as("win_id"),
+        ($"ts" + expr("INTERVAL 1 HOUR")).as("t_lo"),
+        ($"ts" + expr("INTERVAL 73 HOUR")).as("t_hi"))
+    val naive = ev.select($"ts", $"value")
+      .join(iv, $"ts" >= $"t_lo" && $"ts" < $"t_hi")
+      .groupBy($"win_id")
+      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 4).as("sum_value"))
+    assert(binned.except(naive).count() === 0)
+    assert(naive.except(binned).count() === 0)
+    assert(binned.count() > 0, "fixture windows must catch events")
+  }
+
+  test("binning bounds are inclusive-lo / exclusive-hi at the exact edge") {
+    // An interval covering [10:00, 12:00) over day-bins: events exactly at
+    // t_lo are kept, exactly at t_hi dropped, and an event in a bin the
+    // interval only PARTIALLY covers is filtered by the residual bound.
+    val iv = Seq((1L, "2024-01-05 10:00:00", "2024-01-05 12:00:00"))
+      .toDF("win_id", "lo", "hi")
+      .select($"win_id", $"lo".cast("timestamp").as("t_lo"),
+        $"hi".cast("timestamp").as("t_hi"))
+    val ivBinned = iv.select($"win_id", $"t_lo", $"t_hi",
+      explode(sequence(date_trunc("day", $"t_lo"), date_trunc("day", $"t_hi"),
+        expr("INTERVAL 1 DAY"))).as("day"))
+    val evs = Seq("2024-01-05 09:59:59", "2024-01-05 10:00:00",
+      "2024-01-05 11:59:59", "2024-01-05 12:00:00")
+      .toDF("s").select($"s".cast("timestamp").as("ts"),
+        date_trunc("day", $"s".cast("timestamp")).as("day"))
+    val kept = evs.join(broadcast(ivBinned), Seq("day"))
+      .filter($"ts" >= $"t_lo" && $"ts" < $"t_hi")
+      .select($"ts".cast("string")).as[String].collect().toSet
+    assert(kept === Set("2024-01-05 10:00:00", "2024-01-05 11:59:59"))
+  }
+}
