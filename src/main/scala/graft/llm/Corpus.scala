@@ -745,7 +745,73 @@ object Corpus {
   private[graft] def perplexityScores(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     scoreBigrams(s, docBigrams(s, Tables.documents(s, dir)), lmCounts(s, dir))
 
+  /** BM25 ranked retrieval — the lexical scoring function behind every
+    * production keyword search (Lucene/Elasticsearch default), over the
+    * corpus as a Spark pipeline: for a fixed query term set, score each
+    * document Σ_t idf(t) · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) with the
+    * Robertson/Sparck-Jones idf ln((N−df+0.5)/(df+0.5)+1), k1=1.2,
+    * b=0.75, and return the top 20.
+    *
+    * Scale shape: tokens explode once but are FILTERED TO THE QUERY
+    * TERMS before any aggregation, so the per-(doc, term) tf table is
+    * ∝ docs × |query|, never corpus token volume; df + the corpus
+    * constants (N, avgdl) reduce to a |query|-row frame plus one scalar
+    * row, both broadcast into the scoring join; the per-doc score is one
+    * hash aggregate. Doc lengths ride the same tokenization pass. The
+    * idf/score transcendentals (ln) hit rank ordering only through the
+    * ROUNDED score with a doc_id tiebreak (the llm_sim_range rule).
+    * At 100 TB this is the query-serving half of an inverted index:
+    * df/avgdl are corpus statistics maintained incrementally, and the
+    * tf filter is what the posting-list scan does. */
+  val bm25: GraftQuery = GraftQuery(
+    "llm_bm25",
+    (s, dir) => {
+      import s.implicits._
+      val terms = Seq("spark", "join", "vector", "stream")
+      val docs = Tables.documents(s, dir)
+        .select($"doc_id", split(lower($"text"), " ").as("toks"))
+        .withColumn("dl", size($"toks").cast("double"))
+      val stats = broadcast(docs.agg(
+        count(lit(1)).cast("double").as("n_docs"), avg($"dl").as("avgdl")))
+      val tf = docs
+        .select($"doc_id", $"dl", explode($"toks").as("tok"))
+        .filter($"tok".isin(terms: _*))
+        .groupBy($"doc_id", $"dl", $"tok")
+        .agg(count(lit(1)).cast("double").as("tf"))
+      val idf = broadcast(tf.groupBy($"tok")
+        .agg(countDistinct($"doc_id").cast("double").as("df")))
+      tf.join(idf, Seq("tok"))
+        .crossJoin(stats)
+        .withColumn("contrib",
+          log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1.0) *
+            ($"tf" * 2.2) /
+            ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl")))
+        .groupBy($"doc_id")
+        .agg(round(sum($"contrib"), 4).as("score"))
+        .orderBy($"score".desc, $"doc_id")
+        .limit(20)
+    },
+    Some("""WITH docs AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS toks,
+                     CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS dl
+              FROM documents),
+            stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+                      FROM docs),
+            tf AS (SELECT doc_id, dl, tok, CAST(count(*) AS DOUBLE) AS tf
+                   FROM docs, unnest(toks) u(tok)
+                   WHERE tok IN ('spark', 'join', 'vector', 'stream')
+                   GROUP BY 1, 2, 3),
+            idf AS (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+                    FROM tf GROUP BY 1)
+            SELECT doc_id,
+                   round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+                             (tf * 2.2) /
+                             (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
+            FROM tf JOIN idf USING (tok) CROSS JOIN stats
+            GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""")
+  )
+
   def all: Seq[GraftQuery] =
     Seq(contamination, decontaminate, repetition, substringDup, paragraphDedup,
-      tfidf, curate, perplexity)
+      tfidf, curate, perplexity, bm25)
 }

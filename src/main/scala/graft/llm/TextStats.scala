@@ -538,8 +538,100 @@ object TextStats {
              FROM k ORDER BY doc_id""")
   )
 
+  /** Sliding-window chunking — the RAG/pretraining segmentation that cuts
+    * each document into fixed-size token windows with overlap (window 32,
+    * stride 24 → 8 tokens of context shared between adjacent chunks so
+    * no boundary-straddling phrase is lost to both; sized so the
+    * fixture's 10–99-token docs genuinely produce 1–4 overlapping
+    * chunks). Emits one row per chunk with its token coordinates and an
+    * md5 of the chunk text, so the oracle pins the SLICED CONTENT
+    * byte-exactly, not just the arithmetic.
+    *
+    * Scale shape: pure scan projection + explode — tokenize once, emit
+    * ~n_tok/stride rows per doc, zero shuffles at any corpus size (the
+    * final sort is the oracle-determinism rule only). The chunk count is
+    * closed-form (1 + ceil((n−W)/stride) as integer arithmetic), so no
+    * per-doc iteration anywhere. */
+  val chunkSliding: GraftQuery = GraftQuery(
+    "llm_chunk_sliding",
+    (s, dir) => {
+      import s.implicits._
+      val W = 32L
+      val Stride = 24L
+      Tables.documents(s, dir)
+        .select($"doc_id", split($"text", " ").as("toks"))
+        .withColumn("n_tok", size($"toks").cast("long"))
+        .withColumn("n_chunks",
+          lit(1L) + greatest(lit(0L),
+            expr(s"(n_tok - $W + $Stride - 1) DIV $Stride")))
+        .select($"doc_id", $"toks", $"n_tok",
+          explode(sequence(lit(0L), $"n_chunks" - 1)).as("chunk_id"))
+        .withColumn("start_tok", $"chunk_id" * lit(Stride))
+        .withColumn("len_tok", least(lit(W), $"n_tok" - $"start_tok"))
+        .select($"doc_id", $"chunk_id", $"start_tok", $"len_tok",
+          md5(array_join(slice($"toks", ($"start_tok" + 1).cast("int"),
+            $"len_tok".cast("int")), " ")).as("chunk_md5"))
+        .orderBy($"doc_id", $"chunk_id")
+    },
+    Some("""WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS toks,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+              FROM documents),
+            c AS (SELECT doc_id, toks, n_tok,
+                         1 + greatest(0, (n_tok - 32 + 23) // 24) AS n_chunks
+                  FROM t),
+            e AS (SELECT doc_id, toks, n_tok,
+                         CAST(unnest(range(0, n_chunks)) AS BIGINT) AS chunk_id
+                  FROM c)
+            SELECT doc_id, chunk_id,
+                   chunk_id * 24 AS start_tok,
+                   least(32, n_tok - chunk_id * 24) AS len_tok,
+                   md5(array_to_string(
+                     toks[chunk_id * 24 + 1 : chunk_id * 24 + least(32, n_tok - chunk_id * 24)],
+                     ' ')) AS chunk_md5
+            FROM e ORDER BY doc_id, chunk_id""")
+  )
+
+  /** Deterministic weighted sampling without replacement — priority
+    * sampling (Duffield–Lund–Thorup): each doc gets priority w/u with
+    * u a uniform hash-derived variate and w its weight (here n_chars:
+    * sample long documents preferentially); the k highest priorities are
+    * the sample. Unlike the A-ES exponential-key scheme this needs NO
+    * transcendental function — priority is one IEEE division of two
+    * integer-derived doubles, which both engines round identically, so
+    * the sample is bit-reproducible across engines, runs, retries, and
+    * repartitioning (the trainSplit/sampleStratified rule: never
+    * `rand()`).
+    *
+    * Scale shape: priority is a scan projection; top-k is
+    * TakeOrderedAndProject (per-partition heaps + driver merge of k
+    * rows) — no global sort, no shuffle beyond the k-row gather, at any
+    * corpus size. */
+  val sampleWeighted: GraftQuery = GraftQuery(
+    "llm_sample_weighted",
+    (s, dir) => {
+      import s.implicits._
+      // u ∈ (0, 1): the 15-hex-digit md5 prefix over 2^60 (the
+      // sampleStratified idiom); priority = w / u = w * 2^60 / h.
+      val h = expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS DOUBLE)")
+      Tables.documents(s, dir)
+        .select($"doc_id", $"lang", $"n_chars",
+          round($"n_chars" * lit(1152921504606846976L).cast("double") / h, 4)
+            .as("priority"))
+        .orderBy($"priority".desc, $"doc_id")
+        .limit(100)
+    },
+    Some("""SELECT doc_id, lang, n_chars,
+                   round(n_chars * CAST(1152921504606846976 AS DOUBLE)
+                         / CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                                AS BIGINT), 4) AS priority
+            FROM documents
+            ORDER BY priority DESC, doc_id LIMIT 100""")
+  )
+
   def all: Seq[GraftQuery] =
     Seq(textStats, langId, fingerprint, langProfile, tokenBpe, quality,
         vocabTopK, vocabFuzzy, trainSplit, piiScrub, sampleStratified,
-        packChunks, domainMix, shardShuffle)
+        packChunks, domainMix, shardShuffle, chunkSliding, sampleWeighted)
 }

@@ -494,7 +494,93 @@ object TimeSeries {
             ORDER BY user_id, event_id""")
   )
 
+  /** Linear interpolation on the daily grid — `ts_gapfill`'s carry-forward
+    * replaced by the estimate a metrics/feature pipeline actually wants
+    * for a continuously-varying signal: a gap day's value is the linear
+    * blend of the nearest known days on either side, weighted by
+    * distance. Same spine construction as gapFill; the fill needs BOTH
+    * neighbors, so two mirrored window passes over one per-user sort
+    * carry (value, day) of the last known point backward and the next
+    * known point forward, and the blend is pure row-local arithmetic.
+    * The spine spans min→max ACTIVE day per user, so both neighbors
+    * always exist on gap rows; the mirrored-edge coalesce keeps the
+    * expression total anyway (synthetic frames in TimeSeriesSpec drive
+    * it). Both engines evaluate the identical IEEE expression
+    * prev + (next−prev) · (Δl/Δn), rounded once at the projection.
+    *
+    * Scale: rows ∝ users × days; two shuffles total (daily agg, then the
+    * user-partitioned windows share one Exchange+Sort — Catalyst plans
+    * the forward and backward frames over the same sort order). */
+  /** The spine + mirrored-window interpolation over any
+    * (user_id, day, v) daily frame — extracted so TimeSeriesSpec can
+    * drive synthetic gaps and edge cases the fixture doesn't isolate. */
+  private[graft] def interpolateOf(s: SparkSession,
+                                   daily: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val spine = daily.groupBy($"user_id")
+        .agg(min($"day").as("d0"), max($"day").as("d1"))
+        .select($"user_id",
+          explode(sequence($"d0", $"d1", expr("INTERVAL 1 DAY"))).as("day"))
+      val wb = Window.partitionBy($"user_id").orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wf = Window.partitionBy($"user_id").orderBy($"day")
+        .rowsBetween(0, Window.unboundedFollowing)
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("pv", last($"v", ignoreNulls = true).over(wb))
+        .withColumn("pd", last(when($"v".isNotNull, $"day"), ignoreNulls = true).over(wb))
+        .withColumn("nv", first($"v", ignoreNulls = true).over(wf))
+        .withColumn("nd", first(when($"v".isNotNull, $"day"), ignoreNulls = true).over(wf))
+        .withColumn("v_interp", round(
+          when($"v".isNotNull, $"v")
+            .when($"pv".isNull, $"nv")
+            .when($"nv".isNull, $"pv")
+            .otherwise($"pv" + ($"nv" - $"pv") *
+              (datediff($"day", $"pd").cast("double") /
+               datediff($"nd", $"pd").cast("double"))), 4))
+        .withColumn("is_gap", $"v".isNull)
+        .select($"user_id", $"day", $"v_interp", $"is_gap")
+        .orderBy($"user_id", $"day")
+  }
+
+  val interpolate: GraftQuery = GraftQuery(
+    "ts_interpolate",
+    (s, dir) => {
+      import s.implicits._
+      interpolateOf(s, Tables.events(s, dir)
+        .groupBy($"user_id", date_trunc("day", $"ts").as("day"))
+        .agg(round(sum($"value"), 4).as("v")))
+    },
+    Some("""WITH daily AS (
+              SELECT user_id, date_trunc('day', ts) AS day, round(sum(value),4) AS v
+              FROM events GROUP BY 1, 2),
+            spans AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+            grid AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+                     FROM spans),
+            j AS (SELECT g.user_id, g.day, d.v,
+                         last_value(d.v IGNORE NULLS) OVER wb AS pv,
+                         last_value(CASE WHEN d.v IS NOT NULL THEN g.day END IGNORE NULLS)
+                           OVER wb AS pd,
+                         first_value(d.v IGNORE NULLS) OVER wf AS nv,
+                         first_value(CASE WHEN d.v IS NOT NULL THEN g.day END IGNORE NULLS)
+                           OVER wf AS nd
+                  FROM grid g LEFT JOIN daily d USING (user_id, day)
+                  WINDOW wb AS (PARTITION BY g.user_id ORDER BY g.day
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                         wf AS (PARTITION BY g.user_id ORDER BY g.day
+                                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+            SELECT user_id, day,
+                   round(CASE WHEN v IS NOT NULL THEN v
+                              WHEN pv IS NULL THEN nv
+                              WHEN nv IS NULL THEN pv
+                              ELSE pv + (nv - pv) *
+                                   (CAST(date_diff('day', pd, day) AS DOUBLE) /
+                                    CAST(date_diff('day', pd, nd) AS DOUBLE))
+                         END, 4) AS v_interp,
+                   v IS NULL AS is_gap
+            FROM j ORDER BY user_id, day""")
+  )
+
   def all: Seq[GraftQuery] =
     Seq(asofJoin, gapFill, ntileRanks, skewSalted, resample, funnel,
-      funnelWindowed, sessionize, retention, anomaly)
+      funnelWindowed, sessionize, retention, anomaly, interpolate)
 }

@@ -246,4 +246,72 @@ class CorpusSpec extends AnyFunSuite {
     assert(out === truth,
       "deletion-neighborhood candidates + exact verify must equal brute force")
   }
+
+  test("sliding chunks tile every document: stride spacing, full coverage, bounded length") {
+    val byDoc = llm.TextStats.chunkSliding.run(spark, TestSpark.Sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
+        r.getAs[Long]("start_tok"), r.getAs[Long]("len_tok")))
+      .groupBy(_._1)
+    val nToks = docsById.map { case (id, t) => id -> t.split(" ", -1).length.toLong }
+    assert(byDoc.keySet === nToks.keySet, "every doc must produce chunks")
+    for ((doc, rows) <- byDoc) {
+      val sorted = rows.sortBy(_._2)
+      val n = nToks(doc)
+      assert(sorted.head._3 === 0L, s"doc $doc: first chunk must start at 0")
+      assert(sorted.last._3 + sorted.last._4 === n,
+        s"doc $doc: last chunk must end at n_tok")
+      assert(sorted.forall(c => c._4 >= 1 && c._4 <= 32),
+        s"doc $doc: chunk length out of [1, 32]")
+      assert(sorted.sliding(2).filter(_.length == 2).forall(p =>
+        p(1)._3 - p(0)._3 == 24L), s"doc $doc: starts must advance by the stride")
+      // every token position is covered by some chunk
+      assert(sorted.forall(c => c._3 < n), s"doc $doc: chunk starts past the end")
+      val covered = sorted.map(c => (c._3, c._3 + c._4))
+        .foldLeft(0L) { case (hi, (lo, chunkHi)) =>
+          assert(lo <= hi, s"doc $doc: coverage gap before $lo"); math.max(hi, chunkHi) }
+      assert(covered === n, s"doc $doc: chunks must cover all $n tokens")
+    }
+    // multi-chunk docs exist, so overlap semantics are actually exercised
+    assert(byDoc.values.exists(_.length >= 2), "fixture must produce overlapping chunks")
+  }
+
+  test("bm25: hand-recomputed score for the top document") {
+    val out = llm.Corpus.bm25.run(spark, TestSpark.Sf).collect()
+    assert(out.length > 0 && out.length <= 20)
+    val terms = Set("spark", "join", "vector", "stream")
+    val toks = docsById.map { case (id, t) => id -> t.toLowerCase.split(" ", -1).toSeq }
+    val n = toks.size.toDouble
+    val avgdl = toks.values.map(_.length).sum.toDouble / n
+    val df = terms.map(t => t -> toks.values.count(_.contains(t)).toDouble).toMap
+    def score(id: Long): Double = {
+      val dl = toks(id).length.toDouble
+      terms.toSeq.map { t =>
+        val tf = toks(id).count(_ == t).toDouble
+        if (tf == 0) 0.0
+        else math.log((n - df(t) + 0.5) / (df(t) + 0.5) + 1.0) *
+          (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      }.sum
+    }
+    val top = out.head
+    assert(math.abs(top.getAs[Double]("score") - score(top.getAs[Long]("doc_id"))) < 1e-3,
+      "top score must match the BM25 formula recomputed in Scala")
+    // scores are descending with the doc_id tiebreak
+    val scores = out.map(r => (-r.getAs[Double]("score"), r.getAs[Long]("doc_id"))).toSeq
+    assert(scores === scores.sorted, "ranking must be (score desc, doc_id)")
+  }
+
+  test("weighted sample: deterministic across runs and biased toward heavy docs") {
+    val a = llm.TextStats.sampleWeighted.run(spark, TestSpark.Sf).collect()
+    val b = llm.TextStats.sampleWeighted.run(spark, TestSpark.Sf).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq,
+      "the hash-derived sample must be bit-reproducible")
+    assert(a.length === 100)
+    // priority ∝ weight/uniform ⇒ long docs overrepresented: the sample's
+    // mean n_chars must exceed the corpus mean (deterministic given the fixture)
+    val sampleMean = a.map(_.getAs[Long]("n_chars")).sum.toDouble / a.length
+    val corpusMean = sources.Tables.documents(spark, TestSpark.Sf)
+      .agg(org.apache.spark.sql.functions.avg($"n_chars")).collect()(0).getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"weighted sampling must prefer long docs (sample $sampleMean vs corpus $corpusMean)")
+  }
 }

