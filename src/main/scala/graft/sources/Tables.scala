@@ -13,16 +13,23 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects.
-    * Read nanos as long (legacy conf) and truncate to microseconds — the
-    * precision Spark timestamps carry. The fixture data is µs-grained, so
-    * the truncation is lossless (FIXTURES.md "Stream table" note).
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) (older fixtures,
+    * which Spark's reader rejects without the nanos-as-long legacy conf) and
+    * as TIMESTAMP(MICROS) without the UTC flag (current fixtures, which read
+    * as TIMESTAMP_NTZ). Normalize both to a session-TZ TimestampType column —
+    * the session TZ is pinned to UTC, so the wall-clock values are identical
+    * either way (FIXTURES.md "Stream table" note).
     */
   private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   def region(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "region")
