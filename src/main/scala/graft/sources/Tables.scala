@@ -23,8 +23,20 @@ object Tables {
   private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{LongType, TimestampType}
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    // Set the legacy conf only when the fixture actually needs it: probe the
+    // schema without it first (current MICROS fixtures load fine), and fall
+    // back to nanos-as-long only for old TIMESTAMP(NANOS) fixtures. The conf
+    // must then STAY set for the session — executors re-read it from the
+    // session conf when converting each file footer at execution time — but
+    // that path only engages on legacy fixtures, so a normal session never
+    // has its nanos-timestamp reads silently degraded to longs.
+    val raw =
+      try spark.read.parquet(s"$sfDir/events.parquet")
+      catch {
+        case _: Exception =>
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          spark.read.parquet(s"$sfDir/events.parquet")
+      }
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case TimestampType => raw
