@@ -19,6 +19,7 @@ object SparkEntry {
     operators.Analytics.all ++
     operators.Windows.all ++
     operators.TimeSeries.all ++
+    operators.Graph.all ++
     functions.ScalarQueries.all ++
     operators.Ingest.all ++
     streaming.StreamQueries.all ++

@@ -259,7 +259,62 @@ object Multimodal {
             ORDER BY phash""")
   )
 
+  /** Energy-threshold voice-activity detection over audio payloads: window
+    * the signal, score per-window energy, keep voiced windows, and merge
+    * adjacent ones into segments — the segmentation pass an audio corpus
+    * runs before transcription/feature extraction. The DSP (real PCM
+    * energy) belongs to the stubbed binary stage; the energy here is a
+    * deterministic function of (doc, window) so the Spark-side plumbing —
+    * explode to windows, threshold, gaps-and-islands merge, per-segment
+    * aggregate — is real and oracle-graded.
+    *
+    * Scale shape: one scan + explode (no shuffle), then ONE shuffle on
+    * doc_id feeding both the island window and the segment aggregate
+    * (shared partitioning). Windows-per-doc is bounded by payload length,
+    * so the explode fanout is linear in corpus bytes — same as decoding. */
+  val audioVad: GraftQuery = GraftQuery(
+    "mm_audio_vad",
+    (s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"win_idx")
+      Tables.documents(s, dir)
+        .select($"doc_id", $"text".cast("binary").as("payload"))
+        .select($"doc_id",
+          (lit(1) + pmod(octet_length($"payload"), lit(32))).as("n_win"))
+        .select($"doc_id",
+          explode(sequence(lit(0), $"n_win" - 1)).as("win_idx"))
+        .withColumn("energy", pmod($"doc_id" * 131 + $"win_idx" * 17, lit(100L)))
+        .filter($"energy" >= 40)
+        .withColumn("island", $"win_idx" - row_number().over(w))
+        .groupBy($"doc_id", $"island")
+        .agg(min($"win_idx").as("seg_start"), max($"win_idx").as("seg_end"),
+          count(lit(1)).as("n_voiced"),
+          round(avg($"energy"), 4).as("avg_energy"))
+        .drop("island")
+        .orderBy($"doc_id", $"seg_start")
+    },
+    Some("""WITH win AS (
+              SELECT doc_id,
+                     CAST(unnest(range(0, 1 + octet_length(encode(text)) % 32)) AS INT)
+                       AS win_idx
+              FROM documents),
+            scored AS (
+              SELECT doc_id, win_idx,
+                     (doc_id * 131 + win_idx * 17) % 100 AS energy
+              FROM win),
+            voiced AS (
+              SELECT doc_id, win_idx, energy,
+                     win_idx - row_number() OVER (PARTITION BY doc_id
+                                                  ORDER BY win_idx) AS island
+              FROM scored WHERE energy >= 40)
+            SELECT doc_id, min(win_idx) AS seg_start, max(win_idx) AS seg_end,
+                   count(*) AS n_voiced, round(avg(energy), 4) AS avg_energy
+            FROM voiced GROUP BY doc_id, island
+            ORDER BY doc_id, seg_start""")
+  )
+
   def all: Seq[GraftQuery] =
     Seq(multimodalCols, decodeStubQuery, frameSample, resize, featureExtract,
-      phashDedup)
+      phashDedup, audioVad)
 }

@@ -870,7 +870,110 @@ object Similarity {
     None
   )
 
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein):
+    * greedily pick MmrK of the top-MmrCand candidates per query,
+    * balancing relevance against redundancy with what's already picked —
+    * score(d) = λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s). The
+    * retrieval-diversification stage every RAG pipeline runs after ANN.
+    *
+    * Scale shape: the ONLY corpus-sized stage is candidate generation
+    * (here the brute top-MmrCand pipeline; at scale the IVF probe serves
+    * the same rows). The greedy loop runs entirely on the bounded
+    * queries×candidates table — localCheckpoint cuts the corpus scan out
+    * of the iteration lineage, and each of the MmrK−1 steps is an
+    * anti-join + equi-join + hash aggregate + 1-row-per-query argmax
+    * over ≤ NumQueries·MmrCand rows, independent of corpus size. No
+    * array-typed aggregation buffer anywhere (the keep_best
+    * SortAggregate lesson): the selected vector is re-fetched from the
+    * candidate table by key instead of riding the argmax.
+    *
+    * Determinism: rel and the pairwise penalty round at 4 before the
+    * combination; the argmax orders by the identical double expression in
+    * both engines with nid as tiebreak. Rank 1 is pure relevance (the
+    * penalty set is empty). The oracle is the same greedy unrolled into
+    * per-step CTEs. */
+  val mmrDiversify: GraftQuery = {
+    val lambda = 0.7
+    val nCand = 20
+    val kSel = 5
+    GraftQuery(
+      "llm_sim_mmr",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+        val q = broadcast(
+          e.filter($"vec_id" < NumQueries)
+            .select($"vec_id".as("qid"), $"embedding".as("qv")))
+        val cand = e.join(q, $"vec_id" =!= $"qid")
+          .select($"qid", $"vec_id".as("nid"),
+            round(VectorFunctions.cosine(s, $"qv", $"embedding"), 4).as("rel"),
+            $"embedding".as("v"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"qid").orderBy($"rel".desc, $"nid")))
+          .filter($"rn" <= nCand)
+          .localCheckpoint()
+        var acc = cand.filter($"rn" === 1)
+          .select($"qid", $"nid", $"v", $"rel".as("score"), lit(1).as("rank"))
+        for (t <- 2 to kSel) {
+          val pen = cand
+            .join(acc.select($"qid", $"nid"), Seq("qid", "nid"), "left_anti")
+            .join(acc.select($"qid", $"v".as("sv")), Seq("qid"))
+            .groupBy($"qid", $"nid")
+            .agg(max($"rel").as("rel"),
+              max(round(VectorFunctions.cosine(s, $"v", $"sv"), 4)).as("pen"))
+          val pick = pen
+            .withColumn("mmr", lit(lambda) * $"rel" - lit(1 - lambda) * $"pen")
+            .withColumn("rn", row_number().over(
+              Window.partitionBy($"qid").orderBy($"mmr".desc, $"nid")))
+            .filter($"rn" === 1)
+            .select($"qid", $"nid", round($"mmr", 4).as("score"), lit(t).as("rank"))
+            .join(cand.select($"qid", $"nid", $"v"), Seq("qid", "nid"))
+          // The accumulator is ≤ NumQueries·kSel rows but its lineage
+          // doubles every round (pen references acc twice); checkpointing
+          // the tiny frame keeps each round's plan flat.
+          acc = acc.unionByName(pick.select($"qid", $"nid", $"v", $"score", $"rank"))
+            .localCheckpoint()
+        }
+        acc.select($"qid", $"rank", $"nid", $"score").orderBy($"qid", $"rank")
+      },
+      Some {
+        val steps = (2 to kSel).map { t =>
+          s"""pen$t AS (
+                SELECT c.qid, c.nid, max(c.rel) AS rel,
+                       max(round(list_cosine_similarity(c.v, a.v), 4)) AS pen
+                FROM cand c JOIN acc${t - 1} a ON c.qid = a.qid
+                WHERE NOT EXISTS (SELECT 1 FROM acc${t - 1} x
+                                  WHERE x.qid = c.qid AND x.nid = c.nid)
+                GROUP BY c.qid, c.nid),
+              p$t AS (
+                SELECT qid, nid, round($lambda * rel - ${1 - lambda} * pen, 4) AS score,
+                       $t AS rank
+                FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                        ORDER BY ($lambda * rel - ${1 - lambda} * pen) DESC, nid) AS rn
+                      FROM pen$t) WHERE rn = 1),
+              s$t AS (SELECT p.qid, p.nid, c.v, p.score, p.rank
+                      FROM p$t p JOIN cand c ON p.qid = c.qid AND p.nid = c.nid),
+              acc$t AS (SELECT * FROM acc${t - 1} UNION ALL SELECT * FROM s$t)"""
+        }.mkString(",\n")
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $NumQueries),
+              scored AS (
+                SELECT q.qid, e.vec_id AS nid,
+                       round(list_cosine_similarity(q.qv, e.v), 4) AS rel, e.v
+                FROM q JOIN e ON e.vec_id <> q.qid),
+              cand AS (SELECT * FROM (
+                  SELECT *, row_number() OVER (PARTITION BY qid
+                           ORDER BY rel DESC, nid) AS rn
+                  FROM scored) WHERE rn <= $nCand),
+              acc1 AS (SELECT qid, nid, v, rel AS score, 1 AS rank
+                       FROM cand WHERE rn = 1),
+              $steps
+            SELECT qid, rank, nid, score FROM acc$kSel ORDER BY qid, rank"""
+      }
+    )
+  }
+
   def all: Seq[GraftQuery] =
     Seq(bruteTopK, rangeSearch, lshTopK, ivfTopK, ivf2TopK, ivfPersistedTopK,
-      embedStats, pqTopK, indexAppendTopK, ivfPqTopK)
+      embedStats, pqTopK, indexAppendTopK, ivfPqTopK, mmrDiversify)
 }

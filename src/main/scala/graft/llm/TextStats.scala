@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.GraftQuery
 import graft.sources.Tables
@@ -630,8 +630,227 @@ object TextStats {
             ORDER BY priority DESC, doc_id LIMIT 100""")
   )
 
+  /** Linear quality-classifier INFERENCE (the fastText-style learned
+    * filter, as opposed to llm_quality's hand-tuned heuristic): a fixed
+    * weight vector over engineered per-document features, squashed
+    * through a sigmoid. Model application at corpus scale is a pure
+    * projection — no shuffle at all until the final presentation sort;
+    * at 100 TB this runs at scan speed inside whole-stage codegen, which
+    * is exactly why production pipelines distill big quality models into
+    * linear scorers for the first pass. Weights are frozen constants
+    * (a real deployment broadcasts them; at this feature count inlining
+    * is the same plan). */
+  val qualityClassifier: GraftQuery = GraftQuery(
+    "llm_quality_classifier",
+    (s, dir) => {
+      import s.implicits._
+      val toks = TF.tokens($"text")
+      val nTok = size(toks).cast("double")
+      // Features: log-length, mean token length, distinct-token ratio,
+      // ratio of "content" marker tokens (stand-ins for stopword lists).
+      val x1 = log(lit(1.0) + nTok)
+      val x2 = $"n_chars".cast("double") / nTok
+      val x3 = size(array_distinct(toks)).cast("double") / nTok
+      val x4 = size(filter(toks, t => t.isin("spark", "join", "filter")))
+        .cast("double") / nTok
+      val z = lit(-3.25) + lit(0.45) * x1 + lit(0.10) * x2 +
+        lit(1.5) * x3 + lit(2.0) * x4
+      // Threshold the ROUNDED score (the llm_sim_range rule): the keep
+      // bit and p_keep must tell one story, and raw-score thresholding
+      // could disagree with the rounded value right at the boundary.
+      val score = round(lit(1.0) / (lit(1.0) + exp(-z)), 4)
+      Tables.documents(s, dir)
+        .select($"doc_id", score.as("p_keep"), (score >= 0.5).as("keep"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH f AS (
+              SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+                     CAST(n_chars AS DOUBLE) AS n_chars,
+                     CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_dis,
+                     CAST(len(list_filter(string_split(text, ' '),
+                          t -> t IN ('spark', 'join', 'filter'))) AS DOUBLE) AS n_mark
+              FROM documents),
+            z AS (
+              SELECT doc_id,
+                     -3.25 + 0.45 * ln(1.0 + n_tok) + 0.10 * (n_chars / n_tok)
+                          + 1.5 * (n_dis / n_tok) + 2.0 * (n_mark / n_tok) AS z
+              FROM f)
+            SELECT doc_id,
+                   round(1.0 / (1.0 + exp(-z)), 4) AS p_keep,
+                   round(1.0 / (1.0 + exp(-z)), 4) >= 0.5 AS keep
+            FROM z ORDER BY doc_id""")
+  )
+
+  /** Winnowing fingerprints (Schleimer et al., the MOSS scheme): hash
+    * every k-token gram; a gram is a fingerprint iff it is the RIGHTMOST
+    * MINIMUM of at least one full window of w consecutive grams (for
+    * docs with fewer than w grams, of the whole gram list). That is the
+    * exact selection with the exact guarantee — every w-window
+    * contributes ≥1 fingerprint — which makes winnowed sets comparable
+    * across documents regardless of offset shifts.
+    *
+    * "∃ window where p is rightmost min" is computed WITHOUT enumerating
+    * windows: p qualifies iff L(p) + R(p) ≥ min(w, n) − 1, where L
+    * counts consecutive left neighbors with hash ≥ h(p) and R counts
+    * consecutive right neighbors with hash > h(p) (both bounds-checked,
+    * both capped at w−1 by construction; the ≥/> asymmetry IS the
+    * rightmost-tie rule). Equivalence: such a run lets a w-window slide
+    * to cover exactly a ≤ L left and w−1−a ≤ R right neighbors, and
+    * conversely a window's rightmost min has exactly such runs. A first
+    * cut used "min of the window ending at p", which fails the coverage
+    * guarantee — a small hash just left of a window suppresses every
+    * selection inside it (caught by CorpusSpec's coverage property).
+    *
+    * Plan shape: gram hashing AND the run-counting selection are in-row
+    * (`transform` over the gram array with `element_at` neighbor
+    * probes), so fingerprinting is scan-speed with zero shuffles; the
+    * output explode is presentation only. At 100 TB this feeds the same
+    * bucket-join dedup as MinHash at ~2/w the all-grams index size. */
+  val winnow: GraftQuery = GraftQuery(
+    "llm_winnow",
+    (s, dir) => {
+      import s.implicits._
+      val k = 3 // gram width in tokens
+      val w = 4 // winnow window in grams
+      val p = 1000000007L
+      val toks = TF.tokens($"text")
+      // Cross-engine positional gram hash: per-token h=ascii*31+len,
+      // gram hash = left fold (a*131+b) mod p — llm_fingerprint's hash,
+      // applied per k-gram slice.
+      val tokH = transform(toks, t => ascii(t) * lit(31L) + length(t).cast("long"))
+      // The >= k token filter below guarantees the sequence is ascending
+      // (Spark's sequence(1, n) with n <= 0 would generate DESCENDING).
+      val grams = transform(
+        sequence(lit(1), size(toks) - lit(k - 1)),
+        i => aggregate(slice(tokH, i, lit(k)), lit(0L),
+          (acc, v) => (acc * lit(131L) + v) % lit(p)))
+      // Consecutive-run counter: offsets folded inside-out so the chain
+      // of `when`s stops at the first failing neighbor (or the boundary).
+      def run(g: Column, i: Column, cmp: (Column, Column) => Column,
+              off: Int => Column): Column = {
+        val h = element_at(g, i)
+        (1 until w).reverse.foldLeft(lit(w - 1): Column) { (acc, o) =>
+          // `get` is 0-based and NULL-safe out of bounds (ANSI-safe where
+          // element_at would throw); cmp(NULL, h) is NULL -> otherwise.
+          when(cmp(get(g, off(o) - lit(1)), h), acc).otherwise(lit(o - 1))
+        }
+      }
+      val selected = filter(
+        transform(sequence(lit(1), size($"g")),
+          i => struct(i.as("pos"), element_at($"g", i).as("fp"),
+            (run($"g", i, _ >= _, o => i - lit(o)) +
+              run($"g", i, _ > _, o => i + lit(o))).as("runs"))),
+        s0 => s0.getField("runs") >= least(lit(w), size($"g")) - lit(1))
+      Tables.documents(s, dir)
+        .filter(size(TF.tokens($"text")) >= k)
+        .select($"doc_id", grams.as("g"))
+        .select($"doc_id", explode(selected).as("sel"))
+        .select($"doc_id", $"sel.pos".as("pos"), $"sel.fp".as("fp"))
+        .orderBy($"doc_id", $"pos")
+    },
+    Some {
+      def sqlRun(fn: String, op: String): String =
+        s"""CASE WHEN $fn(fp, 1) OVER w $op fp THEN
+              CASE WHEN $fn(fp, 2) OVER w $op fp THEN
+                CASE WHEN $fn(fp, 3) OVER w $op fp THEN 3 ELSE 2 END
+              ELSE 1 END
+            ELSE 0 END"""
+      s"""WITH th AS (
+            SELECT doc_id,
+                   list_transform(string_split(text, ' '),
+                     t -> CAST(ascii(t) * 31 + length(t) AS BIGINT)) AS h
+            FROM documents),
+          g AS (
+            SELECT doc_id,
+                   list_transform(range(1, greatest(len(h) - 1, 1)),
+                     i -> list_reduce(h[i:i+2],
+                            (a, b) -> (a * 131 + b) % 1000000007)) AS g
+            FROM th WHERE len(h) >= 3),
+          e AS (
+            SELECT doc_id, CAST(u.i AS INT) AS pos, g[u.i] AS fp, len(g) AS n
+            FROM g, unnest(range(1, len(g) + 1)) AS u(i)),
+          r AS (
+            SELECT doc_id, pos, fp, n,
+                   ${sqlRun("lag", ">=")} + ${sqlRun("lead", ">")} AS runs
+            FROM e WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+          SELECT doc_id, pos, fp FROM r WHERE runs >= least(4, n) - 1
+          ORDER BY doc_id, pos"""
+    }
+  )
+
+  /** BPE merge LEARNING (Sennrich et al.) — the training counterpart of
+    * llm_token_bpe's apply-side estimate: learn the first MergeCount
+    * merge rules from corpus word frequencies. Each round counts adjacent
+    * symbol pairs weighted by word frequency, takes the argmax (ties:
+    * lexicographic), and rewrites the vocabulary by greedy left-to-right
+    * merge application.
+    *
+    * Scale shape — the shape HuggingFace-style distributed trainers use:
+    * the ONE corpus-sized stage is the word-frequency aggregate (explode
+    * + hash agg with map-side partials); every merge round then runs on
+    * the compact (word, freq) table, independent of corpus size. Rounds
+    * are driven eagerly via localCheckpoint (the iterative-algorithm
+    * lineage cut), the argmax is TakeOrderedAndProject (never a full
+    * sort), and the winning pair rides a 1-row broadcast into the
+    * rewrite — no collect anywhere. The greedy rewrite is a left fold
+    * (`aggregate`): folding is equivalent to the scan-and-skip definition
+    * because a merged output token is strictly longer than the merge's
+    * left side, so it can never re-trigger the same rule at the position
+    * it just consumed (BpeSpec proves the equivalence against a direct
+    * reference implementation).
+    *
+    * No oracle: K chained argmax-dependent rewrites aren't expressible as
+    * one ANSI query; BpeSpec pins every learned (rank, pair, freq)
+    * exactly against an independent driver-side reference. */
+  val bpeTrain: GraftQuery = GraftQuery(
+    "llm_bpe_train",
+    (s, dir) => {
+      import s.implicits._
+      val kMerges = 8
+      var words = Tables.documents(s, dir)
+        .select(explode(TF.tokens($"text")).as("word"))
+        .groupBy($"word").agg(count(lit(1)).as("freq"))
+        // split on "" keeps a trailing empty element (Java split semantics
+        // with limit -1); strip it or the last pair would be (c, "").
+        .select($"freq",
+          filter(split($"word", ""), x => x =!= "").as("syms"))
+        .localCheckpoint()
+      val merges = scala.collection.mutable.ArrayBuffer[DataFrame]()
+      for (t <- 1 to kMerges) {
+        val best = words
+          .filter(size($"syms") > 1)
+          .select($"freq", explode(expr(
+            "transform(sequence(1, size(syms) - 1), " +
+              "i -> struct(syms[i - 1] AS a, syms[i] AS b))")).as("p"))
+          .groupBy($"p.a".as("a"), $"p.b".as("b"))
+          .agg(sum($"freq").as("cnt"))
+          .orderBy($"cnt".desc, $"a", $"b").limit(1)
+          .select(lit(t).as("rank"), $"a", $"b", $"cnt")
+          .localCheckpoint()
+        merges += best
+        words = words
+          .crossJoin(broadcast(best.select($"a".as("ma"), $"b".as("mb"))))
+          .select($"freq",
+            aggregate($"syms", array().cast("array<string>"),
+              (acc, x) => when(
+                size(acc) > 0 && element_at(acc, -1) === $"ma" && x === $"mb",
+                concat(slice(acc, lit(1), size(acc) - 1),
+                  array(concat($"ma", $"mb"))))
+                .otherwise(concat(acc, array(x)))).as("syms"))
+          .localCheckpoint()
+      }
+      merges.reduce(_ unionByName _)
+        .select($"rank", $"a".as("left"), $"b".as("right"),
+          $"cnt".as("pair_freq"))
+        .orderBy($"rank")
+    },
+    None
+  )
+
   def all: Seq[GraftQuery] =
     Seq(textStats, langId, fingerprint, langProfile, tokenBpe, quality,
         vocabTopK, vocabFuzzy, trainSplit, piiScrub, sampleStratified,
-        packChunks, domainMix, shardShuffle, chunkSliding, sampleWeighted)
+        packChunks, domainMix, shardShuffle, chunkSliding, sampleWeighted,
+        qualityClassifier, winnow, bpeTrain)
 }

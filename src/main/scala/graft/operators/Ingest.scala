@@ -586,8 +586,50 @@ object Ingest {
             FROM z GROUP BY 1 ORDER BY zb""")
   )
 
+  /** Schema evolution on read: two parquet batches written with DIFFERENT
+    * schemas (batch 2 adds `event_type`) are read back as ONE table via
+    * `mergeSchema` — the long-lived-dataset reality where producers add
+    * columns over the years and old files must keep reading, with the
+    * missing column as NULL. The aggregation proves both the merged
+    * schema and the NULL semantics for pre-evolution rows.
+    *
+    * Scale shape: mergeSchema's cost is footer reconciliation at
+    * planning, not data movement — at 100 TB you pin the merged schema in
+    * a catalog instead of re-inferring per query, but the per-file
+    * "project missing columns as NULL" read path exercised here is
+    * byte-identical. Both batches are fingerprinted one-time writes (the
+    * Layouts convention). */
+  val ingestSchemaEvolution: GraftQuery = GraftQuery(
+    "ingest_schema_evolution",
+    (s, dir) => {
+      import s.implicits._
+      val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val root = s"/tmp/graft_evolve/$sfx"
+      val meta = graft.llm.Layouts.fingerprint(Tables.events(s, dir), "event_id", "ts")
+      graft.llm.Layouts.parquetLayout(root, root, meta) {
+        val ev = Tables.events(s, dir)
+        // v1 producer: no event_type column yet.
+        ev.filter(pmod($"event_id", lit(2L)) === 0)
+          .select($"event_id", $"user_id", $"value")
+          .write.mode("overwrite").parquet(s"$root/batch=1")
+        // v2 producer: schema gained event_type.
+        ev.filter(pmod($"event_id", lit(2L)) === 1)
+          .select($"event_id", $"user_id", $"value", $"event_type")
+          .write.mode("overwrite").parquet(s"$root/batch=2")
+      }
+      s.read.option("mergeSchema", "true").parquet(root)
+        .groupBy(coalesce($"event_type", lit("pre_evolution")).as("etype"))
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sum_value"))
+        .orderBy($"etype")
+    },
+    Some("""SELECT CASE WHEN event_id % 2 = 0 THEN 'pre_evolution'
+                        ELSE event_type END AS etype,
+                   count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1 ORDER BY etype""")
+  )
+
   def all: Seq[GraftQuery] =
     Seq(ingestPartitioned, ingestIncremental, scanPartitionPrune, joinBucketed,
         ingestUpsert, sourceCsv, sourceJson, partitionBucket, ingestCompact,
-        ingestCdc, ingestScd2, ingestZorder)
+        ingestCdc, ingestScd2, ingestZorder, ingestSchemaEvolution)
 }

@@ -195,6 +195,81 @@ object Relational {
             ORDER BY revenue DESC, n_name""")
   )
 
+  /** TPC-H Q3-shaped shipping-priority query: a segment-filtered
+    * customer⋈orders⋈lineitem join with a date window on both fact
+    * predicates and a top-10 by computed revenue. The classic "filters
+    * on both sides of the join push to the scans, small dim broadcasts,
+    * top-k is a TakeOrderedAndProject" plan — at 100 TB the date
+    * predicates prune partitions before any shuffle, and the limit never
+    * materializes the full ordered result. */
+  val sqlQ3: GraftQuery = GraftQuery(
+    "sql_q3",
+    (s, dir) => {
+      for (t <- Seq("customer", "orders", "lineitem"))
+        graft.sources.Tables.table(s, dir, t).createOrReplaceTempView(s"v_$t")
+      s.sql("""SELECT l_orderkey,
+                      round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+                      o_orderdate
+               FROM v_customer
+               JOIN v_orders   ON o_custkey = c_custkey
+               JOIN v_lineitem ON l_orderkey = o_orderkey
+               WHERE c_mktsegment = 'BUILDING'
+                 AND o_orderdate < TIMESTAMP '1998-03-15'
+                 AND l_shipdate  > TIMESTAMP '1998-03-15'
+               GROUP BY l_orderkey, o_orderdate
+               ORDER BY revenue DESC, l_orderkey
+               LIMIT 10""")
+    },
+    Some("""SELECT l_orderkey,
+                   round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+                   o_orderdate
+            FROM customer
+            JOIN orders   ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-03-15'
+              AND l_shipdate  > TIMESTAMP '1998-03-15'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10""")
+  )
+
+  /** TPC-H Q18-shaped large-volume-customer query: an IN-subquery over a
+    * grouped-HAVING fact aggregate, joined back through orders to
+    * customer. Catalyst plans the IN as a left-semi join against the
+    * aggregated subquery — the aggregate reduces the fact table BEFORE
+    * any join touches it, which is the only formulation that survives at
+    * 100 TB (filtering orders by a per-order quantity sum). */
+  val sqlQ18: GraftQuery = GraftQuery(
+    "sql_q18",
+    (s, dir) => {
+      for (t <- Seq("customer", "orders", "lineitem"))
+        graft.sources.Tables.table(s, dir, t).createOrReplaceTempView(s"v_$t")
+      s.sql("""SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+                      round(o_totalprice, 2) AS totalprice,
+                      round(sum(l_quantity), 2) AS sum_qty
+               FROM v_customer
+               JOIN v_orders   ON o_custkey = c_custkey
+               JOIN v_lineitem ON l_orderkey = o_orderkey
+               WHERE o_orderkey IN (
+                 SELECT l_orderkey FROM v_lineitem
+                 GROUP BY l_orderkey HAVING sum(l_quantity) > 120)
+               GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+               ORDER BY totalprice DESC, o_orderkey""")
+    },
+    Some("""SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+                   round(o_totalprice, 2) AS totalprice,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM customer
+            JOIN orders   ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE o_orderkey IN (
+              SELECT l_orderkey FROM lineitem
+              GROUP BY l_orderkey HAVING sum(l_quantity) > 120)
+            GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+            ORDER BY totalprice DESC, o_orderkey""")
+  )
+
   /** Correlated subqueries through the SQL surface: a correlated scalar
     * aggregate (balance above own-nation average) plus a correlated
     * EXISTS (has an urgent order). Catalyst DECORRELATES both — the
@@ -265,6 +340,6 @@ object Relational {
 
   def all: Seq[GraftQuery] = Seq(
     scanProject, scanFilterPushdown, filterPred, projectCompute,
-    sortLimit, setUnion, setIntersect, setExcept, sqlStarQ5, sqlSubquery,
-    cleanNa)
+    sortLimit, setUnion, setIntersect, setExcept, sqlStarQ5, sqlQ3, sqlQ18,
+    sqlSubquery, cleanNa)
 }

@@ -580,7 +580,58 @@ object TimeSeries {
             FROM j ORDER BY user_id, day""")
   )
 
+  /** Exponentially-weighted moving average with a truncated (K-term)
+    * kernel: ewma_t = Σ_{i<K} α(1-α)^i · x_{t-i}, renormalized over the
+    * terms actually present near the head of each series. The truncation
+    * makes the recursion a FIXED sum of K lag() terms inside one window
+    * spec — one shuffle on user_id, one in-partition sort, whole-stage
+    * codegen over the K-term expression — instead of a sequential
+    * per-row state fold. K=8 at α=0.3 truncates < 6% of kernel mass.
+    * The K lag terms are summed in the same left-to-right order in both
+    * engines, so the doubles agree before rounding.
+    *
+    * At 100 TB the exact-recursive alternative (per-key ordered fold via
+    * mapGroupsWithState / flatMapGroups) costs the same shuffle+sort but
+    * loses codegen; the truncated-kernel form is the standard production
+    * trade. */
+  val ewma: GraftQuery = GraftQuery(
+    "ts_ewma",
+    (s, dir) => {
+      import s.implicits._
+      val alpha = 0.3
+      val k = 8
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val weights = (0 until k).map(i => alpha * math.pow(1 - alpha, i))
+      val num = weights.zipWithIndex.map { case (wt, i) =>
+        coalesce(lag($"value", i).over(w) * lit(wt), lit(0.0))
+      }.reduce(_ + _)
+      val den = weights.zipWithIndex.map { case (wt, i) =>
+        when(lag($"value", i).over(w).isNotNull, lit(wt)).otherwise(lit(0.0))
+      }.reduce(_ + _)
+      Tables.events(s, dir)
+        .select($"user_id", $"event_id", $"ts", $"value")
+        .withColumn("ewma", round(num / den, 4))
+        .drop("value", "ts")
+        .orderBy($"user_id", $"event_id")
+    },
+    Some {
+      val alpha = 0.3
+      val k = 8
+      val weights = (0 until k).map(i => alpha * math.pow(1 - alpha, i))
+      val num = weights.zipWithIndex.map { case (wt, i) =>
+        s"coalesce(lag(value, $i) OVER w * $wt, 0.0)"
+      }.mkString(" + ")
+      val den = weights.zipWithIndex.map { case (wt, i) =>
+        s"(CASE WHEN lag(value, $i) OVER w IS NOT NULL THEN $wt ELSE 0.0 END)"
+      }.mkString(" + ")
+      s"""SELECT user_id, event_id, round(($num) / ($den), 4) AS ewma
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+          ORDER BY user_id, event_id"""
+    }
+  )
+
   def all: Seq[GraftQuery] =
     Seq(asofJoin, gapFill, ntileRanks, skewSalted, resample, funnel,
-      funnelWindowed, sessionize, retention, anomaly, interpolate)
+      funnelWindowed, sessionize, retention, anomaly, interpolate, ewma)
 }

@@ -146,5 +146,38 @@ object Windows {
             ORDER BY user_id, event_id""")
   )
 
-  def all: Seq[GraftQuery] = Seq(rank3, topkPerGroup, running, lagLead, rangeFrame)
+  /** Distribution functions: percent_rank and cume_dist over the same
+    * single window spec (one shuffle + one in-partition sort). Both are
+    * exact rational functions of rank and partition size, so the doubles
+    * are bit-identical across engines; rounding is belt-and-braces. The
+    * row_number filter bounds the output, applied AFTER the distribution
+    * values are computed over the full partition. */
+  val dist: GraftQuery = GraftQuery(
+    "win_dist",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"l_returnflag")
+        .orderBy($"l_quantity", $"l_orderkey", $"l_linenumber")
+      Tables.lineitem(s, dir)
+        .select($"l_returnflag", $"l_orderkey", $"l_linenumber", $"l_quantity")
+        .withColumn("pr", round(percent_rank().over(w), 6))
+        .withColumn("cd", round(cume_dist().over(w), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 2000)
+        .orderBy($"l_returnflag", $"rn")
+    },
+    Some("""SELECT * FROM (
+              SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+                     round(percent_rank() OVER w, 6) AS pr,
+                     round(cume_dist()    OVER w, 6) AS cd,
+                     row_number() OVER w AS rn
+              FROM lineitem
+              WINDOW w AS (PARTITION BY l_returnflag
+                           ORDER BY l_quantity, l_orderkey, l_linenumber))
+            WHERE rn <= 2000
+            ORDER BY l_returnflag, rn""")
+  )
+
+  def all: Seq[GraftQuery] =
+    Seq(rank3, topkPerGroup, running, lagLead, rangeFrame, dist)
 }

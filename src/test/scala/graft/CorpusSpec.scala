@@ -314,4 +314,51 @@ class CorpusSpec extends AnyFunSuite {
     assert(sampleMean > corpusMean,
       s"weighted sampling must prefer long docs (sample $sampleMean vs corpus $corpusMean)")
   }
+
+  test("winnow: selection equals the window-enumeration reference, with coverage") {
+    // Reference = the textbook definition: enumerate every full window of
+    // w=4 grams (the whole list when shorter) and take each window's
+    // RIGHTMOST minimum. The engine computes the same set via run
+    // counting without enumerating windows — this proves the equivalence.
+    val w = 4
+    val out = llm.TextStats.winnow.run(spark, TestSpark.Sf).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getInt(1)).toSet }
+    def gramHashes(text: String): Array[Long] = {
+      val h = text.split(" ").map(t => t.head.toLong * 31L + t.length)
+      h.sliding(3).filter(_.length == 3)
+        .map(_.foldLeft(0L)((a, b) => (a * 131 + b) % 1000000007L)).toArray
+    }
+    def rightmostMin(g: Array[Long], lo: Int, hi: Int): Int = // 1-based incl
+      (lo to hi).maxBy(j => (-g(j - 1), j)) // min value, then max pos
+    val docs = docsById.filter(_._2.split(" ").length >= 3)
+    assert(out.keySet == docs.keySet)
+    docs.foreach { case (id, text) =>
+      val g = gramHashes(text)
+      val n = g.length
+      val expected =
+        if (n < w) Set(rightmostMin(g, 1, n))
+        else (1 to n - w + 1).map(q => rightmostMin(g, q, q + w - 1)).toSet
+      assert(out(id) == expected,
+        s"doc $id: engine ${out(id).toSeq.sorted}, reference ${expected.toSeq.sorted}")
+      // the guarantee the scheme exists for: every full window is covered
+      if (n >= w) (w to n).foreach { i =>
+        assert((i - w + 1 to i).exists(out(id).contains),
+          s"doc $id: window [${i - w + 1},$i] has no fingerprint")
+      }
+    }
+  }
+
+  test("quality classifier: keep decision is exactly score >= 0.5") {
+    val out = llm.TextStats.qualityClassifier.run(spark, TestSpark.Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (p, keep) = (r.getDouble(1), r.getBoolean(2))
+      assert(keep == (p >= 0.5), s"doc ${r.getLong(0)}: p=$p keep=$keep")
+      assert(p >= 0.0 && p <= 1.0)
+    }
+    // the sigmoid must actually separate: both classes present at sf0.001
+    assert(out.exists(_.getBoolean(2)) && out.exists(!_.getBoolean(2)),
+      "fixture should produce both keep and drop decisions")
+  }
 }

@@ -26,7 +26,7 @@ class RegistrySpec extends AnyFunSuite {
     val survey = new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
     val section = survey.split("### §2b")(1).split("\n## ")(0)
-    val keyRe = "`((?:scan|filter|project|sort|set|sql|clean|ingest|source|join|agg|win|fn|stream|ts|llm|mm)_[a-z0-9_]+)`".r
+    val keyRe = "`((?:scan|filter|project|sort|set|sql|clean|ingest|source|join|agg|win|fn|stream|ts|llm|mm|graph)_[a-z0-9_]+)`".r
     val declared = section.linesIterator.filter(_.startsWith("| `"))
       .flatMap(l => keyRe.findAllMatchIn(l).map(_.group(1))).toSet
     val registered = SparkEntry.registry.map(_.name).toSet

@@ -337,4 +337,46 @@ class SimilaritySpec extends AnyFunSuite {
     val total = sources.Tables.embeddings(spark, TestSpark.Sf).count()
     assert(n === total, "appended index must cover the full corpus")
   }
+
+  test("mmr: greedy selection matches a driver-side reference recomputation") {
+    val lambda = 0.7
+    val out = llm.Similarity.mmrDiversify.run(spark, TestSpark.Sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    val vecs = sources.Tables.embeddings(spark, TestSpark.Sf)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i => d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    (0L until 5L).foreach { qid =>
+      val qv = vecs(qid)
+      val cand = vecs.keys.filter(_ != qid).map(id => id -> cos(vecs(id), qv))
+        .toSeq.sortBy { case (id, rel) => (-rel, id) }.take(20)
+      val selected = scala.collection.mutable.ArrayBuffer(cand.head._1)
+      (2 to 5).foreach { _ =>
+        val next = cand.filterNot(c => selected.contains(c._1))
+          .map { case (id, rel) =>
+            val penMax = selected.map(sid => cos(vecs(id), vecs(sid))).max
+            (id, lambda * rel - (1 - lambda) * penMax)
+          }.minBy { case (id, s) => (-s, id) }
+        selected += next._1
+      }
+      val got = out.filter(_._1 == qid).sortBy(_._2).map(_._3).toSeq
+      assert(got == selected.toSeq,
+        s"query $qid: engine picked $got, reference picked $selected")
+    }
+    // diversification must actually bite on the fixture: at least one
+    // query's MMR set differs from its pure top-5
+    val differs = (0L until 5L).exists { qid =>
+      val qv = vecs(qid)
+      val top5 = vecs.keys.filter(_ != qid).map(id => id -> cos(vecs(id), qv))
+        .toSeq.sortBy { case (id, rel) => (-rel, id) }.take(5).map(_._1)
+      out.filter(_._1 == qid).sortBy(_._2).map(_._3).toSeq != top5
+    }
+    assert(differs, "MMR never deviated from pure relevance — λ penalty inert")
+  }
 }

@@ -297,4 +297,34 @@ class TimeSeriesSpec extends AnyFunSuite {
     val gaps = interp.filter($"is_gap").count()
     assert(gaps > 0, "fixture must contain gap days for the op to be exercised")
   }
+
+  test("ewma: matches a driver-side truncated-kernel recomputation per user") {
+    val alpha = 0.3
+    val k = 8
+    val out = operators.TimeSeries.ewma.run(spark, TestSpark.Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val series = sources.Tables.events(spark, TestSpark.Sf)
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .orderBy($"user_id", $"ts", $"event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+      .groupBy(_._1)
+    series.foreach { case (uid, rows) =>
+      val vals = rows.map(_._3)
+      rows.indices.foreach { t =>
+        val terms = (0 until math.min(k, t + 1))
+          .map(i => alpha * math.pow(1 - alpha, i))
+        val num = terms.zipWithIndex.map { case (w, i) => w * vals(t - i) }.sum
+        val expected =
+          BigDecimal(num / terms.sum).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        val got = BigDecimal(out((uid, rows(t)._2)))
+        assert((got - expected).abs <= BigDecimal(0.0001),
+          s"user $uid event ${rows(t)._2}: ewma $got, recomputed $expected")
+      }
+    }
+    // head of each series: the first value passes through unchanged
+    series.foreach { case (uid, rows) =>
+      assert(math.abs(out((uid, rows.head._2)) - rows.head._3) < 0.0001,
+        s"user $uid: ewma at t=0 must equal the first value")
+    }
+  }
 }
