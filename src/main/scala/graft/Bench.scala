@@ -16,7 +16,11 @@ object Bench {
     try spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().count()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Alphabetical execution order: Map iteration order shifts whenever
+    // the key set changes, which silently moves one-time shared-layout
+    // build costs between queries across rounds. A fixed order keeps
+    // per-query attribution comparable round over round.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
@@ -28,7 +32,7 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // Per-query detail goes to a file and a non-final stdout line; the FINAL
     // stdout line is deliberately short so a tail-capture parse (which lost
     // the head of round 1's single long line) always gets a complete JSON

@@ -133,6 +133,79 @@ case class SortedHashedShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Native expression: the full winnowing selection (gram hashing + run
+  * counting) of `llm_winnow`, one row-level pass over the token array.
+  *
+  * The Column-API formulation (nested transform/aggregate/element_at
+  * higher-order functions) is interpreted per element — measured ~3.7 s
+  * at sf0.1 where this pass is ~0.3 s. Semantics are pinned three ways:
+  * the DuckDB oracle (identical rolling hash and run rule), CorpusSpec's
+  * window-enumeration reference, and the k/w constants shared with the
+  * query.
+  *
+  * Hash parity contract (must match the SQL oracle exactly): per-token
+  * h = (codepoint of first char)·31 + numChars; gram hash = left fold
+  * (acc·131 + h) mod 1e9+7 over k consecutive token hashes. Selection:
+  * position j (1-based) is kept iff L+R ≥ min(w, n)−1, where L counts
+  * consecutive left neighbors with hash ≥ h(j) and R consecutive right
+  * neighbors with hash > h(j) (the ≥/> asymmetry is the rightmost-tie
+  * rule). */
+case class WinnowSelect(child: Expression, k: Int, w: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StructField, StructType}
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("pos", IntegerType, nullable = false),
+      StructField("fp", LongType, nullable = false))),
+    containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val nTok = toks.numElements()
+    val p = 1000000007L
+    val nG = nTok - k + 1
+    if (nG <= 0) return ArrayData.toArrayData(Array.empty[Any])
+    val th = new Array[Long](nTok)
+    var i = 0
+    while (i < nTok) {
+      val s = toks.getUTF8String(i)
+      val str = s.toString
+      val first = if (str.isEmpty) 0 else str.codePointAt(0)
+      th(i) = first.toLong * 31L + s.numChars()
+      i += 1
+    }
+    val g = new Array[Long](nG)
+    var j = 0
+    while (j < nG) {
+      var acc = 0L
+      var t = 0
+      while (t < k) { acc = (acc * 131L + th(j + t)) % p; t += 1 }
+      g(j) = acc
+      j += 1
+    }
+    val need = math.min(w, nG) - 1
+    val out = new scala.collection.mutable.ArrayBuffer[Any](nG / w + 2)
+    j = 0
+    while (j < nG) {
+      val h = g(j)
+      var l = 0
+      while (l < w - 1 && j - l - 1 >= 0 && g(j - l - 1) >= h) l += 1
+      var r = 0
+      while (r < w - 1 && j + r + 1 < nG && g(j + r + 1) > h) r += 1
+      if (l + r >= need)
+        out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](j + 1, h))
+      j += 1
+    }
+    ArrayData.toArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Native expression: k-permutation MinHash signature of a hashed-shingle
   * array, one row-level pass.
   *
@@ -296,6 +369,11 @@ object ArrayFunctions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
+      "graft_winnow_select",
+      exprs => WinnowSelect(exprs(0),
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction(
       "graft_simhash64", exprs => SimHash64(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_sorted_intersect_size",
@@ -359,5 +437,15 @@ object ArrayFunctions {
     register(spark)
     call_function("graft_simhash_from_hashes", hashes,
       org.apache.spark.sql.functions.lit(bits))
+  }
+
+  /** Winnowing selection over an array<string> token column:
+    * array<struct<pos int, fp long>> of the selected k-gram fingerprints
+    * (llm_winnow's semantics, one JIT'd row-level pass). */
+  def winnowSelect(spark: SparkSession, tokens: Column, k: Int, w: Int): Column = {
+    register(spark)
+    call_function("graft_winnow_select", tokens,
+      org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(w))
   }
 }

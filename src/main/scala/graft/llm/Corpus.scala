@@ -125,19 +125,31 @@ object Corpus {
   /** Ids of training docs sharing ≥ DecontamMinHits distinct 8-grams
     * with the eval set — tiny by construction (only heavy overlappers),
     * so consumers broadcast it into anti joins. Shared by
-    * llm_decontaminate and llm_curate. */
+    * llm_decontaminate and llm_curate, and PERSISTED via the Layouts
+    * protocol (round 8): the contaminated-id set is a deterministic
+    * per-dataset artifact like the CC labels and the bigram LM, so the
+    * gram-explode detection pass runs once per dataset instead of once
+    * per consumer — at 100 TB that pass is a full-corpus scan, exactly
+    * the thing a pipeline materializes beside its eval-set registry. */
   private[graft] def contaminatedIds(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val sigs = gramSigs(s, Tables.documents(s, dir)).cache()
-    val grams = sigs.select($"doc_id", explode($"ghs").as("gh"))
-    val bench = grams.filter($"doc_id" % BenchMod === BenchRem)
-      .select($"gh").distinct()
-    grams.filter($"doc_id" % BenchMod =!= BenchRem)
-      .join(bench, "gh")
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_shared"))
-      .filter($"n_shared" >= DecontamMinHits)
-      .select($"doc_id")
+    val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val path = s"/tmp/graft_contam/$sfx"
+    Layouts.parquetLayout(path, path,
+        Layouts.fingerprint(Tables.documents(s, dir), "doc_id", "text")) {
+      val sigs = gramSigs(s, Tables.documents(s, dir)).cache()
+      val grams = sigs.select($"doc_id", explode($"ghs").as("gh"))
+      val bench = grams.filter($"doc_id" % BenchMod === BenchRem)
+        .select($"gh").distinct()
+      grams.filter($"doc_id" % BenchMod =!= BenchRem)
+        .join(bench, "gh")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .filter($"n_shared" >= DecontamMinHits)
+        .select($"doc_id")
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
   }
 
   val decontaminate: GraftQuery = GraftQuery(
@@ -295,13 +307,29 @@ object Corpus {
         .agg(countDistinct($"doc_id").as("nd"))
         .filter($"nd" > 1).select($"gh")
       val occ = grams.join(dup, "gh")
-      val stats = occ.groupBy($"doc_id")
-        .agg(max($"n_toks").as("n_toks"), count(lit(1)).as("n_dup_grams"))
-      val covered = occ
-        .select($"doc_id", explode(sequence($"pos", $"pos" + (ContamN - 1))).as("p"))
-        .distinct()
-        .groupBy($"doc_id").agg(count(lit(1)).as("covered"))
-      stats.join(covered, "doc_id")
+      // ONE aggregate per doc: stats ride declarative folds, and token
+      // coverage is an in-row interval-union sweep over the sorted dup
+      // positions — [p, p+8) spans merged left to right, each position
+      // contributing the part past the previous span's end. This
+      // replaces the first cut's explode(×8) → corpus-wide DISTINCT →
+      // re-join (two extra shuffles and 8× the rows through the wire);
+      // per-doc position lists are bounded by doc length, so the
+      // ObjectHashAggregate buffer is small and the sweep is O(m). */
+      val sweep = aggregate(
+        sort_array(collect_list($"pos")),
+        struct(lit(0L).as("covered"), lit(-1L).as("end")),
+        (acc, p0) => {
+          val p = p0.cast("long")
+          struct(
+            (acc.getField("covered") +
+              greatest(lit(0L),
+                p + ContamN - greatest(p, acc.getField("end")))).as("covered"),
+            greatest(acc.getField("end"), p + ContamN).as("end"))
+        },
+        acc => acc.getField("covered"))
+      occ.groupBy($"doc_id")
+        .agg(max($"n_toks").as("n_toks"), count(lit(1)).as("n_dup_grams"),
+          sweep.as("covered"))
         .select($"doc_id", $"n_toks", $"n_dup_grams", $"covered",
           round($"covered".cast("double") / $"n_toks", 4).as("dup_coverage"))
         .orderBy($"doc_id")
@@ -741,9 +769,21 @@ object Corpus {
     * llm_perplexity dataflow as a composable curation signal (unordered;
     * the registered query adds the total-order sort, composers join it by
     * doc_id like repetitionMetrics / scoredDocs). Reads the persisted LM
-    * layout, so repeated scoring passes share one trained model. */
-  private[graft] def perplexityScores(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-    scoreBigrams(s, docBigrams(s, Tables.documents(s, dir)), lmCounts(s, dir))
+    * layout, and is itself PERSISTED (round 8): per-doc NLL against a
+    * frozen LM is deterministic per dataset, and both llm_perplexity and
+    * llm_curate consume it — one scoring pass per dataset, not one per
+    * consumer. The fingerprint covers text AND source because the LM is
+    * trained on the source slice. */
+  private[graft] def perplexityScores(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val path = s"/tmp/graft_nll/$sfx"
+    Layouts.parquetLayout(path, path,
+        Layouts.fingerprint(Tables.documents(s, dir), "doc_id", "text", "source")) {
+      scoreBigrams(s, docBigrams(s, Tables.documents(s, dir)), lmCounts(s, dir))
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
 
   /** BM25 ranked retrieval — the lexical scoring function behind every
     * production keyword search (Lucene/Elasticsearch default), over the

@@ -713,39 +713,15 @@ object TextStats {
       import s.implicits._
       val k = 3 // gram width in tokens
       val w = 4 // winnow window in grams
-      val p = 1000000007L
-      val toks = TF.tokens($"text")
-      // Cross-engine positional gram hash: per-token h=ascii*31+len,
-      // gram hash = left fold (a*131+b) mod p — llm_fingerprint's hash,
-      // applied per k-gram slice.
-      val tokH = transform(toks, t => ascii(t) * lit(31L) + length(t).cast("long"))
-      // The >= k token filter below guarantees the sequence is ascending
-      // (Spark's sequence(1, n) with n <= 0 would generate DESCENDING).
-      val grams = transform(
-        sequence(lit(1), size(toks) - lit(k - 1)),
-        i => aggregate(slice(tokH, i, lit(k)), lit(0L),
-          (acc, v) => (acc * lit(131L) + v) % lit(p)))
-      // Consecutive-run counter: offsets folded inside-out so the chain
-      // of `when`s stops at the first failing neighbor (or the boundary).
-      def run(g: Column, i: Column, cmp: (Column, Column) => Column,
-              off: Int => Column): Column = {
-        val h = element_at(g, i)
-        (1 until w).reverse.foldLeft(lit(w - 1): Column) { (acc, o) =>
-          // `get` is 0-based and NULL-safe out of bounds (ANSI-safe where
-          // element_at would throw); cmp(NULL, h) is NULL -> otherwise.
-          when(cmp(get(g, off(o) - lit(1)), h), acc).otherwise(lit(o - 1))
-        }
-      }
-      val selected = filter(
-        transform(sequence(lit(1), size($"g")),
-          i => struct(i.as("pos"), element_at($"g", i).as("fp"),
-            (run($"g", i, _ >= _, o => i - lit(o)) +
-              run($"g", i, _ > _, o => i + lit(o))).as("runs"))),
-        s0 => s0.getField("runs") >= least(lit(w), size($"g")) - lit(1))
+      // Native one-pass expression (gram hashing + run-count selection in
+      // a JIT'd row-level loop — the interpreted HOF formulation measured
+      // ~12x slower at sf0.1); hash + selection semantics documented on
+      // WinnowSelect and pinned by the oracle + CorpusSpec reference.
       Tables.documents(s, dir)
         .filter(size(TF.tokens($"text")) >= k)
-        .select($"doc_id", grams.as("g"))
-        .select($"doc_id", explode(selected).as("sel"))
+        .select($"doc_id",
+          explode(graft.functions.ArrayFunctions.winnowSelect(
+            s, TF.tokens($"text"), k, w)).as("sel"))
         .select($"doc_id", $"sel.pos".as("pos"), $"sel.fp".as("fp"))
         .orderBy($"doc_id", $"pos")
     },

@@ -8,14 +8,15 @@ import graft.sources.Tables
 /** Graph analytics over a derived co-occurrence graph (SURVEY.md §2b
   * "Graph analytics" family, added round 8).
   *
-  * The graph: two parts are connected when they ship in the same order —
-  * the classic market-basket projection of a fact table onto an item-item
-  * graph. Edge derivation is a distinct-project + equi self-join on the
-  * order key; the per-order pair blowup is bounded by lines-per-order
-  * (single digits in TPC-H-shaped data), so edge count is O(facts), not
-  * O(facts²). At 100 TB the same derivation holds: the self-join shuffles
-  * once on the order key, and the `a < b` orientation halves the pair
-  * space before the distinct.
+  * The graph: two parts are connected when they ship together in at
+  * least MinSupport orders — the classic market-basket projection of a
+  * fact table onto an item-item graph, support-thresholded as every
+  * production co-occurrence graph is (see MinSupport). Edge derivation
+  * is a distinct-project + equi self-join on the order key feeding one
+  * hash aggregate on the pair; the self-join shuffles once on the order
+  * key, the `a < b` orientation halves the pair space, and the
+  * per-order fanout is bounded by lines-per-order. The derived graph
+  * persists as a fingerprinted layout shared by all three queries.
   *
   * PageRank runs a FIXED number of power iterations (deterministic, so it
   * oracles against an unrolled-CTE DuckDB query). Each iteration is one
@@ -33,23 +34,48 @@ object Graph {
   private val Damping = 0.85
   private val Iters = 5
 
-  /** Undirected edge set, oriented src < dst, deduplicated.
+  /** Minimum co-occurrence support for an edge (the market-basket
+    * support threshold): a pair must ship together in ≥ MinSupport
+    * orders. Without it the edge set is dominated by combinatorial
+    * noise that GROWS with scale (sf0.1: 1.196M pairs, of which only
+    * 3,573 repeat); with it the graph is the scale-STABLE signal set
+    * (2.3k / 3.4k / 3.6k edges across the three fixture SFs), and every
+    * downstream traversal runs on signal, not noise — exactly why
+    * production co-occurrence graphs always threshold support. */
+  private val MinSupport = 2
+
+  /** Undirected edge set, oriented src < dst, deduplicated — PERSISTED
+    * as a fingerprinted layout shared by all three graph queries.
     *
-    * localCheckpoint cuts the lineage: every consumer references the edge
-    * table several times (the self-joins and the per-iteration joins
-    * below), and without the cut Catalyst inlines the whole
-    * derive-the-graph subtree at EVERY reference — the round-8 first
-    * plan carried 131 planned shuffles for PageRank. Materializing the
-    * derived graph once before iterating is exactly what Pregel-style
-    * systems do; the checkpoint is O(edges), the thing iterated over. */
+    * Two materialization layers, each load-bearing:
+    *  - the parquet layout makes the derived graph a per-dataset
+    *    artifact (the fact-table projection runs once, not once per
+    *    query — pagerank, triangles, and degree-dist all consume it);
+    *  - localCheckpoint on the read cuts lineage WITHIN a query: every
+    *    consumer references the edge table several times (self-joins,
+    *    per-iteration joins), and without the cut Catalyst inlines the
+    *    scan subtree at every reference — the round-8 first plan
+    *    carried 131 planned shuffles for PageRank. Materializing the
+    *    graph before iterating is the Pregel discipline; both layers
+    *    are O(edges), the thing iterated over. */
   private def undirectedEdges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val lp = Tables.lineitem(s, dir)
-      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
-    lp.as("a").join(lp.as("b"),
-        $"a.o" === $"b.o" && $"a.p" < $"b.p")
-      .select($"a.p".as("src"), $"b.p".as("dst")).distinct()
-      .localCheckpoint()
+    val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val path = s"/tmp/graft_graph/$sfx"
+    graft.llm.Layouts.parquetLayout(path, path,
+        graft.llm.Layouts.fingerprint(
+          Tables.lineitem(s, dir), "l_orderkey", "l_partkey")) {
+      val lp = Tables.lineitem(s, dir)
+        .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+      lp.as("a").join(lp.as("b"),
+          $"a.o" === $"b.o" && $"a.p" < $"b.p")
+        .groupBy($"a.p".as("src"), $"b.p".as("dst"))
+        .agg(count(lit(1)).as("support"))
+        .filter($"support" >= MinSupport)
+        .select($"src", $"dst")
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path).localCheckpoint()
   }
 
   /** Both directions — the form PageRank and degree queries consume.
@@ -62,9 +88,10 @@ object Graph {
   }
 
   private val edgeCte =
-    """lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-       e0 AS (SELECT DISTINCT a.p AS src, b.p AS dst
-              FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+    s"""lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       e0 AS (SELECT a.p AS src, b.p AS dst
+              FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p
+              GROUP BY a.p, b.p HAVING count(*) >= $MinSupport),
        e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)"""
 
   /** Fixed-iteration PageRank; see object scaladoc for the plan shape. */

@@ -9,15 +9,22 @@ class GraphSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  /** Brute-force edge set (src < dst) recomputed driver-side. */
+  /** Brute-force edge set (src < dst, co-order support >= 2) recomputed
+    * driver-side. */
   private def bruteEdges: Set[(Long, Long)] = {
     val lp = sources.Tables.lineitem(spark, TestSpark.Sf)
       .select($"l_orderkey", $"l_partkey").distinct().collect()
       .map(r => (r.getLong(0), r.getLong(1)))
-    lp.groupBy(_._1).values.flatMap { lines =>
-      val ps = lines.map(_._2).distinct.toSeq
-      for (a <- ps; b <- ps if a < b) yield (a, b)
-    }.toSet
+    // NOTE the .iterator before collect: `Map.collect` producing tuple
+    // elements rebuilds a MAP (keyed by the pair's first element), which
+    // silently collapsed the 2324 support-2 edges to 188 distinct low
+    // endpoints in the first two formulations of this reference.
+    val m = scala.collection.mutable.Map[(Long, Long), Int]()
+    lp.groupBy(_._1).valuesIterator.foreach { lines =>
+      val ps = lines.map(_._2).distinct
+      for (a <- ps; b <- ps if a < b) m((a, b)) = m.getOrElse((a, b), 0) + 1
+    }
+    m.iterator.collect { case (e, c) if c >= 2 => e }.toSet
   }
 
   test("pagerank: ranks stay a probability distribution (sum ≈ 1)") {
