@@ -707,6 +707,41 @@ object TextStats {
     * probes), so fingerprinting is scan-speed with zero shuffles; the
     * output explode is presentation only. At 100 TB this feeds the same
     * bucket-join dedup as MinHash at ~2/w the all-grams index size. */
+  /** Containment floor for llm_dedup_winnow (declared before the queries
+    * that capture it — the forward-ref-yields-null trap). */
+  private val WinnowTau = 0.5
+
+  /** Shared DuckDB CTE chain computing the winnowing selection (used by
+    * llm_winnow's oracle and llm_dedup_winnow's): th = per-token hashes,
+    * g = per-doc gram-hash arrays, e = exploded positions, r = positions
+    * with left/right run counts. */
+  private val winnowCtes: String = {
+    def sqlRun(fn: String, op: String): String =
+      s"""CASE WHEN $fn(fp, 1) OVER w $op fp THEN
+            CASE WHEN $fn(fp, 2) OVER w $op fp THEN
+              CASE WHEN $fn(fp, 3) OVER w $op fp THEN 3 ELSE 2 END
+            ELSE 1 END
+          ELSE 0 END"""
+    s"""th AS (
+          SELECT doc_id,
+                 list_transform(string_split(text, ' '),
+                   t -> CAST(ascii(t) * 31 + length(t) AS BIGINT)) AS h
+          FROM documents),
+        g AS (
+          SELECT doc_id,
+                 list_transform(range(1, greatest(len(h) - 1, 1)),
+                   i -> list_reduce(h[i:i+2],
+                          (a, b) -> (a * 131 + b) % 1000000007)) AS g
+          FROM th WHERE len(h) >= 3),
+        e AS (
+          SELECT doc_id, CAST(u.i AS INT) AS pos, g[u.i] AS fp, len(g) AS n
+          FROM g, unnest(range(1, len(g) + 1)) AS u(i)),
+        r AS (
+          SELECT doc_id, pos, fp, n,
+                 ${sqlRun("lag", ">=")} + ${sqlRun("lead", ">")} AS runs
+          FROM e WINDOW w AS (PARTITION BY doc_id ORDER BY pos))"""
+  }
+
   val winnow: GraftQuery = GraftQuery(
     "llm_winnow",
     (s, dir) => {
@@ -725,34 +760,63 @@ object TextStats {
         .select($"doc_id", $"sel.pos".as("pos"), $"sel.fp".as("fp"))
         .orderBy($"doc_id", $"pos")
     },
-    Some {
-      def sqlRun(fn: String, op: String): String =
-        s"""CASE WHEN $fn(fp, 1) OVER w $op fp THEN
-              CASE WHEN $fn(fp, 2) OVER w $op fp THEN
-                CASE WHEN $fn(fp, 3) OVER w $op fp THEN 3 ELSE 2 END
-              ELSE 1 END
-            ELSE 0 END"""
-      s"""WITH th AS (
-            SELECT doc_id,
-                   list_transform(string_split(text, ' '),
-                     t -> CAST(ascii(t) * 31 + length(t) AS BIGINT)) AS h
-            FROM documents),
-          g AS (
-            SELECT doc_id,
-                   list_transform(range(1, greatest(len(h) - 1, 1)),
-                     i -> list_reduce(h[i:i+2],
-                            (a, b) -> (a * 131 + b) % 1000000007)) AS g
-            FROM th WHERE len(h) >= 3),
-          e AS (
-            SELECT doc_id, CAST(u.i AS INT) AS pos, g[u.i] AS fp, len(g) AS n
-            FROM g, unnest(range(1, len(g) + 1)) AS u(i)),
-          r AS (
-            SELECT doc_id, pos, fp, n,
-                   ${sqlRun("lag", ">=")} + ${sqlRun("lead", ">")} AS runs
-            FROM e WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
-          SELECT doc_id, pos, fp FROM r WHERE runs >= least(4, n) - 1
-          ORDER BY doc_id, pos"""
-    }
+    Some(s"""WITH $winnowCtes
+             SELECT doc_id, pos, fp FROM r WHERE runs >= least(4, n) - 1
+             ORDER BY doc_id, pos""")
+  )
+
+  /** Winnowing-fingerprint DEDUP — the pipeline the fingerprints exist
+    * for (the MOSS comparison stage): index docs by their winnowed
+    * fingerprint sets, candidate pairs from an equi-join on shared
+    * fingerprints, containment = shared / min(|A|,|B|) against a 0.5
+    * floor. Same shape as the MinHash band join but at ~2/w the index
+    * size, and (unlike MinHash) with the winnowing guarantee that any
+    * shared run of w+k−1 tokens yields a shared fingerprint.
+    *
+    * Scale shape: the index is one scan projection (native WinnowSelect);
+    * the candidate join is an equi-join on the 8-byte fingerprint — a
+    * fingerprint shared by m docs fans out m² pairs, so production
+    * applies the same df-cap as llm_dedup_containment_capped on
+    * boilerplate-hot fingerprints (documented trade; the fixture has no
+    * such hot spot). Containment thresholds the ROUNDED ratio. */
+  val winnowDedup: GraftQuery = GraftQuery(
+    "llm_dedup_winnow",
+    (s, dir) => {
+      import s.implicits._
+      val k = 3
+      val w = 4
+      val fps = Tables.documents(s, dir)
+        .filter(size(TF.tokens($"text")) >= k)
+        .select($"doc_id",
+          array_distinct(transform(
+            graft.functions.ArrayFunctions.winnowSelect(s, TF.tokens($"text"), k, w),
+            x => x.getField("fp"))).as("fps"))
+        .select($"doc_id", size($"fps").as("nf"), explode($"fps").as("fp"))
+      fps.as("a")
+        .join(fps.as("b"),
+          $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("u"), $"b.doc_id".as("v"),
+          $"a.nf".as("nu"), $"b.nf".as("nv"))
+        .agg(count(lit(1)).as("shared"))
+        .withColumn("overlap",
+          round($"shared".cast("double") / least($"nu", $"nv"), 4))
+        .filter($"overlap" >= WinnowTau)
+        .select($"u", $"v", $"shared", $"overlap")
+        .orderBy($"u", $"v")
+    },
+    Some(s"""WITH $winnowCtes,
+               sel AS (SELECT doc_id, fp FROM r WHERE runs >= least(4, n) - 1),
+               fps AS (SELECT doc_id, count(DISTINCT fp) AS nf FROM sel GROUP BY doc_id),
+               df AS (SELECT DISTINCT doc_id, fp FROM sel),
+               cand AS (
+                 SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS shared
+                 FROM df a JOIN df b ON a.fp = b.fp AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+             SELECT u, v, shared,
+                    round(shared * 1.0 / least(fa.nf, fb.nf), 4) AS overlap
+             FROM cand JOIN fps fa ON fa.doc_id = u JOIN fps fb ON fb.doc_id = v
+             WHERE round(shared * 1.0 / least(fa.nf, fb.nf), 4) >= $WinnowTau
+             ORDER BY u, v""")
   )
 
   /** BPE merge LEARNING (Sennrich et al.) — the training counterpart of
@@ -778,10 +842,33 @@ object TextStats {
     *
     * No oracle: K chained argmax-dependent rewrites aren't expressible as
     * one ANSI query; BpeSpec pins every learned (rank, pair, freq)
-    * exactly against an independent driver-side reference. */
+    * exactly against an independent driver-side reference.
+    *
+    * The learned merge table is a TRAINED TOKENIZER — a per-dataset
+    * artifact — so it persists via the Layouts protocol and
+    * llm_bpe_apply reads the same frozen rules (train once, apply
+    * everywhere: the LM/labels/codebook discipline). */
+  private[graft] def learnedMerges(s: SparkSession, dir: String): DataFrame = {
+    val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val path = s"/tmp/graft_bpe/$sfx"
+    Layouts.parquetLayout(path, path,
+        Layouts.fingerprint(Tables.documents(s, dir), "doc_id", "text")) {
+      trainMerges(s, dir).write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
   val bpeTrain: GraftQuery = GraftQuery(
     "llm_bpe_train",
     (s, dir) => {
+      import s.implicits._
+      learnedMerges(s, dir).orderBy($"rank")
+    },
+    None
+  )
+
+  private def trainMerges(s: SparkSession, dir: String): DataFrame = {
+    {
       import s.implicits._
       val kMerges = 8
       var words = Tables.documents(s, dir)
@@ -820,6 +907,55 @@ object TextStats {
         .select($"rank", $"a".as("left"), $"b".as("right"),
           $"cnt".as("pair_freq"))
         .orderBy($"rank")
+    }
+  }
+
+  /** BPE APPLICATION — tokenize the corpus with the trained merge rules
+    * (closes the train→apply loop; llm_token_bpe's regex form is the
+    * heuristic estimate, this is the real subword count under the
+    * learned tokenizer).
+    *
+    * Scale shape — the production tokenizer-cache shape: merges apply at
+    * the VOCABULARY level (distinct words × 8 rules × word length — the
+    * per-word rewrite is the same fold the trainer used, nested inside a
+    * fold over the frozen rule list), and documents join the resulting
+    * word → piece-count cache back by word. The corpus-sized stages are
+    * one explode-aggregate and one equi-join on the word — never a
+    * per-occurrence re-tokenization. The frozen rules ride a 1-row
+    * broadcast (collect_list of 8 structs, array_sort by rank).
+    *
+    * No oracle (depends on the learned rules); BpeSpec re-applies the
+    * reference scan-and-skip tokenizer per word and compares every
+    * per-doc piece count exactly. */
+  val bpeApply: GraftQuery = GraftQuery(
+    "llm_bpe_apply",
+    (s, dir) => {
+      import s.implicits._
+      val mergesRow = broadcast(learnedMerges(s, dir)
+        .agg(array_sort(collect_list(struct($"rank", $"left", $"right")))
+          .as("ms")))
+      val vocab = Tables.documents(s, dir)
+        .select(explode(TF.tokens($"text")).as("word"))
+        .groupBy($"word").agg(count(lit(1)).as("n_occ"))
+      val applied = vocab.crossJoin(mergesRow)
+        .select($"word", $"n_occ",
+          aggregate($"ms",
+            filter(split($"word", ""), x => x =!= ""),
+            (syms, mg) => aggregate(syms, array().cast("array<string>"),
+              (acc, x) => when(
+                size(acc) > 0 &&
+                  element_at(acc, -1) === mg.getField("left") &&
+                  x === mg.getField("right"),
+                concat(slice(acc, lit(1), size(acc) - 1),
+                  array(concat(mg.getField("left"), mg.getField("right")))))
+                .otherwise(concat(acc, array(x))))).as("syms"))
+        .select($"word", size($"syms").as("n_pieces"))
+      Tables.documents(s, dir)
+        .select($"doc_id", explode(TF.tokens($"text")).as("word"))
+        .join(applied.hint("shuffle_hash"), "word")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_words"), sum($"n_pieces").as("n_pieces"))
+        .orderBy($"doc_id")
     },
     None
   )
@@ -828,5 +964,5 @@ object TextStats {
     Seq(textStats, langId, fingerprint, langProfile, tokenBpe, quality,
         vocabTopK, vocabFuzzy, trainSplit, piiScrub, sampleStratified,
         packChunks, domainMix, shardShuffle, chunkSliding, sampleWeighted,
-        qualityClassifier, winnow, bpeTrain)
+        qualityClassifier, winnow, winnowDedup, bpeTrain, bpeApply)
 }

@@ -53,6 +53,43 @@ class BpeSpec extends AnyFunSuite {
       s"learned merges diverge from the reference\n got: $got\n exp: $expected")
   }
 
+  test("bpe apply: per-doc piece counts match the reference tokenizer exactly") {
+    val wordFreq = sources.Tables.documents(spark, TestSpark.Sf)
+      .select($"text").collect()
+      .flatMap(_.getString(0).split(" "))
+      .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    val merges = referenceMerges(wordFreq, 8).map(m => (m._2, m._3))
+    // reference scan-and-skip tokenizer: apply each merge in rank order
+    def tokenize(word: String): Int = {
+      var syms: Vector[String] = word.split("").filter(_.nonEmpty).toVector
+      merges.foreach { case (a, b) =>
+        val res = scala.collection.mutable.ArrayBuffer[String]()
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            res += a + b; i += 2
+          } else { res += syms(i); i += 1 }
+        }
+        syms = res.toVector
+      }
+      syms.length
+    }
+    val expected = sources.Tables.documents(spark, TestSpark.Sf)
+      .select($"doc_id", $"text").collect()
+      .map { r =>
+        val ws = r.getString(1).split(" ")
+        r.getLong(0) -> ((ws.length.toLong, ws.map(tokenize(_).toLong).sum))
+      }.toMap
+    val got = llm.TextStats.bpeApply.run(spark, TestSpark.Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected, "engine piece counts diverge from the reference tokenizer")
+    // merges must actually compress: total pieces < total characters
+    val totalChars = wordFreq.map { case (w, f) => w.length * f }.sum
+    val totalPieces = expected.values.map(_._2).sum
+    assert(totalPieces > 0 && totalPieces < totalChars,
+      s"learned merges never compressed ($totalPieces pieces / $totalChars chars)")
+  }
+
   test("bpe train: merges are usable — applying them shrinks symbol counts") {
     val merges = llm.TextStats.bpeTrain.run(spark, TestSpark.Sf).collect()
     assert(merges.length == 8)

@@ -39,7 +39,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "graph_pagerank",     // 1-row vertex-count broadcast per power iteration
     "graph_triangles",    // 1-row count crossJoins assembling the stats row
     "llm_sim_mmr",        // tiny query-set broadcast, non-equi self-guard
-    "llm_bpe_train"       // 1-row winning-pair broadcast per merge round
+    "llm_bpe_train",      // 1-row winning-pair broadcast per merge round
+    "llm_bpe_apply"       // 1-row frozen-rules broadcast onto the vocab
   )
 
   /** Round-2 gate: the dedup verification joins must NOT broadcast the
