@@ -203,9 +203,16 @@ object Corpus {
     * llm_quality_repetition and llm_curate. Docs with no bigram (1-token)
     * drop here in both engines — curate's LEFT join treats them as
     * non-repetitive. */
-  private[graft] def repetitionMetrics(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+  private[graft] def repetitionMetrics(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    repetitionMetricsOver(s, Tables.documents(s, dir))
+
+  /** The same per-doc metrics over an arbitrary docs frame — the form a
+    * micro-batch scores (stream_curate): repetition is a pure function
+    * of one document, so computing it over the batch alone is exact. */
+  private[graft] def repetitionMetricsOver(s: SparkSession,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val toksArr = Tables.documents(s, dir)
+    val toksArr = docs
       .select($"doc_id", TF.tokens($"text").as("w"))
       .cache() // token and bigram branches both read it
     val tokStats = toksArr.select($"doc_id", explode($"w").as("tok"))
@@ -499,16 +506,28 @@ object Corpus {
     * gutting the corpus. */
   private[graft] val PplMax = 3.65
 
+  /** Minimum distilled-classifier score (llm_quality_classifier's
+    * p_keep) for a curated keep — the SEVENTH keep signal. The floor
+    * sits below the classifier's own 0.5 decision boundary: at 0.5 the
+    * classifier would re-litigate 89 of the 204 otherwise-kept docs at
+    * sf0.01 (it and the heuristic score disagree in the mid-band, by
+    * design — they are different models), while 0.45 ≈ the corpus 5th
+    * percentile rejects exactly the classifier's low-confidence tail
+    * (3 of 204 otherwise-kept docs, measured) — the production pattern
+    * of composing quality models at different operating points. */
+  private[graft] val ClfMin = 0.45
+
   /** END-TO-END CURATION — the composed keep-list a training run actually
     * consumes, in ONE call: keep a doc iff it (a) is not an eval-set
     * member, (b) is not heavily benchmark-contaminated, (c) is not
     * repetitive, (d) scores at least QualityMin, (e) scores at most
-    * PplMax NLL under the frozen reference LM, and (f) if it sits in a
-    * near-dup cluster, is that cluster's highest-quality keeper. Every
-    * stage is the corresponding standalone operator reused verbatim
+    * PplMax NLL under the frozen reference LM, (f) clears the distilled
+    * classifier's ClfMin floor, and (g) if it sits in a near-dup
+    * cluster, is that cluster's highest-quality keeper. Every stage is
+    * the corresponding standalone operator reused verbatim
     * (contaminatedIds, repetitionMetrics, scoredDocs, perplexityScores,
-    * fullLabels, clusterKeepers), so this query is the proof the engine's
-    * curation operators compose.
+    * TextStats.classifierScores, fullLabels, clusterKeepers), so this
+    * query is the proof the engine's curation operators compose.
     *
     * Scale shape: one pass over documents; the repetition, score, and
     * NLL frames join back by doc_id as shuffle_hash on the SAME key, so
@@ -517,31 +536,48 @@ object Corpus {
     * cluster id shuffle_hash (O(clusters) — possibly huge, never
     * broadcast); only the contaminated-id set — tiny by its ≥20-hit
     * threshold — broadcasts into the anti join. */
-  val curate: GraftQuery = GraftQuery(
-    "llm_curate",
-    (s, dir) => {
-      import s.implicits._
-      val labels = Dedup.fullLabels(s, dir).withColumnRenamed("v", "doc_id")
-      val keepers = Dedup.clusterKeepers(s, dir)
-        .select($"cluster_id".as("cid"), $"keeper_id")
-      Tables.documents(s, dir)
-        .filter($"doc_id" % BenchMod =!= BenchRem)
-        .join(broadcast(contaminatedIds(s, dir)), Seq("doc_id"), "left_anti")
-        .join(repetitionMetrics(s, dir).select($"doc_id", $"repetitive")
-                .hint("shuffle_hash"), Seq("doc_id"), "left")
-        .filter(!coalesce($"repetitive", lit(false)))
-        .join(TextStats.scoredDocs(s, dir).hint("shuffle_hash"), Seq("doc_id"))
-        .filter($"score" >= QualityMin)
-        .join(perplexityScores(s, dir).select($"doc_id", $"nll")
-                .hint("shuffle_hash"), Seq("doc_id"))
-        .filter($"nll" <= PplMax)
-        .join(labels, Seq("doc_id"), "left")
-        .join(keepers.hint("shuffle_hash"), Seq("cid"), "left")
-        .filter($"cid".isNull || $"doc_id" === $"keeper_id")
-        .select($"doc_id", $"lang", $"score")
-        .orderBy($"doc_id")
-    },
-    Some(s"""WITH RECURSIVE grams AS (
+  /** The curation join chain over an arbitrary docs frame: the per-doc
+    * signals (repetition, quality score, classifier) compute OVER the
+    * frame itself; the per-dataset artifacts (contaminated-id set,
+    * cluster labels, keepers) and the `nll` score frame come in as
+    * parameters. Shared by llm_curate (frame = whole corpus, nll = the
+    * persisted NLL layout, keepers computed in-query) and stream_curate
+    * (frame = one micro-batch, nll = the batch scored against the
+    * frozen LM, keepers frozen once before the stream) — the reuse IS
+    * the batching-invariance argument: every conjunct is per-doc pure
+    * or a join against frozen per-dataset state. */
+  private[graft] def curateBatch(s: SparkSession, dir: String,
+      batch: org.apache.spark.sql.DataFrame,
+      nll: org.apache.spark.sql.DataFrame,
+      keepers: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val labels = Dedup.fullLabels(s, dir).withColumnRenamed("v", "doc_id")
+    batch
+      .filter($"doc_id" % BenchMod =!= BenchRem)
+      .join(broadcast(contaminatedIds(s, dir)), Seq("doc_id"), "left_anti")
+      .join(repetitionMetricsOver(s, batch).select($"doc_id", $"repetitive")
+              .hint("shuffle_hash"), Seq("doc_id"), "left")
+      .filter(!coalesce($"repetitive", lit(false)))
+      .join(TextStats.scoredDocsOver(batch).hint("shuffle_hash"), Seq("doc_id"))
+      .filter($"score" >= QualityMin)
+      .join(nll.select($"doc_id", $"nll")
+              .hint("shuffle_hash"), Seq("doc_id"))
+      .filter($"nll" <= PplMax)
+      .join(TextStats.classifierScores(batch)
+              .select($"doc_id", $"p_keep").hint("shuffle_hash"), Seq("doc_id"))
+      .filter($"p_keep" >= ClfMin)
+      .join(labels, Seq("doc_id"), "left")
+      .join(keepers.select($"cluster_id".as("cid"), $"keeper_id")
+              .hint("shuffle_hash"), Seq("cid"), "left")
+      .filter($"cid".isNull || $"doc_id" === $"keeper_id")
+      .select($"doc_id", $"lang", $"score")
+  }
+
+  /** The composed curate oracle — shared verbatim with stream_curate
+    * (batching must not change one kept row). Declared before the
+    * GraftQuery vals that capture it (the forward-ref trap). */
+  private[graft] val curateOracle: String =
+    s"""WITH RECURSIVE grams AS (
                SELECT doc_id,
                       list_distinct(list_transform(range(1, greatest(len(w) - ${ContamN - 2}, 1)),
                         i -> array_to_string(w[i:i+${ContamN - 1}], ' '))) AS g
@@ -616,11 +652,13 @@ object Corpus {
              ppl AS (SELECT doc_id,
                             round(-sum(ln((cb + 1) * 1.0 / (cw1 + pv.v)) * c)
                                   / sum(c), 4) AS nll
-                     FROM psc CROSS JOIN pv GROUP BY doc_id)
+                     FROM psc CROSS JOIN pv GROUP BY doc_id),
+             ${TextStats.classifierCtes}
              SELECT d.doc_id, d.lang, q.score
              FROM documents d
              JOIN q USING (doc_id)
              JOIN ppl USING (doc_id)
+             JOIN clf USING (doc_id)
              LEFT JOIN rep USING (doc_id)
              LEFT JOIN comp USING (doc_id)
              LEFT JOIN keep ON comp.cluster_id = keep.cluster_id
@@ -629,8 +667,19 @@ object Corpus {
                AND NOT coalesce(rep.repetitive, false)
                AND q.score >= $QualityMin
                AND ppl.nll <= $PplMax
+               AND clf.p_keep >= $ClfMin
                AND (comp.cluster_id IS NULL OR d.doc_id = keep.keeper_id)
-             ORDER BY d.doc_id""")
+             ORDER BY d.doc_id"""
+
+  val curate: GraftQuery = GraftQuery(
+    "llm_curate",
+    (s, dir) => {
+      import s.implicits._
+      curateBatch(s, dir, Tables.documents(s, dir),
+          perplexityScores(s, dir), Dedup.clusterKeepers(s, dir))
+        .orderBy($"doc_id")
+    },
+    Some(curateOracle)
   )
 
   /** DuckDB side of both perplexity forms (the streaming emulation grades

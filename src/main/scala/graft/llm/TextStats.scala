@@ -164,9 +164,15 @@ object TextStats {
     * — shared by llm_quality and llm_dedup_keep_best (quality-based
     * cluster-representative selection). Rounded here (4 dp) so downstream
     * tie-breaks are cross-engine stable. */
-  private[graft] def scoredDocs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def scoredDocs(s: SparkSession, dir: String): DataFrame =
+    scoredDocsOver(Tables.documents(s, dir))
+
+  /** The same composite score over an arbitrary docs frame (the
+    * stream_curate micro-batch form — the score is per-doc pure). */
+  private[graft] def scoredDocsOver(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    Tables.documents(s, dir)
+    docs
       .withColumn("toks", TF.tokens($"text"))
       .withColumn("n_tokens", size($"toks"))
       .withColumn("stop_ratio",
@@ -640,46 +646,65 @@ object TextStats {
     * linear scorers for the first pass. Weights are frozen constants
     * (a real deployment broadcasts them; at this feature count inlining
     * is the same plan). */
+  /** The classifier projection itself, one row per input doc, UNSORTED —
+    * shared by the batch query and the streaming twin (stream_quality),
+    * whose per-micro-batch increment is exactly this projection over the
+    * batch. */
+  private[graft] def classifierScores(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val toks = TF.tokens($"text")
+    val nTok = size(toks).cast("double")
+    // Features: log-length, mean token length, distinct-token ratio,
+    // ratio of "content" marker tokens (stand-ins for stopword lists).
+    val x1 = log(lit(1.0) + nTok)
+    val x2 = $"n_chars".cast("double") / nTok
+    val x3 = size(array_distinct(toks)).cast("double") / nTok
+    val x4 = size(filter(toks, t => t.isin("spark", "join", "filter")))
+      .cast("double") / nTok
+    val z = lit(-3.25) + lit(0.45) * x1 + lit(0.10) * x2 +
+      lit(1.5) * x3 + lit(2.0) * x4
+    // Threshold the ROUNDED score (the llm_sim_range rule): the keep
+    // bit and p_keep must tell one story, and raw-score thresholding
+    // could disagree with the rounded value right at the boundary.
+    val score = round(lit(1.0) / (lit(1.0) + exp(-z)), 4)
+    docs.select($"doc_id", score.as("p_keep"), (score >= 0.5).as("keep"))
+  }
+
+  /** The classifier's DuckDB CTE chain, ending in
+    * `clf(doc_id, p_keep)` — shared by the classifier oracle,
+    * stream_quality's, and llm_curate's absorbed-signal conjunct. */
+  private[graft] val classifierCtes: String =
+    """clf_f AS (
+         SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+                CAST(n_chars AS DOUBLE) AS n_chars,
+                CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_dis,
+                CAST(len(list_filter(string_split(text, ' '),
+                     t -> t IN ('spark', 'join', 'filter'))) AS DOUBLE) AS n_mark
+         FROM documents),
+       clf_z AS (
+         SELECT doc_id,
+                -3.25 + 0.45 * ln(1.0 + n_tok) + 0.10 * (n_chars / n_tok)
+                     + 1.5 * (n_dis / n_tok) + 2.0 * (n_mark / n_tok) AS z
+         FROM clf_f),
+       clf AS (
+         SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 4) AS p_keep
+         FROM clf_z)"""
+
+  /** The oracle for the classifier — shared verbatim with stream_quality
+    * (batching must not change one score). */
+  private[graft] val classifierOracle: String =
+    s"""WITH $classifierCtes
+        SELECT doc_id, p_keep, p_keep >= 0.5 AS keep
+        FROM clf ORDER BY doc_id"""
+
   val qualityClassifier: GraftQuery = GraftQuery(
     "llm_quality_classifier",
     (s, dir) => {
       import s.implicits._
-      val toks = TF.tokens($"text")
-      val nTok = size(toks).cast("double")
-      // Features: log-length, mean token length, distinct-token ratio,
-      // ratio of "content" marker tokens (stand-ins for stopword lists).
-      val x1 = log(lit(1.0) + nTok)
-      val x2 = $"n_chars".cast("double") / nTok
-      val x3 = size(array_distinct(toks)).cast("double") / nTok
-      val x4 = size(filter(toks, t => t.isin("spark", "join", "filter")))
-        .cast("double") / nTok
-      val z = lit(-3.25) + lit(0.45) * x1 + lit(0.10) * x2 +
-        lit(1.5) * x3 + lit(2.0) * x4
-      // Threshold the ROUNDED score (the llm_sim_range rule): the keep
-      // bit and p_keep must tell one story, and raw-score thresholding
-      // could disagree with the rounded value right at the boundary.
-      val score = round(lit(1.0) / (lit(1.0) + exp(-z)), 4)
-      Tables.documents(s, dir)
-        .select($"doc_id", score.as("p_keep"), (score >= 0.5).as("keep"))
-        .orderBy($"doc_id")
+      classifierScores(Tables.documents(s, dir)).orderBy($"doc_id")
     },
-    Some("""WITH f AS (
-              SELECT doc_id,
-                     CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
-                     CAST(n_chars AS DOUBLE) AS n_chars,
-                     CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_dis,
-                     CAST(len(list_filter(string_split(text, ' '),
-                          t -> t IN ('spark', 'join', 'filter'))) AS DOUBLE) AS n_mark
-              FROM documents),
-            z AS (
-              SELECT doc_id,
-                     -3.25 + 0.45 * ln(1.0 + n_tok) + 0.10 * (n_chars / n_tok)
-                          + 1.5 * (n_dis / n_tok) + 2.0 * (n_mark / n_tok) AS z
-              FROM f)
-            SELECT doc_id,
-                   round(1.0 / (1.0 + exp(-z)), 4) AS p_keep,
-                   round(1.0 / (1.0 + exp(-z)), 4) >= 0.5 AS keep
-            FROM z ORDER BY doc_id""")
+    Some(classifierOracle)
   )
 
   /** Winnowing fingerprints (Schleimer et al., the MOSS scheme): hash
@@ -779,44 +804,105 @@ object TextStats {
     * applies the same df-cap as llm_dedup_containment_capped on
     * boilerplate-hot fingerprints (documented trade; the fixture has no
     * such hot spot). Containment thresholds the ROUNDED ratio. */
+  /** Document-frequency cap for the capped winnow variant: fingerprints
+    * shared by more than this many docs are boilerplate (license
+    * headers, templates) whose m² candidate fanout is exactly the hot
+    * spot that blows up the pair join at web scale — MOSS drops them
+    * from the index, the same trade as llm_dedup_containment_capped.
+    * The fixture's selected-fingerprint df tail reaches 17 at sf0.001,
+    * so the cap demonstrably engages. */
+  private[graft] val WinnowDfCap = 6
+
+  /** Shared dataflow for the winnow-dedup family — `dfCap` gates the
+    * index on fingerprint document frequency BEFORE the candidate join
+    * (set sizes `nf` are recomputed over the kept fingerprints, so
+    * containment stays a true ratio over the indexed sets). */
+  private def winnowDedupPipeline(s: SparkSession, dir: String,
+                                  dfCap: Option[Int]): DataFrame = {
+    import s.implicits._
+    val k = 3
+    val w = 4
+    val sel = Tables.documents(s, dir)
+      .filter(size(TF.tokens($"text")) >= k)
+      .select($"doc_id",
+        array_distinct(transform(
+          graft.functions.ArrayFunctions.winnowSelect(s, TF.tokens($"text"), k, w),
+          x => x.getField("fp"))).as("fps"))
+      .select($"doc_id", size($"fps").as("nf"), explode($"fps").as("fp"))
+    // df-cap: one hash aggregate on fp, then an anti equi-join back, and
+    // nf recomputed over the kept index (one more doc-keyed aggregate +
+    // join — the price of a true post-cap containment denominator). The
+    // uncapped path keeps nf carried in-row from the array projection:
+    // zero extra joins.
+    val fps = dfCap match {
+      case Some(cap) =>
+        // The capped branch references the index four times (df count,
+        // anti join, nf count, pair join); materialize the winnow
+        // projection once instead of re-running the fingerprint scan
+        // per reference (the multi-consumer lineage-cut convention).
+        val selM = sel.select($"doc_id", $"fp").localCheckpoint()
+        val hot = selM.groupBy($"fp").agg(count(lit(1)).as("df"))
+          .filter($"df" > cap).select($"fp")
+        val kept = selM.join(hot.hint("shuffle_hash"), Seq("fp"), "left_anti")
+          .localCheckpoint()
+        kept.join(kept.groupBy($"doc_id").agg(count(lit(1)).as("nf")), "doc_id")
+      case None => sel
+    }
+    fps.as("a")
+      .join(fps.as("b"),
+        $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("u"), $"b.doc_id".as("v"),
+        $"a.nf".as("nu"), $"b.nf".as("nv"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("overlap",
+        round($"shared".cast("double") / least($"nu", $"nv"), 4))
+      .filter($"overlap" >= WinnowTau)
+      .select($"u", $"v", $"shared", $"overlap")
+      .orderBy($"u", $"v")
+  }
+
+  private def winnowDedupOracle(dfCap: Option[Int]): String = {
+    val keep = dfCap match {
+      case Some(cap) =>
+        s"""dfc AS (SELECT fp, count(*) AS df FROM sel0 GROUP BY fp),
+            sel AS (SELECT s.doc_id, s.fp FROM sel0 s JOIN dfc USING (fp)
+                    WHERE df <= $cap)"""
+      case None => "sel AS (SELECT doc_id, fp FROM sel0)"
+    }
+    s"""WITH $winnowCtes,
+          sel0 AS (SELECT DISTINCT doc_id, fp FROM r
+                   WHERE runs >= least(4, n) - 1),
+          $keep,
+          fps AS (SELECT doc_id, count(*) AS nf FROM sel GROUP BY doc_id),
+          cand AS (
+            SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS shared
+            FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+        SELECT u, v, shared,
+               round(shared * 1.0 / least(fa.nf, fb.nf), 4) AS overlap
+        FROM cand JOIN fps fa ON fa.doc_id = u JOIN fps fb ON fb.doc_id = v
+        WHERE round(shared * 1.0 / least(fa.nf, fb.nf), 4) >= $WinnowTau
+        ORDER BY u, v"""
+  }
+
   val winnowDedup: GraftQuery = GraftQuery(
     "llm_dedup_winnow",
-    (s, dir) => {
-      import s.implicits._
-      val k = 3
-      val w = 4
-      val fps = Tables.documents(s, dir)
-        .filter(size(TF.tokens($"text")) >= k)
-        .select($"doc_id",
-          array_distinct(transform(
-            graft.functions.ArrayFunctions.winnowSelect(s, TF.tokens($"text"), k, w),
-            x => x.getField("fp"))).as("fps"))
-        .select($"doc_id", size($"fps").as("nf"), explode($"fps").as("fp"))
-      fps.as("a")
-        .join(fps.as("b"),
-          $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id")
-        .groupBy($"a.doc_id".as("u"), $"b.doc_id".as("v"),
-          $"a.nf".as("nu"), $"b.nf".as("nv"))
-        .agg(count(lit(1)).as("shared"))
-        .withColumn("overlap",
-          round($"shared".cast("double") / least($"nu", $"nv"), 4))
-        .filter($"overlap" >= WinnowTau)
-        .select($"u", $"v", $"shared", $"overlap")
-        .orderBy($"u", $"v")
-    },
-    Some(s"""WITH $winnowCtes,
-               sel AS (SELECT doc_id, fp FROM r WHERE runs >= least(4, n) - 1),
-               fps AS (SELECT doc_id, count(DISTINCT fp) AS nf FROM sel GROUP BY doc_id),
-               df AS (SELECT DISTINCT doc_id, fp FROM sel),
-               cand AS (
-                 SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS shared
-                 FROM df a JOIN df b ON a.fp = b.fp AND a.doc_id < b.doc_id
-                 GROUP BY 1, 2)
-             SELECT u, v, shared,
-                    round(shared * 1.0 / least(fa.nf, fb.nf), 4) AS overlap
-             FROM cand JOIN fps fa ON fa.doc_id = u JOIN fps fb ON fb.doc_id = v
-             WHERE round(shared * 1.0 / least(fa.nf, fb.nf), 4) >= $WinnowTau
-             ORDER BY u, v""")
+    (s, dir) => winnowDedupPipeline(s, dir, dfCap = None),
+    Some(winnowDedupOracle(dfCap = None))
+  )
+
+  /** The production form of llm_dedup_winnow: boilerplate-hot
+    * fingerprints (df > WinnowDfCap) leave the index before the
+    * candidate join. Bounds the per-fingerprint pair fanout at cap² —
+    * the knob that keeps the MOSS comparison stage linear-ish on web
+    * corpora where license headers and templates make some fingerprints
+    * corpus-hot. The cap filter itself is one hash aggregate plus a
+    * left-anti equi-join (shuffle_hash — the hot set is small but
+    * O(boilerplate), so never a guessed broadcast). */
+  val winnowDedupCapped: GraftQuery = GraftQuery(
+    "llm_dedup_winnow_capped",
+    (s, dir) => winnowDedupPipeline(s, dir, dfCap = Some(WinnowDfCap)),
+    Some(winnowDedupOracle(dfCap = Some(WinnowDfCap)))
   )
 
   /** BPE merge LEARNING (Sennrich et al.) — the training counterpart of
@@ -964,5 +1050,6 @@ object TextStats {
     Seq(textStats, langId, fingerprint, langProfile, tokenBpe, quality,
         vocabTopK, vocabFuzzy, trainSplit, piiScrub, sampleStratified,
         packChunks, domainMix, shardShuffle, chunkSliding, sampleWeighted,
-        qualityClassifier, winnow, winnowDedup, bpeTrain, bpeApply)
+        qualityClassifier, winnow, winnowDedup, winnowDedupCapped,
+        bpeTrain, bpeApply)
 }

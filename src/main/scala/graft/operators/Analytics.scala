@@ -172,7 +172,50 @@ object Analytics {
             ORDER BY revenue DESC, o_orderkey LIMIT 10""")
   )
 
+  /** Full pairwise Pearson correlation matrix over the fact table's
+    * numeric measures — the EDA/feature-selection primitive. All six
+    * pairwise corrs compute in ONE hash aggregate (one scan, six
+    * DeclarativeAggregate buffers with map-side partials — the
+    * single-pass property is the whole point at 100 TB: a naive
+    * per-pair loop scans the fact table C(k,2) times); the pivot to
+    * (col_a, col_b, corr_v) rows is a 1-row explode, presentation only.
+    * Rounded at 6dp like agg_stats (Welford accumulation-order
+    * differences between engines live far below that). */
+  val corrMatrix: GraftQuery = GraftQuery(
+    "agg_corr_matrix",
+    (s, dir) => {
+      import s.implicits._
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairs = for { i <- cols.indices; j <- cols.indices if i < j }
+        yield (cols(i), cols(j))
+      Tables.lineitem(s, dir)
+        .agg(pairs.head match { case (a, b) =>
+            round(corr(col(a), col(b)), 6).as(s"${a}__$b") },
+          pairs.tail.map { case (a, b) =>
+            round(corr(col(a), col(b)), 6).as(s"${a}__$b") }: _*)
+        .select(explode(array(pairs.map { case (a, b) =>
+            struct(lit(a).as("col_a"), lit(b).as("col_b"),
+              col(s"${a}__$b").as("corr_v")) }: _*)).as("p"))
+        .select($"p.col_a".as("col_a"), $"p.col_b".as("col_b"),
+          $"p.corr_v".as("corr_v"))
+        .orderBy($"col_a", $"col_b")
+    },
+    Some {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairs = for { i <- cols.indices; j <- cols.indices if i < j }
+        yield (cols(i), cols(j))
+      val aggCols = pairs.map { case (a, b) =>
+        s"round(corr($a, $b), 6) AS ${a}__$b" }.mkString(", ")
+      val arms = pairs.map { case (a, b) =>
+        s"SELECT '$a' AS col_a, '$b' AS col_b, ${a}__$b AS corr_v FROM m"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH m AS (SELECT $aggCols FROM lineitem)
+          $arms
+          ORDER BY col_a, col_b"""
+    }
+  )
+
   def all: Seq[GraftQuery] = Seq(
     statsAgg, percentiles, approxPercentile, stringAgg, pivotAgg, jsonStruct,
-    topNRevenue)
+    topNRevenue, corrMatrix)
 }

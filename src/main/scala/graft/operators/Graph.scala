@@ -16,7 +16,9 @@ import graft.sources.Tables
   * hash aggregate on the pair; the self-join shuffles once on the order
   * key, the `a < b` orientation halves the pair space, and the
   * per-order fanout is bounded by lines-per-order. The derived graph
-  * persists as a fingerprinted layout shared by all three queries.
+  * persists as ONE fingerprinted adjacency layout (bucketed by src,
+  * carrying support/deg/wsum — see `adjacency`) shared by the whole
+  * family.
   *
   * PageRank runs a FIXED number of power iterations (deterministic, so it
   * oracles against an unrolled-CTE DuckDB query). Each iteration is one
@@ -44,74 +46,101 @@ object Graph {
     * production co-occurrence graphs always threshold support. */
   private val MinSupport = 2
 
-  /** Undirected edge set, oriented src < dst, deduplicated — PERSISTED
-    * as a fingerprinted layout shared by all three graph queries.
+  /** The graph layout: the DIRECTED adjacency list (both orientations of
+    * every undirected edge), persisted as a fingerprinted catalog table
+    * BUCKETED BY src, carrying the per-edge `support` weight and the
+    * per-source constants `deg` (out-degree) and `wsum` (total outgoing
+    * support) denormalized onto every edge row.
     *
-    * Two materialization layers, each load-bearing:
-    *  - the parquet layout makes the derived graph a per-dataset
-    *    artifact (the fact-table projection runs once, not once per
-    *    query — pagerank, triangles, and degree-dist all consume it);
-    *  - localCheckpoint on the read cuts lineage WITHIN a query: every
-    *    consumer references the edge table several times (self-joins,
-    *    per-iteration joins), and without the cut Catalyst inlines the
-    *    scan subtree at every reference — the round-8 first plan
-    *    carried 131 planned shuffles for PageRank. Materializing the
-    *    graph before iterating is the Pregel discipline; both layers
-    *    are O(edges), the thing iterated over. */
-  private def undirectedEdges(s: SparkSession, dir: String): DataFrame = {
+    * This is the Pregel partition-once discipline expressed in Spark's
+    * storage layer: every traversal that joins or aggregates on the
+    * source vertex — each PageRank power iteration, each BFS frontier
+    * expansion, the degree profile — reads the fat edge side
+    * co-partitioned and EXCHANGE-FREE (the bucketed scan satisfies the
+    * join's distribution requirement; only the O(V) rank/frontier side
+    * shuffles, into 8 bucket-matched partitions). Denormalizing deg and
+    * wsum into the layout removes the per-query degree join entirely —
+    * at 100 TB that is one less O(E) shuffle per traversal, for 16
+    * bytes per edge row. The earlier form (plain parquet +
+    * localCheckpoint per consumer) re-materialized the edge set per
+    * session and still exchanged BOTH sides of every iteration join.
+    *
+    * The undirected oriented form triangles/jaccard/cc consume is the
+    * `src < dst` half of this table — one layout serves the family. */
+  private def adjacency(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val path = s"/tmp/graft_graph/$sfx"
-    graft.llm.Layouts.parquetLayout(path, path,
+    val tbl = s"graft_graph_adj_$sfx"
+    val path = s"/tmp/graft_graph_adj/$sfx"
+    graft.llm.Layouts.table(s, tbl, path,
         graft.llm.Layouts.fingerprint(
           Tables.lineitem(s, dir), "l_orderkey", "l_partkey")) {
+      s"""CREATE TABLE $tbl (`src` BIGINT, `dst` BIGINT, `support` BIGINT,
+                             `deg` BIGINT, `wsum` BIGINT)
+          USING PARQUET
+          CLUSTERED BY (src) SORTED BY (src) INTO 8 BUCKETS
+          LOCATION '$path'"""
+    } {
       val lp = Tables.lineitem(s, dir)
         .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
-      lp.as("a").join(lp.as("b"),
+      val und = lp.as("a").join(lp.as("b"),
           $"a.o" === $"b.o" && $"a.p" < $"b.p")
         .groupBy($"a.p".as("src"), $"b.p".as("dst"))
         .agg(count(lit(1)).as("support"))
         .filter($"support" >= MinSupport)
-        .select($"src", $"dst")
-        .write.mode("overwrite").parquet(path)
+        .localCheckpoint() // referenced by both union branches below
+      val dirE = und.select($"src", $"dst", $"support")
+        .union(und.select($"dst".as("src"), $"src".as("dst"), $"support"))
+      val stats = dirE.groupBy($"src")
+        .agg(count(lit(1)).as("deg"), sum($"support").as("wsum"))
+      dirE.join(stats, "src")
+        .select($"src", $"dst", $"support", $"deg", $"wsum")
+        .repartition(8, $"src")
+        .write.bucketBy(8, "src").sortBy("src")
+        .option("path", path).mode("overwrite").saveAsTable(tbl)
     }
-    s.read.parquet(path).localCheckpoint()
   }
 
-  /** Both directions — the form PageRank and degree queries consume.
-    * Built on the checkpointed undirected set, so the union body is two
-    * scans of the materialized edges, not two re-derivations. */
-  private def directedEdges(s: SparkSession, dir: String): DataFrame = {
+  /** The oriented (src < dst) undirected edge set — a filtered read of
+    * the adjacency layout (bucket metadata intact). */
+  private def undirectedEdges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = undirectedEdges(s, dir)
-    e.union(e.select($"dst".as("src"), $"src".as("dst")))
+    adjacency(s, dir).filter($"src" < $"dst").select($"src", $"dst", $"support")
   }
 
   private val edgeCte =
     s"""lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-       e0 AS (SELECT a.p AS src, b.p AS dst
+       e0 AS (SELECT a.p AS src, b.p AS dst, count(*) AS support
               FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p
               GROUP BY a.p, b.p HAVING count(*) >= $MinSupport),
-       e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)"""
+       e AS (SELECT src, dst, support FROM e0
+             UNION ALL SELECT dst, src, support FROM e0)"""
 
-  /** Fixed-iteration PageRank; see object scaladoc for the plan shape. */
+  /** One row per vertex off the bucketed adjacency scan — the groupBy
+    * key equals the bucketing key, so this aggregate plans WITHOUT an
+    * exchange (partial-only hash agg inside the scan's partitioning). */
+  private def vertices(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    e.groupBy($"src").agg(count(lit(1)).as("deg"))
+  }
+
+  /** Fixed-iteration PageRank; see object scaladoc for the plan shape.
+    * Each power iteration joins the BUCKETED adjacency table against the
+    * rank vector on src: the O(E) edge side is exchange-free (its scan
+    * already satisfies the join's distribution requirement), deg rides
+    * denormalized on the edge rows (no degree join at all), and only
+    * the O(V) rank vector shuffles per iteration. */
   val pagerank: GraftQuery = GraftQuery(
     "graph_pagerank",
     (s, dir) => {
       import s.implicits._
-      val e = directedEdges(s, dir)
-      // (src, deg) one row per vertex; checkpointed — referenced by the
-      // weighted edges, the vertex count, and the initial ranks.
-      val deg = e.groupBy($"src").agg(count(lit(1)).as("deg"))
-        .localCheckpoint()
-      // (src, dst, deg(src)) — materialized once, scanned every iteration.
-      val weighted = e.join(deg.hint("shuffle_hash"), "src")
-        .localCheckpoint()
-      val nRow = deg.agg(count(lit(1)).as("n")) // 1-row vertex count
-      var ranks = deg.crossJoin(broadcast(nRow))
+      val e = adjacency(s, dir)
+      val verts = vertices(e)
+      val nRow = verts.agg(count(lit(1)).as("n")) // 1-row vertex count
+      var ranks = verts.crossJoin(broadcast(nRow))
         .select($"src".as("v"), (lit(1.0) / $"n").as("r"))
       for (_ <- 1 to Iters) {
-        val contrib = weighted.join(ranks.hint("shuffle_hash"), $"src" === $"v")
+        val contrib = e.join(ranks.hint("shuffle_hash"), $"src" === $"v")
           .groupBy($"dst").agg(sum($"r" / $"deg").as("c"))
         ranks = contrib.crossJoin(broadcast(nRow))
           .select($"dst".as("v"),
@@ -139,6 +168,243 @@ object Graph {
           SELECT v AS part_id, round(r, 4) AS rank FROM r$Iters
           ORDER BY part_id"""
     }
+  )
+
+  /** Support-weighted PageRank: rank mass flows along an edge in
+    * proportion to its co-occurrence support instead of uniformly —
+    * r(v) = (1−d)/n + d·Σ_{u→v} r(u)·w(u,v)/W(u) with W(u) the total
+    * outgoing support of u. The plan per iteration is IDENTICAL to the
+    * unweighted form (exchange-free bucketed edge scan ⋈ shuffled rank
+    * vector, one hash aggregate per destination) — both the weight and
+    * W(u) ride the adjacency layout as denormalized BIGINT columns, so
+    * the weighted walk costs literally nothing over the uniform one at
+    * any scale. */
+  val pagerankWeighted: GraftQuery = GraftQuery(
+    "graph_pagerank_weighted",
+    (s, dir) => {
+      import s.implicits._
+      val e = adjacency(s, dir)
+      val verts = vertices(e)
+      val nRow = verts.agg(count(lit(1)).as("n"))
+      var ranks = verts.crossJoin(broadcast(nRow))
+        .select($"src".as("v"), (lit(1.0) / $"n").as("r"))
+      for (_ <- 1 to Iters) {
+        val contrib = e.join(ranks.hint("shuffle_hash"), $"src" === $"v")
+          .groupBy($"dst").agg(sum($"r" * $"support" / $"wsum").as("c"))
+        ranks = contrib.crossJoin(broadcast(nRow))
+          .select($"dst".as("v"),
+            (lit(1 - Damping) / $"n" + lit(Damping) * $"c").as("r"))
+      }
+      ranks.select($"v".as("part_id"), round($"r", 4).as("rank"))
+        .orderBy($"part_id")
+    },
+    Some {
+      val iters = (1 to Iters).map { i =>
+        s"""r$i AS (SELECT e.dst AS v,
+                           (1 - $Damping) / (SELECT n FROM n)
+                             + $Damping * sum(p.r * e.support / ws.wsum) AS r
+                    FROM e JOIN r${i - 1} p ON e.src = p.v
+                           JOIN ws ON e.src = ws.src
+                    GROUP BY e.dst)"""
+      }.mkString(",\n")
+      s"""WITH $edgeCte,
+            ws AS (SELECT src, CAST(sum(support) AS DOUBLE) AS wsum
+                   FROM e GROUP BY src),
+            n AS (SELECT count(*) AS n FROM ws),
+            r0 AS (SELECT src AS v, 1.0 / (SELECT n FROM n) AS r FROM ws),
+            $iters
+          SELECT v AS part_id, round(r, 4) AS rank FROM r$Iters
+          ORDER BY part_id"""
+    }
+  )
+
+  /** Connected components of the co-occurrence graph — which parts form
+    * a mutually-shipping cluster. Reuses the engine's ONE min-label
+    * propagation implementation (llm.Dedup.connectedComponents: one
+    * co-partitioned join + one min-aggregate per round, rounds = graph
+    * diameter, lineage cut per round, loud non-convergence) — the CC
+    * kernel is shared between the dedup-cluster family and graph
+    * analytics rather than re-derived per family. Labels are
+    * component-min part ids, so the result is deterministic and the
+    * DuckDB oracle is an exact recursive-CTE transitive closure (the
+    * fixture graph is small enough to close; the Spark side never
+    * materializes the closure — propagation carries O(V) labels per
+    * round, which is the 100 TB-safe formulation). */
+  val cc: GraftQuery = GraftQuery(
+    "graph_cc",
+    (s, dir) => {
+      import s.implicits._
+      val labels = graft.llm.Dedup.connectedComponents(
+        undirectedEdges(s, dir).select($"src", $"dst"))
+      labels.select($"v".as("part_id"), $"cid".as("component"))
+        .orderBy($"part_id")
+    },
+    Some(s"""WITH RECURSIVE $edgeCte,
+               reach(v, u) AS (
+                 SELECT src, src FROM e
+                 UNION
+                 SELECT e.dst, r.u FROM e JOIN reach r ON e.src = r.v)
+             SELECT v AS part_id, min(u) AS component FROM reach
+             GROUP BY v ORDER BY part_id""")
+  )
+
+  /** Neighborhood-Jaccard link prediction: for every 2-hop pair, the
+    * Jaccard of the two adjacency sets, top-50. Common-neighbor counts
+    * come from the wedge self-join (e(a,c) ⋈ e(b,c) on the center c,
+    * a < b — one shuffle on the center key feeding a hash aggregate on
+    * the pair); degrees join on afterwards (shuffle_hash, never a
+    * broadcast of an O(V) table) and the top-50 is a
+    * TakeOrderedAndProject (per-partition heaps, k-row driver merge —
+    * no global sort). Wedge cost is Σ_c deg(c)², which the layout's
+    * support threshold already bounds (it removes the combinatorial
+    * noise hubs); at 100 TB the standard extra lever is a degree cap on
+    * wedge centers, which drops only hub-mediated candidates. */
+  val jaccard: GraftQuery = GraftQuery(
+    "graph_jaccard",
+    (s, dir) => {
+      import s.implicits._
+      val sym = adjacency(s, dir).select($"src", $"dst")
+      val deg = sym.groupBy($"src").agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
+      val common = sym.as("x").join(sym.as("y"),
+          $"x.dst" === $"y.dst" && $"x.src" < $"y.src")
+        .groupBy($"x.src".as("a"), $"y.src".as("b"))
+        .agg(count(lit(1)).as("common"))
+      common
+        .join(deg.select($"src".as("a"), $"deg".as("deg_a")).hint("shuffle_hash"), "a")
+        .join(deg.select($"src".as("b"), $"deg".as("deg_b")).hint("shuffle_hash"), "b")
+        .select($"a", $"b",
+          round($"common".cast("double") / ($"deg_a" + $"deg_b" - $"common"), 4)
+            .as("jaccard"))
+        .orderBy($"jaccard".desc, $"a", $"b")
+        .limit(50)
+    },
+    Some(s"""WITH $edgeCte,
+               deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+               c AS (SELECT x.src AS a, y.src AS b, count(*) AS common
+                     FROM e x JOIN e y ON x.dst = y.dst AND x.src < y.src
+                     GROUP BY 1, 2)
+             SELECT a, b,
+                    round(CAST(common AS DOUBLE) / (da.deg + db.deg - common), 4)
+                      AS jaccard
+             FROM c JOIN deg da ON c.a = da.src
+                    JOIN deg db ON c.b = db.src
+             ORDER BY jaccard DESC, a, b LIMIT 50""")
+  )
+
+  /** Hop bound for BFS — fixed so the result ("distance within ≤ 6
+    * hops") is exact and oracle-able; 6 covers the fixture graph's
+    * reachable set and is the production-typical neighborhood radius. */
+  private val MaxHops = 6
+
+  /** Single-source BFS shortest hop distances (source = min part id,
+    * deterministic), bounded at MaxHops. The Pregel frontier form: round
+    * h joins ONLY the (h−1)-frontier against the edge table (one
+    * shuffle-hash join) and folds the new candidates into the distance
+    * table with one min-aggregate — per-round cost O(frontier + E), not
+    * O(V·E), and the distance table carries O(V) rows with lineage cut
+    * per round. The oracle is a depth-bounded recursive CTE (UNION-dedup
+    * on (v, d) keeps the walk enumeration polynomial). */
+  val bfs: GraftQuery = GraftQuery(
+    "graph_bfs",
+    (s, dir) => {
+      import s.implicits._
+      val e = adjacency(s, dir).select($"src", $"dst")
+      var dist = e.agg(min($"src").as("v")).select($"v", lit(0L).as("d"))
+        .localCheckpoint()
+      for (h <- 1 to MaxHops) {
+        val next = e.join(
+            dist.filter($"d" === (h - 1)).select($"v".as("src")).hint("shuffle_hash"),
+            "src")
+          .select($"dst".as("v"), lit(h.toLong).as("d"))
+        dist = dist.union(next)
+          .groupBy($"v").agg(min($"d").as("d"))
+          .localCheckpoint()
+      }
+      dist.select($"v".as("part_id"), $"d".as("dist")).orderBy($"part_id")
+    },
+    Some(s"""WITH RECURSIVE $edgeCte,
+               s AS (SELECT min(src) AS s FROM e),
+               walk(v, d) AS (
+                 SELECT s, CAST(0 AS BIGINT) FROM s
+                 UNION
+                 SELECT e.dst, w.d + 1 FROM walk w
+                 JOIN e ON e.src = w.v WHERE w.d < $MaxHops)
+             SELECT v AS part_id, min(d) AS dist FROM walk
+             GROUP BY v ORDER BY part_id""")
+  )
+
+  /** Incremental maintenance of the co-occurrence graph: orders arrive
+    * in waves, and the graph must advance by O(new orders), never a full
+    * re-derivation.
+    *
+    * The key design point: the MAINTAINED artifact is the UNTHRESHOLDED
+    * pair-counter table (persisted bucketed by src, O(facts) rows) —
+    * the support-thresholded graph is a view over it. Thresholding the
+    * stored artifact would make increments impossible: a pair at
+    * support 1 is invisible in the thresholded graph but one
+    * co-occurrence away from materializing an edge, so the counters
+    * below the threshold ARE the state (the same reason streaming
+    * aggregations keep full counters and apply HAVING at emission).
+    *
+    * Because every order's lines share one order key, a watermark on
+    * the order key cleanly partitions pair evidence: old-wave pairs and
+    * new-wave pairs, no cross terms. The increment is therefore: count
+    * pairs within the new wave only (O(wave) work through the same
+    * self-join), then merge counter-for-counter via a FULL OUTER join
+    * on (src, dst). The counter layout is bucketed AND sorted by the
+    * full merge key (src, dst) — Spark's co-partitioning rule requires
+    * the storage partitioning to cover ALL join keys (bucketing by src
+    * alone gets "disabled by query planner", verified), and the sort
+    * order additionally makes the base side of the merge SMJ sort-free
+    * — so the O(pairs) base side merges with zero exchange and zero
+    * sort; only the O(wave) delta shuffles. Graded against the
+    * full-rebuild edge derivation: the increment must reproduce it
+    * counter-for-counter. */
+  val edgesIncremental: GraftQuery = GraftQuery(
+    "graph_edges_incremental",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+      // Deterministic midpoint watermark as a 1-row broadcast (the
+      // dedup-incremental idiom — never a driver-side collect).
+      val wmRow = li.agg(floor(max($"l_orderkey") / 2.0).cast("long").as("wm"))
+      def pairCounts(lines: DataFrame): DataFrame = {
+        val lp = lines.select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+        lp.as("a").join(lp.as("b"), $"a.o" === $"b.o" && $"a.p" < $"b.p")
+          .groupBy($"a.p".as("src"), $"b.p".as("dst"))
+          .agg(count(lit(1)).as("support"))
+      }
+      def wave(pred: org.apache.spark.sql.Column): DataFrame =
+        li.crossJoin(broadcast(wmRow)).filter(pred)
+      // The persisted base: unthresholded counters for the old wave,
+      // bucketed by src (the adjacency layout's convention).
+      val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val tbl = s"graft_graph_base_$sfx"
+      val path = s"/tmp/graft_graph_base/$sfx"
+      val base = graft.llm.Layouts.table(s, tbl, path,
+          graft.llm.Layouts.fingerprint(li, "l_orderkey", "l_partkey")) {
+        s"""CREATE TABLE $tbl (`src` BIGINT, `dst` BIGINT, `support` BIGINT)
+            USING PARQUET
+            CLUSTERED BY (src, dst) SORTED BY (src, dst) INTO 8 BUCKETS
+            LOCATION '$path'"""
+      } {
+        pairCounts(wave($"l_orderkey" <= $"wm"))
+          .repartition(8, $"src", $"dst")
+          .write.bucketBy(8, "src", "dst").sortBy("src", "dst")
+          .option("path", path).mode("overwrite").saveAsTable(tbl)
+      }
+      val delta = pairCounts(wave($"l_orderkey" > $"wm"))
+      base.withColumnRenamed("support", "s_base")
+        .join(delta.withColumnRenamed("support", "s_new"),
+          Seq("src", "dst"), "full_outer")
+        .select($"src", $"dst",
+          (coalesce($"s_base", lit(0L)) + coalesce($"s_new", lit(0L))).as("support"))
+        .filter($"support" >= MinSupport)
+        .orderBy($"src", $"dst")
+    },
+    Some(s"""WITH $edgeCte
+             SELECT src, dst, support FROM e0 ORDER BY src, dst""")
   )
 
   /** Triangle count via the oriented (src<dst) edge list: enumerate wedges
@@ -179,8 +445,7 @@ object Graph {
     "graph_degree_dist",
     (s, dir) => {
       import s.implicits._
-      directedEdges(s, dir)
-        .groupBy($"src").agg(count(lit(1)).as("deg"))
+      vertices(adjacency(s, dir))
         .groupBy($"deg").agg(count(lit(1)).as("n_vertices"))
         .orderBy($"deg")
     },
@@ -190,5 +455,7 @@ object Graph {
              GROUP BY deg ORDER BY deg""")
   )
 
-  def all: Seq[GraftQuery] = Seq(pagerank, triangles, degreeDist)
+  def all: Seq[GraftQuery] =
+    Seq(pagerank, pagerankWeighted, cc, jaccard, bfs, edgesIncremental,
+      triangles, degreeDist)
 }

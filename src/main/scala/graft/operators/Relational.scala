@@ -270,6 +270,108 @@ object Relational {
             ORDER BY totalprice DESC, o_orderkey""")
   )
 
+  /** TPC-H Q7-shaped bilateral trade volume: lineitem joined out to the
+    * supplier nation AND (through orders) the customer nation, filtered
+    * to one nation pair in both directions, aggregated by
+    * (supp, cust, year). The scale shape: both nation filters reach the
+    * two nation-dim scans (each a broadcast), so the fact side is
+    * reduced by the semi-joinable supplier/customer keys BEFORE the big
+    * orders⋈lineitem join — Catalyst's join reorder does this from the
+    * declarative form; the year comes off the already-filtered rows as
+    * a projection. Two fact shuffles total at any scale. */
+  val sqlQ7: GraftQuery = GraftQuery(
+    "sql_q7",
+    (s, dir) => {
+      for (t <- Seq("supplier", "customer", "orders", "lineitem", "nation"))
+        graft.sources.Tables.table(s, dir, t).createOrReplaceTempView(s"v_$t")
+      s.sql("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                      year(l_shipdate) AS l_year,
+                      round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+               FROM v_supplier
+               JOIN v_lineitem ON s_suppkey = l_suppkey
+               JOIN v_orders   ON o_orderkey = l_orderkey
+               JOIN v_customer ON c_custkey = o_custkey
+               JOIN v_nation n1 ON s_nationkey = n1.n_nationkey
+               JOIN v_nation n2 ON c_nationkey = n2.n_nationkey
+               WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+                   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+                 AND l_shipdate >= TIMESTAMP '1996-01-01'
+                 AND l_shipdate <  TIMESTAMP '1998-01-01'
+               GROUP BY supp_nation, cust_nation, l_year
+               ORDER BY supp_nation, cust_nation, l_year""")
+    },
+    Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   year(l_shipdate) AS l_year,
+                   round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+            FROM supplier
+            JOIN lineitem ON s_suppkey = l_suppkey
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+                OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+            GROUP BY supp_nation, cust_nation, l_year
+            ORDER BY supp_nation, cust_nation, l_year""")
+  )
+
+  /** TPC-H Q10-shaped returned-item report: revenue lost to returns per
+    * customer over one quarter, top-20. The date predicate prunes the
+    * orders side and the returnflag predicate prunes lineitem BEFORE
+    * their join (at 100 TB with date-partitioned orders this is a
+    * partition-pruned scan); customer and nation broadcast onto the
+    * aggregated result, and the top-20 is a TakeOrderedAndProject —
+    * the full ordered customer ranking never materializes.
+    *
+    * Revenue accumulates in DECIMAL, not DOUBLE: the fixture's money
+    * columns are exact 2-decimal values, and a double sum is
+    * order-dependent in its last ulps — this query's sf0.01 result
+    * lands EXACTLY on a round-half boundary (…3.595), where engine
+    * summation order flips the rounded cent. Exact decimal aggregation
+    * is order-independent (and what a real money pipeline uses). The
+    * round must ALSO happen on the decimal, before the presentation
+    * cast to DOUBLE: Spark rounds doubles through their shortest
+    * decimal string while DuckDB rounds the binary value, so
+    * round(CAST(.595 AS DOUBLE)) splits .60 vs .59 across engines —
+    * round the exact value, then cast. */
+  val sqlQ10: GraftQuery = GraftQuery(
+    "sql_q10",
+    (s, dir) => {
+      for (t <- Seq("customer", "orders", "lineitem", "nation"))
+        graft.sources.Tables.table(s, dir, t).createOrReplaceTempView(s"v_$t")
+      s.sql("""SELECT c_custkey, c_name,
+                      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                                     * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue,
+                      round(c_acctbal, 2) AS acctbal, n_name
+               FROM v_customer
+               JOIN v_orders   ON o_custkey = c_custkey
+               JOIN v_lineitem ON l_orderkey = o_orderkey
+               JOIN v_nation   ON c_nationkey = n_nationkey
+               WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                 AND o_orderdate <  TIMESTAMP '1996-04-01'
+                 AND l_returnflag = 'R'
+               GROUP BY c_custkey, c_name, c_acctbal, n_name
+               ORDER BY revenue DESC, c_custkey
+               LIMIT 20""")
+    },
+    Some("""SELECT c_custkey, c_name,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                                  * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue,
+                   round(c_acctbal, 2) AS acctbal, n_name
+            FROM customer
+            JOIN orders   ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1996-04-01'
+              AND l_returnflag = 'R'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20""")
+  )
+
   /** Correlated subqueries through the SQL surface: a correlated scalar
     * aggregate (balance above own-nation average) plus a correlated
     * EXISTS (has an urgent order). Catalyst DECORRELATES both — the
@@ -341,5 +443,5 @@ object Relational {
   def all: Seq[GraftQuery] = Seq(
     scanProject, scanFilterPushdown, filterPred, projectCompute,
     sortLimit, setUnion, setIntersect, setExcept, sqlStarQ5, sqlQ3, sqlQ18,
-    sqlSubquery, cleanNa)
+    sqlQ7, sqlQ10, sqlSubquery, cleanNa)
 }

@@ -631,7 +631,54 @@ object TimeSeries {
     }
   )
 
+  /** Lagged cross-correlation between two event streams (does `click`
+    * activity lead `purchase` activity, and by how many hours?) — the
+    * lead-lag diagnostic run before building any predictive feature on
+    * event data. Both series reduce to hourly counts in one hash
+    * aggregate (O(hours) rows out of O(events) in — the series table is
+    * TINY relative to the fact table, which is what makes the lag join
+    * free at any scale); each lag then equi-joins series B shifted by
+    * `lag` hours (the shift rides IN the join key, so this is a plain
+    * equi-join, never a range/theta join) and one corr aggregate per
+    * lag. Inner join = hours where both series observed (gaps drop,
+    * deterministically). */
+  val crossCorr: GraftQuery = GraftQuery(
+    "ts_cross_corr",
+    (s, dir) => {
+      import s.implicits._
+      val MaxLag = 6
+      val hourly = Tables.events(s, dir)
+        .filter($"event_type".isin("click", "purchase"))
+        .groupBy($"event_type", date_trunc("hour", $"ts").as("h"))
+        .agg(count(lit(1)).as("n"))
+      val a = hourly.filter($"event_type" === "click")
+        .select($"h", $"n".as("na"))
+      val b = hourly.filter($"event_type" === "purchase")
+        .select($"h".as("hb"), $"n".as("nb"))
+      a.select($"h", $"na",
+          explode(sequence(lit(0L), lit(MaxLag.toLong))).as("lag"))
+        .join(b, $"hb" === $"h" + expr("make_dt_interval(0, lag, 0, 0)"))
+        .groupBy($"lag")
+        .agg(round(corr($"na", $"nb"), 6).as("xcorr"),
+          count(lit(1)).as("n_hours"))
+        .orderBy($"lag")
+    },
+    Some("""WITH hc AS (
+              SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+              FROM events WHERE event_type IN ('click', 'purchase')
+              GROUP BY 1, 2),
+            a AS (SELECT h, n AS na FROM hc WHERE event_type = 'click'),
+            b AS (SELECT h AS hb, n AS nb FROM hc WHERE event_type = 'purchase'),
+            l AS (SELECT unnest(range(0, 7)) AS lag)
+            SELECT l.lag, round(corr(na, nb), 6) AS xcorr,
+                   count(*) AS n_hours
+            FROM l CROSS JOIN a
+            JOIN b ON b.hb = a.h + INTERVAL 1 HOUR * CAST(l.lag AS INT)
+            GROUP BY l.lag ORDER BY l.lag""")
+  )
+
   def all: Seq[GraftQuery] =
     Seq(asofJoin, gapFill, ntileRanks, skewSalted, resample, funnel,
-      funnelWindowed, sessionize, retention, anomaly, interpolate, ewma)
+      funnelWindowed, sessionize, retention, anomaly, interpolate, ewma,
+      crossCorr)
 }

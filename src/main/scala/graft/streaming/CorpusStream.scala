@@ -125,5 +125,65 @@ object CorpusStream {
     Some(Corpus.pplOracle)
   )
 
-  def all: Seq[GraftQuery] = Seq(streamContamination, streamPerplexity)
+  /** Streaming quality classification: the linear classifier is a pure
+    * per-document projection (no model state beyond frozen weights, no
+    * cross-batch state at all), so the streaming form is the theoretical
+    * best case for incremental curation — each micro-batch runs the
+    * SHARED classifier projection (TextStats.classifierScores) at scan
+    * speed and appends. Graded over the deterministic 3-way arrival
+    * split against llm_quality_classifier's oracle verbatim: batching
+    * must not change one score. */
+  val streamQuality: GraftQuery = GraftQuery(
+    "stream_quality",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      (0 until 3)
+        .map(b => graft.llm.TextStats.classifierScores(
+          docs.filter(pmod($"doc_id", lit(3)) === b)))
+        .reduce(_.unionAll(_))
+        .orderBy($"doc_id")
+    },
+    Some(graft.llm.TextStats.classifierOracle)
+  )
+
+  /** END-TO-END STREAMING CURATION — the engine's capstone composition:
+    * the full seven-signal curate pipeline run as a per-batch increment.
+    * Every conjunct is either per-doc pure (repetition, quality score,
+    * classifier — computed OVER the batch by the shared curateBatch) or
+    * a join against frozen per-dataset state (the broadcast
+    * contaminated-id layout, the frozen bigram LM the batch scores
+    * against, the persisted cluster labels, and the keeper table
+    * materialized once before the stream) — so union-of-batches equals
+    * the whole-corpus answer exactly, and the recurring cost is
+    * O(batch) through doc_id-keyed joins. Graded over the deterministic
+    * 3-way arrival split against llm_curate's composed oracle verbatim:
+    * batching must not change one kept row. */
+  val streamCurate: GraftQuery = GraftQuery(
+    "stream_curate",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val lm = Corpus.lmCounts(s, dir)
+      // Frozen once per stream, like the LM: the keeper table needs
+      // whole-cluster context, so it is a per-dataset artifact, not a
+      // per-batch computation.
+      val keepers = graft.llm.Dedup.clusterKeepers(s, dir).localCheckpoint()
+      (0 until 3)
+        .map { b =>
+          val batch = docs.filter(pmod($"doc_id", lit(3)) === b)
+          Corpus.curateBatch(s, dir, batch,
+              Corpus.scoreBigrams(s, Corpus.docBigrams(s, batch), lm), keepers)
+            // One eagerly-executed DAG per emulated micro-batch (the
+            // stream_dedup_incremental convention).
+            .localCheckpoint()
+        }
+        .reduce(_.unionAll(_))
+        .orderBy($"doc_id")
+    },
+    Some(Corpus.curateOracle)
+  )
+
+  def all: Seq[GraftQuery] =
+    Seq(streamContamination, streamPerplexity, streamQuality, streamCurate)
 }

@@ -44,6 +44,123 @@ class GraphSpec extends AnyFunSuite {
     assert(ranked.toSet == vertices)
   }
 
+  /** Brute-force support counts for the weighted family. */
+  private def bruteSupport: Map[(Long, Long), Long] = {
+    val lp = sources.Tables.lineitem(spark, TestSpark.Sf)
+      .select($"l_orderkey", $"l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val m = scala.collection.mutable.Map[(Long, Long), Long]()
+    lp.groupBy(_._1).valuesIterator.foreach { lines =>
+      val ps = lines.map(_._2).distinct
+      for (a <- ps; b <- ps if a < b) m((a, b)) = m.getOrElse((a, b), 0L) + 1L
+    }
+    m.iterator.filter(_._2 >= 2L).toMap
+  }
+
+  test("weighted pagerank: mass conserved and vertex set matches unweighted") {
+    val ranks = operators.Graph.pagerankWeighted.run(spark, TestSpark.Sf).collect()
+    assert(ranks.nonEmpty)
+    val total = ranks.map(_.getDouble(1)).sum
+    assert(math.abs(total - 1.0) <= ranks.length * 5e-5 + 1e-6,
+      s"rank mass $total drifted from 1.0 over ${ranks.length} vertices")
+    val vertices = bruteEdges.flatMap(e => Seq(e._1, e._2))
+    assert(ranks.map(_.getLong(0)).toSet == vertices)
+  }
+
+  test("weighted pagerank: differs from uniform pagerank where supports differ") {
+    // The weighting must actually engage: on the fixture graph supports
+    // are non-uniform, so at least one vertex must rank differently.
+    val uni = operators.Graph.pagerank.run(spark, TestSpark.Sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val w = operators.Graph.pagerankWeighted.run(spark, TestSpark.Sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w.keySet == uni.keySet)
+    assert(w.exists { case (v, r) => math.abs(r - uni(v)) > 1e-4 },
+      "weighted pagerank identical to uniform — the weights never engaged")
+  }
+
+  test("connected components: labels match driver-side union-find") {
+    val labels = operators.Graph.cc.run(spark, TestSpark.Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Union-find over the brute edge set, then component-min relabel.
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- bruteEdges) {
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val vertices = bruteEdges.flatMap(e => Seq(e._1, e._2))
+    val roots = vertices.groupBy(find).map { case (_, vs) => vs.min -> vs }
+    val brute = roots.flatMap { case (minV, vs) => vs.map(_ -> minV) }.toMap
+    assert(labels == brute)
+  }
+
+  test("jaccard: top-50 matches a brute-force neighborhood computation") {
+    val got = operators.Graph.jaccard.run(spark, TestSpark.Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val e = bruteEdges
+    val adj = (e.iterator.map(p => (p._1, p._2)) ++
+               e.iterator.map(p => (p._2, p._1)))
+      .toSeq.groupBy(_._1).map { case (k, v) => k -> v.iterator.map(_._2).toSet }
+    val pairs = for {
+      (a, na) <- adj.toSeq; (b, nb) <- adj.toSeq
+      if a < b
+      common = (na & nb).size if common > 0
+    } yield (a, b,
+      BigDecimal(common.toDouble / (na.size + nb.size - common))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val brute = pairs.sortBy { case (a, b, j) => (-j, a, b) }.take(50)
+    assert(got.toSeq == brute)
+  }
+
+  test("incremental edges: merged counters equal brute-force support") {
+    // The increment (persisted old-wave counters + new-wave delta,
+    // full-outer merged) must reproduce the from-scratch derivation
+    // counter-for-counter — including edges that only cross the support
+    // threshold once both waves contribute.
+    val got = operators.Graph.edgesIncremental.run(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == bruteSupport)
+    // The merge path must be genuinely exercised: some final edge has to
+    // owe its threshold crossing to BOTH waves (old-wave count alone
+    // below MinSupport). Recompute the old-wave counts driver-side.
+    val lp = sources.Tables.lineitem(spark, TestSpark.Sf)
+      .select($"l_orderkey", $"l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val wm = math.floor(lp.map(_._1).max / 2.0).toLong
+    val oldCounts = scala.collection.mutable.Map[(Long, Long), Long]()
+    lp.filter(_._1 <= wm).groupBy(_._1).valuesIterator.foreach { lines =>
+      val ps = lines.map(_._2).distinct
+      for (a <- ps; b <- ps if a < b)
+        oldCounts((a, b)) = oldCounts.getOrElse((a, b), 0L) + 1L
+    }
+    assert(got.keys.exists(e => oldCounts.getOrElse(e, 0L) < 2L),
+      "fixture must contain an edge that crosses the support threshold " +
+        "only after the new wave merges in")
+  }
+
+  test("bfs: distances match driver-side breadth-first search") {
+    val got = operators.Graph.bfs.run(spark, TestSpark.Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e = bruteEdges
+    val adj = (e.iterator.map(p => (p._1, p._2)) ++
+               e.iterator.map(p => (p._2, p._1)))
+      .toSeq.groupBy(_._1).map { case (k, v) => k -> v.iterator.map(_._2).toSet }
+    val srcV = e.flatMap(p => Seq(p._1, p._2)).min
+    val dist = scala.collection.mutable.Map(srcV -> 0L)
+    var frontier = Set(srcV)
+    for (h <- 1L to 6L) {
+      frontier = frontier.flatMap(adj.getOrElse(_, Set.empty))
+        .filterNot(dist.contains)
+      frontier.foreach(v => dist(v) = h)
+    }
+    assert(got == dist.toMap)
+  }
+
   test("triangles: count matches a brute-force enumeration") {
     val row = operators.Graph.triangles.run(spark, TestSpark.Sf).collect().head
     val e = bruteEdges

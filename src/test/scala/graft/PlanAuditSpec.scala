@@ -35,8 +35,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "llm_domain_mix",     // 1-row stratum-totals broadcast onto the bounded stratum table
     "llm_perplexity",     // 1-row smoothing-vocab broadcast onto the scoring join
     "llm_curate",         // same 1-row vocab broadcast via the absorbed NLL signal
+    "stream_curate",      // same 1-row vocab broadcast, per emulated micro-batch
     "llm_dedup_semantic", // 1-row codebook broadcast onto the assignment scans
+    "graph_edges_incremental", // 1-row watermark broadcast onto the fact scans
     "graph_pagerank",     // 1-row vertex-count broadcast per power iteration
+    "graph_pagerank_weighted", // same 1-row vertex-count broadcast pattern
     "graph_triangles",    // 1-row count crossJoins assembling the stats row
     "llm_sim_mmr",        // tiny query-set broadcast, non-equi self-guard
     "llm_bpe_train",      // 1-row winning-pair broadcast per merge round

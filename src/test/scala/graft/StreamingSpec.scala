@@ -609,4 +609,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(out(1).getTimestamp(0) === ts(30) && out(1).getTimestamp(1) === ts(45)
       && out(1).getLong(2) === 2)
   }
+
+  test("quality-classifier foreachBatch pipeline: incremental arrivals, batch parity") {
+    // The production form of stream_quality: the frozen linear classifier
+    // is a pure per-document projection, so each checkpointed file-source
+    // micro-batch scores independently and appends — the simplest
+    // possible incremental curation op, and the accumulated sink must
+    // equal the whole-corpus batch query row-for-row.
+    val docs = sources.Tables.documents(spark, TestSpark.Sf).cache()
+    val wmid = docs.agg(org.apache.spark.sql.functions.floor(
+      org.apache.spark.sql.functions.max($"doc_id") / 2.0).cast("long"))
+      .collect()(0).getLong(0)
+    val base = Files.createTempDirectory("graft_qstrm").toString
+    val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+
+    def runWave(): Unit = {
+      val q = spark.readStream.schema(docs.schema).parquet(src)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          llm.TextStats.classifierScores(b)
+            .write.mode("append").parquet(out)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    docs.filter($"doc_id" <= wmid).write.mode("append").parquet(src)
+    runWave()
+    docs.filter($"doc_id" > wmid).write.mode("append").parquet(src)
+    runWave()
+
+    val batchTruth = llm.TextStats.qualityClassifier.run(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getBoolean(2)))).toMap
+    val acc = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), (r.getDouble(1), r.getBoolean(2))))
+    assert(acc.length === batchTruth.size,
+      "a doc scored twice means wave-1 files were reprocessed")
+    acc.foreach { case (id, v) =>
+      assert(batchTruth(id) === v, s"doc $id: incremental score != batch score")
+    }
+  }
 }
