@@ -281,6 +281,10 @@ object Ingest {
 
   val sourceCsv: GraftQuery = roundTrip("csv")
   val sourceJson: GraftQuery = roundTrip("json")
+  /** ORC exercises the OTHER columnar format family (predicate pushdown,
+    * column pruning, and stripe statistics work exactly as for parquet;
+    * unlike the text formats the round-trip is bit-exact). */
+  val sourceOrc: GraftQuery = roundTrip("orc")
 
   /** The canonical 100 TB fact layout: PARTITIONED by day AND BUCKETED by
     * the high-cardinality key — one write buys both partition pruning
@@ -630,6 +634,7 @@ object Ingest {
 
   def all: Seq[GraftQuery] =
     Seq(ingestPartitioned, ingestIncremental, scanPartitionPrune, joinBucketed,
-        ingestUpsert, sourceCsv, sourceJson, partitionBucket, ingestCompact,
+        ingestUpsert, sourceCsv, sourceJson, sourceOrc, partitionBucket,
+        ingestCompact,
         ingestCdc, ingestScd2, ingestZorder, ingestSchemaEvolution)
 }
