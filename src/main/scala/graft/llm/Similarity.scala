@@ -973,7 +973,58 @@ object Similarity {
     )
   }
 
+  /** FILTERED vector search — top-k among candidates sharing the query's
+    * metadata label (in-domain retrieval: "nearest neighbors within the
+    * same class"). The production-critical variant every vector store
+    * grew in the RAG era: a metadata predicate must compose WITH the
+    * similarity search, not as a post-filter over an unfiltered top-k
+    * (which silently starves queries whose matching class is sparse).
+    *
+    * The plan story is the point: the label equality is an EQUI key, so
+    * what is a broadcast nested-loop all-pairs in llm_sim_topk becomes a
+    * BroadcastHashJoin on label here — the predicate prunes candidates
+    * BEFORE any cosine is computed, cutting the scored set by ~the label
+    * cardinality. At index scale the same predicate becomes partition
+    * pruning on a label-partitioned layout (the ivf_persisted DPP
+    * pattern composes directly). */
+  val filteredTopK: GraftQuery = GraftQuery(
+    "llm_sim_topk_filtered",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+        .select($"vec_id", $"label", $"embedding")
+      val q = broadcast(
+        e.filter($"vec_id" < NumQueries)
+          .select($"vec_id".as("qid"), $"label".as("qlabel"),
+            $"embedding".as("qv")))
+      val scored = e.join(q,
+          $"label" === $"qlabel" && $"vec_id" =!= $"qid")
+        .withColumn("sim", round(VectorFunctions.cosine(s, $"qv", $"embedding"), 4))
+      val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id")
+      scored
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= K)
+        .select($"qid", $"rn", $"vec_id".as("nid"), $"label", $"sim")
+        .orderBy($"qid", $"rn")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                        FROM embeddings),
+             q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv
+                   FROM e WHERE vec_id < $NumQueries),
+             scored AS (
+               SELECT q.qid, e.vec_id AS nid, e.label,
+                      round(list_cosine_similarity(q.qv, e.v), 4) AS sim
+               FROM q JOIN e ON e.label = q.qlabel AND e.vec_id <> q.qid),
+             ranked AS (
+               SELECT qid, nid, label, sim,
+                      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+               FROM scored)
+             SELECT qid, rn, nid, label, sim FROM ranked WHERE rn <= $K
+             ORDER BY qid, rn""")
+  )
+
   def all: Seq[GraftQuery] =
     Seq(bruteTopK, rangeSearch, lshTopK, ivfTopK, ivf2TopK, ivfPersistedTopK,
-      embedStats, pqTopK, indexAppendTopK, ivfPqTopK, mmrDiversify)
+      embedStats, pqTopK, indexAppendTopK, ivfPqTopK, mmrDiversify,
+      filteredTopK)
 }

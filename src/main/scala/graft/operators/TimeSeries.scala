@@ -677,8 +677,64 @@ object TimeSeries {
             GROUP BY l.lag ORDER BY l.lag""")
   )
 
+  /** Robust outlier detection via median absolute deviation — the
+    * complement of ts_anomaly's rolling z-score: MAD is what production
+    * monitoring uses when the series itself contains the outliers that
+    * would poison a mean/stddev baseline (a single spike inflates σ and
+    * masks itself; the median ignores it). Flag: |v − med| > 3·1.4826·MAD
+    * (1.4826 scales MAD to σ under normality).
+    *
+    * Plan: two grouped median aggregates (percentile_cont — exact,
+    * per-group sorted; group count is the bounded event-type domain)
+    * with the tiny per-group stats broadcast back onto the scan between
+    * and after them — the fact table is read twice, shuffled never.
+    * Both sides of the outlier comparison are rounded (4dp) so the
+    * boundary decision is cross-engine identical. */
+  val outlierMad: GraftQuery = GraftQuery(
+    "ts_outlier_mad",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir).select($"event_type", $"value")
+      val med = ev.groupBy($"event_type")
+        .agg(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY value)").as("med"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("adev", abs($"value" - $"med"))
+      val stats = dev.groupBy($"event_type")
+        .agg(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY adev)").as("mad"),
+          max($"med").as("med"))
+      dev.drop("med").join(broadcast(stats), "event_type")
+        .groupBy($"event_type", $"med", $"mad")
+        .agg(
+          sum(when(round($"adev", 4) > round(lit(3 * 1.4826) * $"mad", 4), 1L)
+            .otherwise(0L)).as("n_outliers"),
+          count(lit(1)).as("n"))
+        .select($"event_type", round($"med", 4).as("med"),
+          round($"mad", 4).as("mad"), $"n_outliers", $"n")
+        .orderBy($"event_type")
+    },
+    Some("""WITH m AS (
+              SELECT event_type,
+                     percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
+              FROM events GROUP BY 1),
+            d AS (
+              SELECT e.event_type, abs(e.value - m.med) AS adev
+              FROM events e JOIN m USING (event_type)),
+            md AS (
+              SELECT event_type,
+                     percentile_cont(0.5) WITHIN GROUP (ORDER BY adev) AS mad
+              FROM d GROUP BY 1)
+            SELECT d.event_type,
+                   round(max(m.med), 4) AS med,
+                   round(max(md.mad), 4) AS mad,
+                   CAST(sum(CASE WHEN round(adev, 4) > round(3 * 1.4826 * md.mad, 4)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+                   count(*) AS n
+            FROM d JOIN m USING (event_type) JOIN md USING (event_type)
+            GROUP BY d.event_type ORDER BY event_type""")
+  )
+
   def all: Seq[GraftQuery] =
     Seq(asofJoin, gapFill, ntileRanks, skewSalted, resample, funnel,
       funnelWindowed, sessionize, retention, anomaly, interpolate, ewma,
-      crossCorr)
+      crossCorr, outlierMad)
 }

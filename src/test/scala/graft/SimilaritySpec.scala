@@ -379,4 +379,25 @@ class SimilaritySpec extends AnyFunSuite {
     }
     assert(differs, "MMR never deviated from pure relevance — λ penalty inert")
   }
+
+  test("filtered top-k: predicate composes with the search, not over it") {
+    val emb = sources.Tables.embeddings(spark, TestSpark.Sf)
+      .select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val out = llm.Similarity.filteredTopK.run(spark, TestSpark.Sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    assert(out.nonEmpty)
+    // Every neighbor shares its query's label (the filter is IN the
+    // search), and no query is starved below min(K, class size − 1) —
+    // the guarantee a post-filter over unfiltered top-k cannot give.
+    out.foreach { case (qid, _, nid, label) =>
+      assert(label == emb(qid), s"query $qid got cross-label neighbor $nid")
+    }
+    val classSize = emb.values.groupBy(identity).map { case (k, v) => k -> v.size }
+    out.groupBy(_._1).foreach { case (qid, rows) =>
+      val expect = math.min(10, classSize(emb(qid)) - 1)
+      assert(rows.length == expect,
+        s"query $qid returned ${rows.length} of $expect in-class neighbors")
+    }
+  }
 }
