@@ -987,6 +987,26 @@ object Similarity {
     * cardinality. At index scale the same predicate becomes partition
     * pruning on a label-partitioned layout (the ivf_persisted DPP
     * pattern composes directly). */
+  /** Oracle for BOTH filtered forms (declared before the GraftQuery vals
+    * that capture it): the persisted form is the same exact semantics
+    * over a different storage layout, so it grades against the identical
+    * SQL — layout must not change one row. */
+  private val filteredOracle: String =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv
+              FROM e WHERE vec_id < $NumQueries),
+        scored AS (
+          SELECT q.qid, e.vec_id AS nid, e.label,
+                 round(list_cosine_similarity(q.qv, e.v), 4) AS sim
+          FROM q JOIN e ON e.label = q.qlabel AND e.vec_id <> q.qid),
+        ranked AS (
+          SELECT qid, nid, label, sim,
+                 row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+          FROM scored)
+        SELECT qid, rn, nid, label, sim FROM ranked WHERE rn <= $K
+        ORDER BY qid, rn"""
+
   val filteredTopK: GraftQuery = GraftQuery(
     "llm_sim_topk_filtered",
     (s, dir) => {
@@ -1007,24 +1027,62 @@ object Similarity {
         .select($"qid", $"rn", $"vec_id".as("nid"), $"label", $"sim")
         .orderBy($"qid", $"rn")
     },
-    Some(s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-                        FROM embeddings),
-             q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv
-                   FROM e WHERE vec_id < $NumQueries),
-             scored AS (
-               SELECT q.qid, e.vec_id AS nid, e.label,
-                      round(list_cosine_similarity(q.qv, e.v), 4) AS sim
-               FROM q JOIN e ON e.label = q.qlabel AND e.vec_id <> q.qid),
-             ranked AS (
-               SELECT qid, nid, label, sim,
-                      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
-               FROM scored)
-             SELECT qid, rn, nid, label, sim FROM ranked WHERE rn <= $K
-             ORDER BY qid, rn""")
+    Some(filteredOracle)
+  )
+
+  /** The label-PARTITIONED embedding layout: the filtered-search serving
+    * form. Partition values (unlike bucket ids) are visible to dynamic
+    * partition pruning, so a query batch's label set prunes the scan at
+    * the DIRECTORY level before any file opens (the ivfIndex pattern,
+    * with the user-facing metadata column itself as the partition key).
+    * Fingerprinted like every layout; plain partitioned parquet. */
+  private def labelIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val path = s"/tmp/graft_labelidx/$sfx"
+    Layouts.parquetLayout(path, path,
+        Layouts.fingerprint(Tables.embeddings(s, dir), "vec_id", "embedding")) {
+      Tables.embeddings(s, dir)
+        .select($"vec_id", $"embedding", $"label")
+        .repartition($"label")
+        .write.mode("overwrite").partitionBy("label").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
+  /** Filtered search over the PERSISTED label-partitioned layout — the
+    * recurring-query form of llm_sim_topk_filtered: the metadata
+    * predicate is now a physical partition predicate, and the broadcast
+    * probe join DYNAMICALLY PRUNES the scan to the label directories
+    * the query batch touches (asserted on the executed plan). At 100 TB
+    * with a high-cardinality metadata domain, a query batch reads its
+    * few label partitions, not the corpus. Same exact semantics as the
+    * unpersisted form, graded against the identical oracle — the layout
+    * must not change one row. */
+  val filteredPersistedTopK: GraftQuery = GraftQuery(
+    "llm_sim_topk_filtered_persisted",
+    (s, dir) => {
+      import s.implicits._
+      val idx = labelIndex(s, dir)
+      val q = broadcast(
+        Tables.embeddings(s, dir)
+          .filter($"vec_id" < NumQueries)
+          .select($"vec_id".as("qid"), $"label", $"embedding".as("qv")))
+      val scored = idx.join(q, Seq("label"))
+        .filter($"vec_id" =!= $"qid")
+        .withColumn("sim", round(VectorFunctions.cosine(s, $"qv", $"embedding"), 4))
+      scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id")))
+        .filter($"rn" <= K)
+        .select($"qid", $"rn", $"vec_id".as("nid"), $"label", $"sim")
+        .orderBy($"qid", $"rn")
+    },
+    Some(filteredOracle)
   )
 
   def all: Seq[GraftQuery] =
     Seq(bruteTopK, rangeSearch, lshTopK, ivfTopK, ivf2TopK, ivfPersistedTopK,
       embedStats, pqTopK, indexAppendTopK, ivfPqTopK, mmrDiversify,
-      filteredTopK)
+      filteredTopK, filteredPersistedTopK)
 }

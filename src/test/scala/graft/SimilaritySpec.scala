@@ -400,4 +400,16 @@ class SimilaritySpec extends AnyFunSuite {
         s"query $qid returned ${rows.length} of $expect in-class neighbors")
     }
   }
+
+  test("persisted filtered top-k: dynamic partition pruning, layout-invariant result") {
+    spark.catalog.clearCache()
+    val df = llm.Similarity.filteredPersistedTopK.run(spark, TestSpark.Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      "the label-partitioned scan must be dynamically pruned by the probe join")
+    // The storage layout must not change one row vs the unpersisted form.
+    val flat = llm.Similarity.filteredTopK.run(spark, TestSpark.Sf).collect()
+      .map(_.toSeq).toSeq
+    assert(df.collect().map(_.toSeq).toSeq == flat)
+  }
 }
