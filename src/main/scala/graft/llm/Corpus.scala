@@ -783,26 +783,58 @@ object Corpus {
     s.read.parquet(path)
   }
 
+  /** The frozen LM's three materialized pieces: bigram counts (w1, w2,
+    * cb), the per-w1 denominator roll-up (w1, cw1), and the 1-row
+    * smoothing vocabulary. */
+  private[graft] final case class LmModel(
+      bc: org.apache.spark.sql.DataFrame,
+      uc: org.apache.spark.sql.DataFrame,
+      vocab: org.apache.spark.sql.DataFrame)
+
+  /** The frozen LM, FULLY materialized: round 8 found the denominator
+    * roll-up (GROUP BY w1 over the whole LM) and the smoothing
+    * vocabulary being re-derived on EVERY scoring call — once per
+    * micro-batch in the streaming forms. At web scale the LM is
+    * billions of bigram rows, so those per-batch roll-ups are a real
+    * recurring cost that the frozen-artifact discipline says belongs in
+    * the artifact: a trained model ships WITH its normalization
+    * constants. All three pieces persist under one fingerprint (the
+    * roll-ups derive deterministically from the counts, so one meta
+    * stamp covers the set; the vocab dir is the success probe — a crash
+    * between writes rebuilds). */
+  private[graft] def lmModel(s: SparkSession, dir: String): LmModel = {
+    import s.implicits._
+    val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val uPath = s"/tmp/graft_lm/$sfx/unigram"
+    val vPath = s"/tmp/graft_lm/$sfx/vocab"
+    Layouts.parquetLayout(uPath, vPath,
+        Layouts.fingerprint(Tables.documents(s, dir), "doc_id", "text", "source")) {
+      val bc = lmCounts(s, dir)
+      bc.groupBy($"w1").agg(sum($"cb").as("cw1"))
+        .write.mode("overwrite").parquet(uPath)
+      bc.agg((countDistinct($"w2") + 1L).as("v"))
+        .write.mode("overwrite").parquet(vPath)
+    }
+    LmModel(lmCounts(s, dir), s.read.parquet(uPath), s.read.parquet(vPath))
+  }
+
   /** Score a frame of (doc_id, source, w1, w2) bigram rows against the
-    * frozen LM `bc`: (doc_id, n_bigrams, n_unseen, nll), unordered. Pure
+    * frozen LM: (doc_id, n_bigrams, n_unseen, nll), unordered. Pure
     * per-document against static model state — no cross-batch dependence,
     * which is what makes the streaming form's union-of-batches equal the
-    * whole-corpus pass. */
+    * whole-corpus pass. All model pieces come pre-materialized from the
+    * layout (lmModel); a scoring pass does NO LM-sized aggregation. */
   private[graft] def scoreBigrams(s: SparkSession,
                                   bg: org.apache.spark.sql.DataFrame,
-                                  bc: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+                                  lm: LmModel): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    // Denominator roll-up + smoothing vocab, derived from the LM table —
-    // LM-bounded work, no corpus scan.
-    val uc = bc.groupBy($"w1").agg(sum($"cb").as("cw1"))
-    val vocab = bc.agg((countDistinct($"w2") + 1L).as("v"))
     // Per-doc bigram multiset, pre-aggregated so the scoring joins move
     // (doc, w1, w2, c) rows — repeated bigrams join once, weighted by c.
     val db = bg.groupBy($"doc_id", $"w1", $"w2").agg(count(lit(1)).as("c"))
     db
-      .join(bc.hint("shuffle_hash"), Seq("w1", "w2"), "left")
-      .join(uc.hint("shuffle_hash"), Seq("w1"), "left")
-      .crossJoin(broadcast(vocab))
+      .join(lm.bc.hint("shuffle_hash"), Seq("w1", "w2"), "left")
+      .join(lm.uc.hint("shuffle_hash"), Seq("w1"), "left")
+      .crossJoin(broadcast(lm.vocab))
       .withColumn("cb0", coalesce($"cb", lit(0L)))
       .withColumn("cw10", coalesce($"cw1", lit(0L)))
       .withColumn("lp",
@@ -828,7 +860,7 @@ object Corpus {
     val path = s"/tmp/graft_nll/$sfx"
     Layouts.parquetLayout(path, path,
         Layouts.fingerprint(Tables.documents(s, dir), "doc_id", "text", "source")) {
-      scoreBigrams(s, docBigrams(s, Tables.documents(s, dir)), lmCounts(s, dir))
+      scoreBigrams(s, docBigrams(s, Tables.documents(s, dir)), lmModel(s, dir))
         .write.mode("overwrite").parquet(path)
     }
     s.read.parquet(path)

@@ -92,13 +92,13 @@ object CorpusStream {
 
   /** The foreachBatch increment for LM quality scoring: one micro-batch
     * of newly-arrived docs scored against the FROZEN persisted bigram LM
-    * (Corpus.lmCounts — trained once on the reference slice, re-read per
+    * (Corpus.lmModel — trained once on the reference slice, re-read per
     * batch). Pure per-document against static model state, so
     * union-of-batches == whole-corpus, independent of arrival batching —
     * the same argument as contaminationBatch. Recurring cost is O(batch)
     * bigrams through two LM-keyed joins; nothing corpus-sized recomputes. */
   def perplexityBatch(s: SparkSession, batch: DataFrame,
-                      lm: DataFrame): DataFrame =
+                      lm: Corpus.LmModel): DataFrame =
     Corpus.scoreBigrams(s, Corpus.docBigrams(s, batch), lm)
 
   /** Graded form: the scoring increment batch-emulated over the
@@ -110,7 +110,7 @@ object CorpusStream {
     "stream_perplexity",
     (s, dir) => {
       import s.implicits._
-      val lm = Corpus.lmCounts(s, dir)
+      val lm = Corpus.lmModel(s, dir)
       val docs = Tables.documents(s, dir)
       (0 until 3)
         .map(b => perplexityBatch(s, docs.filter(pmod($"doc_id", lit(3)) === b), lm)
@@ -164,7 +164,7 @@ object CorpusStream {
     (s, dir) => {
       import s.implicits._
       val docs = Tables.documents(s, dir)
-      val lm = Corpus.lmCounts(s, dir)
+      val lm = Corpus.lmModel(s, dir)
       // Frozen once per stream, like the LM: the keeper table needs
       // whole-cluster context, so it is a per-dataset artifact, not a
       // per-batch computation.

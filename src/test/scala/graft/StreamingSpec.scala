@@ -207,7 +207,7 @@ class StreamingSpec extends AnyFunSuite {
     // stateless against the frozen model, so the accumulated sink must
     // equal the whole-corpus batch query row-for-row.
     val docs = sources.Tables.documents(spark, TestSpark.Sf).cache()
-    val lm = llm.Corpus.lmCounts(spark, TestSpark.Sf)
+    val lm = llm.Corpus.lmModel(spark, TestSpark.Sf)
     val wmid = docs.agg(org.apache.spark.sql.functions.floor(
       org.apache.spark.sql.functions.max($"doc_id") / 2.0).cast("long"))
       .collect()(0).getLong(0)
@@ -662,7 +662,7 @@ class StreamingSpec extends AnyFunSuite {
     // accumulated sink must equal the whole-corpus batch query
     // row-for-row.
     val docs = sources.Tables.documents(spark, TestSpark.Sf).cache()
-    val lm = llm.Corpus.lmCounts(spark, TestSpark.Sf)
+    val lm = llm.Corpus.lmModel(spark, TestSpark.Sf)
     val keepers = llm.Dedup.clusterKeepers(spark, TestSpark.Sf).localCheckpoint()
     val wmid = docs.agg(org.apache.spark.sql.functions.floor(
       org.apache.spark.sql.functions.max($"doc_id") / 2.0).cast("long"))
