@@ -932,7 +932,142 @@ object Corpus {
             GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""")
   )
 
+  /** (doc_id, source, w1, w2, w3) — one row per consecutive token triple;
+    * the trigram analogue of docBigrams with the same short-doc guard
+    * (size>=3 ⇔ the oracle's range(1, len-1) = empty below 3 tokens). */
+  private[graft] def docTrigrams(s: SparkSession,
+                                 docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    docs
+      .select($"doc_id", $"source", TF.tokens($"text").as("w"))
+      .select($"doc_id", $"source",
+        explode(when(size($"w") >= 3, expr(
+          "transform(sequence(2, size(w) - 1), i -> struct(w[i-2] AS w1, w[i-1] AS w2, w[i] AS w3))"))
+          .otherwise(expr("array()")))
+          .as("t"))
+      .select($"doc_id", $"source", $"t.w1", $"t.w2", $"t.w3")
+  }
+
+  /** Frozen trigram counts over the reference slice — the third LM-family
+    * layout beside the bigram counts and their roll-ups (one fingerprint
+    * protocol, one artifact family). */
+  private[graft] def lmTrigrams(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val path = s"/tmp/graft_lm/$sfx/trigram"
+    Layouts.parquetLayout(path, path,
+        Layouts.fingerprint(Tables.documents(s, dir), "doc_id", "text", "source")) {
+      docTrigrams(s, Tables.documents(s, dir))
+        .filter($"source" === PplRefSource)
+        .groupBy($"w1", $"w2", $"w3").agg(count(lit(1)).as("ct"))
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
+  /** Trigram LM scoring with STUPID BACKOFF (Brants et al. 2007) — the
+    * scoring rule invented precisely for distributed web-scale LMs:
+    * S(w3|w1w2) = ct/cb(w1w2) if the trigram was seen, else
+    * 0.4·cb(w2w3)/c(w2·) if the bigram was, else 0.16·smoothed-unigram.
+    * No discounting, no normalization pass over the model — which is
+    * the point: a Kneser-Ney model needs global count-of-count
+    * statistics recomputed whenever the model changes, stupid backoff
+    * scores straight off raw frozen count tables, so the model layer is
+    * exactly the three persisted layouts the bigram family already
+    * maintains plus one trigram table. Google's 2007 result is that at
+    * web-scale training-set sizes the quality gap to KN closes — the
+    * 100 TB lesson baked into an operator.
+    *
+    * Scale shape: docs reduce map-side to (doc, w1, w2, w3, c); then
+    * FOUR shuffle_hash equi-joins attach ct, cb(w1,w2), cb(w2,w3) and
+    * c(w2·)/c(w3·) — each keyed on its own gram key, each against
+    * vocabulary-bounded (never broadcast) model state; the only
+    * broadcast is the 1-row (T, V) stats frame. The backoff CASE is
+    * scan arithmetic. Zipf-hot keys are AQE skew territory, as with
+    * every term join here. Determinism: integer counts till the final
+    * ln; round(4) absorbs association error (the pplOracle precedent). */
+  val perplexityTrigram: GraftQuery = GraftQuery(
+    "llm_perplexity_trigram",
+    (s, dir) => {
+      import s.implicits._
+      val lm = lmModel(s, dir)
+      val tri = lmTrigrams(s, dir)
+      val stats = broadcast(
+        lm.uc.agg(sum($"cw1").as("t_tot")).crossJoin(lm.vocab))
+      val dt = docTrigrams(s, Tables.documents(s, dir))
+        .groupBy($"doc_id", $"w1", $"w2", $"w3").agg(count(lit(1)).as("c"))
+      dt
+        .join(tri.hint("shuffle_hash"), Seq("w1", "w2", "w3"), "left")
+        .join(lm.bc.select($"w1", $"w2", $"cb".as("cb12")).hint("shuffle_hash"),
+          Seq("w1", "w2"), "left")
+        .join(lm.bc.select($"w1".as("w2"), $"w2".as("w3"), $"cb".as("cb23"))
+          .hint("shuffle_hash"), Seq("w2", "w3"), "left")
+        .join(lm.uc.select($"w1".as("w2"), $"cw1".as("cw2")).hint("shuffle_hash"),
+          Seq("w2"), "left")
+        .join(lm.uc.select($"w1".as("w3"), $"cw1".as("cw3")).hint("shuffle_hash"),
+          Seq("w3"), "left")
+        .crossJoin(stats)
+        .withColumn("ct0", coalesce($"ct", lit(0L)))
+        .withColumn("cb23z", coalesce($"cb23", lit(0L)))
+        .withColumn("score",
+          when($"ct0" > 0L, $"ct0".cast("double") / $"cb12".cast("double"))
+          .when($"cb23z" > 0L,
+            lit(0.4) * $"cb23z".cast("double") / $"cw2".cast("double"))
+          .otherwise(lit(0.16) * (coalesce($"cw3", lit(0L)) + 1L).cast("double")
+            / ($"t_tot" + $"v").cast("double")))
+        .groupBy($"doc_id")
+        .agg(
+          sum($"c").as("n_trigrams"),
+          sum(when($"ct0" > 0L, $"c").otherwise(0L)).as("n_hit3"),
+          sum(when($"ct0" === 0L && $"cb23z" > 0L, $"c").otherwise(0L)).as("n_hit2"),
+          round(-sum(log($"score") * $"c") / sum($"c"), 4).as("nll_sb"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w
+                        FROM documents),
+             tg AS (SELECT doc_id, source, w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3
+                    FROM t, unnest(range(1, len(w) - 1)) u(i)),
+             bg AS (SELECT doc_id, source, w[i] AS w1, w[i+1] AS w2
+                    FROM t, unnest(range(1, len(w))) u(i)),
+             rt AS (SELECT w1, w2, w3, count(*) AS ct FROM tg
+                    WHERE source = '$PplRefSource' GROUP BY 1, 2, 3),
+             bc AS (SELECT w1, w2, count(*) AS cb FROM bg
+                    WHERE source = '$PplRefSource' GROUP BY 1, 2),
+             uc AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cw1 FROM bc GROUP BY 1),
+             st AS (SELECT (SELECT CAST(sum(cw1) AS BIGINT) FROM uc) AS t_tot,
+                           (SELECT count(DISTINCT w2) + 1 FROM bg
+                            WHERE source = '$PplRefSource') AS v),
+             dt AS (SELECT doc_id, w1, w2, w3, count(*) AS c FROM tg
+                    GROUP BY 1, 2, 3, 4),
+             sc AS (SELECT d.doc_id, d.c,
+                           coalesce(rt.ct, 0) AS ct0,
+                           b12.cb AS cb12,
+                           coalesce(b23.cb, 0) AS cb23z,
+                           u2.cw1 AS cw2, coalesce(u3.cw1, 0) AS cw3
+                    FROM dt d
+                    LEFT JOIN rt USING (w1, w2, w3)
+                    LEFT JOIN bc b12 ON d.w1 = b12.w1 AND d.w2 = b12.w2
+                    LEFT JOIN bc b23 ON d.w2 = b23.w1 AND d.w3 = b23.w2
+                    LEFT JOIN uc u2 ON d.w2 = u2.w1
+                    LEFT JOIN uc u3 ON d.w3 = u3.w1),
+             lp AS (SELECT doc_id, c, ct0, cb23z,
+                           CASE WHEN ct0 > 0
+                                  THEN CAST(ct0 AS DOUBLE) / CAST(cb12 AS DOUBLE)
+                                WHEN cb23z > 0
+                                  THEN 0.4 * CAST(cb23z AS DOUBLE) / CAST(cw2 AS DOUBLE)
+                                ELSE 0.16 * CAST(cw3 + 1 AS DOUBLE)
+                                     / CAST(t_tot + v AS DOUBLE) END AS score
+                    FROM sc CROSS JOIN st)
+             SELECT doc_id,
+                    CAST(sum(c) AS BIGINT) AS n_trigrams,
+                    CAST(sum(CASE WHEN ct0 > 0 THEN c ELSE 0 END) AS BIGINT) AS n_hit3,
+                    CAST(sum(CASE WHEN ct0 = 0 AND cb23z > 0 THEN c ELSE 0 END) AS BIGINT)
+                      AS n_hit2,
+                    round(-sum(ln(score) * c) / sum(c), 4) AS nll_sb
+             FROM lp GROUP BY doc_id ORDER BY doc_id""")
+  )
+
   def all: Seq[GraftQuery] =
     Seq(contamination, decontaminate, repetition, substringDup, paragraphDedup,
-      tfidf, curate, perplexity, bm25)
+      tfidf, curate, perplexity, perplexityTrigram, bm25)
 }

@@ -314,7 +314,75 @@ object Multimodal {
             ORDER BY doc_id, seg_start""")
   )
 
+  /** Scene-cut detection over video payloads: score a per-frame feature,
+    * difference consecutive frames, declare a cut where the jump exceeds
+    * the threshold, and number the resulting scenes with a running cut
+    * count — the shot-segmentation pass a video corpus runs before
+    * per-scene sampling/captioning (mm_frame_sample then runs WITHIN
+    * scenes). The frame feature (real: a color-histogram distance)
+    * belongs to the stubbed codec stage; here it is a deterministic
+    * function of (doc, frame) so the Spark plumbing — explode to frames,
+    * lag-difference, running-sum sessionize, per-scene aggregate — is
+    * real and oracle-graded.
+    *
+    * Scale shape: scan + explode (no shuffle), then ONE shuffle on
+    * doc_id shared by the two window passes and the scene aggregate
+    * (identical partitioning); frames-per-doc is bounded by payload
+    * length, so fanout is linear in corpus bytes. The running-sum scene
+    * id is the same gaps-and-islands algebra as ts_sessionize — cuts
+    * are session starts. */
+  val sceneCut: GraftQuery = GraftQuery(
+    "mm_scene_cut",
+    (s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"frame_idx")
+      Tables.documents(s, dir)
+        .select($"doc_id", $"text".cast("binary").as("payload"))
+        .select($"doc_id",
+          (lit(8) + pmod(octet_length($"payload"), lit(24))).as("n_frames"))
+        .select($"doc_id",
+          explode(sequence(lit(0), $"n_frames" - 1)).as("frame_idx"))
+        .withColumn("feat",
+          pmod($"doc_id" * 37 + $"frame_idx" * $"frame_idx" * 13, lit(256L)))
+        .withColumn("is_cut",
+          when(abs($"feat" - lag($"feat", 1).over(w)) > 128, 1L).otherwise(0L))
+        .withColumn("scene", sum($"is_cut").over(w))
+        .groupBy($"doc_id", $"scene")
+        .agg(min($"frame_idx").as("start_frame"),
+          max($"frame_idx").as("end_frame"),
+          count(lit(1)).as("n_frames"),
+          round(avg($"feat"), 4).as("avg_feat"))
+        .orderBy($"doc_id", $"start_frame")
+    },
+    Some("""WITH fr AS (
+              SELECT doc_id,
+                     CAST(unnest(range(0, 8 + octet_length(encode(text)) % 24)) AS INT)
+                       AS frame_idx
+              FROM documents),
+            feat AS (
+              SELECT doc_id, frame_idx,
+                     (doc_id * 37 + frame_idx * frame_idx * 13) % 256 AS feat
+              FROM fr),
+            cuts AS (
+              SELECT doc_id, frame_idx, feat,
+                     CASE WHEN abs(feat - lag(feat, 1) OVER w) > 128
+                          THEN 1 ELSE 0 END AS is_cut
+              FROM feat
+              WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)),
+            scenes AS (
+              SELECT doc_id, frame_idx, feat,
+                     CAST(sum(is_cut) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+                          AS BIGINT) AS scene
+              FROM cuts)
+            SELECT doc_id, scene, min(frame_idx) AS start_frame,
+                   max(frame_idx) AS end_frame, count(*) AS n_frames,
+                   round(avg(feat), 4) AS avg_feat
+            FROM scenes GROUP BY doc_id, scene
+            ORDER BY doc_id, start_frame""")
+  )
+
   def all: Seq[GraftQuery] =
     Seq(multimodalCols, decodeStubQuery, frameSample, resize, featureExtract,
-      phashDedup, audioVad)
+      phashDedup, audioVad, sceneCut)
 }

@@ -1081,8 +1081,69 @@ object Similarity {
     Some(filteredOracle)
   )
 
+  /** Neighbors kept per vector in the kNN JOIN, and lists probed. */
+  private[graft] val KnnJoinK = 3
+  private[graft] val KnnProbe = 3
+
+  /** kNN JOIN: the top-KnnJoinK nearest neighbors of EVERY corpus vector
+    * (not a fixed query batch) — the all-pairs primitive behind semantic
+    * dedup at corpus scale, hard-negative mining, and kNN-graph
+    * construction for label propagation. Brute force is O(N²) cosines;
+    * the IVF-blocked form turns it into an EQUI-JOIN: every vector is
+    * assigned to its nearest fine-codebook cell (the inverted list), and
+    * probes its KnnProbe nearest cells, so candidate pairs are exactly
+    * the (assignment ⋈ probe) matches on cid — O(N·W·cellsize) cosines,
+    * the cost model that survives 100 TB (a vector's neighbors
+    * concentrate in its nearest cells; recall measured in
+    * SimilaritySpec against the brute-force join).
+    *
+    * Scale shape: both sides read the ONE persisted fine codebook
+    * (fineCentroids — a bounded broadcast model artifact); assignment
+    * and probes are scan projections; the candidate join is
+    * shuffle_hash on cid (both sides O(N·~W) rows — never broadcast);
+    * per-vector top-k is a window over candidates, partitioned by the
+    * probing vector. A pair appears at most once per direction (each
+    * candidate has ONE cid), so no dedup pass is needed. No oracle —
+    * approximate by design, like the rest of the ANN family. */
+  val knnJoin: GraftQuery = GraftQuery(
+    "llm_sim_knn_join",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      val cb = cbOf(s, fineCentroids(s, dir))
+      val assigned = e.crossJoin(cb)
+        .withColumn("cid", array_max(centScores(s, $"embedding")).getField("cid"))
+        .drop("cb")
+      val probes = e.crossJoin(cb)
+        .select($"vec_id".as("qid"), $"embedding".as("qv"),
+          explode(slice(reverse(array_sort(centScores(s, $"embedding"))), 1, KnnProbe)
+            .getField("cid")).as("cid"))
+      // SYMMETRIC candidate generation: a pair qualifies when EITHER side
+      // probes the other's cell (cosine is symmetric, so each joined row
+      // scores once and serves both directions). This roughly doubles
+      // effective probe coverage for one extra pair-dedup shuffle — the
+      // standard kNN-join trick, worth it because the join IS the recall
+      // bottleneck on near-uniform vectors.
+      val scored = assigned.join(probes.hint("shuffle_hash"), Seq("cid"))
+        .filter($"vec_id" =!= $"qid")
+        .withColumn("sim", round(VectorFunctions.cosine(s, $"qv", $"embedding"), 4))
+        .select(explode(array(
+          struct($"qid".as("qid"), $"vec_id".as("nid"), $"sim"),
+          struct($"vec_id".as("qid"), $"qid".as("nid"), $"sim"))).as("p"))
+        .select($"p.qid", $"p.nid", $"p.sim")
+        .distinct()
+      scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"qid").orderBy($"sim".desc, $"nid")))
+        .filter($"rn" <= KnnJoinK)
+        .select($"qid", $"rn", $"nid", $"sim")
+        .orderBy($"qid", $"rn")
+    },
+    None
+  )
+
   def all: Seq[GraftQuery] =
     Seq(bruteTopK, rangeSearch, lshTopK, ivfTopK, ivf2TopK, ivfPersistedTopK,
       embedStats, pqTopK, indexAppendTopK, ivfPqTopK, mmrDiversify,
-      filteredTopK, filteredPersistedTopK)
+      filteredTopK, filteredPersistedTopK, knnJoin)
 }

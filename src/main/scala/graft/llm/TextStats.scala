@@ -215,6 +215,71 @@ object TextStats {
             FROM q ORDER BY doc_id""")
   )
 
+  /** Gopher-style rule-based quality filter (Rae et al.'s published
+    * heuristic battery, parameterized to the fixture's distributions):
+    * word-count bounds, mean-word-length bounds, alphabetic-word
+    * fraction, and required stopword evidence, each surfaced as its own
+    * flag plus the conjunctive keep decision. This is the FIRST-pass
+    * web filter production pipelines run before any model-based scorer
+    * (llm_quality_classifier is the second pass; llm_quality the
+    * hand-tuned composite) — all rules are scan-projection arithmetic
+    * in whole-stage codegen, zero shuffles until the presentation sort,
+    * so the filter runs at scan speed on 100 TB. Threshold notes:
+    * bounds are set where the fixture distributions actually
+    * discriminate (tokens 10–99 median 56 → [20,90]; mwl 3.69–5.08 →
+    * [3.8,5.0]); flags compare the UNROUNDED doubles (the rounded
+    * columns are presentation only), and round(·,4) of these
+    * small-denominator ratios is cross-engine exact (denominators ≤ 99,
+    * so the only terminating-decimal cases are binary-exact). */
+  val qualityGopher: GraftQuery = GraftQuery(
+    "llm_quality_gopher",
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .withColumn("toks", TF.tokens($"text"))
+        .withColumn("n_words", size($"toks"))
+        .withColumn("mwl",
+          ($"n_chars" - ($"n_words" - 1)).cast("double") / $"n_words".cast("double"))
+        .withColumn("alpha_ratio",
+          size(filter($"toks", t => t.rlike("[a-z]"))).cast("double")
+            / $"n_words".cast("double"))
+        .withColumn("stop_hits",
+          size(filter(array(lit("the"), lit("a"), lit("of")),
+            w => array_contains($"toks", w))))
+        .withColumn("ok_words", $"n_words" >= 20 && $"n_words" <= 90)
+        .withColumn("ok_mwl", $"mwl" >= 3.8 && $"mwl" <= 5.0)
+        .withColumn("ok_alpha", $"alpha_ratio" >= 0.8)
+        .withColumn("ok_stop", $"stop_hits" >= 2)
+        .select($"doc_id", $"n_words",
+          round($"mwl", 4).as("mean_word_len"),
+          round($"alpha_ratio", 4).as("alpha_ratio"),
+          $"stop_hits", $"ok_words", $"ok_mwl", $"ok_alpha", $"ok_stop",
+          ($"ok_words" && $"ok_mwl" && $"ok_alpha" && $"ok_stop").as("keep"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w
+                       FROM documents),
+              m AS (SELECT doc_id,
+                      CAST(len(w) AS INT) AS n_words,
+                      CAST(n_chars - (len(w) - 1) AS DOUBLE) / len(w) AS mwl,
+                      CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+                        / len(w) AS alpha_ratio,
+                      CAST(len(list_filter(['the','a','of'],
+                           x -> list_contains(w, x))) AS INT) AS stop_hits
+                    FROM t)
+            SELECT doc_id, n_words,
+                   round(mwl, 4) AS mean_word_len,
+                   round(alpha_ratio, 4) AS alpha_ratio,
+                   stop_hits,
+                   n_words BETWEEN 20 AND 90 AS ok_words,
+                   mwl >= 3.8 AND mwl <= 5.0 AS ok_mwl,
+                   alpha_ratio >= 0.8 AS ok_alpha,
+                   stop_hits >= 2 AS ok_stop,
+                   (n_words BETWEEN 20 AND 90) AND (mwl >= 3.8 AND mwl <= 5.0)
+                     AND alpha_ratio >= 0.8 AND stop_hits >= 2 AS keep
+            FROM m ORDER BY doc_id""")
+  )
+
   /** Vocabulary construction: token frequencies with a deterministic
     * top-K cut. Explode + hash aggregate — map-side partials mean the
     * shuffle carries one row per (token × partition), and the top-K is
@@ -1048,6 +1113,7 @@ object TextStats {
 
   def all: Seq[GraftQuery] =
     Seq(textStats, langId, fingerprint, langProfile, tokenBpe, quality,
+        qualityGopher,
         vocabTopK, vocabFuzzy, trainSplit, piiScrub, sampleStratified,
         packChunks, domainMix, shardShuffle, chunkSliding, sampleWeighted,
         qualityClassifier, winnow, winnowDedup, winnowDedupCapped,

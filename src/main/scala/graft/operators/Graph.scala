@@ -292,6 +292,70 @@ object Graph {
              ORDER BY jaccard DESC, a, b LIMIT 50""")
   )
 
+  /** Wedge-center degree cap for the capped Jaccard variant. 34 is the
+    * fixture graph's p90 degree — high enough that most wedges survive,
+    * low enough that the rule visibly bites (the top-decile hubs stop
+    * mediating candidates). */
+  private val DegCap = 34
+
+  /** Degree-capped neighborhood-Jaccard link prediction — the production
+    * form of graph_jaccard. The wedge enumeration costs Σ_c deg(c)², so
+    * a single hub center dominates the whole job at scale (a degree-10⁶
+    * celebrity contributes 10¹² wedges); capping the CENTER degree
+    * bounds every center's contribution at DegCap² and drops only
+    * hub-mediated candidates — exactly the pairs whose common-neighbor
+    * evidence is least informative (a shared hub neighbor says little;
+    * TwitterRank-era link-prediction systems all apply this cap). The
+    * cap is one fact-free pass: center degrees already ride the
+    * adjacency layout's `deg` column, so eligibility is a scan-side
+    * filter on the edge rows entering the wedge join — no extra join,
+    * no extra shuffle versus the uncapped form. Pair Jaccard still uses
+    * the TRUE degrees (the cap limits enumeration, not the statistic). */
+  val jaccardCapped: GraftQuery = GraftQuery(
+    "graph_jaccard_capped",
+    (s, dir) => {
+      import s.implicits._
+      val adj = adjacency(s, dir)
+      // A wedge leg is (neighbor a, center c) with deg(c) ≤ cap. The
+      // layout stores every edge in BOTH directions with the SRC's
+      // degree denormalized on-row — so the legs into center c are
+      // exactly the rows (src=c, dst=a, deg=deg(c)), filtered on-row
+      // and column-swapped. No degree join, no semi-join; and because
+      // the wedge key (the center) IS the layout's bucketing column,
+      // the wedge self-join is eligible for the exchange-free bucketed
+      // path — the cap costs nothing over the uncapped form.
+      val legs = adj.filter($"deg" <= DegCap)
+        .select($"dst".as("n"), $"src".as("c"))
+      val deg = adj.groupBy($"src").agg(first($"deg").as("deg"))
+        .localCheckpoint()
+      val common = legs.as("x").join(legs.as("y"),
+          $"x.c" === $"y.c" && $"x.n" < $"y.n")
+        .groupBy($"x.n".as("a"), $"y.n".as("b"))
+        .agg(count(lit(1)).as("common"))
+      common
+        .join(deg.select($"src".as("a"), $"deg".as("deg_a")).hint("shuffle_hash"), "a")
+        .join(deg.select($"src".as("b"), $"deg".as("deg_b")).hint("shuffle_hash"), "b")
+        .select($"a", $"b",
+          round($"common".cast("double") / ($"deg_a" + $"deg_b" - $"common"), 4)
+            .as("jaccard"))
+        .orderBy($"jaccard".desc, $"a", $"b")
+        .limit(50)
+    },
+    Some(s"""WITH $edgeCte,
+               deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+               el AS (SELECT e.src, e.dst FROM e
+                      JOIN deg cd ON e.dst = cd.src AND cd.deg <= $DegCap),
+               c AS (SELECT x.src AS a, y.src AS b, count(*) AS common
+                     FROM el x JOIN el y ON x.dst = y.dst AND x.src < y.src
+                     GROUP BY 1, 2)
+             SELECT a, b,
+                    round(CAST(common AS DOUBLE) / (da.deg + db.deg - common), 4)
+                      AS jaccard
+             FROM c JOIN deg da ON c.a = da.src
+                    JOIN deg db ON c.b = db.src
+             ORDER BY jaccard DESC, a, b LIMIT 50""")
+  )
+
   /** Hop bound for BFS — fixed so the result ("distance within ≤ 6
     * hops") is exact and oracle-able; 6 covers the fixture graph's
     * reachable set and is the production-typical neighborhood radius. */
@@ -455,7 +519,127 @@ object Graph {
              GROUP BY deg ORDER BY deg""")
   )
 
+  /** Iteration count for synchronous label propagation — fixed (like
+    * PageRank's) so the result is exact and the oracle unrolls. */
+  private val LpaIters = 4
+
+  /** Community detection by synchronous label propagation (Raghavan's
+    * LPA, determinized): every vertex starts with its own id as label;
+    * each round, every vertex adopts the most frequent label among its
+    * neighbors, ties broken by the SMALLEST label (the determinism the
+    * published async algorithm lacks — async order-dependence is why
+    * production LPA is always run synchronous + tie-ruled). Fixed
+    * LpaIters rounds.
+    *
+    * Plan per round: the bucketed adjacency scan joins the O(V) label
+    * vector exchange-free on src (the PageRank iteration shape), one
+    * hash aggregate counts (dst, label) votes, and the argmax is the
+    * two-phase hash-agg form — per-dst max count, equi-join back, min
+    * label among the maximal — NOT a struct-max (which would fall off
+    * the hash-aggregate path: struct buffers force SortAggregate) and
+    * NOT a packed long (the keep_best 2^40 corruption lesson). Label
+    * table lineage is cut per round. Everything is O(V + E) per round
+    * with the E side exchange-free — the Pregel cost model. */
+  val labelPropagation: GraftQuery = GraftQuery(
+    "graph_label_prop",
+    (s, dir) => {
+      import s.implicits._
+      val e = adjacency(s, dir).select($"src", $"dst")
+      var labels = vertices(adjacency(s, dir))
+        .select($"src".as("v"), $"src".as("label"))
+        .localCheckpoint()
+      for (_ <- 1 to LpaIters) {
+        val votes = e.join(labels.hint("shuffle_hash"), $"src" === $"v")
+          .groupBy($"dst", $"label").agg(count(lit(1)).as("cnt"))
+        val best = votes.groupBy($"dst").agg(max($"cnt").as("mc"))
+        labels = votes.join(best.hint("shuffle_hash"), "dst")
+          .filter($"cnt" === $"mc")
+          .groupBy($"dst").agg(min($"label").as("label"))
+          .select($"dst".as("v"), $"label")
+          .localCheckpoint()
+      }
+      labels.select($"v".as("part_id"), $"label".as("community"))
+        .orderBy($"part_id")
+    },
+    Some {
+      val iters = (1 to LpaIters).map { i =>
+        s"""c$i AS (SELECT e.dst AS v, p.label, count(*) AS cnt
+                    FROM e JOIN l${i - 1} p ON e.src = p.v
+                    GROUP BY e.dst, p.label),
+            l$i AS (SELECT v, label FROM (
+                      SELECT v, label,
+                             row_number() OVER (PARTITION BY v
+                               ORDER BY cnt DESC, label ASC) AS rn
+                      FROM c$i) WHERE rn = 1)"""
+      }.mkString(",\n")
+      s"""WITH $edgeCte,
+            deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+            l0 AS (SELECT src AS v, src AS label FROM deg),
+            $iters
+          SELECT v AS part_id, label AS community FROM l$LpaIters
+          ORDER BY part_id"""
+    }
+  )
+
+  /** Number of BFS landmarks for approximate closeness. */
+  private val NumLandmarks = 8
+
+  /** Landmark-based closeness centrality: hop distances from 8 fixed
+    * landmark vertices (the smallest part ids — deterministic), averaged
+    * per vertex. Exact closeness needs all-pairs shortest paths — O(V·E),
+    * off the table at any scale — so production systems (and the
+    * literature: Potamias et al., landmark embedding) estimate it from a
+    * constant set of landmark BFS runs. The operator IS the
+    * approximation; it is exact and oracle-able FOR its landmark set.
+    *
+    * Scale shape: one multi-source BFS — the graph_bfs Pregel frontier
+    * with the landmark id carried in the frontier key, so all 8 runs
+    * advance in ONE dataflow (per round: one shuffle-hash join of the
+    * O(frontier) table against the exchange-free bucketed edge scan, one
+    * min-aggregate on (lm, v), lineage cut). Cost per round is
+    * O(frontier + E) regardless of landmark count (landmarks multiply
+    * rows, not joins); the landmark frame itself is a
+    * TakeOrderedAndProject over the O(V) vertex stats. */
+  val closenessLandmarks: GraftQuery = GraftQuery(
+    "graph_closeness_landmarks",
+    (s, dir) => {
+      import s.implicits._
+      val e = adjacency(s, dir).select($"src", $"dst")
+      val lms = vertices(adjacency(s, dir))
+        .orderBy($"src").limit(NumLandmarks).select($"src".as("lm"))
+      var dist = lms.select($"lm", $"lm".as("v"), lit(0L).as("d"))
+        .localCheckpoint()
+      for (h <- 1 to MaxHops) {
+        val next = e.join(
+            dist.filter($"d" === (h - 1)).select($"lm", $"v".as("src"))
+              .hint("shuffle_hash"),
+            "src")
+          .select($"lm", $"dst".as("v"), lit(h.toLong).as("d"))
+        dist = dist.union(next)
+          .groupBy($"lm", $"v").agg(min($"d").as("d"))
+          .localCheckpoint()
+      }
+      dist.groupBy($"v".as("part_id"))
+        .agg(count(lit(1)).as("n_landmarks"),
+          round(avg($"d"), 4).as("avg_dist"))
+        .orderBy($"part_id")
+    },
+    Some(s"""WITH RECURSIVE $edgeCte,
+               deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+               lms AS (SELECT src AS lm FROM deg ORDER BY src LIMIT $NumLandmarks),
+               walk(lm, v, d) AS (
+                 SELECT lm, lm, CAST(0 AS BIGINT) FROM lms
+                 UNION
+                 SELECT w.lm, e.dst, w.d + 1 FROM walk w
+                 JOIN e ON e.src = w.v WHERE w.d < $MaxHops),
+               dist AS (SELECT lm, v, min(d) AS d FROM walk GROUP BY lm, v)
+             SELECT v AS part_id, count(*) AS n_landmarks,
+                    round(avg(d), 4) AS avg_dist
+             FROM dist GROUP BY v ORDER BY part_id""")
+  )
+
   def all: Seq[GraftQuery] =
-    Seq(pagerank, pagerankWeighted, cc, jaccard, bfs, edgesIncremental,
+    Seq(pagerank, pagerankWeighted, cc, jaccard, jaccardCapped,
+      labelPropagation, bfs, closenessLandmarks, edgesIncremental,
       triangles, degreeDist)
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.GraftQuery
 import graft.sources.Tables
@@ -250,7 +251,98 @@ object Joins {
             GROUP BY win_id ORDER BY win_id""")
   )
 
+  /** Bloom-filter bits (m) and hash count (k) for the prefilter. 4096
+    * bits pack into 64 longs — the filter state is a ≤64-row table
+    * regardless of how many keys it encodes. */
+  private val BloomBits = 4096
+  private val BloomHashes = 3
+
+  /** Runtime-filter join: a Bloom filter built from the (selective) dim
+    * side prunes the fact side BEFORE the join's shuffle — Spark's own
+    * runtime row-group/bloom pushdown (spark.sql.optimizer.runtimeFilter)
+    * expressed declaratively, for engines/paths where the optimizer
+    * doesn't inject it. At 100 TB this is sideways information passing:
+    * the segment predicate keeps ~1/5 of customers, and without the
+    * prefilter every orders row ships through the join shuffle only for
+    * 4/5 of them to be dropped at the probe; with it, the drop happens
+    * at the SCAN, so shuffle bytes fall by the filter's selectivity
+    * (modulo the Bloom false-positive rate ≈ (1−e^(−kn/m))^k).
+    *
+    * The filter is exact-conservative (no false negatives), so the
+    * result — and the oracle — is IDENTICAL to the plain join. Build:
+    * each dim key sets k=3 positions of an m=4096-bit array, reduced
+    * with ONE hash aggregate into ≤64 (word, bits) rows (bit_or of
+    * shifted bits — the bitmap never exists as driver state). Probe:
+    * the fact side computes its 3 positions in the scan projection and
+    * inner-joins the broadcast word table 3× on the word index, each
+    * join checking the bit — a row whose word has no set bits falls out
+    * of the inner join, which IS the filter. The surviving ~selectivity
+    * fraction then pays the real shuffle_hash join (kept shuffled here
+    * deliberately: the pattern's value is precisely when the dim is too
+    * big to broadcast — a broadcast-joinable dim wouldn't need it). */
+  /** The segment-filtered dim side of the Bloom-prefilter join. */
+  private[graft] def bloomDim(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey", $"c_name")
+  }
+
+  /** The fact side AFTER the Bloom prefilter (before the real join) —
+    * factored out so JoinsSpec can assert the pruning/no-false-negative
+    * properties of the intermediate, which the end-to-end oracle can't
+    * see. */
+  private[graft] def bloomSurvivors(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dim = bloomDim(s, dir)
+    def positions(key: org.apache.spark.sql.Column) =
+      (0 until BloomHashes).map(i =>
+        pmod(xxhash64(lit(i), key), lit(BloomBits)))
+    // Build: k positions per key -> (word, bits) -> bit_or, <=64 rows.
+    val words = dim
+      .select(explode(array(positions($"c_custkey"): _*)).as("pos"))
+      .select(($"pos" / 64).cast("int").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("bit"))
+      .groupBy($"word").agg(bit_or($"bit").as("bits"))
+    // Probe: 3 broadcast joins on the word index, each checking its bit.
+    var fact = Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    for (i <- 0 until BloomHashes) {
+      val pos = pmod(xxhash64(lit(i), $"o_custkey"), lit(BloomBits))
+      val w = words.select($"word".as(s"w$i"), $"bits".as(s"b$i"))
+      fact = fact
+        .withColumn(s"p$i", pos)
+        .join(broadcast(w), ($"p$i" / 64).cast("int") === col(s"w$i"))
+        .filter(expr(s"shiftright(b$i, CAST(p$i % 64 AS INT)) % 2 != 0"))
+        .drop(s"p$i", s"w$i", s"b$i")
+    }
+    fact
+  }
+
+  val bloomPrefilter: GraftQuery = GraftQuery(
+    "join_bloom_prefilter",
+    (s, dir) => {
+      import s.implicits._
+      val dim = bloomDim(s, dir)
+      // The real join, deliberately shuffled (see scaladoc).
+      bloomSurvivors(s, dir)
+        .join(dim.hint("shuffle_hash"), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_custkey", $"c_name")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum($"o_totalprice".cast("decimal(18,4)")), 2)
+            .cast("double").as("total_spend"))
+        .orderBy($"c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name, count(*) AS n_orders,
+                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+                     AS total_spend
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY c_custkey, c_name
+            ORDER BY c_custkey""")
+  )
+
   def all: Seq[GraftQuery] = Seq(
     innerHash, broadcastDim, leftOuter, rightOuter, fullOuter,
-    semi, anti, thetaRange, multiway, rangeBinned)
+    semi, anti, thetaRange, multiway, rangeBinned, bloomPrefilter)
 }

@@ -372,6 +372,96 @@ object Relational {
             LIMIT 20""")
   )
 
+  /** TPC-H Q12-shaped shipping-lateness report, adapted to the fixture's
+    * columns (no l_shipmode/l_receiptdate ship with the synthetic
+    * lineitem, so lateness is shipdate vs orderdate and the grouping key
+    * is the order priority): per priority class, how many lines shipped
+    * more than 60 days after the order was placed. One fact⋈fact
+    * equi-join on the order key feeding a single hash aggregate over a
+    * 5-value grouping key — the join is the only shuffle, the CASE
+    * conditionals fold into the aggregate map-side, and at 100 TB both
+    * scans prune to the three referenced columns each. The DuckDB sum()
+    * of a CASE is HUGEINT — cast to BIGINT in BOTH engines (round-5
+    * oracle-type lesson). */
+  val sqlQ12: GraftQuery = GraftQuery(
+    "sql_q12",
+    (s, dir) => {
+      for (t <- Seq("orders", "lineitem"))
+        graft.sources.Tables.table(s, dir, t).createOrReplaceTempView(s"v_$t")
+      s.sql("""SELECT o_orderpriority,
+                      CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS late_lines,
+                      count(*) AS total_lines,
+                      round(CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                                          THEN 1 ELSE 0 END) AS DOUBLE)
+                            / count(*), 4) AS late_ratio
+               FROM v_orders
+               JOIN v_lineitem ON l_orderkey = o_orderkey
+               GROUP BY o_orderpriority
+               ORDER BY o_orderpriority""")
+    },
+    Some("""SELECT o_orderpriority,
+                   CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS late_lines,
+                   count(*) AS total_lines,
+                   round(CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                                       THEN 1 ELSE 0 END) AS DOUBLE)
+                         / count(*), 4) AS late_ratio
+            FROM orders
+            JOIN lineitem ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority""")
+  )
+
+  /** TPC-H Q14-shaped promo-revenue share, per ship month: what fraction
+    * of revenue came from promotional parts. The part dimension
+    * broadcasts onto the fact scan (no fact shuffle before the
+    * aggregate); revenue accumulates in DECIMAL — exact and
+    * order-independent, the sql_q10 money discipline — and both sums
+    * are cast to DOUBLE BEFORE the ratio so the division is one IEEE
+    * op on identical inputs in both engines (decimal-division scale
+    * rules differ across engines; double division does not). The month
+    * key comes off date_trunc in the scan projection, so at 100 TB a
+    * shipdate-partitioned table prunes and the aggregate's key domain
+    * is months, not rows. */
+  val sqlQ14: GraftQuery = GraftQuery(
+    "sql_q14",
+    (s, dir) => {
+      for (t <- Seq("part", "lineitem"))
+        graft.sources.Tables.table(s, dir, t).createOrReplaceTempView(s"v_$t")
+      s.sql("""SELECT date_trunc('month', l_shipdate) AS ship_month,
+                      round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                                   THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                                        * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                                   ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                            / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                                       * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE),
+                            4) AS promo_pct,
+                      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                                     * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+                        AS revenue
+               FROM v_lineitem
+               JOIN v_part ON p_partkey = l_partkey
+               GROUP BY ship_month
+               ORDER BY ship_month""")
+    },
+    Some("""SELECT date_trunc('month', l_shipdate) AS ship_month,
+                   round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                                THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                                     * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                                ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                         / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE),
+                         4) AS promo_pct,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                                  * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+                     AS revenue
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            GROUP BY ship_month
+            ORDER BY ship_month""")
+  )
+
   /** Correlated subqueries through the SQL surface: a correlated scalar
     * aggregate (balance above own-nation average) plus a correlated
     * EXISTS (has an urgent order). Catalyst DECORRELATES both — the
@@ -443,5 +533,5 @@ object Relational {
   def all: Seq[GraftQuery] = Seq(
     scanProject, scanFilterPushdown, filterPred, projectCompute,
     sortLimit, setUnion, setIntersect, setExcept, sqlStarQ5, sqlQ3, sqlQ18,
-    sqlQ7, sqlQ10, sqlSubquery, cleanNa)
+    sqlQ7, sqlQ10, sqlQ12, sqlQ14, sqlSubquery, cleanNa)
 }

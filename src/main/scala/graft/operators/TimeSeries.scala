@@ -733,8 +733,148 @@ object TimeSeries {
             GROUP BY d.event_type ORDER BY event_type""")
   )
 
+  /** Exact rolling median of each user's value series over a trailing
+    * 15-row window — the robust smoother (a rolling MEAN chases every
+    * spike; ts_outlier_mad is the same robustness argument applied to
+    * outlier detection). Spark has no exact windowed median, so the
+    * window collects its 15-row frame into an in-row array
+    * (collect_list OVER rows-between), sorts it, and indexes the
+    * middle — O(w log w) per row with w a CONSTANT 15, inside the one
+    * per-user window shuffle every win_* query pays; nothing about the
+    * frame cost grows with corpus size, which is what makes in-frame
+    * array math the right tool for small fixed windows (the same
+    * pattern as ts_ewma's unrolled lag chain). Even frames average the
+    * two middles — matching DuckDB's interpolating exact median (×0.5
+    * vs /2 are both exact IEEE scalings). The (ts, event_id) ordering
+    * totalizes the frame, so both engines sort identical frames. */
+  val rollingMedian: GraftQuery = GraftQuery(
+    "ts_rolling_median",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(-14, 0)
+      Tables.events(s, dir)
+        .select($"user_id", $"event_id", $"ts", $"value")
+        .withColumn("arr", sort_array(collect_list($"value").over(w)))
+        .withColumn("n_window", size($"arr"))
+        .withColumn("roll_median", round(
+          when($"n_window" % 2 === 1,
+            element_at($"arr", (($"n_window" + 1) / 2).cast("int")))
+          .otherwise((element_at($"arr", ($"n_window" / 2).cast("int"))
+            + element_at($"arr", ($"n_window" / 2).cast("int") + 1)) / 2.0), 4))
+        .select($"user_id", $"event_id", $"n_window", $"roll_median")
+        .orderBy($"user_id", $"event_id")
+    },
+    Some("""SELECT user_id, event_id,
+                   CAST(count(*) OVER w AS INT) AS n_window,
+                   round(median(value) OVER w, 4) AS roll_median
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)
+            ORDER BY user_id, event_id""")
+  )
+
+  /** CUSUM mean-shift changepoint score per user series (Page's
+    * cumulative-sum chart): S_i = Σ_{j≤i} (v_j − μ_user); a sustained
+    * mean shift makes |S| drift linearly, so max_i |S_i| is the
+    * changepoint statistic and its arg max the estimated change index —
+    * the standard first-pass drift detector on metric streams (rolling
+    * z-scores catch spikes, CUSUM catches slow level shifts).
+    *
+    * Scale shape: per-user means are ONE hash aggregate joined back
+    * shuffle_hash (O(users) rows, never broadcast); the running sum is
+    * one window pass in the same user_id partitioning; the per-user
+    * argmax is the two-phase hash-agg form (max, join back, min
+    * event_id on ties — the graph_label_prop discipline). The running
+    * sum accumulates in deterministic (ts, event_id) order, identical
+    * in both engines; μ association error is absorbed by round(4) on
+    * the compared statistic. */
+  val cusum: GraftQuery = GraftQuery(
+    "ts_cusum",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select($"user_id", $"event_id", $"ts", $"value")
+      val mu = ev.groupBy($"user_id").agg(avg($"value").as("mu"))
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cusums = ev.join(mu.hint("shuffle_hash"), "user_id")
+        .withColumn("cusum", round(abs(sum($"value" - $"mu").over(w)), 4))
+      val peak = cusums.groupBy($"user_id").agg(max($"cusum").as("peak"))
+      cusums.join(peak.hint("shuffle_hash"), "user_id")
+        .filter($"cusum" === $"peak")
+        .groupBy($"user_id")
+        .agg(min($"event_id").as("change_event"),
+          first($"peak").as("max_cusum"),
+          round(first($"mu"), 4).as("mu"))
+        .orderBy($"user_id")
+    },
+    Some("""WITH m AS (SELECT user_id, avg(value) AS mu FROM events GROUP BY 1),
+              c AS (SELECT e.user_id, e.event_id,
+                           round(abs(sum(e.value - m.mu) OVER (
+                             PARTITION BY e.user_id ORDER BY e.ts, e.event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4)
+                             AS cusum,
+                           m.mu
+                    FROM events e JOIN m USING (user_id)),
+              p AS (SELECT user_id, max(cusum) AS peak FROM c GROUP BY 1)
+            SELECT user_id, min(event_id) AS change_event,
+                   CAST(max(peak) AS DOUBLE) AS max_cusum,
+                   round(max(mu), 4) AS mu
+            FROM c JOIN p USING (user_id)
+            WHERE cusum = peak
+            GROUP BY user_id ORDER BY user_id""")
+  )
+
+  /** Hour-of-day seasonal decomposition of the event stream: per
+    * (event_type, hour) the seasonal mean/dispersion profile plus the
+    * count of seasonal anomalies — values breaking the 2σ band around
+    * their OWN hour's mean. The rolling z-score (ts_anomaly) flags
+    * spikes against recent history; this flags values abnormal FOR THE
+    * TIME OF DAY — the decomposition every metrics pipeline runs before
+    * alerting on daily-periodic traffic.
+    *
+    * Scale shape: the profile is one hash aggregate onto a BOUNDED key
+    * domain (types × 24); residual scoring re-reads the fact scan and
+    * equi-joins the broadcast profile (tiny), so the fact table is
+    * never shuffled — the ts_outlier_mad discipline. Anomaly
+    * comparisons use the ROUNDED profile values, making the band edge
+    * decision identical in both engines. */
+  val seasonality: GraftQuery = GraftQuery(
+    "ts_seasonality",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select($"event_type", hour($"ts").as("hod"), $"value")
+      val prof = ev.groupBy($"event_type", $"hod")
+        .agg(count(lit(1)).as("n"),
+          round(avg($"value"), 4).as("mu"),
+          round(stddev_samp($"value"), 4).as("sd"))
+      ev.join(broadcast(prof), Seq("event_type", "hod"))
+        .groupBy($"event_type", $"hod")
+        .agg(first($"n").as("n"), first($"mu").as("mu"), first($"sd").as("sd"),
+          sum(when(abs($"value" - $"mu") > lit(2.0) * $"sd", 1L).otherwise(0L))
+            .as("n_anomalous"))
+        .orderBy($"event_type", $"hod")
+    },
+    Some("""WITH prof AS (
+              SELECT event_type, hour(ts) AS hod, count(*) AS n,
+                     round(avg(value), 4) AS mu,
+                     round(stddev_samp(value), 4) AS sd
+              FROM events GROUP BY 1, 2)
+            SELECT p.event_type, p.hod, p.n, p.mu, p.sd,
+                   CAST(sum(CASE WHEN abs(e.value - p.mu) > 2.0 * p.sd
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous
+            FROM events e
+            JOIN prof p ON e.event_type = p.event_type AND hour(e.ts) = p.hod
+            GROUP BY p.event_type, p.hod, p.n, p.mu, p.sd
+            ORDER BY p.event_type, p.hod""")
+  )
+
+  // cusum + seasonality land with their SURVEY rows in the next commit
+  // (registry and §2b must move together — RegistrySpec gates both ways).
   def all: Seq[GraftQuery] =
     Seq(asofJoin, gapFill, ntileRanks, skewSalted, resample, funnel,
       funnelWindowed, sessionize, retention, anomaly, interpolate, ewma,
-      crossCorr, outlierMad)
+      crossCorr, outlierMad, rollingMedian)
 }

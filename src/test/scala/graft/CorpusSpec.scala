@@ -361,4 +361,55 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.exists(_.getBoolean(2)) && out.exists(!_.getBoolean(2)),
       "fixture should produce both keep and drop decisions")
   }
+
+  test("gopher rules: keep is the conjunction, and the bounded rules bite both ways") {
+    val out = llm.TextStats.qualityGopher.run(spark, TestSpark.Sf).collect()
+    assert(out.nonEmpty)
+    val (okW, okM, okA, okS, keep) = (5, 6, 7, 8, 9)
+    out.foreach { r =>
+      assert(r.getBoolean(keep) ==
+        (r.getBoolean(okW) && r.getBoolean(okM) && r.getBoolean(okA) && r.getBoolean(okS)),
+        s"doc ${r.getLong(0)}: keep is not the conjunction of its rules")
+    }
+    // Thresholds must discriminate on the fixture, not be vacuously true:
+    // the two BOUNDED rules (word count, mean word length) reject some doc
+    // and pass some doc, and the overall filter keeps a nonempty subset.
+    for ((idx, nm) <- Seq(okW -> "word-count", okM -> "mean-word-length")) {
+      assert(out.exists(!_.getBoolean(idx)), s"$nm rule never rejects")
+      assert(out.exists(_.getBoolean(idx)), s"$nm rule never passes")
+    }
+    assert(out.exists(_.getBoolean(keep)) && out.exists(!_.getBoolean(keep)),
+      "gopher filter should produce both keeps and drops at sf0.001")
+  }
+
+  test("trigram stupid backoff: hit accounting, in-domain saturation, backoff engages") {
+    val out = llm.Corpus.perplexityTrigram.run(spark, TestSpark.Sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(out.nonEmpty)
+    // hit classes partition: trigram hits + bigram backoffs <= total
+    out.foreach { case (doc, (n, h3, h2, nll)) =>
+      assert(h3 + h2 <= n, s"doc $doc: hit classes exceed trigram count")
+      assert(!nll.isNaN && !nll.isInfinite, s"doc $doc: non-finite NLL")
+      assert(nll > 0, s"doc $doc: NLL must be positive (scores are < 1)")
+    }
+    // reference-slice docs trained the model, so every one of their
+    // trigrams is a hit and their NLL sits below the out-of-domain mean
+    val bySource = sources.Tables.documents(spark, TestSpark.Sf)
+      .select($"doc_id", $"source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (ref, other) = out.partition { case (d, _) => bySource(d) == "src0" }
+    assert(ref.nonEmpty && other.nonEmpty)
+    ref.foreach { case (doc, (n, h3, _, _)) =>
+      assert(h3 == n, s"in-domain doc $doc has an unseen trigram")
+    }
+    val refMean = ref.valuesIterator.map(_._4).sum / ref.size
+    val otherMean = other.valuesIterator.map(_._4).sum / other.size
+    assert(refMean < otherMean,
+      s"in-domain mean NLL $refMean must undercut out-of-domain $otherMean")
+    // the backoff ladder must actually engage somewhere on the fixture
+    assert(other.valuesIterator.exists(_._3 > 0), "bigram backoff never used")
+    assert(other.valuesIterator.exists(v => v._2 + v._3 < v._1),
+      "unigram floor never used")
+  }
 }

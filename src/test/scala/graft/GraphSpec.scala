@@ -174,6 +174,80 @@ class GraphSpec extends AnyFunSuite {
       "vertex count mismatch")
   }
 
+  /** Symmetric adjacency map of the brute-force graph. */
+  private def bruteAdj: Map[Long, Set[Long]] = {
+    val e = bruteEdges
+    (e.iterator.map(p => (p._1, p._2)) ++ e.iterator.map(p => (p._2, p._1)))
+      .toSeq.groupBy(_._1).map { case (k, v) => k -> v.iterator.map(_._2).toSet }
+  }
+
+  test("label propagation: matches a driver-side synchronous LPA reference") {
+    val got = operators.Graph.labelPropagation.run(spark, TestSpark.Sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val adj = bruteAdj
+    var labels: Map[Long, Long] = adj.keysIterator.map(v => v -> v).toMap
+    for (_ <- 1 to 4) {
+      labels = adj.map { case (v, ns) =>
+        val votes = ns.toSeq.map(labels).groupBy(identity)
+          .map { case (l, occ) => (l, occ.size) }
+        val maxCnt = votes.valuesIterator.max
+        // most-frequent neighbor label, ties broken by smallest label
+        v -> votes.iterator.filter(_._2 == maxCnt).map(_._1).min
+      }
+    }
+    assert(got == labels)
+  }
+
+  test("label propagation: coarsens the partition (fewer labels than vertices)") {
+    val got = operators.Graph.labelPropagation.run(spark, TestSpark.Sf).collect()
+    val distinctLabels = got.map(_.getLong(1)).distinct.length
+    assert(distinctLabels < got.length,
+      "LPA produced one community per vertex — propagation never engaged")
+  }
+
+  test("capped jaccard: matches a brute-force reference and the cap bites") {
+    val cap = 34
+    val adj = bruteAdj
+    val deg = adj.map { case (v, ns) => v -> ns.size }
+    assert(deg.valuesIterator.exists(_ > cap),
+      "no vertex exceeds the cap — the fixture can't exercise the rule")
+    // Wedges through capped centers only.
+    val common = scala.collection.mutable.Map[(Long, Long), Long]()
+    for ((c, ns) <- adj if deg(c) <= cap; a <- ns; b <- ns if a < b)
+      common((a, b)) = common.getOrElse((a, b), 0L) + 1L
+    val scored = common.iterator.map { case ((a, b), cm) =>
+      val j = cm.toDouble / (deg(a) + deg(b) - cm)
+      (a, b, BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy { case (a, b, j) => (-j, a, b) }.take(50)
+    val got = operators.Graph.jaccardCapped.run(spark, TestSpark.Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == scored)
+  }
+
+  test("landmark closeness: matches a driver-side multi-source BFS") {
+    val got = operators.Graph.closenessLandmarks.run(spark, TestSpark.Sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val adj = bruteAdj
+    val landmarks = adj.keySet.toSeq.sorted.take(8)
+    val dists = scala.collection.mutable.Map[(Long, Long), Long]()
+    for (lm <- landmarks) {
+      dists((lm, lm)) = 0L
+      var frontier = Set(lm)
+      for (h <- 1L to 6L) {
+        frontier = frontier.flatMap(adj.getOrElse(_, Set.empty))
+          .filterNot(v => dists.contains((lm, v)))
+        frontier.foreach(v => dists((lm, v)) = h)
+      }
+    }
+    val expected = dists.toSeq.groupBy(_._1._2).map { case (v, rs) =>
+      val ds = rs.map(_._2)
+      v -> (ds.size.toLong,
+        BigDecimal(ds.sum.toDouble / ds.size)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(got == expected)
+  }
+
   test("degree distribution: masses to 2·|E| over |V| vertices") {
     val dist = operators.Graph.degreeDist.run(spark, TestSpark.Sf).collect()
     val e = bruteEdges

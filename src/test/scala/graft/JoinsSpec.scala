@@ -46,4 +46,27 @@ class JoinsSpec extends AnyFunSuite {
       .select($"ts".cast("string")).as[String].collect().toSet
     assert(kept === Set("2024-01-05 10:00:00", "2024-01-05 11:59:59"))
   }
+
+  test("bloom prefilter: prunes the fact side, with zero false negatives") {
+    // The end-to-end oracle proves result equality with the plain join;
+    // what it can't see is whether the Bloom stage did anything. Assert
+    // the two properties that make it a runtime filter: (a) conservative
+    // — every order whose customer is truly in the dim survives; (b)
+    // selective — a real fraction of non-matching orders is dropped
+    // BEFORE the join (at 4096 bits / 3 hashes / ~segment-filtered-dim
+    // keys, the false-positive rate is well under 50%, so survivors must
+    // sit strictly between the true matches and the full fact table).
+    val total = sources.Tables.orders(spark, TestSpark.Sf).count()
+    val trueKeys = operators.Joins.bloomDim(spark, TestSpark.Sf)
+      .select($"c_custkey").as[Long].collect().toSet
+    val survivors = operators.Joins.bloomSurvivors(spark, TestSpark.Sf)
+      .select($"o_custkey").as[Long].collect()
+    val trueMatches = sources.Tables.orders(spark, TestSpark.Sf)
+      .filter($"o_custkey".isin(trueKeys.toSeq: _*)).count()
+    assert(survivors.count(trueKeys.contains) === trueMatches,
+      "bloom filter dropped a true match (false negative)")
+    assert(survivors.length < total,
+      "bloom filter pruned nothing — every fact row survived")
+    assert(survivors.length >= trueMatches)
+  }
 }

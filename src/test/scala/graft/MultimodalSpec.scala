@@ -52,4 +52,37 @@ class MultimodalSpec extends AnyFunSuite {
     val byLen = lens.groupBy(_._2).filter(_._2.length >= 2)
     assert(byLen.nonEmpty, "fixture must contain equal-length distinct payloads")
   }
+
+  test("scene cut: scenes tile the frame range and match a driver recomputation") {
+    import org.apache.spark.sql.functions._
+    val out = llm.Multimodal.sceneCut.run(spark, TestSpark.Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    val lens = sources.Tables.documents(spark, TestSpark.Sf)
+      .select($"doc_id", octet_length($"text".cast("binary")).as("b")).collect()
+      .map(r => (r.getLong(0), 8 + r.getInt(1) % 24))
+    val expected = lens.flatMap { case (doc, nf) =>
+      val feats = (0 until nf).map(i => (doc * 37 + i.toLong * i * 13) % 256)
+      val cuts = (0 until nf).map(i =>
+        i > 0 && math.abs(feats(i) - feats(i - 1)) > 128)
+      val sceneIds = cuts.scanLeft(0L)((acc, c) => if (c) acc + 1 else acc).drop(1)
+      (0 until nf).groupBy(sceneIds).map { case (sid, frames) =>
+        (doc, sid, frames.min, frames.max, frames.size.toLong)
+      }
+    }.toSet
+    assert(out.toSet === expected.map {
+      case (d, s, lo, hi, n) => (d, s, lo, hi, n) })
+    // tiling: per doc, scenes are contiguous and cover [0, n_frames)
+    out.groupBy(_._1).foreach { case (doc, scenes) =>
+      val sorted = scenes.sortBy(_._3)
+      assert(sorted.head._3 == 0, s"doc $doc: first scene must start at frame 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 == a._4 + 1,
+          s"doc $doc: gap between scenes at frame ${a._4}")
+        case _ =>
+      }
+    }
+    // the threshold must actually cut somewhere on the fixture
+    assert(out.exists(_._2 > 0), "no document ever produced a second scene")
+  }
 }

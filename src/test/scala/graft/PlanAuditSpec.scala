@@ -28,12 +28,14 @@ class PlanAuditSpec extends AnyFunSuite {
     "llm_sim_topk_ivf2",  // same pattern: 1-row two-level codebook broadcast
     "llm_sim_topk_ivf_persisted", // 1-row codebook broadcast on the probe side
     "llm_sim_index_append", // same serve pipeline: 1-row codebook broadcast on probes
+    "llm_sim_knn_join",   // 1-row codebook broadcast onto assignment + probe scans
     "llm_sim_topk_pq",    // NumQueries-row LUT broadcast, non-equi self-guard
     "llm_sim_topk_ivfpq", // 1-row codebook + 1-row PQ-codebook broadcasts on probes
     "llm_tfidf",          // 1-row corpus-count broadcast onto the scoring join
     "llm_bm25",           // 1-row (N, avgdl) corpus-stats broadcast onto the scoring join
     "llm_domain_mix",     // 1-row stratum-totals broadcast onto the bounded stratum table
     "llm_perplexity",     // 1-row smoothing-vocab broadcast onto the scoring join
+    "llm_perplexity_trigram", // 1-row (T,V) stats broadcast onto the scoring join
     "llm_curate",         // same 1-row vocab broadcast via the absorbed NLL signal
     "stream_curate",      // same 1-row vocab broadcast, per emulated micro-batch
     "llm_dedup_semantic", // 1-row codebook broadcast onto the assignment scans

@@ -412,4 +412,44 @@ class SimilaritySpec extends AnyFunSuite {
       .map(_.toSeq).toSeq
     assert(df.collect().map(_.toSeq).toSeq == flat)
   }
+
+  test("kNN join: every vector ranked, structure valid, recall vs brute join") {
+    val out = llm.Similarity.knnJoin.run(spark, TestSpark.Sf).collect()
+    assert(out.nonEmpty)
+    val n = sources.Tables.embeddings(spark, TestSpark.Sf).count()
+    val byQ = out.groupBy(_.getAs[Long]("qid"))
+    // EVERY corpus vector gets neighbors (symmetric candidates guarantee
+    // each vector at least its own cell's members as candidates)
+    assert(byQ.size == n, s"${byQ.size} of $n vectors ranked")
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length <= llm.Similarity.KnnJoinK)
+      assert(rs.map(_.getAs[Int]("rn")).sorted.toSeq === (1 to rs.length))
+      assert(rs.forall(_.getAs[Long]("nid") != q), s"self pair for $q")
+      val sims = rs.sortBy(_.getAs[Int]("rn")).map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
+    }
+    // recall vs the exact kNN join, computed driver-side at sf0.001
+    val vecs = sources.Tables.embeddings(spark, TestSpark.Sf)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val brute = vecs.flatMap { case (q, qv) =>
+      vecs.filter(_._1 != q)
+        .map { case (c, cv) =>
+          (c, BigDecimal(cos(qv, cv)).setScale(4, BigDecimal.RoundingMode.HALF_UP)) }
+        .sortBy { case (c, s) => (-s, c) }.take(llm.Similarity.KnnJoinK)
+        .map { case (c, _) => (q, c) }
+    }.toSet
+    val approx = out.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    val recall = brute.intersect(approx).size.toDouble / brute.size
+    info(f"kNN-join recall@${llm.Similarity.KnnJoinK} vs brute force: $recall%.2f")
+    // 0.59 measured at sf0.01 with symmetric candidates (0.43 without);
+    // floor below measurement for Lloyd partition-order tie flips.
+    assert(recall > 0.35)
+  }
 }

@@ -327,4 +327,28 @@ class TimeSeriesSpec extends AnyFunSuite {
         s"user $uid: ewma at t=0 must equal the first value")
     }
   }
+
+  test("rolling median: matches a driver-side trailing-window recomputation") {
+    val out = operators.TimeSeries.rollingMedian.run(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getInt(2), r.getDouble(3)))
+      .toMap
+    val series = sources.Tables.events(spark, TestSpark.Sf)
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .orderBy($"user_id", $"ts", $"event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+      .groupBy(_._1)
+    series.foreach { case (uid, rows) =>
+      rows.indices.foreach { t =>
+        val frame = rows.slice(math.max(0, t - 14), t + 1).map(_._3).sorted
+        val n = frame.length
+        val med = if (n % 2 == 1) frame(n / 2)
+                  else (frame(n / 2 - 1) + frame(n / 2)) / 2.0
+        val expected = BigDecimal(med).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        val (gotN, gotMed) = out((uid, rows(t)._2))
+        assert(gotN == n, s"user $uid event ${rows(t)._2}: window size")
+        assert((BigDecimal(gotMed) - expected).abs <= BigDecimal(0.0001),
+          s"user $uid event ${rows(t)._2}: median $gotMed, recomputed $expected")
+      }
+    }
+  }
 }
