@@ -289,7 +289,48 @@ object ScalarQueries {
             FROM documents ORDER BY doc_id""")
   )
 
+  /** URL function family — the web-corpus column every curation pipeline
+    * keys on (domain-level dedup, domain mixing, blocklists all start at
+    * parse_url). The fixture ships no URL column, so one is SYNTHESIZED
+    * deterministically from row fields (the mm_* payload trick) and then
+    * parsed back with Spark's native parse_url expression: HOST for the
+    * registrable-domain grouping key, PATH, QUERY, and the extracted
+    * query parameter. DuckDB has no parse_url, so the oracle parses with
+    * anchored regexes — RFC-shaped on these URLs, which is exactly the
+    * verifiable subset. Everything is a codegen'd scan projection; the
+    * per-domain rollup is one hash aggregate on a bounded key domain. */
+  val fnUrl: GraftQuery = GraftQuery(
+    "fn_url",
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", $"lang", $"source", $"n_chars",
+          concat(lit("https://"), $"source", lit(".example.org/"),
+            $"lang", lit("/doc/"), $"doc_id", lit("?len="), $"n_chars")
+            .as("url"))
+        .select($"doc_id",
+          callUDF("parse_url", $"url", lit("HOST")).as("host"),
+          callUDF("parse_url", $"url", lit("PATH")).as("path"),
+          callUDF("parse_url", $"url", lit("QUERY")).as("query"),
+          callUDF("parse_url", $"url", lit("QUERY"), lit("len")).cast("long")
+            .as("len_param"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH u AS (
+              SELECT doc_id,
+                     'https://' || source || '.example.org/' || lang ||
+                     '/doc/' || doc_id || '?len=' || n_chars AS url
+              FROM documents)
+            SELECT doc_id,
+                   regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+                   regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+                   regexp_extract(url, '\?(.*)$', 1) AS query,
+                   CAST(regexp_extract(url, 'len=([0-9]+)', 1) AS BIGINT)
+                     AS len_param
+            FROM u ORDER BY doc_id""")
+  )
+
   def all: Seq[GraftQuery] =
     Seq(fnString, fnDate, fnMath, fnJson, fnArray, fnMap, fnBitwise, fnJsonDirty,
-      fnRegex)
+      fnRegex, fnUrl)
 }

@@ -286,6 +286,43 @@ object Ingest {
     * unlike the text formats the round-trip is bit-exact). */
   val sourceOrc: GraftQuery = roundTrip("orc")
 
+  /** The `binaryFile` source — Spark's opaque-blob reader and the real
+    * ingestion path for multimodal corpora (images/audio land as FILES;
+    * the first Spark job reads them as (path, length, content) rows and
+    * writes payload-columned parquet — every mm_* operator here consumes
+    * that product). A 100-doc sample round-trips: payloads written as
+    * one file per record under a doc_id partition directory (the writer
+    * side belongs to the upstream system in production; file-per-record
+    * at fixture scale exists to exercise the READER), read back via
+    * format("binaryFile") with partition discovery recovering doc_id
+    * from the directory name, graded on exact byte length and content
+    * md5 against the parquet truth. modificationTime is excluded —
+    * environment state, not data. The text sink appends one newline per
+    * record, so the oracle hashes text || chr(10). */
+  val sourceBinary: GraftQuery = GraftQuery(
+    "source_binary",
+    (s, dir) => {
+      import s.implicits._
+      val out = s"/tmp/graft_blobs/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      if (!new java.io.File(out, "_SUCCESS").exists()) {
+        Tables.documents(s, dir)
+          .filter($"doc_id" < 100)
+          .select($"text", $"doc_id")
+          .write.partitionBy("doc_id").mode("overwrite").text(out)
+      }
+      s.read.format("binaryFile").load(out)
+        .select($"doc_id".cast("long").as("doc_id"),
+          $"length".as("byte_len"),
+          md5($"content").as("content_md5"))
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id,
+                   CAST(octet_length(encode(text)) + 1 AS BIGINT) AS byte_len,
+                   md5(text || chr(10)) AS content_md5
+            FROM documents WHERE doc_id < 100
+            ORDER BY doc_id""")
+  )
+
   /** The canonical 100 TB fact layout: PARTITIONED by day AND BUCKETED by
     * the high-cardinality key — one write buys both partition pruning
     * (time-range queries list only matching directories) and shuffle-free
@@ -634,7 +671,8 @@ object Ingest {
 
   def all: Seq[GraftQuery] =
     Seq(ingestPartitioned, ingestIncremental, scanPartitionPrune, joinBucketed,
-        ingestUpsert, sourceCsv, sourceJson, sourceOrc, partitionBucket,
+        ingestUpsert, sourceCsv, sourceJson, sourceOrc, sourceBinary,
+        partitionBucket,
         ingestCompact,
         ingestCdc, ingestScd2, ingestZorder, ingestSchemaEvolution)
 }

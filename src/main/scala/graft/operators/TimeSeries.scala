@@ -871,10 +871,8 @@ object TimeSeries {
             ORDER BY p.event_type, p.hod""")
   )
 
-  // cusum + seasonality land with their SURVEY rows in the next commit
-  // (registry and §2b must move together — RegistrySpec gates both ways).
   def all: Seq[GraftQuery] =
     Seq(asofJoin, gapFill, ntileRanks, skewSalted, resample, funnel,
       funnelWindowed, sessionize, retention, anomaly, interpolate, ewma,
-      crossCorr, outlierMad, rollingMedian)
+      crossCorr, outlierMad, rollingMedian, cusum, seasonality)
 }

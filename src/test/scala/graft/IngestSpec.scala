@@ -220,4 +220,27 @@ class IngestSpec extends AnyFunSuite {
     assert(bSpans.count(s => s._3 <= dCut) === bSpans.length,
       "the 1-D layout must NOT prune the non-sort dimension (else the fixture is degenerate)")
   }
+
+  test("binaryFile source: one blob per record, partition column recovered, bytes exact") {
+    import org.apache.spark.sql.functions._
+    // run the registered query once so the blob layout exists
+    val out = operators.Ingest.sourceBinary.run(spark, TestSpark.Sf).collect()
+    assert(out.length == 100, "one row per sampled doc")
+    val blobRoot = s"/tmp/graft_blobs/${TestSpark.Sf.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val raw = spark.read.format("binaryFile").load(blobRoot)
+    // partition discovery recovered doc_id; exactly one file per doc
+    assert(raw.groupBy("doc_id").count().filter($"count" =!= 1).count() == 0,
+      "every doc_id partition dir must hold exactly one blob file")
+    // content bytes equal the parquet truth plus the text sink's newline
+    val truth = sources.Tables.documents(spark, TestSpark.Sf)
+      .filter($"doc_id" < 100)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byId = raw.select($"doc_id".cast("long"), $"content").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    truth.foreach { case (id, text) =>
+      assert(byId(id).sameElements((text + "\n").getBytes("UTF-8")),
+        s"doc $id: blob bytes differ from parquet truth")
+    }
+  }
 }

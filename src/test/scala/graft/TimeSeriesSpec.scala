@@ -328,6 +328,31 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("cusum: peak matches a driver-side recomputation per user") {
+    val got = operators.TimeSeries.cusum.run(spark, TestSpark.Sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val series = sources.Tables.events(spark, TestSpark.Sf)
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .orderBy($"user_id", $"ts", $"event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+      .groupBy(_._1)
+    assert(got.keySet == series.keySet)
+    series.foreach { case (uid, rows) =>
+      val mu = rows.map(_._3).sum / rows.length
+      var s = 0.0
+      val cusums = rows.map { case (_, eid, v) =>
+        s += v - mu
+        (eid, BigDecimal(math.abs(s)).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+      }
+      val peak = cusums.map(_._2).max
+      val changeAt = cusums.filter(_._2 == peak).map(_._1).min
+      val (gotEvent, gotPeak) = got(uid)
+      assert((BigDecimal(gotPeak) - peak).abs <= BigDecimal(0.0001),
+        s"user $uid: peak $gotPeak vs recomputed $peak")
+      assert(gotEvent == changeAt, s"user $uid: change event")
+    }
+  }
+
   test("rolling median: matches a driver-side trailing-window recomputation") {
     val out = operators.TimeSeries.rollingMedian.run(spark, TestSpark.Sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getInt(2), r.getDouble(3)))
