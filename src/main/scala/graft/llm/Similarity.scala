@@ -24,8 +24,8 @@ import graft.functions.VectorFunctions
   */
 object Similarity {
 
-  private val K = 10
-  private val NumQueries = 5
+  private[graft] val K = 10
+  private[graft] val NumQueries = 5
 
   /** Hard cap on IVF codebook size: the codebook must stay a bounded model
     * artifact that fits one executor's broadcast budget regardless of corpus
@@ -495,28 +495,45 @@ object Similarity {
     * (approximate by design); SimilaritySpec pins structure, exact-sim
     * containment, run-to-run determinism over the fixed index, and the
     * dynamic-pruning plan shape. */
+  /** Serve an arbitrary (qid, qv) query frame against the persisted IVF
+    * index — the recurring/serving pipeline, factored so the one-shot
+    * graded form and the streaming serving twin (stream_ivf_serve) run
+    * the IDENTICAL plan: probes broadcast with their cid-group, the
+    * partitioned index scan dynamically prunes to touched groups, exact
+    * cosines within probed lists, per-query top-K. Unordered (callers
+    * add the presentation sort). Serving is pure per-query against the
+    * frozen index — no cross-query state — which is what makes the
+    * batched and streamed forms row-identical. */
+  private[graft] def serveIvf(s: SparkSession, dir: String,
+                              queries: DataFrame): DataFrame = {
+    import s.implicits._
+    val NProbe = 4
+    val (cents, assigned) = ivfIndex(s, dir)
+    val codebook = cbOf(s, cents)
+    val probes = broadcast(
+      queries.crossJoin(codebook)
+        .select($"qid", $"qv",
+          explode(slice(reverse(array_sort(centScores(s, $"qv"))), 1, NProbe)
+            .getField("cid")).as("cid"))
+        .withColumn("cid_grp", pmod(hash($"cid"), lit(IndexGroups))))
+    val scored = assigned.join(probes, Seq("cid_grp", "cid"))
+      .filter($"vec_id" =!= $"qid")
+      .withColumn("sim", round(VectorFunctions.cosine(s, $"qv", $"embedding"), 4))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id")))
+      .filter($"rn" <= K)
+      .select($"qid", $"rn", $"vec_id".as("nid"), $"sim")
+  }
+
   val ivfPersistedTopK: GraftQuery = GraftQuery(
     "llm_sim_topk_ivf_persisted",
     (s, dir) => {
       import s.implicits._
-      val NProbe = 4
-      val (cents, assigned) = ivfIndex(s, dir)
-      val codebook = cbOf(s, cents)
       val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
-      val probes = broadcast(
-        e.filter($"vec_id" < NumQueries).crossJoin(codebook)
-          .select($"vec_id".as("qid"), $"embedding".as("qv"),
-            explode(slice(reverse(array_sort(centScores(s, $"embedding"))), 1, NProbe)
-              .getField("cid")).as("cid"))
-          .withColumn("cid_grp", pmod(hash($"cid"), lit(IndexGroups))))
-      val scored = assigned.join(probes, Seq("cid_grp", "cid"))
-        .filter($"vec_id" =!= $"qid")
-        .withColumn("sim", round(VectorFunctions.cosine(s, $"qv", $"embedding"), 4))
-      scored
-        .withColumn("rn", row_number().over(
-          Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id")))
-        .filter($"rn" <= K)
-        .select($"qid", $"rn", $"vec_id".as("nid"), $"sim")
+      serveIvf(s, dir,
+        e.filter($"vec_id" < NumQueries)
+          .select($"vec_id".as("qid"), $"embedding".as("qv")))
         .orderBy($"qid", $"rn")
     },
     None

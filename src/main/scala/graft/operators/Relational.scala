@@ -372,6 +372,49 @@ object Relational {
             LIMIT 20""")
   )
 
+  /** ANALYZE-style table statistics in one pass: row count, per-column
+    * min/max, exact distinct counts, null-free aggregate sums — the
+    * statistics every cost-based optimizer (including Catalyst's CBO)
+    * feeds on, produced as a query instead of a catalog side effect so
+    * they compose (per-partition stats, stats-over-time) like any other
+    * result. One scan; all plain aggregates partial map-side; the
+    * DISTINCT columns plan through Spark's Expand (one row-multiplying
+    * operator, one shuffle, each distinct key counted in its own group)
+    * — the real ANALYZE shape. At 100 TB production swaps the exact NDVs
+    * for approx_count_distinct (HLL — same query, one function name, the
+    * agg_approx_distinct path); exact is kept here because the DuckDB
+    * oracle grades value equality. */
+  val columnStats: GraftQuery = GraftQuery(
+    "scan_column_stats",
+    (s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir).agg(
+        count(lit(1)).as("n_rows"),
+        min($"l_orderkey").as("min_orderkey"),
+        max($"l_orderkey").as("max_orderkey"),
+        countDistinct($"l_orderkey").as("ndv_orderkey"),
+        countDistinct($"l_partkey").as("ndv_partkey"),
+        countDistinct($"l_returnflag").as("ndv_returnflag"),
+        min($"l_shipdate").as("min_shipdate"),
+        max($"l_shipdate").as("max_shipdate"),
+        round(avg($"l_quantity"), 4).as("avg_qty"),
+        round(sum($"l_extendedprice".cast("decimal(18,4)")), 2)
+          .cast("double").as("sum_price"))
+    },
+    Some("""SELECT count(*) AS n_rows,
+                   min(l_orderkey) AS min_orderkey,
+                   max(l_orderkey) AS max_orderkey,
+                   count(DISTINCT l_orderkey) AS ndv_orderkey,
+                   count(DISTINCT l_partkey) AS ndv_partkey,
+                   count(DISTINCT l_returnflag) AS ndv_returnflag,
+                   min(l_shipdate) AS min_shipdate,
+                   max(l_shipdate) AS max_shipdate,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+                     AS sum_price
+            FROM lineitem""")
+  )
+
   /** TPC-H Q12-shaped shipping-lateness report, adapted to the fixture's
     * columns (no l_shipmode/l_receiptdate ship with the synthetic
     * lineitem, so lateness is shipdate vs orderdate and the grouping key
@@ -533,5 +576,5 @@ object Relational {
   def all: Seq[GraftQuery] = Seq(
     scanProject, scanFilterPushdown, filterPred, projectCompute,
     sortLimit, setUnion, setIntersect, setExcept, sqlStarQ5, sqlQ3, sqlQ18,
-    sqlQ7, sqlQ10, sqlQ12, sqlQ14, sqlSubquery, cleanNa)
+    sqlQ7, sqlQ10, sqlQ12, sqlQ14, sqlSubquery, cleanNa, columnStats)
 }

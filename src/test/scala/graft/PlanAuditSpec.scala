@@ -28,6 +28,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "llm_sim_topk_ivf2",  // same pattern: 1-row two-level codebook broadcast
     "llm_sim_topk_ivf_persisted", // 1-row codebook broadcast on the probe side
     "llm_sim_index_append", // same serve pipeline: 1-row codebook broadcast on probes
+    "stream_ivf_serve",   // same serve pipeline per wave: 1-row codebook broadcast
     "llm_sim_knn_join",   // 1-row codebook broadcast onto assignment + probe scans
     "llm_sim_topk_pq",    // NumQueries-row LUT broadcast, non-equi self-guard
     "llm_sim_topk_ivfpq", // 1-row codebook + 1-row PQ-codebook broadcasts on probes

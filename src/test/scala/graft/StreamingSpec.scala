@@ -705,4 +705,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(acc.exists(_._1 <= wmid) && acc.exists(_._1 > wmid),
       "fixture must keep docs in both arrival waves")
   }
+
+  test("stream_ivf_serve: batched serving reproduces the one-shot index answer exactly") {
+    // Serving is pure per-query against the frozen index, so the 3-wave
+    // union must equal llm_sim_topk_ivf_persisted row for row — the
+    // batch-independence property that makes a vector index deployable
+    // behind streaming query traffic.
+    val streamed = streaming.ServeStream.streamIvfServe
+      .run(spark, TestSpark.Sf).collect().map(_.toSeq)
+    val oneShot = llm.Similarity.ivfPersistedTopK
+      .run(spark, TestSpark.Sf).collect().map(_.toSeq)
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == oneShot.toSeq,
+      "batching the query stream changed a serving result")
+    // more than one wave must actually carry queries
+    val qids = streamed.map(_.head.asInstanceOf[Long] % 3).distinct
+    assert(qids.length > 1, "arrival split degenerated to a single wave")
+  }
 }
