@@ -986,9 +986,23 @@ object Corpus {
     * scan arithmetic. Zipf-hot keys are AQE skew territory, as with
     * every term join here. Determinism: integer counts till the final
     * ln; round(4) absorbs association error (the pplOracle precedent). */
-  val perplexityTrigram: GraftQuery = GraftQuery(
-    "llm_perplexity_trigram",
-    (s, dir) => {
+  /** Per-doc stupid-backoff scores, PERSISTED under the Layouts
+    * fingerprint protocol — the same recurring-cost discipline as
+    * perplexityScores: scoring a corpus against a frozen model is
+    * deterministic per dataset, so it runs once per dataset, not once
+    * per consumer/session (warm cost drops from the full 4-join scoring
+    * dataflow to a layout read). */
+  private[graft] def trigramScores(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val path = s"/tmp/graft_nll3/$sfx"
+    Layouts.parquetLayout(path, path,
+        Layouts.fingerprint(Tables.documents(s, dir), "doc_id", "text", "source")) {
+      scoreTrigramsOnce(s, dir).write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
+  private def scoreTrigramsOnce(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
       import s.implicits._
       val lm = lmModel(s, dir)
       val tri = lmTrigrams(s, dir)
@@ -1021,7 +1035,13 @@ object Corpus {
           sum(when($"ct0" > 0L, $"c").otherwise(0L)).as("n_hit3"),
           sum(when($"ct0" === 0L && $"cb23z" > 0L, $"c").otherwise(0L)).as("n_hit2"),
           round(-sum(log($"score") * $"c") / sum($"c"), 4).as("nll_sb"))
-        .orderBy($"doc_id")
+  }
+
+  val perplexityTrigram: GraftQuery = GraftQuery(
+    "llm_perplexity_trigram",
+    (s, dir) => {
+      import s.implicits._
+      trigramScores(s, dir).orderBy($"doc_id")
     },
     Some(s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w
                         FROM documents),

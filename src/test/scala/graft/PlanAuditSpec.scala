@@ -36,7 +36,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "llm_bm25",           // 1-row (N, avgdl) corpus-stats broadcast onto the scoring join
     "llm_domain_mix",     // 1-row stratum-totals broadcast onto the bounded stratum table
     "llm_perplexity",     // 1-row smoothing-vocab broadcast onto the scoring join
-    "llm_perplexity_trigram", // 1-row (T,V) stats broadcast onto the scoring join
+    // llm_perplexity_trigram needs no entry: its 1-row stats broadcast
+    // lives in the one-time layout BUILD; the audited serving plan is a
+    // plain read of the persisted per-doc scores.
     "llm_curate",         // same 1-row vocab broadcast via the absorbed NLL signal
     "stream_curate",      // same 1-row vocab broadcast, per emulated micro-batch
     "llm_dedup_semantic", // 1-row codebook broadcast onto the assignment scans
