@@ -785,44 +785,75 @@ object TimeSeries {
     * shuffle_hash (O(users) rows, never broadcast); the running sum is
     * one window pass in the same user_id partitioning; the per-user
     * argmax is the two-phase hash-agg form (max, join back, min
-    * event_id on ties — the graph_label_prop discipline). The running
-    * sum accumulates in deterministic (ts, event_id) order, identical
-    * in both engines; μ association error is absorbed by round(4) on
-    * the compared statistic. */
+    * event_id on ties — the graph_label_prop discipline).
+    *
+    * DETERMINISM — the interesting part. Two floating-point
+    * formulations failed cross-engine at sf0.1 before this one:
+    * Σ(v−μ) as a double window sum diverged because DuckDB aggregates
+    * window frames through a SEGMENT TREE (pairwise association ≠
+    * Spark's sequential running sum), and even with exact decimal
+    * prefix sums, round(μ,4) split engines because means of 2-decimal
+    * values are boundary-structured rationals (…49.19125 — Spark
+    * rounds the double's shortest STRING, DuckDB the BINARY value:
+    * the session-2 trap, now observed on a statistic). So the whole
+    * statistic is computed in SCALED-INTEGER space: v100 = value·100
+    * exactly (via DECIMAL cast), per-user totals T = Σv100 and
+    * prefixes P_i are integer sums (associative — segment trees
+    * can't hurt them), and n·S_i = |P_i·n − i·T| is pure integer
+    * arithmetic. Peak and argmax are integer-exact; the two reported
+    * doubles are single integer divisions TRUNCATED at 4 decimals in
+    * integer space (x div y, then /10⁴) — no round(double) anywhere,
+    * so there is no boundary to disagree on. */
   val cusum: GraftQuery = GraftQuery(
     "ts_cusum",
     (s, dir) => {
       import s.implicits._
       val ev = Tables.events(s, dir)
-        .select($"user_id", $"event_id", $"ts", $"value")
-      val mu = ev.groupBy($"user_id").agg(avg($"value").as("mu"))
-      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val cusums = ev.join(mu.hint("shuffle_hash"), "user_id")
-        .withColumn("cusum", round(abs(sum($"value" - $"mu").over(w)), 4))
-      val peak = cusums.groupBy($"user_id").agg(max($"cusum").as("peak"))
+        .select($"user_id", $"event_id", $"ts",
+          ($"value".cast("decimal(18,2)") * 100).cast("long").as("v100"))
+      val tot = ev.groupBy($"user_id").agg(
+        sum($"v100").as("t"), count(lit(1)).as("n"))
+      val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val w = wOrd.rowsBetween(Window.unboundedPreceding, 0)
+      val cusums = ev.join(tot.hint("shuffle_hash"), "user_id")
+        .withColumn("d", abs(
+          sum($"v100").over(w) * $"n"
+            - row_number().over(wOrd).cast("long") * $"t"))
+      val peak = cusums.groupBy($"user_id").agg(max($"d").as("peak"))
       cusums.join(peak.hint("shuffle_hash"), "user_id")
-        .filter($"cusum" === $"peak")
+        .filter($"d" === $"peak")
         .groupBy($"user_id")
         .agg(min($"event_id").as("change_event"),
-          first($"peak").as("max_cusum"),
-          round(first($"mu"), 4).as("mu"))
+          (expr("first(peak * 100) div first(n)").cast("double") / 10000.0)
+            .as("max_cusum"),
+          (expr("first(t) * 100 div first(n)").cast("double") / 10000.0)
+            .as("mu"))
         .orderBy($"user_id")
     },
-    Some("""WITH m AS (SELECT user_id, avg(value) AS mu FROM events GROUP BY 1),
-              c AS (SELECT e.user_id, e.event_id,
-                           round(abs(sum(e.value - m.mu) OVER (
-                             PARTITION BY e.user_id ORDER BY e.ts, e.event_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4)
-                             AS cusum,
-                           m.mu
-                    FROM events e JOIN m USING (user_id)),
-              p AS (SELECT user_id, max(cusum) AS peak FROM c GROUP BY 1)
+    Some("""WITH ev AS (SELECT user_id, event_id, ts,
+                               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                                 AS v100
+                        FROM events),
+              m AS (SELECT user_id, CAST(sum(v100) AS BIGINT) AS t,
+                           count(*) AS n
+                    FROM ev GROUP BY 1),
+              c AS (SELECT e.user_id, e.event_id, m.t, m.n,
+                           abs(CAST(sum(e.v100) OVER (
+                                 PARTITION BY e.user_id ORDER BY e.ts, e.event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                                 AS BIGINT) * m.n
+                               - row_number() OVER (
+                                   PARTITION BY e.user_id ORDER BY e.ts, e.event_id)
+                                 * m.t) AS d
+                    FROM ev e JOIN m USING (user_id)),
+              p AS (SELECT user_id, max(d) AS peak FROM c GROUP BY 1)
             SELECT user_id, min(event_id) AS change_event,
-                   CAST(max(peak) AS DOUBLE) AS max_cusum,
-                   round(max(mu), 4) AS mu
+                   CAST(CAST(max(peak) * 100 AS BIGINT) // max(n) AS DOUBLE)
+                     / 10000.0 AS max_cusum,
+                   CAST(CAST(max(t) * 100 AS BIGINT) // max(n) AS DOUBLE)
+                     / 10000.0 AS mu
             FROM c JOIN p USING (user_id)
-            WHERE cusum = peak
+            WHERE d = peak
             GROUP BY user_id ORDER BY user_id""")
   )
 

@@ -328,7 +328,7 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
-  test("cusum: peak matches a driver-side recomputation per user") {
+  test("cusum: peak matches an exact integer-space recomputation per user") {
     val got = operators.TimeSeries.cusum.run(spark, TestSpark.Sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     val series = sources.Tables.events(spark, TestSpark.Sf)
@@ -338,17 +338,21 @@ class TimeSeriesSpec extends AnyFunSuite {
       .groupBy(_._1)
     assert(got.keySet == series.keySet)
     series.foreach { case (uid, rows) =>
-      val mu = rows.map(_._3).sum / rows.length
-      var s = 0.0
-      val cusums = rows.map { case (_, eid, v) =>
-        s += v - mu
-        (eid, BigDecimal(math.abs(s)).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+      // the operator's own algebra: v100 exact, n·S_i = |P_i·n − i·T|
+      val v100 = rows.map(r => BigDecimal(r._3).setScale(2).*(100).toLongExact)
+      val t = v100.sum
+      val n = v100.length.toLong
+      var p = 0L
+      val ds = v100.zipWithIndex.map { case (v, idx) =>
+        p += v
+        (rows(idx)._2, math.abs(p * n - (idx + 1L) * t))
       }
-      val peak = cusums.map(_._2).max
-      val changeAt = cusums.filter(_._2 == peak).map(_._1).min
+      val peak = ds.map(_._2).max
+      val changeAt = ds.filter(_._2 == peak).map(_._1).min
+      val expectedPeak = (peak * 100L / n).toDouble / 10000.0
       val (gotEvent, gotPeak) = got(uid)
-      assert((BigDecimal(gotPeak) - peak).abs <= BigDecimal(0.0001),
-        s"user $uid: peak $gotPeak vs recomputed $peak")
+      assert(gotPeak == expectedPeak,
+        s"user $uid: peak $gotPeak vs recomputed $expectedPeak")
       assert(gotEvent == changeAt, s"user $uid: change event")
     }
   }
