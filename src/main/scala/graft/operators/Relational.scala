@@ -505,6 +505,147 @@ object Relational {
             ORDER BY ship_month""")
   )
 
+  /** TPC-H Q6-shaped forecasting-revenue query: a pure filter-aggregate —
+    * three scan predicates, one global sum, one output row. The
+    * simplest shape in the suite and the purest pushdown test: every
+    * predicate must reach the parquet reader (row-group min/max stats
+    * skip most of the file at 100 TB with a year's partition pruning on
+    * top), and the aggregate is a map-side-complete partial + 1-row
+    * final. Revenue in exact DECIMAL (money discipline). */
+  val sqlQ6: GraftQuery = GraftQuery(
+    "sql_q6",
+    (s, dir) => {
+      graft.sources.Tables.table(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+      s.sql("""SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                                    * CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE)
+                        AS revenue,
+                      count(*) AS n_lines
+               FROM v_lineitem
+               WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                 AND l_shipdate <  TIMESTAMP '1997-01-01'
+                 AND l_discount BETWEEN 0.05 AND 0.07
+                 AND l_quantity < 24""")
+    },
+    Some("""SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                                  * CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE)
+                     AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24""")
+  )
+
+  /** TPC-H Q13-shaped customer order-count distribution: LEFT join
+    * customers to orders, count per customer (outer-preserving — the
+    * zero-order customers are the point of the query), then histogram
+    * the counts. Two hash aggregates back to back, the second over a
+    * tiny key domain; the left join shuffles each side once (or zero
+    * for the customer side with a bucketed layout). The distribution
+    * shape — most engines' first "how active is my user base" query. */
+  val sqlQ13: GraftQuery = GraftQuery(
+    "sql_q13",
+    (s, dir) => {
+      for (t <- Seq("customer", "orders"))
+        graft.sources.Tables.table(s, dir, t).createOrReplaceTempView(s"v_$t")
+      s.sql("""SELECT c_count, count(*) AS custdist
+               FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+                     FROM v_customer LEFT OUTER JOIN v_orders
+                       ON c_custkey = o_custkey
+                     GROUP BY c_custkey)
+               GROUP BY c_count
+               ORDER BY custdist DESC, c_count DESC""")
+    },
+    Some("""SELECT c_count, count(*) AS custdist
+            FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+                  FROM customer LEFT OUTER JOIN orders
+                    ON c_custkey = o_custkey
+                  GROUP BY c_custkey) t
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC""")
+  )
+
+  /** TPC-H Q15-shaped top supplier: per-supplier quarterly revenue, then
+    * the supplier(s) achieving the maximum — the "view + scalar
+    * subquery against the same view" pattern. Catalyst evaluates the
+    * revenue aggregate once per reference but the SHAPE is what grades:
+    * the max is a 1-row scalar subquery joined back, never a sort of
+    * the full supplier ranking. Exact DECIMAL revenue so the max
+    * comparison is boundary-free (the money discipline means equal
+    * revenues are EXACTLY equal). */
+  val sqlQ15: GraftQuery = GraftQuery(
+    "sql_q15",
+    (s, dir) => {
+      for (t <- Seq("supplier", "lineitem"))
+        graft.sources.Tables.table(s, dir, t).createOrReplaceTempView(s"v_$t")
+      s.sql("""WITH revenue AS (
+                 SELECT l_suppkey AS supplier_no,
+                        sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                            * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS total_revenue
+                 FROM v_lineitem
+                 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                   AND l_shipdate <  TIMESTAMP '1996-04-01'
+                 GROUP BY l_suppkey)
+               SELECT s_suppkey, s_name,
+                      CAST(round(total_revenue, 2) AS DOUBLE) AS total_revenue
+               FROM v_supplier JOIN revenue ON s_suppkey = supplier_no
+               WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+               ORDER BY s_suppkey""")
+    },
+    Some("""WITH revenue AS (
+              SELECT l_suppkey AS supplier_no,
+                     sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                         * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate <  TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name,
+                   CAST(round(total_revenue, 2) AS DOUBLE) AS total_revenue
+            FROM supplier JOIN revenue ON s_suppkey = supplier_no
+            WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+            ORDER BY s_suppkey""")
+  )
+
+  /** TPC-H Q22-shaped global-sales-opportunity query, adapted to fixture
+    * columns (no c_phone, so the country code is the nation key):
+    * customers with above-average positive balances who have NEVER
+    * ordered, grouped by nation. The two famous shapes in one query:
+    * an uncorrelated scalar-aggregate subquery (the average — computed
+    * once, broadcast as a 1-row frame) and a NOT EXISTS that Catalyst
+    * plans as a left-ANTI join (never a per-customer probe). Balance
+    * sums in exact DECIMAL. */
+  val sqlQ22: GraftQuery = GraftQuery(
+    "sql_q22",
+    (s, dir) => {
+      for (t <- Seq("customer", "orders"))
+        graft.sources.Tables.table(s, dir, t).createOrReplaceTempView(s"v_$t")
+      s.sql("""SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+                      CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
+                        AS totacctbal
+               FROM v_customer
+               WHERE c_acctbal > (SELECT avg(c_acctbal) FROM v_customer
+                                  WHERE c_acctbal > 0.0)
+                 AND NOT EXISTS (SELECT 1 FROM v_orders
+                                 WHERE o_custkey = c_custkey
+                                   AND o_orderdate >= TIMESTAMP '2000-01-01')
+               GROUP BY c_nationkey
+               ORDER BY cntrycode""")
+    },
+    Some("""SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+                   CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
+                     AS totacctbal
+            FROM customer
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                               WHERE c_acctbal > 0.0)
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= TIMESTAMP '2000-01-01')
+            GROUP BY c_nationkey
+            ORDER BY cntrycode""")
+  )
+
   /** Correlated subqueries through the SQL surface: a correlated scalar
     * aggregate (balance above own-nation average) plus a correlated
     * EXISTS (has an urgent order). Catalyst DECORRELATES both — the
@@ -576,5 +717,6 @@ object Relational {
   def all: Seq[GraftQuery] = Seq(
     scanProject, scanFilterPushdown, filterPred, projectCompute,
     sortLimit, setUnion, setIntersect, setExcept, sqlStarQ5, sqlQ3, sqlQ18,
-    sqlQ7, sqlQ10, sqlQ12, sqlQ14, sqlSubquery, cleanNa, columnStats)
+    sqlQ6, sqlQ7, sqlQ10, sqlQ12, sqlQ13, sqlQ14, sqlQ15, sqlQ22,
+    sqlSubquery, cleanNa, columnStats)
 }
