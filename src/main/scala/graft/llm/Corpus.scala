@@ -1087,7 +1087,85 @@ object Corpus {
              FROM lp GROUP BY doc_id ORDER BY doc_id""")
   )
 
+  /** The DATASET CARD: one row of corpus-level statistics — sizes, language
+    * and source coverage, exact-duplicate rate, benchmark contamination,
+    * mean quality, mean LM NLL, and the curated keep count. Every release
+    * of a training corpus ships one of these (HF dataset cards, Dolma's
+    * summary stats); here it is a QUERY over the same engine signals the
+    * per-doc operators grade, so card and pipeline can never disagree.
+    *
+    * Scale shape: one corpus scan for the base stats; everything else
+    * reads the PERSISTED signal layouts (contaminated ids, per-doc NLLs)
+    * or scan-speed projections (quality), reduced to 1-row frames and
+    * broadcast-assembled — the card costs one scan plus layout reads,
+    * regardless of how many signals it carries. Means of 4-dp signals
+    * use the ts_cusum integer discipline (decimal-cast → scaled BIGINT
+    * sum → integer div, truncated at 4 dp) — round(avg(double)) of
+    * boundary-structured values is exactly the cross-engine trap the
+    * sf0.1 closure caught. */
+  val datasetCard: GraftQuery = GraftQuery(
+    "llm_dataset_card",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val base = docs.agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(TF.tokens($"text"))).as("n_tokens"),
+        countDistinct($"lang").as("n_langs"),
+        countDistinct($"source").as("n_sources"),
+        (count(lit(1)) - countDistinct($"text")).as("dup_docs"))
+      val cont = contaminatedIds(s, dir)
+        .agg(count(lit(1)).as("contaminated_docs"))
+      val qual = graft.llm.TextStats.scoredDocs(s, dir).agg(
+        (expr("sum(CAST(CAST(score AS DECIMAL(18,4)) * 10000 AS BIGINT)) div count(1)")
+          .cast("double") / 10000.0).as("mean_quality"))
+      val nll = perplexityScores(s, dir).agg(
+        (expr("sum(CAST(CAST(nll AS DECIMAL(18,4)) * 10000 AS BIGINT)) div count(1)")
+          .cast("double") / 10000.0).as("mean_nll"))
+      val kept = curate.run(s, dir).agg(count(lit(1)).as("kept_docs"))
+      base.crossJoin(broadcast(cont)).crossJoin(broadcast(qual))
+        .crossJoin(broadcast(nll)).crossJoin(broadcast(kept))
+    },
+    Some(s"""WITH base AS (
+               SELECT count(*) AS n_docs,
+                      CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+                      count(DISTINCT lang) AS n_langs,
+                      count(DISTINCT source) AS n_sources,
+                      CAST(count(*) - count(DISTINCT text) AS BIGINT) AS dup_docs
+               FROM documents),
+             grams AS (
+               SELECT doc_id,
+                      list_distinct(list_transform(range(1, greatest(len(w) - ${ContamN - 2}, 1)),
+                        i -> array_to_string(w[i:i+${ContamN - 1}], ' '))) AS g
+               FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+             bench AS (
+               SELECT DISTINCT gu.x AS g FROM grams, unnest(g) AS gu(x)
+               WHERE doc_id % $BenchMod = $BenchRem),
+             corpus AS (
+               SELECT DISTINCT doc_id, gu.x AS g FROM grams, unnest(g) AS gu(x)
+               WHERE doc_id % $BenchMod != $BenchRem),
+             cont AS (
+               SELECT CAST(count(*) AS BIGINT) AS contaminated_docs FROM (
+                 SELECT c.doc_id FROM corpus c JOIN bench b ON c.g = b.g
+                 GROUP BY c.doc_id HAVING count(*) >= $DecontamMinHits)),
+             q AS (
+               SELECT CAST(sum(CAST(CAST($scoreSqlForCard AS DECIMAL(18,4)) * 10000 AS BIGINT))
+                           // count(*) AS DOUBLE) / 10000.0 AS mean_quality
+               FROM documents),
+             nllm AS (
+               SELECT CAST(sum(CAST(CAST(nll AS DECIMAL(18,4)) * 10000 AS BIGINT))
+                           // count(*) AS DOUBLE) / 10000.0 AS mean_nll
+               FROM ($pplOracle)),
+             k AS (
+               SELECT CAST(count(*) AS BIGINT) AS kept_docs FROM ($curateOracle))
+             SELECT * FROM base, cont, q, nllm, k""")
+  )
+
+  /** TextStats.scoreSql for interpolation into the card oracle (alias to
+    * keep the interpolated string readable). */
+  private def scoreSqlForCard: String = graft.llm.TextStats.scoreSql
+
   def all: Seq[GraftQuery] =
     Seq(contamination, decontaminate, repetition, substringDup, paragraphDedup,
-      tfidf, curate, perplexity, perplexityTrigram, bm25)
+      tfidf, curate, perplexity, perplexityTrigram, bm25, datasetCard)
 }

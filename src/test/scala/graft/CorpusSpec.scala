@@ -382,6 +382,28 @@ class CorpusSpec extends AnyFunSuite {
       "gopher filter should produce both keeps and drops at sf0.001")
   }
 
+  test("dataset card: every field agrees with the signal it summarizes") {
+    val card = llm.Corpus.datasetCard.run(spark, TestSpark.Sf).collect()
+    assert(card.length == 1)
+    val r = card.head
+    val docs = sources.Tables.documents(spark, TestSpark.Sf)
+    assert(r.getAs[Long]("n_docs") == docs.count())
+    assert(r.getAs[Long]("kept_docs") ==
+      llm.Corpus.curate.run(spark, TestSpark.Sf).count(),
+      "card keep count must equal the curation pipeline's")
+    assert(r.getAs[Long]("contaminated_docs") ==
+      llm.Corpus.contaminatedIds(spark, TestSpark.Sf).count())
+    val scores = llm.TextStats.scoredDocs(spark, TestSpark.Sf)
+      .collect().map(_.getDouble(1))
+    val meanQ = scores.sum / scores.length
+    assert(math.abs(r.getAs[Double]("mean_quality") - meanQ) < 2e-4,
+      "mean quality must track the per-doc score mean (4-dp truncation)")
+    assert(r.getAs[Long]("dup_docs") >= 0 &&
+      r.getAs[Long]("dup_docs") < r.getAs[Long]("n_docs"))
+    assert(r.getAs[Long]("n_tokens") > r.getAs[Long]("n_docs"),
+      "token count must exceed doc count on this fixture")
+  }
+
   test("trigram stupid backoff: hit accounting, in-domain saturation, backoff engages") {
     val out = llm.Corpus.perplexityTrigram.run(spark, TestSpark.Sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))

@@ -40,6 +40,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // lives in the one-time layout BUILD; the audited serving plan is a
     // plain read of the persisted per-doc scores.
     "llm_curate",         // same 1-row vocab broadcast via the absorbed NLL signal
+    "llm_dataset_card",   // 1-row stat frames broadcast-assembled into the card row
     "stream_curate",      // same 1-row vocab broadcast, per emulated micro-batch
     "llm_dedup_semantic", // 1-row codebook broadcast onto the assignment scans
     "graph_edges_incremental", // 1-row watermark broadcast onto the fact scans
