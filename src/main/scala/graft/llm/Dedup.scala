@@ -1278,9 +1278,59 @@ object Dedup {
              FROM j WHERE rn = 1 ORDER BY cluster_id""")
   )
 
+  /** Normalization-aware exact dedup — the C4/Dolma preprocessing rule:
+    * two documents are "the same" after lowercasing, punctuation
+    * stripping and whitespace squeezing, which catches the
+    * reformatted-but-identical copies plain byte-equality misses (and
+    * which near-dup machinery is overkill for). Normalization is a
+    * codegen'd scan projection (lower + two regexp_replace + trim);
+    * dedup stays ONE hash aggregate on the 64-char key — exactly
+    * llm_dedup_exact's cost shape, because the normalize step adds
+    * zero shuffles. Groups report both the copy count and the
+    * distinct-RAW-text count, so the operator's marginal value over
+    * llm_dedup_exact is visible in its own output. The fixture plants
+    * no byte-identical copies (llm_dedup_exact self-unions for the
+    * same reason); here the planted twin is a REFORMATTED copy
+    * (uppercased, trailing whitespace, id-offset) — byte-different,
+    * normalization-identical, i.e. precisely the case this operator
+    * exists to catch and plain exact dedup misses. */
+  val exactNorm: GraftQuery = GraftQuery(
+    "llm_dedup_exact_norm",
+    (s, dir) => {
+      import s.implicits._
+      val d = Tables.documents(s, dir).select($"doc_id", $"text")
+      val reformatted = d.select(($"doc_id" + 1000000000L).as("doc_id"),
+        concat(upper($"text"), lit("  ")).as("text"))
+      val norm = trim(regexp_replace(
+        regexp_replace(lower($"text"), "[^a-z0-9 ]", " "), " +", " "))
+      d.union(reformatted)
+        .select($"doc_id", $"text", sha2(norm, 256).as("norm_sha"))
+        .groupBy($"norm_sha")
+        .agg(min($"doc_id").as("keeper_id"),
+          count(lit(1)).as("n_copies"),
+          countDistinct($"text").as("n_distinct_raw"))
+        .filter($"n_copies" >= 2)
+        .select($"keeper_id", $"n_copies", $"n_distinct_raw")
+        .orderBy($"keeper_id")
+    },
+    Some("""WITH u AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000000, upper(text) || '  ' FROM documents),
+            n AS (
+              SELECT doc_id, text,
+                     trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+              FROM u)
+            SELECT min(doc_id) AS keeper_id, count(*) AS n_copies,
+                   count(DISTINCT text) AS n_distinct_raw
+            FROM n GROUP BY norm HAVING count(*) >= 2
+            ORDER BY keeper_id""")
+  )
+
   def all: Seq[GraftQuery] =
-    Seq(exact, ngramJaccard, bucketed, containment, containmentCapped,
-      incremental, minhashLsh,
+    Seq(exact, exactNorm, ngramJaccard, bucketed, containment,
+      containmentCapped, incremental, minhashLsh,
         simhash, simhashPoly, embedCosine, embedCosineLsh, semantic, cluster,
         clusterIncremental, keepBest)
 }

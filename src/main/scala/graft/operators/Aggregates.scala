@@ -388,8 +388,49 @@ object Aggregates {
             FROM r WHERE rn = 1 ORDER BY user_id""")
   )
 
+  /** Equi-width numeric histogram via width_bucket — the profiling
+    * aggregate behind every data-distribution dashboard (degree_dist is
+    * the discrete cousin; this is the continuous one with explicit
+    * bucket bounds). Bucket assignment is a scan projection; the
+    * histogram is one hash aggregate on a BOUNDED key (NumBuckets+2
+    * with the under/overflow buckets), so the shuffle carries buckets ×
+    * partitions rows regardless of fact size. Sums stay in exact
+    * DECIMAL (money discipline). Bounds are fixed constants — at scale
+    * you either know the domain or take bounds from scan_column_stats'
+    * min/max (two passes, the standard profile-then-histogram shape). */
+  val histogram: GraftQuery = GraftQuery(
+    "agg_histogram",
+    (s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .select($"o_totalprice",
+          expr("width_bucket(o_totalprice, 0.0, 400000.0, 16)").as("bucket"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_orders"),
+          round(min($"o_totalprice"), 2).as("lo"),
+          round(max($"o_totalprice"), 2).as("hi"),
+          round(sum($"o_totalprice".cast("decimal(18,4)")), 2)
+            .cast("double").as("total"))
+        .orderBy($"bucket")
+    },
+    // DuckDB has no width_bucket — the oracle states the same assignment
+    // arithmetically (bounds are exact doubles, so floor-division agrees
+    // with Spark's WidthBucket at every boundary).
+    Some("""SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+                        WHEN o_totalprice >= 400000.0 THEN 17
+                        ELSE CAST(floor(o_totalprice / 25000.0) AS BIGINT) + 1
+                   END AS bucket,
+                   count(*) AS n_orders,
+                   round(min(o_totalprice), 2) AS lo,
+                   round(max(o_totalprice), 2) AS hi,
+                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+                     AS total
+            FROM orders
+            GROUP BY bucket ORDER BY bucket""")
+  )
+
   def all: Seq[GraftQuery] = Seq(
     q1Agg, distinctCount, approxDistinct, rollupAgg, cubeAgg,
     groupingSets, having, typedCustom, sketchMerge, heavyHitters,
-    heavyHittersIncremental, aggMode)
+    heavyHittersIncremental, aggMode, histogram)
 }

@@ -170,6 +170,67 @@ object Graph {
     }
   )
 
+  /** PageRank with CONVERGENCE DIAGNOSTICS: the same 5 power iterations,
+    * but the result carries the per-vertex last-iteration delta
+    * |r5 − r4| and a converged flag — the "has the walk settled"
+    * question every production PageRank run answers before using the
+    * ranks (fixed-iteration runs without a delta column are flying
+    * blind; dynamic stopping is this same delta fed to driver control
+    * flow, which would break oracle determinism — reporting it instead
+    * keeps the result exact AND actionable). Plan: the iteration-4
+    * vector rides one extra O(V) join at the end. Unlike
+    * graph_pagerank, ranks are lineage-cut per iteration
+    * (localCheckpoint, the labelPropagation discipline): holding BOTH
+    * r4 and r5 as live plans would otherwise re-derive the whole r4
+    * subtree twice (first cut planned 28 shuffles vs pagerank's 16). */
+  val pagerankDelta: GraftQuery = GraftQuery(
+    "graph_pagerank_delta",
+    (s, dir) => {
+      import s.implicits._
+      val e = adjacency(s, dir)
+      val verts = vertices(e)
+      val nRow = verts.agg(count(lit(1)).as("n"))
+      var ranks = verts.crossJoin(broadcast(nRow))
+        .select($"src".as("v"), (lit(1.0) / $"n").as("r"))
+        .localCheckpoint()
+      var prev = ranks
+      for (_ <- 1 to Iters) {
+        prev = ranks
+        val contrib = e.join(ranks.hint("shuffle_hash"), $"src" === $"v")
+          .groupBy($"dst").agg(sum($"r" / $"deg").as("c"))
+        ranks = contrib.crossJoin(broadcast(nRow))
+          .select($"dst".as("v"),
+            (lit(1 - Damping) / $"n" + lit(Damping) * $"c").as("r"))
+          .localCheckpoint()
+      }
+      ranks.join(prev.select($"v", $"r".as("r_prev")).hint("shuffle_hash"), "v")
+        .select($"v".as("part_id"), round($"r", 4).as("rank"),
+          round(abs($"r" - $"r_prev"), 4).as("delta"),
+          (round(abs($"r" - $"r_prev"), 4) < 0.001).as("converged"))
+        .orderBy($"part_id")
+    },
+    Some {
+      val iters = (1 to Iters).map { i =>
+        s"""r$i AS (SELECT e.dst AS v,
+                           (1 - $Damping) / (SELECT n FROM n)
+                             + $Damping * sum(p.r / deg.deg) AS r
+                    FROM e JOIN r${i - 1} p ON e.src = p.v
+                           JOIN deg ON e.src = deg.src
+                    GROUP BY e.dst)"""
+      }.mkString(",\n")
+      s"""WITH $edgeCte,
+            deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+            n AS (SELECT count(*) AS n FROM deg),
+            r0 AS (SELECT src AS v, 1.0 / (SELECT n FROM n) AS r FROM deg),
+            $iters
+          SELECT a.v AS part_id, round(a.r, 4) AS rank,
+                 round(abs(a.r - b.r), 4) AS delta,
+                 round(abs(a.r - b.r), 4) < 0.001 AS converged
+          FROM r$Iters a JOIN r${Iters - 1} b ON a.v = b.v
+          ORDER BY part_id"""
+    }
+  )
+
   /** Support-weighted PageRank: rank mass flows along an edge in
     * proportion to its co-occurrence support instead of uniformly —
     * r(v) = (1−d)/n + d·Σ_{u→v} r(u)·w(u,v)/W(u) with W(u) the total
@@ -639,7 +700,7 @@ object Graph {
   )
 
   def all: Seq[GraftQuery] =
-    Seq(pagerank, pagerankWeighted, cc, jaccard, jaccardCapped,
-      labelPropagation, bfs, closenessLandmarks, edgesIncremental,
-      triangles, degreeDist)
+    Seq(pagerank, pagerankDelta, pagerankWeighted, cc, jaccard,
+      jaccardCapped, labelPropagation, bfs, closenessLandmarks,
+      edgesIncremental, triangles, degreeDist)
 }

@@ -181,6 +181,24 @@ class GraphSpec extends AnyFunSuite {
       .toSeq.groupBy(_._1).map { case (k, v) => k -> v.iterator.map(_._2).toSet }
   }
 
+  test("pagerank delta: ranks agree with graph_pagerank, flags consistent") {
+    val base = operators.Graph.pagerank.run(spark, TestSpark.Sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val delta = operators.Graph.pagerankDelta.run(spark, TestSpark.Sf).collect()
+    assert(delta.nonEmpty)
+    delta.foreach { r =>
+      val (v, rank, d, conv) =
+        (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getBoolean(3))
+      assert(rank == base(v),
+        s"vertex $v: delta variant rank $rank != graph_pagerank ${base(v)}")
+      assert(d >= 0.0)
+      assert(conv == (d < 0.001), s"vertex $v: flag inconsistent with delta $d")
+    }
+    // after 5 iterations on the fixture graph, most of the walk has settled
+    assert(delta.count(_.getBoolean(3)) > delta.length / 2,
+      "a majority of vertices should have converged by iteration 5")
+  }
+
   test("label propagation: matches a driver-side synchronous LPA reference") {
     val got = operators.Graph.labelPropagation.run(spark, TestSpark.Sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -45,6 +45,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "llm_dedup_semantic", // 1-row codebook broadcast onto the assignment scans
     "graph_edges_incremental", // 1-row watermark broadcast onto the fact scans
     "graph_pagerank",     // 1-row vertex-count broadcast per power iteration
+    // graph_pagerank_delta needs no entry: its iterations localCheckpoint,
+    // so the audited final plan is one join of two materialized vectors.
     "graph_pagerank_weighted", // same 1-row vertex-count broadcast pattern
     "graph_triangles",    // 1-row count crossJoins assembling the stats row
     "llm_sim_mmr",        // tiny query-set broadcast, non-equi self-guard

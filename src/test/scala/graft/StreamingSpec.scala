@@ -706,6 +706,52 @@ class StreamingSpec extends AnyFunSuite {
       "fixture must keep docs in both arrival waves")
   }
 
+  test("ANN serving foreachBatch pipeline: real checkpointed query stream, exact parity") {
+    // The deployment form of stream_ivf_serve: query vectors LAND as a
+    // checkpointed file-source stream (two arrival waves), each
+    // micro-batch is served against the frozen persisted IVF index via
+    // the SAME serveIvf pipeline the one-shot form uses, and answers
+    // append to the sink. The checkpoint guarantees wave-1 queries are
+    // not re-served on the wave-2 run; parity with the one-shot answer
+    // is exact because serving is pure per-query.
+    val queries = sources.Tables.embeddings(spark, TestSpark.Sf)
+      .filter($"vec_id" < llm.Similarity.NumQueries)
+      .select($"vec_id".as("qid"), $"embedding".as("qv")).cache()
+    val base = Files.createTempDirectory("graft_servestrm").toString
+    val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+
+    def runWave(): Unit = {
+      val q = spark.readStream.schema(queries.schema).parquet(src)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          // resolve against the MICRO-BATCH session clone: registrations
+          // made lazily on the outer session after the stream starts are
+          // invisible to the clone's function registry
+          llm.Similarity.serveIvf(b.sparkSession, TestSpark.Sf, b)
+            .write.mode("append").parquet(out)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    queries.filter($"qid" % 2 === 0).write.mode("append").parquet(src)
+    runWave()
+    queries.filter($"qid" % 2 === 1).write.mode("append").parquet(src)
+    runWave()
+
+    val oneShot = llm.Similarity.ivfPersistedTopK.run(spark, TestSpark.Sf)
+      .collect().map(_.toSeq).toSet
+    val acc = spark.read.parquet(out)
+      .orderBy($"qid", $"rn").collect().map(_.toSeq)
+    assert(acc.toSet === oneShot,
+      "streamed serving must answer exactly like the one-shot index query")
+    assert(acc.length === oneShot.size,
+      "a duplicated answer row means wave-1 queries were re-served")
+  }
+
   test("stream_ivf_serve: batched serving reproduces the one-shot index answer exactly") {
     // Serving is pure per-query against the frozen index, so the 3-wave
     // union must equal llm_sim_topk_ivf_persisted row for row — the
