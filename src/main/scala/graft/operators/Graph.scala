@@ -417,6 +417,48 @@ object Graph {
              ORDER BY jaccard DESC, a, b LIMIT 50""")
   )
 
+  /** Adamic–Adar link prediction: for every 2-hop pair, Σ_c 1/ln(deg c)
+    * over the common neighbors — the OTHER canonical neighborhood
+    * score (Jaccard asks "what fraction is shared"; Adamic–Adar asks
+    * "how RARE is what's shared" — a shared degree-3 center is strong
+    * evidence, a shared hub is noise, which the 1/ln weight encodes
+    * smoothly where graph_jaccard_capped encodes it as a hard cut).
+    * Same wedge enumeration as the Jaccard pair, and the center's
+    * degree rides the layout's denormalized deg ON the leg row — the
+    * weight costs no join. Wedge centers have ≥2 distinct neighbors by
+    * construction, so ln(deg) > 0 always. The ln-derived term sum is
+    * hash-aggregated and rounded at 4 (the bm25/perplexity precedent —
+    * transcendental-valued sums are boundary-unstructured, unlike the
+    * rational statistics ts_cusum had to integerize). */
+  val adamicAdar: GraftQuery = GraftQuery(
+    "graph_adamic_adar",
+    (s, dir) => {
+      import s.implicits._
+      val legs = adjacency(s, dir)
+        .select($"dst".as("nb"), $"src".as("c"), $"deg".as("cdeg"))
+      legs.as("x").join(legs.as("y"),
+          $"x.c" === $"y.c" && $"x.nb" < $"y.nb")
+        .groupBy($"x.nb".as("a"), $"y.nb".as("b"))
+        .agg(round(sum(lit(1.0) / log($"x.cdeg".cast("double"))), 4)
+            .as("adamic_adar"),
+          count(lit(1)).as("common"))
+        .orderBy($"adamic_adar".desc, $"a", $"b")
+        .limit(50)
+    },
+    Some(s"""WITH $edgeCte,
+               deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+               legs AS (SELECT e.dst AS nb, e.src AS c, deg.deg AS cdeg
+                        FROM e JOIN deg ON e.src = deg.src),
+               w AS (SELECT x.nb AS a, y.nb AS b,
+                            round(sum(1.0 / ln(CAST(x.cdeg AS DOUBLE))), 4)
+                              AS adamic_adar,
+                            count(*) AS common
+                     FROM legs x JOIN legs y ON x.c = y.c AND x.nb < y.nb
+                     GROUP BY 1, 2)
+             SELECT a, b, adamic_adar, common FROM w
+             ORDER BY adamic_adar DESC, a, b LIMIT 50""")
+  )
+
   /** Hop bound for BFS — fixed so the result ("distance within ≤ 6
     * hops") is exact and oracle-able; 6 covers the fixture graph's
     * reachable set and is the production-typical neighborhood radius. */
@@ -701,6 +743,6 @@ object Graph {
 
   def all: Seq[GraftQuery] =
     Seq(pagerank, pagerankDelta, pagerankWeighted, cc, jaccard,
-      jaccardCapped, labelPropagation, bfs, closenessLandmarks,
-      edgesIncremental, triangles, degreeDist)
+      jaccardCapped, adamicAdar, labelPropagation, bfs,
+      closenessLandmarks, edgesIncremental, triangles, degreeDist)
 }

@@ -223,6 +223,31 @@ class GraphSpec extends AnyFunSuite {
       "LPA produced one community per vertex — propagation never engaged")
   }
 
+  test("adamic-adar: matches a brute-force reference within rounding") {
+    val adj = bruteAdj
+    val deg = adj.map { case (v, ns) => v -> ns.size }
+    val acc = scala.collection.mutable.Map[(Long, Long), (Double, Long)]()
+    for ((c, ns) <- adj; a <- ns; b <- ns if a < b) {
+      val (s0, n0) = acc.getOrElse((a, b), (0.0, 0L))
+      acc((a, b)) = (s0 + 1.0 / math.log(deg(c).toDouble), n0 + 1L)
+    }
+    val scored = acc.iterator.map { case ((a, b), (sum, n)) =>
+      (a, b,
+        BigDecimal(sum).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, n)
+    }.toSeq.sortBy { case (a, b, s0, _) => (-s0, a, b) }.take(50)
+    val got = operators.Graph.adamicAdar.run(spark, TestSpark.Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // compare with a 1e-4 tolerance on the score (Spark's distributed sum
+    // order vs the driver loop) but exact pair identity and counts
+    assert(got.map(t => (t._1, t._2, t._4)).toSeq ==
+      scored.map(t => (t._1, t._2, t._4)),
+      "top-50 pair set / common counts diverge from the reference")
+    got.zip(scored).foreach { case (g, e) =>
+      assert(math.abs(g._3 - e._3) <= 1e-4,
+        s"pair (${g._1},${g._2}): score ${g._3} vs reference ${e._3}")
+    }
+  }
+
   test("capped jaccard: matches a brute-force reference and the cap bites") {
     val cap = 34
     val adj = bruteAdj
