@@ -292,31 +292,43 @@ object Joins {
     * factored out so JoinsSpec can assert the pruning/no-false-negative
     * properties of the intermediate, which the end-to-end oracle can't
     * see. */
-  private[graft] def bloomSurvivors(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val dim = bloomDim(s, dir)
+  /** Generic Bloom build/probe over arbitrary key columns — the same
+    * dataflow as the registered query, parameterized so PropertySpec can
+    * drive it with generated key universes (conservativeness must hold
+    * for EVERY dim/fact split, not just the fixture's). `dim`'s
+    * `dimKeyCol` builds the filter; every row of `fact` whose
+    * `factKeyCol` passes all k bit probes survives, other columns ride
+    * through. */
+  private[graft] def bloomSurvive(dim: DataFrame, dimKeyCol: String,
+                                  fact: DataFrame, factKeyCol: String): DataFrame = {
     def positions(key: org.apache.spark.sql.Column) =
       (0 until BloomHashes).map(i =>
         pmod(xxhash64(lit(i), key), lit(BloomBits)))
     // Build: k positions per key -> (word, bits) -> bit_or, <=64 rows.
     val words = dim
-      .select(explode(array(positions($"c_custkey"): _*)).as("pos"))
-      .select(($"pos" / 64).cast("int").as("word"),
+      .select(explode(array(positions(col(dimKeyCol)): _*)).as("pos"))
+      .select((col("pos") / 64).cast("int").as("word"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("bit"))
-      .groupBy($"word").agg(bit_or($"bit").as("bits"))
-    // Probe: 3 broadcast joins on the word index, each checking its bit.
-    var fact = Tables.orders(s, dir)
-      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .groupBy(col("word")).agg(bit_or(col("bit")).as("bits"))
+    // Probe: k broadcast joins on the word index, each checking its bit.
+    var out = fact
     for (i <- 0 until BloomHashes) {
-      val pos = pmod(xxhash64(lit(i), $"o_custkey"), lit(BloomBits))
-      val w = words.select($"word".as(s"w$i"), $"bits".as(s"b$i"))
-      fact = fact
+      val pos = pmod(xxhash64(lit(i), col(factKeyCol)), lit(BloomBits))
+      val w = words.select(col("word").as(s"w$i"), col("bits").as(s"b$i"))
+      out = out
         .withColumn(s"p$i", pos)
-        .join(broadcast(w), ($"p$i" / 64).cast("int") === col(s"w$i"))
+        .join(broadcast(w), (col(s"p$i") / 64).cast("int") === col(s"w$i"))
         .filter(expr(s"shiftright(b$i, CAST(p$i % 64 AS INT)) % 2 != 0"))
         .drop(s"p$i", s"w$i", s"b$i")
     }
-    fact
+    out
+  }
+
+  private[graft] def bloomSurvivors(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bloomSurvive(bloomDim(s, dir), "c_custkey",
+      Tables.orders(s, dir).select($"o_orderkey", $"o_custkey", $"o_totalprice"),
+      "o_custkey")
   }
 
   val bloomPrefilter: GraftQuery = GraftQuery(

@@ -170,4 +170,28 @@ object PropertySpec extends Properties("graft") {
     Prop.forAll(singleEdit) { case (a, b) =>
       delNbhd(a).intersect(delNbhd(b)).nonEmpty
     }
+
+  private val keyUniverse: Gen[(List[Long], List[Long])] = for {
+    dimN <- Gen.chooseNum(1, 30)
+    dim <- Gen.listOfN(dimN, Gen.chooseNum(-100000L, 100000L))
+    factN <- Gen.chooseNum(1, 60)
+    fact <- Gen.listOfN(factN, Gen.chooseNum(-100000L, 100000L))
+  } yield (dim.distinct, fact)
+
+  property("bloom prefilter is conservative for every dim/fact key split") =
+    Prop.forAll(keyUniverse) { case (dimKeys, factKeys) =>
+      // No false negatives, ever: the invariant that makes the prefilter
+      // semantics-preserving regardless of key distribution (the fixture
+      // test shows selectivity; this shows safety on arbitrary inputs,
+      // including negatives, duplicates, and dim ∌ fact overlaps).
+      val dim = dimKeys.toDF("k")
+      val fact = factKeys.zipWithIndex.map { case (k, i) => (k, i.toLong) }
+        .toDF("fk", "row_id")
+      val survivors = operators.Joins.bloomSurvive(dim, "k", fact, "fk")
+        .select($"row_id").as[Long].collect().toSet
+      val dimSet = dimKeys.toSet
+      factKeys.zipWithIndex.forall { case (k, i) =>
+        !dimSet.contains(k) || survivors.contains(i.toLong)
+      }
+    }
 }
