@@ -20,9 +20,14 @@ object Bench {
     // the key set changes, which silently moves one-time shared-layout
     // build costs between queries across rounds. A fixed order keeps
     // per-query attribution comparable round over round.
+    // A failing query must fail LOUDLY in the artifact: a swallowed
+    // exception reads as a suspiciously fast time and can masquerade as a
+    // perf win. Timings stay numeric; errors ride a parallel map.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() }
+      catch { case e: Throwable => errors(name) = e.getClass.getName }
       name -> (System.nanoTime() - t0) / 1e9
     }
     // Locale.ROOT: the f-interpolator uses the JVM default locale, which
@@ -37,14 +42,17 @@ object Bench {
     // stdout line is deliberately short so a tail-capture parse (which lost
     // the head of round 1's single long line) always gets a complete JSON
     // object carrying the headline metric.
+    val errJson = errors
+      .map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes("UTF-8"))
     catch { case _: Throwable => () }
     println(detail)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir","detail":"BENCH_DETAIL.json"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir","detail":"BENCH_DETAIL.json"}""")
     spark.stop()
   }
 }

@@ -124,6 +124,29 @@ object MicroBench {
       pairs.select(AF.sortedIntersectSize(spark, $"sa", $"sb").as("n"))
         .agg(sum($"n")).collect()
     }
+
+    // Hub-skew wedge drive (round-8 verdict item 4): a 5000-degree hub +
+    // a 5000-vertex path, through the SAME wedgeCommon path the graded
+    // jaccard pair uses. The hub mediates C(5000,2) ≈ 12.5M wedges; the
+    // cap (34, the production DegCap) drops exactly those. Numbers land
+    // in BASELINE.md's hub-skew ledger.
+    {
+      val hub = (1 to 5000).map(i => (0L, i.toLong))
+      val path = (1 to 4999).map(i => (i.toLong, (i + 1).toLong))
+      val und = hub.union(path).toDF("u", "v")
+      val sym = und.union(und.select($"v", $"u"))
+      val deg = sym.groupBy($"u").agg(count(lit(1)).as("deg"))
+      val adj = sym.join(deg, "u")
+        .join(deg.select($"u".as("v"), $"deg".as("ddeg")), "v")
+        .select($"u".as("src"), $"v".as("dst"), $"deg", $"ddeg")
+        .localCheckpoint()
+      def wedges(cap: Option[Int]): Long =
+        graft.operators.Graph.wedgeCommon(adj, cap)
+          .agg(sum($"common")).collect()(0).getLong(0)
+      println(s"hub-skew wedges uncapped=${wedges(None)} capped34=${wedges(Some(34))}")
+      best3("wedge enumeration: uncapped (5000-deg hub)") { wedges(None) }
+      best3("wedge enumeration: capped at 34") { wedges(Some(34)) }
+    }
     spark.stop()
   }
 }

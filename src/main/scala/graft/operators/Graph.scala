@@ -72,11 +72,15 @@ object Graph {
     val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val tbl = s"graft_graph_adj_$sfx"
     val path = s"/tmp/graft_graph_adj/$sfx"
+    // ":v2" versions the layout schema (round 9 adds `ddeg`): the
+    // fingerprint alone covers the SOURCE data, so a schema change must
+    // bump the meta or a prior session's on-disk layout would re-register
+    // under the new DDL with a column the files don't carry.
     graft.llm.Layouts.table(s, tbl, path,
         graft.llm.Layouts.fingerprint(
-          Tables.lineitem(s, dir), "l_orderkey", "l_partkey")) {
+          Tables.lineitem(s, dir), "l_orderkey", "l_partkey") + ":v2") {
       s"""CREATE TABLE $tbl (`src` BIGINT, `dst` BIGINT, `support` BIGINT,
-                             `deg` BIGINT, `wsum` BIGINT)
+                             `deg` BIGINT, `wsum` BIGINT, `ddeg` BIGINT)
           USING PARQUET
           CLUSTERED BY (src) SORTED BY (src) INTO 8 BUCKETS
           LOCATION '$path'"""
@@ -93,8 +97,14 @@ object Graph {
         .union(und.select($"dst".as("src"), $"src".as("dst"), $"support"))
       val stats = dirE.groupBy($"src")
         .agg(count(lit(1)).as("deg"), sum($"support").as("wsum"))
+      // ddeg = the DESTINATION endpoint's degree, denormalized on-row
+      // (round 9): the wedge consumers (jaccard pair) read the NEIGHBOR
+      // degree off the leg row, which removes BOTH per-pair degree joins
+      // from the hot path — 8 bytes/row for two fewer O(pairs) shuffles
+      // per query.
       dirE.join(stats, "src")
-        .select($"src", $"dst", $"support", $"deg", $"wsum")
+        .join(stats.select($"src".as("dst"), $"deg".as("ddeg")), "dst")
+        .select($"src", $"dst", $"support", $"deg", $"wsum", $"ddeg")
         .repartition(8, $"src")
         .write.bucketBy(8, "src").sortBy("src")
         .option("path", path).mode("overwrite").saveAsTable(tbl)
@@ -324,16 +334,8 @@ object Graph {
     "graph_jaccard",
     (s, dir) => {
       import s.implicits._
-      val sym = adjacency(s, dir).select($"src", $"dst")
-      val deg = sym.groupBy($"src").agg(count(lit(1)).as("deg"))
-        .localCheckpoint()
-      val common = sym.as("x").join(sym.as("y"),
-          $"x.dst" === $"y.dst" && $"x.src" < $"y.src")
-        .groupBy($"x.src".as("a"), $"y.src".as("b"))
-        .agg(count(lit(1)).as("common"))
-      common
-        .join(deg.select($"src".as("a"), $"deg".as("deg_a")).hint("shuffle_hash"), "a")
-        .join(deg.select($"src".as("b"), $"deg".as("deg_b")).hint("shuffle_hash"), "b")
+      val adj = adjacency(s, dir)
+      wedgeCommon(adj, cap = None)
         .select($"a", $"b",
           round($"common".cast("double") / ($"deg_a" + $"deg_b" - $"common"), 4)
             .as("jaccard"))
@@ -359,6 +361,34 @@ object Graph {
     * mediating candidates). */
   private val DegCap = 34
 
+  /** SHARED wedge enumeration over an adjacency-like frame (src, dst,
+    * deg = deg(src), ddeg = deg(dst), symmetric — both orientations
+    * present): common-neighbor counts (a, b, common, deg_a, deg_b) for
+    * a < b, with an optional CENTER degree cap. The leg form (neighbor
+    * n, center c=src) makes the cap a scan-side on-row filter (deg is
+    * denormalized onto the edge row) and keys the self-join on the
+    * layout's bucketing column, hinted shuffle_hash so the planner never
+    * BROADCASTS the O(E) adjacency (the size-based pick at fixture scale
+    * — the anti-pattern at real scale) and the bucketed scans meet the
+    * join's distribution requirement EXCHANGE-FREE. The true pair
+    * degrees ride the leg rows as `ddeg`, so downstream needs no degree
+    * join at all: the whole pipeline is bucketed-join → one (a,b)
+    * aggregate exchange → project. Factored out so graph_jaccard /
+    * graph_jaccard_capped and the hub-skew drive (GraphSpec +
+    * MicroBench; round-8 verdict item 4) enumerate through ONE code
+    * path — the measured capped-vs-uncapped wedge counts grade exactly
+    * the production operators. */
+  private[graft] def wedgeCommon(adj: DataFrame, cap: Option[Int]): DataFrame = {
+    import adj.sparkSession.implicits._
+    val base = cap.map(c => adj.filter($"deg" <= c)).getOrElse(adj)
+    val legs = base.select($"dst".as("n"), $"src".as("c"), $"ddeg".as("dn"))
+    legs.as("x").join(legs.as("y").hint("shuffle_hash"),
+        $"x.c" === $"y.c" && $"x.n" < $"y.n")
+      .groupBy($"x.n".as("a"), $"y.n".as("b"))
+      .agg(count(lit(1)).as("common"),
+        first($"x.dn").as("deg_a"), first($"y.dn").as("deg_b"))
+  }
+
   /** Degree-capped neighborhood-Jaccard link prediction — the production
     * form of graph_jaccard. The wedge enumeration costs Σ_c deg(c)², so
     * a single hub center dominates the whole job at scale (a degree-10⁶
@@ -381,21 +411,14 @@ object Graph {
       // layout stores every edge in BOTH directions with the SRC's
       // degree denormalized on-row — so the legs into center c are
       // exactly the rows (src=c, dst=a, deg=deg(c)), filtered on-row
-      // and column-swapped. No degree join, no semi-join; and because
-      // the wedge key (the center) IS the layout's bucketing column,
-      // the wedge self-join is eligible for the exchange-free bucketed
-      // path — the cap costs nothing over the uncapped form.
-      val legs = adj.filter($"deg" <= DegCap)
-        .select($"dst".as("n"), $"src".as("c"))
-      val deg = adj.groupBy($"src").agg(first($"deg").as("deg"))
-        .localCheckpoint()
-      val common = legs.as("x").join(legs.as("y"),
-          $"x.c" === $"y.c" && $"x.n" < $"y.n")
-        .groupBy($"x.n".as("a"), $"y.n".as("b"))
-        .agg(count(lit(1)).as("common"))
-      common
-        .join(deg.select($"src".as("a"), $"deg".as("deg_a")).hint("shuffle_hash"), "a")
-        .join(deg.select($"src".as("b"), $"deg".as("deg_b")).hint("shuffle_hash"), "b")
+      // and column-swapped (see wedgeCommon). No degree join, no
+      // semi-join; and because the wedge key (the center) IS the
+      // layout's bucketing column, the wedge self-join runs the
+      // exchange-free bucketed path — the cap costs nothing over the
+      // uncapped form. Pair Jaccard still uses the TRUE degrees (the
+      // cap limits enumeration, not the statistic): they ride the leg
+      // rows as the layout's ddeg column.
+      wedgeCommon(adj, cap = Some(DegCap))
         .select($"a", $"b",
           round($"common".cast("double") / ($"deg_a" + $"deg_b" - $"common"), 4)
             .as("jaccard"))
@@ -436,7 +459,10 @@ object Graph {
       import s.implicits._
       val legs = adjacency(s, dir)
         .select($"dst".as("nb"), $"src".as("c"), $"deg".as("cdeg"))
-      legs.as("x").join(legs.as("y"),
+      // shuffle_hash: without the hint the size-based pick BROADCASTS the
+      // O(E) adjacency at fixture scale; hinted, the bucketed scans meet
+      // the src-keyed join exchange-free (the wedgeCommon discipline).
+      legs.as("x").join(legs.as("y").hint("shuffle_hash"),
           $"x.c" === $"y.c" && $"x.nb" < $"y.nb")
         .groupBy($"x.nb".as("a"), $"y.nb".as("b"))
         .agg(round(sum(lit(1.0) / log($"x.cdeg".cast("double"))), 4)

@@ -260,7 +260,12 @@ object Ingest {
       val out = s"/tmp/graft_src_$fmt/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
       val cols = Tables.events(s, dir)
         .select($"event_id", $"event_type", $"value")
-      if (!new java.io.File(out, "_SUCCESS").exists()) {
+      // Fingerprinted, not _SUCCESS-probed: a fixture regenerated in place
+      // would otherwise keep serving the stale round-trip bytes while the
+      // oracle reads the live parquet (round-8 advice on source_binary —
+      // same hole here).
+      graft.llm.Layouts.parquetLayout(out, out,
+          graft.llm.Layouts.fingerprint(cols, "event_id", "event_type", "value")) {
         cols.write.format(fmt).option("header", "true").mode("overwrite").save(out)
       }
       s.read.format(fmt)
@@ -304,7 +309,12 @@ object Ingest {
     (s, dir) => {
       import s.implicits._
       val out = s"/tmp/graft_blobs/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-      if (!new java.io.File(out, "_SUCCESS").exists()) {
+      // Layouts fingerprint protocol, not a bare _SUCCESS probe: if the
+      // documents fixture is regenerated in place, stale blob bytes would
+      // diverge from the live-parquet DuckDB oracle (round-8 advice).
+      graft.llm.Layouts.parquetLayout(out, out,
+          graft.llm.Layouts.fingerprint(
+            Tables.documents(s, dir), "doc_id", "text")) {
         Tables.documents(s, dir)
           .filter($"doc_id" < 100)
           .select($"text", $"doc_id")

@@ -612,33 +612,44 @@ object Relational {
     * columns (no c_phone, so the country code is the nation key):
     * customers with above-average positive balances who have NEVER
     * ordered, grouped by nation. The two famous shapes in one query:
-    * an uncorrelated scalar-aggregate subquery (the average — computed
-    * once, broadcast as a 1-row frame) and a NOT EXISTS that Catalyst
-    * plans as a left-ANTI join (never a per-customer probe). Balance
-    * sums in exact DECIMAL. */
+    * an uncorrelated 1-row threshold aggregate (count + cent-sum in ONE
+    * pass over customer, cross-joined back as a 1-row broadcast) and a
+    * NOT EXISTS that Catalyst plans as a left-ANTI join (never a
+    * per-customer probe). Balance sums in exact DECIMAL, and the mean
+    * threshold compares in SCALED-INTEGER space (bal·100·n > Σbal·100,
+    * all BIGINT): `bal > avg(double)` puts a partition-order-dependent
+    * double sum on a comparison boundary that a balance sitting exactly
+    * at the mean could flip across engines (round-8 advice; the
+    * FIXTURES.md money-column discipline). Two scalar subqueries (count,
+    * sum separately) would be exact too but scan customer twice — the
+    * 1-row cross join pays one scan and one BNLJ of one row. */
   val sqlQ22: GraftQuery = GraftQuery(
     "sql_q22",
     (s, dir) => {
       for (t <- Seq("customer", "orders"))
         graft.sources.Tables.table(s, dir, t).createOrReplaceTempView(s"v_$t")
-      s.sql("""SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+      s.sql("""WITH thr AS (SELECT count(*) AS n,
+                                   sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS s_cents
+                            FROM v_customer WHERE c_acctbal > 0.0)
+               SELECT c_nationkey AS cntrycode, count(*) AS numcust,
                       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
                         AS totacctbal
-               FROM v_customer
-               WHERE c_acctbal > (SELECT avg(c_acctbal) FROM v_customer
-                                  WHERE c_acctbal > 0.0)
+               FROM v_customer CROSS JOIN thr
+               WHERE CAST(round(c_acctbal * 100) AS BIGINT) * thr.n > thr.s_cents
                  AND NOT EXISTS (SELECT 1 FROM v_orders
                                  WHERE o_custkey = c_custkey
                                    AND o_orderdate >= TIMESTAMP '2000-01-01')
                GROUP BY c_nationkey
                ORDER BY cntrycode""")
     },
-    Some("""SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+    Some("""WITH thr AS (SELECT count(*) AS n,
+                                sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS s_cents
+                         FROM customer WHERE c_acctbal > 0.0)
+            SELECT c_nationkey AS cntrycode, count(*) AS numcust,
                    CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
                      AS totacctbal
-            FROM customer
-            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
-                               WHERE c_acctbal > 0.0)
+            FROM customer CROSS JOIN thr
+            WHERE CAST(round(c_acctbal * 100) AS BIGINT) * thr.n > thr.s_cents
               AND NOT EXISTS (SELECT 1 FROM orders
                               WHERE o_custkey = c_custkey
                                 AND o_orderdate >= TIMESTAMP '2000-01-01')
@@ -714,9 +725,574 @@ object Relational {
             FROM wn GROUP BY event_type ORDER BY event_type""")
   )
 
+  /** Registers the part-supplier views (base tables + the DERIVED
+    * partsupp — see [[graft.sources.Tables.partsupp]]; the fixture ships
+    * no partsupp parquet, so both engines derive the identical table
+    * with integer-exact arithmetic). */
+  private def partsuppViews(s: org.apache.spark.sql.SparkSession,
+                            dir: String, extra: String*): Unit = {
+    for (t <- Seq("part", "supplier", "nation", "region") ++ extra)
+      graft.sources.Tables.table(s, dir, t).createOrReplaceTempView(s"v_$t")
+    graft.sources.Tables.partsupp(s, dir).createOrReplaceTempView("v_partsupp")
+  }
+
+  private def psCte: String =
+    s"partsupp AS (${graft.sources.Tables.partsuppOracleCte})"
+
+  /** TPC-H Q2-shaped minimum-cost supplier: for every ECONOMY part under
+    * size 20, the European supplier(s) offering it at the part's minimum
+    * European supply cost. The cost comparison runs in exact CENTS
+    * (BIGINT) — `= min(double)` would sit a tie on a representation
+    * boundary (the q22 lesson).
+    *
+    * Scale shape: the correlated min-cost subquery DECORRELATES into a
+    * per-part aggregate joined back on the part key (never a per-row
+    * probe); region/nation broadcast onto supplier; the only real
+    * shuffles are the partsupp⋈part and min-aggregate exchanges on the
+    * part key — which AQE coalesces, and which a bucketed partsupp
+    * layout would eliminate at 100 TB. */
+  val sqlQ2: GraftQuery = GraftQuery(
+    "sql_q2",
+    (s, dir) => {
+      partsuppViews(s, dir)
+      s.sql("""SELECT round(s_acctbal, 2) AS acctbal, s_name, n_name,
+                      p_partkey, p_brand, ps_supplycost
+               FROM v_partsupp
+               JOIN v_part     ON p_partkey = ps_partkey
+               JOIN v_supplier ON s_suppkey = ps_suppkey
+               JOIN v_nation   ON n_nationkey = s_nationkey
+               JOIN v_region   ON r_regionkey = n_regionkey
+               WHERE p_type = 'ECONOMY' AND p_size < 20
+                 AND r_name = 'EUROPE'
+                 AND ps_supplycost_cents = (
+                   SELECT min(ps2.ps_supplycost_cents)
+                   FROM v_partsupp ps2
+                   JOIN v_supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+                   JOIN v_nation n2   ON n2.n_nationkey = s2.s_nationkey
+                   JOIN v_region r2   ON r2.r_regionkey = n2.n_regionkey
+                   WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+               ORDER BY acctbal DESC, n_name, s_name, p_partkey""")
+    },
+    Some(s"""WITH $psCte
+             SELECT round(s_acctbal, 2) AS acctbal, s_name, n_name,
+                    p_partkey, p_brand, ps_supplycost
+             FROM partsupp
+             JOIN part     ON p_partkey = ps_partkey
+             JOIN supplier ON s_suppkey = ps_suppkey
+             JOIN nation   ON n_nationkey = s_nationkey
+             JOIN region   ON r_regionkey = n_regionkey
+             WHERE p_type = 'ECONOMY' AND p_size < 20
+               AND r_name = 'EUROPE'
+               AND ps_supplycost_cents = (
+                 SELECT min(ps2.ps_supplycost_cents)
+                 FROM partsupp ps2
+                 JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+                 JOIN nation n2   ON n2.n_nationkey = s2.s_nationkey
+                 JOIN region r2   ON r2.r_regionkey = n2.n_regionkey
+                 WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+             ORDER BY acctbal DESC, n_name, s_name, p_partkey""")
+  )
+
+  /** TPC-H Q11-shaped important-stock identification: per-part inventory
+    * value held by one nation's suppliers, kept when it exceeds 0.1% of
+    * that nation's total. Value stays in integer cents·qty end-to-end and
+    * the threshold comparison is `value · 1000 > total` — all exact
+    * integers, no fraction-of-total double anywhere.
+    *
+    * Scale shape: the scalar total is a 1-row subquery (computed once,
+    * broadcast); nation/supplier broadcast onto partsupp; one hash
+    * aggregate on the part key. DuckDB sums BIGINT into HUGEINT, so the
+    * output casts to BIGINT in both engines (the r5 type lesson). The
+    * nation is picked DATA-DRIVEN (min supplier nationkey — another
+    * 1-row scalar) rather than by name: at sf0.001 the fixture has 10
+    * suppliers over 25 nations, so any hard-coded nation is empty at
+    * some scale factor. */
+  val sqlQ11: GraftQuery = GraftQuery(
+    "sql_q11",
+    (s, dir) => {
+      partsuppViews(s, dir)
+      s.sql("""SELECT ps_partkey,
+                      CAST(sum(ps_supplycost_cents * ps_availqty) AS BIGINT)
+                        AS value_cents
+               FROM v_partsupp
+               JOIN v_supplier ON s_suppkey = ps_suppkey
+               WHERE s_nationkey = (SELECT min(s_nationkey) FROM v_supplier)
+               GROUP BY ps_partkey
+               HAVING sum(ps_supplycost_cents * ps_availqty) * 1000 >
+                      (SELECT sum(ps_supplycost_cents * ps_availqty)
+                       FROM v_partsupp
+                       JOIN v_supplier ON s_suppkey = ps_suppkey
+                       WHERE s_nationkey = (SELECT min(s_nationkey) FROM v_supplier))
+               ORDER BY value_cents DESC, ps_partkey""")
+    },
+    Some(s"""WITH $psCte
+             SELECT ps_partkey,
+                    CAST(sum(ps_supplycost_cents * ps_availqty) AS BIGINT)
+                      AS value_cents
+             FROM partsupp
+             JOIN supplier ON s_suppkey = ps_suppkey
+             WHERE s_nationkey = (SELECT min(s_nationkey) FROM supplier)
+             GROUP BY ps_partkey
+             HAVING sum(ps_supplycost_cents * ps_availqty) * 1000 >
+                    (SELECT sum(ps_supplycost_cents * ps_availqty)
+                     FROM partsupp
+                     JOIN supplier ON s_suppkey = ps_suppkey
+                     WHERE s_nationkey = (SELECT min(s_nationkey) FROM supplier))
+             ORDER BY value_cents DESC, ps_partkey""")
+  )
+
+  /** TPC-H Q16-shaped parts/supplier relationship: distinct suppliers per
+    * (brand, type, size) bucket, excluding one brand, one type family, and
+    * low-balance suppliers ("customer complaints" adapted to the fixture's
+    * columns — acctbal under 1000, which bites at every scale factor).
+    *
+    * Scale shape: the NOT IN is a tiny build side (Catalyst plans a
+    * null-aware anti join; the excluded-supplier set broadcasts); part
+    * broadcasts its filter onto partsupp; count(DISTINCT) expands to the
+    * standard two-level aggregate on (brand, type, size, suppkey). */
+  val sqlQ16: GraftQuery = GraftQuery(
+    "sql_q16",
+    (s, dir) => {
+      partsuppViews(s, dir)
+      s.sql("""SELECT p_brand, p_type, p_size,
+                      CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+               FROM v_partsupp
+               JOIN v_part ON p_partkey = ps_partkey
+               WHERE p_brand <> 'Brand#2'
+                 AND p_type <> 'PROMO'
+                 AND p_size IN (1, 4, 7, 10, 15, 22, 30, 49)
+                 AND ps_suppkey NOT IN
+                     (SELECT s_suppkey FROM v_supplier WHERE s_acctbal < 1000.0)
+               GROUP BY p_brand, p_type, p_size
+               ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")
+    },
+    Some(s"""WITH $psCte
+             SELECT p_brand, p_type, p_size,
+                    CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+             FROM partsupp
+             JOIN part ON p_partkey = ps_partkey
+             WHERE p_brand <> 'Brand#2'
+               AND p_type <> 'PROMO'
+               AND p_size IN (1, 4, 7, 10, 15, 22, 30, 49)
+               AND ps_suppkey NOT IN
+                   (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000.0)
+             GROUP BY p_brand, p_type, p_size
+             ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")
+  )
+
+  /** TPC-H Q20-shaped excess-stock suppliers: suppliers holding more than
+    * half a year's shipped quantity of some red part (no nation filter —
+    * the fixture's 25-nation spread over few suppliers would make a
+    * single-nation pick empty at small sf; the nation rides along in the
+    * output instead). The half-shipment threshold is EXACT: fixture
+    * quantities are integer-valued doubles, so 0.5·Σqty has no
+    * representation error in either engine; a (part, supplier) pair with
+    * no shipments in the window yields a NULL sum, which excludes the row
+    * identically in both engines.
+    *
+    * Scale shape: both nested INs plan as left-semi joins; the correlated
+    * quantity sum DECORRELATES into a (partkey, suppkey) aggregate over
+    * the date-pruned lineitem scan joined back — the fact table reduces
+    * BEFORE touching partsupp, the only order that survives at 100 TB. */
+  val sqlQ20: GraftQuery = GraftQuery(
+    "sql_q20",
+    (s, dir) => {
+      partsuppViews(s, dir, "lineitem")
+      s.sql("""SELECT s_suppkey, s_name, n_name
+               FROM v_supplier
+               JOIN v_nation ON n_nationkey = s_nationkey
+               WHERE s_suppkey IN (
+                 SELECT ps_suppkey FROM v_partsupp
+                 WHERE ps_partkey IN
+                       (SELECT p_partkey FROM v_part WHERE p_name LIKE 'red%')
+                   AND ps_availqty > (
+                     SELECT 0.5 * sum(l_quantity) FROM v_lineitem
+                     WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+                       AND l_shipdate >= TIMESTAMP '1996-01-01'
+                       AND l_shipdate <  TIMESTAMP '1997-01-01'))
+               ORDER BY s_suppkey""")
+    },
+    Some(s"""WITH $psCte
+             SELECT s_suppkey, s_name, n_name
+             FROM supplier
+             JOIN nation ON n_nationkey = s_nationkey
+             WHERE s_suppkey IN (
+               SELECT ps_suppkey FROM partsupp
+               WHERE ps_partkey IN
+                     (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+                 AND ps_availqty > (
+                   SELECT 0.5 * sum(l_quantity) FROM lineitem
+                   WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+                     AND l_shipdate >= TIMESTAMP '1996-01-01'
+                     AND l_shipdate <  TIMESTAMP '1997-01-01'))
+             ORDER BY s_suppkey""")
+  )
+
+  /** TPC-H Q1-shaped pricing summary — the canonical scan-and-aggregate:
+    * one date predicate, a 6-group hash aggregate, nine aggregate
+    * columns. The purest map-side-combine test in the suite: partial
+    * aggregation reduces every scan partition to ≤6 rows before the one
+    * tiny exchange, so the query's cost is exactly the column-pruned
+    * scan at any scale.
+    *
+    * Determinism: sums in exact DECIMAL/BIGINT; every average is the
+    * SURVEY trap-note pattern — scaled-integer sum, integer `div` by
+    * the count, truncate at the final projection — because a
+    * round(double-mean) of 2-decimal money values sits ON the .5
+    * boundary by construction (the means of 2dp values are
+    * boundary-structured rationals). No round(double) appears. */
+  val sqlQ1: GraftQuery = GraftQuery(
+    "sql_q1",
+    (s, dir) => {
+      graft.sources.Tables.table(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+      s.sql("""SELECT l_returnflag, l_linestatus,
+                      sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+                      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+                        AS sum_base_price,
+                      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                                     * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+                        AS sum_disc_price,
+                      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                                     * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                                     * (1 + CAST(l_tax AS DECIMAL(18,4)))), 2) AS DOUBLE)
+                        AS sum_charge,
+                      CAST((sum(CAST(l_quantity AS BIGINT)) * 10000) div count(*) AS DOUBLE)
+                        / 10000.0 AS avg_qty,
+                      CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT))
+                             div count(*) AS DOUBLE) / 10000.0 AS avg_price,
+                      CAST(sum(CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT))
+                             div count(*) AS DOUBLE) / 10000.0 AS avg_disc,
+                      count(*) AS count_order
+               FROM v_lineitem
+               WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+               GROUP BY l_returnflag, l_linestatus
+               ORDER BY l_returnflag, l_linestatus""")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+                     AS sum_base_price,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                                  * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+                     AS sum_disc_price,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                                  * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                                  * (1 + CAST(l_tax AS DECIMAL(18,4)))), 2) AS DOUBLE)
+                     AS sum_charge,
+                   CAST((sum(CAST(l_quantity AS BIGINT)) * 10000) // count(*) AS DOUBLE)
+                     / 10000.0 AS avg_qty,
+                   CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT))
+                          // count(*) AS DOUBLE) / 10000.0 AS avg_price,
+                   CAST(sum(CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT))
+                          // count(*) AS DOUBLE) / 10000.0 AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus""")
+  )
+
+  /** TPC-H Q4-shaped order-priority check (fixture has no
+    * commit/receipt dates, so "late" = a lineitem shipped more than 60
+    * days after the order date): count a quarter's orders per priority
+    * where at least one line shipped late.
+    *
+    * Scale shape: the correlated EXISTS carries a NON-equi predicate
+    * referencing the outer row (l_shipdate > o_orderdate + 60 days) on
+    * top of the orderkey equality — Catalyst plans a left-SEMI join on
+    * the key with the date comparison as a residual condition, never a
+    * per-order probe; the quarter filter prunes the orders scan before
+    * the join, so the semi join's build is one quarter of one table. */
+  val sqlQ4: GraftQuery = GraftQuery(
+    "sql_q4",
+    (s, dir) => {
+      for (t <- Seq("orders", "lineitem"))
+        graft.sources.Tables.table(s, dir, t).createOrReplaceTempView(s"v_$t")
+      s.sql("""SELECT o_orderpriority, count(*) AS order_count
+               FROM v_orders
+               WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+                 AND o_orderdate <  TIMESTAMP '1996-10-01'
+                 AND EXISTS (SELECT 1 FROM v_lineitem
+                             WHERE l_orderkey = o_orderkey
+                               AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+               GROUP BY o_orderpriority
+               ORDER BY o_orderpriority""")
+    },
+    Some("""SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+              AND o_orderdate <  TIMESTAMP '1996-10-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority""")
+  )
+
+  /** TPC-H Q8-shaped national market share: of all STANDARD-part revenue
+    * sold to ASIA customers, the fraction supplied by NATION_3, per
+    * order year. The widest join tree in the suite — lineitem against
+    * five dimensions plus orders — and every dimension side broadcasts;
+    * the fact table shuffles exactly once (for the orders join) and the
+    * share is computed inside ONE aggregate over the joined scan (the
+    * CASE-sum / sum pattern), never as two passes.
+    *
+    * Determinism: both sums in exact DECIMAL; the share is ONE IEEE
+    * double division of the two (the q14 rule: decimal-division scale
+    * rules differ across engines; one double division does not). */
+  val sqlQ8: GraftQuery = GraftQuery(
+    "sql_q8",
+    (s, dir) => {
+      for (t <- Seq("lineitem", "orders", "customer", "nation", "region", "supplier", "part"))
+        graft.sources.Tables.table(s, dir, t).createOrReplaceTempView(s"v_$t")
+      s.sql("""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                      round(CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+                                   THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                                        * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                                   ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                            / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                                       * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE),
+                            4) AS mkt_share,
+                      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                                     * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+                        AS total_revenue
+               FROM v_lineitem
+               JOIN v_orders    ON o_orderkey = l_orderkey
+               JOIN v_customer  ON c_custkey = o_custkey
+               JOIN v_nation n1 ON n1.n_nationkey = c_nationkey
+               JOIN v_region    ON r_regionkey = n1.n_regionkey
+               JOIN v_supplier  ON s_suppkey = l_suppkey
+               JOIN v_nation n2 ON n2.n_nationkey = s_nationkey
+               JOIN v_part      ON p_partkey = l_partkey
+               WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+               GROUP BY o_year
+               ORDER BY o_year""")
+    },
+    Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   round(CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+                                THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                                     * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                                ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                         / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE),
+                         4) AS mkt_share,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                                  * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+                     AS total_revenue
+            FROM lineitem
+            JOIN orders    ON o_orderkey = l_orderkey
+            JOIN customer  ON c_custkey = o_custkey
+            JOIN nation n1 ON n1.n_nationkey = c_nationkey
+            JOIN region    ON r_regionkey = n1.n_regionkey
+            JOIN supplier  ON s_suppkey = l_suppkey
+            JOIN nation n2 ON n2.n_nationkey = s_nationkey
+            JOIN part      ON p_partkey = l_partkey
+            WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+            GROUP BY o_year
+            ORDER BY o_year""")
+  )
+
+  /** TPC-H Q9-shaped product-type profit, adapted to the DERIVED
+    * partsupp: the fixture's lineitem supplier keys are independent of
+    * the derived (part, supplier) pairs, so the per-line cost is the
+    * part's MINIMUM supply cost (join on the part key alone) rather
+    * than the pair's — same plan skeleton (fact scan ⋈ part filter ⋈
+    * per-part cost aggregate ⋈ supplier→nation ⋈ orders, profit
+    * aggregated by nation × order year), deterministic at every sf.
+    *
+    * Determinism: profit is computed END-TO-END in scaled integers —
+    * revenue at 1e-6 units (the 6dp DECIMAL product ×1e6 is exactly
+    * integral), cost as cents·qty·1e4 in the same units, ONE BIGINT
+    * sum of the difference, one final /1e6 double projection. No
+    * decimal division (engine scale rules differ), no round(double)
+    * (boundary-structured), no truncation mismatch (Spark CASTs
+    * decimal→long by truncation, DuckDB by rounding — only exactly
+    * integral decimals cast identically, which 1e6-scaling guarantees).
+    *
+    * Scale shape: mincost is an O(|part|) aggregate that joins the fact
+    * on the part key (broadcast at fixture scale, shuffle-hash at 100
+    * TB); part's LIKE filter prunes the fact rows through the join
+    * before orders attaches. */
+  val sqlQ9: GraftQuery = GraftQuery(
+    "sql_q9",
+    (s, dir) => {
+      partsuppViews(s, dir, "lineitem", "orders")
+      s.sql("""WITH mincost AS (
+                 SELECT ps_partkey, min(ps_supplycost_cents) AS min_cost_cents
+                 FROM v_partsupp GROUP BY ps_partkey)
+               SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                      CAST(CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                                               * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                                               AS DECIMAL(25,6)) * 1000000 AS BIGINT)
+                                    - min_cost_cents * CAST(l_quantity AS BIGINT) * 10000)
+                                AS DOUBLE) / 1000000.0 AS DOUBLE) AS profit
+               FROM v_lineitem
+               JOIN v_part     ON p_partkey = l_partkey
+               JOIN mincost    ON ps_partkey = l_partkey
+               JOIN v_supplier ON s_suppkey = l_suppkey
+               JOIN v_nation   ON n_nationkey = s_nationkey
+               JOIN v_orders   ON o_orderkey = l_orderkey
+               WHERE p_name LIKE 'red%'
+               GROUP BY n_name, o_year
+               ORDER BY nation, o_year""")
+    },
+    Some(s"""WITH $psCte,
+             mincost AS (
+               SELECT ps_partkey, min(ps_supplycost_cents) AS min_cost_cents
+               FROM partsupp GROUP BY ps_partkey)
+             SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                    CAST(CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                                             * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                                             AS DECIMAL(25,6)) * 1000000 AS BIGINT)
+                                  - min_cost_cents * CAST(l_quantity AS BIGINT) * 10000)
+                              AS DOUBLE) / 1000000.0 AS DOUBLE) AS profit
+             FROM lineitem
+             JOIN part     ON p_partkey = l_partkey
+             JOIN mincost  ON ps_partkey = l_partkey
+             JOIN supplier ON s_suppkey = l_suppkey
+             JOIN nation   ON n_nationkey = s_nationkey
+             JOIN orders   ON o_orderkey = l_orderkey
+             WHERE p_name LIKE 'red%'
+             GROUP BY n_name, o_year
+             ORDER BY nation, o_year""")
+  )
+
+  /** TPC-H Q17-shaped small-quantity-order revenue: weekly-equivalent
+    * revenue lost if small orders (under 20% of the part's average
+    * quantity) of one brand's SMALL parts were no longer filled.
+    *
+    * Scale shape: the correlated per-part average DECORRELATES into an
+    * O(|part|) aggregate over lineitem joined back on the part key —
+    * the famous Q17 rewrite, and the reason this query exists in the
+    * suite: a per-row re-execution would be O(|lineitem|²).
+    *
+    * Determinism: quantities are integer-valued, so the per-part
+    * double sum inside avg() is EXACT at any partition order (integer
+    * partial sums below 2^53 — the one case the SURVEY window-sum trap
+    * note exempts), and `0.2 * avg` is then the same two IEEE ops in
+    * both engines on identical exact inputs. */
+  val sqlQ17: GraftQuery = GraftQuery(
+    "sql_q17",
+    (s, dir) => {
+      for (t <- Seq("lineitem", "part"))
+        graft.sources.Tables.table(s, dir, t).createOrReplaceTempView(s"v_$t")
+      s.sql("""SELECT CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                                 / 7.0, 2) AS DOUBLE) AS avg_yearly,
+                      count(*) AS n_lines
+               FROM v_lineitem l
+               JOIN v_part ON p_partkey = l_partkey
+               WHERE p_brand = 'Brand#3' AND p_type = 'SMALL'
+                 AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                                   FROM v_lineitem l2
+                                   WHERE l2.l_partkey = l.l_partkey)""")
+    },
+    Some("""SELECT CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                              / 7.0, 2) AS DOUBLE) AS avg_yearly,
+                   count(*) AS n_lines
+            FROM lineitem l
+            JOIN part ON p_partkey = l_partkey
+            WHERE p_brand = 'Brand#3' AND p_type = 'SMALL'
+              AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                                FROM lineitem l2
+                                WHERE l2.l_partkey = l.l_partkey)""")
+  )
+
+  /** TPC-H Q19-shaped discounted revenue under DISJUNCTIVE predicates:
+    * three (brand, size-range, quantity-range) OR-arms over the
+    * part⋈lineitem join. The OR-pushdown test: Catalyst must push the
+    * arms' common structure to BOTH scans (brand/size arms prune part,
+    * quantity bounds prune lineitem) instead of evaluating the whole
+    * disjunction post-join — at 100 TB the difference is scanning two
+    * pruned tables vs materializing the full join. */
+  val sqlQ19: GraftQuery = GraftQuery(
+    "sql_q19",
+    (s, dir) => {
+      for (t <- Seq("lineitem", "part"))
+        graft.sources.Tables.table(s, dir, t).createOrReplaceTempView(s"v_$t")
+      s.sql("""SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                                     * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+                        AS revenue,
+                      count(*) AS n_lines
+               FROM v_lineitem
+               JOIN v_part ON p_partkey = l_partkey
+               WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+                      AND l_quantity BETWEEN 1 AND 11)
+                  OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+                      AND l_quantity BETWEEN 10 AND 20)
+                  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+                      AND l_quantity BETWEEN 20 AND 30)""")
+    },
+    Some("""SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                                  * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+                     AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+                   AND l_quantity BETWEEN 20 AND 30)""")
+  )
+
+  /** TPC-H Q21-shaped waiting-supplier query (no commit/receipt dates
+    * in the fixture: "kept the order waiting" = shipped >30 days after
+    * the order date AND strictly last among the order's suppliers):
+    * per supplier, how many finished multi-supplier orders it alone
+    * delayed. The suite's heaviest correlated shape — one EXISTS and
+    * one NOT EXISTS against the same fact table, both correlated on
+    * the order key with supplier-inequality residuals.
+    *
+    * Scale shape: Catalyst plans the pair as a left-SEMI then a
+    * left-ANTI join, both keyed on l_orderkey (shuffle-hash, fact vs
+    * fact) with the non-equi parts as residual conditions — never a
+    * per-row subquery. The strict `>` on shipdate makes ties (two
+    * suppliers sharing the max date) drop BOTH rows identically in
+    * both engines — no boundary sensitivity. */
+  val sqlQ21: GraftQuery = GraftQuery(
+    "sql_q21",
+    (s, dir) => {
+      for (t <- Seq("supplier", "lineitem", "orders"))
+        graft.sources.Tables.table(s, dir, t).createOrReplaceTempView(s"v_$t")
+      s.sql("""SELECT s_name, count(*) AS numwait
+               FROM v_supplier
+               JOIN v_lineitem l1 ON l1.l_suppkey = s_suppkey
+               JOIN v_orders ON o_orderkey = l1.l_orderkey
+               WHERE o_orderstatus = 'F'
+                 AND l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
+                 AND EXISTS (SELECT 1 FROM v_lineitem l2
+                             WHERE l2.l_orderkey = l1.l_orderkey
+                               AND l2.l_suppkey <> l1.l_suppkey)
+                 AND NOT EXISTS (SELECT 1 FROM v_lineitem l3
+                                 WHERE l3.l_orderkey = l1.l_orderkey
+                                   AND l3.l_suppkey <> l1.l_suppkey
+                                   AND l3.l_shipdate > l1.l_shipdate)
+               GROUP BY s_name
+               ORDER BY numwait DESC, s_name""")
+    },
+    Some("""SELECT s_name, count(*) AS numwait
+            FROM supplier
+            JOIN lineitem l1 ON l1.l_suppkey = s_suppkey
+            JOIN orders ON o_orderkey = l1.l_orderkey
+            WHERE o_orderstatus = 'F'
+              AND l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
+              AND EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.l_shipdate > l1.l_shipdate)
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name""")
+  )
+
   def all: Seq[GraftQuery] = Seq(
     scanProject, scanFilterPushdown, filterPred, projectCompute,
     sortLimit, setUnion, setIntersect, setExcept, sqlStarQ5, sqlQ3, sqlQ18,
     sqlQ6, sqlQ7, sqlQ10, sqlQ12, sqlQ13, sqlQ14, sqlQ15, sqlQ22,
+    sqlQ1, sqlQ2, sqlQ4, sqlQ8, sqlQ9, sqlQ11, sqlQ16, sqlQ17, sqlQ19,
+    sqlQ20, sqlQ21,
     sqlSubquery, cleanNa, columnStats)
 }

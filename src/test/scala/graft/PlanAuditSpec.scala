@@ -18,6 +18,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "ingest_incremental", // 1-row watermark broadcast
     "ingest_upsert",      // 1-row watermark broadcast ×2
     "join_theta_range",   // inherently non-equi, bounded broadcast side
+    "sql_q22",            // 1-row mean-balance threshold cross-joined in
+    "sql_q2",             // 1-row supplier-count broadcast in the derived partsupp (×refs)
+    "sql_q11",            // same 1-row count broadcast, main + total subquery
+    "sql_q16",            // same 1-row count broadcast via the derived partsupp
+    "sql_q20",            // same 1-row count broadcast via the derived partsupp
+    "sql_q9",             // same 1-row count broadcast via the derived partsupp
     "llm_dedup_embed",    // exact all-pairs verifier, documented bounded
     "llm_dedup_incremental", // 1-row watermark broadcast onto docs + corpus scans
     "llm_dedup_cluster_incremental", // same watermark broadcasts via incrementalPipeline

@@ -752,6 +752,115 @@ class StreamingSpec extends AnyFunSuite {
       "a duplicated answer row means wave-1 queries were re-served")
   }
 
+  test("curation stream survives a mid-stream crash: kill after batch 1's commit, restart, exact batch parity") {
+    // The KILL/RESTART drive (round-8 verdict item 6): all arrival files
+    // land up front, maxFilesPerTrigger=1 forces one micro-batch per
+    // file, and an injected failure throws on entry to batch 2 — AFTER
+    // batch 1's checkpoint commit, BEFORE any batch-2 effect reaches the
+    // sink. That is exactly the crash window where recovery must neither
+    // lose batch 2 nor replay batches 0–1. The restart (sabotage off)
+    // drains from the checkpoint; the accumulated sink must equal the
+    // whole-corpus llm_curate row-for-row.
+    val docs = sources.Tables.documents(spark, TestSpark.Sf).cache()
+    val lm = llm.Corpus.lmModel(spark, TestSpark.Sf)
+    val keepers = llm.Dedup.clusterKeepers(spark, TestSpark.Sf).localCheckpoint()
+    val base = Files.createTempDirectory("graft_crashcu").toString
+    val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+    // Three single-file arrival waves → three micro-batches (ids 0..2).
+    (0 until 3).foreach { w =>
+      docs.filter(pmod($"doc_id", lit(3)) === w)
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    @volatile var sabotage = true
+    def run(): Unit = {
+      val q = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          if (sabotage && id >= 2)
+            throw new RuntimeException("injected crash before batch 2's effects")
+          llm.Corpus.curateBatch(spark, TestSpark.Sf, b,
+              llm.Corpus.scoreBigrams(spark, llm.Corpus.docBigrams(spark, b), lm),
+              keepers)
+            .write.mode("append").parquet(out)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val crashed = intercept[org.apache.spark.sql.streaming.StreamingQueryException](run())
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(crashed).exists(_.contains("injected crash")),
+      "the stream must die from the injected failure, nothing else")
+    val committed = spark.read.parquet(out).count()
+    assert(committed > 0, "batches 0-1 must have committed before the crash")
+    sabotage = false
+    run()                                          // recovery run
+    val batchTruth = llm.Corpus.curate.run(spark, TestSpark.Sf).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getDouble(2)))).toMap
+    val acc = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getDouble(2))))
+    assert(acc.length === batchTruth.size,
+      "a doc kept twice means a committed batch was replayed after the crash")
+    acc.foreach { case (id, v) =>
+      assert(batchTruth(id) === v, s"doc $id: post-recovery keep != batch keep")
+    }
+  }
+
+  test("ANN serving stream survives a mid-stream crash: kill after batch 1's commit, restart, exact parity") {
+    // Same crash window as the curation drive, over the frozen IVF
+    // index: queries land as three single-file waves, the injected
+    // failure fires on entry to batch 2, and the restarted stream must
+    // serve exactly the one-shot llm_sim_topk_ivf_persisted answer — no
+    // lost queries, no re-served (duplicated) answers.
+    val queries = sources.Tables.embeddings(spark, TestSpark.Sf)
+      .filter($"vec_id" < llm.Similarity.NumQueries)
+      .select($"vec_id".as("qid"), $"embedding".as("qv")).cache()
+    val base = Files.createTempDirectory("graft_crashserve").toString
+    val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+    (0 until 3).foreach { w =>
+      queries.filter(pmod($"qid", lit(3)) === w)
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    @volatile var sabotage = true
+    def run(): Unit = {
+      val q = spark.readStream.schema(queries.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          if (sabotage && id >= 2)
+            throw new RuntimeException("injected crash before batch 2's effects")
+          llm.Similarity.serveIvf(b.sparkSession, TestSpark.Sf, b)
+            .write.mode("append").parquet(out)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val crashed = intercept[org.apache.spark.sql.streaming.StreamingQueryException](run())
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(crashed).exists(_.contains("injected crash")),
+      "the stream must die from the injected failure, nothing else")
+    assert(spark.read.parquet(out).count() > 0,
+      "batches 0-1 must have committed before the crash")
+    sabotage = false
+    run()                                          // recovery run
+    val oneShot = llm.Similarity.ivfPersistedTopK.run(spark, TestSpark.Sf)
+      .collect().map(_.toSeq)
+    val acc = spark.read.parquet(out)
+      .orderBy($"qid", $"rn").collect().map(_.toSeq)
+    assert(acc.toSet === oneShot.toSet,
+      "post-recovery serving must answer exactly like the one-shot index query")
+    assert(acc.length === oneShot.length,
+      "a duplicated answer row means a committed batch was replayed")
+  }
+
   test("stream_ivf_serve: batched serving reproduces the one-shot index answer exactly") {
     // Serving is pure per-query against the frozen index, so the 3-wave
     // union must equal llm_sim_topk_ivf_persisted row for row — the
