@@ -1178,8 +1178,72 @@ object Similarity {
         .orderBy($"qid", $"rn")
   }
 
+  /** Scalar (int8) quantization QA — the OTHER embedding-compression
+    * family next to PQ: each dimension maps affinely onto the 255-step
+    * code grid [−127, 127] by its global per-dimension min/max, 4 bytes →
+    * 1 byte per dimension. The graded query is the quantization ERROR
+    * profile a corpus owner reads before flipping a serving index to
+    * int8: per-vector max absolute reconstruction error and the exact
+    * integerized sum of squared errors.
+    *
+    * Scale shape: per-dim ranges via posexplode + hash agg on dim —
+    * partial aggregation reduces EVERY partition to D rows before the one
+    * D-row exchange (the Lloyd-update shape); the D-row range table
+    * broadcasts back onto the exploded scan, so codes and errors are scan
+    * projections. At 100 TB the range pass is one cheap extra scan and
+    * the encode pass writes a 4× smaller layout; nothing here depends on
+    * N beyond the scans.
+    *
+    * Determinism: codes via floor(t + 0.5) (engine-agnostic half-up —
+    * Spark round(DOUBLE) goes through the shortest-decimal string, DuckDB
+    * rounds the binary value, so literal round() is the one trap here);
+    * global min/max are exact; the SSE column is Σ floor(err²·1e12) in
+    * BIGINT — an exact integer in both engines, no double sum ordering
+    * anywhere. Only max_abs_err rounds a double (order-free max). */
+  val embedQuantize: GraftQuery = GraftQuery(
+    "llm_embed_quantize",
+    (s, dir) => {
+      import s.implicits._
+      val d = Tables.embeddings(s, dir)
+        .select($"vec_id", posexplode($"embedding").as(Seq("dim", "xf")))
+        .select($"vec_id", $"dim", $"xf".cast("double").as("x"))
+      val ranges = d.groupBy($"dim")
+        .agg(min($"x").as("mn"), max($"x").as("mx"))
+      d.join(broadcast(ranges), Seq("dim"))
+        .withColumn("code",
+          when($"mx" === $"mn", lit(0L))
+            .otherwise(floor(($"x" - $"mn") * 254 / ($"mx" - $"mn") + 0.5) - 127))
+        .withColumn("err",
+          $"x" - ($"mn" + ($"code" + 127) * ($"mx" - $"mn") / 254))
+        .groupBy($"vec_id")
+        .agg(count(lit(1)).as("n_dims"),
+          round(max(abs($"err")), 6).as("max_abs_err"),
+          sum(floor($"err" * $"err" * 1e12).cast("long")).as("sse_e12"))
+        .orderBy($"vec_id")
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            d AS (SELECT vec_id, generate_subscripts(v, 1) AS dim,
+                         unnest(v) AS x
+                  FROM e),
+            r AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM d GROUP BY dim),
+            c AS (SELECT vec_id, x, mn, mx,
+                         CASE WHEN mx = mn THEN 0
+                              ELSE floor((x - mn) * 254 / (mx - mn) + 0.5) - 127
+                         END AS code
+                  FROM d JOIN r USING (dim)),
+            q AS (SELECT vec_id,
+                         x - (mn + (code + 127) * (mx - mn) / 254) AS err
+                  FROM c)
+            SELECT vec_id, count(*) AS n_dims,
+                   round(max(abs(err)), 6) AS max_abs_err,
+                   CAST(sum(CAST(floor(err * err * 1e12) AS BIGINT)) AS BIGINT)
+                     AS sse_e12
+            FROM q GROUP BY vec_id ORDER BY vec_id""")
+  )
+
   def all: Seq[GraftQuery] =
     Seq(bruteTopK, rangeSearch, lshTopK, ivfTopK, ivf2TopK, ivfPersistedTopK,
       embedStats, pqTopK, indexAppendTopK, ivfPqTopK, mmrDiversify,
-      filteredTopK, filteredPersistedTopK, knnJoin)
+      filteredTopK, filteredPersistedTopK, knnJoin, embedQuantize)
 }

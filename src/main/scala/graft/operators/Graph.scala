@@ -767,8 +767,174 @@ object Graph {
              FROM dist GROUP BY v ORDER BY part_id""")
   )
 
+  /** k-core parameters: the coreness threshold and the peel-round bound
+    * (loud failure past it — the graph_cc non-convergence discipline).
+    * k = 3 keeps a non-trivial core on the fixture family: the sf0.001
+    * graph is dense enough that the 3-core is the whole graph (peel
+    * fixpoint at round 0), sf0.01 peels 10 rounds down to a 935-vertex
+    * core, and sf0.1's support-thresholded graph has an EMPTY 3-core —
+    * all three are real degeneracy structure, not fixture accidents. */
+  private val KCoreK = 3
+  private val MaxPeelRounds = 12
+
+  /** k-core: the maximal subgraph where every vertex keeps ≥ k neighbors
+    * INSIDE the subgraph — the standard dense-region extractor (spam
+    * rings, community nuclei) and the graph family's second iterative
+    * fixpoint after connected components.
+    *
+    * Scale shape — DELTA peeling, not recomputation: the naive loop
+    * recomputes every survivor's degree each round (O(E) per round); here
+    * each round only the NEWLY removed vertices send a decrement through
+    * their edges. The message join keys the O(E) bucketed adjacency on
+    * its bucket column (exchange-free scan side; only the O(removed)
+    * vertex set shuffles into the bucket partitioning), messages
+    * aggregate per destination (O(edges-of-removed) rows), and the
+    * running degree vector updates by one O(V) shuffle-hash join. Total
+    * work across ALL rounds is O(E + V·rounds) — each edge is traversed
+    * at most once in each direction over the whole peel, the property
+    * that makes k-core tractable at 100 TB. Per-round lineage is cut
+    * with localCheckpoint (the pagerank_delta lesson: without it round
+    * r's plan re-derives rounds 1..r-1).
+    *
+    * The final degree vector IS the within-core degree: every removed
+    * neighbor decremented exactly once, so no closing degree join is
+    * needed. Convergence is checked per round (the removal frontier
+    * count — an aggregate, not a collect); a graph still peeling at
+    * MaxPeelRounds fails loudly rather than returning a non-fixpoint.
+    * The oracle unrolls the same recurrence s_{t+1} = {u ∈ s_t :
+    * |N(u) ∩ s_t| ≥ k} for MaxPeelRounds rounds — past the fixpoint
+    * every extra round is a no-op, so early exit on the Spark side
+    * cannot diverge from the fixed unroll. */
+  val kCore: GraftQuery = GraftQuery(
+    "graph_kcore",
+    (s, dir) => {
+      import s.implicits._
+      val adj = adjacency(s, dir).select($"src", $"dst")
+      var degs = vertices(adj).select($"src".as("v"), $"deg")
+        .localCheckpoint()
+      var removed = degs.filter($"deg" < KCoreK).localCheckpoint()
+      var frontier = removed.count()
+      var round = 0
+      while (frontier > 0 && round < MaxPeelRounds) {
+        val msgs = adj.join(removed.select($"v".as("src")), "src")
+          .groupBy($"dst").agg(count(lit(1)).as("dec"))
+          .select($"dst".as("v"), $"dec")
+        degs = degs.join(removed.select($"v"), Seq("v"), "left_anti")
+          .join(msgs.hint("shuffle_hash"), Seq("v"), "left")
+          .select($"v", ($"deg" - coalesce($"dec", lit(0L))).as("deg"))
+          .localCheckpoint()
+        removed = degs.filter($"deg" < KCoreK).localCheckpoint()
+        frontier = removed.count()
+        round += 1
+      }
+      if (frontier > 0)
+        throw new IllegalStateException(
+          s"k-core peel still removing after $MaxPeelRounds rounds " +
+            "(raise MaxPeelRounds — the oracle unrolls the same bound)")
+      degs.select($"v".as("part_id"), $"deg".as("core_deg"))
+        .orderBy($"part_id")
+    },
+    Some {
+      val rounds = (1 to MaxPeelRounds).map { t =>
+        val prev = if (t == 1) "" else
+          s"JOIN s${t - 1} a ON e.src = a.v JOIN s${t - 1} b ON e.dst = b.v"
+        // MATERIALIZED: each round references the previous round TWICE
+        // (both endpoints); DuckDB inlines plain CTEs, so the unrolled
+        // chain would expand 2^rounds times (and re-open the lineitem
+        // parquet past the fd limit). Materializing each round keeps the
+        // oracle linear in rounds, like the Spark loop.
+        s"""s$t AS MATERIALIZED (SELECT e.src AS v FROM e $prev
+                    GROUP BY e.src HAVING count(*) >= $KCoreK)"""
+      }.mkString(",\n")
+      s"""WITH $edgeCte,
+          $rounds
+          SELECT e.src AS part_id, count(*) AS core_deg
+          FROM e JOIN s$MaxPeelRounds a ON e.src = a.v
+                 JOIN s$MaxPeelRounds b ON e.dst = b.v
+          GROUP BY e.src ORDER BY part_id"""
+    }
+  )
+
+  /** Borůvka round bound: components at least halve per round, so
+    * ceil(log2(V)) suffices; 12 covers 4096 vertices with slack and a
+    * graph still merging past it fails loudly. */
+  private val MaxBoruvkaRounds = 12
+
+  /** Maximum spanning forest (Borůvka) over the support-weighted graph —
+    * the co-occurrence BACKBONE: the strongest tree of relationships per
+    * component, the classic input to single-linkage clustering and graph
+    * sparsification (keep the forest + the top-k non-tree edges and the
+    * connectivity structure survives at 1/deg the storage).
+    *
+    * Borůvka is THE distributed MST algorithm (GHS '83 descends from it):
+    * unlike Kruskal there is no global sorted edge stream — each round
+    * every component picks its best incident cross edge INDEPENDENTLY
+    * (one per-component aggregate), picked edges merge components, and
+    * components at least halve per round, so log2(V) rounds total.
+    * Determinism: edges compare by the STRICT total order
+    * (−support, src, dst) — all "weights" distinct, so the maximum
+    * spanning forest is UNIQUE and Borůvka and the spec's driver-side
+    * Kruskal must agree edge-for-edge (GraphSpec pins that, plus the
+    * |forest| = V − #components identity).
+    *
+    * Scale shape per round: labels attach to the oriented edge list by
+    * two shuffle-hash joins (the O(E) side keyed on the layout's bucket
+    * column first), the per-component argmin is one hash aggregate over
+    * cross edges (partials collapse each partition to ≤ #components
+    * rows), and the contraction runs the engine's ONE shared CC kernel
+    * over the SELECTED edges only — O(#components) rows, not O(E).
+    * Cross-edge count per round is a convergence aggregate (the kcore
+    * discipline), lineage cut per round. No oracle — iterative
+    * fixpoint with data-dependent round count is not SQL-expressible;
+    * the Kruskal parity spec is the stronger check. */
+  val mst: GraftQuery = GraftQuery(
+    "graph_mst",
+    (s, dir) => {
+      import s.implicits._
+      val el = undirectedEdges(s, dir).localCheckpoint()
+      var labels = vertices(adjacency(s, dir))
+        .select($"src".as("v"), $"src".as("comp")).localCheckpoint()
+      var forest = el.filter(lit(false))
+      var round = 0
+      var merging = true
+      while (merging && round < MaxBoruvkaRounds) {
+        val cross = el
+          .join(labels.select($"v".as("src"), $"comp".as("ca")), "src")
+          .join(labels.select($"v".as("dst"), $"comp".as("cb")).hint("shuffle_hash"), "dst")
+          .filter($"ca" =!= $"cb")
+          .localCheckpoint()
+        if (cross.isEmpty) { merging = false }
+        else {
+          val ek = struct((-$"support").as("ns"), $"src", $"dst",
+            $"ca", $"cb", $"support")
+          val sel = cross.select(explode(array($"ca", $"cb")).as("comp"), ek.as("ek"))
+            .groupBy($"comp").agg(min($"ek").as("pick"))
+            .select($"pick.src".as("src"), $"pick.dst".as("dst"),
+              $"pick.support".as("support"), $"pick.ca".as("ca"), $"pick.cb".as("cb"))
+            .distinct()
+            .localCheckpoint()
+          forest = forest.union(sel.select($"src", $"dst", $"support"))
+          val contracted = graft.llm.Dedup.connectedComponents(
+            sel.select($"ca".as("src"), $"cb".as("dst")))
+          labels = labels
+            .join(contracted.select($"v".as("comp"), $"cid"), Seq("comp"), "left")
+            .select($"v", coalesce($"cid", $"comp").as("comp"))
+            .localCheckpoint()
+          round += 1
+        }
+      }
+      if (merging)
+        throw new IllegalStateException(
+          s"Borůvka still merging after $MaxBoruvkaRounds rounds — " +
+            "components must halve per round; this indicates a labeling bug")
+      forest.select($"src", $"dst", $"support").orderBy($"src", $"dst")
+    },
+    None
+  )
+
   def all: Seq[GraftQuery] =
     Seq(pagerank, pagerankDelta, pagerankWeighted, cc, jaccard,
       jaccardCapped, adamicAdar, labelPropagation, bfs,
-      closenessLandmarks, edgesIncremental, triangles, degreeDist)
+      closenessLandmarks, edgesIncremental, triangles, degreeDist, kCore,
+      mst)
 }

@@ -679,10 +679,54 @@ object Ingest {
             FROM events GROUP BY 1 ORDER BY etype""")
   )
 
+  /** Dynamic partition pruning: the day-partitioned events layout joined
+    * on its PARTITION column against a filtered dim (the Monday calendar
+    * rows derived from the day domain). Static pruning can't help — the
+    * fact filter is not a literal, it's "days the dim keeps" — so
+    * Catalyst plants a DynamicPruningExpression on the fact scan: the
+    * broadcast dim executes FIRST and its day set prunes the fact's
+    * directory listing at runtime. At 100 TB this is the difference
+    * between scanning 30 day-buckets and scanning the 4 the dim selects —
+    * the fact side never reads a pruned partition's footer, let alone its
+    * rows. IngestSpec asserts the plan carries `dynamicpruning` on the
+    * fact scan (the property, not just the answer — broadcast selection
+    * at toy scale would hide a regression to a full scan).
+    *
+    * The dim is deliberately tiny (distinct days + a dayofweek filter):
+    * DPP's default reuseBroadcastOnly mode re-uses the dim's broadcast
+    * exchange as the pruning subquery, so the prune costs nothing beyond
+    * the broadcast the join already pays. */
+  val joinDpp: GraftQuery = GraftQuery(
+    "join_dpp",
+    (s, dir) => {
+      import s.implicits._
+      val out = s"/tmp/graft_ingest_byday/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      if (!new java.io.File(out, "_SUCCESS").exists()) {
+        Tables.events(s, dir)
+          .withColumn("d", date_format($"ts", "yyyy-MM-dd"))
+          .repartition($"d")
+          .write.partitionBy("d").mode("overwrite").parquet(out)
+      }
+      val fact = s.read.parquet(out)
+      val mondays = fact.select($"d").distinct()
+        .filter(dayofweek(to_date($"d")) === 2)
+      fact.join(broadcast(mondays), "d")
+        .groupBy($"d".cast("string").as("d"), $"event_type")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sum_value"))
+        .orderBy($"d", $"event_type")
+    },
+    Some("""SELECT d, event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM (SELECT strftime(ts, '%Y-%m-%d') AS d, event_type, value
+                  FROM events)
+            WHERE dayofweek(CAST(d AS DATE)) = 1
+            GROUP BY d, event_type
+            ORDER BY d, event_type""")
+  )
+
   def all: Seq[GraftQuery] =
     Seq(ingestPartitioned, ingestIncremental, scanPartitionPrune, joinBucketed,
         ingestUpsert, sourceCsv, sourceJson, sourceOrc, sourceBinary,
         partitionBucket,
         ingestCompact,
-        ingestCdc, ingestScd2, ingestZorder, ingestSchemaEvolution)
+        ingestCdc, ingestScd2, ingestZorder, ingestSchemaEvolution, joinDpp)
 }

@@ -327,6 +327,61 @@ class GraphSpec extends AnyFunSuite {
       "the skewed fixture must show the >20x enumeration reduction the cap exists for")
   }
 
+  test("k-core: matches a driver-side simultaneous peel, degrees are within-core") {
+    // The delta-peeling implementation (removed vertices send decrements)
+    // must equal the textbook recurrence s_{t+1} = {u ∈ s_t : |N(u)∩s_t| ≥ k}
+    // run to fixpoint, and the reported degree must be the degree INSIDE
+    // the core (every removed neighbor decremented exactly once).
+    val adj = bruteAdj
+    var alive = adj.keySet
+    var changed = true
+    while (changed) {
+      val rm = alive.filter(u => adj(u).count(alive) < 3)
+      changed = rm.nonEmpty
+      alive = alive -- rm
+    }
+    val got = operators.Graph.kCore.run(spark, TestSpark.Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === alive, "core membership must equal the brute peel")
+    for ((v, d) <- got)
+      assert(d === adj(v).count(alive).toLong,
+        s"vertex $v core degree $d != within-core degree ${adj(v).count(alive)}")
+    assert(got.values.forall(_ >= 3), "every core vertex keeps >= k neighbors")
+  }
+
+  test("maximum spanning forest: edge-for-edge Kruskal parity, size identity") {
+    // Under the strict total edge order (-support, src, dst) all weights
+    // are distinct, so the maximum spanning forest is UNIQUE — distributed
+    // Borůvka and driver-side Kruskal must produce the identical edge set,
+    // and |forest| = |V| - #components.
+    val support = bruteSupport
+    val sorted = support.toSeq.map { case ((a, b), w) => (a, b, w) }
+      .sortBy { case (a, b, w) => (-w, a, b) }
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val kruskal = sorted.filter { case (a, b, _) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra == rb) false else { parent(ra) = rb; true }
+    }.map { case (a, b, w) => (a, b, w) }.toSet
+    val got = operators.Graph.mst.run(spark, TestSpark.Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === kruskal, {
+      val miss = kruskal -- got; val extra = got -- kruskal
+      s"forest mismatch: missing=${miss.take(5)} extra=${extra.take(5)}"
+    })
+    val vertices = support.keySet.flatMap(e => Seq(e._1, e._2))
+    val nComponents = {
+      val roots = scala.collection.mutable.Set[Long]()
+      vertices.foreach(v => roots += find(v))
+      roots.size
+    }
+    assert(got.size === vertices.size - nComponents,
+      "forest size must be |V| - #components")
+  }
+
   test("degree distribution: masses to 2·|E| over |V| vertices") {
     val dist = operators.Graph.degreeDist.run(spark, TestSpark.Sf).collect()
     val e = bruteEdges

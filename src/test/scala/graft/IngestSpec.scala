@@ -120,6 +120,18 @@ class IngestSpec extends AnyFunSuite {
       "day-range predicate must appear as a PartitionFilter")
   }
 
+  test("join_dpp: the fact scan carries a dynamic partition pruning filter") {
+    // The property, not just the answer: the day-partitioned fact's scan
+    // must be pruned by the DIM's result at runtime (static pruning can't
+    // express "days the dim keeps"). A regression to a full scan would
+    // still return correct rows at toy scale — only the plan shows it.
+    val df = operators.Ingest.joinDpp.run(spark, TestSpark.Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      "fact scan must carry a DynamicPruningExpression partition filter")
+    assert(df.count() > 0)
+  }
+
   test("incremental watermark filter consumes exactly the new offsets") {
     val ev = sources.Tables.events(spark, TestSpark.Sf)
     val total = ev.count()

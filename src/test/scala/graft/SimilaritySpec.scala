@@ -478,4 +478,32 @@ class SimilaritySpec extends AnyFunSuite {
     // floor sits below it only to absorb Lloyd partition-order tie flips.
     assert(recall > 0.6)
   }
+
+  test("scalar quantization: reconstruction error bounded by half a code step") {
+    // The int8 affine grid guarantees |x - dequant(x)| <= step/2 with
+    // step = (max_d - min_d)/254 — the bound that makes 4x compression
+    // safe to serve. Check it against driver-side per-dim ranges, plus
+    // structural invariants (every vector profiled, full dim count, SSE
+    // consistent with the max-error bound).
+    val vecs = sources.Tables.embeddings(spark, TestSpark.Sf)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val dim = vecs.head._2.length
+    val steps = (0 until dim).map { d =>
+      val xs = vecs.map(_._2(d))
+      (xs.max - xs.min) / 254.0
+    }
+    val maxHalfStep = steps.max / 2.0
+    val out = llm.Similarity.embedQuantize.run(spark, TestSpark.Sf).collect()
+    assert(out.length === vecs.length, "every vector must be profiled")
+    for (r <- out) {
+      assert(r.getAs[Long]("n_dims") === dim.toLong)
+      val maxErr = r.getAs[Double]("max_abs_err")
+      assert(maxErr <= maxHalfStep + 1e-9,
+        s"vec ${r.getAs[Long]("vec_id")} max err $maxErr > step/2 bound $maxHalfStep")
+      val sse = r.getAs[Long]("sse_e12")
+      assert(sse >= 0L && sse <= dim.toLong * math.ceil(maxHalfStep * maxHalfStep * 1e12).toLong,
+        s"SSE $sse inconsistent with the per-element bound")
+    }
+  }
 }
