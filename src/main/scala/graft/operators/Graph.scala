@@ -881,8 +881,12 @@ object Graph {
     * two shuffle-hash joins (the O(E) side keyed on the layout's bucket
     * column first), the per-component argmin is one hash aggregate over
     * cross edges (partials collapse each partition to ≤ #components
-    * rows), and the contraction runs the engine's ONE shared CC kernel
-    * over the SELECTED edges only — O(#components) rows, not O(E).
+    * rows), and the contraction exploits Borůvka's structure instead of
+    * running a general CC pass: the pick relation is FUNCTIONAL (one
+    * edge per component), so after breaking its only cycles — mutual
+    * picks, length exactly 2 — pointer doubling compresses the rooted
+    * forest in O(log depth) rounds of one O(#components) self-join each
+    * (the Shiloach–Vishkin hook-and-compress specialization).
     * Cross-edge count per round is a convergence aggregate (the kcore
     * discipline), lineage cut per round. No oracle — iterative
     * fixpoint with data-dependent round count is not SQL-expressible;
@@ -907,17 +911,55 @@ object Graph {
         else {
           val ek = struct((-$"support").as("ns"), $"src", $"dst",
             $"ca", $"cb", $"support")
-          val sel = cross.select(explode(array($"ca", $"cb")).as("comp"), ek.as("ek"))
+          val perComp = cross
+            .select(explode(array($"ca", $"cb")).as("comp"), ek.as("ek"))
             .groupBy($"comp").agg(min($"ek").as("pick"))
-            .select($"pick.src".as("src"), $"pick.dst".as("dst"),
-              $"pick.support".as("support"), $"pick.ca".as("ca"), $"pick.cb".as("cb"))
-            .distinct()
             .localCheckpoint()
-          forest = forest.union(sel.select($"src", $"dst", $"support"))
-          val contracted = graft.llm.Dedup.connectedComponents(
-            sel.select($"ca".as("src"), $"cb".as("dst")))
+          // localCheckpoint the increment: the per-wave distinct would
+          // otherwise ride uncollapsed into the FINAL plan (one extra
+          // shuffle per wave at every downstream action — the snapshot
+          // gate caught exactly that).
+          forest = forest.union(
+            perComp.select($"pick.src".as("src"), $"pick.dst".as("dst"),
+              $"pick.support".as("support")).distinct().localCheckpoint())
+          // Contraction WITHOUT a general CC pass: every component picks
+          // exactly ONE edge, so (comp → pick's other endpoint) is a
+          // FUNCTIONAL graph whose only cycles are mutual picks of
+          // length exactly 2 (strict total order — two components
+          // agreeing on the same best edge). Break those to a self-loop
+          // root (the pair's min), leaving a rooted in-forest; then
+          // POINTER DOUBLING p ← p∘p halves every path per round —
+          // O(log depth) rounds of one O(#components) shuffle-hash
+          // self-join each, versus diameter rounds of the general CC
+          // kernel over the same rows. This is the Shiloach–Vishkin
+          // hook-and-compress specialization Borůvka admits.
+          var par = perComp
+            .select($"comp",
+              when($"pick.ca" === $"comp", $"pick.cb")
+                .otherwise($"pick.ca").as("parent"))
+            .localCheckpoint()
+          par = par.as("p1")
+            .join(par.as("p2").hint("shuffle_hash"),
+              $"p1.parent" === $"p2.comp")
+            .select($"p1.comp".as("comp"),
+              when($"p2.parent" === $"p1.comp",
+                least($"p1.comp", $"p1.parent"))
+                .otherwise($"p1.parent").as("parent"))
+            .localCheckpoint()
+          var compressing = true
+          while (compressing) {
+            val nxt = par.as("p1")
+              .join(par.as("p2").hint("shuffle_hash"),
+                $"p1.parent" === $"p2.comp")
+              .select($"p1.comp".as("comp"), $"p2.parent".as("parent"))
+              .localCheckpoint()
+            compressing = nxt.as("a")
+              .join(par.select($"comp", $"parent".as("old")), "comp")
+              .filter($"parent" =!= $"old").count() > 0
+            par = nxt
+          }
           labels = labels
-            .join(contracted.select($"v".as("comp"), $"cid"), Seq("comp"), "left")
+            .join(par.select($"comp", $"parent".as("cid")), Seq("comp"), "left")
             .select($"v", coalesce($"cid", $"comp").as("comp"))
             .localCheckpoint()
           round += 1
