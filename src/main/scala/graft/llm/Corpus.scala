@@ -1186,7 +1186,73 @@ object Corpus {
     * keep the interpolated string readable). */
   private def scoreSqlForCard: String = graft.llm.TextStats.scoreSql
 
+  /** Interpolated Kneser–Ney bigram probabilities over the frozen LM —
+    * the smoothing that replaced add-one in every serious n-gram LM
+    * (KenLM's default): the bigram term discounts observed counts by a
+    * fixed D and the freed mass backs off to the CONTINUATION unigram
+    * (how many distinct contexts a word follows — "Francisco" is
+    * frequent but only ever follows "San", so its continuation weight is
+    * tiny). Graded output: the top-50 bigrams with their exact KN
+    * probability.
+    *
+    * Determinism — EXACT RATIONAL arithmetic: with D = 3/4, multiplying
+    * through by 4·c(w1)·M gives
+    *   num = M·max(4·c12 − 3, 0) + 3·N1+(w1·)·N1+(·w2)
+    *   den = 4·c(w1)·M
+    * — all BIGINTs, so p_kn is ONE division of identical integers in
+    * both engines (no round() anywhere; rationals CAN be
+    * boundary-structured, so rounding would be the trap, not the fix).
+    * CorpusSpec proves the closed-form normalization identity
+    * Σ max(4c12−3,0) + 3·N1+(w1·) = 4·c(w1) per context — the integer
+    * form of "KN sums to 1 over the full vocabulary".
+    *
+    * Scale shape: three roll-ups of the persisted bigram layout (by w1,
+    * by w2, and the 1-row type count M), joined back shuffle-hash (the
+    * LM is billions of rows at web scale — never broadcast); top-50 is
+    * TakeOrderedAndProject. */
+  val knSmoothed: GraftQuery = GraftQuery(
+    "llm_lm_kneser_ney",
+    (s, dir) => {
+      import s.implicits._
+      val bc = lmCounts(s, dir)
+      val c1 = bc.groupBy($"w1")
+        .agg(sum($"cb").as("c1"), count(lit(1)).as("n1fwd"))
+      val bwd = bc.groupBy($"w2").agg(count(lit(1)).as("n1bwd"))
+      val m = bc.agg(count(lit(1)).as("m"))
+      bc.join(c1.hint("shuffle_hash"), "w1")
+        .join(bwd.hint("shuffle_hash"), "w2")
+        .crossJoin(broadcast(m))
+        .withColumn("kn_num",
+          expr("m * greatest(4 * cb - 3, 0) + 3 * n1fwd * n1bwd"))
+        .withColumn("kn_den", expr("4 * c1 * m"))
+        .select($"w1", $"w2", $"cb", $"kn_num", $"kn_den",
+          ($"kn_num".cast("double") / $"kn_den".cast("double")).as("p_kn"))
+        .orderBy($"cb".desc, $"w1", $"w2")
+        .limit(50)
+    },
+    Some(s"""WITH pt AS (SELECT doc_id, source, string_split(text, ' ') AS w
+                         FROM documents),
+             pbg AS (SELECT w[i] AS w1, w[i+1] AS w2
+                     FROM pt, unnest(range(1, len(w))) u(i)
+                     WHERE source = '$PplRefSource'),
+             bc AS (SELECT w1, w2, count(*) AS cb FROM pbg GROUP BY 1, 2),
+             c1 AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS c1,
+                           count(*) AS n1fwd FROM bc GROUP BY 1),
+             bwd AS (SELECT w2, count(*) AS n1bwd FROM bc GROUP BY 1),
+             m AS (SELECT count(*) AS m FROM bc)
+             SELECT w1, w2, cb,
+                    CAST(m.m * greatest(4 * cb - 3, 0)
+                         + 3 * n1fwd * n1bwd AS BIGINT) AS kn_num,
+                    CAST(4 * c1.c1 * m.m AS BIGINT) AS kn_den,
+                    CAST(m.m * greatest(4 * cb - 3, 0)
+                         + 3 * n1fwd * n1bwd AS DOUBLE)
+                      / CAST(4 * c1.c1 * m.m AS DOUBLE) AS p_kn
+             FROM bc JOIN c1 USING (w1) JOIN bwd USING (w2) CROSS JOIN m
+             ORDER BY cb DESC, w1, w2 LIMIT 50""")
+  )
+
   def all: Seq[GraftQuery] =
     Seq(contamination, decontaminate, repetition, substringDup, paragraphDedup,
-      tfidf, curate, perplexity, perplexityTrigram, bm25, datasetCard)
+      tfidf, curate, perplexity, perplexityTrigram, bm25, datasetCard,
+      knSmoothed)
 }

@@ -152,7 +152,13 @@ object TimeSeries {
     (s, dir) => {
       import s.implicits._
       val ev = Tables.events(s, dir)
-      val dim = ev.groupBy($"user_id").agg(round(avg($"value"), 4).as("user_avg"))
+      // Scaled-integer mean (SURVEY trap-note pattern), NOT
+      // round(avg(double)): means of the 2-decimal value column are
+      // boundary-structured rationals, and the sf0.1 sweep caught a
+      // 1-ulp engine split (56.2087 vs 56.2088) from exactly that.
+      val dim = ev.groupBy($"user_id").agg(
+          (expr("sum(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)) div count(1)")
+            .cast("double") / 10000.0).as("user_avg"))
         .withColumn("salt", explode(array((0 until Salts).map(lit): _*)))
       val fact = ev.select($"event_id", $"user_id",
         pmod($"event_id", lit(Salts)).cast("int").as("salt"))
@@ -162,7 +168,9 @@ object TimeSeries {
     },
     Some("""SELECT e.event_id, e.user_id, d.user_avg
             FROM events e
-            JOIN (SELECT user_id, round(avg(value), 4) AS user_avg
+            JOIN (SELECT user_id,
+                         CAST(sum(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT))
+                              // count(*) AS DOUBLE) / 10000.0 AS user_avg
                   FROM events GROUP BY user_id) d USING (user_id)
             ORDER BY e.event_id""")
   )
@@ -194,7 +202,12 @@ object TimeSeries {
           round(max_by($"value", $"event_id"), 4).as("close"),
           round(min($"value"), 4).as("lo"),
           round(max($"value"), 4).as("hi"),
-          round(avg($"value"), 4).as("avg_v"))
+          // scaled-integer mean, not round(avg(double)): per-(user, day)
+          // groups are small, so the mean of 2dp values sits on the 4dp
+          // rounding boundary by CONSTRUCTION (the join_skew_salted
+          // sf0.1 sweep lesson applies with higher probability here)
+          (expr("sum(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)) div count(1)")
+            .cast("double") / 10000.0).as("avg_v"))
         .orderBy($"user_id", $"day")
     },
     Some("""SELECT user_id, date_trunc('day', ts) AS day,
@@ -203,7 +216,8 @@ object TimeSeries {
                    round(arg_max(value, event_id), 4) AS close,
                    round(min(value), 4) AS lo,
                    round(max(value), 4) AS hi,
-                   round(avg(value), 4) AS avg_v
+                   CAST(sum(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT))
+                        // count(*) AS DOUBLE) / 10000.0 AS avg_v
             FROM events GROUP BY 1, 2 ORDER BY user_id, day""")
   )
 
@@ -465,31 +479,55 @@ object TimeSeries {
       import s.implicits._
       val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
         .rowsBetween(-20, -1)
+      // Exact-integer window statistics (the sf0.1 sweep class): the
+      // windowed double avg/stddev put the boundary-structured mean of
+      // 2-decimal values under round(,4) — caught splitting engines by an
+      // ulp at sf0.1 — AND DuckDB computes windowed double sums through a
+      // segment tree (pairwise association ≠ Spark's sequential sum; the
+      // ts_cusum trap note). Integer window sums are immune to both:
+      // cents partials are exact at any association, the mean truncates
+      // in scaled-integer space, and the sample variance is the exact
+      // rational (n·Σc² − (Σc)²)/(n(n−1)) — one sqrt of an identical
+      // double in both engines.
       Tables.events(s, dir)
         .select($"user_id", $"ts", $"event_id", $"value")
-        .withColumn("n_hist", count($"value").over(w))
-        .withColumn("mu", avg($"value").over(w))
-        .withColumn("sd", stddev_samp($"value").over(w))
-        .filter($"n_hist" >= 10 && $"sd" > 1e-9)
+        .withColumn("c", expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .withColumn("n_hist", count($"c").over(w))
+        .withColumn("sum_c", sum($"c").over(w))
+        .withColumn("sum_c2", sum($"c" * $"c").over(w))
+        .filter($"n_hist" >= 10)
+        .withColumn("mu", expr("(sum_c * 100) div n_hist").cast("double") / 10000.0)
+        .withColumn("sd", sqrt(
+          expr("CAST(n_hist * sum_c2 - sum_c * sum_c AS DOUBLE)")
+            / expr("CAST(n_hist AS DOUBLE) * CAST(n_hist - 1 AS DOUBLE)")) / 100.0)
+        .filter($"sd" > 1e-9)
         .withColumn("z", round(($"value" - $"mu") / $"sd", 4))
         .filter(abs($"z") > 3.0)
         .select($"user_id", $"event_id", $"value",
-          round($"mu", 4).as("mu"), round($"sd", 4).as("sd"), $"z")
+          $"mu", round($"sd", 4).as("sd"), $"z")
         .orderBy($"user_id", $"event_id")
     },
     Some("""WITH s AS (
               SELECT user_id, event_id, value,
-                     count(value) OVER w AS n_hist,
-                     avg(value) OVER w AS mu,
-                     stddev_samp(value) OVER w AS sd
-              FROM events
+                     count(c) OVER w AS n_hist,
+                     sum(c) OVER w AS sum_c,
+                     sum(c * c) OVER w AS sum_c2
+              FROM (SELECT *, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+                    FROM events)
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+                           ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+            t AS (
+              SELECT user_id, event_id, value,
+                     CAST((sum_c * 100) // n_hist AS DOUBLE) / 10000.0 AS mu,
+                     sqrt(CAST(n_hist * sum_c2 - sum_c * sum_c AS DOUBLE)
+                          / (CAST(n_hist AS DOUBLE) * CAST(n_hist - 1 AS DOUBLE)))
+                       / 100.0 AS sd
+              FROM s WHERE n_hist >= 10)
             SELECT user_id, event_id, value,
-                   round(mu, 4) AS mu, round(sd, 4) AS sd,
+                   mu, round(sd, 4) AS sd,
                    round((value - mu) / sd, 4) AS z
-            FROM s
-            WHERE n_hist >= 10 AND sd > 1e-9
+            FROM t
+            WHERE sd > 1e-9
               AND abs(round((value - mu) / sd, 4)) > 3
             ORDER BY user_id, event_id""")
   )
@@ -877,10 +915,22 @@ object TimeSeries {
       import s.implicits._
       val ev = Tables.events(s, dir)
         .select($"event_type", hour($"ts").as("hod"), $"value")
+      // Exact-arithmetic profile (the sf0.1 sweep class): value is
+      // 2-decimal, so cents are exact BIGINT; mu is the truncated
+      // scaled-integer mean and the sample variance is the EXACT rational
+      // (n·Σc² − (Σc)²)/(n(n−1)) — one sqrt of an identical double in
+      // both engines, instead of round(avg/stddev(double)) whose
+      // boundary-structured means can split engines by an ulp. Σc² peaks
+      // ~3e14 at sf0.1 (c ≤ 56021) — far inside BIGINT.
+      val cents = "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
       val prof = ev.groupBy($"event_type", $"hod")
         .agg(count(lit(1)).as("n"),
-          round(avg($"value"), 4).as("mu"),
-          round(stddev_samp($"value"), 4).as("sd"))
+          (expr(s"(sum($cents) * 100) div count(1)").cast("double") / 10000.0)
+            .as("mu"),
+          round(sqrt(
+            expr(s"CAST(count(1) * sum($cents * $cents) - sum($cents) * sum($cents) AS DOUBLE)")
+              / (expr("CAST(count(1) AS DOUBLE)") * expr("CAST(count(1) - 1 AS DOUBLE)")))
+            / 100.0, 4).as("sd"))
       ev.join(broadcast(prof), Seq("event_type", "hod"))
         .groupBy($"event_type", $"hod")
         .agg(first($"n").as("n"), first($"mu").as("mu"), first($"sd").as("sd"),
@@ -888,11 +938,17 @@ object TimeSeries {
             .as("n_anomalous"))
         .orderBy($"event_type", $"hod")
     },
-    Some("""WITH prof AS (
-              SELECT event_type, hour(ts) AS hod, count(*) AS n,
-                     round(avg(value), 4) AS mu,
-                     round(stddev_samp(value), 4) AS sd
-              FROM events GROUP BY 1, 2)
+    Some("""WITH c AS (
+              SELECT event_type, hour(ts) AS hod, value,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cv
+              FROM events),
+            prof AS (
+              SELECT event_type, hod, count(*) AS n,
+                     CAST((sum(cv) * 100) // count(*) AS DOUBLE) / 10000.0 AS mu,
+                     round(sqrt(CAST(count(*) * sum(cv * cv) - sum(cv) * sum(cv) AS DOUBLE)
+                                / (CAST(count(*) AS DOUBLE) * CAST(count(*) - 1 AS DOUBLE)))
+                           / 100.0, 4) AS sd
+              FROM c GROUP BY 1, 2)
             SELECT p.event_type, p.hod, p.n, p.mu, p.sd,
                    CAST(sum(CASE WHEN abs(e.value - p.mu) > 2.0 * p.sd
                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous

@@ -27,11 +27,13 @@ import graft.sources.Tables
   * change one row: open/close anchor on the monotone offset, so the
   * merged open is the partial open with the smallest first-offset
   * (min_by), close symmetric, n/sum/lo/hi fold trivially, and the mean
-  * re-derives from (Σ sum_v / Σ n) — never an average of averages.
-  * Partials carry RAW doubles; rounding happens once, at the final merge
-  * projection (oracle-determinism rule) — rounding a partial would
-  * reorder near-equal values under min/max. The oracle is ts_resample's
-  * verbatim: batching must not change one row.
+  * re-derives from (Σ cents / Σ n) — never an average of averages, and
+  * the cents partials are EXACT BIGINTs, so the merged mean equals the
+  * batch twin's scaled-integer mean at any wave split (a double partial
+  * would make the merge order-sensitive). min/max partials carry raw
+  * doubles; rounding happens once, at the final merge projection
+  * (oracle-determinism rule). The oracle is ts_resample's verbatim:
+  * batching must not change one row.
   */
 object ResampleStream {
 
@@ -53,7 +55,12 @@ object ResampleStream {
         ev.join(broadcast(bounds), $"event_id" > edge(k) && $"event_id" <= edge(k + 1))
           .groupBy($"user_id", date_trunc("day", $"ts").as("day"))
           .agg(count(lit(1)).as("n"),
-            sum($"value").as("sum_v"),
+            // exact cents partial (BIGINT): the final mean must merge to
+            // ts_resample's scaled-integer mean bit-for-bit, and integer
+            // partials are associative at ANY wave split — a double
+            // sum_v would make the merged mean depend on wave order
+            expr("sum(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT))")
+              .as("sum_c"),
             min($"event_id").as("first_eid"),
             min_by($"value", $"event_id").as("open"),
             max($"event_id").as("last_eid"),
@@ -73,7 +80,7 @@ object ResampleStream {
           round(max_by($"close", $"last_eid"), 4).as("close"),
           round(min($"lo_v"), 4).as("lo"),
           round(max($"hi_v"), 4).as("hi"),
-          round(sum($"sum_v") / sum($"n"), 4).as("avg_v"))
+          (expr("sum(sum_c) div sum(n)").cast("double") / 10000.0).as("avg_v"))
         .orderBy($"user_id", $"day")
     },
     // Batching must not change one row: the oracle is the batch resample.

@@ -434,4 +434,31 @@ class CorpusSpec extends AnyFunSuite {
     assert(other.valuesIterator.exists(v => v._2 + v._3 < v._1),
       "unigram floor never used")
   }
+
+  test("Kneser-Ney: exact integer normalization identity and probability sanity") {
+    // KN sums to 1 over the FULL vocabulary. In the operator's exact
+    // rational form (D = 3/4) that is the pure-integer identity
+    //   Σ_w2 max(4·c12 − 3, 0) + 3·N1+(w1·) = 4·c(w1)
+    // per context w1 (the discounted mass exactly equals what the
+    // continuation term redistributes). Prove it for EVERY context from
+    // the same frozen counts the operator reads.
+    val bc = llm.Corpus.lmCounts(spark, TestSpark.Sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(bc.nonEmpty)
+    bc.groupBy(_._1).foreach { case (w1, rows) =>
+      val c1 = rows.map(_._3).sum
+      val n1fwd = rows.length.toLong
+      val discounted = rows.map(r => math.max(4 * r._3 - 3, 0L)).sum
+      assert(discounted + 3 * n1fwd === 4 * c1,
+        s"context '$w1' breaks the KN normalization identity")
+    }
+    val out = llm.Corpus.knSmoothed.run(spark, TestSpark.Sf).collect()
+    assert(out.length == math.min(50, bc.length))
+    out.foreach { r =>
+      val (num, den, p) = (r.getAs[Long]("kn_num"), r.getAs[Long]("kn_den"),
+        r.getAs[Double]("p_kn"))
+      assert(num > 0 && den > 0 && p > 0.0 && p <= 1.0)
+      assert(p === num.toDouble / den.toDouble, "p_kn must be the exact quotient")
+    }
+  }
 }

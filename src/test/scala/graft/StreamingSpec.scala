@@ -294,8 +294,8 @@ class StreamingSpec extends AnyFunSuite {
   test("resample foreachBatch pipeline: appended OHLC partials serve the batch answer") {
     // The production form of stream_resample: events land incrementally
     // (two parquet arrival waves through a checkpointed file source); each
-    // micro-batch appends its own per-(user, day) OHLC PARTIALS — raw
-    // doubles, offset anchors — and the serve step merges them with the
+    // micro-batch appends its own per-(user, day) OHLC PARTIALS — exact
+    // cents sums, offset anchors — and the serve step merges them with the
     // associative combine. Merging must equal the one-pass batch resample
     // row-for-row; the checkpoint guarantees wave-1 events reduce once.
     import org.apache.spark.sql.functions._
@@ -311,7 +311,9 @@ class StreamingSpec extends AnyFunSuite {
         .writeStream
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
           b.groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
-            .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"),
+            .agg(count(lit(1)).as("n"),
+              // exact cents partial, mirroring stream_resample
+              expr("sum(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT))").as("sum_c"),
               min(col("event_id")).as("first_eid"),
               min_by(col("value"), col("event_id")).as("open"),
               max(col("event_id")).as("last_eid"),
@@ -338,7 +340,7 @@ class StreamingSpec extends AnyFunSuite {
         round(max_by($"close", $"last_eid"), 4).as("close"),
         round(min($"lo_v"), 4).as("lo"),
         round(max($"hi_v"), 4).as("hi"),
-        round(sum($"sum_v") / sum($"n"), 4).as("avg_v"))
+        (expr("sum(sum_c) div sum(n)").cast("double") / 10000.0).as("avg_v"))
       .collect().map(_.toSeq).toSet
     val batchTruth = operators.TimeSeries.resample.run(spark, TestSpark.Sf)
       .collect().map(_.toSeq).toSet

@@ -63,7 +63,11 @@ class TimeSeriesSpec extends AnyFunSuite {
   test("salted join equals the plain join") {
     val plain = {
       val ev = sources.Tables.events(spark, TestSpark.Sf)
-      val dim = ev.groupBy($"user_id").agg(round(avg($"value"), 4).as("user_avg"))
+      // same scaled-integer mean as the operator — this test proves the
+      // SALTING is answer-preserving, not the mean formula
+      val dim = ev.groupBy($"user_id").agg(
+        (expr("sum(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)) div count(1)")
+          .cast("double") / 10000.0).as("user_avg"))
       ev.join(dim, Seq("user_id"))
         .select($"event_id", $"user_id", $"user_avg").orderBy($"event_id")
         .collect().toSeq
