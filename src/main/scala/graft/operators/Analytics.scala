@@ -215,7 +215,75 @@ object Analytics {
     }
   )
 
+  /** Two-sample Kolmogorov–Smirnov drift test between the `view` and
+    * `purchase` value distributions — the distribution-shift check a
+    * training pipeline runs between data cohorts (yesterday vs today,
+    * source A vs source B) before concluding a feature drifted. The
+    * statistic D = max |F̂₁(v) − F̂₂(v)| over the pooled support.
+    *
+    * Determinism — EXACT RATIONAL: with integer per-value counts,
+    * D = max |cum₁(v)·n₂ − cum₂(v)·n₁| / (n₁·n₂) — BIGINT numerator and
+    * denominator, one final division of identical integers (the KN
+    * convention; no round() anywhere). Values compare as exact cents.
+    *
+    * Scale shape: per-value counts are ONE hash aggregate whose state is
+    * bounded by the value DOMAIN (cents of a price-like column — ~56k
+    * distinct at any corpus size), not the event count; the cumulative
+    * pass is a window over those domain-sized rows (a single-partition
+    * sort of a bounded set — the same shape every ECDF implementation
+    * uses), and the max is a 1-row fold. 100 TB of events reduce to the
+    * domain before anything global happens. */
+  val ksTest: GraftQuery = GraftQuery(
+    "agg_ks_test",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.events(s, dir)
+        .filter($"event_type".isin("view", "purchase"))
+        .select(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cv"),
+          $"event_type")
+        .groupBy($"cv")
+        .agg(sum(when($"event_type" === "view", 1L).otherwise(0L)).as("c1"),
+          sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("c2"))
+      val w = Window.orderBy($"cv")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cum = counts
+        .withColumn("cum1", sum($"c1").over(w))
+        .withColumn("cum2", sum($"c2").over(w))
+        .localCheckpoint() // totals + deviation fold both read it
+      val tot = cum.agg(max($"cum1").as("n1"), max($"cum2").as("n2"))
+      cum.crossJoin(broadcast(tot))
+        .agg(first($"n1").as("n1"), first($"n2").as("n2"),
+          max(abs($"cum1" * $"n2" - $"cum2" * $"n1")).as("d_num"))
+        .select($"n1", $"n2", $"d_num",
+          ($"n1" * $"n2").as("d_den"),
+          ($"d_num".cast("double") / ($"n1" * $"n2").cast("double")).as("d"))
+    },
+    Some("""WITH c AS (
+              SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cv,
+                     CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                     CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+              FROM events
+              WHERE event_type IN ('view', 'purchase')
+              GROUP BY 1),
+            cum AS (
+              SELECT cv,
+                     sum(c1) OVER (ORDER BY cv ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum1,
+                     sum(c2) OVER (ORDER BY cv ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum2
+              FROM c),
+            tot AS (SELECT max(cum1) AS n1, max(cum2) AS n2 FROM cum)
+            SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+                   CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS d_num,
+                   CAST(n1 * n2 AS BIGINT) AS d_den,
+                   CAST(max(abs(cum1 * n2 - cum2 * n1)) AS DOUBLE)
+                     / CAST(n1 * n2 AS DOUBLE) AS d
+            FROM cum CROSS JOIN tot
+            GROUP BY n1, n2""")
+  )
+
   def all: Seq[GraftQuery] = Seq(
     statsAgg, percentiles, approxPercentile, stringAgg, pivotAgg, jsonStruct,
-    topNRevenue, corrMatrix)
+    topNRevenue, corrMatrix, ksTest)
 }

@@ -135,4 +135,29 @@ class AggregatesSpec extends AnyFunSuite {
     assert(rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ===
       Seq((1L, "alpha", 2L), (2L, "beta", 1L)))
   }
+
+  test("KS drift test: exact rational D matches a driver-side ECDF recompute") {
+    val rows = sources.Tables.events(spark, TestSpark.Sf)
+      .filter($"event_type".isin("view", "purchase"))
+      .select($"event_type", $"value").collect()
+      .map(r => (r.getString(0), BigDecimal(r.getDouble(1)).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP)))
+    val s1 = rows.filter(_._1 == "view").map(_._2).sorted
+    val s2 = rows.filter(_._1 == "purchase").map(_._2).sorted
+    val support = (s1 ++ s2).distinct.sorted
+    val (n1, n2) = (s1.length.toLong, s2.length.toLong)
+    val dNum = support.map { v =>
+      val c1 = s1.count(_ <= v).toLong
+      val c2 = s2.count(_ <= v).toLong
+      math.abs(c1 * n2 - c2 * n1)
+    }.max
+    val out = operators.Analytics.ksTest.run(spark, TestSpark.Sf).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n1") === n1 && r.getAs[Long]("n2") === n2)
+    assert(r.getAs[Long]("d_num") === dNum,
+      "exact rational numerator must equal the brute ECDF deviation")
+    assert(r.getAs[Long]("d_den") === n1 * n2)
+    assert(r.getAs[Double]("d") === dNum.toDouble / (n1 * n2).toDouble)
+  }
 }
