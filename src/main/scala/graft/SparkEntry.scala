@@ -27,6 +27,7 @@ object SparkEntry {
     streaming.DedupStream.all ++
     streaming.ResampleStream.all ++
     streaming.CdcStream.all ++
+    streaming.DriftStream.all ++
     streaming.ServeStream.all ++
     llm.Dedup.all ++
     llm.Similarity.all ++

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.GraftQuery
+import graft.operators.Analytics
+import graft.sources.Tables
+
+/** Streaming drift monitor — the micro-batch twin of `agg_ks_test`
+  * (SURVEY.md §2b): as event waves land, each micro-batch contributes its
+  * own per-value (cents, c1, c2) COUNT PARTIALS, and the serve step merges
+  * them into the exact ECDF deviation. This is the monitor a training
+  * pipeline keeps running against the live feed: "has the purchase-value
+  * distribution drifted from the view-value distribution (or a frozen
+  * reference cohort) since the last deploy?"
+  *
+  * Why the merge is EXACT at any wave split: the partials are integer
+  * counts keyed by exact cents — associative and commutative under sum —
+  * so Σ waves == the one-pass batch counts bit-for-bit, and everything
+  * downstream (cumulative sums, the |cum₁·n₂ − cum₂·n₁| fold, the one
+  * final division) is the identical BIGINT arithmetic `agg_ks_test` runs.
+  * No double ever appears in a partial (the stream_resample lesson: a
+  * double partial makes the merge order-sensitive). The oracle is the
+  * batch twin's verbatim: batching must not change the one output row.
+  *
+  * Scale shape: each wave's partial is one hash aggregate bounded by the
+  * value DOMAIN (~56k cents), so the appended state is waves × domain
+  * rows, not waves × events; the merge re-aggregates domain-sized input.
+  * Emulated arrival (event-id ranges + localCheckpoint per wave = one DAG
+  * per micro-batch) per the repo's streaming-emulation convention; the
+  * checkpointed kill/restart discipline is covered by the foreachBatch
+  * drives in StreamingSpec for the same partial-merge pattern. */
+object DriftStream {
+
+  private val Waves = 3
+
+  val streamKsDrift: GraftQuery = GraftQuery(
+    "stream_ks_drift",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .filter($"event_type".isin("view", "purchase"))
+        .select($"event_id", $"event_type",
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cv"))
+      val bounds = ev.agg(min($"event_id").as("lo"), max($"event_id").as("hi"))
+      def edge(k: Int): Column =
+        $"lo" - 1 + floor(($"hi" - $"lo" + 1) * lit(k) / lit(Waves.toDouble)).cast("long")
+      val partials = (0 until Waves).map { k =>
+        ev.join(broadcast(bounds), $"event_id" > edge(k) && $"event_id" <= edge(k + 1))
+          .groupBy($"cv")
+          .agg(sum(when($"event_type" === "view", 1L).otherwise(0L)).as("c1"),
+            sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("c2"))
+          .localCheckpoint()
+      }
+      val counts = partials.reduce(_.unionAll(_))
+        .groupBy($"cv").agg(sum($"c1").as("c1"), sum($"c2").as("c2"))
+      val w = Window.orderBy($"cv")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cum = counts
+        .withColumn("cum1", sum($"c1").over(w))
+        .withColumn("cum2", sum($"c2").over(w))
+        .localCheckpoint()
+      val tot = cum.agg(max($"cum1").as("n1"), max($"cum2").as("n2"))
+      cum.crossJoin(broadcast(tot))
+        .agg(first($"n1").as("n1"), first($"n2").as("n2"),
+          max(abs($"cum1" * $"n2" - $"cum2" * $"n1")).as("d_num"))
+        .select($"n1", $"n2", $"d_num",
+          ($"n1" * $"n2").as("d_den"),
+          ($"d_num".cast("double") / ($"n1" * $"n2").cast("double")).as("d"))
+    },
+    // Batching must not change the one output row: the oracle is the
+    // batch KS test's, verbatim.
+    Analytics.ksTest.oracle
+  )
+
+  def all: Seq[GraftQuery] = Seq(streamKsDrift)
+}

@@ -348,6 +348,61 @@ class StreamingSpec extends AnyFunSuite {
       "merged OHLC partials must equal the one-pass batch resample exactly")
   }
 
+  test("KS-drift foreachBatch pipeline: appended count partials serve the batch answer") {
+    // The production form of stream_ks_drift: events land incrementally;
+    // each micro-batch appends per-value INTEGER count partials (exact
+    // cents keys — associative under sum at any wave split), and the
+    // serve step merges them into the exact rational KS statistic. Must
+    // equal the one-pass batch test bit-for-bit.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.{Window => W}
+    val ev = sources.Tables.events(spark, TestSpark.Sf)
+      .filter($"event_type".isin("view", "purchase"))
+      .select($"event_id", $"event_type", $"value").cache()
+    val mid = ev.agg(floor(max($"event_id") / 2.0).cast("long"))
+      .collect()(0).getLong(0)
+    val base = Files.createTempDirectory("graft_ksstrm").toString
+    val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+    def runWave(): Unit = {
+      val q = spark.readStream.schema(ev.schema).parquet(src)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cv"),
+              col("event_type"))
+            .groupBy(col("cv"))
+            .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("c1"),
+              sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c2"))
+            .write.mode("append").parquet(out)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    ev.filter($"event_id" <= mid).write.mode("append").parquet(src)
+    runWave()
+    ev.filter($"event_id" > mid).write.mode("append").parquet(src)
+    runWave()
+    val counts = spark.read.parquet(out)
+      .groupBy($"cv").agg(sum($"c1").as("c1"), sum($"c2").as("c2"))
+    val w = W.orderBy($"cv").rowsBetween(Long.MinValue, 0)
+    val cum = counts
+      .withColumn("cum1", sum($"c1").over(w))
+      .withColumn("cum2", sum($"c2").over(w)).localCheckpoint()
+    val tot = cum.agg(max($"cum1").as("n1"), max($"cum2").as("n2"))
+    val served = cum.crossJoin(broadcast(tot))
+      .agg(first($"n1").as("n1"), first($"n2").as("n2"),
+        max(abs($"cum1" * $"n2" - $"cum2" * $"n1")).as("d_num"))
+      .select($"n1", $"n2", $"d_num", ($"n1" * $"n2").as("d_den"),
+        ($"d_num".cast("double") / ($"n1" * $"n2").cast("double")).as("d"))
+      .collect().map(_.toSeq).toSet
+    val batchTruth = operators.Analytics.ksTest.run(spark, TestSpark.Sf)
+      .collect().map(_.toSeq).toSet
+    assert(served === batchTruth,
+      "merged count partials must reproduce the batch KS statistic exactly")
+  }
+
   test("cdc foreachBatch pipeline: appended compaction partials serve the batch answer") {
     // The production form of stream_cdc: the change log lands incrementally
     // (two arrival waves through a checkpointed file source); each
