@@ -283,7 +283,92 @@ object Analytics {
             GROUP BY n1, n2""")
   )
 
+  /** Mann–Whitney U rank-sum test between the same two cohorts as
+    * `agg_ks_test` — KS asks "is the distribution different anywhere?",
+    * U asks "does one cohort stochastically dominate?" (the A/B-test
+    * question). Ties get midranks.
+    *
+    * Determinism — EXACT INTEGERS throughout: a tie span [lo, hi] has
+    * midrank (lo+hi)/2, so DOUBLED midranks are the integer lo+hi; the
+    * doubled rank sum 2R₁ = Σ c₁(v)·(lo+hi) and the doubled statistics
+    * 2U₁ = 2n₁n₂ + n₁(n₁+1) − 2R₁, 2U₂ likewise, are all BIGINT, and
+    * the spec checks the closed identity 2U₁ + 2U₂ = 2n₁n₂. The
+    * normal-approximation z (with the standard tie correction
+    * Σ(t³−t)) is one sqrt over exact-integer inputs — identical
+    * doubles in both engines, emitted raw (no round()).
+    *
+    * Scale shape: identical to agg_ks_test — per-value counts bounded by
+    * the cents domain, one window pass over domain-sized rows, 1-row
+    * fold. */
+  val mannWhitney: GraftQuery = GraftQuery(
+    "agg_mannwhitney",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.events(s, dir)
+        .filter($"event_type".isin("view", "purchase"))
+        .select(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cv"),
+          $"event_type")
+        .groupBy($"cv")
+        .agg(sum(when($"event_type" === "view", 1L).otherwise(0L)).as("c1"),
+          sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("c2"))
+        .withColumn("t", $"c1" + $"c2")
+      val w = Window.orderBy($"cv").rowsBetween(Window.unboundedPreceding, 0)
+      val ranked = counts
+        .withColumn("hi", sum($"t").over(w))            // cumulative pooled count
+        .withColumn("lo", $"hi" - $"t" + 1)             // tie span start
+        .localCheckpoint()
+      ranked
+        .agg(sum($"c1").as("n1"), sum($"c2").as("n2"),
+          sum($"c1" * ($"lo" + $"hi")).as("r1_x2"),
+          sum($"t" * $"t" * $"t" - $"t").as("tie_t3"))
+        .select($"n1", $"n2",
+          (lit(2L) * $"n1" * $"n2" + $"n1" * ($"n1" + 1L) - $"r1_x2").as("u1_x2"),
+          (lit(2L) * $"n1" * $"n2" + $"n2" * ($"n2" + 1L)
+            - (($"n1" + $"n2") * ($"n1" + $"n2" + 1L) - $"r1_x2")).as("u2_x2"),
+          $"tie_t3",
+          // z = (U1 - n1 n2 / 2) / sqrt(n1 n2 / 12 · ((N+1) - Σ(t³-t)/(N(N-1))))
+          ((($"u1_x2".cast("double") / 2.0) - ($"n1" * $"n2").cast("double") / 2.0)
+            / sqrt(($"n1" * $"n2").cast("double") / 12.0
+              * (($"n1" + $"n2" + 1L).cast("double")
+                - $"tie_t3".cast("double")
+                  / (($"n1" + $"n2").cast("double")
+                    * ($"n1" + $"n2" - 1L).cast("double"))))).as("z"))
+    },
+    Some("""WITH c AS (
+              SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cv,
+                     CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                     CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+              FROM events
+              WHERE event_type IN ('view', 'purchase')
+              GROUP BY 1),
+            r AS (
+              SELECT cv, c1, c2, c1 + c2 AS t,
+                     sum(c1 + c2) OVER (ORDER BY cv ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) AS hi,
+                     sum(c1 + c2) OVER (ORDER BY cv ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) - (c1 + c2) + 1 AS lo
+              FROM c),
+            a AS (
+              SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+                     CAST(sum(c1 * (lo + hi)) AS BIGINT) AS r1_x2,
+                     CAST(sum(t * t * t - t) AS BIGINT) AS tie_t3
+              FROM r)
+            SELECT n1, n2,
+                   CAST(2 * n1 * n2 + n1 * (n1 + 1) - r1_x2 AS BIGINT) AS u1_x2,
+                   CAST(2 * n1 * n2 + n2 * (n2 + 1)
+                        - ((n1 + n2) * (n1 + n2 + 1) - r1_x2) AS BIGINT) AS u2_x2,
+                   tie_t3,
+                   ((CAST(u1_x2_i AS DOUBLE) / 2.0) - CAST(n1 * n2 AS DOUBLE) / 2.0)
+                     / sqrt(CAST(n1 * n2 AS DOUBLE) / 12.0
+                            * (CAST(n1 + n2 + 1 AS DOUBLE)
+                               - CAST(tie_t3 AS DOUBLE)
+                                 / (CAST(n1 + n2 AS DOUBLE)
+                                    * CAST(n1 + n2 - 1 AS DOUBLE)))) AS z
+            FROM (SELECT *, 2 * n1 * n2 + n1 * (n1 + 1) - r1_x2 AS u1_x2_i FROM a)""")
+  )
+
   def all: Seq[GraftQuery] = Seq(
     statsAgg, percentiles, approxPercentile, stringAgg, pivotAgg, jsonStruct,
-    topNRevenue, corrMatrix, ksTest)
+    topNRevenue, corrMatrix, ksTest, mannWhitney)
 }

@@ -160,4 +160,29 @@ class AggregatesSpec extends AnyFunSuite {
     assert(r.getAs[Long]("d_den") === n1 * n2)
     assert(r.getAs[Double]("d") === dNum.toDouble / (n1 * n2).toDouble)
   }
+
+  test("Mann-Whitney U: doubled midranks match a brute rank recompute; U identity") {
+    val rows = sources.Tables.events(spark, TestSpark.Sf)
+      .filter($"event_type".isin("view", "purchase"))
+      .select($"event_type", $"value").collect()
+      .map(r => (r.getString(0), BigDecimal(r.getDouble(1)).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP)))
+    val pooled = rows.map(_._2).sorted
+    // doubled midrank of value v = (first position + last position) of v's
+    // tie span, 1-indexed — an integer even for even tie spans
+    val lo = pooled.zipWithIndex.groupBy(_._1).map { case (v, xs) => v -> (xs.map(_._2).min + 1) }
+    val hi = pooled.zipWithIndex.groupBy(_._1).map { case (v, xs) => v -> (xs.map(_._2).max + 1) }
+    val r1x2 = rows.filter(_._1 == "view").map(t => (lo(t._2) + hi(t._2)).toLong).sum
+    val n1 = rows.count(_._1 == "view").toLong
+    val n2 = rows.count(_._1 == "purchase").toLong
+    val out = operators.Analytics.mannWhitney.run(spark, TestSpark.Sf).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n1") === n1 && r.getAs[Long]("n2") === n2)
+    val (u1, u2) = (r.getAs[Long]("u1_x2"), r.getAs[Long]("u2_x2"))
+    assert(u1 === 2 * n1 * n2 + n1 * (n1 + 1) - r1x2,
+      "doubled U1 must match the brute midrank sum")
+    assert(u1 + u2 === 2 * n1 * n2, "U1 + U2 = n1*n2 (doubled identity)")
+    assert(!r.getAs[Double]("z").isNaN)
+  }
 }
