@@ -958,8 +958,79 @@ object TimeSeries {
             ORDER BY p.event_type, p.hod""")
   )
 
+  /** Mann–Kendall trend test per event type over the daily-total series —
+    * the nonparametric "is this metric actually trending?" check run
+    * before anyone acts on a dashboard slope (no normality assumption, no
+    * least squares; it counts concordant vs discordant day pairs).
+    *
+    * Determinism — EXACT INTEGERS: daily totals are cents-BIGINTs, so
+    * S = Σ_{i<j} sign(v_j − v_i) is a sum of exact {−1,0,+1}; the
+    * tie-corrected variance numerator n(n−1)(2n+5) − Σ t(t−1)(2t+5) is
+    * BIGINT (emitted as var_x18 = 18·Var); the continuity-corrected z is
+    * one sqrt over identical doubles. No round() anywhere (the KS/U
+    * family convention).
+    *
+    * Scale shape: the fact table reduces to a CALENDAR-BOUNDED daily
+    * series (one hash aggregate with map-side partials) before the pair
+    * join — at 100 TB the self-join runs on |types| × |days| rows, not
+    * events. The pair join keys on event_type (shuffle-hash) with the
+    * day inequality as a residual — quadratic only in the bounded series
+    * length, the standard MK cost model. */
+  val mkTrend: GraftQuery = GraftQuery(
+    "ts_mk_trend",
+    (s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
+        .agg(expr("sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))").as("v"))
+        .localCheckpoint() // pair join + tie profile both read it
+      val pairs = daily.as("a")
+        .join(daily.as("b").hint("shuffle_hash"),
+          $"a.event_type" === $"b.event_type" && $"a.day" < $"b.day")
+        .groupBy($"a.event_type".as("event_type"))
+        .agg(sum(signum($"b.v" - $"a.v").cast("long")).as("s"))
+      val ties = daily.groupBy($"event_type", $"v")
+        .agg(count(lit(1)).as("t"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_distinct"), sum($"t").as("n"),
+          sum($"t" * ($"t" - 1L) * (lit(2L) * $"t" + 5L)).as("tie_term"))
+      pairs.join(ties.hint("shuffle_hash"), "event_type")
+        .select($"event_type", $"n", $"s",
+          ($"n" * ($"n" - 1L) * (lit(2L) * $"n" + 5L) - $"tie_term").as("var_x18"),
+          // continuity correction: z = (S ∓ 1)/sqrt(Var), 0 when S = 0
+          (when($"s" > 0, $"s" - 1L).when($"s" < 0, $"s" + 1L).otherwise(0L)
+            .cast("double")
+            / sqrt(($"n" * ($"n" - 1L) * (lit(2L) * $"n" + 5L) - $"tie_term")
+              .cast("double") / 18.0)).as("z"))
+        .orderBy($"event_type")
+    },
+    Some("""WITH daily AS (
+              SELECT event_type, date_trunc('day', ts) AS day,
+                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+              FROM events GROUP BY 1, 2),
+            s AS (
+              SELECT a.event_type,
+                     CAST(sum(CASE WHEN b.v > a.v THEN 1
+                                   WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s
+              FROM daily a JOIN daily b
+                ON a.event_type = b.event_type AND a.day < b.day
+              GROUP BY 1),
+            ties AS (
+              SELECT event_type, CAST(sum(t) AS BIGINT) AS n,
+                     CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+              FROM (SELECT event_type, v, count(*) AS t FROM daily GROUP BY 1, 2)
+              GROUP BY 1)
+            SELECT s.event_type, n, s,
+                   CAST(n * (n - 1) * (2 * n + 5) - tie_term AS BIGINT) AS var_x18,
+                   CAST(CASE WHEN s > 0 THEN s - 1
+                             WHEN s < 0 THEN s + 1 ELSE 0 END AS DOUBLE)
+                     / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18.0) AS z
+            FROM s JOIN ties USING (event_type)
+            ORDER BY event_type""")
+  )
+
   def all: Seq[GraftQuery] =
     Seq(asofJoin, gapFill, ntileRanks, skewSalted, resample, funnel,
       funnelWindowed, sessionize, retention, anomaly, interpolate, ewma,
-      crossCorr, outlierMad, rollingMedian, cusum, seasonality)
+      crossCorr, outlierMad, rollingMedian, cusum, seasonality, mkTrend)
 }

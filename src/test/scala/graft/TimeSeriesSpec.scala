@@ -384,4 +384,30 @@ class TimeSeriesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("Mann-Kendall: S and tie-corrected variance match a brute pair count") {
+    import java.sql.Timestamp
+    val daily = sources.Tables.events(spark, TestSpark.Sf)
+      .groupBy($"event_type", org.apache.spark.sql.functions.date_trunc("day", $"ts").as("day"))
+      .agg(org.apache.spark.sql.functions.expr(
+        "sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))").as("v"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+    val out = operators.TimeSeries.mkTrend.run(spark, TestSpark.Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val tpe = r.getString(0)
+      val series = daily.filter(_._1 == tpe).sortBy(_._2.getTime).map(_._3)
+      val n = series.length.toLong
+      var sStat = 0L
+      for (i <- series.indices; j <- i + 1 until series.length)
+        sStat += java.lang.Long.signum(series(j) - series(i))
+      val tieTerm = series.groupBy(identity).values
+        .map(g => { val t = g.length.toLong; t * (t - 1) * (2 * t + 5) }).sum
+      assert(r.getAs[Long]("n") === n)
+      assert(r.getAs[Long]("s") === sStat, s"$tpe S mismatch")
+      assert(r.getAs[Long]("var_x18") === n * (n - 1) * (2 * n + 5) - tieTerm)
+      val z = r.getAs[Double]("z")
+      assert(!z.isNaN && math.abs(z) < 10.0)
+    }
+  }
 }
