@@ -1251,8 +1251,85 @@ object Corpus {
              ORDER BY cb DESC, w1, w2 LIMIT 50""")
   )
 
+  /** Interpolated TRIGRAM Kneser–Ney over the frozen trigram layout —
+    * the full modified-KN ladder next to the bigram form: the trigram
+    * term discounts observed c(w1w2w3) and backs off to the CONTINUATION
+    * bigram distribution (how many distinct w1 precede (w2,w3)), which
+    * itself discounts and backs off to the continuation unigram. The
+    * smoothing KenLM actually ships for production n-gram LMs.
+    *
+    * Determinism — EXACT RATIONAL through BOTH levels (D = 3/4 at each):
+    * multiplying through by 16·c₁₂·N1+(·w₂·)·M gives
+    *   num = 4·N1+(·w₂·)·M·max(4·c₁₂₃ − 3, 0)
+    *       + 3·N1+(w₁w₂·)·[M·max(4·N1+(·w₂w₃) − 3, 0)
+    *                       + 3·N1+(w₂·)·N1+(·w₃)]
+    *   den = 16·c₁₂·N1+(·w₂·)·M
+    * — all BIGINTs (peak ~1e13 at sf0.1, far inside range), so p is ONE
+    * division of identical integers; no round() anywhere. CorpusSpec
+    * proves the closed normalization identities at both levels:
+    * Σ max(4c−3,0) = 4·c₁₂ − 3·N1+(w₁w₂·) per context, and the
+    * continuation level's Σ = 4·N1+(·w₂·)·M per w₂.
+    *
+    * Scale shape: four roll-ups of the persisted trigram layout (by
+    * (w1,w2), by (w2,w3), by w2, by w3) + the 1-row type count, joined
+    * back shuffle-hash — the model is billions of rows at web scale,
+    * never broadcast; top-50 is TakeOrderedAndProject. */
+  val kn3Smoothed: GraftQuery = GraftQuery(
+    "llm_lm_kneser_ney3",
+    (s, dir) => {
+      import s.implicits._
+      val tri = lmTrigrams(s, dir)
+      val ctx12 = tri.groupBy($"w1", $"w2")
+        .agg(sum($"ct").as("c12"), count(lit(1)).as("n3fwd"))
+      val mid = tri.groupBy($"w2", $"w3").agg(count(lit(1)).as("ncmid"))
+      val midCtx = mid.groupBy($"w2")
+        .agg(sum($"ncmid").as("nmidctx"), count(lit(1)).as("nafter"))
+      val endw = mid.groupBy($"w3").agg(count(lit(1)).as("nend"))
+      val m = mid.agg(count(lit(1)).as("m"))
+      tri.join(ctx12.hint("shuffle_hash"), Seq("w1", "w2"))
+        .join(mid.hint("shuffle_hash"), Seq("w2", "w3"))
+        .join(midCtx.hint("shuffle_hash"), Seq("w2"))
+        .join(endw.hint("shuffle_hash"), Seq("w3"))
+        .crossJoin(broadcast(m))
+        .withColumn("kn_num",
+          expr("""4 * nmidctx * m * greatest(4 * ct - 3, 0)
+                  + 3 * n3fwd * (m * greatest(4 * ncmid - 3, 0)
+                                 + 3 * nafter * nend)"""))
+        .withColumn("kn_den", expr("16 * c12 * nmidctx * m"))
+        .select($"w1", $"w2", $"w3", $"ct", $"kn_num", $"kn_den",
+          ($"kn_num".cast("double") / $"kn_den".cast("double")).as("p_kn"))
+        .orderBy($"ct".desc, $"w1", $"w2", $"w3")
+        .limit(50)
+    },
+    Some(s"""WITH pt AS (SELECT doc_id, source, string_split(text, ' ') AS w
+                         FROM documents),
+             ptg AS (SELECT w[i-1] AS w1, w[i] AS w2, w[i+1] AS w3
+                     FROM pt, unnest(range(2, len(w))) u(i)
+                     WHERE source = '$PplRefSource'),
+             tri AS (SELECT w1, w2, w3, count(*) AS ct FROM ptg GROUP BY 1, 2, 3),
+             ctx12 AS (SELECT w1, w2, CAST(sum(ct) AS BIGINT) AS c12,
+                              count(*) AS n3fwd FROM tri GROUP BY 1, 2),
+             mid AS (SELECT w2, w3, count(*) AS ncmid FROM tri GROUP BY 1, 2),
+             midctx AS (SELECT w2, CAST(sum(ncmid) AS BIGINT) AS nmidctx,
+                               count(*) AS nafter FROM mid GROUP BY 1),
+             endw AS (SELECT w3, count(*) AS nend FROM mid GROUP BY 1),
+             m AS (SELECT count(*) AS m FROM mid)
+             SELECT w1, w2, w3, ct,
+                    CAST(4 * nmidctx * m.m * greatest(4 * ct - 3, 0)
+                         + 3 * n3fwd * (m.m * greatest(4 * ncmid - 3, 0)
+                                        + 3 * nafter * nend) AS BIGINT) AS kn_num,
+                    CAST(16 * c12 * nmidctx * m.m AS BIGINT) AS kn_den,
+                    CAST(4 * nmidctx * m.m * greatest(4 * ct - 3, 0)
+                         + 3 * n3fwd * (m.m * greatest(4 * ncmid - 3, 0)
+                                        + 3 * nafter * nend) AS DOUBLE)
+                      / CAST(16 * c12 * nmidctx * m.m AS DOUBLE) AS p_kn
+             FROM tri JOIN ctx12 USING (w1, w2) JOIN mid USING (w2, w3)
+                      JOIN midctx USING (w2) JOIN endw USING (w3) CROSS JOIN m
+             ORDER BY ct DESC, w1, w2, w3 LIMIT 50""")
+  )
+
   def all: Seq[GraftQuery] =
     Seq(contamination, decontaminate, repetition, substringDup, paragraphDedup,
       tfidf, curate, perplexity, perplexityTrigram, bm25, datasetCard,
-      knSmoothed)
+      knSmoothed, kn3Smoothed)
 }

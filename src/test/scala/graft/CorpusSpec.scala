@@ -461,4 +461,39 @@ class CorpusSpec extends AnyFunSuite {
       assert(p === num.toDouble / den.toDouble, "p_kn must be the exact quotient")
     }
   }
+
+  test("trigram Kneser-Ney: both levels' integer normalization identities") {
+    // Full-vocabulary sum-to-one, in the exact integer forms:
+    //  trigram level, per (w1,w2):  Σ max(4c-3,0) = 4·c12 − 3·N1+(w1w2·)
+    //  continuation level, per w2:  Σ_w3seen M·max(4·N1+(·w2w3)−3,0)
+    //                               + 3·N1+(w2·)·Σ_all N1+(·w3)  = 4·N1+(·w2·)·M
+    val tri = llm.Corpus.lmTrigrams(spark, TestSpark.Sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(tri.nonEmpty)
+    tri.groupBy(t => (t._1, t._2)).foreach { case ((w1, w2), rows) =>
+      val c12 = rows.map(_._4).sum
+      val disc = rows.map(r => math.max(4 * r._4 - 3, 0L)).sum
+      assert(disc + 3L * rows.length === 4 * c12,
+        s"trigram-level identity broken for ($w1, $w2)")
+    }
+    val mid = tri.map(t => (t._2, t._3)).groupBy(identity)
+      .map { case (k, xs) => k -> xs.length.toLong } // N1+(·w2w3)
+    val m = mid.size.toLong
+    val nendTotal = m // Σ_w3 N1+(·w3) counts each (w2,w3) type once
+    mid.groupBy(_._1._1).foreach { case (w2, entries) =>
+      val nmidctx = entries.values.sum
+      val nafter = entries.size.toLong
+      val discounted = entries.values.map(nc => m * math.max(4 * nc - 3, 0L)).sum
+      assert(discounted + 3 * nafter * nendTotal === 4 * nmidctx * m,
+        s"continuation-level identity broken for w2=$w2")
+    }
+    val out = llm.Corpus.kn3Smoothed.run(spark, TestSpark.Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (num, den, p) = (r.getAs[Long]("kn_num"), r.getAs[Long]("kn_den"),
+        r.getAs[Double]("p_kn"))
+      assert(num > 0 && den > 0 && p > 0.0 && p <= 1.0)
+      assert(p === num.toDouble / den.toDouble)
+    }
+  }
 }

@@ -43,6 +43,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "llm_domain_mix",     // 1-row stratum-totals broadcast onto the bounded stratum table
     "llm_perplexity",     // 1-row smoothing-vocab broadcast onto the scoring join
     "llm_lm_kneser_ney",  // 1-row bigram-type-count (M) broadcast onto the scored rows
+    "llm_lm_kneser_ney3", // same 1-row type-count broadcast, trigram ladder
     "agg_ks_test",        // 1-row sample-totals broadcast onto the domain-sized ECDF
     "stream_ks_drift",    // same 1-row totals broadcast + 1-row wave-bounds broadcasts
     // llm_perplexity_trigram needs no entry: its 1-row stats broadcast
