@@ -1029,8 +1029,78 @@ object TimeSeries {
             ORDER BY event_type""")
   )
 
+  /** Theil–Sen robust slope per event type — the MAGNITUDE companion to
+    * ts_mk_trend's significance test: the median of all pairwise daily
+    * slopes, immune to outlier days that wreck a least-squares fit (one
+    * corrupted ingestion day moves OLS arbitrarily; it moves one slope
+    * among C(n,2)).
+    *
+    * Determinism: every pairwise slope is the exact rational
+    * (v_j − v_i) / (d_j − d_i) in cents/day (BIGINT num, positive
+    * BIGINT den); the median is selected by ORDERING on the slope's
+    * double image (identical integer inputs → identical doubles in both
+    * engines) with a deterministic (day_i, day_j) tiebreak, and the
+    * row_number pick at ceil(n/2) is the lower median — a SELECTION, so
+    * the output carries the chosen pair's exact num/den alongside the
+    * one-division double. No round() anywhere.
+    *
+    * Scale shape: same as ts_mk_trend — the fact table reduces to the
+    * calendar-bounded daily series before the pair join; the median
+    * window sorts |types| × C(|days|, 2) rows (bounded), never events. */
+  val theilSen: GraftQuery = GraftQuery(
+    "ts_theilsen",
+    (s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
+        .agg(expr("sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))").as("v"))
+        .localCheckpoint()
+      val pairs = daily.as("a")
+        .join(daily.as("b").hint("shuffle_hash"),
+          $"a.event_type" === $"b.event_type" && $"a.day" < $"b.day")
+        .select($"a.event_type".as("event_type"),
+          ($"b.v" - $"a.v").as("num"),
+          expr("CAST(datediff(b.day, a.day) AS BIGINT)").as("den"),
+          $"a.day".as("d1"), $"b.day".as("d2"))
+        .withColumn("slope", $"num".cast("double") / $"den".cast("double"))
+      val w = Window.partitionBy($"event_type")
+        .orderBy($"slope", $"d1", $"d2")
+      pairs
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_pairs", count(lit(1)).over(
+          Window.partitionBy($"event_type")))
+        .filter($"rn" === ($"n_pairs" + 1) / 2)
+        .select($"event_type", $"n_pairs", $"num".as("slope_num"),
+          $"den".as("slope_den"), $"slope")
+        .orderBy($"event_type")
+    },
+    Some("""WITH daily AS (
+              SELECT event_type, date_trunc('day', ts) AS day,
+                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+              FROM events GROUP BY 1, 2),
+            pairs AS (
+              SELECT a.event_type,
+                     b.v - a.v AS num,
+                     CAST(datediff('day', a.day, b.day) AS BIGINT) AS den,
+                     a.day AS d1, b.day AS d2,
+                     CAST(b.v - a.v AS DOUBLE)
+                       / CAST(datediff('day', a.day, b.day) AS DOUBLE) AS slope
+              FROM daily a JOIN daily b
+                ON a.event_type = b.event_type AND a.day < b.day),
+            ranked AS (
+              SELECT *,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY slope, d1, d2) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS n_pairs
+              FROM pairs)
+            SELECT event_type, n_pairs, num AS slope_num, den AS slope_den, slope
+            FROM ranked WHERE rn = (n_pairs + 1) // 2
+            ORDER BY event_type""")
+  )
+
   def all: Seq[GraftQuery] =
     Seq(asofJoin, gapFill, ntileRanks, skewSalted, resample, funnel,
       funnelWindowed, sessionize, retention, anomaly, interpolate, ewma,
-      crossCorr, outlierMad, rollingMedian, cusum, seasonality, mkTrend)
+      crossCorr, outlierMad, rollingMedian, cusum, seasonality, mkTrend,
+      theilSen)
 }

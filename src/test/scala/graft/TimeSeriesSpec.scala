@@ -410,4 +410,32 @@ class TimeSeriesSpec extends AnyFunSuite {
       assert(!z.isNaN && math.abs(z) < 10.0)
     }
   }
+
+  test("Theil-Sen: lower-median pairwise slope matches a brute recompute") {
+    val daily = sources.Tables.events(spark, TestSpark.Sf)
+      .groupBy($"event_type", org.apache.spark.sql.functions.date_trunc("day", $"ts").as("day"))
+      .agg(org.apache.spark.sql.functions.expr(
+        "sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))").as("v"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+    val out = operators.TimeSeries.theilSen.run(spark, TestSpark.Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val tpe = r.getString(0)
+      val series = daily.filter(_._1 == tpe).sortBy(_._2.getTime)
+      val pairs = for {
+        i <- series.indices; j <- i + 1 until series.length
+      } yield {
+        val days = (series(j)._2.getTime - series(i)._2.getTime) / 86400000L
+        val slope = (series(j)._3 - series(i)._3).toDouble / days.toDouble
+        (slope, series(i)._2.getTime, series(j)._2.getTime,
+          series(j)._3 - series(i)._3, days)
+      }
+      val sorted = pairs.sortBy(t => (t._1, t._2, t._3))
+      val pick = sorted((pairs.length + 1) / 2 - 1)
+      assert(r.getAs[Long]("n_pairs") === pairs.length.toLong)
+      assert(r.getAs[Long]("slope_num") === pick._4, s"$tpe slope numerator")
+      assert(r.getAs[Long]("slope_den") === pick._5, s"$tpe slope denominator")
+      assert(r.getAs[Double]("slope") === pick._4.toDouble / pick._5.toDouble)
+    }
+  }
 }
