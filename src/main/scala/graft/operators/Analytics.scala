@@ -368,7 +368,75 @@ object Analytics {
             FROM (SELECT *, 2 * n1 * n2 + n1 * (n1 + 1) - r1_x2 AS u1_x2_i FROM a)""")
   )
 
+  /** Chi-squared independence test on the event_type × day-of-week
+    * contingency table — "does activity MIX depend on the weekday?", the
+    * categorical member of the cohort-statistics family (KS:
+    * distribution, U: dominance, MK/Theil–Sen: trend, χ²: independence).
+    *
+    * Determinism — exact rationals + INTEGERIZED summation: each cell's
+    * term is (o·N − r·c)²/(N·r·c) with BIGINT numerator and denominator,
+    * so the per-cell doubles are identical in both engines; the SUM is
+    * over Σ floor(term·1e12) in BIGINT (the llm_embed_quantize SSE
+    * pattern — bias ≤ cells·1e-12, stated in the column name), because
+    * even an ORDERED window cumsum of doubles diverges: DuckDB computes
+    * windowed double sums through a segment tree (pairwise association;
+    * SURVEY trap note a), which a first draft of this query re-proved
+    * at the last ulp. Integer sums are associativity-immune.
+    *
+    * Scale shape: one hash aggregate onto the bounded cell domain
+    * (map-side partials reduce every partition to ≤ cells rows), row and
+    * column totals broadcast back, and the ordered fold runs on the
+    * domain — 100 TB of events never reaches anything global. */
+  val chiSq: GraftQuery = GraftQuery(
+    "agg_chisq",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val cells = Tables.events(s, dir)
+        .groupBy($"event_type", dayofweek($"ts").as("dow"))
+        .agg(count(lit(1)).as("o"))
+        .localCheckpoint() // totals + fold both read it
+      val rowT = cells.groupBy($"event_type").agg(sum($"o").as("r"))
+      val colT = cells.groupBy($"dow").agg(sum($"o").as("c"))
+      val nTot = cells.agg(sum($"o").as("n"),
+        count(lit(1)).as("n_cells"),
+        countDistinct($"event_type").as("n_rows"),
+        countDistinct($"dow").as("n_cols"))
+      cells
+        .join(broadcast(rowT), "event_type")
+        .join(broadcast(colT), "dow")
+        .crossJoin(broadcast(nTot))
+        .withColumn("dev", $"o" * $"n" - $"r" * $"c")
+        .withColumn("term",
+          ($"dev" * $"dev").cast("double")
+            / ($"n" * $"r" * $"c").cast("double"))
+        .groupBy($"n_cells", (($"n_rows" - 1) * ($"n_cols" - 1)).as("dof"))
+        .agg(sum(floor($"term" * 1e12).cast("long")).as("chi2_e12"))
+        .select($"n_cells", $"dof", $"chi2_e12",
+          ($"chi2_e12".cast("double") / 1e12).as("chi2"))
+    },
+    Some("""WITH cells AS (
+              SELECT event_type, dayofweek(ts) + 1 AS dow,
+                     CAST(count(*) AS BIGINT) AS o
+              FROM events GROUP BY 1, 2),
+            rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+            ct AS (SELECT dow, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+            nt AS (SELECT CAST(sum(o) AS BIGINT) AS n, count(*) AS n_cells,
+                          count(DISTINCT event_type) AS n_rows,
+                          count(DISTINCT dow) AS n_cols
+                   FROM cells),
+            terms AS (
+              SELECT nt.n_cells, nt.n_rows, nt.n_cols,
+                     CAST((o * n - r * c) * (o * n - r * c) AS DOUBLE)
+                       / CAST(n * r * c AS DOUBLE) AS term
+              FROM cells JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN nt)
+            SELECT n_cells, (n_rows - 1) * (n_cols - 1) AS dof,
+                   CAST(sum(CAST(floor(term * 1e12) AS BIGINT)) AS BIGINT) AS chi2_e12,
+                   CAST(sum(CAST(floor(term * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS chi2
+            FROM terms GROUP BY n_cells, n_rows, n_cols""")
+  )
+
   def all: Seq[GraftQuery] = Seq(
     statsAgg, percentiles, approxPercentile, stringAgg, pivotAgg, jsonStruct,
-    topNRevenue, corrMatrix, ksTest, mannWhitney)
+    topNRevenue, corrMatrix, ksTest, mannWhitney, chiSq)
 }

@@ -185,4 +185,26 @@ class AggregatesSpec extends AnyFunSuite {
     assert(u1 + u2 === 2 * n1 * n2, "U1 + U2 = n1*n2 (doubled identity)")
     assert(!r.getAs[Double]("z").isNaN)
   }
+
+  test("chi-squared: integerized statistic matches a brute contingency recompute") {
+    val rows = sources.Tables.events(spark, TestSpark.Sf)
+      .select($"event_type", org.apache.spark.sql.functions.dayofweek($"ts").as("dow"))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    val cells = rows.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val rT = cells.groupBy(_._1._1).map { case (k, m) => k -> m.values.sum }
+    val cT = cells.groupBy(_._1._2).map { case (k, m) => k -> m.values.sum }
+    val n = cells.values.sum
+    val expected = cells.map { case ((t, d), o) =>
+      val dev = o * n - rT(t) * cT(d)
+      math.floor(dev.toDouble * dev.toDouble / (n.toDouble * rT(t) * cT(d)) * 1e12).toLong
+    }.sum
+    val out = operators.Analytics.chiSq.run(spark, TestSpark.Sf).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_cells") === cells.size.toLong)
+    assert(r.getAs[Long]("dof") === (rT.size - 1).toLong * (cT.size - 1))
+    assert(r.getAs[Long]("chi2_e12") === expected,
+      "integerized chi2 must match the brute contingency recompute")
+    assert(r.getAs[Double]("chi2") === expected.toDouble / 1e12)
+  }
 }

@@ -46,6 +46,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "llm_lm_kneser_ney3", // same 1-row type-count broadcast, trigram ladder
     "agg_ks_test",        // 1-row sample-totals broadcast onto the domain-sized ECDF
     "stream_ks_drift",    // same 1-row totals broadcast + 1-row wave-bounds broadcasts
+    "agg_chisq",          // 1-row table-totals broadcast onto the bounded cell domain
     // llm_perplexity_trigram needs no entry: its 1-row stats broadcast
     // lives in the one-time layout BUILD; the audited serving plan is a
     // plain read of the persisted per-doc scores.
