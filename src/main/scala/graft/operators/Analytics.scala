@@ -436,7 +436,67 @@ object Analytics {
             FROM terms GROUP BY n_cells, n_rows, n_cols""")
   )
 
+  /** Gini coefficient of order value per order status — the
+    * concentration measure ("do a few giant orders carry the book?")
+    * a revenue or data-mixture owner reads next to the percentiles;
+    * for a training corpus the same statistic over per-source token
+    * counts is the mixture-skew gauge.
+    *
+    * Determinism — EXACT RATIONAL: with ascending ranks i over integer
+    * cents, G = (2·Σ i·cᵢ − (n+1)·Σc) / (n·Σc) — BIGINT num/den, one
+    * division of identical integers (ties are rank-order-invariant:
+    * permuting equal values leaves Σ i·cᵢ unchanged, so the arbitrary
+    * tie order inside row_number cannot move the statistic). Σ i·c
+    * peaks ~6e16 at sf0.1 — inside BIGINT; at 100× shift the
+    * accumulator to DECIMAL(38,0).
+    *
+    * Scale shape: one window rank per group + one hash aggregate — the
+    * agg_percentile cost model (per-group sort; for unbounded groups the
+    * production path is the binned Lorenz approximation, same shape as
+    * approx_percentile). */
+  val gini: GraftQuery = GraftQuery(
+    "agg_gini",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"o_orderstatus")
+        .orderBy($"c", $"o_orderkey")
+      Tables.orders(s, dir)
+        .select($"o_orderstatus", $"o_orderkey",
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
+        .withColumn("i", row_number().over(w).cast("long"))
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum($"c").as("sum_c"),
+          sum($"i" * $"c").as("sum_ic"))
+        .select($"o_orderstatus", $"n",
+          (lit(2L) * $"sum_ic" - ($"n" + 1L) * $"sum_c").as("gini_num"),
+          ($"n" * $"sum_c").as("gini_den"),
+          ((lit(2L) * $"sum_ic" - ($"n" + 1L) * $"sum_c").cast("double")
+            / ($"n" * $"sum_c").cast("double")).as("gini"))
+        .orderBy($"o_orderstatus")
+    },
+    Some("""WITH r AS (
+              SELECT o_orderstatus,
+                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+                     row_number() OVER (PARTITION BY o_orderstatus
+                                        ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                                      * 100 AS BIGINT),
+                                                 o_orderkey) AS i
+              FROM orders),
+            a AS (
+              SELECT o_orderstatus, count(*) AS n,
+                     CAST(sum(c) AS BIGINT) AS sum_c,
+                     CAST(sum(i * c) AS BIGINT) AS sum_ic
+              FROM r GROUP BY 1)
+            SELECT o_orderstatus, n,
+                   CAST(2 * sum_ic - (n + 1) * sum_c AS BIGINT) AS gini_num,
+                   CAST(n * sum_c AS BIGINT) AS gini_den,
+                   CAST(2 * sum_ic - (n + 1) * sum_c AS DOUBLE)
+                     / CAST(n * sum_c AS DOUBLE) AS gini
+            FROM a ORDER BY o_orderstatus""")
+  )
+
   def all: Seq[GraftQuery] = Seq(
     statsAgg, percentiles, approxPercentile, stringAgg, pivotAgg, jsonStruct,
-    topNRevenue, corrMatrix, ksTest, mannWhitney, chiSq)
+    topNRevenue, corrMatrix, ksTest, mannWhitney, chiSq, gini)
 }

@@ -207,4 +207,26 @@ class AggregatesSpec extends AnyFunSuite {
       "integerized chi2 must match the brute contingency recompute")
     assert(r.getAs[Double]("chi2") === expected.toDouble / 1e12)
   }
+
+  test("Gini: exact rational matches a brute Lorenz recompute, bounded in [0,1)") {
+    val rows = sources.Tables.orders(spark, TestSpark.Sf)
+      .select($"o_orderstatus", $"o_totalprice").collect()
+      .map(r => (r.getString(0),
+        (BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLong))
+    val out = operators.Analytics.gini.run(spark, TestSpark.Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val st = r.getString(0)
+      val xs = rows.filter(_._1 == st).map(_._2).sorted
+      val n = xs.length.toLong
+      val sumC = xs.sum
+      val sumIC = xs.zipWithIndex.map { case (c, i) => (i + 1) * c }.sum
+      assert(r.getAs[Long]("n") === n)
+      assert(r.getAs[Long]("gini_num") === 2 * sumIC - (n + 1) * sumC,
+        s"$st Gini numerator")
+      assert(r.getAs[Long]("gini_den") === n * sumC)
+      val g = r.getAs[Double]("gini")
+      assert(g >= 0.0 && g < 1.0, s"$st gini $g out of range")
+    }
+  }
 }
