@@ -24,20 +24,32 @@ object Bench {
     // exception reads as a suspiciously fast time and can masquerade as a
     // perf win. Timings stay numeric; errors ride a parallel map.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case e: Throwable => errors(name) = e.getClass.getName }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    def pass(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable => errors(name) = e.getClass.getName }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    // Two passes in one JVM (round-9 verdict item 5): pass 1 pays every
+    // one-time cost — shared layout builds, checkpoint creation, codegen,
+    // file listing; pass 2 is the steady-state cost of the query itself.
+    // Reporting both makes cold setup attribution explicit: a regression
+    // is real only if it shows in `steady`. The headline `value` is the
+    // steady total (what the ≤2×-baseline gate should read); `first` rides
+    // alongside for the one-time-cost ledger.
+    val first = pass()
+    val steady = pass()
     // Locale.ROOT: the f-interpolator uses the JVM default locale, which
     // on comma-decimal locales would emit invalid JSON in the one line
     // that exists to be machine-parsed.
     def fmt(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    def qjson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+    val steadyTotal = if (steady.nonEmpty) steady.map(_._2).sum else 0.0
+    val firstTotal = if (first.nonEmpty) first.map(_._2).sum else 0.0
     // Per-query detail goes to a file and a non-final stdout line; the FINAL
     // stdout line is deliberately short so a tail-capture parse (which lost
     // the head of round 1's single long line) always gets a complete JSON
@@ -46,13 +58,13 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$steadyTotal,"unit":"sec","first_total":$firstTotal,"queries":${qjson(steady)},"queries_first":${qjson(first)},"errors":$errJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes("UTF-8"))
     catch { case _: Throwable => () }
     println(detail)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir","detail":"BENCH_DETAIL.json"}""")
+    println(s"""{"metric":"total","value":${fmt(steadyTotal)},"unit":"sec","first_total":${fmt(firstTotal)},"n_queries":${steady.size},"n_errors":${errors.size},"sf":"$sfDir","detail":"BENCH_DETAIL.json"}""")
     spark.stop()
   }
 }

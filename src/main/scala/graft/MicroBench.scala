@@ -143,9 +143,10 @@ object MicroBench {
       def wedges(cap: Option[Int]): Long =
         graft.operators.Graph.wedgeCommon(adj, cap)
           .agg(sum($"common")).collect()(0).getLong(0)
-      println(s"hub-skew wedges uncapped=${wedges(None)} capped34=${wedges(Some(34))}")
+      val cap = graft.operators.Graph.DegCap
+      println(s"hub-skew wedges uncapped=${wedges(None)} capped$cap=${wedges(Some(cap))}")
       best3("wedge enumeration: uncapped (5000-deg hub)") { wedges(None) }
-      best3("wedge enumeration: capped at 34") { wedges(Some(34)) }
+      best3(s"wedge enumeration: capped at $cap") { wedges(Some(cap)) }
     }
     spark.stop()
   }

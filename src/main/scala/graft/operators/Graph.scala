@@ -359,7 +359,7 @@ object Graph {
     * fixture graph's p90 degree — high enough that most wedges survive,
     * low enough that the rule visibly bites (the top-decile hubs stop
     * mediating candidates). */
-  private val DegCap = 34
+  private[graft] val DegCap = 34
 
   /** SHARED wedge enumeration over an adjacency-like frame (src, dst,
     * deg = deg(src), ddeg = deg(dst), symmetric — both orientations

@@ -112,6 +112,26 @@ object Ingest {
             GROUP BY event_type ORDER BY event_type""")
   )
 
+  /** The shared day-partitioned events layout (used by scan_partition_prune
+    * and join_dpp), written once per sf-dir behind the Layouts fingerprint
+    * protocol: a regenerated events fixture invalidates the layout instead
+    * of silently serving stale partitioned bytes while the oracle reads the
+    * live parquet (the round-5 staleness class the bare _SUCCESS probe
+    * reintroduced here). */
+  private def bydayLayout(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val out = s"/tmp/graft_ingest_byday/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    graft.llm.Layouts.parquetLayout(out, out,
+      graft.llm.Layouts.fingerprint(
+        Tables.events(s, dir), "event_id", "ts", "event_type", "value")) {
+      Tables.events(s, dir)
+        .withColumn("d", date_format($"ts", "yyyy-MM-dd"))
+        .repartition($"d")
+        .write.partitionBy("d").mode("overwrite").parquet(out)
+    }
+    out
+  }
+
   /** Partition-pruned scan: a day-partitioned layout is written once per
     * sf-dir (reused if present — both writers produce identical bytes), and
     * the query reads one week of it through a partition-column filter.
@@ -122,13 +142,7 @@ object Ingest {
     "scan_partition_prune",
     (s, dir) => {
       import s.implicits._
-      val out = s"/tmp/graft_ingest_byday/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-      if (!new java.io.File(out, "_SUCCESS").exists()) {
-        Tables.events(s, dir)
-          .withColumn("d", date_format($"ts", "yyyy-MM-dd"))
-          .repartition($"d")
-          .write.partitionBy("d").mode("overwrite").parquet(out)
-      }
+      val out = bydayLayout(s, dir)
       s.read.parquet(out)
         .filter($"d" >= "2024-01-08" && $"d" <= "2024-01-14")
         .groupBy($"d".cast("string").as("d"))
@@ -700,13 +714,7 @@ object Ingest {
     "join_dpp",
     (s, dir) => {
       import s.implicits._
-      val out = s"/tmp/graft_ingest_byday/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-      if (!new java.io.File(out, "_SUCCESS").exists()) {
-        Tables.events(s, dir)
-          .withColumn("d", date_format($"ts", "yyyy-MM-dd"))
-          .repartition($"d")
-          .write.partitionBy("d").mode("overwrite").parquet(out)
-      }
+      val out = bydayLayout(s, dir)
       val fact = s.read.parquet(out)
       val mondays = fact.select($"d").distinct()
         .filter(dayofweek(to_date($"d")) === 2)

@@ -1069,7 +1069,7 @@ object TimeSeries {
         .withColumn("rn", row_number().over(w))
         .withColumn("n_pairs", count(lit(1)).over(
           Window.partitionBy($"event_type")))
-        .filter($"rn" === ($"n_pairs" + 1) / 2)
+        .filter($"rn" === expr("(n_pairs + 1) div 2"))
         .select($"event_type", $"n_pairs", $"num".as("slope_num"),
           $"den".as("slope_den"), $"slope")
         .orderBy($"event_type")

@@ -249,7 +249,7 @@ class GraphSpec extends AnyFunSuite {
   }
 
   test("capped jaccard: matches a brute-force reference and the cap bites") {
-    val cap = 34
+    val cap = operators.Graph.DegCap
     val adj = bruteAdj
     val deg = adj.map { case (v, ns) => v -> ns.size }
     assert(deg.valuesIterator.exists(_ > cap),
@@ -313,7 +313,7 @@ class GraphSpec extends AnyFunSuite {
       operators.Graph.wedgeCommon(adj, cap)
         .agg(sum($"common")).head().getLong(0)
     val uncapped = wedges(None)
-    val capped = wedges(Some(34))
+    val capped = wedges(Some(operators.Graph.DegCap))
     // Every vertex's wedge contribution is C(deg, 2); the hub (deg 200)
     // is the only vertex over the cap. Path interiors have degree 3
     // (two path neighbors + the hub), the two path ends degree 2.

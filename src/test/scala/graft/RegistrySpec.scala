@@ -36,6 +36,35 @@ class RegistrySpec extends AnyFunSuite {
       "registry has queries missing from SURVEY §2b")
   }
 
+  test("SURVEY §2b oracle flags agree with SparkEntry.oracleSql") {
+    // Round-9 verdict item 6: key presence was gated both ways, but a row
+    // could still claim "Oracle: no" for a query that ships a DuckDB
+    // oracle (stream_session drifted exactly this way) or vice versa. The
+    // flag is the row's last cell: it must start with yes/no and match
+    // oracleSql membership for EVERY key the row declares.
+    val survey = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val section = survey.split("### §2b")(1).split("\n## ")(0)
+    val keyRe = "`((?:scan|filter|project|sort|set|sql|clean|ingest|source|join|agg|win|fn|stream|ts|llm|mm|graph)_[a-z0-9_]+)`".r
+    val oracled = SparkEntry.oracleSql.keySet
+    val drift = section.linesIterator.filter(_.startsWith("| `")).flatMap { line =>
+      val cells = line.split("\\|").map(_.trim).filter(_.nonEmpty)
+      val keys = keyRe.findAllMatchIn(cells.head).map(_.group(1)).toSeq
+      if (keys.isEmpty) Seq.empty
+      else {
+        val flagCell = cells.last.toLowerCase
+        val flag =
+          if (flagCell.startsWith("yes")) Some(true)
+          else if (flagCell.startsWith("no")) Some(false)
+          else None
+        assert(flag.nonEmpty, s"§2b row has no yes/no oracle flag: $line")
+        keys.filter(k => oracled.contains(k) != flag.get)
+      }
+    }.toSeq
+    assert(drift.isEmpty,
+      s"§2b oracle flag disagrees with SparkEntry.oracleSql for: ${drift.mkString(", ")}")
+  }
+
   for (q <- SparkEntry.registry) {
     test(s"${q.name} runs and returns rows at sf0.001") {
       assert(q.run(spark, TestSpark.Sf).count() > 0)

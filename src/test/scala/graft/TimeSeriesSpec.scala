@@ -438,4 +438,37 @@ class TimeSeriesSpec extends AnyFunSuite {
       assert(r.getAs[Double]("slope") === pick._4.toDouble / pick._5.toDouble)
     }
   }
+
+  test("Theil-Sen: even pair count still selects the lower median") {
+    // Regression for the round-9 advice finding: Spark Column `/` is
+    // DOUBLE division, so with an even n_pairs the rn === (n+1)/2 filter
+    // compared against x.5 and silently dropped the event type. 28 days
+    // gives C(28,2) = 378 pairs (even) — the fixture's 30-day series
+    // (435, odd) could never exercise this.
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ts_even").toString
+    val rows = (0 until 28).map { d =>
+      (d.toLong, java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 12:00:00"),
+        1L, "evt", ((d * 37 + 11) % 100) / 4.0, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = operators.TimeSeries.theilSen.run(spark, dir).collect()
+    assert(out.length === 1, "even pair count dropped the event type")
+    val r = out.head
+    assert(r.getAs[Long]("n_pairs") === 378L)
+    // Brute lower median over the same integerized dailies.
+    val daily = rows.map(t => (t._2.getTime / 86400000L,
+      (BigDecimal(t._5).setScale(2) * 100).toLongExact))
+    val pairs = for {
+      i <- daily.indices; j <- i + 1 until daily.length
+    } yield {
+      val den = daily(j)._1 - daily(i)._1
+      val num = daily(j)._2 - daily(i)._2
+      (num.toDouble / den.toDouble, daily(i)._1, daily(j)._1, num, den)
+    }
+    val pick = pairs.sortBy(t => (t._1, t._2, t._3)).apply((pairs.length + 1) / 2 - 1)
+    assert(r.getAs[Long]("slope_num") === pick._4)
+    assert(r.getAs[Long]("slope_den") === pick._5)
+  }
 }
