@@ -20,4 +20,26 @@ object GraftQuery {
     qs.map(q => q.name -> q.run).toMap
   def toOracleMap(qs: Seq[GraftQuery]): Map[String, String] =
     qs.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** localCheckpoint + origin-STATISTICS severance, for iterative
+    * algorithms that SELF-JOIN a checkpointed frame.
+    *
+    * localCheckpoint cuts lineage but carries the origin plan's
+    * Statistics onto the resulting LogicalRDD, and Catalyst's
+    * size-only join estimate is the PRODUCT of child sizes — so a
+    * self-join doubles the carried sizeInBytes BIT LENGTH every round.
+    * Across Borůvka's pointer-doubling rounds that is a
+    * double-exponential BigInt tower: planning time becomes minutes of
+    * driver-side Toom-Cook multiplication on numbers with millions of
+    * bits (measured: graph_mst at sf0.01 went from >600 s to seconds
+    * with the severance; a probe showed 22 → 2620 stats bits in 8
+    * self-join rounds unsevered vs flat 63 severed). Rebuilding the
+    * frame from the checkpointed RDD drops the carried stats back to
+    * the bounded default. Linear join chains (PageRank, CC, BFS) only
+    * ADD bits per round and don't need this; use it wherever a
+    * checkpointed frame joins itself. */
+  def cutStats(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint()
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
 }

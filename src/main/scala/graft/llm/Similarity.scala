@@ -487,14 +487,25 @@ object Similarity {
   /** ANN top-k over the PERSISTED IVF index — the recurring-query form:
     * Lloyd refinement and corpus assignment ran once at index-build time;
     * a query batch pays only its own probe descent (broadcast codebook ×
-    * NumQueries rows) plus a broadcast hash join whose scan DYNAMICALLY
+    * batch rows) plus a broadcast hash join whose scan DYNAMICALLY
     * PRUNES to the partition groups its probes touch (asserted on the
     * plan). At 100 TB with thousands of groups, a small query batch reads
     * a few list-groups, not the corpus — this is what makes ANN serving
-    * economical on the same layout analytics runs on. No oracle
-    * (approximate by design); SimilaritySpec pins structure, exact-sim
-    * containment, run-to-run determinism over the fixed index, and the
-    * dynamic-pruning plan shape. */
+    * economical on the same layout analytics runs on.
+    *
+    * Oracle (round-9 verdict item 4, the llm_dedup_semantic planted-twin
+    * construction): the GRADED query batch is the exact-direction twins
+    * of every 20th corpus vector (qid = vec_id + TwinOffset, qv = 2·v —
+    * a power-of-two scale, so every cosine the descent computes is the
+    * BIT-IDENTICAL float of the original's). Cosine probing is
+    * scale-invariant, so under ANY codebook the twin's first probe is
+    * its source's assigned list, the source is always a candidate, and
+    * it scores exactly 1.0 (background pairs cap ≈0.55) — each twin's
+    * RANK-1 answer is a deterministic closed form even though ranks 2..K
+    * are codebook-dependent. The graded projection is therefore the
+    * rank-1 slice; the full top-K serving form stays spec-covered via
+    * ivfPersistedFull (structure, exact-sim containment, determinism,
+    * DPP plan shape in SimilaritySpec). */
   /** Serve an arbitrary (qid, qv) query frame against the persisted IVF
     * index — the recurring/serving pipeline, factored so the one-shot
     * graded form and the streaming serving twin (stream_ivf_serve) run
@@ -526,17 +537,48 @@ object Similarity {
       .select($"qid", $"rn", $"vec_id".as("nid"), $"sim")
   }
 
+  /** Exact-direction twin offset shared with the semantic-dedup planted
+    * construction (Dedup.SemTwinOffset) — one convention for every
+    * planted-structure oracle in the ANN family. */
+  private[graft] val TwinOffset = Dedup.SemTwinOffset
+
+  /** The planted twin query batch: every 20th corpus vector scaled by
+    * 2.0f under a disjoint id range. See ivfPersistedTopK scaladoc. */
+  private[graft] def twinQueries(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir).filter($"vec_id" % 20 === 7)
+      .select(($"vec_id" + TwinOffset).as("qid"),
+        transform($"embedding", x => x * lit(2.0f)).as("qv"))
+  }
+
+  /** Closed-form oracle for twin-batch rank-1 serving: each twin query
+    * retrieves its source at rank 1 with cosine exactly 1.0. */
+  private val twinServeOracle: String =
+    s"""SELECT vec_id + $TwinOffset AS qid, 1 AS rn, vec_id AS nid,
+               CAST(1.0 AS DOUBLE) AS sim
+        FROM embeddings WHERE vec_id % 20 = 7 ORDER BY qid"""
+
+  /** The full real-query top-K serving form (the pre-oracle shape) —
+    * spec coverage for structure/containment/determinism and the
+    * foreachBatch parity drives in StreamingSpec. */
+  private[graft] def ivfPersistedFull(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+    serveIvf(s, dir,
+      e.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("qid"), $"embedding".as("qv")))
+      .orderBy($"qid", $"rn")
+  }
+
   val ivfPersistedTopK: GraftQuery = GraftQuery(
     "llm_sim_topk_ivf_persisted",
     (s, dir) => {
       import s.implicits._
-      val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
-      serveIvf(s, dir,
-        e.filter($"vec_id" < NumQueries)
-          .select($"vec_id".as("qid"), $"embedding".as("qv")))
-        .orderBy($"qid", $"rn")
+      serveIvf(s, dir, twinQueries(s, dir))
+        .filter($"rn" === 1)
+        .orderBy($"qid")
     },
-    None
+    Some(twinServeOracle)
   )
 
   /** Embedding QA — per-label centroid statistics (count, mean L2 norm,
@@ -737,23 +779,30 @@ object Similarity {
 
   // ----------------------------------------------------- incremental index
 
-  /** The APPENDED IVF index: base assignments (vec_id ≤ watermark) written
-    * once, then the post-watermark batch assigned against the SAME
-    * persisted codebook and appended into the same cid_grp partition
-    * directories — no Lloyd re-run, no base rewrite; the recurring cost of
-    * keeping an ANN index current is O(new vectors). Because per-row
-    * assignment is a pure function of (vector, codebook), base ∪ delta is
-    * row-identical to a one-shot assignment of the full corpus — serving
-    * over the appended layout must equal llm_sim_topk_ivf_persisted
-    * exactly, which SimilaritySpec asserts row-for-row. */
+  /** The APPENDED IVF index: base assignments (the full corpus) written
+    * once, then a NEW-DATA batch — the exact-direction twins of every
+    * 20th vector — assigned against the SAME persisted codebook and
+    * appended into the same cid_grp partition directories: no Lloyd
+    * re-run, no base rewrite; the recurring cost of keeping an ANN index
+    * current is O(new vectors). Per-row assignment is a pure function of
+    * (vector, codebook), so the base portion is row-identical to the
+    * one-shot ivfIndex assignment (SimilaritySpec asserts it), and the
+    * twin delta lands — under ANY codebook — in exactly its source's
+    * inverted list (cosine assignment is scale-invariant), which is what
+    * makes the append END-TO-END oracle-able: a mis-assigned or dropped
+    * delta row is a missing rank-1 answer, not a silent recall dip. */
   private[graft] def appendedIndex(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val path = s"/tmp/graft_ivf/$sfx/append"
+    // ":v2": the delta definition changed in round 10 (post-watermark
+    // corpus half → planted twins); the fingerprint covers only the
+    // SOURCE, so the meta must version the layout semantics or a prior
+    // session's twin-free layout would re-register as fresh.
     Layouts.parquetLayout(path, path,
-        Layouts.fingerprint(Tables.embeddings(s, dir), "vec_id", "embedding")) {
+        Layouts.fingerprint(Tables.embeddings(s, dir), "vec_id", "embedding")
+          + ":v2") {
       val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
-      val wm = broadcast(e.agg(floor(max($"vec_id") / 2.0).cast("long").as("wm")))
       val codebook = cbOf(s, fineCentroids(s, dir))
       def assign(rows: DataFrame): DataFrame =
         rows.crossJoin(codebook)
@@ -761,9 +810,10 @@ object Similarity {
           .drop("cb")
           .withColumn("cid_grp", pmod(hash($"cid"), lit(IndexGroups)))
           .repartition($"cid_grp")
-      assign(e.join(wm, $"vec_id" <= $"wm").select($"vec_id", $"embedding"))
+      assign(e)
         .write.mode("overwrite").partitionBy("cid_grp").parquet(path)
-      assign(e.join(wm, $"vec_id" > $"wm").select($"vec_id", $"embedding"))
+      assign(twinQueries(s, dir)
+          .select($"qid".as("vec_id"), $"qv".as("embedding")))
         .write.mode("append").partitionBy("cid_grp").parquet(path)
     }
     s.read.parquet(path)
@@ -772,15 +822,15 @@ object Similarity {
   /** The probe-and-serve pipeline shared by the persisted and appended
     * index forms: broadcast probe descent over the index's own codebook,
     * DPP-pruned join on (cid_grp, cid), window top-k. */
-  private def serveTopK(s: SparkSession, dir: String, assigned: DataFrame): DataFrame = {
+  private[graft] def serveTopK(s: SparkSession, dir: String, assigned: DataFrame,
+                               queries: DataFrame): DataFrame = {
     import s.implicits._
     val NProbe = 4
     val codebook = cbOf(s, fineCentroids(s, dir))
-    val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
     val probes = broadcast(
-      e.filter($"vec_id" < NumQueries).crossJoin(codebook)
-        .select($"vec_id".as("qid"), $"embedding".as("qv"),
-          explode(slice(reverse(array_sort(centScores(s, $"embedding"))), 1, NProbe)
+      queries.crossJoin(codebook)
+        .select($"qid", $"qv",
+          explode(slice(reverse(array_sort(centScores(s, $"qv"))), 1, NProbe)
             .getField("cid")).as("cid"))
         .withColumn("cid_grp", pmod(hash($"cid"), lit(IndexGroups))))
     val scored = assigned.join(probes, Seq("cid_grp", "cid"))
@@ -797,13 +847,31 @@ object Similarity {
   /** ANN serving over the APPENDED index — the graded form of "keep the
     * index current without rebuilding it". Same probe pipeline as
     * llm_sim_topk_ivf_persisted; the layout underneath was produced by a
-    * base write + an O(delta) append. No oracle (approximate by design);
-    * SimilaritySpec asserts exact row equality with the one-shot persisted
-    * index serving — append must not change one row. */
+    * base write + an O(delta) append.
+    *
+    * Oracle (the mirror of ivfPersistedTopK's): queries are the twin
+    * SOURCES (every 20th corpus vector, unscaled), the twins live in the
+    * INDEX as the appended delta. Each source's first probe is its own
+    * assigned list, where the appended twin sits (scale-invariant
+    * assignment) scoring exactly 1.0 — so rank 1 is the closed form
+    * `(vec_id, vec_id + TwinOffset, 1.0)` under any codebook. This
+    * grades the APPEND itself end-to-end: if the O(delta) write missed a
+    * row or assigned it to the wrong list, the twin is unreachable and
+    * the hash compare fails. Full-top-K structure and base-portion
+    * purity stay spec-covered in SimilaritySpec. */
   val indexAppendTopK: GraftQuery = GraftQuery(
     "llm_sim_index_append",
-    (s, dir) => serveTopK(s, dir, appendedIndex(s, dir)),
-    None
+    (s, dir) => {
+      import s.implicits._
+      val queries = Tables.embeddings(s, dir).filter($"vec_id" % 20 === 7)
+        .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      serveTopK(s, dir, appendedIndex(s, dir), queries)
+        .filter($"rn" === 1)
+        .orderBy($"qid")
+    },
+    Some(s"""SELECT vec_id AS qid, 1 AS rn, vec_id + $TwinOffset AS nid,
+                    CAST(1.0 AS DOUBLE) AS sim
+             FROM embeddings WHERE vec_id % 20 = 7 ORDER BY qid""")
   )
 
   /** The combined IVF+PQ serving layout — inverted lists that STORE the
@@ -1132,22 +1200,47 @@ object Similarity {
     * via up to KnnProbe shared cells — one `distinct()` dedup shuffle on
     * the id-pair rows (ids + a rounded sim, far smaller than the
     * vector-carrying join input) collapses them before the top-k window.
-    * No oracle — approximate by design, like the rest of the ANN
-    * family. */
+    *
+    * Oracle (planted twins, the family construction): the graded run
+    * unions the corpus with the exact-direction twins; same-cell
+    * assignment guarantees every (source, twin) pair is a candidate
+    * under ANY codebook, scores exactly 1.0, and wins rank 1 on both
+    * sides (background sims cap ≈0.55, and symmetric emission serves
+    * both directions). The graded projection is the planted
+    * participants' rank-1 rows (`qid % 20 = 7` — twin ids inherit the
+    * residue because TwinOffset ≡ 0 mod 20); full top-K structure and
+    * the recall sweep stay spec-covered via knnJoinPipeline over the
+    * raw corpus. */
   val knnJoin: GraftQuery = GraftQuery(
     "llm_sim_knn_join",
-    (s, dir) => knnJoinPipeline(s, dir, KnnProbe),
-    None
+    (s, dir) => {
+      import s.implicits._
+      knnJoinPipeline(s, dir, KnnProbe, plantTwins = true)
+        .filter($"qid" % 20 === 7 && $"rn" === 1)
+        .orderBy($"qid")
+    },
+    Some(s"""WITH p AS (SELECT vec_id FROM embeddings WHERE vec_id % 20 = 7)
+             SELECT qid, 1 AS rn, nid, CAST(1.0 AS DOUBLE) AS sim FROM (
+               SELECT vec_id AS qid, vec_id + $TwinOffset AS nid FROM p
+               UNION ALL
+               SELECT vec_id + $TwinOffset AS qid, vec_id AS nid FROM p)
+             ORDER BY qid""")
   )
 
   /** The kNN-join dataflow at an explicit probe width — the registered
-    * query runs W = KnnProbe; SimilaritySpec sweeps W for the
-    * recall/cost curve that justifies the default (the ivf2 W-sweep
-    * convention). */
+    * query runs W = KnnProbe with twins planted; SimilaritySpec sweeps W
+    * over the raw corpus for the recall/cost curve that justifies the
+    * default (the ivf2 W-sweep convention). */
   private[graft] def knnJoinPipeline(s: SparkSession, dir: String,
-                                     probeW: Int): DataFrame = {
+                                     probeW: Int,
+                                     plantTwins: Boolean = false): DataFrame = {
       import s.implicits._
-      val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      val base = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      val e =
+        if (plantTwins)
+          base.unionAll(twinQueries(s, dir)
+            .select($"qid".as("vec_id"), $"qv".as("embedding")))
+        else base
       val cb = cbOf(s, fineCentroids(s, dir))
       val assigned = e.crossJoin(cb)
         .withColumn("cid", array_max(centScores(s, $"embedding")).getField("cid"))

@@ -600,21 +600,52 @@ object Graph {
              SELECT src, dst, support FROM e0 ORDER BY src, dst""")
   )
 
-  /** Triangle count via the oriented (src<dst) edge list: enumerate wedges
-    * a<b<c with edges ab, bc and probe ac. Two equi self-joins — the
-    * degree-bounded enumeration every distributed triangle counter uses;
-    * the a<b<c orientation means each triangle is found exactly once. At
-    * skew, production systems orient by degree instead of id; the id
-    * orientation keeps the oracle trivially identical. */
+  /** The DEGREE orientation of the adjacency layout: each undirected
+    * edge kept exactly once, pointed from its lower-degree endpoint to
+    * its higher-degree endpoint (ties by id) — computable ON-ROW because
+    * the layout denormalizes both endpoint degrees (deg, ddeg). This is
+    * the Chiba–Nishizeki / rank orientation: out-degrees in the oriented
+    * graph are bounded by O(√E) (arboricity), so wedge enumeration at
+    * the out-neighbors is Σ C(outdeg, 2) — a planted hub contributes
+    * ZERO wedges as a center (all its spoke edges point INTO it) instead
+    * of C(deg, 2). GraphSpec's hub-skew drive measures the kill. */
+  private[graft] def degreeOriented(adj: DataFrame): DataFrame = {
+    import adj.sparkSession.implicits._
+    adj.filter($"deg" < $"ddeg" || ($"deg" === $"ddeg" && $"src" < $"dst"))
+      .select($"src", $"dst")
+  }
+
+  /** Wedge pairs (a, b) of out-neighbors per degree-orientation center,
+    * a < b by id — the candidate set triangle closing probes. Exposed
+    * for the hub-skew volume drive. */
+  private[graft] def orientedWedges(adj: DataFrame): DataFrame = {
+    import adj.sparkSession.implicits._
+    val o = degreeOriented(adj)
+    o.as("e1").join(o.as("e2"),
+        $"e1.src" === $"e2.src" && $"e1.dst" < $"e2.dst")
+      .select($"e1.dst".as("a"), $"e2.dst".as("b"))
+  }
+
+  /** Triangle count via the DEGREE orientation (round-9 verdict item 7;
+    * the production answer at skew): orient each edge low→high degree,
+    * enumerate wedges at the out-neighbors (bounded by arboricity — a
+    * hub's spoke edges all point INTO it, so it centers no wedges), and
+    * close each wedge against the id-oriented undirected edge list. In
+    * the oriented DAG every triangle has exactly one vertex with two
+    * out-edges, so each is counted exactly once — the COUNT is identical
+    * to any other exact enumeration, which keeps the oracle unchanged.
+    * The wedge self-join runs on the bucketed adjacency scan (src = the
+    * bucket key, exchange-free); the closing join shuffles only the
+    * bounded wedge set against O(E) slim edge rows. */
   val triangles: GraftQuery = GraftQuery(
     "graph_triangles",
     (s, dir) => {
       import s.implicits._
+      val adj = adjacency(s, dir)
       val e = undirectedEdges(s, dir)
-      val tri = e.as("ab")
-        .join(e.as("bc"), $"ab.dst" === $"bc.src")
-        .join(e.as("ac"),
-          $"ab.src" === $"ac.src" && $"bc.dst" === $"ac.dst")
+      val tri = orientedWedges(adj)
+        .join(e.hint("shuffle_hash"),
+          $"a" === $"src" && $"b" === $"dst")
         .agg(count(lit(1)).as("n_triangles"))
       val stats = e.agg(count(lit(1)).as("n_edges"))
         .crossJoin(e.select($"src").union(e.select($"dst"))
@@ -652,6 +683,28 @@ object Graph {
     * PageRank's) so the result is exact and the oracle unrolls. */
   private val LpaIters = 4
 
+  /** One synchronous LPA round over a directed edge frame and a label
+    * vector — factored so the hub-skew drive measures the PRODUCTION
+    * round. The skew story (round-9 verdict item 7 asked for it to be
+    * measured, not asserted): unlike the wedge family there is NO
+    * quadratic term to cap — the vote join emits exactly one row per
+    * directed edge (Θ(E), hub-degree-linear), and a hub's incoming votes
+    * collapse through the two-phase hash aggregate's map-side partials
+    * (reduce fan-in ≤ #partitions × #distinct neighbor labels, not deg).
+    * The argmax is the two-phase form — per-dst max count, equi-join
+    * back, min label among the maximal — never a struct-max
+    * (SortAggregate) or a packed long (the 2^40 corruption lesson). */
+  private[graft] def lpaRound(e: DataFrame, labels: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    val votes = e.join(labels.hint("shuffle_hash"), $"src" === $"v")
+      .groupBy($"dst", $"label").agg(count(lit(1)).as("cnt"))
+    val best = votes.groupBy($"dst").agg(max($"cnt").as("mc"))
+    votes.join(best.hint("shuffle_hash"), "dst")
+      .filter($"cnt" === $"mc")
+      .groupBy($"dst").agg(min($"label").as("label"))
+      .select($"dst".as("v"), $"label")
+  }
+
   /** Community detection by synchronous label propagation (Raghavan's
     * LPA, determinized): every vertex starts with its own id as label;
     * each round, every vertex adopts the most frequent label among its
@@ -677,16 +730,8 @@ object Graph {
       var labels = vertices(adjacency(s, dir))
         .select($"src".as("v"), $"src".as("label"))
         .localCheckpoint()
-      for (_ <- 1 to LpaIters) {
-        val votes = e.join(labels.hint("shuffle_hash"), $"src" === $"v")
-          .groupBy($"dst", $"label").agg(count(lit(1)).as("cnt"))
-        val best = votes.groupBy($"dst").agg(max($"cnt").as("mc"))
-        labels = votes.join(best.hint("shuffle_hash"), "dst")
-          .filter($"cnt" === $"mc")
-          .groupBy($"dst").agg(min($"label").as("label"))
-          .select($"dst".as("v"), $"label")
-          .localCheckpoint()
-      }
+      for (_ <- 1 to LpaIters)
+        labels = lpaRound(e, labels).localCheckpoint()
       labels.select($"v".as("part_id"), $"label".as("community"))
         .orderBy($"part_id")
     },
@@ -888,16 +933,36 @@ object Graph {
     * forest in O(log depth) rounds of one O(#components) self-join each
     * (the Shiloach–Vishkin hook-and-compress specialization).
     * Cross-edge count per round is a convergence aggregate (the kcore
-    * discipline), lineage cut per round. No oracle — iterative
-    * fixpoint with data-dependent round count is not SQL-expressible;
-    * the Kruskal parity spec is the stronger check. */
+    * discipline), lineage cut per round.
+    *
+    * Oracle (round-9 verdict item 4): the strict total order makes the
+    * forest UNIQUE, so it IS SQL-expressible — via the cycle property,
+    * not by re-running Borůvka: an edge is in the maximum spanning
+    * forest iff its endpoints are NOT connected using only edges
+    * strictly earlier in the order (for a strict total order, Kruskal's
+    * accepted-edge forest spans exactly the earlier-edge connectivity,
+    * so testing against ALL earlier edges is equivalent). One recursive
+    * CTE computes, for every edge rank r simultaneously, the vertex set
+    * reachable from that edge's src through earlier edges — O(E·V)
+    * bounded state on the scale-stable thresholded graph (~3.6k edges
+    * at every fixture SF; measured 38 s at sf0.01, <1 s at sf0.1). */
   val mst: GraftQuery = GraftQuery(
     "graph_mst",
     (s, dir) => {
       import s.implicits._
+      // cutStats, not bare localCheckpoint, on the two frames whose
+      // carried origin statistics COMPOUND: labels enters the cross join
+      // TWICE per round and par SELF-joins in the pointer doubling, so
+      // their sizeInBytes bit length doubles per round — the
+      // double-exponential planning tower GraftQuery.cutStats documents
+      // (measured: graph_mst >600 s at sf0.01 before the severance,
+      // ~6 s after; wall-clock work is unchanged). The linear frames
+      // (el, cross, perComp, forest legs) keep the cheaper bare
+      // localCheckpoint — severed labels/par reset the tower each round.
+      val cut = graft.GraftQuery.cutStats _
       val el = undirectedEdges(s, dir).localCheckpoint()
-      var labels = vertices(adjacency(s, dir))
-        .select($"src".as("v"), $"src".as("comp")).localCheckpoint()
+      var labels = cut(vertices(adjacency(s, dir))
+        .select($"src".as("v"), $"src".as("comp")))
       var forest = el.filter(lit(false))
       var round = 0
       var merging = true
@@ -933,35 +998,31 @@ object Graph {
           // self-join each, versus diameter rounds of the general CC
           // kernel over the same rows. This is the Shiloach–Vishkin
           // hook-and-compress specialization Borůvka admits.
-          var par = perComp
+          var par = cut(perComp
             .select($"comp",
               when($"pick.ca" === $"comp", $"pick.cb")
-                .otherwise($"pick.ca").as("parent"))
-            .localCheckpoint()
-          par = par.as("p1")
+                .otherwise($"pick.ca").as("parent")))
+          par = cut(par.as("p1")
             .join(par.as("p2").hint("shuffle_hash"),
               $"p1.parent" === $"p2.comp")
             .select($"p1.comp".as("comp"),
               when($"p2.parent" === $"p1.comp",
                 least($"p1.comp", $"p1.parent"))
-                .otherwise($"p1.parent").as("parent"))
-            .localCheckpoint()
+                .otherwise($"p1.parent").as("parent")))
           var compressing = true
           while (compressing) {
-            val nxt = par.as("p1")
+            val nxt = cut(par.as("p1")
               .join(par.as("p2").hint("shuffle_hash"),
                 $"p1.parent" === $"p2.comp")
-              .select($"p1.comp".as("comp"), $"p2.parent".as("parent"))
-              .localCheckpoint()
+              .select($"p1.comp".as("comp"), $"p2.parent".as("parent")))
             compressing = nxt.as("a")
               .join(par.select($"comp", $"parent".as("old")), "comp")
               .filter($"parent" =!= $"old").count() > 0
             par = nxt
           }
-          labels = labels
+          labels = cut(labels
             .join(par.select($"comp", $"parent".as("cid")), Seq("comp"), "left")
-            .select($"v", coalesce($"cid", $"comp").as("comp"))
-            .localCheckpoint()
+            .select($"v", coalesce($"cid", $"comp").as("comp")))
           round += 1
         }
       }
@@ -971,7 +1032,24 @@ object Graph {
             "components must halve per round; this indicates a labeling bug")
       forest.select($"src", $"dst", $"support").orderBy($"src", $"dst")
     },
-    None
+    Some(s"""WITH RECURSIVE
+          lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+          e0 AS (SELECT a.p AS src, b.p AS dst, count(*) AS support
+                 FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p
+                 GROUP BY a.p, b.p HAVING count(*) >= $MinSupport),
+          re AS (SELECT src, dst, support,
+                        row_number() OVER (ORDER BY support DESC, src, dst) AS r
+                 FROM e0),
+          reach AS (
+            SELECT r AS er, src AS node FROM re
+            UNION
+            SELECT x.er, CASE WHEN g.src = x.node THEN g.dst ELSE g.src END AS node
+            FROM reach x JOIN re g
+              ON g.r < x.er AND (g.src = x.node OR g.dst = x.node)
+          )
+        SELECT e.src, e.dst, e.support FROM re e
+        WHERE NOT EXISTS (SELECT 1 FROM reach x WHERE x.er = e.r AND x.node = e.dst)
+        ORDER BY e.src, e.dst""")
   )
 
   def all: Seq[GraftQuery] =

@@ -17,8 +17,11 @@ import graft.sources.Tables
   * matter how arrivals were batched. That independence is the graded
   * property: the emulated 3-way arrival split (pmod(qid, 3), the
   * stream_contamination convention) must reproduce
-  * llm_sim_topk_ivf_persisted exactly (asserted in StreamingSpec; ANN
-  * family = no DuckDB oracle).
+  * llm_sim_topk_ivf_persisted exactly (asserted in StreamingSpec), and —
+  * since round 10 — both grade against the same planted-twin closed-form
+  * DuckDB oracle: the query batch is the exact-direction twins, whose
+  * rank-1 answer is their source at cosine exactly 1.0 under any
+  * codebook (see Similarity.ivfPersistedTopK).
   *
   * Scale shape per micro-batch: the batch's probes broadcast with their
   * cid-group keys, the partitioned index scan DYNAMICALLY PRUNES to the
@@ -33,15 +36,15 @@ object ServeStream {
     "stream_ivf_serve",
     (s, dir) => {
       import s.implicits._
-      val queries = Tables.embeddings(s, dir)
-        .filter($"vec_id" < Similarity.NumQueries)
-        .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      val queries = Similarity.twinQueries(s, dir)
       val waves = (0 until 3).map { w =>
         Similarity.serveIvf(s, dir, queries.filter(pmod($"qid", lit(3)) === w))
       }
-      waves.reduce(_ union _).orderBy($"qid", $"rn")
+      waves.reduce(_ union _).filter($"rn" === 1).orderBy($"qid")
     },
-    None
+    Some(s"""SELECT vec_id + ${Similarity.TwinOffset} AS qid, 1 AS rn,
+                    vec_id AS nid, CAST(1.0 AS DOUBLE) AS sim
+             FROM embeddings WHERE vec_id % 20 = 7 ORDER BY qid""")
   )
 
   def all: Seq[GraftQuery] = Seq(streamIvfServe)

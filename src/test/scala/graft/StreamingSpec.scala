@@ -799,7 +799,7 @@ class StreamingSpec extends AnyFunSuite {
     queries.filter($"qid" % 2 === 1).write.mode("append").parquet(src)
     runWave()
 
-    val oneShot = llm.Similarity.ivfPersistedTopK.run(spark, TestSpark.Sf)
+    val oneShot = llm.Similarity.ivfPersistedFull(spark, TestSpark.Sf)
       .collect().map(_.toSeq).toSet
     val acc = spark.read.parquet(out)
       .orderBy($"qid", $"rn").collect().map(_.toSeq)
@@ -908,7 +908,7 @@ class StreamingSpec extends AnyFunSuite {
       "batches 0-1 must have committed before the crash")
     sabotage = false
     run()                                          // recovery run
-    val oneShot = llm.Similarity.ivfPersistedTopK.run(spark, TestSpark.Sf)
+    val oneShot = llm.Similarity.ivfPersistedFull(spark, TestSpark.Sf)
       .collect().map(_.toSeq)
     val acc = spark.read.parquet(out)
       .orderBy($"qid", $"rn").collect().map(_.toSeq)
