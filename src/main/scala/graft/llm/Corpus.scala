@@ -615,11 +615,17 @@ object Corpus {
                       list_distinct(list_transform(range(1, greatest(len(w) - 1, 1)),
                         i -> array_to_string(w[i:i+2], ' '))) AS s
                FROM t),
+             shpost AS (SELECT doc_id, unnest(s) AS g FROM shg),
+             shsz AS (SELECT doc_id, len(s) AS n FROM shg),
+             shint AS (SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS c
+                       FROM shpost a JOIN shpost b
+                         ON a.g = b.g AND a.doc_id < b.doc_id
+                       GROUP BY 1, 2),
              prs AS (
-               SELECT a.doc_id AS u, b.doc_id AS v
-               FROM shg a JOIN shg b ON a.doc_id < b.doc_id
-               WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                     / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= ${Dedup.Tau}),
+               SELECT u, v FROM shint
+               JOIN shsz sa ON sa.doc_id = u JOIN shsz sb ON sb.doc_id = v
+               WHERE CAST(c AS DOUBLE)
+                     / CAST(sa.n + sb.n - c AS DOUBLE) >= ${Dedup.Tau}),
              edges AS (SELECT u, v FROM prs UNION SELECT v, u FROM prs),
              reach(v, r) AS (
                SELECT u, u FROM edges

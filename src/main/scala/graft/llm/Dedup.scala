@@ -99,21 +99,33 @@ object Dedup {
       .select($"id_a", $"id_b", $"jaccard")
   }
 
-  /** DuckDB ground truth: brute-force all-pairs 3-gram Jaccard (oracle runs
-    * at sf0.01 = 500 docs, so quadratic is fine *there*; the Spark side
-    * must never be quadratic). */
+  /** DuckDB ground truth: exact 3-gram Jaccard via posting-list
+    * intersection COUNTING (round-10 rewrite, verdict item 3): instead of
+    * the quadratic all-pairs list_intersect (N²/2 list ops — the
+    * closure-class sf0.1 timeout), the shared-gram join itself counts
+    * |A∩B| per pair (group by pair over posting matches — Σ C(df,2)
+    * rows, df≤25 on the fixture), and |A∪B| = n_a + n_b − c. A pair with
+    * J ≥ τ > 0 shares ≥ 1 gram, so the candidate set is lossless, and
+    * the division operands are the IDENTICAL integers the list form
+    * produced — bit-identical doubles, same rounding. Measured at sf0.1:
+    * 104 s → 1.9 s, byte-identical output. */
   private val jaccardOracle: String =
     """WITH sh AS (
          SELECT doc_id,
                 list_distinct(list_transform(range(1, greatest(len(w) - 1, 1)),
                               i -> array_to_string(w[i:i+2], ' '))) AS s
-         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
-       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-              round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                    / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 4) AS jaccard
-       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-       WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-             / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.6
+         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+       post AS (SELECT doc_id, unnest(s) AS g FROM sh),
+       sz AS (SELECT doc_id, len(s) AS n FROM sh),
+       inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+                 FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+       SELECT id_a, id_b,
+              round(CAST(c AS DOUBLE)
+                    / CAST(sa.n + sb.n - c AS DOUBLE), 4) AS jaccard
+       FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+       WHERE CAST(c AS DOUBLE)
+             / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.6
        ORDER BY id_a, id_b"""
 
   /** Exact dedup by content hash. The corpus is unioned with itself so the
@@ -509,33 +521,33 @@ object Dedup {
                       list_distinct(list_transform(range(1, greatest(len(w) - 1, 1)),
                         i -> array_to_string(w[i:i+2], ' '))) AS s
                FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus))"""
-    dfCap match {
-      case None =>
-        s"""$shared
-             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                          / least(len(a.s), len(b.s)), 4) AS containment
-             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-             WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                   / least(len(a.s), len(b.s)) >= $ContainTau
-             ORDER BY id_a, id_b"""
-      case Some(cap) =>
-        s"""$shared,
-             posting AS (SELECT doc_id, unnest(s) AS gh FROM sh),
-             rare AS (SELECT gh FROM posting GROUP BY gh HAVING count(*) <= $cap),
-             cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                      FROM posting a JOIN posting b ON a.gh = b.gh AND a.doc_id < b.doc_id
-                      WHERE a.gh IN (SELECT gh FROM rare))
-             SELECT c.id_a, c.id_b,
-                    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                          / least(len(a.s), len(b.s)), 4) AS containment
-             FROM cand c
-             JOIN sh a ON a.doc_id = c.id_a
-             JOIN sh b ON b.doc_id = c.id_b
-             WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                   / least(len(a.s), len(b.s)) >= $ContainTau
-             ORDER BY id_a, id_b"""
-    }
+    // Posting-count form (round-10, verdict item 3): the shared-gram join
+    // counts |A∩B| per pair directly — no per-pair list_intersect, no
+    // all-pairs join — and df rides on every posting row so the capped
+    // variant is the SAME body with the any-rare-gram filter engaged.
+    // Operand integers are identical to the list form: bit-identical
+    // containment, same rounding.
+    val rareFilter = dfCap.map(_ => "WHERE any_rare").getOrElse("")
+    val capVal = dfCap.getOrElse(0)
+    s"""$shared,
+         posting AS (SELECT doc_id, unnest(s) AS gh FROM sh),
+         dft AS (SELECT gh, count(*) AS df FROM posting GROUP BY gh),
+         p2 AS (SELECT p.doc_id, p.gh, d.df <= $capVal AS rare
+                FROM posting p JOIN dft d USING (gh)),
+         sz AS (SELECT doc_id, len(s) AS n FROM sh),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                          count(*) AS c, bool_or(a.rare) AS any_rare
+                   FROM p2 a JOIN p2 b ON a.gh = b.gh AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT id_a, id_b,
+                round(CAST(c AS DOUBLE)
+                      / least(sa.n, sb.n), 4) AS containment
+         FROM (SELECT id_a, id_b, c FROM inter $rareFilter) i
+         JOIN sz sa ON sa.doc_id = i.id_a
+         JOIN sz sb ON sb.doc_id = i.id_b
+         WHERE CAST(c AS DOUBLE)
+               / least(sa.n, sb.n) >= $ContainTau
+         ORDER BY id_a, id_b"""
   }
 
   /** Incremental-batch near-dup — THE recurring dedup operation at 100 TB:
@@ -566,14 +578,19 @@ object Dedup {
               SELECT doc_id,
                      list_distinct(list_transform(range(1, greatest(len(w) - 1, 1)),
                                    i -> array_to_string(w[i:i+2], ' '))) AS s
-              FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                         / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 4) AS jaccard
-            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-            WHERE b.doc_id > (SELECT w FROM wm)
-              AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                  / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.6
+              FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+            post AS (SELECT doc_id, unnest(s) AS g FROM sh),
+            sz AS (SELECT doc_id, len(s) AS n FROM sh),
+            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+                      FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(CAST(c AS DOUBLE)
+                         / CAST(sa.n + sb.n - c AS DOUBLE), 4) AS jaccard
+            FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+            WHERE id_b > (SELECT w FROM wm)
+              AND CAST(c AS DOUBLE)
+                  / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.6
             ORDER BY id_a, id_b""")
   )
 
@@ -1041,11 +1058,16 @@ object Dedup {
                       list_distinct(list_transform(range(1, greatest(len(w) - 1, 1)),
                         i -> array_to_string(w[i:i+2], ' '))) AS s
                FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+             post AS (SELECT doc_id, unnest(s) AS g FROM sh),
+             sz AS (SELECT doc_id, len(s) AS n FROM sh),
+             inter AS (SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS c
+                       FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
+                       GROUP BY 1, 2),
              pairs AS (
-               SELECT a.doc_id AS u, b.doc_id AS v
-               FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-               WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                     / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= $Tau),
+               SELECT u, v FROM inter
+               JOIN sz sa ON sa.doc_id = u JOIN sz sb ON sb.doc_id = v
+               WHERE CAST(c AS DOUBLE)
+                     / CAST(sa.n + sb.n - c AS DOUBLE) >= $Tau),
              edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
              reach(v, r) AS (
                SELECT u, u FROM edges
@@ -1266,11 +1288,16 @@ object Dedup {
                       list_distinct(list_transform(range(1, greatest(len(w) - 1, 1)),
                         i -> array_to_string(w[i:i+2], ' '))) AS s
                FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+             post AS (SELECT doc_id, unnest(s) AS g FROM sh),
+             sz AS (SELECT doc_id, len(s) AS n FROM sh),
+             inter AS (SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS c
+                       FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
+                       GROUP BY 1, 2),
              pairs AS (
-               SELECT a.doc_id AS u, b.doc_id AS v
-               FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-               WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                     / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= $Tau),
+               SELECT u, v FROM inter
+               JOIN sz sa ON sa.doc_id = u JOIN sz sb ON sb.doc_id = v
+               WHERE CAST(c AS DOUBLE)
+                     / CAST(sa.n + sb.n - c AS DOUBLE) >= $Tau),
              edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
              reach(v, r) AS (
                SELECT u, u FROM edges
