@@ -496,7 +496,313 @@ object Analytics {
             FROM a ORDER BY o_orderstatus""")
   )
 
+  /** Welch's unequal-variance t-test between the same two cohorts as
+    * `agg_ks_test`/`agg_mannwhitney` — the parametric member of the
+    * cohort family ("is the MEAN value different?", the default metric
+    * test on any experiment dashboard; Welch because nobody gets to
+    * assume equal variances in production data).
+    *
+    * Determinism — the mannwhitney-z pattern: every input to the final
+    * doubles is an EXACT BIGINT. Sufficient statistics per cohort are
+    * n, S = Σ cents, Q = Σ cents² (one conditional hash aggregate);
+    * the mean difference is the rational (S₁n₂ − S₂n₁)/(n₁n₂) and each
+    * per-cohort s²/n is the rational (nQ − S²)/(n²(n−1)) — both emitted
+    * as BIGINT num/den, so t = md/√(a+b) and the Welch–Satterthwaite
+    * df = (a+b)²/(a²/(n₁−1) + b²/(n₂−1)) are scalar expression trees
+    * over identical doubles in both engines (no double SUM anywhere —
+    * trap note a only bites accumulation, not folds of identical
+    * scalars). nQ peaks ~2e16 at sf0.1 — inside BIGINT; at 100× shift
+    * the Q accumulator to DECIMAL(38,0) (the agg_gini note).
+    *
+    * Scale shape: ONE map-side-combined hash aggregate over the fact
+    * scan produces six BIGINTs; everything after is a 1-row projection.
+    * This is the cheapest member of the family — no window, no domain
+    * table, no join. */
+  val ttestWelch: GraftQuery = GraftQuery(
+    "agg_ttest_welch",
+    (s, dir) => {
+      import s.implicits._
+      val cv = expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+      val a = Tables.events(s, dir)
+        .filter($"event_type".isin("view", "purchase"))
+        .select($"event_type", cv.as("cv"))
+        .agg(
+          sum(when($"event_type" === "view", 1L).otherwise(0L)).as("n1"),
+          sum(when($"event_type" === "view", $"cv").otherwise(0L)).as("s1"),
+          sum(when($"event_type" === "view", $"cv" * $"cv").otherwise(0L)).as("q1"),
+          sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("n2"),
+          sum(when($"event_type" === "purchase", $"cv").otherwise(0L)).as("s2"),
+          sum(when($"event_type" === "purchase", $"cv" * $"cv").otherwise(0L)).as("q2"))
+        .withColumn("md_num", $"s1" * $"n2" - $"s2" * $"n1")
+        .withColumn("v1_num", $"n1" * $"q1" - $"s1" * $"s1")
+        .withColumn("v2_num", $"n2" * $"q2" - $"s2" * $"s2")
+        .withColumn("va", $"v1_num".cast("double")
+          / ($"n1" * $"n1" * ($"n1" - 1L)).cast("double"))
+        .withColumn("vb", $"v2_num".cast("double")
+          / ($"n2" * $"n2" * ($"n2" - 1L)).cast("double"))
+      a.select($"n1", $"n2", $"md_num", $"v1_num", $"v2_num",
+        ($"md_num".cast("double") / ($"n1" * $"n2").cast("double")
+          / sqrt($"va" + $"vb")).as("t"),
+        (($"va" + $"vb") * ($"va" + $"vb")
+          / ($"va" * $"va" / ($"n1" - 1L).cast("double")
+            + $"vb" * $"vb" / ($"n2" - 1L).cast("double"))).as("df"))
+    },
+    Some("""WITH a AS (
+              SELECT
+                CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                CAST(sum(CASE WHEN event_type = 'view'
+                              THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                              ELSE 0 END) AS BIGINT) AS s1,
+                CAST(sum(CASE WHEN event_type = 'view'
+                              THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                                   * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                              ELSE 0 END) AS BIGINT) AS q1,
+                CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                CAST(sum(CASE WHEN event_type = 'purchase'
+                              THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                              ELSE 0 END) AS BIGINT) AS s2,
+                CAST(sum(CASE WHEN event_type = 'purchase'
+                              THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                                   * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                              ELSE 0 END) AS BIGINT) AS q2
+              FROM events WHERE event_type IN ('view', 'purchase')),
+            b AS (
+              SELECT n1, n2,
+                     CAST(s1 * n2 - s2 * n1 AS BIGINT) AS md_num,
+                     CAST(n1 * q1 - s1 * s1 AS BIGINT) AS v1_num,
+                     CAST(n2 * q2 - s2 * s2 AS BIGINT) AS v2_num,
+                     CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+                       / CAST(n1 * n1 * (n1 - 1) AS DOUBLE) AS va,
+                     CAST(n2 * q2 - s2 * s2 AS DOUBLE)
+                       / CAST(n2 * n2 * (n2 - 1) AS DOUBLE) AS vb
+              FROM a)
+            SELECT n1, n2, md_num, v1_num, v2_num,
+                   CAST(md_num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)
+                     / sqrt(va + vb) AS t,
+                   (va + vb) * (va + vb)
+                     / (va * va / CAST(n1 - 1 AS DOUBLE)
+                        + vb * vb / CAST(n2 - 1 AS DOUBLE)) AS df
+            FROM b""")
+  )
+
+  /** Spearman rank correlation between the DAILY view and purchase
+    * revenue series — "do view-heavy days monetize?", the monotonic-
+    * association member of the cohort family (Pearson on ranks, so one
+    * viral outlier day cannot fabricate correlation the way it can in
+    * agg_corr_matrix's raw-value Pearson).
+    *
+    * Determinism — EXACT INTEGERS end-to-end: daily revenues are BIGINT
+    * cent sums; DOUBLED midranks are lo+hi of the tie span (the
+    * agg_mannwhitney device: 2·rank + tiecount − 1, all integers);
+    * Pearson's num = nΣxy − ΣxΣy and the two den factors over doubled
+    * ranks are BIGINT (ranks ≤ 2n, n = #days — tiny at any SF), and
+    * ρ = num/√(den₁·den₂) is one sqrt over identical integers.
+    *
+    * Scale shape: the fact scan reduces to the bounded DAY domain in
+    * one map-side-combined aggregate; ranking and the final fold run on
+    * #days rows. 100 TB of events never reaches the window. */
+  val spearman: GraftQuery = GraftQuery(
+    "agg_spearman",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val cv = expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+      val daily = Tables.events(s, dir)
+        .filter($"event_type".isin("view", "purchase"))
+        .groupBy(to_date($"ts").as("d"))
+        .agg(sum(when($"event_type" === "view", cv).otherwise(0L)).as("x"),
+          sum(when($"event_type" === "purchase", cv).otherwise(0L)).as("y"))
+      // Doubled midrank = 2·rank + tiecount − 1 (exact integers even
+      // under ties; fixture day totals are almost surely distinct but
+      // the statistic must not depend on that).
+      def dranked(col: String, out: String) =
+        (df: org.apache.spark.sql.DataFrame) => df
+          .withColumn(out, lit(2L) * rank().over(Window.orderBy(df(col))).cast("long")
+            + count(lit(1L)).over(Window.partitionBy(df(col))) - 1L)
+      val ranked = daily
+        .transform(dranked("x", "rx"))
+        .transform(dranked("y", "ry"))
+      ranked
+        .agg(count(lit(1)).as("n"),
+          sum($"rx").as("sx"), sum($"ry").as("sy"),
+          sum($"rx" * $"ry").as("sxy"),
+          sum($"rx" * $"rx").as("sxx"),
+          sum($"ry" * $"ry").as("syy"))
+        .select($"n",
+          ($"n" * $"sxy" - $"sx" * $"sy").as("rho_num"),
+          ($"n" * $"sxx" - $"sx" * $"sx").as("den_x"),
+          ($"n" * $"syy" - $"sy" * $"sy").as("den_y"),
+          (($"n" * $"sxy" - $"sx" * $"sy").cast("double")
+            / sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double")
+              * ($"n" * $"syy" - $"sy" * $"sy").cast("double"))).as("rho"))
+    },
+    Some("""WITH daily AS (
+              SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+                     CAST(sum(CASE WHEN event_type = 'view'
+                                   THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                                   ELSE 0 END) AS BIGINT) AS x,
+                     CAST(sum(CASE WHEN event_type = 'purchase'
+                                   THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                                   ELSE 0 END) AS BIGINT) AS y
+              FROM events WHERE event_type IN ('view', 'purchase')
+              GROUP BY 1),
+            r AS (
+              SELECT
+                CAST(2 * rank() OVER (ORDER BY x)
+                     + count(*) OVER (PARTITION BY x) - 1 AS BIGINT) AS rx,
+                CAST(2 * rank() OVER (ORDER BY y)
+                     + count(*) OVER (PARTITION BY y) - 1 AS BIGINT) AS ry
+              FROM daily),
+            a AS (
+              SELECT count(*) AS n,
+                     CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+                     CAST(sum(rx * ry) AS BIGINT) AS sxy,
+                     CAST(sum(rx * rx) AS BIGINT) AS sxx,
+                     CAST(sum(ry * ry) AS BIGINT) AS syy
+              FROM r)
+            SELECT n,
+                   CAST(n * sxy - sx * sy AS BIGINT) AS rho_num,
+                   CAST(n * sxx - sx * sx AS BIGINT) AS den_x,
+                   CAST(n * syy - sy * sy AS BIGINT) AS den_y,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE)) AS rho
+            FROM a""")
+  )
+
+  /** Cramér's V effect size over the same event_type × day-of-week
+    * contingency table as `agg_chisq` — χ² says "dependence exists",
+    * V says HOW MUCH on a [0,1] scale that survives changing N (the
+    * number every χ² reading should be paired with before anyone acts
+    * on a significant-but-tiny dependence).
+    *
+    * Determinism: V² = (χ²/N)/(min(r,c)−1) is computed from the SAME
+    * integerized χ² accumulator as agg_chisq (Σ floor(term·1e12) in
+    * BIGINT — trap note a), so V = √ of a ratio of identical exact
+    * integers. Scale shape: identical to agg_chisq — one hash aggregate
+    * onto the bounded cell domain. */
+  val cramersV: GraftQuery = GraftQuery(
+    "agg_cramers_v",
+    (s, dir) => {
+      import s.implicits._
+      val cells = Tables.events(s, dir)
+        .groupBy($"event_type", dayofweek($"ts").as("dow"))
+        .agg(count(lit(1)).as("o"))
+        .localCheckpoint() // totals + fold both read it
+      val rowT = cells.groupBy($"event_type").agg(sum($"o").as("r"))
+      val colT = cells.groupBy($"dow").agg(sum($"o").as("c"))
+      val nTot = cells.agg(sum($"o").as("n"),
+        countDistinct($"event_type").as("n_rows"),
+        countDistinct($"dow").as("n_cols"))
+      cells
+        .join(broadcast(rowT), "event_type")
+        .join(broadcast(colT), "dow")
+        .crossJoin(broadcast(nTot))
+        .withColumn("dev", $"o" * $"n" - $"r" * $"c")
+        .withColumn("term",
+          ($"dev" * $"dev").cast("double")
+            / ($"n" * $"r" * $"c").cast("double"))
+        .groupBy($"n", least($"n_rows", $"n_cols").as("min_dim"))
+        .agg(sum(floor($"term" * 1e12).cast("long")).as("chi2_e12"))
+        .select($"n", $"min_dim", $"chi2_e12",
+          sqrt($"chi2_e12".cast("double") / 1e12
+            / $"n".cast("double") / ($"min_dim" - 1L).cast("double")).as("v"))
+    },
+    Some("""WITH cells AS (
+              SELECT event_type, dayofweek(ts) + 1 AS dow,
+                     CAST(count(*) AS BIGINT) AS o
+              FROM events GROUP BY 1, 2),
+            rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+            ct AS (SELECT dow, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+            nt AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                          count(DISTINCT event_type) AS n_rows,
+                          count(DISTINCT dow) AS n_cols
+                   FROM cells),
+            terms AS (
+              SELECT nt.n, least(nt.n_rows, nt.n_cols) AS min_dim,
+                     CAST((o * n - r * c) * (o * n - r * c) AS DOUBLE)
+                       / CAST(n * r * c AS DOUBLE) AS term
+              FROM cells JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN nt)
+            SELECT n, CAST(min_dim AS BIGINT) AS min_dim,
+                   CAST(sum(CAST(floor(term * 1e12) AS BIGINT)) AS BIGINT) AS chi2_e12,
+                   sqrt(CAST(sum(CAST(floor(term * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
+                        / CAST(n AS DOUBLE) / CAST(min_dim - 1 AS DOUBLE)) AS v
+            FROM terms GROUP BY n, min_dim""")
+  )
+
+  /** Benford first-digit conformance of order totals — the fraud /
+    * data-fabrication screen ("organically grown money values lead with
+    * 1 thirty percent of the time; synthetic or tampered books don't").
+    * On a training-data pipeline the same test flags machine-generated
+    * numeric fields masquerading as organic measurements.
+    *
+    * Determinism: leading digits come from the DECIMAL STRING of the
+    * integer cents (no log10 — log10(10^k) landing at k−ε would
+    * misbucket entire magnitudes), so the per-digit counts are exact;
+    * the Benford expectations log10(1+1/d) are NINE DECIMAL LITERALS
+    * embedded identically in both queries (same literal → same nearest
+    * double in both parsers — computing log10 at runtime would gamble
+    * on two libms' last ulp), and the χ²-against-expectation terms are
+    * folded with the Σ floor(term·1e12) BIGINT accumulator (trap note
+    * a). Scale shape: one hash aggregate onto a NINE-row domain. */
+  val benford: GraftQuery = GraftQuery(
+    "agg_benford",
+    (s, dir) => {
+      import s.implicits._
+      val probs = Seq(
+        1 -> 0.3010299956639812, 2 -> 0.17609125905568124,
+        3 -> 0.12493873660829992, 4 -> 0.09691001300805642,
+        5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+        7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
+        9 -> 0.04575749056067514)
+      val pCol = probs.foldLeft(lit(0.0)) { case (acc, (d, p)) =>
+        when($"digit" === d, lit(p)).otherwise(acc)
+      }
+      val digits = Tables.orders(s, dir)
+        .select(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
+        .select(substring($"c".cast("string"), 1, 1).cast("long").as("digit"))
+        .groupBy($"digit").agg(count(lit(1)).as("o"))
+      val tot = digits.agg(sum($"o").as("n"))
+      val terms = digits.crossJoin(broadcast(tot))
+        .withColumn("exp_o", $"n".cast("double") * pCol)
+        .withColumn("term_e12",
+          floor(($"o".cast("double") - $"exp_o") * ($"o".cast("double") - $"exp_o")
+            / $"exp_o" * 1e12).cast("long"))
+        .localCheckpoint() // digit rows + the summary fold both read it
+      val chi2 = terms.agg(sum($"term_e12").as("chi2_e12"))
+      terms.crossJoin(broadcast(chi2))
+        .select($"digit", $"o", $"n", $"exp_o", $"term_e12", $"chi2_e12",
+          ($"chi2_e12".cast("double") / 1e12).as("chi2"))
+        .orderBy($"digit")
+    },
+    Some("""WITH d AS (
+              SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                       AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+                     CAST(count(*) AS BIGINT) AS o
+              FROM orders GROUP BY 1),
+            nt AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM d),
+            p(digit, p) AS (VALUES
+              (1, 0.3010299956639812), (2, 0.17609125905568124),
+              (3, 0.12493873660829992), (4, 0.09691001300805642),
+              (5, 0.07918124604762482), (6, 0.06694678963061322),
+              (7, 0.05799194697768673), (8, 0.05115252244738129),
+              (9, 0.04575749056067514)),
+            terms AS (
+              SELECT d.digit, d.o, nt.n,
+                     CAST(nt.n AS DOUBLE) * CAST(p.p AS DOUBLE) AS exp_o,
+                     CAST(floor((CAST(d.o AS DOUBLE) - CAST(nt.n AS DOUBLE) * CAST(p.p AS DOUBLE))
+                                * (CAST(d.o AS DOUBLE) - CAST(nt.n AS DOUBLE) * CAST(p.p AS DOUBLE))
+                                / (CAST(nt.n AS DOUBLE) * CAST(p.p AS DOUBLE)) * 1e12)
+                          AS BIGINT) AS term_e12
+              FROM d JOIN p ON d.digit = p.digit CROSS JOIN nt),
+            s AS (SELECT CAST(sum(term_e12) AS BIGINT) AS chi2_e12 FROM terms)
+            SELECT digit, o, n, exp_o, term_e12, chi2_e12,
+                   CAST(chi2_e12 AS DOUBLE) / 1e12 AS chi2
+            FROM terms CROSS JOIN s ORDER BY digit""")
+  )
+
   def all: Seq[GraftQuery] = Seq(
     statsAgg, percentiles, approxPercentile, stringAgg, pivotAgg, jsonStruct,
-    topNRevenue, corrMatrix, ksTest, mannWhitney, chiSq, gini)
+    topNRevenue, corrMatrix, ksTest, mannWhitney, chiSq, gini,
+    ttestWelch, spearman, cramersV, benford)
 }

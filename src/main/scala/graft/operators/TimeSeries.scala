@@ -1098,9 +1098,78 @@ object TimeSeries {
             ORDER BY event_type""")
   )
 
+  /** Sample autocorrelation of the daily revenue series per event type
+    * at calendar lags 1–7 — "does today predict tomorrow, and is there
+    * a weekly echo?", the diagnostic read before fitting any seasonal
+    * model (ts_seasonality profiles the weekday MEANS; ACF measures how
+    * much serial structure is there at all).
+    *
+    * Determinism — EXACT INTEGERS: daily values are BIGINT cent sums;
+    * centering at scale n replaces y_d − S/n with u_d = n·y_d − S
+    * (BIGINT — multiplying num and den by n² cancels), so
+    * acf(l) = Σ u_d·u_{d+l} / Σ u_d² is a ratio of BIGINTs and the
+    * double is one division of identical integers. u² peaks ~1e16 at
+    * sf0.1 — inside BIGINT; at 100× shift the accumulator to
+    * DECIMAL(38,0) (the agg_gini note). Lags are CALENDAR days (a
+    * missing day drops its pairs rather than shifting the series —
+    * index-lag ACF silently splices across gaps).
+    *
+    * Scale shape: the fact scan reduces to the bounded type × day
+    * domain in one map-side-combined aggregate; the per-type stats
+    * broadcast back, and the lag join runs on |types|·|days|·|lags|
+    * domain rows. 100 TB of events never reaches the join. */
+  val acf: GraftQuery = GraftQuery(
+    "ts_acf",
+    (s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy($"event_type", to_date($"ts").as("d"))
+        .agg(expr("sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))").as("v"))
+      val stats = daily.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"v").as("sv"))
+      val u = daily.join(broadcast(stats), "event_type")
+        .select($"event_type", $"d", ($"n" * $"v" - $"sv").as("u"))
+        .localCheckpoint() // lag join + denominator both read it
+      val den = u.groupBy($"event_type").agg(sum($"u" * $"u").as("acf_den"))
+      val lags = s.range(1, 8).select($"id".cast("int").as("lag"))
+      u.as("a").crossJoin(broadcast(lags))
+        .join(u.as("b").hint("shuffle_hash"),
+          $"a.event_type" === $"b.event_type"
+            && $"b.d" === date_add($"a.d", $"lag"))
+        .groupBy($"a.event_type".as("event_type"), $"lag")
+        .agg(sum($"a.u" * $"b.u").as("acf_num"))
+        .join(broadcast(den), "event_type")
+        .select($"event_type", $"lag", $"acf_num", $"acf_den",
+          ($"acf_num".cast("double") / $"acf_den".cast("double")).as("acf"))
+        .orderBy($"event_type", $"lag")
+    },
+    Some("""WITH daily AS (
+              SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+              FROM events GROUP BY 1, 2),
+            st AS (
+              SELECT event_type, count(*) AS n, CAST(sum(v) AS BIGINT) AS sv
+              FROM daily GROUP BY 1),
+            u AS (
+              SELECT daily.event_type, d, CAST(n * v - sv AS BIGINT) AS u
+              FROM daily JOIN st USING (event_type)),
+            den AS (
+              SELECT event_type, CAST(sum(u * u) AS BIGINT) AS acf_den
+              FROM u GROUP BY 1),
+            lags(lag) AS (VALUES (1), (2), (3), (4), (5), (6), (7))
+            SELECT a.event_type, lag,
+                   CAST(sum(a.u * b.u) AS BIGINT) AS acf_num, acf_den,
+                   CAST(sum(a.u * b.u) AS DOUBLE) / CAST(acf_den AS DOUBLE) AS acf
+            FROM u a CROSS JOIN lags
+                 JOIN u b ON a.event_type = b.event_type AND b.d = a.d + lag
+                 JOIN den ON den.event_type = a.event_type
+            GROUP BY 1, 2, acf_den
+            ORDER BY 1, 2""")
+  )
+
   def all: Seq[GraftQuery] =
     Seq(asofJoin, gapFill, ntileRanks, skewSalted, resample, funnel,
       funnelWindowed, sessionize, retention, anomaly, interpolate, ewma,
       crossCorr, outlierMad, rollingMedian, cusum, seasonality, mkTrend,
-      theilSen)
+      theilSen, acf)
 }

@@ -229,4 +229,101 @@ class AggregatesSpec extends AnyFunSuite {
       assert(g >= 0.0 && g < 1.0, s"$st gini $g out of range")
     }
   }
+
+  private def cents(d: Double): Long =
+    (BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLong
+
+  test("Welch t: sufficient statistics match a brute recompute; df bracketed") {
+    val rows = sources.Tables.events(spark, TestSpark.Sf)
+      .filter($"event_type".isin("view", "purchase"))
+      .select($"event_type", $"value").collect()
+      .map(r => (r.getString(0), cents(r.getDouble(1))))
+    def stats(t: String) = {
+      val xs = rows.filter(_._1 == t).map(_._2)
+      (xs.length.toLong, xs.sum, xs.map(x => x * x).sum)
+    }
+    val (n1, s1, q1) = stats("view")
+    val (n2, s2, q2) = stats("purchase")
+    val out = operators.Analytics.ttestWelch.run(spark, TestSpark.Sf).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n1") === n1 && r.getAs[Long]("n2") === n2)
+    assert(r.getAs[Long]("md_num") === s1 * n2 - s2 * n1)
+    assert(r.getAs[Long]("v1_num") === n1 * q1 - s1 * s1)
+    assert(r.getAs[Long]("v2_num") === n2 * q2 - s2 * s2)
+    val va = (n1 * q1 - s1 * s1).toDouble / (n1 * n1 * (n1 - 1)).toDouble
+    val vb = (n2 * q2 - s2 * s2).toDouble / (n2 * n2 * (n2 - 1)).toDouble
+    assert(r.getAs[Double]("t") ===
+      (s1 * n2 - s2 * n1).toDouble / (n1 * n2).toDouble / math.sqrt(va + vb))
+    val df = r.getAs[Double]("df")
+    // Welch–Satterthwaite df is bracketed by min(n1,n2)−1 and n1+n2−2
+    assert(df >= (math.min(n1, n2) - 1).toDouble - 1e-9 &&
+      df <= (n1 + n2 - 2).toDouble + 1e-9, s"df $df outside bracket")
+  }
+
+  test("Spearman: doubled-midrank Pearson matches a brute recompute; |rho| <= 1") {
+    val daily = sources.Tables.events(spark, TestSpark.Sf)
+      .filter($"event_type".isin("view", "purchase"))
+      .select(to_date($"ts").as("d"), $"event_type", $"value").collect()
+      .map(r => (r.getDate(0).toString, r.getString(1), cents(r.getDouble(2))))
+      .groupBy(_._1).iterator.map { case (_, xs) =>
+        (xs.filter(_._2 == "view").map(_._3).sum,
+          xs.filter(_._2 == "purchase").map(_._3).sum)
+      }.toArray
+    def dranks(xs: Array[Long]): Array[Long] = {
+      val sorted = xs.sorted
+      xs.map { v =>
+        val lo = sorted.indexWhere(_ == v) + 1L
+        val hi = sorted.lastIndexWhere(_ == v) + 1L
+        lo + hi // doubled midrank
+      }
+    }
+    val rx = dranks(daily.map(_._1))
+    val ry = dranks(daily.map(_._2))
+    val n = daily.length.toLong
+    val (sx, sy) = (rx.sum, ry.sum)
+    val sxy = rx.zip(ry).map { case (a, b) => a * b }.sum
+    val (sxx, syy) = (rx.map(a => a * a).sum, ry.map(a => a * a).sum)
+    val out = operators.Analytics.spearman.run(spark, TestSpark.Sf).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n") === n)
+    assert(r.getAs[Long]("rho_num") === n * sxy - sx * sy,
+      "doubled-rank Pearson numerator must match the brute recompute")
+    assert(r.getAs[Long]("den_x") === n * sxx - sx * sx)
+    assert(r.getAs[Long]("den_y") === n * syy - sy * sy)
+    assert(math.abs(r.getAs[Double]("rho")) <= 1.0 + 1e-12)
+  }
+
+  test("Cramer's V: shares agg_chisq's integerized accumulator; V in [0,1]") {
+    val chi = operators.Analytics.chiSq.run(spark, TestSpark.Sf).collect().head
+    val out = operators.Analytics.cramersV.run(spark, TestSpark.Sf).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("chi2_e12") === chi.getAs[Long]("chi2_e12"),
+      "V must be computed from the SAME integerized chi2 as agg_chisq")
+    val v = r.getAs[Double]("v")
+    assert(v >= 0.0 && v <= 1.0, s"V $v out of [0,1]")
+    assert(r.getAs[Double]("v") ===
+      math.sqrt(r.getAs[Long]("chi2_e12").toDouble / 1e12
+        / r.getAs[Long]("n").toDouble / (r.getAs[Long]("min_dim") - 1).toDouble))
+  }
+
+  test("Benford: leading-digit counts match a brute string recompute; counts conserve") {
+    val digits = sources.Tables.orders(spark, TestSpark.Sf)
+      .select($"o_totalprice").collect()
+      .map(r => cents(r.getDouble(0)).toString.head.asDigit.toLong)
+    val brute = digits.groupBy(identity).map { case (d, xs) => d -> xs.length.toLong }
+    val out = operators.Analytics.benford.run(spark, TestSpark.Sf).collect()
+    assert(out.map(_.getAs[Long]("digit")).toSet.subsetOf((1L to 9L).toSet))
+    assert(out.map(_.getAs[Long]("o")).sum === digits.length.toLong,
+      "digit counts must conserve the row count")
+    out.foreach { r =>
+      assert(r.getAs[Long]("o") === brute(r.getAs[Long]("digit")),
+        s"digit ${r.getAs[Long]("digit")} count")
+      assert(r.getAs[Long]("n") === digits.length.toLong)
+    }
+    // every row repeats the same global statistic
+    assert(out.map(_.getAs[Long]("chi2_e12")).distinct.length === 1)
+  }
 }

@@ -47,6 +47,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "agg_ks_test",        // 1-row sample-totals broadcast onto the domain-sized ECDF
     "stream_ks_drift",    // same 1-row totals broadcast + 1-row wave-bounds broadcasts
     "agg_chisq",          // 1-row table-totals broadcast onto the bounded cell domain
+    "agg_cramers_v",      // same 1-row table-totals broadcast (shared construction)
+    "agg_benford",        // 1-row digit-total + 1-row chi2 broadcasts onto 9 domain rows
+    "ts_acf",             // 7-row lag-dimension broadcast onto the bounded day domain
     // llm_perplexity_trigram needs no entry: its 1-row stats broadcast
     // lives in the one-time layout BUILD; the audited serving plan is a
     // plain read of the persisted per-doc scores.

@@ -471,4 +471,33 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(r.getAs[Long]("slope_num") === pick._4)
     assert(r.getAs[Long]("slope_den") === pick._5)
   }
+
+  test("ts_acf: exact integer autocovariance matches a brute calendar-lag recompute") {
+    val daily = sources.Tables.events(spark, TestSpark.Sf)
+      .select($"event_type", to_date($"ts").as("d"), $"value").collect()
+      .map(r => ((r.getString(0), r.getDate(1).toLocalDate),
+        (BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLong))
+      .groupBy(_._1).iterator.map { case (k, xs) => k -> xs.map(_._2).sum }.toMap
+    val byType = daily.groupBy(_._1._1)
+    val out = operators.TimeSeries.acf.run(spark, TestSpark.Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (t, lag) = (r.getString(0), r.getAs[Int]("lag"))
+      val series = byType(t).map { case ((_, d), v) => d -> v }
+      val n = series.size.toLong
+      val s = series.values.sum
+      val u = series.map { case (d, v) => d -> (n * v - s) }
+      val num = u.iterator.flatMap { case (d, ud) =>
+        u.get(d.plusDays(lag.toLong)).map(ub => ud * ub)
+      }.sum
+      val den = u.values.map(x => x * x).sum
+      assert(r.getAs[Long]("acf_num") === num, s"$t lag $lag numerator")
+      assert(r.getAs[Long]("acf_den") === den, s"$t lag $lag denominator")
+      // Cauchy–Schwarz: |Σ u_d·u_{d+l}| ≤ Σ u², so |acf| ≤ 1
+      assert(math.abs(r.getAs[Double]("acf")) <= 1.0 + 1e-12)
+    }
+    // all 7 lags present for every type that has any row
+    val lagsPerType = out.groupBy(_.getString(0)).map(_._2.map(_.getAs[Int]("lag")).toSet)
+    lagsPerType.foreach(ls => assert(ls === (1 to 7).toSet))
+  }
 }
