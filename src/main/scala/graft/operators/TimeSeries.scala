@@ -1167,9 +1167,102 @@ object TimeSeries {
             ORDER BY 1, 2""")
   )
 
+  /** Single least-squares changepoint (AMOC) per event type over the
+    * daily revenue series — "WHEN did this metric shift?", the follow-up
+    * to ts_cusum's "did it shift?" alarm. The split t maximizing the
+    * between-segment variance reduction is, after clearing denominators,
+    * argmax of gain(t) = (n·C_t − t·S)² / (t·(n−t)) over prefix sums
+    * C_t — the classic binary-segmentation step run once.
+    *
+    * Determinism: a_t = n·C_t − t·S is EXACT BIGINT (peaks ~3e9 at
+    * sf0.1); gain is the double fold a²/den of identical integers —
+    * a² stays in DOUBLE (in BIGINT it would sit exactly at the 9.2e18
+    * overflow edge), which is deterministic because both engines
+    * multiply the same double; the argmax is the two-phase max +
+    * equi-join-back form (never a struct-max) with the EARLIEST day as
+    * tiebreak, and the output carries the exact integer pieces
+    * (gain_num, gain_den, segment-mean rationals) alongside the one
+    * double division each.
+    *
+    * Scale shape: the fact table reduces to the bounded type × day
+    * domain in one aggregate; the prefix window, argmax and join-back
+    * all run on |types| × |days| rows. */
+  val changepoint: GraftQuery = GraftQuery(
+    "ts_changepoint",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .groupBy($"event_type", to_date($"ts").as("d"))
+        .agg(expr("sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))").as("v"))
+      val stats = daily.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"v").as("sv"))
+      val w = Window.partitionBy($"event_type").orderBy($"d")
+      val splits = daily
+        .withColumn("t", row_number().over(w).cast("long"))
+        .withColumn("c", sum($"v").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .join(broadcast(stats), "event_type")
+        .filter($"t" < $"n") // a split leaves both segments non-empty
+        .withColumn("a", $"n" * $"c" - $"t" * $"sv")
+        .withColumn("den", $"t" * ($"n" - $"t"))
+        .withColumn("gain",
+          $"a".cast("double") * $"a".cast("double") / $"den".cast("double"))
+        .localCheckpoint() // argmax + join-back both read it
+      // Two-phase argmax (never a struct-min — struct buffers force
+      // SortAggregate): max gain per type, equi-join back, then the
+      // earliest tied day selected the same way.
+      val best = splits.groupBy($"event_type").agg(max($"gain").as("mg"))
+      val tied = splits.join(broadcast(best), "event_type")
+        .filter($"gain" === $"mg")
+        .localCheckpoint() // day-min + join-back both read it
+      val firstDay = tied.groupBy($"event_type").agg(min($"d").as("d"))
+      tied.join(broadcast(firstDay), Seq("event_type", "d"))
+        .select($"event_type", $"n", $"t".as("cp_t"), $"d".as("cp_day"),
+          $"a".as("gain_num"), $"den".as("gain_den"), $"gain",
+          $"c".as("lsum"), ($"sv" - $"c").as("rsum"),
+          ($"c".cast("double") / $"t".cast("double")).as("lmean"),
+          (($"sv" - $"c").cast("double")
+            / ($"n" - $"t").cast("double")).as("rmean"))
+        .orderBy($"event_type")
+    },
+    Some("""WITH daily AS (
+              SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+              FROM events GROUP BY 1, 2),
+            st AS (
+              SELECT event_type, count(*) AS n, CAST(sum(v) AS BIGINT) AS sv
+              FROM daily GROUP BY 1),
+            splits AS (
+              SELECT daily.event_type, d, n, sv,
+                     CAST(row_number() OVER (PARTITION BY daily.event_type ORDER BY d)
+                          AS BIGINT) AS t,
+                     CAST(sum(v) OVER (PARTITION BY daily.event_type ORDER BY d
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS BIGINT) AS c
+              FROM daily JOIN st USING (event_type)),
+            gains AS (
+              SELECT *, CAST(n * c - t * sv AS BIGINT) AS a,
+                     CAST(t * (n - t) AS BIGINT) AS den,
+                     CAST(n * c - t * sv AS DOUBLE) * CAST(n * c - t * sv AS DOUBLE)
+                       / CAST(t * (n - t) AS DOUBLE) AS gain
+              FROM splits WHERE t < n),
+            best AS (SELECT event_type, max(gain) AS mg FROM gains GROUP BY 1),
+            pick AS (
+              SELECT g.*, row_number() OVER (PARTITION BY g.event_type ORDER BY d) AS rn
+              FROM gains g JOIN best USING (event_type) WHERE gain = mg)
+            SELECT event_type, n, t AS cp_t, cp_day, gain_num, gain_den, gain,
+                   lsum, rsum,
+                   CAST(lsum AS DOUBLE) / CAST(t AS DOUBLE) AS lmean,
+                   CAST(rsum AS DOUBLE) / CAST(n - t AS DOUBLE) AS rmean
+            FROM (SELECT event_type, n, t, d AS cp_day, a AS gain_num, den AS gain_den,
+                         gain, c AS lsum, CAST(sv - c AS BIGINT) AS rsum
+                  FROM pick WHERE rn = 1) q
+            ORDER BY event_type""")
+  )
+
   def all: Seq[GraftQuery] =
     Seq(asofJoin, gapFill, ntileRanks, skewSalted, resample, funnel,
       funnelWindowed, sessionize, retention, anomaly, interpolate, ewma,
       crossCorr, outlierMad, rollingMedian, cusum, seasonality, mkTrend,
-      theilSen, acf)
+      theilSen, acf, changepoint)
 }

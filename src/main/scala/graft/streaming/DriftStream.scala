@@ -74,5 +74,65 @@ object DriftStream {
     Analytics.ksTest.oracle
   )
 
-  def all: Seq[GraftQuery] = Seq(streamKsDrift)
+  /** Streaming experiment monitor — the micro-batch twin of
+    * `agg_ttest_welch`: each wave contributes one row of BIGINT
+    * sufficient-statistic partials (n, Σcents, Σcents²) per cohort, and
+    * the serve step sums them and applies the identical Welch fold. This
+    * is the live A/B dashboard number: "is the purchase mean moving away
+    * from the view mean as data lands?" — recomputed exactly per wave
+    * without ever re-reading old events.
+    *
+    * The merge is EXACT at any wave split for the same reason as
+    * stream_ks_drift: counts and integer sums are associative, so
+    * Σ waves == the one-pass batch statistics bit-for-bit, and t/df are
+    * the same scalar folds of identical doubles. The appended state is
+    * ONE ROW per wave — the cheapest streaming state in the registry
+    * (the KS monitor keeps domain-sized partials; the t monitor keeps
+    * six BIGINTs). Oracle = the batch twin's, verbatim. */
+  val streamTtest: GraftQuery = GraftQuery(
+    "stream_ttest",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .filter($"event_type".isin("view", "purchase"))
+        .select($"event_id", $"event_type",
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cv"))
+      val bounds = ev.agg(min($"event_id").as("lo"), max($"event_id").as("hi"))
+      def edge(k: Int): Column =
+        $"lo" - 1 + floor(($"hi" - $"lo" + 1) * lit(k) / lit(Waves.toDouble)).cast("long")
+      val partials = (0 until Waves).map { k =>
+        ev.join(broadcast(bounds), $"event_id" > edge(k) && $"event_id" <= edge(k + 1))
+          .agg(
+            sum(when($"event_type" === "view", 1L).otherwise(0L)).as("n1"),
+            sum(when($"event_type" === "view", $"cv").otherwise(0L)).as("s1"),
+            sum(when($"event_type" === "view", $"cv" * $"cv").otherwise(0L)).as("q1"),
+            sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("n2"),
+            sum(when($"event_type" === "purchase", $"cv").otherwise(0L)).as("s2"),
+            sum(when($"event_type" === "purchase", $"cv" * $"cv").otherwise(0L)).as("q2"))
+          .localCheckpoint()
+      }
+      val merged = partials.reduce(_.unionAll(_))
+        .agg(sum($"n1").as("n1"), sum($"s1").as("s1"), sum($"q1").as("q1"),
+          sum($"n2").as("n2"), sum($"s2").as("s2"), sum($"q2").as("q2"))
+      merged
+        .withColumn("md_num", $"s1" * $"n2" - $"s2" * $"n1")
+        .withColumn("v1_num", $"n1" * $"q1" - $"s1" * $"s1")
+        .withColumn("v2_num", $"n2" * $"q2" - $"s2" * $"s2")
+        .withColumn("va", $"v1_num".cast("double")
+          / ($"n1" * $"n1" * ($"n1" - 1L)).cast("double"))
+        .withColumn("vb", $"v2_num".cast("double")
+          / ($"n2" * $"n2" * ($"n2" - 1L)).cast("double"))
+        .select($"n1", $"n2", $"md_num", $"v1_num", $"v2_num",
+          ($"md_num".cast("double") / ($"n1" * $"n2").cast("double")
+            / sqrt($"va" + $"vb")).as("t"),
+          (($"va" + $"vb") * ($"va" + $"vb")
+            / ($"va" * $"va" / ($"n1" - 1L).cast("double")
+              + $"vb" * $"vb" / ($"n2" - 1L).cast("double"))).as("df"))
+    },
+    // Batching must not change the one output row: the oracle is the
+    // batch Welch test's, verbatim.
+    Analytics.ttestWelch.oracle
+  )
+
+  def all: Seq[GraftQuery] = Seq(streamKsDrift, streamTtest)
 }

@@ -403,6 +403,68 @@ class StreamingSpec extends AnyFunSuite {
       "merged count partials must reproduce the batch KS statistic exactly")
   }
 
+  test("Welch-t foreachBatch pipeline: 1-row sufficient-stat partials serve the batch answer") {
+    // The production form of stream_ttest: each micro-batch appends ONE
+    // row of BIGINT sufficient statistics (n, Σcents, Σcents²) per
+    // cohort — the cheapest streaming state in the registry — and the
+    // serve step sums them and applies the identical Welch fold. Must
+    // equal the one-pass batch test bit-for-bit.
+    import org.apache.spark.sql.functions._
+    val ev = sources.Tables.events(spark, TestSpark.Sf)
+      .filter($"event_type".isin("view", "purchase"))
+      .select($"event_id", $"event_type", $"value").cache()
+    val mid = ev.agg(floor(max($"event_id") / 2.0).cast("long"))
+      .collect()(0).getLong(0)
+    val base = Files.createTempDirectory("graft_tstrm").toString
+    val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+    def runWave(): Unit = {
+      val q = spark.readStream.schema(ev.schema).parquet(src)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cv"),
+              col("event_type"))
+            .agg(
+              sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n1"),
+              sum(when(col("event_type") === "view", col("cv")).otherwise(0L)).as("s1"),
+              sum(when(col("event_type") === "view", col("cv") * col("cv")).otherwise(0L)).as("q1"),
+              sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n2"),
+              sum(when(col("event_type") === "purchase", col("cv")).otherwise(0L)).as("s2"),
+              sum(when(col("event_type") === "purchase", col("cv") * col("cv")).otherwise(0L)).as("q2"))
+            .write.mode("append").parquet(out)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    ev.filter($"event_id" <= mid).write.mode("append").parquet(src)
+    runWave()
+    ev.filter($"event_id" > mid).write.mode("append").parquet(src)
+    runWave()
+    val served = spark.read.parquet(out)
+      .agg(sum($"n1").as("n1"), sum($"s1").as("s1"), sum($"q1").as("q1"),
+        sum($"n2").as("n2"), sum($"s2").as("s2"), sum($"q2").as("q2"))
+      .withColumn("md_num", $"s1" * $"n2" - $"s2" * $"n1")
+      .withColumn("v1_num", $"n1" * $"q1" - $"s1" * $"s1")
+      .withColumn("v2_num", $"n2" * $"q2" - $"s2" * $"s2")
+      .withColumn("va", $"v1_num".cast("double")
+        / ($"n1" * $"n1" * ($"n1" - 1L)).cast("double"))
+      .withColumn("vb", $"v2_num".cast("double")
+        / ($"n2" * $"n2" * ($"n2" - 1L)).cast("double"))
+      .select($"n1", $"n2", $"md_num", $"v1_num", $"v2_num",
+        ($"md_num".cast("double") / ($"n1" * $"n2").cast("double")
+          / sqrt($"va" + $"vb")).as("t"),
+        (($"va" + $"vb") * ($"va" + $"vb")
+          / ($"va" * $"va" / ($"n1" - 1L).cast("double")
+            + $"vb" * $"vb" / ($"n2" - 1L).cast("double"))).as("df"))
+      .collect().map(_.toSeq).toSet
+    val batchTruth = operators.Analytics.ttestWelch.run(spark, TestSpark.Sf)
+      .collect().map(_.toSeq).toSet
+    assert(served === batchTruth,
+      "merged sufficient-stat partials must reproduce the batch Welch t exactly")
+  }
+
   test("cdc foreachBatch pipeline: appended compaction partials serve the batch answer") {
     // The production form of stream_cdc: the change log lands incrementally
     // (two arrival waves through a checkpointed file source); each

@@ -500,4 +500,36 @@ class TimeSeriesSpec extends AnyFunSuite {
     val lagsPerType = out.groupBy(_.getString(0)).map(_._2.map(_.getAs[Int]("lag")).toSet)
     lagsPerType.foreach(ls => assert(ls === (1 to 7).toSet))
   }
+
+  test("ts_changepoint: argmax split matches a brute gain sweep; segments conserve") {
+    val daily = sources.Tables.events(spark, TestSpark.Sf)
+      .select($"event_type", to_date($"ts").as("d"), $"value").collect()
+      .map(r => ((r.getString(0), r.getDate(1).toLocalDate),
+        (BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLong))
+      .groupBy(_._1).iterator.map { case (k, xs) => k -> xs.map(_._2).sum }.toMap
+    val out = operators.TimeSeries.changepoint.run(spark, TestSpark.Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val t = r.getString(0)
+      val series = daily.collect { case ((tt, d), v) if tt == t => (d, v) }
+        .toSeq.sortBy(_._1.toEpochDay)
+      val n = series.length.toLong
+      val s = series.map(_._2).sum
+      // brute gain sweep over every split, earliest-day tiebreak
+      val gains = series.map(_._2).scanLeft(0L)(_ + _).drop(1).zipWithIndex.init
+        .map { case (c, i) =>
+          val tt = i + 1L
+          val a = n * c - tt * s
+          (tt, c, a, a.toDouble * a.toDouble / (tt * (n - tt)).toDouble)
+        }
+      val best = gains.maxBy(_._4)
+      val pick = gains.filter(_._4 == best._4).minBy(_._1)
+      assert(r.getAs[Long]("cp_t") === pick._1, s"$t split index")
+      assert(r.getAs[Long]("gain_num") === pick._3, s"$t gain numerator")
+      assert(r.getAs[Long]("lsum") === pick._2, s"$t left segment sum")
+      assert(r.getAs[Long]("lsum") + r.getAs[Long]("rsum") === s,
+        s"$t segment sums must conserve the series total")
+      assert(r.getAs[Long]("gain_den") === pick._1 * (n - pick._1))
+    }
+  }
 }
