@@ -722,37 +722,166 @@ object Graph {
     * NOT a packed long (the keep_best 2^40 corruption lesson). Label
     * table lineage is cut per round. Everything is O(V + E) per round
     * with the E side exchange-free — the Pregel cost model. */
+  /** The converged LPA label vector (LpaIters synchronous rounds) —
+    * shared by graph_label_prop and graph_modularity. */
+  private def lpaLabels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = adjacency(s, dir).select($"src", $"dst")
+    var labels = vertices(adjacency(s, dir))
+      .select($"src".as("v"), $"src".as("label"))
+      .localCheckpoint()
+    for (_ <- 1 to LpaIters)
+      labels = lpaRound(e, labels).localCheckpoint()
+    labels
+  }
+
+  /** The oracle CTE chain ending in l$LpaIters(v, label) — the unrolled
+    * synchronous LPA rounds over the shared edge CTE; composed by the
+    * graph_label_prop and graph_modularity oracles. */
+  private def lpaOracleCte: String = {
+    val iters = (1 to LpaIters).map { i =>
+      s"""c$i AS (SELECT e.dst AS v, p.label, count(*) AS cnt
+                  FROM e JOIN l${i - 1} p ON e.src = p.v
+                  GROUP BY e.dst, p.label),
+          l$i AS (SELECT v, label FROM (
+                    SELECT v, label,
+                           row_number() OVER (PARTITION BY v
+                             ORDER BY cnt DESC, label ASC) AS rn
+                    FROM c$i) WHERE rn = 1)"""
+    }.mkString(",\n")
+    s"""deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        l0 AS (SELECT src AS v, src AS label FROM deg),
+        $iters"""
+  }
+
   val labelPropagation: GraftQuery = GraftQuery(
     "graph_label_prop",
     (s, dir) => {
       import s.implicits._
-      val e = adjacency(s, dir).select($"src", $"dst")
-      var labels = vertices(adjacency(s, dir))
-        .select($"src".as("v"), $"src".as("label"))
-        .localCheckpoint()
-      for (_ <- 1 to LpaIters)
-        labels = lpaRound(e, labels).localCheckpoint()
-      labels.select($"v".as("part_id"), $"label".as("community"))
+      lpaLabels(s, dir).select($"v".as("part_id"), $"label".as("community"))
         .orderBy($"part_id")
     },
     Some {
-      val iters = (1 to LpaIters).map { i =>
-        s"""c$i AS (SELECT e.dst AS v, p.label, count(*) AS cnt
-                    FROM e JOIN l${i - 1} p ON e.src = p.v
-                    GROUP BY e.dst, p.label),
-            l$i AS (SELECT v, label FROM (
-                      SELECT v, label,
-                             row_number() OVER (PARTITION BY v
-                               ORDER BY cnt DESC, label ASC) AS rn
-                      FROM c$i) WHERE rn = 1)"""
-      }.mkString(",\n")
       s"""WITH $edgeCte,
-            deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
-            l0 AS (SELECT src AS v, src AS label FROM deg),
-            $iters
+            $lpaOracleCte
           SELECT v AS part_id, label AS community FROM l$LpaIters
           ORDER BY part_id"""
     }
+  )
+
+  /** Degree assortativity coefficient — "do hubs link to hubs?" (Newman
+    * 2002), the one-number mixing diagnostic that decides whether a
+    * degree cap (graph_jaccard_capped) will bite: disassortative graphs
+    * concentrate wedges at hubs, assortative ones spread them.
+    *
+    * Determinism — EXACT RATIONAL, and the best scale story in the
+    * graph family: over the SYMMETRIC directed edge rows both endpoint
+    * degrees ride the layout ON-ROW (deg, ddeg — the round-9
+    * denormalization), so Pearson's sums need ZERO joins; by symmetry
+    * Σj = Σk and Σj² = Σk², so the denominator factors coincide and
+    * r = (N·Σjk − Σj·Σk)/(N·Σj² − (Σj)²) is a ratio of BIGINTs with
+    * ONE division. One partial-only aggregate over the bucketed scan —
+    * no shuffle at all on the edge side, at any scale. */
+  val assortativity: GraftQuery = GraftQuery(
+    "graph_assortativity",
+    (s, dir) => {
+      import s.implicits._
+      adjacency(s, dir)
+        .select($"deg".as("j"), $"ddeg".as("k"))
+        .agg(count(lit(1)).as("n_directed"),
+          sum($"j").as("sj"), sum($"j" * $"j").as("sjj"),
+          sum($"j" * $"k").as("sjk"))
+        .select($"n_directed",
+          ($"n_directed" * $"sjk" - $"sj" * $"sj").as("r_num"),
+          ($"n_directed" * $"sjj" - $"sj" * $"sj").as("r_den"),
+          (($"n_directed" * $"sjk" - $"sj" * $"sj").cast("double")
+            / ($"n_directed" * $"sjj" - $"sj" * $"sj").cast("double")).as("r"))
+    },
+    Some(s"""WITH $edgeCte,
+               deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+               je AS (SELECT ds.deg AS j, dd.deg AS k
+                      FROM e JOIN deg ds ON e.src = ds.src
+                             JOIN deg dd ON e.dst = dd.src),
+               a AS (SELECT count(*) AS n_directed,
+                            CAST(sum(j) AS BIGINT) AS sj,
+                            CAST(sum(j * j) AS BIGINT) AS sjj,
+                            CAST(sum(j * k) AS BIGINT) AS sjk
+                     FROM je)
+             SELECT n_directed,
+                    CAST(n_directed * sjk - sj * sj AS BIGINT) AS r_num,
+                    CAST(n_directed * sjj - sj * sj AS BIGINT) AS r_den,
+                    CAST(n_directed * sjk - sj * sj AS DOUBLE)
+                      / CAST(n_directed * sjj - sj * sj AS DOUBLE) AS r
+             FROM a""")
+  )
+
+  /** Newman modularity of the LPA partition — "was the community
+    * structure graph_label_prop found actually strong?", the quality
+    * number every clustering readout pairs with its labels (Q near 0:
+    * the partition explains nothing; production pipelines alarm on Q
+    * drops when a re-run fragments communities).
+    *
+    * Determinism — EXACT RATIONAL: with 2m directed edge rows,
+    * Q = Σ_c [L_c/2m − (D_c/2m)²] clears denominators to
+    * Q·4m² = Σ_c (2m·L_c − D_c²) — L_c (within-community directed edge
+    * count) and D_c (community degree sum) are BIGINTs off one
+    * labels-join pass, so q_num/q_den is exact and the double is one
+    * division. Labels are the SAME deterministic LpaIters-round vector
+    * graph_label_prop grades, so the composed oracle unrolls the same
+    * CTE chain and folds the same integers.
+    *
+    * Scale shape: the label vector is O(V); the src-side labels join is
+    * exchange-free on the bucketed scan, the dst side shuffles the slim
+    * O(E) (dst, label) pairs once, and both folds are map-side-combined
+    * hash aggregates onto the community domain. */
+  val modularity: GraftQuery = GraftQuery(
+    "graph_modularity",
+    (s, dir) => {
+      import s.implicits._
+      val labels = lpaLabels(s, dir)
+      val e = adjacency(s, dir).select($"src", $"dst", $"deg")
+      val m2 = e.agg(count(lit(1)).as("m2"), // 2m directed rows
+        countDistinct($"src").as("n_vertices"))
+      // within-community directed edges: label both endpoints
+      val lsrc = e.join(labels.withColumnRenamed("v", "src")
+        .withColumnRenamed("label", "lsrc").hint("shuffle_hash"), "src")
+      val lcnt = lsrc.join(
+          labels.withColumnRenamed("v", "dst")
+            .withColumnRenamed("label", "ldst").hint("shuffle_hash"), "dst")
+        .filter($"lsrc" === $"ldst")
+        .groupBy($"lsrc".as("community")).agg(count(lit(1)).as("l_c"))
+      // community degree mass off the on-row deg (one row per vertex)
+      val dcnt = vertices(adjacency(s, dir))
+        .join(labels.withColumnRenamed("v", "src").hint("shuffle_hash"), "src")
+        .groupBy($"label".as("community")).agg(sum($"deg").as("d_c"))
+      dcnt.join(lcnt.hint("shuffle_hash"), Seq("community"), "left")
+        .select($"community", coalesce($"l_c", lit(0L)).as("l_c"), $"d_c")
+        .crossJoin(broadcast(m2))
+        .agg(first($"m2").as("m2"), first($"n_vertices").as("n_vertices"),
+          count(lit(1)).as("n_communities"),
+          sum($"m2" * $"l_c" - $"d_c" * $"d_c").as("q_num"))
+        .select($"n_vertices", $"n_communities", $"q_num",
+          ($"m2" * $"m2").as("q_den"),
+          ($"q_num".cast("double") / ($"m2" * $"m2").cast("double")).as("q"))
+    },
+    Some(s"""WITH $edgeCte,
+               $lpaOracleCte,
+               m AS (SELECT count(*) AS m2, count(DISTINCT src) AS n_vertices FROM e),
+               lc AS (SELECT ls.label AS community, count(*) AS l_c
+                      FROM e JOIN l$LpaIters ls ON e.src = ls.v
+                             JOIN l$LpaIters ld ON e.dst = ld.v
+                      WHERE ls.label = ld.label GROUP BY 1),
+               dc AS (SELECT l.label AS community, CAST(sum(deg.deg) AS BIGINT) AS d_c
+                      FROM deg JOIN l$LpaIters l ON deg.src = l.v GROUP BY 1),
+               j AS (SELECT dc.community, COALESCE(lc.l_c, 0) AS l_c, dc.d_c
+                     FROM dc LEFT JOIN lc ON dc.community = lc.community)
+             SELECT n_vertices, count(*) AS n_communities,
+                    CAST(sum(m2 * l_c - d_c * d_c) AS BIGINT) AS q_num,
+                    CAST(m2 * m2 AS BIGINT) AS q_den,
+                    CAST(sum(m2 * l_c - d_c * d_c) AS DOUBLE)
+                      / CAST(m2 * m2 AS DOUBLE) AS q
+             FROM j CROSS JOIN m
+             GROUP BY n_vertices, m2""")
   )
 
   /** Number of BFS landmarks for approximate closeness. */
@@ -1056,5 +1185,5 @@ object Graph {
     Seq(pagerank, pagerankDelta, pagerankWeighted, cc, jaccard,
       jaccardCapped, adamicAdar, labelPropagation, bfs,
       closenessLandmarks, edgesIncremental, triangles, degreeDist, kCore,
-      mst)
+      mst, assortativity, modularity)
 }

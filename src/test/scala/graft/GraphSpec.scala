@@ -461,4 +461,45 @@ class GraphSpec extends AnyFunSuite {
     assert(nVertices == e.flatMap(p => Seq(p._1, p._2)).size.toLong)
     assert(degMass == 2L * e.size) // each undirected edge contributes 2 degree
   }
+
+  test("assortativity: exact rational matches a brute degree-pair recompute; |r| <= 1") {
+    val e = bruteEdges
+    val deg = e.toSeq.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).map { case (v, xs) => v -> xs.length.toLong }
+    val directed = e.toSeq.flatMap(p => Seq(p, p.swap))
+    val n = directed.length.toLong
+    val (sj, sjj, sjk) = directed.foldLeft((0L, 0L, 0L)) { case ((a, b, c), (s, d)) =>
+      (a + deg(s), b + deg(s) * deg(s), c + deg(s) * deg(d))
+    }
+    val out = operators.Graph.assortativity.run(spark, TestSpark.Sf).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_directed") === n)
+    assert(r.getAs[Long]("r_num") === n * sjk - sj * sj,
+      "assortativity numerator must match the brute degree-pair recompute")
+    assert(r.getAs[Long]("r_den") === n * sjj - sj * sj)
+    assert(math.abs(r.getAs[Double]("r")) <= 1.0 + 1e-12)
+  }
+
+  test("modularity: exact rational matches a brute recompute over the LPA labels; Q < 1") {
+    val labels = operators.Graph.labelPropagation.run(spark, TestSpark.Sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e = bruteEdges
+    val directed = e.toSeq.flatMap(p => Seq(p, p.swap))
+    val m2 = directed.length.toLong
+    val lC = directed.filter { case (s, d) => labels(s) == labels(d) }
+      .groupBy { case (s, _) => labels(s) }.map { case (c, xs) => c -> xs.length.toLong }
+    val dC = directed.groupBy { case (s, _) => labels(s) }
+      .map { case (c, xs) => c -> xs.length.toLong } // out-degree sum per community
+    val qNum = dC.map { case (c, d) => m2 * lC.getOrElse(c, 0L) - d * d }.sum
+    val out = operators.Graph.modularity.run(spark, TestSpark.Sf).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_communities") === dC.size.toLong)
+    assert(r.getAs[Long]("q_num") === qNum,
+      "modularity numerator must match the brute label recompute")
+    assert(r.getAs[Long]("q_den") === m2 * m2)
+    val q = r.getAs[Double]("q")
+    assert(q > -1.0 && q < 1.0, s"Q $q out of range")
+  }
 }
