@@ -1111,11 +1111,50 @@ object TextStats {
     None
   )
 
+  /** Corpus-wide top bigrams with document frequency — the boilerplate /
+    * template detector one level above llm_vocab_topk's unigrams: a
+    * bigram whose term count dwarfs its doc count is a within-doc
+    * repetition artifact, one with df ≈ corpus size is boilerplate
+    * (navigation chrome, license headers) that the dedup family should
+    * have caught — this is the diagnostic that says WHICH strings to
+    * feed the winnowing df-cap.
+    *
+    * The bigram list is built IN-ROW (one `transform` over the token
+    * array — no self-join on position, no second explode), so the plan
+    * is scan → explode → one hash aggregate → top-k: identical cost
+    * shape to vocab_topk. One-token docs contribute an empty list on
+    * both engines (Spark's `sequence(1, 0)` would DESCEND — the guard
+    * matches DuckDB's empty `range(1, 1)`). */
+  val ngramTopK: GraftQuery = GraftQuery(
+    "llm_ngram_topk",
+    (s, dir) => {
+      import s.implicits._
+      val t = TF.tokens($"text")
+      val bigrams = when(size(t) >= 2, expr(
+        """transform(sequence(1, size(split(text, ' ')) - 1),
+             i -> concat(element_at(split(text, ' '), i), ' ',
+                         element_at(split(text, ' '), i + 1)))"""))
+        .otherwise(array().cast("array<string>"))
+      Tables.documents(s, dir)
+        .select($"doc_id", explode(bigrams).as("bigram"))
+        .groupBy($"bigram")
+        .agg(count(lit(1)).as("n"), countDistinct($"doc_id").as("n_docs"))
+        .orderBy($"n".desc, $"bigram")
+        .limit(50)
+    },
+    Some("""SELECT bigram, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+            FROM (SELECT doc_id,
+                         unnest(list_transform(range(1, len(sp)),
+                                               i -> sp[i] || ' ' || sp[i + 1])) AS bigram
+                  FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents))
+            GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50""")
+  )
+
   def all: Seq[GraftQuery] =
     Seq(textStats, langId, fingerprint, langProfile, tokenBpe, quality,
         qualityGopher,
         vocabTopK, vocabFuzzy, trainSplit, piiScrub, sampleStratified,
         packChunks, domainMix, shardShuffle, chunkSliding, sampleWeighted,
         qualityClassifier, winnow, winnowDedup, winnowDedupCapped,
-        bpeTrain, bpeApply)
+        bpeTrain, bpeApply, ngramTopK)
 }

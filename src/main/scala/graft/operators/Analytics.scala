@@ -801,8 +801,101 @@ object Analytics {
             FROM terms CROSS JOIN s ORDER BY digit""")
   )
 
+  /** Skewness and excess kurtosis of the value distribution per event
+    * type — the shape diagnostics beyond agg_stats' mean/stddev ("is
+    * this metric long-tailed enough that the mean is a lie?"), and the
+    * moments a drift monitor tracks when the KS alarm needs a cheap
+    * always-on companion.
+    *
+    * Determinism — exact raw power sums, double CENTRAL folds: per type
+    * one hash aggregate produces n, S=Σc, Q=Σc², C=Σc³ in BIGINT; the
+    * 4th power c⁴ does NOT fit BIGINT even per row (56021⁴ = 9.85e18 >
+    * 2⁶³; the sf0.1 tail already reaches it), so each row contributes
+    * the exact pair (c⁴ div 1e9, c⁴ mod 1e9) computed WITHOUT forming
+    * c⁴: with c² = h·1e5 + l, c⁴ = h²·1e10 + r where r = 2hl·1e5 + l²
+    * (≤ ~6e14), and since h²·1e10 is a multiple of 1e9 the split is
+    * hi = h²·10 + r div 1e9, lo = r mod 1e9 — all operands ≤ 1e15.
+    * P = Σhi·1e9 + Σlo exactly, and the halves fold to a double as
+    * hi·1e9 + lo — NOT via a DECIMAL(38,0) accumulator, whose cast to
+    * DOUBLE DuckDB does NOT round correctly (measured 1 ulp off
+    * python's float(int); Spark's BigDecimal.doubleValue is
+    * exact-rounded — a cross-engine trap of the same family as trap
+    * note a). The central moments m2/m3/m4 and g1/g2 are scalar
+    * expression trees over those exact values with IDENTICAL
+    * association in both queries (and m2^1.5 is written m2·√m2 —
+    * pow() would gamble on two libms), so the doubles match
+    * bit-for-bit. Σc³ peaks ~7e16 at sf0.1 — headroom to ~100×, then
+    * split it like the 4th power.
+    *
+    * Scale shape: ONE map-side-combined hash aggregate; everything
+    * after is a |types|-row projection. */
+  val moments: GraftQuery = GraftQuery(
+    "agg_moments",
+    (s, dir) => {
+      import s.implicits._
+      val raw = Tables.events(s, dir)
+        .select($"event_type",
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cv"))
+        .withColumn("cv2", $"cv" * $"cv")
+        .withColumn("h", expr("cv2 div 100000"))
+        .withColumn("l", $"cv2" % 100000L)
+        .withColumn("r", lit(2L) * $"h" * $"l" * 100000L + $"l" * $"l")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"cv").as("s"),
+          sum($"cv2").as("q"), sum($"cv2" * $"cv").as("c3"),
+          sum($"h" * $"h" * 10L + expr("r div 1000000000")).as("p4_hi"),
+          sum($"r" % 1000000000L).as("p4_lo"))
+      val nd = $"n".cast("double")
+      val mu = $"s".cast("double") / nd
+      val qn = $"q".cast("double") / nd
+      val cn = $"c3".cast("double") / nd
+      val pn = ($"p4_hi".cast("double") * lit(1.0e9) + $"p4_lo".cast("double")) / nd
+      val m2 = qn - mu * mu
+      val m3 = cn - lit(3.0) * mu * qn + lit(2.0) * mu * mu * mu
+      val m4 = pn - lit(4.0) * mu * cn + lit(6.0) * mu * mu * qn -
+        lit(3.0) * mu * mu * mu * mu
+      raw.select($"event_type", $"n", $"s", $"q", $"c3", $"p4_hi", $"p4_lo",
+          (m3 / (m2 * sqrt(m2))).as("skew"),
+          (m4 / (m2 * m2) - lit(3.0)).as("kurt"))
+        .orderBy($"event_type")
+    },
+    Some("""WITH raw AS (
+              SELECT event_type, count(*) AS n,
+                     CAST(sum(cv) AS BIGINT) AS s,
+                     CAST(sum(cv * cv) AS BIGINT) AS q,
+                     CAST(sum(cv * cv * cv) AS BIGINT) AS c3,
+                     CAST(sum(h * h * 10 + r // 1000000000) AS BIGINT) AS p4_hi,
+                     CAST(sum(r % 1000000000) AS BIGINT) AS p4_lo
+              FROM (SELECT event_type, cv, cv * cv AS cv2,
+                           (cv * cv) // 100000 AS h, (cv * cv) % 100000 AS l,
+                           2 * ((cv * cv) // 100000) * ((cv * cv) % 100000) * 100000
+                             + ((cv * cv) % 100000) * ((cv * cv) % 100000) AS r
+                    FROM (SELECT event_type,
+                                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cv
+                          FROM events))
+              GROUP BY 1),
+            f AS (
+              SELECT *,
+                     CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+                     CAST(q AS DOUBLE) / CAST(n AS DOUBLE) AS qn,
+                     CAST(c3 AS DOUBLE) / CAST(n AS DOUBLE) AS cn,
+                     (CAST(p4_hi AS DOUBLE) * 1.0e9 + CAST(p4_lo AS DOUBLE))
+                       / CAST(n AS DOUBLE) AS pn
+              FROM raw),
+            g AS (
+              SELECT *, qn - mu * mu AS m2,
+                     cn - 3.0 * mu * qn + 2.0 * mu * mu * mu AS m3,
+                     pn - 4.0 * mu * cn + 6.0 * mu * mu * qn
+                        - 3.0 * mu * mu * mu * mu AS m4
+              FROM f)
+            SELECT event_type, n, s, q, c3, p4_hi, p4_lo,
+                   m3 / (m2 * sqrt(m2)) AS skew,
+                   m4 / (m2 * m2) - 3.0 AS kurt
+            FROM g ORDER BY event_type""")
+  )
+
   def all: Seq[GraftQuery] = Seq(
     statsAgg, percentiles, approxPercentile, stringAgg, pivotAgg, jsonStruct,
     topNRevenue, corrMatrix, ksTest, mannWhitney, chiSq, gini,
-    ttestWelch, spearman, cramersV, benford)
+    ttestWelch, spearman, cramersV, benford, moments)
 }

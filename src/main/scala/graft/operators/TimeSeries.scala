@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.GraftQuery
@@ -1187,14 +1187,14 @@ object TimeSeries {
     * Scale shape: the fact table reduces to the bounded type × day
     * domain in one aggregate; the prefix window, argmax and join-back
     * all run on |types| × |days| rows. */
-  val changepoint: GraftQuery = GraftQuery(
-    "ts_changepoint",
-    (s, dir) => {
-      import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val daily = Tables.events(s, dir)
-        .groupBy($"event_type", to_date($"ts").as("d"))
-        .agg(expr("sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))").as("v"))
+  /** The AMOC gain-argmax fold over a (event_type, d, v) daily frame —
+    * shared by ts_changepoint and its micro-batch twin
+    * stream_changepoint (whose per-wave partials merge into the
+    * identical daily frame before this fold). */
+  private[graft] def changepointFold(daily: DataFrame): DataFrame = {
+    import daily.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    {
       val stats = daily.groupBy($"event_type")
         .agg(count(lit(1)).as("n"), sum($"v").as("sv"))
       val w = Window.partitionBy($"event_type").orderBy($"d")
@@ -1224,7 +1224,21 @@ object TimeSeries {
           (($"sv" - $"c").cast("double")
             / ($"n" - $"t").cast("double")).as("rmean"))
         .orderBy($"event_type")
-    },
+    }
+  }
+
+  /** The (event_type, d, v) daily cent-sum frame the changepoint fold
+    * consumes — also the unit of stream_changepoint's wave partials. */
+  private[graft] def changepointDaily(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"event_type", to_date($"ts").as("d"))
+      .agg(expr("sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))").as("v"))
+  }
+
+  val changepoint: GraftQuery = GraftQuery(
+    "ts_changepoint",
+    (s, dir) => changepointFold(changepointDaily(s, dir)),
     Some("""WITH daily AS (
               SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
                      CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v

@@ -134,5 +134,38 @@ object DriftStream {
     Analytics.ttestWelch.oracle
   )
 
-  def all: Seq[GraftQuery] = Seq(streamKsDrift, streamTtest)
+  /** Streaming shift locator — the micro-batch twin of `ts_changepoint`:
+    * each wave appends per-(type, day) BIGINT cent-sum partials, the
+    * merge re-aggregates them into the exact daily frame, and the
+    * identical AMOC gain-argmax fold answers "WHEN did the metric
+    * shift?" against the full history without re-reading old events.
+    * Integer partials keyed by (type, day) are associative at any wave
+    * split — Σ waves == the one-pass daily frame bit-for-bit — so the
+    * oracle is the batch twin's verbatim. Appended state is
+    * waves × (types·days) rows, not waves × events. */
+  val streamChangepoint: GraftQuery = GraftQuery(
+    "stream_changepoint",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select($"event_id", $"event_type", to_date($"ts").as("d"),
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cv"))
+      val bounds = ev.agg(min($"event_id").as("lo"), max($"event_id").as("hi"))
+      def edge(k: Int): Column =
+        $"lo" - 1 + floor(($"hi" - $"lo" + 1) * lit(k) / lit(Waves.toDouble)).cast("long")
+      val partials = (0 until Waves).map { k =>
+        ev.join(broadcast(bounds), $"event_id" > edge(k) && $"event_id" <= edge(k + 1))
+          .groupBy($"event_type", $"d").agg(sum($"cv").as("v"))
+          .localCheckpoint()
+      }
+      val daily = partials.reduce(_.unionAll(_))
+        .groupBy($"event_type", $"d").agg(sum($"v").as("v"))
+      graft.operators.TimeSeries.changepointFold(daily)
+    },
+    // Batching must not move the located split: the oracle is the batch
+    // changepoint's, verbatim.
+    graft.operators.TimeSeries.changepoint.oracle
+  )
+
+  def all: Seq[GraftQuery] = Seq(streamKsDrift, streamTtest, streamChangepoint)
 }

@@ -496,4 +496,56 @@ class CorpusSpec extends AnyFunSuite {
       assert(p === num.toDouble / den.toDouble)
     }
   }
+
+  test("ngram_topk: in-row bigram construction matches a brute sliding recompute") {
+    val docs = sources.Tables.documents(spark, TestSpark.Sf)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val brute = scala.collection.mutable.Map[String, (Long, Set[Long])]()
+    for ((id, text) <- docs) {
+      val toks = text.split(" ", -1) // split(text,' ') keeps empty tokens
+      for (bg <- toks.sliding(2) if bg.length == 2) {
+        val k = bg.mkString(" ")
+        val (n, ds) = brute.getOrElse(k, (0L, Set.empty[Long]))
+        brute(k) = (n + 1, ds + id)
+      }
+    }
+    val out = llm.TextStats.ngramTopK.run(spark, TestSpark.Sf).collect()
+    assert(out.length === math.min(50, brute.size))
+    // the returned head must BE the global argmax under (n desc, bigram asc)
+    val expectedTop = brute.iterator
+      .map { case (k, (n, ds)) => (k, n, ds.size.toLong) }.toSeq
+      .sortBy { case (k, n, _) => (-n, k) }.take(out.length)
+    val got = out.map(r => (r.getString(0), r.getAs[Long]("n"), r.getAs[Long]("n_docs")))
+    assert(got.toSeq === expectedTop,
+      "top-50 bigrams must match the brute sliding-window recompute")
+  }
+
+  test("stream_changepoint: wave-merged daily partials reproduce the batch split exactly") {
+    val streamed = streaming.DriftStream.streamChangepoint
+      .run(spark, TestSpark.Sf).collect().map(_.toSeq)
+    val batch = operators.TimeSeries.changepoint
+      .run(spark, TestSpark.Sf).collect().map(_.toSeq)
+    assert(streamed.toSeq === batch.toSeq,
+      "batching must not move the located changepoint")
+  }
+
+  test("moments: hi/lo split reconstructs the exact 4th-power sum; c3 matches brute") {
+    val rows = sources.Tables.events(spark, TestSpark.Sf)
+      .select($"event_type", $"value").collect()
+      .map(r => (r.getString(0),
+        (BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLong))
+    val out = operators.Analytics.moments.run(spark, TestSpark.Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val t = r.getString(0)
+      val xs = rows.filter(_._1 == t).map(_._2)
+      val p4 = xs.map(x => BigInt(x).pow(4)).sum
+      assert(BigInt(r.getAs[Long]("p4_hi")) * BigInt(1000000000L)
+        + BigInt(r.getAs[Long]("p4_lo")) === p4,
+        s"$t: hi/lo halves must reconstruct the exact BigInt 4th-power sum")
+      assert(r.getAs[Long]("c3") === xs.map(x => x * x * x).sum, s"$t cube sum")
+      assert(!r.getAs[Double]("skew").isNaN && !r.getAs[Double]("kurt").isNaN)
+    }
+  }
 }

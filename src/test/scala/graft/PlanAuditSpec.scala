@@ -47,6 +47,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "agg_ks_test",        // 1-row sample-totals broadcast onto the domain-sized ECDF
     "stream_ks_drift",    // same 1-row totals broadcast + 1-row wave-bounds broadcasts
     "stream_ttest",       // 1-row wave-bounds broadcasts onto the fact scans
+    "stream_changepoint", // same 1-row wave-bounds broadcasts onto the fact scans
     "agg_chisq",          // 1-row table-totals broadcast onto the bounded cell domain
     "agg_cramers_v",      // same 1-row table-totals broadcast (shared construction)
     "agg_benford",        // 1-row digit-total + 1-row chi2 broadcasts onto 9 domain rows
