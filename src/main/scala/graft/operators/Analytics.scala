@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.GraftQuery
 import graft.sources.Tables
@@ -829,35 +830,57 @@ object Analytics {
     *
     * Scale shape: ONE map-side-combined hash aggregate; everything
     * after is a |types|-row projection. */
+  /** The per-event row frame the moment sums aggregate — cents, square,
+    * and the algebraic (div 1e9, mod 1e9) split pieces of the 4th power
+    * (which does NOT fit int64 per row). Shared by agg_moments and the
+    * per-wave partials of stream_moments. */
+  private[graft] def momentRows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"event_id", $"event_type",
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cv"))
+      .withColumn("cv2", $"cv" * $"cv")
+      .withColumn("h", expr("cv2 div 100000"))
+      .withColumn("l", $"cv2" % 100000L)
+      .withColumn("r", lit(2L) * $"h" * $"l" * 100000L + $"l" * $"l")
+  }
+
+  /** The six exact sufficient-statistic aggregates per group — the wave
+    * partial AND the batch aggregate (integer sums are associative, so
+    * sums of wave partials equal the one-pass sums bit-for-bit). */
+  private[graft] def momentAggs: Seq[org.apache.spark.sql.Column] = Seq(
+    count(lit(1)).as("n"), sum(col("cv")).as("s"),
+    sum(col("cv2")).as("q"), sum(col("cv2") * col("cv")).as("c3"),
+    sum(col("h") * col("h") * 10L + expr("r div 1000000000")).as("p4_hi"),
+    sum(col("r") % 1000000000L).as("p4_lo"))
+
+  /** The skew/kurtosis fold over a (event_type, n, s, q, c3, p4_hi,
+    * p4_lo) frame — shared by agg_moments and stream_moments. The p4
+    * halves need NOT be normalized (lo < 1e9): hi·1e9 + lo is the exact
+    * integer either way, and the double fold is the same two IEEE ops. */
+  private[graft] def momentsFold(raw: DataFrame): DataFrame = {
+    import raw.sparkSession.implicits._
+    val nd = $"n".cast("double")
+    val mu = $"s".cast("double") / nd
+    val qn = $"q".cast("double") / nd
+    val cn = $"c3".cast("double") / nd
+    val pn = ($"p4_hi".cast("double") * lit(1.0e9) + $"p4_lo".cast("double")) / nd
+    val m2 = qn - mu * mu
+    val m3 = cn - lit(3.0) * mu * qn + lit(2.0) * mu * mu * mu
+    val m4 = pn - lit(4.0) * mu * cn + lit(6.0) * mu * mu * qn -
+      lit(3.0) * mu * mu * mu * mu
+    raw.select($"event_type", $"n", $"s", $"q", $"c3", $"p4_hi", $"p4_lo",
+        (m3 / (m2 * sqrt(m2))).as("skew"),
+        (m4 / (m2 * m2) - lit(3.0)).as("kurt"))
+      .orderBy($"event_type")
+  }
+
   val moments: GraftQuery = GraftQuery(
     "agg_moments",
     (s, dir) => {
       import s.implicits._
-      val raw = Tables.events(s, dir)
-        .select($"event_type",
-          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cv"))
-        .withColumn("cv2", $"cv" * $"cv")
-        .withColumn("h", expr("cv2 div 100000"))
-        .withColumn("l", $"cv2" % 100000L)
-        .withColumn("r", lit(2L) * $"h" * $"l" * 100000L + $"l" * $"l")
-        .groupBy($"event_type")
-        .agg(count(lit(1)).as("n"), sum($"cv").as("s"),
-          sum($"cv2").as("q"), sum($"cv2" * $"cv").as("c3"),
-          sum($"h" * $"h" * 10L + expr("r div 1000000000")).as("p4_hi"),
-          sum($"r" % 1000000000L).as("p4_lo"))
-      val nd = $"n".cast("double")
-      val mu = $"s".cast("double") / nd
-      val qn = $"q".cast("double") / nd
-      val cn = $"c3".cast("double") / nd
-      val pn = ($"p4_hi".cast("double") * lit(1.0e9) + $"p4_lo".cast("double")) / nd
-      val m2 = qn - mu * mu
-      val m3 = cn - lit(3.0) * mu * qn + lit(2.0) * mu * mu * mu
-      val m4 = pn - lit(4.0) * mu * cn + lit(6.0) * mu * mu * qn -
-        lit(3.0) * mu * mu * mu * mu
-      raw.select($"event_type", $"n", $"s", $"q", $"c3", $"p4_hi", $"p4_lo",
-          (m3 / (m2 * sqrt(m2))).as("skew"),
-          (m4 / (m2 * m2) - lit(3.0)).as("kurt"))
-        .orderBy($"event_type")
+      momentsFold(momentRows(s, dir).groupBy($"event_type").agg(
+        momentAggs.head, momentAggs.tail: _*))
     },
     Some("""WITH raw AS (
               SELECT event_type, count(*) AS n,

@@ -1118,53 +1118,137 @@ object TimeSeries {
     * domain in one map-side-combined aggregate; the per-type stats
     * broadcast back, and the lag join runs on |types|·|days|·|lags|
     * domain rows. 100 TB of events never reaches the join. */
+  /** The (event_type, lag, acf_num, acf_den, acf) frame for lags 1–7 —
+    * shared by ts_acf (which emits it) and ts_pacf (which solves the
+    * Durbin–Levinson recursion over its ρ values). */
+  private def acfFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .groupBy($"event_type", to_date($"ts").as("d"))
+      .agg(expr("sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))").as("v"))
+    val stats = daily.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"v").as("sv"))
+    val u = daily.join(broadcast(stats), "event_type")
+      .select($"event_type", $"d", ($"n" * $"v" - $"sv").as("u"))
+      .localCheckpoint() // lag join + denominator both read it
+    val den = u.groupBy($"event_type").agg(sum($"u" * $"u").as("acf_den"))
+    val lags = s.range(1, 8).select($"id".cast("int").as("lag"))
+    u.as("a").crossJoin(broadcast(lags))
+      .join(u.as("b").hint("shuffle_hash"),
+        $"a.event_type" === $"b.event_type"
+          && $"b.d" === date_add($"a.d", $"lag"))
+      .groupBy($"a.event_type".as("event_type"), $"lag")
+      .agg(sum($"a.u" * $"b.u").as("acf_num"))
+      .join(broadcast(den), "event_type")
+      .select($"event_type", $"lag", $"acf_num", $"acf_den",
+        ($"acf_num".cast("double") / $"acf_den".cast("double")).as("acf"))
+  }
+
+  /** The shared acf CTE chain (daily → u → den → per-lag ρ) — composed
+    * by the ts_acf and ts_pacf oracles. Ends in
+    * rho(event_type, lag, acf_num, acf_den, acf). */
+  private val acfOracleCte =
+    """daily AS (
+         SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+                CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+         FROM events GROUP BY 1, 2),
+       st AS (
+         SELECT event_type, count(*) AS n, CAST(sum(v) AS BIGINT) AS sv
+         FROM daily GROUP BY 1),
+       u AS (
+         SELECT daily.event_type, d, CAST(n * v - sv AS BIGINT) AS u
+         FROM daily JOIN st USING (event_type)),
+       den AS (
+         SELECT event_type, CAST(sum(u * u) AS BIGINT) AS acf_den
+         FROM u GROUP BY 1),
+       lags(lag) AS (VALUES (1), (2), (3), (4), (5), (6), (7)),
+       rho AS (
+         SELECT a.event_type, lag,
+                CAST(sum(a.u * b.u) AS BIGINT) AS acf_num, acf_den,
+                CAST(sum(a.u * b.u) AS DOUBLE) / CAST(acf_den AS DOUBLE) AS acf
+         FROM u a CROSS JOIN lags
+              JOIN u b ON a.event_type = b.event_type AND b.d = a.d + lag
+              JOIN den ON den.event_type = a.event_type
+         GROUP BY 1, 2, acf_den)"""
+
   val acf: GraftQuery = GraftQuery(
     "ts_acf",
     (s, dir) => {
       import s.implicits._
-      val daily = Tables.events(s, dir)
-        .groupBy($"event_type", to_date($"ts").as("d"))
-        .agg(expr("sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))").as("v"))
-      val stats = daily.groupBy($"event_type")
-        .agg(count(lit(1)).as("n"), sum($"v").as("sv"))
-      val u = daily.join(broadcast(stats), "event_type")
-        .select($"event_type", $"d", ($"n" * $"v" - $"sv").as("u"))
-        .localCheckpoint() // lag join + denominator both read it
-      val den = u.groupBy($"event_type").agg(sum($"u" * $"u").as("acf_den"))
-      val lags = s.range(1, 8).select($"id".cast("int").as("lag"))
-      u.as("a").crossJoin(broadcast(lags))
-        .join(u.as("b").hint("shuffle_hash"),
-          $"a.event_type" === $"b.event_type"
-            && $"b.d" === date_add($"a.d", $"lag"))
-        .groupBy($"a.event_type".as("event_type"), $"lag")
-        .agg(sum($"a.u" * $"b.u").as("acf_num"))
-        .join(broadcast(den), "event_type")
-        .select($"event_type", $"lag", $"acf_num", $"acf_den",
-          ($"acf_num".cast("double") / $"acf_den".cast("double")).as("acf"))
+      acfFrame(s, dir).orderBy($"event_type", $"lag")
+    },
+    Some(s"""WITH $acfOracleCte
+             SELECT event_type, lag, acf_num, acf_den, acf
+             FROM rho ORDER BY 1, 2""")
+  )
+
+  /** Partial autocorrelation (lags 1–4) per event type — "is the lag-7
+    * echo REAL structure or just lag-1 persistence compounding?": PACF
+    * at lag k is the correlation left after regressing out lags 1..k−1,
+    * the statistic that picks the AR order (Box–Jenkins) where raw ACF
+    * can't distinguish propagation from memory.
+    *
+    * Determinism: the ρ inputs are ts_acf's exact BIGINT ratios (same
+    * shared frame), and the Durbin–Levinson recursion is UNROLLED to
+    * lag 4 as a fixed chain of named intermediates — identical scalar
+    * expression trees over identical doubles in both engines (the
+    * Welch-t convention; no iteration, no accumulation). PACF(1) = ρ1
+    * by definition.
+    *
+    * Scale shape: everything after the shared domain-bounded acf frame
+    * is a |types|-row pivot + projection. */
+  val pacf: GraftQuery = GraftQuery(
+    "ts_pacf",
+    (s, dir) => {
+      import s.implicits._
+      def rho(k: Int) = max(when($"lag" === k, $"acf")).as(s"r$k")
+      val wide = acfFrame(s, dir)
+        .groupBy($"event_type").agg(rho(1), rho(2), rho(3), rho(4))
+        .withColumn("phi11", $"r1")
+        .withColumn("phi22",
+          ($"r2" - $"r1" * $"r1") / (lit(1.0) - $"r1" * $"r1"))
+        .withColumn("phi21", $"r1" - $"phi22" * $"r1")
+        .withColumn("phi33",
+          ($"r3" - $"phi21" * $"r2" - $"phi22" * $"r1")
+            / (lit(1.0) - $"phi21" * $"r1" - $"phi22" * $"r2"))
+        .withColumn("phi32", $"phi22" - $"phi33" * $"phi21")
+        .withColumn("phi31", $"phi21" - $"phi33" * $"phi22")
+        .withColumn("phi44",
+          ($"r4" - $"phi31" * $"r3" - $"phi32" * $"r2" - $"phi33" * $"r1")
+            / (lit(1.0) - $"phi31" * $"r1" - $"phi32" * $"r2" - $"phi33" * $"r3"))
+      wide.select($"event_type", expr(
+          "stack(4, 1, phi11, 2, phi22, 3, phi33, 4, phi44) AS (lag, pacf)"))
         .orderBy($"event_type", $"lag")
     },
-    Some("""WITH daily AS (
-              SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
-                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
-              FROM events GROUP BY 1, 2),
-            st AS (
-              SELECT event_type, count(*) AS n, CAST(sum(v) AS BIGINT) AS sv
-              FROM daily GROUP BY 1),
-            u AS (
-              SELECT daily.event_type, d, CAST(n * v - sv AS BIGINT) AS u
-              FROM daily JOIN st USING (event_type)),
-            den AS (
-              SELECT event_type, CAST(sum(u * u) AS BIGINT) AS acf_den
-              FROM u GROUP BY 1),
-            lags(lag) AS (VALUES (1), (2), (3), (4), (5), (6), (7))
-            SELECT a.event_type, lag,
-                   CAST(sum(a.u * b.u) AS BIGINT) AS acf_num, acf_den,
-                   CAST(sum(a.u * b.u) AS DOUBLE) / CAST(acf_den AS DOUBLE) AS acf
-            FROM u a CROSS JOIN lags
-                 JOIN u b ON a.event_type = b.event_type AND b.d = a.d + lag
-                 JOIN den ON den.event_type = a.event_type
-            GROUP BY 1, 2, acf_den
-            ORDER BY 1, 2""")
+    Some(s"""WITH $acfOracleCte,
+            wide AS (
+              SELECT event_type,
+                     max(CASE WHEN lag = 1 THEN acf END) AS r1,
+                     max(CASE WHEN lag = 2 THEN acf END) AS r2,
+                     max(CASE WHEN lag = 3 THEN acf END) AS r3,
+                     max(CASE WHEN lag = 4 THEN acf END) AS r4
+              FROM rho GROUP BY 1),
+            s1 AS (SELECT *, r1 AS phi11,
+                          (r2 - r1 * r1) / (1.0 - r1 * r1) AS phi22
+                   FROM wide),
+            s2 AS (SELECT *, r1 - phi22 * r1 AS phi21 FROM s1),
+            s3 AS (SELECT *,
+                          (r3 - phi21 * r2 - phi22 * r1)
+                            / (1.0 - phi21 * r1 - phi22 * r2) AS phi33
+                   FROM s2),
+            s4 AS (SELECT *, phi22 - phi33 * phi21 AS phi32,
+                          phi21 - phi33 * phi22 AS phi31
+                   FROM s3),
+            s5 AS (SELECT *,
+                          (r4 - phi31 * r3 - phi32 * r2 - phi33 * r1)
+                            / (1.0 - phi31 * r1 - phi32 * r2 - phi33 * r3) AS phi44
+                   FROM s4)
+            SELECT event_type, lag, pacf FROM (
+              SELECT event_type, 1 AS lag, phi11 AS pacf FROM s5
+              UNION ALL SELECT event_type, 2, phi22 FROM s5
+              UNION ALL SELECT event_type, 3, phi33 FROM s5
+              UNION ALL SELECT event_type, 4, phi44 FROM s5)
+            ORDER BY event_type, lag""")
   )
 
   /** Single least-squares changepoint (AMOC) per event type over the
@@ -1278,5 +1362,5 @@ object TimeSeries {
     Seq(asofJoin, gapFill, ntileRanks, skewSalted, resample, funnel,
       funnelWindowed, sessionize, retention, anomaly, interpolate, ewma,
       crossCorr, outlierMad, rollingMedian, cusum, seasonality, mkTrend,
-      theilSen, acf, changepoint)
+      theilSen, acf, changepoint, pacf)
 }

@@ -167,5 +167,41 @@ object DriftStream {
     graft.operators.TimeSeries.changepoint.oracle
   )
 
-  def all: Seq[GraftQuery] = Seq(streamKsDrift, streamTtest, streamChangepoint)
+  /** Streaming shape monitor — the micro-batch twin of `agg_moments`,
+    * completing the monitor quartet (KS: distribution, t: mean,
+    * changepoint: when, moments: SHAPE — a fattening tail moves kurtosis
+    * long before it moves the mean). Each wave appends one row of the
+    * six exact sufficient statistics per event type (n, Σc, Σc², Σc³,
+    * and the algebraic hi/lo halves of Σc⁴); the merge sums them —
+    * integer partials, associative at any wave split, and the p4 halves
+    * need no normalization (hi·1e9 + lo is the exact integer either
+    * way) — and the shared fold emits the identical skew/kurt doubles.
+    * Oracle = the batch twin's verbatim. */
+  val streamMoments: GraftQuery = GraftQuery(
+    "stream_moments",
+    (s, dir) => {
+      import s.implicits._
+      val rows = graft.operators.Analytics.momentRows(s, dir)
+      val bounds = rows.agg(min($"event_id").as("lo"), max($"event_id").as("hi"))
+      def edge(k: Int): Column =
+        $"lo" - 1 + floor(($"hi" - $"lo" + 1) * lit(k) / lit(Waves.toDouble)).cast("long")
+      val aggs = graft.operators.Analytics.momentAggs
+      val partials = (0 until Waves).map { k =>
+        rows.join(broadcast(bounds), $"event_id" > edge(k) && $"event_id" <= edge(k + 1))
+          .groupBy($"event_type").agg(aggs.head, aggs.tail: _*)
+          .localCheckpoint()
+      }
+      val merged = partials.reduce(_.unionAll(_))
+        .groupBy($"event_type")
+        .agg(sum($"n").as("n"), sum($"s").as("s"), sum($"q").as("q"),
+          sum($"c3").as("c3"), sum($"p4_hi").as("p4_hi"), sum($"p4_lo").as("p4_lo"))
+      graft.operators.Analytics.momentsFold(merged)
+    },
+    // Batching must not move the shape statistics: the oracle is the
+    // batch moments', verbatim.
+    graft.operators.Analytics.moments.oracle
+  )
+
+  def all: Seq[GraftQuery] = Seq(streamKsDrift, streamTtest, streamChangepoint,
+    streamMoments)
 }

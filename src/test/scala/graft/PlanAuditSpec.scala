@@ -48,6 +48,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "stream_ks_drift",    // same 1-row totals broadcast + 1-row wave-bounds broadcasts
     "stream_ttest",       // 1-row wave-bounds broadcasts onto the fact scans
     "stream_changepoint", // same 1-row wave-bounds broadcasts onto the fact scans
+    "stream_moments",     // same 1-row wave-bounds broadcasts onto the fact scans
+    "ts_pacf",            // shares acfFrame's 7-row lag-dimension broadcast
     "agg_chisq",          // 1-row table-totals broadcast onto the bounded cell domain
     "agg_cramers_v",      // same 1-row table-totals broadcast (shared construction)
     "agg_benford",        // 1-row digit-total + 1-row chi2 broadcasts onto 9 domain rows

@@ -501,6 +501,39 @@ class TimeSeriesSpec extends AnyFunSuite {
     lagsPerType.foreach(ls => assert(ls === (1 to 7).toSet))
   }
 
+  test("ts_pacf: matches a driver-side Durbin-Levinson solve over the acf outputs") {
+    val rho = operators.TimeSeries.acf.run(spark, TestSpark.Sf).collect()
+      .map(r => (r.getString(0), r.getAs[Int]("lag")) -> r.getAs[Double]("acf")).toMap
+    val out = operators.TimeSeries.pacf.run(spark, TestSpark.Sf).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getString(0)).foreach { case (t, rows) =>
+      val r1 = rho((t, 1)); val r2 = rho((t, 2))
+      val r3 = rho((t, 3)); val r4 = rho((t, 4))
+      val phi11 = r1
+      val phi22 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+      val phi21 = r1 - phi22 * r1
+      val phi33 = (r3 - phi21 * r2 - phi22 * r1) / (1.0 - phi21 * r1 - phi22 * r2)
+      val phi32 = phi22 - phi33 * phi21
+      val phi31 = phi21 - phi33 * phi22
+      val phi44 = (r4 - phi31 * r3 - phi32 * r2 - phi33 * r1) /
+        (1.0 - phi31 * r1 - phi32 * r2 - phi33 * r3)
+      val got = rows.map(r => r.getAs[Int]("lag") -> r.getAs[Double]("pacf")).toMap
+      assert(got(1) === phi11, s"$t pacf(1) must equal acf(1)")
+      assert(got(2) === phi22, s"$t pacf(2)")
+      assert(got(3) === phi33, s"$t pacf(3)")
+      assert(got(4) === phi44, s"$t pacf(4)")
+    }
+  }
+
+  test("stream_moments: wave-merged partials reproduce the batch moments exactly") {
+    val streamed = streaming.DriftStream.streamMoments
+      .run(spark, TestSpark.Sf).collect().map(_.toSeq)
+    val batch = operators.Analytics.moments
+      .run(spark, TestSpark.Sf).collect().map(_.toSeq)
+    assert(streamed.toSeq === batch.toSeq,
+      "batching must not move the shape statistics")
+  }
+
   test("ts_changepoint: argmax split matches a brute gain sweep; segments conserve") {
     val daily = sources.Tables.events(spark, TestSpark.Sf)
       .select($"event_type", to_date($"ts").as("d"), $"value").collect()
