@@ -65,6 +65,66 @@ object TimeSeries {
             ORDER BY purchase_id""")
   )
 
+  /** Staleness tolerance for the bounded as-of join, in whole seconds. */
+  private val AsofToleranceSec = 3600L
+
+  /** As-of join with a staleness bound — the production form of
+    * `join_asof`: a click more than an hour old is not attribution, it's
+    * coincidence, so the match is kept only when the purchase follows
+    * the click within the tolerance (every market-data and attribution
+    * system exposes exactly this knob; unbounded as-of silently joins
+    * across session boundaries).
+    *
+    * Implementation: the SAME union + running-`last` window as
+    * join_asof (one shuffle, no BNLJ — the tolerance does NOT fall back
+    * to a range join), additionally carrying the matched click's
+    * timestamp forward; the bound is then one ON-ROW integer compare of
+    * EPOCH MICROSECONDS (exact in both engines — an interval compare in
+    * one engine and a double epoch in the other is how tolerance joins
+    * drift), nulling out-of-window matches to preserve the left rows. */
+  val asofTolerance: GraftQuery = GraftQuery(
+    "join_asof_tolerance",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select($"user_id", $"ts", $"event_id", $"value", $"event_type")
+      val tagged = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts", $"event_id", $"value", lit(0).as("kind"))
+        .unionByName(ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"ts", $"event_id", $"value", lit(1).as("kind")))
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"kind", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      tagged
+        .withColumn("click_id",
+          last(when($"kind" === 0, $"event_id"), ignoreNulls = true).over(w))
+        .withColumn("click_value",
+          last(when($"kind" === 0, $"value"), ignoreNulls = true).over(w))
+        .withColumn("click_ts",
+          last(when($"kind" === 0, $"ts"), ignoreNulls = true).over(w))
+        .filter($"kind" === 1)
+        .withColumn("fresh",
+          unix_micros($"ts") - unix_micros($"click_ts")
+            <= lit(AsofToleranceSec * 1000000L))
+        .select($"event_id".as("purchase_id"), $"user_id",
+          when($"fresh", $"click_id").as("click_id"),
+          when($"fresh", $"click_value").as("click_value"))
+        .orderBy($"purchase_id")
+    },
+    Some(s"""SELECT p.event_id AS purchase_id, p.user_id,
+                    c.event_id AS click_id, c.value AS click_value
+             FROM events p
+             LEFT JOIN LATERAL (
+               SELECT event_id, value FROM events c
+               WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                 AND c.ts <= p.ts
+                 AND epoch_us(p.ts) - epoch_us(c.ts)
+                     <= ${AsofToleranceSec * 1000000L}
+               ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+             ) c ON true
+             WHERE p.event_type = 'purchase'
+             ORDER BY purchase_id""")
+  )
+
   /** Resample to a daily grid per user and forward-fill gaps: daily sums,
     * a generated min→max day spine per user, left join, and a running
     * `last(ignoreNulls)` carry-forward.
@@ -1359,7 +1419,7 @@ object TimeSeries {
   )
 
   def all: Seq[GraftQuery] =
-    Seq(asofJoin, gapFill, ntileRanks, skewSalted, resample, funnel,
+    Seq(asofJoin, asofTolerance, gapFill, ntileRanks, skewSalted, resample, funnel,
       funnelWindowed, sessionize, retention, anomaly, interpolate, ewma,
       crossCorr, outlierMad, rollingMedian, cusum, seasonality, mkTrend,
       theilSen, acf, changepoint, pacf)

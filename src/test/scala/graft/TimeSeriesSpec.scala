@@ -501,6 +501,43 @@ class TimeSeriesSpec extends AnyFunSuite {
     lagsPerType.foreach(ls => assert(ls === (1 to 7).toSet))
   }
 
+  test("asof tolerance: agrees with unbounded asof inside the window, nulls beyond") {
+    val base = operators.TimeSeries.asofJoin.run(spark, TestSpark.Sf).collect()
+      .map(r => r.getLong(0) -> Option(r.get(2)).map(_ => (r.getLong(2), r.getDouble(3))))
+      .toMap
+    // micros, not Timestamp.getTime millis: a match aged 3600.0005 s is
+    // stale to the operator but would look exactly-3600s in millis
+    val clickTs = sources.Tables.events(spark, TestSpark.Sf)
+      .filter($"event_type" === "click")
+      .select($"event_id", unix_micros($"ts")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val purchTs = sources.Tables.events(spark, TestSpark.Sf)
+      .filter($"event_type" === "purchase")
+      .select($"event_id", unix_micros($"ts")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val out = operators.TimeSeries.asofTolerance.run(spark, TestSpark.Sf).collect()
+    assert(out.length === base.size, "left rows must be preserved")
+    var fresh = 0; var stale = 0
+    out.foreach { r =>
+      val pid = r.getLong(0)
+      val bounded = Option(r.get(2)).map(_ => (r.getLong(2), r.getDouble(3)))
+      base(pid) match {
+        case Some((cid, cv)) =>
+          val ageUs = purchTs(pid) - clickTs(cid)
+          if (ageUs <= 3600L * 1000000) {
+            assert(bounded === Some((cid, cv)), s"purchase $pid: fresh match must survive")
+            fresh += 1
+          } else {
+            assert(bounded === None, s"purchase $pid: stale match (${ageUs}us) must null")
+            stale += 1
+          }
+        case None => assert(bounded === None)
+      }
+    }
+    assert(fresh > 0 && stale > 0,
+      s"fixture must exercise both sides of the tolerance (fresh=$fresh stale=$stale)")
+  }
+
   test("ts_pacf: matches a driver-side Durbin-Levinson solve over the acf outputs") {
     val rho = operators.TimeSeries.acf.run(spark, TestSpark.Sf).collect()
       .map(r => (r.getString(0), r.getAs[Int]("lag")) -> r.getAs[Double]("acf")).toMap
