@@ -1181,9 +1181,94 @@ object Graph {
         ORDER BY e.src, e.dst""")
   )
 
+  /** HITS iteration count — fixed, like PageRank's, so the result is
+    * deterministic and the oracle unrolls. */
+  private val HitsIters = 4
+
+  /** HITS hubs-and-authorities (Kleinberg) on the BIPARTITE
+    * customer→part purchase graph — the directed complement to the
+    * part-part family: a hub is a customer whose basket concentrates on
+    * authoritative parts, an authority is a part bought by hub
+    * customers (the classic co-purchase ranking; on the undirected
+    * part-part graph HITS degenerates to the principal eigenvector, so
+    * the bipartite edge set is the form with information in it).
+    *
+    * Fixed HitsIters mutual-reinforcement rounds, L1-normalized per
+    * round (sum, not L2 — no sqrt in the fixpoint), both score vectors
+    * emitted rounded at 1e-6 (the PageRank determinism convention:
+    * normalizer sums of doubles differ across engines in the last ulp;
+    * relative drift after 4 rounds is ~1e-15, far inside the rounding).
+    *
+    * Plan per round: the O(E) bipartite edge list joins the O(V) score
+    * vector shuffle-hash, one hash aggregate per side, 1-row normalizer
+    * broadcasts; score vectors are lineage-cut per round (the
+    * pagerank_delta discipline — both vectors stay live across rounds). */
+  val hits: GraftQuery = GraftQuery(
+    "graph_hits",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.orders(s, dir).select($"o_custkey".as("c"), $"o_orderkey")
+        .join(Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey".as("p")),
+          $"o_orderkey" === $"l_orderkey")
+        .select($"c", $"p").distinct()
+        .localCheckpoint() // both per-round joins read it
+      val nc = e.select($"c").distinct().agg(count(lit(1)).as("n"))
+      var h = e.select($"c").distinct().crossJoin(broadcast(nc))
+        .select($"c", (lit(1.0) / $"n").as("h"))
+        .localCheckpoint()
+      var a: DataFrame = null
+      for (_ <- 1 to HitsIters) {
+        val araw = e.join(h.hint("shuffle_hash"), "c")
+          .groupBy($"p").agg(sum($"h").as("a"))
+        val asum = araw.agg(sum($"a").as("sa"))
+        a = araw.crossJoin(broadcast(asum))
+          .select($"p", ($"a" / $"sa").as("a"))
+          .localCheckpoint()
+        val hraw = e.join(a.hint("shuffle_hash"), "p")
+          .groupBy($"c").agg(sum($"a").as("h"))
+        val hsum = hraw.agg(sum($"h").as("sh"))
+        h = hraw.crossJoin(broadcast(hsum))
+          .select($"c", ($"h" / $"sh").as("h"))
+          .localCheckpoint()
+      }
+      h.select(lit("hub").as("side"), $"c".as("id"), round($"h", 6).as("score"))
+        .unionByName(a.select(lit("auth").as("side"), $"p".as("id"),
+          round($"a", 6).as("score")))
+        .orderBy($"side", $"id")
+    },
+    Some {
+      // MATERIALIZED, not plain, CTEs: each round references the prior
+      // one twice (the aggregate + its normalizer scalar subquery), and
+      // DuckDB inlines plain CTEs — the unrolled chain would re-expand
+      // 2^rounds (the graph_kcore oracle lesson).
+      val iters = (1 to HitsIters).map { i =>
+        s"""a${i}r AS MATERIALIZED (SELECT p, sum(h) AS a
+                                    FROM be JOIN h${i - 1} USING (c) GROUP BY p),
+            a$i AS MATERIALIZED (SELECT p, a / (SELECT sum(a) FROM a${i}r) AS a
+                                 FROM a${i}r),
+            h${i}r AS MATERIALIZED (SELECT c, sum(a) AS h
+                                    FROM be JOIN a$i USING (p) GROUP BY c),
+            h$i AS MATERIALIZED (SELECT c, h / (SELECT sum(h) FROM h${i}r) AS h
+                                 FROM h${i}r)"""
+      }.mkString(",\n")
+      s"""WITH be AS MATERIALIZED (
+                      SELECT DISTINCT o_custkey AS c, l_partkey AS p
+                      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+            h0 AS (SELECT c, CAST(1.0 AS DOUBLE)
+                              / CAST((SELECT count(DISTINCT c) FROM be) AS DOUBLE) AS h
+                   FROM (SELECT DISTINCT c FROM be)),
+            $iters
+          SELECT side, id, score FROM (
+            SELECT 'hub' AS side, c AS id, round(h, 6) AS score FROM h$HitsIters
+            UNION ALL
+            SELECT 'auth', p, round(a, 6) FROM a$HitsIters)
+          ORDER BY side, id"""
+    }
+  )
+
   def all: Seq[GraftQuery] =
     Seq(pagerank, pagerankDelta, pagerankWeighted, cc, jaccard,
       jaccardCapped, adamicAdar, labelPropagation, bfs,
       closenessLandmarks, edgesIncremental, triangles, degreeDist, kCore,
-      mst, assortativity, modularity)
+      mst, assortativity, modularity, hits)
 }

@@ -1288,11 +1288,54 @@ object Relational {
             ORDER BY numwait DESC, s_name""")
   )
 
+  /** Deterministic hash sampling — the reproducible-subset primitive
+    * every iteration loop at 100 TB starts from ("develop the pipeline
+    * on the same 1.5% every time, on any cluster, in any engine").
+    * `TABLESAMPLE`/`rand()` are non-reproducible across engines, runs
+    * and partitionings; hashing the PRIMARY KEY and comparing the hex
+    * prefix is the standard portable answer (the hash is the sampling
+    * decision, so membership is a pure row property — stable under
+    * repartition, retry, and engine swap).
+    *
+    * md5 emits lowercase hex in BOTH engines, so `md5(key) < '04'`
+    * keeps ~4/256 = 1.5625% with one string compare — no hex→int
+    * conversion (whose width/sign rules differ across engines). The
+    * sample then aggregates per return flag next to the full-table
+    * counts, which is how a sampling pipeline validates its rate.
+    *
+    * Scale shape: the predicate is a scan-level filter on a computed
+    * column (row-local, no shuffle); the aggregate is the q1 shape. */
+  val sampleHash: GraftQuery = GraftQuery(
+    "scan_sample_hash",
+    (s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .withColumn("k",
+          md5(concat($"l_orderkey".cast("string"), lit("-"),
+            $"l_linenumber".cast("string"))))
+        .filter($"k" < "04")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n_sampled"),
+          sum($"l_quantity").as("sum_qty"),
+          expr("sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))")
+            .as("sum_price_cents"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag, count(*) AS n_sampled,
+                   sum(l_quantity) AS sum_qty,
+                   CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                        AS BIGINT) AS sum_price_cents
+            FROM lineitem
+            WHERE md5(CAST(l_orderkey AS VARCHAR) || '-'
+                      || CAST(l_linenumber AS VARCHAR)) < '04'
+            GROUP BY 1 ORDER BY 1""")
+  )
+
   def all: Seq[GraftQuery] = Seq(
     scanProject, scanFilterPushdown, filterPred, projectCompute,
     sortLimit, setUnion, setIntersect, setExcept, sqlStarQ5, sqlQ3, sqlQ18,
     sqlQ6, sqlQ7, sqlQ10, sqlQ12, sqlQ13, sqlQ14, sqlQ15, sqlQ22,
     sqlQ1, sqlQ2, sqlQ4, sqlQ8, sqlQ9, sqlQ11, sqlQ16, sqlQ17, sqlQ19,
     sqlQ20, sqlQ21,
-    sqlSubquery, cleanNa, columnStats)
+    sqlSubquery, cleanNa, columnStats, sampleHash)
 }

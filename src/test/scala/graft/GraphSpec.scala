@@ -481,6 +481,38 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("r")) <= 1.0 + 1e-12)
   }
 
+  test("HITS: matches a driver-side mutual-reinforcement recompute; scores conserve") {
+    val edges = sources.Tables.orders(spark, TestSpark.Sf)
+      .select($"o_custkey", $"o_orderkey")
+      .join(sources.Tables.lineitem(spark, TestSpark.Sf)
+        .select($"l_orderkey", $"l_partkey"), $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey", $"l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val custs = edges.map(_._1).distinct
+    var h = custs.map(_ -> 1.0 / custs.length).toMap
+    var a = Map.empty[Long, Double]
+    for (_ <- 1 to 4) {
+      val araw = edges.groupBy(_._2).map { case (p, es) => p -> es.map(e => h(e._1)).sum }
+      val sa = araw.values.sum
+      a = araw.map { case (p, v) => p -> v / sa }
+      val hraw = edges.groupBy(_._1).map { case (c, es) => c -> es.map(e => a(e._2)).sum }
+      val sh = hraw.values.sum
+      h = hraw.map { case (c, v) => c -> v / sh }
+    }
+    val out = operators.Graph.hits.run(spark, TestSpark.Sf).collect()
+    val hubs = out.filter(_.getString(0) == "hub")
+      .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    val auths = out.filter(_.getString(0) == "auth")
+      .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(hubs.keySet === h.keySet && auths.keySet === a.keySet)
+    // distributed partial sums associate differently than the driver's
+    // sequential fold — agreement is to rounding, not bit-for-bit
+    hubs.foreach { case (c, v) => assert(math.abs(v - h(c)) <= 1e-6 + 1e-12, s"hub $c") }
+    auths.foreach { case (p, v) => assert(math.abs(v - a(p)) <= 1e-6 + 1e-12, s"auth $p") }
+    assert(math.abs(hubs.values.sum - 1.0) <= hubs.size * 5e-7 + 1e-9)
+    assert(math.abs(auths.values.sum - 1.0) <= auths.size * 5e-7 + 1e-9)
+  }
+
   test("modularity: exact rational matches a brute recompute over the LPA labels; Q < 1") {
     val labels = operators.Graph.labelPropagation.run(spark, TestSpark.Sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

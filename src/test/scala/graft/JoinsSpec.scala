@@ -69,4 +69,24 @@ class JoinsSpec extends AnyFunSuite {
       "bloom filter pruned nothing — every fact row survived")
     assert(survivors.length >= trueMatches)
   }
+
+  test("hash sampling: membership matches a driver-side MD5 recompute; rate sane") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val rows = sources.Tables.lineitem(spark, TestSpark.Sf)
+      .select($"l_orderkey", $"l_linenumber", $"l_returnflag").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getString(2)))
+    val sampled = rows.filter { case (ok, ln, _) => md5hex(s"$ok-$ln") < "04" }
+    val brute = sampled.groupBy(_._3).map { case (f, xs) => f -> xs.length.toLong }
+    val out = operators.Relational.sampleHash.run(spark, TestSpark.Sf).collect()
+    assert(out.map(_.getAs[Long]("n_sampled")).sum === sampled.length.toLong,
+      "sampled row count must match the driver-side MD5 recompute")
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_sampled") === brute(r.getString(0)), r.getString(0))
+    }
+    // rate ≈ 4/256; allow wide slack at the small fixture
+    val rate = sampled.length.toDouble / rows.length
+    assert(rate > 0.003 && rate < 0.05, s"sample rate $rate out of band")
+  }
 }

@@ -68,6 +68,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "graph_pagerank_weighted", // same 1-row vertex-count broadcast pattern
     "graph_triangles",    // 1-row count crossJoins assembling the stats row
     "graph_modularity",   // 1-row (2m, |V|) totals broadcast onto the community fold
+    "graph_hits",         // 1-row vertex-count + per-round normalizer broadcasts
     "llm_sim_mmr",        // tiny query-set broadcast, non-equi self-guard
     "llm_bpe_train",      // 1-row winning-pair broadcast per merge round
     "llm_bpe_apply"       // 1-row frozen-rules broadcast onto the vocab
