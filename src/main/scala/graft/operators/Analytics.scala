@@ -917,8 +917,63 @@ object Analytics {
             FROM g ORDER BY event_type""")
   )
 
+  /** Share-of-parent rollup — revenue share of each nation WITHIN its
+    * region (the % column every drill-down dashboard puts beside the
+    * absolute number; at the mixture level it is the domain-weights
+    * readout of llm_domain_mix applied to money).
+    *
+    * Determinism — EXACT RATIONAL: order totals aggregate to BIGINT
+    * cents per nation in one hash aggregate; the region denominator is
+    * a WINDOW SUM OF BIGINTs over the nation rows (integer window sums
+    * are associativity-immune — trap note a bites double windows only),
+    * so share = nation/region is num/den BIGINT with one division.
+    *
+    * Scale shape: fact scan → one hash aggregate onto the bounded
+    * nation domain (broadcast dim joins); the window runs on 25 rows. */
+  val shareOfParent: GraftQuery = GraftQuery(
+    "agg_share_of_parent",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val nations = Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)
+          .select($"c_custkey", $"c_nationkey")), $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.nation(s, dir)
+          .select($"n_nationkey", $"n_name", $"n_regionkey")),
+          $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, dir)
+          .select($"r_regionkey", $"r_name")), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name".as("region"), $"n_name".as("nation"))
+        .agg(expr("sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))")
+          .as("nation_cents"))
+      val w = Window.partitionBy($"region")
+      nations
+        .withColumn("region_cents", sum($"nation_cents").over(w))
+        .select($"region", $"nation", $"nation_cents", $"region_cents",
+          ($"nation_cents".cast("double") / $"region_cents".cast("double"))
+            .as("share"))
+        .orderBy($"region", $"nation")
+    },
+    Some("""WITH n AS (
+              SELECT r_name AS region, n_name AS nation,
+                     CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                          AS BIGINT) AS nation_cents
+              FROM orders
+                   JOIN customer ON o_custkey = c_custkey
+                   JOIN nation ON c_nationkey = n_nationkey
+                   JOIN region ON n_regionkey = r_regionkey
+              GROUP BY 1, 2)
+            SELECT region, nation, nation_cents,
+                   CAST(sum(nation_cents) OVER (PARTITION BY region) AS BIGINT)
+                     AS region_cents,
+                   CAST(nation_cents AS DOUBLE)
+                     / CAST(sum(nation_cents) OVER (PARTITION BY region) AS DOUBLE)
+                     AS share
+            FROM n ORDER BY region, nation""")
+  )
+
   def all: Seq[GraftQuery] = Seq(
     statsAgg, percentiles, approxPercentile, stringAgg, pivotAgg, jsonStruct,
     topNRevenue, corrMatrix, ksTest, mannWhitney, chiSq, gini,
-    ttestWelch, spearman, cramersV, benford, moments)
+    ttestWelch, spearman, cramersV, benford, moments, shareOfParent)
 }

@@ -354,7 +354,73 @@ object Joins {
             ORDER BY c_custkey""")
   )
 
+  /** Point-in-time SCD2 lookup — the feature-store correctness
+    * primitive: each probe must see the dimension version that was
+    * valid AT ITS OWN sequence point, never a later one (training-time
+    * leakage is exactly this join done wrong). The dimension is the
+    * same change log `ingest_scd2` versions (key = event_id % 1000,
+    * version boundary = change seq, deletes tombstone the key); probes
+    * are the purchase events at their own event_id.
+    *
+    * Implementation: NOT a fact ⋈ version range join (BETWEEN
+    * eff_from AND eff_to is a non-equi join that degenerates to BNLJ
+    * or a binned range join) — the union + running-`last` window from
+    * join_asof generalizes: change rows (kind 0) and probe rows
+    * (kind 1) interleave per key ordered by (seq, kind), and the
+    * running last change AT each probe row IS the PIT version, with
+    * the delete flag carried so a tombstoned key reads NULL (absent,
+    * not stale — the SCD2 semantics). One shuffle on the key, exactly
+    * like the as-of join; ties (a probe whose id IS a change seq) read
+    * the version effective at that seq, matching BETWEEN semantics. */
+  val scd2Pit: GraftQuery = GraftQuery(
+    "join_scd2_pit",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+      val changes = ev.select(
+        pmod($"event_id", lit(1000L)).as("k"),
+        $"event_id".as("seq"),
+        when(pmod($"event_id", lit(7L)) === 0, 1).otherwise(0).as("del"),
+        $"value", lit(0).as("kind"))
+      val probes = ev.filter($"event_type" === "purchase").select(
+        pmod($"event_id", lit(1000L)).as("k"),
+        $"event_id".as("seq"),
+        lit(0).as("del"), lit(0.0).as("value"), lit(1).as("kind"))
+      val w = Window.partitionBy($"k").orderBy($"seq", $"kind")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      changes.unionByName(probes)
+        .withColumn("v_from",
+          last(when($"kind" === 0, $"seq"), ignoreNulls = true).over(w))
+        .withColumn("v_del",
+          last(when($"kind" === 0, $"del"), ignoreNulls = true).over(w))
+        .withColumn("v_value",
+          last(when($"kind" === 0, $"value"), ignoreNulls = true).over(w))
+        .filter($"kind" === 1)
+        .withColumn("live", $"v_del" === 0)
+        .select($"seq".as("probe_id"), $"k",
+          when($"live", $"v_from").as("eff_from"),
+          when($"live", round($"v_value", 4)).as("value"))
+        .orderBy($"probe_id")
+    },
+    Some("""SELECT p.event_id AS probe_id, p.event_id % 1000 AS k,
+                   CASE WHEN c.del = 0 THEN c.seq END AS eff_from,
+                   CASE WHEN c.del = 0 THEN round(c.value, 4) END AS value
+            FROM events p
+            LEFT JOIN LATERAL (
+              SELECT event_id AS seq,
+                     CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END AS del, value
+              FROM events c
+              WHERE c.event_id % 1000 = p.event_id % 1000
+                AND c.event_id <= p.event_id
+              ORDER BY c.event_id DESC LIMIT 1
+            ) c ON true
+            WHERE p.event_type = 'purchase'
+            ORDER BY probe_id""")
+  )
+
   def all: Seq[GraftQuery] = Seq(
     innerHash, broadcastDim, leftOuter, rightOuter, fullOuter,
-    semi, anti, thetaRange, multiway, rangeBinned, bloomPrefilter)
+    semi, anti, thetaRange, multiway, rangeBinned, bloomPrefilter,
+    scd2Pit)
 }

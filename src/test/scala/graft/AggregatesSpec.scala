@@ -233,6 +233,19 @@ class AggregatesSpec extends AnyFunSuite {
   private def cents(d: Double): Long =
     (BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLong
 
+  test("share-of-parent: nation cents partition the region total exactly") {
+    val out = operators.Analytics.shareOfParent.run(spark, TestSpark.Sf).collect()
+    assert(out.map(_.getString(1)).distinct.length === 25) // all TPC-H nations
+    out.groupBy(_.getString(0)).foreach { case (region, rows) =>
+      val regionCents = rows.map(_.getAs[Long]("region_cents")).distinct
+      assert(regionCents.length === 1, s"$region: one denominator")
+      assert(rows.map(_.getAs[Long]("nation_cents")).sum === regionCents.head,
+        s"$region: nation cents must partition the region total exactly")
+      val shareSum = rows.map(_.getAs[Double]("share")).sum
+      assert(math.abs(shareSum - 1.0) < 1e-12, s"$region shares sum $shareSum")
+    }
+  }
+
   test("Welch t: sufficient statistics match a brute recompute; df bracketed") {
     val rows = sources.Tables.events(spark, TestSpark.Sf)
       .filter($"event_type".isin("view", "purchase"))

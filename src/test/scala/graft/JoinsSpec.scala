@@ -70,6 +70,33 @@ class JoinsSpec extends AnyFunSuite {
     assert(survivors.length >= trueMatches)
   }
 
+  test("scd2 pit lookup: every probe reads its own point-in-time version") {
+    val evs = sources.Tables.events(spark, TestSpark.Sf)
+      .select($"event_id", $"event_type", $"value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    // driver-side: latest change at or before the probe, tombstone-aware
+    val byKey = evs.map { case (id, _, v) => (id % 1000, id, id % 7 == 0, v) }
+      .groupBy(_._1)
+    val out = operators.Joins.scd2Pit.run(spark, TestSpark.Sf).collect()
+    assert(out.length === evs.count(_._2 == "purchase"))
+    var live = 0; var dead = 0
+    out.foreach { r =>
+      val probe = r.getLong(0); val k = r.getLong(1)
+      val (_, seq, del, v) = byKey(k).filter(_._2 <= probe).maxBy(_._2)
+      if (del) {
+        assert(r.isNullAt(2) && r.isNullAt(3), s"probe $probe: tombstoned key must read NULL")
+        dead += 1
+      } else {
+        assert(r.getLong(2) === seq, s"probe $probe: version eff_from")
+        assert(math.abs(r.getDouble(3) - v) < 6e-5, // rounded at 4dp
+          s"probe $probe: version value ${r.getDouble(3)} vs $v")
+        live += 1
+      }
+    }
+    assert(live > 0 && dead > 0,
+      s"fixture must exercise live and tombstoned probes (live=$live dead=$dead)")
+  }
+
   test("hash sampling: membership matches a driver-side MD5 recompute; rate sane") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
