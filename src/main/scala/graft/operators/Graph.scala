@@ -1185,6 +1185,37 @@ object Graph {
     * deterministic and the oracle unrolls. */
   private val HitsIters = 4
 
+  /** The bipartite customer→part edge list, persisted TWICE as bucketed
+    * layouts — once CLUSTERED BY c, once CLUSTERED BY p — because HITS
+    * alternates join keys every half-round: with a single copy one side
+    * of every iteration re-shuffles the O(E) edge list, with both
+    * orientations persisted ONLY the O(V) score vectors ever move (the
+    * adjacency-layout lesson applied to an alternating fixpoint; the
+    * second copy costs |E| rows of storage, which is the standard
+    * trade on any 100 TB iterative bipartite workload). */
+  private def bipartite(s: SparkSession, dir: String, key: String): DataFrame = {
+    import s.implicits._
+    val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val tbl = s"graft_hits_b${key}_$sfx"
+    val path = s"/tmp/graft_hits_b$key/$sfx"
+    graft.llm.Layouts.table(s, tbl, path,
+        graft.llm.Layouts.fingerprint(
+          Tables.lineitem(s, dir), "l_orderkey", "l_partkey")) {
+      s"""CREATE TABLE $tbl (`c` BIGINT, `p` BIGINT)
+          USING PARQUET
+          CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS
+          LOCATION '$path'"""
+    } {
+      Tables.orders(s, dir).select($"o_custkey".as("c"), $"o_orderkey")
+        .join(Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey".as("p")),
+          $"o_orderkey" === $"l_orderkey")
+        .select($"c", $"p").distinct()
+        .repartition(8, col(key))
+        .write.bucketBy(8, key).sortBy(key)
+        .option("path", path).mode("overwrite").saveAsTable(tbl)
+    }
+  }
+
   /** HITS hubs-and-authorities (Kleinberg) on the BIPARTITE
     * customer→part purchase graph — the directed complement to the
     * part-part family: a hub is a customer whose basket concentrates on
@@ -1199,32 +1230,32 @@ object Graph {
     * normalizer sums of doubles differ across engines in the last ulp;
     * relative drift after 4 rounds is ~1e-15, far inside the rounding).
     *
-    * Plan per round: the O(E) bipartite edge list joins the O(V) score
-    * vector shuffle-hash, one hash aggregate per side, 1-row normalizer
-    * broadcasts; score vectors are lineage-cut per round (the
-    * pagerank_delta discipline — both vectors stay live across rounds). */
+    * Plan per round: each half-round's O(E) edge side reads the
+    * bucketed layout matching ITS join key EXCHANGE-FREE (see
+    * `bipartite` — the alternating-key double layout), so only the
+    * O(V) score vector shuffles, into 8 bucket-matched partitions; one
+    * hash aggregate per side, 1-row normalizer broadcasts; score
+    * vectors are lineage-cut per round (the pagerank_delta
+    * discipline — both vectors stay live across rounds). */
   val hits: GraftQuery = GraftQuery(
     "graph_hits",
     (s, dir) => {
       import s.implicits._
-      val e = Tables.orders(s, dir).select($"o_custkey".as("c"), $"o_orderkey")
-        .join(Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey".as("p")),
-          $"o_orderkey" === $"l_orderkey")
-        .select($"c", $"p").distinct()
-        .localCheckpoint() // both per-round joins read it
-      val nc = e.select($"c").distinct().agg(count(lit(1)).as("n"))
-      var h = e.select($"c").distinct().crossJoin(broadcast(nc))
+      val ebc = bipartite(s, dir, "c") // bucketed by c: serves e ⋈ h
+      val ebp = bipartite(s, dir, "p") // bucketed by p: serves e ⋈ a
+      val nc = ebc.select($"c").distinct().agg(count(lit(1)).as("n"))
+      var h = ebc.select($"c").distinct().crossJoin(broadcast(nc))
         .select($"c", (lit(1.0) / $"n").as("h"))
         .localCheckpoint()
       var a: DataFrame = null
       for (_ <- 1 to HitsIters) {
-        val araw = e.join(h.hint("shuffle_hash"), "c")
+        val araw = ebc.join(h.hint("shuffle_hash"), "c")
           .groupBy($"p").agg(sum($"h").as("a"))
         val asum = araw.agg(sum($"a").as("sa"))
         a = araw.crossJoin(broadcast(asum))
           .select($"p", ($"a" / $"sa").as("a"))
           .localCheckpoint()
-        val hraw = e.join(a.hint("shuffle_hash"), "p")
+        val hraw = ebp.join(a.hint("shuffle_hash"), "p")
           .groupBy($"c").agg(sum($"a").as("h"))
         val hsum = hraw.agg(sum($"h").as("sh"))
         h = hraw.crossJoin(broadcast(hsum))
