@@ -972,8 +972,169 @@ object Analytics {
             FROM n ORDER BY region, nation""")
   )
 
+  /** One-way ANOVA F across ALL FIVE event-type cohorts — the k-group
+    * generalization of agg_ttest_welch ("is ANY cohort mean different?"
+    * — the first gate before pairwise tests, which uncorrected would
+    * fish through C(5,2) comparisons).
+    *
+    * Determinism — the Welch convention hardened for k groups: the
+    * per-group sufficient statistics (n_g, S_g, Q_g) land as COLUMNS of
+    * ONE conditional hash-aggregate row (the agg_corr_matrix device),
+    * so the cross-group folds SSW = Σ_g (Q_g − S_g²/n_g) and
+    * SSB = Σ_g S_g²/n_g − (ΣS)²/N are FIXED-ORDER scalar chains
+    * (a+b+c+d+e in source order) — never an unordered SUM aggregate
+    * over group rows, whose association differs between engines (trap
+    * note a's k-group form). F = (SSB/(k−1))/(SSW/(N−k)) over those
+    * identical doubles.
+    *
+    * Scale shape: ONE map-side-combined hash aggregate over the fact
+    * scan; everything after is a 1-row projection. */
+  val anova: GraftQuery = GraftQuery(
+    "agg_anova",
+    (s, dir) => {
+      import s.implicits._
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val cv = expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+      val aggs = types.zipWithIndex.flatMap { case (t, i) => Seq(
+        sum(when($"event_type" === t, 1L).otherwise(0L)).as(s"n$i"),
+        sum(when($"event_type" === t, $"cv").otherwise(0L)).as(s"s$i"),
+        sum(when($"event_type" === t, $"cv" * $"cv").otherwise(0L)).as(s"q$i"))
+      }
+      val raw = Tables.events(s, dir).select($"event_type", cv.as("cv"))
+        .agg(aggs.head, aggs.tail: _*)
+      def d(c: String) = col(c).cast("double")
+      val idx = types.indices
+      val nTot = idx.map(i => col(s"n$i")).reduce(_ + _)
+      val sTot = idx.map(i => col(s"s$i")).reduce(_ + _)
+      // fixed-order chains: (((g0 + g1) + g2) + g3) + g4 in both engines
+      val within = idx.map(i => d(s"q$i") - d(s"s$i") * d(s"s$i") / d(s"n$i"))
+        .reduce(_ + _)
+      val between = idx.map(i => d(s"s$i") * d(s"s$i") / d(s"n$i")).reduce(_ + _) -
+        sTot.cast("double") * sTot.cast("double") / nTot.cast("double")
+      raw.select(nTot.as("n_total"), lit(types.length).as("k"),
+          between.as("ssb"), within.as("ssw"),
+          ((between / lit((types.length - 1).toDouble))
+            / (within / (nTot.cast("double") - lit(types.length.toDouble)))).as("f"))
+    },
+    Some("""WITH a AS (
+              SELECT
+                CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+                CAST(sum(CASE WHEN event_type = 'click' THEN cv ELSE 0 END) AS BIGINT) AS s0,
+                CAST(sum(CASE WHEN event_type = 'click' THEN cv * cv ELSE 0 END) AS BIGINT) AS q0,
+                CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                CAST(sum(CASE WHEN event_type = 'error' THEN cv ELSE 0 END) AS BIGINT) AS s1,
+                CAST(sum(CASE WHEN event_type = 'error' THEN cv * cv ELSE 0 END) AS BIGINT) AS q1,
+                CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                CAST(sum(CASE WHEN event_type = 'purchase' THEN cv ELSE 0 END) AS BIGINT) AS s2,
+                CAST(sum(CASE WHEN event_type = 'purchase' THEN cv * cv ELSE 0 END) AS BIGINT) AS q2,
+                CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+                CAST(sum(CASE WHEN event_type = 'signup' THEN cv ELSE 0 END) AS BIGINT) AS s3,
+                CAST(sum(CASE WHEN event_type = 'signup' THEN cv * cv ELSE 0 END) AS BIGINT) AS q3,
+                CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+                CAST(sum(CASE WHEN event_type = 'view' THEN cv ELSE 0 END) AS BIGINT) AS s4,
+                CAST(sum(CASE WHEN event_type = 'view' THEN cv * cv ELSE 0 END) AS BIGINT) AS q4
+              FROM (SELECT event_type,
+                           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cv
+                    FROM events)),
+            f AS (
+              SELECT n0 + n1 + n2 + n3 + n4 AS n_total,
+                     CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                     + (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                     + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                     + (CAST(q3 AS DOUBLE) - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE) / CAST(n3 AS DOUBLE))
+                     + (CAST(q4 AS DOUBLE) - CAST(s4 AS DOUBLE) * CAST(s4 AS DOUBLE) / CAST(n4 AS DOUBLE)) AS ssw,
+                     CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                     + CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                     + CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+                     + CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE) / CAST(n3 AS DOUBLE)
+                     + CAST(s4 AS DOUBLE) * CAST(s4 AS DOUBLE) / CAST(n4 AS DOUBLE)
+                     - CAST(s0 + s1 + s2 + s3 + s4 AS DOUBLE)
+                       * CAST(s0 + s1 + s2 + s3 + s4 AS DOUBLE)
+                       / CAST(n0 + n1 + n2 + n3 + n4 AS DOUBLE) AS ssb
+              FROM a)
+            SELECT CAST(n_total AS BIGINT) AS n_total, 5 AS k, ssb, ssw,
+                   (ssb / 4.0) / (ssw / (CAST(n_total AS DOUBLE) - 5.0)) AS f
+            FROM f""")
+  )
+
+  /** Wilcoxon signed-rank test on the PAIRED daily (view, purchase)
+    * revenue series — the paired complement to agg_mannwhitney's
+    * unpaired U ("on the same day, does one cohort reliably out-earn
+    * the other?" — pairing by day removes the day-to-day traffic level
+    * that inflates the unpaired test's variance).
+    *
+    * Determinism — EXACT INTEGERS via the mannwhitney device applied to
+    * |differences|: daily diffs are BIGINT cents, zeros dropped (the
+    * standard treatment), |d| tie spans give DOUBLED midranks lo+hi, so
+    * 2·W⁺ = Σ_{d>0} (lo+hi) is BIGINT; the normal z uses the exact
+    * variance numerator n(n+1)(2n+1)·2 − Σ(t³−t) (over 48·4, folded as
+    * one sqrt over identical integers) and the doubled mean n(n+1)/2.
+    *
+    * Scale shape: fact scan reduces to the DAY domain; ranking and the
+    * fold run on |days| rows. */
+  val wilcoxon: GraftQuery = GraftQuery(
+    "agg_wilcoxon",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val cv = expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+      val diffs = Tables.events(s, dir)
+        .filter($"event_type".isin("view", "purchase"))
+        .groupBy(to_date($"ts").as("d"))
+        .agg((sum(when($"event_type" === "view", cv).otherwise(0L))
+          - sum(when($"event_type" === "purchase", cv).otherwise(0L))).as("diff"))
+        .filter($"diff" =!= 0L)
+        .select($"diff", abs($"diff").as("ad"))
+      val counts = diffs.groupBy($"ad")
+        .agg(count(lit(1)).as("t"),
+          sum(when($"diff" > 0, 1L).otherwise(0L)).as("c_pos"))
+      val w = Window.orderBy($"ad").rowsBetween(Window.unboundedPreceding, 0)
+      counts
+        .withColumn("hi", sum($"t").over(w))
+        .withColumn("lo", $"hi" - $"t" + 1)
+        .agg(sum($"t").as("n"),
+          sum($"c_pos" * ($"lo" + $"hi")).as("w_plus_x2"),
+          sum($"t" * $"t" * $"t" - $"t").as("tie_t3"))
+        .select($"n", $"w_plus_x2", $"tie_t3",
+          // z = (2W⁺ − n(n+1)/2) / sqrt((2n(n+1)(2n+1) − Σ(t³−t)) / 12)
+          // (doubled-statistic algebra: Var(2W⁺) = 4·Var(W⁺); the mean
+          // term n(n+1)/2 uses INTEGER division — Column `/` is double
+          // division, the ts_theilsen even-count lesson)
+          (($"w_plus_x2" - expr("n * (n + 1) div 2")).cast("double")
+            / sqrt((($"n" * ($"n" + 1L) * (lit(2L) * $"n" + 1L) * 2L - $"tie_t3")
+              .cast("double")) / 12.0)).as("z"))
+    },
+    Some("""WITH daily AS (
+              SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+                     CAST(sum(CASE WHEN event_type = 'view'
+                                   THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                                   ELSE 0 END)
+                          - sum(CASE WHEN event_type = 'purchase'
+                                     THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                                     ELSE 0 END) AS BIGINT) AS diff
+              FROM events WHERE event_type IN ('view', 'purchase')
+              GROUP BY 1),
+            nz AS (SELECT diff, abs(diff) AS ad FROM daily WHERE diff <> 0),
+            c AS (SELECT ad, CAST(count(*) AS BIGINT) AS t,
+                         CAST(sum(CASE WHEN diff > 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_pos
+                  FROM nz GROUP BY 1),
+            r AS (SELECT *,
+                         CAST(sum(t) OVER (ORDER BY ad ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS BIGINT) AS hi
+                  FROM c),
+            a AS (SELECT CAST(sum(t) AS BIGINT) AS n,
+                         CAST(sum(c_pos * ((hi - t + 1) + hi)) AS BIGINT) AS w_plus_x2,
+                         CAST(sum(t * t * t - t) AS BIGINT) AS tie_t3
+                  FROM r)
+            SELECT n, w_plus_x2, tie_t3,
+                   CAST(w_plus_x2 - (n * (n + 1)) // 2 AS DOUBLE)
+                     / sqrt(CAST(n * (n + 1) * (2 * n + 1) * 2 - tie_t3 AS DOUBLE) / 12.0) AS z
+            FROM a""")
+  )
+
   def all: Seq[GraftQuery] = Seq(
     statsAgg, percentiles, approxPercentile, stringAgg, pivotAgg, jsonStruct,
     topNRevenue, corrMatrix, ksTest, mannWhitney, chiSq, gini,
-    ttestWelch, spearman, cramersV, benford, moments, shareOfParent)
+    ttestWelch, spearman, cramersV, benford, moments, shareOfParent, anova,
+    wilcoxon)
 }

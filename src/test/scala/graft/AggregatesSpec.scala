@@ -322,6 +322,49 @@ class AggregatesSpec extends AnyFunSuite {
         / r.getAs[Long]("n").toDouble / (r.getAs[Long]("min_dim") - 1).toDouble))
   }
 
+  test("ANOVA: sum-of-squares partition identity holds against a brute recompute") {
+    val rows = sources.Tables.events(spark, TestSpark.Sf)
+      .select($"event_type", $"value").collect()
+      .map(r => (r.getString(0), cents(r.getDouble(1))))
+    val n = rows.length.toLong
+    val sTot = rows.map(_._2).sum
+    val qTot = rows.map(x => x._2 * x._2).sum
+    val sst = qTot.toDouble - sTot.toDouble * sTot.toDouble / n.toDouble
+    val out = operators.Analytics.anova.run(spark, TestSpark.Sf).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_total") === n)
+    assert(r.getAs[Int]("k") === 5)
+    val (ssb, ssw) = (r.getAs[Double]("ssb"), r.getAs[Double]("ssw"))
+    assert(math.abs(ssb + ssw - sst) <= math.abs(sst) * 1e-9,
+      "SSB + SSW must partition the total sum of squares")
+    assert(ssb >= 0 && ssw > 0 && r.getAs[Double]("f") >= 0)
+  }
+
+  test("Wilcoxon: doubled signed-rank sum matches brute; W+ and W- conserve") {
+    val daily = sources.Tables.events(spark, TestSpark.Sf)
+      .filter($"event_type".isin("view", "purchase"))
+      .select(to_date($"ts").as("d"), $"event_type", $"value").collect()
+      .map(r => (r.getDate(0).toString, r.getString(1), cents(r.getDouble(2))))
+      .groupBy(_._1).iterator.map { case (_, xs) =>
+        xs.filter(_._2 == "view").map(_._3).sum - xs.filter(_._2 == "purchase").map(_._3).sum
+      }.filter(_ != 0L).toArray
+    val ads = daily.map(math.abs).sorted
+    val lo = ads.zipWithIndex.groupBy(_._1).map { case (v, xs) => v -> (xs.map(_._2).min + 1L) }
+    val hi = ads.zipWithIndex.groupBy(_._1).map { case (v, xs) => v -> (xs.map(_._2).max + 1L) }
+    val wPlus2 = daily.filter(_ > 0).map(d => lo(math.abs(d)) + hi(math.abs(d))).sum
+    val wMinus2 = daily.filter(_ < 0).map(d => lo(math.abs(d)) + hi(math.abs(d))).sum
+    val n = daily.length.toLong
+    val out = operators.Analytics.wilcoxon.run(spark, TestSpark.Sf).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n") === n)
+    assert(r.getAs[Long]("w_plus_x2") === wPlus2,
+      "doubled W+ must match the brute midrank recompute")
+    assert(wPlus2 + wMinus2 === n * (n + 1), "2W+ + 2W- = n(n+1)")
+    assert(!r.getAs[Double]("z").isNaN)
+  }
+
   test("Benford: leading-digit counts match a brute string recompute; counts conserve") {
     val digits = sources.Tables.orders(spark, TestSpark.Sf)
       .select($"o_totalprice").collect()
