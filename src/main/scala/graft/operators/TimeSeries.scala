@@ -1418,9 +1418,105 @@ object TimeSeries {
             ORDER BY event_type""")
   )
 
+  /** Local peaks in the daily revenue series per event type — the
+    * alert-shortlist primitive ("which days spiked?"): a peak is a day
+    * strictly above BOTH calendar neighbors, which is robust to the
+    * level (unlike a global threshold) and feeds ts_anomaly's z-score
+    * with candidates. Exact: BIGINT cent comparisons against lag/lead
+    * over the bounded type×day domain; series endpoints (no neighbor)
+    * are not peaks, matching the oracle's null-comparison semantics. */
+  val peaks: GraftQuery = GraftQuery(
+    "ts_peaks",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"event_type").orderBy($"d")
+      changepointDaily(s, dir)
+        .withColumn("pv", lag($"v", 1).over(w))
+        .withColumn("nv", lead($"v", 1).over(w))
+        .filter($"v" > $"pv" && $"v" > $"nv")
+        .select($"event_type", $"d".as("peak_day"), $"v".as("cents"),
+          ($"v" - $"pv").as("rise"), ($"v" - $"nv").as("fall"))
+        .orderBy($"event_type", $"peak_day")
+    },
+    Some("""WITH daily AS (
+              SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+              FROM events GROUP BY 1, 2),
+            x AS (
+              SELECT event_type, d, v,
+                     lag(v) OVER (PARTITION BY event_type ORDER BY d) AS pv,
+                     lead(v) OVER (PARTITION BY event_type ORDER BY d) AS nv
+              FROM daily)
+            SELECT event_type, d AS peak_day, v AS cents,
+                   CAST(v - pv AS BIGINT) AS rise, CAST(v - nv AS BIGINT) AS fall
+            FROM x WHERE v > pv AND v > nv
+            ORDER BY event_type, peak_day""")
+  )
+
+  /** Longest strictly-increasing run of daily revenue per event type —
+    * the momentum readout ("how many days in a row has this grown, and
+    * what was the longest streak?"): gaps-and-islands over the daily
+    * series, the same device ts_sessionize applies to user activity.
+    * Exact: run boundaries are BIGINT comparisons; the island id is a
+    * running sum of break flags; earliest-start tiebreak makes the
+    * reported streak unique. */
+  val streaks: GraftQuery = GraftQuery(
+    "ts_streaks",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"event_type").orderBy($"d")
+      val runs = changepointDaily(s, dir)
+        .withColumn("up",
+          when(lag($"v", 1).over(w).isNull || $"v" <= lag($"v", 1).over(w), 1L)
+            .otherwise(0L))
+        .withColumn("run_id",
+          sum($"up").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy($"event_type", $"run_id")
+        .agg(count(lit(1)).as("len"), min($"d").as("run_start"),
+          max($"d").as("run_end"))
+        .localCheckpoint() // argmax + join-back both read it
+      val best = runs.groupBy($"event_type").agg(max($"len").as("ml"))
+      val tied = runs.join(broadcast(best), "event_type")
+        .filter($"len" === $"ml")
+      val first = tied.groupBy($"event_type").agg(min($"run_start").as("run_start"))
+      tied.join(broadcast(first), Seq("event_type", "run_start"))
+        .select($"event_type", $"len".as("streak_days"), $"run_start", $"run_end")
+        .orderBy($"event_type")
+    },
+    Some("""WITH daily AS (
+              SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+              FROM events GROUP BY 1, 2),
+            f AS (
+              SELECT event_type, d, v,
+                     CASE WHEN lag(v) OVER (PARTITION BY event_type ORDER BY d) IS NULL
+                               OR v <= lag(v) OVER (PARTITION BY event_type ORDER BY d)
+                          THEN 1 ELSE 0 END AS up
+              FROM daily),
+            r AS (
+              SELECT event_type, d,
+                     sum(up) OVER (PARTITION BY event_type ORDER BY d
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+              FROM f),
+            runs AS (
+              SELECT event_type, run_id, count(*) AS len,
+                     min(d) AS run_start, max(d) AS run_end
+              FROM r GROUP BY 1, 2),
+            best AS (SELECT event_type, max(len) AS ml FROM runs GROUP BY 1),
+            tied AS (SELECT runs.* FROM runs JOIN best USING (event_type)
+                     WHERE len = ml),
+            first AS (SELECT event_type, min(run_start) AS run_start
+                      FROM tied GROUP BY 1)
+            SELECT event_type, CAST(len AS BIGINT) AS streak_days, run_start, run_end
+            FROM tied JOIN first USING (event_type, run_start)
+            ORDER BY event_type""")
+  )
+
   def all: Seq[GraftQuery] =
     Seq(asofJoin, asofTolerance, gapFill, ntileRanks, skewSalted, resample, funnel,
       funnelWindowed, sessionize, retention, anomaly, interpolate, ewma,
       crossCorr, outlierMad, rollingMedian, cusum, seasonality, mkTrend,
-      theilSen, acf, changepoint, pacf)
+      theilSen, acf, changepoint, pacf, peaks, streaks)
 }

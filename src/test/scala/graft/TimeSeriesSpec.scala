@@ -571,6 +571,50 @@ class TimeSeriesSpec extends AnyFunSuite {
       "batching must not move the shape statistics")
   }
 
+  private def dailyCents(): Map[String, Seq[(java.time.LocalDate, Long)]] =
+    sources.Tables.events(spark, TestSpark.Sf)
+      .select($"event_type", to_date($"ts").as("d"), $"value").collect()
+      .map(r => ((r.getString(0), r.getDate(1).toLocalDate),
+        (BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLong))
+      .groupBy(_._1).iterator.map { case (k, xs) => k -> xs.map(_._2).sum }
+      .toSeq.groupBy(_._1._1)
+      .map { case (t, xs) =>
+        t -> xs.map { case ((_, d), v) => (d, v) }.sortBy(_._1.toEpochDay)
+      }
+
+  test("ts_peaks: exactly the strict local maxima of the daily series") {
+    val brute = dailyCents().flatMap { case (t, series) =>
+      series.sliding(3).collect {
+        case Seq((_, p), (d, v), (_, n)) if v > p && v > n => (t, d.toString, v)
+      }
+    }.toSet
+    val out = operators.TimeSeries.peaks.run(spark, TestSpark.Sf).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getAs[Long]("cents"))).toSet
+    assert(out === brute, "peak set must equal the brute strict-local-maxima set")
+    assert(out.nonEmpty)
+  }
+
+  test("ts_streaks: longest strictly-increasing run with earliest-start tiebreak") {
+    val out = operators.TimeSeries.streaks.run(spark, TestSpark.Sf).collect()
+    val daily = dailyCents()
+    assert(out.map(_.getString(0)).toSet === daily.keySet)
+    out.foreach { r =>
+      val t = r.getString(0)
+      val series = daily(t)
+      // brute: split into maximal strictly-increasing runs in order
+      val runs = series.drop(1).foldLeft(List(List(series.head))) {
+        case (acc @ cur :: rest, x) =>
+          if (x._2 > cur.head._2) (x :: cur) :: rest else List(x) :: acc
+        case (Nil, x) => List(List(x))
+      }.map(_.reverse).reverse
+      val maxLen = runs.map(_.length).max
+      val pick = runs.filter(_.length == maxLen).minBy(_.head._1.toEpochDay)
+      assert(r.getAs[Long]("streak_days") === maxLen.toLong, s"$t streak length")
+      assert(r.getDate(2).toLocalDate === pick.head._1, s"$t run start")
+      assert(r.getDate(3).toLocalDate === pick.last._1, s"$t run end")
+    }
+  }
+
   test("ts_changepoint: argmax split matches a brute gain sweep; segments conserve") {
     val daily = sources.Tables.events(spark, TestSpark.Sf)
       .select($"event_type", to_date($"ts").as("d"), $"value").collect()
