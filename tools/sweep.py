@@ -24,12 +24,16 @@ def main():
     t0 = time.time()
     for n in names:
         start = time.time()
+        # start_new_session puts compare.py AND any JVM it spawns into a
+        # fresh process group; on timeout we killpg the whole group, so a
+        # surviving Spark JVM can't contend with (and skew) later queries.
+        p = subprocess.Popen(
+            [sys.executable, os.path.join(here, "compare.py"),
+             sf_dir, out_dir, n],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            start_new_session=True)
         try:
-            p = subprocess.run(
-                [sys.executable, os.path.join(here, "compare.py"),
-                 sf_dir, out_dir, n],
-                capture_output=True, text=True, timeout=timeout)
-            out = p.stdout
+            out, _ = p.communicate(timeout=timeout)
             dt = round(time.time() - start, 1)
             if "[ok]" in out:
                 results[n] = {"status": "ok", "sec": dt}
@@ -40,6 +44,12 @@ def main():
                 results[n] = {"status": "FAIL", "sec": dt,
                               "detail": tail[0] if tail else "?"}
         except subprocess.TimeoutExpired:
+            import signal
+            try:
+                os.killpg(os.getpgid(p.pid), signal.SIGKILL)
+            except (ProcessLookupError, PermissionError):
+                pass
+            p.communicate()
             results[n] = {"status": "timeout", "sec": timeout}
         print(f"{n}: {results[n]['status']} ({results[n]['sec']}s)", flush=True)
     counts = {}
