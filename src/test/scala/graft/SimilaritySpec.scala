@@ -69,7 +69,7 @@ class SimilaritySpec extends AnyFunSuite {
   test("LSH top-k: valid structure and measurable recall vs brute force") {
     val brute = llm.Similarity.bruteTopK.run(spark, TestSpark.Sf)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val approx = llm.Similarity.lshTopK.run(spark, TestSpark.Sf)
+    val approx = llm.Similarity.lshFull(spark, TestSpark.Sf)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(approx.nonEmpty)
     val recall = brute.intersect(approx).size.toDouble / brute.size
@@ -80,7 +80,7 @@ class SimilaritySpec extends AnyFunSuite {
   test("IVF top-k: valid structure and measurable recall vs brute force") {
     val brute = llm.Similarity.bruteTopK.run(spark, TestSpark.Sf)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val out = llm.Similarity.ivfTopK.run(spark, TestSpark.Sf)
+    val out = llm.Similarity.ivfFull(spark, TestSpark.Sf)
     val rows = out.collect()
     assert(rows.nonEmpty)
     // structure: ≤ k per query, rank contiguous from 1, descending sim
@@ -103,7 +103,7 @@ class SimilaritySpec extends AnyFunSuite {
   test("two-level IVF top-k: valid structure and recall close to flat IVF") {
     val brute = llm.Similarity.bruteTopK.run(spark, TestSpark.Sf)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val rows = llm.Similarity.ivf2TopK.run(spark, TestSpark.Sf).collect()
+    val rows = llm.Similarity.ivf2Pipeline(spark, TestSpark.Sf, llm.Similarity.CoarseProbe).collect()
     assert(rows.nonEmpty)
     // structure: ≤ k per query, rank contiguous from 1, descending sim
     rows.groupBy(_.getAs[Long]("qid")).foreach { case (q, rs) =>
@@ -115,7 +115,7 @@ class SimilaritySpec extends AnyFunSuite {
     }
     val approx = rows.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
     val recall = brute.intersect(approx).size.toDouble / brute.size
-    val ivfRows = llm.Similarity.ivfTopK.run(spark, TestSpark.Sf)
+    val ivfRows = llm.Similarity.ivfFull(spark, TestSpark.Sf)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val ivfRecall = brute.intersect(ivfRows).size.toDouble / brute.size
     info(f"IVF2 recall@10 vs brute force: $recall%.2f (flat IVF: $ivfRecall%.2f)")
@@ -244,9 +244,11 @@ class SimilaritySpec extends AnyFunSuite {
     // full real-query serving form (ivfPersistedFull) is what belongs in
     // this containment check.
     val anns = Seq(
-      "llm_sim_topk_lsh" -> llm.Similarity.lshTopK.run(spark, TestSpark.Sf),
-      "llm_sim_topk_ivf" -> llm.Similarity.ivfTopK.run(spark, TestSpark.Sf),
-      "llm_sim_topk_ivf2" -> llm.Similarity.ivf2TopK.run(spark, TestSpark.Sf),
+      "lsh_full" -> llm.Similarity.lshFull(spark, TestSpark.Sf),
+      "ivf_full" -> llm.Similarity.ivfFull(spark, TestSpark.Sf),
+      "ivf2_full" -> llm.Similarity.ivf2Pipeline(spark, TestSpark.Sf, llm.Similarity.CoarseProbe),
+      "pq_full" -> llm.Similarity.pqFull(spark, TestSpark.Sf),
+      "ivfpq_full" -> llm.Similarity.ivfPqFull(spark, TestSpark.Sf),
       "ivf_persisted_full" -> llm.Similarity.ivfPersistedFull(spark, TestSpark.Sf))
     for ((name, df) <- anns) {
       val rows = df.collect()
@@ -263,7 +265,7 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("PQ top-k: structure, codes in range, measurable recall, deterministic serving") {
-    val out = llm.Similarity.pqTopK.run(spark, TestSpark.Sf)
+    val out = llm.Similarity.pqFull(spark, TestSpark.Sf)
     val rows = out.collect()
     assert(rows.nonEmpty)
     rows.groupBy(_.getAs[Long]("qid")).foreach { case (q, rs) =>
@@ -294,14 +296,13 @@ class SimilaritySpec extends AnyFunSuite {
     info(f"PQ recall@10 vs brute force: $recall%.2f")
     assert(recall > 0.0)
     // the persisted index makes serving deterministic run-to-run
-    val again = llm.Similarity.pqTopK.run(spark, TestSpark.Sf).collect()
+    val again = llm.Similarity.pqFull(spark, TestSpark.Sf).collect()
     assert(again.map(_.toSeq).toSeq === rows.map(_.toSeq).toSeq,
       "repeated serving over the persisted PQ index must be bit-identical")
   }
 
   test("IVFPQ top-k: structure, recall, determinism; serve reads codes, not corpus vectors") {
-    val q = llm.Similarity.ivfPqTopK
-    val df = q.run(spark, TestSpark.Sf)
+    val df = llm.Similarity.ivfPqFull(spark, TestSpark.Sf)
     val rows = df.collect()
     assert(rows.nonEmpty)
     rows.groupBy(_.getAs[Long]("qid")).foreach { case (qid, rs) =>
@@ -320,7 +321,7 @@ class SimilaritySpec extends AnyFunSuite {
     info(f"IVFPQ recall@10 vs brute force: $recall%.2f")
     assert(recall > 0.0)
     // deterministic serving over the persisted layouts
-    val again = q.run(spark, TestSpark.Sf).collect()
+    val again = llm.Similarity.ivfPqFull(spark, TestSpark.Sf).collect()
     assert(again.map(_.toSeq).toSeq === rows.map(_.toSeq).toSeq)
     // the serving plan's only embedding-bearing parquet scan is the
     // NumQueries-row query side: the corpus side reads the ivfcodes
@@ -343,6 +344,36 @@ class SimilaritySpec extends AnyFunSuite {
     val sfx = TestSpark.Sf.replaceAll("[^a-zA-Z0-9]", "_")
     val n = spark.read.parquet(s"/tmp/graft_pq/$sfx/ivfcodes").count()
     assert(n === sources.Tables.embeddings(spark, TestSpark.Sf).count())
+  }
+
+  test("graded searchers: every twin query retrieves its source at rank 1, cosine 1.0") {
+    // The round-11 conversion (verdict item 2): all five searcher registry
+    // forms grade the planted twin batch's rank-1 slice. The closed form —
+    // (qid = src + offset, rn = 1, nid = src, sim = 1.0) for every 20th
+    // vector — must hold for EACH searcher independently of its codebook,
+    // planes, or PQ codes (scale-invariant descent + exact final scoring;
+    // PQ/IVFPQ via the exact refine stage).
+    val planted = sources.Tables.embeddings(spark, TestSpark.Sf)
+      .filter($"vec_id" % 20 === 7).select($"vec_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(planted.nonEmpty)
+    val searchers = Seq(
+      "llm_sim_topk_lsh" -> llm.Similarity.lshTopK,
+      "llm_sim_topk_ivf" -> llm.Similarity.ivfTopK,
+      "llm_sim_topk_ivf2" -> llm.Similarity.ivf2TopK,
+      "llm_sim_topk_pq" -> llm.Similarity.pqTopK,
+      "llm_sim_topk_ivfpq" -> llm.Similarity.ivfPqTopK)
+    for ((name, q) <- searchers) {
+      val rows = q.run(spark, TestSpark.Sf).collect()
+      assert(rows.map(_.getAs[Long]("qid")).toSeq ===
+        planted.map(_ + llm.Similarity.TwinOffset).toSeq, s"$name: qid set")
+      rows.foreach { r =>
+        assert(r.getAs[Long]("nid") ===
+          r.getAs[Long]("qid") - llm.Similarity.TwinOffset, s"$name: nid")
+        assert(r.getAs[Int]("rn") === 1, s"$name: rn")
+        assert(r.getAs[Double]("sim") === 1.0, s"$name: sim")
+      }
+    }
   }
 
   test("index append: base is pure-function-identical, delta lands in its source's list") {
