@@ -878,6 +878,9 @@ object TextStats {
     * so the cap demonstrably engages. */
   private[graft] val WinnowDfCap = 6
 
+  /** Merge rounds the BPE trainer learns (and the oracle unrolls). */
+  private[graft] val BpeMergeCount = 8
+
   /** Shared dataflow for the winnow-dedup family — `dfCap` gates the
     * index on fingerprint document frequency BEFORE the candidate join
     * (set sizes `nf` are recomputed over the kept fingerprints, so
@@ -991,9 +994,19 @@ object TextStats {
     * it just consumed (BpeSpec proves the equivalence against a direct
     * reference implementation).
     *
-    * No oracle: K chained argmax-dependent rewrites aren't expressible as
-    * one ANSI query; BpeSpec pins every learned (rank, pair, freq)
-    * exactly against an independent driver-side reference.
+    * Oracle: the K chained argmax-dependent rewrites ARE expressible as
+    * one ANSI query once two devices combine — (1) MATERIALIZED CTEs (the
+    * kcore/HITS lesson: without them DuckDB re-inlines each round into
+    * the next and the plan is 2^K), and (2) a marker ENCODING of the
+    * symbol sequence (each symbol wrapped in U+0002…U+0003 markers, which
+    * cannot occur in the printable corpus) under which
+    * SQL `replace()` — left-to-right, non-overlapping — is EXACTLY the
+    * greedy scan-and-skip merge, because token boundaries are explicit in
+    * the string and a merged token can never re-match as the left side of
+    * the rule that created it. Each round is then: split markers → pair
+    * count → ORDER BY cnt DESC, a, b LIMIT 1 → one `replace` over the
+    * vocabulary. BpeSpec additionally pins every learned (rank, pair,
+    * freq) against an independent driver-side reference.
     *
     * The learned merge table is a TRAINED TOKENIZER — a per-dataset
     * artifact — so it persists via the Layouts protocol and
@@ -1009,19 +1022,63 @@ object TextStats {
     s.read.parquet(path)
   }
 
+  /** The unrolled train/apply CTE chain shared by both BPE oracles: w0 is
+    * the marker-encoded word-frequency table; each round t contributes
+    * b_t (the argmax pair) and w_t (the vocabulary after applying it). */
+  private def bpeOracleCtes: String = {
+    val w0 =
+      """w0 AS MATERIALIZED (
+        |  SELECT word, count(*) AS freq,
+        |         chr(2) || array_to_string(string_split(word, ''), chr(3)||chr(2)) || chr(3) AS enc
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  GROUP BY word)""".stripMargin
+    val rounds = (1 to BpeMergeCount).map { t =>
+      s"""b$t AS MATERIALIZED (
+         |  SELECT $t AS rank, a, b, cnt FROM (
+         |    SELECT p.a AS a, p.b AS b, CAST(sum(freq) AS BIGINT) AS cnt
+         |    FROM (SELECT freq,
+         |                 unnest(list_transform(range(1, len(s)), i -> {'a': s[i], 'b': s[i+1]})) AS p
+         |          FROM (SELECT freq, string_split(trim(enc, chr(2)||chr(3)), chr(3)||chr(2)) AS s
+         |                FROM w${t - 1}))
+         |    GROUP BY 1, 2)
+         |  ORDER BY cnt DESC, a, b LIMIT 1),
+         |w$t AS MATERIALIZED (
+         |  SELECT w.word, w.freq,
+         |         replace(w.enc, chr(2)||b.a||chr(3)||chr(2)||b.b||chr(3),
+         |                        chr(2)||b.a||b.b||chr(3)) AS enc
+         |  FROM w${t - 1} w, b$t b)""".stripMargin
+    }
+    (w0 +: rounds).mkString("WITH ", ",\n", "")
+  }
+
+  private def bpeTrainOracle: String = {
+    val union = (1 to BpeMergeCount).map(t => s"SELECT * FROM b$t").mkString(" UNION ALL ")
+    s"""$bpeOracleCtes
+       |SELECT rank, a AS "left", b AS "right", cnt AS pair_freq
+       |FROM ($union) ORDER BY rank""".stripMargin
+  }
+
+  private def bpeApplyOracle: String =
+    s"""$bpeOracleCtes
+       |SELECT d.doc_id, count(*) AS n_words,
+       |       CAST(sum(len(w.enc) - len(replace(w.enc, chr(2), ''))) AS BIGINT) AS n_pieces
+       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) d
+       |JOIN w$BpeMergeCount w USING (word)
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
   val bpeTrain: GraftQuery = GraftQuery(
     "llm_bpe_train",
     (s, dir) => {
       import s.implicits._
       learnedMerges(s, dir).orderBy($"rank")
     },
-    None
+    Some(bpeTrainOracle)
   )
 
   private def trainMerges(s: SparkSession, dir: String): DataFrame = {
     {
       import s.implicits._
-      val kMerges = 8
+      val kMerges = BpeMergeCount
       var words = Tables.documents(s, dir)
         .select(explode(TF.tokens($"text")).as("word"))
         .groupBy($"word").agg(count(lit(1)).as("freq"))
@@ -1075,9 +1132,13 @@ object TextStats {
     * per-occurrence re-tokenization. The frozen rules ride a 1-row
     * broadcast (collect_list of 8 structs, array_sort by rank).
     *
-    * No oracle (depends on the learned rules); BpeSpec re-applies the
-    * reference scan-and-skip tokenizer per word and compares every
-    * per-doc piece count exactly. */
+    * Oracle: reuses the train oracle's unrolled CTE chain — the trainer's
+    * vocabulary AFTER round K (w_K) IS the vocabulary tokenized under the
+    * first K rules, so per-word piece count = the number of U+0002 markers
+    * left in its encoding; documents join that cache by word exactly as
+    * the Spark plan does. BpeSpec additionally re-applies the reference
+    * scan-and-skip tokenizer per word and compares every per-doc piece
+    * count exactly. */
   val bpeApply: GraftQuery = GraftQuery(
     "llm_bpe_apply",
     (s, dir) => {
@@ -1108,7 +1169,7 @@ object TextStats {
         .agg(count(lit(1)).as("n_words"), sum($"n_pieces").as("n_pieces"))
         .orderBy($"doc_id")
     },
-    None
+    Some(bpeApplyOracle)
   )
 
   /** Corpus-wide top bigrams with document frequency — the boilerplate /

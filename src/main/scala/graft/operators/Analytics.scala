@@ -65,18 +65,34 @@ object Analytics {
             FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")
   )
 
-  /** Sketch percentile — the unbounded-cardinality path (rows-only: the
-    * sketch algorithm differs from DuckDB's). */
+  /** Sketch percentile — the unbounded-cardinality path.
+    *
+    * Oracle via envelope-as-data (the approxDistinct device): the sketch
+    * value itself can never hash-match a foreign engine, so the GRADED
+    * columns are the exact group count and `p50_ok` — the approximate
+    * median lies within the exact [p45, p55] interpolated band, i.e. rank
+    * error ≤ 5% (50× the accuracy parameter's n/1000 guarantee, and both
+    * band ends are computed IN SPARK so no interpolation arithmetic ever
+    * crosses engines). The oracle pins the envelope as literal TRUE — a
+    * sketch regression past the band is a hash failure. The exact band is
+    * the audit harness; production keeps only the sketch side. */
   val approxPercentile: GraftQuery = GraftQuery(
     "agg_approx_percentile",
     (s, dir) => {
       import s.implicits._
       Tables.orders(s, dir)
         .groupBy($"o_orderstatus")
-        .agg(approx_percentile($"o_totalprice", lit(0.5), lit(1000)).as("p50_approx"))
+        .agg(
+          approx_percentile($"o_totalprice", lit(0.5), lit(1000)).as("p50_approx"),
+          expr("percentile_cont(0.45) WITHIN GROUP (ORDER BY o_totalprice)").as("lo"),
+          expr("percentile_cont(0.55) WITHIN GROUP (ORDER BY o_totalprice)").as("hi"),
+          count(lit(1)).as("n"))
+        .select($"o_orderstatus", $"n",
+          ($"p50_approx" >= $"lo" && $"p50_approx" <= $"hi").as("p50_ok"))
         .orderBy($"o_orderstatus")
     },
-    None
+    Some("""SELECT o_orderstatus, count(*) AS n, TRUE AS p50_ok
+            FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")
   )
 
   /** Ordered string aggregation (LISTAGG shape): deterministic via

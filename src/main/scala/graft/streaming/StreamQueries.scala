@@ -248,8 +248,14 @@ object StreamQueries {
     * Graded over a deterministic 3-way arrival split (the
     * stream_contamination convention): per-wave daily sketches → cube
     * merge per (event_type, day) → rollup per event_type, which must
-    * reproduce agg_sketch_merge's answer row-for-row (spec-pinned;
-    * rows-only for the driver — DuckDB has no DataSketches HLL). */
+    * reproduce agg_sketch_merge's answer. Oracle via envelope-as-data
+    * (the approxDistinct device, shared with the batch twin verbatim):
+    * graded columns are exact (n_days, n_users_exact) plus `merge_exact`
+    * — the wave-assembled cube's estimate == the batch one-pass DAILY
+    * cube's (arrival-slicing invariance of union register state, the
+    * claim this operator sells, now hash-graded; one-shot streaming-built
+    * sketches are not comparable — HIP vs composite estimator) — and
+    * `hll_ok` (within 5% of exact). */
   val sketchMerge: GraftQuery = GraftQuery(
     "stream_sketch_merge",
     (s, dir) => {
@@ -260,15 +266,34 @@ object StreamQueries {
           .groupBy($"event_type", to_date($"ts").as("day"))
           .agg(hll_sketch_agg($"user_id").as("sk"))
       }
-      waves.reduce(_.unionAll(_))
+      val merged = waves.reduce(_.unionAll(_))
         .groupBy($"event_type", $"day")
         .agg(hll_union_agg($"sk").as("sk")) // the per-cell cube merge
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n_days"),
-          hll_sketch_estimate(hll_union_agg($"sk")).as("est_users"))
+          hll_sketch_estimate(hll_union_agg($"sk")).as("est_merged"))
+      // The batch twin's one-pass daily cube: arrival slicing must be
+      // invisible in the final register state.
+      val batchDaily = ev
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(hll_sketch_agg($"user_id").as("sk"))
+        .groupBy($"event_type")
+        .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est_batch"))
+      val exact = ev
+        .groupBy($"event_type")
+        .agg(countDistinct($"user_id").as("n_users_exact"))
+      merged.join(broadcast(batchDaily), "event_type")
+        .join(broadcast(exact), "event_type")
+        .select($"event_type", $"n_days", $"n_users_exact",
+          ($"est_merged" === $"est_batch").as("merge_exact"),
+          (abs($"est_merged" - $"n_users_exact") <=
+            $"n_users_exact" * 0.05).as("hll_ok"))
         .orderBy($"event_type")
     },
-    None
+    Some("""SELECT event_type, count(DISTINCT CAST(ts AS DATE)) AS n_days,
+                   count(DISTINCT user_id) AS n_users_exact,
+                   TRUE AS merge_exact, TRUE AS hll_ok
+            FROM events GROUP BY event_type ORDER BY event_type""")
   )
 
   def all: Seq[GraftQuery] =

@@ -24,7 +24,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "sql_q16",            // same 1-row count broadcast via the derived partsupp
     "sql_q20",            // same 1-row count broadcast via the derived partsupp
     "sql_q9",             // same 1-row count broadcast via the derived partsupp
-    "llm_dedup_embed",    // exact all-pairs verifier, documented bounded
+    "llm_dedup_embed",    // bounded audit: 1-row modulus broadcast + constant-size pair block
     "llm_dedup_incremental", // 1-row watermark broadcast onto docs + corpus scans
     "llm_dedup_cluster_incremental", // same watermark broadcasts via incrementalPipeline
     "stream_dedup_incremental", // 1-row watermark/wave-bound broadcasts

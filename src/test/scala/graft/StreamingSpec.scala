@@ -285,7 +285,14 @@ class StreamingSpec extends AnyFunSuite {
       .agg(countDistinct($"day").as("n_days"),
         hll_sketch_estimate(hll_union_agg($"sk")).as("est_users"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
-    val batchTruth = operators.Aggregates.sketchMerge.run(spark, TestSpark.Sf)
+    // Raw-estimate batch truth (the registry form now grades envelope
+    // booleans instead of exposing the estimate — rebuild it directly).
+    val batchTruth = ev
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(hll_sketch_agg($"user_id").as("sk"))
+      .groupBy($"event_type")
+      .agg(countDistinct($"day").as("n_days"),
+        hll_sketch_estimate(hll_union_agg($"sk")).as("est_users"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(served === batchTruth,
       "served sketch cube must equal the one-pass batch cube exactly")
