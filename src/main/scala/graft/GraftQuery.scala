@@ -42,4 +42,21 @@ object GraftQuery {
     val ck = df.localCheckpoint()
     ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
   }
+
+  /** Overflow guard for exact BIGINT sufficient-statistic folds (Σc²,
+    * Σc³, u², …): non-ANSI Spark WRAPS a silently overflowing BIGINT sum
+    * while DuckDB errors, so past the documented ~100×-sf0.1 headroom the
+    * Spark side alone would emit silently wrong statistics. `cond` states
+    * the no-overflow precondition from the SAME aggregate row (e.g.
+    * n · max|c|ᵏ < 9e18, computed in DOUBLE so the check itself can't
+    * wrap); the guarded output column evaluates unchanged while the
+    * precondition holds and RAISES instead of wrapping when it doesn't.
+    * Wrapping the value (rather than a dropped side column) keeps the
+    * assertion un-prunable by the optimizer. */
+  def guarded(value: org.apache.spark.sql.Column,
+              cond: org.apache.spark.sql.Column,
+              msg: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{assert_true, lit, when}
+    when(assert_true(cond, lit(msg)).isNull, value)
+  }
 }

@@ -529,7 +529,10 @@ object Analytics {
     * over identical doubles in both engines (no double SUM anywhere —
     * trap note a only bites accumulation, not folds of identical
     * scalars). nQ peaks ~2e16 at sf0.1 — inside BIGINT; at 100× shift
-    * the Q accumulator to DECIMAL(38,0) (the agg_gini note).
+    * the Q accumulator to DECIMAL(38,0) (the agg_gini note). The
+    * headroom is ENFORCED, not just documented: the emitted t rides
+    * GraftQuery.guarded on (n₁+n₂)²·max|c|² < 9e18, so past the bound
+    * the query raises instead of silently wrapping.
     *
     * Scale shape: ONE map-side-combined hash aggregate over the fact
     * scan produces six BIGINTs; everything after is a 1-row projection.
@@ -549,7 +552,8 @@ object Analytics {
           sum(when($"event_type" === "view", $"cv" * $"cv").otherwise(0L)).as("q1"),
           sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("n2"),
           sum(when($"event_type" === "purchase", $"cv").otherwise(0L)).as("s2"),
-          sum(when($"event_type" === "purchase", $"cv" * $"cv").otherwise(0L)).as("q2"))
+          sum(when($"event_type" === "purchase", $"cv" * $"cv").otherwise(0L)).as("q2"),
+          max(abs($"cv")).as("mc"))
         .withColumn("md_num", $"s1" * $"n2" - $"s2" * $"n1")
         .withColumn("v1_num", $"n1" * $"q1" - $"s1" * $"s1")
         .withColumn("v2_num", $"n2" * $"q2" - $"s2" * $"s2")
@@ -557,9 +561,17 @@ object Analytics {
           / ($"n1" * $"n1" * ($"n1" - 1L)).cast("double"))
         .withColumn("vb", $"v2_num".cast("double")
           / ($"n2" * $"n2" * ($"n2" - 1L)).cast("double"))
+      // Largest exact intermediate is n·Q ≤ (n₁+n₂)²·max|c|²: guard it
+      // (in DOUBLE, so the check itself can't wrap) before emitting.
+      val safe = pow(($"n1" + $"n2").cast("double"), 2.0) *
+        pow($"mc".cast("double"), 2.0) < 9.0e18
       a.select($"n1", $"n2", $"md_num", $"v1_num", $"v2_num",
-        ($"md_num".cast("double") / ($"n1" * $"n2").cast("double")
-          / sqrt($"va" + $"vb")).as("t"),
+        GraftQuery.guarded(
+          $"md_num".cast("double") / ($"n1" * $"n2").cast("double")
+            / sqrt($"va" + $"vb"),
+          safe,
+          "agg_ttest_welch: BIGINT sufficient statistics near overflow — " +
+            "shift the Q accumulator to DECIMAL(38,0)").as("t"),
         (($"va" + $"vb") * ($"va" + $"vb")
           / ($"va" * $"va" / ($"n1" - 1L).cast("double")
             + $"vb" * $"vb" / ($"n2" - 1L).cast("double"))).as("df"))
@@ -868,7 +880,10 @@ object Analytics {
     count(lit(1)).as("n"), sum(col("cv")).as("s"),
     sum(col("cv2")).as("q"), sum(col("cv2") * col("cv")).as("c3"),
     sum(col("h") * col("h") * 10L + expr("r div 1000000000")).as("p4_hi"),
-    sum(col("r") % 1000000000L).as("p4_lo"))
+    sum(col("r") % 1000000000L).as("p4_lo"),
+    // max|c| rides along so momentsFold can ENFORCE the documented
+    // headroom (merges under max() in the streaming twin).
+    max(abs(col("cv"))).as("mc"))
 
   /** The skew/kurtosis fold over a (event_type, n, s, q, c3, p4_hi,
     * p4_lo) frame — shared by agg_moments and stream_moments. The p4
@@ -885,8 +900,17 @@ object Analytics {
     val m3 = cn - lit(3.0) * mu * qn + lit(2.0) * mu * mu * mu
     val m4 = pn - lit(4.0) * mu * cn + lit(6.0) * mu * mu * qn -
       lit(3.0) * mu * mu * mu * mu
+    // Largest exact accumulators: Σc³ ≤ n·max|c|³ and Σ of the split-p4
+    // hi halves ≤ n·max|c|⁴/1e9 — enforce both in DOUBLE (GraftQuery
+    // .guarded) so past the documented headroom the query raises instead
+    // of silently wrapping.
+    val mcd = $"mc".cast("double")
+    val safe = (nd * pow(mcd, 3.0) < 9.0e18) &&
+      (nd * pow(mcd, 4.0) / 1.0e9 < 9.0e18)
     raw.select($"event_type", $"n", $"s", $"q", $"c3", $"p4_hi", $"p4_lo",
-        (m3 / (m2 * sqrt(m2))).as("skew"),
+        GraftQuery.guarded(m3 / (m2 * sqrt(m2)), safe,
+          "agg_moments: BIGINT moment accumulators near overflow — " +
+            "shift Q/c3/p4 to DECIMAL(38,0)").as("skew"),
         (m4 / (m2 * m2) - lit(3.0)).as("kurt"))
       .orderBy($"event_type")
   }
@@ -1015,7 +1039,7 @@ object Analytics {
         sum(when($"event_type" === t, 1L).otherwise(0L)).as(s"n$i"),
         sum(when($"event_type" === t, $"cv").otherwise(0L)).as(s"s$i"),
         sum(when($"event_type" === t, $"cv" * $"cv").otherwise(0L)).as(s"q$i"))
-      }
+      } :+ max(abs($"cv")).as("mc") // overflow-guard bound (see `guarded`)
       val raw = Tables.events(s, dir).select($"event_type", cv.as("cv"))
         .agg(aggs.head, aggs.tail: _*)
       def d(c: String) = col(c).cast("double")
@@ -1027,10 +1051,17 @@ object Analytics {
         .reduce(_ + _)
       val between = idx.map(i => d(s"s$i") * d(s"s$i") / d(s"n$i")).reduce(_ + _) -
         sTot.cast("double") * sTot.cast("double") / nTot.cast("double")
+      // Largest exact accumulator is a per-group Q ≤ n·max|c|²: enforce
+      // the documented headroom (raise, never wrap — see GraftQuery.guarded).
+      val safe = nTot.cast("double") * pow($"mc".cast("double"), 2.0) < 9.0e18
       raw.select(nTot.as("n_total"), lit(types.length).as("k"),
           between.as("ssb"), within.as("ssw"),
-          ((between / lit((types.length - 1).toDouble))
-            / (within / (nTot.cast("double") - lit(types.length.toDouble)))).as("f"))
+          GraftQuery.guarded(
+            (between / lit((types.length - 1).toDouble))
+              / (within / (nTot.cast("double") - lit(types.length.toDouble))),
+            safe,
+            "agg_anova: BIGINT Q accumulators near overflow — " +
+              "shift to DECIMAL(38,0)").as("f"))
     },
     Some("""WITH a AS (
               SELECT

@@ -1198,9 +1198,14 @@ object Graph {
     val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val tbl = s"graft_hits_b${key}_$sfx"
     val path = s"/tmp/graft_hits_b$key/$sfx"
-    graft.llm.Layouts.table(s, tbl, path,
-        graft.llm.Layouts.fingerprint(
-          Tables.lineitem(s, dir), "l_orderkey", "l_partkey")) {
+    // The edge set is a function of BOTH orders (o_custkey) and lineitem
+    // (l_partkey): fingerprint both sources, or a regenerated orders
+    // fixture with unchanged lineitem would re-register a stale layout.
+    val fp = graft.llm.Layouts.fingerprint(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey") + "|" +
+      graft.llm.Layouts.fingerprint(
+        Tables.orders(s, dir), "o_orderkey", "o_custkey")
+    graft.llm.Layouts.table(s, tbl, path, fp) {
       s"""CREATE TABLE $tbl (`c` BIGINT, `p` BIGINT)
           USING PARQUET
           CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS

@@ -1187,9 +1187,18 @@ object TimeSeries {
       .groupBy($"event_type", to_date($"ts").as("d"))
       .agg(expr("sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))").as("v"))
     val stats = daily.groupBy($"event_type")
-      .agg(count(lit(1)).as("n"), sum($"v").as("sv"))
+      .agg(count(lit(1)).as("n"), sum($"v").as("sv"),
+        max(abs($"v")).as("mv")) // overflow-guard bound
+    // |u| ≤ 2·n·max|v| so Σu² ≤ 4n³·max|v|²: enforce the documented
+    // BIGINT headroom on the bounded day domain (GraftQuery.guarded —
+    // raise, never wrap; the check is one comparison per DAY row).
+    val safe = lit(4.0) * pow($"n".cast("double"), 3.0) *
+      pow($"mv".cast("double"), 2.0) < 9.0e18
     val u = daily.join(broadcast(stats), "event_type")
-      .select($"event_type", $"d", ($"n" * $"v" - $"sv").as("u"))
+      .select($"event_type", $"d",
+        graft.GraftQuery.guarded($"n" * $"v" - $"sv", safe,
+          "ts_acf: BIGINT u²/den accumulators near overflow — " +
+            "shift to DECIMAL(38,0)").as("u"))
       .localCheckpoint() // lag join + denominator both read it
     val den = u.groupBy($"event_type").agg(sum($"u" * $"u").as("acf_den"))
     val lags = s.range(1, 8).select($"id".cast("int").as("lag"))
@@ -1420,11 +1429,16 @@ object TimeSeries {
 
   /** Local peaks in the daily revenue series per event type — the
     * alert-shortlist primitive ("which days spiked?"): a peak is a day
-    * strictly above BOTH calendar neighbors, which is robust to the
-    * level (unlike a global threshold) and feeds ts_anomaly's z-score
-    * with candidates. Exact: BIGINT cent comparisons against lag/lead
-    * over the bounded type×day domain; series endpoints (no neighbor)
-    * are not peaks, matching the oracle's null-comparison semantics. */
+    * strictly above BOTH neighboring OBSERVATIONS (the nearest present
+    * days, a deliberate choice: across a missing calendar day the
+    * comparison spans the gap, which is the usual peak semantics on an
+    * irregularly-sampled series — ts_streaks, whose "days in a row"
+    * doc requires calendar adjacency, breaks runs at gaps instead).
+    * Robust to the level (unlike a global threshold) and feeds
+    * ts_anomaly's z-score with candidates. Exact: BIGINT cent
+    * comparisons against lag/lead over the bounded type×day domain;
+    * series endpoints (no neighbor) are not peaks, matching the
+    * oracle's null-comparison semantics. */
   val peaks: GraftQuery = GraftQuery(
     "ts_peaks",
     (s, dir) => {
@@ -1458,9 +1472,12 @@ object TimeSeries {
     * the momentum readout ("how many days in a row has this grown, and
     * what was the longest streak?"): gaps-and-islands over the daily
     * series, the same device ts_sessionize applies to user activity.
-    * Exact: run boundaries are BIGINT comparisons; the island id is a
-    * running sum of break flags; earliest-start tiebreak makes the
-    * reported streak unique. */
+    * "Days in a row" means consecutive CALENDAR days: a run breaks on a
+    * value drop or a missing day (unlike ts_peaks, which deliberately
+    * compares nearest observations across gaps). Exact: run boundaries
+    * are BIGINT/date comparisons; the island id is a running sum of
+    * break flags; earliest-start tiebreak makes the reported streak
+    * unique. */
   val streaks: GraftQuery = GraftQuery(
     "ts_streaks",
     (s, dir) => {
@@ -1468,8 +1485,13 @@ object TimeSeries {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy($"event_type").orderBy($"d")
       val runs = changepointDaily(s, dir)
+        // A run breaks on a value drop OR a calendar gap: "days in a row"
+        // means consecutive calendar days, so a missing day must not
+        // splice two increasing runs into one (the ts_acf calendar-lag
+        // convention applied to islands).
         .withColumn("up",
-          when(lag($"v", 1).over(w).isNull || $"v" <= lag($"v", 1).over(w), 1L)
+          when(lag($"v", 1).over(w).isNull || $"v" <= lag($"v", 1).over(w)
+              || datediff($"d", lag($"d", 1).over(w)) =!= 1, 1L)
             .otherwise(0L))
         .withColumn("run_id",
           sum($"up").over(w.rowsBetween(Window.unboundedPreceding, 0)))
@@ -1493,6 +1515,9 @@ object TimeSeries {
               SELECT event_type, d, v,
                      CASE WHEN lag(v) OVER (PARTITION BY event_type ORDER BY d) IS NULL
                                OR v <= lag(v) OVER (PARTITION BY event_type ORDER BY d)
+                               OR date_diff('day',
+                                    lag(d) OVER (PARTITION BY event_type ORDER BY d),
+                                    d) <> 1
                           THEN 1 ELSE 0 END AS up
               FROM daily),
             r AS (

@@ -108,12 +108,14 @@ object DriftStream {
             sum(when($"event_type" === "view", $"cv" * $"cv").otherwise(0L)).as("q1"),
             sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("n2"),
             sum(when($"event_type" === "purchase", $"cv").otherwise(0L)).as("s2"),
-            sum(when($"event_type" === "purchase", $"cv" * $"cv").otherwise(0L)).as("q2"))
+            sum(when($"event_type" === "purchase", $"cv" * $"cv").otherwise(0L)).as("q2"),
+            max(abs($"cv")).as("mc")) // overflow-guard bound, merges under max
           .localCheckpoint()
       }
       val merged = partials.reduce(_.unionAll(_))
         .agg(sum($"n1").as("n1"), sum($"s1").as("s1"), sum($"q1").as("q1"),
-          sum($"n2").as("n2"), sum($"s2").as("s2"), sum($"q2").as("q2"))
+          sum($"n2").as("n2"), sum($"s2").as("s2"), sum($"q2").as("q2"),
+          max($"mc").as("mc"))
       merged
         .withColumn("md_num", $"s1" * $"n2" - $"s2" * $"n1")
         .withColumn("v1_num", $"n1" * $"q1" - $"s1" * $"s1")
@@ -123,8 +125,14 @@ object DriftStream {
         .withColumn("vb", $"v2_num".cast("double")
           / ($"n2" * $"n2" * ($"n2" - 1L)).cast("double"))
         .select($"n1", $"n2", $"md_num", $"v1_num", $"v2_num",
-          ($"md_num".cast("double") / ($"n1" * $"n2").cast("double")
-            / sqrt($"va" + $"vb")).as("t"),
+          // Same headroom enforcement as the batch twin (nQ <= N^2 max|c|^2).
+          graft.GraftQuery.guarded(
+            $"md_num".cast("double") / ($"n1" * $"n2").cast("double")
+              / sqrt($"va" + $"vb"),
+            pow(($"n1" + $"n2").cast("double"), 2.0) *
+              pow($"mc".cast("double"), 2.0) < 9.0e18,
+            "stream_ttest: BIGINT sufficient statistics near overflow — " +
+              "shift the Q accumulator to DECIMAL(38,0)").as("t"),
           (($"va" + $"vb") * ($"va" + $"vb")
             / ($"va" * $"va" / ($"n1" - 1L).cast("double")
               + $"vb" * $"vb" / ($"n2" - 1L).cast("double"))).as("df"))
@@ -194,7 +202,8 @@ object DriftStream {
       val merged = partials.reduce(_.unionAll(_))
         .groupBy($"event_type")
         .agg(sum($"n").as("n"), sum($"s").as("s"), sum($"q").as("q"),
-          sum($"c3").as("c3"), sum($"p4_hi").as("p4_hi"), sum($"p4_lo").as("p4_lo"))
+          sum($"c3").as("c3"), sum($"p4_hi").as("p4_hi"), sum($"p4_lo").as("p4_lo"),
+          max($"mc").as("mc")) // the overflow-guard bound merges under max
       graft.operators.Analytics.momentsFold(merged)
     },
     // Batching must not move the shape statistics: the oracle is the

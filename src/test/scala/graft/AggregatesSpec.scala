@@ -402,4 +402,26 @@ class AggregatesSpec extends AnyFunSuite {
     // every row repeats the same global statistic
     assert(out.map(_.getAs[Long]("chi2_e12")).distinct.length === 1)
   }
+
+  test("overflow guard: passes values through under the bound, raises past it") {
+    // The GraftQuery.guarded contract the Welch/ANOVA/moments/acf
+    // accumulators rely on: while the no-overflow precondition holds the
+    // guarded column IS the value (bit-for-bit — the oracles above prove
+    // that end-to-end); when it fails the query must RAISE, because a
+    // wrapped BIGINT sum would otherwise emit a silently wrong statistic.
+    import org.apache.spark.sql.functions.{lit, col}
+    val ok = spark.range(1)
+      .select(GraftQuery.guarded(lit(42.5), col("id") < 1L, "boom").as("v"))
+      .collect()
+    assert(ok.head.getDouble(0) === 42.5)
+    val e = intercept[Exception] {
+      spark.range(1)
+        .select(GraftQuery.guarded(lit(42.5), col("id") >= 1L, "boom").as("v"))
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("boom")),
+      s"guard must surface its message, got: ${messages(e).mkString(" | ")}")
+  }
 }
