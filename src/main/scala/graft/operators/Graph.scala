@@ -67,7 +67,7 @@ object Graph {
     *
     * The undirected oriented form triangles/jaccard/cc consume is the
     * `src < dst` half of this table — one layout serves the family. */
-  private def adjacency(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def adjacency(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val tbl = s"graft_graph_adj_$sfx"
@@ -1193,7 +1193,7 @@ object Graph {
     * adjacency-layout lesson applied to an alternating fixpoint; the
     * second copy costs |E| rows of storage, which is the standard
     * trade on any 100 TB iterative bipartite workload). */
-  private def bipartite(s: SparkSession, dir: String, key: String): DataFrame = {
+  private[graft] def bipartite(s: SparkSession, dir: String, key: String): DataFrame = {
     import s.implicits._
     val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val tbl = s"graft_hits_b${key}_$sfx"
