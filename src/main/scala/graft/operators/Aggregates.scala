@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.GraftQuery
@@ -253,6 +253,153 @@ object Aggregates {
             FROM events GROUP BY event_type ORDER BY event_type""")
   )
 
+  /** Integer log-bin bucket id for the mergeable quantile sketch
+    * (DDSketch's γ-bin idea, integerized): for cents cv > 0 the bucket
+    * keeps the top 1+4 significant bits — id = 32·⌊log2 cv⌋ +
+    * (cv >> max(⌊log2 cv⌋−4, 0)) — computed with PURE INTEGER ops
+    * (length of the binary string, shifts), so bucket assignment is
+    * bit-identical across engines (no log() boundary hazard, trap note
+    * a's float cousin). Monotone in cv; ≤ 16 buckets per octave ⇒
+    * relative bucket width ≤ 1/16 (~3% midpoint error); values < 16
+    * are their own bucket (exact). Non-positive cents land in the -1
+    * bucket decoded as [0, 1). */
+  private[graft] val QsketchBidSql: String =
+    """CASE WHEN cv <= 0 THEN CAST(-1 AS BIGINT)
+       ELSE 32 * (length(bin(cv)) - 1)
+            + shiftright(cv, CAST(greatest(length(bin(cv)) - 5, 0) AS INT)) END"""
+
+  /** (event_type, day, cv, bid) rows both quantile-sketch forms bin. */
+  private[graft] def qsketchBinned(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"event_type", to_date($"ts").as("day"), $"event_id",
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cv"))
+      .withColumn("bid", expr(QsketchBidSql))
+  }
+
+  /** Serve global quantiles from a merged (event_type, bid, c) sketch:
+    * cumulative counts over the BOUNDED bucket domain pick the smallest
+    * bucket covering each ceil-rank, the bucket decodes to [lo, hi) by
+    * integer shifts, and the estimate is the midpoint. The band audit
+    * (`band_ok`) recomputes the exact discrete percentile from the
+    * cents-domain counts (the agg_ks_test cumulative pattern — domain-
+    * bounded, never a collect) and checks it falls inside each reported
+    * bucket: TRUE by construction when decode/rank arithmetic is right,
+    * so the oracle pins it as data (envelope-as-data, see
+    * approxDistinct). */
+  private[graft] def qsketchServe(s: SparkSession, sketch: DataFrame,
+      binned: DataFrame): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"event_type").orderBy($"bid")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = sketch.withColumn("cum", sum($"c").over(w))
+    val tot = sketch.groupBy($"event_type").agg(sum($"c").as("n"))
+    val picks = cum.join(broadcast(tot), "event_type")
+      .groupBy($"event_type")
+      .agg(max($"n").as("n"), count(lit(1)).as("n_buckets"),
+        min(when($"cum" >= expr("(n + 1) div 2"), $"bid")).as("b50"),
+        min(when($"cum" >= expr("(9 * n + 9) div 10"), $"bid")).as("b90"),
+        min(when($"cum" >= expr("(99 * n + 99) div 100"), $"bid")).as("b99"))
+    val decoded = Seq("50", "90", "99").foldLeft(picks) { (df, p) =>
+      df.withColumn(s"lo$p", expr(
+          s"""CASE WHEN b$p < 0 THEN CAST(0 AS BIGINT)
+              ELSE shiftleft(b$p % 32, CAST(greatest(b$p div 32 - 4, 0) AS INT)) END"""))
+        .withColumn(s"hi$p", expr(
+          s"""CASE WHEN b$p < 0 THEN CAST(1 AS BIGINT)
+              ELSE shiftleft(b$p % 32 + 1, CAST(greatest(b$p div 32 - 4, 0) AS INT)) END"""))
+        .withColumn(s"p${p}_est", expr(s"(lo$p + hi$p) div 2"))
+    }
+    // Exact discrete percentiles off the bounded cents domain (audit).
+    val vc = binned.groupBy($"event_type", $"cv").agg(count(lit(1)).as("vc"))
+    val wv = Window.partitionBy($"event_type").orderBy($"cv")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val exacts = vc.withColumn("vcum", sum($"vc").over(wv))
+      .join(broadcast(tot), "event_type")
+      .groupBy($"event_type")
+      .agg(min(when($"vcum" >= expr("(n + 1) div 2"), $"cv")).as("v50"),
+        min(when($"vcum" >= expr("(9 * n + 9) div 10"), $"cv")).as("v90"),
+        min(when($"vcum" >= expr("(99 * n + 99) div 100"), $"cv")).as("v99"))
+    decoded.join(broadcast(exacts), "event_type")
+      .select($"event_type", $"n", $"n_buckets",
+        $"p50_est", $"p90_est", $"p99_est",
+        ($"v50" >= $"lo50" && $"v50" < $"hi50" &&
+         $"v90" >= $"lo90" && $"v90" < $"hi90" &&
+         $"v99" >= $"lo99" && $"v99" < $"hi99").as("band_ok"))
+      .orderBy($"event_type")
+  }
+
+  /** The shared DuckDB oracle for both quantile-sketch forms: the same
+    * integer bin/merge/pick/decode arithmetic (to_base = Spark's bin),
+    * TRUE for the band audit. Arrival slicing cannot appear in the
+    * output because the merge is exact bucket-count addition. */
+  private[graft] val QsketchOracle: String =
+    """WITH b AS (
+         SELECT event_type,
+                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cv
+         FROM events),
+       bin AS (
+         SELECT event_type, cv,
+                CASE WHEN cv <= 0 THEN CAST(-1 AS BIGINT)
+                     ELSE 32 * (length(to_base(cv, 2)) - 1)
+                          + (cv >> greatest(length(to_base(cv, 2)) - 5, 0)) END AS bid
+         FROM b),
+       sk AS (SELECT event_type, bid, count(*) AS c FROM bin GROUP BY 1, 2),
+       tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM sk GROUP BY 1),
+       cum AS (SELECT event_type, bid,
+                      sum(c) OVER (PARTITION BY event_type ORDER BY bid
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM sk),
+       picks AS (
+         SELECT cum.event_type, max(n) AS n, count(*) AS n_buckets,
+                min(CASE WHEN cum >= (n + 1) // 2 THEN bid END) AS b50,
+                min(CASE WHEN cum >= (9 * n + 9) // 10 THEN bid END) AS b90,
+                min(CASE WHEN cum >= (99 * n + 99) // 100 THEN bid END) AS b99
+         FROM cum JOIN tot USING (event_type) GROUP BY 1)
+       SELECT event_type, n, n_buckets,
+              CAST((CASE WHEN b50 < 0 THEN 0 ELSE (b50 % 32) << greatest(b50 // 32 - 4, 0) END
+                  + CASE WHEN b50 < 0 THEN 1 ELSE (b50 % 32 + 1) << greatest(b50 // 32 - 4, 0) END) // 2
+                AS BIGINT) AS p50_est,
+              CAST((CASE WHEN b90 < 0 THEN 0 ELSE (b90 % 32) << greatest(b90 // 32 - 4, 0) END
+                  + CASE WHEN b90 < 0 THEN 1 ELSE (b90 % 32 + 1) << greatest(b90 // 32 - 4, 0) END) // 2
+                AS BIGINT) AS p90_est,
+              CAST((CASE WHEN b99 < 0 THEN 0 ELSE (b99 % 32) << greatest(b99 // 32 - 4, 0) END
+                  + CASE WHEN b99 < 0 THEN 1 ELSE (b99 % 32 + 1) << greatest(b99 // 32 - 4, 0) END) // 2
+                AS BIGINT) AS p99_est,
+              TRUE AS band_ok
+       FROM picks ORDER BY event_type"""
+
+  /** Mergeable QUANTILE sketch cube — the percentile analog of
+    * `agg_sketch_merge`'s HLL cube, and the piece the sketch family was
+    * missing: per-day integer log-bin histograms (bounded at ~32·octaves
+    * counters per cell) re-aggregate to global p50/p90/p99 by plain
+    * bucket-count ADDITION — exact, associative, commutative, so ANY
+    * slicing/hierarchy of the cube serves identical quantiles without
+    * ever re-scanning raw data (DDSketch's production property). Unlike
+    * the HLL estimate, the ENTIRE output hash-grades: bin assignment,
+    * merge, rank pick, and decode are all deterministic integer
+    * arithmetic both engines reproduce bit-for-bit.
+    *
+    * Scale shape: one map-side-combined hash aggregate onto the bounded
+    * (type, day, bucket) cube; serving re-aggregates cube-sized input
+    * and windows over ≤ 32·octaves rows per type. The band audit runs on
+    * the bounded cents domain (the agg_ks_test pattern); production
+    * drops the audit columns and keeps the sketch. */
+  val qsketchMerge: GraftQuery = GraftQuery(
+    "agg_qsketch_merge",
+    (s, dir) => {
+      import s.implicits._
+      val binned = qsketchBinned(s, dir)
+      val sketch = binned
+        .groupBy($"event_type", $"day", $"bid")
+        .agg(count(lit(1)).as("c")) // the persisted per-day cube cells
+        .groupBy($"event_type", $"bid")
+        .agg(sum($"c").as("c")) // exact counter merge
+      qsketchServe(s, sketch, binned)
+    },
+    Some(QsketchOracle)
+  )
+
   /** Count-min dimensions: D independent hash rows × W buckets = the
     * ENTIRE sketch is D·W counters — fixed-size state no matter how many
     * events stream through, the same bounded-state property the HLL cube
@@ -476,6 +623,6 @@ object Aggregates {
 
   def all: Seq[GraftQuery] = Seq(
     q1Agg, distinctCount, approxDistinct, rollupAgg, cubeAgg,
-    groupingSets, having, typedCustom, sketchMerge, heavyHitters,
-    heavyHittersIncremental, aggMode, histogram)
+    groupingSets, having, typedCustom, sketchMerge, qsketchMerge,
+    heavyHitters, heavyHittersIncremental, aggMode, histogram)
 }

@@ -296,7 +296,38 @@ object StreamQueries {
             FROM events GROUP BY event_type ORDER BY event_type""")
   )
 
+  /** Streaming twin of `agg_qsketch_merge` — the quantile cube maintained
+    * incrementally: each micro-batch appends its own per-(event_type,
+    * day, bucket) integer log-bin COUNTS, and the serve step merges them
+    * by plain addition. Unlike the HLL twin there is no estimator
+    * subtlety at all: counters are exact integers, so the wave-assembled
+    * cube is BIT-EQUAL to the one-pass batch cube under any arrival
+    * slicing, and the full output (quantile estimates included) grades
+    * against the batch oracle verbatim. Graded over the deterministic
+    * 3-way event_id split (the stream_contamination convention). */
+  val qsketchMerge: GraftQuery = GraftQuery(
+    "stream_qsketch_merge",
+    (s, dir) => {
+      import s.implicits._
+      val binned = graft.operators.Aggregates.qsketchBinned(s, dir)
+      val waves = (0 until 3).map { b =>
+        binned.filter(pmod($"event_id", lit(3)) === b)
+          .groupBy($"event_type", $"day", $"bid")
+          .agg(count(lit(1)).as("c"))
+      }
+      val sketch = waves.reduce(_.unionAll(_))
+        .groupBy($"event_type", $"day", $"bid")
+        .agg(sum($"c").as("c")) // per-cell wave merge
+        .groupBy($"event_type", $"bid")
+        .agg(sum($"c").as("c")) // cube rollup
+      graft.operators.Aggregates.qsketchServe(s, sketch, binned)
+    },
+    // Exact-integer merge: batching cannot move ANY output column — the
+    // oracle is the batch quantile cube's, verbatim.
+    graft.operators.Aggregates.qsketchMerge.oracle
+  )
+
   def all: Seq[GraftQuery] =
     Seq(tumbling, sliding, session, dedup, watermarkLate, intervalJoin,
-        topkWindow, sketchMerge)
+        topkWindow, sketchMerge, qsketchMerge)
 }

@@ -403,6 +403,45 @@ class AggregatesSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("chi2_e12")).distinct.length === 1)
   }
 
+  test("quantile sketch cube: bounded state, accurate within bucket width, slicing-invariant") {
+    val batch = operators.Aggregates.qsketchMerge.run(spark, TestSpark.Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    assert(batch.nonEmpty)
+    // Exact DISCRETE percentiles at the sketch's own ceil-rank rule —
+    // the guarantee the sketch sells is |midpoint − disc value| ≤ bucket
+    // width (interpolated percentile_cont is NOT the reference: at
+    // fixture n≈190 a sparse p99 tail puts interpolation a whole tail-gap
+    // away from ANY rank-based answer).
+    val exact = sources.Tables.events(spark, TestSpark.Sf)
+      .select($"event_type",
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cv"))
+      .collect().groupBy(_.getString(0)).map { case (et, rows) =>
+        val vs = rows.map(_.getLong(1)).sorted
+        def disc(num: Int, den: Int) = vs((num * vs.length + den - 1) / den - 1)
+        et -> (disc(1, 2), disc(9, 10), disc(99, 100))
+      }
+    batch.foreach { case (et, n, nBuckets, p50, p90, p99, bandOk) =>
+      assert(bandOk, s"$et: exact disc percentile escaped its reported bucket")
+      assert(n > 0)
+      // State boundedness: ≤ 32 ids per octave × 64 possible octaves + zero.
+      assert(nBuckets <= 32L * 64 + 1, s"$et: $nBuckets buckets")
+      // Midpoint within one bucket width (≤ lo/16, values ≥ 16) of the
+      // exact disc value at the same rank.
+      Seq(p50 -> exact(et)._1, p90 -> exact(et)._2, p99 -> exact(et)._3)
+        .foreach { case (est, ex) =>
+          assert(math.abs(est - ex) <= ex / 16.0 + 1.0,
+            s"$et: sketch $est vs exact disc $ex")
+        }
+    }
+    // Arrival-slicing invariance: exact integer counters make the wave-
+    // assembled cube's FULL output bit-equal to the batch cube's.
+    val stream = streaming.StreamQueries.qsketchMerge.run(spark, TestSpark.Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    assert(stream.sameElements(batch))
+  }
+
   test("overflow guard: passes values through under the bound, raises past it") {
     // The GraftQuery.guarded contract the Welch/ANOVA/moments/acf
     // accumulators rely on: while the no-overflow precondition holds the
