@@ -701,37 +701,73 @@ object Dedup {
     Some(jaccardOracle)
   )
 
+  /** Planted-twin doc_id offset for llm_dedup_simhash (its own range so
+    * the constructed fixtures can never collide with SnippetIdOffset /
+    * SemTwinOffset / LshTwinOffset ids). */
+  private[graft] val SimhashTwinOffset = 40000000L
+
+  /** The llm_dedup_simhash dataflow over the corpus, optionally unioned
+    * with planted EXACT-DUPLICATE twins (every 20th doc re-keyed by
+    * SimhashTwinOffset, text unchanged). Identical text ⇒ identical
+    * xxhash64 token hashes ⇒ identical 64-bit fingerprint ⇒ the twin
+    * pair shares every chunk and verifies at Hamming exactly 0 — a
+    * deterministic function of the data under the engine-private hash.
+    * DedupSpec runs it twin-free for the background-pair properties. */
+  private[graft] def simhashPipeline(s: SparkSession, dir: String,
+      plantTwins: Boolean): DataFrame = {
+    import s.implicits._
+    val raw = Tables.documents(s, dir).select($"doc_id", $"text")
+    val twins = raw.filter($"doc_id" % 20 === 7)
+      .select(($"doc_id" + SimhashTwinOffset).as("doc_id"), $"text")
+    val docs = if (plantTwins) raw.unionAll(twins) else raw
+    // Row-level native SimHash (one pass per doc, zero shuffle) — the
+    // explode-×64-bits dataflow form this replaces moved tokens×64 rows
+    // through two shuffles; DedupSpec pins the fingerprint values.
+    val hashes = docs
+      .select($"doc_id",
+        graft.functions.ArrayFunctions.simhash64(s, TF.tokens($"text"))
+          .as("simhash"))
+    val chunks = hashes.select($"doc_id", $"simhash",
+        explode(sequence(lit(0), lit(3))).as("j"))
+      .select($"doc_id", $"simhash", $"j",
+        expr("shiftright(simhash, CAST(j AS INT) * 16)").bitwiseAND(lit(0xFFFFL)).as("chunk"))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        $"a.j" === $"b.j" && $"a.chunk" === $"b.chunk" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+        bit_count($"a.simhash".bitwiseXOR($"b.simhash")).as("hamming"))
+      .distinct()
+      .filter($"hamming" <= 3)
+      .orderBy($"id_a", $"id_b")
+  }
+
   /** SimHash near-dup: 64-bit majority-vote fingerprint over token hashes,
     * candidates via 4×16-bit chunk equality (any pair within Hamming
     * distance 3 shares at least one intact chunk — pigeonhole), verified by
-    * bit_count(xor). No oracle: the fingerprint depends on Spark's
-    * xxhash64, which DuckDB cannot reproduce; DedupSpec property-tests it. */
+    * bit_count(xor).
+    *
+    * Oracle via the planted-twin device (the llm_dedup_semantic / ANN
+    * construction): the fingerprint depends on Spark's xxhash64, which
+    * DuckDB cannot reproduce, so background Hamming values can never
+    * hash-match — but a planted exact-duplicate's pair is
+    * hash-independent: identical text gives an identical fingerprint
+    * under ANY token hash, so the graded slice (id, id + offset,
+    * hamming 0) is a closed form DuckDB states directly. A dropped or
+    * corrupted fingerprint is now a hash failure. The full
+    * background-pair surface stays spec-covered (simhashPipeline,
+    * twin-free). */
   val simhash: GraftQuery = GraftQuery(
     "llm_dedup_simhash",
     (s, dir) => {
       import s.implicits._
-      // Row-level native SimHash (one pass per doc, zero shuffle) — the
-      // explode-×64-bits dataflow form this replaces moved tokens×64 rows
-      // through two shuffles; DedupSpec pins the fingerprint values.
-      val hashes = Tables.documents(s, dir)
-        .select($"doc_id",
-          graft.functions.ArrayFunctions.simhash64(s, TF.tokens($"text"))
-            .as("simhash"))
-      val chunks = hashes.select($"doc_id", $"simhash",
-          explode(sequence(lit(0), lit(3))).as("j"))
-        .select($"doc_id", $"simhash", $"j",
-          expr("shiftright(simhash, CAST(j AS INT) * 16)").bitwiseAND(lit(0xFFFFL)).as("chunk"))
-      val pairs = chunks.as("a")
-        .join(chunks.as("b"),
-          $"a.j" === $"b.j" && $"a.chunk" === $"b.chunk" && $"a.doc_id" < $"b.doc_id")
-        .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
-          bit_count($"a.simhash".bitwiseXOR($"b.simhash")).as("hamming"))
-        .distinct()
-        .filter($"hamming" <= 3)
+      simhashPipeline(s, dir, plantTwins = true)
+        .filter($"id_b" === $"id_a" + SimhashTwinOffset)
         .orderBy($"id_a", $"id_b")
-      pairs
     },
-    None
+    Some(s"""SELECT doc_id AS id_a, doc_id + $SimhashTwinOffset AS id_b,
+                    CAST(0 AS INT) AS hamming
+             FROM documents WHERE doc_id % 20 = 7
+             ORDER BY id_a, id_b""")
   )
 
   /** Oracle-able SimHash twin: same chunk-bucketed dataflow as
@@ -849,39 +885,74 @@ object Dedup {
              ORDER BY id_a, id_b""")
   )
 
+  /** Planted-twin id offset for llm_dedup_embed_lsh (distinct range from
+    * SemTwinOffset / SimhashTwinOffset / SnippetIdOffset). */
+  private[graft] val LshTwinOffset = 30000000L
+
+  /** The llm_dedup_embed_lsh dataflow, optionally unioned with planted
+    * exact-direction twins (every 20th vector × 2.0f, re-keyed by
+    * LshTwinOffset). sign(v·p) = sign(2v·p) under ANY hyperplane, so a
+    * twin lands in its source's bucket (and the identical Hamming-1
+    * probe set) under any plane draw — the twin pair is ALWAYS a
+    * candidate and verifies at cosine exactly 1.0 (the ×2 exponent
+    * shift cancels in dot/(‖a‖‖b‖)). DedupSpec runs it twin-free for
+    * the recall measurement against the exact verifier. */
+  private[graft] def embedCosineLshPipeline(s: SparkSession, dir: String,
+      plantTwins: Boolean): DataFrame = {
+    import s.implicits._
+    val nPlanes = 5
+    val raw = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+    val twins = raw.filter($"vec_id" % 20 === 7)
+      .select(($"vec_id" + LshTwinOffset).as("vec_id"),
+        transform($"embedding", x => x * lit(2.0f)).as("embedding"))
+    val e = if (plantTwins) raw.unionAll(twins) else raw
+    val probed = e.select($"vec_id",
+      explode(Similarity.probeBuckets(s, $"embedding", nPlanes)).as("bucket"))
+    val pairs = probed.as("a")
+      .join(probed.hint("shuffle_hash").as("b"),
+        $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"))
+      .distinct() // dedupe multi-probe collisions on slim id pairs
+    // Verification joins the embedding table back by id WITHOUT a
+    // broadcast (the embedding table is O(N); see verifyPairs rationale).
+    pairs
+      .join(e.select($"vec_id".as("id_a"), $"embedding".as("v_a"))
+             .hint("shuffle_hash"), "id_a")
+      .join(e.select($"vec_id".as("id_b"), $"embedding".as("v_b"))
+             .hint("shuffle_hash"), "id_b")
+      .withColumn("cos", round(VectorFunctions.cosine(s, $"v_a", $"v_b"), 4))
+      .filter($"cos" >= 0.4)
+      .select($"id_a", $"id_b", $"cos")
+      .orderBy($"id_a", $"id_b")
+  }
+
   /** Embedding-cosine near-dup, LSH-bucketed: the 100 TB form of
     * embedCosine. Random-hyperplane buckets with Hamming-1 multi-probe on
     * both sides turn the all-pairs scan into an equi-join on bucket id;
     * survivors are verified with the exact codegen cosine, so precision is
     * 1.0 by construction (every emitted pair is a true near-dup) and only
-    * recall is approximate — DedupSpec measures it against embedCosine.
-    * No oracle (approximate by design). */
+    * recall is approximate — DedupSpec measures it against the exact
+    * verifier.
+    *
+    * Oracle via the planted-twin device: background recall is
+    * plane-dependent and can never hash-match, but the planted
+    * exact-direction twin slice is retrieved with probability 1 under
+    * ANY planes (see embedCosineLshPipeline), so the graded form
+    * projects (id, id + offset, 1.0) — a closed form DuckDB states
+    * directly. A dropped bucket, broken probe set, or mis-keyed verify
+    * join is now a hash failure. */
   val embedCosineLsh: GraftQuery = GraftQuery(
     "llm_dedup_embed_lsh",
     (s, dir) => {
       import s.implicits._
-      val nPlanes = 5
-      val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
-      val probed = e.select($"vec_id",
-        explode(Similarity.probeBuckets(s, $"embedding", nPlanes)).as("bucket"))
-      val pairs = probed.as("a")
-        .join(probed.hint("shuffle_hash").as("b"),
-          $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
-        .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"))
-        .distinct() // dedupe multi-probe collisions on slim id pairs
-      // Verification joins the embedding table back by id WITHOUT a
-      // broadcast (the embedding table is O(N); see verifyPairs rationale).
-      pairs
-        .join(e.select($"vec_id".as("id_a"), $"embedding".as("v_a"))
-               .hint("shuffle_hash"), "id_a")
-        .join(e.select($"vec_id".as("id_b"), $"embedding".as("v_b"))
-               .hint("shuffle_hash"), "id_b")
-        .withColumn("cos", round(VectorFunctions.cosine(s, $"v_a", $"v_b"), 4))
-        .filter($"cos" >= 0.4)
-        .select($"id_a", $"id_b", $"cos")
+      embedCosineLshPipeline(s, dir, plantTwins = true)
+        .filter($"id_b" === $"id_a" + LshTwinOffset)
         .orderBy($"id_a", $"id_b")
     },
-    None
+    Some(s"""SELECT vec_id AS id_a, vec_id + $LshTwinOffset AS id_b,
+                    CAST(1.0 AS DOUBLE) AS cos
+             FROM embeddings WHERE vec_id % 20 = 7
+             ORDER BY id_a, id_b""")
   )
 
   /** Cosine threshold for semantic dedup: SemDeDup's operating point —

@@ -85,9 +85,18 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("simhash: identical token multisets collide; pairs respect hamming bound") {
-    val out = llm.Dedup.simhash.run(spark, TestSpark.Sf).collect()
+    // Background surface, twin-free (the graded registry form projects the
+    // planted exact-duplicate slice — see llm_dedup_simhash's scaladoc).
+    val out = llm.Dedup.simhashPipeline(spark, TestSpark.Sf, plantTwins = false)
+      .collect()
     assert(out.nonEmpty)
     assert(out.forall(_.getAs[Int]("hamming") <= 3))
+    // The graded slice: one pair per planted duplicate, Hamming exactly 0.
+    val twins = llm.Dedup.simhash.run(spark, TestSpark.Sf).collect()
+    val planted = sources.Tables.documents(spark, TestSpark.Sf)
+      .filter($"doc_id" % 20 === 7).count()
+    assert(twins.length.toLong === planted)
+    assert(twins.forall(_.getAs[Int]("hamming") === 0))
   }
 
   test("LSH embed dedup: perfect precision vs exact, measurable recall") {
@@ -96,7 +105,8 @@ class DedupSpec extends AnyFunSuite {
     val exact = llm.Dedup.embedCosineAllPairs(spark, TestSpark.Sf)
       .select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val approx = llm.Dedup.embedCosineLsh.run(spark, TestSpark.Sf)
+    val approx = llm.Dedup.embedCosineLshPipeline(spark, TestSpark.Sf,
+        plantTwins = false)
       .select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(approx.nonEmpty)
