@@ -665,6 +665,64 @@ object Similarity {
     Some(twinServeOracle)
   )
 
+  /** RANGE search over the persisted IVF index — llm_sim_range's scale
+    * path (the flat exact scan caps out where llm_sim_topk's does):
+    * probe the NProbe nearest lists via the broadcast codebook, DPP-prune
+    * the partitioned index scan to touched groups, exact cosine within
+    * probed lists, keep everything ≥ τ — no per-query window at all
+    * (range needs no ranking), so the serving cost is probes × list size
+    * and the output is the only thing larger than the pruned scan.
+    * Precision is 1.0 by construction (exact cosine filter); recall is
+    * probe-bounded — measured in SimilaritySpec against the exact range
+    * anchor, twin-free. */
+  private[graft] def serveIvfRange(s: SparkSession, dir: String,
+                                   queries: DataFrame, tau: Double): DataFrame = {
+    import s.implicits._
+    val NProbe = 4
+    val (cents, assigned) = ivfIndex(s, dir)
+    val codebook = cbOf(s, cents)
+    val probes = broadcast(
+      queries.crossJoin(codebook)
+        .select($"qid", $"qv",
+          explode(slice(reverse(array_sort(centScores(s, $"qv"))), 1, NProbe)
+            .getField("cid")).as("cid"))
+        .withColumn("cid_grp", pmod(hash($"cid"), lit(IndexGroups))))
+    assigned.join(probes, Seq("cid_grp", "cid"))
+      .filter($"vec_id" =!= $"qid")
+      .withColumn("sim", round(VectorFunctions.cosine(s, $"qv", $"embedding"), 4))
+      .filter($"sim" >= tau)
+      .select($"qid", $"vec_id".as("nid"), $"sim")
+  }
+
+  /** The full real-query range-serving form — spec coverage (precision
+    * containment vs the exact range anchor, recall, determinism). */
+  private[graft] def rangeIvfFull(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+    serveIvfRange(s, dir,
+      e.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("qid"), $"embedding".as("qv")), RangeTau)
+      .orderBy($"qid", $"nid")
+  }
+
+  /** Graded form: the planted-twin batch (the ivfPersistedTopK device).
+    * Each twin's source scores exactly 1.0 ≥ τ and lives in the twin's
+    * first probe under ANY codebook (scale-invariant descent), so the
+    * (qid, qid − offset, 1.0) slice is a closed form — a dropped list,
+    * broken probe, or mis-pruned partition is a hash failure. */
+  val rangeIvf: GraftQuery = GraftQuery(
+    "llm_sim_range_ivf",
+    (s, dir) => {
+      import s.implicits._
+      serveIvfRange(s, dir, twinQueries(s, dir), RangeTau)
+        .filter($"nid" === $"qid" - TwinOffset)
+        .orderBy($"qid")
+    },
+    Some(s"""SELECT vec_id + $TwinOffset AS qid, vec_id AS nid,
+                    CAST(1.0 AS DOUBLE) AS sim
+             FROM embeddings WHERE vec_id % 20 = 7 ORDER BY qid""")
+  )
+
   /** Embedding QA — per-label centroid statistics (count, mean L2 norm,
     * mean cosine to the label centroid): the dispersion profile that flags
     * mislabeled or degenerate embedding batches before they enter
@@ -1526,7 +1584,8 @@ object Similarity {
   )
 
   def all: Seq[GraftQuery] =
-    Seq(bruteTopK, rangeSearch, lshTopK, ivfTopK, ivf2TopK, ivfPersistedTopK,
-      embedStats, pqTopK, indexAppendTopK, ivfPqTopK, mmrDiversify,
-      filteredTopK, filteredPersistedTopK, knnJoin, embedQuantize)
+    Seq(bruteTopK, rangeSearch, rangeIvf, lshTopK, ivfTopK, ivf2TopK,
+      ivfPersistedTopK, embedStats, pqTopK, indexAppendTopK, ivfPqTopK,
+      mmrDiversify, filteredTopK, filteredPersistedTopK, knnJoin,
+      embedQuantize)
 }

@@ -1179,9 +1179,77 @@ object Analytics {
             FROM a""")
   )
 
+  /** Per-day Shannon entropy of the event-type mix — the label-balance
+    * monitor a training pipeline runs on every ingest day ("did today's
+    * labels collapse to one class?"): H = ln n − Σ c·ln c / n over the
+    * day's category counts, plus the ln(k)-normalized form in [0, 1].
+    *
+    * Determinism — the agg_anova device: the category domain is the
+    * FIXED event-type set, so the per-day counts land as COLUMNS of one
+    * aggregate row (5 conditional sums) and the entropy is a
+    * fixed-order scalar chain over exact BIGINTs — identical doubles in
+    * both engines, no double accumulation anywhere (c·ln c terms fold
+    * in declaration order, 0·ln 0 = 0 by the c > 0 guard). round(6) at
+    * the final projection (ln outputs are irrational — never on a
+    * decimal boundary; the fold is exact so there is no association
+    * error to cross one).
+    *
+    * Scale shape: ONE map-side-combined hash aggregate onto the bounded
+    * day domain; the entropy fold is a per-row projection over days ×
+    * k columns. */
+  val entropy: GraftQuery = GraftQuery(
+    "agg_entropy",
+    (s, dir) => {
+      import s.implicits._
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val aggs = types.zipWithIndex.map { case (t, i) =>
+        sum(when($"event_type" === t, 1L).otherwise(0L)).as(s"c$i")
+      }
+      val raw = Tables.events(s, dir)
+        .select(to_date($"ts").as("d"), $"event_type")
+        .groupBy($"d").agg(aggs.head, aggs.tail: _*)
+      val idx = types.indices
+      val n = idx.map(i => col(s"c$i")).reduce(_ + _)
+      val k = idx.map(i => when(col(s"c$i") > 0L, 1L).otherwise(0L)).reduce(_ + _)
+      val clnc = idx.map(i =>
+        when(col(s"c$i") > 0L,
+          col(s"c$i").cast("double") * log(col(s"c$i").cast("double")))
+          .otherwise(lit(0.0))).reduce(_ + _)
+      val h = log(n.cast("double")) - clnc / n.cast("double")
+      raw.select($"d", n.as("n"), k.as("k_present"),
+          round(h, 6).as("entropy"),
+          round(h / log(lit(types.length.toDouble)), 6).as("entropy_norm"))
+        .orderBy($"d")
+    },
+    Some("""WITH a AS (
+              SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+                     CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+                     CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                     CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+                     CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+                     CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS c4
+              FROM events GROUP BY 1),
+            f AS (
+              SELECT d, c0 + c1 + c2 + c3 + c4 AS n,
+                     (CASE WHEN c0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN c1 > 0 THEN 1 ELSE 0 END)
+                   + (CASE WHEN c2 > 0 THEN 1 ELSE 0 END) + (CASE WHEN c3 > 0 THEN 1 ELSE 0 END)
+                   + (CASE WHEN c4 > 0 THEN 1 ELSE 0 END) AS k_present,
+                     (CASE WHEN c0 > 0 THEN c0 * ln(CAST(c0 AS DOUBLE)) ELSE 0.0 END)
+                   + (CASE WHEN c1 > 0 THEN c1 * ln(CAST(c1 AS DOUBLE)) ELSE 0.0 END)
+                   + (CASE WHEN c2 > 0 THEN c2 * ln(CAST(c2 AS DOUBLE)) ELSE 0.0 END)
+                   + (CASE WHEN c3 > 0 THEN c3 * ln(CAST(c3 AS DOUBLE)) ELSE 0.0 END)
+                   + (CASE WHEN c4 > 0 THEN c4 * ln(CAST(c4 AS DOUBLE)) ELSE 0.0 END) AS clnc
+              FROM a)
+            SELECT d, CAST(n AS BIGINT) AS n, CAST(k_present AS BIGINT) AS k_present,
+                   round(ln(CAST(n AS DOUBLE)) - clnc / CAST(n AS DOUBLE), 6) AS entropy,
+                   round((ln(CAST(n AS DOUBLE)) - clnc / CAST(n AS DOUBLE)) / ln(5.0), 6)
+                     AS entropy_norm
+            FROM f ORDER BY d""")
+  )
+
   def all: Seq[GraftQuery] = Seq(
     statsAgg, percentiles, approxPercentile, stringAgg, pivotAgg, jsonStruct,
     topNRevenue, corrMatrix, ksTest, mannWhitney, chiSq, gini,
     ttestWelch, spearman, cramersV, benford, moments, shareOfParent, anova,
-    wilcoxon)
+    wilcoxon, entropy)
 }

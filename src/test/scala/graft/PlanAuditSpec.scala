@@ -33,6 +33,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "llm_sim_topk_ivf",   // 1-row codebook broadcast onto the scan
     "llm_sim_topk_ivf2",  // same pattern: 1-row two-level codebook broadcast
     "llm_sim_topk_ivf_persisted", // 1-row codebook broadcast on the probe side
+    "llm_sim_range_ivf",  // same serve pipeline: 1-row codebook broadcast on probes
     "llm_sim_index_append", // same serve pipeline: 1-row codebook broadcast on probes
     "stream_ivf_serve",   // same serve pipeline per wave: 1-row codebook broadcast
     "llm_sim_knn_join",   // 1-row codebook broadcast onto assignment + probe scans

@@ -66,6 +66,24 @@ class SimilaritySpec extends AnyFunSuite {
     out.foreach { case (k, s) => assert(math.abs(s - expected(k)) < 1e-9, s"$k") }
   }
 
+  test("IVF range search: perfect precision vs the exact range anchor, measurable recall") {
+    // Full real-query form, twin-free: every emitted pair must appear in
+    // the exact range result with the identical rounded sim (precision
+    // 1.0 — the exact-cosine-filter construction), recall is probe-bounded.
+    val exact = llm.Similarity.rangeSearch.run(spark, TestSpark.Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = llm.Similarity.rangeIvfFull(spark, TestSpark.Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (k, s) =>
+      assert(exact.contains(k), s"$k emitted but not in the exact range result")
+      assert(exact(k) === s, s"$k: sim $s != exact ${exact(k)}")
+    }
+    val recall = ivf.size.toDouble / exact.size
+    info(f"IVF range recall vs exact: $recall%.2f")
+    assert(recall > 0.0)
+  }
+
   test("LSH top-k: valid structure and measurable recall vs brute force") {
     val brute = llm.Similarity.bruteTopK.run(spark, TestSpark.Sf)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
