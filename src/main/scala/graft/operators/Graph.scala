@@ -1193,18 +1193,24 @@ object Graph {
     * adjacency-layout lesson applied to an alternating fixpoint; the
     * second copy costs |E| rows of storage, which is the standard
     * trade on any 100 TB iterative bipartite workload). */
-  private[graft] def bipartite(s: SparkSession, dir: String, key: String): DataFrame = {
+  /** The edge set is a function of BOTH orders (o_custkey) and lineitem
+    * (l_partkey): fingerprint both sources, or a regenerated orders
+    * fixture with unchanged lineitem would re-register a stale layout.
+    * Computed once per query run and shared by both orientations (two
+    * fingerprints = two source scans — no reason to pay them twice). */
+  private def bipartiteFp(s: SparkSession, dir: String): String =
+    graft.llm.Layouts.fingerprint(
+      Tables.lineitem(s, dir), "l_orderkey", "l_partkey") + "|" +
+      graft.llm.Layouts.fingerprint(
+        Tables.orders(s, dir), "o_orderkey", "o_custkey")
+
+  private[graft] def bipartite(s: SparkSession, dir: String, key: String,
+      fp0: String = null): DataFrame = {
     import s.implicits._
     val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val tbl = s"graft_hits_b${key}_$sfx"
     val path = s"/tmp/graft_hits_b$key/$sfx"
-    // The edge set is a function of BOTH orders (o_custkey) and lineitem
-    // (l_partkey): fingerprint both sources, or a regenerated orders
-    // fixture with unchanged lineitem would re-register a stale layout.
-    val fp = graft.llm.Layouts.fingerprint(
-        Tables.lineitem(s, dir), "l_orderkey", "l_partkey") + "|" +
-      graft.llm.Layouts.fingerprint(
-        Tables.orders(s, dir), "o_orderkey", "o_custkey")
+    val fp = if (fp0 != null) fp0 else bipartiteFp(s, dir)
     graft.llm.Layouts.table(s, tbl, path, fp) {
       s"""CREATE TABLE $tbl (`c` BIGINT, `p` BIGINT)
           USING PARQUET
@@ -1246,8 +1252,9 @@ object Graph {
     "graph_hits",
     (s, dir) => {
       import s.implicits._
-      val ebc = bipartite(s, dir, "c") // bucketed by c: serves e ⋈ h
-      val ebp = bipartite(s, dir, "p") // bucketed by p: serves e ⋈ a
+      val fp = bipartiteFp(s, dir)     // one fingerprint pass, two layouts
+      val ebc = bipartite(s, dir, "c", fp) // bucketed by c: serves e ⋈ h
+      val ebp = bipartite(s, dir, "p", fp) // bucketed by p: serves e ⋈ a
       val nc = ebc.select($"c").distinct().agg(count(lit(1)).as("n"))
       var h = ebc.select($"c").distinct().crossJoin(broadcast(nc))
         .select($"c", (lit(1.0) / $"n").as("h"))
