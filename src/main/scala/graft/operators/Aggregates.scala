@@ -329,15 +329,13 @@ object Aggregates {
       .orderBy($"event_type")
   }
 
-  /** The shared DuckDB oracle for both quantile-sketch forms: the same
-    * integer bin/merge/pick/decode arithmetic (to_base = Spark's bin),
-    * TRUE for the band audit. Arrival slicing cannot appear in the
+  /** The shared DuckDB oracle body for the quantile-sketch forms: the
+    * same integer bin/merge/pick/decode arithmetic (to_base = Spark's
+    * bin), TRUE for the band audit, over whatever `bCtes` defines as the
+    * (event_type, cv) relation `b`. Arrival slicing cannot appear in the
     * output because the merge is exact bucket-count addition. */
-  private[graft] val QsketchOracle: String =
-    """WITH b AS (
-         SELECT event_type,
-                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cv
-         FROM events),
+  private[graft] def qsketchOracleFrom(bCtes: String): String =
+    s"""WITH $bCtes,
        bin AS (
          SELECT event_type, cv,
                 CASE WHEN cv <= 0 THEN CAST(-1 AS BIGINT)
@@ -369,6 +367,13 @@ object Aggregates {
               TRUE AS band_ok
        FROM picks ORDER BY event_type"""
 
+  /** Whole-corpus oracle (agg_qsketch_merge / stream_qsketch_merge). */
+  private[graft] val QsketchOracle: String = qsketchOracleFrom(
+    """b AS (
+         SELECT event_type,
+                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cv
+         FROM events)""")
+
   /** Mergeable QUANTILE sketch cube — the percentile analog of
     * `agg_sketch_merge`'s HLL cube, and the piece the sketch family was
     * missing: per-day integer log-bin histograms (bounded at ~32·octaves
@@ -398,6 +403,63 @@ object Aggregates {
       qsketchServe(s, sketch, binned)
     },
     Some(QsketchOracle)
+  )
+
+  /** The per-(event_type, day, bucket) quantile cube PERSISTED as a
+    * fingerprinted layout (the Layouts protocol the LM counts / IVF
+    * lists / HITS orientations use): built once per dataset, reused by
+    * every range-serving query. */
+  private[graft] def qsketchCube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val path = s"/tmp/graft_qsketch/$sfx"
+    graft.llm.Layouts.parquetLayout(path, path,
+        graft.llm.Layouts.fingerprint(
+          Tables.events(s, dir), "event_id", "ts", "value")) {
+      qsketchBinned(s, dir)
+        .groupBy($"event_type", $"day", $"bid")
+        .agg(count(lit(1)).as("c"))
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
+  /** Quantile cube SERVING by date range — the recurring-query form of
+    * agg_qsketch_merge (the ivf_persisted / LM-layout discipline applied
+    * to percentiles): the per-day cube is a one-time persisted layout;
+    * an arbitrary date-range dashboard question ("p99 for Jan 8–22?")
+    * merges the range's bucket counts WITHOUT touching raw events —
+    * cost is range-days × buckets rows, independent of corpus size.
+    * Exact bucket-count addition means any range decomposition serves
+    * identical quantiles (the property agg_qsketch_merge grades
+    * globally, here monetized as a serving index). The band audit
+    * recomputes the exact range percentile from raw events — audit
+    * harness only, dropped in production serving.
+    *
+    * Graded range: [d0+7, d0+21] where d0 = the cube's first day —
+    * relative, so the same query text is correct at every SF. */
+  val qsketchServeRange: GraftQuery = GraftQuery(
+    "agg_qsketch_serve",
+    (s, dir) => {
+      import s.implicits._
+      val cube = qsketchCube(s, dir)
+      val d0 = broadcast(cube.agg(min($"day").as("d0")))
+      val sketch = cube.crossJoin(d0)
+        .filter($"day".between(date_add($"d0", 7), date_add($"d0", 21)))
+        .groupBy($"event_type", $"bid")
+        .agg(sum($"c").as("c"))
+      val binned = qsketchBinned(s, dir).crossJoin(d0)
+        .filter($"day".between(date_add($"d0", 7), date_add($"d0", 21)))
+      qsketchServe(s, sketch, binned)
+    },
+    Some(qsketchOracleFrom(
+      """b0 AS (
+           SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cv
+           FROM events),
+         bounds AS (SELECT min(day) AS d0 FROM b0),
+         b AS (SELECT event_type, cv FROM b0, bounds
+               WHERE day BETWEEN d0 + 7 AND d0 + 21)"""))
   )
 
   /** Count-min dimensions: D independent hash rows × W buckets = the
@@ -624,5 +686,6 @@ object Aggregates {
   def all: Seq[GraftQuery] = Seq(
     q1Agg, distinctCount, approxDistinct, rollupAgg, cubeAgg,
     groupingSets, having, typedCustom, sketchMerge, qsketchMerge,
-    heavyHitters, heavyHittersIncremental, aggMode, histogram)
+    qsketchServeRange, heavyHitters, heavyHittersIncremental, aggMode,
+    histogram)
 }

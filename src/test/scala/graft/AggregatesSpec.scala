@@ -442,6 +442,25 @@ class AggregatesSpec extends AnyFunSuite {
     assert(stream.sameElements(batch))
   }
 
+  test("quantile cube serving: persisted-layout range serve == direct recompute") {
+    import org.apache.spark.sql.functions.{broadcast, count => fcount, date_add, lit, min => fmin, sum => fsum}
+    val served = operators.Aggregates.qsketchServeRange.run(spark, TestSpark.Sf)
+      .collect().map(_.toSeq).toSeq
+    // Direct recompute: bin raw events, restrict to the same relative
+    // range, aggregate — no persisted cube involved. Layout serving must
+    // be indistinguishable (exact integer counters).
+    val binned = operators.Aggregates.qsketchBinned(spark, TestSpark.Sf)
+    val d0 = broadcast(binned.agg(fmin($"day").as("d0")))
+    val ranged = binned.crossJoin(d0)
+      .filter($"day".between(date_add($"d0", 7), date_add($"d0", 21)))
+    val direct = operators.Aggregates.qsketchServe(spark,
+      ranged.groupBy($"event_type", $"bid").agg(fcount(lit(1)).as("c")),
+      ranged)
+      .collect().map(_.toSeq).toSeq
+    assert(served === direct)
+    assert(served.nonEmpty)
+  }
+
   test("overflow guard: passes values through under the bound, raises past it") {
     // The GraftQuery.guarded contract the Welch/ANOVA/moments/acf
     // accumulators rely on: while the no-overflow precondition holds the

@@ -45,6 +45,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "llm_perplexity",     // 1-row smoothing-vocab broadcast onto the scoring join
     "llm_lm_kneser_ney",  // 1-row bigram-type-count (M) broadcast onto the scored rows
     "llm_lm_kneser_ney3", // same 1-row type-count broadcast, trigram ladder
+    "agg_qsketch_serve",  // 1-row min-day broadcast anchors the relative date range
     "agg_ks_test",        // 1-row sample-totals broadcast onto the domain-sized ECDF
     "stream_ks_drift",    // same 1-row totals broadcast + 1-row wave-bounds broadcasts
     "stream_ttest",       // 1-row wave-bounds broadcasts onto the fact scans
