@@ -1539,9 +1539,100 @@ object TimeSeries {
             ORDER BY event_type""")
   )
 
+  /** Holt's linear-trend smoothing parameters and truncated-kernel
+    * coefficients, shared by the query, the oracle, and HoltSpec's
+    * exact-recursion reference. The recursion
+    *   l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1})
+    *   b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    * is LINEAR in the inputs, so the contribution of x_{t−i} to
+    * (l_t, b_t) is A^i · (α, αβ) with the zero-input transition
+    *   A = [[1−α, 1−α], [−αβ, β(1−α) + 1−β]]
+    * — computed once driver-side and embedded as the SAME double
+    * literals in both engines (the ts_ewma device: a fixed K-term
+    * lag-window sum folded left-to-right is identical doubles across
+    * engines; a sequential per-row state fold is not even expressible
+    * as one window). Truncation at K: dropped terms decay with A's
+    * spectral radius (≈0.66 at α=0.5, β=0.3 — HoltSpec measures the
+    * residual vs the exact recursion). */
+  private[graft] val HoltAlpha = 0.5
+  private[graft] val HoltBeta = 0.3
+  private[graft] val HoltK = 12
+  private[graft] def holtWeights: Seq[(Double, Double)] = {
+    val a = HoltAlpha; val b = HoltBeta
+    // A^i · (α, αβ), i = 0 .. K-1
+    Iterator.iterate((a, a * b)) { case (l, t) =>
+      val l2 = (1 - a) * (l + t)
+      (l2, b * (l2 - l) + (1 - b) * t)
+    }.take(HoltK).toSeq
+  }
+
+  /** Holt linear-trend level/trend/one-step forecast on the daily
+    * revenue series per event type — ts_ewma's generalization (EWMA
+    * tracks a level; Holt also tracks where it is HEADING, the default
+    * short-horizon capacity/traffic forecast). Emitted only for days
+    * with a full K-lag window (warm-up rows are initialization fuzz in
+    * any Holt implementation; the truncated kernel makes that contract
+    * explicit).
+    *
+    * Scale shape: the series is the bounded (type, day) domain — one
+    * corpus-sized hash aggregate, then a K-term lag window inside one
+    * window spec (one shuffle on event_type, whole-stage codegen over
+    * the fixed expression; no sequential state fold anywhere). */
+  val holt: GraftQuery = GraftQuery(
+    "ts_holt",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"event_type").orderBy($"d")
+      val x = (i: Int) => lag($"v", i).over(w).cast("double")
+      val level = holtWeights.zipWithIndex
+        .map { case ((cl, _), i) => x(i) * lit(cl) }.reduce(_ + _)
+      val trend = holtWeights.zipWithIndex
+        .map { case ((_, cb), i) => x(i) * lit(cb) }.reduce(_ + _)
+      changepointDaily(s, dir)
+        .withColumn("level", level)
+        .withColumn("trend", trend)
+        .withColumn("warm", lag($"v", HoltK - 1).over(w))
+        .filter($"warm".isNotNull)
+        .select($"event_type", $"d",
+          round($"level", 4).as("holt_level"),
+          round($"trend", 4).as("holt_trend"),
+          round($"level" + $"trend", 4).as("forecast_next"))
+        .orderBy($"event_type", $"d")
+    },
+    Some {
+      // CAST both sides to DOUBLE: a bare decimal literal parses as
+      // DECIMAL in DuckDB and the whole chain would land in DECIMAL(38,4)
+      // instead of the DOUBLE arithmetic Spark runs.
+      val lvl = holtWeights.zipWithIndex
+        .map { case ((cl, _), i) =>
+          s"CAST(lag(v, $i) OVER w AS DOUBLE) * CAST($cl AS DOUBLE)" }
+        .mkString(" + ")
+      val trd = holtWeights.zipWithIndex
+        .map { case ((_, cb), i) =>
+          s"CAST(lag(v, $i) OVER w AS DOUBLE) * CAST($cb AS DOUBLE)" }
+        .mkString(" + ")
+      s"""WITH daily AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+                   CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+            FROM events GROUP BY 1, 2),
+          h AS (
+            SELECT event_type, d,
+                   $lvl AS level, $trd AS trend,
+                   lag(v, ${HoltK - 1}) OVER w AS warm
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY d))
+          SELECT event_type, d, round(level, 4) AS holt_level,
+                 round(trend, 4) AS holt_trend,
+                 round(level + trend, 4) AS forecast_next
+          FROM h WHERE warm IS NOT NULL
+          ORDER BY event_type, d"""
+    }
+  )
+
   def all: Seq[GraftQuery] =
     Seq(asofJoin, asofTolerance, gapFill, ntileRanks, skewSalted, resample, funnel,
       funnelWindowed, sessionize, retention, anomaly, interpolate, ewma,
       crossCorr, outlierMad, rollingMedian, cusum, seasonality, mkTrend,
-      theilSen, acf, changepoint, pacf, peaks, streaks)
+      theilSen, acf, changepoint, pacf, peaks, streaks, holt)
 }

@@ -646,4 +646,37 @@ class TimeSeriesSpec extends AnyFunSuite {
       assert(r.getAs[Long]("gain_den") === pick._1 * (n - pick._1))
     }
   }
+
+  test("ts_holt: truncated kernel tracks the exact Holt recursion") {
+    // The graded form is a K-term linear kernel (identical doubles across
+    // engines); this pins its fidelity to the REAL sequential recursion:
+    // on the last day (maximal warm-up) the truncation residual must be
+    // inside the documented spectral-decay bound.
+    val (a, b) = (operators.TimeSeries.HoltAlpha, operators.TimeSeries.HoltBeta)
+    val daily = sources.Tables.events(spark, TestSpark.Sf)
+      .groupBy($"event_type", to_date($"ts").as("d"))
+      .agg(expr("sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))").as("v"))
+      .orderBy($"event_type", $"d")
+      .collect().groupBy(_.getString(0))
+    val got = operators.TimeSeries.holt.run(spark, TestSpark.Sf)
+      .collect().groupBy(_.getString(0))
+      .map { case (t, rows) => t -> rows.maxBy(_.getDate(1).toString) }
+    got.foreach { case (t, r) =>
+      val xs = daily(t).map(_.getLong(2).toDouble)
+      // Exact recursion, classic init: l_1 = x_1, b_1 = x_2 - x_1.
+      var l = xs(0); var tr = xs(1) - xs(0)
+      xs.drop(1).foreach { x =>
+        val l2 = a * x + (1 - a) * (l + tr)
+        tr = b * (l2 - l) + (1 - b) * tr
+        l = l2
+      }
+      val lvl = r.getAs[Double]("holt_level")
+      assert(math.abs(lvl - l) <= 0.02 * math.abs(l) + 1.0,
+        s"$t: truncated level $lvl vs exact recursion $l")
+      val fc = r.getAs[Double]("forecast_next")
+      assert(math.abs(fc - (l + tr)) <= 0.05 * math.abs(l + tr) + 1.0,
+        s"$t: truncated forecast $fc vs exact ${l + tr}")
+    }
+    assert(got.nonEmpty)
+  }
 }
