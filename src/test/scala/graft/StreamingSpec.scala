@@ -298,6 +298,54 @@ class StreamingSpec extends AnyFunSuite {
       "served sketch cube must equal the one-pass batch cube exactly")
   }
 
+  test("quantile cube foreachBatch pipeline: appended bucket counts serve the batch answer") {
+    // The production form of stream_qsketch_merge: events land through a
+    // checkpointed file source in two arrival waves; each micro-batch
+    // appends its own per-(event_type, day, bucket) integer log-bin
+    // COUNTS — no read-modify-write — and the serve step sums cells at
+    // read time. Exact integer addition means the served quantile cube
+    // must be BIT-EQUAL to the one-pass batch cube, including the decoded
+    // p50/p90/p99 estimates, and the checkpoint guarantees wave-1 events
+    // are binned exactly once.
+    import org.apache.spark.sql.functions._
+    val binned = operators.Aggregates.qsketchBinned(spark, TestSpark.Sf)
+      .select($"event_id", $"event_type", $"day", $"cv", $"bid").cache()
+    val mid = binned.agg(floor(max($"event_id") / 2.0).cast("long"))
+      .collect()(0).getLong(0)
+    val base = Files.createTempDirectory("graft_qskstrm").toString
+    val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+
+    def runWave(): Unit = {
+      val q = spark.readStream.schema(binned.schema).parquet(src)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.groupBy(col("event_type"), col("day"), col("bid"))
+            .agg(count(lit(1)).as("c"))
+            .write.mode("append").parquet(out)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    binned.filter($"event_id" <= mid).write.mode("append").parquet(src)
+    runWave()
+    binned.filter($"event_id" > mid).write.mode("append").parquet(src)
+    runWave()
+
+    val servedSketch = spark.read.parquet(out)
+      .groupBy($"event_type", $"bid").agg(sum($"c").as("c"))
+    val served = operators.Aggregates
+      .qsketchServe(spark, servedSketch, binned)
+      .collect().map(_.toSeq).toSeq
+    val batch = operators.Aggregates.qsketchMerge.run(spark, TestSpark.Sf)
+      .collect().map(_.toSeq).toSeq
+    assert(served === batch,
+      "served quantile cube must equal the one-pass batch cube bit-for-bit")
+  }
+
   test("resample foreachBatch pipeline: appended OHLC partials serve the batch answer") {
     // The production form of stream_resample: events land incrementally
     // (two parquet arrival waves through a checkpointed file source); each
