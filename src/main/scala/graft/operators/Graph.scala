@@ -289,6 +289,73 @@ object Graph {
     }
   )
 
+  /** PERSONALIZED PageRank: random-walk-with-restart affinity to a SEED
+    * SET (parts with id ≡ 1 mod 50) — the "related to THESE items"
+    * primitive behind item-to-item recommendation and label expansion,
+    * where global PageRank answers "important overall". Same power
+    * iteration as graph_pagerank with two changes: the walk starts AT
+    * the seeds (r0 = s) and teleports BACK to them
+    * (r = (1−d)·s(v) + d·Σ contrib). The seed indicator s(v) is an
+    * ON-ROW expression (id mod 50 — no seed-table join; the 1-row seed
+    * COUNT rides the same broadcast as the vertex count), so each
+    * iteration keeps pagerank's exact plan shape: exchange-free bucketed
+    * edge scan ⋈ O(V) rank vector, one bounded aggregate. Non-seed
+    * vertices with no walk mass yet still carry rank 0 rows (coalesce),
+    * keeping the output domain = all vertices like graph_pagerank. */
+  val pagerankPersonal: GraftQuery = GraftQuery(
+    "graph_pagerank_personal",
+    (s, dir) => {
+      import s.implicits._
+      val e = adjacency(s, dir)
+      val verts = vertices(e)
+      val nsRow = verts.agg(
+        sum(when($"src" % 50 === 1, 1L).otherwise(0L)).as("ns"))
+      def seedW(v: org.apache.spark.sql.Column) =
+        when(v % 50 === 1, lit(1.0) / $"ns").otherwise(lit(0.0))
+      var ranks = verts.crossJoin(broadcast(nsRow))
+        .select($"src".as("v"), seedW($"src").as("r"))
+      for (_ <- 1 to Iters) {
+        val contrib = e.join(ranks.hint("shuffle_hash"), $"src" === $"v")
+          .groupBy($"dst").agg(sum($"r" / $"deg").as("c"))
+        // Right join back onto the vertex set: a vertex the walk hasn't
+        // reached yet keeps a 0-contribution row (seeds must regain
+        // their teleport mass even with no inbound mass this round).
+        ranks = verts.join(contrib.hint("shuffle_hash"),
+            $"src" === $"dst", "left")
+          .crossJoin(broadcast(nsRow))
+          .select($"src".as("v"),
+            (lit(1 - Damping) * seedW($"src")
+              + lit(Damping) * coalesce($"c", lit(0.0))).as("r"))
+      }
+      ranks.select($"v".as("part_id"), round($"r", 6).as("ppr"))
+        .orderBy($"part_id")
+    },
+    Some {
+      val iters = (1 to Iters).map { i =>
+        s"""r$i AS (SELECT deg.src AS v,
+                           (1 - $Damping) * (CASE WHEN deg.src % 50 = 1
+                              THEN 1.0 / (SELECT ns FROM ns) ELSE 0.0 END)
+                             + $Damping * coalesce(c.c, 0.0) AS r
+                    FROM deg LEFT JOIN (
+                      SELECT e.dst, sum(p.r / dg.deg) AS c
+                      FROM e JOIN r${i - 1} p ON e.src = p.v
+                             JOIN deg dg ON e.src = dg.src
+                      GROUP BY e.dst) c ON deg.src = c.dst)"""
+      }.mkString(",\n")
+      s"""WITH $edgeCte,
+            deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+            ns AS (SELECT CAST(sum(CASE WHEN src % 50 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ns
+                   FROM deg),
+            r0 AS (SELECT src AS v,
+                          CASE WHEN src % 50 = 1
+                               THEN 1.0 / (SELECT ns FROM ns) ELSE 0.0 END AS r
+                   FROM deg),
+            $iters
+          SELECT v AS part_id, round(r, 6) AS ppr FROM r$Iters
+          ORDER BY part_id"""
+    }
+  )
+
   /** Connected components of the co-occurrence graph — which parts form
     * a mutually-shipping cluster. Reuses the engine's ONE min-label
     * propagation implementation (llm.Dedup.connectedComponents: one
@@ -1310,7 +1377,7 @@ object Graph {
   )
 
   def all: Seq[GraftQuery] =
-    Seq(pagerank, pagerankDelta, pagerankWeighted, cc, jaccard,
+    Seq(pagerank, pagerankDelta, pagerankWeighted, pagerankPersonal, cc, jaccard,
       jaccardCapped, adamicAdar, labelPropagation, bfs,
       closenessLandmarks, edgesIncremental, triangles, degreeDist, kCore,
       mst, assortativity, modularity, hits)

@@ -534,4 +534,20 @@ class GraphSpec extends AnyFunSuite {
     val q = r.getAs[Double]("q")
     assert(q > -1.0 && q < 1.0, s"Q $q out of range")
   }
+
+  test("personalized pagerank: walk mass conserved, concentrated at the seeds") {
+    val rows = operators.Graph.pagerankPersonal.run(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.nonEmpty)
+    // Undirected graph, every vertex has out-edges ⇒ no dangling mass:
+    // total rank converges to 1 (rounding slack only).
+    val total = rows.map(_._2).sum
+    assert(math.abs(total - 1.0) < 0.01, s"walk mass $total")
+    val (seeds, rest) = rows.partition(_._1 % 50 == 1)
+    assert(seeds.nonEmpty && rest.nonEmpty)
+    val seedMean = seeds.map(_._2).sum / seeds.size
+    val restMean = rest.map(_._2).sum / rest.size
+    assert(seedMean > 5 * restMean,
+      s"teleport must concentrate mass at seeds: $seedMean vs $restMean")
+  }
 }

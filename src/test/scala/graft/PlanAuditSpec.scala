@@ -68,6 +68,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // graph_pagerank_delta needs no entry: its iterations localCheckpoint,
     // so the audited final plan is one join of two materialized vectors.
     "graph_pagerank_weighted", // same 1-row vertex-count broadcast pattern
+    "graph_pagerank_personal", // same pattern: 1-row seed-count broadcast per iteration
     "graph_triangles",    // 1-row count crossJoins assembling the stats row
     "graph_modularity",   // 1-row (2m, |V|) totals broadcast onto the community fold
     "graph_hits",         // 1-row vertex-count + per-round normalizer broadcasts
