@@ -1247,9 +1247,133 @@ object Analytics {
             FROM f ORDER BY d""")
   )
 
+  /** Deequ-style data-quality expectation suite over lineitem — the
+    * admission gate every 100 TB ingest runs before data reaches
+    * training: completeness, domain membership, value ranges and
+    * primary-key uniqueness, each emitted as a (check, metric,
+    * threshold, ok) row so the caller alerts on `ok = 0` rows.
+    *
+    * All seven checks fold in ONE map-side-combined aggregate pass
+    * (conditional BIGINT counts plus one exact count-distinct on the
+    * synthetic BIGINT pk image l_orderkey·100 + l_linenumber — TPC-H
+    * line numbers are < 8, so the image is injective and both engines
+    * count identical integers); metrics are one-division doubles of
+    * exact counts. The wide row unpivots via `stack` (a local
+    * generator, no shuffle). At 100 TB this is one scan + one
+    * single-row aggregate — the cheapest possible audit shape; adding
+    * a check is adding a column, not a pass. */
+  val expectations: GraftQuery = GraftQuery(
+    "agg_expectations",
+    (s, dir) => {
+      import s.implicits._
+      val frac = (c: org.apache.spark.sql.Column) =>
+        c.cast("double") / count(lit(1)).cast("double")
+      val a = Tables.lineitem(s, dir).agg(
+        frac(sum(when($"l_quantity".isNotNull, 1L).otherwise(0L)))
+          .as("m_complete_qty"),
+        frac(sum(when($"l_quantity" >= 1.0 && $"l_quantity" <= 50.0, 1L)
+          .otherwise(0L))).as("m_range_qty"),
+        frac(sum(when($"l_discount" >= 0.0 && $"l_discount" <= 0.1, 1L)
+          .otherwise(0L))).as("m_range_disc"),
+        frac(sum(when($"l_returnflag".isin("A", "N", "R"), 1L).otherwise(0L)))
+          .as("m_domain_flag"),
+        frac(sum(when($"l_extendedprice" > 0.0, 1L).otherwise(0L)))
+          .as("m_pos_price"),
+        frac(sum(when($"l_shipdate".isNotNull, 1L).otherwise(0L)))
+          .as("m_complete_ship"),
+        frac(count_distinct($"l_orderkey" * lit(100L) +
+          $"l_linenumber".cast("long"))).as("m_unique_pk"))
+      a.selectExpr(
+        """stack(7,
+             'completeness_l_quantity', m_complete_qty, CAST(1.0 AS DOUBLE),
+             'completeness_l_shipdate', m_complete_ship, CAST(1.0 AS DOUBLE),
+             'domain_l_returnflag',     m_domain_flag,   CAST(1.0 AS DOUBLE),
+             'positive_l_extendedprice',m_pos_price,     CAST(1.0 AS DOUBLE),
+             'range_l_discount',        m_range_disc,    CAST(0.99 AS DOUBLE),
+             'range_l_quantity',        m_range_qty,     CAST(0.99 AS DOUBLE),
+             'uniqueness_pk',           m_unique_pk,     CAST(1.0 AS DOUBLE)
+           ) AS (check_name, metric, threshold)""")
+        .select($"check_name", $"metric", $"threshold",
+          when($"metric" >= $"threshold", 1L).otherwise(0L).as("ok"))
+        .orderBy($"check_name")
+    },
+    Some("""WITH a AS (
+              SELECT count(*) AS n,
+                     CAST(sum(CASE WHEN l_quantity IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_q,
+                     CAST(sum(CASE WHEN l_quantity BETWEEN 1.0 AND 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS r_q,
+                     CAST(sum(CASE WHEN l_discount BETWEEN 0.0 AND 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS r_d,
+                     CAST(sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) AS d_f,
+                     CAST(sum(CASE WHEN l_extendedprice > 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS p_p,
+                     CAST(sum(CASE WHEN l_shipdate IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_s,
+                     count(DISTINCT l_orderkey * 100 + l_linenumber) AS u_pk
+              FROM lineitem),
+            m AS (
+              SELECT 'completeness_l_quantity' AS check_name,
+                     CAST(c_q AS DOUBLE) / CAST(n AS DOUBLE) AS metric, 1.0 AS threshold FROM a
+              UNION ALL SELECT 'completeness_l_shipdate',
+                     CAST(c_s AS DOUBLE) / CAST(n AS DOUBLE), 1.0 FROM a
+              UNION ALL SELECT 'domain_l_returnflag',
+                     CAST(d_f AS DOUBLE) / CAST(n AS DOUBLE), 1.0 FROM a
+              UNION ALL SELECT 'positive_l_extendedprice',
+                     CAST(p_p AS DOUBLE) / CAST(n AS DOUBLE), 1.0 FROM a
+              UNION ALL SELECT 'range_l_discount',
+                     CAST(r_d AS DOUBLE) / CAST(n AS DOUBLE), 0.99 FROM a
+              UNION ALL SELECT 'range_l_quantity',
+                     CAST(r_q AS DOUBLE) / CAST(n AS DOUBLE), 0.99 FROM a
+              UNION ALL SELECT 'uniqueness_pk',
+                     CAST(u_pk AS DOUBLE) / CAST(n AS DOUBLE), 1.0 FROM a)
+            SELECT check_name, metric, CAST(threshold AS DOUBLE) AS threshold,
+                   CAST(CASE WHEN metric >= threshold THEN 1 ELSE 0 END AS BIGINT) AS ok
+            FROM m ORDER BY check_name""")
+  )
+
+  /** k-anonymity + l-diversity audit over the customer quasi-identifier
+    * pair (nation, market segment) — the pre-release privacy check for
+    * any dataset that ships user-derived rows: a group smaller than k
+    * re-identifies its members; a group whose SENSITIVE attribute
+    * (here the account-balance thousand-bucket, in exact cents) takes
+    * fewer than l distinct values discloses it even at size ≥ k.
+    *
+    * Emits every quasi-identifier group with its size, its sensitive
+    * diversity, and the two pass flags — the caller suppresses or
+    * generalizes the `k_ok = 0 OR l_ok = 0` groups. One hash aggregate
+    * with an exact count-distinct (the group domain is the bounded
+    * nation × segment product, so the distinct expansion is bounded);
+    * at 100 TB the shape is unchanged — group state, not row state. */
+  val kanon: GraftQuery = GraftQuery(
+    "agg_kanon",
+    (s, dir) => {
+      import s.implicits._
+      val K = 5L; val L = 3L
+      Tables.customer(s, dir)
+        .select($"c_nationkey".cast("long").as("nation"), $"c_mktsegment".as("segment"),
+          // +100000 shifts the cents domain positive before the integer
+          // division: Spark `div` truncates toward zero while engines
+          // disagree on negative integer division, so the bucket id is
+          // only cross-engine-exact on a non-negative domain (c_acctbal
+          // ≥ −999.99 per the fixture, so the shift suffices).
+          expr("(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) + 100000) div 100000")
+            .as("bal_bucket"))
+        .groupBy($"nation", $"segment")
+        .agg(count(lit(1)).as("n"), count_distinct($"bal_bucket").as("l_div"))
+        .select($"nation", $"segment", $"n", $"l_div",
+          when($"n" >= K, 1L).otherwise(0L).as("k_ok"),
+          when($"l_div" >= L, 1L).otherwise(0L).as("l_ok"))
+        .orderBy($"nation", $"segment")
+    },
+    Some("""SELECT CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS segment,
+                   count(*) AS n,
+                   count(DISTINCT (CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) + 100000) // 100000) AS l_div,
+                   CAST(CASE WHEN count(*) >= 5 THEN 1 ELSE 0 END AS BIGINT) AS k_ok,
+                   CAST(CASE WHEN count(DISTINCT (CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) + 100000) // 100000) >= 3
+                        THEN 1 ELSE 0 END AS BIGINT) AS l_ok
+            FROM customer
+            GROUP BY 1, 2 ORDER BY 1, 2""")
+  )
+
   def all: Seq[GraftQuery] = Seq(
     statsAgg, percentiles, approxPercentile, stringAgg, pivotAgg, jsonStruct,
     topNRevenue, corrMatrix, ksTest, mannWhitney, chiSq, gini,
     ttestWelch, spearman, cramersV, benford, moments, shareOfParent, anova,
-    wilcoxon, entropy)
+    wilcoxon, entropy, expectations, kanon)
 }

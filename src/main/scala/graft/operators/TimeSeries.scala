@@ -1630,9 +1630,102 @@ object TimeSeries {
     }
   )
 
+  /** Exact ordinary-least-squares trend per event type on the daily
+    * revenue series — the classical companion to ts_theilsen (which is
+    * the robust fit): slope and intercept as EXACT BIGINT rationals plus
+    * R², the one number that says whether the linear story explains the
+    * series at all (Theil–Sen gives no goodness-of-fit).
+    *
+    * Determinism — exact sufficient statistics: x is the day offset
+    * from the per-type min day (BIGINT), y the daily cent sum (BIGINT);
+    * one aggregate folds n, Σx, Σy, Σxy, Σx², Σy² in BIGINT, and
+    *   slope     = Sxy / Sxx       (Sxy = nΣxy − ΣxΣy, Sxx = nΣx² − (Σx)²)
+    *   intercept = (Σy·Sxx − Sxy·Σx) / (n·Sxx)
+    *   R²        = Sxy² / (Sxx·Syy)
+    * are ratios of identical integers; the emitted doubles are IEEE
+    * operations on identical operands in identical order in both
+    * engines. The BIGINT headroom (nΣxy ≤ n²·span·max|y|; the intercept
+    * numerator ≤ 2·n²·span²·max|y|) rides GraftQuery.guarded off the
+    * same aggregate row — past ~100× sf0.1 the query RAISES (shift the
+    * folds to DECIMAL(38,0) then); R² squares Sxy in DOUBLE because its
+    * integer image can overflow first.
+    *
+    * Scale shape: one map-side-combined aggregate reduces the fact scan
+    * to the bounded (type, day) domain; the min-day anchor broadcasts
+    * back; the final fold is one row per type. 100 TB of events never
+    * leaves the first aggregate. */
+  val ols: GraftQuery = GraftQuery(
+    "ts_ols",
+    (s, dir) => {
+      import s.implicits._
+      val daily = changepointDaily(s, dir)
+      val anchor = daily.groupBy($"event_type")
+        .agg(min($"d").as("d0"), max(abs($"v")).as("mv"),
+          expr("CAST(datediff(max(d), min(d)) AS BIGINT)").as("span"))
+      val xy = daily.join(broadcast(anchor), "event_type")
+        .select($"event_type", $"mv", $"span",
+          expr("CAST(datediff(d, d0) AS BIGINT)").as("x"), $"v".as("y"))
+      val agg = xy.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"),
+          sum($"y" * $"y").as("syy"),
+          max($"mv").as("mv"), max($"span").as("span"))
+      val safe = lit(2.0) * pow($"n".cast("double"), 2.0) *
+        pow($"span".cast("double"), 2.0) * $"mv".cast("double") < 9.0e18
+      val g = (c: org.apache.spark.sql.Column) => graft.GraftQuery.guarded(
+        c, safe, "ts_ols: BIGINT sufficient statistics near overflow — " +
+          "shift the folds to DECIMAL(38,0)")
+      agg
+        .withColumn("num", g($"n" * $"sxy" - $"sx" * $"sy"))
+        .withColumn("den", g($"n" * $"sxx" - $"sx" * $"sx"))
+        .withColumn("syc", g($"n" * $"syy" - $"sy" * $"sy"))
+        .select($"event_type", $"n",
+          $"num".as("slope_num"), $"den".as("slope_den"),
+          ($"num".cast("double") / $"den".cast("double")).as("slope"),
+          (($"sy" * $"den" - $"num" * $"sx").cast("double")
+            / ($"n" * $"den").cast("double")).as("intercept"),
+          ($"num".cast("double") * $"num".cast("double")
+            / ($"den".cast("double") * $"syc".cast("double"))).as("r2"))
+        .orderBy($"event_type")
+    },
+    Some("""WITH daily AS (
+              SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+              FROM events GROUP BY 1, 2),
+            anchor AS (
+              SELECT event_type, min(d) AS d0 FROM daily GROUP BY 1),
+            xy AS (
+              SELECT daily.event_type,
+                     CAST(datediff('day', d0, d) AS BIGINT) AS x,
+                     v AS y
+              FROM daily JOIN anchor USING (event_type)),
+            a AS (
+              SELECT event_type, count(*) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * y) AS BIGINT) AS sxy,
+                     CAST(sum(x * x) AS BIGINT) AS sxx,
+                     CAST(sum(y * y) AS BIGINT) AS syy
+              FROM xy GROUP BY 1),
+            f AS (
+              SELECT event_type, n,
+                     CAST(n * sxy - sx * sy AS BIGINT) AS num,
+                     CAST(n * sxx - sx * sx AS BIGINT) AS den,
+                     CAST(n * syy - sy * sy AS BIGINT) AS syc,
+                     sx, sy
+              FROM a)
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   num AS slope_num, den AS slope_den,
+                   CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS slope,
+                   CAST(sy * den - num * sx AS DOUBLE)
+                     / CAST(n * den AS DOUBLE) AS intercept,
+                   CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+                     / (CAST(den AS DOUBLE) * CAST(syc AS DOUBLE)) AS r2
+            FROM f ORDER BY event_type""")
+  )
+
   def all: Seq[GraftQuery] =
     Seq(asofJoin, asofTolerance, gapFill, ntileRanks, skewSalted, resample, funnel,
       funnelWindowed, sessionize, retention, anomaly, interpolate, ewma,
       crossCorr, outlierMad, rollingMedian, cusum, seasonality, mkTrend,
-      theilSen, acf, changepoint, pacf, peaks, streaks, holt)
+      theilSen, acf, changepoint, pacf, peaks, streaks, holt, ols)
 }

@@ -482,4 +482,52 @@ class AggregatesSpec extends AnyFunSuite {
     assert(messages(e).exists(_.contains("boom")),
       s"guard must surface its message, got: ${messages(e).mkString(" | ")}")
   }
+
+  test("expectations: metrics match brute recomputes; audit flags the fixture's real pk defect") {
+    val rows = sources.Tables.lineitem(spark, TestSpark.Sf)
+      .select($"l_quantity", $"l_discount", $"l_returnflag", $"l_extendedprice",
+        $"l_orderkey", $"l_linenumber").collect()
+    val n = rows.length.toDouble
+    val brute = Map(
+      "range_l_quantity" ->
+        rows.count(r => r.getDouble(0) >= 1.0 && r.getDouble(0) <= 50.0) / n,
+      "range_l_discount" ->
+        rows.count(r => r.getDouble(1) >= 0.0 && r.getDouble(1) <= 0.1) / n,
+      "domain_l_returnflag" ->
+        rows.count(r => Set("A", "N", "R")(r.getString(2))) / n,
+      "uniqueness_pk" ->
+        rows.map(r => r.getLong(4) * 100L + r.getInt(5)).distinct.length / n)
+    val out = operators.Analytics.expectations.run(spark, TestSpark.Sf).collect()
+    assert(out.length === 7)
+    out.foreach { r =>
+      val (name, metric) = (r.getString(0), r.getAs[Double]("metric"))
+      brute.get(name).foreach(b =>
+        assert(metric === b, s"$name metric vs brute recompute"))
+      assert(r.getAs[Long]("ok") ===
+        (if (metric >= r.getAs[Double]("threshold")) 1L else 0L))
+      // The audit's value is that it FINDS defects: the synthetic fixture
+      // genuinely repeats (l_orderkey, l_linenumber) pairs (~77% unique at
+      // every SF), so uniqueness_pk must flag red while the six content
+      // checks pass — an all-green suite on a dirty table would mean the
+      // audit is decorative.
+      if (name == "uniqueness_pk")
+        assert(r.getAs[Long]("ok") === 0L && metric < 1.0,
+          "the audit must flag the fixture's duplicated pk")
+      else assert(r.getAs[Long]("ok") === 1L, s"fixture must pass $name")
+    }
+  }
+
+  test("k-anonymity: group sizes conserve; flags recompute; diversity bounded by size") {
+    val out = operators.Analytics.kanon.run(spark, TestSpark.Sf).collect()
+    val total = sources.Tables.customer(spark, TestSpark.Sf).count()
+    assert(out.map(_.getAs[Long]("n")).sum === total,
+      "every customer row must land in exactly one quasi-identifier group")
+    out.foreach { r =>
+      val (nG, lDiv) = (r.getAs[Long]("n"), r.getAs[Long]("l_div"))
+      assert(lDiv >= 1L && lDiv <= nG,
+        "l-diversity is at least 1 and at most the group size")
+      assert(r.getAs[Long]("k_ok") === (if (nG >= 5L) 1L else 0L))
+      assert(r.getAs[Long]("l_ok") === (if (lDiv >= 3L) 1L else 0L))
+    }
+  }
 }

@@ -679,4 +679,36 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
     assert(got.nonEmpty)
   }
+
+  test("ts_ols: exact rational slope matches brute sufficient statistics; R2 in [0,1]") {
+    val brute = dailyCents().map { case (t, series) =>
+      val d0 = series.map(_._1.toEpochDay).min
+      val xy = series.map { case (d, v) => (d.toEpochDay - d0, v) }
+      val n = xy.length.toLong
+      val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+      val sxy = xy.map(p => p._1 * p._2).sum
+      val sxx = xy.map(p => p._1 * p._1).sum
+      t -> (n, n * sxy - sx * sy, n * sxx - sx * sx)
+    }
+    val out = operators.TimeSeries.ols.run(spark, TestSpark.Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, num, den) = brute(r.getString(0))
+      assert(r.getAs[Long]("n") === n)
+      assert(r.getAs[Long]("slope_num") === num,
+        s"${r.getString(0)}: Sxy vs brute recompute")
+      assert(r.getAs[Long]("slope_den") === den,
+        s"${r.getString(0)}: Sxx vs brute recompute")
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= 0.0 && r2 <= 1.0 + 1e-12, s"R2 $r2 out of [0,1]")
+      // the fitted line passes through the centroid: ȳ = slope·x̄ + intercept
+      val xs = dailyCents()(r.getString(0))
+      val d0 = xs.map(_._1.toEpochDay).min
+      val xBar = xs.map(_._1.toEpochDay - d0).sum.toDouble / xs.length
+      val yBar = xs.map(_._2).sum.toDouble / xs.length
+      val fit = r.getAs[Double]("slope") * xBar + r.getAs[Double]("intercept")
+      assert(math.abs(fit - yBar) <= math.abs(yBar) * 1e-9 + 1e-6,
+        "OLS line must pass through the centroid")
+    }
+  }
 }
