@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.GraftQuery
 import graft.sources.Tables
@@ -1197,29 +1197,38 @@ object Analytics {
     * Scale shape: ONE map-side-combined hash aggregate onto the bounded
     * day domain; the entropy fold is a per-row projection over days ×
     * k columns. */
+  /** The fixed event-type domain and the per-day conditional count
+    * columns + entropy fold — shared by agg_entropy and its streaming
+    * twin (stream_entropy merges per-wave count partials into the same
+    * (d, c0..c4) frame before this fold). */
+  private[graft] val entropyTypes = Seq("click", "error", "purchase", "signup", "view")
+  private[graft] def entropyAggs: Seq[Column] =
+    entropyTypes.zipWithIndex.map { case (t, i) =>
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"c$i")
+    }
+  private[graft] def entropyFold(raw: DataFrame): DataFrame = {
+    val idx = entropyTypes.indices
+    val n = idx.map(i => col(s"c$i")).reduce(_ + _)
+    val k = idx.map(i => when(col(s"c$i") > 0L, 1L).otherwise(0L)).reduce(_ + _)
+    val clnc = idx.map(i =>
+      when(col(s"c$i") > 0L,
+        col(s"c$i").cast("double") * log(col(s"c$i").cast("double")))
+        .otherwise(lit(0.0))).reduce(_ + _)
+    val h = log(n.cast("double")) - clnc / n.cast("double")
+    raw.select(col("d"), n.as("n"), k.as("k_present"),
+        round(h, 6).as("entropy"),
+        round(h / log(lit(entropyTypes.length.toDouble)), 6).as("entropy_norm"))
+      .orderBy(col("d"))
+  }
+
   val entropy: GraftQuery = GraftQuery(
     "agg_entropy",
     (s, dir) => {
       import s.implicits._
-      val types = Seq("click", "error", "purchase", "signup", "view")
-      val aggs = types.zipWithIndex.map { case (t, i) =>
-        sum(when($"event_type" === t, 1L).otherwise(0L)).as(s"c$i")
-      }
-      val raw = Tables.events(s, dir)
+      val aggs = entropyAggs
+      entropyFold(Tables.events(s, dir)
         .select(to_date($"ts").as("d"), $"event_type")
-        .groupBy($"d").agg(aggs.head, aggs.tail: _*)
-      val idx = types.indices
-      val n = idx.map(i => col(s"c$i")).reduce(_ + _)
-      val k = idx.map(i => when(col(s"c$i") > 0L, 1L).otherwise(0L)).reduce(_ + _)
-      val clnc = idx.map(i =>
-        when(col(s"c$i") > 0L,
-          col(s"c$i").cast("double") * log(col(s"c$i").cast("double")))
-          .otherwise(lit(0.0))).reduce(_ + _)
-      val h = log(n.cast("double")) - clnc / n.cast("double")
-      raw.select($"d", n.as("n"), k.as("k_present"),
-          round(h, 6).as("entropy"),
-          round(h / log(lit(types.length.toDouble)), 6).as("entropy_norm"))
-        .orderBy($"d")
+        .groupBy($"d").agg(aggs.head, aggs.tail: _*))
     },
     Some("""WITH a AS (
               SELECT CAST(date_trunc('day', ts) AS DATE) AS d,

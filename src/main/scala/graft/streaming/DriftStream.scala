@@ -211,6 +211,44 @@ object DriftStream {
     graft.operators.Analytics.moments.oracle
   )
 
+  /** Streaming label-balance monitor — the micro-batch twin of
+    * `agg_entropy`, extending the monitor quartet with the CLASS-MIX
+    * alarm ("did today's labels collapse to one class as data landed?").
+    * Each wave appends per-day conditional count partials over the fixed
+    * event-type domain (5 BIGINT columns — the agg_anova device, so the
+    * entropy fold stays a fixed-order scalar chain, never an unordered
+    * double sum); the merge sums them per day — integer partials,
+    * associative at any wave split, Σ waves == the one-pass daily counts
+    * bit-for-bit — and the shared fold emits the identical entropy rows.
+    * Appended state is waves × days rows of k integers. Oracle = the
+    * batch twin's, verbatim. */
+  val streamEntropy: GraftQuery = GraftQuery(
+    "stream_entropy",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select($"event_id", to_date($"ts").as("d"), $"event_type")
+      val bounds = ev.agg(min($"event_id").as("lo"), max($"event_id").as("hi"))
+      def edge(k: Int): Column =
+        $"lo" - 1 + floor(($"hi" - $"lo" + 1) * lit(k) / lit(Waves.toDouble)).cast("long")
+      val aggs = Analytics.entropyAggs
+      val partials = (0 until Waves).map { k =>
+        ev.join(broadcast(bounds), $"event_id" > edge(k) && $"event_id" <= edge(k + 1))
+          .groupBy($"d").agg(aggs.head, aggs.tail: _*)
+          .localCheckpoint()
+      }
+      val idx = Analytics.entropyTypes.indices
+      val merged = partials.reduce(_.unionAll(_))
+        .groupBy($"d")
+        .agg(sum(col("c0")).as("c0"),
+          idx.tail.map(i => sum(col(s"c$i")).as(s"c$i")): _*)
+      Analytics.entropyFold(merged)
+    },
+    // Batching must not change any day's entropy row: the oracle is the
+    // batch label-balance monitor's, verbatim.
+    Analytics.entropy.oracle
+  )
+
   def all: Seq[GraftQuery] = Seq(streamKsDrift, streamTtest, streamChangepoint,
-    streamMoments)
+    streamMoments, streamEntropy)
 }

@@ -571,6 +571,15 @@ class TimeSeriesSpec extends AnyFunSuite {
       "batching must not move the shape statistics")
   }
 
+  test("stream_entropy: wave-merged count partials reproduce the batch entropy exactly") {
+    val streamed = streaming.DriftStream.streamEntropy
+      .run(spark, TestSpark.Sf).collect().map(_.toSeq)
+    val batch = operators.Analytics.entropy
+      .run(spark, TestSpark.Sf).collect().map(_.toSeq)
+    assert(streamed.toSeq === batch.toSeq,
+      "batching must not move any day's label-balance row")
+  }
+
   private def dailyCents(): Map[String, Seq[(java.time.LocalDate, Long)]] =
     sources.Tables.events(spark, TestSpark.Sf)
       .select($"event_type", to_date($"ts").as("d"), $"value").collect()
