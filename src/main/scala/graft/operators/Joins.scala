@@ -419,8 +419,75 @@ object Joins {
             ORDER BY probe_id""")
   )
 
+  /** Grid-bucketed SPATIAL self-join — all point pairs within radius R
+    * in a 2-D plane, the geo/feature-space neighbor primitive (store
+    * proximity, sensor clustering, embedding-projection neighborhoods).
+    * The naive form is the O(N²) cross join; the scale form here is the
+    * classic fixed-grid bucketing: snap each point to an R×R cell, join
+    * one side's 3×3 cell NEIGHBORHOOD (a 9-row generator explode, no
+    * shuffle) against the other side's actual cell, then apply the
+    * exact distance predicate as the join residual. Each qualifying
+    * pair matches exactly once (b's cell appears once in a's
+    * neighborhood), so no dedup pass is needed; cost is
+    * O(N · 9 · density), never O(N²), and the shuffle keys on the cell
+    * id — the spatial analog of join_range_binned's 1-D binning. At
+    * 100 TB: same plan with a finer grid; skewed cells (cities) take
+    * the documented salting/AQE-skew path.
+    *
+    * The fixture ships no geo columns, so the point cloud derives
+    * deterministically from the customer key via a cascaded-modulus
+    * mix (two rounds of multiply-mod over distinct primes — a single
+    * LCG round leaves a visible lattice with NO near pairs at small N;
+    * the cascade scatters all three SFs). Integer coordinates make
+    * dist² an exact BIGINT in both engines — no floating boundary
+    * anywhere. */
+  val spatialGrid: GraftQuery = GraftQuery(
+    "join_spatial_grid",
+    (s, dir) => {
+      import s.implicits._
+      val R = 100L
+      val pts = Tables.customer(s, dir).select($"c_custkey".as("id"),
+          expr("((c_custkey * 2654435761) % 1000003) % 10000").as("x"),
+          expr("((((c_custkey * 2654435761) % 1000003) * 40503 + 7919) % 999983) % 10000")
+            .as("y"))
+        .withColumn("cx", expr(s"x div $R"))
+        .withColumn("cy", expr(s"y div $R"))
+        .localCheckpoint() // both sides of the self-join read it
+      val probe = pts
+        .withColumn("dx", explode(sequence(lit(-1L), lit(1L))))
+        .withColumn("dy", explode(sequence(lit(-1L), lit(1L))))
+        .withColumn("ncx", $"cx" + $"dx")
+        .withColumn("ncy", $"cy" + $"dy")
+      probe.as("a")
+        .join(pts.as("b").hint("shuffle_hash"),
+          $"a.ncx" === $"b.cx" && $"a.ncy" === $"b.cy" && $"a.id" < $"b.id")
+        .select($"a.id".as("a_id"), $"b.id".as("b_id"),
+          (($"a.x" - $"b.x") * ($"a.x" - $"b.x")
+            + ($"a.y" - $"b.y") * ($"a.y" - $"b.y")).as("dist2"))
+        .filter($"dist2" <= R * R)
+        .orderBy($"a_id", $"b_id")
+    },
+    Some("""WITH p AS (
+              SELECT c_custkey AS id,
+                     ((c_custkey * 2654435761) % 1000003) % 10000 AS x,
+                     ((((c_custkey * 2654435761) % 1000003) * 40503 + 7919) % 999983) % 10000 AS y
+              FROM customer),
+            g AS (SELECT *, x // 100 AS cx, y // 100 AS cy FROM p),
+            n AS (
+              SELECT g.*, cx + dx.d AS ncx, cy + dy.d AS ncy
+              FROM g
+              CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dx
+              CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dy)
+            SELECT a.id AS a_id, b.id AS b_id,
+                   (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+            FROM n a JOIN g b
+              ON a.ncx = b.cx AND a.ncy = b.cy AND a.id < b.id
+            WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 10000
+            ORDER BY a_id, b_id""")
+  )
+
   def all: Seq[GraftQuery] = Seq(
     innerHash, broadcastDim, leftOuter, rightOuter, fullOuter,
     semi, anti, thetaRange, multiway, rangeBinned, bloomPrefilter,
-    scd2Pit)
+    scd2Pit, spatialGrid)
 }

@@ -116,4 +116,27 @@ class JoinsSpec extends AnyFunSuite {
     val rate = sampled.length.toDouble / rows.length
     assert(rate > 0.003 && rate < 0.05, s"sample rate $rate out of band")
   }
+
+  test("spatial grid join: exactly the brute-force radius pairs, each reported once") {
+    val keys = sources.Tables.customer(spark, TestSpark.Sf)
+      .select($"c_custkey").collect().map(_.getLong(0))
+    def mix(k: Long): (Long, Long) = {
+      val h1 = (k * 2654435761L) % 1000003L
+      (h1 % 10000L, ((h1 * 40503L + 7919L) % 999983L) % 10000L)
+    }
+    val pts = keys.map(k => k -> mix(k))
+    val brute = (for {
+      (a, (ax, ay)) <- pts; (b, (bx, by)) <- pts
+      if a < b
+      d2 = (ax - bx) * (ax - bx) + (ay - by) * (ay - by)
+      if d2 <= 10000L
+    } yield (a, b, d2)).toSet
+    val out = operators.Joins.spatialGrid.run(spark, TestSpark.Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length === out.distinct.length,
+      "grid neighborhoods must not double-report a pair")
+    assert(out.toSet === brute,
+      "grid join must find exactly the O(N²) brute-force radius pairs")
+    assert(brute.nonEmpty, "fixture must yield at least one near pair")
+  }
 }
