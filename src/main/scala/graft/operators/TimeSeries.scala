@@ -1630,6 +1630,114 @@ object TimeSeries {
     }
   )
 
+  /** Holt–Winters additive-seasonal constants: smoothing weights, the
+    * weekly period, and the kernel truncation depth (22 = three full
+    * periods inside the 30-day fixture series, leaving ≥8 emitted rows
+    * per type after warm-up). γ is deliberately high (seasonal memory
+    * decays (1−γ) per PERIOD, not per step — at K≈3 periods the
+    * dropped seasonal mass is (1−γ)³ ≈ 6%, which HoltSpec bounds). */
+  private[graft] val HwAlpha = 0.4
+  private[graft] val HwBeta = 0.3
+  private[graft] val HwGamma = 0.6
+  private[graft] val HwPeriod = 7
+  private[graft] val HwK = 22
+
+  /** Truncated-kernel weights for the 9-state rotating Holt–Winters
+    * recursion: state z = (l, b, q₁..q₇) with q_j = s_{t+1−j} (the
+    * seasonal ring buffer rotated each step, which makes the
+    * transition matrix A CONSTANT — the standard trick for expressing
+    * a periodic linear recursion as a time-invariant one):
+    *   l_t = α(x_t − q'₇) + (1−α)(l' + b')
+    *   b_t = β(l_t − l') + (1−β)b'
+    *   q₁ = γ(x_t − l_t) + (1−γ)q'₇ ; q_j = q'_{j−1}
+    * z_t = A z_{t−1} + c·x_t ⇒ contribution of x_{t−i} is A^i·c,
+    * computed once driver-side; per lag i this returns the weights of
+    * x_{t−i} in (level, trend, current season q₁, next-step season q₇)
+    * — forecast_{t+1} = level + trend + q₇. */
+  private[graft] def holtWintersWeights: Seq[(Double, Double, Double, Double)] = {
+    val (a, b, g, m) = (HwAlpha, HwBeta, HwGamma, HwPeriod)
+    val n = m + 2
+    // A rows: new-state coordinates as linear forms over the old state.
+    val A = Array.ofDim[Double](n, n)
+    val c = new Array[Double](n)
+    A(0)(0) = 1 - a; A(0)(1) = 1 - a; A(0)(n - 1) = -a; c(0) = a
+    for (j <- 0 until n) A(1)(j) = b * A(0)(j)
+    A(1)(0) -= b; A(1)(1) += 1 - b; c(1) = b * a
+    for (j <- 0 until n) A(2)(j) = -g * A(0)(j)
+    A(2)(n - 1) += 1 - g; c(2) = g * (1 - a)
+    for (j <- 2 until m + 1) A(j + 1)(j) = 1.0 // ring rotation q_j = q'_{j-1}
+    Iterator.iterate(c) { v =>
+      Array.tabulate(n)(i => (0 until n).map(j => A(i)(j) * v(j)).sum)
+    }.take(HwK).map(v => (v(0), v(1), v(2), v(n - 1))).toSeq
+  }
+
+  /** Holt–Winters additive-seasonal smoothing on the daily revenue
+    * series per event type — ts_holt plus a weekly seasonal index: the
+    * short-horizon forecast for any metric with a weekday rhythm
+    * (traffic, revenue, ingest volume all have one). Emits level,
+    * trend, the current seasonal index and the one-step-ahead forecast
+    * (level + trend + the index for tomorrow's weekday slot), only
+    * after a full K-lag warm-up.
+    *
+    * The ts_holt truncated-kernel device generalized from 2 to m+2
+    * states (see holtWintersWeights): the K per-lag weight quadruples
+    * are driver-side constants embedded as identical double literals in
+    * both engines, so the whole smoother is one fixed lag-window
+    * expression — whole-stage codegen, no sequential state fold, no
+    * UDAF. Scale shape identical to ts_holt: one corpus-sized hash
+    * aggregate onto the (type, day) domain, then one window. */
+  val holtWinters: GraftQuery = GraftQuery(
+    "ts_holt_winters",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"event_type").orderBy($"d")
+      val x = (i: Int) => lag($"v", i).over(w).cast("double")
+      val ws = holtWintersWeights
+      def sumOf(f: ((Double, Double, Double, Double)) => Double) =
+        ws.zipWithIndex.map { case (t, i) => x(i) * lit(f(t)) }.reduce(_ + _)
+      val (level, trend, season, qm) =
+        (sumOf(_._1), sumOf(_._2), sumOf(_._3), sumOf(_._4))
+      changepointDaily(s, dir)
+        .withColumn("level", level)
+        .withColumn("trend", trend)
+        .withColumn("season", season)
+        .withColumn("qm", qm)
+        .withColumn("warm", lag($"v", HwK - 1).over(w))
+        .filter($"warm".isNotNull)
+        .select($"event_type", $"d",
+          round($"level", 4).as("hw_level"),
+          round($"trend", 4).as("hw_trend"),
+          round($"season", 4).as("hw_season"),
+          round($"level" + $"trend" + $"qm", 4).as("forecast_next"))
+        .orderBy($"event_type", $"d")
+    },
+    Some {
+      val ws = holtWintersWeights
+      def terms(f: ((Double, Double, Double, Double)) => Double) =
+        ws.zipWithIndex.map { case (t, i) =>
+          s"CAST(lag(v, $i) OVER w AS DOUBLE) * CAST(${f(t)} AS DOUBLE)" }
+          .mkString(" + ")
+      s"""WITH daily AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+                   CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+            FROM events GROUP BY 1, 2),
+          h AS (
+            SELECT event_type, d,
+                   ${terms(_._1)} AS level, ${terms(_._2)} AS trend,
+                   ${terms(_._3)} AS season, ${terms(_._4)} AS qm,
+                   lag(v, ${HwK - 1}) OVER w AS warm
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY d))
+          SELECT event_type, d, round(level, 4) AS hw_level,
+                 round(trend, 4) AS hw_trend,
+                 round(season, 4) AS hw_season,
+                 round(level + trend + qm, 4) AS forecast_next
+          FROM h WHERE warm IS NOT NULL
+          ORDER BY event_type, d"""
+    }
+  )
+
   /** Exact ordinary-least-squares trend per event type on the daily
     * revenue series — the classical companion to ts_theilsen (which is
     * the robust fit): slope and intercept as EXACT BIGINT rationals plus
@@ -1727,5 +1835,5 @@ object TimeSeries {
     Seq(asofJoin, asofTolerance, gapFill, ntileRanks, skewSalted, resample, funnel,
       funnelWindowed, sessionize, retention, anomaly, interpolate, ewma,
       crossCorr, outlierMad, rollingMedian, cusum, seasonality, mkTrend,
-      theilSen, acf, changepoint, pacf, peaks, streaks, holt, ols)
+      theilSen, acf, changepoint, pacf, peaks, streaks, holt, ols, holtWinters)
 }

@@ -689,6 +689,40 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("ts_holt_winters: truncated kernel replays the exact zero-init seasonal recursion") {
+    // The kernel IS the zero-init recursion with terms older than K
+    // dropped, so on the last day (maximal warm-up) it must match the
+    // sequential zero-init replay within the documented (1−γ)^(K/m)
+    // seasonal truncation bound.
+    import operators.TimeSeries.{HwAlpha => a, HwBeta => b, HwGamma => g, HwPeriod => m}
+    val got = operators.TimeSeries.holtWinters.run(spark, TestSpark.Sf)
+      .collect().groupBy(_.getString(0))
+      .map { case (t, rows) => t -> rows.maxBy(_.getDate(1).toString) }
+    assert(got.nonEmpty)
+    got.foreach { case (t, r) =>
+      val xs = dailyCents()(t).map(_._2.toDouble)
+      var l = 0.0; var tr = 0.0
+      val q = Array.fill(m)(0.0) // q(0)=s_t … q(m-1)=s_{t-m+1}, zero init
+      xs.foreach { x =>
+        val sOld = q(m - 1)
+        val l2 = a * (x - sOld) + (1 - a) * (l + tr)
+        tr = b * (l2 - l) + (1 - b) * tr
+        val sNew = g * (x - l2) + (1 - g) * sOld
+        l = l2
+        for (j <- (m - 1) to 1 by -1) q(j) = q(j - 1)
+        q(0) = sNew
+      }
+      val scale = xs.map(math.abs).max
+      assert(math.abs(r.getAs[Double]("hw_level") - l) <= 0.08 * scale + 1.0,
+        s"$t: truncated level vs exact $l")
+      assert(math.abs(r.getAs[Double]("hw_season") - q(0)) <= 0.08 * scale + 1.0,
+        s"$t: truncated season vs exact ${q(0)}")
+      assert(math.abs(r.getAs[Double]("forecast_next") - (l + tr + q(m - 1)))
+        <= 0.08 * scale + 1.0,
+        s"$t: truncated forecast vs exact ${l + tr + q(m - 1)}")
+    }
+  }
+
   test("ts_ols: exact rational slope matches brute sufficient statistics; R2 in [0,1]") {
     val brute = dailyCents().map { case (t, series) =>
       val d0 = series.map(_._1.toEpochDay).min
