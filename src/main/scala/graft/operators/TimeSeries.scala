@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.GraftQuery
@@ -60,6 +60,76 @@ object TimeSeries {
               WHERE c.user_id = p.user_id AND c.event_type = 'click'
                 AND c.ts <= p.ts
               ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+            ) c ON true
+            WHERE p.event_type = 'purchase'
+            ORDER BY purchase_id""")
+  )
+
+  /** Nearest-in-time join — for every purchase, the click closest in
+    * EITHER direction (ties prefer the earlier, i.e. the backward
+    * match): the sensor-fusion / feature-alignment form of as-of, used
+    * when the reference stream samples around the probe rather than
+    * strictly before it (join_asof is the leakage-safe training form;
+    * nearest is the reconciliation/QA form).
+    *
+    * Implementation: the join_asof union once, then TWO running-edge
+    * windows over the SAME user partitioning (one shuffle, two sorts):
+    * the ascending window's running `last` click is the backward
+    * candidate (ts-equal clicks land here, distance 0), the descending
+    * window's is the forward candidate (kind-desc ordering excludes
+    * ts-equal clicks from the forward side, so no candidate is seen
+    * twice). The pick is one ON-ROW compare of exact EPOCH-MICROSECOND
+    * distances — never a |Δt| theta join. Tie on distance → backward;
+    * ties within a side → max event_id backward / min forward (the
+    * running-edge orders make this automatic). */
+  val asofNearest: GraftQuery = GraftQuery(
+    "join_asof_nearest",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select($"user_id", $"ts", $"event_id", $"value", $"event_type")
+      val tagged = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts", $"event_id", $"value", lit(0).as("kind"))
+        .unionByName(ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"ts", $"event_id", $"value", lit(1).as("kind")))
+      val fwd = Window.partitionBy($"user_id").orderBy($"ts", $"kind", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val bwd = Window.partitionBy($"user_id")
+        .orderBy($"ts".desc, $"kind".desc, $"event_id".desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      def edgeOf(w: org.apache.spark.sql.expressions.WindowSpec, c: Column) =
+        last(when($"kind" === 0, c), ignoreNulls = true).over(w)
+      tagged
+        .withColumn("b_id", edgeOf(fwd, $"event_id"))
+        .withColumn("b_val", edgeOf(fwd, $"value"))
+        .withColumn("b_ts", edgeOf(fwd, $"ts"))
+        .withColumn("a_id", edgeOf(bwd, $"event_id"))
+        .withColumn("a_val", edgeOf(bwd, $"value"))
+        .withColumn("a_ts", edgeOf(bwd, $"ts"))
+        .filter($"kind" === 1)
+        .withColumn("b_dist", unix_micros($"ts") - unix_micros($"b_ts"))
+        .withColumn("a_dist", unix_micros($"a_ts") - unix_micros($"ts"))
+        .withColumn("take_b",
+          $"b_id".isNotNull && ($"a_id".isNull || $"b_dist" <= $"a_dist"))
+        .select($"event_id".as("purchase_id"), $"user_id",
+          when($"take_b", $"b_id").otherwise($"a_id").as("click_id"),
+          when($"take_b", $"b_val").otherwise($"a_val").as("click_value"),
+          when($"take_b", $"b_dist").otherwise($"a_dist").as("dist_us"))
+        .orderBy($"purchase_id")
+    },
+    Some("""SELECT p.event_id AS purchase_id, p.user_id,
+                   c.event_id AS click_id, c.value AS click_value,
+                   c.dist_us
+            FROM events p
+            LEFT JOIN LATERAL (
+              SELECT event_id, value,
+                     abs(epoch_us(c.ts) - epoch_us(p.ts)) AS dist_us
+              FROM events c
+              WHERE c.user_id = p.user_id AND c.event_type = 'click'
+              ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)),
+                       CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END,
+                       CASE WHEN c.ts <= p.ts THEN -c.event_id ELSE c.event_id END
+              LIMIT 1
             ) c ON true
             WHERE p.event_type = 'purchase'
             ORDER BY purchase_id""")
@@ -1831,9 +1901,155 @@ object TimeSeries {
             FROM f ORDER BY event_type""")
   )
 
+  /** Rolling 14-calendar-day OLS slope per event type — ts_ols's trend
+    * as a MONITOR: "is the metric accelerating RIGHT NOW?", the local
+    * complement to the whole-series fit (one regime change makes the
+    * global slope a lie; the rolling window tracks it).
+    *
+    * Determinism — exact windowed sufficient statistics: x is the epoch
+    * day (BIGINT), y the daily cent sum; n/Σx/Σy/Σxy/Σx² are INTEGER
+    * window sums over a CALENDAR range frame (a row frame would splice
+    * across gaps), so slope_num/slope_den are exact BIGINTs per day and
+    * the double is one division — integer window sums are
+    * associativity-immune (trap note a bites double windows only).
+    * Emitted only when the window holds ≥ 7 observations (half the
+    * span; fewer makes the slope noise). Headroom: n·Σxy ≤
+    * 14²·epochday·max|y| ≈ 1e17 at sf0.1 — documented, unguarded
+    * (the window n is a constant 14, not a scale variable).
+    *
+    * Scale shape: one corpus-sized hash aggregate onto the (type, day)
+    * domain, then one range-frame window per type — the ts_ewma cost
+    * shape; 100 TB of events never reaches the window. */
+  val rollingOls: GraftQuery = GraftQuery(
+    "ts_rolling_ols",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"event_type").orderBy($"x")
+        .rangeBetween(-13L, 0L)
+      changepointDaily(s, dir)
+        .withColumn("x", expr("CAST(datediff(d, DATE'1970-01-01') AS BIGINT)"))
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("sx", sum($"x").over(w))
+        .withColumn("sy", sum($"v").over(w))
+        .withColumn("sxy", sum($"x" * $"v").over(w))
+        .withColumn("sxx", sum($"x" * $"x").over(w))
+        .filter($"n" >= 7L)
+        .select($"event_type", $"d", $"n".as("n_win"),
+          ($"n" * $"sxy" - $"sx" * $"sy").as("slope_num"),
+          ($"n" * $"sxx" - $"sx" * $"sx").as("slope_den"),
+          (($"n" * $"sxy" - $"sx" * $"sy").cast("double")
+            / ($"n" * $"sxx" - $"sx" * $"sx").cast("double")).as("slope"))
+        .orderBy($"event_type", $"d")
+    },
+    Some("""WITH daily AS (
+              SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+              FROM events GROUP BY 1, 2),
+            x AS (
+              SELECT event_type, d,
+                     CAST(datediff('day', DATE '1970-01-01', d) AS BIGINT) AS x, v
+              FROM daily),
+            r AS (
+              SELECT event_type, d,
+                     count(*) OVER w AS n,
+                     CAST(sum(x) OVER w AS BIGINT) AS sx,
+                     CAST(sum(v) OVER w AS BIGINT) AS sy,
+                     CAST(sum(x * v) OVER w AS BIGINT) AS sxy,
+                     CAST(sum(x * x) OVER w AS BIGINT) AS sxx
+              FROM x
+              WINDOW w AS (PARTITION BY event_type ORDER BY x
+                           RANGE BETWEEN 13 PRECEDING AND CURRENT ROW))
+            SELECT event_type, d, n AS n_win,
+                   CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+                   CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+            FROM r WHERE n >= 7
+            ORDER BY event_type, d""")
+  )
+
+  /** Rolling-origin backtest of the Holt one-step forecast — the
+    * "should we trust this model" readout: every emitted forecast is
+    * scored against the NEXT CALENDAR day's actual (a gap day scores
+    * nothing — scoring the next observation would grade a 1-step
+    * forecast against a k-step future), and per-type MAE and signed
+    * bias come back in EXACT CENTS.
+    *
+    * Determinism: ts_holt's forecast doubles are already bit-identical
+    * across engines (its own hash row proves it); the error integerizes
+    * each forecast FIRST (round to whole cents — one scalar op on an
+    * identical double), so the per-type sums are BIGINT folds with no
+    * association hazard. MAE/bias emit as exact num/den rationals plus
+    * the one-division double.
+    *
+    * Scale shape: the holt frame is days × types; the next-day actual
+    * is one more window `lead` over the SAME daily frame (no second
+    * scan of the fact table), and the final fold is one row per type. */
+  val forecastEval: GraftQuery = GraftQuery(
+    "ts_forecast_eval",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"event_type").orderBy($"d")
+      val x = (i: Int) => lag($"v", i).over(w).cast("double")
+      val level = holtWeights.zipWithIndex
+        .map { case ((cl, _), i) => x(i) * lit(cl) }.reduce(_ + _)
+      val trend = holtWeights.zipWithIndex
+        .map { case ((_, cb), i) => x(i) * lit(cb) }.reduce(_ + _)
+      changepointDaily(s, dir)
+        .withColumn("fc", round(level + trend, 4))
+        .withColumn("warm", lag($"v", HoltK - 1).over(w))
+        .withColumn("next_d", lead($"d", 1).over(w))
+        .withColumn("next_v", lead($"v", 1).over(w))
+        .filter($"warm".isNotNull && $"next_d" === date_add($"d", 1))
+        .withColumn("err", round($"fc").cast("long") - $"next_v")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_evals"),
+          sum(abs($"err")).as("mae_num"), sum($"err").as("bias_num"))
+        .select($"event_type", $"n_evals", $"mae_num", $"bias_num",
+          ($"mae_num".cast("double") / $"n_evals".cast("double")).as("mae_cents"),
+          ($"bias_num".cast("double") / $"n_evals".cast("double")).as("bias_cents"))
+        .orderBy($"event_type")
+    },
+    Some {
+      val lvl = holtWeights.zipWithIndex
+        .map { case ((cl, _), i) =>
+          s"CAST(lag(v, $i) OVER w AS DOUBLE) * CAST($cl AS DOUBLE)" }
+        .mkString(" + ")
+      val trd = holtWeights.zipWithIndex
+        .map { case ((_, cb), i) =>
+          s"CAST(lag(v, $i) OVER w AS DOUBLE) * CAST($cb AS DOUBLE)" }
+        .mkString(" + ")
+      s"""WITH daily AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+                   CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+            FROM events GROUP BY 1, 2),
+          h AS (
+            SELECT event_type, d, v,
+                   round($lvl + $trd, 4) AS fc,
+                   lag(v, ${HoltK - 1}) OVER w AS warm,
+                   lead(d, 1) OVER w AS next_d,
+                   lead(v, 1) OVER w AS next_v
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+          e AS (
+            SELECT event_type,
+                   CAST(round(fc) AS BIGINT) - next_v AS err
+            FROM h
+            WHERE warm IS NOT NULL AND next_d = d + 1)
+          SELECT event_type, count(*) AS n_evals,
+                 CAST(sum(abs(err)) AS BIGINT) AS mae_num,
+                 CAST(sum(err) AS BIGINT) AS bias_num,
+                 CAST(sum(abs(err)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mae_cents,
+                 CAST(sum(err) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS bias_cents
+          FROM e GROUP BY event_type
+          ORDER BY event_type"""
+    }
+  )
+
   def all: Seq[GraftQuery] =
     Seq(asofJoin, asofTolerance, gapFill, ntileRanks, skewSalted, resample, funnel,
       funnelWindowed, sessionize, retention, anomaly, interpolate, ewma,
       crossCorr, outlierMad, rollingMedian, cusum, seasonality, mkTrend,
-      theilSen, acf, changepoint, pacf, peaks, streaks, holt, ols, holtWinters)
+      theilSen, acf, changepoint, pacf, peaks, streaks, holt, ols, holtWinters,
+      asofNearest, rollingOls, forecastEval)
 }

@@ -178,6 +178,64 @@ object Windows {
             ORDER BY l_returnflag, rn""")
   )
 
+  /** Pareto concentration analysis — parts ranked by revenue with each
+    * part's exact cumulative revenue share and the 80%-head flag: the
+    * "which 20% of SKUs carry 80% of revenue" readout behind every
+    * catalog-pruning / cache-sizing / curriculum-weighting decision
+    * (for a training corpus, swap part → domain and revenue → tokens:
+    * this is the domain-mix concentration audit).
+    *
+    * Determinism — EXACT RATIONAL: per-part revenue folds as BIGINT
+    * cents in one hash aggregate; the cumulative numerator is an
+    * INTEGER window sum (associativity-immune) over the deterministic
+    * (revenue DESC, partkey) order, the grand total an integer window
+    * sum over the whole frame; share = one division, the head flag an
+    * integer cross-multiply (5·cum ≤ 4·total ⇔ share ≤ 0.8 — no
+    * double boundary). Top-200 emitted (the readout is the head; the
+    * tail is the point of the cut).
+    *
+    * Scale shape: the fact scan reduces in one map-side-combined hash
+    * aggregate to the part domain; the window sorts |parts| rows, not
+    * events — at 100 TB the sorted frame is still just the catalog. */
+  val pareto: GraftQuery = GraftQuery(
+    "agg_pareto",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.orderBy($"rev".desc, $"l_partkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.lineitem(s, dir)
+        .groupBy($"l_partkey")
+        .agg(expr("sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))")
+          .as("rev"))
+        .withColumn("cum", sum($"rev").over(w))
+        .withColumn("total", sum($"rev").over(tot))
+        .withColumn("rn", row_number().over(Window.orderBy($"rev".desc, $"l_partkey")))
+        .filter($"rn" <= 200)
+        .select($"rn", $"l_partkey", $"rev", $"cum",
+          ($"cum".cast("double") / $"total".cast("double")).as("cum_share"),
+          when($"cum" * 5L <= $"total" * 4L, 1L).otherwise(0L).as("in_head80"))
+        .orderBy($"rn")
+    },
+    Some("""WITH r AS (
+              SELECT l_partkey,
+                     CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev
+              FROM lineitem GROUP BY 1),
+            c AS (
+              SELECT l_partkey, rev,
+                     CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+                     CAST(sum(rev) OVER () AS BIGINT) AS total,
+                     row_number() OVER (ORDER BY rev DESC, l_partkey) AS rn
+              FROM r)
+            SELECT rn, l_partkey, rev, cum,
+                   CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share,
+                   CAST(CASE WHEN cum * 5 <= total * 4 THEN 1 ELSE 0 END AS BIGINT) AS in_head80
+            FROM c WHERE rn <= 200
+            ORDER BY rn""")
+  )
+
   def all: Seq[GraftQuery] =
-    Seq(rank3, topkPerGroup, running, lagLead, rangeFrame, dist)
+    Seq(rank3, topkPerGroup, running, lagLead, rangeFrame, dist, pareto)
 }

@@ -517,6 +517,30 @@ class AggregatesSpec extends AnyFunSuite {
     }
   }
 
+  test("pareto: cumulative shares match brute ranking; head flag is the exact cross-multiply") {
+    val rev = sources.Tables.lineitem(spark, TestSpark.Sf)
+      .select($"l_partkey", $"l_extendedprice").collect()
+      .map(r => (r.getLong(0), cents(r.getDouble(1))))
+      .groupBy(_._1).map { case (k, xs) => (k, xs.map(_._2).sum) }.toSeq
+    val ranked = rev.sortBy { case (k, v) => (-v, k) }
+    val total = rev.map(_._2).sum
+    val cums = ranked.scanLeft(0L)(_ + _._2).tail
+    val out = operators.Windows.pareto.run(spark, TestSpark.Sf).collect()
+    assert(out.length === math.min(200, ranked.length))
+    out.foreach { r =>
+      val i = r.getAs[Int]("rn") - 1
+      assert(r.getAs[Long]("l_partkey") === ranked(i)._1, s"rank ${i + 1} key")
+      assert(r.getAs[Long]("rev") === ranked(i)._2)
+      assert(r.getAs[Long]("cum") === cums(i))
+      assert(r.getAs[Long]("in_head80") ===
+        (if (cums(i) * 5 <= total * 4) 1L else 0L))
+    }
+    // cumulative share is nondecreasing and ends ≤ 1
+    val shares = out.map(_.getAs[Double]("cum_share"))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b })
+    assert(shares.last <= 1.0 + 1e-12)
+  }
+
   test("k-anonymity: group sizes conserve; flags recompute; diversity bounded by size") {
     val out = operators.Analytics.kanon.run(spark, TestSpark.Sf).collect()
     val total = sources.Tables.customer(spark, TestSpark.Sf).count()

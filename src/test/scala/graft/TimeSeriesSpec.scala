@@ -689,6 +689,77 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("join_asof_nearest: picks exactly the brute nearest click with documented tiebreaks") {
+    val ev = sources.Tables.events(spark, TestSpark.Sf)
+      .select($"user_id", $"ts", $"event_id", $"value", $"event_type").collect()
+      .map { r =>
+        val i = r.getTimestamp(1).toInstant
+        (r.getLong(0), i.getEpochSecond * 1000000L + i.getNano / 1000L,
+          r.getLong(2), r.getDouble(3), r.getString(4))
+      }
+    val clicks = ev.filter(_._5 == "click").groupBy(_._1)
+    val out = operators.TimeSeries.asofNearest.run(spark, TestSpark.Sf).collect()
+    val expectedN = ev.count(_._5 == "purchase")
+    assert(out.length === expectedN, "one output row per purchase")
+    val byId = out.map(r => r.getLong(0) ->
+      (if (r.isNullAt(2)) None else Some((r.getLong(2), r.getLong(4))))).toMap
+    ev.filter(_._5 == "purchase").foreach { case (u, pts, pid, _, _) =>
+      val cand = clicks.getOrElse(u, Array.empty)
+      val got = byId(pid)
+      if (cand.isEmpty) assert(got.isEmpty, s"purchase $pid: no clicks for user")
+      else {
+        // brute pick: min distance; tie → before side; before ties → max id,
+        // after ties → min id
+        val best = cand.minBy { case (_, cts, cid, _, _) =>
+          val before = cts <= pts
+          (math.abs(cts - pts), if (before) 0L else 1L,
+            if (before) -cid else cid)
+        }
+        assert(got.contains((best._3, math.abs(best._2 - pts))),
+          s"purchase $pid: got $got, brute ${(best._3, math.abs(best._2 - pts))}")
+      }
+    }
+  }
+
+  test("ts_rolling_ols: windowed sufficient statistics match a brute calendar-window recompute") {
+    val out = operators.TimeSeries.rollingOls.run(spark, TestSpark.Sf).collect()
+    assert(out.nonEmpty)
+    val daily = dailyCents()
+    out.foreach { r =>
+      val (t, d) = (r.getString(0), r.getDate(1).toLocalDate)
+      val win = daily(t).filter { case (dd, _) =>
+        val diff = d.toEpochDay - dd.toEpochDay; diff >= 0 && diff <= 13 }
+      val xy = win.map { case (dd, v) => (dd.toEpochDay, v) }
+      val n = xy.length.toLong
+      assert(r.getAs[Long]("n_win") === n, s"$t $d window size")
+      val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+      val sxy = xy.map(p => p._1 * p._2).sum; val sxx = xy.map(p => p._1 * p._1).sum
+      assert(r.getAs[Long]("slope_num") === n * sxy - sx * sy, s"$t $d Sxy")
+      assert(r.getAs[Long]("slope_den") === n * sxx - sx * sx, s"$t $d Sxx")
+    }
+  }
+
+  test("ts_forecast_eval: errors integerize the graded holt forecasts against next-day actuals") {
+    val holt = operators.TimeSeries.holt.run(spark, TestSpark.Sf).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate,
+        r.getAs[Double]("forecast_next"))).toSeq
+    val daily = dailyCents().map { case (t, xs) => t -> xs.toMap }
+    val brute = holt.flatMap { case (t, d, fc) =>
+      daily(t).get(d.plusDays(1)).map(actual =>
+        t -> (math.round(fc) - actual))
+    }.groupBy(_._1).map { case (t, es) =>
+      t -> (es.length.toLong, es.map(e => math.abs(e._2)).sum, es.map(_._2).sum)
+    }
+    val out = operators.TimeSeries.forecastEval.run(spark, TestSpark.Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, mae, bias) = brute(r.getString(0))
+      assert(r.getAs[Long]("n_evals") === n, s"${r.getString(0)} n")
+      assert(r.getAs[Long]("mae_num") === mae, s"${r.getString(0)} mae")
+      assert(r.getAs[Long]("bias_num") === bias, s"${r.getString(0)} bias")
+    }
+  }
+
   test("ts_holt_winters: truncated kernel replays the exact zero-init seasonal recursion") {
     // The kernel IS the zero-init recursion with terms older than K
     // dropped, so on the last day (maximal warm-up) it must match the
