@@ -1211,11 +1211,86 @@ object TextStats {
             GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50""")
   )
 
+  /** Per-source quality pass-rate with a Wilson 95% interval and a
+    * significance flag against the corpus-wide rate — the "is src7's
+    * quality dip REAL or just a small sample?" readout that decides
+    * whether a source gets throttled. A bare rate comparison flags
+    * every small source that wobbles; the Wilson bound only fires when
+    * the interval clears the global rate (the standard monitoring form
+    * — normal-approximation intervals misbehave exactly at the small-n
+    * sources this exists to judge).
+    *
+    * Determinism: n and k are exact BIGINTs per source (pass = the
+    * shared 4dp-rounded llm_quality score ≥ 0.5 — a boundary-safe
+    * compare of an already-rounded value); the Wilson chain is written
+    * as the SAME expression tree over (k/n, n) in both engines with
+    * z² = 3.8416 as a shared literal, so every double is an identical
+    * IEEE sequence; bounds round 6dp at the final projection (sqrt
+    * outputs are irrational, never on a rounding boundary); the flag
+    * compares UNROUNDED identical doubles.
+    *
+    * Scale shape: score is scan-projection arithmetic; one hash
+    * aggregate onto the bounded source domain; the global rate is a
+    * 1-row broadcast (the PlanAudit-allowlisted pattern). */
+  val qualityCi: GraftQuery = GraftQuery(
+    "llm_quality_ci",
+    (s, dir) => {
+      import s.implicits._
+      val passed = Tables.documents(s, dir).select($"doc_id", $"source")
+        .join(scoredDocs(s, dir), "doc_id")
+        .select($"source", when($"score" >= 0.5, 1L).otherwise(0L).as("pass"))
+      val per = passed.groupBy($"source")
+        .agg(count(lit(1)).as("n"), sum($"pass").as("k"))
+      val global = broadcast(passed.agg(
+        (sum($"pass").cast("double") / count(lit(1)).cast("double")).as("g")))
+      val nD = $"n".cast("double"); val p = $"k".cast("double") / nD
+      val z2 = lit(3.8416); val z = lit(1.96)
+      val denom = lit(1.0) + z2 / nD
+      val center = p + z2 / (lit(2.0) * nD)
+      val half = z * sqrt((p * (lit(1.0) - p) + z2 / (lit(4.0) * nD)) / nD)
+      per.crossJoin(global)
+        .select($"source", $"n", $"k",
+          round(p, 6).as("rate"),
+          round((center - half) / denom, 6).as("wilson_lo"),
+          round((center + half) / denom, 6).as("wilson_hi"),
+          when((center + half) / denom < $"g", 1L).otherwise(0L)
+            .as("sig_below_global"))
+        .orderBy($"source")
+    },
+    Some(s"""WITH q AS (
+              SELECT source, CASE WHEN $scoreSql >= 0.5 THEN 1 ELSE 0 END AS pass
+              FROM documents),
+            per AS (
+              SELECT source, count(*) AS n, CAST(sum(pass) AS BIGINT) AS k
+              FROM q GROUP BY 1),
+            g AS (
+              SELECT CAST(sum(pass) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS g
+              FROM q),
+            w AS (
+              SELECT source, n, k,
+                     CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+                     1.0 + 3.8416 / CAST(n AS DOUBLE) AS denom,
+                     CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                       + 3.8416 / (2.0 * CAST(n AS DOUBLE)) AS center,
+                     1.96 * sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                         * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                         + 3.8416 / (4.0 * CAST(n AS DOUBLE)))
+                       / CAST(n AS DOUBLE)) AS half
+              FROM per)
+            SELECT source, CAST(n AS BIGINT) AS n, k,
+                   round(p, 6) AS rate,
+                   round((center - half) / denom, 6) AS wilson_lo,
+                   round((center + half) / denom, 6) AS wilson_hi,
+                   CAST(CASE WHEN (center + half) / denom < (SELECT g FROM g)
+                        THEN 1 ELSE 0 END AS BIGINT) AS sig_below_global
+            FROM w ORDER BY source""")
+  )
+
   def all: Seq[GraftQuery] =
     Seq(textStats, langId, fingerprint, langProfile, tokenBpe, quality,
         qualityGopher,
         vocabTopK, vocabFuzzy, trainSplit, piiScrub, sampleStratified,
         packChunks, domainMix, shardShuffle, chunkSliding, sampleWeighted,
         qualityClassifier, winnow, winnowDedup, winnowDedupCapped,
-        bpeTrain, bpeApply, ngramTopK)
+        bpeTrain, bpeApply, ngramTopK, qualityCi)
 }

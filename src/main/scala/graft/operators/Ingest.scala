@@ -300,6 +300,41 @@ object Ingest {
 
   val sourceCsv: GraftQuery = roundTrip("csv")
   val sourceJson: GraftQuery = roundTrip("json")
+
+  /** The line-delimited TEXT source — the rawest ingestion format and
+    * the one most LLM corpora actually arrive in (one record per line,
+    * schema applied at read time by the consumer). A doc_id-tab-text
+    * line set round-trips through `format("text")` and is parsed back
+    * with a limit-2 split (a tab INSIDE the payload stays payload —
+    * the classic TSV splitting bug is an unlimited split), then graded
+    * on exact counts, char mass and id range against the parquet
+    * truth. The fixture's text carries no newlines (FIXTURES.md), so
+    * line = record holds; a production corpus with embedded newlines
+    * takes the JSON-lines round-trip (source_json) instead — that is
+    * the real decision boundary between the two formats. */
+  val sourceText: GraftQuery = GraftQuery(
+    "source_text",
+    (s, dir) => {
+      import s.implicits._
+      val out = s"/tmp/graft_src_text/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val cols = Tables.documents(s, dir).select($"doc_id", $"text")
+      graft.llm.Layouts.parquetLayout(out, out,
+          graft.llm.Layouts.fingerprint(cols, "doc_id", "text")) {
+        cols.select(concat($"doc_id".cast("string"), lit("\t"), $"text"))
+          .write.format("text").mode("overwrite").save(out)
+      }
+      s.read.text(out)
+        .select(split($"value", "\t", 2).as("parts"))
+        .select($"parts".getItem(0).cast("long").as("doc_id"),
+          $"parts".getItem(1).as("text"))
+        .agg(count(lit(1)).as("n"),
+          sum(length($"text")).as("sum_chars"),
+          min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
+    },
+    Some("""SELECT count(*) AS n, CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+                   min(doc_id) AS min_id, max(doc_id) AS max_id
+            FROM documents""")
+  )
   /** ORC exercises the OTHER columnar format family (predicate pushdown,
     * column pruning, and stripe statistics work exactly as for parquet;
     * unlike the text formats the round-trip is bit-exact). */
@@ -733,7 +768,7 @@ object Ingest {
 
   def all: Seq[GraftQuery] =
     Seq(ingestPartitioned, ingestIncremental, scanPartitionPrune, joinBucketed,
-        ingestUpsert, sourceCsv, sourceJson, sourceOrc, sourceBinary,
+        ingestUpsert, sourceCsv, sourceJson, sourceOrc, sourceText, sourceBinary,
         partitionBucket,
         ingestCompact,
         ingestCdc, ingestScd2, ingestZorder, ingestSchemaEvolution, joinDpp)

@@ -548,4 +548,31 @@ class CorpusSpec extends AnyFunSuite {
       assert(!r.getAs[Double]("skew").isNaN && !r.getAs[Double]("kurt").isNaN)
     }
   }
+
+  test("quality CI: counts brute-match; Wilson interval contains the rate; flag recomputes") {
+    val passes = sources.Tables.documents(spark, TestSpark.Sf)
+      .select($"doc_id", $"source").collect().map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    val scores = llm.TextStats.quality.run(spark, TestSpark.Sf).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Double]("score") >= 0.5)).toMap
+    val brute = passes.groupBy(_._2).map { case (src, ds) =>
+      src -> (ds.size.toLong, ds.keys.count(scores(_)).toLong)
+    }
+    val globalRate = scores.values.count(identity).toDouble / scores.size
+    val out = llm.TextStats.qualityCi.run(spark, TestSpark.Sf).collect()
+    assert(out.length === brute.size)
+    out.foreach { r =>
+      val (n, k) = brute(r.getString(0))
+      assert(r.getAs[Long]("n") === n, s"${r.getString(0)} n")
+      assert(r.getAs[Long]("k") === k, s"${r.getString(0)} k")
+      val (rate, lo, hi) = (r.getAs[Double]("rate"),
+        r.getAs[Double]("wilson_lo"), r.getAs[Double]("wilson_hi"))
+      assert(lo - 1e-9 <= rate && rate <= hi + 1e-9,
+        s"${r.getString(0)}: interval [$lo,$hi] must contain rate $rate")
+      assert(lo >= -1e-9 && hi <= 1.0 + 1e-9, "Wilson bounds stay in [0,1]")
+      if (r.getAs[Long]("sig_below_global") == 1L)
+        assert(hi < globalRate + 1e-6,
+          s"${r.getString(0)}: flag requires the upper bound below the global rate")
+    }
+  }
 }

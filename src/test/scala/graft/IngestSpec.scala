@@ -255,4 +255,22 @@ class IngestSpec extends AnyFunSuite {
         s"doc $id: blob bytes differ from parquet truth")
     }
   }
+
+  test("text source: limit-2 split recovers every record byte-exactly") {
+    import org.apache.spark.sql.functions._
+    // run the registered query once so the line layout exists
+    assert(operators.Ingest.sourceText.run(spark, TestSpark.Sf).count() == 1)
+    val lineRoot = s"/tmp/graft_src_text/${TestSpark.Sf.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val parsed = spark.read.text(lineRoot)
+      .select(split($"value", "\t", 2).as("p"))
+      .select($"p".getItem(0).cast("long").as("doc_id"), $"p".getItem(1).as("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val truth = sources.Tables.documents(spark, TestSpark.Sf)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(parsed.keySet === truth.keySet, "every doc round-trips as one line")
+    truth.foreach { case (id, text) =>
+      assert(parsed(id) === text, s"doc $id: text differs after the line round-trip")
+    }
+  }
 }
