@@ -1232,30 +1232,48 @@ object TextStats {
     * Scale shape: score is scan-projection arithmetic; one hash
     * aggregate onto the bounded source domain; the global rate is a
     * 1-row broadcast (the PlanAudit-allowlisted pattern). */
+  /** The per-doc (source, pass) frame under llm_quality_ci — shared
+    * with the streaming twin, whose wave partials are integer (n, k)
+    * sums of exactly these rows. */
+  private[graft] def qualityPassRows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select($"doc_id", $"source")
+      .join(scoredDocs(s, dir), "doc_id")
+      .select($"doc_id", $"source",
+        when($"score" >= 0.5, 1L).otherwise(0L).as("pass"))
+  }
+
+  /** The Wilson-interval fold over a (source, n, k) frame plus the
+    * 1-row global-rate frame — shared by llm_quality_ci and its
+    * streaming twin so the two chains cannot drift. */
+  private[graft] def wilsonFold(per: DataFrame, global: DataFrame): DataFrame = {
+    val s = per.sparkSession
+    import s.implicits._
+    val nD = $"n".cast("double"); val p = $"k".cast("double") / nD
+    val z2 = lit(3.8416); val z = lit(1.96)
+    val denom = lit(1.0) + z2 / nD
+    val center = p + z2 / (lit(2.0) * nD)
+    val half = z * sqrt((p * (lit(1.0) - p) + z2 / (lit(4.0) * nD)) / nD)
+    per.crossJoin(broadcast(global))
+      .select($"source", $"n", $"k",
+        round(p, 6).as("rate"),
+        round((center - half) / denom, 6).as("wilson_lo"),
+        round((center + half) / denom, 6).as("wilson_hi"),
+        when((center + half) / denom < $"g", 1L).otherwise(0L)
+          .as("sig_below_global"))
+      .orderBy($"source")
+  }
+
   val qualityCi: GraftQuery = GraftQuery(
     "llm_quality_ci",
     (s, dir) => {
       import s.implicits._
-      val passed = Tables.documents(s, dir).select($"doc_id", $"source")
-        .join(scoredDocs(s, dir), "doc_id")
-        .select($"source", when($"score" >= 0.5, 1L).otherwise(0L).as("pass"))
+      val passed = qualityPassRows(s, dir)
       val per = passed.groupBy($"source")
         .agg(count(lit(1)).as("n"), sum($"pass").as("k"))
-      val global = broadcast(passed.agg(
-        (sum($"pass").cast("double") / count(lit(1)).cast("double")).as("g")))
-      val nD = $"n".cast("double"); val p = $"k".cast("double") / nD
-      val z2 = lit(3.8416); val z = lit(1.96)
-      val denom = lit(1.0) + z2 / nD
-      val center = p + z2 / (lit(2.0) * nD)
-      val half = z * sqrt((p * (lit(1.0) - p) + z2 / (lit(4.0) * nD)) / nD)
-      per.crossJoin(global)
-        .select($"source", $"n", $"k",
-          round(p, 6).as("rate"),
-          round((center - half) / denom, 6).as("wilson_lo"),
-          round((center + half) / denom, 6).as("wilson_hi"),
-          when((center + half) / denom < $"g", 1L).otherwise(0L)
-            .as("sig_below_global"))
-        .orderBy($"source")
+      val global = passed.agg(
+        (sum($"pass").cast("double") / count(lit(1)).cast("double")).as("g"))
+      wilsonFold(per, global)
     },
     Some(s"""WITH q AS (
               SELECT source, CASE WHEN $scoreSql >= 0.5 THEN 1 ELSE 0 END AS pass

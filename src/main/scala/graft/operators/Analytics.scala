@@ -1380,9 +1380,63 @@ object Analytics {
             GROUP BY 1, 2 ORDER BY 1, 2""")
   )
 
+  /** Herfindahl–Hirschman concentration index per nation — how
+    * concentrated is line-item volume across a nation's suppliers
+    * (1/n_s = perfectly even, 1.0 = single-supplier): the antitrust
+    * number, and for a training pipeline the single-number form of
+    * agg_pareto's curve (swap supplier → source, volume → documents —
+    * "is this slice of the corpus effectively one provider?").
+    *
+    * Determinism — EXACT RATIONAL: per-supplier BIGINT line counts in
+    * one hash aggregate; HHI = Σc² / (Σc)², both BIGINT folds on the
+    * bounded supplier domain, one division of identical integers. The
+    * squares ride GraftQuery.guarded on n_s·max(c)² (and total²)
+    * headroom — past ~1000× sf0.1 the query RAISES (shift to
+    * DECIMAL(38,0)).
+    *
+    * Scale shape: the fact scan reduces in one map-side-combined
+    * aggregate onto the supplier domain (the nation tag rides a
+    * broadcast dim join); the second fold is 25 rows. */
+  val hhi: GraftQuery = GraftQuery(
+    "agg_hhi",
+    (s, dir) => {
+      import s.implicits._
+      val per = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.supplier(s, dir)
+          .select($"s_suppkey", $"s_nationkey")), $"l_suppkey" === $"s_suppkey")
+        .groupBy($"s_nationkey".cast("long").as("nation"), $"l_suppkey")
+        .agg(count(lit(1)).as("c"))
+      val agg = per.groupBy($"nation")
+        .agg(count(lit(1)).as("n_suppliers"), sum($"c").as("total"),
+          sum($"c" * $"c").as("hhi_num"), max($"c").as("mc"))
+      val safe = pow($"n_suppliers".cast("double"), 1.0) *
+        pow($"mc".cast("double"), 2.0) < 9.0e18 &&
+        pow($"total".cast("double"), 2.0) < 9.0e18
+      val g = (c: Column) => graft.GraftQuery.guarded(c, safe,
+        "agg_hhi: BIGINT square accumulators near overflow — " +
+          "shift to DECIMAL(38,0)")
+      agg.select($"nation", $"n_suppliers", $"total",
+          g($"hhi_num").as("hhi_num"),
+          (g($"hhi_num").cast("double")
+            / ($"total" * $"total").cast("double")).as("hhi"))
+        .orderBy($"nation")
+    },
+    Some("""WITH per AS (
+              SELECT CAST(s_nationkey AS BIGINT) AS nation, l_suppkey, count(*) AS c
+              FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              GROUP BY 1, 2)
+            SELECT nation, count(*) AS n_suppliers,
+                   CAST(sum(c) AS BIGINT) AS total,
+                   CAST(sum(c * c) AS BIGINT) AS hhi_num,
+                   CAST(sum(c * c) AS DOUBLE)
+                     / CAST(sum(c) * sum(c) AS DOUBLE) AS hhi
+            FROM per GROUP BY nation
+            ORDER BY nation""")
+  )
+
   def all: Seq[GraftQuery] = Seq(
     statsAgg, percentiles, approxPercentile, stringAgg, pivotAgg, jsonStruct,
     topNRevenue, corrMatrix, ksTest, mannWhitney, chiSq, gini,
     ttestWelch, spearman, cramersV, benford, moments, shareOfParent, anova,
-    wilcoxon, entropy, expectations, kanon)
+    wilcoxon, entropy, expectations, kanon, hhi)
 }

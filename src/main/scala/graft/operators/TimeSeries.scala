@@ -1901,6 +1901,59 @@ object TimeSeries {
             FROM f ORDER BY event_type""")
   )
 
+  /** Daily / weekly active users and the stickiness ratio — THE product
+    * engagement readout (DAU, trailing-7-day WAU, DAU/WAU): every
+    * metrics stack serves this from the event log, and the naive form
+    * (a distinct-count per sliding window) rescans the facts 7×.
+    *
+    * Implementation: the fact scan reduces ONCE to the distinct
+    * (user, day) domain; each active day then contributes its user to
+    * the 7 window ENDS it falls in (a 7-row generator explode on the
+    * bounded domain — not on events), and one distinct-aggregate per
+    * window end is the exact WAU. Window ends are clipped to observed
+    * days so every output row is a real calendar day. All counts exact
+    * BIGINTs; stickiness = one division. At 100 TB the explode runs on
+    * |users|·|active days| rows — the domain a 7× fact rescan would
+    * have to DISTINCT seven times.
+    *
+    * (An HLL-sketch variant of the same cube is the agg_sketch_merge
+    * pattern; this is the exact form.) */
+  val activeUsers: GraftQuery = GraftQuery(
+    "ts_active_users",
+    (s, dir) => {
+      import s.implicits._
+      val ud = Tables.events(s, dir)
+        .select($"user_id", to_date($"ts").as("d")).distinct()
+        .localCheckpoint() // read by DAU, the explode, and the day clip
+      val days = ud.select($"d").distinct()
+      val dau = ud.groupBy($"d").agg(count(lit(1)).as("dau"))
+      val wau = ud
+        .withColumn("w", explode(sequence(lit(0), lit(6))))
+        .select($"user_id", date_add($"d", $"w").as("d"))
+        .join(days.hint("shuffle_hash"), "d") // clip to observed days
+        .groupBy($"d").agg(count_distinct($"user_id").as("wau"))
+      dau.join(wau, "d")
+        .select($"d", $"dau", $"wau",
+          round($"dau".cast("double") / $"wau".cast("double"), 6).as("stickiness"))
+        .orderBy($"d")
+    },
+    Some("""WITH ud AS (
+              SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+              FROM events),
+            days AS (SELECT DISTINCT d FROM ud),
+            dau AS (SELECT d, count(*) AS dau FROM ud GROUP BY 1),
+            wau AS (
+              SELECT e.d, count(DISTINCT user_id) AS wau
+              FROM (SELECT user_id, d + w.i AS d
+                    FROM ud CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6]) AS i) w) e
+              JOIN days USING (d)
+              GROUP BY 1)
+            SELECT d, dau, wau,
+                   round(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 6) AS stickiness
+            FROM dau JOIN wau USING (d)
+            ORDER BY d""")
+  )
+
   /** Rolling 14-calendar-day OLS slope per event type — ts_ols's trend
     * as a MONITOR: "is the metric accelerating RIGHT NOW?", the local
     * complement to the whole-series fit (one regime change makes the
@@ -2051,5 +2104,5 @@ object TimeSeries {
       funnelWindowed, sessionize, retention, anomaly, interpolate, ewma,
       crossCorr, outlierMad, rollingMedian, cusum, seasonality, mkTrend,
       theilSen, acf, changepoint, pacf, peaks, streaks, holt, ols, holtWinters,
-      asofNearest, rollingOls, forecastEval)
+      asofNearest, rollingOls, forecastEval, activeUsers)
 }

@@ -184,6 +184,40 @@ object CorpusStream {
     Some(Corpus.curateOracle)
   )
 
+  /** Streaming source-quality monitor — the micro-batch twin of
+    * `llm_quality_ci`: each wave appends one (source, n, k) row of
+    * integer pass-count partials (the per-doc score is batch-pure, so
+    * partials are exact at any arrival split), the merge sums them per
+    * source, and the shared Wilson fold emits the identical intervals
+    * and significance flags. This is the live form of the throttling
+    * decision: "did src7's dip become significant as today's docs
+    * landed?" — recomputed per wave from source-domain-sized state,
+    * never re-scoring old documents. Oracle = the batch twin's,
+    * verbatim. */
+  val streamQualityCi: GraftQuery = GraftQuery(
+    "stream_quality_ci",
+    (s, dir) => {
+      import s.implicits._
+      val rows = graft.llm.TextStats.qualityPassRows(s, dir)
+      val partials = (0 until 3).map { k =>
+        rows.filter(pmod($"doc_id", lit(3)) === k)
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n"), sum($"pass").as("k"))
+          .localCheckpoint()
+      }
+      val merged = partials.reduce(_.unionAll(_))
+        .groupBy($"source").agg(sum($"n").as("n"), sum($"k").as("k"))
+        .localCheckpoint() // read by the fold and the global rate
+      val global = merged.agg(
+        (sum($"k").cast("double") / sum($"n").cast("double")).as("g"))
+      graft.llm.TextStats.wilsonFold(merged, global)
+    },
+    // Batching must not move an interval or a flag: the oracle is the
+    // batch Wilson monitor's, verbatim.
+    graft.llm.TextStats.qualityCi.oracle
+  )
+
   def all: Seq[GraftQuery] =
-    Seq(streamContamination, streamPerplexity, streamQuality, streamCurate)
+    Seq(streamContamination, streamPerplexity, streamQuality, streamCurate,
+      streamQualityCi)
 }

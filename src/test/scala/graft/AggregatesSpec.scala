@@ -517,6 +517,27 @@ class AggregatesSpec extends AnyFunSuite {
     }
   }
 
+  test("HHI: exact rational concentration matches brute counts; bounded by [1/n, 1]") {
+    val nationOf = sources.Tables.supplier(spark, TestSpark.Sf)
+      .select($"s_suppkey", $"s_nationkey").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val counts = sources.Tables.lineitem(spark, TestSpark.Sf)
+      .select($"l_suppkey").collect().map(r => r.getLong(0))
+      .groupBy(identity).map { case (k, xs) => (nationOf(k), k, xs.length.toLong) }
+    val out = operators.Analytics.hhi.run(spark, TestSpark.Sf).collect()
+    out.foreach { r =>
+      val nation = r.getAs[Long]("nation")
+      val cs = counts.filter(_._1 == nation).map(_._3).toSeq
+      assert(r.getAs[Long]("n_suppliers") === cs.length.toLong)
+      assert(r.getAs[Long]("total") === cs.sum)
+      assert(r.getAs[Long]("hhi_num") === cs.map(c => c * c).sum)
+      val h = r.getAs[Double]("hhi")
+      assert(h >= 1.0 / cs.length - 1e-12 && h <= 1.0 + 1e-12,
+        s"nation $nation HHI $h out of [1/n, 1]")
+    }
+    assert(out.nonEmpty)
+  }
+
   test("pareto: cumulative shares match brute ranking; head flag is the exact cross-multiply") {
     val rev = sources.Tables.lineitem(spark, TestSpark.Sf)
       .select($"l_partkey", $"l_extendedprice").collect()

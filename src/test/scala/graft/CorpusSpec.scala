@@ -575,4 +575,13 @@ class CorpusSpec extends AnyFunSuite {
           s"${r.getString(0)}: flag requires the upper bound below the global rate")
     }
   }
+
+  test("stream_quality_ci: wave-merged pass partials reproduce the batch intervals exactly") {
+    val streamed = streaming.CorpusStream.streamQualityCi
+      .run(spark, TestSpark.Sf).collect().map(_.toSeq)
+    val batch = llm.TextStats.qualityCi
+      .run(spark, TestSpark.Sf).collect().map(_.toSeq)
+    assert(streamed.toSeq === batch.toSeq,
+      "batching must not move an interval or a significance flag")
+  }
 }

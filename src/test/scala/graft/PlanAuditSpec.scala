@@ -53,6 +53,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "stream_moments",     // same 1-row wave-bounds broadcasts onto the fact scans
     "stream_entropy",     // same 1-row wave-bounds broadcasts onto the fact scans
     "llm_quality_ci",     // 1-row global-rate broadcast onto the source-domain rows
+    "stream_quality_ci",  // same 1-row global-rate broadcast (shared wilsonFold)
     "ts_pacf",            // shares acfFrame's 7-row lag-dimension broadcast
     "agg_chisq",          // 1-row table-totals broadcast onto the bounded cell domain
     "agg_cramers_v",      // same 1-row table-totals broadcast (shared construction)

@@ -689,6 +689,25 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("ts_active_users: DAU and trailing-7-day WAU match a brute window recompute") {
+    val ud = sources.Tables.events(spark, TestSpark.Sf)
+      .select($"user_id", to_date($"ts").as("d")).distinct().collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val days = ud.map(_._2).distinct
+    val out = operators.TimeSeries.activeUsers.run(spark, TestSpark.Sf).collect()
+    assert(out.length === days.length, "one row per observed day")
+    out.foreach { r =>
+      val d = r.getDate(0).toLocalDate
+      val dau = ud.count(_._2 == d).toLong
+      val wau = ud.filter { case (_, ad) =>
+        val diff = d.toEpochDay - ad.toEpochDay; diff >= 0 && diff <= 6
+      }.map(_._1).distinct.length.toLong
+      assert(r.getAs[Long]("dau") === dau, s"$d dau")
+      assert(r.getAs[Long]("wau") === wau, s"$d wau")
+      assert(r.getAs[Long]("dau") <= r.getAs[Long]("wau"), "DAU never exceeds WAU")
+    }
+  }
+
   test("join_asof_nearest: picks exactly the brute nearest click with documented tiebreaks") {
     val ev = sources.Tables.events(spark, TestSpark.Sf)
       .select($"user_id", $"ts", $"event_id", $"value", $"event_type").collect()
