@@ -330,7 +330,47 @@ object ScalarQueries {
             FROM u ORDER BY doc_id""")
   )
 
+  /** Timezone-aware local-hour load profile — events bucketed by their
+    * LOCAL hour of day in three markets (the follow-the-sun readout:
+    * "when are New York / London / Tokyo users actually active?").
+    * Naive hour-of-UTC profiles are the classic analytics bug this
+    * operator exists to replace; the conversion must consult the IANA
+    * tz database (offsets are political, not arithmetic).
+    *
+    * Cross-engine determinism: Spark's from_utc_timestamp reads the
+    * JVM's tzdata, DuckDB's timezone() reads ICU — both implement IANA,
+    * and the fixture's January window contains no DST transition in
+    * any profiled zone, so the mapping is offset-stable (an ambiguous
+    * fall-back hour is where two tzdata consumers may legitimately
+    * disagree; pin the fixture window away from transitions or grade
+    * per-zone offsets explicitly when extending). One scan projection
+    * + one hash aggregate onto the 3×24 domain. */
+  val fnTimezone: GraftQuery = GraftQuery(
+    "fn_timezone",
+    (s, dir) => {
+      import s.implicits._
+      val zones = Seq("America/New_York", "Europe/London", "Asia/Tokyo")
+      val ev = Tables.events(s, dir)
+      zones.map { z =>
+        ev.select(lit(z).as("market"),
+          hour(from_utc_timestamp($"ts", z)).cast("long").as("local_hour"))
+      }.reduce(_.unionAll(_))
+        .groupBy($"market", $"local_hour")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"market", $"local_hour")
+    },
+    Some("""WITH z AS (
+              SELECT unnest(['America/New_York', 'Europe/London', 'Asia/Tokyo']) AS market),
+            h AS (
+              SELECT market,
+                     CAST(hour(timezone(market, CAST(ts AS TIMESTAMPTZ))) AS BIGINT) AS local_hour
+              FROM events CROSS JOIN z)
+            SELECT market, local_hour, count(*) AS n
+            FROM h GROUP BY 1, 2
+            ORDER BY 1, 2""")
+  )
+
   def all: Seq[GraftQuery] =
     Seq(fnString, fnDate, fnMath, fnJson, fnArray, fnMap, fnBitwise, fnJsonDirty,
-      fnRegex, fnUrl)
+      fnRegex, fnUrl, fnTimezone)
 }

@@ -382,7 +382,51 @@ object Multimodal {
             ORDER BY doc_id, start_frame""")
   )
 
+  /** WebDataset-style shard assignment — documents packed in doc_id
+    * order into fixed-byte-budget shards (the tar-shard layout every
+    * large-scale multimodal loader consumes: shard = the unit of
+    * sequential I/O and of shuffle-at-the-shard-level training). The
+    * cut rule is the standard streaming one: a record opens a new
+    * shard when the bytes BEFORE it fill the current budget — i.e.
+    * shard_id = floor(running_sum_exclusive / budget), one window over
+    * the ordered corpus, no driver loop, no second pass.
+    *
+    * Payload size is the n_chars column (the blob-byte stand-in at
+    * fixture scale — the real pipeline sums payload byte lengths; the
+    * window arithmetic is identical). All integers exact; per-shard
+    * stats fold in one hash aggregate. At 100 TB the only global
+    * structure is the ordered running sum — exactly the prefix-sum
+    * shape ingest_partition_bucket already pays, and shards then write
+    * embarrassingly parallel. */
+  val shardPack: GraftQuery = GraftQuery(
+    "mm_shard_pack",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val budget = 4096L
+      val w = Window.orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, dir)
+        .select($"doc_id", $"n_chars")
+        .withColumn("before", coalesce(sum($"n_chars").over(w), lit(0L)))
+        .withColumn("shard_id", expr(s"before div $budget"))
+        .groupBy($"shard_id")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("bytes"),
+          min($"doc_id").as("first_doc"), max($"doc_id").as("max_doc"))
+        .orderBy($"shard_id")
+    },
+    Some("""WITH r AS (
+              SELECT doc_id, n_chars,
+                     CAST(coalesce(sum(n_chars) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS before
+              FROM documents)
+            SELECT before // 4096 AS shard_id, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS bytes,
+                   min(doc_id) AS first_doc, max(doc_id) AS max_doc
+            FROM r GROUP BY 1 ORDER BY 1""")
+  )
+
   def all: Seq[GraftQuery] =
     Seq(multimodalCols, decodeStubQuery, frameSample, resize, featureExtract,
-      phashDedup, audioVad, sceneCut)
+      phashDedup, audioVad, sceneCut, shardPack)
 }

@@ -85,4 +85,25 @@ class MultimodalSpec extends AnyFunSuite {
     // the threshold must actually cut somewhere on the fixture
     assert(out.exists(_._2 > 0), "no document ever produced a second scene")
   }
+
+  test("shard pack: brute prefix-sum cut reproduced; shards are contiguous id ranges") {
+    val docs = sources.Tables.documents(spark, TestSpark.Sf)
+      .select($"doc_id", $"n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val brute = docs.scanLeft((0L, 0L, 0L)) { case ((_, _, cum), (id, b)) =>
+      (id, cum / 4096L, cum + b)
+    }.tail.map { case (id, shard, _) => id -> shard }.toMap
+    val out = llm.Multimodal.shardPack.run(spark, TestSpark.Sf).collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum === docs.length.toLong)
+    var prevMax = -1L
+    out.foreach { r =>
+      val (first, last) = (r.getAs[Long]("first_doc"), r.getAs[Long]("max_doc"))
+      assert(first > prevMax, "shards must be contiguous, disjoint id ranges")
+      prevMax = last
+      assert(brute(first) === r.getAs[Long]("shard_id"), s"doc $first shard")
+      assert(brute(last) === r.getAs[Long]("shard_id"), s"doc $last shard")
+      assert(r.getAs[Long]("bytes") ===
+        docs.filter(d => d._1 >= first && d._1 <= last).map(_._2).sum)
+    }
+  }
 }
