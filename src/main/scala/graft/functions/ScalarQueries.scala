@@ -370,7 +370,45 @@ object ScalarQueries {
             ORDER BY 1, 2""")
   )
 
+  /** Per-partition table checksum — the cross-system integrity
+    * primitive behind every replication / migration verification
+    * ("does the copy hold exactly the source's rows?"): one
+    * ORDER-INSENSITIVE 48-bit digest per day that two systems compute
+    * independently and diff by partition, so a divergence localizes to
+    * a day instead of a table.
+    *
+    * Mechanics: each row canonicalizes to a string over its key and
+    * payload (money in exact CENTS — rendering a raw double is how
+    * checksum twins drift), md5-hashes, and keeps the first 48 bits as
+    * a BIGINT; the partition digest is BIT_XOR of the row hashes —
+    * commutative, associative, closed on 64 bits (a SUM checksum
+    * overflows exactly when the table gets big enough to matter).
+    * Collision note: XOR cancels DUPLICATE PAIRS of identical rows —
+    * the row string therefore includes the unique event_id. One scan
+    * projection + one hash aggregate onto the day domain. */
+  val fnChecksum: GraftQuery = GraftQuery(
+    "fn_checksum",
+    (s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .select(to_date($"ts").as("d"),
+          expr("""CAST(conv(substring(md5(concat(
+                    CAST(event_id AS STRING), '|', event_type, '|',
+                    CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS STRING)
+                  )), 1, 12), 16, 10) AS BIGINT)""").as("h"))
+        .groupBy($"d")
+        .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("checksum"))
+        .orderBy($"d")
+    },
+    Some("""SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS n,
+                   bit_xor(CAST(('0x' || substr(md5(
+                     CAST(event_id AS VARCHAR) || '|' || event_type || '|' ||
+                     CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR)
+                   ), 1, 12)) AS BIGINT)) AS checksum
+            FROM events GROUP BY 1 ORDER BY 1""")
+  )
+
   def all: Seq[GraftQuery] =
     Seq(fnString, fnDate, fnMath, fnJson, fnArray, fnMap, fnBitwise, fnJsonDirty,
-      fnRegex, fnUrl, fnTimezone)
+      fnRegex, fnUrl, fnTimezone, fnChecksum)
 }

@@ -517,6 +517,31 @@ class AggregatesSpec extends AnyFunSuite {
     }
   }
 
+  test("fn_checksum: digest matches a driver-side MD5/XOR recompute; one-row change flips it") {
+    val rows = sources.Tables.events(spark, TestSpark.Sf)
+      .select(to_date($"ts").as("d"), $"event_id", $"event_type", $"value").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getString(2),
+        cents(r.getDouble(3))))
+    def h48(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(12), 16)
+    }
+    val brute = rows.groupBy(_._1).map { case (d, xs) =>
+      d -> xs.map { case (_, id, t, c) => h48(s"$id|$t|$c") }.reduce(_ ^ _)
+    }
+    val out = functions.ScalarQueries.fnChecksum.run(spark, TestSpark.Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("checksum") === brute(r.getDate(0).toString),
+        s"day ${r.getDate(0)}: digest vs driver recompute")
+    }
+    // sensitivity: perturbing one row's payload flips its day's digest
+    val (d0, id0, t0, c0) = rows.head
+    val flipped = brute(d0) ^ h48(s"$id0|$t0|$c0") ^ h48(s"$id0|$t0|${c0 + 1}")
+    assert(flipped !== brute(d0), "a one-cent change must flip the digest")
+  }
+
   test("HHI: exact rational concentration matches brute counts; bounded by [1/n, 1]") {
     val nationOf = sources.Tables.supplier(spark, TestSpark.Sf)
       .select($"s_suppkey", $"s_nationkey").collect()
