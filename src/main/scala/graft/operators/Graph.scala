@@ -1450,9 +1450,130 @@ object Graph {
     }
   )
 
+  /** node2vec-style BIASED random walks — graph_walks' 2nd-order form:
+    * the step out of `cur` remembers `prev` and reweights each
+    * candidate by where it stands relative to the walk's history
+    * (return to prev / stay in prev's neighborhood / explore away),
+    * which is the whole point of node2vec — the p,q dials interpolate
+    * between BFS-like (structural roles) and DFS-like (communities)
+    * corpora. Weights here are INTEGERS (return 2, common-neighbor 3,
+    * far 1 ≙ p = 1/2, q = 1/3 at unit base) so the weighted pick is
+    * exact threshold arithmetic, never a floating cumulative.
+    *
+    * Per biased step (the scale shape a real walker needs):
+    *   1. frontier ⋈ adjacency on cur — the O(E) candidate expansion,
+    *      bucketed-layout side exchange-free;
+    *   2. LEFT join adjacency on (prev, cand) — the is-common-neighbor
+    *      probe, an equi join on the same layout (node2vec's alias
+    *      tables precompute exactly this; the join IS the distributed
+    *      alias table);
+    *   3. one window per walk: cumulative integer weight in
+    *      dst-ascending order, threshold r = mix(cur, prev, t) mod
+    *      total weight, pick = first candidate with cum > r.
+    * Step 1 (no prev yet) is graph_walks' 1st-order pick, so the two
+    * walk tables share their first hop semantics. Lineage cut per
+    * round; walks never die (deg ≥ 1 on the both-orientations layout).
+    */
+  val walksBiased: GraftQuery = GraftQuery(
+    "graph_walks_biased",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val adj = adjacency(s, dir).select($"src", $"dst", $"deg")
+      val ranked = adj.withColumn("idx",
+        row_number().over(Window.partitionBy($"src").orderBy($"dst")) - 1L)
+      val seeds = vertices(adjacency(s, dir))
+        .select($"src".as("walk_id"), $"src".as("cur")).localCheckpoint()
+      // step 1: 1st-order pick (no prev) — graph_walks' rule at t = 1
+      val s1 = seeds.join(ranked,
+          seeds("cur") === ranked("src") &&
+            ranked("idx") ===
+              pmod(seeds("cur") * lit(1103515245L) + lit(1L * 12345L + 12345L),
+                lit(2147483648L)) % ranked("deg"))
+        .select(seeds("walk_id"), seeds("cur").as("prev"), ranked("dst").as("cur"))
+        .localCheckpoint()
+      // steps 2..3: 2nd-order biased picks
+      val biased = (2 to 3).scanLeft(s1) { (frontier, t) =>
+        val cand = frontier.join(adj.as("a"), frontier("cur") === $"a.src")
+          .select(frontier("walk_id"), frontier("prev"), frontier("cur"),
+            $"a.dst".as("cand"))
+        val flagged = cand.join(
+            adj.as("e").select($"e.src".as("p2"), $"e.dst".as("c2")),
+            $"prev" === $"p2" && $"cand" === $"c2", "left")
+          .select($"walk_id", $"prev", $"cur", $"cand",
+            when($"cand" === $"prev", 2L)
+              .when($"c2".isNotNull, 3L).otherwise(1L).as("w"))
+        val wWin = Window.partitionBy($"walk_id").orderBy($"cand")
+        val scored = flagged
+          .withColumn("cum", sum($"w").over(
+            wWin.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("total", sum($"w").over(
+            Window.partitionBy($"walk_id")))
+          .withColumn("r",
+            pmod($"cur" * lit(1103515245L) + $"prev" * lit(40503L)
+              + lit(t * 12345L + 12345L), lit(2147483648L)) % $"total")
+        scored.filter($"cum" > $"r")
+          .withColumn("rn", row_number().over(wWin))
+          .filter($"rn" === 1)
+          .select($"walk_id", $"cur".as("prev"), $"cand".as("cur"))
+          .localCheckpoint()
+      }
+      val steps = seeds.select($"walk_id", lit(0L).as("step"), $"cur".as("v")) +:
+        biased.zipWithIndex.map { case (f, i) =>
+          f.select($"walk_id", lit((i + 1).toLong).as("step"), $"cur".as("v"))
+        }
+      steps.reduce(_.unionAll(_)).orderBy($"walk_id", $"step")
+    },
+    Some {
+      def biasedStep(t: Int): String =
+        s"""c$t AS (
+              SELECT f.walk_id, f.prev, f.cur, a.dst AS cand,
+                     CASE WHEN a.dst = f.prev THEN 2
+                          WHEN e2.src IS NOT NULL THEN 3
+                          ELSE 1 END AS w
+              FROM w${t - 1} f
+              JOIN e a ON a.src = f.cur
+              LEFT JOIN e e2 ON e2.src = f.prev AND e2.dst = a.dst),
+            s$t AS (
+              SELECT *,
+                     sum(w) OVER (PARTITION BY walk_id ORDER BY cand
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                     sum(w) OVER (PARTITION BY walk_id) AS total
+              FROM c$t),
+            w$t AS (
+              SELECT walk_id, cur AS prev, cand AS cur FROM (
+                SELECT walk_id, cur, cand,
+                       row_number() OVER (PARTITION BY walk_id ORDER BY cand) AS rn
+                FROM s$t
+                WHERE cum > ((cur * 1103515245 + prev * 40503 + ${t * 12345 + 12345})
+                             % 2147483648) % total)
+              WHERE rn = 1)"""
+      s"""WITH $edgeCte,
+          ranked AS (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+                   count(*) OVER (PARTITION BY src) AS deg
+            FROM e),
+          w0 AS (SELECT src AS walk_id, src AS cur FROM (SELECT DISTINCT src FROM e)),
+          w1 AS (
+            SELECT w0.walk_id, w0.cur AS prev, r.dst AS cur
+            FROM w0 JOIN ranked r
+              ON r.src = w0.cur
+             AND r.idx = ((w0.cur * 1103515245 + ${1 * 12345 + 12345})
+                          % 2147483648) % r.deg),
+          ${(2 to 3).map(biasedStep).mkString(",\n")}
+          SELECT walk_id, CAST(step AS BIGINT) AS step, v FROM (
+            SELECT walk_id, 0 AS step, cur AS v FROM w0
+            UNION ALL SELECT walk_id, 1, cur FROM w1
+            UNION ALL SELECT walk_id, 2, cur FROM w2
+            UNION ALL SELECT walk_id, 3, cur FROM w3)
+          ORDER BY walk_id, step"""
+    }
+  )
+
   def all: Seq[GraftQuery] =
     Seq(pagerank, pagerankDelta, pagerankWeighted, pagerankPersonal, cc, jaccard,
       jaccardCapped, adamicAdar, labelPropagation, bfs,
       closenessLandmarks, edgesIncremental, triangles, degreeDist, kCore,
-      mst, assortativity, modularity, hits, walks)
+      mst, assortativity, modularity, hits, walks, walksBiased)
 }

@@ -551,6 +551,47 @@ class GraphSpec extends AnyFunSuite {
       s"teleport must concentrate mass at seeds: $seedMean vs $restMean")
   }
 
+  test("graph_walks_biased: every 2nd-order step replays the integer-weight threshold pick") {
+    val edges = bruteEdges
+    val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).sorted }
+    val adjSet = edges.flatMap { case (a, b) => Set((a, b), (b, a)) }
+    def pick1(v: Long): Long = {
+      val nbrs = adj(v)
+      nbrs((((v * 1103515245L + 24690L) % 2147483648L) % nbrs.length).toInt)
+    }
+    def pickBiased(prev: Long, cur: Long, t: Int): Long = {
+      val cands = adj(cur).map { c =>
+        val w = if (c == prev) 2L else if (adjSet((prev, c))) 3L else 1L
+        (c, w)
+      }
+      val total = cands.map(_._2).sum
+      val r = ((cur * 1103515245L + prev * 40503L + t * 12345L + 12345L)
+        % 2147483648L) % total
+      var cum = 0L
+      cands.find { case (_, w) => cum += w; cum > r }.get._1
+    }
+    val walks = operators.Graph.walksBiased.run(spark, TestSpark.Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (w, xs) => w -> xs.sortBy(_._2).map(_._3).toSeq }
+    assert(walks.nonEmpty)
+    walks.foreach { case (w, path) =>
+      assert(path.length === 4, s"walk $w length")
+      assert(path.head === w && path(1) === pick1(w), s"walk $w first hop")
+      assert(path(2) === pickBiased(path(0), path(1), 2), s"walk $w step 2")
+      assert(path(3) === pickBiased(path(1), path(2), 3), s"walk $w step 3")
+    }
+    // the bias must actually bite on the fixture: some step-2 pick differs
+    // from what the UNBIASED rule would have chosen
+    def pickUnbiased(v: Long, t: Int): Long = {
+      val nbrs = adj(v)
+      nbrs((((v * 1103515245L + t * 12345L + 12345L) % 2147483648L)
+        % nbrs.length).toInt)
+    }
+    assert(walks.exists { case (_, p) => p(2) != pickUnbiased(p(1), 2) },
+      "integer weights never changed a pick — the bias is decorative")
+  }
+
   test("graph_walks: every walk replays the deterministic neighbor picks edge-by-edge") {
     val adj = bruteEdges.toSeq
       .flatMap { case (a, b) => Seq(a -> b, b -> a) }
