@@ -88,6 +88,58 @@ object Ingest {
             ORDER BY event_type, d""")
   )
 
+  /** TTL retention vacuum — keep only the trailing 14 days of the
+    * day-partitioned event layout: the lifecycle op every partitioned
+    * 100 TB table runs nightly (cost, compliance, and the reason
+    * partition-by-date exists at all). Two production forms: with a
+    * catalog, retention is a METADATA operation (DROP PARTITION — no
+    * data read); without one (plain object-store paths, this fixture),
+    * it is a partition-PRUNED rewrite of only the surviving days —
+    * never a full-table scan-and-filter, because the retention
+    * predicate is on the partition column and prunes at planning time.
+    *
+    * The surviving layout persists fingerprinted (source regeneration
+    * rebuilds it); the graded read-back audits per-day survivor counts
+    * plus the days_kept rollup, with the cutoff derived from the data
+    * (max day − 13) so the query is scale-factor-independent. */
+  val ingestRetention: GraftQuery = GraftQuery(
+    "ingest_retention",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val out = s"/tmp/graft_retention/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.llm.Layouts.parquetLayout(out, out,
+          graft.llm.Layouts.fingerprint(Tables.events(s, dir), "event_id", "ts")) {
+        val src = s"/tmp/graft_ingest/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        writePartitioned(Tables.events(s, dir), src)
+        val srcDf = s.read.parquet(src)
+        // Surviving-day list from the PARTITION VALUES (planning-time
+        // metadata, not a data scan), then a broadcast SEMI join on the
+        // partition column — the form Spark's dynamic partition pruning
+        // recognizes, so expired days never leave the file listing.
+        val cut = srcDf.agg(date_add(max($"d"), -13).as("c"))
+        val survivors = srcDf.select($"d").distinct()
+          .crossJoin(broadcast(cut)).filter($"d" >= $"c").select($"d")
+        srcDf.join(broadcast(survivors), Seq("d"), "left_semi")
+          .write.partitionBy("d").mode("overwrite").parquet(out)
+      }
+      s.read.parquet(out)
+        .groupBy($"d".cast("string").as("d"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("days_kept", count(lit(1)).over(Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+        .orderBy($"d")
+    },
+    Some("""WITH cut AS (
+              SELECT CAST(max(date_trunc('day', ts)) AS DATE) - 13 AS c FROM events),
+            kept AS (
+              SELECT strftime(ts, '%Y-%m-%d') AS d
+              FROM events WHERE CAST(date_trunc('day', ts) AS DATE) >= (SELECT c FROM cut))
+            SELECT d, count(*) AS n,
+                   (SELECT count(DISTINCT d) FROM kept) AS days_kept
+            FROM kept GROUP BY d ORDER BY d""")
+  )
+
   /** Incremental load from a committed watermark (R2/R3 batch form):
     * only events past the watermark are consumed; the predicate pushes
     * into the scan. The watermark here is derived (midpoint) to stay
@@ -768,7 +820,8 @@ object Ingest {
 
   def all: Seq[GraftQuery] =
     Seq(ingestPartitioned, ingestIncremental, scanPartitionPrune, joinBucketed,
-        ingestUpsert, sourceCsv, sourceJson, sourceOrc, sourceText, sourceBinary,
+        ingestUpsert, ingestRetention, sourceCsv, sourceJson, sourceOrc,
+        sourceText, sourceBinary,
         partitionBucket,
         ingestCompact,
         ingestCdc, ingestScd2, ingestZorder, ingestSchemaEvolution, joinDpp)

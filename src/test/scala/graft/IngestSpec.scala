@@ -256,6 +256,30 @@ class IngestSpec extends AnyFunSuite {
     }
   }
 
+  test("retention vacuum: expired day partitions are physically absent from the layout") {
+    import org.apache.spark.sql.functions._
+    val out = operators.Ingest.ingestRetention.run(spark, TestSpark.Sf).collect()
+    assert(out.length === 14, "exactly the trailing 14 days survive")
+    assert(out.map(_.getAs[Long]("days_kept")).distinct.toSeq === Seq(14L))
+    // the layout itself (not just the query) must have dropped the days:
+    // expired partition DIRECTORIES are gone from disk
+    val root = new java.io.File(
+      s"/tmp/graft_retention/${TestSpark.Sf.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val dayDirs = root.listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("d=")).map(_.stripPrefix("d=")).sorted
+    assert(dayDirs.length === 14, s"on-disk partitions: ${dayDirs.mkString(",")}")
+    val allDays = sources.Tables.events(spark, TestSpark.Sf)
+      .select(to_date($"ts").cast("string")).distinct().collect()
+      .map(_.getString(0)).sorted
+    assert(dayDirs.toSeq === allDays.takeRight(14).toSeq,
+      "survivors must be exactly the trailing calendar days")
+    // survivor counts equal the source's per-day counts (nothing row-filtered)
+    val brute = sources.Tables.events(spark, TestSpark.Sf)
+      .groupBy(to_date($"ts").cast("string").as("d")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach(r => assert(r.getAs[Long]("n") === brute(r.getString(0))))
+  }
+
   test("text source: limit-2 split recovers every record byte-exactly") {
     import org.apache.spark.sql.functions._
     // run the registered query once so the line layout exists
