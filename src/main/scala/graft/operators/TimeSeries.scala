@@ -1918,24 +1918,32 @@ object TimeSeries {
     *
     * (An HLL-sketch variant of the same cube is the agg_sketch_merge
     * pattern; this is the exact form.) */
+  /** The DAU/WAU/stickiness fold over a DISTINCT (user_id, d) frame —
+    * shared by ts_active_users and its streaming twin (whose waves
+    * merge to exactly this frame). */
+  private[graft] def activeUsersFold(udRaw: DataFrame): DataFrame = {
+    val s = udRaw.sparkSession
+    import s.implicits._
+    val ud = udRaw.localCheckpoint() // read by DAU, the explode, the day clip
+    val days = ud.select($"d").distinct()
+    val dau = ud.groupBy($"d").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .withColumn("w", explode(sequence(lit(0), lit(6))))
+      .select($"user_id", date_add($"d", $"w").as("d"))
+      .join(days.hint("shuffle_hash"), "d") // clip to observed days
+      .groupBy($"d").agg(count_distinct($"user_id").as("wau"))
+    dau.join(wau, "d")
+      .select($"d", $"dau", $"wau",
+        round($"dau".cast("double") / $"wau".cast("double"), 6).as("stickiness"))
+      .orderBy($"d")
+  }
+
   val activeUsers: GraftQuery = GraftQuery(
     "ts_active_users",
     (s, dir) => {
       import s.implicits._
-      val ud = Tables.events(s, dir)
-        .select($"user_id", to_date($"ts").as("d")).distinct()
-        .localCheckpoint() // read by DAU, the explode, and the day clip
-      val days = ud.select($"d").distinct()
-      val dau = ud.groupBy($"d").agg(count(lit(1)).as("dau"))
-      val wau = ud
-        .withColumn("w", explode(sequence(lit(0), lit(6))))
-        .select($"user_id", date_add($"d", $"w").as("d"))
-        .join(days.hint("shuffle_hash"), "d") // clip to observed days
-        .groupBy($"d").agg(count_distinct($"user_id").as("wau"))
-      dau.join(wau, "d")
-        .select($"d", $"dau", $"wau",
-          round($"dau".cast("double") / $"wau".cast("double"), 6).as("stickiness"))
-        .orderBy($"d")
+      activeUsersFold(Tables.events(s, dir)
+        .select($"user_id", to_date($"ts").as("d")).distinct())
     },
     Some("""WITH ud AS (
               SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d

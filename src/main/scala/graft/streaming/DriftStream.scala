@@ -249,6 +249,44 @@ object DriftStream {
     Analytics.entropy.oracle
   )
 
+  /** Streaming integrity monitor — the micro-batch twin of
+    * `fn_checksum`: each wave appends per-day XOR digest partials, and
+    * because BIT_XOR is associative, commutative AND closed on 64 bits,
+    * the merge is just XOR again — the cheapest exactly-mergeable
+    * streaming state in the registry (one BIGINT per day per wave, no
+    * overflow condition at ANY scale, unlike sum-based partials). This
+    * is how a replication pipeline verifies continuously: each side
+    * folds digests as data lands and the per-day comparison never
+    * requires re-reading history. Oracle = the batch twin's, verbatim. */
+  val streamChecksum: GraftQuery = GraftQuery(
+    "stream_checksum",
+    (s, dir) => {
+      import s.implicits._
+      val rows = Tables.events(s, dir)
+        .select($"event_id", to_date($"ts").as("d"),
+          expr("""CAST(conv(substring(md5(concat(
+                    CAST(event_id AS STRING), '|', event_type, '|',
+                    CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS STRING)
+                  )), 1, 12), 16, 10) AS BIGINT)""").as("h"))
+      val bounds = rows.agg(min($"event_id").as("lo"), max($"event_id").as("hi"))
+      def edge(k: Int): Column =
+        $"lo" - 1 + floor(($"hi" - $"lo" + 1) * lit(k) / lit(Waves.toDouble)).cast("long")
+      val partials = (0 until Waves).map { k =>
+        rows.join(broadcast(bounds), $"event_id" > edge(k) && $"event_id" <= edge(k + 1))
+          .groupBy($"d")
+          .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("checksum"))
+          .localCheckpoint()
+      }
+      partials.reduce(_.unionAll(_))
+        .groupBy($"d")
+        .agg(sum($"n").as("n"), expr("bit_xor(checksum)").as("checksum"))
+        .orderBy($"d")
+    },
+    // Batching must not change a single day's digest: the oracle is the
+    // batch checksum's, verbatim.
+    graft.functions.ScalarQueries.fnChecksum.oracle
+  )
+
   def all: Seq[GraftQuery] = Seq(streamKsDrift, streamTtest, streamChangepoint,
-    streamMoments, streamEntropy)
+    streamMoments, streamEntropy, streamChecksum)
 }

@@ -87,5 +87,38 @@ object ResampleStream {
     TimeSeries.resample.oracle
   )
 
-  def all: Seq[GraftQuery] = Seq(streamResample)
+  /** Streaming engagement monitor — the micro-batch twin of
+    * `ts_active_users`: each wave appends its DISTINCT (user, day)
+    * pairs (presence rows — the dedup-state discipline: an active-user
+    * metric's minimal exactly-mergeable state IS the key set; a count
+    * partial cannot merge across waves because the same user can land
+    * in two waves), the merge re-distincts the union, and the shared
+    * DAU/WAU fold serves identical rows. State is O(active pairs) —
+    * bounded by users × days, not events; the HLL-sketch form
+    * (agg_sketch_merge's pattern) is the constant-state alternative
+    * when approximate WAU suffices. Oracle = the batch twin's,
+    * verbatim. */
+  val streamActiveUsers: GraftQuery = GraftQuery(
+    "stream_active_users",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select($"event_id", $"user_id", to_date($"ts").as("d"))
+      val bounds = ev.agg(min($"event_id").as("lo"), max($"event_id").as("hi"))
+      def edge(k: Int): org.apache.spark.sql.Column =
+        $"lo" - 1 + floor(($"hi" - $"lo" + 1) * lit(k) / lit(3.0)).cast("long")
+      val partials = (0 until 3).map { k =>
+        ev.join(broadcast(bounds), $"event_id" > edge(k) && $"event_id" <= edge(k + 1))
+          .select($"user_id", $"d").distinct()
+          .localCheckpoint()
+      }
+      graft.operators.TimeSeries.activeUsersFold(
+        partials.reduce(_.unionAll(_)).distinct())
+    },
+    // Batching must not change a day's actives: the oracle is the batch
+    // engagement readout's, verbatim.
+    graft.operators.TimeSeries.activeUsers.oracle
+  )
+
+  def all: Seq[GraftQuery] = Seq(streamResample, streamActiveUsers)
 }

@@ -52,6 +52,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "stream_changepoint", // same 1-row wave-bounds broadcasts onto the fact scans
     "stream_moments",     // same 1-row wave-bounds broadcasts onto the fact scans
     "stream_entropy",     // same 1-row wave-bounds broadcasts onto the fact scans
+    "stream_checksum",    // same 1-row wave-bounds broadcasts onto the fact scans
+    "stream_active_users", // same 1-row wave-bounds broadcasts onto the fact scans
     "llm_quality_ci",     // 1-row global-rate broadcast onto the source-domain rows
     "stream_quality_ci",  // same 1-row global-rate broadcast (shared wilsonFold)
     "ts_pacf",            // shares acfFrame's 7-row lag-dimension broadcast

@@ -571,6 +571,24 @@ class TimeSeriesSpec extends AnyFunSuite {
       "batching must not move the shape statistics")
   }
 
+  test("stream_checksum: wave-merged XOR digests reproduce the batch digests exactly") {
+    val streamed = streaming.DriftStream.streamChecksum
+      .run(spark, TestSpark.Sf).collect().map(_.toSeq)
+    val batch = functions.ScalarQueries.fnChecksum
+      .run(spark, TestSpark.Sf).collect().map(_.toSeq)
+    assert(streamed.toSeq === batch.toSeq,
+      "batching must not change a single day's digest")
+  }
+
+  test("stream_active_users: wave-merged presence rows reproduce the batch DAU/WAU exactly") {
+    val streamed = streaming.ResampleStream.streamActiveUsers
+      .run(spark, TestSpark.Sf).collect().map(_.toSeq)
+    val batch = operators.TimeSeries.activeUsers
+      .run(spark, TestSpark.Sf).collect().map(_.toSeq)
+    assert(streamed.toSeq === batch.toSeq,
+      "batching must not change a day's actives")
+  }
+
   test("stream_entropy: wave-merged count partials reproduce the batch entropy exactly") {
     val streamed = streaming.DriftStream.streamEntropy
       .run(spark, TestSpark.Sf).collect().map(_.toSeq)
