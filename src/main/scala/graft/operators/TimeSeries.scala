@@ -2107,10 +2107,61 @@ object TimeSeries {
     }
   )
 
+  /** Week-over-week growth per event type — the headline movement
+    * number on every dashboard ("revenue is +12% WoW"), with the two
+    * classic correctness traps handled: weeks are ISO calendar weeks
+    * anchored by weekday arithmetic (not rolling 7-row windows, which
+    * drift over gaps), and the growth of a zero-or-absent prior week
+    * is NULL, not infinity (absent weeks are the gap-day case at week
+    * granularity).
+    *
+    * Determinism — EXACT RATIONAL: weekly BIGINT cent sums (the week
+    * anchor is date_sub(d, (dayofweek+5) mod 7) — pure date integer
+    * arithmetic, identical to DuckDB's date_trunc('week') Monday
+    * anchor); prior week read via an exact 7-day calendar lag join on
+    * the bounded (type, week) domain; growth = one division of
+    * identical integers, rounded 6dp. Scale: one map-side aggregate
+    * onto |types| × |weeks| rows; the self-join is domain-sized. */
+  val wowGrowth: GraftQuery = GraftQuery(
+    "ts_wow_growth",
+    (s, dir) => {
+      import s.implicits._
+      val weekly = Tables.events(s, dir)
+        .select($"event_type",
+          expr("date_sub(to_date(ts), (dayofweek(to_date(ts)) + 5) % 7)").as("wk"),
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cv"))
+        .groupBy($"event_type", $"wk")
+        .agg(sum($"cv").as("v"))
+        .localCheckpoint() // both sides of the lag join read it
+      weekly.as("cur")
+        .join(weekly.as("prev").hint("shuffle_hash"),
+          $"cur.event_type" === $"prev.event_type" &&
+            $"prev.wk" === date_sub($"cur.wk", 7), "left")
+        .select($"cur.event_type".as("event_type"), $"cur.wk".as("wk"),
+          $"cur.v".as("v"), $"prev.v".as("v_prev"),
+          when($"prev.v".isNotNull && $"prev.v" =!= 0L,
+            round(($"cur.v" - $"prev.v").cast("double")
+              / $"prev.v".cast("double"), 6)).as("wow_growth"))
+        .orderBy($"event_type", $"wk")
+    },
+    Some("""WITH weekly AS (
+              SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS wk,
+                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+              FROM events GROUP BY 1, 2)
+            SELECT c.event_type, c.wk, c.v, p.v AS v_prev,
+                   CASE WHEN p.v IS NOT NULL AND p.v <> 0
+                        THEN round(CAST(c.v - p.v AS DOUBLE) / CAST(p.v AS DOUBLE), 6)
+                        END AS wow_growth
+            FROM weekly c
+            LEFT JOIN weekly p
+              ON p.event_type = c.event_type AND p.wk = c.wk - 7
+            ORDER BY c.event_type, c.wk""")
+  )
+
   def all: Seq[GraftQuery] =
     Seq(asofJoin, asofTolerance, gapFill, ntileRanks, skewSalted, resample, funnel,
       funnelWindowed, sessionize, retention, anomaly, interpolate, ewma,
       crossCorr, outlierMad, rollingMedian, cusum, seasonality, mkTrend,
       theilSen, acf, changepoint, pacf, peaks, streaks, holt, ols, holtWinters,
-      asofNearest, rollingOls, forecastEval, activeUsers)
+      asofNearest, rollingOls, forecastEval, activeUsers, wowGrowth)
 }

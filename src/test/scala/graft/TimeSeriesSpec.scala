@@ -571,6 +571,33 @@ class TimeSeriesSpec extends AnyFunSuite {
       "batching must not move the shape statistics")
   }
 
+  test("ts_wow_growth: weekly sums brute-match on Monday anchors; first week's growth is NULL") {
+    val weekly = sources.Tables.events(spark, TestSpark.Sf)
+      .select($"event_type", to_date($"ts").as("d"), $"value").collect()
+      .map { r =>
+        val d = r.getDate(1).toLocalDate
+        val monday = d.minusDays(d.getDayOfWeek.getValue - 1L)
+        ((r.getString(0), monday),
+          (BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLong)
+      }.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+    val out = operators.TimeSeries.wowGrowth.run(spark, TestSpark.Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val key = (r.getString(0), r.getDate(1).toLocalDate)
+      assert(r.getAs[Long]("v") === weekly(key), s"$key weekly cents")
+      weekly.get((key._1, key._2.minusDays(7))) match {
+        case Some(prev) =>
+          assert(r.getAs[Long]("v_prev") === prev)
+          val expected = (weekly(key) - prev).toDouble / prev.toDouble
+          assert(math.abs(r.getAs[Double]("wow_growth") - expected) <= 5e-7,
+            s"$key: growth vs brute $expected")
+        case None =>
+          assert(r.isNullAt(r.fieldIndex("wow_growth")),
+            s"$key: growth with no prior week must be NULL")
+      }
+    }
+  }
+
   test("stream_checksum: wave-merged XOR digests reproduce the batch digests exactly") {
     val streamed = streaming.DriftStream.streamChecksum
       .run(spark, TestSpark.Sf).collect().map(_.toSeq)
