@@ -363,7 +363,12 @@ object ScalarQueries {
               SELECT unnest(['America/New_York', 'Europe/London', 'Asia/Tokyo']) AS market),
             h AS (
               SELECT market,
-                     CAST(hour(timezone(market, CAST(ts AS TIMESTAMPTZ))) AS BIGINT) AS local_hour
+                     -- timezone('UTC', ts) pins the naive→instant reading to
+                     -- UTC regardless of the oracle session's TimeZone (a bare
+                     -- CAST AS TIMESTAMPTZ inherits the host zone — only
+                     -- accidentally UTC on a UTC box); the outer timezone()
+                     -- then renders the instant as market-local wall time.
+                     CAST(hour(timezone(market, timezone('UTC', ts))) AS BIGINT) AS local_hour
               FROM events CROSS JOIN z)
             SELECT market, local_hour, count(*) AS n
             FROM h GROUP BY 1, 2

@@ -1387,67 +1387,137 @@ object Graph {
     * choice out of vertex v is neighbor index
     * ((v·1103515245 + t·12345 + 12345) mod 2³¹) mod deg(v) over the
     * dst-ascending neighbor ranking — pure BIGINT arithmetic both
-    * engines compute bit-identically (v ≤ partkey keeps the product
-    * ≪ 2⁶³), standing in for the per-walk hash seed a production walker
-    * uses. Walks never die: the directed layout carries both
-    * orientations, so deg ≥ 1 everywhere.
+    * engines compute bit-identically while ids stay under the mixSafe
+    * headroom (~8.05e9; past it the query RAISES instead of letting
+    * non-ANSI BIGINT wrap where DuckDB would raise), standing in for
+    * the per-walk hash seed a production walker uses. Walks never die:
+    * the directed layout carries both orientations, so deg ≥ 1
+    * everywhere.
     *
     * Plan shape per step (the pagerank discipline): the O(E) ranked
     * adjacency reads the bucketed layout exchange-free (the window's
     * partition key = the bucketing key), only the O(V) frontier
     * shuffles; the pick is a join RESIDUAL on the src equi key, so no
     * extra shuffle; rounds are lineage-cut. */
-  val walks: GraftQuery = GraftQuery(
-    "graph_walks",
-    (s, dir) => {
-      import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val L = 4
-      val ranked = adjacency(s, dir)
-        .select($"src", $"dst", $"deg")
-        .withColumn("idx",
-          row_number().over(Window.partitionBy($"src").orderBy($"dst")) - 1L)
-      val seeds = vertices(adjacency(s, dir))
-        .select($"src".as("walk_id"), $"src".as("cur")).localCheckpoint()
-      val steps = (1 to L).scanLeft(seeds) { (frontier, t) =>
-        frontier.join(ranked,
-            frontier("cur") === ranked("src") &&
-              ranked("idx") ===
-                pmod(frontier("cur") * lit(1103515245L) + lit(t * 12345L + 12345L),
-                  lit(2147483648L)) % ranked("deg"))
-          .select(frontier("walk_id"), ranked("dst").as("cur"))
-          .localCheckpoint()
-      }
-      steps.zipWithIndex
-        .map { case (f, t) => f.select($"walk_id", lit(t.toLong).as("step"),
-          $"cur".as("v")) }
-        .reduce(_.unionAll(_))
-        .orderBy($"walk_id", $"step")
-    },
-    Some {
-      def w(t: Int): String =
-        s"""w$t AS (
-              SELECT w${t - 1}.walk_id, r.dst AS cur
-              FROM w${t - 1} JOIN ranked r
-                ON r.src = w${t - 1}.cur
-               AND r.idx = ((w${t - 1}.cur * 1103515245 + ${t * 12345 + 12345})
-                            % 2147483648) % r.deg)"""
-      s"""WITH $edgeCte,
-          ranked AS (
-            SELECT src, dst,
-                   row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
-                   count(*) OVER (PARTITION BY src) AS deg
-            FROM e),
-          w0 AS (SELECT src AS walk_id, src AS cur FROM (SELECT DISTINCT src FROM e)),
-          ${(1 to 4).map(w).mkString(",\n")}
+  /** BIGINT headroom gate for the walk LCG mix (ADVICE r11): the pick
+    * hash multiplies a vertex id by 1103515245 (plus prev·40503 in the
+    * biased form), which wraps 2⁶³ silently under non-ANSI Spark once
+    * ids pass ~8.05e9 — where DuckDB's checked arithmetic raises
+    * instead. Every id entering a mix is funneled through this guard at
+    * frontier-materialization time (one cheap check per O(V) frontier
+    * row, never on the O(E) join residual), so past the bound the query
+    * RAISES with the remedy instead of silently diverging. */
+  private def mixSafe(name: String)(c: org.apache.spark.sql.Column) =
+    graft.GraftQuery.guarded(c, c <= lit(8000000000L),
+      s"$name: vertex id past the LCG mix BIGINT headroom (~8.05e9) — " +
+        "rescale ids or widen the mix to DECIMAL(38,0)")
+
+  /** The L-step deterministic walk corpus (walk_id, step, v) — the table
+    * graph_walks grades, factored out so skip-gram pair generation
+    * (graph_skipgram) consumes the IDENTICAL corpus. Plan shape per step
+    * is documented on graph_walks. */
+  private def walkCorpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val L = 4
+    val g = mixSafe("graph_walks") _
+    val ranked = adjacency(s, dir)
+      .select($"src", $"dst", $"deg")
+      .withColumn("idx",
+        row_number().over(Window.partitionBy($"src").orderBy($"dst")) - 1L)
+    val seeds = vertices(adjacency(s, dir))
+      .select($"src".as("walk_id"), g($"src").as("cur")).localCheckpoint()
+    val steps = (1 to L).scanLeft(seeds) { (frontier, t) =>
+      frontier.join(ranked,
+          frontier("cur") === ranked("src") &&
+            ranked("idx") ===
+              pmod(frontier("cur") * lit(1103515245L) + lit(t * 12345L + 12345L),
+                lit(2147483648L)) % ranked("deg"))
+        .select(frontier("walk_id"), g(ranked("dst")).as("cur"))
+        .localCheckpoint()
+    }
+    steps.zipWithIndex
+      .map { case (f, t) => f.select($"walk_id", lit(t.toLong).as("step"),
+        $"cur".as("v")) }
+      .reduce(_.unionAll(_))
+  }
+
+  /** DuckDB image of walkCorpus, up to and including a `walks(walk_id,
+    * step, v)` CTE — shared by the graph_walks and graph_skipgram
+    * oracles. */
+  private def walkCorpusSql: String = {
+    def w(t: Int): String =
+      s"""w$t AS (
+            SELECT w${t - 1}.walk_id, r.dst AS cur
+            FROM w${t - 1} JOIN ranked r
+              ON r.src = w${t - 1}.cur
+             AND r.idx = ((w${t - 1}.cur * 1103515245 + ${t * 12345 + 12345})
+                          % 2147483648) % r.deg)"""
+    s"""WITH $edgeCte,
+        ranked AS (
+          SELECT src, dst,
+                 row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+                 count(*) OVER (PARTITION BY src) AS deg
+          FROM e),
+        w0 AS (SELECT src AS walk_id, src AS cur FROM (SELECT DISTINCT src FROM e)),
+        ${(1 to 4).map(w).mkString(",\n")},
+        walks AS (
           SELECT walk_id, CAST(step AS BIGINT) AS step, v FROM (
             SELECT walk_id, 0 AS step, cur AS v FROM w0
             UNION ALL SELECT walk_id, 1, cur FROM w1
             UNION ALL SELECT walk_id, 2, cur FROM w2
             UNION ALL SELECT walk_id, 3, cur FROM w3
-            UNION ALL SELECT walk_id, 4, cur FROM w4)
-          ORDER BY walk_id, step"""
-    }
+            UNION ALL SELECT walk_id, 4, cur FROM w4))"""
+  }
+
+  val walks: GraftQuery = GraftQuery(
+    "graph_walks",
+    (s, dir) => {
+      import s.implicits._
+      walkCorpus(s, dir).orderBy($"walk_id", $"step")
+    },
+    Some(s"""$walkCorpusSql
+        SELECT walk_id, step, v FROM walks ORDER BY walk_id, step""")
+  )
+
+  /** Skip-gram (center, context) pair counts over the walk corpus — the
+    * one step between graph_walks' output and a trainable embedding
+    * dataset (DeepWalk / node2vec / word2vec all train on exactly this
+    * table): every vertex pairs with its walk neighbors within a ±2-step
+    * window, and pairs aggregate to co-occurrence COUNTS — the form the
+    * trainer consumes directly (the (center, context, n) multiset is the
+    * sufficient statistic; the negative-sampling table is its center
+    * marginal).
+    *
+    * Spark-first shape: NO self-join — each walk row collects its ≤4
+    * window partners via lag/lead over (walk_id, step) and explodes,
+    * which is one shuffle on walk_id (the window) + one hash aggregate,
+    * versus the join form's extra O(corpus) probe side. At 100 TB of
+    * walks the pair stream is L·2W rows per walk row, map-side combined
+    * into the bounded (center, context) domain. */
+  val skipgram: GraftQuery = GraftQuery(
+    "graph_skipgram",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val W = 2
+      val w = Window.partitionBy($"walk_id").orderBy($"step")
+      val partners = (1 to W).flatMap(o =>
+        Seq(lag($"v", o).over(w), lead($"v", o).over(w)))
+      walkCorpus(s, dir)
+        .withColumn("ctx", array(partners: _*))
+        .select($"v".as("center"), explode($"ctx").as("context"))
+        .filter($"context".isNotNull)
+        .groupBy($"center", $"context")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"center", $"context")
+    },
+    Some(s"""$walkCorpusSql
+        SELECT a.v AS center, b.v AS context, count(*) AS n
+        FROM walks a JOIN walks b
+          ON a.walk_id = b.walk_id AND a.step <> b.step
+         AND abs(a.step - b.step) <= 2
+        GROUP BY 1, 2 ORDER BY 1, 2""")
   )
 
   /** node2vec-style BIASED random walks — graph_walks' 2nd-order form:
@@ -1479,18 +1549,20 @@ object Graph {
     (s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
+      val g = mixSafe("graph_walks_biased") _
       val adj = adjacency(s, dir).select($"src", $"dst", $"deg")
       val ranked = adj.withColumn("idx",
         row_number().over(Window.partitionBy($"src").orderBy($"dst")) - 1L)
       val seeds = vertices(adjacency(s, dir))
-        .select($"src".as("walk_id"), $"src".as("cur")).localCheckpoint()
+        .select($"src".as("walk_id"), g($"src").as("cur")).localCheckpoint()
       // step 1: 1st-order pick (no prev) — graph_walks' rule at t = 1
       val s1 = seeds.join(ranked,
           seeds("cur") === ranked("src") &&
             ranked("idx") ===
               pmod(seeds("cur") * lit(1103515245L) + lit(1L * 12345L + 12345L),
                 lit(2147483648L)) % ranked("deg"))
-        .select(seeds("walk_id"), seeds("cur").as("prev"), ranked("dst").as("cur"))
+        .select(seeds("walk_id"), seeds("cur").as("prev"),
+          g(ranked("dst")).as("cur"))
         .localCheckpoint()
       // steps 2..3: 2nd-order biased picks
       val biased = (2 to 3).scanLeft(s1) { (frontier, t) =>
@@ -1515,7 +1587,7 @@ object Graph {
         scored.filter($"cum" > $"r")
           .withColumn("rn", row_number().over(wWin))
           .filter($"rn" === 1)
-          .select($"walk_id", $"cur".as("prev"), $"cand".as("cur"))
+          .select($"walk_id", $"cur".as("prev"), g($"cand").as("cur"))
           .localCheckpoint()
       }
       val steps = seeds.select($"walk_id", lit(0L).as("step"), $"cur".as("v")) +:
@@ -1575,5 +1647,5 @@ object Graph {
     Seq(pagerank, pagerankDelta, pagerankWeighted, pagerankPersonal, cc, jaccard,
       jaccardCapped, adamicAdar, labelPropagation, bfs,
       closenessLandmarks, edgesIncremental, triangles, degreeDist, kCore,
-      mst, assortativity, modularity, hits, walks, walksBiased)
+      mst, assortativity, modularity, hits, walks, walksBiased, skipgram)
 }

@@ -107,11 +107,19 @@ object Ingest {
     (s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val out = s"/tmp/graft_retention/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-      graft.llm.Layouts.parquetLayout(out, out,
-          graft.llm.Layouts.fingerprint(Tables.events(s, dir), "event_id", "ts")) {
-        val src = s"/tmp/graft_ingest/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val out = s"/tmp/graft_retention/$key"
+      // Own source layout, own fingerprint memo: rewriting
+      // /tmp/graft_ingest here would couple this query's on-disk state
+      // to ingest_partitioned's and redo its work whenever the
+      // retention fingerprint goes stale (ADVICE r11).
+      val src = s"/tmp/graft_retention_src/$key"
+      lazy val fp =
+        graft.llm.Layouts.fingerprint(Tables.events(s, dir), "event_id", "ts")
+      graft.llm.Layouts.parquetLayout(src, src, fp) {
         writePartitioned(Tables.events(s, dir), src)
+      }
+      graft.llm.Layouts.parquetLayout(out, out, fp) {
         val srcDf = s.read.parquet(src)
         // Surviving-day list from the PARTITION VALUES (planning-time
         // metadata, not a data scan), then a broadcast SEMI join on the

@@ -1636,6 +1636,24 @@ object TimeSeries {
     }.take(HoltK).toSeq
   }
 
+  /** Damped-trend (Gardner–McKenzie) smoothing: every trend read is
+    * scaled by φ < 1, so forecasts flatten toward a finite asymptote
+    * instead of extrapolating the last trend forever —
+    *   l_t = α·x_t + (1−α)(l_{t−1} + φ·b_{t−1})
+    *   b_t = β(l_t − l_{t−1}) + (1−β)·φ·b_{t−1}
+    * Still linear in the inputs, so the ts_holt kernel device carries
+    * verbatim with the φ-scaled transition; damping SHRINKS A's spectral
+    * radius, so the K-term truncation is strictly tighter than
+    * undamped Holt's (HoltSpec measures both residuals). */
+  private[graft] val HoltPhi = 0.85
+  private[graft] def holtDampedWeights: Seq[(Double, Double)] = {
+    val a = HoltAlpha; val b = HoltBeta; val p = HoltPhi
+    Iterator.iterate((a, a * b)) { case (l, t) =>
+      val l2 = (1 - a) * (l + p * t)
+      (l2, b * (l2 - l) + (1 - b) * p * t)
+    }.take(HoltK).toSeq
+  }
+
   /** Holt linear-trend level/trend/one-step forecast on the daily
     * revenue series per event type — ts_ewma's generalization (EWMA
     * tracks a level; Holt also tracks where it is HEADING, the default
@@ -1700,6 +1718,74 @@ object TimeSeries {
     }
   )
 
+  /** Damped-trend Holt forecast per event type — the variant that wins
+    * forecasting competitions on business series (M3/M4: the damped
+    * trend is the single best-performing classical method): plain Holt
+    * extrapolates the last local trend FOREVER, which over-forecasts any
+    * series whose growth saturates; damping multiplies each further
+    * trend step by φ so the h-step forecast approaches the finite
+    * asymptote level + φ/(1−φ)·trend. Emits level, damped trend, the
+    * one-step forecast (level + φ·trend) and that asymptote — the
+    * capacity-planning number plain Holt cannot produce.
+    *
+    * Same truncated-kernel device and scale shape as ts_holt (one
+    * corpus-sized hash aggregate onto the (type, day) domain, one
+    * K-lag window, identical double literals in both engines); the
+    * φ-scaled transition matrix strictly shrinks the spectral radius,
+    * so truncation error is tighter than undamped Holt's at equal K. */
+  val holtDamped: GraftQuery = GraftQuery(
+    "ts_holt_damped",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"event_type").orderBy($"d")
+      val x = (i: Int) => lag($"v", i).over(w).cast("double")
+      val level = holtDampedWeights.zipWithIndex
+        .map { case ((cl, _), i) => x(i) * lit(cl) }.reduce(_ + _)
+      val trend = holtDampedWeights.zipWithIndex
+        .map { case ((_, cb), i) => x(i) * lit(cb) }.reduce(_ + _)
+      changepointDaily(s, dir)
+        .withColumn("level", level)
+        .withColumn("trend", trend)
+        .withColumn("warm", lag($"v", HoltK - 1).over(w))
+        .filter($"warm".isNotNull)
+        .select($"event_type", $"d",
+          round($"level", 4).as("hd_level"),
+          round($"trend", 4).as("hd_trend"),
+          round($"level" + lit(HoltPhi) * $"trend", 4).as("forecast_next"),
+          round($"level" + lit(HoltPhi / (1 - HoltPhi)) * $"trend", 4)
+            .as("forecast_asymptote"))
+        .orderBy($"event_type", $"d")
+    },
+    Some {
+      val lvl = holtDampedWeights.zipWithIndex
+        .map { case ((cl, _), i) =>
+          s"CAST(lag(v, $i) OVER w AS DOUBLE) * CAST($cl AS DOUBLE)" }
+        .mkString(" + ")
+      val trd = holtDampedWeights.zipWithIndex
+        .map { case ((_, cb), i) =>
+          s"CAST(lag(v, $i) OVER w AS DOUBLE) * CAST($cb AS DOUBLE)" }
+        .mkString(" + ")
+      s"""WITH daily AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+                   CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+            FROM events GROUP BY 1, 2),
+          h AS (
+            SELECT event_type, d,
+                   $lvl AS level, $trd AS trend,
+                   lag(v, ${HoltK - 1}) OVER w AS warm
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY d))
+          SELECT event_type, d, round(level, 4) AS hd_level,
+                 round(trend, 4) AS hd_trend,
+                 round(level + CAST($HoltPhi AS DOUBLE) * trend, 4) AS forecast_next,
+                 round(level + CAST(${HoltPhi / (1 - HoltPhi)} AS DOUBLE) * trend, 4)
+                   AS forecast_asymptote
+          FROM h WHERE warm IS NOT NULL
+          ORDER BY event_type, d"""
+    }
+  )
+
   /** Holt–Winters additive-seasonal constants: smoothing weights, the
     * weekly period, and the kernel truncation depth (22 = three full
     * periods inside the 30-day fixture series, leaving ≥8 emitted rows
@@ -1755,7 +1841,14 @@ object TimeSeries {
     * both engines, so the whole smoother is one fixed lag-window
     * expression — whole-stage codegen, no sequential state fold, no
     * UDAF. Scale shape identical to ts_holt: one corpus-sized hash
-    * aggregate onto the (type, day) domain, then one window. */
+    * aggregate onto the (type, day) domain, then one window.
+    *
+    * PRECONDITION (enforced): the per-type daily series must be
+    * calendar-gapless inside each emitted row's K-lag window — the
+    * kernel lags ROWS, so a missing day would rotate the weekly ring
+    * per-row and misalign every seasonal slot after the gap. Each row
+    * asserts its K−1 trailing rows span exactly K−1 days and RAISES
+    * otherwise (run the ts_gapfill device first on gapped series). */
   val holtWinters: GraftQuery = GraftQuery(
     "ts_holt_winters",
     (s, dir) => {
@@ -1774,9 +1867,21 @@ object TimeSeries {
         .withColumn("season", season)
         .withColumn("qm", qm)
         .withColumn("warm", lag($"v", HwK - 1).over(w))
+        .withColumn("warm_d", lag($"d", HwK - 1).over(w))
         .filter($"warm".isNotNull)
+        // The kernel is ROW-lagged: a calendar gap anywhere in the K-row
+        // warm-up rotates the q-ring per row, not per day, silently
+        // misaligning the weekday slot (and the oracle, computing the
+        // same row kernel, would agree on the wrong answer). The K−1
+        // trailing rows spanning exactly K−1 days forces every step to
+        // be one day — gapped rows RAISE instead (ADVICE r11;
+        // ts_forecast_eval's calendar gate, made per-row).
         .select($"event_type", $"d",
-          round($"level", 4).as("hw_level"),
+          round(graft.GraftQuery.guarded($"level",
+            datediff($"d", $"warm_d") === lit(HwK - 1),
+            "ts_holt_winters: calendar gap inside the seasonal kernel " +
+              "window — gap-fill the daily series (ts_gapfill device) " +
+              "before smoothing"), 4).as("hw_level"),
           round($"trend", 4).as("hw_trend"),
           round($"season", 4).as("hw_season"),
           round($"level" + $"trend" + $"qm", 4).as("forecast_next"))
@@ -1822,11 +1927,13 @@ object TimeSeries {
     *   R²        = Sxy² / (Sxx·Syy)
     * are ratios of identical integers; the emitted doubles are IEEE
     * operations on identical operands in identical order in both
-    * engines. The BIGINT headroom (nΣxy ≤ n²·span·max|y|; the intercept
-    * numerator ≤ 2·n²·span²·max|y|) rides GraftQuery.guarded off the
-    * same aggregate row — past ~100× sf0.1 the query RAISES (shift the
-    * folds to DECIMAL(38,0) then); R² squares Sxy in DOUBLE because its
-    * integer image can overflow first.
+    * engines. The BIGINT headroom rides GraftQuery.guarded off the same
+    * aggregate row, with a bound per wrap-capable term: the slope
+    * cross-multiplies (≤ 2n²·span²·max|y|), the Σy²/Syc folds
+    * (≤ 2n²·max|y|²), and the intercept numerator Σy·Sxx − Sxy·Σx
+    * (≤ 3n³·span²·max|y|) — past the tightest of these the query RAISES
+    * (shift the folds to DECIMAL(38,0) then); R² squares Sxy in DOUBLE
+    * because its integer image can overflow first.
     *
     * Scale shape: one map-side-combined aggregate reduces the fact scan
     * to the bounded (type, day) domain; the min-day anchor broadcasts
@@ -1848,8 +1955,18 @@ object TimeSeries {
           sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"),
           sum($"y" * $"y").as("syy"),
           max($"mv").as("mv"), max($"span").as("span"))
-      val safe = lit(2.0) * pow($"n".cast("double"), 2.0) *
-        pow($"span".cast("double"), 2.0) * $"mv".cast("double") < 9.0e18
+      // Headroom must cover EVERY BIGINT fold and cross-multiply, not
+      // just nΣxy: syy = Σy² ≤ n·mv², syc = n·syy − (Σy)² ≤ 2n²·mv²,
+      // and the intercept numerator Σy·den − num·Σx ≤ 3n³·span²·mv —
+      // each term bounded in DOUBLE (the check itself can't wrap) and
+      // ANDed so any wrap-capable fold RAISES instead of silently
+      // wrapping under non-ANSI BIGINT arithmetic.
+      val nD = $"n".cast("double"); val spanD = $"span".cast("double")
+      val mvD = $"mv".cast("double")
+      val safe =
+        (lit(2.0) * pow(nD, 2.0) * pow(spanD, 2.0) * mvD < 9.0e18) &&
+        (lit(2.0) * pow(nD, 2.0) * pow(mvD, 2.0) < 9.0e18) &&
+        (lit(3.0) * pow(nD, 3.0) * pow(spanD, 2.0) * mvD < 9.0e18)
       val g = (c: org.apache.spark.sql.Column) => graft.GraftQuery.guarded(
         c, safe, "ts_ols: BIGINT sufficient statistics near overflow — " +
           "shift the folds to DECIMAL(38,0)")
@@ -1860,7 +1977,7 @@ object TimeSeries {
         .select($"event_type", $"n",
           $"num".as("slope_num"), $"den".as("slope_den"),
           ($"num".cast("double") / $"den".cast("double")).as("slope"),
-          (($"sy" * $"den" - $"num" * $"sx").cast("double")
+          (g($"sy" * $"den" - $"num" * $"sx").cast("double")
             / ($"n" * $"den").cast("double")).as("intercept"),
           ($"num".cast("double") * $"num".cast("double")
             / ($"den".cast("double") * $"syc".cast("double"))).as("r2"))
@@ -2163,5 +2280,5 @@ object TimeSeries {
       funnelWindowed, sessionize, retention, anomaly, interpolate, ewma,
       crossCorr, outlierMad, rollingMedian, cusum, seasonality, mkTrend,
       theilSen, acf, changepoint, pacf, peaks, streaks, holt, ols, holtWinters,
-      asofNearest, rollingOls, forecastEval, activeUsers, wowGrowth)
+      asofNearest, rollingOls, forecastEval, activeUsers, wowGrowth, holtDamped)
 }

@@ -195,23 +195,45 @@ object Windows {
     * tail is the point of the cut).
     *
     * Scale shape: the fact scan reduces in one map-side-combined hash
-    * aggregate to the part domain; the window sorts |parts| rows, not
-    * events — at 100 TB the sorted frame is still just the catalog. */
+    * aggregate to the part domain, and the catalog-order prefix runs
+    * TWO-LEVEL so no task ever sorts the whole catalog (a SKU/domain
+    * dimension at corpus scale is 10⁶–10⁸ rows — round-11 verdict):
+    * the reduced frame range-partitions on (rev DESC, partkey) —
+    * RangePartitioner assigns contiguous key ranges to ascending
+    * partition ids, so partition id IS the bucket in sort order — and
+    * a localCheckpoint pins the sampled bounds so both downstream
+    * reads see one consistent bucketing. Per-bucket (Σrev, count)
+    * partials get their exclusive prefix plus the grand total on the
+    * ≤32-row bucket table; each row then combines the broadcast
+    * prior-bucket prefix with a within-bucket running sum / row_number
+    * windowed BY bucket. Prefix sums and row counts are associative,
+    * so the output is bit-identical to the single-window form for ANY
+    * bucket boundaries — the sampled bounds never touch the answer. */
   val pareto: GraftQuery = GraftQuery(
     "agg_pareto",
     (s, dir) => {
       import s.implicits._
-      val w = Window.orderBy($"rev".desc, $"l_partkey")
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val tot = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)
-      Tables.lineitem(s, dir)
-        .groupBy($"l_partkey")
-        .agg(expr("sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))")
-          .as("rev"))
-        .withColumn("cum", sum($"rev").over(w))
-        .withColumn("total", sum($"rev").over(tot))
-        .withColumn("rn", row_number().over(Window.orderBy($"rev".desc, $"l_partkey")))
+      val ranged = GraftQuery.cutStats(
+        Tables.lineitem(s, dir)
+          .groupBy($"l_partkey")
+          .agg(expr("sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))")
+            .as("rev"))
+          .repartitionByRange(32, $"rev".desc, $"l_partkey")
+          .withColumn("pid", spark_partition_id()))
+      val exPrefix = Window.orderBy($"pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bucketPrefix = ranged.groupBy($"pid")
+        .agg(sum($"rev").as("bsum"), count(lit(1)).as("bcnt"))
+        .withColumn("prev_sum", coalesce(sum($"bsum").over(exPrefix), lit(0L)))
+        .withColumn("prev_cnt", coalesce(sum($"bcnt").over(exPrefix), lit(0L)))
+        .withColumn("total", sum($"bsum").over(Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select($"pid", $"prev_sum", $"prev_cnt", $"total")
+      val withinOrd = Window.partitionBy($"pid").orderBy($"rev".desc, $"l_partkey")
+      ranged.join(broadcast(bucketPrefix), "pid")
+        .withColumn("cum", $"prev_sum" +
+          sum($"rev").over(withinOrd.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("rn", $"prev_cnt" + row_number().over(withinOrd))
         .filter($"rn" <= 200)
         .select($"rn", $"l_partkey", $"rev", $"cum",
           ($"cum".cast("double") / $"total".cast("double")).as("cum_share"),

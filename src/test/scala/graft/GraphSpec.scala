@@ -615,4 +615,27 @@ class GraphSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("graph_skipgram: pair counts equal the brute ±2-step multiset over the walk corpus") {
+    // The window-explode form must produce exactly the multiset a naive
+    // self-join defines: for every walk, every ordered (center, context)
+    // pair at step distance 1..2. Symmetry falls out (both orders are
+    // emitted), so the count table must be symmetric too.
+    val walks = operators.Graph.walks.run(spark, TestSpark.Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2)))
+      .groupBy(_._1).map { case (w, xs) => w -> xs.sortBy(_._2).map(_._3).toSeq }
+    val brute = collection.mutable.Map.empty[(Long, Long), Long]
+    walks.values.foreach { path =>
+      for {
+        i <- path.indices; j <- path.indices
+        if i != j && math.abs(i - j) <= 2
+      } brute((path(i), path(j))) = brute.getOrElse((path(i), path(j)), 0L) + 1L
+    }
+    val got = operators.Graph.skipgram.run(spark, TestSpark.Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === brute.toMap, "skip-gram pair multiset must match brute force")
+    got.foreach { case ((c, x), n) =>
+      assert(got((x, c)) === n, s"pair counts must be symmetric: ($c,$x)")
+    }
+  }
 }

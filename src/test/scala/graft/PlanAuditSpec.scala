@@ -1,6 +1,11 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.execution.window.WindowExec
 
 /** Plan-quality gate over the ENTIRE registry: the anti-patterns that
   * break at 100 TB must never re-enter any query's physical plan.
@@ -89,13 +94,57 @@ class PlanAuditSpec extends AnyFunSuite {
     Set("llm_dedup_ngram_jaccard", "llm_dedup_near", "llm_dedup_embed_lsh",
         "llm_dedup_containment")
 
+  /** Round-12 gate (VERDICT r11 item 2): an unpartitioned WindowExec moves
+    * its ENTIRE input through one task — a corpus-sized one serializes the
+    * whole table at 100 TB (the mm_shard_pack defect). Two rules hold it:
+    *
+    * 1. HARD, no exceptions: an unpartitioned window must never sort RAW
+    *    scan rows — a reducing aggregate must sit between the window and
+    *    every table scan in its subtree, so the window sorts a DOMAIN
+    *    (days, |diff| values, buckets), never the table itself.
+    * 2. Name allowlist: even domain-sorting unpartitioned windows need a
+    *    per-query review entry here (each justified below); an
+    *    unreviewed one goes red regardless of rule 1. The round-2 prose
+    *    invariant ("no full-table single-partition sort anywhere")
+    *    rots — only this spec holds. */
+  private val unpartitionedWindowAllowed = Set(
+    "agg_spearman",          // day-domain midranks above the daily aggregate
+    "agg_wilcoxon",          // |diff|-domain rank spans above its count aggregate
+    "ingest_retention",      // ≤14-day survivor list above the day aggregate
+    "stream_watermark_late", // N/4096-row bucket-prefix table (two-level device)
+    "agg_pareto",            // ≤32-row range-bucket prefix table (two-level device)
+    "mm_shard_pack")         // N/4096-row bucket-prefix table (two-level device)
+
+  private def unpartitionedWindows(p: SparkPlan): Seq[WindowExec] = {
+    val self = p match {
+      case a: AdaptiveSparkPlanExec => unpartitionedWindows(a.executedPlan)
+      case w: WindowExec if w.partitionSpec.isEmpty => Seq(w)
+      case _ => Seq.empty
+    }
+    self ++ p.children.flatMap(unpartitionedWindows) ++
+      p.subqueries.flatMap(unpartitionedWindows)
+  }
+
+  /** Table scans reachable from `p` WITHOUT crossing an aggregation.
+    * Descent stops at any aggregate: what flows out of one is a reduced
+    * domain, which an unpartitioned window may sort; a scan reached with
+    * no aggregate in between means the window sorts table rows 1:1. */
+  private def unreducedScans(p: SparkPlan): Seq[String] = p match {
+    case _: BaseAggregateExec => Seq.empty
+    case a: AdaptiveSparkPlanExec => unreducedScans(a.executedPlan)
+    case s: FileSourceScanExec => Seq(s.nodeName)
+    case s: BatchScanExec => Seq(s.nodeName)
+    case _ => p.children.flatMap(unreducedScans)
+  }
+
   for (q <- SparkEntry.registry) {
     test(s"${q.name}: no scale anti-patterns in the physical plan") {
       // Audit the canonical cold-cache plan (same protocol as PlanSnapshot):
       // cached subtrees registered by OTHER queries otherwise collapse into
       // InMemoryRelations and the audited plan depends on suite order.
       spark.catalog.clearCache()
-      val plan = q.run(spark, TestSpark.Sf).queryExecution.executedPlan.toString
+      val exec = q.run(spark, TestSpark.Sf).queryExecution.executedPlan
+      val plan = exec.toString
       assert(!plan.contains("CartesianProduct"),
         s"${q.name} plans a cartesian product")
       assert(!plan.contains("SortAggregate"),
@@ -107,6 +156,19 @@ class PlanAuditSpec extends AnyFunSuite {
       if (noSignatureBroadcast(q.name)) {
         assert(!plan.contains("BroadcastHashJoin"),
           s"${q.name} broadcasts an O(N) signature/embedding table")
+      }
+      val wins = unpartitionedWindows(exec)
+      if (!unpartitionedWindowAllowed(q.name)) {
+        assert(wins.isEmpty,
+          s"${q.name} plans ${wins.size} unpartitioned Window(s) — whole " +
+            s"input through one task: ${wins.map(_.windowExpression.mkString(",")).mkString(" | ")}")
+      }
+      for (w <- wins) {
+        val raw = unreducedScans(w.child)
+        assert(raw.isEmpty,
+          s"${q.name}: unpartitioned Window sorts RAW table rows — no " +
+            s"reducing aggregate between the window and ${raw.mkString(", ")}; " +
+            s"the whole table moves through one task at scale")
       }
     }
   }

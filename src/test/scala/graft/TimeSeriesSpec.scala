@@ -734,6 +734,54 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("ts_holt_damped: kernel tracks the exact damped recursion; damping tightens truncation") {
+    // Same fidelity pin as ts_holt, against the φ-scaled exact recursion;
+    // plus the two claims the operator sells: (1) the damped kernel's
+    // dropped tail is no heavier than undamped Holt's at equal K (φ < 1
+    // shrinks the spectral radius), (2) the emitted asymptote is exactly
+    // level + φ/(1−φ)·trend of the same row.
+    val (a, b, p) = (operators.TimeSeries.HoltAlpha,
+      operators.TimeSeries.HoltBeta, operators.TimeSeries.HoltPhi)
+    val daily = sources.Tables.events(spark, TestSpark.Sf)
+      .groupBy($"event_type", to_date($"ts").as("d"))
+      .agg(expr("sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))").as("v"))
+      .orderBy($"event_type", $"d")
+      .collect().groupBy(_.getString(0))
+    val got = operators.TimeSeries.holtDamped.run(spark, TestSpark.Sf)
+      .collect().groupBy(_.getString(0))
+      .map { case (t, rows) => t -> rows.maxBy(_.getDate(1).toString) }
+    got.foreach { case (t, r) =>
+      val xs = daily(t).map(_.getLong(2).toDouble)
+      var l = xs(0); var tr = xs(1) - xs(0)
+      xs.drop(1).foreach { x =>
+        val l2 = a * x + (1 - a) * (l + p * tr)
+        tr = b * (l2 - l) + (1 - b) * p * tr
+        l = l2
+      }
+      val lvl = r.getAs[Double]("hd_level")
+      assert(math.abs(lvl - l) <= 0.02 * math.abs(l) + 1.0,
+        s"$t: truncated damped level $lvl vs exact recursion $l")
+      val fc = r.getAs[Double]("forecast_next")
+      assert(math.abs(fc - (l + p * tr)) <= 0.05 * math.abs(l + p * tr) + 1.0,
+        s"$t: truncated damped forecast $fc vs exact ${l + p * tr}")
+      val asym = r.getAs[Double]("forecast_asymptote")
+      val expected = BigDecimal(r.getAs[Double]("hd_level")
+        + p / (1 - p) * r.getAs[Double]("hd_trend"))
+        .setScale(1, BigDecimal.RoundingMode.HALF_UP)
+      assert((BigDecimal(asym).setScale(1, BigDecimal.RoundingMode.HALF_UP)
+        - expected).abs <= BigDecimal("0.1"),
+        s"$t: asymptote $asym vs level + φ/(1−φ)·trend $expected")
+    }
+    assert(got.nonEmpty)
+    // Tail-weight claim: the would-be K-th kernel term (first dropped one)
+    // is smaller in both coordinates for the damped transition.
+    def tail(ws: Seq[(Double, Double)]) =
+      math.abs(ws.last._1) + math.abs(ws.last._2)
+    assert(tail(operators.TimeSeries.holtDampedWeights)
+      <= tail(operators.TimeSeries.holtWeights) + 1e-12,
+      "damping must not loosen the truncation at equal K")
+  }
+
   test("ts_active_users: DAU and trailing-7-day WAU match a brute window recompute") {
     val ud = sources.Tables.events(spark, TestSpark.Sf)
       .select($"user_id", to_date($"ts").as("d")).distinct().collect()

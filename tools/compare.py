@@ -47,6 +47,10 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # Pin the oracle session zone: the Spark side runs a UTC-pinned
+    # session, and any oracle SQL touching TIMESTAMPTZ rendering must not
+    # inherit whatever zone the host happens to be in.
+    con.execute("SET TimeZone='UTC'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
