@@ -1211,6 +1211,137 @@ object TextStats {
             GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50""")
   )
 
+  /** Skip-gram (center, context) token pairs within a ±2 window, built
+    * IN-ROW like ngramTopK's bigrams (one `transform` per offset, a
+    * second in-row explode for the two orientations — no positional
+    * self-join, no window): scan → explode → hash aggregate. The pair
+    * stream is 2·W rows per token, map-side combined. Shared by
+    * llm_cooccurrence and llm_pmi. */
+  private[graft] def skipgramPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // sequence(1, 0) would DESCEND (the ngramTopK guard); short docs
+    // contribute an empty list on both engines.
+    def fwd(o: Int) = when(size(split($"text", " ")) >= o + 1, expr(
+      s"""transform(sequence(1, size(split(text, ' ')) - $o),
+            i -> struct(element_at(split(text, ' '), i) AS c,
+                        element_at(split(text, ' '), i + $o) AS x))"""))
+      .otherwise(expr("CAST(array() AS array<struct<c:string,x:string>>)"))
+    Tables.documents(s, dir)
+      .select(explode(concat(fwd(1), fwd(2))).as("p"))
+      .select(explode(array(
+        struct($"p.c".as("c"), $"p.x".as("x")),
+        struct($"p.x".as("c"), $"p.c".as("x")))).as("q"))
+      .select($"q.c".as("c"), $"q.x".as("x"))
+  }
+
+  /** The shared DuckDB image of skipgramPairs, up to a `pairs(c, x)`
+    * CTE. */
+  private val skipgramPairsSql =
+    """sp AS (SELECT string_split(text, ' ') AS sp FROM documents),
+       fw AS (
+         SELECT unnest(list_transform(range(1, len(sp)),
+                                      i -> {'c': sp[i], 'x': sp[i + 1]})) AS p
+         FROM sp
+         UNION ALL
+         SELECT unnest(list_transform(range(1, len(sp) - 1),
+                                      i -> {'c': sp[i], 'x': sp[i + 2]})) AS p
+         FROM sp),
+       pairs AS (
+         SELECT p.c AS c, p.x AS x FROM fw
+         UNION ALL
+         SELECT p.x AS c, p.c AS x FROM fw)"""
+
+  /** Token co-occurrence counts — word2vec/GloVe's input table over the
+    * corpus: every token pairs with its neighbors within ±2 positions
+    * (both orientations, the standard symmetric-window convention), and
+    * the (center, context, n) multiset is the trainer's sufficient
+    * statistic — graph_skipgram's text-side sibling. Top-100 by count
+    * is the graded slice; the full table is what a training pipeline
+    * materializes.
+    *
+    * Scale shape identical to llm_ngram_topk: the pair list is IN-ROW
+    * (no positional self-join), so the plan is scan → explode → one
+    * map-side-combined hash aggregate → TakeOrderedAndProject. At 100 TB
+    * the aggregate's output is vocab²-bounded (and Zipf-concentrated),
+    * never corpus-sized. */
+  val cooccurrence: GraftQuery = GraftQuery(
+    "llm_cooccurrence",
+    (s, dir) => {
+      import s.implicits._
+      skipgramPairs(s, dir)
+        .groupBy($"c", $"x")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"c", $"x")
+        .limit(100)
+        .select($"c".as("center"), $"x".as("context"), $"n")
+    },
+    Some(s"""WITH $skipgramPairsSql
+        SELECT c AS center, x AS context, count(*) AS n
+        FROM pairs GROUP BY c, x
+        ORDER BY n DESC, c, x LIMIT 100""")
+  )
+
+  /** Pointwise mutual information over the co-occurrence pairs — the
+    * classic association score (PMI ≈ log-odds a pair co-occurs vs
+    * independence) that turns raw counts into collocation strength:
+    * PPMI-factorized co-occurrence IS a word embedding (Levy &
+    * Goldberg), and high-PMI pairs are the multiword expressions a
+    * tokenizer or phrase-mining pass should fuse. Graded slice: top-50
+    * pairs with support n ≥ 5 (rare-pair PMI is noise by construction).
+    *
+    * Determinism: marginals and the grand total are exact BIGINTs off
+    * the pair aggregate; the independence ratio n·N / (n_c·n_x) is
+    * computed as ONE identical double expression in both engines
+    * (identical operands, identical order — the ts_ols convention), the
+    * ORDER BY sorts on that unrounded ratio (monotone in PMI, so no
+    * transcendental in the sort key), and ln() rounds 6dp only at the
+    * final projection.
+    *
+    * Scale shape: pair aggregate (vocab²-bounded) localCheckpointed once
+    * and read three ways (pairs, center marginal, 1-row total); the
+    * marginal joins are vocab-sized shuffle joins, never a broadcast of
+    * an O(vocab) side; top-50 is TakeOrderedAndProject. */
+  val pmi: GraftQuery = GraftQuery(
+    "llm_pmi",
+    (s, dir) => {
+      import s.implicits._
+      val pc = skipgramPairs(s, dir)
+        .groupBy($"c", $"x").agg(count(lit(1)).as("n"))
+        .localCheckpoint() // read 3×: pairs, marginal, total
+      val marginal = pc.groupBy($"c").agg(sum($"n").as("nc"))
+      val total = pc.agg(sum($"n").as("nn"))
+      pc.filter($"n" >= 5)
+        .join(marginal.hint("shuffle_hash"), "c")
+        .join(marginal.select($"c".as("x"), $"nc".as("nx"))
+          .hint("shuffle_hash"), "x")
+        .crossJoin(broadcast(total))
+        .withColumn("ratio",
+          $"n".cast("double") * $"nn".cast("double")
+            / ($"nc".cast("double") * $"nx".cast("double")))
+        .orderBy($"ratio".desc, $"c", $"x")
+        .limit(50)
+        .select($"c".as("center"), $"x".as("context"), $"n",
+          round(log($"ratio"), 6).as("pmi"))
+    },
+    Some(s"""WITH $skipgramPairsSql,
+        pc AS (SELECT c, x, count(*) AS n FROM pairs GROUP BY c, x),
+        m AS (SELECT c, sum(n) AS nc FROM pc GROUP BY c),
+        t AS (SELECT sum(n) AS nn FROM pc)
+        SELECT pc.c AS center, pc.x AS context, pc.n,
+               round(ln(CAST(pc.n AS DOUBLE) * CAST(t.nn AS DOUBLE)
+                        / (CAST(mc.nc AS DOUBLE) * CAST(mx.nc AS DOUBLE))), 6)
+                 AS pmi
+        FROM pc
+        JOIN m mc ON pc.c = mc.c
+        JOIN m mx ON pc.x = mx.c
+        CROSS JOIN t
+        WHERE pc.n >= 5
+        ORDER BY CAST(pc.n AS DOUBLE) * CAST(t.nn AS DOUBLE)
+                 / (CAST(mc.nc AS DOUBLE) * CAST(mx.nc AS DOUBLE)) DESC,
+                 pc.c, pc.x
+        LIMIT 50""")
+  )
+
   /** Per-source quality pass-rate with a Wilson 95% interval and a
     * significance flag against the corpus-wide rate — the "is src7's
     * quality dip REAL or just a small sample?" readout that decides
@@ -1310,5 +1441,5 @@ object TextStats {
         vocabTopK, vocabFuzzy, trainSplit, piiScrub, sampleStratified,
         packChunks, domainMix, shardShuffle, chunkSliding, sampleWeighted,
         qualityClassifier, winnow, winnowDedup, winnowDedupCapped,
-        bpeTrain, bpeApply, ngramTopK, qualityCi)
+        bpeTrain, bpeApply, ngramTopK, qualityCi, cooccurrence, pmi)
 }

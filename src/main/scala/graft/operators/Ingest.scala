@@ -148,6 +148,71 @@ object Ingest {
             FROM kept GROUP BY d ORDER BY d""")
   )
 
+  /** Catalog DROP-PARTITION retention — the METADATA form of
+    * ingest_retention, completing the lifecycle pair its doc comment
+    * describes: with a catalog (or any partition index), expiring a day
+    * never touches data — it is a partition-listing operation (read the
+    * partition VALUES, drop the expired directories), zero rows read,
+    * zero rows rewritten. That is the form a 100 TB table actually runs
+    * nightly; the rewrite form exists for plain uncataloged paths.
+    *
+    * Everything here is deliberately driver-side ON THE PARTITION
+    * CATALOG ONLY: the listing is O(#partitions) (types × days —
+    * catalog-sized, independent of row count), the cutoff derives from
+    * the LISTED day values (metadata, not a data scan), and the drop is
+    * a directory delete per expired day. The graded read-back emits the
+    * surviving (event_type, day) partition pairs straight from the
+    * post-drop listing — if the drop over- or under-deletes, the oracle
+    * (survivors derived from the data) catches it. IngestSpec
+    * additionally asserts the expired directories are GONE and the
+    * surviving files byte-identical (a metadata op must not rewrite). */
+  val ingestRetentionMeta: GraftQuery = GraftQuery(
+    "ingest_retention_meta",
+    (s, dir) => {
+      import s.implicits._
+      val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val out = s"/tmp/graft_retention_meta/$key"
+      graft.llm.Layouts.parquetLayout(out, out,
+          graft.llm.Layouts.fingerprint(Tables.events(s, dir), "event_id", "ts")) {
+        writePartitioned(Tables.events(s, dir), out)
+      }
+      // Partition catalog = the (event_type, d) directory tree.
+      def listParts(): Seq[(String, String, java.io.File)] = for {
+        t <- new java.io.File(out).listFiles().toSeq
+        if t.isDirectory && t.getName.startsWith("event_type=")
+        p <- t.listFiles().toSeq
+        if p.isDirectory && p.getName.startsWith("d=")
+      } yield (t.getName.stripPrefix("event_type="),
+               p.getName.stripPrefix("d="), p)
+      val cutoff = java.time.LocalDate
+        .parse(listParts().map(_._2).max).minusDays(13)
+      listParts().filter { case (_, d, _) =>
+        java.time.LocalDate.parse(d).isBefore(cutoff)
+      }.foreach { case (_, _, dirF) =>
+        // DROP PARTITION: recursive delete of one expired day directory.
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        rm(dirF)
+      }
+      val survivors = listParts().map { case (t, d, _) => (t, d) }
+      val daysKept = survivors.map(_._2).distinct.size.toLong
+      survivors.toDF("event_type", "d")
+        .withColumn("days_kept", lit(daysKept))
+        .orderBy($"event_type", $"d")
+    },
+    Some("""WITH cut AS (
+              SELECT CAST(max(date_trunc('day', ts)) AS DATE) - 13 AS c FROM events),
+            kept AS (
+              SELECT DISTINCT event_type, CAST(date_trunc('day', ts) AS DATE) AS dd
+              FROM events
+              WHERE CAST(date_trunc('day', ts) AS DATE) >= (SELECT c FROM cut))
+            SELECT event_type, strftime(dd, '%Y-%m-%d') AS d,
+                   (SELECT count(DISTINCT dd) FROM kept) AS days_kept
+            FROM kept ORDER BY event_type, d""")
+  )
+
   /** Incremental load from a committed watermark (R2/R3 batch form):
     * only events past the watermark are consumed; the predicate pushes
     * into the scan. The watermark here is derived (midpoint) to stay
@@ -828,7 +893,8 @@ object Ingest {
 
   def all: Seq[GraftQuery] =
     Seq(ingestPartitioned, ingestIncremental, scanPartitionPrune, joinBucketed,
-        ingestUpsert, ingestRetention, sourceCsv, sourceJson, sourceOrc,
+        ingestUpsert, ingestRetention, ingestRetentionMeta,
+        sourceCsv, sourceJson, sourceOrc,
         sourceText, sourceBinary,
         partitionBucket,
         ingestCompact,

@@ -1810,15 +1810,30 @@ object TimeSeries {
     * computed once driver-side; per lag i this returns the weights of
     * x_{t−i} in (level, trend, current season q₁, next-step season q₇)
     * — forecast_{t+1} = level + trend + q₇. */
-  private[graft] def holtWintersWeights: Seq[(Double, Double, Double, Double)] = {
+  private[graft] def holtWintersWeights: Seq[(Double, Double, Double, Double)] =
+    holtWintersWeightsDamped(1.0) // φ = 1 multiplies exactly — bit-identical
+
+  /** The same kernel with a damped trend (Gardner–McKenzie applied to the
+    * seasonal smoother): every trend READ scales by φ —
+    *   l_t = α(x_t − q'₇) + (1−α)(l' + φ·b')
+    *   b_t = β(l_t − l') + (1−β)·φ·b'
+    * which only changes the two b'-column entries of the constant
+    * transition. The truncation bound is set by the φ-independent
+    * seasonal ring (mass decays (1−γ) per PERIOD), so the documented
+    * K=22 bound carries unchanged; individual kernel coordinates are
+    * NON-monotone in φ (the level↔ring coupling — measured both
+    * directions at K=22), which is why the spec pins fidelity by
+    * replaying the exact recursion, not by tail-weight ordering. */
+  private[graft] def holtWintersWeightsDamped(
+      phi: Double): Seq[(Double, Double, Double, Double)] = {
     val (a, b, g, m) = (HwAlpha, HwBeta, HwGamma, HwPeriod)
     val n = m + 2
     // A rows: new-state coordinates as linear forms over the old state.
     val A = Array.ofDim[Double](n, n)
     val c = new Array[Double](n)
-    A(0)(0) = 1 - a; A(0)(1) = 1 - a; A(0)(n - 1) = -a; c(0) = a
+    A(0)(0) = 1 - a; A(0)(1) = (1 - a) * phi; A(0)(n - 1) = -a; c(0) = a
     for (j <- 0 until n) A(1)(j) = b * A(0)(j)
-    A(1)(0) -= b; A(1)(1) += 1 - b; c(1) = b * a
+    A(1)(0) -= b; A(1)(1) += (1 - b) * phi; c(1) = b * a
     for (j <- 0 until n) A(2)(j) = -g * A(0)(j)
     A(2)(n - 1) += 1 - g; c(2) = g * (1 - a)
     for (j <- 2 until m + 1) A(j + 1)(j) = 1.0 // ring rotation q_j = q'_{j-1}
@@ -1908,6 +1923,79 @@ object TimeSeries {
                  round(trend, 4) AS hw_trend,
                  round(season, 4) AS hw_season,
                  round(level + trend + qm, 4) AS forecast_next
+          FROM h WHERE warm IS NOT NULL
+          ORDER BY event_type, d"""
+    }
+  )
+
+  /** Damped-trend Holt–Winters — ts_holt_winters' trend read scaled by
+    * φ (the ts_holt_damped dial applied to the seasonal smoother): the
+    * weekday rhythm stays fully weighted while the trend extrapolation
+    * saturates, which is the configuration production capacity forecasts
+    * actually run (seasonality is real and stable; unbounded linear
+    * growth is not). Emits level, damped trend, seasonal index, and the
+    * one-step forecast level + φ·trend + tomorrow-slot index, after the
+    * same full K-lag warm-up and under the same enforced calendar-gapless
+    * precondition (the kernel lags ROWS; a gap would misalign the
+    * weekly ring — gapped rows RAISE).
+    *
+    * Same truncated-kernel device, scale shape, oracle construction and
+    * K=22 truncation bound as ts_holt_winters (the bound is set by the
+    * φ-independent seasonal ring's per-period decay). */
+  val holtWintersDamped: GraftQuery = GraftQuery(
+    "ts_holt_winters_damped",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"event_type").orderBy($"d")
+      val x = (i: Int) => lag($"v", i).over(w).cast("double")
+      val ws = holtWintersWeightsDamped(HoltPhi)
+      def sumOf(f: ((Double, Double, Double, Double)) => Double) =
+        ws.zipWithIndex.map { case (t, i) => x(i) * lit(f(t)) }.reduce(_ + _)
+      val (level, trend, season, qm) =
+        (sumOf(_._1), sumOf(_._2), sumOf(_._3), sumOf(_._4))
+      changepointDaily(s, dir)
+        .withColumn("level", level)
+        .withColumn("trend", trend)
+        .withColumn("season", season)
+        .withColumn("qm", qm)
+        .withColumn("warm", lag($"v", HwK - 1).over(w))
+        .withColumn("warm_d", lag($"d", HwK - 1).over(w))
+        .filter($"warm".isNotNull)
+        .select($"event_type", $"d",
+          round(graft.GraftQuery.guarded($"level",
+            datediff($"d", $"warm_d") === lit(HwK - 1),
+            "ts_holt_winters_damped: calendar gap inside the seasonal " +
+              "kernel window — gap-fill the daily series (ts_gapfill " +
+              "device) before smoothing"), 4).as("hwd_level"),
+          round($"trend", 4).as("hwd_trend"),
+          round($"season", 4).as("hwd_season"),
+          round($"level" + lit(HoltPhi) * $"trend" + $"qm", 4)
+            .as("forecast_next"))
+        .orderBy($"event_type", $"d")
+    },
+    Some {
+      val ws = holtWintersWeightsDamped(HoltPhi)
+      def terms(f: ((Double, Double, Double, Double)) => Double) =
+        ws.zipWithIndex.map { case (t, i) =>
+          s"CAST(lag(v, $i) OVER w AS DOUBLE) * CAST(${f(t)} AS DOUBLE)" }
+          .mkString(" + ")
+      s"""WITH daily AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+                   CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+            FROM events GROUP BY 1, 2),
+          h AS (
+            SELECT event_type, d,
+                   ${terms(_._1)} AS level, ${terms(_._2)} AS trend,
+                   ${terms(_._3)} AS season, ${terms(_._4)} AS qm,
+                   lag(v, ${HwK - 1}) OVER w AS warm
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY d))
+          SELECT event_type, d, round(level, 4) AS hwd_level,
+                 round(trend, 4) AS hwd_trend,
+                 round(season, 4) AS hwd_season,
+                 round(level + CAST($HoltPhi AS DOUBLE) * trend + qm, 4)
+                   AS forecast_next
           FROM h WHERE warm IS NOT NULL
           ORDER BY event_type, d"""
     }
@@ -2280,5 +2368,6 @@ object TimeSeries {
       funnelWindowed, sessionize, retention, anomaly, interpolate, ewma,
       crossCorr, outlierMad, rollingMedian, cusum, seasonality, mkTrend,
       theilSen, acf, changepoint, pacf, peaks, streaks, holt, ols, holtWinters,
-      asofNearest, rollingOls, forecastEval, activeUsers, wowGrowth, holtDamped)
+      asofNearest, rollingOls, forecastEval, activeUsers, wowGrowth, holtDamped,
+      holtWintersDamped)
 }

@@ -521,6 +521,43 @@ class CorpusSpec extends AnyFunSuite {
       "top-50 bigrams must match the brute sliding-window recompute")
   }
 
+  test("cooccurrence + PMI: pairs match a brute ±2 window; PMI recomputes from brute marginals") {
+    val docs = sources.Tables.documents(spark, TestSpark.Sf)
+      .select($"text").collect().map(_.getString(0))
+    val brute = scala.collection.mutable.Map[(String, String), Long]()
+    for (text <- docs) {
+      val toks = text.split(" ", -1)
+      for {
+        i <- toks.indices; o <- 1 to 2
+        if i + o < toks.length
+        (a, b) <- Seq((toks(i), toks(i + o)), (toks(i + o), toks(i)))
+      } brute((a, b)) = brute.getOrElse((a, b), 0L) + 1L
+    }
+    val co = llm.TextStats.cooccurrence.run(spark, TestSpark.Sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getAs[Long]("n")))
+    val expectedTop = brute.toSeq
+      .sortBy { case ((c, x), n) => (-n, c, x) }.take(co.length)
+      .map { case (k, n) => (k, n) }
+    assert(co.toSeq === expectedTop,
+      "top co-occurrence pairs must match the brute ±2-window recompute")
+    // PMI: every emitted row recomputes from the brute pair table's
+    // marginals, and the support floor holds.
+    val nc = brute.groupBy(_._1._1).map { case (c, xs) => c -> xs.values.sum }
+    val nn = brute.values.sum
+    val pmiOut = llm.TextStats.pmi.run(spark, TestSpark.Sf).collect()
+    assert(pmiOut.nonEmpty)
+    pmiOut.foreach { r =>
+      val (c, x, n) = (r.getString(0), r.getString(1), r.getAs[Long]("n"))
+      assert(n === brute((c, x)), s"($c,$x): support")
+      assert(n >= 5, "support floor")
+      val expected = BigDecimal(math.log(
+        n.toDouble * nn.toDouble / (nc(c).toDouble * nc(x).toDouble)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      assert((BigDecimal(r.getAs[Double]("pmi")) - expected).abs
+        <= BigDecimal("0.000001"), s"($c,$x): PMI vs brute marginals")
+    }
+  }
+
   test("stream_changepoint: wave-merged daily partials reproduce the batch split exactly") {
     val streamed = streaming.DriftStream.streamChangepoint
       .run(spark, TestSpark.Sf).collect().map(_.toSeq)

@@ -280,6 +280,41 @@ class IngestSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getAs[Long]("n") === brute(r.getString(0))))
   }
 
+  test("retention metadata drop: expired dirs gone, surviving files byte-untouched") {
+    import org.apache.spark.sql.functions._
+    def walkFiles(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walkFiles)
+      else Seq(f)
+    val root = new java.io.File(
+      s"/tmp/graft_retention_meta/${TestSpark.Sf.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val out = operators.Ingest.ingestRetentionMeta.run(spark, TestSpark.Sf).collect()
+    assert(out.map(_.getAs[Long]("days_kept")).distinct.toSeq === Seq(14L))
+    // partition-catalog claim: only trailing-14-day directories remain,
+    // under every event_type
+    val allDays = sources.Tables.events(spark, TestSpark.Sf)
+      .select(to_date($"ts").cast("string")).distinct().collect()
+      .map(_.getString(0)).sorted
+    val surviving = allDays.takeRight(14).toSet
+    root.listFiles().filter(t => t.isDirectory && t.getName.startsWith("event_type="))
+      .foreach { t =>
+        val days = t.listFiles().filter(_.isDirectory)
+          .map(_.getName.stripPrefix("d=")).toSet
+        assert(days === surviving,
+          s"${t.getName}: on-disk partitions must be exactly the trailing 14 days")
+      }
+    // metadata-op claim: a SECOND run must not rewrite a single surviving
+    // byte — same files, same sizes, same mtimes (a rewrite-form
+    // retention would fail this)
+    val before = walkFiles(root).map(f =>
+      (f.getPath, f.length, f.lastModified)).sortBy(_._1)
+    val out2 = operators.Ingest.ingestRetentionMeta.run(spark, TestSpark.Sf).collect()
+    val after = walkFiles(root).map(f =>
+      (f.getPath, f.length, f.lastModified)).sortBy(_._1)
+    assert(after === before, "re-running the metadata drop must touch no file")
+    assert(out2.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      out.map(r => (r.getString(0), r.getString(1))).toSeq, "idempotent listing")
+  }
+
   test("text source: limit-2 split recovers every record byte-exactly") {
     import org.apache.spark.sql.functions._
     // run the registered query once so the line layout exists

