@@ -1217,7 +1217,14 @@ object TextStats {
     * self-join, no window): scan → explode → hash aggregate. The pair
     * stream is 2·W rows per token, map-side combined. Shared by
     * llm_cooccurrence and llm_pmi. */
-  private[graft] def skipgramPairs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def skipgramPairs(s: SparkSession, dir: String): DataFrame =
+    skipgramPairsOf(Tables.documents(s, dir))
+
+  /** The pair builder over an arbitrary doc frame — the per-batch form
+    * the streaming twin consumes (pairs are per-doc pure, so
+    * union-of-batches equals the whole-corpus pair multiset exactly). */
+  private[graft] def skipgramPairsOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
     // sequence(1, 0) would DESCEND (the ngramTopK guard); short docs
     // contribute an empty list on both engines.
@@ -1226,7 +1233,7 @@ object TextStats {
             i -> struct(element_at(split(text, ' '), i) AS c,
                         element_at(split(text, ' '), i + $o) AS x))"""))
       .otherwise(expr("CAST(array() AS array<struct<c:string,x:string>>)"))
-    Tables.documents(s, dir)
+    docs
       .select(explode(concat(fwd(1), fwd(2))).as("p"))
       .select(explode(array(
         struct($"p.c".as("c"), $"p.x".as("x")),

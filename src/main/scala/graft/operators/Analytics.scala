@@ -1434,9 +1434,122 @@ object Analytics {
             ORDER BY nation""")
   )
 
+  /** Poisson-bootstrap 95% confidence interval for the mean daily
+    * revenue per event type — THE web-scale bootstrap: classical
+    * resampling draws n observations WITH replacement per resample
+    * (undistributable — every resample needs global coordination);
+    * the Poisson bootstrap replaces each observation's multinomial
+    * count with an independent Poisson(1) weight, so every row decides
+    * its own weight in every resample locally — one pass, no
+    * coordination, B resamples for free. The CI a mean without an
+    * interval cannot honestly ship.
+    *
+    * Determinism (no RNG anywhere): the per-(row, resample) uniform is
+    * the fn_checksum device — first 48 md5 bits of "type|day|b" over
+    * 2⁴⁸ — and the Poisson(1) weight is the inverse CDF as a shared
+    * literal threshold chain (cum_k = Σ e⁻¹/i!, computed driver-side
+    * once, embedded as the SAME double literals in both engines; both
+    * the uniform and the comparison are identical IEEE ops). Resample
+    * means are single divisions of exact BIGINT folds; the 2.5/97.5
+    * percentiles interpolate identical doubles (the agg_percentile
+    * parity); rounding 4dp at the final projection only.
+    *
+    * Scale shape: the fact scan reduces ONCE to the (type, day) domain;
+    * the ×B explode runs on that bounded domain (B·|domain| rows, never
+    * B·|corpus|); one hash aggregate onto (type, b) cells; the
+    * percentile fold is |types|×B rows. At 100 TB nothing but the first
+    * aggregate ever sees the events table. */
+  val bootstrapCi: GraftQuery = GraftQuery(
+    "agg_bootstrap_ci",
+    (s, dir) => {
+      import s.implicits._
+      val B = 200
+      // cum_k = P(Poisson(1) ≤ k), k = 0..8 — driver-side exact doubles
+      // shared with the oracle as literals (tail mass past 9 ≈ 1e-7;
+      // u ≥ cum_8 maps to weight 9 in BOTH engines identically).
+      val cums = {
+        val e = math.exp(-1.0); var fact = 1.0
+        (0 to 8).map { k => if (k > 0) fact *= k; e / fact }
+          .scanLeft(0.0)(_ + _).drop(1)
+      }
+      val wExpr = cums.map(c => s"(CASE WHEN u >= $c THEN 1 ELSE 0 END)")
+        .mkString("CAST(", " + ", " AS BIGINT)")
+      val daily = Tables.events(s, dir)
+        .groupBy($"event_type", to_date($"ts").as("d"))
+        .agg(expr("sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))").as("v"))
+      val means = daily
+        .withColumn("b", explode(expr(s"sequence(0, ${B - 1})")))
+        .withColumn("u", expr(
+          """CAST(conv(substring(md5(concat(
+               event_type, '|', CAST(d AS STRING), '|', CAST(b AS STRING)
+             )), 1, 12), 16, 10) AS BIGINT) / 281474976710656.0"""))
+        .withColumn("w", expr(wExpr))
+        .groupBy($"event_type", $"b")
+        .agg(sum($"w" * $"v").as("sv"), sum($"w").as("sw"))
+        .filter($"sw" > 0L)
+        .select($"event_type",
+          ($"sv".cast("double") / $"sw".cast("double")).as("m"))
+      val point = daily.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_days"),
+          (sum($"v").cast("double") / count(lit(1)).cast("double"))
+            .as("mean_cents"))
+      means.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_resamples"),
+          expr("percentile_cont(0.025) WITHIN GROUP (ORDER BY m)").as("lo"),
+          expr("percentile_cont(0.975) WITHIN GROUP (ORDER BY m)").as("hi"))
+        .join(point, "event_type")
+        .select($"event_type", $"n_days", $"n_resamples",
+          round($"mean_cents", 4).as("mean_cents"),
+          round($"lo", 4).as("ci_lo"), round($"hi", 4).as("ci_hi"))
+        .orderBy($"event_type")
+    },
+    Some {
+      val cums = {
+        val e = math.exp(-1.0); var fact = 1.0
+        (0 to 8).map { k => if (k > 0) fact *= k; e / fact }
+          .scanLeft(0.0)(_ + _).drop(1)
+      }
+      val wExpr = cums.map(c => s"(CASE WHEN u >= $c THEN 1 ELSE 0 END)")
+        .mkString("CAST(", " + ", " AS BIGINT)")
+      s"""WITH daily AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+                   CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+            FROM events GROUP BY 1, 2),
+          rs AS (
+            SELECT event_type, d, v, unnest(range(0, 200)) AS b FROM daily),
+          uw AS (
+            SELECT event_type, b, v,
+                   CAST(('0x' || substr(md5(
+                     event_type || '|' || strftime(d, '%Y-%m-%d') || '|' ||
+                     CAST(b AS VARCHAR)), 1, 12)) AS BIGINT)
+                     / 281474976710656.0 AS u
+            FROM rs),
+          cells AS (
+            SELECT event_type, b,
+                   CAST(sum($wExpr * v) AS BIGINT) AS sv,
+                   CAST(sum($wExpr) AS BIGINT) AS sw
+            FROM uw GROUP BY 1, 2),
+          means AS (
+            SELECT event_type,
+                   CAST(sv AS DOUBLE) / CAST(sw AS DOUBLE) AS m
+            FROM cells WHERE sw > 0),
+          pt AS (
+            SELECT event_type, count(*) AS n_days,
+                   CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_cents
+            FROM daily GROUP BY 1)
+          SELECT event_type, n_days, count(*) AS n_resamples,
+                 round(any_value(mean_cents), 4) AS mean_cents,
+                 round(percentile_cont(0.025) WITHIN GROUP (ORDER BY m), 4) AS ci_lo,
+                 round(percentile_cont(0.975) WITHIN GROUP (ORDER BY m), 4) AS ci_hi
+          FROM means JOIN pt USING (event_type)
+          GROUP BY event_type, n_days
+          ORDER BY event_type"""
+    }
+  )
+
   def all: Seq[GraftQuery] = Seq(
     statsAgg, percentiles, approxPercentile, stringAgg, pivotAgg, jsonStruct,
     topNRevenue, corrMatrix, ksTest, mannWhitney, chiSq, gini,
     ttestWelch, spearman, cramersV, benford, moments, shareOfParent, anova,
-    wilcoxon, entropy, expectations, kanon, hhi)
+    wilcoxon, entropy, expectations, kanon, hhi, bootstrapCi)
 }

@@ -1786,6 +1786,102 @@ object TimeSeries {
     }
   )
 
+  /** Croston smoothing constant and kernel depth, shared by the query,
+    * the oracle, and the spec's exact-recursion reference. */
+  private[graft] val CrAlpha = 0.3
+  private[graft] val CrK = 8
+
+  /** Croston's method for INTERMITTENT demand — the forecast for series
+    * that are mostly zero (spare parts, long-tail SKUs, rare-event
+    * volumes), where Holt/EWMA on the raw daily series collapses toward
+    * zero between demands and spikes at each one: Croston smooths TWO
+    * series defined only on demand days — the nonzero demand SIZE and
+    * the inter-demand INTERVAL — and forecasts size/interval demand per
+    * day. Series here: per-brand daily shipped quantity off lineitem
+    * (the part catalog's brand rollup makes a genuinely sparse
+    * demand calendar at small SF — the regime Croston exists for).
+    *
+    * Both smoothers are the ts_ewma zero-init truncated kernel
+    * (α(1−α)^i over the last K demand days; dropped mass (1−α)^K ≈ 6%)
+    * on the DEMAND-DAY subseries — the row filter is the method: rows
+    * ARE demand days, so plain row-lags implement the "update only on
+    * demand" recursion exactly; the interval series is one datediff
+    * lag. Emitted once per brand (the latest demand day) after a full
+    * K+1-day warm-up.
+    *
+    * Scale shape: the fact scan reduces in one hash aggregate to the
+    * (brand, day) demand calendar; the part dimension joins on partkey
+    * by SIZE-BASED planning (a scanned table with stats: broadcast
+    * while it fits — the plan here — and shuffle once the catalog
+    * outgrows the threshold; no hint needed either way); both kernels
+    * ride ONE partitioned window; the final pick is a row_number over
+    * the same partitioning. */
+  val croston: GraftQuery = GraftQuery(
+    "ts_croston",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val weights = (0 until CrK).map(i => CrAlpha * math.pow(1 - CrAlpha, i))
+      val w = Window.partitionBy($"brand").orderBy($"d")
+      val daily = Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir).select($"p_partkey", $"p_brand".as("brand")),
+          $"l_partkey" === $"p_partkey")
+        .groupBy($"brand", to_date($"l_shipdate").as("d"))
+        .agg(expr("CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)").as("qty"))
+      val size = weights.zipWithIndex
+        .map { case (wt, i) => lag($"qty", i).over(w).cast("double") * lit(wt) }
+        .reduce(_ + _)
+      val interval = weights.zipWithIndex
+        .map { case (wt, i) => lag($"q", i).over(w).cast("double") * lit(wt) }
+        .reduce(_ + _)
+      daily
+        .withColumn("q", datediff($"d", lag($"d", 1).over(w)))
+        .withColumn("z", size)
+        .withColumn("p", interval)
+        .withColumn("warm", lag($"d", CrK).over(w))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"brand").orderBy($"d".desc)))
+        .filter($"rn" === 1 && $"warm".isNotNull)
+        .select($"brand", $"d".as("d_last"),
+          round($"z", 4).as("croston_size"),
+          round($"p", 4).as("croston_interval"),
+          round($"z" / $"p", 4).as("forecast_daily"))
+        .orderBy($"brand")
+    },
+    Some {
+      val weights = (0 until CrK).map(i => CrAlpha * math.pow(1 - CrAlpha, i))
+      val size = weights.zipWithIndex.map { case (wt, i) =>
+        s"CAST(lag(qty, $i) OVER w AS DOUBLE) * CAST($wt AS DOUBLE)" }
+        .mkString(" + ")
+      val interval = weights.zipWithIndex.map { case (wt, i) =>
+        s"CAST(lag(q, $i) OVER w AS DOUBLE) * CAST($wt AS DOUBLE)" }
+        .mkString(" + ")
+      s"""WITH daily AS (
+            SELECT p_brand AS brand, CAST(l_shipdate AS DATE) AS d,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1, 2),
+          k AS (
+            SELECT brand, d, qty,
+                   datediff('day', lag(d, 1) OVER w, d) AS q,
+                   lag(d, $CrK) OVER w AS warm,
+                   row_number() OVER (PARTITION BY brand ORDER BY d DESC) AS rn
+            FROM daily
+            WINDOW w AS (PARTITION BY brand ORDER BY d)),
+          sm AS (
+            SELECT brand, d, rn, warm,
+                   $size AS z, $interval AS p
+            FROM k
+            WINDOW w AS (PARTITION BY brand ORDER BY d))
+          SELECT brand, d AS d_last,
+                 round(z, 4) AS croston_size,
+                 round(p, 4) AS croston_interval,
+                 round(z / p, 4) AS forecast_daily
+          FROM sm WHERE rn = 1 AND warm IS NOT NULL
+          ORDER BY brand"""
+    }
+  )
+
   /** Holt–Winters additive-seasonal constants: smoothing weights, the
     * weekly period, and the kernel truncation depth (22 = three full
     * periods inside the 30-day fixture series, leaving ≥8 emitted rows
@@ -2369,5 +2465,5 @@ object TimeSeries {
       crossCorr, outlierMad, rollingMedian, cusum, seasonality, mkTrend,
       theilSen, acf, changepoint, pacf, peaks, streaks, holt, ols, holtWinters,
       asofNearest, rollingOls, forecastEval, activeUsers, wowGrowth, holtDamped,
-      holtWintersDamped)
+      holtWintersDamped, croston)
 }

@@ -217,7 +217,37 @@ object CorpusStream {
     graft.llm.TextStats.qualityCi.oracle
   )
 
+  /** Streaming co-occurrence maintenance — the micro-batch twin of
+    * `llm_cooccurrence`: skip-gram pairs never cross documents, so each
+    * wave's per-pair integer counts are exact partials under ANY arrival
+    * split, and the serve step merges them by plain addition (the
+    * qsketch convention — no estimator subtlety, BIT-equal to the
+    * one-pass batch cube). This is how the word2vec/GloVe input table
+    * stays current as a corpus lands: per-wave cost is O(batch tokens),
+    * merged state is the vocab²-bounded pair table, and old documents
+    * are never re-tokenized. Graded over the deterministic 3-way doc_id
+    * split against the batch oracle verbatim. */
+  val streamCooccurrence: GraftQuery = GraftQuery(
+    "stream_cooccurrence",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      (0 until 3).map { b =>
+        graft.llm.TextStats.skipgramPairsOf(
+            docs.filter(pmod($"doc_id", lit(3)) === b))
+          .groupBy($"c", $"x").agg(count(lit(1)).as("n"))
+      }.reduce(_.unionAll(_))
+        .groupBy($"c", $"x").agg(sum($"n").as("n")) // wave merge: addition
+        .orderBy($"n".desc, $"c", $"x")
+        .limit(100)
+        .select($"c".as("center"), $"x".as("context"), $"n")
+    },
+    // Exact-integer merge: batching cannot move any output row — the
+    // oracle is the batch pair table's, verbatim.
+    graft.llm.TextStats.cooccurrence.oracle
+  )
+
   def all: Seq[GraftQuery] =
     Seq(streamContamination, streamPerplexity, streamQuality, streamCurate,
-      streamQualityCi)
+      streamQualityCi, streamCooccurrence)
 }

@@ -587,6 +587,58 @@ class AggregatesSpec extends AnyFunSuite {
     assert(shares.last <= 1.0 + 1e-12)
   }
 
+  test("poisson bootstrap CI: weights, resample means, and percentiles brute-replicate") {
+    // Full driver-side replay: same md5-derived uniforms, same Poisson(1)
+    // threshold chain, same linear percentile interpolation — the CI must
+    // reproduce to the emitted rounding. Pins the no-RNG determinism
+    // claim end-to-end.
+    val daily = sources.Tables.events(spark, TestSpark.Sf)
+      .groupBy($"event_type", to_date($"ts").cast("string").as("d"))
+      .agg(expr("sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))").as("v"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val cums = {
+      val e = math.exp(-1.0); var fact = 1.0
+      (0 to 8).map { k => if (k > 0) fact *= k; e / fact }
+        .scanLeft(0.0)(_ + _).drop(1)
+    }
+    def u48(key: String): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(key.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      java.lang.Long.parseLong(hex, 16).toDouble / 281474976710656.0
+    }
+    def pctl(sorted: Seq[Double], p: Double): Double = {
+      val h = p * (sorted.length - 1)
+      val lo = math.floor(h).toInt
+      if (lo + 1 >= sorted.length) sorted(lo)
+      else sorted(lo) + (h - lo) * (sorted(lo + 1) - sorted(lo))
+    }
+    val out = operators.Analytics.bootstrapCi.run(spark, TestSpark.Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val t = r.getString(0)
+      val rows = daily.filter(_._1 == t)
+      val means = (0 until 200).flatMap { b =>
+        val cells = rows.map { case (_, d, v) =>
+          val u = u48(s"$t|$d|$b")
+          val w = cums.count(u >= _).toLong
+          (w * v, w)
+        }
+        val (sv, sw) = (cells.map(_._1).sum, cells.map(_._2).sum)
+        if (sw > 0) Some(sv.toDouble / sw.toDouble) else None
+      }
+      assert(r.getAs[Long]("n_days") === rows.length.toLong)
+      assert(r.getAs[Long]("n_resamples") === means.length.toLong)
+      val sortedM = means.sorted
+      def close(a: Double, b: Double) = math.abs(a - b) <= 1e-4
+      assert(close(r.getAs[Double]("ci_lo"), pctl(sortedM, 0.025)), s"$t ci_lo")
+      assert(close(r.getAs[Double]("ci_hi"), pctl(sortedM, 0.975)), s"$t ci_hi")
+      val mean = rows.map(_._3).sum.toDouble / rows.length
+      assert(close(r.getAs[Double]("mean_cents"), mean), s"$t mean")
+      assert(r.getAs[Double]("ci_lo") <= r.getAs[Double]("ci_hi"))
+    }
+  }
+
   test("k-anonymity: group sizes conserve; flags recompute; diversity bounded by size") {
     val out = operators.Analytics.kanon.run(spark, TestSpark.Sf).collect()
     val total = sources.Tables.customer(spark, TestSpark.Sf).count()

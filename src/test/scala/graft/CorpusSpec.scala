@@ -558,6 +558,18 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("stream_cooccurrence: wave-merged pair counts reproduce the batch table bit-for-bit") {
+    // Pairs never cross documents, so the 3-way arrival split must be
+    // invisible: identical rows in identical order, including the top-100
+    // cut (integer counts — no tie can move across the boundary in one
+    // engine only).
+    val streamed = streaming.CorpusStream.streamCooccurrence
+      .run(spark, TestSpark.Sf).collect().map(_.toSeq).toSeq
+    val batch = llm.TextStats.cooccurrence
+      .run(spark, TestSpark.Sf).collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+  }
+
   test("stream_changepoint: wave-merged daily partials reproduce the batch split exactly") {
     val streamed = streaming.DriftStream.streamChangepoint
       .run(spark, TestSpark.Sf).collect().map(_.toSeq)

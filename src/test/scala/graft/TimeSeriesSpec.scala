@@ -949,6 +949,51 @@ class TimeSeriesSpec extends AnyFunSuite {
       === operators.TimeSeries.holtWintersWeights)
   }
 
+  test("ts_croston: kernel tracks the exact conditional recursion on a truly sparse calendar") {
+    // Croston's recursion updates ONLY on demand days; the graded form
+    // row-lags the demand-day subseries, so it must track the exact
+    // sequential replay (classic init z=first size, p=first interval)
+    // within the zero-init truncation band. Also pins the regime claim:
+    // the calendar is actually intermittent (mean interval > 1 day).
+    import operators.TimeSeries.{CrAlpha => a, CrK => k}
+    val daily = sources.Tables.lineitem(spark, TestSpark.Sf)
+      .join(sources.Tables.part(spark, TestSpark.Sf)
+        .select($"p_partkey", $"p_brand".as("brand")),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"brand", to_date($"l_shipdate").cast("string").as("d"))
+      .agg(expr("CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)").as("qty"))
+      .orderBy($"brand", $"d").collect()
+      .map(r => (r.getString(0), java.time.LocalDate.parse(r.getString(1)),
+        r.getLong(2)))
+      .groupBy(_._1)
+    val out = operators.TimeSeries.croston.run(spark, TestSpark.Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val brand = r.getString(0)
+      val series = daily(brand).sortBy(_._2.toEpochDay)
+      val sizes = series.map(_._3.toDouble)
+      val epochs = series.map(_._2.toEpochDay)
+      val gaps = epochs.zip(epochs.tail).map { case (x, y) => (y - x).toDouble }
+      assert(gaps.sum / gaps.length > 1.0,
+        s"$brand: the demand calendar must be intermittent for the test to mean anything")
+      // exact conditional recursion, classic init
+      var z = sizes.head
+      sizes.tail.foreach { x => z = a * x + (1 - a) * z }
+      var p = gaps.head
+      gaps.tail.foreach { q => p = a * q + (1 - a) * p }
+      val scale = sizes.max
+      assert(math.abs(r.getAs[Double]("croston_size") - z)
+        <= math.pow(1 - a, k) * scale * 2 + 1.0,
+        s"$brand: truncated size vs exact $z")
+      assert(math.abs(r.getAs[Double]("croston_interval") - p)
+        <= math.pow(1 - a, k) * gaps.max * 2 + 0.5,
+        s"$brand: truncated interval vs exact $p")
+      assert(r.getAs[Double]("forecast_daily") > 0.0)
+      assert(r.get(1).toString.take(10) === series.last._2.toString,
+        s"$brand: last demand day")
+    }
+  }
+
   test("ts_ols: exact rational slope matches brute sufficient statistics; R2 in [0,1]") {
     val brute = dailyCents().map { case (t, series) =>
       val d0 = series.map(_._1.toEpochDay).min
