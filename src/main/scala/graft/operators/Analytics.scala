@@ -1459,50 +1459,64 @@ object Analytics {
     * B·|corpus|); one hash aggregate onto (type, b) cells; the
     * percentile fold is |types|×B rows. At 100 TB nothing but the first
     * aggregate ever sees the events table. */
+  /** The daily (type, day, cents) frame the bootstrap resamples —
+    * shared with the streaming twin, whose per-wave integer partials
+    * merge to exactly this frame. */
+  private[graft] def bootstrapDaily(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"event_type", to_date($"ts").as("d"))
+      .agg(expr("sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))").as("v"))
+  }
+
+  /** The resample-and-interval fold over a (event_type, d, v) daily
+    * frame — deterministic given the frame's VALUES (the md5 uniforms
+    * key on type|day|b), so any arrival slicing that reproduces the
+    * frame reproduces the CI bit-for-bit. */
+  private[graft] def bootstrapFold(daily: DataFrame): DataFrame = {
+    val s = daily.sparkSession
+    import s.implicits._
+    val B = 200
+    // cum_k = P(Poisson(1) ≤ k), k = 0..8 — driver-side exact doubles
+    // shared with the oracle as literals (tail mass past 9 ≈ 1e-7;
+    // u ≥ cum_8 maps to weight 9 in BOTH engines identically).
+    val cums = {
+      val e = math.exp(-1.0); var fact = 1.0
+      (0 to 8).map { k => if (k > 0) fact *= k; e / fact }
+        .scanLeft(0.0)(_ + _).drop(1)
+    }
+    val wExpr = cums.map(c => s"(CASE WHEN u >= $c THEN 1 ELSE 0 END)")
+      .mkString("CAST(", " + ", " AS BIGINT)")
+    val means = daily
+      .withColumn("b", explode(expr(s"sequence(0, ${B - 1})")))
+      .withColumn("u", expr(
+        """CAST(conv(substring(md5(concat(
+             event_type, '|', CAST(d AS STRING), '|', CAST(b AS STRING)
+           )), 1, 12), 16, 10) AS BIGINT) / 281474976710656.0"""))
+      .withColumn("w", expr(wExpr))
+      .groupBy($"event_type", $"b")
+      .agg(sum($"w" * $"v").as("sv"), sum($"w").as("sw"))
+      .filter($"sw" > 0L)
+      .select($"event_type",
+        ($"sv".cast("double") / $"sw".cast("double")).as("m"))
+    val point = daily.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"),
+        (sum($"v").cast("double") / count(lit(1)).cast("double"))
+          .as("mean_cents"))
+    means.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_resamples"),
+        expr("percentile_cont(0.025) WITHIN GROUP (ORDER BY m)").as("lo"),
+        expr("percentile_cont(0.975) WITHIN GROUP (ORDER BY m)").as("hi"))
+      .join(point, "event_type")
+      .select($"event_type", $"n_days", $"n_resamples",
+        round($"mean_cents", 4).as("mean_cents"),
+        round($"lo", 4).as("ci_lo"), round($"hi", 4).as("ci_hi"))
+      .orderBy($"event_type")
+  }
+
   val bootstrapCi: GraftQuery = GraftQuery(
     "agg_bootstrap_ci",
-    (s, dir) => {
-      import s.implicits._
-      val B = 200
-      // cum_k = P(Poisson(1) ≤ k), k = 0..8 — driver-side exact doubles
-      // shared with the oracle as literals (tail mass past 9 ≈ 1e-7;
-      // u ≥ cum_8 maps to weight 9 in BOTH engines identically).
-      val cums = {
-        val e = math.exp(-1.0); var fact = 1.0
-        (0 to 8).map { k => if (k > 0) fact *= k; e / fact }
-          .scanLeft(0.0)(_ + _).drop(1)
-      }
-      val wExpr = cums.map(c => s"(CASE WHEN u >= $c THEN 1 ELSE 0 END)")
-        .mkString("CAST(", " + ", " AS BIGINT)")
-      val daily = Tables.events(s, dir)
-        .groupBy($"event_type", to_date($"ts").as("d"))
-        .agg(expr("sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))").as("v"))
-      val means = daily
-        .withColumn("b", explode(expr(s"sequence(0, ${B - 1})")))
-        .withColumn("u", expr(
-          """CAST(conv(substring(md5(concat(
-               event_type, '|', CAST(d AS STRING), '|', CAST(b AS STRING)
-             )), 1, 12), 16, 10) AS BIGINT) / 281474976710656.0"""))
-        .withColumn("w", expr(wExpr))
-        .groupBy($"event_type", $"b")
-        .agg(sum($"w" * $"v").as("sv"), sum($"w").as("sw"))
-        .filter($"sw" > 0L)
-        .select($"event_type",
-          ($"sv".cast("double") / $"sw".cast("double")).as("m"))
-      val point = daily.groupBy($"event_type")
-        .agg(count(lit(1)).as("n_days"),
-          (sum($"v").cast("double") / count(lit(1)).cast("double"))
-            .as("mean_cents"))
-      means.groupBy($"event_type")
-        .agg(count(lit(1)).as("n_resamples"),
-          expr("percentile_cont(0.025) WITHIN GROUP (ORDER BY m)").as("lo"),
-          expr("percentile_cont(0.975) WITHIN GROUP (ORDER BY m)").as("hi"))
-        .join(point, "event_type")
-        .select($"event_type", $"n_days", $"n_resamples",
-          round($"mean_cents", 4).as("mean_cents"),
-          round($"lo", 4).as("ci_lo"), round($"hi", 4).as("ci_hi"))
-        .orderBy($"event_type")
-    },
+    (s, dir) => bootstrapFold(bootstrapDaily(s, dir)),
     Some {
       val cums = {
         val e = math.exp(-1.0); var fact = 1.0

@@ -1882,6 +1882,83 @@ object TimeSeries {
     }
   )
 
+  /** Syntetos–Boylan demand-pattern classification — the router in
+    * front of ts_croston: ADI (average inter-demand interval) and CV²
+    * (squared coefficient of variation of demand sizes) cut the
+    * (1.32, 0.49) quadrants into smooth / erratic / intermittent /
+    * lumpy, which decides the forecasting method per series (smooth →
+    * Holt/EWMA, intermittent → Croston, lumpy → Croston variants or
+    * aggregation). Every inventory system runs this classification
+    * before it forecasts anything.
+    *
+    * EXACT RATIONALS end to end: ADI = (span of demand days)/(n−1) —
+    * two BIGINTs, one division; CV² = (n·Σx² − (Σx)²)/(Σx)² —
+    * population variance over squared mean as one division of BIGINT
+    * folds (the ts_ols convention), with the n·Σx² headroom riding
+    * GraftQuery.guarded. The quadrant compares are identical doubles
+    * against shared literals, so the class labels cannot drift between
+    * engines. One hash aggregate onto the (brand, day) calendar, one
+    * fold per brand — 100 TB never leaves the first aggregate. */
+  val intermittency: GraftQuery = GraftQuery(
+    "ts_intermittency",
+    (s, dir) => {
+      import s.implicits._
+      val daily = Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir).select($"p_partkey", $"p_brand".as("brand")),
+          $"l_partkey" === $"p_partkey")
+        .groupBy($"brand", to_date($"l_shipdate").as("d"))
+        .agg(expr("CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)").as("qty"))
+      val agg = daily.groupBy($"brand")
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(datediff(max(d), min(d)) AS BIGINT)").as("span"),
+          sum($"qty").as("sx"), sum($"qty" * $"qty").as("sxx"),
+          max($"qty").as("mx"))
+        .filter($"n" >= 2L)
+      val safe = pow($"n".cast("double"), 2.0) *
+        pow($"mx".cast("double"), 2.0) < 9.0e18
+      val g = (c: org.apache.spark.sql.Column) => graft.GraftQuery.guarded(
+        c, safe, "ts_intermittency: BIGINT size folds near overflow — " +
+          "shift to DECIMAL(38,0)")
+      agg
+        .withColumn("adi",
+          $"span".cast("double") / ($"n" - 1L).cast("double"))
+        .withColumn("cv2",
+          g($"n" * $"sxx" - $"sx" * $"sx").cast("double")
+            / ($"sx" * $"sx").cast("double"))
+        .select($"brand", $"n".as("n_demand_days"),
+          round($"adi", 4).as("adi"), round($"cv2", 4).as("cv2"),
+          when($"adi" < 1.32 && $"cv2" < 0.49, "smooth")
+            .when($"adi" < 1.32, "erratic")
+            .when($"cv2" < 0.49, "intermittent")
+            .otherwise("lumpy").as("pattern"))
+        .orderBy($"brand")
+    },
+    Some("""WITH daily AS (
+              SELECT p_brand AS brand, CAST(l_shipdate AS DATE) AS d,
+                     CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              GROUP BY 1, 2),
+            a AS (
+              SELECT brand, count(*) AS n,
+                     CAST(datediff('day', min(d), max(d)) AS BIGINT) AS span,
+                     CAST(sum(qty) AS BIGINT) AS sx,
+                     CAST(sum(qty * qty) AS BIGINT) AS sxx
+              FROM daily GROUP BY 1 HAVING count(*) >= 2),
+            f AS (
+              SELECT brand, n,
+                     CAST(span AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS adi,
+                     CAST(n * sxx - sx * sx AS DOUBLE)
+                       / CAST(sx * sx AS DOUBLE) AS cv2
+              FROM a)
+            SELECT brand, CAST(n AS BIGINT) AS n_demand_days,
+                   round(adi, 4) AS adi, round(cv2, 4) AS cv2,
+                   CASE WHEN adi < 1.32 AND cv2 < 0.49 THEN 'smooth'
+                        WHEN adi < 1.32 THEN 'erratic'
+                        WHEN cv2 < 0.49 THEN 'intermittent'
+                        ELSE 'lumpy' END AS pattern
+            FROM f ORDER BY brand""")
+  )
+
   /** Holt–Winters additive-seasonal constants: smoothing weights, the
     * weekly period, and the kernel truncation depth (22 = three full
     * periods inside the 30-day fixture series, leaving ≥8 emitted rows
@@ -2465,5 +2542,5 @@ object TimeSeries {
       crossCorr, outlierMad, rollingMedian, cusum, seasonality, mkTrend,
       theilSen, acf, changepoint, pacf, peaks, streaks, holt, ols, holtWinters,
       asofNearest, rollingOls, forecastEval, activeUsers, wowGrowth, holtDamped,
-      holtWintersDamped, croston)
+      holtWintersDamped, croston, intermittency)
 }

@@ -287,6 +287,38 @@ object DriftStream {
     graft.functions.ScalarQueries.fnChecksum.oracle
   )
 
+  /** Streaming uncertainty monitor — the micro-batch twin of
+    * `agg_bootstrap_ci`: each wave appends per-(type, day) integer cent
+    * partials, the merge sums them (exact at any arrival split), and
+    * the shared Poisson-bootstrap fold resamples the MERGED daily frame
+    * — the md5 uniforms key on the frame's (type, day, b) VALUES, not
+    * on arrival order, so the served CI is bit-equal to the batch CI.
+    * This is the live form of "is today's mean shift outside the
+    * interval?": recurring cost is O(batch) + a domain-sized fold,
+    * never a rescan. Graded over the deterministic 3-way event_id
+    * split against the batch oracle verbatim. */
+  val streamBootstrapCi: GraftQuery = GraftQuery(
+    "stream_bootstrap_ci",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val partials = (0 until 3).map { k =>
+        ev.filter(pmod($"event_id", lit(3)) === k)
+          .groupBy($"event_type", to_date($"ts").as("d"))
+          .agg(expr("sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))")
+            .as("v"))
+          .localCheckpoint()
+      }
+      val merged = partials.reduce(_.unionAll(_))
+        .groupBy($"event_type", $"d")
+        .agg(sum($"v").as("v")) // wave merge: exact integer addition
+      graft.operators.Analytics.bootstrapFold(merged)
+    },
+    // The fold is value-keyed, so batching cannot move the interval:
+    // the oracle is the batch bootstrap's, verbatim.
+    graft.operators.Analytics.bootstrapCi.oracle
+  )
+
   def all: Seq[GraftQuery] = Seq(streamKsDrift, streamTtest, streamChangepoint,
-    streamMoments, streamEntropy, streamChecksum)
+    streamMoments, streamEntropy, streamChecksum, streamBootstrapCi)
 }

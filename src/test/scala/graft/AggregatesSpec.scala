@@ -574,7 +574,9 @@ class AggregatesSpec extends AnyFunSuite {
     val out = operators.Windows.pareto.run(spark, TestSpark.Sf).collect()
     assert(out.length === math.min(200, ranked.length))
     out.foreach { r =>
-      val i = r.getAs[Int]("rn") - 1
+      // rn is BIGINT since the two-level rewrite (bucket prefix + within-
+      // bucket row_number sum)
+      val i = r.getAs[Long]("rn").toInt - 1
       assert(r.getAs[Long]("l_partkey") === ranked(i)._1, s"rank ${i + 1} key")
       assert(r.getAs[Long]("rev") === ranked(i)._2)
       assert(r.getAs[Long]("cum") === cums(i))

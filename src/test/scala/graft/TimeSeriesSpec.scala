@@ -607,6 +607,18 @@ class TimeSeriesSpec extends AnyFunSuite {
       "batching must not change a single day's digest")
   }
 
+  test("stream_bootstrap_ci: wave-merged cent partials reproduce the batch CI bit-for-bit") {
+    // The bootstrap fold keys its uniforms on the merged frame's VALUES,
+    // so the 3-way arrival split must be invisible down to the last
+    // interval digit.
+    val streamed = streaming.DriftStream.streamBootstrapCi
+      .run(spark, TestSpark.Sf).collect().map(_.toSeq)
+    val batch = operators.Analytics.bootstrapCi
+      .run(spark, TestSpark.Sf).collect().map(_.toSeq)
+    assert(streamed.toSeq === batch.toSeq,
+      "batching must not move the bootstrap interval")
+  }
+
   test("stream_active_users: wave-merged presence rows reproduce the batch DAU/WAU exactly") {
     val streamed = streaming.ResampleStream.streamActiveUsers
       .run(spark, TestSpark.Sf).collect().map(_.toSeq)
@@ -991,6 +1003,39 @@ class TimeSeriesSpec extends AnyFunSuite {
       assert(r.getAs[Double]("forecast_daily") > 0.0)
       assert(r.get(1).toString.take(10) === series.last._2.toString,
         s"$brand: last demand day")
+    }
+  }
+
+  test("ts_intermittency: ADI and CV2 brute-match; quadrant labels recompute") {
+    val daily = sources.Tables.lineitem(spark, TestSpark.Sf)
+      .join(sources.Tables.part(spark, TestSpark.Sf)
+        .select($"p_partkey", $"p_brand".as("brand")),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"brand", to_date($"l_shipdate").cast("string").as("d"))
+      .agg(expr("CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)").as("qty"))
+      .collect()
+      .map(r => (r.getString(0), java.time.LocalDate.parse(r.getString(1)),
+        r.getLong(2)))
+      .groupBy(_._1)
+    val out = operators.TimeSeries.intermittency.run(spark, TestSpark.Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val series = daily(r.getString(0)).sortBy(_._2.toEpochDay)
+      val n = series.length.toLong
+      assert(r.getAs[Long]("n_demand_days") === n)
+      val span = series.last._2.toEpochDay - series.head._2.toEpochDay
+      val adi = span.toDouble / (n - 1).toDouble
+      val sx = series.map(_._3).sum; val sxx = series.map(x => x._3 * x._3).sum
+      val cv2 = (n * sxx - sx * sx).toDouble / (sx * sx).toDouble
+      def close(a: Double, b: Double) = math.abs(a - b) <= 1e-4
+      assert(close(r.getAs[Double]("adi"), adi), s"${r.getString(0)} adi")
+      assert(close(r.getAs[Double]("cv2"), cv2), s"${r.getString(0)} cv2")
+      val expected =
+        if (adi < 1.32 && cv2 < 0.49) "smooth"
+        else if (adi < 1.32) "erratic"
+        else if (cv2 < 0.49) "intermittent"
+        else "lumpy"
+      assert(r.getAs[String]("pattern") === expected, s"${r.getString(0)} quadrant")
     }
   }
 
