@@ -1561,9 +1561,125 @@ object Analytics {
     }
   )
 
+  /** CUPED variance-reduced experiment readout — the industry-standard
+    * A/B analysis device (Deng et al., Microsoft): the experiment
+    * metric y adjusts by each unit's PRE-period covariate x
+    * (y* = y − θ(x − x̄), θ = cov(x,y)/var(x)), which removes the
+    * between-user variance the randomization already balanced and
+    * shrinks the CI by the pooled ρ² — the difference between a
+    * two-week and a two-day experiment at the same power. Arms split
+    * deterministically on user parity; periods split at the derived
+    * calendar midpoint; the emitted var_reduction IS ρ².
+    *
+    * Determinism: per-user period sums are exact BIGINT cents; the
+    * pooled sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) fold in
+    * BIGINT with the ts_ols guard discipline (all cross-products
+    * bounded by n²·mx·my in DOUBLE — past headroom the query RAISES);
+    * θ, ρ², and the adjusted means are divisions/products of identical
+    * integers in identical order; rounding 4dp at the projection only.
+    *
+    * Scale shape: the fact scan reduces ONCE to per-user period sums
+    * (one hash aggregate on user_id); the pooled stats and the date
+    * bounds are 1-row broadcasts; arm rollups are a 2-group aggregate.
+    * 100 TB of events never leaves the first aggregate. */
+  val cuped: GraftQuery = GraftQuery(
+    "agg_cuped",
+    (s, dir) => {
+      import s.implicits._
+      val cents = expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+      val ev = Tables.events(s, dir).select($"user_id", to_date($"ts").as("d"),
+        cents.as("c"))
+      val bounds = ev.agg(min($"d").as("lo"), max($"d").as("hi"))
+        .select($"lo", date_add($"lo",
+          (datediff($"hi", $"lo") / 2).cast("int")).as("mid"))
+      val users = ev.crossJoin(broadcast(bounds))
+        .groupBy($"user_id")
+        .agg(sum(when($"d" <= $"mid", $"c").otherwise(0L)).as("x"),
+          sum(when($"d" > $"mid", $"c").otherwise(0L)).as("y"))
+      val pool = users.agg(count(lit(1)).as("n"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"),
+        sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
+        max(abs($"x")).as("mx"), max(abs($"y")).as("my"))
+      val nD = $"n".cast("double")
+      val safe =
+        (lit(2.0) * pow(nD, 2.0) * $"mx".cast("double") * $"my".cast("double") < 9.0e18) &&
+        (lit(2.0) * pow(nD, 2.0) * pow($"mx".cast("double"), 2.0) < 9.0e18) &&
+        (lit(2.0) * pow(nD, 2.0) * pow($"my".cast("double"), 2.0) < 9.0e18)
+      val g = (c: org.apache.spark.sql.Column) => graft.GraftQuery.guarded(
+        c, safe, "agg_cuped: BIGINT sufficient statistics near overflow — " +
+          "shift the folds to DECIMAL(38,0)")
+      val stats = pool.select($"n", $"sx", $"sy",
+        g($"n" * $"sxy" - $"sx" * $"sy").as("cxy"),
+        g($"n" * $"sxx" - $"sx" * $"sx").as("vx"),
+        g($"n" * $"syy" - $"sy" * $"sy").as("vy"))
+      users
+        .withColumn("arm", pmod($"user_id", lit(2)))
+        .groupBy($"arm")
+        .agg(count(lit(1)).as("n_users"),
+          sum($"x").as("ax"), sum($"y").as("ay"))
+        .crossJoin(broadcast(stats))
+        .select($"arm", $"n_users",
+          round($"ay".cast("double") / $"n_users".cast("double"), 4)
+            .as("mean_y"),
+          round($"ay".cast("double") / $"n_users".cast("double")
+            - ($"cxy".cast("double") / $"vx".cast("double"))
+              * ($"ax".cast("double") / $"n_users".cast("double")
+                 - $"sx".cast("double") / $"n".cast("double")), 4)
+            .as("mean_y_adj"),
+          round($"cxy".cast("double") / $"vx".cast("double"), 6).as("theta"),
+          round(($"cxy".cast("double") * $"cxy".cast("double"))
+            / ($"vx".cast("double") * $"vy".cast("double")), 6)
+            .as("var_reduction"))
+        .orderBy($"arm")
+    },
+    Some("""WITH ev AS (
+              SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+              FROM events),
+            b AS (
+              SELECT min(d) AS lo,
+                     min(d) + CAST(CAST(datediff('day', min(d), max(d)) AS INT) // 2
+                                   AS INT) AS mid
+              FROM ev),
+            u AS (
+              SELECT user_id,
+                     CAST(sum(CASE WHEN d <= (SELECT mid FROM b) THEN c ELSE 0 END) AS BIGINT) AS x,
+                     CAST(sum(CASE WHEN d > (SELECT mid FROM b) THEN c ELSE 0 END) AS BIGINT) AS y
+              FROM ev GROUP BY user_id),
+            p AS (
+              SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * y) AS BIGINT) AS sxy,
+                     CAST(sum(x * x) AS BIGINT) AS sxx,
+                     CAST(sum(y * y) AS BIGINT) AS syy
+              FROM u),
+            st AS (
+              SELECT n, sx, sy,
+                     CAST(n * sxy - sx * sy AS BIGINT) AS cxy,
+                     CAST(n * sxx - sx * sx AS BIGINT) AS vx,
+                     CAST(n * syy - sy * sy AS BIGINT) AS vy
+              FROM p),
+            a AS (
+              SELECT user_id % 2 AS arm, count(*) AS n_users,
+                     CAST(sum(x) AS BIGINT) AS ax, CAST(sum(y) AS BIGINT) AS ay
+              FROM u GROUP BY 1)
+            SELECT arm, n_users,
+                   round(CAST(ay AS DOUBLE) / CAST(n_users AS DOUBLE), 4) AS mean_y,
+                   round(CAST(ay AS DOUBLE) / CAST(n_users AS DOUBLE)
+                     - (CAST(cxy AS DOUBLE) / CAST(vx AS DOUBLE))
+                       * (CAST(ax AS DOUBLE) / CAST(n_users AS DOUBLE)
+                          - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 4) AS mean_y_adj,
+                   round(CAST(cxy AS DOUBLE) / CAST(vx AS DOUBLE), 6) AS theta,
+                   round((CAST(cxy AS DOUBLE) * CAST(cxy AS DOUBLE))
+                     / (CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)), 6) AS var_reduction
+            FROM a CROSS JOIN st
+            ORDER BY arm""")
+  )
+
   def all: Seq[GraftQuery] = Seq(
     statsAgg, percentiles, approxPercentile, stringAgg, pivotAgg, jsonStruct,
     topNRevenue, corrMatrix, ksTest, mannWhitney, chiSq, gini,
     ttestWelch, spearman, cramersV, benford, moments, shareOfParent, anova,
-    wilcoxon, entropy, expectations, kanon, hhi, bootstrapCi)
+    wilcoxon, entropy, expectations, kanon, hhi, bootstrapCi, cuped)
 }

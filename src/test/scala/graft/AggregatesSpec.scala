@@ -641,6 +641,52 @@ class AggregatesSpec extends AnyFunSuite {
     }
   }
 
+  test("CUPED: theta and adjusted means brute-replicate; adjustment conserves the pooled mean") {
+    val ev = sources.Tables.events(spark, TestSpark.Sf)
+      .select($"user_id", to_date($"ts").cast("string").as("d"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
+      .collect().map(r => (r.getLong(0), java.time.LocalDate.parse(r.getString(1)),
+        r.getLong(2)))
+    val lo = ev.map(_._2).min; val hi = ev.map(_._2).max
+    val mid = lo.plusDays((hi.toEpochDay - lo.toEpochDay) / 2)
+    val users = ev.groupBy(_._1).map { case (u, rows) =>
+      (u, rows.filter(!_._2.isAfter(mid)).map(_._3).sum,
+        rows.filter(_._2.isAfter(mid)).map(_._3).sum)
+    }.toSeq
+    val n = users.length.toLong
+    val sx = users.map(_._2).sum; val sy = users.map(_._3).sum
+    val sxy = users.map(u => u._2 * u._3).sum
+    val sxx = users.map(u => u._2 * u._2).sum
+    val syy = users.map(u => u._3 * u._3).sum
+    val cxy = n * sxy - sx * sy; val vx = n * sxx - sx * sx
+    val vy = n * syy - sy * sy
+    val theta = cxy.toDouble / vx.toDouble
+    val out = operators.Analytics.cuped.run(spark, TestSpark.Sf).collect()
+    assert(out.length === 2)
+    def close(a: Double, b: Double, tol: Double) = math.abs(a - b) <= tol
+    var pooledAdj = 0.0
+    out.foreach { r =>
+      val arm = r.getAs[Long]("arm")
+      val au = users.filter(_._1 % 2 == arm)
+      assert(r.getAs[Long]("n_users") === au.length.toLong)
+      val meanY = au.map(_._3).sum.toDouble / au.length
+      assert(close(r.getAs[Double]("mean_y"), meanY, 1e-3), s"arm $arm mean_y")
+      val adj = meanY - theta *
+        (au.map(_._2).sum.toDouble / au.length - sx.toDouble / n)
+      assert(close(r.getAs[Double]("mean_y_adj"), adj, 1e-3), s"arm $arm adj")
+      assert(close(r.getAs[Double]("theta"), theta, 1e-5))
+      val rho2 = cxy.toDouble * cxy.toDouble / (vx.toDouble * vy.toDouble)
+      assert(close(r.getAs[Double]("var_reduction"), rho2, 1e-5))
+      assert(r.getAs[Double]("var_reduction") >= 0.0
+        && r.getAs[Double]("var_reduction") <= 1.0 + 1e-12)
+      pooledAdj += r.getAs[Double]("mean_y_adj") * au.length
+    }
+    // CUPED must not move the pooled mean: Σ n_a·adj_a = Σ y (the
+    // adjustment is mean-zero by construction).
+    assert(close(pooledAdj, sy.toDouble, math.abs(sy.toDouble) * 1e-6 + 1.0),
+      "adjustment must conserve the pooled mean")
+  }
+
   test("k-anonymity: group sizes conserve; flags recompute; diversity bounded by size") {
     val out = operators.Analytics.kanon.run(spark, TestSpark.Sf).collect()
     val total = sources.Tables.customer(spark, TestSpark.Sf).count()
