@@ -1139,37 +1139,87 @@ object TextStats {
     * the Spark plan does. BpeSpec additionally re-applies the reference
     * scan-and-skip tokenizer per word and compares every per-doc piece
     * count exactly. */
+  /** Per-WORD piece counts under the learned BPE merges — the tokenizer
+    * applied to the vocabulary once (vocab-sized, never corpus-sized);
+    * shared by llm_bpe_apply (per-doc rollup) and
+    * llm_tokenizer_fertility (per-source rollup). */
+  private def appliedPieces(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val mergesRow = broadcast(learnedMerges(s, dir)
+      .agg(array_sort(collect_list(struct($"rank", $"left", $"right")))
+        .as("ms")))
+    Tables.documents(s, dir)
+      .select(explode(TF.tokens($"text")).as("word"))
+      .groupBy($"word").agg(count(lit(1)).as("n_occ"))
+      .crossJoin(mergesRow)
+      .select($"word", $"n_occ",
+        aggregate($"ms",
+          filter(split($"word", ""), x => x =!= ""),
+          (syms, mg) => aggregate(syms, array().cast("array<string>"),
+            (acc, x) => when(
+              size(acc) > 0 &&
+                element_at(acc, -1) === mg.getField("left") &&
+                x === mg.getField("right"),
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(concat(mg.getField("left"), mg.getField("right")))))
+              .otherwise(concat(acc, array(x))))).as("syms"))
+      .select($"word", size($"syms").as("n_pieces"))
+  }
+
   val bpeApply: GraftQuery = GraftQuery(
     "llm_bpe_apply",
     (s, dir) => {
       import s.implicits._
-      val mergesRow = broadcast(learnedMerges(s, dir)
-        .agg(array_sort(collect_list(struct($"rank", $"left", $"right")))
-          .as("ms")))
-      val vocab = Tables.documents(s, dir)
-        .select(explode(TF.tokens($"text")).as("word"))
-        .groupBy($"word").agg(count(lit(1)).as("n_occ"))
-      val applied = vocab.crossJoin(mergesRow)
-        .select($"word", $"n_occ",
-          aggregate($"ms",
-            filter(split($"word", ""), x => x =!= ""),
-            (syms, mg) => aggregate(syms, array().cast("array<string>"),
-              (acc, x) => when(
-                size(acc) > 0 &&
-                  element_at(acc, -1) === mg.getField("left") &&
-                  x === mg.getField("right"),
-                concat(slice(acc, lit(1), size(acc) - 1),
-                  array(concat(mg.getField("left"), mg.getField("right")))))
-                .otherwise(concat(acc, array(x))))).as("syms"))
-        .select($"word", size($"syms").as("n_pieces"))
       Tables.documents(s, dir)
         .select($"doc_id", explode(TF.tokens($"text")).as("word"))
-        .join(applied.hint("shuffle_hash"), "word")
+        .join(appliedPieces(s, dir).hint("shuffle_hash"), "word")
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_words"), sum($"n_pieces").as("n_pieces"))
         .orderBy($"doc_id")
     },
     Some(bpeApplyOracle)
+  )
+
+  /** Tokenizer fertility by source — pieces-per-word under the learned
+    * BPE, the tokenizer-quality-by-domain readout every multilingual /
+    * multi-domain corpus audit runs: a source whose fertility is 2× the
+    * corpus mean is paying twice the context budget per word (the
+    * tokenizer under-serves that domain), and fertility drift after a
+    * tokenizer retrain is a regression gate. Exact integer sufficient
+    * statistics (word and piece counts); fertility is ONE division per
+    * source, rounded at the projection.
+    *
+    * Scale shape: the BPE applies to the VOCABULARY once (vocab-sized
+    * crossJoin against the broadcast 1-row merge list — the bpe_apply
+    * plan), then one shuffle-hash join tags corpus words and one hash
+    * aggregate folds onto the bounded source domain. */
+  val tokenizerFertility: GraftQuery = GraftQuery(
+    "llm_tokenizer_fertility",
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", $"source", explode(TF.tokens($"text")).as("word"))
+        .join(appliedPieces(s, dir).hint("shuffle_hash"), "word")
+        .groupBy($"source")
+        .agg(count_distinct($"doc_id").as("n_docs"),
+          count(lit(1)).as("n_words"), sum($"n_pieces").as("n_pieces"))
+        .select($"source", $"n_docs", $"n_words", $"n_pieces",
+          round($"n_pieces".cast("double") / $"n_words".cast("double"), 6)
+            .as("fertility"))
+        .orderBy($"source")
+    },
+    Some {
+      s"""$bpeOracleCtes
+         |SELECT d.source, count(DISTINCT d.doc_id) AS n_docs,
+         |       count(*) AS n_words,
+         |       CAST(sum(len(w.enc) - len(replace(w.enc, chr(2), ''))) AS BIGINT) AS n_pieces,
+         |       round(CAST(sum(len(w.enc) - len(replace(w.enc, chr(2), ''))) AS DOUBLE)
+         |             / CAST(count(*) AS DOUBLE), 6) AS fertility
+         |FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
+         |      FROM documents) d
+         |JOIN w$BpeMergeCount w USING (word)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin
+    }
   )
 
   /** Corpus-wide top bigrams with document frequency — the boilerplate /
@@ -1448,5 +1498,6 @@ object TextStats {
         vocabTopK, vocabFuzzy, trainSplit, piiScrub, sampleStratified,
         packChunks, domainMix, shardShuffle, chunkSliding, sampleWeighted,
         qualityClassifier, winnow, winnowDedup, winnowDedupCapped,
-        bpeTrain, bpeApply, ngramTopK, qualityCi, cooccurrence, pmi)
+        bpeTrain, bpeApply, ngramTopK, qualityCi, cooccurrence, pmi,
+        tokenizerFertility)
 }

@@ -558,6 +558,34 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("tokenizer fertility: per-source rollup agrees with the verified per-doc BPE apply") {
+    // llm_bpe_apply's per-doc (n_words, n_pieces) is hash-verified against
+    // DuckDB; fertility must be exactly its source-grouped rollup.
+    val bySrc = sources.Tables.documents(spark, TestSpark.Sf)
+      .select($"doc_id", $"source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val perDoc = llm.TextStats.bpeApply.run(spark, TestSpark.Sf).collect()
+      .map(r => (bySrc(r.getLong(0)), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_pieces")))
+    val brute = perDoc.groupBy(_._1).map { case (src, rows) =>
+      src -> (rows.length.toLong, rows.map(_._2).sum, rows.map(_._3).sum)
+    }
+    val out = llm.TextStats.tokenizerFertility.run(spark, TestSpark.Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (nDocs, nWords, nPieces) = brute(r.getString(0))
+      assert(r.getAs[Long]("n_docs") === nDocs, s"${r.getString(0)} docs")
+      assert(r.getAs[Long]("n_words") === nWords, s"${r.getString(0)} words")
+      assert(r.getAs[Long]("n_pieces") === nPieces, s"${r.getString(0)} pieces")
+      assert(math.abs(r.getAs[Double]("fertility")
+        - nPieces.toDouble / nWords.toDouble) <= 1e-6)
+      assert(r.getAs[Double]("fertility") >= 1.0,
+        "a word is at least one piece")
+    }
+    assert(out.map(_.getAs[Long]("n_docs")).sum === bySrc.size.toLong,
+      "every document lands in exactly one source row")
+  }
+
   test("stream_cooccurrence: wave-merged pair counts reproduce the batch table bit-for-bit") {
     // Pairs never cross documents, so the 3-way arrival split must be
     // invisible: identical rows in identical order, including the top-100
