@@ -1270,25 +1270,42 @@ object TextStats {
   private[graft] def skipgramPairs(s: SparkSession, dir: String): DataFrame =
     skipgramPairsOf(Tables.documents(s, dir))
 
-  /** The pair builder over an arbitrary doc frame — the per-batch form
-    * the streaming twin consumes (pairs are per-doc pure, so
-    * union-of-batches equals the whole-corpus pair multiset exactly). */
+  /** FORWARD skip-gram pairs over an arbitrary doc frame — the
+    * per-batch form the streaming twin consumes (pairs are per-doc
+    * pure, so union-of-batches equals the whole-corpus pair multiset
+    * exactly). Only the forward orientation is emitted: the symmetric
+    * table is recovered AFTER the first aggregate by `symmetrize`
+    * (n(c,x) = fwd(c,x) + fwd(x,c)), which halves the explode volume
+    * and the aggregate's probe stream — the swap runs on the
+    * vocab²-bounded count table, never on corpus rows. */
   private[graft] def skipgramPairsOf(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     // sequence(1, 0) would DESCEND (the ngramTopK guard); short docs
-    // contribute an empty list on both engines.
-    def fwd(o: Int) = when(size(split($"text", " ")) >= o + 1, expr(
-      s"""transform(sequence(1, size(split(text, ' ')) - $o),
-            i -> struct(element_at(split(text, ' '), i) AS c,
-                        element_at(split(text, ' '), i + $o) AS x))"""))
+    // contribute an empty list on both engines. One split projection —
+    // the token array materializes once per row.
+    def fwd(o: Int) = when(size($"sp") >= o + 1, expr(
+      s"""transform(sequence(1, size(sp) - $o),
+            i -> struct(element_at(sp, i) AS c,
+                        element_at(sp, i + $o) AS x))"""))
       .otherwise(expr("CAST(array() AS array<struct<c:string,x:string>>)"))
     docs
+      .select(split($"text", " ").as("sp"))
       .select(explode(concat(fwd(1), fwd(2))).as("p"))
-      .select(explode(array(
-        struct($"p.c".as("c"), $"p.x".as("x")),
-        struct($"p.x".as("c"), $"p.c".as("x")))).as("q"))
-      .select($"q.c".as("c"), $"q.x".as("x"))
+      .select($"p.c".as("c"), $"p.x".as("x"))
+  }
+
+  /** Symmetric pair counts from FORWARD counts: both orientations of a
+    * window co-occurrence are the same evidence, so n(c,x) =
+    * fwd(c,x) + fwd(x,c) — one swap-union + re-aggregate on the
+    * vocab²-bounded count table (localCheckpointed so the swap branch
+    * does not replay the corpus pass). */
+  private[graft] def symmetrize(fwdCounts: DataFrame): DataFrame = {
+    val s = fwdCounts.sparkSession
+    import s.implicits._
+    val f = fwdCounts.localCheckpoint()
+    f.unionAll(f.select($"x".as("c"), $"c".as("x"), $"n"))
+      .groupBy($"c", $"x").agg(sum($"n").as("n"))
   }
 
   /** The shared DuckDB image of skipgramPairs, up to a `pairs(c, x)`
@@ -1325,9 +1342,8 @@ object TextStats {
     "llm_cooccurrence",
     (s, dir) => {
       import s.implicits._
-      skipgramPairs(s, dir)
-        .groupBy($"c", $"x")
-        .agg(count(lit(1)).as("n"))
+      symmetrize(skipgramPairs(s, dir)
+          .groupBy($"c", $"x").agg(count(lit(1)).as("n")))
         .orderBy($"n".desc, $"c", $"x")
         .limit(100)
         .select($"c".as("center"), $"x".as("context"), $"n")
@@ -1362,8 +1378,8 @@ object TextStats {
     "llm_pmi",
     (s, dir) => {
       import s.implicits._
-      val pc = skipgramPairs(s, dir)
-        .groupBy($"c", $"x").agg(count(lit(1)).as("n"))
+      val pc = symmetrize(skipgramPairs(s, dir)
+          .groupBy($"c", $"x").agg(count(lit(1)).as("n")))
         .localCheckpoint() // read 3×: pairs, marginal, total
       val marginal = pc.groupBy($"c").agg(sum($"n").as("nc"))
       val total = pc.agg(sum($"n").as("nn"))

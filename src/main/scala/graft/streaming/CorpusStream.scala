@@ -232,12 +232,15 @@ object CorpusStream {
     (s, dir) => {
       import s.implicits._
       val docs = Tables.documents(s, dir)
-      (0 until 3).map { b =>
+      val mergedFwd = (0 until 3).map { b =>
         graft.llm.TextStats.skipgramPairsOf(
             docs.filter(pmod($"doc_id", lit(3)) === b))
           .groupBy($"c", $"x").agg(count(lit(1)).as("n"))
       }.reduce(_.unionAll(_))
         .groupBy($"c", $"x").agg(sum($"n").as("n")) // wave merge: addition
+      // Serve-time symmetrization on the merged vocab²-bounded state —
+      // commutes with the wave merge, so still bit-equal to batch.
+      graft.llm.TextStats.symmetrize(mergedFwd)
         .orderBy($"n".desc, $"c", $"x")
         .limit(100)
         .select($"c".as("center"), $"x".as("context"), $"n")
