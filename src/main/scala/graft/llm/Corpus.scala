@@ -1334,8 +1334,55 @@ object Corpus {
              ORDER BY ct DESC, w1, w2, w3 LIMIT 50""")
   )
 
+  /** The TRAINING MANIFEST — the one artifact a trainer consumes, and
+    * the end product every operator upstream exists to produce: the
+    * curated keep-list resolved to (split, shard) cells with exact doc
+    * and token counts and an order-insensitive content digest per cell.
+    * A trainer (or a second pipeline run) verifies its download against
+    * exactly this table — the digest localizes a divergence to one
+    * shard, the counts size the dataloader, the split assignment is
+    * reproducible from doc_id alone (no RNG, no state).
+    *
+    * Composition: keep-list = the full seven-signal llm_curate pipeline
+    * (persisted, fingerprinted); split = deterministic doc_id hash-mod
+    * (95/5 train/val — the llm_train_split convention); shard =
+    * doc_id mod 8 within split; digest = BIT_XOR of the fn_checksum
+    * 48-bit md5 device over doc ids (closed on 64 bits — no overflow,
+    * no ordering hazard). One shuffle-hash tag join + one hash
+    * aggregate onto the 16-cell (split, shard) domain; at 100 TB the
+    * manifest costs one pass over the keep-list. */
+  val trainManifest: GraftQuery = GraftQuery(
+    "llm_train_manifest",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .select($"doc_id",
+          size(split($"text", " ")).cast("long").as("n_tokens"))
+      curatedKeepList(s, dir).select($"doc_id")
+        .join(docs.hint("shuffle_hash"), "doc_id")
+        .withColumn("split",
+          when(pmod($"doc_id", lit(100)) < 95, "train").otherwise("val"))
+        .withColumn("shard", pmod($"doc_id", lit(8)))
+        .withColumn("h", expr(
+          "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10) AS BIGINT)"))
+        .groupBy($"split", $"shard")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"),
+          expr("bit_xor(h)").as("content_digest"))
+        .orderBy($"split", $"shard")
+    },
+    Some(s"""WITH kept AS ($curateOracle)
+        SELECT CASE WHEN kept.doc_id % 100 < 95 THEN 'train' ELSE 'val' END AS split,
+               kept.doc_id % 8 AS shard,
+               count(*) AS n_docs,
+               CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS n_tokens,
+               bit_xor(CAST(('0x' || substr(md5(CAST(kept.doc_id AS VARCHAR)), 1, 12))
+                 AS BIGINT)) AS content_digest
+        FROM kept JOIN documents d ON kept.doc_id = d.doc_id
+        GROUP BY 1, 2 ORDER BY 1, 2""")
+  )
+
   def all: Seq[GraftQuery] =
     Seq(contamination, decontaminate, repetition, substringDup, paragraphDedup,
       tfidf, curate, perplexity, perplexityTrigram, bm25, datasetCard,
-      knSmoothed, kn3Smoothed)
+      knSmoothed, kn3Smoothed, trainManifest)
 }

@@ -1240,13 +1240,15 @@ object TextStats {
     "llm_ngram_topk",
     (s, dir) => {
       import s.implicits._
-      val t = TF.tokens($"text")
-      val bigrams = when(size(t) >= 2, expr(
-        """transform(sequence(1, size(split(text, ' ')) - 1),
-             i -> concat(element_at(split(text, ' '), i), ' ',
-                         element_at(split(text, ' '), i + 1)))"""))
+      // Single split projection — the token array materializes once per
+      // row instead of once per split() occurrence in the transform
+      // (measured 3× CPU on the pair family; same fix here).
+      val bigrams = when(size($"sp") >= 2, expr(
+        """transform(sequence(1, size(sp) - 1),
+             i -> concat(element_at(sp, i), ' ', element_at(sp, i + 1)))"""))
         .otherwise(array().cast("array<string>"))
       Tables.documents(s, dir)
+        .select($"doc_id", split($"text", " ").as("sp"))
         .select($"doc_id", explode(bigrams).as("bigram"))
         .groupBy($"bigram")
         .agg(count(lit(1)).as("n"), countDistinct($"doc_id").as("n_docs"))

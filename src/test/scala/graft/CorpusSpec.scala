@@ -558,6 +558,40 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("train manifest: cells recompute from the verified keep-list; digests brute-match") {
+    // llm_curate's keep-list is hash-verified against DuckDB; the
+    // manifest must be exactly its (split, shard) rollup with the md5
+    // digest and documents-derived token counts.
+    val keep = llm.Corpus.curate.run(spark, TestSpark.Sf).collect()
+      .map(_.getLong(0))
+    val tokens = sources.Tables.documents(spark, TestSpark.Sf)
+      .selectExpr("doc_id", "CAST(size(split(text, ' ')) AS BIGINT) AS t")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def u48(key: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(key.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val brute = keep.groupBy(id =>
+      (if (id % 100 < 95) "train" else "val", id % 8))
+      .map { case (cell, ids) =>
+        cell -> (ids.length.toLong, ids.map(tokens).sum,
+          ids.map(id => u48(id.toString)).reduce(_ ^ _))
+      }
+    val out = llm.Corpus.trainManifest.run(spark, TestSpark.Sf).collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum === keep.length.toLong,
+      "every kept doc lands in exactly one manifest cell")
+    assert(out.length === brute.size)
+    out.foreach { r =>
+      val cell = (r.getString(0), r.getLong(1))
+      val (n, t, dg) = brute(cell)
+      assert(r.getAs[Long]("n_docs") === n, s"$cell docs")
+      assert(r.getAs[Long]("n_tokens") === t, s"$cell tokens")
+      assert(r.getAs[Long]("content_digest") === dg, s"$cell digest")
+    }
+  }
+
   test("tokenizer fertility: per-source rollup agrees with the verified per-doc BPE apply") {
     // llm_bpe_apply's per-doc (n_words, n_pieces) is hash-verified against
     // DuckDB; fertility must be exactly its source-grouped rollup.
