@@ -159,29 +159,76 @@ object CorpusStream {
     * O(batch) through doc_id-keyed joins. Graded over the deterministic
     * 3-way arrival split against llm_curate's composed oracle verbatim:
     * batching must not change one kept row. */
+  /** The per-wave curated keep frames (frozen LM / keeper state, one
+    * eagerly-executed DAG per emulated micro-batch) — shared by
+    * stream_curate and stream_train_manifest so the two twins cannot
+    * drift on what a wave keeps. */
+  private def curateWaves(s: SparkSession, dir: String): Seq[DataFrame] = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val lm = Corpus.lmModel(s, dir)
+    // Frozen once per stream, like the LM: the keeper table needs
+    // whole-cluster context, so it is a per-dataset artifact, not a
+    // per-batch computation.
+    val keepers = graft.llm.Dedup.clusterKeepers(s, dir).localCheckpoint()
+    (0 until 3).map { b =>
+      val batch = docs.filter(pmod($"doc_id", lit(3)) === b)
+      Corpus.curateBatch(s, dir, batch,
+          Corpus.scoreBigrams(s, Corpus.docBigrams(s, batch), lm), keepers)
+        // One eagerly-executed DAG per emulated micro-batch (the
+        // stream_dedup_incremental convention).
+        .localCheckpoint()
+    }
+  }
+
   val streamCurate: GraftQuery = GraftQuery(
     "stream_curate",
     (s, dir) => {
       import s.implicits._
-      val docs = Tables.documents(s, dir)
-      val lm = Corpus.lmModel(s, dir)
-      // Frozen once per stream, like the LM: the keeper table needs
-      // whole-cluster context, so it is a per-dataset artifact, not a
-      // per-batch computation.
-      val keepers = graft.llm.Dedup.clusterKeepers(s, dir).localCheckpoint()
-      (0 until 3)
-        .map { b =>
-          val batch = docs.filter(pmod($"doc_id", lit(3)) === b)
-          Corpus.curateBatch(s, dir, batch,
-              Corpus.scoreBigrams(s, Corpus.docBigrams(s, batch), lm), keepers)
-            // One eagerly-executed DAG per emulated micro-batch (the
-            // stream_dedup_incremental convention).
-            .localCheckpoint()
-        }
-        .reduce(_.unionAll(_))
-        .orderBy($"doc_id")
+      curateWaves(s, dir).reduce(_.unionAll(_)).orderBy($"doc_id")
     },
     Some(Corpus.curateOracle)
+  )
+
+  /** Streaming twin of `llm_train_manifest` — the manifest maintained as
+    * the curated stream lands: each wave reduces its kept docs to
+    * (split, shard) cell PARTIALS — doc count, token count, XOR digest —
+    * and the merge is sums + XOR (both exactly mergeable; XOR is closed
+    * on 64 bits with no ordering hazard), so the served manifest is
+    * bit-equal to the batch manifest under any arrival split. This is
+    * the live replication handshake: a downstream trainer diffs its
+    * shard digests against this table without anyone rescanning the
+    * corpus. Shares curateWaves with stream_curate (the twins cannot
+    * drift on what a wave keeps) and the batch oracle verbatim. */
+  val streamTrainManifest: GraftQuery = GraftQuery(
+    "stream_train_manifest",
+    (s, dir) => {
+      import s.implicits._
+      val tokens = Tables.documents(s, dir)
+        .select($"doc_id",
+          size(split($"text", " ")).cast("long").as("n_tokens"))
+      curateWaves(s, dir)
+        .map { kept =>
+          kept.select($"doc_id")
+            .join(tokens.hint("shuffle_hash"), "doc_id")
+            .withColumn("split",
+              when(pmod($"doc_id", lit(100)) < 95, "train").otherwise("val"))
+            .withColumn("shard", pmod($"doc_id", lit(8)))
+            .withColumn("h", expr(
+              "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10) AS BIGINT)"))
+            .groupBy($"split", $"shard")
+            .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"),
+              expr("bit_xor(h)").as("content_digest"))
+        }
+        .reduce(_.unionAll(_))
+        .groupBy($"split", $"shard") // wave merge: sums + XOR of partials
+        .agg(sum($"n_docs").as("n_docs"), sum($"n_tokens").as("n_tokens"),
+          expr("bit_xor(content_digest)").as("content_digest"))
+        .orderBy($"split", $"shard")
+    },
+    // Exactly-mergeable partials: batching cannot move a count or flip a
+    // digest bit — the oracle is the batch manifest's, verbatim.
+    Corpus.trainManifest.oracle
   )
 
   /** Streaming source-quality monitor — the micro-batch twin of
@@ -252,5 +299,5 @@ object CorpusStream {
 
   def all: Seq[GraftQuery] =
     Seq(streamContamination, streamPerplexity, streamQuality, streamCurate,
-      streamQualityCi, streamCooccurrence)
+      streamQualityCi, streamCooccurrence, streamTrainManifest)
 }

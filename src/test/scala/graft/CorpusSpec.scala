@@ -592,6 +592,17 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("stream_train_manifest: wave-merged cell partials reproduce the batch manifest bit-for-bit") {
+    // Sums and XOR digests are both exactly mergeable, so the 3-way
+    // arrival split must be invisible down to the last digest bit.
+    val streamed = streaming.CorpusStream.streamTrainManifest
+      .run(spark, TestSpark.Sf).collect().map(_.toSeq)
+    val batch = llm.Corpus.trainManifest
+      .run(spark, TestSpark.Sf).collect().map(_.toSeq)
+    assert(streamed.toSeq === batch.toSeq,
+      "batching must not move a manifest count or flip a digest bit")
+  }
+
   test("tokenizer fertility: per-source rollup agrees with the verified per-doc BPE apply") {
     // llm_bpe_apply's per-doc (n_words, n_pieces) is hash-verified against
     // DuckDB; fertility must be exactly its source-grouped rollup.
