@@ -1582,20 +1582,28 @@ object Analytics {
     * (one hash aggregate on user_id); the pooled stats and the date
     * bounds are 1-row broadcasts; arm rollups are a 2-group aggregate.
     * 100 TB of events never leaves the first aggregate. */
+  /** The per-user (pre-period x, experiment-period y) cent frame under
+    * the experimentation family — shared by agg_cuped and
+    * agg_power_mde so the two read the SAME period split. */
+  private[graft] def cupedUsers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cents = expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    val ev = Tables.events(s, dir).select($"user_id", to_date($"ts").as("d"),
+      cents.as("c"))
+    val bounds = ev.agg(min($"d").as("lo"), max($"d").as("hi"))
+      .select($"lo", date_add($"lo",
+        (datediff($"hi", $"lo") / 2).cast("int")).as("mid"))
+    ev.crossJoin(broadcast(bounds))
+      .groupBy($"user_id")
+      .agg(sum(when($"d" <= $"mid", $"c").otherwise(0L)).as("x"),
+        sum(when($"d" > $"mid", $"c").otherwise(0L)).as("y"))
+  }
+
   val cuped: GraftQuery = GraftQuery(
     "agg_cuped",
     (s, dir) => {
       import s.implicits._
-      val cents = expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
-      val ev = Tables.events(s, dir).select($"user_id", to_date($"ts").as("d"),
-        cents.as("c"))
-      val bounds = ev.agg(min($"d").as("lo"), max($"d").as("hi"))
-        .select($"lo", date_add($"lo",
-          (datediff($"hi", $"lo") / 2).cast("int")).as("mid"))
-      val users = ev.crossJoin(broadcast(bounds))
-        .groupBy($"user_id")
-        .agg(sum(when($"d" <= $"mid", $"c").otherwise(0L)).as("x"),
-          sum(when($"d" > $"mid", $"c").otherwise(0L)).as("y"))
+      val users = cupedUsers(s, dir)
       val pool = users.agg(count(lit(1)).as("n"),
         sum($"x").as("sx"), sum($"y").as("sy"),
         sum($"x" * $"y").as("sxy"),
@@ -1677,9 +1685,112 @@ object Analytics {
             ORDER BY arm""")
   )
 
+  /** Power analysis / minimum-detectable-effect readout — the question
+    * every experiment answers BEFORE it runs ("how small a lift can
+    * this setup see at 80% power?") and the one agg_cuped's ρ²
+    * monetizes: MDE = (z_{α/2} + z_β)·sd·√(1/n_A + 1/n_B) at
+    * α = .05 / power = .80, and the CUPED-adjusted MDE scales by
+    * √(1−ρ²) — the emitted pair is the business case for shipping the
+    * covariate adjustment (same MDE at (1−ρ²)× the sample, or
+    * √(1−ρ²)× the MDE at the same sample).
+    *
+    * Determinism: same guarded BIGINT sufficient statistics as
+    * agg_cuped off the SAME shared user frame; z constants are
+    * driver-side literals embedded identically in both engines; sd/√
+    * touch irrationals only at the final projection (rounded 4dp);
+    * one row out. */
+  val powerMde: GraftQuery = GraftQuery(
+    "agg_power_mde",
+    (s, dir) => {
+      import s.implicits._
+      val zA = 1.959963984540054 // z_{0.975}
+      val zB = 0.8416212335729143 // z_{0.80}
+      val u = cupedUsers(s, dir)
+        .withColumn("arm", pmod($"user_id", lit(2)))
+      val agg = u.agg(
+        sum(when($"arm" === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when($"arm" === 1L, 1L).otherwise(0L)).as("n_b"),
+        count(lit(1)).as("n"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"),
+        sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
+        max(abs($"x")).as("mx"), max(abs($"y")).as("my"))
+      val nD = $"n".cast("double")
+      val safe =
+        (lit(2.0) * pow(nD, 2.0) * $"mx".cast("double") * $"my".cast("double") < 9.0e18) &&
+        (lit(2.0) * pow(nD, 2.0) * pow($"mx".cast("double"), 2.0) < 9.0e18) &&
+        (lit(2.0) * pow(nD, 2.0) * pow($"my".cast("double"), 2.0) < 9.0e18)
+      val g = (c: org.apache.spark.sql.Column) => graft.GraftQuery.guarded(
+        c, safe, "agg_power_mde: BIGINT sufficient statistics near " +
+          "overflow — shift the folds to DECIMAL(38,0)")
+      agg
+        .withColumn("cxy", g($"n" * $"sxy" - $"sx" * $"sy"))
+        .withColumn("vx", g($"n" * $"sxx" - $"sx" * $"sx"))
+        .withColumn("vy", g($"n" * $"syy" - $"sy" * $"sy"))
+        .withColumn("sd", sqrt($"vy".cast("double")
+          / ($"n".cast("double") * ($"n" - 1L).cast("double"))))
+        .withColumn("rho2", ($"cxy".cast("double") * $"cxy".cast("double"))
+          / ($"vx".cast("double") * $"vy".cast("double")))
+        .withColumn("mde", lit(zA + zB) * $"sd" *
+          sqrt(lit(1.0) / $"n_a".cast("double") + lit(1.0) / $"n_b".cast("double")))
+        .select($"n_a", $"n_b",
+          round($"sd", 4).as("sd_y"),
+          round($"mde", 4).as("mde_abs"),
+          round($"mde" * sqrt(lit(1.0) - $"rho2"), 4).as("mde_cuped"),
+          round($"mde" / ($"sy".cast("double") / $"n".cast("double")), 6)
+            .as("mde_rel"))
+    },
+    Some(s"""WITH ev AS (
+              SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+              FROM events),
+            b AS (
+              SELECT min(d) AS lo,
+                     min(d) + CAST(CAST(datediff('day', min(d), max(d)) AS INT) // 2
+                                   AS INT) AS mid
+              FROM ev),
+            u AS (
+              SELECT user_id,
+                     CAST(sum(CASE WHEN d <= (SELECT mid FROM b) THEN c ELSE 0 END) AS BIGINT) AS x,
+                     CAST(sum(CASE WHEN d > (SELECT mid FROM b) THEN c ELSE 0 END) AS BIGINT) AS y
+              FROM ev GROUP BY user_id),
+            p AS (
+              SELECT CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                     CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                     count(*) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * y) AS BIGINT) AS sxy,
+                     CAST(sum(x * x) AS BIGINT) AS sxx,
+                     CAST(sum(y * y) AS BIGINT) AS syy
+              FROM u),
+            f AS (
+              SELECT n_a, n_b, n, sy,
+                     CAST(n * sxy - sx * sy AS BIGINT) AS cxy,
+                     CAST(n * sxx - sx * sx AS BIGINT) AS vx,
+                     CAST(n * syy - sy * sy AS BIGINT) AS vy
+              FROM p),
+            m AS (
+              SELECT n_a, n_b, n, sy, cxy, vx, vy,
+                     sqrt(CAST(vy AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS sd,
+                     (CAST(cxy AS DOUBLE) * CAST(cxy AS DOUBLE))
+                       / (CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)) AS rho2,
+                     CAST(${1.959963984540054 + 0.8416212335729143} AS DOUBLE)
+                       * sqrt(CAST(vy AS DOUBLE)
+                              / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+                       * sqrt(1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)) AS mde
+              FROM f)
+            SELECT n_a, n_b,
+                   round(sd, 4) AS sd_y,
+                   round(mde, 4) AS mde_abs,
+                   round(mde * sqrt(1.0 - rho2), 4) AS mde_cuped,
+                   round(mde / (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS mde_rel
+            FROM m""")
+  )
+
   def all: Seq[GraftQuery] = Seq(
     statsAgg, percentiles, approxPercentile, stringAgg, pivotAgg, jsonStruct,
     topNRevenue, corrMatrix, ksTest, mannWhitney, chiSq, gini,
     ttestWelch, spearman, cramersV, benford, moments, shareOfParent, anova,
-    wilcoxon, entropy, expectations, kanon, hhi, bootstrapCi, cuped)
+    wilcoxon, entropy, expectations, kanon, hhi, bootstrapCi, cuped, powerMde)
 }

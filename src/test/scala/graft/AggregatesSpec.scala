@@ -687,6 +687,45 @@ class AggregatesSpec extends AnyFunSuite {
       "adjustment must conserve the pooled mean")
   }
 
+  test("power/MDE: sd, rho2 scaling, and relative MDE brute-replicate from user sums") {
+    val ev = sources.Tables.events(spark, TestSpark.Sf)
+      .select($"user_id", to_date($"ts").cast("string").as("d"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
+      .collect().map(r => (r.getLong(0), java.time.LocalDate.parse(r.getString(1)),
+        r.getLong(2)))
+    val lo = ev.map(_._2).min; val hi = ev.map(_._2).max
+    val mid = lo.plusDays((hi.toEpochDay - lo.toEpochDay) / 2)
+    val users = ev.groupBy(_._1).map { case (u, rows) =>
+      (u, rows.filter(!_._2.isAfter(mid)).map(_._3).sum,
+        rows.filter(_._2.isAfter(mid)).map(_._3).sum)
+    }.toSeq
+    val n = users.length.toLong
+    val (sx, sy) = (users.map(_._2).sum, users.map(_._3).sum)
+    val sxy = users.map(u => u._2 * u._3).sum
+    val sxx = users.map(u => u._2 * u._2).sum
+    val syy = users.map(u => u._3 * u._3).sum
+    val (cxy, vx, vy) = (n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy)
+    val sd = math.sqrt(vy.toDouble / (n.toDouble * (n - 1).toDouble))
+    val rho2 = cxy.toDouble * cxy.toDouble / (vx.toDouble * vy.toDouble)
+    val nA = users.count(_._1 % 2 == 0).toLong
+    val nB = n - nA
+    val mde = (1.959963984540054 + 0.8416212335729143) * sd *
+      math.sqrt(1.0 / nA + 1.0 / nB)
+    val r = operators.Analytics.powerMde.run(spark, TestSpark.Sf).collect() match {
+      case Array(row) => row
+      case rows => fail(s"expected one row, got ${rows.length}")
+    }
+    def close(a: Double, b: Double, tol: Double) = math.abs(a - b) <= tol
+    assert(r.getAs[Long]("n_a") === nA)
+    assert(r.getAs[Long]("n_b") === nB)
+    assert(close(r.getAs[Double]("sd_y"), sd, 1e-3))
+    assert(close(r.getAs[Double]("mde_abs"), mde, 1e-3))
+    assert(close(r.getAs[Double]("mde_cuped"), mde * math.sqrt(1 - rho2), 1e-3))
+    assert(close(r.getAs[Double]("mde_rel"), mde / (sy.toDouble / n), 1e-5))
+    assert(r.getAs[Double]("mde_cuped") <= r.getAs[Double]("mde_abs"),
+      "the covariate adjustment can only shrink the MDE")
+  }
+
   test("k-anonymity: group sizes conserve; flags recompute; diversity bounded by size") {
     val out = operators.Analytics.kanon.run(spark, TestSpark.Sf).collect()
     val total = sources.Tables.customer(spark, TestSpark.Sf).count()
