@@ -1788,9 +1788,59 @@ object Analytics {
             FROM m""")
   )
 
+  /** Sample-ratio-mismatch check — the experiment VALIDITY gate that
+    * runs before any readout is believed: if the realized arm split
+    * deviates from the designed 50/50 beyond chance, the assignment
+    * (or logging) is broken and every downstream metric is biased —
+    * SRM is the single most common way A/B systems silently rot. For
+    * two equal-design cells the chi-square statistic collapses to
+    * (n_A − n_B)²/(n_A + n_B), compared against the 1-df 95% critical
+    * value as a shared literal. Exact integers end-to-end; one division
+    * at the projection; one row out of the same shared user frame. */
+  val srm: GraftQuery = GraftQuery(
+    "agg_srm",
+    (s, dir) => {
+      import s.implicits._
+      cupedUsers(s, dir)
+        .withColumn("arm", pmod($"user_id", lit(2)))
+        .agg(sum(when($"arm" === 0L, 1L).otherwise(0L)).as("n_a"),
+          sum(when($"arm" === 1L, 1L).otherwise(0L)).as("n_b"))
+        .withColumn("chi2",
+          (($"n_a" - $"n_b") * ($"n_a" - $"n_b")).cast("double")
+            / ($"n_a" + $"n_b").cast("double"))
+        .select($"n_a", $"n_b", round($"chi2", 6).as("chi2"),
+          ($"chi2" > 3.841458820694124).as("srm_detected"))
+    },
+    Some("""WITH ev AS (
+              SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+              FROM events),
+            b AS (
+              SELECT min(d) AS lo,
+                     min(d) + CAST(CAST(datediff('day', min(d), max(d)) AS INT) // 2
+                                   AS INT) AS mid
+              FROM ev),
+            u AS (
+              SELECT user_id,
+                     CAST(sum(CASE WHEN d <= (SELECT mid FROM b) THEN c ELSE 0 END) AS BIGINT) AS x,
+                     CAST(sum(CASE WHEN d > (SELECT mid FROM b) THEN c ELSE 0 END) AS BIGINT) AS y
+              FROM ev GROUP BY user_id),
+            p AS (
+              SELECT CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                     CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+              FROM u)
+            SELECT n_a, n_b,
+                   round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+                         / CAST(n_a + n_b AS DOUBLE), 6) AS chi2,
+                   CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+                     / CAST(n_a + n_b AS DOUBLE) > 3.841458820694124 AS srm_detected
+            FROM p""")
+  )
+
   def all: Seq[GraftQuery] = Seq(
     statsAgg, percentiles, approxPercentile, stringAgg, pivotAgg, jsonStruct,
     topNRevenue, corrMatrix, ksTest, mannWhitney, chiSq, gini,
     ttestWelch, spearman, cramersV, benford, moments, shareOfParent, anova,
-    wilcoxon, entropy, expectations, kanon, hhi, bootstrapCi, cuped, powerMde)
+    wilcoxon, entropy, expectations, kanon, hhi, bootstrapCi, cuped, powerMde,
+    srm)
 }

@@ -200,6 +200,26 @@ object CorpusStream {
     * shard digests against this table without anyone rescanning the
     * corpus. Shares curateWaves with stream_curate (the twins cannot
     * drift on what a wave keeps) and the batch oracle verbatim. */
+  /** One micro-batch's manifest cell partials: kept docs → (split,
+    * shard) doc/token counts + XOR digest — the append-only delta a
+    * foreachBatch drive writes per batch (StreamingSpec runs exactly
+    * that with a checkpoint + kill/restart leg). */
+  private[graft] def manifestPartials(kept: DataFrame,
+                                      tokens: DataFrame): DataFrame = {
+    val s = kept.sparkSession
+    import s.implicits._
+    kept.select($"doc_id")
+      .join(tokens.hint("shuffle_hash"), "doc_id")
+      .withColumn("split",
+        when(pmod($"doc_id", lit(100)) < 95, "train").otherwise("val"))
+      .withColumn("shard", pmod($"doc_id", lit(8)))
+      .withColumn("h", expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10) AS BIGINT)"))
+      .groupBy($"split", $"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"),
+        expr("bit_xor(h)").as("content_digest"))
+  }
+
   val streamTrainManifest: GraftQuery = GraftQuery(
     "stream_train_manifest",
     (s, dir) => {
@@ -208,18 +228,7 @@ object CorpusStream {
         .select($"doc_id",
           size(split($"text", " ")).cast("long").as("n_tokens"))
       curateWaves(s, dir)
-        .map { kept =>
-          kept.select($"doc_id")
-            .join(tokens.hint("shuffle_hash"), "doc_id")
-            .withColumn("split",
-              when(pmod($"doc_id", lit(100)) < 95, "train").otherwise("val"))
-            .withColumn("shard", pmod($"doc_id", lit(8)))
-            .withColumn("h", expr(
-              "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10) AS BIGINT)"))
-            .groupBy($"split", $"shard")
-            .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"),
-              expr("bit_xor(h)").as("content_digest"))
-        }
+        .map(kept => manifestPartials(kept, tokens))
         .reduce(_.unionAll(_))
         .groupBy($"split", $"shard") // wave merge: sums + XOR of partials
         .agg(sum($"n_docs").as("n_docs"), sum($"n_tokens").as("n_tokens"),

@@ -726,6 +726,19 @@ class AggregatesSpec extends AnyFunSuite {
       "the covariate adjustment can only shrink the MDE")
   }
 
+  test("SRM: arm counts and the collapsed chi-square recompute; flag thresholds correctly") {
+    val users = sources.Tables.events(spark, TestSpark.Sf)
+      .select($"user_id").distinct().collect().map(_.getLong(0))
+    val nA = users.count(_ % 2 == 0).toLong
+    val nB = users.length - nA
+    val chi2 = (nA - nB).toDouble * (nA - nB).toDouble / (nA + nB).toDouble
+    val r = operators.Analytics.srm.run(spark, TestSpark.Sf).collect()(0)
+    assert(r.getAs[Long]("n_a") === nA)
+    assert(r.getAs[Long]("n_b") === nB)
+    assert(math.abs(r.getAs[Double]("chi2") - chi2) <= 1e-6)
+    assert(r.getAs[Boolean]("srm_detected") === (chi2 > 3.841458820694124))
+  }
+
   test("k-anonymity: group sizes conserve; flags recompute; diversity bounded by size") {
     val out = operators.Analytics.kanon.run(spark, TestSpark.Sf).collect()
     val total = sources.Tables.customer(spark, TestSpark.Sf).count()

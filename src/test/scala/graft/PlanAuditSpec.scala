@@ -47,6 +47,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "llm_pmi",            // 1-row grand-total broadcast onto the pair table
     "agg_cuped",          // 1-row date-bounds + pooled-stats broadcasts
     "agg_power_mde",      // same shared frame: 1-row date-bounds broadcast
+    "agg_srm",            // same shared frame: 1-row date-bounds broadcast
     "llm_tokenizer_fertility", // 1-row merge-list broadcast (the bpe_apply plan)
     "llm_tfidf",          // 1-row corpus-count broadcast onto the scoring join
     "llm_bm25",           // 1-row (N, avgdl) corpus-stats broadcast onto the scoring join

@@ -151,6 +151,68 @@ class StreamingSpec extends AnyFunSuite {
       "re-run with no new input must be a no-op")
   }
 
+  test("manifest foreachBatch pipeline: per-batch curate + cell deltas serve the batch manifest") {
+    // The production form of stream_train_manifest: docs land through a
+    // checkpointed file source in two arrival waves; each micro-batch
+    // curates ITSELF against the frozen artifacts (LM, cluster keepers —
+    // per-dataset state, built once before the stream) and appends its
+    // manifest cell partials. The served merge (sums + XOR) must equal
+    // the batch manifest bit-for-bit, and a restart with no new arrivals
+    // must append nothing.
+    import org.apache.spark.sql.functions._
+    val docs = sources.Tables.documents(spark, TestSpark.Sf).cache()
+    val lm = llm.Corpus.lmModel(spark, TestSpark.Sf)
+    val keepers = llm.Dedup.clusterKeepers(spark, TestSpark.Sf).localCheckpoint()
+    val tokens = docs.selectExpr("doc_id",
+      "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens").cache()
+    val wmid = docs.agg(floor(max($"doc_id") / 2.0).cast("long"))
+      .collect()(0).getLong(0)
+    val base = Files.createTempDirectory("graft_mfstrm").toString
+    val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+
+    def runWave(): Unit = {
+      val q = spark.readStream.schema(docs.schema).parquet(src)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val kept = llm.Corpus.curateBatch(spark, TestSpark.Sf, b,
+            llm.Corpus.scoreBigrams(spark, llm.Corpus.docBigrams(spark, b), lm),
+            keepers)
+          streaming.CorpusStream.manifestPartials(kept, tokens)
+            .write.mode("append").parquet(out)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    docs.filter($"doc_id" <= wmid).write.mode("append").parquet(src)
+    runWave()
+    docs.filter($"doc_id" > wmid).write.mode("append").parquet(src)
+    runWave()
+
+    def served() = spark.read.parquet(out)
+      .groupBy($"split", $"shard")
+      .agg(sum($"n_docs").as("n_docs"), sum($"n_tokens").as("n_tokens"),
+        expr("bit_xor(content_digest)").as("content_digest"))
+      .orderBy($"split", $"shard")
+      .collect().map(_.toSeq).toSeq
+    val batch = llm.Corpus.trainManifest.run(spark, TestSpark.Sf)
+      .collect().map(_.toSeq).toSeq
+    assert(served() === batch,
+      "served manifest must equal the batch manifest bit-for-bit")
+
+    // Kill/restart leg: the checkpoint already covers both waves, so a
+    // restart with no new arrivals appends no delta and leaves the
+    // served manifest unchanged.
+    val deltaRows = spark.read.parquet(out).count()
+    runWave()
+    assert(spark.read.parquet(out).count() === deltaRows,
+      "restart with no new data must not re-append any cell partials")
+    assert(served() === batch, "served manifest unchanged by idempotent restart")
+  }
+
   test("contamination foreachBatch pipeline: incremental arrivals, no reprocessing on resume") {
     // The production form of stream_contamination: docs land incrementally
     // (here: two parquet arrival waves, the incremental-loader source
