@@ -18,6 +18,35 @@ import graft.sources.Tables
   */
 object Windows {
 
+  /** The two-level GLOBAL rank device, factored from agg_pareto so any
+    * corpus-sized frame can be totally ranked without a one-task sort:
+    * range-partition on the order (partition id IS the bucket in sort
+    * order; a lineage cut pins the sampled bounds so every downstream
+    * read sees one bucketing), fold per-bucket counts, prefix the ≤32-row
+    * bucket table, broadcast the prior-bucket offsets back, and add a
+    * within-bucket row_number. Rank is exact and deterministic for ANY
+    * bucket boundaries (counts are associative; the order must end in a
+    * unique tiebreaker). */
+  private[graft] def twoLevelRank(df: org.apache.spark.sql.DataFrame,
+                                  ord: Seq[org.apache.spark.sql.Column],
+                                  out: String): org.apache.spark.sql.DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val ranged = GraftQuery.cutStats(
+      df.repartitionByRange(32, ord: _*)
+        .withColumn("__pid", org.apache.spark.sql.functions.spark_partition_id()))
+    val prefix = ranged.groupBy($"__pid")
+      .agg(count(lit(1)).as("__bcnt"))
+      .withColumn("__prev", coalesce(sum($"__bcnt").over(
+        Window.orderBy($"__pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select($"__pid", $"__prev")
+    ranged.join(broadcast(prefix), "__pid")
+      .withColumn(out, $"__prev" +
+        row_number().over(Window.partitionBy($"__pid").orderBy(ord: _*)))
+      .drop("__pid", "__prev")
+  }
+
   /** rank / dense_rank / row_number with a deterministic total order. */
   val rank3: GraftQuery = GraftQuery(
     "win_rank",
@@ -258,6 +287,101 @@ object Windows {
             ORDER BY rn""")
   )
 
+  /** RFM customer segmentation — recency / frequency / monetary
+    * quintiles, THE classical marketing segmentation (who is a champion,
+    * who is churning, who is a big spender gone quiet): each user ranks
+    * on all three axes, ranks cut into quintiles, and the readout is the
+    * 5×5×5 segment cube with exact sizes and totals.
+    *
+    * The scale point: quintiles need GLOBAL ranks over the USER domain —
+    * a domain that grows with the corpus, where a plain ntile() window
+    * is a one-task sort of every user. All three ranks run through the
+    * factored twoLevelRank device (range-partition → bucket-count
+    * prefix → within-bucket row_number), so nothing ever sorts the user
+    * table in one task; the quintile is then a pure integer formula of
+    * (rank, n) — SQL-standard ntile distribution (first n mod 5 tiles
+    * one larger), identical arithmetic in both engines, NO ntile()
+    * function anywhere. Ties break on user_id so every rank is
+    * deterministic. Requires n ≥ 5 users (quintiles of fewer are
+    * meaningless).
+    *
+    * One fact-scan aggregate to the user frame (lineage-cut: the rank
+    * chain and the n broadcast both read the checkpoint); 3 range
+    * exchanges for the 3 axes; one final hash aggregate onto the ≤125
+    * segment cells. */
+  val rfm: GraftQuery = GraftQuery(
+    "agg_rfm",
+    (s, dir) => {
+      import s.implicits._
+      val cents = expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+      val maxd = Tables.events(s, dir).agg(max(to_date($"ts")).as("d0"))
+      val users = GraftQuery.cutStats(
+        Tables.events(s, dir)
+          .select($"user_id", to_date($"ts").as("d"), cents.as("c"))
+          .groupBy($"user_id")
+          .agg(max($"d").as("last_d"), count(lit(1)).as("frequency"),
+            sum($"c").as("monetary"))
+          .crossJoin(broadcast(maxd))
+          .select($"user_id",
+            expr("CAST(datediff(d0, last_d) AS BIGINT)").as("recency"),
+            $"frequency", $"monetary"))
+      val ranked = twoLevelRank(
+        twoLevelRank(
+          twoLevelRank(users, Seq($"recency".asc, $"user_id".asc), "rr"),
+          Seq($"frequency".desc, $"user_id".asc), "rf"),
+        Seq($"monetary".desc, $"user_id".asc), "rm")
+      val n1 = users.agg(count(lit(1)).as("n"))
+      def tile(r: String) = expr(
+        s"""CASE WHEN $r <= (q + 1) * m THEN ($r - 1) div (q + 1) + 1
+                 ELSE m + ($r - (q + 1) * m - 1) div q + 1 END""")
+      ranked.crossJoin(broadcast(n1))
+        .withColumn("q", expr("n div 5"))
+        .withColumn("m", expr("n % 5"))
+        .withColumn("r_tile", tile("rr"))
+        .withColumn("f_tile", tile("rf"))
+        .withColumn("m_tile", tile("rm"))
+        .groupBy($"r_tile", $"f_tile", $"m_tile")
+        .agg(count(lit(1)).as("n_users"), sum($"frequency").as("n_events"),
+          sum($"monetary").as("monetary_cents"))
+        .orderBy($"r_tile", $"f_tile", $"m_tile")
+    },
+    Some("""WITH ev AS (
+              SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+              FROM events),
+            u AS (
+              SELECT user_id,
+                     CAST(datediff('day', max(d),
+                       (SELECT max(CAST(date_trunc('day', ts) AS DATE)) FROM events))
+                       AS BIGINT) AS recency,
+                     count(*) AS frequency,
+                     CAST(sum(c) AS BIGINT) AS monetary
+              FROM ev GROUP BY user_id),
+            r AS (
+              SELECT user_id, frequency, monetary,
+                     row_number() OVER (ORDER BY recency, user_id) AS rr,
+                     row_number() OVER (ORDER BY frequency DESC, user_id) AS rf,
+                     row_number() OVER (ORDER BY monetary DESC, user_id) AS rm,
+                     count(*) OVER () AS n
+              FROM u),
+            t AS (
+              SELECT frequency, monetary,
+                     CASE WHEN rr <= (n // 5 + 1) * (n % 5)
+                          THEN (rr - 1) // (n // 5 + 1) + 1
+                          ELSE n % 5 + (rr - (n // 5 + 1) * (n % 5) - 1) // (n // 5) + 1 END AS r_tile,
+                     CASE WHEN rf <= (n // 5 + 1) * (n % 5)
+                          THEN (rf - 1) // (n // 5 + 1) + 1
+                          ELSE n % 5 + (rf - (n // 5 + 1) * (n % 5) - 1) // (n // 5) + 1 END AS f_tile,
+                     CASE WHEN rm <= (n // 5 + 1) * (n % 5)
+                          THEN (rm - 1) // (n // 5 + 1) + 1
+                          ELSE n % 5 + (rm - (n // 5 + 1) * (n % 5) - 1) // (n // 5) + 1 END AS m_tile
+              FROM r)
+            SELECT r_tile, f_tile, m_tile, count(*) AS n_users,
+                   CAST(sum(frequency) AS BIGINT) AS n_events,
+                   CAST(sum(monetary) AS BIGINT) AS monetary_cents
+            FROM t GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")
+  )
+
   def all: Seq[GraftQuery] =
-    Seq(rank3, topkPerGroup, running, lagLead, rangeFrame, dist, pareto)
+    Seq(rank3, topkPerGroup, running, lagLead, rangeFrame, dist, pareto, rfm)
 }

@@ -739,6 +739,55 @@ class AggregatesSpec extends AnyFunSuite {
     assert(r.getAs[Boolean]("srm_detected") === (chi2 > 3.841458820694124))
   }
 
+  test("RFM: segment cube brute-replicates; quintile marginals follow the ntile distribution") {
+    val ev = sources.Tables.events(spark, TestSpark.Sf)
+      .select($"user_id", to_date($"ts").cast("string").as("d"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
+      .collect().map(r => (r.getLong(0), java.time.LocalDate.parse(r.getString(1)),
+        r.getLong(2)))
+    val d0 = ev.map(_._2).max
+    val users = ev.groupBy(_._1).map { case (u, rows) =>
+      (u, d0.toEpochDay - rows.map(_._2.toEpochDay).max,
+        rows.length.toLong, rows.map(_._3).sum)
+    }.toSeq
+    val n = users.length.toLong
+    assert(n >= 5, "fixture must have enough users for quintiles")
+    def tiles(ranked: Seq[Long]): Map[Long, Long] = {
+      // ranked: user ids in rank order; SQL-standard ntile distribution
+      val q = n / 5; val m = n % 5
+      ranked.zipWithIndex.map { case (u, i) =>
+        val r = i + 1L
+        val t = if (r <= (q + 1) * m) (r - 1) / (q + 1) + 1
+                else m + (r - (q + 1) * m - 1) / q + 1
+        u -> t
+      }.toMap
+    }
+    val rT = tiles(users.sortBy(u => (u._2, u._1)).map(_._1))
+    val fT = tiles(users.sortBy(u => (-u._3, u._1)).map(_._1))
+    val mT = tiles(users.sortBy(u => (-u._4, u._1)).map(_._1))
+    val brute = users.groupBy(u => (rT(u._1), fT(u._1), mT(u._1)))
+      .map { case (cell, us) =>
+        cell -> (us.length.toLong, us.map(_._3).sum, us.map(_._4).sum) }
+    val out = operators.Windows.rfm.run(spark, TestSpark.Sf).collect()
+    assert(out.map(_.getAs[Long]("n_users")).sum === n,
+      "every user lands in exactly one segment")
+    assert(out.length === brute.size)
+    out.foreach { r =>
+      val cell = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val (nu, fe, mo) = brute(cell)
+      assert(r.getAs[Long]("n_users") === nu, s"$cell users")
+      assert(r.getAs[Long]("n_events") === fe, s"$cell events")
+      assert(r.getAs[Long]("monetary_cents") === mo, s"$cell monetary")
+    }
+    // each axis marginal follows the ntile size distribution (sizes
+    // differ by at most one, larger tiles first)
+    for ((axis, t) <- Seq(("r", rT), ("f", fT), ("m", mT))) {
+      val sizes = t.values.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      assert(sizes.keySet === (1L to 5L).toSet, s"$axis: five tiles")
+      assert(sizes.values.max - sizes.values.min <= 1, s"$axis: balanced tiles")
+    }
+  }
+
   test("k-anonymity: group sizes conserve; flags recompute; diversity bounded by size") {
     val out = operators.Analytics.kanon.run(spark, TestSpark.Sf).collect()
     val total = sources.Tables.customer(spark, TestSpark.Sf).count()

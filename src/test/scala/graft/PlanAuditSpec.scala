@@ -48,6 +48,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "agg_cuped",          // 1-row date-bounds + pooled-stats broadcasts
     "agg_power_mde",      // same shared frame: 1-row date-bounds broadcast
     "agg_srm",            // same shared frame: 1-row date-bounds broadcast
+    "agg_rfm",            // 1-row max-day + 1-row n broadcasts onto the user frame
     "llm_tokenizer_fertility", // 1-row merge-list broadcast (the bpe_apply plan)
     "llm_tfidf",          // 1-row corpus-count broadcast onto the scoring join
     "llm_bm25",           // 1-row (N, avgdl) corpus-stats broadcast onto the scoring join
@@ -118,6 +119,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "ingest_retention",      // ≤14-day survivor list above the day aggregate
     "stream_watermark_late", // N/4096-row bucket-prefix table (two-level device)
     "agg_pareto",            // ≤32-row range-bucket prefix table (two-level device)
+    "agg_rfm",               // 3 × ≤32-row range-bucket prefix tables (twoLevelRank)
     "mm_shard_pack")         // N/4096-row bucket-prefix table (two-level device)
 
   private def unpartitionedWindows(p: SparkPlan): Seq[WindowExec] = {
