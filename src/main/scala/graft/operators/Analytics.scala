@@ -1837,10 +1837,54 @@ object Analytics {
             FROM p""")
   )
 
+  /** First-order Markov transition matrix over per-user event journeys —
+    * the user-flow model behind funnel diagnostics, next-action
+    * prediction baselines, and bot detection (a scraper's transition row
+    * is a delta function; a human's is spread): for consecutive events
+    * of the same user, count (from, to) type transitions and emit the
+    * row-conditional probabilities.
+    *
+    * Exact: transition counts are integers off ONE per-user lag window
+    * (partitioned by user — one shuffle; arrival order pinned by
+    * (ts, event_id) so every lag is deterministic); probabilities are
+    * single divisions of identical integers (row marginal via a window
+    * over the ≤|types|² count table), rounded at the projection. At
+    * 100 TB: one shuffle on user_id, one hash aggregate onto the
+    * bounded type×type domain. */
+  val markov: GraftQuery = GraftQuery(
+    "agg_markov",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.events(s, dir)
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("src_type", lag($"event_type", 1).over(w))
+        .filter($"src_type".isNotNull)
+        .groupBy($"src_type", $"event_type".as("dst_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", round($"n".cast("double")
+          / sum($"n").over(Window.partitionBy($"src_type")).cast("double"), 6))
+        .orderBy($"src_type", $"dst_type")
+    },
+    Some("""WITH j AS (
+              SELECT user_id, event_type,
+                     lag(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS src_type
+              FROM events),
+            c AS (
+              SELECT src_type, event_type AS dst_type, count(*) AS n
+              FROM j WHERE src_type IS NOT NULL GROUP BY 1, 2)
+            SELECT src_type, dst_type, n,
+                   round(CAST(n AS DOUBLE)
+                         / CAST(sum(n) OVER (PARTITION BY src_type) AS DOUBLE), 6) AS p
+            FROM c ORDER BY src_type, dst_type""")
+  )
+
   def all: Seq[GraftQuery] = Seq(
     statsAgg, percentiles, approxPercentile, stringAgg, pivotAgg, jsonStruct,
     topNRevenue, corrMatrix, ksTest, mannWhitney, chiSq, gini,
     ttestWelch, spearman, cramersV, benford, moments, shareOfParent, anova,
     wilcoxon, entropy, expectations, kanon, hhi, bootstrapCi, cuped, powerMde,
-    srm)
+    srm, markov)
 }

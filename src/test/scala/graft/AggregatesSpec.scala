@@ -788,6 +788,31 @@ class AggregatesSpec extends AnyFunSuite {
     }
   }
 
+  test("Markov transitions: counts brute-match per-user journeys; rows are distributions") {
+    val ev = sources.Tables.events(spark, TestSpark.Sf)
+      .select($"user_id", $"ts", $"event_id", $"event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getString(3)))
+    val brute = scala.collection.mutable.Map[(String, String), Long]()
+    ev.groupBy(_._1).values.foreach { rows =>
+      val ordered = rows.sortBy(r => (r._2, r._3)).map(_._4)
+      ordered.zip(ordered.tail).foreach { p =>
+        brute(p) = brute.getOrElse(p, 0L) + 1L
+      }
+    }
+    val out = operators.Analytics.markov.run(spark, TestSpark.Sf).collect()
+    assert(out.length === brute.size)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n") === brute((r.getString(0), r.getString(1))),
+        s"(${r.getString(0)} -> ${r.getString(1)}) count")
+    }
+    assert(out.map(_.getAs[Long]("n")).sum === brute.values.sum)
+    // each source row's probabilities sum to ~1 (rounding at 6dp)
+    out.groupBy(_.getString(0)).values.foreach { rows =>
+      val sump = rows.map(_.getAs[Double]("p")).sum
+      assert(math.abs(sump - 1.0) <= 1e-4, s"row distribution sums to $sump")
+    }
+  }
+
   test("k-anonymity: group sizes conserve; flags recompute; diversity bounded by size") {
     val out = operators.Analytics.kanon.run(spark, TestSpark.Sf).collect()
     val total = sources.Tables.customer(spark, TestSpark.Sf).count()
