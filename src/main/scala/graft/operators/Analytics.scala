@@ -1881,10 +1881,88 @@ object Analytics {
             FROM c ORDER BY src_type, dst_type""")
   )
 
+  /** Cohort LTV triangle — cumulative revenue per signup cohort by age:
+    * THE growth-analytics readout ("is the March cohort monetizing
+    * faster than January's at the same age?") that payback-period and
+    * LTV/CAC decisions read off directly. Cohort = ISO week of each
+    * user's first active day; age in weeks since that day; the triangle
+    * is (cohort_week × age_week) with per-age and cumulative cents and
+    * the per-user LTV.
+    *
+    * Exact: cents are BIGINT; the user's first day is one min-window
+    * over the user partition (no second fact scan, no join back); the
+    * cumulative is a partitioned window over the bounded
+    * weeks×ages triangle; LTV = one division of identical integers per
+    * cell (cohort sizes via an exact distinct count on the bounded
+    * cohort domain). At 100 TB: one user-partitioned window pass + one
+    * hash aggregate onto the triangle — nothing else sees the events
+    * table. */
+  val cohortLtv: GraftQuery = GraftQuery(
+    "agg_cohort_ltv",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val cents = expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+      val w = Window.partitionBy($"user_id")
+      val ev = Tables.events(s, dir)
+        .select($"user_id", to_date($"ts").as("d"), cents.as("c"))
+        .withColumn("f", min($"d").over(w))
+        .withColumn("cohort_week", to_date(date_trunc("week", $"f")))
+        .withColumn("age_week", expr("CAST(datediff(d, f) AS BIGINT) div 7"))
+      val sizes = ev.groupBy($"cohort_week")
+        .agg(count_distinct($"user_id").as("n_users"))
+      val cum = Window.partitionBy($"cohort_week").orderBy($"age_week")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      ev.groupBy($"cohort_week", $"age_week")
+        .agg(sum($"c").as("revenue_cents"))
+        .withColumn("cum_revenue_cents", sum($"revenue_cents").over(cum))
+        .join(broadcast(sizes), "cohort_week")
+        .select($"cohort_week".cast("string").as("cohort_week"), $"age_week",
+          $"n_users", $"revenue_cents", $"cum_revenue_cents",
+          round($"cum_revenue_cents".cast("double")
+            / $"n_users".cast("double"), 4).as("ltv_per_user_cents"))
+        .orderBy($"cohort_week", $"age_week")
+    },
+    Some("""WITH ev AS (
+              SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+              FROM events),
+            fe AS (
+              SELECT user_id, d, c,
+                     min(d) OVER (PARTITION BY user_id) AS f
+              FROM ev),
+            ce AS (
+              SELECT strftime(CAST(date_trunc('week', f) AS DATE), '%Y-%m-%d')
+                       AS cohort_week,
+                     CAST(datediff('day', f, d) AS BIGINT) // 7 AS age_week,
+                     user_id, c
+              FROM fe),
+            sz AS (
+              SELECT cohort_week, count(DISTINCT user_id) AS n_users
+              FROM ce GROUP BY 1),
+            tri AS (
+              SELECT cohort_week, age_week,
+                     CAST(sum(c) AS BIGINT) AS revenue_cents
+              FROM ce GROUP BY 1, 2),
+            cm AS (
+              SELECT cohort_week, age_week, revenue_cents,
+                     CAST(sum(revenue_cents) OVER (PARTITION BY cohort_week
+                       ORDER BY age_week
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum_revenue_cents
+              FROM tri)
+            SELECT cm.cohort_week, cm.age_week, sz.n_users,
+                   cm.revenue_cents, cm.cum_revenue_cents,
+                   round(CAST(cm.cum_revenue_cents AS DOUBLE)
+                         / CAST(sz.n_users AS DOUBLE), 4) AS ltv_per_user_cents
+            FROM cm JOIN sz USING (cohort_week)
+            ORDER BY cohort_week, age_week""")
+  )
+
   def all: Seq[GraftQuery] = Seq(
     statsAgg, percentiles, approxPercentile, stringAgg, pivotAgg, jsonStruct,
     topNRevenue, corrMatrix, ksTest, mannWhitney, chiSq, gini,
     ttestWelch, spearman, cramersV, benford, moments, shareOfParent, anova,
     wilcoxon, entropy, expectations, kanon, hhi, bootstrapCi, cuped, powerMde,
-    srm, markov)
+    srm, markov, cohortLtv)
 }

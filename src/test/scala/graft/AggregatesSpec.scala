@@ -813,6 +813,40 @@ class AggregatesSpec extends AnyFunSuite {
     }
   }
 
+  test("cohort LTV: triangle brute-replicates; cumulative is monotone; revenue conserves") {
+    val ev = sources.Tables.events(spark, TestSpark.Sf)
+      .select($"user_id", to_date($"ts").cast("string").as("d"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
+      .collect().map(r => (r.getLong(0), java.time.LocalDate.parse(r.getString(1)),
+        r.getLong(2)))
+    val first = ev.groupBy(_._1).map { case (u, rows) =>
+      u -> rows.map(_._2).minBy(_.toEpochDay) }
+    def weekOf(d: java.time.LocalDate) =
+      d.minusDays(d.getDayOfWeek.getValue - 1L).toString // ISO Monday
+    val brute = ev.groupBy { case (u, d, _) =>
+      (weekOf(first(u)), (d.toEpochDay - first(u).toEpochDay) / 7) }
+      .map { case (cell, rows) => cell -> rows.map(_._3).sum }
+    val sizes = first.groupBy { case (_, f) => weekOf(f) }
+      .map { case (w, us) => w -> us.size.toLong }
+    val out = operators.Analytics.cohortLtv.run(spark, TestSpark.Sf).collect()
+    assert(out.length === brute.size)
+    assert(out.map(_.getAs[Long]("revenue_cents")).sum === ev.map(_._3).sum,
+      "every cent lands in exactly one triangle cell")
+    out.groupBy(_.getString(0)).foreach { case (cw, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("age_week"))
+      var cum = 0L
+      sorted.foreach { r =>
+        val cell = (cw, r.getAs[Long]("age_week"))
+        assert(r.getAs[Long]("revenue_cents") === brute(cell), s"$cell revenue")
+        cum += r.getAs[Long]("revenue_cents")
+        assert(r.getAs[Long]("cum_revenue_cents") === cum, s"$cell cumulative")
+        assert(r.getAs[Long]("n_users") === sizes(cw), s"$cw size")
+        assert(math.abs(r.getAs[Double]("ltv_per_user_cents")
+          - cum.toDouble / sizes(cw)) <= 1e-3, s"$cell ltv")
+      }
+    }
+  }
+
   test("k-anonymity: group sizes conserve; flags recompute; diversity bounded by size") {
     val out = operators.Analytics.kanon.run(spark, TestSpark.Sf).collect()
     val total = sources.Tables.customer(spark, TestSpark.Sf).count()
