@@ -1495,7 +1495,16 @@ object Analytics {
            )), 1, 12), 16, 10) AS BIGINT) / 281474976710656.0"""))
       .withColumn("w", expr(wExpr))
       .groupBy($"event_type", $"b")
-      .agg(sum($"w" * $"v").as("sv"), sum($"w").as("sw"))
+      // Overflow gate on the weighted fold (ADVICE r12): w reaches 9, so
+      // the worst case is 9 * n_days * max|v| — checked in DOUBLE off the
+      // SAME aggregate row, RAISES past the BIGINT headroom where
+      // non-ANSI Spark would wrap silently and DuckDB would raise.
+      .agg(graft.GraftQuery.guarded(sum($"w" * $"v"),
+        lit(9.0) * count(lit(1)).cast("double") * max(abs($"v")).cast("double") < lit(9e18),
+        "agg_bootstrap_ci: Poisson-weighted daily-revenue fold past the " +
+          "BIGINT headroom (9 * n_days * max|v| >= 9e18) — rescale cents " +
+          "to a coarser unit or widen the fold to DECIMAL(38,0)").as("sv"),
+        sum($"w").as("sw"))
       .filter($"sw" > 0L)
       .select($"event_type",
         ($"sv".cast("double") / $"sw".cast("double")).as("m"))

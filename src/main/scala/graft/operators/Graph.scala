@@ -1403,14 +1403,21 @@ object Graph {
     * hash multiplies a vertex id by 1103515245 (plus prev·40503 in the
     * biased form), which wraps 2⁶³ silently under non-ANSI Spark once
     * ids pass ~8.05e9 — where DuckDB's checked arithmetic raises
-    * instead. Every id entering a mix is funneled through this guard at
+    * instead — and a NEGATIVE id sails through arithmetic but splits
+    * the engines at the modulo (Spark pmod is non-negative, DuckDB %
+    * keeps the sign, so the oracle's pick index goes negative and its
+    * walk silently dies while Spark walks on; ADVICE r12). Both sides
+    * are therefore gated. Every id entering a mix is funneled through this guard at
     * frontier-materialization time (one cheap check per O(V) frontier
     * row, never on the O(E) join residual), so past the bound the query
     * RAISES with the remedy instead of silently diverging. */
   private def mixSafe(name: String)(c: org.apache.spark.sql.Column) =
-    graft.GraftQuery.guarded(c, c <= lit(8000000000L),
-      s"$name: vertex id past the LCG mix BIGINT headroom (~8.05e9) — " +
-        "rescale ids or widen the mix to DECIMAL(38,0)")
+    graft.GraftQuery.guarded(c, c.between(lit(0L), lit(8000000000L)),
+      s"$name: vertex id outside the LCG mix safe range [0, ~8.05e9] — " +
+        "past the upper bound the BIGINT product wraps silently under " +
+        "non-ANSI Spark (DuckDB raises); below zero Spark's pmod and " +
+        "DuckDB's % disagree on sign, so the walk diverges silently. " +
+        "Rescale ids into the range or widen the mix to DECIMAL(38,0)")
 
   /** The L-step deterministic walk corpus (walk_id, step, v) — the table
     * graph_walks grades, factored out so skip-gram pair generation

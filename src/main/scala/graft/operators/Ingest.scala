@@ -176,25 +176,28 @@ object Ingest {
           graft.llm.Layouts.fingerprint(Tables.events(s, dir), "event_id", "ts")) {
         writePartitioned(Tables.events(s, dir), out)
       }
-      // Partition catalog = the (event_type, d) directory tree.
-      def listParts(): Seq[(String, String, java.io.File)] = for {
-        t <- new java.io.File(out).listFiles().toSeq
-        if t.isDirectory && t.getName.startsWith("event_type=")
-        p <- t.listFiles().toSeq
-        if p.isDirectory && p.getName.startsWith("d=")
-      } yield (t.getName.stripPrefix("event_type="),
-               p.getName.stripPrefix("d="), p)
+      // Partition catalog = the (event_type, d) directory tree, listed
+      // through the Hadoop FileSystem API (ADVICE r12: java.io.File only
+      // resolves local paths — this form now works unchanged against
+      // HDFS/S3A, which is where the 100 TB deployment actually lives,
+      // and a missing root is a clear FileNotFoundException, not an NPE).
+      import org.apache.hadoop.fs.Path
+      val root = new Path(out)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      def listParts(): Seq[(String, String, Path)] = for {
+        t <- fs.listStatus(root).toSeq
+        if t.isDirectory && t.getPath.getName.startsWith("event_type=")
+        p <- fs.listStatus(t.getPath).toSeq
+        if p.isDirectory && p.getPath.getName.startsWith("d=")
+      } yield (t.getPath.getName.stripPrefix("event_type="),
+               p.getPath.getName.stripPrefix("d="), p.getPath)
       val cutoff = java.time.LocalDate
         .parse(listParts().map(_._2).max).minusDays(13)
       listParts().filter { case (_, d, _) =>
         java.time.LocalDate.parse(d).isBefore(cutoff)
-      }.foreach { case (_, _, dirF) =>
+      }.foreach { case (_, _, dirP) =>
         // DROP PARTITION: recursive delete of one expired day directory.
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete(); ()
-        }
-        rm(dirF)
+        fs.delete(dirP, true); ()
       }
       val survivors = listParts().map { case (t, d, _) => (t, d) }
       val daysKept = survivors.map(_._2).distinct.size.toLong

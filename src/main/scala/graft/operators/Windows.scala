@@ -303,7 +303,9 @@ object Windows {
     * one larger), identical arithmetic in both engines, NO ntile()
     * function anywhere. Ties break on user_id so every rank is
     * deterministic. Requires n ≥ 5 users (quintiles of fewer are
-    * meaningless).
+    * meaningless) — ENFORCED: below 5 the query RAISES with a remedy
+    * (ADVICE r12: unguarded, n < 5 made q = 0 and the else-branch tile
+    * divide by zero — silent NULL tiles on Spark, an error on DuckDB).
     *
     * One fact-scan aggregate to the user frame (lineage-cut: the rank
     * chain and the n broadcast both read the checkpoint); 3 range
@@ -335,7 +337,11 @@ object Windows {
         s"""CASE WHEN $r <= (q + 1) * m THEN ($r - 1) div (q + 1) + 1
                  ELSE m + ($r - (q + 1) * m - 1) div q + 1 END""")
       ranked.crossJoin(broadcast(n1))
-        .withColumn("q", expr("n div 5"))
+        .withColumn("q", GraftQuery.guarded(expr("n div 5"), expr("n >= 5"),
+          "agg_rfm: quintile segmentation requires n >= 5 users (with " +
+          "fewer, q = n div 5 = 0 and the else-branch tile divides by " +
+          "zero \u2014 NULL under non-ANSI Spark where DuckDB raises); " +
+          "gather more users or drop to coarser tiles"))
         .withColumn("m", expr("n % 5"))
         .withColumn("r_tile", tile("rr"))
         .withColumn("f_tile", tile("rf"))
