@@ -1968,10 +1968,491 @@ object Analytics {
             ORDER BY cohort_week, age_week""")
   )
 
+  /** Kaplan–Meier survival over user lifetimes — the churn readout a
+    * subscription/engagement team reads first: per lifetime-day t, who is
+    * still at risk, who churned, who is censored, the product-limit
+    * survival S(t), the Nelson–Aalen cumulative hazard H(t), and the
+    * Greenwood standard error. Lifetime = days between a user's first and
+    * last event; a user is CHURNED if their last event is >7 days before
+    * the corpus max day, CENSORED otherwise (still alive at the data
+    * edge — exactly the right-censoring the estimator exists for).
+    *
+    * Determinism — the agg_chisq integerized-cumsum device: d_t and n_t
+    * are exact BIGINTs, each per-row term (ln((n−d)/n), d/n,
+    * d/(n(n−d))) is therefore the identical double in both engines, and
+    * every CUMULATIVE fold sums floor(term·1e12) in BIGINT (bias ≤
+    * rows·1e-12, shared by both engines) — never a windowed double sum
+    * (DuckDB's segment-tree association would diverge). S(t) =
+    * exp(cum/1e12) (the classifier's cross-engine-exp precedent); once a
+    * row has d = n the survival is pinned to exactly 0 from that t on
+    * (the ln(0) row contributes 0 to the fold and a cumulative dead
+    * flag takes over).
+    *
+    * Scale shape: one user-level aggregate (the only pass over the fact
+    * table), one hash aggregate onto the bounded lifetime-day domain,
+    * and unpartitioned windows over that DOMAIN (≤ calendar days rows —
+    * PlanAudit-allowlisted). */
+  val survivalKm: GraftQuery = GraftQuery(
+    "agg_survival_km",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir).select($"user_id", to_date($"ts").as("dd"))
+      val dm = ev.agg(max($"dd").as("dmax"))
+      val users = ev.groupBy($"user_id")
+        .agg(min($"dd").as("fd"), max($"dd").as("ld"))
+        .crossJoin(broadcast(dm))
+        .select(datediff($"ld", $"fd").cast("long").as("t"),
+          when(datediff($"dmax", $"ld") > 7, 1L).otherwise(0L).as("churn"))
+      val byT = users.groupBy($"t")
+        .agg(sum($"churn").as("d_n"), sum(lit(1L) - $"churn").as("c_n"))
+      val tot = byT.agg(sum($"d_n" + $"c_n").as("n_total"))
+      val w = Window.orderBy($"t").rowsBetween(Window.unboundedPreceding, 0)
+      val wp = Window.orderBy($"t").rowsBetween(Window.unboundedPreceding, -1)
+      byT.crossJoin(broadcast(tot))
+        .withColumn("n_risk",
+          $"n_total" - coalesce(sum($"d_n" + $"c_n").over(wp), lit(0L)))
+        .withColumn("lnterm", when($"d_n" < $"n_risk",
+          floor(log(($"n_risk" - $"d_n").cast("double")
+            / $"n_risk".cast("double")) * lit(1e12))).otherwise(lit(0L)))
+        .withColumn("nat",
+          floor($"d_n".cast("double") / $"n_risk".cast("double") * lit(1e12)))
+        .withColumn("gwt", when($"d_n" < $"n_risk",
+          floor($"d_n".cast("double") / ($"n_risk".cast("double")
+            * ($"n_risk" - $"d_n").cast("double")) * lit(1e12))).otherwise(lit(0L)))
+        .withColumn("deadrow", when($"d_n" >= $"n_risk", 1).otherwise(0))
+        .withColumn("cumln", sum($"lnterm").over(w))
+        .withColumn("na_c", sum($"nat").over(w))
+        .withColumn("gw_c", sum($"gwt").over(w))
+        .withColumn("dead", max($"deadrow").over(w))
+        .select($"t", $"n_risk",
+          $"d_n".as("n_churned"), $"c_n".as("n_censored"),
+          when($"dead" === 1, lit(0.0))
+            .otherwise(round(exp($"cumln".cast("double") / lit(1e12)), 6)).as("s_km"),
+          round($"na_c".cast("double") / lit(1e12), 6).as("h_na"),
+          when($"dead" === 1, lit(0.0))
+            .otherwise(round(exp($"cumln".cast("double") / lit(1e12))
+              * sqrt($"gw_c".cast("double") / lit(1e12)), 6)).as("se_km"))
+        .orderBy($"t")
+    },
+    Some("""WITH ev AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS dd
+                        FROM events),
+            dm AS (SELECT max(dd) AS dmax FROM ev),
+            u AS (SELECT user_id, min(dd) AS fd, max(dd) AS ld FROM ev GROUP BY 1),
+            uu AS (SELECT CAST(date_diff('day', fd, ld) AS BIGINT) AS t,
+                          CASE WHEN date_diff('day', ld, (SELECT dmax FROM dm)) > 7
+                               THEN 1 ELSE 0 END AS churn
+                   FROM u),
+            bt AS (SELECT t, CAST(sum(churn) AS BIGINT) AS d_n,
+                          CAST(sum(1 - churn) AS BIGINT) AS c_n
+                   FROM uu GROUP BY 1),
+            tot AS (SELECT CAST(sum(d_n + c_n) AS BIGINT) AS n_total FROM bt),
+            r AS (SELECT t, d_n, c_n,
+                         (SELECT n_total FROM tot)
+                           - CAST(coalesce(sum(d_n + c_n) OVER
+                               (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+                  FROM bt),
+            k AS (SELECT *,
+                         CASE WHEN d_n < n_risk
+                              THEN CAST(floor(ln(CAST(n_risk - d_n AS DOUBLE)
+                                   / CAST(n_risk AS DOUBLE)) * 1e12) AS BIGINT)
+                              ELSE 0 END AS lnterm,
+                         CAST(floor(CAST(d_n AS DOUBLE) / CAST(n_risk AS DOUBLE)
+                              * 1e12) AS BIGINT) AS nat,
+                         CASE WHEN d_n < n_risk
+                              THEN CAST(floor(CAST(d_n AS DOUBLE)
+                                   / (CAST(n_risk AS DOUBLE)
+                                      * CAST(n_risk - d_n AS DOUBLE)) * 1e12) AS BIGINT)
+                              ELSE 0 END AS gwt,
+                         CASE WHEN d_n >= n_risk THEN 1 ELSE 0 END AS deadrow
+                  FROM r),
+            c AS (SELECT t, n_risk, d_n, c_n,
+                         CAST(sum(lnterm) OVER w AS BIGINT) AS cumln,
+                         CAST(sum(nat) OVER w AS BIGINT) AS na_c,
+                         CAST(sum(gwt) OVER w AS BIGINT) AS gw_c,
+                         max(deadrow) OVER w AS dead
+                  FROM k
+                  WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW))
+            SELECT t, n_risk, d_n AS n_churned, c_n AS n_censored,
+                   CASE WHEN dead = 1 THEN 0.0
+                        ELSE round(exp(CAST(cumln AS DOUBLE) / 1e12), 6) END AS s_km,
+                   round(CAST(na_c AS DOUBLE) / 1e12, 6) AS h_na,
+                   CASE WHEN dead = 1 THEN 0.0
+                        ELSE round(exp(CAST(cumln AS DOUBLE) / 1e12)
+                             * sqrt(CAST(gw_c AS DOUBLE) / 1e12), 6) END AS se_km
+            FROM c ORDER BY t""")
+  )
+
+  /** Theil inequality indices (T and L) of customer spend per market
+    * segment — the decomposable complement to agg_gini: T weights by
+    * income share (top-sensitive), L is the mean log deviation
+    * (bottom-sensitive); together they say WHERE the inequality lives.
+    *
+    * Determinism: per-customer spend x is exact BIGINT cents; the share
+    * ratio r = x·n/Σx is a double OF exact ints (the product computed in
+    * double so it can never wrap), so each r·ln r / ln(1/r) term is the
+    * identical double in both engines; the per-segment sums fold
+    * floor(term·1e9) in BIGINT (the chisq device — unordered double
+    * sums would diverge), overflow-gated off the same aggregate row.
+    *
+    * Scale shape: one orders-scan aggregate to the customer frame, a
+    * broadcast of the ≤|segments| stats rows back onto it, one final
+    * hash aggregate onto the 5 segments. */
+  val theil: GraftQuery = GraftQuery(
+    "agg_theil",
+    (s, dir) => {
+      import s.implicits._
+      val cust = Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment", $"c_custkey")
+        .agg(expr("sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))").as("x"))
+      val segs = cust.groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"))
+      cust.join(broadcast(segs), "c_mktsegment")
+        .withColumn("r", $"x".cast("double") * $"n".cast("double")
+          / $"sx".cast("double"))
+        .withColumn("tt", floor($"r" * log($"r") * lit(1e9)))
+        .withColumn("tl", floor(-log($"r") * lit(1e9)))
+        .groupBy($"c_mktsegment", $"n", $"sx")
+        .agg(
+          GraftQuery.guarded(sum($"tt"),
+            count(lit(1)).cast("double") * greatest(abs(max($"tt")), abs(min($"tt")))
+              .cast("double") < lit(9e18),
+            "agg_theil: scaled r*ln(r) fold past BIGINT headroom \u2014 " +
+              "lower the 1e9 scale").as("stt"),
+          GraftQuery.guarded(sum($"tl"),
+            count(lit(1)).cast("double") * greatest(abs(max($"tl")), abs(min($"tl")))
+              .cast("double") < lit(9e18),
+            "agg_theil: scaled ln fold past BIGINT headroom \u2014 " +
+              "lower the 1e9 scale").as("stl"))
+        .select($"c_mktsegment", $"n".as("n_customers"),
+          round($"sx".cast("double") / $"n".cast("double"), 4).as("mean_cents"),
+          round($"stt".cast("double") / ($"n".cast("double") * lit(1e9)), 6).as("theil_t"),
+          round($"stl".cast("double") / ($"n".cast("double") * lit(1e9)), 6).as("theil_l"))
+        .orderBy($"c_mktsegment")
+    },
+    Some("""WITH cu AS (
+              SELECT c_mktsegment, o_custkey,
+                     CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                       AS BIGINT) AS x
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              GROUP BY 1, 2),
+            sg AS (SELECT c_mktsegment, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx
+                   FROM cu GROUP BY 1),
+            t AS (SELECT cu.c_mktsegment, sg.n, sg.sx,
+                         CAST(x AS DOUBLE) * CAST(n AS DOUBLE) / CAST(sx AS DOUBLE) AS r
+                  FROM cu JOIN sg USING (c_mktsegment)),
+            f AS (SELECT c_mktsegment, n, sx,
+                         CAST(floor(r * ln(r) * 1e9) AS BIGINT) AS tt,
+                         CAST(floor(-ln(r) * 1e9) AS BIGINT) AS tl
+                  FROM t)
+            SELECT c_mktsegment, n AS n_customers,
+                   round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 4) AS mean_cents,
+                   round(CAST(sum(tt) AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9), 6) AS theil_t,
+                   round(CAST(sum(tl) AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9), 6) AS theil_l
+            FROM f GROUP BY c_mktsegment, n, sx ORDER BY c_mktsegment""")
+  )
+
+  /** Log-log price elasticity of demand per part brand — the economics
+    * readout behind every pricing decision: the OLS slope of ln(quantity)
+    * on ln(price) across a brand's order lines (slope ≈ % quantity change
+    * per % price change), with R² for how much the line explains.
+    *
+    * Determinism: price and quantity land as exact BIGINT cents, so each
+    * ln is the identical double in both engines and each second-moment
+    * term (lx², lx·ly, ly²) is too; the five sufficient-statistic sums
+    * fold floor(term·1e8) in BIGINT (chisq device, overflow-gated);
+    * slope/intercept/R² are then a fixed scalar chain over exact ints.
+    *
+    * Scale shape: one broadcast dim join (part), one hash aggregate onto
+    * the ≤25-brand domain — map-side partials reduce every partition to
+    * ≤ brands rows. */
+  val elasticity: GraftQuery = GraftQuery(
+    "agg_elasticity",
+    (s, dir) => {
+      import s.implicits._
+      val rows = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), $"l_partkey" === $"p_partkey")
+        .select($"p_brand",
+          expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("pc"),
+          expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)").as("qc"))
+        .withColumn("lx", log($"pc".cast("double")))
+        .withColumn("ly", log($"qc".cast("double")))
+      def g(c: Column, tag: String): Column = GraftQuery.guarded(sum(c),
+        count(lit(1)).cast("double") * lit(2.5e10) < lit(9e18),
+        s"agg_elasticity: $tag fold past BIGINT headroom \u2014 lower the 1e8 scale")
+      rows.groupBy($"p_brand")
+        .agg(count(lit(1)).as("n"),
+          g(floor($"lx" * lit(1e8)), "Sx").as("sx"),
+          g(floor($"ly" * lit(1e8)), "Sy").as("sy"),
+          g(floor($"lx" * $"lx" * lit(1e8)), "Sxx").as("sxx"),
+          g(floor($"lx" * $"ly" * lit(1e8)), "Sxy").as("sxy"),
+          g(floor($"ly" * $"ly" * lit(1e8)), "Syy").as("syy"))
+        .select($"p_brand", $"n",
+          round((($"n".cast("double") * $"sxy".cast("double") * lit(1e8)
+            - $"sx".cast("double") * $"sy".cast("double"))
+            / ($"n".cast("double") * $"sxx".cast("double") * lit(1e8)
+              - $"sx".cast("double") * $"sx".cast("double"))), 4).as("elasticity"),
+          round(
+            pow($"n".cast("double") * $"sxy".cast("double") * lit(1e8)
+              - $"sx".cast("double") * $"sy".cast("double"), 2.0)
+            / (($"n".cast("double") * $"sxx".cast("double") * lit(1e8)
+               - $"sx".cast("double") * $"sx".cast("double"))
+              * ($"n".cast("double") * $"syy".cast("double") * lit(1e8)
+                - $"sy".cast("double") * $"sy".cast("double"))), 4).as("r2"))
+        .orderBy($"p_brand")
+    },
+    Some("""WITH r AS (
+              SELECT p_brand,
+                     ln(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                        AS DOUBLE)) AS lx,
+                     ln(CAST(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+                        AS DOUBLE)) AS ly
+              FROM lineitem JOIN part ON l_partkey = p_partkey),
+            a AS (SELECT p_brand, count(*) AS n,
+                         CAST(sum(CAST(floor(lx * 1e8) AS BIGINT)) AS BIGINT) AS sx,
+                         CAST(sum(CAST(floor(ly * 1e8) AS BIGINT)) AS BIGINT) AS sy,
+                         CAST(sum(CAST(floor(lx * lx * 1e8) AS BIGINT)) AS BIGINT) AS sxx,
+                         CAST(sum(CAST(floor(lx * ly * 1e8) AS BIGINT)) AS BIGINT) AS sxy,
+                         CAST(sum(CAST(floor(ly * ly * 1e8) AS BIGINT)) AS BIGINT) AS syy
+                  FROM r GROUP BY 1)
+            SELECT p_brand, n,
+                   round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) * 1e8
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) * 1e8
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4) AS elasticity,
+                   round(pow(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) * 1e8
+                             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE), 2.0)
+                         / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) * 1e8
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) * 1e8
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4) AS r2
+            FROM a ORDER BY p_brand""")
+  )
+
+  /** Winsorized and trimmed means per event type — the robust-mean pair
+    * every metrics platform reports next to the raw mean (one whale
+    * purchase should not move the KPI): values clamped to [p05, p95]
+    * (winsorized) and values outside it dropped (trimmed).
+    *
+    * Determinism: the cutoffs are percentile_cont over exact-cents
+    * doubles (the agg_percentile green precedent — identical
+    * interpolation in both engines); every row's clamped value is then
+    * the identical double, and the winsorized sum folds
+    * floor(clamped·1e6) in BIGINT (chisq device, gated) while raw and
+    * trimmed sums stay pure BIGINT. Membership tests compare UNROUNDED
+    * doubles (gopher rule).
+    *
+    * Scale shape: one aggregate for the cutoffs (bounded |types| rows,
+    * broadcast back), one final hash aggregate — two fact passes total,
+    * the textbook two-pass robust-mean plan. */
+  val winsorized: GraftQuery = GraftQuery(
+    "agg_winsorized",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir).select($"event_type",
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
+      val cuts = ev.groupBy($"event_type").agg(
+        expr("percentile_cont(0.05) WITHIN GROUP (ORDER BY CAST(c AS DOUBLE))").as("p05"),
+        expr("percentile_cont(0.95) WITHIN GROUP (ORDER BY CAST(c AS DOUBLE))").as("p95"))
+      ev.join(broadcast(cuts), "event_type")
+        .withColumn("cw", least(greatest($"c".cast("double"), $"p05"), $"p95"))
+        .withColumn("keep",
+          $"c".cast("double") >= $"p05" && $"c".cast("double") <= $"p95")
+        .groupBy($"event_type", $"p05", $"p95")
+        .agg(count(lit(1)).as("n"), sum($"c").as("sraw"),
+          GraftQuery.guarded(sum(floor($"cw" * lit(1e6))),
+            count(lit(1)).cast("double") * (greatest(abs(max($"c")), abs(min($"c")))
+              .cast("double") * lit(1e6) + lit(1.0)) < lit(9e18),
+            "agg_winsorized: scaled winsorized fold past BIGINT headroom " +
+              "\u2014 lower the 1e6 scale").as("sw"),
+          sum(when($"keep", $"c").otherwise(lit(0L))).as("strim"),
+          sum(when($"keep", 1L).otherwise(0L)).as("ntrim"))
+        .select($"event_type", $"n",
+          round($"p05", 4).as("p05"), round($"p95", 4).as("p95"),
+          round($"sraw".cast("double") / $"n".cast("double"), 4).as("mean_raw"),
+          round($"sw".cast("double") / ($"n".cast("double") * lit(1e6)), 4)
+            .as("mean_winsor"),
+          round($"strim".cast("double") / $"ntrim".cast("double"), 4)
+            .as("mean_trim"),
+          ($"n" - $"ntrim").as("n_clipped"))
+        .orderBy($"event_type")
+    },
+    Some("""WITH ev AS (SELECT event_type,
+                               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+                        FROM events),
+            cuts AS (SELECT event_type,
+                            percentile_cont(0.05) WITHIN GROUP
+                              (ORDER BY CAST(c AS DOUBLE)) AS p05,
+                            percentile_cont(0.95) WITHIN GROUP
+                              (ORDER BY CAST(c AS DOUBLE)) AS p95
+                     FROM ev GROUP BY 1),
+            j AS (SELECT ev.event_type, c, p05, p95,
+                         least(greatest(CAST(c AS DOUBLE), p05), p95) AS cw,
+                         CAST(c AS DOUBLE) >= p05 AND CAST(c AS DOUBLE) <= p95 AS keep
+                  FROM ev JOIN cuts USING (event_type))
+            SELECT event_type, count(*) AS n,
+                   round(p05, 4) AS p05, round(p95, 4) AS p95,
+                   round(CAST(sum(c) AS DOUBLE) / count(*), 4) AS mean_raw,
+                   round(CAST(sum(CAST(floor(cw * 1e6) AS BIGINT)) AS DOUBLE)
+                         / (count(*) * 1e6), 4) AS mean_winsor,
+                   round(CAST(sum(CASE WHEN keep THEN c ELSE 0 END) AS DOUBLE)
+                         / sum(CASE WHEN keep THEN 1 ELSE 0 END), 4) AS mean_trim,
+                   CAST(count(*) - sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_clipped
+            FROM j GROUP BY event_type, p05, p95 ORDER BY event_type""")
+  )
+
+  /** Lorenz curve by revenue decile — the concentration readout behind
+    * agg_gini drawn as the table analysts actually use ("the top decile
+    * holds X% of revenue"): customers ranked by total spend, cut into
+    * SQL-standard deciles, each decile's revenue share and the cumulative
+    * share (the curve's y-values at x = 0.1 … 1.0).
+    *
+    * The scale point (the agg_rfm discipline): the global rank over the
+    * corpus-growing customer domain runs through the factored
+    * twoLevelRank device (range-partition → bucket-count prefix →
+    * within-bucket row_number — no ntile(), no one-task sort); the
+    * decile is then the exact ntile-distribution integer formula of
+    * (rank, n), guarded on n ≥ 10. Everything after the rank is exact
+    * BIGINT cents; shares are ratios of exact ints, double only at the
+    * rounded projection. The only unpartitioned window is the cumulative
+    * fold over the 10 DECILE rows (PlanAudit-allowlisted).
+    *
+    * Scale shape: one orders-scan aggregate to the customer frame, one
+    * range exchange for the rank, one hash aggregate onto 10 cells. */
+  val lorenz: GraftQuery = GraftQuery(
+    "agg_lorenz",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val cust = GraftQuery.cutStats(Tables.orders(s, dir)
+        .groupBy($"o_custkey")
+        .agg(expr("sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))").as("x")))
+      val tot = cust.agg(count(lit(1)).as("n"), sum($"x").as("sx"))
+      val ranked = Windows.twoLevelRank(cust, Seq($"x".asc, $"o_custkey".asc), "r")
+      val w = Window.orderBy($"decile").rowsBetween(Window.unboundedPreceding, 0)
+      ranked.crossJoin(broadcast(tot))
+        .withColumn("q", GraftQuery.guarded(expr("n div 10"), expr("n >= 10"),
+          "agg_lorenz: decile curve requires n >= 10 customers \u2014 " +
+            "gather more customers or drop to coarser tiles"))
+        .withColumn("m", expr("n % 10"))
+        .withColumn("decile", expr(
+          """CASE WHEN r <= (q + 1) * m THEN (r - 1) div (q + 1) + 1
+                  ELSE m + (r - (q + 1) * m - 1) div q + 1 END"""))
+        .groupBy($"decile", $"sx")
+        .agg(count(lit(1)).as("n_users"), sum($"x").as("decile_cents"))
+        .withColumn("cum_cents", sum($"decile_cents").over(w))
+        .select($"decile", $"n_users", $"decile_cents",
+          round($"decile_cents".cast("double") / $"sx".cast("double"), 6).as("share"),
+          round($"cum_cents".cast("double") / $"sx".cast("double"), 6).as("cum_share"))
+        .orderBy($"decile")
+    },
+    Some("""WITH cu AS (
+              SELECT o_custkey,
+                     CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                       AS BIGINT) AS x
+              FROM orders GROUP BY 1),
+            t AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx FROM cu),
+            r AS (SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS r,
+                         t.n, t.sx, t.n // 10 AS q, t.n % 10 AS m
+                  FROM cu CROSS JOIN t),
+            d AS (SELECT x, sx,
+                         CASE WHEN r <= (q + 1) * m THEN (r - 1) // (q + 1) + 1
+                              ELSE m + (r - (q + 1) * m - 1) // q + 1 END AS decile
+                  FROM r),
+            g AS (SELECT decile, sx, count(*) AS n_users,
+                         CAST(sum(x) AS BIGINT) AS decile_cents
+                  FROM d GROUP BY 1, 2)
+            SELECT decile, n_users, decile_cents,
+                   round(CAST(decile_cents AS DOUBLE) / CAST(sx AS DOUBLE), 6) AS share,
+                   round(CAST(CAST(sum(decile_cents) OVER
+                       (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND
+                        CURRENT ROW) AS BIGINT) AS DOUBLE)
+                     / CAST(sx AS DOUBLE), 6) AS cum_share
+            FROM g ORDER BY decile""")
+  )
+
+  /** Market-basket association rules over daily event baskets — which
+    * event types co-occur in a user's day, as support / confidence /
+    * lift for every ordered type pair (the recommender-warmup and
+    * behavioral-affinity readout: "users who error today also churn
+    * today", lift >> 1).
+    *
+    * Scale shape: basket = (user_id, day); the item domain is the FIXED
+    * event-type set, so the distinct frame carries ≤ |types| rows per
+    * basket and the self-join on the basket key fans out ≤ |types|² per
+    * basket — bucketed-not-all-pairs by construction (the Dedup
+    * discipline). One distinct aggregate, one shuffle-hash self-join on
+    * the basket key (the non-equi type≠type rides as a join residual),
+    * two bounded-domain aggregates. All metrics are ratios of exact
+    * BIGINT counts.
+    *
+    * At 100 TB: the distinct frame is the only fact-sized structure; the
+    * pair table is ≤ 25 rows regardless of corpus size. */
+  val assocRules: GraftQuery = GraftQuery(
+    "agg_assoc_rules",
+    (s, dir) => {
+      import s.implicits._
+      val b = Tables.events(s, dir)
+        .select($"user_id", to_date($"ts").as("d"), $"event_type")
+        .distinct()
+        .localCheckpoint() // three consumers: baskets, singles, both join sides
+      val nb = b.select($"user_id", $"d").distinct()
+        .agg(count(lit(1)).as("n_baskets"))
+      val singles = b.groupBy($"event_type").agg(count(lit(1)).as("cnt"))
+      val pairs = b.as("l")
+        .join(b.as("r").hint("shuffle_hash"),
+          col("l.user_id") === col("r.user_id") && col("l.d") === col("r.d") &&
+            col("l.event_type") =!= col("r.event_type"))
+        .groupBy(col("l.event_type").as("antecedent"),
+          col("r.event_type").as("consequent"))
+        .agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(broadcast(singles.select($"event_type".as("antecedent"),
+          $"cnt".as("n_a"))), "antecedent")
+        .join(broadcast(singles.select($"event_type".as("consequent"),
+          $"cnt".as("n_c"))), "consequent")
+        .crossJoin(broadcast(nb))
+        .select($"antecedent", $"consequent", $"n_ab", $"n_a", $"n_c", $"n_baskets",
+          round($"n_ab".cast("double") / $"n_baskets".cast("double"), 6).as("support"),
+          round($"n_ab".cast("double") / $"n_a".cast("double"), 6).as("confidence"),
+          round($"n_ab".cast("double") * $"n_baskets".cast("double")
+            / ($"n_a".cast("double") * $"n_c".cast("double")), 6).as("lift"))
+        .orderBy($"antecedent", $"consequent")
+    },
+    Some("""WITH b AS (SELECT DISTINCT user_id,
+                              CAST(date_trunc('day', ts) AS DATE) AS d,
+                              event_type
+                       FROM events),
+            nb AS (SELECT count(*) AS n_baskets
+                   FROM (SELECT DISTINCT user_id, d FROM b)),
+            s AS (SELECT event_type, count(*) AS cnt FROM b GROUP BY 1),
+            p AS (SELECT l.event_type AS antecedent, r.event_type AS consequent,
+                         count(*) AS n_ab
+                  FROM b l JOIN b r
+                    ON l.user_id = r.user_id AND l.d = r.d
+                   AND l.event_type <> r.event_type
+                  GROUP BY 1, 2)
+            SELECT antecedent, consequent, n_ab,
+                   sa.cnt AS n_a, sc.cnt AS n_c, nb.n_baskets,
+                   round(CAST(n_ab AS DOUBLE) / nb.n_baskets, 6) AS support,
+                   round(CAST(n_ab AS DOUBLE) / sa.cnt, 6) AS confidence,
+                   round(CAST(n_ab AS DOUBLE) * nb.n_baskets
+                         / (CAST(sa.cnt AS DOUBLE) * sc.cnt), 6) AS lift
+            FROM p JOIN s sa ON sa.event_type = p.antecedent
+                   JOIN s sc ON sc.event_type = p.consequent
+                   CROSS JOIN nb
+            ORDER BY antecedent, consequent""")
+  )
+
   def all: Seq[GraftQuery] = Seq(
     statsAgg, percentiles, approxPercentile, stringAgg, pivotAgg, jsonStruct,
     topNRevenue, corrMatrix, ksTest, mannWhitney, chiSq, gini,
     ttestWelch, spearman, cramersV, benford, moments, shareOfParent, anova,
     wilcoxon, entropy, expectations, kanon, hhi, bootstrapCi, cuped, powerMde,
-    srm, markov, cohortLtv)
+    srm, markov, cohortLtv, survivalKm, theil, elasticity, winsorized,
+    lorenz, assocRules)
 }

@@ -2536,11 +2536,335 @@ object TimeSeries {
             ORDER BY c.event_type, c.wk""")
   )
 
+  /** Maximum drawdown per event-type revenue series — the risk readout a
+    * finance/ops dashboard pins next to the trend: cumulative daily
+    * revenue, its running peak, and the deepest peak-to-trough fall with
+    * the day it bottomed.
+    *
+    * Determinism: the whole chain is EXACT BIGINT cents — cumulative sum,
+    * running max, and drawdown are integer window folds (no doubles until
+    * the one final ratio of exact ints, identical in both engines);
+    * the trough day tie-breaks earliest via the row_number order.
+    *
+    * Scale shape: one hash aggregate onto the bounded (type, day) domain,
+    * then windows partitioned by event_type over day-domain rows — 100 TB
+    * of events never reaches the windows. */
+  val drawdown: GraftQuery = GraftQuery(
+    "ts_drawdown",
+    (s, dir) => {
+      import s.implicits._
+      val wc = Window.partitionBy($"event_type").orderBy($"d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      changepointDaily(s, dir)
+        .withColumn("cum", sum($"v").over(wc))
+        .withColumn("peak", max($"cum").over(wc))
+        .withColumn("dd", $"peak" - $"cum")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"event_type").orderBy($"dd".desc, $"d".asc)))
+        .filter($"rn" === 1)
+        .select($"event_type", $"d".as("trough_day"),
+          $"peak".as("peak_cents"), $"cum".as("trough_cents"),
+          $"dd".as("max_drawdown_cents"),
+          when($"peak" > 0L,
+            round($"dd".cast("double") / $"peak".cast("double"), 6)).as("dd_frac"))
+        .orderBy($"event_type")
+    },
+    Some("""WITH daily AS (
+              SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+              FROM events GROUP BY 1, 2),
+            c AS (SELECT event_type, d,
+                         CAST(sum(v) OVER (PARTITION BY event_type ORDER BY d
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                  FROM daily),
+            p AS (SELECT event_type, d, cum,
+                         CAST(max(cum) OVER (PARTITION BY event_type ORDER BY d
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS peak
+                  FROM c),
+            r AS (SELECT event_type, d, cum, peak, peak - cum AS dd,
+                         row_number() OVER (PARTITION BY event_type
+                           ORDER BY peak - cum DESC, d ASC) AS rn
+                  FROM p)
+            SELECT event_type, d AS trough_day, peak AS peak_cents,
+                   cum AS trough_cents, CAST(dd AS BIGINT) AS max_drawdown_cents,
+                   CASE WHEN peak > 0
+                        THEN round(CAST(dd AS DOUBLE) / CAST(peak AS DOUBLE), 6)
+                        END AS dd_frac
+            FROM r WHERE rn = 1 ORDER BY event_type""")
+  )
+
+  /** Bollinger bands over the daily revenue series — rolling 7-day mean
+    * ± 2σ with a breakout flag, the volatility envelope behind "is today
+    * unusually hot or cold for this series?".
+    *
+    * Determinism: the rolling sufficient statistics (Σv, Σv², n) are
+    * EXACT BIGINT window folds (the Σv² fold overflow-gated via the
+    * in-window max, raising past the ~1.13e9-cents-per-day headroom
+    * where non-ANSI Spark would wrap); mean/σ/bands are then a fixed
+    * scalar chain over those exact ints — identical doubles both
+    * engines — and the breakout flag compares the UNROUNDED doubles
+    * (the llm_quality_gopher rule: rounded columns are presentation
+    * only).
+    *
+    * Scale shape: identical to ts_drawdown — bounded (type, day) domain
+    * before any window. */
+  val bollinger: GraftQuery = GraftQuery(
+    "ts_bollinger",
+    (s, dir) => {
+      import s.implicits._
+      val w7 = Window.partitionBy($"event_type").orderBy($"d").rowsBetween(-6, 0)
+      changepointDaily(s, dir)
+        .withColumn("n7", count(lit(1)).over(w7))
+        .withColumn("s7", sum($"v").over(w7))
+        .withColumn("q7", GraftQuery.guarded(sum($"v" * $"v").over(w7),
+          max(abs($"v")).over(w7) < lit(1134000000L),
+          "ts_bollinger: daily cents past the rolling-\u03a3v\u00b2 BIGINT " +
+            "headroom (~1.13e9/day) \u2014 rescale to a coarser unit"))
+        .withColumn("mean7", $"s7".cast("double") / $"n7".cast("double"))
+        .withColumn("sig7", sqrt(greatest(
+          ($"n7".cast("double") * $"q7".cast("double")
+            - $"s7".cast("double") * $"s7".cast("double"))
+            / ($"n7".cast("double") * $"n7".cast("double")), lit(0.0))))
+        .select($"event_type", $"d", $"v", $"n7",
+          round($"mean7", 4).as("mean7"),
+          round($"sig7", 4).as("sigma7"),
+          round($"mean7" + lit(2.0) * $"sig7", 4).as("band_hi"),
+          round($"mean7" - lit(2.0) * $"sig7", 4).as("band_lo"),
+          ($"v".cast("double") > $"mean7" + lit(2.0) * $"sig7" ||
+            $"v".cast("double") < $"mean7" - lit(2.0) * $"sig7").as("breakout"))
+        .orderBy($"event_type", $"d")
+    },
+    Some("""WITH daily AS (
+              SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+              FROM events GROUP BY 1, 2),
+            r AS (SELECT event_type, d, v,
+                         CAST(count(*) OVER w AS BIGINT) AS n7,
+                         CAST(sum(v) OVER w AS BIGINT) AS s7,
+                         CAST(sum(v * v) OVER w AS BIGINT) AS q7
+                  FROM daily
+                  WINDOW w AS (PARTITION BY event_type ORDER BY d
+                               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+            m AS (SELECT *,
+                         CAST(s7 AS DOUBLE) / CAST(n7 AS DOUBLE) AS mean7,
+                         sqrt(greatest(
+                           (CAST(n7 AS DOUBLE) * CAST(q7 AS DOUBLE)
+                             - CAST(s7 AS DOUBLE) * CAST(s7 AS DOUBLE))
+                             / (CAST(n7 AS DOUBLE) * CAST(n7 AS DOUBLE)), 0.0)) AS sig7
+                  FROM r)
+            SELECT event_type, d, v, n7,
+                   round(mean7, 4) AS mean7,
+                   round(sig7, 4) AS sigma7,
+                   round(mean7 + 2.0 * sig7, 4) AS band_hi,
+                   round(mean7 - 2.0 * sig7, 4) AS band_lo,
+                   (CAST(v AS DOUBLE) > mean7 + 2.0 * sig7 OR
+                    CAST(v AS DOUBLE) < mean7 - 2.0 * sig7) AS breakout
+            FROM m ORDER BY event_type, d""")
+  )
+
+  /** 14-day RSI (SMA form) over the daily revenue series — the
+    * overbought/oversold oscillator: average rolling gain vs average
+    * rolling loss, emitted only once the window holds its full 14 diffs.
+    *
+    * Determinism: day-over-day diffs, gains and losses are EXACT BIGINT;
+    * the RSI is one ratio of exact rolling integer sums (100·Σgain /
+    * (Σgain + Σloss)), double only at the final rounded projection.
+    *
+    * Scale shape: ts_drawdown's — bounded (type, day) domain, one lag +
+    * one rolling-sum window sharing the same (key, order) spec. */
+  val rsi: GraftQuery = GraftQuery(
+    "ts_rsi",
+    (s, dir) => {
+      import s.implicits._
+      val wl = Window.partitionBy($"event_type").orderBy($"d")
+      val w14 = wl.rowsBetween(-13, 0)
+      changepointDaily(s, dir)
+        .withColumn("diff", $"v" - lag($"v", 1).over(wl))
+        .withColumn("gain", when($"diff" > 0L, $"diff").otherwise(lit(0L)))
+        .withColumn("loss", when($"diff" < 0L, -$"diff").otherwise(lit(0L)))
+        .withColumn("n_diffs", count($"diff").over(w14))
+        .withColumn("sg", sum($"gain").over(w14))
+        .withColumn("sl", sum($"loss").over(w14))
+        .select($"event_type", $"d", $"v", $"n_diffs",
+          when($"n_diffs" === 14L && ($"sg" + $"sl") > 0L,
+            round(lit(100.0) * $"sg".cast("double")
+              / ($"sg" + $"sl").cast("double"), 4)).as("rsi"))
+        .orderBy($"event_type", $"d")
+    },
+    Some("""WITH daily AS (
+              SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+              FROM events GROUP BY 1, 2),
+            df AS (SELECT event_type, d, v,
+                          v - lag(v, 1) OVER (PARTITION BY event_type ORDER BY d) AS diff
+                   FROM daily),
+            gl AS (SELECT event_type, d, v, diff,
+                          CASE WHEN diff > 0 THEN diff ELSE 0 END AS gain,
+                          CASE WHEN diff < 0 THEN -diff ELSE 0 END AS loss
+                   FROM df),
+            r AS (SELECT event_type, d, v,
+                         CAST(count(diff) OVER w AS BIGINT) AS n_diffs,
+                         CAST(sum(gain) OVER w AS BIGINT) AS sg,
+                         CAST(sum(loss) OVER w AS BIGINT) AS sl
+                  FROM gl
+                  WINDOW w AS (PARTITION BY event_type ORDER BY d
+                               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+            SELECT event_type, d, v, n_diffs,
+                   CASE WHEN n_diffs = 14 AND (sg + sl) > 0
+                        THEN round(100.0 * CAST(sg AS DOUBLE)
+                                   / CAST(sg + sl AS DOUBLE), 4)
+                        END AS rsi
+            FROM r ORDER BY event_type, d""")
+  )
+
+  /** SMA crossover detection (golden/death cross) — the days where the
+    * fast 3-day moving average crosses the slow 7-day one, the classic
+    * trend-flip signal.
+    *
+    * Determinism — EXACT INTEGER sign test: SMA3 vs SMA7 compares as
+    * s3·7 vs s7·3 in BIGINT (cross-multiplied, never divided), so the
+    * sign and every crossing day are exact in both engines; the products
+    * are overflow-gated (raising past |s| ~1.28e18 where non-ANSI Spark
+    * would wrap). Only full 7-day windows emit a sign; a flip through
+    * exactly-equal (sign 0) does not count as a cross.
+    *
+    * Scale shape: ts_drawdown's — bounded day domain, two rolling sums +
+    * one lag on one (key, order) window spec. */
+  val smaCross: GraftQuery = GraftQuery(
+    "ts_sma_cross",
+    (s, dir) => {
+      import s.implicits._
+      val wl = Window.partitionBy($"event_type").orderBy($"d")
+      val w3 = wl.rowsBetween(-2, 0)
+      val w7 = wl.rowsBetween(-6, 0)
+      changepointDaily(s, dir)
+        .withColumn("c7", count(lit(1)).over(w7))
+        .withColumn("s3", sum($"v").over(w3))
+        .withColumn("s7", sum($"v").over(w7))
+        .withColumn("sgn", when($"c7" === 7L, GraftQuery.guarded(
+          when($"s3" * lit(7L) > $"s7" * lit(3L), 1)
+            .when($"s3" * lit(7L) < $"s7" * lit(3L), -1).otherwise(0),
+          abs($"s3") < lit(1285000000000000000L) &&
+            abs($"s7") < lit(1285000000000000000L),
+          "ts_sma_cross: rolling revenue sum past the cross-multiply " +
+            "BIGINT headroom (~1.28e18 cents) \u2014 rescale to a coarser unit")))
+        .withColumn("psgn", lag($"sgn", 1).over(wl))
+        .filter($"sgn".isNotNull && $"psgn".isNotNull &&
+          $"sgn" =!= $"psgn" && $"sgn" =!= 0 && $"psgn" =!= 0)
+        .select($"event_type", $"d", $"s3", $"s7",
+          when($"sgn" === 1, lit("golden")).otherwise(lit("death")).as("cross_type"))
+        .orderBy($"event_type", $"d")
+    },
+    Some("""WITH daily AS (
+              SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+              FROM events GROUP BY 1, 2),
+            r AS (SELECT event_type, d,
+                         CAST(count(*) OVER w7 AS BIGINT) AS c7,
+                         CAST(sum(v) OVER w3 AS BIGINT) AS s3,
+                         CAST(sum(v) OVER w7 AS BIGINT) AS s7
+                  FROM daily
+                  WINDOW w3 AS (PARTITION BY event_type ORDER BY d
+                                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                         w7 AS (PARTITION BY event_type ORDER BY d
+                                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+            sg AS (SELECT event_type, d, s3, s7,
+                          CASE WHEN c7 = 7 THEN
+                            CASE WHEN s3 * 7 > s7 * 3 THEN 1
+                                 WHEN s3 * 7 < s7 * 3 THEN -1 ELSE 0 END
+                          END AS sgn
+                   FROM r),
+            lg AS (SELECT *, lag(sgn, 1) OVER (PARTITION BY event_type
+                                               ORDER BY d) AS psgn
+                   FROM sg)
+            SELECT event_type, d, s3, s7,
+                   CASE WHEN sgn = 1 THEN 'golden' ELSE 'death' END AS cross_type
+            FROM lg
+            WHERE sgn IS NOT NULL AND psgn IS NOT NULL
+              AND sgn <> psgn AND sgn <> 0 AND psgn <> 0
+            ORDER BY event_type, d""")
+  )
+
+  /** MACD (12/26/9) over the daily revenue series via the house
+    * truncated-kernel device (ts_ewma / ts_holt): each EMA is a fixed
+    * K-term sum of lag() columns with Scala-computed literal weights,
+    * renormalized over the terms present near the series head — one
+    * window pass for the two price EMAs, a second pass over the
+    * materialized macd column for the signal EMA (nested EWMA = two
+    * sequential windows on the SAME (key, order) spec, so one shuffle).
+    * K=16 truncates <7% of the 12-day kernel mass; the signal kernel
+    * K=8 at \u03b1=0.2 likewise. Both engines fold the identical literal
+    * weights over the identical lag columns in declaration order, so
+    * the doubles agree bit-for-bit before rounding (the ewma proof).
+    *
+    * Scale shape: bounded (type, day) domain before any window; the two
+    * window passes both partition by event_type. */
+  val macd: GraftQuery = GraftQuery(
+    "ts_macd",
+    (s, dir) => {
+      import s.implicits._
+      val K = 16; val K9 = 8
+      val a12 = 2.0 / 13; val a26 = 2.0 / 27; val a9 = 2.0 / 10
+      val wl = Window.partitionBy($"event_type").orderBy($"d")
+      def ema(src: Column, alpha: Double, k: Int): Column = {
+        val ws = (0 until k).map(i => alpha * math.pow(1 - alpha, i))
+        val num = ws.zipWithIndex.map { case (wt, i) =>
+          coalesce(lag(src, i).over(wl) * lit(wt), lit(0.0)) }.reduce(_ + _)
+        val den = ws.zipWithIndex.map { case (wt, i) =>
+          when(lag(src, i).over(wl).isNotNull, lit(wt)).otherwise(lit(0.0))
+        }.reduce(_ + _)
+        num / den
+      }
+      val base = changepointDaily(s, dir)
+        .withColumn("vd", $"v".cast("double"))
+        .withColumn("macd", ema($"vd", a12, K) - ema($"vd", a26, K))
+      base
+        .withColumn("signal", ema($"macd", a9, K9))
+        .select($"event_type", $"d", $"v",
+          round($"macd", 4).as("macd"),
+          round($"signal", 4).as("signal"),
+          round($"macd" - $"signal", 4).as("hist"))
+        .orderBy($"event_type", $"d")
+    },
+    Some {
+      val K = 16; val K9 = 8
+      val a12 = 2.0 / 13; val a26 = 2.0 / 27; val a9 = 2.0 / 10
+      def emaSql(src: String, alpha: Double, k: Int, win: String): String = {
+        val ws = (0 until k).map(i => alpha * math.pow(1 - alpha, i))
+        val num = ws.zipWithIndex.map { case (wt, i) =>
+          s"coalesce(lag($src, $i) OVER $win * $wt, 0.0)" }.mkString(" + ")
+        val den = ws.zipWithIndex.map { case (wt, i) =>
+          s"(CASE WHEN lag($src, $i) OVER $win IS NOT NULL THEN $wt ELSE 0.0 END)"
+        }.mkString(" + ")
+        s"(($num) / ($den))"
+      }
+      s"""WITH daily AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+                   CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+            FROM events GROUP BY 1, 2),
+          vd AS (SELECT event_type, d, v, CAST(v AS DOUBLE) AS vd FROM daily),
+          m AS (SELECT event_type, d, v,
+                       ${emaSql("vd", a12, K, "w")} - ${emaSql("vd", a26, K, "w")} AS macd
+                FROM vd
+                WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+          sg AS (SELECT event_type, d, v, macd,
+                        ${emaSql("macd", a9, K9, "w")} AS signal
+                 FROM m
+                 WINDOW w AS (PARTITION BY event_type ORDER BY d))
+          SELECT event_type, d, v,
+                 round(macd, 4) AS macd,
+                 round(signal, 4) AS signal,
+                 round(macd - signal, 4) AS hist
+          FROM sg ORDER BY event_type, d"""
+    }
+  )
+
   def all: Seq[GraftQuery] =
     Seq(asofJoin, asofTolerance, gapFill, ntileRanks, skewSalted, resample, funnel,
       funnelWindowed, sessionize, retention, anomaly, interpolate, ewma,
       crossCorr, outlierMad, rollingMedian, cusum, seasonality, mkTrend,
       theilSen, acf, changepoint, pacf, peaks, streaks, holt, ols, holtWinters,
       asofNearest, rollingOls, forecastEval, activeUsers, wowGrowth, holtDamped,
-      holtWintersDamped, croston, intermittency)
+      holtWintersDamped, croston, intermittency, drawdown, bollinger, rsi,
+      smaCross, macd)
 }
