@@ -32,6 +32,7 @@ object SparkEntry {
     llm.Dedup.all ++
     llm.Similarity.all ++
     llm.TextStats.all ++
+    llm.Eval.all ++
     llm.Corpus.all ++
     llm.Multimodal.all
 

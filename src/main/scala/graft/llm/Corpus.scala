@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.GraftQuery
@@ -1351,23 +1351,40 @@ object Corpus {
     * no ordering hazard). One shuffle-hash tag join + one hash
     * aggregate onto the 16-cell (split, shard) domain; at 100 TB the
     * manifest costs one pass over the keep-list. */
+  /** The manifest resolution shared by llm_train_manifest and
+    * llm_manifest_diff: a keep-list (doc_id) joined to per-doc token
+    * counts, hash-assigned to (split, shard) cells with exact counts and
+    * the order-insensitive 48-bit XOR digest. UNSORTED — callers order. */
+  private[graft] def manifestCells(keep: DataFrame,
+                                   docs: DataFrame): DataFrame = {
+    val s = keep.sparkSession
+    import s.implicits._
+    keep.select($"doc_id")
+      .join(docs.hint("shuffle_hash"), "doc_id")
+      .withColumn("split",
+        when(pmod($"doc_id", lit(100)) < 95, "train").otherwise("val"))
+      .withColumn("shard", pmod($"doc_id", lit(8)))
+      .withColumn("h", expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10) AS BIGINT)"))
+      .groupBy($"split", $"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"),
+        expr("bit_xor(h)").as("content_digest"))
+  }
+
+  /** Per-doc token counts, the docs side of [[manifestCells]]. */
+  private[graft] def manifestDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", $"source",
+        size(split($"text", " ")).cast("long").as("n_tokens"))
+  }
+
   val trainManifest: GraftQuery = GraftQuery(
     "llm_train_manifest",
     (s, dir) => {
       import s.implicits._
-      val docs = Tables.documents(s, dir)
-        .select($"doc_id",
-          size(split($"text", " ")).cast("long").as("n_tokens"))
-      curatedKeepList(s, dir).select($"doc_id")
-        .join(docs.hint("shuffle_hash"), "doc_id")
-        .withColumn("split",
-          when(pmod($"doc_id", lit(100)) < 95, "train").otherwise("val"))
-        .withColumn("shard", pmod($"doc_id", lit(8)))
-        .withColumn("h", expr(
-          "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10) AS BIGINT)"))
-        .groupBy($"split", $"shard")
-        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"),
-          expr("bit_xor(h)").as("content_digest"))
+      manifestCells(curatedKeepList(s, dir).select($"doc_id"),
+          manifestDocs(s, dir).drop("source"))
         .orderBy($"split", $"shard")
     },
     Some(s"""WITH kept AS ($curateOracle)
@@ -1381,8 +1398,82 @@ object Corpus {
         GROUP BY 1, 2 ORDER BY 1, 2""")
   )
 
+  /** Manifest DIFF — the replication handshake's other half: given the
+    * canonical training manifest and a replica's (here: a replica that
+    * silently lost every src7 document — the torn-mirror scenario), emit
+    * all (split, shard) cells side by side with exact doc/token deltas
+    * and the digest verdict. The XOR digest localizes ANY divergence to
+    * its cell without comparing one document: equal counts with unequal
+    * digests means substitution, not loss — the case count-only
+    * verification misses.
+    *
+    * Scale shape: two manifest resolutions (each one keep-list pass, the
+    * trainManifest plan) and a 16×16-cell full outer join — the diff
+    * itself is catalog-sized at any corpus scale. */
+  val manifestDiff: GraftQuery = GraftQuery(
+    "llm_manifest_diff",
+    (s, dir) => {
+      import s.implicits._
+      val keep = curatedKeepList(s, dir).select($"doc_id").localCheckpoint()
+      val docs = manifestDocs(s, dir)
+      val a = manifestCells(keep, docs.drop("source"))
+      val replicaKeep = keep.join(
+        docs.filter($"source" =!= "src7").select($"doc_id")
+          .hint("shuffle_hash"), "doc_id")
+      val b = manifestCells(replicaKeep, docs.drop("source"))
+      a.select($"split", $"shard", $"n_docs".as("n_docs_a"),
+          $"n_tokens".as("n_tokens_a"), $"content_digest".as("dig_a"))
+        .join(b.select($"split", $"shard", $"n_docs".as("n_docs_b"),
+          $"n_tokens".as("n_tokens_b"), $"content_digest".as("dig_b")),
+          Seq("split", "shard"), "full")
+        .select($"split", $"shard",
+          coalesce($"n_docs_a", lit(0L)).as("n_docs_a"),
+          coalesce($"n_docs_b", lit(0L)).as("n_docs_b"),
+          (coalesce($"n_docs_a", lit(0L)) - coalesce($"n_docs_b", lit(0L)))
+            .as("n_docs_delta"),
+          (coalesce($"n_tokens_a", lit(0L)) - coalesce($"n_tokens_b", lit(0L)))
+            .as("n_tokens_delta"),
+          ($"dig_a" <=> $"dig_b").as("digest_match"))
+        .orderBy($"split", $"shard")
+    },
+    Some(s"""WITH kept AS ($curateOracle),
+        docs AS (SELECT doc_id, source,
+                        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                 FROM documents),
+        ma AS (SELECT CASE WHEN kept.doc_id % 100 < 95 THEN 'train'
+                           ELSE 'val' END AS split,
+                      kept.doc_id % 8 AS shard,
+                      count(*) AS n_docs,
+                      CAST(sum(d.n_tokens) AS BIGINT) AS n_tokens,
+                      bit_xor(CAST(('0x' || substr(md5(CAST(kept.doc_id AS VARCHAR)),
+                        1, 12)) AS BIGINT)) AS dig
+               FROM kept JOIN docs d ON kept.doc_id = d.doc_id
+               GROUP BY 1, 2),
+        mb AS (SELECT CASE WHEN kept.doc_id % 100 < 95 THEN 'train'
+                           ELSE 'val' END AS split,
+                      kept.doc_id % 8 AS shard,
+                      count(*) AS n_docs,
+                      CAST(sum(d.n_tokens) AS BIGINT) AS n_tokens,
+                      bit_xor(CAST(('0x' || substr(md5(CAST(kept.doc_id AS VARCHAR)),
+                        1, 12)) AS BIGINT)) AS dig
+               FROM kept JOIN docs d ON kept.doc_id = d.doc_id
+               WHERE d.source <> 'src7'
+               GROUP BY 1, 2)
+        SELECT coalesce(ma.split, mb.split) AS split,
+               coalesce(ma.shard, mb.shard) AS shard,
+               coalesce(ma.n_docs, 0) AS n_docs_a,
+               coalesce(mb.n_docs, 0) AS n_docs_b,
+               CAST(coalesce(ma.n_docs, 0) - coalesce(mb.n_docs, 0) AS BIGINT)
+                 AS n_docs_delta,
+               CAST(coalesce(ma.n_tokens, 0) - coalesce(mb.n_tokens, 0) AS BIGINT)
+                 AS n_tokens_delta,
+               ma.dig IS NOT DISTINCT FROM mb.dig AS digest_match
+        FROM ma FULL JOIN mb ON ma.split = mb.split AND ma.shard = mb.shard
+        ORDER BY 1, 2""")
+  )
+
   def all: Seq[GraftQuery] =
     Seq(contamination, decontaminate, repetition, substringDup, paragraphDedup,
       tfidf, curate, perplexity, perplexityTrigram, bm25, datasetCard,
-      knSmoothed, kn3Smoothed, trainManifest)
+      knSmoothed, kn3Smoothed, trainManifest, manifestDiff)
 }

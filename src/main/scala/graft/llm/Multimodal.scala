@@ -447,7 +447,71 @@ object Multimodal {
             FROM r GROUP BY 1 ORDER BY 1""")
   )
 
+  /** ViT-style patch grid over the decoded frame — the preprocessing
+    * plumbing between mm_resize and the vision encoder: each stub-decoded
+    * frame (width, height from the decode arithmetic) splits into 16×16
+    * patches with edge clipping, and the graded readout is the per-doc
+    * patch-grid summary (grid dims, total and edge-clipped patch counts,
+    * an order-insensitive XOR checksum over per-patch tags). A real
+    * deployment emits the patch BYTES where the tag is; the schema,
+    * generate-explode shape and batch arithmetic are exactly what that
+    * needs.
+    *
+    * Scale shape: generate-and-explode at the scan (rows ∝ Σ patches per
+    * doc, never a cross join), folded straight back to one row per doc
+    * by a map-side-combinable aggregate — XOR and counts, no ordering
+    * hazard. Zero shuffles beyond the doc_id aggregate. */
+  val patchify: GraftQuery = GraftQuery(
+    "mm_patchify",
+    (s, dir) => {
+      import s.implicits._
+      val P = 16
+      Tables.documents(s, dir)
+        .select($"doc_id", $"text".cast("binary").as("payload"))
+        .select($"doc_id",
+          (lit(64) + pmod(octet_length($"payload"), lit(577))).as("width"),
+          (lit(64) + pmod(octet_length($"payload") * 7, lit(417))).as("height"))
+        .withColumn("n_px", floor(($"width" + P - 1) / P).cast("int"))
+        .withColumn("n_py", floor(($"height" + P - 1) / P).cast("int"))
+        .withColumn("px", explode(sequence(lit(0), $"n_px" - 1)))
+        .withColumn("py", explode(sequence(lit(0), $"n_py" - 1)))
+        .withColumn("pw", least(lit(P), $"width" - $"px" * P))
+        .withColumn("ph", least(lit(P), $"height" - $"py" * P))
+        .withColumn("tag",
+          pmod($"doc_id" * 131 + $"px" * 17 + $"py", lit(9973L)))
+        .groupBy($"doc_id", $"width", $"height", $"n_px", $"n_py")
+        .agg(count(lit(1)).as("n_patches"),
+          sum(when($"pw" < P || $"ph" < P, 1L).otherwise(0L))
+            .as("n_edge_patches"),
+          expr("bit_xor(tag)").as("tag_checksum"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH dims AS (
+              SELECT doc_id,
+                     CAST(64 + octet_length(encode(text)) % 577 AS INT) AS width,
+                     CAST(64 + (octet_length(encode(text)) * 7) % 417 AS INT) AS height
+              FROM documents),
+            grid AS (SELECT doc_id, width, height,
+                            CAST((width + 15) // 16 AS INT) AS n_px,
+                            CAST((height + 15) // 16 AS INT) AS n_py
+                     FROM dims),
+            p AS (SELECT doc_id, width, height, n_px, n_py,
+                         CAST(ux.px AS INT) AS px, CAST(uy.py AS INT) AS py
+                  FROM grid,
+                       unnest(range(0, n_px)) ux(px),
+                       unnest(range(0, n_py)) uy(py))
+            SELECT doc_id, width, height, n_px, n_py,
+                   count(*) AS n_patches,
+                   CAST(sum(CASE WHEN least(16, width - px * 16) < 16
+                                   OR least(16, height - py * 16) < 16
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_edge_patches,
+                   bit_xor((doc_id * 131 + px * 17 + py) % 9973) AS tag_checksum
+            FROM p
+            GROUP BY doc_id, width, height, n_px, n_py
+            ORDER BY doc_id""")
+  )
+
   def all: Seq[GraftQuery] =
     Seq(multimodalCols, decodeStubQuery, frameSample, resize, featureExtract,
-      phashDedup, audioVad, sceneCut, shardPack)
+      phashDedup, audioVad, sceneCut, shardPack, patchify)
 }

@@ -715,7 +715,8 @@ object TextStats {
     * shared by the batch query and the streaming twin (stream_quality),
     * whose per-micro-batch increment is exactly this projection over the
     * batch. */
-  private[graft] def classifierScores(docs: DataFrame): DataFrame = {
+  private[graft] def classifierScores(docs: DataFrame,
+                                      extra: Seq[Column] = Nil): DataFrame = {
     import docs.sparkSession.implicits._
     val toks = TF.tokens($"text")
     val nTok = size(toks).cast("double")
@@ -732,7 +733,8 @@ object TextStats {
     // bit and p_keep must tell one story, and raw-score thresholding
     // could disagree with the rounded value right at the boundary.
     val score = round(lit(1.0) / (lit(1.0) + exp(-z)), 4)
-    docs.select($"doc_id", score.as("p_keep"), (score >= 0.5).as("keep"))
+    docs.select(Seq($"doc_id", score.as("p_keep"),
+      (score >= 0.5).as("keep")) ++ extra: _*)
   }
 
   /** The classifier's DuckDB CTE chain, ending in
@@ -1510,6 +1512,55 @@ object TextStats {
             FROM w ORDER BY source""")
   )
 
+  /** Vocabulary coverage by source — the tokenizer-sizing readout next
+    * to llm_vocab_topk and llm_tokenizer_fertility: what fraction of each
+    * source's token OCCURRENCES the top-50 global vocabulary covers, and
+    * how many distinct out-of-vocabulary types remain. Coverage curves
+    * like this decide vocab size (and expose sources whose register the
+    * vocab underserves — the multilingual-tokenizer failure mode).
+    *
+    * Deterministic vocab cut: exact counts ordered (count desc, token) —
+    * the vocabTopK convention — so the 50-token set is identical in both
+    * engines. Scale shape: one token hash aggregate for the vocab (the
+    * top-50 is TakeOrderedAndProject — per-partition heaps), the ≤50-row
+    * vocab broadcast onto the token stream, one bounded per-source
+    * aggregate. The corpus is tokenized once, shuffled never. */
+  val vocabCoverage: GraftQuery = GraftQuery(
+    "llm_vocab_coverage",
+    (s, dir) => {
+      import s.implicits._
+      val toks = Tables.documents(s, dir)
+        .select($"source", explode(TF.tokens($"text")).as("token"))
+      val vocab = toks.groupBy($"token").agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"token")
+        .limit(50)
+        .select($"token", lit(1L).as("iv"))
+      toks.join(broadcast(vocab), Seq("token"), "left")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(coalesce($"iv", lit(0L))).as("n_covered"),
+          countDistinct(when($"iv".isNull, $"token")).as("n_oov_types"))
+        .select($"source", $"n_tokens", $"n_covered",
+          round($"n_covered".cast("double") / $"n_tokens".cast("double"), 6)
+            .as("coverage"),
+          $"n_oov_types")
+        .orderBy($"source")
+    },
+    Some("""WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS token
+                       FROM documents),
+            v AS (SELECT token FROM (
+                    SELECT token, count(*) AS cnt FROM t GROUP BY 1
+                    ORDER BY cnt DESC, token LIMIT 50)),
+            j AS (SELECT source, t.token,
+                         CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END AS iv
+                  FROM t LEFT JOIN v ON t.token = v.token)
+            SELECT source, count(*) AS n_tokens,
+                   CAST(sum(iv) AS BIGINT) AS n_covered,
+                   round(CAST(sum(iv) AS DOUBLE) / count(*), 6) AS coverage,
+                   count(DISTINCT CASE WHEN iv = 0 THEN token END) AS n_oov_types
+            FROM j GROUP BY source ORDER BY source""")
+  )
+
   def all: Seq[GraftQuery] =
     Seq(textStats, langId, fingerprint, langProfile, tokenBpe, quality,
         qualityGopher,
@@ -1517,5 +1568,5 @@ object TextStats {
         packChunks, domainMix, shardShuffle, chunkSliding, sampleWeighted,
         qualityClassifier, winnow, winnowDedup, winnowDedupCapped,
         bpeTrain, bpeApply, ngramTopK, qualityCi, cooccurrence, pmi,
-        tokenizerFertility)
+        tokenizerFertility, vocabCoverage)
 }

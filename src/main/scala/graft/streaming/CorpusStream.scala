@@ -306,7 +306,45 @@ object CorpusStream {
     graft.llm.TextStats.cooccurrence.oracle
   )
 
+  /** Streaming calibration monitor — the micro-batch twin of
+    * `llm_clf_calibration`: per-bin (n, Σp_e4, Σy, Σ(p−y·10⁴)²) are
+    * exact BIGINT partials over the fixed 10-bin domain, exactly
+    * mergeable under ANY arrival split (the stream_moments convention;
+    * the Brier guard bound is count-based, so the merged fold re-gates
+    * on the merged n). This is how a curation pipeline watches its
+    * classifier drift out of calibration as a corpus lands — per-wave
+    * cost is one scan projection + a 10-row aggregate, merged state is
+    * 10 rows of 4 integers, and no document is ever re-scored. Graded
+    * over the deterministic 3-way doc_id split against the batch oracle
+    * verbatim. */
+  val streamClfCalibration: GraftQuery = GraftQuery(
+    "stream_clf_calibration",
+    (s, dir) => {
+      import s.implicits._
+      val binned = graft.llm.Eval.scored(s, dir)
+        .withColumn("bin", least(floor($"p_e4" / lit(1000)), lit(9L)))
+      val aggs = graft.llm.Eval.calibrationPartialAggs
+      val partials = (0 until 3).map { k =>
+        binned.filter(pmod($"doc_id", lit(3)) === k)
+          .groupBy($"bin").agg(aggs.head, aggs.tail: _*)
+          .localCheckpoint()
+      }
+      val merged = partials.reduce(_.unionAll(_))
+        .groupBy($"bin")
+        .agg(sum($"n").as("n"), sum($"sp").as("sp"), sum($"sy").as("sy"),
+          GraftQuery.guarded(sum($"sq"),
+            sum($"n").cast("double") * lit(1e8) < lit(9e18),
+            "stream_clf_calibration: merged Brier fold past BIGINT " +
+              "headroom (n >= 9e10) — evaluate on a hash sample").as("sq"))
+      graft.llm.Eval.calibrationFold(merged)
+    },
+    // Batching must not move one reliability bin: the oracle is the
+    // batch calibration table's, verbatim.
+    Some(graft.llm.Eval.calibrationOracle)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(streamContamination, streamPerplexity, streamQuality, streamCurate,
-      streamQualityCi, streamCooccurrence, streamTrainManifest)
+      streamQualityCi, streamCooccurrence, streamTrainManifest,
+      streamClfCalibration)
 }

@@ -860,4 +860,169 @@ class AggregatesSpec extends AnyFunSuite {
       assert(r.getAs[Long]("l_ok") === (if (lDiv >= 3L) 1L else 0L))
     }
   }
+
+  test("agg_survival_km: estimator replays the exact sequential product-limit; risk set conserves") {
+    val out = operators.Analytics.survivalKm.run(spark, TestSpark.Sf)
+      .orderBy($"t").collect()
+    assert(out.nonEmpty)
+    // Independent replay from the raw events: per-user (duration, churn).
+    val ev = sources.Tables.events(spark, TestSpark.Sf)
+      .select($"user_id", to_date($"ts").as("dd")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val dmax = ev.map(_._2.toEpochDay).max
+    val users = ev.groupBy(_._1).toSeq.map { case (_, rows) =>
+      val ds = rows.map(_._2.toEpochDay)
+      (ds.max - ds.min, dmax - ds.max > 7)
+    }
+    val total = users.size.toLong
+    var atRisk = total
+    var sKm = 1.0
+    var hNa = 0.0
+    out.foreach { r =>
+      val t = r.getAs[Long]("t")
+      val d = users.count { case (tt, ch) => tt == t && ch }.toLong
+      val c = users.count { case (tt, ch) => tt == t && !ch }.toLong
+      assert(r.getAs[Long]("n_churned") === d, s"t=$t churned")
+      assert(r.getAs[Long]("n_censored") === c, s"t=$t censored")
+      assert(r.getAs[Long]("n_risk") === atRisk, s"t=$t risk set")
+      sKm *= (atRisk - d).toDouble / atRisk
+      hNa += d.toDouble / atRisk
+      assert(math.abs(r.getAs[Double]("s_km") - sKm) <= 1e-5, s"t=$t KM")
+      assert(math.abs(r.getAs[Double]("h_na") - hNa) <= 1e-5, s"t=$t NA")
+      atRisk -= d + c
+    }
+    assert(atRisk === 0L, "every user leaves the risk set exactly once")
+    // S(t) is nonincreasing and within [0, 1].
+    val ss = out.map(_.getAs[Double]("s_km"))
+    ss.zip(ss.tail).foreach { case (a, b) => assert(b <= a + 1e-12) }
+    assert(ss.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("agg_theil: indices replay exactly and sit in their [0, ln n] band; equal incomes give 0") {
+    val out = operators.Analytics.theil.run(spark, TestSpark.Sf).collect()
+    assert(out.nonEmpty)
+    val spend = sources.Tables.orders(spark, TestSpark.Sf)
+      .join(sources.Tables.customer(spark, TestSpark.Sf),
+        $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment", $"c_custkey")
+      .agg(expr("sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))").as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    out.foreach { r =>
+      val xs = spend(r.getString(0)).map(_.toDouble)
+      val mu = xs.sum / xs.length
+      val tT = xs.map(x => (x / mu) * math.log(x / mu)).sum / xs.length
+      val tL = xs.map(x => math.log(mu / x)).sum / xs.length
+      assert(math.abs(r.getAs[Double]("theil_t") - tT) <= 1e-5, "Theil T")
+      assert(math.abs(r.getAs[Double]("theil_l") - tL) <= 1e-5, "Theil L")
+      assert(r.getAs[Double]("theil_t") >= -1e-9 &&
+        r.getAs[Double]("theil_t") <= math.log(xs.length.toDouble) + 1e-9,
+        "T in [0, ln n]")
+      assert(r.getAs[Long]("n_customers") === xs.length.toLong)
+    }
+  }
+
+  test("agg_elasticity: slope/R\u00b2 replay the exact OLS on ln cents; R\u00b2 bounded") {
+    val out = operators.Analytics.elasticity.run(spark, TestSpark.Sf).collect()
+    assert(out.length > 0)
+    val rows = sources.Tables.lineitem(spark, TestSpark.Sf)
+      .join(sources.Tables.part(spark, TestSpark.Sf),
+        $"l_partkey" === $"p_partkey")
+      .select($"p_brand",
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("pc"),
+        expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)").as("qc"))
+      .collect().map(r => (r.getString(0),
+        math.log(r.getLong(1).toDouble), math.log(r.getLong(2).toDouble)))
+      .groupBy(_._1)
+    out.foreach { r =>
+      val br = r.getString(0)
+      val xs = rows(br).map(_._2); val ys = rows(br).map(_._3)
+      val n = xs.length.toDouble
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val sxx = xs.map(a => a * a).sum
+      val syy = ys.map(a => a * a).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val r2 = math.pow(n * sxy - sx * sy, 2) /
+        ((n * sxx - sx * sx) * (n * syy - sy * sy))
+      // the 1e8 integerization bias is ~1e-8 per term; 1e-3 is generous
+      assert(math.abs(r.getAs[Double]("elasticity") - slope) <= 1e-3,
+        s"$br slope $slope")
+      assert(math.abs(r.getAs[Double]("r2") - r2) <= 1e-3, s"$br r2 $r2")
+      assert(r.getAs[Double]("r2") >= -1e-9 && r.getAs[Double]("r2") <= 1 + 1e-9)
+      assert(r.getAs[Long]("n") === xs.length.toLong)
+    }
+  }
+
+  test("agg_winsorized: robust means replay against an exact interpolated-percentile recomputation") {
+    val out = operators.Analytics.winsorized.run(spark, TestSpark.Sf).collect()
+    assert(out.nonEmpty)
+    val vals = sources.Tables.events(spark, TestSpark.Sf)
+      .select($"event_type",
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2.toDouble).sorted).toMap
+    def pct(xs: Array[Double], q: Double): Double = {
+      val h = (xs.length - 1) * q
+      val lo = math.floor(h).toInt; val hi = math.ceil(h).toInt
+      xs(lo) + (h - lo) * (xs(hi) - xs(lo))
+    }
+    out.foreach { r =>
+      val xs = vals(r.getString(0)).toArray
+      val (p05, p95) = (pct(xs, 0.05), pct(xs, 0.95))
+      val winsor = xs.map(x => math.min(math.max(x, p05), p95)).sum / xs.length
+      val kept = xs.filter(x => x >= p05 && x <= p95)
+      assert(math.abs(r.getAs[Double]("p05") - p05) <= 1e-3)
+      assert(math.abs(r.getAs[Double]("p95") - p95) <= 1e-3)
+      assert(math.abs(r.getAs[Double]("mean_winsor") - winsor) <= 1e-2)
+      assert(math.abs(r.getAs[Double]("mean_trim") - kept.sum / kept.length) <= 1e-2)
+      assert(r.getAs[Long]("n_clipped") === (xs.length - kept.length).toLong)
+      // the winsorized mean sits between the trimmed bounds by construction
+      assert(r.getAs[Double]("mean_winsor") >= p05 - 1e-6 &&
+        r.getAs[Double]("mean_winsor") <= p95 + 1e-6)
+    }
+  }
+
+  test("agg_lorenz: exactly 10 deciles, balanced, curve convex to the diagonal, ends at 1") {
+    val out = operators.Analytics.lorenz.run(spark, TestSpark.Sf)
+      .orderBy($"decile").collect()
+    assert(out.length === 10)
+    val total = sources.Tables.orders(spark, TestSpark.Sf)
+      .select($"o_custkey").distinct().count()
+    val sizes = out.map(_.getAs[Long]("n_users"))
+    assert(sizes.sum === total)
+    assert(sizes.max - sizes.min <= 1L, "ntile balance")
+    // ascending-spend deciles: shares nondecreasing; cum_share hits 1.0
+    val shares = out.map(_.getAs[Double]("share"))
+    shares.zip(shares.tail).foreach { case (a, b) =>
+      assert(b >= a - 1e-9, "Lorenz shares must be nondecreasing") }
+    assert(math.abs(out.last.getAs[Double]("cum_share") - 1.0) <= 1e-6)
+    // cum_share below the diagonal everywhere (concentration)
+    out.foreach { r =>
+      assert(r.getAs[Double]("cum_share") <=
+        r.getAs[Long]("decile").toDouble / 10.0 + 1e-6)
+    }
+  }
+
+  test("agg_assoc_rules: pair counts symmetric, replayed from raw baskets; lift symmetric") {
+    val out = operators.Analytics.assocRules.run(spark, TestSpark.Sf).collect()
+    assert(out.nonEmpty)
+    val baskets = sources.Tables.events(spark, TestSpark.Sf)
+      .select($"user_id", to_date($"ts").as("d"), $"event_type")
+      .distinct().collect()
+      .map(r => ((r.getLong(0), r.getDate(1)), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val byPair = out.map(r => ((r.getString(0), r.getString(1)), r)).toMap
+    byPair.foreach { case ((a, b), r) =>
+      val nab = baskets.valuesIterator.count(s => s(a) && s(b)).toLong
+      assert(r.getAs[Long]("n_ab") === nab, s"($a,$b) co-count")
+      assert(r.getAs[Long]("n_a") ===
+        baskets.valuesIterator.count(_(a)).toLong, s"$a singleton")
+      assert(r.getAs[Long]("n_baskets") === baskets.size.toLong)
+      // symmetry: support and lift agree with the reversed rule
+      val rev = byPair((b, a))
+      assert(rev.getAs[Long]("n_ab") === nab)
+      assert(math.abs(rev.getAs[Double]("lift") - r.getAs[Double]("lift")) <= 1e-9)
+    }
+  }
 }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Semantics of the corpus-curation operators beyond what the DuckDB
@@ -705,5 +706,53 @@ class CorpusSpec extends AnyFunSuite {
       .run(spark, TestSpark.Sf).collect().map(_.toSeq)
     assert(streamed.toSeq === batch.toSeq,
       "batching must not move an interval or a significance flag")
+  }
+
+  test("llm_manifest_diff: digest verdicts localize exactly the cells holding kept src7 docs") {
+    val out = llm.Corpus.manifestDiff.run(spark, TestSpark.Sf).collect()
+    // the a-side must BE the canonical manifest
+    val manifest = llm.Corpus.trainManifest.run(spark, TestSpark.Sf).collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")))).toMap
+    assert(out.length === manifest.size,
+      "the replica loses docs, never whole cells, at this fixture")
+    // kept src7 docs per cell, replayed from the keep-list
+    val src7 = llm.Corpus.curatedKeepList(spark, TestSpark.Sf).select("doc_id")
+      .join(sources.Tables.documents(spark, TestSpark.Sf)
+        .filter($"source" === "src7"), "doc_id")
+      .collect().map(_.getAs[Long]("doc_id"))
+    assert(src7.nonEmpty, "fixture must keep some src7 docs or the diff is vacuous")
+    val lostByCell = src7.groupBy(id =>
+      (if (id % 100 < 95) "train" else "val", id % 8))
+      .view.mapValues(_.length.toLong).toMap
+    out.foreach { r =>
+      val cell = (r.getString(0), r.getLong(1))
+      val lost = lostByCell.getOrElse(cell, 0L)
+      assert(r.getAs[Long]("n_docs_a") === manifest(cell)._1)
+      assert(r.getAs[Long]("n_docs_delta") === lost, s"$cell doc delta")
+      assert(r.getAs[Boolean]("digest_match") === (lost == 0L),
+        s"$cell digest verdict must flip exactly with loss")
+    }
+  }
+
+  test("llm_vocab_coverage: per-source coverage replays the deterministic top-50 cut") {
+    val out = llm.TextStats.vocabCoverage.run(spark, TestSpark.Sf).collect()
+    val toks = sources.Tables.documents(spark, TestSpark.Sf)
+      .select($"source", explode(split($"text", " ")).as("t")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val vocab = toks.groupBy(_._2).view.mapValues(_.length).toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(50).map(_._1).toSet
+    val bySrc = toks.groupBy(_._1)
+    assert(out.length === bySrc.size)
+    out.foreach { r =>
+      val ts = bySrc(r.getString(0)).map(_._2)
+      val covered = ts.count(vocab).toLong
+      assert(r.getAs[Long]("n_tokens") === ts.length.toLong)
+      assert(r.getAs[Long]("n_covered") === covered)
+      assert(r.getAs[Long]("n_oov_types") ===
+        ts.filterNot(vocab).distinct.length.toLong)
+      assert(math.abs(r.getAs[Double]("coverage")
+        - covered.toDouble / ts.length) <= 1e-6)
+    }
   }
 }

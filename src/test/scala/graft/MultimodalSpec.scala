@@ -106,4 +106,33 @@ class MultimodalSpec extends AnyFunSuite {
         docs.filter(d => d._1 >= first && d._1 <= last).map(_._2).sum)
     }
   }
+
+  test("mm_patchify: grid arithmetic exact per doc — counts, edge clips, XOR checksum replay") {
+    val out = llm.Multimodal.patchify.run(spark, TestSpark.Sf).collect()
+    val docs = sources.Tables.documents(spark, TestSpark.Sf)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1).getBytes("UTF-8").length))
+    assert(out.length === docs.length)
+    val byId = docs.toMap
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val b = byId(id)
+      val w = 64 + b % 577; val h = 64 + (b * 7) % 417
+      val npx = (w + 15) / 16; val npy = (h + 15) / 16
+      assert(r.getAs[Int]("width") === w)
+      assert(r.getAs[Int]("height") === h)
+      assert(r.getAs[Int]("n_px") === npx)
+      assert(r.getAs[Int]("n_py") === npy)
+      assert(r.getAs[Long]("n_patches") === (npx.toLong * npy))
+      // edge patches: last column iff w % 16 != 0, last row iff h % 16 != 0
+      val edge = npx.toLong * npy -
+        (if (w % 16 == 0) npx.toLong else npx - 1L) *
+          (if (h % 16 == 0) npy.toLong else npy - 1L)
+      assert(r.getAs[Long]("n_edge_patches") === edge, s"doc $id edge count")
+      var x = 0L
+      for (px <- 0 until npx; py <- 0 until npy)
+        x ^= java.lang.Math.floorMod(id * 131 + px * 17 + py, 9973L)
+      assert(r.getAs[Long]("tag_checksum") === x, s"doc $id checksum")
+    }
+  }
 }

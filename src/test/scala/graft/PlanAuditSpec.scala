@@ -89,6 +89,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "graph_modularity",   // 1-row (2m, |V|) totals broadcast onto the community fold
     "graph_hits",         // 1-row vertex-count + per-round normalizer broadcasts
     "llm_sim_mmr",        // tiny query-set broadcast, non-equi self-guard
+    "agg_survival_km",    // 1-row max-day + 1-row total broadcasts onto the t-domain
+    "agg_lorenz",         // 1-row (n, \u03a3x) totals broadcast onto the rank frame
+    "agg_assoc_rules",    // 1-row basket-count broadcast onto the \u226425-row pair table
+    "llm_clf_lift",       // 1-row (n, P) totals broadcast onto the rank frame
     "llm_bpe_train",      // 1-row winning-pair broadcast per merge round
     "llm_bpe_apply"       // 1-row frozen-rules broadcast onto the vocab
   )
@@ -120,7 +124,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "stream_watermark_late", // N/4096-row bucket-prefix table (two-level device)
     "agg_pareto",            // ≤32-row range-bucket prefix table (two-level device)
     "agg_rfm",               // 3 × ≤32-row range-bucket prefix tables (twoLevelRank)
-    "mm_shard_pack")         // N/4096-row bucket-prefix table (two-level device)
+    "mm_shard_pack",         // N/4096-row bucket-prefix table (two-level device)
+    "agg_survival_km",       // lifetime-day-domain cumulative folds above the user agg
+    "agg_lorenz",            // \u226410 decile rows + \u226432-row range-bucket prefix (twoLevelRank)
+    "llm_clf_auc",           // \u226410001-row basis-point score domain above the score agg
+    "llm_clf_lift")          // \u226410 decile rows + \u226432-row range-bucket prefix (twoLevelRank)
 
   private def unpartitionedWindows(p: SparkPlan): Seq[WindowExec] = {
     val self = p match {

@@ -1070,4 +1070,116 @@ class TimeSeriesSpec extends AnyFunSuite {
         "OLS line must pass through the centroid")
     }
   }
+
+
+  test("ts_drawdown: the reported fall replays the exact sequential peak-trough scan") {
+    val out = operators.TimeSeries.drawdown.run(spark, TestSpark.Sf).collect()
+    val daily = dailyCents()
+    assert(out.length === daily.size)
+    out.foreach { r =>
+      val series = daily(r.getString(0)).map(_._2)
+      var cum = 0L; var peak = Long.MinValue; var best = Long.MinValue
+      var bestPeak = 0L; var bestCum = 0L; var bestIdx = -1
+      series.zipWithIndex.foreach { case (v, i) =>
+        cum += v; peak = math.max(peak, cum)
+        if (peak - cum > best) {
+          best = peak - cum; bestPeak = peak; bestCum = cum; bestIdx = i
+        }
+      }
+      assert(r.getAs[Long]("max_drawdown_cents") === best)
+      assert(r.getAs[Long]("peak_cents") === bestPeak)
+      assert(r.getAs[Long]("trough_cents") === bestCum)
+      assert(r.getDate(1).toLocalDate ===
+        daily(r.getString(0))(bestIdx)._1, "earliest-trough tie-break")
+    }
+  }
+
+  test("ts_bollinger: band arithmetic replays the exact trailing-window moments; flags consistent") {
+    val out = operators.TimeSeries.bollinger.run(spark, TestSpark.Sf).collect()
+    val daily = dailyCents()
+    assert(out.length === daily.valuesIterator.map(_.size).sum)
+    out.foreach { r =>
+      val series = daily(r.getString(0))
+      val i = series.indexWhere(_._1 == r.getDate(1).toLocalDate)
+      val win = series.slice(math.max(0, i - 6), i + 1).map(_._2.toDouble)
+      val mean = win.sum / win.length
+      val sig = math.sqrt(win.map(v => (v - mean) * (v - mean)).sum / win.length)
+      assert(r.getAs[Long]("n7") === win.length.toLong)
+      assert(math.abs(r.getAs[Double]("mean7") - mean) <= 1e-2)
+      assert(math.abs(r.getAs[Double]("sigma7") - sig) <= 1e-2)
+      val v = series(i)._2.toDouble
+      assert(r.getAs[Boolean]("breakout") ===
+        (v > mean + 2 * sig + 1e-9 || v < mean - 2 * sig - 1e-9) ||
+        math.abs(math.abs(v - mean) - 2 * sig) < 1e-6,
+        "breakout flag must match the unrounded band test away from the boundary")
+    }
+  }
+
+  test("ts_rsi: emitted only at full 14-diff windows and replays the rolling gain/loss ratio") {
+    val out = operators.TimeSeries.rsi.run(spark, TestSpark.Sf).collect()
+    val daily = dailyCents()
+    out.foreach { r =>
+      val series = daily(r.getString(0)).map(_._2)
+      val i = daily(r.getString(0)).indexWhere(_._1 == r.getDate(1).toLocalDate)
+      val diffs = series.zip(series.tail).map { case (a, b) => b - a }
+      val wd = diffs.slice(math.max(0, i - 14), i) // diffs ending at day i
+      val nDiffs = math.min(i, 14)
+      assert(r.getAs[Long]("n_diffs") === nDiffs.toLong, "diff count in window")
+      if (nDiffs == 14) {
+        val g = wd.filter(_ > 0).sum.toDouble
+        val l = -wd.filter(_ < 0).sum.toDouble
+        if (g + l > 0)
+          assert(math.abs(r.getAs[Double]("rsi") - 100.0 * g / (g + l)) <= 1e-2)
+      } else assert(r.isNullAt(r.fieldIndex("rsi")), "partial windows emit NULL rsi")
+    }
+  }
+
+  test("ts_sma_cross: every reported cross is a true sign flip of (sma3 - sma7), and none is missed") {
+    val out = operators.TimeSeries.smaCross.run(spark, TestSpark.Sf).collect()
+    val daily = dailyCents()
+    val expected = daily.toSeq.flatMap { case (t, series) =>
+      val vs = series.map(_._2)
+      val signs = vs.indices.map { i =>
+        if (i < 6) None
+        else {
+          val s3 = vs.slice(i - 2, i + 1).sum
+          val s7 = vs.slice(i - 6, i + 1).sum
+          Some(java.lang.Long.signum(s3 * 7 - s7 * 3))
+        }
+      }
+      signs.indices.flatMap { i =>
+        (for {
+          cur <- signs(i); prev <- if (i > 0) signs(i - 1) else None
+          if cur != prev && cur != 0 && prev != 0
+        } yield (t, series(i)._1, if (cur > 0) "golden" else "death")).toSeq
+      }
+    }.toSet
+    val got = out.map(r =>
+      (r.getString(0), r.getDate(1).toLocalDate, r.getString(4))).toSet
+    assert(got === expected)
+  }
+
+  test("ts_macd: truncated-kernel EMAs replay the renormalized lag fold; histogram is the difference") {
+    val out = operators.TimeSeries.macd.run(spark, TestSpark.Sf).collect()
+    val daily = dailyCents()
+    def ema(vs: Seq[Double], i: Int, alpha: Double, k: Int): Double = {
+      val terms = (0 until k).flatMap { j =>
+        if (i - j >= 0) Some(alpha * math.pow(1 - alpha, j) -> vs(i - j)) else None
+      }
+      terms.map { case (w, v) => w * v }.sum / terms.map(_._1).sum
+    }
+    out.foreach { r =>
+      val series = daily(r.getString(0))
+      val i = series.indexWhere(_._1 == r.getDate(1).toLocalDate)
+      val vs = series.map(_._2.toDouble)
+      val macds = vs.indices.map(j =>
+        ema(vs, j, 2.0 / 13, 16) - ema(vs, j, 2.0 / 27, 16))
+      val signal = ema(macds, i, 2.0 / 10, 8)
+      assert(math.abs(r.getAs[Double]("macd") - macds(i)) <= 1e-2)
+      assert(math.abs(r.getAs[Double]("signal") - signal) <= 1e-2)
+      assert(math.abs(r.getAs[Double]("hist")
+        - (r.getAs[Double]("macd") - r.getAs[Double]("signal"))) <= 2e-4,
+        "histogram = macd - signal up to independent rounding")
+    }
+  }
 }
