@@ -1561,6 +1561,147 @@ object TextStats {
             FROM j GROUP BY source ORDER BY source""")
   )
 
+  /** Zipf-law fit per source — the OLS slope of ln(frequency) on
+    * ln(rank) over each source's top-100 tokens (natural text sits near
+    * −1; templated/spammy text flattens, and a drifting slope after an
+    * ingest is a corpus-mix regression): the statistical-structure
+    * companion to llm_vocab_coverage.
+    *
+    * Determinism: ranks come from exact counts ordered (count desc,
+    * token) inside a source-partitioned window; ln(rank) and ln(count)
+    * are identical doubles of exact ints, and the five OLS sufficient
+    * sums fold floor(term·1e10) in BIGINT over the ≤100-row domain
+    * (elasticity device; ≤100 rows · ≤7.7e12 per term — no headroom
+    * concern, still gated for discipline).
+    *
+    * Scale shape: one token hash aggregate, one source-partitioned
+    * top-100 window, one bounded per-source fold. */
+  val zipf: GraftQuery = GraftQuery(
+    "llm_zipf",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"source").orderBy($"cnt".desc, $"token")
+      val top = Tables.documents(s, dir)
+        .select($"source", explode(TF.tokens($"text")).as("token"))
+        .groupBy($"source", $"token").agg(count(lit(1)).as("cnt"))
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 100)
+        .withColumn("lx", log($"rnk".cast("double")))
+        .withColumn("ly", log($"cnt".cast("double")))
+      def g(c: Column, tag: String) = GraftQuery.guarded(sum(floor(c * lit(1e10))),
+        count(lit(1)).cast("double") * lit(7.7e12) < lit(9e18),
+        s"llm_zipf: $tag fold past BIGINT headroom \u2014 lower the 1e10 scale")
+      top.groupBy($"source")
+        .agg(count(lit(1)).as("n_terms"),
+          g($"lx", "Sx").as("sx"), g($"ly", "Sy").as("sy"),
+          g($"lx" * $"lx", "Sxx").as("sxx"),
+          g($"lx" * $"ly", "Sxy").as("sxy"))
+        .select($"source", $"n_terms",
+          round(($"n_terms".cast("double") * $"sxy".cast("double") * lit(1e10)
+            - $"sx".cast("double") * $"sy".cast("double"))
+            / ($"n_terms".cast("double") * $"sxx".cast("double") * lit(1e10)
+              - $"sx".cast("double") * $"sx".cast("double")), 4).as("zipf_slope"))
+        .orderBy($"source")
+    },
+    Some("""WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS token
+                       FROM documents),
+            c AS (SELECT source, token, count(*) AS cnt FROM t GROUP BY 1, 2),
+            r AS (SELECT source, cnt,
+                         row_number() OVER (PARTITION BY source
+                           ORDER BY cnt DESC, token) AS rnk
+                  FROM c QUALIFY rnk <= 100),
+            f AS (SELECT source,
+                         ln(CAST(rnk AS DOUBLE)) AS lx,
+                         ln(CAST(cnt AS DOUBLE)) AS ly
+                  FROM r),
+            a AS (SELECT source, count(*) AS n_terms,
+                         CAST(sum(CAST(floor(lx * 1e10) AS BIGINT)) AS BIGINT) AS sx,
+                         CAST(sum(CAST(floor(ly * 1e10) AS BIGINT)) AS BIGINT) AS sy,
+                         CAST(sum(CAST(floor(lx * lx * 1e10) AS BIGINT)) AS BIGINT) AS sxx,
+                         CAST(sum(CAST(floor(lx * ly * 1e10) AS BIGINT)) AS BIGINT) AS sxy
+                  FROM f GROUP BY 1)
+            SELECT source, n_terms,
+                   round((CAST(n_terms AS DOUBLE) * sxy * 1e10
+                          - CAST(sx AS DOUBLE) * sy)
+                         / (CAST(n_terms AS DOUBLE) * sxx * 1e10
+                            - CAST(sx AS DOUBLE) * sx), 4) AS zipf_slope
+            FROM a ORDER BY source""")
+  )
+
+  /** Bigram Shannon entropy per source — text predictability as a
+    * corpus-quality signal (repetitive boilerplate collapses bigram
+    * entropy long before exact dedup sees a duplicate; llm_perplexity
+    * scores docs under a MODEL, this is the model-free distributional
+    * entropy of the source itself). Emits H (nats), the vocabulary-
+    * normalized H/ln(types), and perplexity exp(H).
+    *
+    * Determinism — the chisq integerized device over an UNBOUNDED
+    * domain: bigram counts are exact BIGINTs, each c·ln c term is the
+    * identical double in both engines, and the per-source fold sums
+    * floor(term·1e4) in BIGINT (gated off the same aggregate row; the
+    * coarse 1e4 scale buys ~9e13 rows of headroom at c·ln c ≤ 1e10 per
+    * bigram). H = ln N − S/(N·1e4), a fixed scalar chain.
+    *
+    * Scale shape: one (source, bigram) hash aggregate off the scan
+    * (map-side combined), one bounded per-source fold. */
+  val ngramEntropy: GraftQuery = GraftQuery(
+    "llm_ngram_entropy",
+    (s, dir) => {
+      import s.implicits._
+      val grams = Tables.documents(s, dir)
+        .select($"source", TF.tokens($"text").as("w"))
+        // single-token docs: Spark's sequence(1, 0) DESCENDS instead of
+        // emitting empty (DuckDB's range(1,1) is empty) — filter first.
+        .filter(size($"w") >= 2)
+        .select($"source", explode(expr(
+          "transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))"))
+          .as("bg"))
+        .groupBy($"source", $"bg").agg(count(lit(1)).as("c"))
+      grams.groupBy($"source")
+        .agg(count(lit(1)).as("n_types"), sum($"c").as("n"),
+          GraftQuery.guarded(
+            sum(floor($"c".cast("double") * log($"c".cast("double")) * lit(1e4))),
+            count(lit(1)).cast("double")
+              * (max($"c").cast("double") * log(max($"c").cast("double"))
+                * lit(1e4) + lit(1.0)) < lit(9e18),
+            "llm_ngram_entropy: c\u00b7ln c fold past BIGINT headroom "
+              + "\u2014 lower the 1e4 scale").as("slnc"))
+        .select($"source", $"n_types", $"n",
+          round(log($"n".cast("double"))
+            - $"slnc".cast("double") / ($"n".cast("double") * lit(1e4)), 6)
+            .as("h_nats"),
+          round((log($"n".cast("double"))
+            - $"slnc".cast("double") / ($"n".cast("double") * lit(1e4)))
+            / log($"n_types".cast("double")), 6).as("h_norm"),
+          round(exp(log($"n".cast("double"))
+            - $"slnc".cast("double") / ($"n".cast("double") * lit(1e4))), 4)
+            .as("perplexity"))
+        .orderBy($"source")
+    },
+    Some("""WITH t AS (SELECT source, string_split(text, ' ') AS w
+                       FROM documents),
+            bg AS (SELECT source, w[i] || ' ' || w[i+1] AS bg
+                   FROM t, unnest(range(1, len(w))) u(i)),
+            c AS (SELECT source, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+            a AS (SELECT source, count(*) AS n_types,
+                         CAST(sum(c) AS BIGINT) AS n,
+                         CAST(sum(CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+                           * 1e4) AS BIGINT)) AS BIGINT) AS slnc
+                  FROM c GROUP BY 1)
+            SELECT source, n_types, n,
+                   round(ln(CAST(n AS DOUBLE))
+                         - CAST(slnc AS DOUBLE) / (CAST(n AS DOUBLE) * 1e4), 6)
+                     AS h_nats,
+                   round((ln(CAST(n AS DOUBLE))
+                          - CAST(slnc AS DOUBLE) / (CAST(n AS DOUBLE) * 1e4))
+                         / ln(CAST(n_types AS DOUBLE)), 6) AS h_norm,
+                   round(exp(ln(CAST(n AS DOUBLE))
+                         - CAST(slnc AS DOUBLE) / (CAST(n AS DOUBLE) * 1e4)), 4)
+                     AS perplexity
+            FROM a ORDER BY source""")
+  )
+
   def all: Seq[GraftQuery] =
     Seq(textStats, langId, fingerprint, langProfile, tokenBpe, quality,
         qualityGopher,
@@ -1568,5 +1709,5 @@ object TextStats {
         packChunks, domainMix, shardShuffle, chunkSliding, sampleWeighted,
         qualityClassifier, winnow, winnowDedup, winnowDedupCapped,
         bpeTrain, bpeApply, ngramTopK, qualityCi, cooccurrence, pmi,
-        tokenizerFertility, vocabCoverage)
+        tokenizerFertility, vocabCoverage, zipf, ngramEntropy)
 }

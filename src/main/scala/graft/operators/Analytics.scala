@@ -1992,15 +1992,23 @@ object Analytics {
     * table), one hash aggregate onto the bounded lifetime-day domain,
     * and unpartitioned windows over that DOMAIN (≤ calendar days rows —
     * PlanAudit-allowlisted). */
-  val survivalKm: GraftQuery = GraftQuery(
-    "agg_survival_km",
-    (s, dir) => {
-      import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val ev = Tables.events(s, dir).select($"user_id", to_date($"ts").as("dd"))
-      val dm = ev.agg(max($"dd").as("dmax"))
-      val users = ev.groupBy($"user_id")
-        .agg(min($"dd").as("fd"), max($"dd").as("ld"))
+  /** The estimator fold over a per-user (fd, ld) span frame — shared by
+    * the batch query and the streaming twin (stream_survival_km merges
+    * per-wave min/max span partials into the same frame; min and max are
+    * associative and commutative, so ANY arrival split serves identical
+    * curves). The corpus edge dmax re-derives from the spans themselves
+    * (max ld), so no second fact pass exists anywhere. */
+  private[graft] def survivalFold(perUser: DataFrame): DataFrame = {
+    val s = perUser.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    {
+      // One materialization: the span frame feeds BOTH the censor-edge
+      // aggregate and the duration projection — without the cut the
+      // upstream fact aggregate would run twice.
+      val pu = GraftQuery.cutStats(perUser)
+      val dm = pu.agg(max($"ld").as("dmax"))
+      val users = pu
         .crossJoin(broadcast(dm))
         .select(datediff($"ld", $"fd").cast("long").as("t"),
           when(datediff($"dmax", $"ld") > 7, 1L).otherwise(0L).as("churn"))
@@ -2034,6 +2042,17 @@ object Analytics {
             .otherwise(round(exp($"cumln".cast("double") / lit(1e12))
               * sqrt($"gw_c".cast("double") / lit(1e12)), 6)).as("se_km"))
         .orderBy($"t")
+    }
+  }
+
+  val survivalKm: GraftQuery = GraftQuery(
+    "agg_survival_km",
+    (s, dir) => {
+      import s.implicits._
+      survivalFold(Tables.events(s, dir)
+        .select($"user_id", to_date($"ts").as("dd"))
+        .groupBy($"user_id")
+        .agg(min($"dd").as("fd"), max($"dd").as("ld")))
     },
     Some("""WITH ev AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS dd
                         FROM events),
@@ -2392,14 +2411,16 @@ object Analytics {
     *
     * At 100 TB: the distinct frame is the only fact-sized structure; the
     * pair table is ≤ 25 rows regardless of corpus size. */
-  val assocRules: GraftQuery = GraftQuery(
-    "agg_assoc_rules",
-    (s, dir) => {
-      import s.implicits._
-      val b = Tables.events(s, dir)
-        .select($"user_id", to_date($"ts").as("d"), $"event_type")
-        .distinct()
-        .localCheckpoint() // three consumers: baskets, singles, both join sides
+  /** The rule fold over a DISTINCT (user_id, d, event_type) basket-item
+    * frame — shared by the batch query and the streaming twin
+    * (stream_assoc_rules merges per-wave distinct partials into the same
+    * frame; set union is associative and idempotent, so ANY arrival
+    * split serves identical rules). Expects the caller to have
+    * lineage-cut the frame (it is read four ways). */
+  private[graft] def assocFold(b: DataFrame): DataFrame = {
+    val s = b.sparkSession
+    import s.implicits._
+    {
       val nb = b.select($"user_id", $"d").distinct()
         .agg(count(lit(1)).as("n_baskets"))
       val singles = b.groupBy($"event_type").agg(count(lit(1)).as("cnt"))
@@ -2422,6 +2443,17 @@ object Analytics {
           round($"n_ab".cast("double") * $"n_baskets".cast("double")
             / ($"n_a".cast("double") * $"n_c".cast("double")), 6).as("lift"))
         .orderBy($"antecedent", $"consequent")
+    }
+  }
+
+  val assocRules: GraftQuery = GraftQuery(
+    "agg_assoc_rules",
+    (s, dir) => {
+      import s.implicits._
+      assocFold(Tables.events(s, dir)
+        .select($"user_id", to_date($"ts").as("d"), $"event_type")
+        .distinct()
+        .localCheckpoint()) // four consumers: baskets, singles, both join sides
     },
     Some("""WITH b AS (SELECT DISTINCT user_id,
                               CAST(date_trunc('day', ts) AS DATE) AS d,
@@ -2448,11 +2480,213 @@ object Analytics {
             ORDER BY antecedent, consequent""")
   )
 
+  /** Standardized effect sizes for the view-vs-purchase value gap — the
+    * numbers a readout should lead with BEFORE any p-value (agg_ttest
+    * says "is it real", this says "is it big"): Cohen's d, the
+    * small-sample Hedges' g correction, and the common-language effect
+    * size CLES = P(purchase > view) + ½P(tie) — which is exactly the
+    * Mann–Whitney U normalized, so it rides the agg_mannwhitney
+    * tie-span device unchanged.
+    *
+    * Determinism: moments are (n, Σ, Σ²) exact BIGINT folds (gated);
+    * the rank side aggregates onto the bounded distinct-cents domain
+    * with integer tie spans; d/g/CLES are fixed scalar chains over
+    * exact ints. The U-side frame is lineage-cut (mannwhitney
+    * convention) so its domain window never reappears downstream.
+    *
+    * Scale shape: two bounded aggregates off one fact scan (a 1-row
+    * moments frame and a distinct-cents-domain rank frame), one 1-row
+    * readout. */
+  val effectSize: GraftQuery = GraftQuery(
+    "agg_effect_size",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .filter($"event_type".isin("view", "purchase"))
+        .select($"event_type",
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cv"))
+      val counts = ev.groupBy($"cv")
+        .agg(sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("c1"),
+          sum(when($"event_type" === "view", 1L).otherwise(0L)).as("c2"))
+        .withColumn("t", $"c1" + $"c2")
+      val w = Window.orderBy($"cv").rowsBetween(Window.unboundedPreceding, 0)
+      val ranked = counts
+        .withColumn("hi", sum($"t").over(w))
+        .withColumn("lo", $"hi" - $"t" + 1)
+        .localCheckpoint()
+      def qGuard(c: Column) = GraftQuery.guarded(sum(c),
+        sum($"t").cast("double") * max(abs($"cv")).cast("double")
+          * max(abs($"cv")).cast("double") < lit(9e18),
+        "agg_effect_size: \u03a3c\u00b2 fold past BIGINT headroom \u2014 "
+          + "rescale to a coarser unit")
+      val u = ranked.agg(sum($"c1").as("n1"), sum($"c2").as("n2"),
+          GraftQuery.guarded(sum($"c1" * ($"lo" + $"hi")),
+            lit(2.0) * sum($"c1").cast("double") * sum($"c2").cast("double")
+              < lit(9e18),
+            "agg_effect_size: U fold past BIGINT headroom (2*n1*n2 >= 9e18)"
+              + " \u2014 evaluate on a hash sample").as("r1_x2"),
+          sum($"c1" * $"cv").as("s1x"),
+          sum($"c2" * $"cv").as("s2x"),
+          qGuard($"c1" * $"cv" * $"cv").as("q1x"),
+          qGuard($"c2" * $"cv" * $"cv").as("q2x"))
+        // 2U1 = 2R1 − n1(n1+1); r1_x2 is 2R1 (tie spans contribute lo+hi)
+        .withColumn("u1_x2", $"r1_x2" - $"n1" * ($"n1" + 1L))
+      u.select($"n1", $"n2",
+          (($"n1" * $"q1x" - $"s1x" * $"s1x").cast("double")
+            / ($"n1".cast("double") * ($"n1" - 1L).cast("double"))).as("v1"),
+          (($"n2" * $"q2x" - $"s2x" * $"s2x").cast("double")
+            / ($"n2".cast("double") * ($"n2" - 1L).cast("double"))).as("v2"),
+          ($"s1x".cast("double") / $"n1".cast("double")
+            - $"s2x".cast("double") / $"n2".cast("double")).as("md"),
+          ($"u1_x2".cast("double")
+            / (lit(2.0) * $"n1".cast("double") * $"n2".cast("double"))).as("cles"))
+        .withColumn("sp", sqrt((($"n1" - 1L).cast("double") * $"v1"
+          + ($"n2" - 1L).cast("double") * $"v2")
+          / ($"n1" + $"n2" - 2L).cast("double")))
+        .select($"n1", $"n2",
+          round($"md" / $"sp", 6).as("cohen_d"),
+          round($"md" / $"sp" * (lit(1.0) - lit(3.0)
+            / (lit(4.0) * ($"n1" + $"n2").cast("double") - lit(9.0))), 6)
+            .as("hedges_g"),
+          round($"cles", 6).as("cles"))
+    },
+    Some("""WITH ev AS (
+              SELECT event_type,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cv
+              FROM events WHERE event_type IN ('view', 'purchase')),
+            c AS (SELECT cv,
+                         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+                  FROM ev GROUP BY 1),
+            r AS (SELECT cv, c1, c2, c1 + c2 AS t,
+                         sum(c1 + c2) OVER (ORDER BY cv ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW) AS hi,
+                         sum(c1 + c2) OVER (ORDER BY cv ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW) - (c1 + c2) + 1 AS lo
+                  FROM c),
+            a AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                         CAST(sum(c2) AS BIGINT) AS n2,
+                         CAST(sum(c1 * (lo + hi)) AS BIGINT) AS r1_x2,
+                         CAST(sum(c1 * cv) AS BIGINT) AS s1x,
+                         CAST(sum(c2 * cv) AS BIGINT) AS s2x,
+                         CAST(sum(c1 * cv * cv) AS BIGINT) AS q1x,
+                         CAST(sum(c2 * cv * cv) AS BIGINT) AS q2x
+                  FROM r),
+            m AS (SELECT n1, n2,
+                         CAST(n1 * q1x - s1x * s1x AS DOUBLE)
+                           / (CAST(n1 AS DOUBLE) * (n1 - 1)) AS v1,
+                         CAST(n2 * q2x - s2x * s2x AS DOUBLE)
+                           / (CAST(n2 AS DOUBLE) * (n2 - 1)) AS v2,
+                         CAST(s1x AS DOUBLE) / n1 - CAST(s2x AS DOUBLE) / n2 AS md,
+                         CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE)
+                           / (2.0 * n1 * n2) AS cles
+                  FROM a),
+            f AS (SELECT n1, n2, md, cles,
+                         sqrt(((n1 - 1) * v1 + (n2 - 1) * v2)
+                              / CAST(n1 + n2 - 2 AS DOUBLE)) AS sp
+                  FROM m)
+            SELECT n1, n2,
+                   round(md / sp, 6) AS cohen_d,
+                   round(md / sp * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)), 6)
+                     AS hedges_g,
+                   round(cles, 6) AS cles
+            FROM f""")
+  )
+
+  /** Laspeyres / Paasche / Fisher price indices by ship year over the
+    * matched part basket — the canonical "how much did prices move,
+    * holding the basket fixed" economics readout (Laspeyres weights by
+    * base-year quantities, Paasche by current-year, Fisher is their
+    * geometric mean — the superlative index national statistics use).
+    * Base = the earliest ship year; only parts traded in BOTH years
+    * enter a year's index (the matched-basket rule).
+    *
+    * Determinism: per-(part, year) revenue and quantity land as exact
+    * BIGINT cents, so each unit price p = rev/qty and each p·q term is
+    * the identical double in both engines; the four basket sums fold
+    * floor(term·1e2) in BIGINT (gated — past the headroom the query
+    * RAISES rather than wraps).
+    *
+    * Scale shape: one hash aggregate onto the (part, year) domain, a
+    * self-join of base-year rows onto current-year rows keyed by part
+    * (shuffle-hash — both sides catalog-sized), one bounded per-year
+    * fold. */
+  val priceIndex: GraftQuery = GraftQuery(
+    "agg_price_index",
+    (s, dir) => {
+      import s.implicits._
+      val py = Tables.lineitem(s, dir)
+        .groupBy($"l_partkey".as("pk"), year($"l_shipdate").as("yr"))
+        .agg(expr("sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))").as("rev"),
+          expr("sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))").as("qty"))
+        .localCheckpoint() // base slice and current slice both read it
+      val y0 = py.agg(min($"yr").as("y0"))
+      val base = py.join(broadcast(y0), $"yr" === $"y0")
+        .select($"pk", ($"rev".cast("double") / $"qty".cast("double")).as("p0"),
+          ($"qty".cast("double") / lit(100.0)).as("q0"))
+      val cur = py.join(broadcast(y0), $"yr" =!= $"y0")
+        .select($"pk", $"yr",
+          ($"rev".cast("double") / $"qty".cast("double")).as("p1"),
+          ($"qty".cast("double") / lit(100.0)).as("q1"))
+      def fold(term: Column, tag: String): Column = GraftQuery.guarded(
+        sum(floor(term * lit(100.0))),
+        count(lit(1)).cast("double") * max(abs(term)).cast("double") * lit(100.0)
+          + count(lit(1)).cast("double") < lit(9e18),
+        s"agg_price_index: $tag basket fold past BIGINT headroom \u2014 "
+          + "lower the 1e2 scale")
+      cur.join(base.hint("shuffle_hash"), "pk")
+        .groupBy($"yr")
+        .agg(count(lit(1)).as("n_parts"),
+          fold($"p1" * $"q0", "\u03a3p1q0").as("l_num"),
+          fold($"p0" * $"q0", "\u03a3p0q0").as("l_den"),
+          fold($"p1" * $"q1", "\u03a3p1q1").as("p_num"),
+          fold($"p0" * $"q1", "\u03a3p0q1").as("p_den"))
+        .select($"yr", $"n_parts",
+          round($"l_num".cast("double") / $"l_den".cast("double"), 6)
+            .as("laspeyres"),
+          round($"p_num".cast("double") / $"p_den".cast("double"), 6)
+            .as("paasche"),
+          round(sqrt(($"l_num".cast("double") / $"l_den".cast("double"))
+            * ($"p_num".cast("double") / $"p_den".cast("double"))), 6)
+            .as("fisher"))
+        .orderBy($"yr")
+    },
+    Some("""WITH py AS (
+              SELECT l_partkey AS pk, CAST(year(l_shipdate) AS INT) AS yr,
+                     CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev,
+                     CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS qty
+              FROM lineitem GROUP BY 1, 2),
+            y0 AS (SELECT min(yr) AS y0 FROM py),
+            base AS (SELECT pk,
+                            CAST(rev AS DOUBLE) / qty AS p0,
+                            CAST(qty AS DOUBLE) / 100.0 AS q0
+                     FROM py, y0 WHERE yr = y0.y0),
+            cur AS (SELECT pk, yr,
+                           CAST(rev AS DOUBLE) / qty AS p1,
+                           CAST(qty AS DOUBLE) / 100.0 AS q1
+                    FROM py, y0 WHERE yr <> y0.y0),
+            j AS (SELECT yr,
+                         CAST(sum(CAST(floor(p1 * q0 * 100.0) AS BIGINT)) AS BIGINT) AS l_num,
+                         CAST(sum(CAST(floor(p0 * q0 * 100.0) AS BIGINT)) AS BIGINT) AS l_den,
+                         CAST(sum(CAST(floor(p1 * q1 * 100.0) AS BIGINT)) AS BIGINT) AS p_num,
+                         CAST(sum(CAST(floor(p0 * q1 * 100.0) AS BIGINT)) AS BIGINT) AS p_den,
+                         count(*) AS n_parts
+                  FROM cur JOIN base USING (pk)
+                  GROUP BY 1)
+            SELECT yr, n_parts,
+                   round(CAST(l_num AS DOUBLE) / l_den, 6) AS laspeyres,
+                   round(CAST(p_num AS DOUBLE) / p_den, 6) AS paasche,
+                   round(sqrt((CAST(l_num AS DOUBLE) / l_den)
+                         * (CAST(p_num AS DOUBLE) / p_den)), 6) AS fisher
+            FROM j ORDER BY yr""")
+  )
+
   def all: Seq[GraftQuery] = Seq(
     statsAgg, percentiles, approxPercentile, stringAgg, pivotAgg, jsonStruct,
     topNRevenue, corrMatrix, ksTest, mannWhitney, chiSq, gini,
     ttestWelch, spearman, cramersV, benford, moments, shareOfParent, anova,
     wilcoxon, entropy, expectations, kanon, hhi, bootstrapCi, cuped, powerMde,
     srm, markov, cohortLtv, survivalKm, theil, elasticity, winsorized,
-    lorenz, assocRules)
+    lorenz, assocRules, effectSize, priceIndex)
 }

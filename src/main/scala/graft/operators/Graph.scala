@@ -1650,9 +1650,127 @@ object Graph {
     }
   )
 
+  /** Per-vertex local clustering coefficient + triangle credit — "how
+    * clique-like is each vertex's neighborhood" (the community-structure
+    * probe next to graph_triangles' global count; production uses it to
+    * separate organic communities from hub-and-spoke bot rings, whose
+    * coefficient is ~0).
+    *
+    * Triangle credit per vertex: the degree-oriented wedge device
+    * enumerates every triangle exactly once as a (center; a, b) triple
+    * (graph_triangles' skew-bounded plan), then EACH of the three
+    * corners takes one credit — an explode over the bounded closed-
+    * triple set, never a per-vertex neighborhood intersection (which is
+    * quadratic at hubs). C(v) = 2·tri(v)/(deg(v)·(deg(v)−1)), an exact
+    * rational of BIGINTs; vertices of degree 1 emit C = 0 (no possible
+    * wedge — the convention that keeps the mean defined).
+    *
+    * Scale: wedge volume is arboricity-bounded (the triangles
+    * adjudication); the credit explode is 3 rows per triangle; the final
+    * join is vertex-keyed shuffle-hash. */
+  val clusteringCoeff: GraftQuery = GraftQuery(
+    "graph_clustering_coeff",
+    (s, dir) => {
+      import s.implicits._
+      val adj = adjacency(s, dir)
+      val e = undirectedEdges(s, dir)
+      val o = degreeOriented(adj)
+      val triples = o.as("e1").join(o.as("e2"),
+          $"e1.src" === $"e2.src" && $"e1.dst" < $"e2.dst")
+        .select($"e1.src".as("c"), $"e1.dst".as("a"), $"e2.dst".as("b"))
+        .join(e.hint("shuffle_hash"), $"a" === $"src" && $"b" === $"dst")
+        .select($"c", $"a", $"b")
+      val credits = triples
+        .select(explode(array($"c", $"a", $"b")).as("v"))
+        .groupBy($"v").agg(count(lit(1)).as("n_tri"))
+      vertices(adj).withColumnRenamed("src", "v")
+        .join(credits.hint("shuffle_hash"), Seq("v"), "left")
+        .select($"v", $"deg", coalesce($"n_tri", lit(0L)).as("n_tri"))
+        .withColumn("cc", when($"deg" >= 2L,
+          round(lit(2.0) * $"n_tri".cast("double")
+            / ($"deg".cast("double") * ($"deg" - 1L).cast("double")), 6))
+          .otherwise(lit(0.0)))
+        .orderBy($"v")
+    },
+    Some(s"""WITH $edgeCte,
+               deg AS (SELECT src AS v, count(*) AS deg FROM e GROUP BY 1),
+               tri AS (SELECT ab.src AS x, ab.dst AS y, bc.dst AS z
+                       FROM e0 ab JOIN e0 bc ON ab.dst = bc.src
+                            JOIN e0 ac ON ab.src = ac.src AND bc.dst = ac.dst),
+               cr AS (SELECT v, count(*) AS n_tri FROM (
+                        SELECT x AS v FROM tri
+                        UNION ALL SELECT y FROM tri
+                        UNION ALL SELECT z FROM tri)
+                      GROUP BY 1)
+             SELECT deg.v, deg.deg,
+                    CAST(coalesce(cr.n_tri, 0) AS BIGINT) AS n_tri,
+                    CASE WHEN deg.deg >= 2
+                         THEN round(2.0 * coalesce(cr.n_tri, 0)
+                              / (CAST(deg.deg AS DOUBLE) * (deg.deg - 1)), 6)
+                         ELSE 0.0 END AS cc
+             FROM deg LEFT JOIN cr ON deg.v = cr.v
+             ORDER BY deg.v""")
+  )
+
+  /** Directed-edge reciprocity over the order-sequence graph — parts are
+    * wired A→B when B follows A on consecutive lines of the same order
+    * (the "bought-then-bought" flow the co-occurrence graph erases);
+    * reciprocity = the fraction of directed pairs whose reverse also
+    * occurs, the first thing measured on any directed production graph
+    * (follower graphs, citation graphs, session flows).
+    *
+    * Scale shape: consecutive-line pairing is ONE lag window partitioned
+    * by order (the journey device — no self-join of the fact table);
+    * the distinct directed pair set is catalog-bounded (≤ parts²,
+    * support-thresholded in practice by order composition); the reverse
+    * probe is a self-join of that pair table on the swapped key. All
+    * counts exact BIGINT; one ratio at the projection. */
+  val reciprocity: GraftQuery = GraftQuery(
+    "graph_reciprocity",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // The fixture reuses line numbers within an order, so the walk
+      // order pins a partkey tiebreak — remaining ties share the partkey,
+      // which makes the lead() SEQUENCE permutation-invariant.
+      val w = Window.partitionBy($"l_orderkey")
+        .orderBy($"l_linenumber", $"l_partkey")
+      val pairs = Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_linenumber", $"l_partkey")
+        .withColumn("nxt", lead($"l_partkey", 1).over(w))
+        .filter($"nxt".isNotNull && $"nxt" =!= $"l_partkey")
+        .select($"l_partkey".as("src"), $"nxt".as("dst"))
+        .distinct()
+        .localCheckpoint() // probe side and base side read it
+      val recip = pairs.as("f")
+        .join(pairs.as("r").hint("shuffle_hash"),
+          $"f.src" === $"r.dst" && $"f.dst" === $"r.src")
+        .agg(count(lit(1)).as("n_recip"))
+      pairs.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(broadcast(recip))
+        .select($"n_edges", $"n_recip",
+          round($"n_recip".cast("double") / $"n_edges".cast("double"), 6)
+            .as("reciprocity"))
+    },
+    Some("""WITH seq AS (
+              SELECT l_orderkey, l_linenumber, l_partkey,
+                     lead(l_partkey, 1) OVER (PARTITION BY l_orderkey
+                       ORDER BY l_linenumber, l_partkey) AS nxt
+              FROM lineitem),
+            p AS (SELECT DISTINCT l_partkey AS src, nxt AS dst
+                  FROM seq WHERE nxt IS NOT NULL AND nxt <> l_partkey),
+            r AS (SELECT count(*) AS n_recip
+                  FROM p f JOIN p r ON f.src = r.dst AND f.dst = r.src),
+            e AS (SELECT count(*) AS n_edges FROM p)
+            SELECT n_edges, n_recip,
+                   round(CAST(n_recip AS DOUBLE) / n_edges, 6) AS reciprocity
+            FROM e, r""")
+  )
+
   def all: Seq[GraftQuery] =
     Seq(pagerank, pagerankDelta, pagerankWeighted, pagerankPersonal, cc, jaccard,
       jaccardCapped, adamicAdar, labelPropagation, bfs,
       closenessLandmarks, edgesIncremental, triangles, degreeDist, kCore,
-      mst, assortativity, modularity, hits, walks, walksBiased, skipgram)
+      mst, assortativity, modularity, hits, walks, walksBiased, skipgram,
+      clusteringCoeff, reciprocity)
 }

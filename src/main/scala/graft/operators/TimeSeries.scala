@@ -2859,6 +2859,188 @@ object TimeSeries {
     }
   )
 
+  /** Lo–MacKinlay variance-ratio test over the daily revenue diffs — the
+    * random-walk diagnostic ("do day-over-day changes compound
+    * independently?"): VR(k) = Var(k-day summed diffs)/(k·Var(diffs));
+    * VR ≈ 1 under a random walk, < 1 under mean reversion, > 1 under
+    * momentum. Emitted for k = 2 and 4 per event type.
+    *
+    * Determinism: diffs and their k-sums are exact BIGINT window folds;
+    * each variance is one (n, Σ, Σ²) sufficient-statistic aggregate over
+    * exact ints (Σ² overflow-gated off the same row), so every VR is a
+    * fixed scalar chain over identical integers. Full k-windows only.
+    *
+    * Scale shape: ts_drawdown's — one hash aggregate onto the bounded
+    * (type, day) domain, one lag+rolling window pass, three bounded
+    * variance aggregates joined back broadcast. */
+  val varRatio: GraftQuery = GraftQuery(
+    "ts_var_ratio",
+    (s, dir) => {
+      import s.implicits._
+      val wl = Window.partitionBy($"event_type").orderBy($"d")
+      val diffs = changepointDaily(s, dir)
+        .withColumn("r", $"v" - lag($"v", 1).over(wl))
+        .withColumn("r2", $"r" + lag($"r", 1).over(wl))
+        .withColumn("r4", $"r" + lag($"r", 1).over(wl)
+          + lag($"r", 2).over(wl) + lag($"r", 3).over(wl))
+      def varAgg(c: String, tag: String) = Seq(
+        count(col(c)).as(s"n_$tag"), sum(col(c)).as(s"s_$tag"),
+        GraftQuery.guarded(sum(col(c) * col(c)),
+          count(col(c)).cast("double")
+            * max(abs(col(c))).cast("double") * max(abs(col(c))).cast("double")
+            < lit(9e18),
+          s"ts_var_ratio: \u03a3r\u00b2 ($tag) fold past BIGINT headroom "
+            + "\u2014 rescale to a coarser unit").as(s"q_$tag"))
+      val aggs = varAgg("r", "1") ++ varAgg("r2", "2") ++ varAgg("r4", "4")
+      def v(tag: String): Column =
+        (col(s"n_$tag").cast("double") * col(s"q_$tag").cast("double")
+          - col(s"s_$tag").cast("double") * col(s"s_$tag").cast("double")) /
+          (col(s"n_$tag").cast("double") * col(s"n_$tag").cast("double"))
+      diffs.groupBy($"event_type")
+        .agg(aggs.head, aggs.tail: _*)
+        .select($"event_type", $"n_1".as("n_diffs"),
+          round(v("2") / (lit(2.0) * v("1")), 6).as("vr2"),
+          round(v("4") / (lit(4.0) * v("1")), 6).as("vr4"))
+        .orderBy($"event_type")
+    },
+    Some("""WITH daily AS (
+              SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+              FROM events GROUP BY 1, 2),
+            df AS (SELECT event_type, d,
+                          v - lag(v, 1) OVER w AS r,
+                          (v - lag(v, 1) OVER w) + (lag(v, 1) OVER w - lag(v, 2) OVER w) AS r2,
+                          (v - lag(v, 1) OVER w) + (lag(v, 1) OVER w - lag(v, 2) OVER w)
+                            + (lag(v, 2) OVER w - lag(v, 3) OVER w)
+                            + (lag(v, 3) OVER w - lag(v, 4) OVER w) AS r4
+                   FROM daily
+                   WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+            a AS (SELECT event_type,
+                         count(r) AS n_1, CAST(sum(r) AS BIGINT) AS s_1,
+                         CAST(sum(r * r) AS BIGINT) AS q_1,
+                         count(r2) AS n_2, CAST(sum(r2) AS BIGINT) AS s_2,
+                         CAST(sum(r2 * r2) AS BIGINT) AS q_2,
+                         count(r4) AS n_4, CAST(sum(r4) AS BIGINT) AS s_4,
+                         CAST(sum(r4 * r4) AS BIGINT) AS q_4
+                  FROM df GROUP BY 1)
+            SELECT event_type, n_1 AS n_diffs,
+                   round(((CAST(n_2 AS DOUBLE) * q_2 - CAST(s_2 AS DOUBLE) * s_2)
+                          / (CAST(n_2 AS DOUBLE) * n_2))
+                         / (2.0 * ((CAST(n_1 AS DOUBLE) * q_1 - CAST(s_1 AS DOUBLE) * s_1)
+                                   / (CAST(n_1 AS DOUBLE) * n_1))), 6) AS vr2,
+                   round(((CAST(n_4 AS DOUBLE) * q_4 - CAST(s_4 AS DOUBLE) * s_4)
+                          / (CAST(n_4 AS DOUBLE) * n_4))
+                         / (4.0 * ((CAST(n_1 AS DOUBLE) * q_1 - CAST(s_1 AS DOUBLE) * s_1)
+                                   / (CAST(n_1 AS DOUBLE) * n_1))), 6) AS vr4
+            FROM a ORDER BY event_type""")
+  )
+
+  /** Difference-in-differences on daily revenue — THE quasi-experimental
+    * readout when you can't randomize: purchase days (treated) vs view
+    * days (control), pre vs post the calendar midpoint; DiD = the
+    * treated post-pre change net of the control's, with a pooled SE and
+    * t-statistic. (In production the treated/control split is a real
+    * rollout flag; the fixed type pair here exercises the full
+    * machinery.)
+    *
+    * Determinism: the 2×2 cell statistics (n, Σ, Σ²) are exact BIGINT
+    * folds (Σ² gated); the midpoint derives from the min/max day (1-row
+    * broadcast, SF-independent); DiD/SE/t are a fixed scalar chain over
+    * the 4 exact cells.
+    *
+    * Scale shape: one hash aggregate onto the bounded (type, day)
+    * domain, one 4-cell aggregate — nothing global ever materializes. */
+  val did: GraftQuery = GraftQuery(
+    "ts_did",
+    (s, dir) => {
+      import s.implicits._
+      val daily = changepointDaily(s, dir)
+        .filter($"event_type".isin("purchase", "view"))
+      val bounds = daily.agg(min($"d").as("d0"), max($"d").as("d1"))
+      val cells = daily.crossJoin(broadcast(bounds))
+        .withColumn("treat", when($"event_type" === "purchase", 1L).otherwise(0L))
+        .withColumn("post",
+          when(datediff($"d", $"d0") * 2 > datediff($"d1", $"d0"), 1L)
+            .otherwise(0L))
+        .groupBy($"treat", $"post")
+        .agg(count(lit(1)).as("n"), sum($"v").as("sv"),
+          GraftQuery.guarded(sum($"v" * $"v"),
+            count(lit(1)).cast("double") * max(abs($"v")).cast("double")
+              * max(abs($"v")).cast("double") < lit(9e18),
+            "ts_did: \u03a3v\u00b2 cell fold past BIGINT headroom \u2014 "
+              + "rescale to a coarser unit").as("qv"))
+        .withColumn("mean", $"sv".cast("double") / $"n".cast("double"))
+        .withColumn("varm", // variance of the cell MEAN: s\u00b2/n
+          ($"n".cast("double") * $"qv".cast("double")
+            - $"sv".cast("double") * $"sv".cast("double"))
+            / ($"n".cast("double") * $"n".cast("double")
+              * ($"n".cast("double") - 1.0)))
+      cells.agg(
+          sum(when($"treat" === 1L && $"post" === 1L, $"n")).as("n_t_post"),
+          sum(when($"treat" === 1L && $"post" === 0L, $"n")).as("n_t_pre"),
+          sum(when($"treat" === 0L && $"post" === 1L, $"n")).as("n_c_post"),
+          sum(when($"treat" === 0L && $"post" === 0L, $"n")).as("n_c_pre"),
+          sum(when($"treat" === 1L && $"post" === 1L, $"mean")).as("m_t_post"),
+          sum(when($"treat" === 1L && $"post" === 0L, $"mean")).as("m_t_pre"),
+          sum(when($"treat" === 0L && $"post" === 1L, $"mean")).as("m_c_post"),
+          sum(when($"treat" === 0L && $"post" === 0L, $"mean")).as("m_c_pre"),
+          sum($"varm").as("var_did"))
+        .select($"n_t_post", $"n_t_pre", $"n_c_post", $"n_c_pre",
+          round($"m_t_post", 4).as("m_t_post"),
+          round($"m_t_pre", 4).as("m_t_pre"),
+          round($"m_c_post", 4).as("m_c_post"),
+          round($"m_c_pre", 4).as("m_c_pre"),
+          round(($"m_t_post" - $"m_t_pre") - ($"m_c_post" - $"m_c_pre"), 4)
+            .as("did_cents"),
+          round(sqrt($"var_did"), 4).as("se"),
+          round((($"m_t_post" - $"m_t_pre") - ($"m_c_post" - $"m_c_pre"))
+            / sqrt($"var_did"), 6).as("t_stat"))
+    },
+    Some("""WITH daily AS (
+              SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+              FROM events
+              WHERE event_type IN ('purchase', 'view')
+              GROUP BY 1, 2),
+            b AS (SELECT min(d) AS d0, max(d) AS d1 FROM daily),
+            t AS (SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS treat,
+                         CASE WHEN date_diff('day', b.d0, d) * 2
+                                   > date_diff('day', b.d0, b.d1)
+                              THEN 1 ELSE 0 END AS post,
+                         v
+                  FROM daily CROSS JOIN b),
+            c AS (SELECT treat, post, count(*) AS n,
+                         CAST(sum(v) AS BIGINT) AS sv,
+                         CAST(sum(v * v) AS BIGINT) AS qv
+                  FROM t GROUP BY 1, 2),
+            m AS (SELECT treat, post, n,
+                         CAST(sv AS DOUBLE) / n AS mean,
+                         (CAST(n AS DOUBLE) * qv - CAST(sv AS DOUBLE) * sv)
+                           / (CAST(n AS DOUBLE) * n * (n - 1.0)) AS varm
+                  FROM c),
+            a AS (SELECT
+                    CAST(sum(CASE WHEN treat = 1 AND post = 1 THEN n END) AS BIGINT) AS n_t_post,
+                    CAST(sum(CASE WHEN treat = 1 AND post = 0 THEN n END) AS BIGINT) AS n_t_pre,
+                    CAST(sum(CASE WHEN treat = 0 AND post = 1 THEN n END) AS BIGINT) AS n_c_post,
+                    CAST(sum(CASE WHEN treat = 0 AND post = 0 THEN n END) AS BIGINT) AS n_c_pre,
+                    sum(CASE WHEN treat = 1 AND post = 1 THEN mean END) AS m_t_post,
+                    sum(CASE WHEN treat = 1 AND post = 0 THEN mean END) AS m_t_pre,
+                    sum(CASE WHEN treat = 0 AND post = 1 THEN mean END) AS m_c_post,
+                    sum(CASE WHEN treat = 0 AND post = 0 THEN mean END) AS m_c_pre,
+                    sum(varm) AS var_did
+                  FROM m)
+            SELECT n_t_post, n_t_pre, n_c_post, n_c_pre,
+                   round(m_t_post, 4) AS m_t_post,
+                   round(m_t_pre, 4) AS m_t_pre,
+                   round(m_c_post, 4) AS m_c_post,
+                   round(m_c_pre, 4) AS m_c_pre,
+                   round((m_t_post - m_t_pre) - (m_c_post - m_c_pre), 4) AS did_cents,
+                   round(sqrt(var_did), 4) AS se,
+                   round(((m_t_post - m_t_pre) - (m_c_post - m_c_pre))
+                         / sqrt(var_did), 6) AS t_stat
+            FROM a""")
+  )
+
   def all: Seq[GraftQuery] =
     Seq(asofJoin, asofTolerance, gapFill, ntileRanks, skewSalted, resample, funnel,
       funnelWindowed, sessionize, retention, anomaly, interpolate, ewma,
@@ -2866,5 +3048,5 @@ object TimeSeries {
       theilSen, acf, changepoint, pacf, peaks, streaks, holt, ols, holtWinters,
       asofNearest, rollingOls, forecastEval, activeUsers, wowGrowth, holtDamped,
       holtWintersDamped, croston, intermittency, drawdown, bollinger, rsi,
-      smaCross, macd)
+      smaCross, macd, varRatio, did)
 }

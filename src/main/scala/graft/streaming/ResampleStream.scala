@@ -120,5 +120,76 @@ object ResampleStream {
     graft.operators.TimeSeries.activeUsers.oracle
   )
 
-  def all: Seq[GraftQuery] = Seq(streamResample, streamActiveUsers)
+  /** Streaming association-rule maintenance — the micro-batch twin of
+    * `agg_assoc_rules`: the maintained state is the DISTINCT (user, day,
+    * type) basket-item set, and set union is associative AND idempotent,
+    * so per-wave distinct partials merge into exactly the batch frame
+    * under ANY arrival split — including the hard case a count-partial
+    * design gets wrong: a basket whose items land in different waves
+    * (type A in wave 1, type B in wave 2) contributes the (A, B) pair
+    * only at the merged level, never per-wave. The rule fold then runs
+    * on the merged state (shared assocFold — the twins cannot drift).
+    * Per-wave cost is one distinct aggregate over the batch; merged
+    * state is bounded by baskets × |types|; raw events are never
+    * re-scanned. Oracle = the batch rules', verbatim. */
+  val streamAssocRules: GraftQuery = GraftQuery(
+    "stream_assoc_rules",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select($"event_id", $"user_id", to_date($"ts").as("d"), $"event_type")
+      val bounds = ev.agg(min($"event_id").as("lo"), max($"event_id").as("hi"))
+      def edge(k: Int): Column =
+        $"lo" - 1 + floor(($"hi" - $"lo" + 1) * lit(k) / lit(Waves.toDouble)).cast("long")
+      val partials = (0 until Waves).map { k =>
+        ev.join(broadcast(bounds), $"event_id" > edge(k) && $"event_id" <= edge(k + 1))
+          .select($"user_id", $"d", $"event_type").distinct()
+          .localCheckpoint()
+      }
+      val merged = partials.reduce(_.unionAll(_)).distinct().localCheckpoint()
+      graft.operators.Analytics.assocFold(merged)
+    },
+    // Batching must not move one rule: the oracle is the batch table's.
+    graft.operators.Analytics.assocRules.oracle
+  )
+
+  /** Streaming survival maintenance — the micro-batch twin of
+    * `agg_survival_km`: the maintained state is one (first_day,
+    * last_day) span per user, and min/max partials are associative and
+    * commutative, so per-wave spans merge into exactly the batch user
+    * frame under ANY arrival split; the product-limit fold (shared
+    * survivalFold) then serves identical curves — INCLUDING the censor
+    * edge dmax, which re-derives from the merged spans. This is how a
+    * retention dashboard stays current against the event stream: per-
+    * wave cost is one user aggregate over the batch, merged state is one
+    * row per user, and history is never re-scanned (a user's span only
+    * ever widens — the monotone-state property that makes survival
+    * exactly maintainable). Oracle = the batch estimator's, verbatim. */
+  val streamSurvivalKm: GraftQuery = GraftQuery(
+    "stream_survival_km",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select($"event_id", $"user_id", to_date($"ts").as("dd"))
+      val bounds = ev.agg(min($"event_id").as("lo"), max($"event_id").as("hi"))
+      def edge(k: Int): Column =
+        $"lo" - 1 + floor(($"hi" - $"lo" + 1) * lit(k) / lit(Waves.toDouble)).cast("long")
+      val partials = (0 until Waves).map { k =>
+        ev.join(broadcast(bounds), $"event_id" > edge(k) && $"event_id" <= edge(k + 1))
+          .groupBy($"user_id")
+          .agg(min($"dd").as("fd"), max($"dd").as("ld"))
+          .localCheckpoint()
+      }
+      val merged = partials.reduce(_.unionAll(_))
+        .groupBy($"user_id")
+        .agg(min($"fd").as("fd"), max($"ld").as("ld"))
+      graft.operators.Analytics.survivalFold(merged)
+    },
+    // Batching must not move one curve point: the oracle is the batch
+    // estimator's, verbatim.
+    graft.operators.Analytics.survivalKm.oracle
+  )
+
+  def all: Seq[GraftQuery] = Seq(streamResample, streamActiveUsers,
+    streamAssocRules, streamSurvivalKm)
 }

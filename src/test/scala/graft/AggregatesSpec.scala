@@ -1025,4 +1025,80 @@ class AggregatesSpec extends AnyFunSuite {
       assert(math.abs(rev.getAs[Double]("lift") - r.getAs[Double]("lift")) <= 1e-9)
     }
   }
+
+  test("agg_effect_size: d and CLES replay brute-force moment and pairwise computations") {
+    val out = operators.Analytics.effectSize.run(spark, TestSpark.Sf).collect()
+    assert(out.length === 1)
+    val r = out.head
+    val vals = sources.Tables.events(spark, TestSpark.Sf)
+      .filter($"event_type".isin("view", "purchase"))
+      .select($"event_type",
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    val xs = vals.filter(_._1 == "purchase").map(_._2)
+    val ys = vals.filter(_._1 == "view").map(_._2)
+    def meanVar(v: Array[Long]): (Double, Double) = {
+      val m = v.map(_.toDouble).sum / v.length
+      (m, v.map(x => (x - m) * (x - m)).sum / (v.length - 1))
+    }
+    val ((m1, v1), (m2, v2)) = (meanVar(xs), meanVar(ys))
+    val sp = math.sqrt(((xs.length - 1) * v1 + (ys.length - 1) * v2)
+      / (xs.length + ys.length - 2))
+    val d = (m1 - m2) / sp
+    assert(r.getAs[Long]("n1") === xs.length.toLong)
+    assert(math.abs(r.getAs[Double]("cohen_d") - d) <= 1e-5)
+    assert(math.abs(r.getAs[Double]("hedges_g")
+      - d * (1.0 - 3.0 / (4.0 * (xs.length + ys.length) - 9.0))) <= 1e-5)
+    // brute pairwise CLES with half-credit ties
+    val wins = (for (a <- xs; b <- ys) yield
+      if (a > b) 1.0 else if (a == b) 0.5 else 0.0).sum
+    assert(math.abs(r.getAs[Double]("cles")
+      - wins / (xs.length.toDouble * ys.length)) <= 1e-6)
+  }
+
+  test("agg_price_index: indices replay the matched-basket sums; Fisher between L and P") {
+    val out = operators.Analytics.priceIndex.run(spark, TestSpark.Sf).collect()
+    assert(out.nonEmpty)
+    val py = sources.Tables.lineitem(spark, TestSpark.Sf)
+      .groupBy($"l_partkey", year($"l_shipdate").as("yr"))
+      .agg(expr("sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))").as("rev"),
+        expr("sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))").as("qty"))
+      .collect().map(x => ((x.getLong(0), x.getInt(1)), (x.getLong(2), x.getLong(3))))
+      .toMap
+    val y0 = py.keysIterator.map(_._2).min
+    out.foreach { r =>
+      val yr = r.getInt(0)
+      val matched = py.keysIterator.filter(_._2 == yr)
+        .map(_._1).filter(pk => py.contains((pk, y0))).toSeq
+      assert(r.getAs[Long]("n_parts") === matched.length.toLong)
+      def terms(pk: Long): (Double, Double, Double, Double) = {
+        val (rev1, qty1) = py((pk, yr)); val (rev0, qty0) = py((pk, y0))
+        val (p1, p0) = (rev1.toDouble / qty1, rev0.toDouble / qty0)
+        val (q1, q0) = (qty1 / 100.0, qty0 / 100.0)
+        (p1 * q0, p0 * q0, p1 * q1, p0 * q1)
+      }
+      val ts = matched.map(terms)
+      val l = ts.map(_._1).sum / ts.map(_._2).sum
+      val pp = ts.map(_._3).sum / ts.map(_._4).sum
+      assert(math.abs(r.getAs[Double]("laspeyres") - l) <= 1e-3, s"$yr L")
+      assert(math.abs(r.getAs[Double]("paasche") - pp) <= 1e-3, s"$yr P")
+      val (lo, hi) = (math.min(l, pp), math.max(l, pp))
+      assert(r.getAs[Double]("fisher") >= lo - 1e-6 &&
+        r.getAs[Double]("fisher") <= hi + 1e-6,
+        "Fisher sits between Laspeyres and Paasche")
+    }
+  }
+
+  test("stream_assoc_rules / stream_survival_km: wave-merged state reproduces the batch tables bit-for-bit") {
+    // the straddling-basket case only exists when waves split a basket:
+    // event_id waves do exactly that on the fixture (users act all month)
+    val ba = operators.Analytics.assocRules.run(spark, TestSpark.Sf).collect()
+    val sa = streaming.ResampleStream.streamAssocRules.run(spark, TestSpark.Sf).collect()
+    assert(ba.map(_.toString).toSeq === sa.map(_.toString).toSeq,
+      "arrival batching must not move one rule")
+    val bk = operators.Analytics.survivalKm.run(spark, TestSpark.Sf).collect()
+    val sk = streaming.ResampleStream.streamSurvivalKm.run(spark, TestSpark.Sf).collect()
+    assert(bk.map(_.toString).toSeq === sk.map(_.toString).toSeq,
+      "arrival batching must not move one curve point")
+  }
 }

@@ -755,4 +755,52 @@ class CorpusSpec extends AnyFunSuite {
         - covered.toDouble / ts.length) <= 1e-6)
     }
   }
+
+  test("llm_zipf: the slope replays an exact OLS on the deterministic top-100 rank curve") {
+    val out = llm.TextStats.zipf.run(spark, TestSpark.Sf).collect()
+    val toks = sources.Tables.documents(spark, TestSpark.Sf)
+      .select($"source", explode(split($"text", " ")).as("t")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1)
+    assert(out.length === toks.size)
+    out.foreach { r =>
+      val counts = toks(r.getString(0)).map(_._2)
+        .groupBy(identity).view.mapValues(_.length).toSeq
+        .sortBy { case (t, c) => (-c, t) }.take(100).map(_._2)
+      val pts = counts.zipWithIndex.map { case (c, i) =>
+        (math.log(i + 1.0), math.log(c.toDouble)) }
+      val n = pts.length.toDouble
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      assert(r.getAs[Long]("n_terms") === pts.length.toLong)
+      assert(math.abs(r.getAs[Double]("zipf_slope") - slope) <= 1e-3,
+        s"${r.getString(0)} slope $slope")
+      assert(r.getAs[Double]("zipf_slope") < 0.0,
+        "frequency must fall with rank")
+    }
+  }
+
+  test("llm_ngram_entropy: H replays the exact bigram distribution; bounds hold") {
+    val out = llm.TextStats.ngramEntropy.run(spark, TestSpark.Sf).collect()
+    val docs = sources.Tables.documents(spark, TestSpark.Sf)
+      .select($"source", $"text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ")))
+      .groupBy(_._1)
+    out.foreach { r =>
+      val grams = docs(r.getString(0)).flatMap { case (_, w) =>
+        w.zip(w.tail).map { case (a, b) => a + " " + b } }
+      val cs = grams.groupBy(identity).view.mapValues(_.length.toLong).values.toSeq
+      val n = cs.sum.toDouble
+      val h = math.log(n) - cs.map(c => c * math.log(c.toDouble)).sum / n
+      assert(r.getAs[Long]("n_types") === cs.length.toLong)
+      assert(r.getAs[Long]("n") === cs.sum)
+      assert(math.abs(r.getAs[Double]("h_nats") - h) <= 1e-3)
+      assert(r.getAs[Double]("h_nats") >= -1e-9 &&
+        r.getAs[Double]("h_nats") <= math.log(cs.length.toDouble) + 1e-9,
+        "0 <= H <= ln(types)")
+      assert(math.abs(r.getAs[Double]("perplexity") - math.exp(h)) <= 0.1)
+    }
+  }
 }

@@ -638,4 +638,42 @@ class GraphSpec extends AnyFunSuite {
       assert(got((x, c)) === n, s"pair counts must be symmetric: ($c,$x)")
     }
   }
+
+  test("clustering coefficient: per-vertex credits match a brute neighborhood intersection") {
+    val out = operators.Graph.clusteringCoeff.run(spark, TestSpark.Sf).collect()
+    val edges = bruteEdges
+    val nbr = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(out.length === nbr.size)
+    out.foreach { r =>
+      val v = r.getLong(0)
+      val ns = nbr(v)
+      assert(r.getAs[Long]("deg") === ns.size.toLong)
+      val tri = ns.toSeq.combinations(2)
+        .count { case Seq(a, b) => nbr(a)(b) }.toLong
+      assert(r.getAs[Long]("n_tri") === tri, s"vertex $v triangle credit")
+      if (ns.size >= 2)
+        assert(math.abs(r.getAs[Double]("cc")
+          - 2.0 * tri / (ns.size.toDouble * (ns.size - 1))) <= 1e-6)
+      else assert(r.getAs[Double]("cc") === 0.0)
+    }
+  }
+
+  test("reciprocity: the ratio replays a brute directed-pair scan of order sequences") {
+    val out = operators.Graph.reciprocity.run(spark, TestSpark.Sf).collect()
+    assert(out.length === 1)
+    val seqs = sources.Tables.lineitem(spark, TestSpark.Sf)
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(t => (t._2, t._3)).map(_._3)).toMap
+    val pairs = seqs.valuesIterator.flatMap { ps =>
+      ps.zip(ps.tail).filter { case (a, b) => a != b }
+    }.toSet
+    val recip = pairs.count { case (a, b) => pairs((b, a)) }.toLong
+    val r = out.head
+    assert(r.getAs[Long]("n_edges") === pairs.size.toLong)
+    assert(r.getAs[Long]("n_recip") === recip)
+    assert(math.abs(r.getAs[Double]("reciprocity")
+      - recip.toDouble / pairs.size) <= 1e-6)
+  }
 }

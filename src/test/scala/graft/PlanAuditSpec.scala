@@ -93,6 +93,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "agg_lorenz",         // 1-row (n, \u03a3x) totals broadcast onto the rank frame
     "agg_assoc_rules",    // 1-row basket-count broadcast onto the \u226425-row pair table
     "llm_clf_lift",       // 1-row (n, P) totals broadcast onto the rank frame
+    "ts_did",             // 1-row calendar-bounds broadcast onto the daily frame
+    "agg_price_index",    // 1-row base-year broadcast (non-equi yr <> y0 residual)
+    "graph_reciprocity",  // 1-row reciprocal-count broadcast onto the 1-row edge count
+    "stream_assoc_rules", // 1-row basket-count broadcast (the batch assocFold plan)
+    "stream_survival_km", // 1-row dmax + totals broadcasts (the batch survivalFold plan)
     "llm_bpe_train",      // 1-row winning-pair broadcast per merge round
     "llm_bpe_apply"       // 1-row frozen-rules broadcast onto the vocab
   )
@@ -128,7 +133,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "agg_survival_km",       // lifetime-day-domain cumulative folds above the user agg
     "agg_lorenz",            // \u226410 decile rows + \u226432-row range-bucket prefix (twoLevelRank)
     "llm_clf_auc",           // \u226410001-row basis-point score domain above the score agg
-    "llm_clf_lift")          // \u226410 decile rows + \u226432-row range-bucket prefix (twoLevelRank)
+    "llm_clf_lift",          // \u226410 decile rows + \u226432-row range-bucket prefix (twoLevelRank)
+    "stream_survival_km")    // the batch survivalFold plan over the lifetime-day domain
 
   private def unpartitionedWindows(p: SparkPlan): Seq[WindowExec] = {
     val self = p match {

@@ -1182,4 +1182,48 @@ class TimeSeriesSpec extends AnyFunSuite {
         "histogram = macd - signal up to independent rounding")
     }
   }
+
+  test("ts_var_ratio: VR replays the exact trailing-diff variances; full windows only") {
+    val out = operators.TimeSeries.varRatio.run(spark, TestSpark.Sf).collect()
+    val daily = dailyCents()
+    assert(out.length === daily.size)
+    def variance(xs: Seq[Double]): Double = {
+      val m = xs.sum / xs.length
+      xs.map(x => (x - m) * (x - m)).sum / xs.length
+    }
+    out.foreach { r =>
+      val vs = daily(r.getString(0)).map(_._2)
+      val d1 = vs.zip(vs.tail).map { case (a, b) => (b - a).toDouble }
+      val d2 = d1.zip(d1.tail).map { case (a, b) => a + b }
+      val d4 = d1.sliding(4).map(_.sum).toSeq
+      assert(r.getAs[Long]("n_diffs") === d1.length.toLong)
+      assert(math.abs(r.getAs[Double]("vr2")
+        - variance(d2) / (2 * variance(d1))) <= 1e-4, "VR(2)")
+      assert(math.abs(r.getAs[Double]("vr4")
+        - variance(d4) / (4 * variance(d1))) <= 1e-4, "VR(4)")
+    }
+  }
+
+  test("ts_did: the 2x2 cells and the DiD replay an independent split-and-mean") {
+    val out = operators.TimeSeries.did.run(spark, TestSpark.Sf).collect()
+    assert(out.length === 1)
+    val r = out.head
+    val daily = dailyCents().filter { case (t, _) => t == "purchase" || t == "view" }
+    val days = daily.valuesIterator.flatMap(_.map(_._1.toEpochDay)).toSeq
+    val (d0, d1) = (days.min, days.max)
+    def cell(t: String, post: Boolean): Seq[Double] =
+      daily(t).filter { case (d, _) =>
+        ((d.toEpochDay - d0) * 2 > (d1 - d0)) == post
+      }.map(_._2.toDouble)
+    def mean(xs: Seq[Double]) = xs.sum / xs.length
+    val didExp = (mean(cell("purchase", true)) - mean(cell("purchase", false))) -
+      (mean(cell("view", true)) - mean(cell("view", false)))
+    assert(r.getAs[Long]("n_t_post") === cell("purchase", true).length.toLong)
+    assert(r.getAs[Long]("n_c_pre") === cell("view", false).length.toLong)
+    assert(math.abs(r.getAs[Double]("did_cents") - didExp) <= 1e-2)
+    // SE is the root of the four mean-variances; t = DiD / SE
+    assert(math.abs(r.getAs[Double]("t_stat")
+      - r.getAs[Double]("did_cents") / r.getAs[Double]("se")) <= 1e-2,
+      "t-statistic consistency (up to independent rounding)")
+  }
 }
