@@ -1583,9 +1583,91 @@ object Similarity {
             FROM q GROUP BY vec_id ORDER BY vec_id""")
   )
 
+  /** Per-source embedding drift — each source's centroid compared to the
+    * corpus centroid (cosine + L2): the representation-space monitor a
+    * multi-source corpus runs per ingest ("did src13's embedding
+    * distribution move?"), and the embedding-side complement of
+    * llm_domain_mix. A source drifting in embedding space flags a
+    * content shift long before token statistics move.
+    *
+    * Determinism — the llm_embed_stats float-quantization device: per-
+    * dimension means are unordered double folds whose last-ulp noise the
+    * FLOAT downcast absorbs, so both engines hold bit-identical
+    * centroids; cosine/L2 between two ≤dim-length float vectors are then
+    * fixed-order folds, rounded at the projection.
+    *
+    * Scale shape: one posexplode hash aggregate onto the (source, dim)
+    * domain (map-side combined — the fact table reduces to
+    * sources × dim rows), centroids assembled by sorted collect over the
+    * bounded dim domain, the ≤1-row global centroid broadcast. */
+  val embedDrift: GraftQuery = GraftQuery(
+    "llm_embed_drift",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.documents(s, dir).select($"doc_id", $"source")
+        .join(Tables.embeddings(s, dir).hint("shuffle_hash"),
+          $"doc_id" === $"vec_id")
+        .select($"source", $"embedding")
+      val dims = e
+        .select($"source", posexplode($"embedding").as(Seq("dim", "x")))
+        .groupBy($"source", $"dim")
+        .agg(avg($"x").as("m"), count(lit(1)).as("n"))
+        .localCheckpoint() // per-source centroids AND the global roll-up
+      val cents = dims.groupBy($"source")
+        .agg(transform(array_sort(collect_list(struct($"dim", $"m"))),
+          c => c.getField("m").cast("float")).as("c"),
+          first($"n").as("n_vecs"))
+      // global centroid = the n-weighted roll-up of the per-source means
+      // (exactly the corpus mean, computed without a second fact pass)
+      val global = dims.groupBy($"dim")
+        .agg((sum($"m" * $"n") / sum($"n")).as("g"))
+        .groupBy()
+        .agg(transform(array_sort(collect_list(struct($"dim", $"g"))),
+          c => c.getField("g").cast("float")).as("gc"))
+      cents.crossJoin(broadcast(global))
+        .select($"source", $"n_vecs",
+          round(VectorFunctions.cosine(s, $"c", $"gc"), 4).as("cos_to_global"),
+          round(sqrt(greatest(
+            VectorFunctions.dot(s, $"c", $"c")
+              + VectorFunctions.dot(s, $"gc", $"gc")
+              - lit(2.0) * VectorFunctions.dot(s, $"c", $"gc"), lit(0.0))), 4)
+            .as("l2_to_global"))
+        .orderBy($"source")
+    },
+    Some("""WITH e AS (
+              SELECT d.source, CAST(em.embedding AS DOUBLE[]) AS v
+              FROM documents d JOIN embeddings em ON d.doc_id = em.vec_id),
+            dims AS (
+              SELECT source, dim, avg(x) AS m, count(*) AS n
+              FROM (SELECT source, generate_subscripts(v, 1) AS dim,
+                           unnest(v) AS x
+                    FROM e)
+              GROUP BY 1, 2),
+            cents AS (
+              SELECT source,
+                     list_transform(list(m ORDER BY dim),
+                                    y -> CAST(CAST(y AS FLOAT) AS DOUBLE)) AS c,
+                     CAST(max(n) AS BIGINT) AS n_vecs
+              FROM dims GROUP BY source),
+            gdims AS (
+              SELECT dim, sum(m * n) / sum(n) AS g
+              FROM dims GROUP BY dim),
+            gc AS (
+              SELECT list_transform(list(g ORDER BY dim),
+                                    y -> CAST(CAST(y AS FLOAT) AS DOUBLE)) AS gc
+              FROM gdims)
+            SELECT source, n_vecs,
+                   round(list_cosine_similarity(c, gc.gc), 4) AS cos_to_global,
+                   round(sqrt(greatest(
+                     list_sum(list_transform(c, y -> y * y))
+                     + list_sum(list_transform(gc.gc, y -> y * y))
+                     - 2.0 * list_dot_product(c, gc.gc), 0.0)), 4) AS l2_to_global
+            FROM cents, gc ORDER BY source""")
+  )
+
   def all: Seq[GraftQuery] =
     Seq(bruteTopK, rangeSearch, rangeIvf, lshTopK, ivfTopK, ivf2TopK,
       ivfPersistedTopK, embedStats, pqTopK, indexAppendTopK, ivfPqTopK,
       mmrDiversify, filteredTopK, filteredPersistedTopK, knnJoin,
-      embedQuantize)
+      embedQuantize, embedDrift)
 }

@@ -2497,19 +2497,17 @@ object Analytics {
     * Scale shape: two bounded aggregates off one fact scan (a 1-row
     * moments frame and a distinct-cents-domain rank frame), one 1-row
     * readout. */
-  val effectSize: GraftQuery = GraftQuery(
-    "agg_effect_size",
-    (s, dir) => {
-      import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val ev = Tables.events(s, dir)
-        .filter($"event_type".isin("view", "purchase"))
-        .select($"event_type",
-          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cv"))
-      val counts = ev.groupBy($"cv")
-        .agg(sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("c1"),
-          sum(when($"event_type" === "view", 1L).otherwise(0L)).as("c2"))
-        .withColumn("t", $"c1" + $"c2")
+  /** The effect-size fold over a (cv, c1, c2) distinct-cents count frame
+    * — shared by the batch query and the streaming twin
+    * (stream_effect_size merges per-wave integer count partials into the
+    * same frame; counts are exactly mergeable under any arrival split,
+    * so the served d/g/CLES are bit-equal to batch). */
+  private[graft] def effectFold(countsIn: DataFrame): DataFrame = {
+    val s = countsIn.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    {
+      val counts = countsIn.withColumn("t", $"c1" + $"c2")
       val w = Window.orderBy($"cv").rowsBetween(Window.unboundedPreceding, 0)
       val ranked = counts
         .withColumn("hi", sum($"t").over(w))
@@ -2550,6 +2548,20 @@ object Analytics {
             / (lit(4.0) * ($"n1" + $"n2").cast("double") - lit(9.0))), 6)
             .as("hedges_g"),
           round($"cles", 6).as("cles"))
+    }
+  }
+
+  val effectSize: GraftQuery = GraftQuery(
+    "agg_effect_size",
+    (s, dir) => {
+      import s.implicits._
+      effectFold(Tables.events(s, dir)
+        .filter($"event_type".isin("view", "purchase"))
+        .select($"event_type",
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cv"))
+        .groupBy($"cv")
+        .agg(sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("c1"),
+          sum(when($"event_type" === "view", 1L).otherwise(0L)).as("c2")))
     },
     Some("""WITH ev AS (
               SELECT event_type,
@@ -2612,15 +2624,15 @@ object Analytics {
     * self-join of base-year rows onto current-year rows keyed by part
     * (shuffle-hash — both sides catalog-sized), one bounded per-year
     * fold. */
-  val priceIndex: GraftQuery = GraftQuery(
-    "agg_price_index",
-    (s, dir) => {
-      import s.implicits._
-      val py = Tables.lineitem(s, dir)
-        .groupBy($"l_partkey".as("pk"), year($"l_shipdate").as("yr"))
-        .agg(expr("sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))").as("rev"),
-          expr("sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))").as("qty"))
-        .localCheckpoint() // base slice and current slice both read it
+  /** The index fold over a (pk, yr, rev, qty) part-year frame — shared
+    * by the batch query and the streaming twin (stream_price_index
+    * merges per-wave revenue/quantity sum partials into the same frame;
+    * sums are exactly mergeable, so the served indices are bit-equal to
+    * batch). Expects a lineage-cut frame (read by both slices). */
+  private[graft] def priceFold(py: DataFrame): DataFrame = {
+    val s = py.sparkSession
+    import s.implicits._
+    {
       val y0 = py.agg(min($"yr").as("y0"))
       val base = py.join(broadcast(y0), $"yr" === $"y0")
         .select($"pk", ($"rev".cast("double") / $"qty".cast("double")).as("p0"),
@@ -2651,6 +2663,18 @@ object Analytics {
             * ($"p_num".cast("double") / $"p_den".cast("double"))), 6)
             .as("fisher"))
         .orderBy($"yr")
+    }
+  }
+
+  val priceIndex: GraftQuery = GraftQuery(
+    "agg_price_index",
+    (s, dir) => {
+      import s.implicits._
+      priceFold(Tables.lineitem(s, dir)
+        .groupBy($"l_partkey".as("pk"), year($"l_shipdate").as("yr"))
+        .agg(expr("sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))").as("rev"),
+          expr("sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))").as("qty"))
+        .localCheckpoint()) // base slice and current slice both read it
     },
     Some("""WITH py AS (
               SELECT l_partkey AS pk, CAST(year(l_shipdate) AS INT) AS yr,
@@ -2682,11 +2706,113 @@ object Analytics {
             FROM j ORDER BY yr""")
   )
 
+  /** Brown–Forsythe / Levene homogeneity-of-variance test across event
+    * types — the PRECONDITION check in front of agg_anova and
+    * agg_ttest_welch (pooled-variance inference assumes equal spread;
+    * this is the test that says whether that assumption holds, median-
+    * centered per the robust Brown–Forsythe form).
+    *
+    * Determinism — the half-integer median trick: the group median of
+    * integer cents interpolates at most halfway, so 2·median is an
+    * EXACT integer and z = |2c − 2·med| is an exact BIGINT per row; the
+    * per-group (n, Σz, Σz²) folds are pure integer sufficient
+    * statistics (Σz² gated) and W is a fixed scalar chain over them
+    * (the ×2 scale cancels in the ratio).
+    *
+    * Scale shape: one aggregate for the medians (bounded |types| rows,
+    * broadcast back), one hash aggregate onto the type domain, one
+    * 1-row fold. */
+  val levene: GraftQuery = GraftQuery(
+    "agg_levene",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir).select($"event_type",
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
+      val meds = ev.groupBy($"event_type").agg(
+        expr("CAST(round(percentile_cont(0.5) WITHIN GROUP (ORDER BY CAST(c AS DOUBLE)) * 2) AS BIGINT)")
+          .as("med2"))
+      val z = ev.join(broadcast(meds), "event_type")
+        .withColumn("z", abs($"c" * 2L - $"med2"))
+      // the agg_anova device: the type domain is FIXED, so the per-group
+      // sufficient statistics land as COLUMNS of one aggregate row and
+      // every cross-group combination is a fixed-order scalar chain —
+      // never an unordered double sum (a 5-term groupBy fold already
+      // differs across engines at the last ulp).
+      val types = entropyTypes
+      val aggs = types.zipWithIndex.flatMap { case (t, i) => Seq(
+        sum(when($"event_type" === t, 1L).otherwise(0L)).as(s"n$i"),
+        sum(when($"event_type" === t, $"z").otherwise(0L)).as(s"s$i"),
+        GraftQuery.guarded(
+          sum(when($"event_type" === t, $"z" * $"z").otherwise(0L)),
+          count(lit(1)).cast("double") * max($"z").cast("double")
+            * max($"z").cast("double") < lit(9e18),
+          "agg_levene: \u03a3z\u00b2 fold past BIGINT headroom \u2014 "
+            + "rescale to a coarser unit").as(s"q$i"))
+      }
+      val idx = types.indices
+      val one = z.agg(aggs.head, aggs.tail: _*)
+      val k = lit(types.size)
+      val nTot = idx.map(i => col(s"n$i")).reduce(_ + _)
+      val szAll = idx.map(i => col(s"s$i")).reduce(_ + _)
+      val sm2 = idx.map(i => col(s"s$i").cast("double") * col(s"s$i").cast("double")
+        / col(s"n$i").cast("double")).reduce(_ + _)
+      val qAll = idx.map(i => col(s"q$i").cast("double")).reduce(_ + _)
+      one.select(k.cast("long").as("k"), nTot.as("n_total"),
+        round(((nTot - k).cast("double") / (k - lit(1)).cast("double"))
+          * ((sm2 - szAll.cast("double") * szAll.cast("double")
+            / nTot.cast("double")) / (qAll - sm2)), 6).as("levene_w"))
+    },
+    Some("""WITH ev AS (SELECT event_type,
+                               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+                        FROM events),
+            m AS (SELECT event_type,
+                         CAST(round(percentile_cont(0.5) WITHIN GROUP
+                           (ORDER BY CAST(c AS DOUBLE)) * 2) AS BIGINT) AS med2
+                  FROM ev GROUP BY 1),
+            z AS (SELECT ev.event_type, abs(c * 2 - med2) AS z
+                  FROM ev JOIN m USING (event_type)),
+            g AS (SELECT
+                    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+                    CAST(sum(CASE WHEN event_type = 'click' THEN z ELSE 0 END) AS BIGINT) AS s0,
+                    CAST(sum(CASE WHEN event_type = 'click' THEN z * z ELSE 0 END) AS BIGINT) AS q0,
+                    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                    CAST(sum(CASE WHEN event_type = 'error' THEN z ELSE 0 END) AS BIGINT) AS s1,
+                    CAST(sum(CASE WHEN event_type = 'error' THEN z * z ELSE 0 END) AS BIGINT) AS q1,
+                    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                    CAST(sum(CASE WHEN event_type = 'purchase' THEN z ELSE 0 END) AS BIGINT) AS s2,
+                    CAST(sum(CASE WHEN event_type = 'purchase' THEN z * z ELSE 0 END) AS BIGINT) AS q2,
+                    CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+                    CAST(sum(CASE WHEN event_type = 'signup' THEN z ELSE 0 END) AS BIGINT) AS s3,
+                    CAST(sum(CASE WHEN event_type = 'signup' THEN z * z ELSE 0 END) AS BIGINT) AS q3,
+                    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+                    CAST(sum(CASE WHEN event_type = 'view' THEN z ELSE 0 END) AS BIGINT) AS s4,
+                    CAST(sum(CASE WHEN event_type = 'view' THEN z * z ELSE 0 END) AS BIGINT) AS q4
+                  FROM z)
+            SELECT CAST(5 AS BIGINT) AS k,
+                   CAST(n0 + n1 + n2 + n3 + n4 AS BIGINT) AS n_total,
+                   round((CAST((n0 + n1 + n2 + n3 + n4) - 5 AS DOUBLE) / (5 - 1))
+                         * (((CAST(s0 AS DOUBLE) * s0 / n0
+                              + CAST(s1 AS DOUBLE) * s1 / n1
+                              + CAST(s2 AS DOUBLE) * s2 / n2
+                              + CAST(s3 AS DOUBLE) * s3 / n3
+                              + CAST(s4 AS DOUBLE) * s4 / n4)
+                             - CAST(s0 + s1 + s2 + s3 + s4 AS DOUBLE)
+                               * (s0 + s1 + s2 + s3 + s4)
+                               / (n0 + n1 + n2 + n3 + n4))
+                            / ((CAST(q0 AS DOUBLE) + q1 + q2 + q3 + q4)
+                               - (CAST(s0 AS DOUBLE) * s0 / n0
+                                  + CAST(s1 AS DOUBLE) * s1 / n1
+                                  + CAST(s2 AS DOUBLE) * s2 / n2
+                                  + CAST(s3 AS DOUBLE) * s3 / n3
+                                  + CAST(s4 AS DOUBLE) * s4 / n4))), 6) AS levene_w
+            FROM g""")
+  )
+
   def all: Seq[GraftQuery] = Seq(
     statsAgg, percentiles, approxPercentile, stringAgg, pivotAgg, jsonStruct,
     topNRevenue, corrMatrix, ksTest, mannWhitney, chiSq, gini,
     ttestWelch, spearman, cramersV, benford, moments, shareOfParent, anova,
     wilcoxon, entropy, expectations, kanon, hhi, bootstrapCi, cuped, powerMde,
     srm, markov, cohortLtv, survivalKm, theil, elasticity, winsorized,
-    lorenz, assocRules, effectSize, priceIndex)
+    lorenz, assocRules, effectSize, priceIndex, levene)
 }

@@ -3041,6 +3041,74 @@ object TimeSeries {
             FROM a""")
   )
 
+  /** Classical additive decomposition of the daily revenue series —
+    * trend (centered 7-day moving average), day-of-week seasonal
+    * component (mean detrended value per weekday), and the residual:
+    * the decomposition every seasonal-anomaly pipeline runs before
+    * thresholding (an alert on the RAW series fires every weekend; an
+    * alert on the residual fires on real anomalies).
+    *
+    * Determinism — exact rational detrending: the centered-window sum
+    * t7 is an exact BIGINT, so the detrended numerator 7·v − t7 is too;
+    * the seasonal component is a ratio of exact integer folds
+    * (Σ(7v−t7) / (7·n_dow)); trend/seasonal/residual are then fixed
+    * scalar chains over exact ints, rounded at the projection. Only
+    * full 7-day centered windows emit (the textbook edge rule).
+    *
+    * Scale shape: one hash aggregate onto the bounded (type, day)
+    * domain, one centered window, one ≤|types|·7-row seasonal aggregate
+    * broadcast back. */
+  val decompose: GraftQuery = GraftQuery(
+    "ts_decompose",
+    (s, dir) => {
+      import s.implicits._
+      val w7 = Window.partitionBy($"event_type").orderBy($"d").rowsBetween(-3, 3)
+      val base = changepointDaily(s, dir)
+        .withColumn("n7", count(lit(1)).over(w7))
+        .withColumn("t7", sum($"v").over(w7))
+        .filter($"n7" === 7L)
+        .withColumn("dow", dayofweek($"d"))
+        .withColumn("detr_num", $"v" * 7L - $"t7") // 7·(v − trend), exact
+        .localCheckpoint() // seasonal aggregate and the readout both scan it
+      val seasonal = base.groupBy($"event_type", $"dow")
+        .agg(sum($"detr_num").as("sdn"), count(lit(1)).as("ndow"))
+      base.join(broadcast(seasonal), Seq("event_type", "dow"))
+        .select($"event_type", $"d", $"v",
+          round($"t7".cast("double") / 7.0, 4).as("trend"),
+          round($"sdn".cast("double") / (lit(7.0) * $"ndow".cast("double")), 4)
+            .as("seasonal"),
+          round($"detr_num".cast("double") / 7.0
+            - $"sdn".cast("double") / (lit(7.0) * $"ndow".cast("double")), 4)
+            .as("residual"))
+        .orderBy($"event_type", $"d")
+    },
+    Some("""WITH daily AS (
+              SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+              FROM events GROUP BY 1, 2),
+            r AS (SELECT event_type, d, v,
+                         CAST(count(*) OVER w AS BIGINT) AS n7,
+                         CAST(sum(v) OVER w AS BIGINT) AS t7
+                  FROM daily
+                  WINDOW w AS (PARTITION BY event_type ORDER BY d
+                               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+            f AS (SELECT event_type, d, v, t7,
+                         CAST(dayofweek(d) AS INT) + 1 AS dow,
+                         v * 7 - t7 AS detr_num
+                  FROM r WHERE n7 = 7),
+            se AS (SELECT event_type, dow,
+                          CAST(sum(detr_num) AS BIGINT) AS sdn,
+                          count(*) AS ndow
+                   FROM f GROUP BY 1, 2)
+            SELECT f.event_type, f.d, f.v,
+                   round(CAST(t7 AS DOUBLE) / 7.0, 4) AS trend,
+                   round(CAST(sdn AS DOUBLE) / (7.0 * ndow), 4) AS seasonal,
+                   round(CAST(detr_num AS DOUBLE) / 7.0
+                         - CAST(sdn AS DOUBLE) / (7.0 * ndow), 4) AS residual
+            FROM f JOIN se USING (event_type, dow)
+            ORDER BY f.event_type, f.d""")
+  )
+
   def all: Seq[GraftQuery] =
     Seq(asofJoin, asofTolerance, gapFill, ntileRanks, skewSalted, resample, funnel,
       funnelWindowed, sessionize, retention, anomaly, interpolate, ewma,
@@ -3048,5 +3116,5 @@ object TimeSeries {
       theilSen, acf, changepoint, pacf, peaks, streaks, holt, ols, holtWinters,
       asofNearest, rollingOls, forecastEval, activeUsers, wowGrowth, holtDamped,
       holtWintersDamped, croston, intermittency, drawdown, bollinger, rsi,
-      smaCross, macd, varRatio, did)
+      smaCross, macd, varRatio, did, decompose)
 }

@@ -319,6 +319,81 @@ object DriftStream {
     graft.operators.Analytics.bootstrapCi.oracle
   )
 
+  /** Streaming effect-size monitor — the micro-batch twin of
+    * `agg_effect_size`: the maintained state is the (distinct-cents,
+    * purchase-count, view-count) table, and integer counts are exactly
+    * mergeable under ANY arrival split, so the served Cohen's d /
+    * Hedges' g / CLES are bit-equal to batch (shared effectFold — the
+    * twins cannot drift). This is the effect-size line on a live
+    * experiment dashboard: per-wave cost is one count aggregate over
+    * the batch, merged state is bounded by the distinct-cents domain,
+    * and no event is ever re-read. Oracle = the batch readout's,
+    * verbatim. */
+  val streamEffectSize: GraftQuery = GraftQuery(
+    "stream_effect_size",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .filter($"event_type".isin("view", "purchase"))
+        .select($"event_id", $"event_type",
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cv"))
+      val bounds = ev.agg(min($"event_id").as("lo"), max($"event_id").as("hi"))
+      def edge(k: Int): Column =
+        $"lo" - 1 + floor(($"hi" - $"lo" + 1) * lit(k) / lit(Waves.toDouble)).cast("long")
+      val partials = (0 until Waves).map { k =>
+        ev.join(broadcast(bounds), $"event_id" > edge(k) && $"event_id" <= edge(k + 1))
+          .groupBy($"cv")
+          .agg(sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("c1"),
+            sum(when($"event_type" === "view", 1L).otherwise(0L)).as("c2"))
+          .localCheckpoint()
+      }
+      val merged = partials.reduce(_.unionAll(_))
+        .groupBy($"cv").agg(sum($"c1").as("c1"), sum($"c2").as("c2"))
+      Analytics.effectFold(merged)
+    },
+    // Batching must not move d, g, or CLES: the oracle is the batch
+    // effect-size readout's, verbatim.
+    Analytics.effectSize.oracle
+  )
+
+  /** Streaming price-index monitor — the micro-batch twin of
+    * `agg_price_index`: the maintained state is the (part, year) revenue
+    * and quantity sums, exactly mergeable integer partials under ANY
+    * arrival split; the matched-basket Laspeyres/Paasche/Fisher fold
+    * (shared priceFold) serves bit-equal indices — this is how a price
+    * dashboard tracks inflation against a live order stream without
+    * re-reading history. Waves split on l_orderkey (the lineitem
+    * arrival key). Oracle = the batch indices', verbatim. */
+  val streamPriceIndex: GraftQuery = GraftQuery(
+    "stream_price_index",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_partkey", year($"l_shipdate").as("yr"),
+          expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("pc"),
+          expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)").as("qc"))
+      val bounds = li.agg(min($"l_orderkey").as("lo"), max($"l_orderkey").as("hi"))
+      def edge(k: Int): Column =
+        $"lo" - 1 + floor(($"hi" - $"lo" + 1) * lit(k) / lit(Waves.toDouble)).cast("long")
+      val partials = (0 until Waves).map { k =>
+        li.join(broadcast(bounds),
+            $"l_orderkey" > edge(k) && $"l_orderkey" <= edge(k + 1))
+          .groupBy($"l_partkey".as("pk"), $"yr")
+          .agg(sum($"pc").as("rev"), sum($"qc").as("qty"))
+          .localCheckpoint()
+      }
+      val merged = partials.reduce(_.unionAll(_))
+        .groupBy($"pk", $"yr")
+        .agg(sum($"rev").as("rev"), sum($"qty").as("qty"))
+        .localCheckpoint()
+      Analytics.priceFold(merged)
+    },
+    // Batching must not move one index: the oracle is the batch
+    // matched-basket indices', verbatim.
+    Analytics.priceIndex.oracle
+  )
+
   def all: Seq[GraftQuery] = Seq(streamKsDrift, streamTtest, streamChangepoint,
-    streamMoments, streamEntropy, streamChecksum, streamBootstrapCi)
+    streamMoments, streamEntropy, streamChecksum, streamBootstrapCi,
+    streamEffectSize, streamPriceIndex)
 }

@@ -1101,4 +1101,42 @@ class AggregatesSpec extends AnyFunSuite {
     assert(bk.map(_.toString).toSeq === sk.map(_.toString).toSeq,
       "arrival batching must not move one curve point")
   }
+
+  test("agg_levene: W replays the exact Brown-Forsythe statistic from raw groups") {
+    val out = operators.Analytics.levene.run(spark, TestSpark.Sf).collect()
+    assert(out.length === 1)
+    val vals = sources.Tables.events(spark, TestSpark.Sf)
+      .select($"event_type",
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2.toDouble).sorted).toMap
+    def median(xs: Array[Double]): Double = {
+      val h = (xs.length - 1) * 0.5
+      val lo = math.floor(h).toInt; val hi = math.ceil(h).toInt
+      xs(lo) + (h - lo) * (xs(hi) - xs(lo))
+    }
+    val zs = vals.toSeq.map { case (_, xs) =>
+      val m = median(xs.toArray); xs.map(x => math.abs(x - m))
+    }
+    val k = zs.length; val n = zs.map(_.length).sum
+    val means = zs.map(g => g.sum / g.length)
+    val grand = zs.flatten.sum / n
+    val between = zs.zip(means).map { case (g, m) => g.length * (m - grand) * (m - grand) }.sum
+    val within = zs.zip(means).map { case (g, m) => g.map(x => (x - m) * (x - m)).sum }.sum
+    val w = ((n - k).toDouble / (k - 1)) * (between / within)
+    assert(out.head.getAs[Long]("k") === k.toLong)
+    assert(out.head.getAs[Long]("n_total") === n.toLong)
+    assert(math.abs(out.head.getAs[Double]("levene_w") - w) <= 1e-4, s"W $w")
+  }
+
+  test("stream_effect_size / stream_price_index: merged count partials reproduce the batch readouts bit-for-bit") {
+    val be = operators.Analytics.effectSize.run(spark, TestSpark.Sf).collect()
+    val se = streaming.DriftStream.streamEffectSize.run(spark, TestSpark.Sf).collect()
+    assert(be.map(_.toString).toSeq === se.map(_.toString).toSeq,
+      "arrival batching must not move d, g, or CLES")
+    val bp = operators.Analytics.priceIndex.run(spark, TestSpark.Sf).collect()
+    val sp = streaming.DriftStream.streamPriceIndex.run(spark, TestSpark.Sf).collect()
+    assert(bp.map(_.toString).toSeq === sp.map(_.toString).toSeq,
+      "arrival batching must not move one index")
+  }
 }

@@ -98,6 +98,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "graph_reciprocity",  // 1-row reciprocal-count broadcast onto the 1-row edge count
     "stream_assoc_rules", // 1-row basket-count broadcast (the batch assocFold plan)
     "stream_survival_km", // 1-row dmax + totals broadcasts (the batch survivalFold plan)
+    "llm_embed_drift",    // 1-row global-centroid broadcast onto the source centroids
+    "stream_price_index", // 1-row base-year broadcast (the batch priceFold plan)
     "llm_bpe_train",      // 1-row winning-pair broadcast per merge round
     "llm_bpe_apply"       // 1-row frozen-rules broadcast onto the vocab
   )

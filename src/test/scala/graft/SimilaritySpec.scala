@@ -613,4 +613,36 @@ class SimilaritySpec extends AnyFunSuite {
         s"SSE $sse inconsistent with the per-element bound")
     }
   }
+
+  test("llm_embed_drift: centroid geometry replays a brute per-source/global mean computation") {
+    val out = llm.Similarity.embedDrift.run(spark, TestSpark.Sf).collect()
+    val rows = sources.Tables.documents(spark, TestSpark.Sf)
+      .select($"doc_id", $"source")
+      .join(sources.Tables.embeddings(spark, TestSpark.Sf),
+        $"doc_id" === $"vec_id")
+      .select($"source", $"embedding").collect()
+      .map(r => (r.getString(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def centroid(vs: Seq[Array[Double]]): Array[Double] = {
+      val c = new Array[Double](vs.head.length)
+      vs.foreach(v => for (i <- c.indices) c(i) += v(i))
+      c.map(x => (x / vs.size).toFloat.toDouble)
+    }
+    val all = rows.valuesIterator.flatten.toSeq
+    val g = centroid(all)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    assert(out.length === rows.size)
+    out.foreach { r =>
+      val c = centroid(rows(r.getString(0)))
+      assert(r.getAs[Long]("n_vecs") === rows(r.getString(0)).length.toLong)
+      assert(math.abs(r.getAs[Double]("cos_to_global") - cos(c, g)) <= 1e-3,
+        s"${r.getString(0)} cosine")
+      val l2 = math.sqrt(c.zip(g).map { case (x, y) => (x - y) * (x - y) }.sum)
+      assert(math.abs(r.getAs[Double]("l2_to_global") - l2) <= 1e-3,
+        s"${r.getString(0)} L2")
+    }
+  }
 }

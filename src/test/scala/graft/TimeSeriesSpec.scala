@@ -1226,4 +1226,31 @@ class TimeSeriesSpec extends AnyFunSuite {
       - r.getAs[Double]("did_cents") / r.getAs[Double]("se")) <= 1e-2,
       "t-statistic consistency (up to independent rounding)")
   }
+
+  test("ts_decompose: trend + seasonal + residual reconstruct v exactly; components replay") {
+    val out = operators.TimeSeries.decompose.run(spark, TestSpark.Sf).collect()
+    val daily = dailyCents()
+    assert(out.nonEmpty)
+    // full-window row count: each series loses 3 rows at each edge
+    assert(out.length === daily.valuesIterator.map(s => math.max(0, s.size - 6)).sum)
+    out.foreach { r =>
+      val series = daily(r.getString(0))
+      val i = series.indexWhere(_._1 == r.getDate(1).toLocalDate)
+      assert(i >= 3 && i < series.length - 3, "only full centered windows emit")
+      val trend = series.slice(i - 3, i + 4).map(_._2).sum / 7.0
+      assert(math.abs(r.getAs[Double]("trend") - trend) <= 1e-2)
+      // additivity up to independent rounding of the three components
+      assert(math.abs(r.getAs[Long]("v").toDouble
+        - (r.getAs[Double]("trend") + r.getAs[Double]("seasonal")
+          + r.getAs[Double]("residual"))) <= 3e-4,
+        "v = trend + seasonal + residual")
+    }
+    // per (type, dow): seasonal is the mean of detrended values
+    val byKey = out.groupBy(r => (r.getString(0),
+      r.getDate(1).toLocalDate.getDayOfWeek))
+    byKey.foreach { case (_, rows) =>
+      val seas = rows.map(_.getAs[Double]("seasonal")).distinct
+      assert(seas.length === 1, "one seasonal component per (type, weekday)")
+    }
+  }
 }
