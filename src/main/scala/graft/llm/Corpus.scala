@@ -1472,8 +1472,76 @@ object Corpus {
         ORDER BY 1, 2""")
   )
 
+  /** Curriculum schedule — the curated keep-list staged EASY→HARD by
+    * classifier quality quartile and resolved to (stage, shard) cells
+    * with exact counts and digests: the training-order artifact a
+    * curriculum-learning run consumes (stage 1 = cleanest quartile
+    * first, the canonical warmup; the digests make each stage's shard
+    * set verifiable exactly like llm_train_manifest's).
+    *
+    * The stage cut is a GLOBAL quality rank over the corpus-growing
+    * keep-list — the factored twoLevelRank device (agg_rfm discipline:
+    * range-partition → bucket prefix → within-bucket row_number, no
+    * one-task sort), quartiles by the exact ntile formula (guarded
+    * n ≥ 4), ties pinned by doc_id. One keep-list pass + one bounded
+    * (stage, shard) aggregate. */
+  val curriculum: GraftQuery = GraftQuery(
+    "llm_curriculum",
+    (s, dir) => {
+      import s.implicits._
+      val scored = GraftQuery.cutStats(
+        curatedKeepList(s, dir).select($"doc_id")
+          .join(TextStats.classifierScores(Tables.documents(s, dir))
+            .select($"doc_id", round($"p_keep" * 10000).cast("long").as("p_e4"))
+            .hint("shuffle_hash"), "doc_id")
+          .join(manifestDocs(s, dir).drop("source").hint("shuffle_hash"), "doc_id"))
+      val tot = scored.agg(count(lit(1)).as("n"))
+      val ranked = graft.operators.Windows.twoLevelRank(
+        scored, Seq($"p_e4".desc, $"doc_id".asc), "r")
+      ranked.crossJoin(broadcast(tot))
+        .withColumn("q", GraftQuery.guarded(expr("n div 4"), expr("n >= 4"),
+          "llm_curriculum: quartile stages require n >= 4 kept docs \u2014 "
+            + "curate a larger corpus"))
+        .withColumn("m", expr("n % 4"))
+        .withColumn("stage", expr(
+          """CASE WHEN r <= (q + 1) * m THEN (r - 1) div (q + 1) + 1
+                  ELSE m + (r - (q + 1) * m - 1) div q + 1 END"""))
+        .withColumn("shard", pmod($"doc_id", lit(8)))
+        .withColumn("h", expr(
+          "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10) AS BIGINT)"))
+        .groupBy($"stage", $"shard")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"),
+          min($"p_e4").as("p_min"), max($"p_e4").as("p_max"),
+          expr("bit_xor(h)").as("content_digest"))
+        .orderBy($"stage", $"shard")
+    },
+    Some(s"""WITH kept AS ($curateOracle),
+        ${TextStats.classifierCtes},
+        sc AS (SELECT kept.doc_id,
+                      CAST(round(p_keep * 10000) AS BIGINT) AS p_e4,
+                      CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+               FROM kept JOIN clf ON kept.doc_id = clf.doc_id
+                    JOIN documents d ON kept.doc_id = d.doc_id),
+        t AS (SELECT count(*) AS n FROM sc),
+        r AS (SELECT sc.*, t.n, t.n // 4 AS q, t.n % 4 AS m,
+                     row_number() OVER (ORDER BY p_e4 DESC, doc_id ASC) AS r
+              FROM sc CROSS JOIN t),
+        st AS (SELECT doc_id, p_e4, n_tokens,
+                      CASE WHEN r <= (q + 1) * m THEN (r - 1) // (q + 1) + 1
+                           ELSE m + (r - (q + 1) * m - 1) // q + 1 END AS stage,
+                      doc_id % 8 AS shard
+               FROM r)
+        SELECT stage, shard, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(min(p_e4) AS BIGINT) AS p_min,
+               CAST(max(p_e4) AS BIGINT) AS p_max,
+               bit_xor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                 AS BIGINT)) AS content_digest
+        FROM st GROUP BY 1, 2 ORDER BY 1, 2""")
+  )
+
   def all: Seq[GraftQuery] =
     Seq(contamination, decontaminate, repetition, substringDup, paragraphDedup,
       tfidf, curate, perplexity, perplexityTrigram, bm25, datasetCard,
-      knSmoothed, kn3Smoothed, trainManifest, manifestDiff)
+      knSmoothed, kn3Smoothed, trainManifest, manifestDiff, curriculum)
 }

@@ -1767,10 +1767,68 @@ object Graph {
             FROM e, r""")
   )
 
+  /** Rich-club coefficient at degree thresholds {1, 2, 4, 8, 16} —
+    * R(k) = realized edge density among vertices of degree > k: do the
+    * hubs preferentially wire to EACH OTHER (R rising with k: an elite
+    * core — interconnection/citation networks) or not (R flat/falling:
+    * hub-and-spoke)? The structural readout after graph_assortativity's
+    * single correlation number.
+    *
+    * Scale shape: vertex degrees off the exchange-free bucketed
+    * aggregate; each undirected edge carries both endpoint degrees via
+    * two shuffle-hash joins; the 5 thresholds explode over vertex and
+    * edge rows (bounded ×5 amplification) into two bounded per-k
+    * aggregates. All counts exact BIGINT; R is one exact-rational
+    * projection. */
+  val richClub: GraftQuery = GraftQuery(
+    "graph_rich_club",
+    (s, dir) => {
+      import s.implicits._
+      val ks = "array(1, 2, 4, 8, 16)"
+      val deg = vertices(adjacency(s, dir))
+      val nk = deg.withColumn("k", explode(expr(ks)))
+        .filter($"deg" > $"k")
+        .groupBy($"k").agg(count(lit(1)).as("n_rich"))
+      val e = undirectedEdges(s, dir).select($"src", $"dst")
+      val ek = e
+        .join(deg.select($"src", $"deg".as("deg_s")).hint("shuffle_hash"), "src")
+        .join(deg.select($"src".as("dst"), $"deg".as("deg_d")).hint("shuffle_hash"), "dst")
+        .withColumn("k", explode(expr(ks)))
+        .filter($"deg_s" > $"k" && $"deg_d" > $"k")
+        .groupBy($"k").agg(count(lit(1)).as("e_rich"))
+      nk.join(ek, Seq("k"), "left")
+        .select($"k", $"n_rich",
+          coalesce($"e_rich", lit(0L)).as("e_rich"),
+          when($"n_rich" >= 2L,
+            round(lit(2.0) * coalesce($"e_rich", lit(0L)).cast("double")
+              / ($"n_rich".cast("double") * ($"n_rich" - 1L).cast("double")), 6))
+            .as("r_k"))
+        .orderBy($"k")
+    },
+    Some(s"""WITH $edgeCte,
+               deg AS (SELECT src AS v, count(*) AS deg FROM e GROUP BY 1),
+               ks AS (SELECT unnest([1, 2, 4, 8, 16]) AS k),
+               nk AS (SELECT k, count(*) AS n_rich
+                      FROM deg, ks WHERE deg > k GROUP BY k),
+               ek AS (SELECT k, count(*) AS e_rich
+                      FROM e0 JOIN deg ds ON e0.src = ds.v
+                              JOIN deg dd ON e0.dst = dd.v, ks
+                      WHERE ds.deg > k AND dd.deg > k
+                      GROUP BY k)
+             SELECT nk.k, nk.n_rich,
+                    CAST(coalesce(ek.e_rich, 0) AS BIGINT) AS e_rich,
+                    CASE WHEN nk.n_rich >= 2
+                         THEN round(2.0 * coalesce(ek.e_rich, 0)
+                              / (CAST(nk.n_rich AS DOUBLE) * (nk.n_rich - 1)), 6)
+                         END AS r_k
+             FROM nk LEFT JOIN ek ON nk.k = ek.k
+             ORDER BY nk.k""")
+  )
+
   def all: Seq[GraftQuery] =
     Seq(pagerank, pagerankDelta, pagerankWeighted, pagerankPersonal, cc, jaccard,
       jaccardCapped, adamicAdar, labelPropagation, bfs,
       closenessLandmarks, edgesIncremental, triangles, degreeDist, kCore,
       mst, assortativity, modularity, hits, walks, walksBiased, skipgram,
-      clusteringCoeff, reciprocity)
+      clusteringCoeff, reciprocity, richClub)
 }

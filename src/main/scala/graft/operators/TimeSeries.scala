@@ -3109,6 +3109,224 @@ object TimeSeries {
             ORDER BY f.event_type, f.d""")
   )
 
+  /** Granger-causality F-test between the click and purchase daily
+    * series, both directions — "does yesterday's click volume help
+    * predict today's purchases beyond purchases' own history?" (the
+    * lead-lag CONFIRMATION step after ts_cross_corr's descriptive
+    * lags): restricted AR(1) vs unrestricted AR(1)+cross-lag, F on the
+    * RSS drop.
+    *
+    * Determinism: both series are exact BIGINT cents; the nine
+    * sufficient-statistic folds (Σy, Σy₁, Σx₁ and all products) are
+    * exact BIGINT sums (gated — a cents product reaches 9e18 only past
+    * ~3e9 cents/day at the fixture's 30-day window); both regressions
+    * solve in closed form (centered normal equations, a fixed scalar
+    * chain over the exact sums). The two directions ride one
+    * direction-partitioned window, so nothing is unpartitioned.
+    *
+    * Scale shape: bounded (type, day) domain, one union of two
+    * direction frames, one lag window, one 2-row fold. */
+  val granger: GraftQuery = GraftQuery(
+    "ts_granger",
+    (s, dir) => {
+      import s.implicits._
+      val daily = changepointDaily(s, dir)
+        .filter($"event_type".isin("click", "purchase"))
+        .localCheckpoint() // both direction frames read it
+      val a = daily.filter($"event_type" === "click")
+        .select($"d", $"v".as("va"))
+      val b = daily.filter($"event_type" === "purchase")
+        .select($"d", $"v".as("vb"))
+      val joined = a.join(b.hint("shuffle_hash"), "d").localCheckpoint()
+      val dirs = joined.select(lit("click->purchase").as("dn"),
+          $"d", $"vb".as("y"), $"vb".as("own"), $"va".as("cross"))
+        .unionAll(joined.select(lit("purchase->click").as("dn"),
+          $"d", $"va".as("y"), $"va".as("own"), $"vb".as("cross")))
+      val w = Window.partitionBy($"dn").orderBy($"d")
+      val lagged = dirs
+        .withColumn("y1", lag($"own", 1).over(w))
+        .withColumn("x1", lag($"cross", 1).over(w))
+        .filter($"y1".isNotNull)
+      def g(c: Column, tag: String) = GraftQuery.guarded(sum(c),
+        count(lit(1)).cast("double") * max(abs(c)).cast("double") < lit(9e18),
+        s"ts_granger: $tag fold past BIGINT headroom \u2014 rescale to a "
+          + "coarser unit")
+      val sums = lagged.groupBy($"dn").agg(count(lit(1)).as("n"),
+        sum($"y").as("sy"), sum($"y1").as("s1"), sum($"x1").as("s2"),
+        g($"y" * $"y", "\u03a3y\u00b2").as("syy"),
+        g($"y" * $"y1", "\u03a3yy\u2081").as("sy1"),
+        g($"y" * $"x1", "\u03a3yx\u2081").as("sy2"),
+        g($"y1" * $"y1", "\u03a3y\u2081\u00b2").as("s11"),
+        g($"x1" * $"x1", "\u03a3x\u2081\u00b2").as("s22"),
+        g($"y1" * $"x1", "\u03a3y\u2081x\u2081").as("s12"))
+      def d(c: Column) = c.cast("double")
+      sums
+        .withColumn("cyy", d($"syy") - d($"sy") * d($"sy") / d($"n"))
+        .withColumn("c1y", d($"sy1") - d($"s1") * d($"sy") / d($"n"))
+        .withColumn("c2y", d($"sy2") - d($"s2") * d($"sy") / d($"n"))
+        .withColumn("c11", d($"s11") - d($"s1") * d($"s1") / d($"n"))
+        .withColumn("c22", d($"s22") - d($"s2") * d($"s2") / d($"n"))
+        .withColumn("c12", d($"s12") - d($"s1") * d($"s2") / d($"n"))
+        .withColumn("rss_r", $"cyy" - $"c1y" * $"c1y" / $"c11")
+        .withColumn("det", $"c11" * $"c22" - $"c12" * $"c12")
+        .withColumn("b1", ($"c1y" * $"c22" - $"c2y" * $"c12") / $"det")
+        .withColumn("b2", ($"c2y" * $"c11" - $"c1y" * $"c12") / $"det")
+        .withColumn("rss_u", $"cyy" - $"b1" * $"c1y" - $"b2" * $"c2y")
+        .select($"dn".as("direction"), $"n".as("n_days"),
+          round($"b2", 6).as("b_cross"),
+          round((($"rss_r" - $"rss_u") * (d($"n") - lit(3.0))) / $"rss_u", 4)
+            .as("f_stat"))
+        .orderBy($"direction")
+    },
+    Some("""WITH daily AS (
+              SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+              FROM events
+              WHERE event_type IN ('click', 'purchase')
+              GROUP BY 1, 2),
+            j AS (SELECT a.d, a.v AS va, b.v AS vb
+                  FROM daily a JOIN daily b ON a.d = b.d
+                  WHERE a.event_type = 'click' AND b.event_type = 'purchase'),
+            dirs AS (
+              SELECT 'click->purchase' AS dn, d, vb AS y, vb AS own, va AS crs FROM j
+              UNION ALL
+              SELECT 'purchase->click' AS dn, d, va AS y, va AS own, vb AS crs FROM j),
+            lagged AS (
+              SELECT dn, y,
+                     lag(own, 1) OVER (PARTITION BY dn ORDER BY d) AS y1,
+                     lag(crs, 1) OVER (PARTITION BY dn ORDER BY d) AS x1
+              FROM dirs QUALIFY y1 IS NOT NULL),
+            a AS (SELECT dn, count(*) AS n,
+                         CAST(sum(y) AS BIGINT) AS sy,
+                         CAST(sum(y1) AS BIGINT) AS s1,
+                         CAST(sum(x1) AS BIGINT) AS s2,
+                         CAST(sum(y * y) AS BIGINT) AS syy,
+                         CAST(sum(y * y1) AS BIGINT) AS sy1,
+                         CAST(sum(y * x1) AS BIGINT) AS sy2,
+                         CAST(sum(y1 * y1) AS BIGINT) AS s11,
+                         CAST(sum(x1 * x1) AS BIGINT) AS s22,
+                         CAST(sum(y1 * x1) AS BIGINT) AS s12
+                  FROM lagged GROUP BY 1),
+            c AS (SELECT dn, n,
+                         CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n AS cyy,
+                         CAST(sy1 AS DOUBLE) - CAST(s1 AS DOUBLE) * sy / n AS c1y,
+                         CAST(sy2 AS DOUBLE) - CAST(s2 AS DOUBLE) * sy / n AS c2y,
+                         CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n AS c11,
+                         CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n AS c22,
+                         CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * s2 / n AS c12
+                  FROM a),
+            f AS (SELECT dn, n, cyy, c1y, c2y,
+                         cyy - c1y * c1y / c11 AS rss_r,
+                         c11 * c22 - c12 * c12 AS det,
+                         (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) AS b1,
+                         (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) AS b2
+                  FROM c)
+            SELECT dn AS direction, n AS n_days,
+                   round(b2, 6) AS b_cross,
+                   round(((rss_r - (cyy - b1 * c1y - b2 * c2y))
+                          * (CAST(n AS DOUBLE) - 3.0))
+                         / (cyy - b1 * c1y - b2 * c2y), 4) AS f_stat
+            FROM f ORDER BY direction""")
+  )
+
+  /** Per-day session concurrency via the SWEEP-LINE device — peak
+    * simultaneous sessions and the exact count of overlapping session
+    * pairs per calendar day, off the ts_sessionize session table: the
+    * capacity-planning readout ("how many concurrent sessions must the
+    * serving tier hold?") and the interval-overlap operator Spark lacks
+    * natively, done scale-correctly.
+    *
+    * The scale point: a pairwise interval join is QUADRATIC in
+    * concurrent sessions; the sweep line is linear — each session emits
+    * a +1/−1 boundary event, a day-partitioned ordered cumsum is the
+    * live concurrency, the peak is its max, and overlapping PAIRS fall
+    * out exactly as Σ(concurrency − 1) over start events (each pair
+    * counted once, at the later start; ties pinned by a total order).
+    * Sessions crossing midnight split into per-day clips (sequence over
+    * the span), so the window partitions by DAY — never a global sort.
+    * All arithmetic is exact epoch-second BIGINTs.  */
+  val concurrency: GraftQuery = GraftQuery(
+    "ts_concurrency",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val flagged = Tables.events(s, dir)
+        .select($"user_id", $"ts", $"event_id")
+        .withColumn("new_s",
+          when(lag($"ts", 1).over(w).isNull ||
+               $"ts".cast("long") - lag($"ts", 1).over(w).cast("long") > SessionGapSec,
+            1L).otherwise(0L))
+        .withColumn("session_seq",
+          sum($"new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      val sessions = flagged.groupBy($"user_id", $"session_seq")
+        .agg(min($"ts").cast("long").as("t0"), max($"ts").cast("long").as("t1"))
+      val clips = sessions
+        .withColumn("day", explode(sequence(
+          to_date(from_unixtime($"t0")), to_date(from_unixtime($"t1")))))
+        .withColumn("d0", $"day".cast("timestamp").cast("long"))
+        .withColumn("cs", greatest($"t0", $"d0"))
+        .withColumn("ce", least($"t1" + 1L, $"d0" + 86400L))
+      val events = clips.select($"user_id", $"session_seq", $"day",
+          explode(array(
+            struct($"cs".as("t"), lit(1L).as("dl")),
+            struct($"ce".as("t"), lit(-1L).as("dl")))).as("e"))
+        .select($"user_id", $"session_seq", $"day",
+          $"e.t".as("t"), $"e.dl".as("dl"))
+      val wd = Window.partitionBy($"day")
+        .orderBy($"t", $"dl", $"user_id", $"session_seq")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      events
+        .withColumn("cum", sum($"dl").over(wd))
+        .groupBy($"day")
+        .agg(sum(when($"dl" === 1L, 1L).otherwise(0L)).as("n_sessions"),
+          max($"cum").as("peak_concurrency"),
+          sum(when($"dl" === 1L, $"cum" - 1L).otherwise(0L)).as("overlap_pairs"))
+        .orderBy($"day")
+    },
+    Some("""WITH flagged AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR date_diff('second', lag(ts) OVER w, ts) > 43200
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            sess AS (
+              SELECT user_id,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_seq,
+                     ts
+              FROM flagged),
+            spans AS (
+              SELECT user_id, session_seq,
+                     CAST(floor(epoch(min(ts))) AS BIGINT) AS t0,
+                     CAST(floor(epoch(max(ts))) AS BIGINT) AS t1
+              FROM sess GROUP BY 1, 2),
+            clips AS (
+              SELECT user_id, session_seq,
+                     CAST(u.day AS DATE) AS day,
+                     greatest(t0, CAST(epoch(CAST(CAST(u.day AS DATE) AS TIMESTAMP)) AS BIGINT)) AS cs,
+                     least(t1 + 1, CAST(epoch(CAST(CAST(u.day AS DATE) AS TIMESTAMP)) AS BIGINT) + 86400) AS ce
+              FROM spans,
+                   unnest(generate_series(CAST(to_timestamp(t0) AS DATE),
+                                          CAST(to_timestamp(t1) AS DATE),
+                                          INTERVAL 1 DAY)) u(day)),
+            ev AS (
+              SELECT user_id, session_seq, day, cs AS t, CAST(1 AS BIGINT) AS dl FROM clips
+              UNION ALL
+              SELECT user_id, session_seq, day, ce AS t, CAST(-1 AS BIGINT) AS dl FROM clips),
+            c AS (
+              SELECT day, dl,
+                     CAST(sum(dl) OVER (PARTITION BY day
+                       ORDER BY t, dl, user_id, session_seq
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+              FROM ev)
+            SELECT day,
+                   CAST(sum(CASE WHEN dl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+                   CAST(max(cum) AS BIGINT) AS peak_concurrency,
+                   CAST(sum(CASE WHEN dl = 1 THEN cum - 1 ELSE 0 END) AS BIGINT) AS overlap_pairs
+            FROM c GROUP BY day ORDER BY day""")
+  )
+
   def all: Seq[GraftQuery] =
     Seq(asofJoin, asofTolerance, gapFill, ntileRanks, skewSalted, resample, funnel,
       funnelWindowed, sessionize, retention, anomaly, interpolate, ewma,
@@ -3116,5 +3334,5 @@ object TimeSeries {
       theilSen, acf, changepoint, pacf, peaks, streaks, holt, ols, holtWinters,
       asofNearest, rollingOls, forecastEval, activeUsers, wowGrowth, holtDamped,
       holtWintersDamped, croston, intermittency, drawdown, bollinger, rsi,
-      smaCross, macd, varRatio, did, decompose)
+      smaCross, macd, varRatio, did, decompose, granger, concurrency)
 }

@@ -803,4 +803,29 @@ class CorpusSpec extends AnyFunSuite {
       assert(math.abs(r.getAs[Double]("perplexity") - math.exp(h)) <= 0.1)
     }
   }
+
+  test("llm_curriculum: stages are balanced quality quartiles; cells conserve the manifest") {
+    val out = llm.Corpus.curriculum.run(spark, TestSpark.Sf).collect()
+    val manifest = llm.Corpus.trainManifest.run(spark, TestSpark.Sf).collect()
+    // conservation: curriculum cells repartition exactly the manifest docs
+    assert(out.map(_.getAs[Long]("n_docs")).sum ===
+      manifest.map(_.getAs[Long]("n_docs")).sum)
+    assert(out.map(_.getAs[Long]("n_tokens")).sum ===
+      manifest.map(_.getAs[Long]("n_tokens")).sum)
+    // the XOR of all cell digests is split-invariant: curriculum cells
+    // and manifest cells fold to the same corpus digest
+    assert(out.map(_.getAs[Long]("content_digest")).reduce(_ ^ _) ===
+      manifest.map(_.getAs[Long]("content_digest")).reduce(_ ^ _))
+    // stage sizes balance (exact ntile distribution)
+    val byStage = out.groupBy(_.getAs[Long]("stage")).view
+      .mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(byStage.keySet === Set(1L, 2L, 3L, 4L))
+    assert(byStage.values.max - byStage.values.min <= 1L)
+    // quality ordering: stage k's worst doc is at least stage k+1's best
+    val spans = (1L to 4L).map(k => (
+      out.filter(_.getAs[Long]("stage") == k).map(_.getAs[Long]("p_min")).min,
+      out.filter(_.getAs[Long]("stage") == k).map(_.getAs[Long]("p_max")).max))
+    spans.zip(spans.tail).foreach { case ((lo1, _), (_, hi2)) =>
+      assert(lo1 >= hi2, "EASY\u2192HARD: earlier stages hold higher quality") }
+  }
 }

@@ -676,4 +676,23 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("reciprocity")
       - recip.toDouble / pairs.size) <= 1e-6)
   }
+
+  test("rich club: densities replay a brute threshold scan of the derived graph") {
+    val out = operators.Graph.richClub.run(spark, TestSpark.Sf).collect()
+    val edges = bruteEdges
+    val deg = edges.toSeq.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    out.foreach { r =>
+      val k = r.getInt(0)
+      val rich = deg.filter(_._2 > k).keySet
+      val ek = edges.count { case (a, b) => rich(a) && rich(b) }.toLong
+      assert(r.getAs[Long]("n_rich") === rich.size.toLong, s"k=$k vertices")
+      assert(r.getAs[Long]("e_rich") === ek, s"k=$k edges")
+      if (rich.size >= 2)
+        assert(math.abs(r.getAs[Double]("r_k")
+          - 2.0 * ek / (rich.size.toDouble * (rich.size - 1))) <= 1e-6)
+    }
+    // thresholds with zero rich vertices emit no row (nk inner-drives)
+    assert(out.map(_.getInt(0)).toSet.subsetOf(Set(1, 2, 4, 8, 16)))
+  }
 }

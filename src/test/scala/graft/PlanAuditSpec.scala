@@ -100,6 +100,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "stream_survival_km", // 1-row dmax + totals broadcasts (the batch survivalFold plan)
     "llm_embed_drift",    // 1-row global-centroid broadcast onto the source centroids
     "stream_price_index", // 1-row base-year broadcast (the batch priceFold plan)
+    "llm_curriculum",     // 1-row keep-list-count broadcast onto the rank frame
     "llm_bpe_train",      // 1-row winning-pair broadcast per merge round
     "llm_bpe_apply"       // 1-row frozen-rules broadcast onto the vocab
   )
@@ -136,7 +137,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "agg_lorenz",            // \u226410 decile rows + \u226432-row range-bucket prefix (twoLevelRank)
     "llm_clf_auc",           // \u226410001-row basis-point score domain above the score agg
     "llm_clf_lift",          // \u226410 decile rows + \u226432-row range-bucket prefix (twoLevelRank)
-    "stream_survival_km")    // the batch survivalFold plan over the lifetime-day domain
+    "stream_survival_km",    // the batch survivalFold plan over the lifetime-day domain
+    "llm_curriculum")        // \u226432-row range-bucket prefix table (twoLevelRank)
 
   private def unpartitionedWindows(p: SparkPlan): Seq[WindowExec] = {
     val self = p match {

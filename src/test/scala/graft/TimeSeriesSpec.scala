@@ -1253,4 +1253,70 @@ class TimeSeriesSpec extends AnyFunSuite {
       assert(seas.length === 1, "one seasonal component per (type, weekday)")
     }
   }
+
+  test("ts_granger: F replays an exact two-regression OLS on the lagged daily pair") {
+    val out = operators.TimeSeries.granger.run(spark, TestSpark.Sf).collect()
+    assert(out.length === 2)
+    val daily = dailyCents()
+    val a = daily("click").toMap; val b = daily("purchase").toMap
+    val days = a.keySet.intersect(b.keySet).toSeq.sortBy(_.toEpochDay)
+    def fStat(y: Seq[Double], own: Seq[Double], cross: Seq[Double]): (Double, Double) = {
+      val rows = (1 until y.length).map(i => (y(i), own(i - 1), cross(i - 1)))
+      val n = rows.length.toDouble
+      def c(f: ((Double, Double, Double)) => Double,
+            g: ((Double, Double, Double)) => Double): Double =
+        rows.map(r => f(r) * g(r)).sum - rows.map(f).sum * rows.map(g).sum / n
+      val (cyy, c1y, c2y) = (c(_._1, _._1), c(_._2, _._1), c(_._3, _._1))
+      val (c11, c22, c12) = (c(_._2, _._2), c(_._3, _._3), c(_._2, _._3))
+      val rssR = cyy - c1y * c1y / c11
+      val det = c11 * c22 - c12 * c12
+      val b1 = (c1y * c22 - c2y * c12) / det
+      val b2 = (c2y * c11 - c1y * c12) / det
+      val rssU = cyy - b1 * c1y - b2 * c2y
+      (((rssR - rssU) * (n - 3)) / rssU, b2)
+    }
+    val ca = days.map(d => a(d).toDouble); val cb = days.map(d => b(d).toDouble)
+    val expect = Map(
+      "click->purchase" -> fStat(cb, cb, ca),
+      "purchase->click" -> fStat(ca, ca, cb))
+    out.foreach { r =>
+      val (f, b2) = expect(r.getString(0))
+      assert(r.getAs[Long]("n_days") === (days.length - 1).toLong)
+      assert(math.abs(r.getAs[Double]("f_stat") - f) <= 1e-2, s"${r.getString(0)} F=$f")
+      assert(math.abs(r.getAs[Double]("b_cross") - b2) <= 1e-4)
+    }
+  }
+
+  test("ts_concurrency: sweep-line counts match a brute per-second overlap scan") {
+    val out = operators.TimeSeries.concurrency.run(spark, TestSpark.Sf).collect()
+    // brute: replay sessions, clip to days, count pairwise overlaps
+    val sess = operators.TimeSeries.sessionize.run(spark, TestSpark.Sf).collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("t_start").getTime / 1000,
+        r.getAs[java.sql.Timestamp]("t_end").getTime / 1000 + 1))
+    val clips = sess.flatMap { case (t0, t1) =>
+      val d0 = t0 / 86400; val d1 = (t1 - 1) / 86400
+      (d0 to d1).map { d =>
+        (d, math.max(t0, d * 86400), math.min(t1, (d + 1) * 86400)) }
+    }.groupBy(_._1)
+    assert(out.length === clips.size)
+    out.foreach { r =>
+      val day = r.getDate(0).toLocalDate.toEpochDay
+      val cs = clips(day).map(c => (c._2, c._3))
+      assert(r.getAs[Long]("n_sessions") === cs.length.toLong)
+      // NOT .combinations(2): Scala dedups equal elements, undercounting
+      // pairs of identical full-day clips — index the intervals instead.
+      val ix = cs.toIndexedSeq
+      val pairs = (for {
+        i <- ix.indices; j <- (i + 1) until ix.length
+        if ix(i)._1 < ix(j)._2 && ix(j)._1 < ix(i)._2
+      } yield 1).size
+      assert(r.getAs[Long]("overlap_pairs") === pairs.toLong, s"day $day pairs")
+      // peak via brute sweep
+      val evs = cs.flatMap { case (a0, a1) => Seq((a0, 1), (a1, -1)) }
+        .sortBy(e => (e._1, e._2))
+      var cur = 0; var peak = 0
+      evs.foreach { e => cur += e._2; peak = math.max(peak, cur) }
+      assert(r.getAs[Long]("peak_concurrency") === peak.toLong, s"day $day peak")
+    }
+  }
 }
