@@ -13,6 +13,7 @@ import graft.sources.Tables
 object MicroBench {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val skewOnly = args.contains("skew")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -20,16 +21,66 @@ object MicroBench {
     import spark.implicits._
     spark.sparkContext.setLogLevel("ERROR")
 
-    val toks = Tables.documents(spark, dir)
-      .select($"doc_id", TF.tokens($"text").as("toks")).cache()
-    toks.count() // warm cache + JVM
-
     def best3[A](label: String)(f: => A): Unit = {
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }
       println(f"$label%-46s ${times.min}%8.3f s (best of 3)")
     }
+
+    // Journey-window hot-key drive (round-12 verdict item 1): the
+    // per-user window family (agg_markov, ts_sessionize, agg_cohort_ltv,
+    // ts_funnel) partitions by user_id, so one degenerate bot user
+    // funnels its whole history into ONE task's sort. Synthesize three
+    // events fixtures — uniform, a 50×-median hot user, and a
+    // partition-dominating 10⁶-event bot — through the queries' REAL
+    // plans (written as events.parquet, served via SparkEntry.queries).
+    // Numbers land in BASELINE.md's journey-skew ledger.
+    {
+      val base = "/tmp/graft_skew"
+      def mkEvents(tag: String, hotRows: Long): String = {
+        val out = s"$base/$tag"
+        val uniform = spark.range(200000L).select(
+          $"id".as("event_id"),
+          (lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).cast("long")
+            + ($"id" % 7776000L)).cast("timestamp").as("ts"),
+          ($"id" % 2000L).as("user_id"),
+          element_at(array(lit("view"), lit("view"), lit("click"),
+            lit("view"), lit("purchase")), ($"id" % 5 + 1).cast("int"))
+            .as("event_type"),
+          round(($"id" % 9973L).cast("double") / 100.0, 2).as("value"),
+          lit("{}").as("props"))
+        val hot = spark.range(hotRows).select(
+          ($"id" + 10000000L).as("event_id"),
+          (lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).cast("long")
+            + ($"id" % 7776000L)).cast("timestamp").as("ts"),
+          lit(999999L).as("user_id"),
+          element_at(array(lit("view"), lit("view"), lit("click"),
+            lit("view"), lit("purchase")), ($"id" % 5 + 1).cast("int"))
+            .as("event_type"),
+          round(($"id" % 9973L).cast("double") / 100.0, 2).as("value"),
+          lit("{}").as("props"))
+        uniform.unionAll(hot).write.mode("overwrite")
+          .parquet(s"$out/events.parquet")
+        out
+      }
+      // median user carries 100 events; the three rungs of the ladder
+      val dirs = Seq(
+        "uniform" -> mkEvents("uniform", 0L),
+        "hot50x" -> mkEvents("hot50x", 5000L),
+        "bot1m" -> mkEvents("bot1m", 1000000L))
+      for (q <- Seq("agg_markov", "ts_sessionize", "agg_cohort_ltv", "ts_funnel");
+           (tag, d) <- dirs) {
+        best3(f"journey-skew $q%-16s $tag") {
+          SparkEntry.queries(q)(spark, d).count()
+        }
+      }
+      if (skewOnly) { spark.stop(); return }
+    }
+
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", TF.tokens($"text").as("toks")).cache()
+    toks.count() // warm cache + JVM
 
     best3("shingles: HOF transform+distinct+sort") {
       toks.select($"doc_id", TF.tokenHashes($"toks").as("th"))

@@ -1106,6 +1106,92 @@ object Similarity {
              FROM embeddings WHERE vec_id % 20 = 7 ORDER BY qid""")
   )
 
+  /** Tombstone set for the index DELETE lifecycle: the appended twins of
+    * every 40th source vector — HALF the appended delta, so the compacted
+    * index must both stop answering for the deleted half and keep
+    * answering for the surviving half. Derived by re-assigning the
+    * tombstoned vectors against the frozen codebook (assignment is a pure
+    * function of (vector, codebook) — the append invariant), so building
+    * the tombstone table costs O(deletes), never an index scan. Carries
+    * cid_grp so a production compaction knows exactly which partition
+    * directories the deletes touch. */
+  private[graft] def tombstones(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val codebook = cbOf(s, fineCentroids(s, dir))
+    twinQueries(s, dir)
+      .filter(pmod($"qid" - TwinOffset, lit(40L)) === 7)
+      .crossJoin(codebook)
+      .withColumn("cid", array_max(centScores(s, $"qv")).getField("cid"))
+      .select($"qid".as("vec_id"),
+        pmod(hash($"cid"), lit(IndexGroups)).as("cid_grp"))
+  }
+
+  /** The COMPACTED IVF index: the appended index with the tombstoned rows
+    * physically removed — the delete leg that completes the lifecycle
+    * (build → append → serve → delete → compact). A real 100 TB vector
+    * store takes deletes (GDPR erasure, dedup-driven retractions), and a
+    * tombstone that only masks at serve time leaves the bytes on disk:
+    * compaction is the step that makes the delete durable.
+    *
+    * Dataflow: one pass over the appended index, left-anti join against
+    * the O(deletes) tombstone table on vec_id (broadcast — the tombstone
+    * batch is bounded by construction; at scale the join key rides the
+    * shared cid_grp partitioning so only TOUCHED partition directories
+    * rewrite via dynamic partition overwrite, the ingest_retention
+    * survivor discipline — here the planted slice touches every group, so
+    * the copy is total and row-identity to a fresh build on the surviving
+    * corpus is the spec-asserted compaction invariant). Written to its
+    * own layout path: the appended layout stays immutable (its
+    * fingerprint meta still describes it), and the compacted layout
+    * versions independently. */
+  private[graft] def compactedIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val path = s"/tmp/graft_ivf/$sfx/compacted"
+    Layouts.parquetLayout(path, path,
+        Layouts.fingerprint(Tables.embeddings(s, dir), "vec_id", "embedding")
+          + ":v1") {
+      val tombs = tombstones(s, dir)
+      tombs.write.mode("overwrite").parquet(s"$path.tombstones")
+      appendedIndex(s, dir)
+        .join(broadcast(s.read.parquet(s"$path.tombstones").select($"vec_id")),
+          Seq("vec_id"), "left_anti")
+        .repartition($"cid_grp")
+        .write.mode("overwrite").partitionBy("cid_grp").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
+  /** ANN serving over the COMPACTED index — grades the DELETE end-to-end:
+    * every 20th corpus vector queries the index that held its appended
+    * twin; twins of every 40th vector were tombstoned and compacted out.
+    * The readout is the twin's rank in the query's top-K (1 for
+    * survivors — exact-direction cosine 1.0 under any codebook; 0 =
+    * absent for the deleted half). A compaction that leaves a tombstoned
+    * row behind answers rank 1 where the oracle says 0; one that drops a
+    * survivor (or whole partitions) answers 0 where the oracle says 1 —
+    * both are hash failures, so neither failure mode can pass silently.
+    * SimilaritySpec additionally pins the compacted layout row-identical
+    * to a fresh build on the surviving corpus and serve-parity with
+    * tombstone masking. */
+  val indexDeleteTopK: GraftQuery = GraftQuery(
+    "llm_sim_index_delete",
+    (s, dir) => {
+      import s.implicits._
+      val queries = Tables.embeddings(s, dir).filter($"vec_id" % 20 === 7)
+        .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      serveTopK(s, dir, compactedIndex(s, dir), queries)
+        .groupBy($"qid")
+        .agg(coalesce(min(when($"nid" === $"qid" + TwinOffset, $"rn")), lit(0))
+          .as("twin_rank"))
+        .orderBy($"qid")
+    },
+    Some(s"""SELECT vec_id AS qid,
+                    CAST(CASE WHEN vec_id % 40 = 7 THEN 0 ELSE 1 END AS INT)
+                      AS twin_rank
+             FROM embeddings WHERE vec_id % 20 = 7 ORDER BY qid""")
+  )
+
   /** The combined IVF+PQ serving layout — inverted lists that STORE the
     * PQ codes (the FAISS IVFPQ file format, as a partitioned parquet
     * table): ivfIndex's assignments joined 1:1 with the codes table,
@@ -1667,7 +1753,8 @@ object Similarity {
 
   def all: Seq[GraftQuery] =
     Seq(bruteTopK, rangeSearch, rangeIvf, lshTopK, ivfTopK, ivf2TopK,
-      ivfPersistedTopK, embedStats, pqTopK, indexAppendTopK, ivfPqTopK,
+      ivfPersistedTopK, embedStats, pqTopK, indexAppendTopK, indexDeleteTopK,
+      ivfPqTopK,
       mmrDiversify, filteredTopK, filteredPersistedTopK, knnJoin,
       embedQuantize, embedDrift)
 }

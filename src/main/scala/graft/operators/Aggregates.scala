@@ -290,6 +290,22 @@ object Aggregates {
   private[graft] def qsketchServe(s: SparkSession, sketch: DataFrame,
       binned: DataFrame): DataFrame = {
     import s.implicits._
+    qsketchPicks(s, sketch, binned)
+      .select($"event_type", $"n", $"n_buckets",
+        $"p50_est", $"p90_est", $"p99_est",
+        ($"v50" >= $"lo50" && $"v50" < $"hi50" &&
+         $"v90" >= $"lo90" && $"v90" < $"hi90" &&
+         $"v99" >= $"lo99" && $"v99" < $"hi99").as("band_ok"))
+      .orderBy($"event_type")
+  }
+
+  /** The pre-projection serving frame shared by qsketchServe and the
+    * pinball-loss audit (agg_pinball): per event_type, the sketch-decoded
+    * estimates (p50/p90/p99_est with their [lo, hi) bands) AND the exact
+    * discrete percentiles (v50/v90/v99) off the bounded cents domain. */
+  private[graft] def qsketchPicks(s: SparkSession, sketch: DataFrame,
+      binned: DataFrame): DataFrame = {
+    import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy($"event_type").orderBy($"bid")
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -321,12 +337,6 @@ object Aggregates {
         min(when($"vcum" >= expr("(9 * n + 9) div 10"), $"cv")).as("v90"),
         min(when($"vcum" >= expr("(99 * n + 99) div 100"), $"cv")).as("v99"))
     decoded.join(broadcast(exacts), "event_type")
-      .select($"event_type", $"n", $"n_buckets",
-        $"p50_est", $"p90_est", $"p99_est",
-        ($"v50" >= $"lo50" && $"v50" < $"hi50" &&
-         $"v90" >= $"lo90" && $"v90" < $"hi90" &&
-         $"v99" >= $"lo99" && $"v99" < $"hi99").as("band_ok"))
-      .orderBy($"event_type")
   }
 
   /** The shared DuckDB oracle body for the quantile-sketch forms: the
@@ -460,6 +470,131 @@ object Aggregates {
          bounds AS (SELECT min(day) AS d0 FROM b0),
          b AS (SELECT event_type, cv FROM b0, bounds
                WHERE day BETWEEN d0 + 7 AND d0 + 21)"""))
+  )
+
+  /** Pinball-loss audit of the quantile sketch — the quantile-REGRESSION
+    * check that completes the sketch family's audit story: the pinball
+    * (check) loss ρ_q(v − ŷ) is the scoring rule quantiles MINIMIZE, so
+    * scoring both the sketch-served estimate and the exact discrete
+    * percentile on the same data yields (a) the sketch's excess loss — a
+    * calibrated "how much accuracy did the compressed index cost" number,
+    * the readout a team sizing sketch resolution actually wants — and
+    * (b) a structural invariant: the exact quantile's loss can never
+    * exceed the sketch's (it is the empirical minimizer), graded as the
+    * `exact_optimal` flag.
+    *
+    * Exact: losses are ×10 so q ∈ {0.5, 0.9} clears to integer weights
+    * {5,5} / {9,1}; every term is vc · weight · |cv − ŷ| over exact
+    * BIGINT cents and BIGINT predictions, folded in BIGINT (guarded off
+    * the same aggregate row: 10 · n · (max|cv| + max|ŷ|) checked in
+    * double). Predictions come from the SHARED qsketchPicks fold —
+    * the same decode agg_qsketch_merge grades.
+    *
+    * Scale shape: one map-side-combined aggregate onto the bounded cents
+    * domain (the agg_ks_test device), one ≤|types|-row broadcast of the
+    * prediction frame back onto it, one bounded fold. Nothing scans raw
+    * events more than the two passes the sketch family already pays. */
+  val pinball: GraftQuery = GraftQuery(
+    "agg_pinball",
+    (s, dir) => {
+      import s.implicits._
+      val binned = qsketchBinned(s, dir)
+      val sketch = binned.groupBy($"event_type", $"bid")
+        .agg(count(lit(1)).as("c"))
+      val preds = qsketchPicks(s, sketch, binned)
+        .select($"event_type",
+          $"p50_est".as("p50_sketch"), $"v50".as("p50_exact"),
+          $"p90_est".as("p90_sketch"), $"v90".as("p90_exact"))
+      val vc = binned.groupBy($"event_type", $"cv")
+        .agg(count(lit(1)).as("vc"))
+      def loss(wUp: Int, wDn: Int, yhat: Column): Column = sum(
+        when($"cv" >= yhat, lit(wUp.toLong) * ($"cv" - yhat) * $"vc")
+          .otherwise(lit(wDn.toLong) * (yhat - $"cv") * $"vc"))
+      val cond = lit(10.0) * sum($"vc").cast("double") *
+        (max(abs($"cv")).cast("double") +
+          greatest(abs(first($"p50_sketch")), abs(first($"p90_sketch")),
+            abs(first($"p50_exact")), abs(first($"p90_exact"))).cast("double")) <
+        lit(9e18)
+      def g(c: Column, nm: String): Column = GraftQuery.guarded(c, cond,
+        s"agg_pinball: $nm fold past BIGINT headroom " +
+          "(10 * n * max|cv - yhat| >= 9e18) — rescale cents or sample")
+        .as(nm)
+      vc.join(broadcast(preds), "event_type")
+        .groupBy($"event_type")
+        .agg(sum($"vc").as("n"),
+          first($"p50_sketch").as("p50_sketch"),
+          first($"p50_exact").as("p50_exact"),
+          first($"p90_sketch").as("p90_sketch"),
+          first($"p90_exact").as("p90_exact"),
+          g(loss(5, 5, $"p50_sketch"), "loss50_sketch_e1"),
+          g(loss(5, 5, $"p50_exact"), "loss50_exact_e1"),
+          g(loss(9, 1, $"p90_sketch"), "loss90_sketch_e1"),
+          g(loss(9, 1, $"p90_exact"), "loss90_exact_e1"))
+        .withColumn("exact_optimal",
+          $"loss50_exact_e1" <= $"loss50_sketch_e1" &&
+          $"loss90_exact_e1" <= $"loss90_sketch_e1")
+        .orderBy($"event_type")
+    },
+    Some("""WITH b AS (
+              SELECT event_type,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cv
+              FROM events),
+            bin AS (
+              SELECT event_type, cv,
+                     CASE WHEN cv <= 0 THEN CAST(-1 AS BIGINT)
+                          ELSE 32 * (length(to_base(cv, 2)) - 1)
+                               + (cv >> greatest(length(to_base(cv, 2)) - 5, 0)) END AS bid
+              FROM b),
+            sk AS (SELECT event_type, bid, count(*) AS c FROM bin GROUP BY 1, 2),
+            tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM sk GROUP BY 1),
+            cum AS (SELECT event_type, bid,
+                           sum(c) OVER (PARTITION BY event_type ORDER BY bid
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                    FROM sk),
+            picks AS (
+              SELECT cum.event_type,
+                     min(CASE WHEN cum >= (n + 1) // 2 THEN bid END) AS b50,
+                     min(CASE WHEN cum >= (9 * n + 9) // 10 THEN bid END) AS b90
+              FROM cum JOIN tot USING (event_type) GROUP BY 1),
+            est AS (
+              SELECT event_type,
+                     CAST((CASE WHEN b50 < 0 THEN 0 ELSE (b50 % 32) << greatest(b50 // 32 - 4, 0) END
+                         + CASE WHEN b50 < 0 THEN 1 ELSE (b50 % 32 + 1) << greatest(b50 // 32 - 4, 0) END) // 2
+                       AS BIGINT) AS p50_sketch,
+                     CAST((CASE WHEN b90 < 0 THEN 0 ELSE (b90 % 32) << greatest(b90 // 32 - 4, 0) END
+                         + CASE WHEN b90 < 0 THEN 1 ELSE (b90 % 32 + 1) << greatest(b90 // 32 - 4, 0) END) // 2
+                       AS BIGINT) AS p90_sketch
+              FROM picks),
+            vc AS (SELECT event_type, cv, count(*) AS vc FROM b GROUP BY 1, 2),
+            vcum AS (SELECT event_type, cv, vc,
+                            sum(vc) OVER (PARTITION BY event_type ORDER BY cv
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vcum
+                     FROM vc),
+            ex AS (SELECT vcum.event_type,
+                          min(CASE WHEN vcum >= (n + 1) // 2 THEN cv END) AS p50_exact,
+                          min(CASE WHEN vcum >= (9 * n + 9) // 10 THEN cv END) AS p90_exact
+                   FROM vcum JOIN tot USING (event_type) GROUP BY 1),
+            p AS (SELECT * FROM est JOIN ex USING (event_type)),
+            loss AS (
+              SELECT vc.event_type,
+                     CAST(sum(vc) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN cv >= p50_sketch THEN 5 * (cv - p50_sketch) * vc
+                                   ELSE 5 * (p50_sketch - cv) * vc END) AS BIGINT) AS loss50_sketch_e1,
+                     CAST(sum(CASE WHEN cv >= p50_exact THEN 5 * (cv - p50_exact) * vc
+                                   ELSE 5 * (p50_exact - cv) * vc END) AS BIGINT) AS loss50_exact_e1,
+                     CAST(sum(CASE WHEN cv >= p90_sketch THEN 9 * (cv - p90_sketch) * vc
+                                   ELSE 1 * (p90_sketch - cv) * vc END) AS BIGINT) AS loss90_sketch_e1,
+                     CAST(sum(CASE WHEN cv >= p90_exact THEN 9 * (cv - p90_exact) * vc
+                                   ELSE 1 * (p90_exact - cv) * vc END) AS BIGINT) AS loss90_exact_e1
+              FROM vc JOIN p USING (event_type) GROUP BY 1)
+            SELECT l.event_type, l.n, p.p50_sketch, p.p50_exact,
+                   p.p90_sketch, p.p90_exact,
+                   l.loss50_sketch_e1, l.loss50_exact_e1,
+                   l.loss90_sketch_e1, l.loss90_exact_e1,
+                   (l.loss50_exact_e1 <= l.loss50_sketch_e1
+                    AND l.loss90_exact_e1 <= l.loss90_sketch_e1) AS exact_optimal
+            FROM loss l JOIN p USING (event_type)
+            ORDER BY event_type""")
   )
 
   /** Count-min dimensions: D independent hash rows × W buckets = the
@@ -686,6 +821,6 @@ object Aggregates {
   def all: Seq[GraftQuery] = Seq(
     q1Agg, distinctCount, approxDistinct, rollupAgg, cubeAgg,
     groupingSets, having, typedCustom, sketchMerge, qsketchMerge,
-    qsketchServeRange, heavyHitters, heavyHittersIncremental, aggMode,
-    histogram)
+    qsketchServeRange, pinball, heavyHitters, heavyHittersIncremental,
+    aggMode, histogram)
 }

@@ -951,6 +951,103 @@ object Graph {
              GROUP BY n_vertices, m2""")
   )
 
+  /** One deterministic Louvain move phase — community detection one
+    * level up from label propagation (round-12 verdict item 7a): start
+    * from singleton communities and let every vertex simultaneously
+    * evaluate the standard Louvain modularity gain of joining each
+    * neighbor's community, moving iff the best gain is positive. With
+    * all-singleton state the gain of moving v into neighbor u's
+    * community clears denominators to the EXACT BIGINT score
+    * 2m·w(v,u) − k_v·k_u (w = 1 on the simple directed-pair graph, m2 =
+    * 2m directed rows, so score = m2 − deg·ddeg) — the argmax and the
+    * positivity gate are pure integer comparisons both engines compute
+    * identically, ties pinned to the smallest neighbor id. The readout
+    * is the phase's effect: vertices moved, communities formed, and the
+    * exact-rational modularity of the resulting partition (the
+    * graph_modularity fold, Q·4m² = Σ_c (2m·L_c − D_c²)) — the number
+    * that tells you whether the move phase actually bought structure.
+    * Synchronous moves make the phase deterministic and
+    * order-independent (sequential Louvain is visit-order-dependent —
+    * ungradeable); this is the parallel Louvain variant the distributed
+    * literature uses (one synchronized move round per superstep).
+    *
+    * Scale shape: scores ride the bucketed adjacency scan exchange-free
+    * (deg and ddeg are on-row; m2 is a 1-row broadcast), the per-vertex
+    * argmax is ONE map-side-combined hash aggregate via max(struct) —
+    * no per-vertex window, no neighbor-list materialization, hub-skew
+    * immune — and the modularity fold reuses the O(V) label vector
+    * joins of graph_modularity. */
+  val louvain: GraftQuery = GraftQuery(
+    "graph_louvain",
+    (s, dir) => {
+      import s.implicits._
+      val e = adjacency(s, dir).select($"src", $"dst", $"deg", $"ddeg")
+      val m2 = e.agg(count(lit(1)).as("m2"))
+      // synchronous move phase: best neighbor community per vertex
+      val labels = e.crossJoin(broadcast(m2))
+        .select($"src", $"dst", $"deg", ($"m2" - $"deg" * $"ddeg").as("score"))
+        .groupBy($"src")
+        .agg(max(struct($"score".as("score"), (-$"dst").as("nd"))).as("b"))
+        .select($"src".as("v"),
+          when($"b.score" > 0, -$"b.nd").otherwise($"src").as("label"))
+        .localCheckpoint() // read 3×: moved count, L_c fold, D_c fold
+      val nMoved = labels.agg(
+        sum(when($"label" =!= $"v", 1L).otherwise(0L)).as("n_moved"))
+      val lcnt = e.join(labels.withColumnRenamed("v", "src")
+          .withColumnRenamed("label", "lsrc").hint("shuffle_hash"), "src")
+        .join(labels.withColumnRenamed("v", "dst")
+          .withColumnRenamed("label", "ldst").hint("shuffle_hash"), "dst")
+        .filter($"lsrc" === $"ldst")
+        .groupBy($"lsrc".as("community")).agg(count(lit(1)).as("l_c"))
+      val dcnt = vertices(adjacency(s, dir))
+        .join(labels.withColumnRenamed("v", "src").hint("shuffle_hash"), "src")
+        .groupBy($"label".as("community")).agg(sum($"deg").as("d_c"))
+      dcnt.join(lcnt.hint("shuffle_hash"), Seq("community"), "left")
+        .select($"community", coalesce($"l_c", lit(0L)).as("l_c"), $"d_c")
+        .crossJoin(broadcast(m2))
+        .crossJoin(broadcast(nMoved))
+        .agg(first($"m2").as("m2"), first($"n_moved").as("n_moved"),
+          count(lit(1)).as("n_communities"),
+          sum($"m2" * $"l_c" - $"d_c" * $"d_c").as("q_num"))
+        .select($"n_communities", $"n_moved", $"q_num",
+          ($"m2" * $"m2").as("q_den"),
+          ($"q_num".cast("double") / ($"m2" * $"m2").cast("double")).as("q"))
+    },
+    Some(s"""WITH $edgeCte,
+               deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+               m AS (SELECT count(*) AS m2 FROM e),
+               sc AS (SELECT e.src, e.dst, m.m2 - ds.deg * dd.deg AS score
+                      FROM e JOIN deg ds ON e.src = ds.src
+                             JOIN deg dd ON e.dst = dd.src
+                             CROSS JOIN m),
+               mv AS (SELECT src, dst, score,
+                             row_number() OVER (PARTITION BY src
+                               ORDER BY score DESC, dst) AS rn
+                      FROM sc),
+               lab AS (SELECT src AS v,
+                              CASE WHEN score > 0 THEN dst ELSE src END AS label
+                       FROM mv WHERE rn = 1),
+               moved AS (SELECT CAST(sum(CASE WHEN label <> v THEN 1 ELSE 0 END)
+                                 AS BIGINT) AS n_moved FROM lab),
+               lc AS (SELECT ls.label AS community, count(*) AS l_c
+                      FROM e JOIN lab ls ON e.src = ls.v
+                             JOIN lab ld ON e.dst = ld.v
+                      WHERE ls.label = ld.label GROUP BY 1),
+               dc AS (SELECT l.label AS community,
+                             CAST(sum(deg.deg) AS BIGINT) AS d_c
+                      FROM deg JOIN lab l ON deg.src = l.v GROUP BY 1),
+               j AS (SELECT dc.community, COALESCE(lc.l_c, 0) AS l_c, dc.d_c
+                     FROM dc LEFT JOIN lc ON dc.community = lc.community)
+             SELECT count(*) AS n_communities,
+                    (SELECT n_moved FROM moved) AS n_moved,
+                    CAST(sum(m2 * l_c - d_c * d_c) AS BIGINT) AS q_num,
+                    CAST(m2 * m2 AS BIGINT) AS q_den,
+                    CAST(sum(m2 * l_c - d_c * d_c) AS DOUBLE)
+                      / CAST(m2 * m2 AS DOUBLE) AS q
+             FROM j CROSS JOIN m
+             GROUP BY m2""")
+  )
+
   /** Number of BFS landmarks for approximate closeness. */
   private val NumLandmarks = 8
 
@@ -1829,6 +1926,6 @@ object Graph {
     Seq(pagerank, pagerankDelta, pagerankWeighted, pagerankPersonal, cc, jaccard,
       jaccardCapped, adamicAdar, labelPropagation, bfs,
       closenessLandmarks, edgesIncremental, triangles, degreeDist, kCore,
-      mst, assortativity, modularity, hits, walks, walksBiased, skipgram,
-      clusteringCoeff, reciprocity, richClub)
+      mst, assortativity, modularity, louvain, hits, walks, walksBiased,
+      skipgram, clusteringCoeff, reciprocity, richClub)
 }

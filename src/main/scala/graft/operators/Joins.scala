@@ -419,6 +419,184 @@ object Joins {
             ORDER BY probe_id""")
   )
 
+  /** The shared BITEMPORAL change log: every event is a dimension write
+    * carrying BOTH time axes — transaction time (tx = event_id, the
+    * monotone record order: when the warehouse LEARNED the fact) and
+    * valid time (valid_day = the event's own day shifted back 0–15 days
+    * by an md5-derived offset: what period the fact is ABOUT, with late
+    * corrections reaching up to 15 days back — the out-of-order
+    * restatements that make bitemporality non-trivial; an id-modulus
+    * shift would phase-lock against the id-modulus key and never
+    * collide, so the shift hashes). The md5 hex digit maps to an int via
+    * instr('0123456789abcdef', ·) − 1 — both engines agree and no
+    * hex→int conversion (whose width/sign rules differ) is needed.
+    * Values are exact BIGINT cents so every readout hash-compares. */
+  private[graft] def bitemporalLog(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir).select(
+      pmod($"event_id", lit(250L)).as("k"),
+      $"event_id".as("tx"),
+      expr("""date_sub(to_date(ts), CAST(instr('0123456789abcdef',
+                substring(md5(CAST(event_id AS STRING)), 1, 1)) - 1 AS INT))""")
+        .as("valid_day"),
+      expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+  }
+
+  /** The DuckDB form of [[bitemporalLog]] — shared by both bitemporal
+    * oracles. */
+  private val bitemporalLogCte =
+    """log AS (
+        SELECT event_id % 250 AS k, event_id AS tx,
+               CAST(ts AS DATE)
+                 - CAST(instr('0123456789abcdef',
+                     substring(md5(CAST(event_id AS VARCHAR)), 1, 1)) - 1
+                   AS INT) AS valid_day,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events)"""
+
+  /** Transaction-time snapshot of the bitemporal log: what the warehouse
+    * believed, per (key, valid day), using only writes recorded at
+    * tx ≤ T — the latest restatement of each valid point wins. One
+    * window partitioned by (k, valid_day): no global sort anywhere. */
+  private def bitemporalSnap(s: SparkSession, log: DataFrame): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"k", $"valid_day").orderBy($"tx".desc)
+    log.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"k", $"valid_day", $"tx", $"cents")
+  }
+
+  /** Bitemporal RESTATEMENT AUDIT — the valid-time × transaction-time
+    * query auditors actually run: diff the believed valid timeline at two
+    * transaction snapshots (mid-corpus T1 vs latest) and report every
+    * (key, valid day) whose belief CHANGED — newly learned periods
+    * ('added') and periods whose value was rewritten by a later-arriving
+    * correction ('restated', with a value_changed flag separating real
+    * revisions from idempotent re-writes). This is the completion of the
+    * SCD2 family: ingest_scd2 versions the rows, join_scd2_pit reads one
+    * probe's point-in-time version on the TX axis, and this operator
+    * explains belief EVOLUTION — "what did the quarter look like when we
+    * closed it vs now" (earnings restatement, late-arriving-fact
+    * reconciliation, training-data drift forensics).
+    *
+    * Scale shape: the log scans twice (once per snapshot — at 100 TB the
+    * T1 side additionally partition-prunes on tx if the log is
+    * tx-partitioned, the ingest_partitioned layout); each snapshot is ONE
+    * window partitioned by (k, valid_day) — per-entity-per-day groups,
+    * never a global or per-key-only sort, so a hot entity spreads across
+    * its days; the diff is one full-width equi join on (k, valid_day).
+    * Snapshots only accumulate (tx ≤ T1 ⊂ tx ≤ T2), so 'removed' cannot
+    * exist and a LEFT join is exact. T1 is a 1-row broadcast off the same
+    * scan (the watermark device). */
+  val bitemporalDiff: GraftQuery = GraftQuery(
+    "join_bitemporal_diff",
+    (s, dir) => {
+      import s.implicits._
+      val log = bitemporalLog(s, dir)
+      val t1 = log.agg(floor(max($"tx") / 2.0).cast("long").as("t1"))
+      val s1 = bitemporalSnap(s, log.crossJoin(broadcast(t1))
+          .filter($"tx" <= $"t1").drop("t1"))
+        .select($"k", $"valid_day", $"tx".as("tx_was"), $"cents".as("cents_was"))
+      val s2 = bitemporalSnap(s, log)
+      s2.join(s1.hint("shuffle_hash"), Seq("k", "valid_day"), "left")
+        .filter($"tx_was".isNull || $"tx_was" =!= $"tx")
+        .select($"k", $"valid_day",
+          when($"tx_was".isNull, lit("added")).otherwise(lit("restated"))
+            .as("status"),
+          $"cents_was", $"cents".as("cents_now"),
+          $"tx_was", $"tx".as("tx_now"),
+          ($"tx_was".isNotNull && $"cents_was" =!= $"cents")
+            .as("value_changed"))
+        .orderBy($"k", $"valid_day")
+    },
+    Some(s"""WITH $bitemporalLogCte,
+            t AS (SELECT CAST(floor(max(tx) / 2.0) AS BIGINT) AS t1 FROM log),
+            s1 AS (SELECT k, valid_day, tx AS tx_was, cents AS cents_was
+                   FROM (SELECT log.*, row_number() OVER (
+                           PARTITION BY k, valid_day ORDER BY tx DESC) AS rn
+                         FROM log CROSS JOIN t WHERE tx <= t1)
+                   WHERE rn = 1),
+            s2 AS (SELECT k, valid_day, tx, cents
+                   FROM (SELECT log.*, row_number() OVER (
+                           PARTITION BY k, valid_day ORDER BY tx DESC) AS rn
+                         FROM log)
+                   WHERE rn = 1)
+            SELECT s2.k, s2.valid_day,
+                   CASE WHEN s1.tx_was IS NULL THEN 'added'
+                        ELSE 'restated' END AS status,
+                   s1.cents_was, s2.cents AS cents_now,
+                   s1.tx_was, s2.tx AS tx_now,
+                   (s1.tx_was IS NOT NULL AND s1.cents_was <> s2.cents)
+                     AS value_changed
+            FROM s2 LEFT JOIN s1
+              ON s2.k = s1.k AND s2.valid_day = s1.valid_day
+            WHERE s1.tx_was IS NULL OR s1.tx_was <> s2.tx
+            ORDER BY s2.k, s2.valid_day""")
+  )
+
+  /** Bitemporal POINT-IN-TIME probe on the VALID axis — the backtest
+    * join: "using everything we know NOW (latest transaction snapshot),
+    * what was true AT each probe's own valid day?" Each purchase probe
+    * reads the believed version whose valid_day is the latest ≤ its own
+    * day — never a later period's value (look-ahead leakage is exactly
+    * this join done wrong). Completes the bitemporal triangle:
+    * join_scd2_pit walks the TX axis per probe, join_bitemporal_diff
+    * diffs two TX snapshots, and this walks the VALID axis under a fixed
+    * TX snapshot; the general per-probe (t, v) form is this same plan run
+    * per report-time partition (the nightly-snapshot-view pattern).
+    *
+    * Implementation: NOT a probe ⋈ version range join (the non-equi
+    * BETWEEN degenerates to BNLJ / version-count blowup on hot keys) —
+    * the union + running-`last` interleave from join_asof: snapshot rows
+    * (kind 0) and probes (kind 1) per key ordered by (valid_day, kind),
+    * the running last snapshot row AT each probe IS the PIT version, a
+    * probe landing ON a version's valid_day reads it (kind 0 sorts
+    * first). One shuffle on the key; the snapshot window partitions by
+    * (k, valid_day). */
+  val bitemporalPit: GraftQuery = GraftQuery(
+    "join_bitemporal_pit",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val snap = bitemporalSnap(s, bitemporalLog(s, dir))
+        .select($"k", $"valid_day", $"cents", lit(0).as("kind"),
+          lit(null).cast("long").as("probe_id"))
+      val probes = Tables.events(s, dir).filter($"event_type" === "purchase")
+        .select(pmod($"event_id", lit(250L)).as("k"),
+          to_date($"ts").as("valid_day"),
+          lit(null).cast("long").as("cents"), lit(1).as("kind"),
+          $"event_id".as("probe_id"))
+      val w = Window.partitionBy($"k").orderBy($"valid_day", $"kind")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      snap.unionByName(probes)
+        .withColumn("eff_valid_day",
+          last(when($"kind" === 0, $"valid_day"), ignoreNulls = true).over(w))
+        .withColumn("eff_cents",
+          last(when($"kind" === 0, $"cents"), ignoreNulls = true).over(w))
+        .filter($"kind" === 1)
+        .select($"probe_id", $"k", $"eff_valid_day",
+          $"eff_cents".as("cents"))
+        .orderBy($"probe_id")
+    },
+    Some(s"""WITH $bitemporalLogCte,
+            snap AS (SELECT k, valid_day, cents
+                     FROM (SELECT log.*, row_number() OVER (
+                             PARTITION BY k, valid_day ORDER BY tx DESC) AS rn
+                           FROM log)
+                     WHERE rn = 1)
+            SELECT p.event_id AS probe_id, p.event_id % 250 AS k,
+                   c.valid_day AS eff_valid_day, c.cents
+            FROM events p
+            LEFT JOIN LATERAL (
+              SELECT valid_day, cents FROM snap
+              WHERE snap.k = p.event_id % 250
+                AND snap.valid_day <= CAST(p.ts AS DATE)
+              ORDER BY valid_day DESC LIMIT 1
+            ) c ON true
+            WHERE p.event_type = 'purchase'
+            ORDER BY probe_id""")
+  )
+
   /** Grid-bucketed SPATIAL self-join — all point pairs within radius R
     * in a 2-D plane, the geo/feature-space neighbor primitive (store
     * proximity, sensor clustering, embedding-projection neighborhoods).
@@ -489,5 +667,5 @@ object Joins {
   def all: Seq[GraftQuery] = Seq(
     innerHash, broadcastDim, leftOuter, rightOuter, fullOuter,
     semi, anti, thetaRange, multiway, rangeBinned, bloomPrefilter,
-    scd2Pit, spatialGrid)
+    scd2Pit, bitemporalDiff, bitemporalPit, spatialGrid)
 }

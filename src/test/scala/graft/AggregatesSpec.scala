@@ -461,6 +461,48 @@ class AggregatesSpec extends AnyFunSuite {
     assert(served.nonEmpty)
   }
 
+  test("pinball: losses brute-replicate; exact quantile is the empirical minimizer") {
+    val out = operators.Aggregates.pinball.run(spark, TestSpark.Sf).collect()
+    assert(out.nonEmpty)
+    val cents = sources.Tables.events(spark, TestSpark.Sf)
+      .select($"event_type",
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cv"))
+      .collect().groupBy(_.getString(0))
+      .map { case (et, rows) => et -> rows.map(_.getLong(1)) }
+    def pin(vs: Array[Long], yhat: Long, wUp: Long, wDn: Long): Long =
+      vs.map(v => if (v >= yhat) wUp * (v - yhat) else wDn * (yhat - v)).sum
+    out.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val vs = cents(et)
+      assert(r.getAs[Long]("n") === vs.length.toLong)
+      // Exact predictions are the ceil-rank discrete percentiles.
+      val sorted = vs.sorted
+      def disc(num: Int, den: Int) = sorted((num * sorted.length + den - 1) / den - 1)
+      assert(r.getAs[Long]("p50_exact") === disc(1, 2))
+      assert(r.getAs[Long]("p90_exact") === disc(9, 10))
+      // Each ×10 loss column brute-replicates from the raw cents.
+      assert(r.getAs[Long]("loss50_sketch_e1") ===
+        pin(vs, r.getAs[Long]("p50_sketch"), 5, 5))
+      assert(r.getAs[Long]("loss50_exact_e1") ===
+        pin(vs, r.getAs[Long]("p50_exact"), 5, 5))
+      assert(r.getAs[Long]("loss90_sketch_e1") ===
+        pin(vs, r.getAs[Long]("p90_sketch"), 9, 1))
+      assert(r.getAs[Long]("loss90_exact_e1") ===
+        pin(vs, r.getAs[Long]("p90_exact"), 9, 1))
+      // The structural invariant the query grades: the exact discrete
+      // quantile minimizes the empirical pinball loss, so its loss can
+      // never exceed the sketch estimate's — checked brute over EVERY
+      // candidate value, not just the served pair.
+      assert(r.getAs[Boolean]("exact_optimal"))
+      val best50 = sorted.distinct.map(pin(vs, _, 5, 5)).min
+      assert(r.getAs[Long]("loss50_exact_e1") === best50,
+        s"$et: p50_exact is not the empirical pinball minimizer")
+      val best90 = sorted.distinct.map(pin(vs, _, 9, 1)).min
+      assert(r.getAs[Long]("loss90_exact_e1") === best90,
+        s"$et: p90_exact is not the empirical pinball minimizer")
+    }
+  }
+
   test("overflow guard: passes values through under the bound, raises past it") {
     // The GraftQuery.guarded contract the Welch/ANOVA/moments/acf
     // accumulators rely on: while the no-overflow precondition holds the

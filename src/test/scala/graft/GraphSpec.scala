@@ -535,6 +535,45 @@ class GraphSpec extends AnyFunSuite {
     assert(q > -1.0 && q < 1.0, s"Q $q out of range")
   }
 
+  test("louvain move phase: labels and Q replay a brute singleton-gain argmax") {
+    // Brute replay of the synchronous move phase: from singleton
+    // communities, v's gain of adopting out-neighbor u's community clears
+    // to the integer score m2 − deg(v)·deg(u); move iff the best score is
+    // positive, ties → smallest neighbor id. Then refold modularity over
+    // the resulting labels exactly as the modularity spec does.
+    val e = bruteEdges
+    val directed = e.toSeq.flatMap(p => Seq(p, p.swap))
+    val m2 = directed.length.toLong
+    val deg = directed.groupBy(_._1).map { case (v, xs) => v -> xs.length.toLong }
+    val labels = directed.groupBy(_._1).map { case (v, xs) =>
+      val best = xs.map(_._2)
+        .map(u => (m2 - deg(v) * deg(u), u))
+        .minBy { case (s, u) => (-s, u) }
+      v -> (if (best._1 > 0) best._2 else v)
+    }
+    val nMoved = labels.count { case (v, l) => l != v }.toLong
+    val lC = directed.filter { case (s, d) => labels(s) == labels(d) }
+      .groupBy { case (s, _) => labels(s) }.map { case (c, xs) => c -> xs.length.toLong }
+    val dC = directed.groupBy { case (s, _) => labels(s) }
+      .map { case (c, xs) => c -> xs.length.toLong }
+    val qNum = dC.map { case (c, d) => m2 * lC.getOrElse(c, 0L) - d * d }.sum
+    val out = operators.Graph.louvain.run(spark, TestSpark.Sf).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_communities") === dC.size.toLong)
+    assert(r.getAs[Long]("n_moved") === nMoved,
+      "move count must match the brute gain argmax")
+    assert(nMoved > 0L, "fixture inert: no vertex moved — the phase is untested")
+    assert(r.getAs[Long]("q_num") === qNum,
+      "post-move modularity numerator must match the brute label refold")
+    assert(r.getAs[Long]("q_den") === m2 * m2)
+    // The move phase starts at Q = singleton baseline (Σ −d_v²/4m²); the
+    // synchronous variant does not guarantee monotone Q, but the result
+    // must stay a valid modularity.
+    val q = r.getAs[Double]("q")
+    assert(q > -1.0 && q < 1.0, s"Q $q out of range")
+  }
+
   test("personalized pagerank: walk mass conserved, concentrated at the seeds") {
     val rows = operators.Graph.pagerankPersonal.run(spark, TestSpark.Sf)
       .collect().map(r => (r.getLong(0), r.getDouble(1)))

@@ -97,6 +97,68 @@ class JoinsSpec extends AnyFunSuite {
       s"fixture must exercise live and tombstoned probes (live=$live dead=$dead)")
   }
 
+  test("bitemporal diff: added/restated cells replay a brute two-snapshot recompute") {
+    val log = operators.Joins.bitemporalLog(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDate(2).toLocalDate, r.getLong(3)))
+    val t1 = log.map(_._2).max / 2
+    def snap(cut: Long) = log.filter(_._2 <= cut)
+      .groupBy(x => (x._1, x._3))
+      .map { case (kv, xs) => kv -> xs.maxBy(_._2) } // latest tx wins
+    val s1 = snap(t1); val s2 = snap(Long.MaxValue)
+    val expected = s2.flatMap { case (kv, (_, tx2, _, c2)) =>
+      s1.get(kv) match {
+        case None => Some((kv._1, kv._2, "added", None, c2, None, tx2, false))
+        case Some((_, tx1, _, c1)) if tx1 != tx2 =>
+          Some((kv._1, kv._2, "restated", Some(c1), c2, Some(tx1), tx2, c1 != c2))
+        case _ => None
+      }
+    }.toSet
+    val out = operators.Joins.bitemporalDiff.run(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate,
+        r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)), r.getLong(6),
+        r.getBoolean(7))).toSet
+    assert(out === expected)
+    assert(out.exists(_._3 == "added") && out.exists(_._3 == "restated"),
+      "fixture must exercise both added and restated cells")
+    assert(out.exists(_._8), "fixture must contain a real value revision")
+  }
+
+  test("bitemporal pit: every probe reads the latest believed version at its valid day") {
+    val log = operators.Joins.bitemporalLog(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDate(2).toLocalDate, r.getLong(3)))
+    val snap = log.groupBy(x => (x._1, x._3))
+      .map { case (kv, xs) => kv -> xs.maxBy(_._2)._4 }
+    val byKey = snap.groupBy(_._1._1)
+    val probes = sources.Tables.events(spark, TestSpark.Sf)
+      .filter($"event_type" === "purchase")
+      .select($"event_id", to_date($"ts").as("d")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val out = operators.Joins.bitemporalPit.run(spark, TestSpark.Sf).collect()
+    assert(out.length === probes.length)
+    var hit = 0; var miss = 0
+    val probeDay = probes.toMap
+    out.foreach { r =>
+      val probe = r.getLong(0); val k = r.getLong(1); val v = probeDay(probe)
+      val cands = byKey.getOrElse(k, Map.empty)
+        .filter { case ((_, d), _) => !d.isAfter(v) }
+      if (cands.isEmpty) {
+        assert(r.isNullAt(2) && r.isNullAt(3),
+          s"probe $probe: no version valid yet must read NULL")
+        miss += 1
+      } else {
+        val (bestKv, bestC) = cands.maxBy { case ((_, d), _) => d.toEpochDay }
+        assert(r.getDate(2).toLocalDate === bestKv._2, s"probe $probe: eff_valid_day")
+        assert(r.getLong(3) === bestC, s"probe $probe: cents")
+        hit += 1
+      }
+    }
+    assert(hit > 0, s"fixture inert: no probe found a valid version (hit=$hit miss=$miss)")
+  }
+
   test("hash sampling: membership matches a driver-side MD5 recompute; rate sane") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))

@@ -97,6 +97,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "agg_price_index",    // 1-row base-year broadcast (non-equi yr <> y0 residual)
     "graph_reciprocity",  // 1-row reciprocal-count broadcast onto the 1-row edge count
     "stream_assoc_rules", // 1-row basket-count broadcast (the batch assocFold plan)
+    "graph_louvain",      // 1-row m2 broadcast onto scores + 1-row moved-count onto the fold
+    "join_bitemporal_diff", // 1-row T1 watermark broadcast onto the T1-snapshot scan
+    "llm_sim_index_delete", // same serve pipeline: 1-row codebook broadcast on probes
     "stream_survival_km", // 1-row dmax + totals broadcasts (the batch survivalFold plan)
     "llm_embed_drift",    // 1-row global-centroid broadcast onto the source centroids
     "stream_price_index", // 1-row base-year broadcast (the batch priceFold plan)

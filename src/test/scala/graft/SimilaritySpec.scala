@@ -428,6 +428,47 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("index delete: compaction is row-identical to a fresh build on the survivors") {
+    // The compaction invariant (round-12 verdict item 4): compacting
+    // tombstones out of the appended index must yield exactly the index a
+    // fresh build over the surviving corpus would produce — same rows,
+    // same inverted-list assignments — and serving over the compacted
+    // layout must equal serving over a tombstone-MASKED appended index
+    // (the pre-compaction form), so masking and compaction are
+    // interchangeable at any point in the lifecycle.
+    val off = llm.Similarity.TwinOffset
+    val compacted = llm.Similarity.compactedIndex(spark, TestSpark.Sf)
+      .select($"vec_id", $"cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (_, oneShot) = llm.Similarity.ivfIndex(spark, TestSpark.Sf)
+    val base = oneShot.select($"vec_id", $"cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val survivors = base.keys.filter(_ % 40 == 27).map(id => (id + off) -> base(id))
+    val fresh = base ++ survivors
+    assert(compacted === fresh,
+      "compacted index must equal a fresh build on the surviving corpus")
+    // No tombstoned row survives compaction (the deleted half is gone).
+    val deleted = base.keys.filter(_ % 40 == 7).map(_ + off).toSet
+    assert(deleted.nonEmpty)
+    assert(compacted.keySet.intersect(deleted).isEmpty,
+      "a tombstoned row survived compaction")
+    // Serve parity: tombstone masking (pre-compaction) and the compacted
+    // layout answer identically.
+    val queries = sources.Tables.embeddings(spark, TestSpark.Sf)
+      .filter($"vec_id" % 20 === 7)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val masked = llm.Similarity.appendedIndex(spark, TestSpark.Sf)
+      .join(broadcast(llm.Similarity.tombstones(spark, TestSpark.Sf)
+        .select($"vec_id")), Seq("vec_id"), "left_anti")
+    val servedMasked = llm.Similarity.serveTopK(spark, TestSpark.Sf, masked, queries)
+      .orderBy($"qid", $"rn").collect().map(_.toSeq).toSeq
+    val servedCompacted = llm.Similarity.serveTopK(spark, TestSpark.Sf,
+        llm.Similarity.compactedIndex(spark, TestSpark.Sf), queries)
+      .orderBy($"qid", $"rn").collect().map(_.toSeq).toSeq
+    assert(servedMasked === servedCompacted,
+      "tombstone masking and compaction must serve identical answers")
+  }
+
   test("mmr: greedy selection matches a driver-side reference recomputation") {
     val lambda = 0.7
     val out = llm.Similarity.mmrDiversify.run(spark, TestSpark.Sf).collect()

@@ -1132,4 +1132,151 @@ class StreamingSpec extends AnyFunSuite {
     val qids = streamed.map(_.head.asInstanceOf[Long] % 3).distinct
     assert(qids.length > 1, "arrival split degenerated to a single wave")
   }
+
+  test("checksum foreachBatch pipeline: appended XOR partials serve the batch digest") {
+    // The production form of stream_checksum (round-12 verdict item 5):
+    // events land through a checkpointed file source in two arrival
+    // waves; each micro-batch appends per-day (count, XOR-digest)
+    // partials — XOR is associative, commutative, AND self-inverse, so
+    // the merge is just XOR again — and the served merge must equal the
+    // batch row-checksum bit-for-bit. Kill/restart: a restart with no
+    // new arrivals appends nothing.
+    import org.apache.spark.sql.functions._
+    val ev = sources.Tables.events(spark, TestSpark.Sf)
+      .select($"event_id", $"ts", $"event_type", $"value").cache()
+    val mid = ev.agg(floor(max($"event_id") / 2.0).cast("long"))
+      .collect()(0).getLong(0)
+    val base = Files.createTempDirectory("graft_ckstrm").toString
+    val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+    def runWave(): Unit = {
+      val q = spark.readStream.schema(ev.schema).parquet(src)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select(to_date(col("ts")).as("d"),
+              expr("""CAST(conv(substring(md5(concat(
+                        CAST(event_id AS STRING), '|', event_type, '|',
+                        CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS STRING)
+                      )), 1, 12), 16, 10) AS BIGINT)""").as("h"))
+            .groupBy(col("d"))
+            .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("checksum"))
+            .write.mode("append").parquet(out)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    ev.filter($"event_id" <= mid).write.mode("append").parquet(src)
+    runWave()
+    ev.filter($"event_id" > mid).write.mode("append").parquet(src)
+    runWave()
+    def served() = spark.read.parquet(out)
+      .groupBy($"d")
+      .agg(sum($"n").as("n"), expr("bit_xor(checksum)").as("checksum"))
+      .orderBy($"d").collect().map(_.toSeq).toSeq
+    val batch = functions.ScalarQueries.fnChecksum.run(spark, TestSpark.Sf)
+      .collect().map(_.toSeq).toSeq
+    assert(served() === batch,
+      "merged XOR partials must reproduce the batch per-day digest exactly")
+    val deltaRows = spark.read.parquet(out).count()
+    runWave()
+    assert(spark.read.parquet(out).count() === deltaRows,
+      "restart with no new data must not re-append any digest partials")
+    assert(served() === batch, "served digest unchanged by idempotent restart")
+  }
+
+  test("bootstrap-CI foreachBatch pipeline: appended cent partials serve the batch interval") {
+    // The production form of stream_bootstrap_ci (round-12 verdict item
+    // 5): each micro-batch appends per-(type, day) integer cent sums —
+    // exact under any arrival split — and the serve step runs the shared
+    // Poisson-bootstrap fold on the MERGED daily frame. The md5 uniforms
+    // key on (type, day, b) VALUES, not arrival order, so the served CI
+    // must be bit-equal to the batch CI.
+    import org.apache.spark.sql.functions._
+    val ev = sources.Tables.events(spark, TestSpark.Sf)
+      .select($"event_id", $"ts", $"event_type", $"value").cache()
+    val mid = ev.agg(floor(max($"event_id") / 2.0).cast("long"))
+      .collect()(0).getLong(0)
+    val base = Files.createTempDirectory("graft_bcistrm").toString
+    val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+    def runWave(): Unit = {
+      val q = spark.readStream.schema(ev.schema).parquet(src)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.groupBy(col("event_type"), to_date(col("ts")).as("d"))
+            .agg(expr("sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))")
+              .as("v"))
+            .write.mode("append").parquet(out)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    ev.filter($"event_id" <= mid).write.mode("append").parquet(src)
+    runWave()
+    ev.filter($"event_id" > mid).write.mode("append").parquet(src)
+    runWave()
+    val merged = spark.read.parquet(out)
+      .groupBy($"event_type", $"d").agg(sum($"v").as("v"))
+    val served = operators.Analytics.bootstrapFold(merged)
+      .collect().map(_.toSeq).toSeq
+    val batch = operators.Analytics.bootstrapCi.run(spark, TestSpark.Sf)
+      .collect().map(_.toSeq).toSeq
+    assert(served === batch,
+      "bootstrap fold over merged partials must equal the batch CI bit-for-bit")
+    val deltaRows = spark.read.parquet(out).count()
+    runWave()
+    assert(spark.read.parquet(out).count() === deltaRows,
+      "restart with no new data must not re-append any cent partials")
+  }
+
+  test("co-occurrence foreachBatch pipeline: appended pair counts serve the batch table") {
+    // The production form of stream_cooccurrence (round-12 verdict item
+    // 5): skip-gram pairs never cross documents, so each micro-batch's
+    // forward-pair counts are exact partials; the serve step merges by
+    // addition and symmetrizes on the vocab²-bounded merged state —
+    // commuting with the wave merge, so the served top-100 must equal
+    // the batch pair table bit-for-bit.
+    import org.apache.spark.sql.functions._
+    val docs = sources.Tables.documents(spark, TestSpark.Sf).cache()
+    val mid = docs.agg(floor(max($"doc_id") / 2.0).cast("long"))
+      .collect()(0).getLong(0)
+    val base = Files.createTempDirectory("graft_coocstrm").toString
+    val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+    def runWave(): Unit = {
+      val q = spark.readStream.schema(docs.schema).parquet(src)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          llm.TextStats.skipgramPairsOf(b)
+            .groupBy(col("c"), col("x")).agg(count(lit(1)).as("n"))
+            .write.mode("append").parquet(out)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    docs.filter($"doc_id" <= mid).write.mode("append").parquet(src)
+    runWave()
+    docs.filter($"doc_id" > mid).write.mode("append").parquet(src)
+    runWave()
+    val merged = spark.read.parquet(out)
+      .groupBy($"c", $"x").agg(sum($"n").as("n"))
+    val served = llm.TextStats.symmetrize(merged)
+      .orderBy($"n".desc, $"c", $"x").limit(100)
+      .select($"c".as("center"), $"x".as("context"), $"n")
+      .collect().map(_.toSeq).toSeq
+    val batch = llm.TextStats.cooccurrence.run(spark, TestSpark.Sf)
+      .collect().map(_.toSeq).toSeq
+    assert(served === batch,
+      "merged pair partials must reproduce the batch co-occurrence table exactly")
+    val deltaRows = spark.read.parquet(out).count()
+    runWave()
+    assert(spark.read.parquet(out).count() === deltaRows,
+      "restart with no new data must not re-append any pair partials")
+  }
 }
