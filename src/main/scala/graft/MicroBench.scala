@@ -38,13 +38,14 @@ object MicroBench {
     // Numbers land in BASELINE.md's journey-skew ledger.
     {
       val base = "/tmp/graft_skew"
-      def mkEvents(tag: String, hotRows: Long): String = {
+      def mkEvents(tag: String, hotRows: Long, baseRows: Long = 200000L,
+          users: Long = 2000L): String = {
         val out = s"$base/$tag"
-        val uniform = spark.range(200000L).select(
+        val uniform = spark.range(baseRows).select(
           $"id".as("event_id"),
           (lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).cast("long")
             + ($"id" % 7776000L)).cast("timestamp").as("ts"),
-          ($"id" % 2000L).as("user_id"),
+          ($"id" % users).as("user_id"),
           element_at(array(lit("view"), lit("view"), lit("click"),
             lit("view"), lit("purchase")), ($"id" % 5 + 1).cast("int"))
             .as("event_type"),
@@ -64,11 +65,17 @@ object MicroBench {
           .parquet(s"$out/events.parquet")
         out
       }
-      // median user carries 100 events; the three rungs of the ladder
+      // median user carries 100 events; four rungs — wide1m is the
+      // same-cardinality no-hot-user CONTROL for bot1m (bot1m has 6x
+      // uniform's rows, so comparing it to uniform confounds corpus size
+      // with skew; hot-task domination = bot1m vs wide1m).
       val dirs = Seq(
         "uniform" -> mkEvents("uniform", 0L),
         "hot50x" -> mkEvents("hot50x", 5000L),
-        "bot1m" -> mkEvents("bot1m", 1000000L))
+        "wide1m" -> mkEvents("wide1m", 0L, baseRows = 1200000L, users = 12000L),
+        "bot1m" -> mkEvents("bot1m", 1000000L),
+        "wide4m" -> mkEvents("wide4m", 0L, baseRows = 4200000L, users = 42000L),
+        "bot4m" -> mkEvents("bot4m", 4000000L))
       for (q <- Seq("agg_markov", "ts_sessionize", "agg_cohort_ltv", "ts_funnel");
            (tag, d) <- dirs) {
         best3(f"journey-skew $q%-16s $tag") {

@@ -1863,14 +1863,40 @@ object Analytics {
   val markov: GraftQuery = GraftQuery(
     "agg_markov",
     (s, dir) => {
+      // Two-level per-user windows (round-13 hot-key fix, see
+      // ts_sessionize): the lag window partitions by (user_id, day) so a
+      // degenerate bot user's history never funnels into one task's
+      // sort; the one cross-day transition per active (user, day) —
+      // previous day's last event type → this day's first — rides the
+      // per-(user, day) boundary table, whose per-user window is
+      // day-count-sized. day(ts) is monotone in ts, so the
+      // decomposition reproduces the single-window pair stream exactly.
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-      Tables.events(s, dir)
-        .select($"user_id", $"ts", $"event_id", $"event_type")
-        .withColumn("src_type", lag($"event_type", 1).over(w))
+      val ev = Tables.events(s, dir)
+        .select($"user_id", $"ts", $"event_id", $"event_type",
+          to_date($"ts").as("b"))
+      val wb = Window.partitionBy($"user_id", $"b").orderBy($"ts", $"event_id")
+      val localPairs = ev
+        .withColumn("src_type", lag($"event_type", 1).over(wb))
         .filter($"src_type".isNotNull)
-        .groupBy($"src_type", $"event_type".as("dst_type"))
+        .select($"src_type", $"event_type".as("dst_type"))
+      // One row per (user, day) via rn=1 on the SAME (user, day) sort —
+      // no string min/max aggregate (the SortAggregate trap); the day's
+      // last type rides a full-frame window over that sort.
+      val bounds = ev
+        .withColumn("rn", row_number().over(wb))
+        .withColumn("last_type", last($"event_type").over(
+          wb.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .filter($"rn" === 1)
+        .select($"user_id", $"b", $"event_type".as("first_type"), $"last_type")
+      val wu = Window.partitionBy($"user_id").orderBy($"b")
+      val boundaryPairs = bounds
+        .withColumn("src_type", lag($"last_type", 1).over(wu))
+        .filter($"src_type".isNotNull)
+        .select($"src_type", $"first_type".as("dst_type"))
+      localPairs.unionByName(boundaryPairs)
+        .groupBy($"src_type", $"dst_type")
         .agg(count(lit(1)).as("n"))
         .withColumn("p", round($"n".cast("double")
           / sum($"n").over(Window.partitionBy($"src_type")).cast("double"), 6))
@@ -1913,8 +1939,15 @@ object Analytics {
       import org.apache.spark.sql.expressions.Window
       val cents = expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
       val w = Window.partitionBy($"user_id")
+      // Two-level hot-key fix (round-13, see ts_sessionize): the per-user
+      // min(d) window runs over the per-(user, day) DAILY table, not raw
+      // events — the (user_id, d) hash aggregate's map-side combine
+      // reduces a bot user to its active-day count before any shuffle,
+      // so no task ever holds one user's raw history. BIGINT cent sums
+      // are associative, so the daily pre-fold is exact.
       val ev = Tables.events(s, dir)
         .select($"user_id", to_date($"ts").as("d"), cents.as("c"))
+        .groupBy($"user_id", $"d").agg(sum($"c").as("c"))
         .withColumn("f", min($"d").over(w))
         .withColumn("cohort_week", to_date(date_trunc("week", $"f")))
         .withColumn("age_week", expr("CAST(datediff(d, f) AS BIGINT) div 7"))

@@ -503,30 +503,69 @@ object TimeSeries {
     * predecessor exceeds `SessionGapSec`; the session id is the running
     * count of session-open flags; then one aggregate per session.
     *
-    * Scale shape: ONE shuffle on user_id feeds both windows (lag and the
-    * running sum share the same partitioning and sort), and the session
-    * aggregate reuses it — Catalyst plans a single Exchange + Sort for
-    * the whole pipeline. This is the batch complement of
-    * `stream_session` (session_window): identical grouping semantics,
-    * but here the session id is explicit so downstream joins can key on
-    * it. Gap comparison uses truncated epoch seconds on both engines
+    * Scale shape — TWO-LEVEL per-user windows (round-13 hot-key fix): a
+    * single `partitionBy(user_id)` window funnels a degenerate bot user
+    * (10⁶+ events — exactly what the journey family exists to study)
+    * into ONE task's sort; the r13 MicroBench journey-skew drive
+    * measured 3.4× vs a same-cardinality control at a 4M-event bot,
+    * growing with bot size. The fix is the twoLevelRank idea applied per
+    * user: windows partition by (user_id, day) — the hot task now sorts
+    * one user-DAY, not one user's history — and cross-day facts ride a
+    * per-(user, day) BOUNDARY table (first/last ts, local open count)
+    * that is smaller than the events by the day's event count; the only
+    * per-user-ordered window runs over that table. Since day(ts) is
+    * monotone in ts, (day, ts, event_id) order ≡ (ts, event_id) order
+    * and the decomposition is EXACT, not approximate:
+    *  - a bucket's non-first events flag locally (lag within the day);
+    *  - its first event compares against the PREVIOUS ACTIVE day's last
+    *    ts, carried by lag over the boundary table — the actual
+    *    timestamp, so no bucket-width assumption;
+    *  - session_seq = (exclusive per-user prefix of per-day open counts)
+    *    + (first-event open flag) + (running local count) — the
+    *    two-level split of the original running sum.
+    * The session aggregate's map-side combine bounds the bot's reduce
+    * fan-in. Gap comparison uses truncated epoch seconds on both engines
     * (Spark `cast(ts AS long)` truncates; DuckDB `date_diff('second')`
     * counts boundary crossings — same value for the fixture's
-    * microsecond timestamps). */
+    * microsecond timestamps). This is the batch complement of
+    * `stream_session` (session_window): identical grouping semantics,
+    * but here the session id is explicit so downstream joins can key on
+    * it. */
   val sessionize: GraftQuery = GraftQuery(
     "ts_sessionize",
     (s, dir) => {
       import s.implicits._
-      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-      val flagged = Tables.events(s, dir)
-        .select($"user_id", $"ts", $"event_id", $"value")
-        .withColumn("new_s",
-          when(lag($"ts", 1).over(w).isNull ||
-               $"ts".cast("long") - lag($"ts", 1).over(w).cast("long") > SessionGapSec,
+      val ev = Tables.events(s, dir)
+        .select($"user_id", $"ts", $"event_id", $"value",
+          to_date($"ts").as("b"))
+      val wb = Window.partitionBy($"user_id", $"b").orderBy($"ts", $"event_id")
+      val local = ev
+        .withColumn("prev_ts", lag($"ts", 1).over(wb))
+        .withColumn("new_local",
+          when($"prev_ts".isNotNull &&
+               $"ts".cast("long") - $"prev_ts".cast("long") > SessionGapSec,
             1L).otherwise(0L))
-        .withColumn("session_seq",
-          sum($"new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
-      flagged.groupBy($"user_id", $"session_seq")
+        .withColumn("rs_local",
+          sum($"new_local").over(wb.rowsBetween(Window.unboundedPreceding, 0)))
+      // Per-(user, day) boundary table: first/last ts + local open count.
+      val bounds = local.groupBy($"user_id", $"b")
+        .agg(min($"ts").as("first_ts"), max($"ts").as("last_ts"),
+          sum($"new_local").as("local_new"))
+      val wu = Window.partitionBy($"user_id").orderBy($"b")
+      val carried = bounds
+        .withColumn("prev_last", lag($"last_ts", 1).over(wu))
+        .withColumn("first_new",
+          when($"prev_last".isNull ||
+               $"first_ts".cast("long") - $"prev_last".cast("long") > SessionGapSec,
+            1L).otherwise(0L))
+        .withColumn("prefix_excl",
+          coalesce(sum($"local_new" + $"first_new")
+            .over(wu.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select($"user_id", $"b", $"first_new", $"prefix_excl")
+      local
+        .join(carried.hint("shuffle_hash"), Seq("user_id", "b"))
+        .withColumn("session_seq", $"prefix_excl" + $"first_new" + $"rs_local")
+        .groupBy($"user_id", $"session_seq")
         .agg(count(lit(1)).as("n_events"),
           min($"ts").as("t_start"), max($"ts").as("t_end"),
           round(sum($"value"), 4).as("sum_value"))
