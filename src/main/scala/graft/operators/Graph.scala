@@ -951,6 +951,78 @@ object Graph {
              GROUP BY n_vertices, m2""")
   )
 
+  /** Per-community CONDUCTANCE over the LPA partition — the cut-quality
+    * number modularity alone hides: φ_c = cut(c) / min(vol(c), 2m −
+    * vol(c)), the fraction of a community's edge volume that leaks out
+    * (low φ = well-separated community; a high-φ "community" is an
+    * artifact). This is the per-community readout a clustering audit
+    * pairs with the global Q: WHICH communities are real. All terms are
+    * exact BIGINTs off the same label-join pass graph_modularity runs:
+    * vol(c) = Σ deg over members, internal directed rows l_c, cut =
+    * vol − l_c (each leaving directed row counted once); φ emits as
+    * exact num/den plus a rounded double, NULL when the partition is a
+    * single community (den 0).
+    *
+    * Scale shape: identical to graph_modularity — src-side label join
+    * rides the bucketed scan exchange-free, dst side shuffles slim
+    * (dst, label) pairs once, three O(V)-ish aggregates onto the
+    * community domain, m2 a 1-row broadcast onto the community table. */
+  val conductance: GraftQuery = GraftQuery(
+    "graph_conductance",
+    (s, dir) => {
+      import s.implicits._
+      val labels = lpaLabels(s, dir)
+      val e = adjacency(s, dir).select($"src", $"dst", $"deg")
+      val m2 = e.agg(count(lit(1)).as("m2"))
+      val lcnt = e.join(labels.withColumnRenamed("v", "src")
+          .withColumnRenamed("label", "lsrc").hint("shuffle_hash"), "src")
+        .join(labels.withColumnRenamed("v", "dst")
+          .withColumnRenamed("label", "ldst").hint("shuffle_hash"), "dst")
+        .filter($"lsrc" === $"ldst")
+        .groupBy($"lsrc".as("community")).agg(count(lit(1)).as("l_c"))
+      val dcnt = vertices(adjacency(s, dir))
+        .join(labels.withColumnRenamed("v", "src").hint("shuffle_hash"), "src")
+        .groupBy($"label".as("community"))
+        .agg(count(lit(1)).as("size"), sum($"deg").as("vol"))
+      dcnt.join(lcnt.hint("shuffle_hash"), Seq("community"), "left")
+        .select($"community", $"size", $"vol",
+          coalesce($"l_c", lit(0L)).as("internal_rows"))
+        .crossJoin(broadcast(m2))
+        .select($"community", $"size", $"vol", $"internal_rows",
+          ($"vol" - $"internal_rows").as("cut"),
+          least($"vol", $"m2" - $"vol").as("phi_den"))
+        .select($"community", $"size", $"vol", $"internal_rows", $"cut",
+          $"phi_den",
+          when($"phi_den" > 0,
+            round($"cut".cast("double") / $"phi_den".cast("double"), 6))
+            .as("phi"))
+        .orderBy($"community")
+    },
+    Some(s"""WITH $edgeCte,
+               $lpaOracleCte,
+               m AS (SELECT count(*) AS m2 FROM e),
+               lc AS (SELECT ls.label AS community, count(*) AS l_c
+                      FROM e JOIN l$LpaIters ls ON e.src = ls.v
+                             JOIN l$LpaIters ld ON e.dst = ld.v
+                      WHERE ls.label = ld.label GROUP BY 1),
+               dc AS (SELECT l.label AS community,
+                             count(*) AS size,
+                             CAST(sum(deg.deg) AS BIGINT) AS vol
+                      FROM deg JOIN l$LpaIters l ON deg.src = l.v GROUP BY 1),
+               j AS (SELECT dc.community, dc.size, dc.vol,
+                            COALESCE(lc.l_c, 0) AS internal_rows
+                     FROM dc LEFT JOIN lc ON dc.community = lc.community)
+             SELECT community, size, vol, internal_rows,
+                    CAST(vol - internal_rows AS BIGINT) AS cut,
+                    CAST(least(vol, m2 - vol) AS BIGINT) AS phi_den,
+                    CASE WHEN least(vol, m2 - vol) > 0
+                         THEN round(CAST(vol - internal_rows AS DOUBLE)
+                                    / CAST(least(vol, m2 - vol) AS DOUBLE), 6)
+                    END AS phi
+             FROM j CROSS JOIN m
+             ORDER BY community""")
+  )
+
   /** One deterministic Louvain move phase — community detection one
     * level up from label propagation (round-12 verdict item 7a): start
     * from singleton communities and let every vertex simultaneously
@@ -1926,6 +1998,6 @@ object Graph {
     Seq(pagerank, pagerankDelta, pagerankWeighted, pagerankPersonal, cc, jaccard,
       jaccardCapped, adamicAdar, labelPropagation, bfs,
       closenessLandmarks, edgesIncremental, triangles, degreeDist, kCore,
-      mst, assortativity, modularity, louvain, hits, walks, walksBiased,
+      mst, assortativity, modularity, conductance, louvain, hits, walks, walksBiased,
       skipgram, clusteringCoeff, reciprocity, richClub)
 }

@@ -607,6 +607,110 @@ object TimeSeries {
     * aggregate is over the activity table, never raw events. A distinct
     * count per cell stays exact because each user contributes one row
     * per day by construction. */
+  /** Attribution window: a touch older than 7 days no longer earns the
+    * purchase — the standard last-click lookback. */
+  private val AttrWindowSec = 604800L
+
+  /** LAST-TOUCH ATTRIBUTION — the marketing-warehouse readout behind
+    * every ROAS dashboard: each purchase credits the user's latest prior
+    * touch (view/click, strictly before by (ts, event_id)) if it is
+    * within the 7-day lookback, else 'direct'; per channel the purchase
+    * count, exact revenue cents, share of purchases, and mean
+    * touch-to-purchase latency.
+    *
+    * Scale shape — born two-level (the round-13 journey hot-key device,
+    * see ts_sessionize): the running-last-touch window partitions by
+    * (user_id, day), so a bot user's history never funnels into one
+    * task; each purchase's effective last touch is
+    * coalesce(within-day running last, previous active days' carry),
+    * where the carry is one running-last over the per-(user, day)
+    * boundary table (the day's last touch, extracted by rn=1 +
+    * full-frame window — no struct/string aggregate, SortAggregate-free).
+    * day(ts) is monotone in ts so the decomposition is exact. The final
+    * channel rollup is a ≤4-row table; its share denominator is a 1-row
+    * broadcast. Lookback is checked AFTER picking the latest touch —
+    * any other touch is older still, so latest-or-direct is exact.
+    * Gap/latency use truncated epoch seconds on both engines (the
+    * ts_sessionize equivalence). */
+  val attribution: GraftQuery = GraftQuery(
+    "ts_attribution",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .filter($"event_type".isin("view", "click", "purchase"))
+        .select($"user_id", $"ts", $"event_id", $"event_type",
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"),
+          to_date($"ts").as("b"))
+      val wb = Window.partitionBy($"user_id", $"b").orderBy($"ts", $"event_id")
+      val touch = when($"event_type" =!= "purchase",
+        struct($"ts".as("t_ts"), $"event_type".as("t_type")))
+      val local = ev.withColumn("lt_local",
+        last(touch, ignoreNulls = true)
+          .over(wb.rowsBetween(Window.unboundedPreceding, -1)))
+      val bounds = local
+        .withColumn("rn", row_number().over(wb))
+        .withColumn("day_last_touch", last(touch, ignoreNulls = true)
+          .over(wb.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .filter($"rn" === 1)
+        .select($"user_id", $"b", $"day_last_touch")
+      val wu = Window.partitionBy($"user_id").orderBy($"b")
+      val carried = bounds.withColumn("carry",
+          last($"day_last_touch", ignoreNulls = true)
+            .over(wu.rowsBetween(Window.unboundedPreceding, -1)))
+        .select($"user_id", $"b", $"carry")
+      val att = local.filter($"event_type" === "purchase")
+        .join(carried.hint("shuffle_hash"), Seq("user_id", "b"))
+        .withColumn("lt", coalesce($"lt_local", $"carry"))
+        .withColumn("attributed", $"lt".isNotNull &&
+          $"ts".cast("long") - $"lt.t_ts".cast("long") <= AttrWindowSec)
+        .select($"cents",
+          when($"attributed", $"lt.t_type").otherwise(lit("direct"))
+            .as("channel"),
+          when($"attributed",
+            $"ts".cast("long") - $"lt.t_ts".cast("long")).as("lag_sec"))
+      val ch = att.groupBy($"channel")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum($"cents").as("revenue_cents"),
+          sum($"lag_sec").as("slag"), count($"lag_sec").as("nlag"))
+      val tot = ch.agg(sum($"n_purchases").as("total"))
+      ch.crossJoin(broadcast(tot))
+        .select($"channel", $"n_purchases", $"revenue_cents",
+          round($"n_purchases".cast("double") / $"total".cast("double"), 6)
+            .as("share"),
+          round($"slag".cast("double") / $"nlag".cast("double"), 4)
+            .as("avg_lag_sec"))
+        .orderBy($"channel")
+    },
+    Some("""WITH ev AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+              FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+            att AS (
+              SELECT p.cents,
+                     CASE WHEN t.ts IS NOT NULL
+                           AND date_diff('second', t.ts, p.ts) <= 604800
+                          THEN t.event_type ELSE 'direct' END AS channel,
+                     CASE WHEN t.ts IS NOT NULL
+                           AND date_diff('second', t.ts, p.ts) <= 604800
+                          THEN date_diff('second', t.ts, p.ts) END AS lag_sec
+              FROM ev p
+              LEFT JOIN LATERAL (
+                SELECT ts, event_type FROM ev t
+                WHERE t.user_id = p.user_id AND t.event_type <> 'purchase'
+                  AND (t.ts < p.ts OR (t.ts = p.ts AND t.event_id < p.event_id))
+                ORDER BY t.ts DESC, t.event_id DESC LIMIT 1) t ON true
+              WHERE p.event_type = 'purchase'),
+            tot AS (SELECT count(*) AS total FROM att)
+            SELECT channel, count(*) AS n_purchases,
+                   CAST(sum(cents) AS BIGINT) AS revenue_cents,
+                   round(CAST(count(*) AS DOUBLE) / total, 6) AS share,
+                   round(CAST(sum(lag_sec) AS DOUBLE) / count(lag_sec), 4)
+                     AS avg_lag_sec
+            FROM att CROSS JOIN tot
+            GROUP BY channel, total ORDER BY channel""")
+  )
+
   val retention: GraftQuery = GraftQuery(
     "ts_retention",
     (s, dir) => {
@@ -3368,7 +3472,7 @@ object TimeSeries {
 
   def all: Seq[GraftQuery] =
     Seq(asofJoin, asofTolerance, gapFill, ntileRanks, skewSalted, resample, funnel,
-      funnelWindowed, sessionize, retention, anomaly, interpolate, ewma,
+      funnelWindowed, sessionize, attribution, retention, anomaly, interpolate, ewma,
       crossCorr, outlierMad, rollingMedian, cusum, seasonality, mkTrend,
       theilSen, acf, changepoint, pacf, peaks, streaks, holt, ols, holtWinters,
       asofNearest, rollingOls, forecastEval, activeUsers, wowGrowth, holtDamped,

@@ -535,6 +535,41 @@ class GraphSpec extends AnyFunSuite {
     assert(q > -1.0 && q < 1.0, s"Q $q out of range")
   }
 
+  test("conductance: per-community cut/volume replays a brute label recompute") {
+    val labels = operators.Graph.labelPropagation.run(spark, TestSpark.Sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val directed = bruteEdges.toSeq.flatMap(p => Seq(p, p.swap))
+    val m2 = directed.length.toLong
+    val vol = directed.groupBy { case (s, _) => labels(s) }
+      .map { case (c, xs) => c -> xs.length.toLong }
+    val size = labels.groupBy(_._2).map { case (c, xs) => c -> xs.size.toLong }
+    val lC = directed.filter { case (s, d) => labels(s) == labels(d) }
+      .groupBy { case (s, _) => labels(s) }.map { case (c, xs) => c -> xs.length.toLong }
+    val out = operators.Graph.conductance.run(spark, TestSpark.Sf).collect()
+    assert(out.length === vol.size)
+    out.foreach { r =>
+      val c = r.getAs[Long]("community")
+      assert(r.getAs[Long]("size") === size(c), s"community $c size")
+      assert(r.getAs[Long]("vol") === vol(c), s"community $c volume")
+      val internal = lC.getOrElse(c, 0L)
+      assert(r.getAs[Long]("internal_rows") === internal)
+      val cut = vol(c) - internal
+      assert(r.getAs[Long]("cut") === cut)
+      val den = math.min(vol(c), m2 - vol(c))
+      assert(r.getAs[Long]("phi_den") === den)
+      if (den > 0) {
+        val phi = r.getAs[Double]("phi")
+        assert(phi >= 0.0 && phi <= 1.0, s"community $c phi $phi out of range")
+        assert(math.abs(phi - BigDecimal(cut.toDouble / den)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+      } else assert(r.isNullAt(r.fieldIndex("phi")))
+    }
+    // cut conservation: every leaving directed row is counted from both
+    // sides, so Σ cut must be even and equal the cross-community rows.
+    val crossRows = directed.count { case (s, d) => labels(s) != labels(d) }.toLong
+    assert(out.map(_.getAs[Long]("cut")).sum === crossRows)
+  }
+
   test("louvain move phase: labels and Q replay a brute singleton-gain argmax") {
     // Brute replay of the synchronous move phase: from singleton
     // communities, v's gain of adopting out-neighbor u's community clears

@@ -99,6 +99,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "stream_assoc_rules", // 1-row basket-count broadcast (the batch assocFold plan)
     "graph_louvain",      // 1-row m2 broadcast onto scores + 1-row moved-count onto the fold
     "join_bitemporal_diff", // 1-row T1 watermark broadcast onto the T1-snapshot scan
+    "ts_attribution",     // 1-row purchase-total broadcast onto the ≤4-row channel table
+    "graph_conductance",  // 1-row m2 broadcast onto the community table (the modularity pattern)
     "llm_sim_index_delete", // same serve pipeline: 1-row codebook broadcast on probes
     "stream_survival_km", // 1-row dmax + totals broadcasts (the batch survivalFold plan)
     "llm_embed_drift",    // 1-row global-centroid broadcast onto the source centroids

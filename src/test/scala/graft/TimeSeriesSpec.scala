@@ -176,6 +176,55 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("attribution: channels brute-replicate a latest-touch walk; purchases conserve") {
+    val ev = sources.Tables.events(spark, TestSpark.Sf)
+      .filter($"event_type".isin("view", "click", "purchase"))
+      .select($"user_id", $"ts", $"event_id", $"event_type",
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getLong(4)))
+    // brute: per purchase, the latest strictly-prior touch by (ts,
+    // event_id); within the 7-day lookback it earns the purchase.
+    val byUser = ev.groupBy(_._1)
+    val brute = ev.filter(_._4 == "purchase").map { case (u, ts, id, _, c) =>
+      val touches = byUser(u).filter(e => e._4 != "purchase" &&
+        (e._2.getTime < ts.getTime ||
+         (e._2.getTime == ts.getTime && e._3 < id)))
+      val lt = if (touches.isEmpty) None
+        else Some(touches.maxBy(e => (e._2.getTime, e._3)))
+      lt match {
+        case Some(t) if ts.getTime / 1000 - t._2.getTime / 1000 <= 604800L =>
+          (t._4, c, Some(ts.getTime / 1000 - t._2.getTime / 1000))
+        case _ => ("direct", c, None)
+      }
+    }
+    val expected = brute.groupBy(_._1).map { case (ch, xs) =>
+      val lags = xs.flatMap(_._3)
+      ch -> (xs.length.toLong, xs.map(_._2).sum,
+        if (lags.isEmpty) None
+        else Some(BigDecimal(lags.sum.toDouble / lags.length)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    val out = operators.TimeSeries.attribution.run(spark, TestSpark.Sf).collect()
+    assert(out.map(_.getAs[Long]("n_purchases")).sum === brute.length.toLong,
+      "every purchase lands in exactly one channel")
+    assert(math.abs(out.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4)
+    assert(out.length === expected.size)
+    out.foreach { r =>
+      val ch = r.getAs[String]("channel")
+      val (n, rev, avg) = expected(ch)
+      assert(r.getAs[Long]("n_purchases") === n, s"$ch purchases")
+      assert(r.getAs[Long]("revenue_cents") === rev, s"$ch revenue")
+      (avg, Option(r.getAs[Double]("avg_lag_sec"))) match {
+        case (Some(e), got) => assert(math.abs(got.get - e) < 1e-6, s"$ch avg lag")
+        case (None, _) => assert(r.isNullAt(r.fieldIndex("avg_lag_sec")), s"$ch lag null")
+      }
+    }
+    assert(expected.contains("direct") && (expected.contains("click") ||
+      expected.contains("view")), "fixture must exercise direct AND touched channels")
+  }
+
   test("sessionize: gap runs recompute from raw events; invariants hold globally") {
     val out = operators.TimeSeries.sessionize.run(spark, TestSpark.Sf).collect()
     assert(out.nonEmpty)
