@@ -607,6 +607,131 @@ object TimeSeries {
     * aggregate is over the activity table, never raw events. A distinct
     * count per cell stays exact because each user contributes one row
     * per day by construction. */
+  /** TOP JOURNEY PATHS — path analysis over user event sequences: each
+    * user's first four events (by (ts, event_id)) join into a path
+    * string ("view>click>purchase>…"); the readout is the top-20 paths
+    * by user count — the "how do users actually move" table product
+    * analytics reads next to the funnel (the funnel asserts ONE
+    * hypothesized order; paths SURFACE the orders that exist).
+    *
+    * Scale shape — two-level per-user windows (the r13 journey device):
+    * the global first-4 of a user is the first-4 of its per-day first-4s
+    * (day(ts) is monotone in ts), so rn ≤ 4 filters WITHIN (user_id,
+    * day) partitions first — the hot-user task sorts one user-day — and
+    * the per-user window runs over the ≤4-rows-per-active-day residue.
+    * Path assembly is collect_list + array_sort per user (unique
+    * (ts, event_id) prefix pins the struct sort); the path table is
+    * user-count-sized and the top-20 is TakeOrderedAndProject
+    * (per-partition heaps, no global sort). */
+  val pathsTopK: GraftQuery = GraftQuery(
+    "ts_paths_topk",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select($"user_id", $"ts", $"event_id", $"event_type",
+          to_date($"ts").as("b"))
+      val wb = Window.partitionBy($"user_id", $"b").orderBy($"ts", $"event_id")
+      val wu = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val first4 = ev
+        .withColumn("rn_local", row_number().over(wb))
+        .filter($"rn_local" <= 4)
+        .withColumn("rn", row_number().over(wu))
+        .filter($"rn" <= 4)
+      first4.groupBy($"user_id")
+        .agg(array_join(
+          expr("transform(array_sort(collect_list(struct(ts, event_id, event_type))), x -> x.event_type)"),
+          ">").as("path"))
+        .groupBy($"path").agg(count(lit(1)).as("n_users"))
+        .orderBy($"n_users".desc, $"path")
+        .limit(20)
+    },
+    Some("""WITH r AS (
+              SELECT user_id, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events),
+            p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn)
+                         AS path
+                  FROM r WHERE rn <= 4 GROUP BY user_id)
+            SELECT path, count(*) AS n_users
+            FROM p GROUP BY path
+            ORDER BY n_users DESC, path LIMIT 20""")
+  )
+
+  /** CALENDAR PRORATION — align order fulfillment intervals
+    * [o_orderdate, max(l_shipdate)] onto calendar months: per month,
+    * how many orders were in flight, how many order-days landed in it,
+    * and the exposure-weighted cents (Σ order_cents × overlap_days) —
+    * the revenue-recognition / capacity view finance and ops read
+    * (prorating a contract across the months it spans). All outputs are
+    * exact BIGINTs: overlap days are integer date arithmetic and the
+    * exposure fold is guarded; a per-order prorated DOUBLE share is
+    * deliberately absent (summing doubles with per-order denominators
+    * is order-dependent — the integer exposure table is the
+    * hash-gradeable form, and any share derives from it downstream).
+    *
+    * Scale shape: this is the interval-align JOIN implemented join-free
+    * — each order EXPLODES to the months it spans (sequence() generator,
+    * ≤ a handful per TPC-H order — bounded by the interval length, never
+    * by the calendar), so there is no non-equi join, no BNLJ, no month
+    * broadcast; one order-level pre-aggregate (max receipt date over the
+    * order's lines) and one hash aggregate onto the bounded month
+    * domain. */
+  val calendarProrate: GraftQuery = GraftQuery(
+    "ts_calendar_prorate",
+    (s, dir) => {
+      import s.implicits._
+      val iv = Tables.lineitem(s, dir)
+        .groupBy($"l_orderkey").agg(max($"l_shipdate").as("d_end"))
+        .join(Tables.orders(s, dir).select($"o_orderkey", $"o_orderdate",
+            expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+              .as("cents")).hint("shuffle_hash"),
+          $"l_orderkey" === $"o_orderkey")
+        // the synthetic fixture does not causally order ship after order
+        // dates — clamp so every interval is well-formed
+        .select($"o_orderdate".as("d_start"),
+          greatest($"d_end", $"o_orderdate").as("d_end"), $"cents")
+      iv.select($"d_start", $"d_end", $"cents",
+          explode(expr(
+            "sequence(trunc(d_start, 'month'), trunc(d_end, 'month'), interval 1 month)"))
+            .as("month0"))
+        .select($"month0".cast("date").as("month"), $"cents",
+          (datediff(least($"d_end", last_day($"month0".cast("date"))),
+            greatest($"d_start", $"month0".cast("date"))) + 1).cast("long")
+            .as("overlap_days"))
+        .groupBy($"month")
+        .agg(count(lit(1)).as("n_orders"),
+          sum($"overlap_days").as("sum_overlap_days"),
+          sum($"cents" * $"overlap_days").as("exposure_cents_days"))
+        .orderBy($"month")
+    },
+    Some("""WITH iv AS (
+              SELECT o_orderdate AS d_start,
+                     greatest(le.d_end, o_orderdate) AS d_end,
+                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS cents
+              FROM orders
+              JOIN (SELECT l_orderkey, max(l_shipdate) AS d_end
+                    FROM lineitem GROUP BY 1) le
+                ON o_orderkey = le.l_orderkey),
+            ex AS (
+              SELECT CAST(m.month AS DATE) AS month, cents,
+                     date_diff('day',
+                       greatest(d_start, CAST(m.month AS DATE)),
+                       least(d_end, last_day(CAST(m.month AS DATE)))) + 1
+                       AS overlap_days
+              FROM iv,
+                   LATERAL unnest(generate_series(
+                     date_trunc('month', d_start),
+                     date_trunc('month', d_end),
+                     INTERVAL 1 MONTH)) AS m(month))
+            SELECT month, count(*) AS n_orders,
+                   CAST(sum(overlap_days) AS BIGINT) AS sum_overlap_days,
+                   CAST(sum(cents * overlap_days) AS BIGINT)
+                     AS exposure_cents_days
+            FROM ex GROUP BY month ORDER BY month""")
+  )
+
   /** Attribution window: a touch older than 7 days no longer earns the
     * purchase — the standard last-click lookback. */
   private val AttrWindowSec = 604800L
@@ -3472,7 +3597,7 @@ object TimeSeries {
 
   def all: Seq[GraftQuery] =
     Seq(asofJoin, asofTolerance, gapFill, ntileRanks, skewSalted, resample, funnel,
-      funnelWindowed, sessionize, attribution, retention, anomaly, interpolate, ewma,
+      funnelWindowed, sessionize, attribution, pathsTopK, calendarProrate, retention, anomaly, interpolate, ewma,
       crossCorr, outlierMad, rollingMedian, cusum, seasonality, mkTrend,
       theilSen, acf, changepoint, pacf, peaks, streaks, holt, ols, holtWinters,
       asofNearest, rollingOls, forecastEval, activeUsers, wowGrowth, holtDamped,

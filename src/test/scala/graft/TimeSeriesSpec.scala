@@ -176,6 +176,52 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("paths: top-20 journey prefixes brute-replicate a per-user sorted walk") {
+    val ev = sources.Tables.events(spark, TestSpark.Sf)
+      .select($"user_id", $"ts", $"event_id", $"event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    val paths = ev.groupBy(_._1).map { case (_, xs) =>
+      xs.sortBy(e => (e._2.getTime, e._3)).take(4).map(_._4).mkString(">")
+    }
+    val expected = paths.groupBy(identity).map { case (p, xs) => (p, xs.size.toLong) }
+      .toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    val out = operators.TimeSeries.pathsTopK.run(spark, TestSpark.Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out === expected)
+    assert(out.nonEmpty && out.head._2 >= out.last._2)
+  }
+
+  test("calendar prorate: month exposure brute-replicates per-order interval splits") {
+    val li = sources.Tables.lineitem(spark, TestSpark.Sf)
+      .groupBy($"l_orderkey").agg(to_date(max($"l_shipdate")).as("e")).collect()
+      .map(r => r.getLong(0) -> r.getDate(1).toLocalDate).toMap
+    val ords = sources.Tables.orders(spark, TestSpark.Sf)
+      .select($"o_orderkey", to_date($"o_orderdate"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val agg = scala.collection.mutable.Map[java.time.LocalDate, (Long, Long, Long)]()
+    ords.filter(o => li.contains(o._1)).foreach { case (k, start, cents) =>
+      val end = Seq(li(k), start).max
+      var m = start.withDayOfMonth(1)
+      while (!m.isAfter(end)) {
+        val mEnd = m.plusMonths(1).minusDays(1)
+        val lo = Seq(start, m).max
+        val hi = Seq(end, mEnd).min
+        val days = java.time.temporal.ChronoUnit.DAYS.between(lo, hi) + 1
+        val (n, d, x) = agg.getOrElse(m, (0L, 0L, 0L))
+        agg(m) = (n + 1, d + days, x + cents * days)
+        m = m.plusMonths(1)
+      }
+    }
+    val out = operators.TimeSeries.calendarProrate.run(spark, TestSpark.Sf)
+      .collect().map(r => r.getDate(0).toLocalDate ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out === agg.toMap)
+    // an order spanning >1 month must exist or the split is untested
+    assert(agg.values.map(_._1).sum > ords.count(o => li.contains(o._1)),
+      "fixture inert: no order spans a month boundary")
+  }
+
   test("attribution: channels brute-replicate a latest-touch walk; purchases conserve") {
     val ev = sources.Tables.events(spark, TestSpark.Sf)
       .filter($"event_type".isin("view", "click", "purchase"))
