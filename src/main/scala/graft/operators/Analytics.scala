@@ -862,9 +862,15 @@ object Analytics {
     * and the algebraic (div 1e9, mod 1e9) split pieces of the 4th power
     * (which does NOT fit int64 per row). Shared by agg_moments and the
     * per-wave partials of stream_moments. */
-  private[graft] def momentRows(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Tables.events(s, dir)
+  private[graft] def momentRows(s: SparkSession, dir: String): DataFrame =
+    momentRowsOf(Tables.events(s, dir))
+
+  /** The cv/cv2/split-p4 derivation off an arbitrary events frame — the
+    * per-micro-batch form (StreamingSpec's real checkpointed
+    * stream_moments drive computes partials from each batch). */
+  private[graft] def momentRowsOf(ev: DataFrame): DataFrame = {
+    import ev.sparkSession.implicits._
+    ev
       .select($"event_id", $"event_type",
         expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cv"))
       .withColumn("cv2", $"cv" * $"cv")

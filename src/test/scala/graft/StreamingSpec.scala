@@ -1279,4 +1279,136 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() === deltaRows,
       "restart with no new data must not re-append any pair partials")
   }
+
+  /** Two-wave checkpointed foreachBatch drive shared by the round-13
+    * twin promotions: events land through a real file-source stream in
+    * two arrival waves split at the median event_id; each micro-batch
+    * appends `perBatch(batch)` partials to `out`. Returns (out path,
+    * re-run thunk) — the re-run with no new arrivals is the
+    * kill/restart idempotency leg each caller asserts. */
+  private def driveWaves(tag: String, ev: org.apache.spark.sql.DataFrame,
+      perBatch: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : (String, () => Unit) = {
+    val mid = ev.agg(floor(max($"event_id") / 2.0).cast("long"))
+      .collect()(0).getLong(0)
+    val base = Files.createTempDirectory(s"graft_${tag}strm").toString
+    val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+    def runWave(): Unit = {
+      val q = spark.readStream.schema(ev.schema).parquet(src)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          perBatch(b).write.mode("append").parquet(out)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    ev.filter($"event_id" <= mid).write.mode("append").parquet(src)
+    runWave()
+    ev.filter($"event_id" > mid).write.mode("append").parquet(src)
+    runWave()
+    (out, () => runWave())
+  }
+
+  /** Asserts the no-new-arrivals restart appends nothing and the served
+    * readout is unchanged — the idempotency leg of each drive. */
+  private def assertIdempotentRestart(out: String, rerun: () => Unit,
+      served: () => Seq[Seq[Any]], batch: Seq[Seq[Any]]): Unit = {
+    val rows = spark.read.parquet(out).count()
+    rerun()
+    assert(spark.read.parquet(out).count() === rows,
+      "restart with no new data must not re-append partials")
+    assert(served() === batch, "served readout changed by idempotent restart")
+  }
+
+  test("moments foreachBatch pipeline: appended sufficient stats serve the batch shape") {
+    // The production form of stream_moments: each micro-batch appends
+    // the six exact per-type sufficient-statistic partials (integer
+    // sums + the max|c| guard bound); the serve-side merge sums them
+    // (max for the bound) and the shared momentsFold must reproduce the
+    // batch skew/kurtosis rows bit-for-bit.
+    val ev = sources.Tables.events(spark, TestSpark.Sf)
+      .select($"event_id", $"event_type", $"value").cache()
+    val aggs = operators.Analytics.momentAggs
+    val (out, rerun) = driveWaves("mom", ev, b =>
+      operators.Analytics.momentRowsOf(b)
+        .groupBy($"event_type").agg(aggs.head, aggs.tail: _*))
+    def served() = operators.Analytics.momentsFold(
+      spark.read.parquet(out).groupBy($"event_type")
+        .agg(sum($"n").as("n"), sum($"s").as("s"), sum($"q").as("q"),
+          sum($"c3").as("c3"), sum($"p4_hi").as("p4_hi"),
+          sum($"p4_lo").as("p4_lo"), max($"mc").as("mc")))
+      .collect().map(_.toSeq).toSeq
+    val batch = operators.Analytics.moments.run(spark, TestSpark.Sf)
+      .collect().map(_.toSeq).toSeq
+    assert(served() === batch,
+      "merged moment partials must reproduce the batch shape rows exactly")
+    assertIdempotentRestart(out, rerun, () => served(), batch)
+  }
+
+  test("entropy foreachBatch pipeline: appended class counts serve the batch balance rows") {
+    // The production form of stream_entropy: per-day conditional count
+    // partials over the fixed type domain append per micro-batch; the
+    // merge sums integers per day and the shared entropyFold emits the
+    // identical label-balance rows.
+    val ev = sources.Tables.events(spark, TestSpark.Sf)
+      .select($"event_id", to_date($"ts").as("d"), $"event_type").cache()
+    val aggs = operators.Analytics.entropyAggs
+    val idx = operators.Analytics.entropyTypes.indices
+    val (out, rerun) = driveWaves("ent", ev, b =>
+      b.groupBy($"d").agg(aggs.head, aggs.tail: _*))
+    def served() = operators.Analytics.entropyFold(
+      spark.read.parquet(out).groupBy($"d")
+        .agg(sum(col("c0")).as("c0"),
+          idx.tail.map(i => sum(col(s"c$i")).as(s"c$i")): _*))
+      .collect().map(_.toSeq).toSeq
+    val batch = operators.Analytics.entropy.run(spark, TestSpark.Sf)
+      .collect().map(_.toSeq).toSeq
+    assert(served() === batch,
+      "merged count partials must reproduce the batch entropy rows exactly")
+    assertIdempotentRestart(out, rerun, () => served(), batch)
+  }
+
+  test("changepoint foreachBatch pipeline: appended daily sums serve the batch split") {
+    // The production form of stream_changepoint: per-(type, day) cent
+    // sums append per micro-batch; the merge sums integers and the
+    // shared changepointFold must locate the IDENTICAL split — batching
+    // must not move a changepoint.
+    val ev = sources.Tables.events(spark, TestSpark.Sf)
+      .select($"event_id", $"event_type", to_date($"ts").as("d"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cv"))
+      .cache()
+    val (out, rerun) = driveWaves("chg", ev, b =>
+      b.groupBy($"event_type", $"d").agg(sum($"cv").as("v")))
+    def served() = operators.TimeSeries.changepointFold(
+      spark.read.parquet(out).groupBy($"event_type", $"d")
+        .agg(sum($"v").as("v")))
+      .collect().map(_.toSeq).toSeq
+    val batch = operators.TimeSeries.changepoint.run(spark, TestSpark.Sf)
+      .collect().map(_.toSeq).toSeq
+    assert(served() === batch,
+      "merged daily sums must locate the batch changepoint exactly")
+    assertIdempotentRestart(out, rerun, () => served(), batch)
+  }
+
+  test("active-users foreachBatch pipeline: appended distinct pairs serve the batch actives") {
+    // The production form of stream_active_users: per-batch DISTINCT
+    // (user, day) pairs append (set union is idempotent AND associative,
+    // so late-duplicate arrivals cannot inflate a day); serve = one
+    // distinct over the appended pairs + the shared fold.
+    val ev = sources.Tables.events(spark, TestSpark.Sf)
+      .select($"event_id", $"user_id", to_date($"ts").as("d")).cache()
+    val (out, rerun) = driveWaves("act", ev, b =>
+      b.select($"user_id", $"d").distinct())
+    def served() = operators.TimeSeries.activeUsersFold(
+      spark.read.parquet(out).distinct())
+      .collect().map(_.toSeq).toSeq
+    val batch = operators.TimeSeries.activeUsers.run(spark, TestSpark.Sf)
+      .collect().map(_.toSeq).toSeq
+    assert(served() === batch,
+      "deduped appended pairs must reproduce the batch engagement rows")
+    assertIdempotentRestart(out, rerun, () => served(), batch)
+  }
 }
