@@ -1049,6 +1049,40 @@ object Graph {
     * no per-vertex window, no neighbor-list materialization, hub-skew
     * immune — and the modularity fold reuses the O(V) label vector
     * joins of graph_modularity. */
+  /** The phase-1 DuckDB CTE chain (deg/m/sc/mv/lab) shared by the
+    * graph_louvain and graph_louvain2 oracles. */
+  private val louvainLabCte = """deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src),
+               m AS (SELECT count(*) AS m2 FROM e),
+               sc AS (SELECT e.src, e.dst, m.m2 - ds.deg * dd.deg AS score
+                      FROM e JOIN deg ds ON e.src = ds.src
+                             JOIN deg dd ON e.dst = dd.src
+                             CROSS JOIN m),
+               mv AS (SELECT src, dst, score,
+                             row_number() OVER (PARTITION BY src
+                               ORDER BY score DESC, dst) AS rn
+                      FROM sc),
+               lab AS MATERIALIZED (SELECT src AS v,
+                              CASE WHEN score > 0 THEN dst ELSE src END AS label
+                       FROM mv WHERE rn = 1)"""
+
+  /** Phase-1 Louvain labels (the synchronous singleton-gain move phase)
+    * — factored so graph_louvain2 can contract and move again on the
+    * same deterministic partition. localCheckpointed: read 3× by
+    * graph_louvain (moved count, L_c fold, D_c fold) and 4× by the
+    * multilevel form. */
+  private def louvainLabels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = adjacency(s, dir).select($"src", $"dst", $"deg", $"ddeg")
+    val m2 = e.agg(count(lit(1)).as("m2"))
+    e.crossJoin(broadcast(m2))
+      .select($"src", $"dst", $"deg", ($"m2" - $"deg" * $"ddeg").as("score"))
+      .groupBy($"src")
+      .agg(max(struct($"score".as("score"), (-$"dst").as("nd"))).as("b"))
+      .select($"src".as("v"),
+        when($"b.score" > 0, -$"b.nd").otherwise($"src").as("label"))
+      .localCheckpoint()
+  }
+
   val louvain: GraftQuery = GraftQuery(
     "graph_louvain",
     (s, dir) => {
@@ -1056,13 +1090,7 @@ object Graph {
       val e = adjacency(s, dir).select($"src", $"dst", $"deg", $"ddeg")
       val m2 = e.agg(count(lit(1)).as("m2"))
       // synchronous move phase: best neighbor community per vertex
-      val labels = e.crossJoin(broadcast(m2))
-        .select($"src", $"dst", $"deg", ($"m2" - $"deg" * $"ddeg").as("score"))
-        .groupBy($"src")
-        .agg(max(struct($"score".as("score"), (-$"dst").as("nd"))).as("b"))
-        .select($"src".as("v"),
-          when($"b.score" > 0, -$"b.nd").otherwise($"src").as("label"))
-        .localCheckpoint() // read 3×: moved count, L_c fold, D_c fold
+      val labels = louvainLabels(s, dir)
       val nMoved = labels.agg(
         sum(when($"label" =!= $"v", 1L).otherwise(0L)).as("n_moved"))
       val lcnt = e.join(labels.withColumnRenamed("v", "src")
@@ -1086,19 +1114,7 @@ object Graph {
           ($"q_num".cast("double") / ($"m2" * $"m2").cast("double")).as("q"))
     },
     Some(s"""WITH $edgeCte,
-               deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
-               m AS (SELECT count(*) AS m2 FROM e),
-               sc AS (SELECT e.src, e.dst, m.m2 - ds.deg * dd.deg AS score
-                      FROM e JOIN deg ds ON e.src = ds.src
-                             JOIN deg dd ON e.dst = dd.src
-                             CROSS JOIN m),
-               mv AS (SELECT src, dst, score,
-                             row_number() OVER (PARTITION BY src
-                               ORDER BY score DESC, dst) AS rn
-                      FROM sc),
-               lab AS (SELECT src AS v,
-                              CASE WHEN score > 0 THEN dst ELSE src END AS label
-                       FROM mv WHERE rn = 1),
+               $louvainLabCte,
                moved AS (SELECT CAST(sum(CASE WHEN label <> v THEN 1 ELSE 0 END)
                                  AS BIGINT) AS n_moved FROM lab),
                lc AS (SELECT ls.label AS community, count(*) AS l_c
@@ -1112,6 +1128,141 @@ object Graph {
                      FROM dc LEFT JOIN lc ON dc.community = lc.community)
              SELECT count(*) AS n_communities,
                     (SELECT n_moved FROM moved) AS n_moved,
+                    CAST(sum(m2 * l_c - d_c * d_c) AS BIGINT) AS q_num,
+                    CAST(m2 * m2 AS BIGINT) AS q_den,
+                    CAST(sum(m2 * l_c - d_c * d_c) AS DOUBLE)
+                      / CAST(m2 * m2 AS DOUBLE) AS q
+             FROM j CROSS JOIN m
+             GROUP BY m2""")
+  )
+
+  /** MULTILEVEL Louvain — the contract-and-move-again second level that
+    * makes Louvain Louvain (one move phase alone is just a seeded
+    * relabeling): phase-1 communities CONTRACT into a community graph
+    * (node = community, w(a,b) = directed rows a→b, vol(a) = Σ member
+    * degrees — the self-loop mass rides in vol, not w), and a second
+    * synchronous move phase runs on it. From singleton-of-communities
+    * state the exact merge gain clears denominators to the BIGINT score
+    * ΔQ·4m²/2 = m2·w(a,b) − vol(a)·vol(b) (e holds both orientations,
+    * so the both-direction cross mass is 2w and the factor 2 cancels) —
+    * argmax and positivity are integer comparisons, ties → smallest
+    * community label. Readout: phase-1/phase-2 community counts,
+    * communities moved, and the exact-rational modularity of the FINAL
+    * two-level partition — strictly comparable to graph_louvain's and
+    * graph_modularity's Q on the same graph.
+    *
+    * Scale shape: the contraction is two label joins riding the same
+    * bucketed scan graph_modularity uses + one hash aggregate onto the
+    * community-pair domain (≤ cross-community edge count, collapsing
+    * with every level); everything after runs on COMMUNITY-sized
+    * tables — the whole point of multilevel coarsening at 100 TB; the
+    * phase-2 argmax is one max(struct) hash aggregate (all-long, no
+    * SortAggregate); final labels = one O(V) join through the phase-1
+    * vector. */
+  val louvain2: GraftQuery = GraftQuery(
+    "graph_louvain2",
+    (s, dir) => {
+      import s.implicits._
+      val e = adjacency(s, dir).select($"src", $"dst", $"deg")
+      val m2 = e.agg(count(lit(1)).as("m2"))
+      val lab1 = louvainLabels(s, dir)
+      // contraction: cross-community directed mass + community volumes
+      val labeled = e
+        .join(lab1.withColumnRenamed("v", "src")
+          .withColumnRenamed("label", "ca").hint("shuffle_hash"), "src")
+        .join(lab1.withColumnRenamed("v", "dst")
+          .withColumnRenamed("label", "cb").hint("shuffle_hash"), "dst")
+      val ce = labeled.filter($"ca" =!= $"cb")
+        .groupBy($"ca", $"cb").agg(count(lit(1)).as("w"))
+      val vol = vertices(adjacency(s, dir))
+        .join(lab1.withColumnRenamed("v", "src").hint("shuffle_hash"), "src")
+        .groupBy($"label".as("c")).agg(sum($"deg").as("vol"))
+        .localCheckpoint() // community-sized; read for gains + final fold
+      // phase 2: best neighbor community per contracted node
+      val moves = ce
+        .join(vol.withColumnRenamed("c", "ca")
+          .withColumnRenamed("vol", "va").hint("shuffle_hash"), "ca")
+        .join(broadcast(vol.withColumnRenamed("c", "cb")
+          .withColumnRenamed("vol", "vb")), "cb")
+        .crossJoin(broadcast(m2))
+        .select($"ca", $"cb", ($"m2" * $"w" - $"va" * $"vb").as("score"))
+        .groupBy($"ca")
+        .agg(max(struct($"score".as("score"), (-$"cb").as("nc"))).as("b"))
+        .select($"ca".as("c"),
+          when($"b.score" > 0, -$"b.nc").otherwise($"ca").as("label2"))
+      // isolated communities (no cross edges) keep their label
+      val lab2 = vol.select($"c")
+        .join(moves.hint("shuffle_hash"), Seq("c"), "left")
+        .select($"c", coalesce($"label2", $"c").as("label2"))
+        .localCheckpoint()
+      val counts = lab2.agg(
+        count(lit(1)).as("n_phase1"),
+        sum(when($"label2" =!= $"c", 1L).otherwise(0L)).as("n_moved2"))
+      // final two-level labels + the shared modularity fold
+      val fin = lab1.join(lab2.withColumnRenamed("c", "label")
+          .hint("shuffle_hash"), "label")
+        .select($"v", $"label2".as("label"))
+        .localCheckpoint()
+      val lcnt = e.join(fin.withColumnRenamed("v", "src")
+          .withColumnRenamed("label", "lsrc").hint("shuffle_hash"), "src")
+        .join(fin.withColumnRenamed("v", "dst")
+          .withColumnRenamed("label", "ldst").hint("shuffle_hash"), "dst")
+        .filter($"lsrc" === $"ldst")
+        .groupBy($"lsrc".as("community")).agg(count(lit(1)).as("l_c"))
+      val dcnt = vertices(adjacency(s, dir))
+        .join(fin.withColumnRenamed("v", "src").hint("shuffle_hash"), "src")
+        .groupBy($"label".as("community")).agg(sum($"deg").as("d_c"))
+      dcnt.join(lcnt.hint("shuffle_hash"), Seq("community"), "left")
+        .select($"community", coalesce($"l_c", lit(0L)).as("l_c"), $"d_c")
+        .crossJoin(broadcast(m2))
+        .crossJoin(broadcast(counts))
+        .agg(first($"m2").as("m2"), first($"n_phase1").as("n_phase1"),
+          first($"n_moved2").as("n_moved2"),
+          count(lit(1)).as("n_communities"),
+          sum($"m2" * $"l_c" - $"d_c" * $"d_c").as("q_num"))
+        .select($"n_phase1", $"n_moved2", $"n_communities", $"q_num",
+          ($"m2" * $"m2").as("q_den"),
+          ($"q_num".cast("double") / ($"m2" * $"m2").cast("double")).as("q"))
+    },
+    Some(s"""WITH $edgeCte,
+               $louvainLabCte,
+               vol AS (SELECT l.label AS c, CAST(sum(deg.deg) AS BIGINT) AS vol
+                       FROM deg JOIN lab l ON deg.src = l.v GROUP BY 1),
+               ce AS (SELECT ls.label AS ca, ld.label AS cb, count(*) AS w
+                      FROM e JOIN lab ls ON e.src = ls.v
+                             JOIN lab ld ON e.dst = ld.v
+                      WHERE ls.label <> ld.label GROUP BY 1, 2),
+               sc2 AS (SELECT ca, cb, m.m2 * w - va.vol * vb.vol AS score
+                       FROM ce JOIN vol va ON ce.ca = va.c
+                              JOIN vol vb ON ce.cb = vb.c
+                              CROSS JOIN m),
+               mv2 AS (SELECT ca, cb, score,
+                              row_number() OVER (PARTITION BY ca
+                                ORDER BY score DESC, cb) AS rn
+                       FROM sc2),
+               lab2 AS (SELECT vol.c,
+                               COALESCE(CASE WHEN mv2.score > 0 THEN mv2.cb
+                                             ELSE vol.c END, vol.c) AS label2
+                        FROM vol LEFT JOIN mv2
+                          ON vol.c = mv2.ca AND mv2.rn = 1),
+               cnt AS (SELECT count(*) AS n_phase1,
+                              CAST(sum(CASE WHEN label2 <> c THEN 1 ELSE 0 END)
+                                AS BIGINT) AS n_moved2
+                       FROM lab2),
+               fin AS (SELECT lab.v, lab2.label2 AS label
+                       FROM lab JOIN lab2 ON lab.label = lab2.c),
+               lc AS (SELECT ls.label AS community, count(*) AS l_c
+                      FROM e JOIN fin ls ON e.src = ls.v
+                             JOIN fin ld ON e.dst = ld.v
+                      WHERE ls.label = ld.label GROUP BY 1),
+               dc AS (SELECT f.label AS community,
+                             CAST(sum(deg.deg) AS BIGINT) AS d_c
+                      FROM deg JOIN fin f ON deg.src = f.v GROUP BY 1),
+               j AS (SELECT dc.community, COALESCE(lc.l_c, 0) AS l_c, dc.d_c
+                     FROM dc LEFT JOIN lc ON dc.community = lc.community)
+             SELECT (SELECT n_phase1 FROM cnt) AS n_phase1,
+                    (SELECT n_moved2 FROM cnt) AS n_moved2,
+                    count(*) AS n_communities,
                     CAST(sum(m2 * l_c - d_c * d_c) AS BIGINT) AS q_num,
                     CAST(m2 * m2 AS BIGINT) AS q_den,
                     CAST(sum(m2 * l_c - d_c * d_c) AS DOUBLE)
@@ -1998,6 +2149,6 @@ object Graph {
     Seq(pagerank, pagerankDelta, pagerankWeighted, pagerankPersonal, cc, jaccard,
       jaccardCapped, adamicAdar, labelPropagation, bfs,
       closenessLandmarks, edgesIncremental, triangles, degreeDist, kCore,
-      mst, assortativity, modularity, conductance, louvain, hits, walks, walksBiased,
+      mst, assortativity, modularity, conductance, louvain, louvain2, hits, walks, walksBiased,
       skipgram, clusteringCoeff, reciprocity, richClub)
 }

@@ -609,6 +609,53 @@ class GraphSpec extends AnyFunSuite {
     assert(q > -1.0 && q < 1.0, s"Q $q out of range")
   }
 
+  test("louvain2: contraction, phase-2 moves, and final Q replay a brute multilevel walk") {
+    val e = bruteEdges
+    val directed = e.toSeq.flatMap(p => Seq(p, p.swap))
+    val m2 = directed.length.toLong
+    val deg = directed.groupBy(_._1).map { case (v, xs) => v -> xs.length.toLong }
+    // phase 1: the singleton-gain argmax (as the louvain spec)
+    val lab1 = directed.groupBy(_._1).map { case (v, xs) =>
+      val best = xs.map(_._2).map(u => (m2 - deg(v) * deg(u), u))
+        .minBy { case (sc, u) => (-sc, u) }
+      v -> (if (best._1 > 0) best._2 else v)
+    }
+    // contraction: community volumes + cross-community directed mass
+    val vol = lab1.toSeq.groupBy(_._2)
+      .map { case (c, vs) => c -> vs.map(x => deg(x._1)).sum }
+    val ce = directed.map { case (s0, d0) => (lab1(s0), lab1(d0)) }
+      .filter { case (a, b) => a != b }
+      .groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+    // phase 2: best neighbor community, score = m2*w - vol(a)*vol(b)
+    val lab2 = vol.keys.map { c =>
+      val nbrs = ce.collect { case ((a, b), w) if a == c => (m2 * w - vol(c) * vol(b), b) }
+      c -> (if (nbrs.isEmpty) c else {
+        val best = nbrs.minBy { case (sc, b) => (-sc, b) }
+        if (best._1 > 0) best._2 else c
+      })
+    }.toMap
+    val nMoved2 = lab2.count { case (c, l) => l != c }.toLong
+    val fin = lab1.map { case (v, c) => v -> lab2(c) }
+    val lC = directed.filter { case (s0, d0) => fin(s0) == fin(d0) }
+      .groupBy { case (s0, _) => fin(s0) }.map { case (c, xs) => c -> xs.length.toLong }
+    val dC = directed.groupBy { case (s0, _) => fin(s0) }
+      .map { case (c, xs) => c -> xs.length.toLong }
+    val qNum = dC.map { case (c, d) => m2 * lC.getOrElse(c, 0L) - d * d }.sum
+    val out = operators.Graph.louvain2.run(spark, TestSpark.Sf).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_phase1") === vol.size.toLong)
+    assert(r.getAs[Long]("n_moved2") === nMoved2,
+      "phase-2 move count must match the brute contracted-gain argmax")
+    assert(r.getAs[Long]("n_communities") === dC.size.toLong)
+    assert(r.getAs[Long]("q_num") === qNum,
+      "final modularity numerator must match the brute two-level refold")
+    assert(r.getAs[Long]("q_den") === m2 * m2)
+    // coarsening must actually coarsen on the fixture
+    assert(dC.size < vol.size || nMoved2 == 0L,
+      "phase 2 moved communities without reducing the count")
+  }
+
   test("personalized pagerank: walk mass conserved, concentrated at the seeds") {
     val rows = operators.Graph.pagerankPersonal.run(spark, TestSpark.Sf)
       .collect().map(r => (r.getLong(0), r.getDouble(1)))

@@ -98,6 +98,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "graph_reciprocity",  // 1-row reciprocal-count broadcast onto the 1-row edge count
     "stream_assoc_rules", // 1-row basket-count broadcast (the batch assocFold plan)
     "graph_louvain",      // 1-row m2 broadcast onto scores + 1-row moved-count onto the fold
+    "graph_louvain2",     // same pattern: 1-row m2 + 1-row phase-2-counts broadcasts onto the fold
     "join_bitemporal_diff", // 1-row T1 watermark broadcast onto the T1-snapshot scan
     "ts_attribution",     // 1-row purchase-total broadcast onto the ≤4-row channel table
     "graph_conductance",  // 1-row m2 broadcast onto the community table (the modularity pattern)
