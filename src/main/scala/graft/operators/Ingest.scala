@@ -216,6 +216,164 @@ object Ingest {
             FROM kept ORDER BY event_type, d""")
   )
 
+  /** VACUUM — orphan-file garbage collection, the third leg of the
+    * layout lifecycle (retention drops expired partitions,
+    * retention_meta drops them through the catalog, vacuum reclaims
+    * files no committed snapshot references): aborted task attempts
+    * leave real bytes behind (`_temporary/` attempt trees, stray `.crc`
+    * side files), invisible to readers but billed by the object store
+    * forever. The fixture plants exactly two such orphans each run, so
+    * the vacuum count is deterministic and the graded readout —
+    * per-type row counts off the post-vacuum table + the vacuumed-file
+    * count — hash-compares; IngestSpec additionally pins the surviving
+    * part files byte-identical (vacuum must never rewrite data).
+    *
+    * Scale shape: the committed file set comes from the snapshot's own
+    * file index (what a table format's manifest is), the walk is the
+    * O(#files) Hadoop FileSystem recursion of ingest_retention_meta —
+    * driver-side METADATA work proportional to file count, zero rows
+    * read or moved; deletes hit only non-referenced paths. */
+  val ingestVacuum: GraftQuery = GraftQuery(
+    "ingest_vacuum",
+    (s, dir) => {
+      import s.implicits._
+      val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val out = s"/tmp/graft_vacuum/$key"
+      graft.llm.Layouts.parquetLayout(out, out,
+          graft.llm.Layouts.fingerprint(Tables.events(s, dir), "event_id", "ts")) {
+        writePartitioned(Tables.events(s, dir), out)
+      }
+      import org.apache.hadoop.fs.Path
+      val root = new Path(out)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      // Plant the two orphan shapes an aborted run leaves: a _temporary
+      // attempt file and a stale staging-dir file. Both are
+      // reader-invisible (leading '_') — only vacuum removes them.
+      // (A third real-world shape, stray .crc side files, can't be
+      // probed here: local ChecksumFileSystem hides them from
+      // listStatus, and on HDFS/S3A they don't exist.)
+      val orphans = Seq(
+        new Path(out, "_temporary/0/task_0/part-orphan.snappy.parquet"),
+        new Path(out, "_staging-orphan/part-0.snappy.parquet"))
+      orphans.foreach { p =>
+        val o = fs.create(p, true); o.write(Array[Byte](1, 2, 3)); o.close()
+      }
+      val table = s.read.parquet(out)
+      val keep = table.inputFiles
+        .map(f => new Path(new java.net.URI(f)).toUri.getPath).toSet
+      def walk(p: Path): Seq[Path] =
+        fs.listStatus(p).toSeq.flatMap { st =>
+          if (st.isDirectory) walk(st.getPath) else Seq(st.getPath)
+        }
+      val doomed = walk(root).filter { p =>
+        !keep.contains(p.toUri.getPath) && p.getName != "_SUCCESS" &&
+          p.getName != "_GRAFT_META"
+      }
+      doomed.foreach(p => fs.delete(p, false))
+      // prune the now-empty attempt trees (dir deletes, no data under them)
+      fs.delete(new Path(out, "_temporary"), true)
+      fs.delete(new Path(out, "_staging-orphan"), true)
+      s.read.parquet(out).groupBy($"event_type")
+        .agg(count(lit(1)).as("n_rows"))
+        .withColumn("n_vacuumed", lit(doomed.size.toLong))
+        .orderBy($"event_type")
+    },
+    Some("""SELECT event_type, count(*) AS n_rows, CAST(2 AS BIGINT) AS n_vacuumed
+            FROM events GROUP BY event_type ORDER BY event_type""")
+  )
+
+  /** ANALYZE — per-column table statistics (the CBO food: exact NDV,
+    * null count, min/max) for the orders table, the stats a catalog
+    * stores so the optimizer can size joins and pick broadcast sides;
+    * running it as a query makes stats collection itself a graded,
+    * repeatable pipeline step instead of a side effect. min/max emit as
+    * strings only for types whose rendering both engines pin exactly
+    * (BIGINT, DATE day, VARCHAR, exact cents) — a raw DOUBLE min would
+    * hash on formatting, so o_totalprice contributes through its exact
+    * cent grid.
+    *
+    * Scale shape: ONE pass over the table; the multi-distinct aggregate
+    * expands the scan k-fold (Spark's Expand for k distinct columns) —
+    * the documented cost of EXACT ndv; a production run at 100 TB flips
+    * to approx_count_distinct per column (one pass, no expand) and keeps
+    * this exact form for audit samples. The 1-row stats frame unpivots
+    * with a bounded stack — no second scan. */
+  val ingestAnalyze: GraftQuery = GraftQuery(
+    "ingest_analyze",
+    (s, dir) => {
+      import s.implicits._
+      val t = Tables.orders(s, dir).select(
+        $"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_orderpriority",
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("o_price_cents"),
+        to_date($"o_orderdate").as("o_day"))
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority", "o_price_cents", "o_day")
+      // min/max(string) would plan SortAggregate (immutable buffer) —
+      // the string columns' extrema come from distinct → TakeOrdered
+      // 1-row frames instead (hash-distinct + per-partition heaps, never
+      // a sort-based aggregate), assembled broadcast like the
+      // llm_dataset_card stat frames.
+      val stringCols = Set("o_orderstatus", "o_orderpriority")
+      val aggs = cols.flatMap { c =>
+        Seq(countDistinct(col(c)).as(s"ndv_$c"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c")) ++
+        (if (stringCols(c)) Nil
+         else Seq(min(col(c)).cast("string").as(s"mn_$c"),
+           max(col(c)).cast("string").as(s"mx_$c")))
+      }
+      val strFrames = stringCols.toSeq.sorted.flatMap { c =>
+        val dv = t.select(col(c)).groupBy(col(c)).agg(count(lit(1))).select(col(c))
+        Seq(dv.orderBy(col(c).asc).limit(1).select(col(c).as(s"mn_$c")),
+          dv.orderBy(col(c).desc).limit(1).select(col(c).as(s"mx_$c")))
+      }
+      val statsRow = strFrames.foldLeft(t.agg(aggs.head, aggs.tail: _*)) {
+        (acc, f) => acc.crossJoin(broadcast(f))
+      }
+      val stacked = cols.map(c =>
+        s"'$c', ndv_$c, nn_$c, mn_$c, mx_$c").mkString(", ")
+      statsRow
+        .select(expr(s"stack(${cols.size}, $stacked) AS " +
+          "(col_name, ndv, n_nulls, min_s, max_s)"))
+        .orderBy($"col_name")
+    },
+    Some("""WITH t AS (
+              SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS o_price_cents,
+                     CAST(o_orderdate AS DATE) AS o_day
+              FROM orders),
+            s AS (
+              SELECT 'o_orderkey' AS col_name, count(DISTINCT o_orderkey) AS ndv,
+                     sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+                     CAST(min(o_orderkey) AS VARCHAR) AS min_s,
+                     CAST(max(o_orderkey) AS VARCHAR) AS max_s FROM t
+              UNION ALL
+              SELECT 'o_custkey', count(DISTINCT o_custkey),
+                     sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+                     CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR) FROM t
+              UNION ALL
+              SELECT 'o_orderstatus', count(DISTINCT o_orderstatus),
+                     sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+                     min(o_orderstatus), max(o_orderstatus) FROM t
+              UNION ALL
+              SELECT 'o_orderpriority', count(DISTINCT o_orderpriority),
+                     sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+                     min(o_orderpriority), max(o_orderpriority) FROM t
+              UNION ALL
+              SELECT 'o_price_cents', count(DISTINCT o_price_cents),
+                     sum(CASE WHEN o_price_cents IS NULL THEN 1 ELSE 0 END),
+                     CAST(min(o_price_cents) AS VARCHAR),
+                     CAST(max(o_price_cents) AS VARCHAR) FROM t
+              UNION ALL
+              SELECT 'o_day', count(DISTINCT o_day),
+                     sum(CASE WHEN o_day IS NULL THEN 1 ELSE 0 END),
+                     strftime(min(o_day), '%Y-%m-%d'), strftime(max(o_day), '%Y-%m-%d') FROM t)
+            SELECT col_name, CAST(ndv AS BIGINT) AS ndv,
+                   CAST(n_nulls AS BIGINT) AS n_nulls, min_s, max_s
+            FROM s ORDER BY col_name""")
+  )
+
   /** Incremental load from a committed watermark (R2/R3 batch form):
     * only events past the watermark are consumed; the predicate pushes
     * into the scan. The watermark here is derived (midpoint) to stay
@@ -896,7 +1054,7 @@ object Ingest {
 
   def all: Seq[GraftQuery] =
     Seq(ingestPartitioned, ingestIncremental, scanPartitionPrune, joinBucketed,
-        ingestUpsert, ingestRetention, ingestRetentionMeta,
+        ingestUpsert, ingestRetention, ingestRetentionMeta, ingestVacuum, ingestAnalyze,
         sourceCsv, sourceJson, sourceOrc,
         sourceText, sourceBinary,
         partitionBucket,

@@ -315,6 +315,56 @@ class IngestSpec extends AnyFunSuite {
       out.map(r => (r.getString(0), r.getString(1))).toSeq, "idempotent listing")
   }
 
+  test("vacuum: orphans physically gone, surviving part files byte-untouched") {
+    def walkFiles(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walkFiles)
+      else Seq(f)
+    val root = new java.io.File(
+      s"/tmp/graft_vacuum/${TestSpark.Sf.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val out = operators.Ingest.ingestVacuum.run(spark, TestSpark.Sf).collect()
+    // exactly the two planted orphans were reclaimed
+    assert(out.map(_.getAs[Long]("n_vacuumed")).distinct.toSeq === Seq(2L))
+    assert(!new java.io.File(root, "_temporary").exists, "_temporary tree survived vacuum")
+    assert(!new java.io.File(root, "_staging-orphan").exists, "staging orphan survived vacuum")
+    // metadata-op claim: vacuum must never rewrite data — a second run
+    // (which re-plants and re-reclaims its own orphans) leaves every
+    // surviving part file bit-for-bit alone (path, size, mtime)
+    val before = walkFiles(root).map(f =>
+      (f.getPath, f.length, f.lastModified)).sortBy(_._1)
+    val out2 = operators.Ingest.ingestVacuum.run(spark, TestSpark.Sf).collect()
+    val after = walkFiles(root).map(f =>
+      (f.getPath, f.length, f.lastModified)).sortBy(_._1)
+    assert(after === before, "vacuum must not touch a surviving byte")
+    assert(out2.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq, "idempotent readout")
+    // row conservation: the table reads identically to the raw source
+    val n = sources.Tables.events(spark, TestSpark.Sf).count()
+    assert(out.map(_.getAs[Long]("n_rows")).sum === n)
+  }
+
+  test("analyze: per-column stats match driver-side recomputes") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Ingest.ingestAnalyze.run(spark, TestSpark.Sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))).toMap
+    val o = sources.Tables.orders(spark, TestSpark.Sf).select(
+      $"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_orderpriority",
+      expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"),
+      to_date($"o_orderdate").cast("string")).collect()
+    def check[T](name: String, vals: Seq[T])(implicit ord: Ordering[T]): Unit = {
+      val (ndv, nn, mn, mx) = rows(name)
+      assert(ndv === vals.distinct.size.toLong, s"$name ndv")
+      assert(nn === 0L, s"$name nulls")
+      assert(mn === vals.min.toString, s"$name min")
+      assert(mx === vals.max.toString, s"$name max")
+    }
+    check("o_orderkey", o.map(_.getLong(0)).toSeq)
+    check("o_custkey", o.map(_.getLong(1)).toSeq)
+    check("o_orderstatus", o.map(_.getString(2)).toSeq)
+    check("o_orderpriority", o.map(_.getString(3)).toSeq)
+    check("o_price_cents", o.map(_.getLong(4)).toSeq)
+    check("o_day", o.map(_.getString(5)).toSeq)
+  }
+
   test("text source: limit-2 split recovers every record byte-exactly") {
     import org.apache.spark.sql.functions._
     // run the registered query once so the line layout exists
