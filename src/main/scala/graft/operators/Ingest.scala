@@ -282,6 +282,107 @@ object Ingest {
             FROM events GROUP BY event_type ORDER BY event_type""")
   )
 
+  /** TIME TRAVEL — snapshot-versioned table reads (the table-format
+    * flagship: Delta/Iceberg's AS OF): version 1 is the per-user latest
+    * state; a late CORRECTION batch for one user cohort (user_id % 50 =
+    * 7, events past the midpoint — the backfill shape) commits version
+    * 2 by rewriting ONLY the user-group partitions the cohort touches
+    * (mod-50 cohorts against mod-8 groups → exactly the odd groups, so
+    * file reuse across versions is exercised at EVERY scale factor);
+    * v1's files are never deleted or modified, and each version is a
+    * MANIFEST (a file list) — reading AS OF v1 after v2 committed
+    * returns the pre-correction state bit-for-bit.
+    *
+    * Scale shape: the commit is O(changed groups) data + O(#files)
+    * driver-side manifest metadata (path parsing, like
+    * ingest_retention_meta's catalog walk — zero row collects); AS-OF
+    * reads list exactly the manifest's files with basePath partition
+    * recovery, so time travel costs nothing at read time beyond the
+    * file list. The graded readout aggregates both versions (user
+    * count, exact cent sum, high-water event id) — a leaked old file or
+    * a clobbered v1 byte flips a hash. */
+  val ingestTimeTravel: GraftQuery = GraftQuery(
+    "ingest_time_travel",
+    (s, dir) => {
+      import s.implicits._
+      val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val out = s"/tmp/graft_timetravel/$key"
+      val dataPath = s"$out/data"
+      def latest(df: DataFrame) =
+        df.groupBy($"user_id").agg(
+          max($"event_id").as("version"),
+          max_by($"value", $"event_id").as("value"))
+        .withColumn("grp", pmod($"user_id", lit(8L)))
+      val ev = Tables.events(s, dir).select($"user_id", $"event_id", $"value")
+      graft.llm.Layouts.parquetLayout(out, out,
+          graft.llm.Layouts.fingerprint(Tables.events(s, dir), "event_id", "ts")) {
+        val mid = ev.agg(floor(max($"event_id") / 2.0).cast("long").as("mid"))
+        val isCorrection = $"user_id" % 50 === 7 && $"event_id" > $"mid"
+        val v1 = latest(ev.crossJoin(broadcast(mid)).filter(!isCorrection)
+          .drop("mid"))
+        v1.repartition($"grp").write.partitionBy("grp")
+          .mode("overwrite").parquet(dataPath)
+        val f1 = s.read.parquet(dataPath).inputFiles.sorted
+        // commit v2: rewrite only the groups the correction cohort
+        // touches (semi join — no driver collect of group ids)
+        val touched = ev.crossJoin(broadcast(mid)).filter(isCorrection)
+          .select(pmod($"user_id", lit(8L)).as("grp")).distinct()
+        latest(ev).join(broadcast(touched), Seq("grp"), "left_semi")
+          .repartition($"grp").write.partitionBy("grp")
+          .mode("append").parquet(dataPath)
+        val all2 = s.read.parquet(dataPath).inputFiles.sorted
+        val newFiles = all2.diff(f1)
+        // manifest metadata (driver-side path parsing, O(#files))
+        def grpOf(f: String) = f.split("/").find(_.startsWith("grp=")).get
+        val rewritten = newFiles.map(grpOf).toSet
+        val v2Files = f1.filterNot(f => rewritten(grpOf(f))) ++ newFiles
+        java.nio.file.Files.write(java.nio.file.Paths.get(out, "manifest-v1"),
+          f1.mkString("\n").getBytes("UTF-8"))
+        java.nio.file.Files.write(java.nio.file.Paths.get(out, "manifest-v2"),
+          v2Files.sorted.mkString("\n").getBytes("UTF-8"))
+      }
+      def asOf(v: Int): DataFrame = {
+        val files = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(out, s"manifest-v$v")), "UTF-8")
+          .split("\n").toSeq
+        s.read.option("basePath", dataPath).parquet(files: _*)
+      }
+      def stats(v: Int): DataFrame = asOf(v).agg(
+        count(lit(1)).as("n_users"),
+        sum(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .as("sum_cents"),
+        max($"version").as("max_event_id"))
+        .select(lit(v.toLong).as("version"), $"n_users", $"sum_cents",
+          $"max_event_id")
+      stats(1).unionByName(stats(2)).orderBy($"version")
+    },
+    Some("""WITH wm AS (
+              SELECT CAST(floor(max(event_id) / 2.0) AS BIGINT) AS mid FROM events),
+            v1 AS (
+              SELECT user_id, max(event_id) AS version,
+                     max_by(value, event_id) AS value
+              FROM events, wm
+              WHERE NOT (user_id % 50 = 7 AND event_id > mid)
+              GROUP BY user_id),
+            v2 AS (
+              SELECT user_id, max(event_id) AS version,
+                     max_by(value, event_id) AS value
+              FROM events GROUP BY user_id)
+            SELECT * FROM (
+              SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_users,
+                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                       AS BIGINT) AS sum_cents,
+                     max(version) AS max_event_id
+              FROM v1
+              UNION ALL
+              SELECT CAST(2 AS BIGINT), count(*),
+                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                       AS BIGINT),
+                     max(version)
+              FROM v2)
+            ORDER BY version""")
+  )
+
   /** ANALYZE — per-column table statistics (the CBO food: exact NDV,
     * null count, min/max) for the orders table, the stats a catalog
     * stores so the optimizer can size joins and pick broadcast sides;
@@ -1054,7 +1155,7 @@ object Ingest {
 
   def all: Seq[GraftQuery] =
     Seq(ingestPartitioned, ingestIncremental, scanPartitionPrune, joinBucketed,
-        ingestUpsert, ingestRetention, ingestRetentionMeta, ingestVacuum, ingestAnalyze,
+        ingestUpsert, ingestRetention, ingestRetentionMeta, ingestVacuum, ingestAnalyze, ingestTimeTravel,
         sourceCsv, sourceJson, sourceOrc,
         sourceText, sourceBinary,
         partitionBucket,

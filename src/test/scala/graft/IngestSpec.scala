@@ -365,6 +365,53 @@ class IngestSpec extends AnyFunSuite {
     check("o_day", o.map(_.getString(5)).toSeq)
   }
 
+  test("time travel: as-of reads replay driver state; versions share untouched-group files") {
+    import org.apache.spark.sql.functions._
+    val out = operators.Ingest.ingestTimeTravel.run(spark, TestSpark.Sf).collect()
+    val root = s"/tmp/graft_timetravel/${TestSpark.Sf.replaceAll("[^a-zA-Z0-9]", "_")}"
+    def manifest(v: Int): Seq[String] = new String(java.nio.file.Files
+      .readAllBytes(java.nio.file.Paths.get(root, s"manifest-v$v")), "UTF-8")
+      .split("\n").toSeq
+    val (f1, f2) = (manifest(1), manifest(2))
+    // every v1 file still exists after the v2 commit (time travel intact)
+    f1.foreach(f => assert(new java.io.File(new java.net.URI(f).getPath).exists,
+      s"v1 file vanished: $f"))
+    // structural sharing: versions share the untouched-group files, and
+    // v2's new files live only in the correction cohort's groups (odd,
+    // by the mod-50-vs-mod-8 construction)
+    val shared = f1.toSet.intersect(f2.toSet)
+    assert(shared.nonEmpty, "no file shared across versions — reuse untested")
+    def grpOf(f: String) = f.split("/").find(_.startsWith("grp=")).get
+      .stripPrefix("grp=").toLong
+    f2.toSet.diff(f1.toSet).foreach(f =>
+      assert(grpOf(f) % 2 == 1, s"v2 rewrote an untouched group: $f"))
+    // as-of reads replay driver-side state recomputes
+    val ev = sources.Tables.events(spark, TestSpark.Sf)
+      .select($"user_id", $"event_id", $"value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val mid = ev.map(_._2).max / 2
+    def state(rows: Seq[(Long, Long, Double)]) = {
+      val byUser = rows.groupBy(_._1).map { case (u, xs) =>
+        val last = xs.maxBy(_._2); (u, last._2, last._3)
+      }.toSeq
+      (byUser.size.toLong,
+        byUser.map(x => BigDecimal(x._3).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP) * 100).map(_.toLongExact).sum,
+        byUser.map(_._2).max)
+    }
+    val exp1 = state(ev.filterNot(e => e._1 % 50 == 7 && e._2 > mid).toSeq)
+    val exp2 = state(ev.toSeq)
+    assert(out.length === 2)
+    val got = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) === exp1, "as-of-v1 state")
+    assert(got(2L) === exp2, "as-of-v2 state")
+    assert(exp1 !== exp2, "fixture inert: the correction batch changed nothing")
+    // idempotent re-run: fingerprint hit, same readout
+    val again = operators.Ingest.ingestTimeTravel.run(spark, TestSpark.Sf).collect()
+    assert(again.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
+  }
+
   test("text source: limit-2 split recovers every record byte-exactly") {
     import org.apache.spark.sql.functions._
     // run the registered query once so the line layout exists
