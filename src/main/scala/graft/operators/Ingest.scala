@@ -301,21 +301,22 @@ object Ingest {
     * file list. The graded readout aggregates both versions (user
     * count, exact cent sum, high-water event id) — a leaked old file or
     * a clobbered v1 byte flips a hash. */
-  val ingestTimeTravel: GraftQuery = GraftQuery(
-    "ingest_time_travel",
-    (s, dir) => {
-      import s.implicits._
-      val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
-      val out = s"/tmp/graft_timetravel/$key"
-      val dataPath = s"$out/data"
-      def latest(df: DataFrame) =
-        df.groupBy($"user_id").agg(
-          max($"event_id").as("version"),
-          max_by($"value", $"event_id").as("value"))
-        .withColumn("grp", pmod($"user_id", lit(8L)))
-      val ev = Tables.events(s, dir).select($"user_id", $"event_id", $"value")
-      graft.llm.Layouts.parquetLayout(out, out,
-          graft.llm.Layouts.fingerprint(Tables.events(s, dir), "event_id", "ts")) {
+  /** Builds (fingerprint-guarded) the versioned layout + manifests and
+    * returns its root — shared by ingest_time_travel and
+    * ingest_snapshot_diff. */
+  private def timeTravelLayout(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val out = s"/tmp/graft_timetravel/$key"
+    val dataPath = s"$out/data"
+    def latest(df: DataFrame) =
+      df.groupBy($"user_id").agg(
+        max($"event_id").as("version"),
+        max_by($"value", $"event_id").as("value"))
+      .withColumn("grp", pmod($"user_id", lit(8L)))
+    val ev = Tables.events(s, dir).select($"user_id", $"event_id", $"value")
+    graft.llm.Layouts.parquetLayout(out, out,
+        graft.llm.Layouts.fingerprint(Tables.events(s, dir), "event_id", "ts")) {
         val mid = ev.agg(floor(max($"event_id") / 2.0).cast("long").as("mid"))
         val isCorrection = $"user_id" % 50 === 7 && $"event_id" > $"mid"
         val v1 = latest(ev.crossJoin(broadcast(mid)).filter(!isCorrection)
@@ -340,14 +341,26 @@ object Ingest {
           f1.mkString("\n").getBytes("UTF-8"))
         java.nio.file.Files.write(java.nio.file.Paths.get(out, "manifest-v2"),
           v2Files.sorted.mkString("\n").getBytes("UTF-8"))
-      }
-      def asOf(v: Int): DataFrame = {
-        val files = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(out, s"manifest-v$v")), "UTF-8")
-          .split("\n").toSeq
-        s.read.option("basePath", dataPath).parquet(files: _*)
-      }
-      def stats(v: Int): DataFrame = asOf(v).agg(
+    }
+    out
+  }
+
+  /** AS-OF read: exactly the files version `v`'s manifest lists, with
+    * basePath partition recovery. */
+  private[graft] def timeTravelAsOf(s: SparkSession, dir: String,
+      v: Int): DataFrame = {
+    val out = timeTravelLayout(s, dir)
+    val files = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, s"manifest-v$v")), "UTF-8")
+      .split("\n").toSeq
+    s.read.option("basePath", s"$out/data").parquet(files: _*)
+  }
+
+  val ingestTimeTravel: GraftQuery = GraftQuery(
+    "ingest_time_travel",
+    (s, dir) => {
+      import s.implicits._
+      def stats(v: Int): DataFrame = timeTravelAsOf(s, dir, v).agg(
         count(lit(1)).as("n_users"),
         sum(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
           .as("sum_cents"),
@@ -381,6 +394,61 @@ object Ingest {
                      max(version)
               FROM v2)
             ORDER BY version""")
+  )
+
+  /** SNAPSHOT DIFF — the DESCRIBE-HISTORY companion to
+    * ingest_time_travel: per user-group, both versions' user count and
+    * exact cent sum plus a changed flag — "which partitions did the v2
+    * correction actually touch, and by how much" — the audit a data
+    * steward reads before expiring old snapshots (an unexpectedly
+    * changed group means a write went somewhere it shouldn't have). By
+    * the mod-50-cohort-vs-mod-8-group construction exactly the odd
+    * groups may change, and the oracle derives the same diff from raw
+    * events — a manifest pointing at a wrong or stale file flips a
+    * hash.
+    *
+    * Scale shape: two manifest-driven AS-OF reads (file listing only),
+    * each reduced by one hash aggregate onto the 8-group domain, one
+    * 8-row join — the diff never touches more data than the two
+    * snapshots' own aggregates. */
+  val ingestSnapshotDiff: GraftQuery = GraftQuery(
+    "ingest_snapshot_diff",
+    (s, dir) => {
+      import s.implicits._
+      def grouped(v: Int, sfx: String): DataFrame =
+        // grp returns as a recovered partition column (int-inferred) —
+        // pin BIGINT so the graded schema matches the oracle's user_id % 8
+        timeTravelAsOf(s, dir, v).groupBy($"grp".cast("long").as("grp"))
+          .agg(count(lit(1)).as(s"n_users_$sfx"),
+            sum(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+              .as(s"cents_$sfx"))
+      grouped(1, "v1").join(grouped(2, "v2"), Seq("grp"))
+        .withColumn("changed",
+          $"n_users_v1" =!= $"n_users_v2" || $"cents_v1" =!= $"cents_v2")
+        .orderBy($"grp")
+    },
+    Some("""WITH wm AS (
+              SELECT CAST(floor(max(event_id) / 2.0) AS BIGINT) AS mid FROM events),
+            v1 AS (
+              SELECT user_id % 8 AS grp, max_by(value, event_id) AS value
+              FROM events, wm
+              WHERE NOT (user_id % 50 = 7 AND event_id > mid)
+              GROUP BY user_id),
+            v2 AS (
+              SELECT user_id % 8 AS grp, max_by(value, event_id) AS value
+              FROM events GROUP BY user_id),
+            g1 AS (SELECT grp, count(*) AS n_users_v1,
+                          CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                            AS BIGINT)) AS BIGINT) AS cents_v1
+                   FROM v1 GROUP BY grp),
+            g2 AS (SELECT grp, count(*) AS n_users_v2,
+                          CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                            AS BIGINT)) AS BIGINT) AS cents_v2
+                   FROM v2 GROUP BY grp)
+            SELECT grp, n_users_v1, cents_v1, n_users_v2, cents_v2,
+                   (n_users_v1 <> n_users_v2 OR cents_v1 <> cents_v2) AS changed
+            FROM g1 JOIN g2 USING (grp)
+            ORDER BY grp""")
   )
 
   /** ANALYZE — per-column table statistics (the CBO food: exact NDV,
@@ -1155,7 +1223,7 @@ object Ingest {
 
   def all: Seq[GraftQuery] =
     Seq(ingestPartitioned, ingestIncremental, scanPartitionPrune, joinBucketed,
-        ingestUpsert, ingestRetention, ingestRetentionMeta, ingestVacuum, ingestAnalyze, ingestTimeTravel,
+        ingestUpsert, ingestRetention, ingestRetentionMeta, ingestVacuum, ingestAnalyze, ingestTimeTravel, ingestSnapshotDiff,
         sourceCsv, sourceJson, sourceOrc,
         sourceText, sourceBinary,
         partitionBucket,

@@ -732,6 +732,47 @@ object TimeSeries {
             FROM ex GROUP BY month ORDER BY month""")
   )
 
+  /** CUMULATIVE USER GROWTH — distinct users ever seen, by day (the
+    * registered-users curve every growth dashboard draws next to DAU),
+    * plus the day's newcomer count. A naive running COUNT(DISTINCT)
+    * window rescans history per day; the exact decomposition is: each
+    * user contributes on their FIRST day only (one per-user min), daily
+    * newcomers aggregate on the bounded day domain, and the cumulative
+    * is a running sum over ≤days rows. Days with zero newcomers still
+    * carry the running total (dense via the observed-day list — a
+    * growth curve with holes misreads).
+    *
+    * Scale shape: one (user, first-day) hash aggregate (map-side
+    * combine bounds any bot user to one row), one bounded-day
+    * aggregate, one window over the day table — no per-day rescans, no
+    * distinct windows. */
+  val cumulativeUsers: GraftQuery = GraftQuery(
+    "ts_cumulative_users",
+    (s, dir) => {
+      import s.implicits._
+      val firstDay = Tables.events(s, dir)
+        .select($"user_id", to_date($"ts").as("d"))
+        .groupBy($"user_id").agg(min($"d").as("d"))
+        .groupBy($"d").agg(count(lit(1)).as("new_users"))
+      val days = Tables.events(s, dir).select(to_date($"ts").as("d")).distinct()
+      val w = Window.orderBy($"d").rowsBetween(Window.unboundedPreceding, 0)
+      days.join(firstDay.hint("shuffle_hash"), Seq("d"), "left")
+        .select($"d", coalesce($"new_users", lit(0L)).as("new_users"))
+        .withColumn("cum_users", sum($"new_users").over(w))
+        .orderBy($"d")
+    },
+    Some("""WITH fd AS (
+              SELECT user_id, min(CAST(ts AS DATE)) AS d
+              FROM events GROUP BY user_id),
+            nu AS (SELECT d, count(*) AS new_users FROM fd GROUP BY d),
+            days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events)
+            SELECT days.d, COALESCE(nu.new_users, 0) AS new_users,
+                   CAST(sum(COALESCE(nu.new_users, 0)) OVER (ORDER BY days.d
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+            FROM days LEFT JOIN nu ON days.d = nu.d
+            ORDER BY days.d""")
+  )
+
   /** Attribution window: a touch older than 7 days no longer earns the
     * purchase — the standard last-click lookback. */
   private val AttrWindowSec = 604800L
@@ -3597,7 +3638,7 @@ object TimeSeries {
 
   def all: Seq[GraftQuery] =
     Seq(asofJoin, asofTolerance, gapFill, ntileRanks, skewSalted, resample, funnel,
-      funnelWindowed, sessionize, attribution, pathsTopK, calendarProrate, retention, anomaly, interpolate, ewma,
+      funnelWindowed, sessionize, attribution, pathsTopK, calendarProrate, cumulativeUsers, retention, anomaly, interpolate, ewma,
       crossCorr, outlierMad, rollingMedian, cusum, seasonality, mkTrend,
       theilSen, acf, changepoint, pacf, peaks, streaks, holt, ols, holtWinters,
       asofNearest, rollingOls, forecastEval, activeUsers, wowGrowth, holtDamped,

@@ -412,6 +412,36 @@ class IngestSpec extends AnyFunSuite {
     assert(again.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
   }
 
+  test("snapshot diff: per-group version deltas confine to the correction cohort's groups") {
+    import org.apache.spark.sql.functions._
+    val out = operators.Ingest.ingestSnapshotDiff.run(spark, TestSpark.Sf).collect()
+    assert(out.length === 8)
+    // changed groups must be a subset of the odd groups (mod-50 cohort
+    // against mod-8 groups), and at least one group must actually change
+    val changed = out.filter(_.getAs[Boolean]("changed")).map(_.getLong(0))
+    assert(changed.nonEmpty, "fixture inert: no group changed between versions")
+    changed.foreach(g => assert(g % 2 == 1, s"even group $g changed"))
+    // brute per-group recompute from raw events
+    val ev = sources.Tables.events(spark, TestSpark.Sf)
+      .select($"user_id", $"event_id", $"value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val mid = ev.map(_._2).max / 2
+    def byGrp(rows: Seq[(Long, Long, Double)]) =
+      rows.groupBy(_._1).toSeq // .toSeq: a Map here would collapse same-grp users
+        .map { case (u, xs) => (u % 8, xs.maxBy(_._2)._3) }
+        .groupBy(_._1).map { case (g, vs) =>
+          g -> (vs.size.toLong, vs.map(v => (BigDecimal(v._2).setScale(2,
+            BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact).sum)
+        }
+    val g1 = byGrp(ev.filterNot(e => e._1 % 50 == 7 && e._2 > mid).toSeq)
+    val g2 = byGrp(ev.toSeq)
+    out.foreach { r =>
+      val g = r.getLong(0)
+      assert((r.getLong(1), r.getLong(2)) === g1(g), s"group $g v1")
+      assert((r.getLong(3), r.getLong(4)) === g2(g), s"group $g v2")
+    }
+  }
+
   test("text source: limit-2 split recovers every record byte-exactly") {
     import org.apache.spark.sql.functions._
     // run the registered query once so the line layout exists

@@ -145,7 +145,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "llm_clf_auc",           // \u226410001-row basis-point score domain above the score agg
     "llm_clf_lift",          // \u226410 decile rows + \u226432-row range-bucket prefix (twoLevelRank)
     "stream_survival_km",    // the batch survivalFold plan over the lifetime-day domain
-    "llm_curriculum")        // \u226432-row range-bucket prefix table (twoLevelRank)
+    "llm_curriculum",        // \u226432-row range-bucket prefix table (twoLevelRank)
+    "ts_cumulative_users")   // bounded day-domain running sum above the first-day agg
 
   private def unpartitionedWindows(p: SparkPlan): Seq[WindowExec] = {
     val self = p match {

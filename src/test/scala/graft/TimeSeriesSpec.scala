@@ -176,6 +176,27 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("cumulative users: growth curve brute-replicates first-day counting; dense and monotone") {
+    val ev = sources.Tables.events(spark, TestSpark.Sf)
+      .select($"user_id", to_date($"ts")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val firstDay = ev.groupBy(_._1).map { case (_, xs) => xs.map(_._2).min }
+    val newByDay = firstDay.groupBy(identity).map { case (d, xs) => d -> xs.size.toLong }
+    val days = ev.map(_._2).distinct.sorted
+    var cum = 0L
+    val expected = days.map { d =>
+      val n = newByDay.getOrElse(d, 0L); cum += n; (d, n, cum)
+    }
+    val out = operators.TimeSeries.cumulativeUsers.run(spark, TestSpark.Sf)
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2))).toSeq
+    assert(out === expected)
+    // curve invariants: dense over observed days, monotone, ends at the
+    // total distinct-user count
+    assert(out.map(_._1) === days)
+    assert(out.last._3 === ev.map(_._1).distinct.length.toLong)
+    assert(out.sliding(2).forall(p => p.length < 2 || p(0)._3 <= p(1)._3))
+  }
+
   test("paths: top-20 journey prefixes brute-replicate a per-user sorted walk") {
     val ev = sources.Tables.events(spark, TestSpark.Sf)
       .select($"user_id", $"ts", $"event_id", $"event_type").collect()
