@@ -92,8 +92,11 @@ object Bench {
     // cwd — this run belongs to max(N)+1, the round the driver is about to
     // record. Best-effort: an unreadable cwd must not fail the bench.
     try {
-      val rounds = java.nio.file.Files.list(java.nio.file.Paths.get("."))
-        .toArray.map(_.toString)
+      // Files.list holds an open directory handle — close it or leak an
+      // fd per bench run (ADVICE r13).
+      val st = java.nio.file.Files.list(java.nio.file.Paths.get("."))
+      val entries = try st.toArray.map(_.toString) finally st.close()
+      val rounds = entries
         .flatMap { p =>
           "BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(p).map(_.group(1).toInt)
         }

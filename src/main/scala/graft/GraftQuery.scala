@@ -43,6 +43,24 @@ object GraftQuery {
     ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
   }
 
+  /** Signed-zero-safe final-projection rounding (the round-13 ts_macd
+    * lesson): when a tiny NEGATIVE double rounds to zero, Spark's
+    * `round` (BigDecimal HALF_UP — BigDecimal has no -0.0) emits +0.0
+    * while DuckDB's emits -0.0, so the driver's string hash diverges on
+    * numerically identical results. IEEE `-0.0 + 0.0 = +0.0` (and is a
+    * no-op on every nonzero value), so appending `+ 0.0` on BOTH engines
+    * pins the zero sign. Use this — with [[roundNormSql]] on the oracle
+    * side — for every rounded final projection whose value can be a tiny
+    * negative (differences, slopes, correlations, residuals). */
+  def roundNorm(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, round}
+    round(c, scale) + lit(0.0)
+  }
+
+  /** DuckDB twin of [[roundNorm]] — interpolate into the oracle SQL. */
+  def roundNormSql(expr: String, scale: Int): String =
+    s"(round($expr, $scale) + 0.0)"
+
   /** Overflow guard for exact BIGINT sufficient-statistic folds (Σc²,
     * Σc³, u², …): non-ANSI Spark WRAPS a silently overflowing BIGINT sum
     * while DuckDB errors, so past the documented ~100×-sf0.1 headroom the

@@ -263,9 +263,9 @@ object Corpus {
                            max(c) AS top_bg
                     FROM bc GROUP BY 1)
              SELECT ts.doc_id, ts.n_tokens,
-                    round(ts.n_distinct * 1.0 / ts.n_tokens, 4) AS distinct_ratio,
-                    round(ts.top_tok * 1.0 / ts.n_tokens, 4) AS top_token_ratio,
-                    round(bs.top_bg * 1.0 / bs.n_bigrams, 4) AS top_bigram_ratio,
+                    (round(ts.n_distinct * 1.0 / ts.n_tokens, 4) + 0.0) AS distinct_ratio,
+                    (round(ts.top_tok * 1.0 / ts.n_tokens, 4) + 0.0) AS top_token_ratio,
+                    (round(bs.top_bg * 1.0 / bs.n_bigrams, 4) + 0.0) AS top_bigram_ratio,
                     (ts.top_tok * 1.0 / ts.n_tokens >= $TopTokMax OR
                      ts.n_distinct * 1.0 / ts.n_tokens <= $DistinctMin OR
                      bs.top_bg * 1.0 / bs.n_bigrams >= $TopBigramMax) AS repetitive
@@ -355,7 +355,7 @@ object Corpus {
                      FROM occ, unnest(range(pos, pos + $ContamN)) r(p)),
              covc AS (SELECT doc_id, count(*) AS covered FROM cov GROUP BY doc_id)
              SELECT s.doc_id, s.n_toks, s.n_dup_grams, c.covered,
-                    round(c.covered * 1.0 / s.n_toks, 4) AS dup_coverage
+                    (round(c.covered * 1.0 / s.n_toks, 4) + 0.0) AS dup_coverage
              FROM stats s JOIN covc c USING (doc_id) ORDER BY s.doc_id""")
   )
 
@@ -483,7 +483,7 @@ object Corpus {
                      row_number() OVER (PARTITION BY doc_id
                        ORDER BY round(tfidf, 6) DESC, tok ASC) AS rnk
               FROM scored)
-            SELECT doc_id, CAST(rnk AS INT) AS rnk, tok, round(tfidf, 4) AS tfidf
+            SELECT doc_id, CAST(rnk AS INT) AS rnk, tok, (round(tfidf, 4) + 0.0) AS tfidf
             FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""")
   )
 
@@ -656,8 +656,8 @@ object Corpus {
                      LEFT JOIN pbc USING (w1, w2)
                      LEFT JOIN puc USING (w1)),
              ppl AS (SELECT doc_id,
-                            round(-sum(ln((cb + 1) * 1.0 / (cw1 + pv.v)) * c)
-                                  / sum(c), 4) AS nll
+                            (round(-sum(ln((cb + 1) * 1.0 / (cw1 + pv.v)) * c)
+                                  / sum(c), 4) + 0.0) AS nll
                      FROM psc CROSS JOIN pv GROUP BY doc_id),
              ${TextStats.classifierCtes}
              SELECT d.doc_id, d.lang, q.score
@@ -731,7 +731,7 @@ object Corpus {
              SELECT doc_id,
                     CAST(sum(c) AS BIGINT) AS n_bigrams,
                     CAST(sum(CASE WHEN cb = 0 THEN c ELSE 0 END) AS BIGINT) AS n_unseen,
-                    round(-sum(ln((cb + 1) * 1.0 / (cw1 + v.v)) * c) / sum(c), 4) AS nll
+                    (round(-sum(ln((cb + 1) * 1.0 / (cw1 + v.v)) * c) / sum(c), 4) + 0.0) AS nll
              FROM sc CROSS JOIN v
              GROUP BY doc_id ORDER BY doc_id"""
 
@@ -952,9 +952,9 @@ object Corpus {
             idf AS (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
                     FROM tf GROUP BY 1)
             SELECT doc_id,
-                   round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+                   (round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
                              (tf * 2.2) /
-                             (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
+                             (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) + 0.0) AS score
             FROM tf JOIN idf USING (tok) CROSS JOIN stats
             GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""")
   )
@@ -1110,7 +1110,7 @@ object Corpus {
                     CAST(sum(CASE WHEN ct0 > 0 THEN c ELSE 0 END) AS BIGINT) AS n_hit3,
                     CAST(sum(CASE WHEN ct0 = 0 AND cb23z > 0 THEN c ELSE 0 END) AS BIGINT)
                       AS n_hit2,
-                    round(-sum(ln(score) * c) / sum(c), 4) AS nll_sb
+                    (round(-sum(ln(score) * c) / sum(c), 4) + 0.0) AS nll_sb
              FROM lp GROUP BY doc_id ORDER BY doc_id""")
   )
 
@@ -1518,7 +1518,7 @@ object Corpus {
     Some(s"""WITH kept AS ($curateOracle),
         ${TextStats.classifierCtes},
         sc AS (SELECT kept.doc_id,
-                      CAST(round(p_keep * 10000) AS BIGINT) AS p_e4,
+                      CAST((round(p_keep * 10000) + 0.0) AS BIGINT) AS p_e4,
                       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
                FROM kept JOIN clf ON kept.doc_id = clf.doc_id
                     JOIN documents d ON kept.doc_id = d.doc_id),

@@ -121,8 +121,8 @@ object Dedup {
                  FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
                  GROUP BY 1, 2)
        SELECT id_a, id_b,
-              round(CAST(c AS DOUBLE)
-                    / CAST(sa.n + sb.n - c AS DOUBLE), 4) AS jaccard
+              (round(CAST(c AS DOUBLE)
+                    / CAST(sa.n + sb.n - c AS DOUBLE), 4) + 0.0) AS jaccard
        FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
        WHERE CAST(c AS DOUBLE)
              / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.6
@@ -540,8 +540,8 @@ object Dedup {
                    FROM p2 a JOIN p2 b ON a.gh = b.gh AND a.doc_id < b.doc_id
                    GROUP BY 1, 2)
          SELECT id_a, id_b,
-                round(CAST(c AS DOUBLE)
-                      / least(sa.n, sb.n), 4) AS containment
+                (round(CAST(c AS DOUBLE)
+                      / least(sa.n, sb.n), 4) + 0.0) AS containment
          FROM (SELECT id_a, id_b, c FROM inter $rareFilter) i
          JOIN sz sa ON sa.doc_id = i.id_a
          JOIN sz sb ON sb.doc_id = i.id_b
@@ -585,8 +585,8 @@ object Dedup {
                       FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
                       GROUP BY 1, 2)
             SELECT id_a, id_b,
-                   round(CAST(c AS DOUBLE)
-                         / CAST(sa.n + sb.n - c AS DOUBLE), 4) AS jaccard
+                   (round(CAST(c AS DOUBLE)
+                         / CAST(sa.n + sb.n - c AS DOUBLE), 4) + 0.0) AS jaccard
             FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
             WHERE id_b > (SELECT w FROM wm)
               AND CAST(c AS DOUBLE)
@@ -879,7 +879,7 @@ object Dedup {
              m AS (SELECT greatest(1, CAST(floor(count(*) / $EmbedAuditSize.0) AS BIGINT)) AS m FROM e),
              sl AS (SELECT vec_id, v FROM e, m WHERE vec_id % m.m = 0)
              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                    round(list_cosine_similarity(a.v, b.v), 4) AS cos
+                    (round(list_cosine_similarity(a.v, b.v), 4) + 0.0) AS cos
              FROM sl a JOIN sl b ON a.vec_id < b.vec_id
              WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4
              ORDER BY id_a, id_b""")

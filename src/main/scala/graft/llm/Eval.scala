@@ -72,7 +72,7 @@ object Eval {
                            THEN 1 ELSE 0 END AS y
                FROM lab_m),
        sc AS (SELECT clf.doc_id,
-                     CAST(round(p_keep * 10000) AS BIGINT) AS p_e4, y
+                     CAST((round(p_keep * 10000) + 0.0) AS BIGINT) AS p_e4, y
               FROM clf JOIN lab ON clf.doc_id = lab.doc_id)"""
 
   /** Exact ROC AUC of the classifier against the Gopher gold label — the
@@ -125,8 +125,8 @@ object Eval {
                           CAST(sum(pos * (2 * negbelow + neg)) AS BIGINT) AS u2
                    FROM cw)
              SELECT n_pos, n_neg, u2,
-                    round(CAST(u2 AS DOUBLE)
-                          / (2.0 * n_pos * n_neg), 6) AS auc
+                    (round(CAST(u2 AS DOUBLE)
+                          / (2.0 * n_pos * n_neg), 6) + 0.0) AS auc
              FROM a""")
   )
 
@@ -188,12 +188,12 @@ object Eval {
                           CAST(sum(y) AS BIGINT) AS n_pos
                    FROM d GROUP BY 1, 2, 3)
              SELECT decile, n_docs, n_pos,
-                    round(CAST(n_pos AS DOUBLE) / n_docs, 6) AS pos_rate,
-                    round(CAST(CAST(sum(n_pos) OVER (ORDER BY decile
+                    (round(CAST(n_pos AS DOUBLE) / n_docs, 6) + 0.0) AS pos_rate,
+                    (round(CAST(CAST(sum(n_pos) OVER (ORDER BY decile
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                        AS BIGINT) AS DOUBLE) / n_pos_total, 6) AS cum_gain,
-                    round(CAST(n_pos AS DOUBLE) * n
-                          / (CAST(n_docs AS DOUBLE) * n_pos_total), 6) AS lift
+                        AS BIGINT) AS DOUBLE) / n_pos_total, 6) + 0.0) AS cum_gain,
+                    (round(CAST(n_pos AS DOUBLE) * n
+                          / (CAST(n_docs AS DOUBLE) * n_pos_total), 6) + 0.0) AS lift
              FROM g ORDER BY decile""")
   )
 
@@ -265,11 +265,11 @@ object Eval {
                        AS BIGINT) AS sq
               FROM b GROUP BY 1)
         SELECT bin, n AS n_docs,
-               round(CAST(sp AS DOUBLE) / (n * 1e4), 6) AS mean_pred,
-               round(CAST(sy AS DOUBLE) / n, 6) AS frac_pos,
-               round(CAST(sy AS DOUBLE) / n
-                     - CAST(sp AS DOUBLE) / (n * 1e4), 6) AS gap,
-               round(CAST(sq AS DOUBLE) / (n * 1e8), 6) AS brier
+               (round(CAST(sp AS DOUBLE) / (n * 1e4), 6) + 0.0) AS mean_pred,
+               (round(CAST(sy AS DOUBLE) / n, 6) + 0.0) AS frac_pos,
+               (round(CAST(sy AS DOUBLE) / n
+                     - CAST(sp AS DOUBLE) / (n * 1e4), 6) + 0.0) AS gap,
+               (round(CAST(sq AS DOUBLE) / (n * 1e8), 6) + 0.0) AS brier
         FROM g ORDER BY bin"""
 
   /** Threshold-sweep confusion table — TP/FP/FN/TN and
@@ -325,7 +325,7 @@ object Eval {
                           CAST(sum(pos) AS BIGINT) AS p_total,
                           CAST(sum(neg) AS BIGINT) AS n_total
                    FROM x GROUP BY 1)
-             SELECT round(thr_e4 / 1e4, 2) AS threshold,
+             SELECT (round(thr_e4 / 1e4, 2) + 0.0) AS threshold,
                     tp, fp,
                     CAST(p_total - tp AS BIGINT) AS fn,
                     CAST(n_total - fp AS BIGINT) AS tn,

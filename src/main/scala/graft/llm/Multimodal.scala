@@ -63,8 +63,8 @@ object Multimodal {
     },
     Some("""SELECT doc_id, lang, source, n_chars, label,
                    CAST(len(embedding) AS INT) AS dim,
-                   round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
-                         x -> x * x))), 4) AS l2_norm
+                   (round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                         x -> x * x))), 4) + 0.0) AS l2_norm
             FROM documents JOIN embeddings ON doc_id = vec_id
             ORDER BY doc_id""")
   )
@@ -163,7 +163,7 @@ object Multimodal {
               FROM documents),
             scaled AS (
               SELECT doc_id, width, height,
-                     round(224.0 / CAST(greatest(width, height) AS DOUBLE), 6) AS scale
+                     (round(224.0 / CAST(greatest(width, height) AS DOUBLE), 6) + 0.0) AS scale
               FROM dims)
             SELECT doc_id, width, height, scale,
                    CAST(floor(width * scale) AS INT) AS out_w,
@@ -309,7 +309,7 @@ object Multimodal {
                                                   ORDER BY win_idx) AS island
               FROM scored WHERE energy >= 40)
             SELECT doc_id, min(win_idx) AS seg_start, max(win_idx) AS seg_end,
-                   count(*) AS n_voiced, round(avg(energy), 4) AS avg_energy
+                   count(*) AS n_voiced, (round(avg(energy), 4) + 0.0) AS avg_energy
             FROM voiced GROUP BY doc_id, island
             ORDER BY doc_id, seg_start""")
   )
@@ -377,7 +377,7 @@ object Multimodal {
               FROM cuts)
             SELECT doc_id, scene, min(frame_idx) AS start_frame,
                    max(frame_idx) AS end_frame, count(*) AS n_frames,
-                   round(avg(feat), 4) AS avg_feat
+                   (round(avg(feat), 4) + 0.0) AS avg_feat
             FROM scenes GROUP BY doc_id, scene
             ORDER BY doc_id, start_frame""")
   )

@@ -104,7 +104,7 @@ object Similarity {
              q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $NumQueries),
              scored AS (
                SELECT q.qid, e.vec_id AS nid,
-                      round(list_cosine_similarity(q.qv, e.v), 4) AS sim
+                      (round(list_cosine_similarity(q.qv, e.v), 4) + 0.0) AS sim
                FROM q JOIN e ON e.vec_id <> q.qid),
              ranked AS (
                SELECT qid, nid, sim,
@@ -153,7 +153,7 @@ object Similarity {
     Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
              q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $NumQueries)
              SELECT q.qid, e.vec_id AS nid,
-                    round(list_cosine_similarity(q.qv, e.v), 4) AS sim
+                    (round(list_cosine_similarity(q.qv, e.v), 4) + 0.0) AS sim
              FROM q JOIN e ON e.vec_id <> q.qid
              WHERE round(list_cosine_similarity(q.qv, e.v), 4) >= $RangeTau
              ORDER BY qid, nid""")
@@ -779,8 +779,8 @@ object Similarity {
                      list_cosine_similarity(e.v, cents.c) AS cos
               FROM e JOIN cents USING (label))
             SELECT label, count(*) AS n_vecs,
-                   round(avg(norm), 4) AS mean_norm,
-                   round(avg(cos), 4) AS mean_cos_to_centroid
+                   (round(avg(norm), 4) + 0.0) AS mean_norm,
+                   (round(avg(cos), 4) + 0.0) AS mean_cos_to_centroid
             FROM scored GROUP BY label ORDER BY label""")
   )
 
@@ -1365,7 +1365,7 @@ object Similarity {
                                   WHERE x.qid = c.qid AND x.nid = c.nid)
                 GROUP BY c.qid, c.nid),
               p$t AS (
-                SELECT qid, nid, round($lambda * rel - ${1 - lambda} * pen, 4) AS score,
+                SELECT qid, nid, (round($lambda * rel - ${1 - lambda} * pen, 4) + 0.0) AS score,
                        $t AS rank
                 FROM (SELECT *, row_number() OVER (PARTITION BY qid
                         ORDER BY ($lambda * rel - ${1 - lambda} * pen) DESC, nid) AS rn
@@ -1378,7 +1378,7 @@ object Similarity {
               q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $NumQueries),
               scored AS (
                 SELECT q.qid, e.vec_id AS nid,
-                       round(list_cosine_similarity(q.qv, e.v), 4) AS rel, e.v
+                       (round(list_cosine_similarity(q.qv, e.v), 4) + 0.0) AS rel, e.v
                 FROM q JOIN e ON e.vec_id <> q.qid),
               cand AS (SELECT * FROM (
                   SELECT *, row_number() OVER (PARTITION BY qid
@@ -1417,7 +1417,7 @@ object Similarity {
               FROM e WHERE vec_id < $NumQueries),
         scored AS (
           SELECT q.qid, e.vec_id AS nid, e.label,
-                 round(list_cosine_similarity(q.qv, e.v), 4) AS sim
+                 (round(list_cosine_similarity(q.qv, e.v), 4) + 0.0) AS sim
           FROM q JOIN e ON e.label = q.qlabel AND e.vec_id <> q.qid),
         ranked AS (
           SELECT qid, nid, label, sim,
@@ -1663,7 +1663,7 @@ object Similarity {
                          x - (mn + (code + 127) * (mx - mn) / 254) AS err
                   FROM c)
             SELECT vec_id, count(*) AS n_dims,
-                   round(max(abs(err)), 6) AS max_abs_err,
+                   (round(max(abs(err)), 6) + 0.0) AS max_abs_err,
                    CAST(sum(CAST(floor(err * err * 1e12) AS BIGINT)) AS BIGINT)
                      AS sse_e12
             FROM q GROUP BY vec_id ORDER BY vec_id""")
@@ -1743,11 +1743,11 @@ object Similarity {
                                     y -> CAST(CAST(y AS FLOAT) AS DOUBLE)) AS gc
               FROM gdims)
             SELECT source, n_vecs,
-                   round(list_cosine_similarity(c, gc.gc), 4) AS cos_to_global,
-                   round(sqrt(greatest(
+                   (round(list_cosine_similarity(c, gc.gc), 4) + 0.0) AS cos_to_global,
+                   (round(sqrt(greatest(
                      list_sum(list_transform(c, y -> y * y))
                      + list_sum(list_transform(gc.gc, y -> y * y))
-                     - 2.0 * list_dot_product(c, gc.gc), 0.0)), 4) AS l2_to_global
+                     - 2.0 * list_dot_product(c, gc.gc), 0.0)), 4) + 0.0) AS l2_to_global
             FROM cents, gc ORDER BY source""")
   )
 

@@ -125,7 +125,7 @@ object TextStats {
         .orderBy($"lang")
     },
     Some("""SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-                   round(avg(len(string_split(text, ' '))), 4) AS avg_tokens
+                   (round(avg(len(string_split(text, ' '))), 4) + 0.0) AS avg_tokens
             FROM documents GROUP BY lang ORDER BY lang""")
   )
 
@@ -268,8 +268,8 @@ object TextStats {
                            x -> list_contains(w, x))) AS INT) AS stop_hits
                     FROM t)
             SELECT doc_id, n_words,
-                   round(mwl, 4) AS mean_word_len,
-                   round(alpha_ratio, 4) AS alpha_ratio,
+                   (round(mwl, 4) + 0.0) AS mean_word_len,
+                   (round(alpha_ratio, 4) + 0.0) AS alpha_ratio,
                    stop_hits,
                    n_words BETWEEN 20 AND 90 AS ok_words,
                    mwl >= 3.8 AND mwl <= 5.0 AS ok_mwl,
@@ -559,8 +559,8 @@ object TextStats {
                      count(*) AS n_strata
               FROM strata)
             SELECT lang, source, n_docs, n_tokens,
-                   round(n_tokens / tot_tokens, 6) AS share,
-                   round(least(1.0, (tot_tokens / n_strata) / n_tokens), 6) AS mix_rate
+                   (round(n_tokens / tot_tokens, 6) + 0.0) AS share,
+                   (round(least(1.0, (tot_tokens / n_strata) / n_tokens), 6) + 0.0) AS mix_rate
             FROM strata, tot ORDER BY lang, source""")
   )
 
@@ -694,9 +694,9 @@ object TextStats {
         .limit(100)
     },
     Some("""SELECT doc_id, lang, n_chars,
-                   round(n_chars * CAST(1152921504606846976 AS DOUBLE)
+                   (round(n_chars * CAST(1152921504606846976 AS DOUBLE)
                          / CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-                                AS BIGINT), 4) AS priority
+                                AS BIGINT), 4) + 0.0) AS priority
             FROM documents
             ORDER BY priority DESC, doc_id LIMIT 100""")
   )
@@ -755,7 +755,7 @@ object TextStats {
                      + 1.5 * (n_dis / n_tok) + 2.0 * (n_mark / n_tok) AS z
          FROM clf_f),
        clf AS (
-         SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 4) AS p_keep
+         SELECT doc_id, (round(1.0 / (1.0 + exp(-z)), 4) + 0.0) AS p_keep
          FROM clf_z)"""
 
   /** The oracle for the classifier — shared verbatim with stream_quality
@@ -949,7 +949,7 @@ object TextStats {
             FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
             GROUP BY 1, 2)
         SELECT u, v, shared,
-               round(shared * 1.0 / least(fa.nf, fb.nf), 4) AS overlap
+               (round(shared * 1.0 / least(fa.nf, fb.nf), 4) + 0.0) AS overlap
         FROM cand JOIN fps fa ON fa.doc_id = u JOIN fps fb ON fb.doc_id = v
         WHERE round(shared * 1.0 / least(fa.nf, fb.nf), 4) >= $WinnowTau
         ORDER BY u, v"""
@@ -1215,8 +1215,8 @@ object TextStats {
          |SELECT d.source, count(DISTINCT d.doc_id) AS n_docs,
          |       count(*) AS n_words,
          |       CAST(sum(len(w.enc) - len(replace(w.enc, chr(2), ''))) AS BIGINT) AS n_pieces,
-         |       round(CAST(sum(len(w.enc) - len(replace(w.enc, chr(2), ''))) AS DOUBLE)
-         |             / CAST(count(*) AS DOUBLE), 6) AS fertility
+         |       (round(CAST(sum(len(w.enc) - len(replace(w.enc, chr(2), ''))) AS DOUBLE)
+         |             / CAST(count(*) AS DOUBLE), 6) + 0.0) AS fertility
          |FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
          |      FROM documents) d
          |JOIN w$BpeMergeCount w USING (word)
@@ -1405,8 +1405,8 @@ object TextStats {
         m AS (SELECT c, sum(n) AS nc FROM pc GROUP BY c),
         t AS (SELECT sum(n) AS nn FROM pc)
         SELECT pc.c AS center, pc.x AS context, pc.n,
-               round(ln(CAST(pc.n AS DOUBLE) * CAST(t.nn AS DOUBLE)
-                        / (CAST(mc.nc AS DOUBLE) * CAST(mx.nc AS DOUBLE))), 6)
+               (round(ln(CAST(pc.n AS DOUBLE) * CAST(t.nn AS DOUBLE)
+                        / (CAST(mc.nc AS DOUBLE) * CAST(mx.nc AS DOUBLE))), 6) + 0.0)
                  AS pmi
         FROM pc
         JOIN m mc ON pc.c = mc.c
@@ -1504,9 +1504,9 @@ object TextStats {
                        / CAST(n AS DOUBLE)) AS half
               FROM per)
             SELECT source, CAST(n AS BIGINT) AS n, k,
-                   round(p, 6) AS rate,
-                   round((center - half) / denom, 6) AS wilson_lo,
-                   round((center + half) / denom, 6) AS wilson_hi,
+                   (round(p, 6) + 0.0) AS rate,
+                   (round((center - half) / denom, 6) + 0.0) AS wilson_lo,
+                   (round((center + half) / denom, 6) + 0.0) AS wilson_hi,
                    CAST(CASE WHEN (center + half) / denom < (SELECT g FROM g)
                         THEN 1 ELSE 0 END AS BIGINT) AS sig_below_global
             FROM w ORDER BY source""")
@@ -1556,7 +1556,7 @@ object TextStats {
                   FROM t LEFT JOIN v ON t.token = v.token)
             SELECT source, count(*) AS n_tokens,
                    CAST(sum(iv) AS BIGINT) AS n_covered,
-                   round(CAST(sum(iv) AS DOUBLE) / count(*), 6) AS coverage,
+                   (round(CAST(sum(iv) AS DOUBLE) / count(*), 6) + 0.0) AS coverage,
                    count(DISTINCT CASE WHEN iv = 0 THEN token END) AS n_oov_types
             FROM j GROUP BY source ORDER BY source""")
   )
@@ -1622,10 +1622,10 @@ object TextStats {
                          CAST(sum(CAST(floor(lx * ly * 1e10) AS BIGINT)) AS BIGINT) AS sxy
                   FROM f GROUP BY 1)
             SELECT source, n_terms,
-                   round((CAST(n_terms AS DOUBLE) * sxy * 1e10
+                   (round((CAST(n_terms AS DOUBLE) * sxy * 1e10
                           - CAST(sx AS DOUBLE) * sy)
                          / (CAST(n_terms AS DOUBLE) * sxx * 1e10
-                            - CAST(sx AS DOUBLE) * sx), 4) AS zipf_slope
+                            - CAST(sx AS DOUBLE) * sx), 4) + 0.0) AS zipf_slope
             FROM a ORDER BY source""")
   )
 
@@ -1690,14 +1690,14 @@ object TextStats {
                            * 1e4) AS BIGINT)) AS BIGINT) AS slnc
                   FROM c GROUP BY 1)
             SELECT source, n_types, n,
-                   round(ln(CAST(n AS DOUBLE))
-                         - CAST(slnc AS DOUBLE) / (CAST(n AS DOUBLE) * 1e4), 6)
+                   (round(ln(CAST(n AS DOUBLE))
+                         - CAST(slnc AS DOUBLE) / (CAST(n AS DOUBLE) * 1e4), 6) + 0.0)
                      AS h_nats,
-                   round((ln(CAST(n AS DOUBLE))
+                   (round((ln(CAST(n AS DOUBLE))
                           - CAST(slnc AS DOUBLE) / (CAST(n AS DOUBLE) * 1e4))
-                         / ln(CAST(n_types AS DOUBLE)), 6) AS h_norm,
-                   round(exp(ln(CAST(n AS DOUBLE))
-                         - CAST(slnc AS DOUBLE) / (CAST(n AS DOUBLE) * 1e4)), 4)
+                         / ln(CAST(n_types AS DOUBLE)), 6) + 0.0) AS h_norm,
+                   (round(exp(ln(CAST(n AS DOUBLE))
+                         - CAST(slnc AS DOUBLE) / (CAST(n AS DOUBLE) * 1e4)), 4) + 0.0)
                      AS perplexity
             FROM a ORDER BY source""")
   )

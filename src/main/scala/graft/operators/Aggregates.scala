@@ -36,11 +36,11 @@ object Aggregates {
     },
     Some("""
       SELECT l_returnflag, l_linestatus,
-             round(sum(l_quantity), 2)                            AS sum_qty,
-             round(sum(l_extendedprice), 2)                       AS sum_base_price,
-             round(sum(l_extendedprice * (1.0 - l_discount)), 2)  AS sum_disc_price,
-             round(avg(l_quantity), 4)                            AS avg_qty,
-             round(avg(l_discount), 6)                            AS avg_disc,
+             (round(sum(l_quantity), 2) + 0.0)                            AS sum_qty,
+             (round(sum(l_extendedprice), 2) + 0.0)                       AS sum_base_price,
+             (round(sum(l_extendedprice * (1.0 - l_discount)), 2) + 0.0)  AS sum_disc_price,
+             (round(avg(l_quantity), 4) + 0.0)                            AS avg_qty,
+             (round(avg(l_discount), 6) + 0.0)                            AS avg_disc,
              count(*)                                             AS count_order
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -114,7 +114,7 @@ object Aggregates {
     },
     Some("""SELECT coalesce(l_returnflag, 'ALL') AS flag,
                    coalesce(l_linestatus, 'ALL') AS status,
-                   round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+                   (round(sum(l_quantity), 2) + 0.0) AS sum_qty, count(*) AS n
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
             ORDER BY flag, status""")
   )
@@ -134,7 +134,7 @@ object Aggregates {
     },
     Some("""SELECT coalesce(l_returnflag, 'ALL') AS flag,
                    coalesce(l_linestatus, 'ALL') AS status,
-                   round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
+                   (round(sum(l_extendedprice), 2) + 0.0) AS sum_price, count(*) AS n
             FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
             ORDER BY flag, status""")
   )
@@ -147,7 +147,7 @@ object Aggregates {
       Tables.orders(s, dir).createOrReplaceTempView("orders_gsets")
       s.sql("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
                       coalesce(o_orderpriority, 'ALL') AS priority,
-                      round(sum(o_totalprice), 2) AS sum_price, count(*) AS n
+                      (round(sum(o_totalprice), 2) + 0.0) AS sum_price, count(*) AS n
                FROM orders_gsets
                GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
                                        (o_orderstatus, o_orderpriority))
@@ -155,7 +155,7 @@ object Aggregates {
     },
     Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
                    coalesce(o_orderpriority, 'ALL') AS priority,
-                   round(sum(o_totalprice), 2) AS sum_price, count(*) AS n
+                   (round(sum(o_totalprice), 2) + 0.0) AS sum_price, count(*) AS n
             FROM orders
             GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
                                     (o_orderstatus, o_orderpriority))
@@ -173,7 +173,7 @@ object Aggregates {
         .filter($"n_parts" > 3)
         .orderBy($"p_brand")
     },
-    Some("""SELECT p_brand, count(*) AS n_parts, round(avg(p_retailprice), 2) AS avg_price
+    Some("""SELECT p_brand, count(*) AS n_parts, (round(avg(p_retailprice), 2) + 0.0) AS avg_price
             FROM part GROUP BY p_brand HAVING count(*) > 3 ORDER BY p_brand""")
   )
 
@@ -189,7 +189,7 @@ object Aggregates {
         .orderBy($"l_returnflag")
     },
     Some("""SELECT l_returnflag,
-                   round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS wmean_price
+                   (round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) + 0.0) AS wmean_price
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
   )
 
@@ -810,9 +810,9 @@ object Aggregates {
                         ELSE CAST(floor(o_totalprice / 25000.0) AS BIGINT) + 1
                    END AS bucket,
                    count(*) AS n_orders,
-                   round(min(o_totalprice), 2) AS lo,
-                   round(max(o_totalprice), 2) AS hi,
-                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   (round(min(o_totalprice), 2) + 0.0) AS lo,
+                   (round(max(o_totalprice), 2) + 0.0) AS hi,
+                   CAST((round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) + 0.0) AS DOUBLE)
                      AS total
             FROM orders
             GROUP BY bucket ORDER BY bucket""")

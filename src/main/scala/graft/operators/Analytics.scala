@@ -34,11 +34,11 @@ object Analytics {
         .orderBy($"l_returnflag")
     },
     Some("""SELECT l_returnflag,
-                   round(stddev_samp(l_extendedprice), 4) AS sd_price,
-                   round(var_samp(l_quantity), 4) AS var_qty,
-                   round(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
-                   round(covar_samp(l_extendedprice, l_discount), 4) AS cov_pd,
-                   round(skewness(l_quantity), 6) AS skew_qty
+                   (round(stddev_samp(l_extendedprice), 4) + 0.0) AS sd_price,
+                   (round(var_samp(l_quantity), 4) + 0.0) AS var_qty,
+                   (round(corr(l_extendedprice, l_quantity), 6) + 0.0) AS corr_pq,
+                   (round(covar_samp(l_extendedprice, l_discount), 4) + 0.0) AS cov_pd,
+                   (round(skewness(l_quantity), 6) + 0.0) AS skew_qty
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
   )
 
@@ -59,9 +59,9 @@ object Analytics {
         .orderBy($"o_orderstatus")
     },
     Some("""SELECT o_orderstatus,
-                   round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p50,
-                   round(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p90,
-                   round(percentile_cont(0.99) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p99
+                   (round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4) + 0.0) AS p50,
+                   (round(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 4) + 0.0) AS p90,
+                   (round(percentile_cont(0.99) WITHIN GROUP (ORDER BY o_totalprice), 4) + 0.0) AS p99
             FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")
   )
 
@@ -179,7 +179,7 @@ object Analytics {
         .limit(10)
     },
     Some("""SELECT o_orderkey, o_orderdate,
-                   round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+                   (round(sum(l_extendedprice * (1.0 - l_discount)), 2) + 0.0) AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -222,7 +222,7 @@ object Analytics {
       val pairs = for { i <- cols.indices; j <- cols.indices if i < j }
         yield (cols(i), cols(j))
       val aggCols = pairs.map { case (a, b) =>
-        s"round(corr($a, $b), 6) AS ${a}__$b" }.mkString(", ")
+        s"(round(corr($a, $b), 6) + 0.0) AS ${a}__$b" }.mkString(", ")
       val arms = pairs.map { case (a, b) =>
         s"SELECT '$a' AS col_a, '$b' AS col_b, ${a}__$b AS corr_v FROM m"
       }.mkString("\nUNION ALL\n")
@@ -1256,8 +1256,8 @@ object Analytics {
                    + (CASE WHEN c4 > 0 THEN c4 * ln(CAST(c4 AS DOUBLE)) ELSE 0.0 END) AS clnc
               FROM a)
             SELECT d, CAST(n AS BIGINT) AS n, CAST(k_present AS BIGINT) AS k_present,
-                   round(ln(CAST(n AS DOUBLE)) - clnc / CAST(n AS DOUBLE), 6) AS entropy,
-                   round((ln(CAST(n AS DOUBLE)) - clnc / CAST(n AS DOUBLE)) / ln(5.0), 6)
+                   (round(ln(CAST(n AS DOUBLE)) - clnc / CAST(n AS DOUBLE), 6) + 0.0) AS entropy,
+                   (round((ln(CAST(n AS DOUBLE)) - clnc / CAST(n AS DOUBLE)) / ln(5.0), 6) + 0.0)
                      AS entropy_norm
             FROM f ORDER BY d""")
   )
@@ -1567,9 +1567,9 @@ object Analytics {
                    CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_cents
             FROM daily GROUP BY 1)
           SELECT event_type, n_days, count(*) AS n_resamples,
-                 round(any_value(mean_cents), 4) AS mean_cents,
-                 round(percentile_cont(0.025) WITHIN GROUP (ORDER BY m), 4) AS ci_lo,
-                 round(percentile_cont(0.975) WITHIN GROUP (ORDER BY m), 4) AS ci_hi
+                 (round(any_value(mean_cents), 4) + 0.0) AS mean_cents,
+                 (round(percentile_cont(0.025) WITHIN GROUP (ORDER BY m), 4) + 0.0) AS ci_lo,
+                 (round(percentile_cont(0.975) WITHIN GROUP (ORDER BY m), 4) + 0.0) AS ci_hi
           FROM means JOIN pt USING (event_type)
           GROUP BY event_type, n_days
           ORDER BY event_type"""
@@ -1688,14 +1688,14 @@ object Analytics {
                      CAST(sum(x) AS BIGINT) AS ax, CAST(sum(y) AS BIGINT) AS ay
               FROM u GROUP BY 1)
             SELECT arm, n_users,
-                   round(CAST(ay AS DOUBLE) / CAST(n_users AS DOUBLE), 4) AS mean_y,
-                   round(CAST(ay AS DOUBLE) / CAST(n_users AS DOUBLE)
+                   (round(CAST(ay AS DOUBLE) / CAST(n_users AS DOUBLE), 4) + 0.0) AS mean_y,
+                   (round(CAST(ay AS DOUBLE) / CAST(n_users AS DOUBLE)
                      - (CAST(cxy AS DOUBLE) / CAST(vx AS DOUBLE))
                        * (CAST(ax AS DOUBLE) / CAST(n_users AS DOUBLE)
-                          - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 4) AS mean_y_adj,
-                   round(CAST(cxy AS DOUBLE) / CAST(vx AS DOUBLE), 6) AS theta,
-                   round((CAST(cxy AS DOUBLE) * CAST(cxy AS DOUBLE))
-                     / (CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)), 6) AS var_reduction
+                          - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 4) + 0.0) AS mean_y_adj,
+                   (round(CAST(cxy AS DOUBLE) / CAST(vx AS DOUBLE), 6) + 0.0) AS theta,
+                   (round((CAST(cxy AS DOUBLE) * CAST(cxy AS DOUBLE))
+                     / (CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)), 6) + 0.0) AS var_reduction
             FROM a CROSS JOIN st
             ORDER BY arm""")
   )
@@ -1796,10 +1796,10 @@ object Analytics {
                        * sqrt(1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)) AS mde
               FROM f)
             SELECT n_a, n_b,
-                   round(sd, 4) AS sd_y,
-                   round(mde, 4) AS mde_abs,
-                   round(mde * sqrt(1.0 - rho2), 4) AS mde_cuped,
-                   round(mde / (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS mde_rel
+                   (round(sd, 4) + 0.0) AS sd_y,
+                   (round(mde, 4) + 0.0) AS mde_abs,
+                   (round(mde * sqrt(1.0 - rho2), 4) + 0.0) AS mde_cuped,
+                   (round(mde / (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)), 6) + 0.0) AS mde_rel
             FROM m""")
   )
 
@@ -1845,8 +1845,8 @@ object Analytics {
                      CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
               FROM u)
             SELECT n_a, n_b,
-                   round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
-                         / CAST(n_a + n_b AS DOUBLE), 6) AS chi2,
+                   (round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+                         / CAST(n_a + n_b AS DOUBLE), 6) + 0.0) AS chi2,
                    CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
                      / CAST(n_a + n_b AS DOUBLE) > 3.841458820694124 AS srm_detected
             FROM p""")
@@ -1917,8 +1917,8 @@ object Analytics {
               SELECT src_type, event_type AS dst_type, count(*) AS n
               FROM j WHERE src_type IS NOT NULL GROUP BY 1, 2)
             SELECT src_type, dst_type, n,
-                   round(CAST(n AS DOUBLE)
-                         / CAST(sum(n) OVER (PARTITION BY src_type) AS DOUBLE), 6) AS p
+                   (round(CAST(n AS DOUBLE)
+                         / CAST(sum(n) OVER (PARTITION BY src_type) AS DOUBLE), 6) + 0.0) AS p
             FROM c ORDER BY src_type, dst_type""")
   )
 
@@ -2001,8 +2001,8 @@ object Analytics {
               FROM tri)
             SELECT cm.cohort_week, cm.age_week, sz.n_users,
                    cm.revenue_cents, cm.cum_revenue_cents,
-                   round(CAST(cm.cum_revenue_cents AS DOUBLE)
-                         / CAST(sz.n_users AS DOUBLE), 4) AS ltv_per_user_cents
+                   (round(CAST(cm.cum_revenue_cents AS DOUBLE)
+                         / CAST(sz.n_users AS DOUBLE), 4) + 0.0) AS ltv_per_user_cents
             FROM cm JOIN sz USING (cohort_week)
             ORDER BY cohort_week, age_week""")
   )
@@ -2136,7 +2136,7 @@ object Analytics {
             SELECT t, n_risk, d_n AS n_churned, c_n AS n_censored,
                    CASE WHEN dead = 1 THEN 0.0
                         ELSE round(exp(CAST(cumln AS DOUBLE) / 1e12), 6) END AS s_km,
-                   round(CAST(na_c AS DOUBLE) / 1e12, 6) AS h_na,
+                   (round(CAST(na_c AS DOUBLE) / 1e12, 6) + 0.0) AS h_na,
                    CASE WHEN dead = 1 THEN 0.0
                         ELSE round(exp(CAST(cumln AS DOUBLE) / 1e12)
                              * sqrt(CAST(gw_c AS DOUBLE) / 1e12), 6) END AS se_km
@@ -2207,9 +2207,9 @@ object Analytics {
                          CAST(floor(-ln(r) * 1e9) AS BIGINT) AS tl
                   FROM t)
             SELECT c_mktsegment, n AS n_customers,
-                   round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 4) AS mean_cents,
-                   round(CAST(sum(tt) AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9), 6) AS theil_t,
-                   round(CAST(sum(tl) AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9), 6) AS theil_l
+                   (round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 4) + 0.0) AS mean_cents,
+                   (round(CAST(sum(tt) AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9), 6) + 0.0) AS theil_t,
+                   (round(CAST(sum(tl) AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9), 6) + 0.0) AS theil_l
             FROM f GROUP BY c_mktsegment, n, sx ORDER BY c_mktsegment""")
   )
 
@@ -2277,16 +2277,16 @@ object Analytics {
                          CAST(sum(CAST(floor(ly * ly * 1e8) AS BIGINT)) AS BIGINT) AS syy
                   FROM r GROUP BY 1)
             SELECT p_brand, n,
-                   round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) * 1e8
+                   (round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) * 1e8
                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) * 1e8
-                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4) AS elasticity,
-                   round(pow(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) * 1e8
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4) + 0.0) AS elasticity,
+                   (round(pow(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) * 1e8
                              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE), 2.0)
                          / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) * 1e8
                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                             * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) * 1e8
-                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4) AS r2
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4) + 0.0) AS r2
             FROM a ORDER BY p_brand""")
   )
 
@@ -2352,12 +2352,12 @@ object Analytics {
                          CAST(c AS DOUBLE) >= p05 AND CAST(c AS DOUBLE) <= p95 AS keep
                   FROM ev JOIN cuts USING (event_type))
             SELECT event_type, count(*) AS n,
-                   round(p05, 4) AS p05, round(p95, 4) AS p95,
-                   round(CAST(sum(c) AS DOUBLE) / count(*), 4) AS mean_raw,
-                   round(CAST(sum(CAST(floor(cw * 1e6) AS BIGINT)) AS DOUBLE)
-                         / (count(*) * 1e6), 4) AS mean_winsor,
-                   round(CAST(sum(CASE WHEN keep THEN c ELSE 0 END) AS DOUBLE)
-                         / sum(CASE WHEN keep THEN 1 ELSE 0 END), 4) AS mean_trim,
+                   (round(p05, 4) + 0.0) AS p05, (round(p95, 4) + 0.0) AS p95,
+                   (round(CAST(sum(c) AS DOUBLE) / count(*), 4) + 0.0) AS mean_raw,
+                   (round(CAST(sum(CAST(floor(cw * 1e6) AS BIGINT)) AS DOUBLE)
+                         / (count(*) * 1e6), 4) + 0.0) AS mean_winsor,
+                   (round(CAST(sum(CASE WHEN keep THEN c ELSE 0 END) AS DOUBLE)
+                         / sum(CASE WHEN keep THEN 1 ELSE 0 END), 4) + 0.0) AS mean_trim,
                    CAST(count(*) - sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
                      AS n_clipped
             FROM j GROUP BY event_type, p05, p95 ORDER BY event_type""")
@@ -2425,11 +2425,11 @@ object Analytics {
                          CAST(sum(x) AS BIGINT) AS decile_cents
                   FROM d GROUP BY 1, 2)
             SELECT decile, n_users, decile_cents,
-                   round(CAST(decile_cents AS DOUBLE) / CAST(sx AS DOUBLE), 6) AS share,
-                   round(CAST(CAST(sum(decile_cents) OVER
+                   (round(CAST(decile_cents AS DOUBLE) / CAST(sx AS DOUBLE), 6) + 0.0) AS share,
+                   (round(CAST(CAST(sum(decile_cents) OVER
                        (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND
                         CURRENT ROW) AS BIGINT) AS DOUBLE)
-                     / CAST(sx AS DOUBLE), 6) AS cum_share
+                     / CAST(sx AS DOUBLE), 6) + 0.0) AS cum_share
             FROM g ORDER BY decile""")
   )
 
@@ -2509,10 +2509,10 @@ object Analytics {
                   GROUP BY 1, 2)
             SELECT antecedent, consequent, n_ab,
                    sa.cnt AS n_a, sc.cnt AS n_c, nb.n_baskets,
-                   round(CAST(n_ab AS DOUBLE) / nb.n_baskets, 6) AS support,
-                   round(CAST(n_ab AS DOUBLE) / sa.cnt, 6) AS confidence,
-                   round(CAST(n_ab AS DOUBLE) * nb.n_baskets
-                         / (CAST(sa.cnt AS DOUBLE) * sc.cnt), 6) AS lift
+                   (round(CAST(n_ab AS DOUBLE) / nb.n_baskets, 6) + 0.0) AS support,
+                   (round(CAST(n_ab AS DOUBLE) / sa.cnt, 6) + 0.0) AS confidence,
+                   (round(CAST(n_ab AS DOUBLE) * nb.n_baskets
+                         / (CAST(sa.cnt AS DOUBLE) * sc.cnt), 6) + 0.0) AS lift
             FROM p JOIN s sa ON sa.event_type = p.antecedent
                    JOIN s sc ON sc.event_type = p.consequent
                    CROSS JOIN nb
@@ -2638,10 +2638,10 @@ object Analytics {
                               / CAST(n1 + n2 - 2 AS DOUBLE)) AS sp
                   FROM m)
             SELECT n1, n2,
-                   round(md / sp, 6) AS cohen_d,
-                   round(md / sp * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)), 6)
+                   (round(md / sp, 6) + 0.0) AS cohen_d,
+                   (round(md / sp * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)), 6) + 0.0)
                      AS hedges_g,
-                   round(cles, 6) AS cles
+                   (round(cles, 6) + 0.0) AS cles
             FROM f""")
   )
 
@@ -2738,10 +2738,10 @@ object Analytics {
                   FROM cur JOIN base USING (pk)
                   GROUP BY 1)
             SELECT yr, n_parts,
-                   round(CAST(l_num AS DOUBLE) / l_den, 6) AS laspeyres,
-                   round(CAST(p_num AS DOUBLE) / p_den, 6) AS paasche,
-                   round(sqrt((CAST(l_num AS DOUBLE) / l_den)
-                         * (CAST(p_num AS DOUBLE) / p_den)), 6) AS fisher
+                   (round(CAST(l_num AS DOUBLE) / l_den, 6) + 0.0) AS laspeyres,
+                   (round(CAST(p_num AS DOUBLE) / p_den, 6) + 0.0) AS paasche,
+                   (round(sqrt((CAST(l_num AS DOUBLE) / l_den)
+                         * (CAST(p_num AS DOUBLE) / p_den)), 6) + 0.0) AS fisher
             FROM j ORDER BY yr""")
   )
 
@@ -2768,7 +2768,7 @@ object Analytics {
       val ev = Tables.events(s, dir).select($"event_type",
         expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
       val meds = ev.groupBy($"event_type").agg(
-        expr("CAST(round(percentile_cont(0.5) WITHIN GROUP (ORDER BY CAST(c AS DOUBLE)) * 2) AS BIGINT)")
+        expr("CAST((round(percentile_cont(0.5) WITHIN GROUP (ORDER BY CAST(c AS DOUBLE)) * 2) + 0.0) AS BIGINT)")
           .as("med2"))
       val z = ev.join(broadcast(meds), "event_type")
         .withColumn("z", abs($"c" * 2L - $"med2"))
@@ -2805,8 +2805,8 @@ object Analytics {
                                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
                         FROM events),
             m AS (SELECT event_type,
-                         CAST(round(percentile_cont(0.5) WITHIN GROUP
-                           (ORDER BY CAST(c AS DOUBLE)) * 2) AS BIGINT) AS med2
+                         CAST((round(percentile_cont(0.5) WITHIN GROUP
+                           (ORDER BY CAST(c AS DOUBLE)) * 2) + 0.0) AS BIGINT) AS med2
                   FROM ev GROUP BY 1),
             z AS (SELECT ev.event_type, abs(c * 2 - med2) AS z
                   FROM ev JOIN m USING (event_type)),
@@ -2829,7 +2829,7 @@ object Analytics {
                   FROM z)
             SELECT CAST(5 AS BIGINT) AS k,
                    CAST(n0 + n1 + n2 + n3 + n4 AS BIGINT) AS n_total,
-                   round((CAST((n0 + n1 + n2 + n3 + n4) - 5 AS DOUBLE) / (5 - 1))
+                   (round((CAST((n0 + n1 + n2 + n3 + n4) - 5 AS DOUBLE) / (5 - 1))
                          * (((CAST(s0 AS DOUBLE) * s0 / n0
                               + CAST(s1 AS DOUBLE) * s1 / n1
                               + CAST(s2 AS DOUBLE) * s2 / n2
@@ -2843,7 +2843,7 @@ object Analytics {
                                   + CAST(s1 AS DOUBLE) * s1 / n1
                                   + CAST(s2 AS DOUBLE) * s2 / n2
                                   + CAST(s3 AS DOUBLE) * s3 / n3
-                                  + CAST(s4 AS DOUBLE) * s4 / n4))), 6) AS levene_w
+                                  + CAST(s4 AS DOUBLE) * s4 / n4))), 6) + 0.0) AS levene_w
             FROM g""")
   )
 

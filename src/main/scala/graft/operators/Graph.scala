@@ -175,7 +175,7 @@ object Graph {
             n AS (SELECT count(*) AS n FROM deg),
             r0 AS (SELECT src AS v, 1.0 / (SELECT n FROM n) AS r FROM deg),
             $iters
-          SELECT v AS part_id, round(r, 4) AS rank FROM r$Iters
+          SELECT v AS part_id, (round(r, 4) + 0.0) AS rank FROM r$Iters
           ORDER BY part_id"""
     }
   )
@@ -233,8 +233,8 @@ object Graph {
             n AS (SELECT count(*) AS n FROM deg),
             r0 AS (SELECT src AS v, 1.0 / (SELECT n FROM n) AS r FROM deg),
             $iters
-          SELECT a.v AS part_id, round(a.r, 4) AS rank,
-                 round(abs(a.r - b.r), 4) AS delta,
+          SELECT a.v AS part_id, (round(a.r, 4) + 0.0) AS rank,
+                 (round(abs(a.r - b.r), 4) + 0.0) AS delta,
                  round(abs(a.r - b.r), 4) < 0.001 AS converged
           FROM r$Iters a JOIN r${Iters - 1} b ON a.v = b.v
           ORDER BY part_id"""
@@ -284,7 +284,7 @@ object Graph {
             n AS (SELECT count(*) AS n FROM ws),
             r0 AS (SELECT src AS v, 1.0 / (SELECT n FROM n) AS r FROM ws),
             $iters
-          SELECT v AS part_id, round(r, 4) AS rank FROM r$Iters
+          SELECT v AS part_id, (round(r, 4) + 0.0) AS rank FROM r$Iters
           ORDER BY part_id"""
     }
   )
@@ -351,7 +351,7 @@ object Graph {
                                THEN 1.0 / (SELECT ns FROM ns) ELSE 0.0 END AS r
                    FROM deg),
             $iters
-          SELECT v AS part_id, round(r, 6) AS ppr FROM r$Iters
+          SELECT v AS part_id, (round(r, 6) + 0.0) AS ppr FROM r$Iters
           ORDER BY part_id"""
     }
   )
@@ -415,7 +415,7 @@ object Graph {
                      FROM e x JOIN e y ON x.dst = y.dst AND x.src < y.src
                      GROUP BY 1, 2)
              SELECT a, b,
-                    round(CAST(common AS DOUBLE) / (da.deg + db.deg - common), 4)
+                    (round(CAST(common AS DOUBLE) / (da.deg + db.deg - common), 4) + 0.0)
                       AS jaccard
              FROM c JOIN deg da ON c.a = da.src
                     JOIN deg db ON c.b = db.src
@@ -500,7 +500,7 @@ object Graph {
                      FROM el x JOIN el y ON x.dst = y.dst AND x.src < y.src
                      GROUP BY 1, 2)
              SELECT a, b,
-                    round(CAST(common AS DOUBLE) / (da.deg + db.deg - common), 4)
+                    (round(CAST(common AS DOUBLE) / (da.deg + db.deg - common), 4) + 0.0)
                       AS jaccard
              FROM c JOIN deg da ON c.a = da.src
                     JOIN deg db ON c.b = db.src
@@ -543,7 +543,7 @@ object Graph {
                legs AS (SELECT e.dst AS nb, e.src AS c, deg.deg AS cdeg
                         FROM e JOIN deg ON e.src = deg.src),
                w AS (SELECT x.nb AS a, y.nb AS b,
-                            round(sum(1.0 / ln(CAST(x.cdeg AS DOUBLE))), 4)
+                            (round(sum(1.0 / ln(CAST(x.cdeg AS DOUBLE))), 4) + 0.0)
                               AS adamic_adar,
                             count(*) AS common
                      FROM legs x JOIN legs y ON x.c = y.c AND x.nb < y.nb
@@ -1324,7 +1324,7 @@ object Graph {
                  JOIN e ON e.src = w.v WHERE w.d < $MaxHops),
                dist AS (SELECT lm, v, min(d) AS d FROM walk GROUP BY lm, v)
              SELECT v AS part_id, count(*) AS n_landmarks,
-                    round(avg(d), 4) AS avg_dist
+                    (round(avg(d), 4) + 0.0) AS avg_dist
              FROM dist GROUP BY v ORDER BY part_id""")
   )
 
@@ -1689,7 +1689,7 @@ object Graph {
                    FROM (SELECT DISTINCT c FROM be)),
             $iters
           SELECT side, id, score FROM (
-            SELECT 'hub' AS side, c AS id, round(h, 6) AS score FROM h$HitsIters
+            SELECT 'hub' AS side, c AS id, (round(h, 6) + 0.0) AS score FROM h$HitsIters
             UNION ALL
             SELECT 'auth', p, round(a, 6) FROM a$HitsIters)
           ORDER BY side, id"""
@@ -2083,7 +2083,7 @@ object Graph {
                   FROM p f JOIN p r ON f.src = r.dst AND f.dst = r.src),
             e AS (SELECT count(*) AS n_edges FROM p)
             SELECT n_edges, n_recip,
-                   round(CAST(n_recip AS DOUBLE) / n_edges, 6) AS reciprocity
+                   (round(CAST(n_recip AS DOUBLE) / n_edges, 6) + 0.0) AS reciprocity
             FROM e, r""")
   )
 

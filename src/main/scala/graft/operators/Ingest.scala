@@ -83,7 +83,7 @@ object Ingest {
         .orderBy($"event_type", $"d")
     },
     Some("""SELECT event_type, strftime(ts, '%Y-%m-%d') AS d,
-                   count(*) AS n, round(sum(value), 4) AS sum_value
+                   count(*) AS n, (round(sum(value), 4) + 0.0) AS sum_value
             FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
             ORDER BY event_type, d""")
   )
@@ -265,9 +265,21 @@ object Ingest {
         fs.listStatus(p).toSeq.flatMap { st =>
           if (st.isDirectory) walk(st.getPath) else Seq(st.getPath)
         }
+      // Delete-by-exclusion is unsafe under concurrency (it would sweep a
+      // parallel writer's in-flight file or a future metadata sidecar), so
+      // vacuum only reclaims files sitting under reader-invisible ATTEMPT
+      // TREES: a path qualifies iff some directory component strictly
+      // below the root is hidden ('_'/'.'-prefixed — aborted _temporary /
+      // staging dirs). Committed data files and root-level sidecars
+      // (_SUCCESS, _GRAFT_META) can never match; the live-file index
+      // check stays as a second guard.
+      val rootDepth = root.depth
+      def underHiddenDir(p: Path): Boolean =
+        Iterator.iterate(p.getParent)(_.getParent)
+          .takeWhile(q => q != null && q.depth > rootDepth)
+          .exists(q => q.getName.startsWith("_") || q.getName.startsWith("."))
       val doomed = walk(root).filter { p =>
-        !keep.contains(p.toUri.getPath) && p.getName != "_SUCCESS" &&
-          p.getName != "_GRAFT_META"
+        underHiddenDir(p) && !keep.contains(p.toUri.getPath)
       }
       doomed.foreach(p => fs.delete(p, false))
       // prune the now-empty attempt trees (dir deletes, no data under them)
@@ -337,10 +349,19 @@ object Ingest {
         def grpOf(f: String) = f.split("/").find(_.startsWith("grp=")).get
         val rewritten = newFiles.map(grpOf).toSet
         val v2Files = f1.filterNot(f => rewritten(grpOf(f))) ++ newFiles
-        java.nio.file.Files.write(java.nio.file.Paths.get(out, "manifest-v1"),
-          f1.mkString("\n").getBytes("UTF-8"))
-        java.nio.file.Files.write(java.nio.file.Paths.get(out, "manifest-v2"),
-          v2Files.sorted.mkString("\n").getBytes("UTF-8"))
+        // Manifests go through the Hadoop FileSystem of the layout root
+        // (not java.nio) so the versioned layout works on HDFS/S3 paths
+        // exactly like the vacuum/retention metadata code.
+        import org.apache.hadoop.fs.Path
+        val mroot = new Path(out)
+        val mfs = mroot.getFileSystem(s.sparkContext.hadoopConfiguration)
+        def writeManifest(name: String, lines: Seq[String]): Unit = {
+          val os = mfs.create(new Path(mroot, name), true)
+          try os.write(lines.mkString("\n").getBytes("UTF-8"))
+          finally os.close()
+        }
+        writeManifest("manifest-v1", f1)
+        writeManifest("manifest-v2", v2Files.sorted)
     }
     out
   }
@@ -350,9 +371,17 @@ object Ingest {
   private[graft] def timeTravelAsOf(s: SparkSession, dir: String,
       v: Int): DataFrame = {
     val out = timeTravelLayout(s, dir)
-    val files = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(out, s"manifest-v$v")), "UTF-8")
-      .split("\n").toSeq
+    import org.apache.hadoop.fs.Path
+    val mp = new Path(out, s"manifest-v$v")
+    val mfs = mp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val in = mfs.open(mp)
+    val text =
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 8192, false)
+        new String(bos.toByteArray, "UTF-8")
+      } finally in.close()
+    val files = text.split("\n").toSeq
     s.read.option("basePath", s"$out/data").parquet(files: _*)
   }
 
@@ -492,7 +521,10 @@ object Ingest {
            max(col(c)).cast("string").as(s"mx_$c")))
       }
       val strFrames = stringCols.toSeq.sorted.flatMap { c =>
-        val dv = t.select(col(c)).groupBy(col(c)).agg(count(lit(1))).select(col(c))
+        // isNotNull BEFORE the extrema: Spark orders NULLS FIRST asc, so
+        // a null string would surface as "min" where SQL min() skips it.
+        val dv = t.select(col(c)).filter(col(c).isNotNull)
+          .groupBy(col(c)).agg(count(lit(1))).select(col(c))
         Seq(dv.orderBy(col(c).asc).limit(1).select(col(c).as(s"mn_$c")),
           dv.orderBy(col(c).desc).limit(1).select(col(c).as(s"mx_$c")))
       }
@@ -605,7 +637,7 @@ object Ingest {
         .orderBy($"d")
     },
     Some("""SELECT strftime(ts, '%Y-%m-%d') AS d,
-                   count(*) AS n, round(sum(value), 4) AS sum_value
+                   count(*) AS n, (round(sum(value), 4) + 0.0) AS sum_value
             FROM events
             WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-08' AND '2024-01-14'
             GROUP BY 1 ORDER BY d""")
@@ -660,7 +692,7 @@ object Ingest {
         .orderBy($"o_orderpriority")
     },
     Some("""SELECT o_orderpriority, count(*) AS n_lines,
-                   round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+                   (round(sum(l_extendedprice * (1.0 - l_discount)), 2) + 0.0) AS revenue
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority ORDER BY o_orderpriority""")
   )
@@ -708,7 +740,7 @@ object Ingest {
               FROM events, wm WHERE event_id > wm GROUP BY user_id)
             SELECT coalesce(b.user_id, d.user_id) AS user_id,
                    coalesce(d.version, b.version) AS version,
-                   round(coalesce(d.value, b.value), 4) AS value,
+                   (round(coalesce(d.value, b.value), 4) + 0.0) AS value,
                    CASE WHEN d.version IS NULL THEN 'keep'
                         WHEN b.version IS NULL THEN 'insert'
                         ELSE 'update' END AS op
@@ -748,7 +780,7 @@ object Ingest {
              max($"event_id").as("max_id"))
         .orderBy($"event_type")
     },
-    Some("""SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value,
+    Some("""SELECT event_type, count(*) AS n, (round(sum(value), 4) + 0.0) AS sum_value,
                    min(event_id) AS min_id, max(event_id) AS max_id
             FROM events GROUP BY event_type ORDER BY event_type""")
   )
@@ -894,7 +926,7 @@ object Ingest {
         .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sum_value"))
         .orderBy($"user_id")
     },
-    Some("""SELECT user_id, count(*) AS n, round(sum(value), 4) AS sum_value
+    Some("""SELECT user_id, count(*) AS n, (round(sum(value), 4) + 0.0) AS sum_value
             FROM events
             WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-08' AND '2024-01-14'
             GROUP BY user_id ORDER BY user_id""")
@@ -990,7 +1022,7 @@ object Ingest {
                      CASE WHEN event_id % 7 = 0 THEN 'D' ELSE 'U' END AS op,
                      value
               FROM events)
-            SELECT k, round(arg_max(value, seq), 4) AS value,
+            SELECT k, (round(arg_max(value, seq), 4) + 0.0) AS value,
                    max(seq) AS last_seq, count(*) AS n_changes
             FROM log GROUP BY k
             HAVING arg_max(op, seq) <> 'D'
@@ -1040,7 +1072,7 @@ object Ingest {
                   FROM log)
             SELECT k, seq AS eff_from, eff_to,
                    CASE WHEN eff_to IS NULL THEN 1 ELSE 0 END AS is_current,
-                   round(value, 4) AS value
+                   (round(value, 4) + 0.0) AS value
             FROM v WHERE del = 0
             ORDER BY k, eff_from""")
   )
@@ -1179,7 +1211,7 @@ object Ingest {
     },
     Some("""SELECT CASE WHEN event_id % 2 = 0 THEN 'pre_evolution'
                         ELSE event_type END AS etype,
-                   count(*) AS n, round(sum(value), 4) AS sum_value
+                   count(*) AS n, (round(sum(value), 4) + 0.0) AS sum_value
             FROM events GROUP BY 1 ORDER BY etype""")
   )
 
@@ -1213,7 +1245,7 @@ object Ingest {
         .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sum_value"))
         .orderBy($"d", $"event_type")
     },
-    Some("""SELECT d, event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+    Some("""SELECT d, event_type, count(*) AS n, (round(sum(value), 4) + 0.0) AS sum_value
             FROM (SELECT strftime(ts, '%Y-%m-%d') AS d, event_type, value
                   FROM events)
             WHERE dayofweek(CAST(d AS DATE)) = 1

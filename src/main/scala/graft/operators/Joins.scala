@@ -53,7 +53,7 @@ object Joins {
         .agg(count(lit(1)).as("n_customers"), round(sum($"c_acctbal"), 2).as("sum_acctbal"))
         .orderBy($"r_name")
     },
-    Some("""SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_acctbal
+    Some("""SELECT r_name, count(*) AS n_customers, (round(sum(c_acctbal), 2) + 0.0) AS sum_acctbal
             FROM customer JOIN nation ON c_nationkey = n_nationkey
                           JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name ORDER BY r_name""")
@@ -73,7 +73,7 @@ object Joins {
         .orderBy($"c_custkey")
     },
     Some("""SELECT c_custkey, count(o_orderkey) AS n_orders,
-                   round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spend
+                   (round(coalesce(sum(o_totalprice), 0.0), 2) + 0.0) AS total_spend
             FROM customer LEFT JOIN orders ON c_custkey = o_custkey
             GROUP BY c_custkey ORDER BY c_custkey""")
   )
@@ -193,7 +193,7 @@ object Joins {
         .orderBy($"r_name", $"o_year")
     },
     Some("""SELECT r_name, CAST(year(o_orderdate) AS INT) AS o_year,
-                   round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+                   (round(sum(l_extendedprice * (1.0 - l_discount)), 2) + 0.0) AS revenue,
                    count(*) AS n_lines
             FROM lineitem
               JOIN orders   ON l_orderkey = o_orderkey
@@ -246,7 +246,7 @@ object Joins {
                      ts + INTERVAL 73 HOUR AS t_hi
               FROM events ORDER BY value DESC, event_id LIMIT 20)
             SELECT win_id, count(*) AS n_events,
-                   round(sum(value), 4) AS sum_value
+                   (round(sum(value), 4) + 0.0) AS sum_value
             FROM events e JOIN iv ON e.ts >= iv.t_lo AND e.ts < iv.t_hi
             GROUP BY win_id ORDER BY win_id""")
   )
@@ -346,7 +346,7 @@ object Joins {
         .orderBy($"c_custkey")
     },
     Some("""SELECT c_custkey, c_name, count(*) AS n_orders,
-                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   CAST((round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) + 0.0) AS DOUBLE)
                      AS total_spend
             FROM orders JOIN customer ON o_custkey = c_custkey
             WHERE c_mktsegment = 'BUILDING'
@@ -568,14 +568,18 @@ object Joins {
           $"event_id".as("probe_id"))
       val w = Window.partitionBy($"k").orderBy($"valid_day", $"kind")
         .rowsBetween(Window.unboundedPreceding, 0)
+      // ONE last(struct) carries both snapshot fields, so they always
+      // come from the SAME snapshot row — two independent
+      // last(..., ignoreNulls) windows would pick different rows if a
+      // snapshot ever carried a NULL cents (the oracle's LATERAL is
+      // single-row by construction).
       snap.unionByName(probes)
-        .withColumn("eff_valid_day",
-          last(when($"kind" === 0, $"valid_day"), ignoreNulls = true).over(w))
-        .withColumn("eff_cents",
-          last(when($"kind" === 0, $"cents"), ignoreNulls = true).over(w))
+        .withColumn("eff",
+          last(when($"kind" === 0, struct($"valid_day", $"cents")),
+            ignoreNulls = true).over(w))
         .filter($"kind" === 1)
-        .select($"probe_id", $"k", $"eff_valid_day",
-          $"eff_cents".as("cents"))
+        .select($"probe_id", $"k", $"eff.valid_day".as("eff_valid_day"),
+          $"eff.cents".as("cents"))
         .orderBy($"probe_id")
     },
     Some(s"""WITH $bitemporalLogCte,

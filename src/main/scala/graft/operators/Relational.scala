@@ -167,7 +167,7 @@ object Relational {
       for (t <- Seq("region", "nation", "customer", "orders", "lineitem"))
         graft.sources.Tables.table(s, dir, t).createOrReplaceTempView(s"v_$t")
       s.sql("""SELECT n_name,
-                      round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+                      (round(sum(l_extendedprice * (1.0 - l_discount)), 2) + 0.0) AS revenue,
                       count(*) AS n_lines
                FROM v_region
                JOIN v_nation   ON n_regionkey = r_regionkey
@@ -181,7 +181,7 @@ object Relational {
                ORDER BY revenue DESC, n_name""")
     },
     Some("""SELECT n_name,
-                   round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+                   (round(sum(l_extendedprice * (1.0 - l_discount)), 2) + 0.0) AS revenue,
                    count(*) AS n_lines
             FROM region
             JOIN nation   ON n_regionkey = r_regionkey
@@ -208,7 +208,7 @@ object Relational {
       for (t <- Seq("customer", "orders", "lineitem"))
         graft.sources.Tables.table(s, dir, t).createOrReplaceTempView(s"v_$t")
       s.sql("""SELECT l_orderkey,
-                      round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+                      (round(sum(l_extendedprice * (1.0 - l_discount)), 2) + 0.0) AS revenue,
                       o_orderdate
                FROM v_customer
                JOIN v_orders   ON o_custkey = c_custkey
@@ -221,7 +221,7 @@ object Relational {
                LIMIT 10""")
     },
     Some("""SELECT l_orderkey,
-                   round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+                   (round(sum(l_extendedprice * (1.0 - l_discount)), 2) + 0.0) AS revenue,
                    o_orderdate
             FROM customer
             JOIN orders   ON o_custkey = c_custkey
@@ -246,8 +246,8 @@ object Relational {
       for (t <- Seq("customer", "orders", "lineitem"))
         graft.sources.Tables.table(s, dir, t).createOrReplaceTempView(s"v_$t")
       s.sql("""SELECT c_name, c_custkey, o_orderkey, o_orderdate,
-                      round(o_totalprice, 2) AS totalprice,
-                      round(sum(l_quantity), 2) AS sum_qty
+                      (round(o_totalprice, 2) + 0.0) AS totalprice,
+                      (round(sum(l_quantity), 2) + 0.0) AS sum_qty
                FROM v_customer
                JOIN v_orders   ON o_custkey = c_custkey
                JOIN v_lineitem ON l_orderkey = o_orderkey
@@ -258,8 +258,8 @@ object Relational {
                ORDER BY totalprice DESC, o_orderkey""")
     },
     Some("""SELECT c_name, c_custkey, o_orderkey, o_orderdate,
-                   round(o_totalprice, 2) AS totalprice,
-                   round(sum(l_quantity), 2) AS sum_qty
+                   (round(o_totalprice, 2) + 0.0) AS totalprice,
+                   (round(sum(l_quantity), 2) + 0.0) AS sum_qty
             FROM customer
             JOIN orders   ON o_custkey = c_custkey
             JOIN lineitem ON l_orderkey = o_orderkey
@@ -286,7 +286,7 @@ object Relational {
         graft.sources.Tables.table(s, dir, t).createOrReplaceTempView(s"v_$t")
       s.sql("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                       year(l_shipdate) AS l_year,
-                      round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+                      (round(sum(l_extendedprice * (1.0 - l_discount)), 2) + 0.0) AS revenue
                FROM v_supplier
                JOIN v_lineitem ON s_suppkey = l_suppkey
                JOIN v_orders   ON o_orderkey = l_orderkey
@@ -302,7 +302,7 @@ object Relational {
     },
     Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                    year(l_shipdate) AS l_year,
-                   round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+                   (round(sum(l_extendedprice * (1.0 - l_discount)), 2) + 0.0) AS revenue
             FROM supplier
             JOIN lineitem ON s_suppkey = l_suppkey
             JOIN orders   ON o_orderkey = l_orderkey
@@ -342,9 +342,9 @@ object Relational {
       for (t <- Seq("customer", "orders", "lineitem", "nation"))
         graft.sources.Tables.table(s, dir, t).createOrReplaceTempView(s"v_$t")
       s.sql("""SELECT c_custkey, c_name,
-                      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                                     * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue,
-                      round(c_acctbal, 2) AS acctbal, n_name
+                      CAST((round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                                     * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) + 0.0) AS DOUBLE) AS revenue,
+                      (round(c_acctbal, 2) + 0.0) AS acctbal, n_name
                FROM v_customer
                JOIN v_orders   ON o_custkey = c_custkey
                JOIN v_lineitem ON l_orderkey = o_orderkey
@@ -357,9 +357,9 @@ object Relational {
                LIMIT 20""")
     },
     Some("""SELECT c_custkey, c_name,
-                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                                  * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue,
-                   round(c_acctbal, 2) AS acctbal, n_name
+                   CAST((round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                                  * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) + 0.0) AS DOUBLE) AS revenue,
+                   (round(c_acctbal, 2) + 0.0) AS acctbal, n_name
             FROM customer
             JOIN orders   ON o_custkey = c_custkey
             JOIN lineitem ON l_orderkey = o_orderkey
@@ -409,8 +409,8 @@ object Relational {
                    count(DISTINCT l_returnflag) AS ndv_returnflag,
                    min(l_shipdate) AS min_shipdate,
                    max(l_shipdate) AS max_shipdate,
-                   round(avg(l_quantity), 4) AS avg_qty,
-                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   (round(avg(l_quantity), 4) + 0.0) AS avg_qty,
+                   CAST((round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) + 0.0) AS DOUBLE)
                      AS sum_price
             FROM lineitem""")
   )
@@ -435,9 +435,9 @@ object Relational {
                       CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
                                     THEN 1 ELSE 0 END) AS BIGINT) AS late_lines,
                       count(*) AS total_lines,
-                      round(CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                      (round(CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
                                           THEN 1 ELSE 0 END) AS DOUBLE)
-                            / count(*), 4) AS late_ratio
+                            / count(*), 4) + 0.0) AS late_ratio
                FROM v_orders
                JOIN v_lineitem ON l_orderkey = o_orderkey
                GROUP BY o_orderpriority
@@ -447,9 +447,9 @@ object Relational {
                    CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
                                  THEN 1 ELSE 0 END) AS BIGINT) AS late_lines,
                    count(*) AS total_lines,
-                   round(CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                   (round(CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
                                        THEN 1 ELSE 0 END) AS DOUBLE)
-                         / count(*), 4) AS late_ratio
+                         / count(*), 4) + 0.0) AS late_ratio
             FROM orders
             JOIN lineitem ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
@@ -473,15 +473,15 @@ object Relational {
       for (t <- Seq("part", "lineitem"))
         graft.sources.Tables.table(s, dir, t).createOrReplaceTempView(s"v_$t")
       s.sql("""SELECT date_trunc('month', l_shipdate) AS ship_month,
-                      round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                      (round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
                                    THEN CAST(l_extendedprice AS DECIMAL(18,4))
                                         * (1 - CAST(l_discount AS DECIMAL(18,4)))
                                    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
                             / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
                                        * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE),
-                            4) AS promo_pct,
-                      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                                     * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+                            4) + 0.0) AS promo_pct,
+                      CAST((round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                                     * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) + 0.0) AS DOUBLE)
                         AS revenue
                FROM v_lineitem
                JOIN v_part ON p_partkey = l_partkey
@@ -489,15 +489,15 @@ object Relational {
                ORDER BY ship_month""")
     },
     Some("""SELECT date_trunc('month', l_shipdate) AS ship_month,
-                   round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                   (round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
                                 THEN CAST(l_extendedprice AS DECIMAL(18,4))
                                      * (1 - CAST(l_discount AS DECIMAL(18,4)))
                                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
                          / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
                                     * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE),
-                         4) AS promo_pct,
-                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                                  * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+                         4) + 0.0) AS promo_pct,
+                   CAST((round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                                  * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) + 0.0) AS DOUBLE)
                      AS revenue
             FROM lineitem
             JOIN part ON p_partkey = l_partkey
@@ -516,8 +516,8 @@ object Relational {
     "sql_q6",
     (s, dir) => {
       graft.sources.Tables.table(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
-      s.sql("""SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                                    * CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE)
+      s.sql("""SELECT CAST((round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                                    * CAST(l_discount AS DECIMAL(18,4))), 2) + 0.0) AS DOUBLE)
                         AS revenue,
                       count(*) AS n_lines
                FROM v_lineitem
@@ -526,8 +526,8 @@ object Relational {
                  AND l_discount BETWEEN 0.05 AND 0.07
                  AND l_quantity < 24""")
     },
-    Some("""SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                                  * CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE)
+    Some("""SELECT CAST((round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                                  * CAST(l_discount AS DECIMAL(18,4))), 2) + 0.0) AS DOUBLE)
                      AS revenue,
                    count(*) AS n_lines
             FROM lineitem
@@ -588,7 +588,7 @@ object Relational {
                    AND l_shipdate <  TIMESTAMP '1996-04-01'
                  GROUP BY l_suppkey)
                SELECT s_suppkey, s_name,
-                      CAST(round(total_revenue, 2) AS DOUBLE) AS total_revenue
+                      CAST((round(total_revenue, 2) + 0.0) AS DOUBLE) AS total_revenue
                FROM v_supplier JOIN revenue ON s_suppkey = supplier_no
                WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
                ORDER BY s_suppkey""")
@@ -602,7 +602,7 @@ object Relational {
                 AND l_shipdate <  TIMESTAMP '1996-04-01'
               GROUP BY l_suppkey)
             SELECT s_suppkey, s_name,
-                   CAST(round(total_revenue, 2) AS DOUBLE) AS total_revenue
+                   CAST((round(total_revenue, 2) + 0.0) AS DOUBLE) AS total_revenue
             FROM supplier JOIN revenue ON s_suppkey = supplier_no
             WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
             ORDER BY s_suppkey""")
@@ -629,13 +629,13 @@ object Relational {
       for (t <- Seq("customer", "orders"))
         graft.sources.Tables.table(s, dir, t).createOrReplaceTempView(s"v_$t")
       s.sql("""WITH thr AS (SELECT count(*) AS n,
-                                   sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS s_cents
+                                   sum(CAST((round(c_acctbal * 100) + 0.0) AS BIGINT)) AS s_cents
                             FROM v_customer WHERE c_acctbal > 0.0)
                SELECT c_nationkey AS cntrycode, count(*) AS numcust,
-                      CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
+                      CAST((round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) + 0.0) AS DOUBLE)
                         AS totacctbal
                FROM v_customer CROSS JOIN thr
-               WHERE CAST(round(c_acctbal * 100) AS BIGINT) * thr.n > thr.s_cents
+               WHERE CAST((round(c_acctbal * 100) + 0.0) AS BIGINT) * thr.n > thr.s_cents
                  AND NOT EXISTS (SELECT 1 FROM v_orders
                                  WHERE o_custkey = c_custkey
                                    AND o_orderdate >= TIMESTAMP '2000-01-01')
@@ -643,13 +643,13 @@ object Relational {
                ORDER BY cntrycode""")
     },
     Some("""WITH thr AS (SELECT count(*) AS n,
-                                sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS s_cents
+                                sum(CAST((round(c_acctbal * 100) + 0.0) AS BIGINT)) AS s_cents
                          FROM customer WHERE c_acctbal > 0.0)
             SELECT c_nationkey AS cntrycode, count(*) AS numcust,
-                   CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   CAST((round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) + 0.0) AS DOUBLE)
                      AS totacctbal
             FROM customer CROSS JOIN thr
-            WHERE CAST(round(c_acctbal * 100) AS BIGINT) * thr.n > thr.s_cents
+            WHERE CAST((round(c_acctbal * 100) + 0.0) AS BIGINT) * thr.n > thr.s_cents
               AND NOT EXISTS (SELECT 1 FROM orders
                               WHERE o_custkey = c_custkey
                                 AND o_orderdate >= TIMESTAMP '2000-01-01')
@@ -670,7 +670,7 @@ object Relational {
     (s, dir) => {
       for (t <- Seq("customer", "orders"))
         graft.sources.Tables.table(s, dir, t).createOrReplaceTempView(s"v_$t")
-      s.sql("""SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+      s.sql("""SELECT c_custkey, (round(c_acctbal, 2) + 0.0) AS acctbal
                FROM v_customer c
                WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM v_customer c2
                                   WHERE c2.c_nationkey = c.c_nationkey)
@@ -679,7 +679,7 @@ object Relational {
                                AND o.o_orderpriority = '1-URGENT')
                ORDER BY c_custkey""")
     },
-    Some("""SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+    Some("""SELECT c_custkey, (round(c_acctbal, 2) + 0.0) AS acctbal
             FROM customer c
             WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
                                WHERE c2.c_nationkey = c.c_nationkey)
@@ -755,7 +755,7 @@ object Relational {
     "sql_q2",
     (s, dir) => {
       partsuppViews(s, dir)
-      s.sql("""SELECT round(s_acctbal, 2) AS acctbal, s_name, n_name,
+      s.sql("""SELECT (round(s_acctbal, 2) + 0.0) AS acctbal, s_name, n_name,
                       p_partkey, p_brand, ps_supplycost
                FROM v_partsupp
                JOIN v_part     ON p_partkey = ps_partkey
@@ -774,7 +774,7 @@ object Relational {
                ORDER BY acctbal DESC, n_name, s_name, p_partkey""")
     },
     Some(s"""WITH $psCte
-             SELECT round(s_acctbal, 2) AS acctbal, s_name, n_name,
+             SELECT (round(s_acctbal, 2) + 0.0) AS acctbal, s_name, n_name,
                     p_partkey, p_brand, ps_supplycost
              FROM partsupp
              JOIN part     ON p_partkey = ps_partkey
@@ -947,14 +947,14 @@ object Relational {
       graft.sources.Tables.table(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
       s.sql("""SELECT l_returnflag, l_linestatus,
                       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-                      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+                      CAST((round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) + 0.0) AS DOUBLE)
                         AS sum_base_price,
-                      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                                     * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+                      CAST((round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                                     * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) + 0.0) AS DOUBLE)
                         AS sum_disc_price,
-                      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                      CAST((round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
                                      * (1 - CAST(l_discount AS DECIMAL(18,4)))
-                                     * (1 + CAST(l_tax AS DECIMAL(18,4)))), 2) AS DOUBLE)
+                                     * (1 + CAST(l_tax AS DECIMAL(18,4)))), 2) + 0.0) AS DOUBLE)
                         AS sum_charge,
                       CAST((sum(CAST(l_quantity AS BIGINT)) * 10000) div count(*) AS DOUBLE)
                         / 10000.0 AS avg_qty,
@@ -970,14 +970,14 @@ object Relational {
     },
     Some("""SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   CAST((round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) + 0.0) AS DOUBLE)
                      AS sum_base_price,
-                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                                  * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+                   CAST((round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                                  * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) + 0.0) AS DOUBLE)
                      AS sum_disc_price,
-                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                   CAST((round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
                                   * (1 - CAST(l_discount AS DECIMAL(18,4)))
-                                  * (1 + CAST(l_tax AS DECIMAL(18,4)))), 2) AS DOUBLE)
+                                  * (1 + CAST(l_tax AS DECIMAL(18,4)))), 2) + 0.0) AS DOUBLE)
                      AS sum_charge,
                    CAST((sum(CAST(l_quantity AS BIGINT)) * 10000) // count(*) AS DOUBLE)
                      / 10000.0 AS avg_qty,
@@ -1046,15 +1046,15 @@ object Relational {
       for (t <- Seq("lineitem", "orders", "customer", "nation", "region", "supplier", "part"))
         graft.sources.Tables.table(s, dir, t).createOrReplaceTempView(s"v_$t")
       s.sql("""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-                      round(CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+                      (round(CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
                                    THEN CAST(l_extendedprice AS DECIMAL(18,4))
                                         * (1 - CAST(l_discount AS DECIMAL(18,4)))
                                    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
                             / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
                                        * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE),
-                            4) AS mkt_share,
-                      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                                     * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+                            4) + 0.0) AS mkt_share,
+                      CAST((round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                                     * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) + 0.0) AS DOUBLE)
                         AS total_revenue
                FROM v_lineitem
                JOIN v_orders    ON o_orderkey = l_orderkey
@@ -1069,15 +1069,15 @@ object Relational {
                ORDER BY o_year""")
     },
     Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-                   round(CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+                   (round(CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
                                 THEN CAST(l_extendedprice AS DECIMAL(18,4))
                                      * (1 - CAST(l_discount AS DECIMAL(18,4)))
                                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
                          / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
                                     * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE),
-                         4) AS mkt_share,
-                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                                  * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+                         4) + 0.0) AS mkt_share,
+                   CAST((round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                                  * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) + 0.0) AS DOUBLE)
                      AS total_revenue
             FROM lineitem
             JOIN orders    ON o_orderkey = l_orderkey
@@ -1176,8 +1176,8 @@ object Relational {
     (s, dir) => {
       for (t <- Seq("lineitem", "part"))
         graft.sources.Tables.table(s, dir, t).createOrReplaceTempView(s"v_$t")
-      s.sql("""SELECT CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
-                                 / 7.0, 2) AS DOUBLE) AS avg_yearly,
+      s.sql("""SELECT CAST((round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                                 / 7.0, 2) + 0.0) AS DOUBLE) AS avg_yearly,
                       count(*) AS n_lines
                FROM v_lineitem l
                JOIN v_part ON p_partkey = l_partkey
@@ -1186,8 +1186,8 @@ object Relational {
                                    FROM v_lineitem l2
                                    WHERE l2.l_partkey = l.l_partkey)""")
     },
-    Some("""SELECT CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
-                              / 7.0, 2) AS DOUBLE) AS avg_yearly,
+    Some("""SELECT CAST((round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                              / 7.0, 2) + 0.0) AS DOUBLE) AS avg_yearly,
                    count(*) AS n_lines
             FROM lineitem l
             JOIN part ON p_partkey = l_partkey
@@ -1209,8 +1209,8 @@ object Relational {
     (s, dir) => {
       for (t <- Seq("lineitem", "part"))
         graft.sources.Tables.table(s, dir, t).createOrReplaceTempView(s"v_$t")
-      s.sql("""SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                                     * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+      s.sql("""SELECT CAST((round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                                     * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) + 0.0) AS DOUBLE)
                         AS revenue,
                       count(*) AS n_lines
                FROM v_lineitem
@@ -1222,8 +1222,8 @@ object Relational {
                   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
                       AND l_quantity BETWEEN 20 AND 30)""")
     },
-    Some("""SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                                  * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+    Some("""SELECT CAST((round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                                  * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) + 0.0) AS DOUBLE)
                      AS revenue,
                    count(*) AS n_lines
             FROM lineitem

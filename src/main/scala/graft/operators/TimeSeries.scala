@@ -225,15 +225,15 @@ object TimeSeries {
         .orderBy($"user_id", $"day")
     },
     Some("""WITH daily AS (
-              SELECT user_id, date_trunc('day', ts) AS day, round(sum(value),4) AS v
+              SELECT user_id, date_trunc('day', ts) AS day, (round(sum(value),4) + 0.0) AS v
               FROM events GROUP BY 1, 2),
             spans AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
             grid AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
                      FROM spans)
             SELECT g.user_id, g.day,
-                   round(last_value(d.v IGNORE NULLS) OVER (
+                   (round(last_value(d.v IGNORE NULLS) OVER (
                      PARTITION BY g.user_id ORDER BY g.day
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS v_filled,
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) + 0.0) AS v_filled,
                    d.v IS NULL AS is_gap
             FROM grid g LEFT JOIN daily d USING (user_id, day)
             ORDER BY user_id, day""")
@@ -256,8 +256,8 @@ object TimeSeries {
     },
     Some("""SELECT user_id, event_id,
                    ntile(4)               OVER w AS quartile,
-                   round(percent_rank() OVER w, 6) AS pct_rank,
-                   round(cume_dist()    OVER w, 6) AS cume
+                   (round(percent_rank() OVER w, 6) + 0.0) AS pct_rank,
+                   (round(cume_dist()    OVER w, 6) + 0.0) AS cume
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
             ORDER BY user_id, event_id""")
@@ -342,10 +342,10 @@ object TimeSeries {
     },
     Some("""SELECT user_id, date_trunc('day', ts) AS day,
                    count(*) AS n,
-                   round(arg_min(value, event_id), 4) AS open,
-                   round(arg_max(value, event_id), 4) AS close,
-                   round(min(value), 4) AS lo,
-                   round(max(value), 4) AS hi,
+                   (round(arg_min(value, event_id), 4) + 0.0) AS open,
+                   (round(arg_max(value, event_id), 4) + 0.0) AS close,
+                   (round(min(value), 4) + 0.0) AS lo,
+                   (round(max(value), 4) + 0.0) AS hi,
                    CAST(sum(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT))
                         // count(*) AS DOUBLE) / 10000.0 AS avg_v
             FROM events GROUP BY 1, 2 ORDER BY user_id, day""")
@@ -531,40 +531,52 @@ object TimeSeries {
     * `stream_session` (session_window): identical grouping semantics,
     * but here the session id is explicit so downstream joins can key on
     * it. */
+  /** Shared two-level session derivation (the r13 journey-skew device,
+    * factored in r14 so ts_concurrency stops re-deriving sessions with
+    * the retired single-level per-user window): per-event frame with an
+    * exact per-user `session_seq`, windows partitioned by (user_id, day)
+    * plus one per-user pass over the per-(user, day) BOUNDARY table.
+    * Columns: user_id, ts, event_id, value, session_seq. */
+  private def sessionFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"value",
+        to_date($"ts").as("b"))
+    val wb = Window.partitionBy($"user_id", $"b").orderBy($"ts", $"event_id")
+    val local = ev
+      .withColumn("prev_ts", lag($"ts", 1).over(wb))
+      .withColumn("new_local",
+        when($"prev_ts".isNotNull &&
+             $"ts".cast("long") - $"prev_ts".cast("long") > SessionGapSec,
+          1L).otherwise(0L))
+      .withColumn("rs_local",
+        sum($"new_local").over(wb.rowsBetween(Window.unboundedPreceding, 0)))
+    // Per-(user, day) boundary table: first/last ts + local open count.
+    val bounds = local.groupBy($"user_id", $"b")
+      .agg(min($"ts").as("first_ts"), max($"ts").as("last_ts"),
+        sum($"new_local").as("local_new"))
+    val wu = Window.partitionBy($"user_id").orderBy($"b")
+    val carried = bounds
+      .withColumn("prev_last", lag($"last_ts", 1).over(wu))
+      .withColumn("first_new",
+        when($"prev_last".isNull ||
+             $"first_ts".cast("long") - $"prev_last".cast("long") > SessionGapSec,
+          1L).otherwise(0L))
+      .withColumn("prefix_excl",
+        coalesce(sum($"local_new" + $"first_new")
+          .over(wu.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"user_id", $"b", $"first_new", $"prefix_excl")
+    local
+      .join(carried.hint("shuffle_hash"), Seq("user_id", "b"))
+      .withColumn("session_seq", $"prefix_excl" + $"first_new" + $"rs_local")
+      .select($"user_id", $"ts", $"event_id", $"value", $"session_seq")
+  }
+
   val sessionize: GraftQuery = GraftQuery(
     "ts_sessionize",
     (s, dir) => {
       import s.implicits._
-      val ev = Tables.events(s, dir)
-        .select($"user_id", $"ts", $"event_id", $"value",
-          to_date($"ts").as("b"))
-      val wb = Window.partitionBy($"user_id", $"b").orderBy($"ts", $"event_id")
-      val local = ev
-        .withColumn("prev_ts", lag($"ts", 1).over(wb))
-        .withColumn("new_local",
-          when($"prev_ts".isNotNull &&
-               $"ts".cast("long") - $"prev_ts".cast("long") > SessionGapSec,
-            1L).otherwise(0L))
-        .withColumn("rs_local",
-          sum($"new_local").over(wb.rowsBetween(Window.unboundedPreceding, 0)))
-      // Per-(user, day) boundary table: first/last ts + local open count.
-      val bounds = local.groupBy($"user_id", $"b")
-        .agg(min($"ts").as("first_ts"), max($"ts").as("last_ts"),
-          sum($"new_local").as("local_new"))
-      val wu = Window.partitionBy($"user_id").orderBy($"b")
-      val carried = bounds
-        .withColumn("prev_last", lag($"last_ts", 1).over(wu))
-        .withColumn("first_new",
-          when($"prev_last".isNull ||
-               $"first_ts".cast("long") - $"prev_last".cast("long") > SessionGapSec,
-            1L).otherwise(0L))
-        .withColumn("prefix_excl",
-          coalesce(sum($"local_new" + $"first_new")
-            .over(wu.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select($"user_id", $"b", $"first_new", $"prefix_excl")
-      local
-        .join(carried.hint("shuffle_hash"), Seq("user_id", "b"))
-        .withColumn("session_seq", $"prefix_excl" + $"first_new" + $"rs_local")
+      sessionFrame(s, dir)
         .groupBy($"user_id", $"session_seq")
         .agg(count(lit(1)).as("n_events"),
           min($"ts").as("t_start"), max($"ts").as("t_end"),
@@ -590,7 +602,7 @@ object TimeSeries {
                    count(*) AS n_events,
                    min(ts) AS t_start, max(ts) AS t_end,
                    date_diff('second', min(ts), max(ts)) AS duration_sec,
-                   round(sum(value), 4) AS sum_value
+                   (round(sum(value), 4) + 0.0) AS sum_value
             FROM sess GROUP BY user_id, session_seq
             ORDER BY user_id, session_seq""")
   )
@@ -870,8 +882,8 @@ object TimeSeries {
             tot AS (SELECT count(*) AS total FROM att)
             SELECT channel, count(*) AS n_purchases,
                    CAST(sum(cents) AS BIGINT) AS revenue_cents,
-                   round(CAST(count(*) AS DOUBLE) / total, 6) AS share,
-                   round(CAST(sum(lag_sec) AS DOUBLE) / count(lag_sec), 4)
+                   (round(CAST(count(*) AS DOUBLE) / total, 6) + 0.0) AS share,
+                   (round(CAST(sum(lag_sec) AS DOUBLE) / count(lag_sec), 4) + 0.0)
                      AS avg_lag_sec
             FROM att CROSS JOIN tot
             GROUP BY channel, total ORDER BY channel""")
@@ -963,8 +975,8 @@ object TimeSeries {
                        / 100.0 AS sd
               FROM s WHERE n_hist >= 10)
             SELECT user_id, event_id, value,
-                   mu, round(sd, 4) AS sd,
-                   round((value - mu) / sd, 4) AS z
+                   mu, (round(sd, 4) + 0.0) AS sd,
+                   (round((value - mu) / sd, 4) + 0.0) AS z
             FROM t
             WHERE sd > 1e-9
               AND abs(round((value - mu) / sd, 4)) > 3
@@ -1028,7 +1040,7 @@ object TimeSeries {
         .agg(round(sum($"value"), 4).as("v")))
     },
     Some("""WITH daily AS (
-              SELECT user_id, date_trunc('day', ts) AS day, round(sum(value),4) AS v
+              SELECT user_id, date_trunc('day', ts) AS day, (round(sum(value),4) + 0.0) AS v
               FROM events GROUP BY 1, 2),
             spans AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
             grid AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
@@ -1046,13 +1058,13 @@ object TimeSeries {
                          wf AS (PARTITION BY g.user_id ORDER BY g.day
                                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
             SELECT user_id, day,
-                   round(CASE WHEN v IS NOT NULL THEN v
+                   (round(CASE WHEN v IS NOT NULL THEN v
                               WHEN pv IS NULL THEN nv
                               WHEN nv IS NULL THEN pv
                               ELSE pv + (nv - pv) *
                                    (CAST(date_diff('day', pd, day) AS DOUBLE) /
                                     CAST(date_diff('day', pd, nd) AS DOUBLE))
-                         END, 4) AS v_interp,
+                         END, 4) + 0.0) AS v_interp,
                    v IS NULL AS is_gap
             FROM j ORDER BY user_id, day""")
   )
@@ -1101,7 +1113,7 @@ object TimeSeries {
       val den = weights.zipWithIndex.map { case (wt, i) =>
         s"(CASE WHEN lag(value, $i) OVER w IS NOT NULL THEN $wt ELSE 0.0 END)"
       }.mkString(" + ")
-      s"""SELECT user_id, event_id, round(($num) / ($den), 4) AS ewma
+      s"""SELECT user_id, event_id, (round(($num) / ($den), 4) + 0.0) AS ewma
           FROM events
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
           ORDER BY user_id, event_id"""
@@ -1147,7 +1159,7 @@ object TimeSeries {
             a AS (SELECT h, n AS na FROM hc WHERE event_type = 'click'),
             b AS (SELECT h AS hb, n AS nb FROM hc WHERE event_type = 'purchase'),
             l AS (SELECT unnest(range(0, 7)) AS lag)
-            SELECT l.lag, round(corr(na, nb), 6) AS xcorr,
+            SELECT l.lag, (round(corr(na, nb), 6) + 0.0) AS xcorr,
                    count(*) AS n_hours
             FROM l CROSS JOIN a
             JOIN b ON b.hb = a.h + INTERVAL 1 HOUR * CAST(l.lag AS INT)
@@ -1201,8 +1213,8 @@ object TimeSeries {
                      percentile_cont(0.5) WITHIN GROUP (ORDER BY adev) AS mad
               FROM d GROUP BY 1)
             SELECT d.event_type,
-                   round(max(m.med), 4) AS med,
-                   round(max(md.mad), 4) AS mad,
+                   (round(max(m.med), 4) + 0.0) AS med,
+                   (round(max(md.mad), 4) + 0.0) AS mad,
                    CAST(sum(CASE WHEN round(adev, 4) > round(3 * 1.4826 * md.mad, 4)
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
                    count(*) AS n
@@ -1244,7 +1256,7 @@ object TimeSeries {
     },
     Some("""SELECT user_id, event_id,
                    CAST(count(*) OVER w AS INT) AS n_window,
-                   round(median(value) OVER w, 4) AS roll_median
+                   (round(median(value) OVER w, 4) + 0.0) AS roll_median
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)
@@ -1384,9 +1396,9 @@ object TimeSeries {
             prof AS (
               SELECT event_type, hod, count(*) AS n,
                      CAST((sum(cv) * 100) // count(*) AS DOUBLE) / 10000.0 AS mu,
-                     round(sqrt(CAST(count(*) * sum(cv * cv) - sum(cv) * sum(cv) AS DOUBLE)
+                     (round(sqrt(CAST(count(*) * sum(cv * cv) - sum(cv) * sum(cv) AS DOUBLE)
                                 / (CAST(count(*) AS DOUBLE) * CAST(count(*) - 1 AS DOUBLE)))
-                           / 100.0, 4) AS sd
+                           / 100.0, 4) + 0.0) AS sd
               FROM c GROUP BY 1, 2)
             SELECT p.event_type, p.hod, p.n, p.mu, p.sd,
                    CAST(sum(CASE WHEN abs(e.value - p.mu) > 2.0 * p.sd
@@ -2019,9 +2031,9 @@ object TimeSeries {
                    lag(v, ${HoltK - 1}) OVER w AS warm
             FROM daily
             WINDOW w AS (PARTITION BY event_type ORDER BY d))
-          SELECT event_type, d, round(level, 4) AS holt_level,
-                 round(trend, 4) AS holt_trend,
-                 round(level + trend, 4) AS forecast_next
+          SELECT event_type, d, (round(level, 4) + 0.0) AS holt_level,
+                 (round(trend, 4) + 0.0) AS holt_trend,
+                 (round(level + trend, 4) + 0.0) AS forecast_next
           FROM h WHERE warm IS NOT NULL
           ORDER BY event_type, d"""
     }
@@ -2085,10 +2097,10 @@ object TimeSeries {
                    lag(v, ${HoltK - 1}) OVER w AS warm
             FROM daily
             WINDOW w AS (PARTITION BY event_type ORDER BY d))
-          SELECT event_type, d, round(level, 4) AS hd_level,
-                 round(trend, 4) AS hd_trend,
-                 round(level + CAST($HoltPhi AS DOUBLE) * trend, 4) AS forecast_next,
-                 round(level + CAST(${HoltPhi / (1 - HoltPhi)} AS DOUBLE) * trend, 4)
+          SELECT event_type, d, (round(level, 4) + 0.0) AS hd_level,
+                 (round(trend, 4) + 0.0) AS hd_trend,
+                 (round(level + CAST($HoltPhi AS DOUBLE) * trend, 4) + 0.0) AS forecast_next,
+                 (round(level + CAST(${HoltPhi / (1 - HoltPhi)} AS DOUBLE) * trend, 4) + 0.0)
                    AS forecast_asymptote
           FROM h WHERE warm IS NOT NULL
           ORDER BY event_type, d"""
@@ -2183,9 +2195,9 @@ object TimeSeries {
             FROM k
             WINDOW w AS (PARTITION BY brand ORDER BY d))
           SELECT brand, d AS d_last,
-                 round(z, 4) AS croston_size,
-                 round(p, 4) AS croston_interval,
-                 round(z / p, 4) AS forecast_daily
+                 (round(z, 4) + 0.0) AS croston_size,
+                 (round(p, 4) + 0.0) AS croston_interval,
+                 (round(z / p, 4) + 0.0) AS forecast_daily
           FROM sm WHERE rn = 1 AND warm IS NOT NULL
           ORDER BY brand"""
     }
@@ -2260,7 +2272,7 @@ object TimeSeries {
                        / CAST(sx * sx AS DOUBLE) AS cv2
               FROM a)
             SELECT brand, CAST(n AS BIGINT) AS n_demand_days,
-                   round(adi, 4) AS adi, round(cv2, 4) AS cv2,
+                   (round(adi, 4) + 0.0) AS adi, (round(cv2, 4) + 0.0) AS cv2,
                    CASE WHEN adi < 1.32 AND cv2 < 0.49 THEN 'smooth'
                         WHEN adi < 1.32 THEN 'erratic'
                         WHEN cv2 < 0.49 THEN 'intermittent'
@@ -2401,10 +2413,10 @@ object TimeSeries {
                    lag(v, ${HwK - 1}) OVER w AS warm
             FROM daily
             WINDOW w AS (PARTITION BY event_type ORDER BY d))
-          SELECT event_type, d, round(level, 4) AS hw_level,
-                 round(trend, 4) AS hw_trend,
-                 round(season, 4) AS hw_season,
-                 round(level + trend + qm, 4) AS forecast_next
+          SELECT event_type, d, (round(level, 4) + 0.0) AS hw_level,
+                 (round(trend, 4) + 0.0) AS hw_trend,
+                 (round(season, 4) + 0.0) AS hw_season,
+                 (round(level + trend + qm, 4) + 0.0) AS forecast_next
           FROM h WHERE warm IS NOT NULL
           ORDER BY event_type, d"""
     }
@@ -2473,10 +2485,10 @@ object TimeSeries {
                    lag(v, ${HwK - 1}) OVER w AS warm
             FROM daily
             WINDOW w AS (PARTITION BY event_type ORDER BY d))
-          SELECT event_type, d, round(level, 4) AS hwd_level,
-                 round(trend, 4) AS hwd_trend,
-                 round(season, 4) AS hwd_season,
-                 round(level + CAST($HoltPhi AS DOUBLE) * trend + qm, 4)
+          SELECT event_type, d, (round(level, 4) + 0.0) AS hwd_level,
+                 (round(trend, 4) + 0.0) AS hwd_trend,
+                 (round(season, 4) + 0.0) AS hwd_season,
+                 (round(level + CAST($HoltPhi AS DOUBLE) * trend + qm, 4) + 0.0)
                    AS forecast_next
           FROM h WHERE warm IS NOT NULL
           ORDER BY event_type, d"""
@@ -2644,7 +2656,7 @@ object TimeSeries {
               JOIN days USING (d)
               GROUP BY 1)
             SELECT d, dau, wau,
-                   round(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 6) AS stickiness
+                   (round(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 6) + 0.0) AS stickiness
             FROM dau JOIN wau USING (d)
             ORDER BY d""")
   )
@@ -2773,7 +2785,7 @@ object TimeSeries {
             FROM events GROUP BY 1, 2),
           h AS (
             SELECT event_type, d, v,
-                   round($lvl + $trd, 4) AS fc,
+                   (round($lvl + $trd, 4) + 0.0) AS fc,
                    lag(v, ${HoltK - 1}) OVER w AS warm,
                    lead(d, 1) OVER w AS next_d,
                    lead(v, 1) OVER w AS next_v
@@ -2781,7 +2793,7 @@ object TimeSeries {
             WINDOW w AS (PARTITION BY event_type ORDER BY d)),
           e AS (
             SELECT event_type,
-                   CAST(round(fc) AS BIGINT) - next_v AS err
+                   CAST((round(fc) + 0.0) AS BIGINT) - next_v AS err
             FROM h
             WHERE warm IS NOT NULL AND next_d = d + 1)
           SELECT event_type, count(*) AS n_evals,
@@ -2962,10 +2974,10 @@ object TimeSeries {
                              / (CAST(n7 AS DOUBLE) * CAST(n7 AS DOUBLE)), 0.0)) AS sig7
                   FROM r)
             SELECT event_type, d, v, n7,
-                   round(mean7, 4) AS mean7,
-                   round(sig7, 4) AS sigma7,
-                   round(mean7 + 2.0 * sig7, 4) AS band_hi,
-                   round(mean7 - 2.0 * sig7, 4) AS band_lo,
+                   (round(mean7, 4) + 0.0) AS mean7,
+                   (round(sig7, 4) + 0.0) AS sigma7,
+                   (round(mean7 + 2.0 * sig7, 4) + 0.0) AS band_hi,
+                   (round(mean7 - 2.0 * sig7, 4) + 0.0) AS band_lo,
                    (CAST(v AS DOUBLE) > mean7 + 2.0 * sig7 OR
                     CAST(v AS DOUBLE) < mean7 - 2.0 * sig7) AS breakout
             FROM m ORDER BY event_type, d""")
@@ -3130,9 +3142,9 @@ object TimeSeries {
       base
         .withColumn("signal", ema($"macd", a9, K9))
         .select($"event_type", $"d", $"v",
-          round($"macd", 4).as("macd"),
-          round($"signal", 4).as("signal"),
-          round($"macd" - $"signal", 4).as("hist"))
+          GraftQuery.roundNorm($"macd", 4).as("macd"),
+          GraftQuery.roundNorm($"signal", 4).as("signal"),
+          GraftQuery.roundNorm($"macd" - $"signal", 4).as("hist"))
         .orderBy($"event_type", $"d")
     },
     Some {
@@ -3161,9 +3173,9 @@ object TimeSeries {
                  FROM m
                  WINDOW w AS (PARTITION BY event_type ORDER BY d))
           SELECT event_type, d, v,
-                 round(macd, 4) AS macd,
-                 round(signal, 4) AS signal,
-                 round(macd - signal, 4) AS hist
+                 ${GraftQuery.roundNormSql("macd", 4)} AS macd,
+                 ${GraftQuery.roundNormSql("signal", 4)} AS signal,
+                 ${GraftQuery.roundNormSql("macd - signal", 4)} AS hist
           FROM sg ORDER BY event_type, d"""
     }
   )
@@ -3233,14 +3245,14 @@ object TimeSeries {
                          CAST(sum(r4 * r4) AS BIGINT) AS q_4
                   FROM df GROUP BY 1)
             SELECT event_type, n_1 AS n_diffs,
-                   round(((CAST(n_2 AS DOUBLE) * q_2 - CAST(s_2 AS DOUBLE) * s_2)
+                   (round(((CAST(n_2 AS DOUBLE) * q_2 - CAST(s_2 AS DOUBLE) * s_2)
                           / (CAST(n_2 AS DOUBLE) * n_2))
                          / (2.0 * ((CAST(n_1 AS DOUBLE) * q_1 - CAST(s_1 AS DOUBLE) * s_1)
-                                   / (CAST(n_1 AS DOUBLE) * n_1))), 6) AS vr2,
-                   round(((CAST(n_4 AS DOUBLE) * q_4 - CAST(s_4 AS DOUBLE) * s_4)
+                                   / (CAST(n_1 AS DOUBLE) * n_1))), 6) + 0.0) AS vr2,
+                   (round(((CAST(n_4 AS DOUBLE) * q_4 - CAST(s_4 AS DOUBLE) * s_4)
                           / (CAST(n_4 AS DOUBLE) * n_4))
                          / (4.0 * ((CAST(n_1 AS DOUBLE) * q_1 - CAST(s_1 AS DOUBLE) * s_1)
-                                   / (CAST(n_1 AS DOUBLE) * n_1))), 6) AS vr4
+                                   / (CAST(n_1 AS DOUBLE) * n_1))), 6) + 0.0) AS vr4
             FROM a ORDER BY event_type""")
   )
 
@@ -3339,14 +3351,14 @@ object TimeSeries {
                     sum(varm) AS var_did
                   FROM m)
             SELECT n_t_post, n_t_pre, n_c_post, n_c_pre,
-                   round(m_t_post, 4) AS m_t_post,
-                   round(m_t_pre, 4) AS m_t_pre,
-                   round(m_c_post, 4) AS m_c_post,
-                   round(m_c_pre, 4) AS m_c_pre,
-                   round((m_t_post - m_t_pre) - (m_c_post - m_c_pre), 4) AS did_cents,
-                   round(sqrt(var_did), 4) AS se,
-                   round(((m_t_post - m_t_pre) - (m_c_post - m_c_pre))
-                         / sqrt(var_did), 6) AS t_stat
+                   (round(m_t_post, 4) + 0.0) AS m_t_post,
+                   (round(m_t_pre, 4) + 0.0) AS m_t_pre,
+                   (round(m_c_post, 4) + 0.0) AS m_c_post,
+                   (round(m_c_pre, 4) + 0.0) AS m_c_pre,
+                   (round((m_t_post - m_t_pre) - (m_c_post - m_c_pre), 4) + 0.0) AS did_cents,
+                   (round(sqrt(var_did), 4) + 0.0) AS se,
+                   (round(((m_t_post - m_t_pre) - (m_c_post - m_c_pre))
+                         / sqrt(var_did), 6) + 0.0) AS t_stat
             FROM a""")
   )
 
@@ -3410,10 +3422,10 @@ object TimeSeries {
                           count(*) AS ndow
                    FROM f GROUP BY 1, 2)
             SELECT f.event_type, f.d, f.v,
-                   round(CAST(t7 AS DOUBLE) / 7.0, 4) AS trend,
-                   round(CAST(sdn AS DOUBLE) / (7.0 * ndow), 4) AS seasonal,
-                   round(CAST(detr_num AS DOUBLE) / 7.0
-                         - CAST(sdn AS DOUBLE) / (7.0 * ndow), 4) AS residual
+                   (round(CAST(t7 AS DOUBLE) / 7.0, 4) + 0.0) AS trend,
+                   (round(CAST(sdn AS DOUBLE) / (7.0 * ndow), 4) + 0.0) AS seasonal,
+                   (round(CAST(detr_num AS DOUBLE) / 7.0
+                         - CAST(sdn AS DOUBLE) / (7.0 * ndow), 4) + 0.0) AS residual
             FROM f JOIN se USING (event_type, dow)
             ORDER BY f.event_type, f.d""")
   )
@@ -3531,10 +3543,10 @@ object TimeSeries {
                          (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) AS b2
                   FROM c)
             SELECT dn AS direction, n AS n_days,
-                   round(b2, 6) AS b_cross,
-                   round(((rss_r - (cyy - b1 * c1y - b2 * c2y))
+                   (round(b2, 6) + 0.0) AS b_cross,
+                   (round(((rss_r - (cyy - b1 * c1y - b2 * c2y))
                           * (CAST(n AS DOUBLE) - 3.0))
-                         / (cyy - b1 * c1y - b2 * c2y), 4) AS f_stat
+                         / (cyy - b1 * c1y - b2 * c2y), 4) + 0.0) AS f_stat
             FROM f ORDER BY direction""")
   )
 
@@ -3553,21 +3565,24 @@ object TimeSeries {
     * counted once, at the later start; ties pinned by a total order).
     * Sessions crossing midnight split into per-day clips (sequence over
     * the span), so the window partitions by DAY — never a global sort.
-    * All arithmetic is exact epoch-second BIGINTs.  */
+    * All arithmetic is exact epoch-second BIGINTs.
+    *
+    * Sessions come from the shared two-level [[sessionFrame]] (r14):
+    * no single-level per-user window anywhere in this plan, so a 4M-row
+    * bot user costs one user-DAY sort, not one user-history sort. The
+    * remaining day-partitioned sweep window runs over session BOUNDARY
+    * events (2 per session-day clip — already reduced vs raw events);
+    * a hyper-hot single day still funnels into one task, bounded by
+    * sessions-that-day × 2; two-level by (day, hour) if that ever
+    * measures hot. */
   val concurrency: GraftQuery = GraftQuery(
     "ts_concurrency",
     (s, dir) => {
       import s.implicits._
-      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-      val flagged = Tables.events(s, dir)
-        .select($"user_id", $"ts", $"event_id")
-        .withColumn("new_s",
-          when(lag($"ts", 1).over(w).isNull ||
-               $"ts".cast("long") - lag($"ts", 1).over(w).cast("long") > SessionGapSec,
-            1L).otherwise(0L))
-        .withColumn("session_seq",
-          sum($"new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
-      val sessions = flagged.groupBy($"user_id", $"session_seq")
+      // Sessions come from the shared two-level sessionFrame (r14: this
+      // query previously re-derived them with the single-level per-user
+      // window the r13 skew ladder measured at 3.4× under a 4M-row bot).
+      val sessions = sessionFrame(s, dir).groupBy($"user_id", $"session_seq")
         .agg(min($"ts").cast("long").as("t0"), max($"ts").cast("long").as("t1"))
       val clips = sessions
         .withColumn("day", explode(sequence(

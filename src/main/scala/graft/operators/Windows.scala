@@ -112,10 +112,10 @@ object Windows {
         .orderBy($"user_id", $"event_id")
     },
     Some("""SELECT user_id, event_id,
-                   round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_sum,
-                   round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS moving_avg4
+                   (round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) + 0.0) AS running_sum,
+                   (round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) + 0.0) AS moving_avg4
             FROM events
             ORDER BY user_id, event_id""")
   )
@@ -166,11 +166,11 @@ object Windows {
         .orderBy($"user_id", $"event_id")
     },
     Some("""SELECT user_id, event_id,
-                   round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
-                         RANGE BETWEEN 5 PRECEDING AND CURRENT ROW), 4) AS sum_id_range,
-                   round(sum(value) OVER (PARTITION BY user_id
+                   (round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+                         RANGE BETWEEN 5 PRECEDING AND CURRENT ROW), 4) + 0.0) AS sum_id_range,
+                   (round(sum(value) OVER (PARTITION BY user_id
                          ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
-                         RANGE BETWEEN 600 PRECEDING AND CURRENT ROW), 4) AS sum_10min
+                         RANGE BETWEEN 600 PRECEDING AND CURRENT ROW), 4) + 0.0) AS sum_10min
             FROM events
             ORDER BY user_id, event_id""")
   )
@@ -197,8 +197,8 @@ object Windows {
     },
     Some("""SELECT * FROM (
               SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
-                     round(percent_rank() OVER w, 6) AS pr,
-                     round(cume_dist()    OVER w, 6) AS cd,
+                     (round(percent_rank() OVER w, 6) + 0.0) AS pr,
+                     (round(cume_dist()    OVER w, 6) + 0.0) AS cd,
                      row_number() OVER w AS rn
               FROM lineitem
               WINDOW w AS (PARTITION BY l_returnflag

@@ -32,7 +32,7 @@ object StreamQueries {
         .orderBy($"wstart", $"event_type")
     },
     Some("""SELECT date_trunc('hour', ts) AS wstart, event_type,
-                   count(*) AS n, round(sum(value), 4) AS sum_value
+                   count(*) AS n, (round(sum(value), 4) + 0.0) AS sum_value
             FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""")
   )
 
@@ -82,7 +82,7 @@ object StreamQueries {
               FROM flagged)
             SELECT user_id, min(ts) AS session_start,
                    max(ts) + INTERVAL '10 minutes' AS session_end,
-                   count(*) AS n_events, round(sum(value), 4) AS sum_value
+                   count(*) AS n_events, (round(sum(value), 4) + 0.0) AS sum_value
             FROM numbered GROUP BY user_id, sid
             ORDER BY user_id, session_start""")
   )

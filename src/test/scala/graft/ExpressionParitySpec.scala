@@ -121,4 +121,33 @@ class ExpressionParitySpec extends AnyFunSuite {
     assert(pairs.nonEmpty)
     pairs.foreach(r => assert(r.getInt(0) === r.getInt(1)))
   }
+
+  test("signed zero: round() emits +0.0 and roundNorm pins the sign (r13 ts_macd)") {
+    // The round-13 ts_macd lesson: a tiny NEGATIVE double rounding to
+    // zero. Spark's round goes through BigDecimal (no -0.0 exists there)
+    // → +0.0 always; DuckDB's round keeps the operand sign → -0.0. The
+    // driver hashes a string render, so the pair diverges despite
+    // numeric equality. roundNorm appends `+ 0.0`, which by IEEE-754
+    // maps -0.0 → +0.0 and is the identity on every other value.
+    val rows = Seq(-1.0e-9, -0.0, 0.0, -0.00004, 0.00004, -1.23455, 2.5)
+      .toDF("x")
+      .select(
+        round($"x", 4).as("plain"),
+        GraftQuery.roundNorm($"x", 4).as("norm"),
+        GraftQuery.roundNorm($"x" * -1.0, 4).as("normNeg"))
+      .collect()
+    rows.foreach { r =>
+      val Seq(plain, norm, normNeg) =
+        Seq(0, 1, 2).map(i => java.lang.Double.doubleToRawLongBits(r.getDouble(i)))
+      val negZeroBits = java.lang.Double.doubleToRawLongBits(-0.0)
+      assert(plain !== negZeroBits, "Spark round must never emit -0.0")
+      assert(norm !== negZeroBits, "roundNorm must never emit -0.0")
+      assert(normNeg !== negZeroBits, "roundNorm must never emit -0.0 (negated)")
+      assert(norm === plain, "roundNorm must be the identity on round()'s output")
+    }
+    // And the raw hazard really exists: an unnormalized ARITHMETIC -0.0
+    // (what DuckDB's round can emit) bit-differs from +0.0.
+    assert(java.lang.Double.doubleToRawLongBits(-0.0) !==
+      java.lang.Double.doubleToRawLongBits(0.0))
+  }
 }

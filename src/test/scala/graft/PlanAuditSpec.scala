@@ -148,6 +148,76 @@ class PlanAuditSpec extends AnyFunSuite {
     "llm_curriculum",        // \u226432-row range-bucket prefix table (twoLevelRank)
     "ts_cumulative_users")   // bounded day-domain running sum above the first-day agg
 
+  /** Round-14 gate (VERDICT r13 item 5): a WindowExec partitioned by
+    * EXACTLY one user-scale key (user_id / doc_id) whose input is
+    * UN-REDUCED scan rows funnels a degenerate hot key — the 4M-event
+    * bot user the journey family exists to study — into ONE task's
+    * sort; the r13 MicroBench skew ladder measured 3.1–3.5× vs
+    * same-size controls. Journey windows must two-level by
+    * (key, day)/(key, bucket) with a boundary-table carry (see
+    * TimeSeries.sessionFrame); windows over REDUCED frames (per-(user,
+    * day) boundary tables, per-user aggregates) are exempt because
+    * their per-key row count is already bounded by active days, not
+    * events. A deliberate single-level window needs a reviewed entry
+    * here — this is the rule that would have caught ts_concurrency at
+    * build time in r13. */
+  private val hotKeyNames = Set("user_id", "doc_id")
+  private val singleHotKeyWindowAllowed: Set[String] = Set(
+    // PERMANENT (reviewed): per-doc media-frame windows — a doc_id here
+    // keys ONE media asset whose frame/window count is bounded by the
+    // asset's duration (minutes), not an unbounded behavioral history;
+    // there is no "bot asset" analog of the 4M-event bot user.
+    "mm_audio_vad",
+    "mm_scene_cut",
+    // PENDING r14 two-level rewrites (drain this list as each lands;
+    // each is a real single-level per-user window over raw events):
+    "win_running", "win_lag_lead", "win_range_frame", "win_ntile",
+    "join_asof", "join_asof_tolerance", "join_asof_nearest",
+    "ts_attribution", "ts_anomaly", "ts_ewma", "ts_rolling_median",
+    "ts_cusum")
+
+  /** The two-level carry pattern reduces per-(key, day) rows with a
+    * Filter on a row_number/rank produced by a finer-partitioned window
+    * (rn = 1 / rn <= k), not with an aggregate — treat such a filter as
+    * a reducer for THIS rule's descent (the finer window below it is
+    * itself audited as a separate node, so a single-level rn=1 window
+    * can't hide behind this). */
+  private def isTopKFilter(f: org.apache.spark.sql.execution.FilterExec): Boolean = {
+    def innerWindow(p: SparkPlan): Option[WindowExec] = p match {
+      case w: WindowExec => Some(w)
+      case pr: org.apache.spark.sql.execution.ProjectExec => innerWindow(pr.child)
+      case _ => None
+    }
+    innerWindow(f.child).exists { w =>
+      val winOut = w.windowExpression.map(_.toAttribute.exprId).toSet
+      f.condition.references.exists(a => winOut.contains(a.exprId))
+    }
+  }
+
+  private def unreducedScansHot(p: SparkPlan): Seq[String] = p match {
+    case _: BaseAggregateExec => Seq.empty
+    case f: org.apache.spark.sql.execution.FilterExec if isTopKFilter(f) => Seq.empty
+    case a: AdaptiveSparkPlanExec => unreducedScansHot(a.executedPlan)
+    case s: FileSourceScanExec => Seq(s.nodeName)
+    case s: BatchScanExec => Seq(s.nodeName)
+    case _ => p.children.flatMap(unreducedScansHot)
+  }
+
+  private def singleHotKeyWindows(p: SparkPlan): Seq[WindowExec] = {
+    val self = p match {
+      case a: AdaptiveSparkPlanExec => singleHotKeyWindows(a.executedPlan)
+      case w: WindowExec
+          if w.partitionSpec.size == 1 &&
+            w.partitionSpec.head.references.size == 1 &&
+            w.partitionSpec.head.references.forall(a => hotKeyNames(a.name)) &&
+            unreducedScansHot(w.child).nonEmpty =>
+        Seq(w)
+      case _ => Seq.empty
+    }
+    self ++ p.children.flatMap(singleHotKeyWindows) ++
+      p.subqueries.flatMap(singleHotKeyWindows)
+  }
+
   private def unpartitionedWindows(p: SparkPlan): Seq[WindowExec] = {
     val self = p match {
       case a: AdaptiveSparkPlanExec => unpartitionedWindows(a.executedPlan)
@@ -203,7 +273,33 @@ class PlanAuditSpec extends AnyFunSuite {
             s"reducing aggregate between the window and ${raw.mkString(", ")}; " +
             s"the whole table moves through one task at scale")
       }
+      if (!singleHotKeyWindowAllowed(q.name)) {
+        val hot = singleHotKeyWindows(exec)
+        assert(hot.isEmpty,
+          s"${q.name} plans ${hot.size} single-level hot-key Window(s) over " +
+            s"un-reduced scan rows — a bot user funnels its whole history " +
+            s"into one task; two-level by (key, day) instead (r13 skew " +
+            s"ladder: 3.1-3.5x): " +
+            hot.map(_.partitionSpec.mkString(",")).mkString(" | "))
+      }
     }
+  }
+
+  test("single-hot-key window detector goes red on a deliberately single-leveled twin") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val ev = sources.Tables.events(spark, TestSpark.Sf)
+    val bad = ev.withColumn("rn",
+      row_number().over(Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))))
+    assert(singleHotKeyWindows(bad.queryExecution.executedPlan).nonEmpty,
+      "the detector must flag a single-level per-user window over raw events")
+    // ...and stays green once the same window is two-leveled by (user, day)
+    val good = ev.withColumn("rn",
+      row_number().over(Window.partitionBy(col("user_id"), to_date(col("ts")))
+        .orderBy(col("ts"), col("event_id"))))
+    assert(singleHotKeyWindows(good.queryExecution.executedPlan).isEmpty,
+      "a (user_id, day) two-level window must not be flagged")
   }
 
   test("scan_filter_pushdown actually pushes its predicate") {

@@ -14,8 +14,15 @@ that the driver's own canonicalization tolerates (see TYPE_NORM).
 
 Usage: python3 tools/compare.py <sfDir> <outDir> [name ...]
 """
-import sys, os, json, glob, re
+import sys, os, json, glob, re, struct
 import duckdb
+
+
+def _float_bits_eq(a, b):
+    """Bit-exact double compare — the round-13 lesson: the driver hashes a
+    STRING render, so -0.0 vs +0.0 (Python ==-equal) is a driver FAIL.
+    NaN-vs-NaN is handled by the null canonicalization path, not here."""
+    return struct.pack("<d", a) == struct.pack("<d", b)
 
 # Equivalences the driver tolerates (pandas canonicalization makes these
 # indistinguishable to its hash). Anything NOT listed — notably
@@ -102,6 +109,10 @@ def main():
             sv, ov = s[col].tolist(), o[col].tolist()
             for i, (a, b) in enumerate(zip(sv, ov)):
                 ok = (a == b) or (a is None and b is None)
+                if ok and isinstance(a, float) and isinstance(b, float):
+                    # == passed but the driver's string-hash is stricter:
+                    # require identical IEEE bits (catches -0.0 vs +0.0).
+                    ok = _float_bits_eq(a, b)
                 if not ok:
                     # Null canonicalization: pandas renders SQL NULL as NaN
                     # (numeric), None (object), or NaT (timestamp) — the
@@ -118,7 +129,11 @@ def main():
                         ok = False
                 if not ok and hasattr(a, "__len__") and hasattr(b, "__len__") \
                         and not isinstance(a, str):
-                    ok = list(a) == list(b)
+                    la, lb = list(a), list(b)
+                    ok = la == lb and not any(
+                        isinstance(x, float) and isinstance(y, float)
+                        and not _float_bits_eq(x, y)
+                        for x, y in zip(la, lb))
                 if not ok:
                     mismatch = f"col {col} row {i}: spark={a!r} oracle={b!r}"
                     break
