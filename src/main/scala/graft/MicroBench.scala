@@ -82,6 +82,19 @@ object MicroBench {
           SparkEntry.queries(q)(spark, d).count()
         }
       }
+      // r14 ladder: the ten single-level-per-user-window queries the
+      // PlanAuditSpec hot-key rule flagged, re-measured after their
+      // two-level rewrites (bot4m/wide4m ≤ ~1x = skew-immune; before
+      // the rewrites these are the 3.1-3.5x class).
+      val skew14 = Seq("join_asof", "win_running", "win_lag_lead",
+        "win_ntile", "win_range_frame", "ts_ewma", "ts_anomaly",
+        "ts_rolling_median", "ts_cusum", "ts_concurrency")
+      for (q <- skew14;
+           (tag, d) <- dirs.filter(x => Set("wide4m", "bot4m")(x._1))) {
+        best3(f"journey-skew14 $q%-18s $tag") {
+          SparkEntry.queries(q)(spark, d).count()
+        }
+      }
       if (skewOnly) { spark.stop(); return }
     }
 

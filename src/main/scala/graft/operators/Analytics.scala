@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.GraftQuery
 import graft.sources.Tables
@@ -2847,11 +2848,343 @@ object Analytics {
             FROM g""")
   )
 
+  /** MUTUAL INFORMATION between event type and the value decile — the
+    * feature-screening number ("does this categorical carry signal about
+    * the metric?") run before any model touches a column; for a training
+    * pipeline, swap the pair for (source, quality-bucket) and this is
+    * the "is quality confounded with provenance" audit.
+    *
+    * Determinism: MI decomposes as
+    * (Σ n_tb·ln n_tb − Σ n_t·ln n_t − Σ n_b·ln n_b + N·ln N)/N — every
+    * ln argument is an exact BIGINT cell count (identical in both
+    * engines), each Σ runs over a BOUNDED domain (≤ 5·10 cells), and the
+    * normalized form divides by √(H_t·H_b) of the same counts. Rounding
+    * absorbs the bounded-domain double-sum association.
+    *
+    * Scale shape: ONE map-side-combined hash aggregate reduces the fact
+    * scan to the ≤50-cell table; margins are two bounded re-aggregates;
+    * the three 1-row stat frames assemble via broadcast crossJoin (the
+    * agg_chisq pattern). */
+  val mutualInfo: GraftQuery = GraftQuery(
+    "agg_mutual_info",
+    (s, dir) => {
+      import s.implicits._
+      val cells = Tables.events(s, dir)
+        .select($"event_type".as("t"),
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) div 10000")
+            .as("vb"))
+        .groupBy($"t", $"vb").agg(count(lit(1)).as("n"))
+      def nlogn(c: Column): Column = c.cast("double") * log(c.cast("double"))
+      val sTb = cells.agg(sum(nlogn($"n")).as("stb"), sum($"n").as("ntot"))
+      val sT = cells.groupBy($"t").agg(sum($"n").as("nt"))
+        .agg(sum(nlogn($"nt")).as("st"))
+      val sB = cells.groupBy($"vb").agg(sum($"n").as("nb"))
+        .agg(sum(nlogn($"nb")).as("sb"))
+      sTb.crossJoin(broadcast(sT)).crossJoin(broadcast(sB))
+        .withColumn("nd", $"ntot".cast("double"))
+        .withColumn("mi",
+          ($"stb" - $"st" - $"sb" + $"nd" * log($"nd")) / $"nd")
+        .withColumn("ht", log($"nd") - $"st" / $"nd")
+        .withColumn("hb", log($"nd") - $"sb" / $"nd")
+        .select($"ntot".as("n_total"),
+          GraftQuery.roundNorm($"mi", 6).as("mi"),
+          GraftQuery.roundNorm($"mi" / sqrt($"ht" * $"hb"), 6).as("nmi"))
+    },
+    Some("""WITH cells AS (
+              SELECT event_type AS t,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 10000 AS vb,
+                     count(*) AS n
+              FROM events GROUP BY 1, 2),
+            stb AS (SELECT sum(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) AS stb,
+                           CAST(sum(n) AS BIGINT) AS ntot FROM cells),
+            st AS (SELECT sum(CAST(nt AS DOUBLE) * ln(CAST(nt AS DOUBLE))) AS st
+                   FROM (SELECT CAST(sum(n) AS BIGINT) AS nt FROM cells GROUP BY t)),
+            sb AS (SELECT sum(CAST(nb AS DOUBLE) * ln(CAST(nb AS DOUBLE))) AS sb
+                   FROM (SELECT CAST(sum(n) AS BIGINT) AS nb FROM cells GROUP BY vb)),
+            f AS (SELECT ntot, CAST(ntot AS DOUBLE) AS nd,
+                         (stb - st - sb + CAST(ntot AS DOUBLE) * ln(CAST(ntot AS DOUBLE)))
+                           / CAST(ntot AS DOUBLE) AS mi,
+                         ln(CAST(ntot AS DOUBLE)) - st / CAST(ntot AS DOUBLE) AS ht,
+                         ln(CAST(ntot AS DOUBLE)) - sb / CAST(ntot AS DOUBLE) AS hb
+                  FROM stb, st, sb)
+            SELECT ntot AS n_total,
+                   (round(mi, 6) + 0.0) AS mi,
+                   (round(mi / sqrt(ht * hb), 6) + 0.0) AS nmi
+            FROM f""")
+  )
+
+  /** FIXED-EFFECT META-ANALYSIS across order-priority strata — the
+    * inverse-variance pooling table (pooled effect, Cochran's Q,
+    * Higgins' I²) any experimentation platform prints when one metric
+    * was measured in k independent slices: "do the strata agree, and
+    * what is the precision-weighted combined mean?" (swap priority →
+    * corpus shard and this is the cross-shard quality-score
+    * reconciliation readout).
+    *
+    * Determinism: per-stratum (n, Σc, Σc²) are exact BIGINT folds
+    * (guarded); each stratum's mean/se² is a fixed rational; the k=5
+    * pooling sums ride the bounded stratum domain with final rounding.
+    *
+    * Scale shape: one map-side-combined hash aggregate onto the 5-row
+    * priority domain; everything after is arithmetic on ≤5 rows. */
+  val metaAnalysis: GraftQuery = GraftQuery(
+    "agg_meta_analysis",
+    (s, dir) => {
+      import s.implicits._
+      val strata = Tables.orders(s, dir)
+        .select($"o_orderpriority".as("stratum"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("c"))
+        .groupBy($"stratum")
+        .agg(count(lit(1)).as("n"), sum($"c").as("sc"),
+          GraftQuery.guarded(sum($"c" * $"c"),
+            count(lit(1)).cast("double")
+              * max(abs($"c")).cast("double") * max(abs($"c")).cast("double")
+              < lit(9e18),
+            "agg_meta_analysis: BIGINT Σc² near overflow — " +
+              "shift the fold to DECIMAL(38,0)").as("sc2"))
+        .withColumn("mean", $"sc".cast("double") / $"n".cast("double") / 100.0)
+        .withColumn("var",
+          ($"n".cast("double") * $"sc2".cast("double")
+            - $"sc".cast("double") * $"sc".cast("double"))
+            / ($"n".cast("double") * ($"n".cast("double") - 1.0)) / 10000.0)
+        .withColumn("w", $"n".cast("double") / $"var")
+      val pooled = strata.agg(
+        count(lit(1)).as("k"),
+        sum($"w").as("sw"),
+        sum($"w" * $"mean").as("swm"),
+        sum($"w" * $"mean" * $"mean").as("swm2"))
+        .withColumn("pooled_mean", $"swm" / $"sw")
+        .withColumn("q", $"swm2" - $"swm" * $"swm" / $"sw")
+        .withColumn("i2", greatest(lit(0.0),
+          ($"q" - ($"k" - 1).cast("double")) / $"q") * 100.0)
+      pooled.select($"k",
+        GraftQuery.roundNorm($"pooled_mean", 4).as("pooled_mean"),
+        GraftQuery.roundNorm(sqrt(lit(1.0) / $"sw"), 6).as("pooled_se"),
+        GraftQuery.roundNorm($"q", 4).as("q"),
+        GraftQuery.roundNorm($"i2", 2).as("i2_pct"))
+    },
+    Some("""WITH s AS (
+              SELECT o_orderpriority AS stratum, count(*) AS n,
+                     CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sc,
+                     CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                              * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sc2
+              FROM orders GROUP BY 1),
+            t AS (
+              SELECT stratum, n,
+                     CAST(sc AS DOUBLE) / n / 100.0 AS mean,
+                     (CAST(n AS DOUBLE) * sc2 - CAST(sc AS DOUBLE) * sc)
+                       / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / 10000.0 AS var
+              FROM s),
+            u AS (SELECT stratum, n, mean, CAST(n AS DOUBLE) / var AS w FROM t),
+            p AS (
+              SELECT count(*) AS k, sum(w) AS sw, sum(w * mean) AS swm,
+                     sum(w * mean * mean) AS swm2
+              FROM u)
+            SELECT k,
+                   (round(swm / sw, 4) + 0.0) AS pooled_mean,
+                   (round(sqrt(1.0 / sw), 6) + 0.0) AS pooled_se,
+                   (round(swm2 - swm * swm / sw, 4) + 0.0) AS q,
+                   (round(greatest(0.0, ((swm2 - swm * swm / sw) - (k - 1))
+                                        / (swm2 - swm * swm / sw)) * 100.0, 2) + 0.0) AS i2_pct
+            FROM p""")
+  )
+
+  /** ALWAYS-VALID A/B MONITORING — the mixture sequential probability
+    * ratio test (mSPRT, the "peeking-proof p-value" behind every modern
+    * experimentation platform's live dashboard): per calendar day, the
+    * cumulative two-sample log mixture likelihood ratio for the
+    * arm-mean difference under a N(0, τ²) effect prior; the test
+    * rejects the first day log Λ ≥ ln(1/α), and unlike agg_ttest_welch
+    * the guarantee survives continuous monitoring.
+    *
+    * log Λ_n = ½·ln(2σ²/(2σ² + n·τ²)) + n²τ²Δ²/(4σ²(2σ² + n·τ²)),
+    * with n the mean per-arm count, σ² the pooled sample variance and
+    * Δ the arm-mean difference — all exact-BIGINT sufficient statistics
+    * cumulated per day (integer window sums over the bounded day
+    * domain), so both engines evaluate identical doubles; ln(1/α)
+    * interpolates as ONE shared literal into both engines.
+    *
+    * Scale shape: one hash aggregate onto the (arm, day) domain; the
+    * cumulative pass is a window partitioned by arm over ≤days rows;
+    * the two arms pivot into one row per day (bounded). */
+  /** mSPRT constants — shared by the Spark plan and the oracle SQL so
+    * both engines compare against the IDENTICAL literal. */
+  private val MsprtTau2 = 100.0 // N(0, 10²) effect prior, dollars
+  private val MsprtLnInvAlpha = math.log(20.0) // alpha = 0.05
+
+  val msprt: GraftQuery = GraftQuery(
+    "agg_msprt",
+    (s, dir) => {
+      import s.implicits._
+      val tau2 = MsprtTau2
+      val lnInvAlpha = MsprtLnInvAlpha
+      val daily = Tables.events(s, dir)
+        .select(pmod($"user_id", lit(2L)).as("arm"),
+          to_date($"ts").as("day"),
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
+        .groupBy($"arm", $"day")
+        .agg(count(lit(1)).as("dn"), sum($"c").as("dsc"),
+          GraftQuery.guarded(sum($"c" * $"c"),
+            count(lit(1)).cast("double")
+              * max(abs($"c")).cast("double") * max(abs($"c")).cast("double")
+              < lit(9e18),
+            "agg_msprt: BIGINT Σc² near overflow").as("dsc2"))
+      val wArm = Window.partitionBy($"arm").orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cum = daily
+        .withColumn("n", sum($"dn").over(wArm))
+        .withColumn("sc", sum($"dsc").over(wArm))
+        .withColumn("sc2", sum($"dsc2").over(wArm))
+        .select($"arm", $"day", $"n", $"sc", $"sc2")
+      val both = cum.filter($"arm" === 0L).as("a")
+        .join(cum.filter($"arm" === 1L).as("b"), Seq("day"))
+        .select($"day", $"a.n".as("nc"), $"a.sc".as("scc"), $"a.sc2".as("scc2"),
+          $"b.n".as("nt"), $"b.sc".as("sct"), $"b.sc2".as("sct2"))
+        .filter($"nc" >= 5L && $"nt" >= 5L)
+      both
+        .withColumn("sigma2",
+          (($"scc2" + $"sct2").cast("double")
+            - ($"scc".cast("double") * $"scc" / $"nc"
+               + $"sct".cast("double") * $"sct" / $"nt"))
+            / ($"nc" + $"nt" - 2L).cast("double") / 10000.0)
+        .withColumn("delta",
+          ($"sct".cast("double") / $"nt" - $"scc".cast("double") / $"nc") / 100.0)
+        .withColumn("nbar", ($"nc" + $"nt").cast("double") / 2.0)
+        .withColumn("den", lit(2.0) * $"sigma2" + $"nbar" * lit(tau2))
+        .withColumn("log_lambda",
+          when($"sigma2" > 1e-9,
+            lit(0.5) * log(lit(2.0) * $"sigma2" / $"den")
+              + $"nbar" * $"nbar" * lit(tau2) * $"delta" * $"delta"
+                / (lit(4.0) * $"sigma2" * $"den")))
+        .select($"day", $"nc", $"nt",
+          GraftQuery.roundNorm($"delta", 4).as("delta"),
+          GraftQuery.roundNorm($"log_lambda", 4).as("log_lambda"),
+          when($"log_lambda" >= lnInvAlpha, 1L).otherwise(0L).as("reject"))
+        .orderBy($"day")
+    },
+    Some(s"""WITH daily AS (
+              SELECT user_id % 2 AS arm, CAST(ts AS DATE) AS day,
+                     count(*) AS dn,
+                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS dsc,
+                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                              * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS dsc2
+              FROM events GROUP BY 1, 2),
+            cum AS (
+              SELECT arm, day,
+                     CAST(sum(dn) OVER w AS BIGINT) AS n,
+                     CAST(sum(dsc) OVER w AS BIGINT) AS sc,
+                     CAST(sum(dsc2) OVER w AS BIGINT) AS sc2
+              FROM daily
+              WINDOW w AS (PARTITION BY arm ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+            both AS (
+              SELECT a.day, a.n AS nc, a.sc AS scc, a.sc2 AS scc2,
+                     b.n AS nt, b.sc AS sct, b.sc2 AS sct2
+              FROM cum a JOIN cum b USING (day)
+              WHERE a.arm = 0 AND b.arm = 1 AND a.n >= 5 AND b.n >= 5),
+            f AS (
+              SELECT day, nc, nt,
+                     (CAST(scc2 + sct2 AS DOUBLE)
+                      - (CAST(scc AS DOUBLE) * scc / nc + CAST(sct AS DOUBLE) * sct / nt))
+                       / CAST(nc + nt - 2 AS DOUBLE) / 10000.0 AS sigma2,
+                     (CAST(sct AS DOUBLE) / nt - CAST(scc AS DOUBLE) / nc) / 100.0 AS delta,
+                     CAST(nc + nt AS DOUBLE) / 2.0 AS nbar
+              FROM both),
+            g AS (
+              SELECT day, nc, nt, delta,
+                     CASE WHEN sigma2 > 1e-9 THEN
+                       0.5 * ln(2.0 * sigma2 / (2.0 * sigma2 + nbar * 100.0))
+                       + nbar * nbar * 100.0 * delta * delta
+                         / (4.0 * sigma2 * (2.0 * sigma2 + nbar * 100.0))
+                     END AS log_lambda
+              FROM f)
+            SELECT day, nc, nt,
+                   (round(delta, 4) + 0.0) AS delta,
+                   (round(log_lambda, 4) + 0.0) AS log_lambda,
+                   CAST(CASE WHEN log_lambda >= $MsprtLnInvAlpha THEN 1 ELSE 0 END AS BIGINT) AS reject
+            FROM g ORDER BY day""")
+  )
+
+  /** RAKING (iterative proportional fitting) — survey-style weight
+    * calibration of the (customer-nation-band × order-priority) cell
+    * table to KNOWN margins (each band's customer share, each
+    * priority's uniform fifth): three row/column scaling rounds, the
+    * standard post-stratification device (for a training pipeline:
+    * calibrate sampled-document weights to target (source × language)
+    * mix — llm_domain_mix's two-margin generalization).
+    *
+    * Determinism: cell counts and margin targets are exact integers;
+    * each IPF round is a fixed chain of divisions over the bounded
+    * 5×5 cell domain (margin sums ride windows partitioned by the
+    * 5-value keys); one rounding at the end.
+    *
+    * Scale shape: one hash aggregate onto the 25-cell domain; the
+    * three scaling rounds cost 6 bounded window passes over 25 rows —
+    * nothing downstream of the first aggregate sees data size. */
+  val raking: GraftQuery = GraftQuery(
+    "agg_raking",
+    (s, dir) => {
+      import s.implicits._
+      val cells = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir),
+          Tables.orders(s, dir)("o_custkey") === Tables.customer(s, dir)("c_custkey"))
+        .select(pmod($"c_custkey", lit(5L)).as("band"),
+          $"o_orderpriority".as("prio"))
+        .groupBy($"band", $"prio").agg(count(lit(1)).as("n"))
+      val wb = Window.partitionBy($"band")
+      val wp = Window.partitionBy($"prio")
+      val wall = Window.partitionBy(lit(1))
+      // targets: per-band equal share, per-priority equal share of N
+      val seeded = cells
+        .withColumn("ntot", sum($"n").over(wall))
+        .withColumn("tb", $"ntot".cast("double") / 5.0)
+        .withColumn("tp", $"ntot".cast("double") / 5.0)
+        .withColumn("w", $"n".cast("double"))
+      val ipf = (1 to 3).foldLeft(seeded) { (df, _) =>
+        df.withColumn("w", $"w" * $"tb" / sum($"w").over(wb))
+          .withColumn("w", $"w" * $"tp" / sum($"w").over(wp))
+      }
+      ipf.select($"band", $"prio", $"n",
+          GraftQuery.roundNorm($"w", 4).as("w"),
+          GraftQuery.roundNorm($"w" / $"n".cast("double"), 6).as("factor"))
+        .orderBy($"band", $"prio")
+    },
+    Some("""WITH cells AS (
+              SELECT o.o_custkey % 5 AS band, o.o_orderpriority AS prio,
+                     count(*) AS n
+              FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+              GROUP BY 1, 2),
+            seeded AS (
+              SELECT band, prio, n,
+                     CAST(sum(n) OVER () AS DOUBLE) / 5.0 AS tb,
+                     CAST(sum(n) OVER () AS DOUBLE) / 5.0 AS tp,
+                     CAST(n AS DOUBLE) AS w
+              FROM cells),
+            r1 AS (SELECT band, prio, n, tb, tp,
+                          w * tb / sum(w) OVER (PARTITION BY band) AS w1 FROM seeded),
+            r1b AS (SELECT band, prio, n, tb, tp,
+                           w1 * tp / sum(w1) OVER (PARTITION BY prio) AS w FROM r1),
+            r2 AS (SELECT band, prio, n, tb, tp,
+                          w * tb / sum(w) OVER (PARTITION BY band) AS w1 FROM r1b),
+            r2b AS (SELECT band, prio, n, tb, tp,
+                           w1 * tp / sum(w1) OVER (PARTITION BY prio) AS w FROM r2),
+            r3 AS (SELECT band, prio, n, tb, tp,
+                          w * tb / sum(w) OVER (PARTITION BY band) AS w1 FROM r2b),
+            r3b AS (SELECT band, prio, n,
+                           w1 * tp / sum(w1) OVER (PARTITION BY prio) AS w FROM r3)
+            SELECT band, prio, n,
+                   (round(w, 4) + 0.0) AS w,
+                   (round(w / n, 6) + 0.0) AS factor
+            FROM r3b ORDER BY band, prio""")
+  )
+
   def all: Seq[GraftQuery] = Seq(
     statsAgg, percentiles, approxPercentile, stringAgg, pivotAgg, jsonStruct,
     topNRevenue, corrMatrix, ksTest, mannWhitney, chiSq, gini,
     ttestWelch, spearman, cramersV, benford, moments, shareOfParent, anova,
     wilcoxon, entropy, expectations, kanon, hhi, bootstrapCi, cuped, powerMde,
     srm, markov, cohortLtv, survivalKm, theil, elasticity, winsorized,
-    lorenz, assocRules, effectSize, priceIndex, levene)
+    lorenz, assocRules, effectSize, priceIndex, levene,
+    mutualInfo, metaAnalysis, msprt, raking)
 }

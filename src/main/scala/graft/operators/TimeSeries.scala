@@ -29,27 +29,127 @@ object TimeSeries {
     * O(n log n) per partition vs. the O(n·m) of a naive theta join, and the
     * sort colocates with the session/window queries' partitioning.
     */
+  /** Click/purchase union frame shared by the as-of family. */
+  private def asofTagged(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"value", $"event_type")
+    ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id", $"value", lit(0).as("kind"))
+      .unionByName(ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"event_id", $"value", lit(1).as("kind")))
+  }
+
+  /** Shared TWO-LEVEL as-of carry (r14, draining the PlanAuditSpec
+    * hot-key rule): the running `last(click)` edge of the r1 union
+    * device, decomposed so no window ever partitions by user_id alone
+    * over raw events — a 4M-click bot user costs one user-DAY sort,
+    * never one user-history sort (the r13 skew ladder's 3.1-3.5×).
+    *
+    * Exact decomposition (day(ts) is monotone in ts, so (b, ts, kind,
+    * event_id) order ≡ (ts, kind, event_id) order):
+    *  - LOCAL: the running click edge within (user_id, day);
+    *  - BOUNDARY: per (user_id, day-with-clicks) the day's edge click
+    *    (max_by/min_by over exact unique (ts, event_id) keys);
+    *  - CARRY: one per-user window over the per-(user, day) boundary
+    *    table (rows ∝ users × active days, already reduced) carries the
+    *    previous/next active day's edge;
+    *  - eff = coalesce(local, carry) joined back on (user_id, day) —
+    *    shuffle_hash, co-keyed with the local window's own exchange.
+    * `forward = true` mirrors every ordering for the next-click edge
+    * (kind desc keeps ts-equal clicks exclusive to the backward side,
+    * exactly like the single-level device it replaces). */
+  private def asofCarried(s: SparkSession, tagged: DataFrame,
+      forward: Boolean, out: String): DataFrame = {
+    import s.implicits._
+    val df = if (tagged.columns.contains("b")) tagged
+             else tagged.withColumn("b", to_date($"ts"))
+    val ord: Seq[Column] =
+      if (forward) Seq($"ts".desc, $"kind".desc, $"event_id".desc)
+      else Seq($"ts", $"kind", $"event_id")
+    val wbSpec = Window.partitionBy($"user_id", $"b").orderBy(ord: _*)
+    val wb = wbSpec.rowsBetween(Window.unboundedPreceding, 0)
+    val wbAll = wbSpec.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val cs = struct($"event_id", $"value", $"ts")
+    // the day's running edge, the day's FULL-frame edge, and a row
+    // number all ride ONE (user_id, day) sort; rn = 1 rows form the
+    // per-(user, day) boundary table (a max_by/min_by aggregate would
+    // plan SortAggregate — struct buffers are immutable).
+    val local = df
+      .withColumn(s"loc_$out",
+        last(when($"kind" === 0, cs), ignoreNulls = true).over(wb))
+      .withColumn("rn__", row_number().over(wbSpec))
+      .withColumn("edge__",
+        last(when($"kind" === 0, cs), ignoreNulls = true).over(wbAll))
+    val wu = Window.partitionBy($"user_id")
+      .orderBy(if (forward) $"b".desc else $"b".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carried = local.filter($"rn__" === 1)
+      .select($"user_id", $"b", $"edge__")
+      .withColumn(s"carry_$out", last($"edge__", ignoreNulls = true).over(wu))
+      .select($"user_id", $"b", col(s"carry_$out"))
+    local.join(carried.hint("shuffle_hash"), Seq("user_id", "b"))
+      .withColumn(out, coalesce(col(s"loc_$out"), col(s"carry_$out")))
+      .drop(s"loc_$out", s"carry_$out", "rn__", "edge__")
+  }
+
+  /** TWO-LEVEL trailing-window device (r14, draining the PlanAuditSpec
+    * hot-key rule): adds `out` = the array of the last ≤K values of
+    * column `vName` ending AT the current row (inclusive, in (ts,
+    * event_id) order) — the exact materialized form of a ROWS BETWEEN
+    * K-1 PRECEDING AND CURRENT ROW frame — without any window ever
+    * partitioning by user_id alone over raw events:
+    *  - LOCAL: within-(user_id, day) trailing collect (frame order);
+    *  - BOUNDARY: per (user_id, day) the day's last ≤K values (struct
+    *    sort on the unique (ts, event_id) key pins the order);
+    *  - CARRY: one per-user pass over the boundary table concatenates
+    *    previous days' tails in day order (each needed element is
+    *    within the last K of its day, so day-tails lose nothing);
+    *  - per row: the first (K - rn_day) missing values come from the
+    *    carry's tail, the rest from the local collect — day(ts) is
+    *    monotone in ts, so the reassembled array is bit-identical to
+    *    the single-level frame. */
+  private def lastKCarried(s: SparkSession, df0: DataFrame, vName: String,
+      k: Int, out: String): DataFrame = {
+    import s.implicits._
+    val df = if (df0.columns.contains("b")) df0
+             else df0.withColumn("b", to_date($"ts"))
+    val wb = Window.partitionBy($"user_id", $"b").orderBy($"ts", $"event_id")
+    val local = df
+      .withColumn("rn__", row_number().over(wb))
+      .withColumn("loc__", collect_list(col(vName))
+        .over(wb.rowsBetween(-(k - 1), 0)))
+    val bounds = df.groupBy($"user_id", $"b")
+      .agg(transform(
+        array_sort(collect_list(struct($"ts", $"event_id", col(vName)))),
+        x => x.getField(vName)).as("dayArr__"))
+      .withColumn("tail__",
+        when(size($"dayArr__") <= k, $"dayArr__")
+          .otherwise(slice($"dayArr__", -k, k)))
+    val wu = Window.partitionBy($"user_id").orderBy($"b")
+    val carried = bounds
+      .withColumn("carry__", flatten(collect_list($"tail__")
+        .over(wu.rowsBetween(Window.unboundedPreceding, -1))))
+      .select($"user_id", $"b", $"carry__")
+    local.join(carried.hint("shuffle_hash"), Seq("user_id", "b"))
+      .withColumn("need__", lit(k) - $"rn__")
+      .withColumn(out,
+        when($"need__" <= 0, $"loc__").otherwise(concat(
+          when(size($"carry__") <= $"need__", $"carry__")
+            .otherwise(slice($"carry__", -$"need__", $"need__")),
+          $"loc__")))
+      .drop("rn__", "loc__", "carry__", "need__")
+  }
+
   val asofJoin: GraftQuery = GraftQuery(
     "join_asof",
     (s, dir) => {
       import s.implicits._
-      val ev = Tables.events(s, dir)
-        .select($"user_id", $"ts", $"event_id", $"value", $"event_type")
-      val tagged = ev.filter($"event_type" === "click")
-        .select($"user_id", $"ts", $"event_id", $"value", lit(0).as("kind"))
-        .unionByName(ev.filter($"event_type" === "purchase")
-          .select($"user_id", $"ts", $"event_id", $"value", lit(1).as("kind")))
-      // clicks sort before purchases at equal ts (kind 0 < 1) so ts-equal
-      // clicks are eligible, matching the oracle's `c.ts <= p.ts`.
-      val w = Window.partitionBy($"user_id").orderBy($"ts", $"kind", $"event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-      tagged
-        .withColumn("click_id",
-          last(when($"kind" === 0, $"event_id"), ignoreNulls = true).over(w))
-        .withColumn("click_value",
-          last(when($"kind" === 0, $"value"), ignoreNulls = true).over(w))
+      asofCarried(s, asofTagged(s, dir), forward = false, "m")
         .filter($"kind" === 1)
-        .select($"event_id".as("purchase_id"), $"user_id", $"click_id", $"click_value")
+        .select($"event_id".as("purchase_id"), $"user_id",
+          $"m.event_id".as("click_id"), $"m.value".as("click_value"))
         .orderBy($"purchase_id")
     },
     Some("""SELECT p.event_id AS purchase_id, p.user_id,
@@ -86,34 +186,19 @@ object TimeSeries {
     "join_asof_nearest",
     (s, dir) => {
       import s.implicits._
-      val ev = Tables.events(s, dir)
-        .select($"user_id", $"ts", $"event_id", $"value", $"event_type")
-      val tagged = ev.filter($"event_type" === "click")
-        .select($"user_id", $"ts", $"event_id", $"value", lit(0).as("kind"))
-        .unionByName(ev.filter($"event_type" === "purchase")
-          .select($"user_id", $"ts", $"event_id", $"value", lit(1).as("kind")))
-      val fwd = Window.partitionBy($"user_id").orderBy($"ts", $"kind", $"event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val bwd = Window.partitionBy($"user_id")
-        .orderBy($"ts".desc, $"kind".desc, $"event_id".desc)
-        .rowsBetween(Window.unboundedPreceding, 0)
-      def edgeOf(w: org.apache.spark.sql.expressions.WindowSpec, c: Column) =
-        last(when($"kind" === 0, c), ignoreNulls = true).over(w)
-      tagged
-        .withColumn("b_id", edgeOf(fwd, $"event_id"))
-        .withColumn("b_val", edgeOf(fwd, $"value"))
-        .withColumn("b_ts", edgeOf(fwd, $"ts"))
-        .withColumn("a_id", edgeOf(bwd, $"event_id"))
-        .withColumn("a_val", edgeOf(bwd, $"value"))
-        .withColumn("a_ts", edgeOf(bwd, $"ts"))
+      // backward edge then forward edge, both through the two-level
+      // carry device (one (user, day) exchange reused by both local
+      // sorts; the per-user windows run over boundary tables only)
+      asofCarried(s, asofCarried(s, asofTagged(s, dir),
+          forward = false, "bk"), forward = true, "af")
         .filter($"kind" === 1)
-        .withColumn("b_dist", unix_micros($"ts") - unix_micros($"b_ts"))
-        .withColumn("a_dist", unix_micros($"a_ts") - unix_micros($"ts"))
+        .withColumn("b_dist", unix_micros($"ts") - unix_micros($"bk.ts"))
+        .withColumn("a_dist", unix_micros($"af.ts") - unix_micros($"ts"))
         .withColumn("take_b",
-          $"b_id".isNotNull && ($"a_id".isNull || $"b_dist" <= $"a_dist"))
+          $"bk".isNotNull && ($"af".isNull || $"b_dist" <= $"a_dist"))
         .select($"event_id".as("purchase_id"), $"user_id",
-          when($"take_b", $"b_id").otherwise($"a_id").as("click_id"),
-          when($"take_b", $"b_val").otherwise($"a_val").as("click_value"),
+          when($"take_b", $"bk.event_id").otherwise($"af.event_id").as("click_id"),
+          when($"take_b", $"bk.value").otherwise($"af.value").as("click_value"),
           when($"take_b", $"b_dist").otherwise($"a_dist").as("dist_us"))
         .orderBy($"purchase_id")
     },
@@ -156,28 +241,14 @@ object TimeSeries {
     "join_asof_tolerance",
     (s, dir) => {
       import s.implicits._
-      val ev = Tables.events(s, dir)
-        .select($"user_id", $"ts", $"event_id", $"value", $"event_type")
-      val tagged = ev.filter($"event_type" === "click")
-        .select($"user_id", $"ts", $"event_id", $"value", lit(0).as("kind"))
-        .unionByName(ev.filter($"event_type" === "purchase")
-          .select($"user_id", $"ts", $"event_id", $"value", lit(1).as("kind")))
-      val w = Window.partitionBy($"user_id").orderBy($"ts", $"kind", $"event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-      tagged
-        .withColumn("click_id",
-          last(when($"kind" === 0, $"event_id"), ignoreNulls = true).over(w))
-        .withColumn("click_value",
-          last(when($"kind" === 0, $"value"), ignoreNulls = true).over(w))
-        .withColumn("click_ts",
-          last(when($"kind" === 0, $"ts"), ignoreNulls = true).over(w))
+      asofCarried(s, asofTagged(s, dir), forward = false, "m")
         .filter($"kind" === 1)
         .withColumn("fresh",
-          unix_micros($"ts") - unix_micros($"click_ts")
+          unix_micros($"ts") - unix_micros($"m.ts")
             <= lit(AsofToleranceSec * 1000000L))
         .select($"event_id".as("purchase_id"), $"user_id",
-          when($"fresh", $"click_id").as("click_id"),
-          when($"fresh", $"click_value").as("click_value"))
+          when($"fresh", $"m.event_id").as("click_id"),
+          when($"fresh", $"m.value").as("click_value"))
         .orderBy($"purchase_id")
     },
     Some(s"""SELECT p.event_id AS purchase_id, p.user_id,
@@ -241,17 +312,48 @@ object TimeSeries {
 
   /** Distribution windows: quartile bucket, percent_rank, cume_dist over a
     * unique total order (value, event_id) per user. */
+  /** TWO-LEVEL since r14 (hot-key plan rule): the order key is VALUE,
+    * so the second level is a value bucket (floor(value) — the fixture
+    * grid spans ~[0,100]) instead of a day: ranks run within (user_id,
+    * bucket), the per-user pass runs over the ≤O(100)-row per-(user,
+    * bucket) count table, and ntile/percent_rank/cume_dist reconstruct
+    * from (global per-user rank, per-user count) by their exact integer
+    * definitions (no ties: event_id ends the order), matching the
+    * single-level window bit-for-bit. */
   val ntileRanks: GraftQuery = GraftQuery(
     "win_ntile",
     (s, dir) => {
       import s.implicits._
-      val w = Window.partitionBy($"user_id").orderBy($"value", $"event_id")
-      Tables.events(s, dir)
+      val ev = Tables.events(s, dir)
         .select($"user_id", $"event_id", $"value")
-        .withColumn("quartile", ntile(4).over(w))
-        .withColumn("pct_rank", round(percent_rank().over(w), 6))
-        .withColumn("cume", round(cume_dist().over(w), 6))
-        .drop("value")
+        .withColumn("vb", floor($"value").cast("long"))
+      val wvb = Window.partitionBy($"user_id", $"vb")
+        .orderBy($"value", $"event_id")
+      val local = ev.withColumn("lrn", row_number().over(wvb).cast("long"))
+      val bounds = ev.groupBy($"user_id", $"vb").agg(count(lit(1)).as("bc"))
+      val wu = Window.partitionBy($"user_id").orderBy($"vb")
+      val carried = bounds
+        .withColumn("pfx", coalesce(sum($"bc")
+          .over(wu.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n", sum($"bc").over(
+          wu.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select($"user_id", $"vb", $"pfx", $"n")
+      local.join(carried.hint("shuffle_hash"), Seq("user_id", "vb"))
+        .withColumn("rn", $"pfx" + $"lrn")
+        // Spark's Ntile: q = n div k, r = n mod k; the first r buckets
+        // hold q+1 rows. greatest(q,1) only guards the (never-taken at
+        // n >= k) ANSI div path of the second branch.
+        .withColumn("q", expr("n div 4")).withColumn("r", $"n" % 4)
+        .withColumn("cut", $"r" * ($"q" + 1L))
+        .withColumn("quartile",
+          when($"rn" <= $"cut", expr("(rn - 1) div (q + 1)") + 1L)
+            .otherwise($"r" + expr("(rn - cut - 1) div greatest(q, 1)") + 1L)
+            .cast("int"))
+        .withColumn("pct_rank", when($"n" === 1L, lit(0.0)).otherwise(
+          round(($"rn" - 1L).cast("double") / ($"n" - 1L).cast("double"), 6)))
+        .withColumn("cume",
+          round($"rn".cast("double") / $"n".cast("double"), 6))
+        .select($"user_id", $"event_id", $"quartile", $"pct_rank", $"cume")
         .orderBy($"user_id", $"event_id")
     },
     Some("""SELECT user_id, event_id,
@@ -928,8 +1030,10 @@ object TimeSeries {
     "ts_anomaly",
     (s, dir) => {
       import s.implicits._
-      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-        .rowsBetween(-20, -1)
+      // TWO-LEVEL (r14): the 20-PRECEDING-to-1-PRECEDING integer frame
+      // is the inclusive last-21 array minus its last element (the
+      // current row); integer sums over it are association-free, so the
+      // windowed statistics are exactly the single-level ones.
       // Exact-integer window statistics (the sf0.1 sweep class): the
       // windowed double avg/stddev put the boundary-structured mean of
       // 2-decimal values under round(,4) — caught splitting engines by an
@@ -940,20 +1044,36 @@ object TimeSeries {
       // in scaled-integer space, and the sample variance is the exact
       // rational (n·Σc² − (Σc)²)/(n(n−1)) — one sqrt of an identical
       // double in both engines.
-      Tables.events(s, dir)
+      val ev = Tables.events(s, dir)
         .select($"user_id", $"ts", $"event_id", $"value")
         .withColumn("c", expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
-        .withColumn("n_hist", count($"c").over(w))
-        .withColumn("sum_c", sum($"c").over(w))
-        .withColumn("sum_c2", sum($"c" * $"c").over(w))
+      lastKCarried(s, ev, "c", 21, "a21")
+        .withColumn("prev", when(size($"a21") === 1,
+            array().cast("array<bigint>"))
+          .otherwise(slice($"a21", lit(1), size($"a21") - 1)))
+        .withColumn("n_hist", size($"prev").cast("long"))
+        .withColumn("sum_c", aggregate($"prev", lit(0L), (a, x) => a + x))
+        .withColumn("sum_c2", aggregate($"prev", lit(0L), (a, x) => a + x * x))
         .filter($"n_hist" >= 10)
-        .withColumn("mu", expr("(sum_c * 100) div n_hist").cast("double") / 10000.0)
+        // greatest(n_hist, 1): subexpression elimination can evaluate a
+        // pushed predicate's div EAGERLY (before the n_hist >= 10
+        // conjunct short-circuits) inside the join's bound condition —
+        // ANSI divide-by-zero on rows the filter would drop. The guard
+        // never changes a surviving row (n_hist >= 10 there).
+        .withColumn("mu",
+          expr("(sum_c * 100) div greatest(n_hist, 1)").cast("double") / 10000.0)
         .withColumn("sd", sqrt(
           expr("CAST(n_hist * sum_c2 - sum_c * sum_c AS DOUBLE)")
-            / expr("CAST(n_hist AS DOUBLE) * CAST(n_hist - 1 AS DOUBLE)")) / 100.0)
-        .filter($"sd" > 1e-9)
-        .withColumn("z", round(($"value" - $"mu") / $"sd", 4))
-        .filter(abs($"z") > 3.0)
+            / expr("CAST(greatest(n_hist, 2) AS DOUBLE)" +
+              " * CAST(greatest(n_hist, 2) - 1 AS DOUBLE)")) / 100.0)
+        // The division lives INSIDE the sd guard: after the r14 rewrite
+        // the surrounding plan is all projections/joins, so Catalyst may
+        // evaluate a pushed |z| predicate before a separate sd filter —
+        // ANSI division by zero. when() branches lazily, so this is
+        // robust to any predicate reordering (values unchanged).
+        .withColumn("z",
+          when($"sd" > 1e-9, round(($"value" - $"mu") / $"sd", 4)))
+        .filter($"z".isNotNull && abs($"z") > 3.0)
         .select($"user_id", $"event_id", $"value",
           $"mu", round($"sd", 4).as("sd"), $"z")
         .orderBy($"user_id", $"event_id")
@@ -1089,18 +1209,23 @@ object TimeSeries {
       import s.implicits._
       val alpha = 0.3
       val k = 8
-      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
       val weights = (0 until k).map(i => alpha * math.pow(1 - alpha, i))
+      // TWO-LEVEL (r14): the k trailing lags come from the lastKCarried
+      // array (bit-identical to the single-level frame); get() is
+      // 0-based and null out-of-bounds, exactly lag(value, i)'s nulls.
+      val ev = Tables.events(s, dir)
+        .select($"user_id", $"event_id", $"ts", $"value")
+      val withArr = lastKCarried(s, ev, "value", k, "a8")
+      def x(i: Int): Column = get($"a8", size($"a8") - i - 1)
       val num = weights.zipWithIndex.map { case (wt, i) =>
-        coalesce(lag($"value", i).over(w) * lit(wt), lit(0.0))
+        coalesce(x(i) * lit(wt), lit(0.0))
       }.reduce(_ + _)
       val den = weights.zipWithIndex.map { case (wt, i) =>
-        when(lag($"value", i).over(w).isNotNull, lit(wt)).otherwise(lit(0.0))
+        when(x(i).isNotNull, lit(wt)).otherwise(lit(0.0))
       }.reduce(_ + _)
-      Tables.events(s, dir)
-        .select($"user_id", $"event_id", $"ts", $"value")
+      withArr
         .withColumn("ewma", round(num / den, 4))
-        .drop("value", "ts")
+        .select($"user_id", $"event_id", $"ewma")
         .orderBy($"user_id", $"event_id")
     },
     Some {
@@ -1240,11 +1365,12 @@ object TimeSeries {
     "ts_rolling_median",
     (s, dir) => {
       import s.implicits._
-      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-        .rowsBetween(-14, 0)
-      Tables.events(s, dir)
+      // TWO-LEVEL (r14): the 15-row trailing frame materializes through
+      // lastKCarried (bit-identical multiset → identical sorted array).
+      val ev = Tables.events(s, dir)
         .select($"user_id", $"event_id", $"ts", $"value")
-        .withColumn("arr", sort_array(collect_list($"value").over(w)))
+      lastKCarried(s, ev, "value", 15, "a15")
+        .withColumn("arr", sort_array($"a15"))
         .withColumn("n_window", size($"arr"))
         .withColumn("roll_median", round(
           when($"n_window" % 2 === 1,
@@ -1297,17 +1423,38 @@ object TimeSeries {
     "ts_cusum",
     (s, dir) => {
       import s.implicits._
+      // TWO-LEVEL prefix device (r14, draining the hot-key plan rule):
+      // the running integer prefix P_i and index i decompose exactly as
+      // (previous days' totals) + (within-day running) — windows
+      // partition by (user_id, day); the only per-user pass runs over
+      // the per-(user, day) boundary table, which also carries the
+      // per-user totals (t, n), so ONE (user_id, day) shuffle_hash join
+      // replaces both the window sort and the old totals join. Integer
+      // sums are association-free, so the decomposition is bit-exact.
       val ev = Tables.events(s, dir)
         .select($"user_id", $"event_id", $"ts",
-          ($"value".cast("decimal(18,2)") * 100).cast("long").as("v100"))
-      val tot = ev.groupBy($"user_id").agg(
-        sum($"v100").as("t"), count(lit(1)).as("n"))
-      val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-      val w = wOrd.rowsBetween(Window.unboundedPreceding, 0)
-      val cusums = ev.join(tot.hint("shuffle_hash"), "user_id")
+          ($"value".cast("decimal(18,2)") * 100).cast("long").as("v100"),
+          to_date($"ts").as("b"))
+      val wb = Window.partitionBy($"user_id", $"b").orderBy($"ts", $"event_id")
+      val local = ev
+        .withColumn("ls", sum($"v100").over(
+          wb.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("lrn", row_number().over(wb).cast("long"))
+      val bounds = ev.groupBy($"user_id", $"b")
+        .agg(sum($"v100").as("ds"), count(lit(1)).as("dn"))
+      val wu = Window.partitionBy($"user_id").orderBy($"b")
+      val wuAll = wu.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val carried = bounds
+        .withColumn("pfx_s", coalesce(sum($"ds")
+          .over(wu.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("pfx_n", coalesce(sum($"dn")
+          .over(wu.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("t", sum($"ds").over(wuAll))
+        .withColumn("n", sum($"dn").over(wuAll))
+        .select($"user_id", $"b", $"pfx_s", $"pfx_n", $"t", $"n")
+      val cusums = local.join(carried.hint("shuffle_hash"), Seq("user_id", "b"))
         .withColumn("d", abs(
-          sum($"v100").over(w) * $"n"
-            - row_number().over(wOrd).cast("long") * $"t"))
+          ($"pfx_s" + $"ls") * $"n" - ($"pfx_n" + $"lrn") * $"t"))
       val peak = cusums.groupBy($"user_id").agg(max($"d").as("peak"))
       cusums.join(peak.hint("shuffle_hash"), "user_id")
         .filter($"d" === $"peak")

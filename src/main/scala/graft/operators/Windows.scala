@@ -96,19 +96,57 @@ object Windows {
             ORDER BY o_orderpriority, rn""")
   )
 
-  /** Running sum + bounded moving average (ROWS frames). */
+  /** Running sum + bounded moving average (ROWS frames).
+    *
+    * TWO-LEVEL since r14 (PlanAuditSpec hot-key rule): no window
+    * partitions by user_id alone over raw events — a 4M-event bot user
+    * costs one user-DAY sort, never one user-history sort. The running
+    * sum rides an EXACT-CENTS prefix (previous days' totals from the
+    * per-(user, day) boundary table + a within-day running sum —
+    * integer sums are association-free, and /100.0 of an exact cents
+    * total lands on the 0.01 grid, ≥5e-5 from every round(,4) midpoint,
+    * so the rounded output is bit-identical to the old double window
+    * sum). The 4-row moving average reassembles each row's trailing
+    * window from a within-day collect plus the previous days' tail-4
+    * carry; day(ts) is monotone in ts so the decomposition is exact. */
   val running: GraftQuery = GraftQuery(
     "win_running",
     (s, dir) => {
       import s.implicits._
-      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-      Tables.events(s, dir)
-        .select($"user_id", $"event_id", $"ts", $"value")
-        .withColumn("running_sum",
-          round(sum($"value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4))
-        .withColumn("moving_avg4",
-          round(avg($"value").over(w.rowsBetween(-3, 0)), 4))
-        .drop("value", "ts")
+      val ev = Tables.events(s, dir)
+        .select($"user_id", $"event_id", $"ts",
+          ($"value".cast("decimal(18,2)") * 100).cast("long").as("c100"),
+          to_date($"ts").as("b"))
+      val wb = Window.partitionBy($"user_id", $"b").orderBy($"ts", $"event_id")
+      val local = ev
+        .withColumn("ls", sum($"c100").over(
+          wb.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("rn", row_number().over(wb))
+        .withColumn("loc4", collect_list($"c100").over(wb.rowsBetween(-3, 0)))
+      val bounds = ev.groupBy($"user_id", $"b")
+        .agg(sum($"c100").as("ds"),
+          transform(array_sort(collect_list(struct($"ts", $"event_id", $"c100"))),
+            x => x.getField("c100")).as("dayArr"))
+        .withColumn("tail4",
+          when(size($"dayArr") <= 4, $"dayArr").otherwise(slice($"dayArr", -4, 4)))
+      val wu = Window.partitionBy($"user_id").orderBy($"b")
+      val carried = bounds
+        .withColumn("pfx", coalesce(sum($"ds")
+          .over(wu.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("carry4", flatten(collect_list($"tail4")
+          .over(wu.rowsBetween(Window.unboundedPreceding, -1))))
+        .select($"user_id", $"b", $"pfx", $"carry4")
+      local.join(carried.hint("shuffle_hash"), Seq("user_id", "b"))
+        .withColumn("need", lit(4) - $"rn")
+        .withColumn("seg",
+          when($"need" <= 0, array().cast("array<bigint>"))
+            .otherwise(when(size($"carry4") <= $"need", $"carry4")
+              .otherwise(slice($"carry4", -$"need", $"need"))))
+        .withColumn("arr4", concat($"seg", $"loc4"))
+        .select($"user_id", $"event_id",
+          round(($"pfx" + $"ls").cast("double") / 100.0, 4).as("running_sum"),
+          round(aggregate($"arr4", lit(0L), (a, x) => a + x).cast("double")
+            / 100.0 / size($"arr4"), 4).as("moving_avg4"))
         .orderBy($"user_id", $"event_id")
     },
     Some("""SELECT user_id, event_id,
@@ -120,19 +158,51 @@ object Windows {
             ORDER BY user_id, event_id""")
   )
 
-  /** lag / lead / first_value analytics. */
+  /** lag / lead / first_value analytics.
+    *
+    * TWO-LEVEL since r14: lag/lead run within (user_id, day); day-edge
+    * rows (rn = 1 / rn = day count, explicit row checks rather than
+    * null-coalescing so a NULL value can't be skipped over) take the
+    * previous day's last / next day's first value from the boundary
+    * table, whose per-user pass also carries the running user-first. */
   val lagLead: GraftQuery = GraftQuery(
     "win_lag_lead",
     (s, dir) => {
       import s.implicits._
-      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-      Tables.events(s, dir)
-        .select($"user_id", $"event_id", $"ts", $"value")
-        .withColumn("prev_value", lag($"value", 1).over(w))
-        .withColumn("next_value", lead($"value", 1).over(w))
-        .withColumn("first_value", first($"value").over(
-          w.rowsBetween(Window.unboundedPreceding, 0)))
-        .drop("value", "ts")
+      val ev = Tables.events(s, dir)
+        .select($"user_id", $"event_id", $"ts", $"value",
+          to_date($"ts").as("b"))
+      val wb = Window.partitionBy($"user_id", $"b").orderBy($"ts", $"event_id")
+      val wbAll = wb.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      // day extrema ride the SAME (user, day) sort as the lag/lead pass
+      // (rn = 1 rows are the boundary table) — a min_by/max_by aggregate
+      // would plan SortAggregate on its immutable struct buffer.
+      val local = ev
+        .withColumn("rn", row_number().over(wb))
+        .withColumn("lprev", lag($"value", 1).over(wb))
+        .withColumn("lnext", lead($"value", 1).over(wb))
+        .withColumn("day_first", first($"value").over(wbAll))
+        .withColumn("day_last", last($"value").over(wbAll))
+        .withColumn("dn", count(lit(1)).over(wbAll))
+      val bounds = local.filter($"rn" === 1)
+        .select($"user_id", $"b", $"day_first", $"day_last", $"dn")
+      val wu = Window.partitionBy($"user_id").orderBy($"b")
+      val carried = bounds
+        .withColumn("prev_day_last", lag($"day_last", 1).over(wu))
+        .withColumn("next_day_first", lead($"day_first", 1).over(wu))
+        .withColumn("user_first", first($"day_first").over(
+          wu.rowsBetween(Window.unboundedPreceding, 0)))
+        .select($"user_id", $"b", $"prev_day_last", $"next_day_first",
+          $"user_first", $"dn")
+      local.drop("day_first", "day_last", "dn")
+        .join(carried.hint("shuffle_hash"), Seq("user_id", "b"))
+        .select($"user_id", $"event_id",
+          when($"rn" === 1, $"prev_day_last").otherwise($"lprev")
+            .as("prev_value"),
+          when($"rn" === $"dn", $"next_day_first").otherwise($"lnext")
+            .as("next_value"),
+          $"user_first".as("first_value"))
         .orderBy($"user_id", $"event_id")
     },
     Some("""SELECT user_id, event_id,
@@ -149,20 +219,55 @@ object Windows {
     * offset-id range and a 10-minute event-time range. Time range frames
     * order by epoch seconds because Spark's rangeBetween takes numeric
     * bounds; floor() keeps both engines on identical integer keys. */
+  /** TWO-LEVEL since r14 (hot-key plan rule): each RANGE frame spans a
+    * bounded key width (5 ids / 600 s), so bucketing the order key at
+    * more than the frame width (64 ids / 1024 s) means a frame crosses
+    * at most the one ADJACENT previous bucket: the local range window
+    * runs within (user_id, bucket), and the boundary table carries each
+    * bucket's frame-width TAIL (rows in the last 5 ids / 600 s of the
+    * bucket) to the next bucket via one lag over the per-(user, bucket)
+    * table — adjacency-checked, because a frame can never reach across
+    * an empty bucket. Exact-cents sums make the split association-free;
+    * /100.0 lands on the 0.01 grid, ≥5e-5 from every round(,4)
+    * midpoint, so output is bit-identical to the single-level frames. */
   val rangeFrame: GraftQuery = GraftQuery(
     "win_range_frame",
     (s, dir) => {
       import s.implicits._
-      val byId = Window.partitionBy($"user_id").orderBy($"event_id")
-        .rangeBetween(-5, 0)
-      val byTime = Window.partitionBy($"user_id").orderBy($"tsec")
-        .rangeBetween(-600, 0)
-      Tables.events(s, dir)
-        .select($"user_id", $"event_id", $"value",
+      val ev = Tables.events(s, dir)
+        .select($"user_id", $"event_id",
+          ($"value".cast("decimal(18,2)") * 100).cast("long").as("c100"),
           floor($"ts".cast("double")).cast("long").as("tsec"))
-        .withColumn("sum_id_range", round(sum($"value").over(byId), 4))
-        .withColumn("sum_10min", round(sum($"value").over(byTime), 4))
-        .drop("value", "tsec")
+      // one bucketed range device per order key; frame ⊆ bucket width
+      def device(df: org.apache.spark.sql.DataFrame, key: String,
+                 bucket: Long, width: Long, out: String) = {
+        val kb = s"${key}__kb"
+        val withB = df.withColumn(kb, expr(s"$key div $bucket"))
+        val wl = Window.partitionBy($"user_id", col(kb)).orderBy(col(key))
+          .rangeBetween(-width, 0)
+        val local = withB.withColumn(s"ls_$out", sum($"c100").over(wl))
+        val bounds = withB.groupBy($"user_id", col(kb))
+          .agg(array_sort(collect_list(when(
+            col(key) >= (col(kb) + 1L) * bucket - width,
+            struct(col(key).as("k"), $"c100".as("c"))))).as("tail"))
+        val wu = Window.partitionBy($"user_id").orderBy(col(kb))
+        val carried = bounds
+          .withColumn("ptail", lag($"tail", 1).over(wu))
+          .withColumn("pkb", lag(col(kb), 1).over(wu))
+          .withColumn("adj", when($"pkb" === col(kb) - 1L, $"ptail"))
+          .select($"user_id", col(kb), $"adj")
+        local.join(carried.hint("shuffle_hash"), Seq("user_id", kb))
+          .withColumn(s"extra_$out",
+            coalesce(aggregate(
+              filter($"adj", x => x.getField("k") >= col(key) - width),
+              lit(0L), (a, x) => a + x.getField("c")), lit(0L)))
+          .withColumn(out, round(
+            ($"ls_$out" + col(s"extra_$out")).cast("double") / 100.0, 4))
+          .drop(kb, s"ls_$out", s"extra_$out", "adj")
+      }
+      val d1 = device(ev, "event_id", 64L, 5L, "sum_id_range")
+      val d2 = device(d1, "tsec", 1024L, 600L, "sum_10min")
+      d2.select($"user_id", $"event_id", $"sum_id_range", $"sum_10min")
         .orderBy($"user_id", $"event_id")
     },
     Some("""SELECT user_id, event_id,

@@ -168,13 +168,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // asset's duration (minutes), not an unbounded behavioral history;
     // there is no "bot asset" analog of the 4M-event bot user.
     "mm_audio_vad",
-    "mm_scene_cut",
-    // PENDING r14 two-level rewrites (drain this list as each lands;
-    // each is a real single-level per-user window over raw events):
-    "win_running", "win_lag_lead", "win_range_frame", "win_ntile",
-    "join_asof", "join_asof_tolerance", "join_asof_nearest",
-    "ts_attribution", "ts_anomaly", "ts_ewma", "ts_rolling_median",
-    "ts_cusum")
+    "mm_scene_cut")
+  // (r14: the 12 originally-pending entries — win_running/lag_lead/
+  // range_frame/ntile, the asof family, ts_attribution/anomaly/ewma/
+  // rolling_median/cusum — were all two-leveled or shown to be detector
+  // false-positives; the list must stay drained.)
 
   /** The two-level carry pattern reduces per-(key, day) rows with a
     * Filter on a row_number/rank produced by a finer-partitioned window
@@ -183,15 +181,18 @@ class PlanAuditSpec extends AnyFunSuite {
     * itself audited as a separate node, so a single-level rn=1 window
     * can't hide behind this). */
   private def isTopKFilter(f: org.apache.spark.sql.execution.FilterExec): Boolean = {
-    def innerWindow(p: SparkPlan): Option[WindowExec] = p match {
-      case w: WindowExec => Some(w)
-      case pr: org.apache.spark.sql.execution.ProjectExec => innerWindow(pr.child)
-      case _ => None
-    }
-    innerWindow(f.child).exists { w =>
-      val winOut = w.windowExpression.map(_.toAttribute.exprId).toSet
-      f.condition.references.exists(a => winOut.contains(a.exprId))
-    }
+    // Accumulate window outputs down a Window/Project CHAIN: stacked
+    // withColumn windows compile to several WindowExec nodes, and the
+    // rn the filter references may come from an inner one.
+    def winOuts(p: SparkPlan): Set[org.apache.spark.sql.catalyst.expressions.ExprId] =
+      p match {
+        case w: WindowExec =>
+          w.windowExpression.map(_.toAttribute.exprId).toSet ++ winOuts(w.child)
+        case pr: org.apache.spark.sql.execution.ProjectExec => winOuts(pr.child)
+        case _ => Set.empty
+      }
+    val outs = winOuts(f.child)
+    f.condition.references.exists(a => outs.contains(a.exprId))
   }
 
   private def unreducedScansHot(p: SparkPlan): Seq[String] = p match {
