@@ -1465,9 +1465,64 @@ object Dedup {
             ORDER BY keeper_id""")
   )
 
+  /** SOFT DEDUPLICATION — instead of DROPPING duplicates, reweight them
+    * (each member of an exact-duplicate cluster of size k carries weight
+    * 1/k), the SoftDeDup recipe for pretraining mixes where hard
+    * removal would distort the source distribution: the readout is each
+    * source's raw vs EFFECTIVE character mass and the implied
+    * repetition discount — what the mix planner multiplies sampling
+    * rates by.
+    *
+    * Determinism: clusters key on sha2(text); per-doc effective mass is
+    * the exact integer n_chars·10⁶ div k (both engines' integer
+    * division on a non-negative domain), so the per-source sums are
+    * BIGINT folds; the two ratios divide identical integers.
+    *
+    * Scale shape: one hash aggregate builds the cluster-size table
+    * (O(distinct texts)), joined back BY HASH shuffle_hash (never a
+    * broadcast of an O(N) table — the dedup-family invariant), then one
+    * map-side-combined aggregate onto the bounded source domain. */
+  val softDedup: GraftQuery = GraftQuery(
+    "llm_dedup_soft",
+    (s, dir) => {
+      import s.implicits._
+      val d = Tables.documents(s, dir)
+        .select($"doc_id", $"source", $"n_chars", sha2($"text", 256).as("h"))
+      val k = d.groupBy($"h").agg(count(lit(1)).as("k"))
+      d.join(k.hint("shuffle_hash"), "h")
+        .withColumn("micro", expr("(n_chars * 1000000) div k"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct($"h").as("n_clusters"),
+          sum($"n_chars").as("chars_total"),
+          sum($"micro").as("eff_micro"))
+        .select($"source", $"n_docs", $"n_clusters", $"chars_total",
+          GraftQuery.roundNorm($"eff_micro".cast("double") / 1e6, 4)
+            .as("chars_effective"),
+          GraftQuery.roundNorm($"eff_micro".cast("double")
+            / ($"chars_total".cast("double") * 1e6), 6).as("soft_ratio"))
+        .orderBy($"source")
+    },
+    Some("""WITH d AS (
+              SELECT doc_id, source, n_chars, sha256(text) AS h
+              FROM documents),
+            k AS (SELECT h, count(*) AS k FROM d GROUP BY h),
+            j AS (
+              SELECT d.source, d.n_chars, d.h,
+                     (d.n_chars * 1000000) // k.k AS micro
+              FROM d JOIN k USING (h))
+            SELECT source, count(*) AS n_docs,
+                   count(DISTINCT h) AS n_clusters,
+                   CAST(sum(n_chars) AS BIGINT) AS chars_total,
+                   (round(CAST(sum(micro) AS DOUBLE) / 1e6, 4) + 0.0) AS chars_effective,
+                   (round(CAST(sum(micro) AS DOUBLE)
+                          / (CAST(sum(n_chars) AS DOUBLE) * 1e6), 6) + 0.0) AS soft_ratio
+            FROM j GROUP BY source ORDER BY source""")
+  )
+
   def all: Seq[GraftQuery] =
     Seq(exact, exactNorm, ngramJaccard, bucketed, containment,
       containmentCapped, incremental, minhashLsh,
         simhash, simhashPoly, embedCosine, embedCosineLsh, semantic, cluster,
-        clusterIncremental, keepBest)
+        clusterIncremental, keepBest, softDedup)
 }

@@ -1751,10 +1751,116 @@ object Similarity {
             FROM cents, gc ORDER BY source""")
   )
 
+  /** EMBEDDING OUTLIER AUDIT — per-source distance-to-centroid z-scores:
+    * vectors far from their source's centroid are mislabeled, corrupted,
+    * or off-distribution documents (the embedding-space complement of
+    * llm_quality's text heuristics); the readout is each source's
+    * outlier count (z > 2) and distance profile, the audit run before
+    * trusting a source's embeddings for dedup or retrieval.
+    *
+    * Determinism: per-vector squared distance folds the dims in array
+    * order (identical chains both engines), then QUANTIZES to an exact
+    * integer (floor(d²·10⁴)) so the per-source moment sums are BIGINT
+    * folds — never an unordered double aggregate (the registry's
+    * determinism discipline); z, mean and max are fixed chains over
+    * identical integers.
+    *
+    * Scale shape: centroids are one posexplode aggregate onto the
+    * (source × dim) domain, broadcast back (bounded); the distance pass
+    * is one map-side projection; the moment join is a bounded-row
+    * broadcast. A source-keyed shuffle would hot-key (few sources) —
+    * there isn't one anywhere in this plan. */
+  val embedOutliers: GraftQuery = GraftQuery(
+    "llm_embed_outliers",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.documents(s, dir).select($"doc_id", $"source")
+        .join(Tables.embeddings(s, dir).hint("shuffle_hash"),
+          $"doc_id" === $"vec_id")
+        .select($"source", $"vec_id", $"embedding")
+      val cents = e
+        .select($"source", posexplode($"embedding").as(Seq("dim", "x")))
+        .groupBy($"source", $"dim").agg(avg($"x").as("m"))
+        .groupBy($"source")
+        .agg(transform(array_sort(collect_list(struct($"dim", $"m"))),
+          c => c.getField("m")).as("c"))
+      val dist = e.join(broadcast(cents), "source")
+        .withColumn("d2", aggregate(
+          zip_with($"embedding", $"c",
+            (x, m) => (x.cast("double") - m) * (x.cast("double") - m)),
+          lit(0.0), (acc, v) => acc + v))
+        .withColumn("di", floor($"d2" * 1e4).cast("long"))
+      val stats = dist.groupBy($"source")
+        .agg(count(lit(1)).as("n"), sum($"di").as("sd"),
+          GraftQuery.guarded(sum($"di" * $"di"),
+            count(lit(1)).cast("double")
+              * max(abs($"di")).cast("double") * max(abs($"di")).cast("double")
+              < lit(9e18),
+            "llm_embed_outliers: Σd² past BIGINT headroom").as("sd2"))
+        .withColumn("mean_i", $"sd".cast("double") / $"n".cast("double"))
+        .withColumn("sd_i", sqrt(
+          ($"n".cast("double") * $"sd2".cast("double")
+            - $"sd".cast("double") * $"sd".cast("double"))
+            / ($"n".cast("double") * ($"n".cast("double") - 1.0))))
+      dist.join(broadcast(stats.select($"source", $"n", $"mean_i", $"sd_i")),
+          "source")
+        .withColumn("z", when($"sd_i" > 1e-9,
+          ($"di".cast("double") - $"mean_i") / $"sd_i"))
+        .groupBy($"source")
+        .agg(first($"n").as("n_vecs"),
+          sum(when($"z" > 2.0, 1L).otherwise(0L)).as("n_outliers"),
+          first($"mean_i").as("m_i"), max($"z").as("mz"))
+        .select($"source", $"n_vecs", $"n_outliers",
+          GraftQuery.roundNorm($"m_i" / 1e4, 6).as("mean_d2"),
+          GraftQuery.roundNorm($"mz", 4).as("max_z"))
+        .orderBy($"source")
+    },
+    Some("""WITH e AS (
+              SELECT d.source, em.vec_id, CAST(em.embedding AS DOUBLE[]) AS v
+              FROM documents d JOIN embeddings em ON d.doc_id = em.vec_id),
+            dims AS (
+              SELECT source, dim, avg(x) AS m
+              FROM (SELECT source, generate_subscripts(v, 1) AS dim,
+                           unnest(v) AS x
+                    FROM e)
+              GROUP BY 1, 2),
+            cents AS (
+              SELECT source, list(m ORDER BY dim) AS c
+              FROM dims GROUP BY source),
+            dist AS (
+              SELECT e.source, e.vec_id,
+                     CAST(floor(list_sum(list_transform(
+                       range(1, len(e.v) + 1),
+                       i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))) * 1e4) AS BIGINT) AS di
+              FROM e JOIN cents c USING (source)),
+            st AS (
+              SELECT source, count(*) AS n,
+                     CAST(sum(di) AS BIGINT) AS sd,
+                     CAST(sum(di * di) AS BIGINT) AS sd2
+              FROM dist GROUP BY source),
+            m AS (
+              SELECT source, n,
+                     CAST(sd AS DOUBLE) / n AS mean_i,
+                     sqrt((CAST(n AS DOUBLE) * sd2 - CAST(sd AS DOUBLE) * sd)
+                          / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS sd_i
+              FROM st),
+            z AS (
+              SELECT dist.source,
+                     CASE WHEN m.sd_i > 1e-9
+                          THEN (CAST(dist.di AS DOUBLE) - m.mean_i) / m.sd_i END AS z,
+                     m.n, m.mean_i
+              FROM dist JOIN m USING (source))
+            SELECT source, CAST(max(n) AS BIGINT) AS n_vecs,
+                   CAST(sum(CASE WHEN z > 2.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+                   (round(max(mean_i) / 1e4, 6) + 0.0) AS mean_d2,
+                   (round(max(z), 4) + 0.0) AS max_z
+            FROM z GROUP BY source ORDER BY source""")
+  )
+
   def all: Seq[GraftQuery] =
     Seq(bruteTopK, rangeSearch, rangeIvf, lshTopK, ivfTopK, ivf2TopK,
       ivfPersistedTopK, embedStats, pqTopK, indexAppendTopK, indexDeleteTopK,
       ivfPqTopK,
       mmrDiversify, filteredTopK, filteredPersistedTopK, knnJoin,
-      embedQuantize, embedDrift)
+      embedQuantize, embedDrift, embedOutliers)
 }

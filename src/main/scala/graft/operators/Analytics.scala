@@ -2865,30 +2865,44 @@ object Analytics {
     * scan to the ≤50-cell table; margins are two bounded re-aggregates;
     * the three 1-row stat frames assemble via broadcast crossJoin (the
     * agg_chisq pattern). */
+  /** The MI serve fold over a (t, vb, n) cell table — shared verbatim by
+    * agg_mutual_info and its streaming twin (integer cell counts are
+    * exactly mergeable under any wave split). */
+  private[graft] def miFold(cells: DataFrame): DataFrame = {
+    val s = cells.sparkSession
+    import s.implicits._
+    def nlogn(c: Column): Column = c.cast("double") * log(c.cast("double"))
+    val sTb = cells.agg(sum(nlogn($"n")).as("stb"), sum($"n").as("ntot"))
+    val sT = cells.groupBy($"t").agg(sum($"n").as("nt"))
+      .agg(sum(nlogn($"nt")).as("st"))
+    val sB = cells.groupBy($"vb").agg(sum($"n").as("nb"))
+      .agg(sum(nlogn($"nb")).as("sb"))
+    sTb.crossJoin(broadcast(sT)).crossJoin(broadcast(sB))
+      .withColumn("nd", $"ntot".cast("double"))
+      .withColumn("mi",
+        ($"stb" - $"st" - $"sb" + $"nd" * log($"nd")) / $"nd")
+      .withColumn("ht", log($"nd") - $"st" / $"nd")
+      .withColumn("hb", log($"nd") - $"sb" / $"nd")
+      .select($"ntot".as("n_total"),
+        GraftQuery.roundNorm($"mi", 6).as("mi"),
+        GraftQuery.roundNorm($"mi" / sqrt($"ht" * $"hb"), 6).as("nmi"))
+  }
+
+  /** The (t, vb) cell projection shared by batch and stream forms. */
+  private[graft] def miCellsSource(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"event_id", $"event_type".as("t"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) div 10000")
+          .as("vb"))
+  }
+
   val mutualInfo: GraftQuery = GraftQuery(
     "agg_mutual_info",
     (s, dir) => {
       import s.implicits._
-      val cells = Tables.events(s, dir)
-        .select($"event_type".as("t"),
-          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) div 10000")
-            .as("vb"))
-        .groupBy($"t", $"vb").agg(count(lit(1)).as("n"))
-      def nlogn(c: Column): Column = c.cast("double") * log(c.cast("double"))
-      val sTb = cells.agg(sum(nlogn($"n")).as("stb"), sum($"n").as("ntot"))
-      val sT = cells.groupBy($"t").agg(sum($"n").as("nt"))
-        .agg(sum(nlogn($"nt")).as("st"))
-      val sB = cells.groupBy($"vb").agg(sum($"n").as("nb"))
-        .agg(sum(nlogn($"nb")).as("sb"))
-      sTb.crossJoin(broadcast(sT)).crossJoin(broadcast(sB))
-        .withColumn("nd", $"ntot".cast("double"))
-        .withColumn("mi",
-          ($"stb" - $"st" - $"sb" + $"nd" * log($"nd")) / $"nd")
-        .withColumn("ht", log($"nd") - $"st" / $"nd")
-        .withColumn("hb", log($"nd") - $"sb" / $"nd")
-        .select($"ntot".as("n_total"),
-          GraftQuery.roundNorm($"mi", 6).as("mi"),
-          GraftQuery.roundNorm($"mi" / sqrt($"ht" * $"hb"), 6).as("nmi"))
+      miFold(miCellsSource(s, dir)
+        .groupBy($"t", $"vb").agg(count(lit(1)).as("n")))
     },
     Some("""WITH cells AS (
               SELECT event_type AS t,
@@ -3013,24 +3027,25 @@ object Analytics {
   private val MsprtTau2 = 100.0 // N(0, 10²) effect prior, dollars
   private val MsprtLnInvAlpha = math.log(20.0) // alpha = 0.05
 
-  val msprt: GraftQuery = GraftQuery(
-    "agg_msprt",
-    (s, dir) => {
-      import s.implicits._
-      val tau2 = MsprtTau2
-      val lnInvAlpha = MsprtLnInvAlpha
-      val daily = Tables.events(s, dir)
-        .select(pmod($"user_id", lit(2L)).as("arm"),
-          to_date($"ts").as("day"),
-          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
-        .groupBy($"arm", $"day")
-        .agg(count(lit(1)).as("dn"), sum($"c").as("dsc"),
-          GraftQuery.guarded(sum($"c" * $"c"),
-            count(lit(1)).cast("double")
-              * max(abs($"c")).cast("double") * max(abs($"c")).cast("double")
-              < lit(9e18),
-            "agg_msprt: BIGINT Σc² near overflow").as("dsc2"))
-      val wArm = Window.partitionBy($"arm").orderBy($"day")
+  /** The per-(arm, day) partial projection shared by batch and stream
+    * forms (event_id kept so the stream form can split by arrival). */
+  private[graft] def msprtSource(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"event_id", pmod($"user_id", lit(2L)).as("arm"),
+        to_date($"ts").as("day"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
+  }
+
+  /** The mSPRT serve fold over merged (arm, day, dn, dsc, dsc2) daily
+    * partials — shared verbatim by agg_msprt and its streaming twin
+    * (integer sufficient statistics are exactly mergeable). */
+  private[graft] def msprtFold(daily: DataFrame): DataFrame = {
+    val s = daily.sparkSession
+    import s.implicits._
+    val tau2 = MsprtTau2
+    val lnInvAlpha = MsprtLnInvAlpha
+    val wArm = Window.partitionBy($"arm").orderBy($"day")
         .rowsBetween(Window.unboundedPreceding, 0)
       val cum = daily
         .withColumn("n", sum($"dn").over(wArm))
@@ -3062,7 +3077,26 @@ object Analytics {
           GraftQuery.roundNorm($"log_lambda", 4).as("log_lambda"),
           when($"log_lambda" >= lnInvAlpha, 1L).otherwise(0L).as("reject"))
         .orderBy($"day")
-    },
+  }
+
+  /** Builds the (arm, day) daily partial aggregate from the source
+    * projection — the map side of the fold (one per wave in the
+    * streaming twin). */
+  private[graft] def msprtDaily(src: DataFrame): DataFrame = {
+    val s = src.sparkSession
+    import s.implicits._
+    src.groupBy($"arm", $"day")
+      .agg(count(lit(1)).as("dn"), sum($"c").as("dsc"),
+        GraftQuery.guarded(sum($"c" * $"c"),
+          count(lit(1)).cast("double")
+            * max(abs($"c")).cast("double") * max(abs($"c")).cast("double")
+            < lit(9e18),
+          "agg_msprt: BIGINT Σc² near overflow").as("dsc2"))
+  }
+
+  val msprt: GraftQuery = GraftQuery(
+    "agg_msprt",
+    (s, dir) => msprtFold(msprtDaily(msprtSource(s, dir))),
     Some(s"""WITH daily AS (
               SELECT user_id % 2 AS arm, CAST(ts AS DATE) AS day,
                      count(*) AS dn,
@@ -3078,7 +3112,7 @@ object Analytics {
               FROM daily
               WINDOW w AS (PARTITION BY arm ORDER BY day
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-            both AS (
+            pair AS (
               SELECT a.day, a.n AS nc, a.sc AS scc, a.sc2 AS scc2,
                      b.n AS nt, b.sc AS sct, b.sc2 AS sct2
               FROM cum a JOIN cum b USING (day)
@@ -3090,7 +3124,7 @@ object Analytics {
                        / CAST(nc + nt - 2 AS DOUBLE) / 10000.0 AS sigma2,
                      (CAST(sct AS DOUBLE) / nt - CAST(scc AS DOUBLE) / nc) / 100.0 AS delta,
                      CAST(nc + nt AS DOUBLE) / 2.0 AS nbar
-              FROM both),
+              FROM pair),
             g AS (
               SELECT day, nc, nt, delta,
                      CASE WHEN sigma2 > 1e-9 THEN
@@ -3126,9 +3160,9 @@ object Analytics {
     "agg_raking",
     (s, dir) => {
       import s.implicits._
-      val cells = Tables.orders(s, dir)
-        .join(Tables.customer(s, dir),
-          Tables.orders(s, dir)("o_custkey") === Tables.customer(s, dir)("c_custkey"))
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val cells = o.join(c, o("o_custkey") === c("c_custkey"))
         .select(pmod($"c_custkey", lit(5L)).as("band"),
           $"o_orderpriority".as("prio"))
         .groupBy($"band", $"prio").agg(count(lit(1)).as("n"))

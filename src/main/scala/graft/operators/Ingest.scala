@@ -1253,9 +1253,135 @@ object Ingest {
             ORDER BY d, event_type""")
   )
 
+  /** Manifest I/O shared by the snapshot lifecycle family — always the
+    * Hadoop FileSystem of the path (HDFS/S3-ready, like vacuum). */
+  private def readManifestLines(s: SparkSession, p0: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(p0)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 8192, false)
+      new String(bos.toByteArray, "UTF-8").split("\n").toSeq
+    } finally in.close()
+  }
+
+  private def writeManifestLines(s: SparkSession, p0: String,
+      lines: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(p0)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val os = fs.create(p, true)
+    try os.write(lines.mkString("\n").getBytes("UTF-8")) finally os.close()
+  }
+
+  /** ZERO-COPY CLONE — Delta/Iceberg's SHALLOW CLONE: a clone is a new
+    * MANIFEST pointing at the source snapshot's files (no data copied);
+    * subsequent commits to the clone are metadata-only too (here: a
+    * DROP PARTITION of user-group 3, the catalog-style delete), and the
+    * source is provably untouched — the graded readout aggregates the
+    * source head, the fresh clone (bit-equal to the source head: the
+    * zero-copy proof) and the diverged clone, all against oracles
+    * derived from raw events.
+    *
+    * Scale shape: clone commit = O(#files) driver-side manifest text;
+    * reads list exactly the manifest's files. No data is read or moved
+    * by the clone or the divergence — only by the graded aggregate. */
+  val ingestClone: GraftQuery = GraftQuery(
+    "ingest_clone",
+    (s, dir) => {
+      import s.implicits._
+      val out = timeTravelLayout(s, dir)
+      val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val cloneDir = s"/tmp/graft_clone/$key"
+      val srcHead = readManifestLines(s, s"$out/manifest-v2")
+      writeManifestLines(s, s"$cloneDir/manifest-v1", srcHead)
+      writeManifestLines(s, s"$cloneDir/manifest-v2",
+        srcHead.filterNot(_.contains("grp=3")))
+      def stats(label: String, files: Seq[String]): DataFrame =
+        s.read.option("basePath", s"$out/data").parquet(files: _*)
+          .agg(count(lit(1)).as("n_users"),
+            sum(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+              .as("sum_cents"))
+          .select(lit(label).as("snapshot"), $"n_users", $"sum_cents")
+      stats("1_src_head", srcHead)
+        .unionByName(stats("2_clone_v1",
+          readManifestLines(s, s"$cloneDir/manifest-v1")))
+        .unionByName(stats("3_clone_v2_drop_g3",
+          readManifestLines(s, s"$cloneDir/manifest-v2")))
+        .orderBy($"snapshot")
+    },
+    Some("""WITH v2 AS (
+              SELECT user_id, max_by(value, event_id) AS value,
+                     user_id % 8 AS grp
+              FROM events GROUP BY user_id),
+            h AS (SELECT count(*) AS n_users,
+                         CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+                  FROM v2),
+            d AS (SELECT count(*) AS n_users,
+                         CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+                  FROM v2 WHERE grp <> 3)
+            SELECT '1_src_head' AS snapshot, n_users, sum_cents FROM h
+            UNION ALL
+            SELECT '2_clone_v1', n_users, sum_cents FROM h
+            UNION ALL
+            SELECT '3_clone_v2_drop_g3', n_users, sum_cents FROM d
+            ORDER BY snapshot""")
+  )
+
+  /** RESTORE — Delta's RESTORE TABLE ... TO VERSION 1: rolling a table
+    * back is COMMITTING THE OLD MANIFEST AS THE NEW HEAD (v3 := v1's
+    * file list) — metadata-only, v2 stays in history for audit and the
+    * restored head is bit-equal to v1 (the graded rows force it). The
+    * lifecycle closes: time travel reads history, snapshot-diff audits
+    * it, clone forks it, restore rewinds it, vacuum GCs it.
+    *
+    * Scale shape: the restore commit is O(#files) manifest text,
+    * zero rows moved. */
+  val ingestRestore: GraftQuery = GraftQuery(
+    "ingest_restore",
+    (s, dir) => {
+      import s.implicits._
+      val out = timeTravelLayout(s, dir)
+      writeManifestLines(s, s"$out/manifest-v3",
+        readManifestLines(s, s"$out/manifest-v1"))
+      def stats(v: Int): DataFrame = timeTravelAsOf(s, dir, v).agg(
+        count(lit(1)).as("n_users"),
+        sum(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .as("sum_cents"))
+        .select(lit(v.toLong).as("version"), $"n_users", $"sum_cents")
+      stats(1).unionByName(stats(2)).unionByName(stats(3))
+        .orderBy($"version")
+    },
+    Some("""WITH wm AS (
+              SELECT CAST(floor(max(event_id) / 2.0) AS BIGINT) AS mid FROM events),
+            v1 AS (
+              SELECT user_id, max_by(value, event_id) AS value
+              FROM events, wm
+              WHERE NOT (user_id % 50 = 7 AND event_id > mid)
+              GROUP BY user_id),
+            v2 AS (
+              SELECT user_id, max_by(value, event_id) AS value
+              FROM events GROUP BY user_id),
+            s1 AS (SELECT count(*) AS n_users,
+                          CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+                   FROM v1),
+            s2 AS (SELECT count(*) AS n_users,
+                          CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+                   FROM v2)
+            SELECT CAST(1 AS BIGINT) AS version, n_users, sum_cents FROM s1
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), n_users, sum_cents FROM s2
+            UNION ALL
+            SELECT CAST(3 AS BIGINT), n_users, sum_cents FROM s1
+            ORDER BY version""")
+  )
+
   def all: Seq[GraftQuery] =
     Seq(ingestPartitioned, ingestIncremental, scanPartitionPrune, joinBucketed,
         ingestUpsert, ingestRetention, ingestRetentionMeta, ingestVacuum, ingestAnalyze, ingestTimeTravel, ingestSnapshotDiff,
+        ingestClone, ingestRestore,
         sourceCsv, sourceJson, sourceOrc,
         sourceText, sourceBinary,
         partitionBucket,

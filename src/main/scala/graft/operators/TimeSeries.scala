@@ -128,9 +128,17 @@ object TimeSeries {
         when(size($"dayArr__") <= k, $"dayArr__")
           .otherwise(slice($"dayArr__", -k, k)))
     val wu = Window.partitionBy($"user_id").orderBy($"b")
+    // the last K values live within the last K previous ACTIVE days
+    // (every boundary row contributes ≥ 1 element), so the carry frame
+    // is ROWS BETWEEN K PRECEDING AND 1 PRECEDING — O(K²) per boundary
+    // row, never a whole-history concat (the unbounded form measured
+    // 17 s on the wide4m ladder rung by shipping full-history tails
+    // through the per-row join)
     val carried = bounds
-      .withColumn("carry__", flatten(collect_list($"tail__")
-        .over(wu.rowsBetween(Window.unboundedPreceding, -1))))
+      .withColumn("cat__", flatten(collect_list($"tail__")
+        .over(wu.rowsBetween(-k, -1))))
+      .withColumn("carry__",
+        when(size($"cat__") <= k, $"cat__").otherwise(slice($"cat__", -k, k)))
       .select($"user_id", $"b", $"carry__")
     local.join(carried.hint("shuffle_hash"), Seq("user_id", "b"))
       .withColumn("need__", lit(k) - $"rn__")
@@ -3805,5 +3813,236 @@ object TimeSeries {
       theilSen, acf, changepoint, pacf, peaks, streaks, holt, ols, holtWinters,
       asofNearest, rollingOls, forecastEval, activeUsers, wowGrowth, holtDamped,
       holtWintersDamped, croston, intermittency, drawdown, bollinger, rsi,
-      smaCross, macd, varRatio, did, decompose, granger, concurrency)
+      smaCross, macd, varRatio, did, decompose, granger, concurrency,
+      adf, hurst)
+
+  /** AUGMENTED DICKEY–FULLER unit-root test per event type over the
+    * daily revenue series — "is this metric a random walk or does it
+    * mean-revert?", the stationarity precondition every forecasting
+    * operator in this family (holt, ols, var_ratio) implicitly assumes;
+    * ADF is the standard formal check. Model: Δv_t = α + β·v_{t−1} +
+    * γ·Δv_{t−1} + ε (one augmentation lag), test β = 0; t(β) below the
+    * 5% critical value (−2.89, constant-only asymptotic) rejects the
+    * unit root.
+    *
+    * Determinism — the ts_granger discipline verbatim: the centered
+    * two-regressor normal equations need only (n, Σ, pairwise ΣXY)
+    * sufficient statistics, each an exact guarded BIGINT fold over
+    * cents; β̂, RSS, se(β̂) = √(s²·c22/det) are then fixed scalar chains
+    * over identical doubles; the critical value interpolates as one
+    * shared literal.
+    *
+    * Scale shape: one hash aggregate onto the bounded (type, day)
+    * domain, one lag window pass partitioned by event_type, one bounded
+    * aggregate to the 5-row type domain. */
+  val adf: GraftQuery = GraftQuery(
+    "ts_adf",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"event_type").orderBy($"d")
+      val lagged = changepointDaily(s, dir)
+        .withColumn("v1", lag($"v", 1).over(w))
+        .withColumn("v2", lag($"v", 2).over(w))
+        .filter($"v2".isNotNull)
+        .select($"event_type",
+          ($"v" - $"v1").as("y"),    // Δv_t
+          $"v1".as("x1"),            // v_{t-1}
+          ($"v1" - $"v2").as("x2"))  // Δv_{t-1}
+      def g(c: Column, tag: String) = GraftQuery.guarded(sum(c),
+        count(lit(1)).cast("double") * max(abs(c)).cast("double") < lit(9e18),
+        s"ts_adf: $tag fold past BIGINT headroom — rescale to a coarser unit")
+      val sums = lagged.groupBy($"event_type").agg(count(lit(1)).as("n"),
+        sum($"y").as("sy"), sum($"x1").as("s1"), sum($"x2").as("s2"),
+        g($"y" * $"y", "Σy²").as("syy"),
+        g($"y" * $"x1", "Σyx₁").as("sy1"),
+        g($"y" * $"x2", "Σyx₂").as("sy2"),
+        g($"x1" * $"x1", "Σx₁²").as("s11"),
+        g($"x2" * $"x2", "Σx₂²").as("s22"),
+        g($"x1" * $"x2", "Σx₁x₂").as("s12"))
+      def d(c: Column) = c.cast("double")
+      sums
+        .withColumn("c1y", d($"sy1") - d($"s1") * d($"sy") / d($"n"))
+        .withColumn("c2y", d($"sy2") - d($"s2") * d($"sy") / d($"n"))
+        .withColumn("cyy", d($"syy") - d($"sy") * d($"sy") / d($"n"))
+        .withColumn("c11", d($"s11") - d($"s1") * d($"s1") / d($"n"))
+        .withColumn("c22", d($"s22") - d($"s2") * d($"s2") / d($"n"))
+        .withColumn("c12", d($"s12") - d($"s1") * d($"s2") / d($"n"))
+        .withColumn("det", $"c11" * $"c22" - $"c12" * $"c12")
+        .withColumn("beta", ($"c1y" * $"c22" - $"c2y" * $"c12") / $"det")
+        .withColumn("gamma", ($"c2y" * $"c11" - $"c1y" * $"c12") / $"det")
+        .withColumn("rss", $"cyy" - $"beta" * $"c1y" - $"gamma" * $"c2y")
+        .withColumn("s2e", $"rss" / (d($"n") - lit(3.0)))
+        .withColumn("adf_t", $"beta" / sqrt($"s2e" * $"c22" / $"det"))
+        .select($"event_type", $"n".as("n_obs"),
+          GraftQuery.roundNorm($"beta" * 1e6, 6).as("beta_ppm"),
+          GraftQuery.roundNorm($"adf_t", 4).as("adf_t"),
+          when($"adf_t" < -2.89, 1L).otherwise(0L).as("stationary"))
+        .orderBy($"event_type")
+    },
+    Some("""WITH daily AS (
+              SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+              FROM events GROUP BY 1, 2),
+            lagged AS (
+              SELECT event_type,
+                     v - v1 AS y, v1 AS x1, v1 - v2 AS x2
+              FROM (SELECT event_type, v,
+                           lag(v, 1) OVER w AS v1, lag(v, 2) OVER w AS v2
+                    FROM daily
+                    WINDOW w AS (PARTITION BY event_type ORDER BY d))
+              WHERE v2 IS NOT NULL),
+            sums AS (
+              SELECT event_type, count(*) AS n,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x1) AS BIGINT) AS s1,
+                     CAST(sum(x2) AS BIGINT) AS s2,
+                     CAST(sum(y * y) AS BIGINT) AS syy,
+                     CAST(sum(y * x1) AS BIGINT) AS sy1,
+                     CAST(sum(y * x2) AS BIGINT) AS sy2,
+                     CAST(sum(x1 * x1) AS BIGINT) AS s11,
+                     CAST(sum(x2 * x2) AS BIGINT) AS s22,
+                     CAST(sum(x1 * x2) AS BIGINT) AS s12
+              FROM lagged GROUP BY 1),
+            c AS (
+              SELECT event_type, n,
+                     CAST(sy1 AS DOUBLE) - CAST(s1 AS DOUBLE) * sy / n AS c1y,
+                     CAST(sy2 AS DOUBLE) - CAST(s2 AS DOUBLE) * sy / n AS c2y,
+                     CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n AS cyy,
+                     CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n AS c11,
+                     CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n AS c22,
+                     CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * s2 / n AS c12
+              FROM sums),
+            f AS (
+              SELECT event_type, n,
+                     c11 * c22 - c12 * c12 AS det,
+                     (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) AS beta,
+                     (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) AS gamma,
+                     cyy, c1y, c2y, c22
+              FROM c),
+            t AS (
+              SELECT event_type, n, beta, det, c22,
+                     (cyy - beta * c1y - gamma * c2y) / (CAST(n AS DOUBLE) - 3.0) AS s2e
+              FROM f)
+            SELECT event_type, n AS n_obs,
+                   (round(beta * 1e6, 6) + 0.0) AS beta_ppm,
+                   (round(beta / sqrt(s2e * c22 / det), 4) + 0.0) AS adf_t,
+                   CAST(CASE WHEN beta / sqrt(s2e * c22 / det) < -2.89
+                        THEN 1 ELSE 0 END AS BIGINT) AS stationary
+            FROM t ORDER BY event_type""")
+  )
+
+  /** HURST EXPONENT via rescaled-range analysis per event type — the
+    * long-memory diagnostic on the daily revenue series (H ≈ 0.5
+    * random walk, > 0.5 persistent/trending, < 0.5 mean-reverting):
+    * finance's complement to ts_var_ratio, estimated as the log-log
+    * slope of the mean R/S statistic across block sizes m = 5 and 10.
+    *
+    * Determinism — EXACT-INTEGER R/S: within a full m-day block the
+    * cumulative deviations scale to integers (m·P_i − i·S is exact
+    * BIGINT, P the running prefix, S the block total), so the range
+    * max−min is integer-exact, and R/S = (max−min)/√(m·Σv² − S²) is
+    * one sqrt of identical integers. Block means over the bounded
+    * block domain carry final rounding; H = (ln R̄S₁₀ − ln R̄S₅)/ln 2.
+    *
+    * Scale shape: one hash aggregate onto the (type, day) domain; the
+    * block windows partition by (type, block) — everything after the
+    * daily aggregate is O(days). */
+  val hurst: GraftQuery = GraftQuery(
+    "ts_hurst",
+    (s, dir) => {
+      import s.implicits._
+      val daily = changepointDaily(s, dir).localCheckpoint()
+      def rsFor(m: Int): DataFrame = {
+        val wt = Window.partitionBy($"event_type").orderBy($"d")
+        val blk = daily
+          .withColumn("i", row_number().over(wt).cast("long"))
+          .withColumn("g", expr(s"(i - 1) div $m"))
+        val wb = Window.partitionBy($"event_type", $"g").orderBy($"d")
+        val wbAll = wb.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+        blk
+          .withColumn("j", row_number().over(wb).cast("long"))
+          .withColumn("p", sum($"v").over(
+            wb.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("sblk", sum($"v").over(wbAll))
+          .withColumn("cnt", count(lit(1)).over(wbAll))
+          .withColumn("dev", lit(m.toLong) * $"p" - $"j" * $"sblk")
+          .filter($"cnt" === m.toLong)
+          .groupBy($"event_type", $"g")
+          .agg(max($"dev").as("dmax"), min($"dev").as("dmin"),
+            GraftQuery.guarded(sum($"v" * $"v"),
+              count(lit(1)).cast("double") * max(abs($"v")).cast("double")
+                * max(abs($"v")).cast("double") < lit(9e18),
+              "ts_hurst: Σv² past BIGINT headroom").as("svv"),
+            sum($"v").as("s"))
+          .withColumn("disc",
+            lit(m.toLong) * $"svv" - $"s" * $"s")
+          .filter($"disc" > 0L)
+          .withColumn("rs",
+            ($"dmax" - $"dmin").cast("double") / sqrt($"disc".cast("double")))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as(s"nblk_$m"),
+            avg($"rs").as(s"rs_$m"))
+      }
+      rsFor(5).join(rsFor(10).hint("shuffle_hash"), Seq("event_type"))
+        .select($"event_type", $"nblk_5", $"nblk_10",
+          GraftQuery.roundNorm($"rs_5", 4).as("rs_5"),
+          GraftQuery.roundNorm($"rs_10", 4).as("rs_10"),
+          GraftQuery.roundNorm(
+            (log($"rs_10") - log($"rs_5")) / log(lit(2.0)), 4).as("hurst"))
+        .orderBy($"event_type")
+    },
+    Some("""WITH daily AS (
+              SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+              FROM events GROUP BY 1, 2),
+            idx AS (
+              SELECT event_type, d, v,
+                     CAST(row_number() OVER (PARTITION BY event_type ORDER BY d) AS BIGINT) AS i
+              FROM daily),
+            b5 AS (
+              SELECT event_type, (i - 1) // 5 AS g, d, v,
+                     CAST(row_number() OVER wb AS BIGINT) AS j,
+                     CAST(sum(v) OVER (wb ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p,
+                     CAST(sum(v) OVER (wb ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS sblk,
+                     count(*) OVER (wb ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS cnt
+              FROM idx
+              WINDOW wb AS (PARTITION BY event_type, (i - 1) // 5 ORDER BY d)),
+            g5 AS (
+              SELECT event_type, g,
+                     CAST(max(5 * p - j * sblk) AS BIGINT) AS dmax,
+                     CAST(min(5 * p - j * sblk) AS BIGINT) AS dmin,
+                     CAST(sum(v * v) AS BIGINT) AS svv,
+                     CAST(sum(v) AS BIGINT) AS s
+              FROM b5 WHERE cnt = 5 GROUP BY 1, 2),
+            r5 AS (
+              SELECT event_type, count(*) AS nblk_5,
+                     avg(CAST(dmax - dmin AS DOUBLE) / sqrt(CAST(5 * svv - s * s AS DOUBLE))) AS rs_5
+              FROM g5 WHERE 5 * svv - s * s > 0 GROUP BY 1),
+            b10 AS (
+              SELECT event_type, (i - 1) // 10 AS g, d, v,
+                     CAST(row_number() OVER wb AS BIGINT) AS j,
+                     CAST(sum(v) OVER (wb ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p,
+                     CAST(sum(v) OVER (wb ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS sblk,
+                     count(*) OVER (wb ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS cnt
+              FROM idx
+              WINDOW wb AS (PARTITION BY event_type, (i - 1) // 10 ORDER BY d)),
+            g10 AS (
+              SELECT event_type, g,
+                     CAST(max(10 * p - j * sblk) AS BIGINT) AS dmax,
+                     CAST(min(10 * p - j * sblk) AS BIGINT) AS dmin,
+                     CAST(sum(v * v) AS BIGINT) AS svv,
+                     CAST(sum(v) AS BIGINT) AS s
+              FROM b10 WHERE cnt = 10 GROUP BY 1, 2),
+            r10 AS (
+              SELECT event_type, count(*) AS nblk_10,
+                     avg(CAST(dmax - dmin AS DOUBLE) / sqrt(CAST(10 * svv - s * s AS DOUBLE))) AS rs_10
+              FROM g10 WHERE 10 * svv - s * s > 0 GROUP BY 1)
+            SELECT event_type, nblk_5, nblk_10,
+                   (round(rs_5, 4) + 0.0) AS rs_5,
+                   (round(rs_10, 4) + 0.0) AS rs_10,
+                   (round((ln(rs_10) - ln(rs_5)) / ln(2.0), 4) + 0.0) AS hurst
+            FROM r5 JOIN r10 USING (event_type)
+            ORDER BY event_type""")
+  )
 }

@@ -133,8 +133,14 @@ object Windows {
       val carried = bounds
         .withColumn("pfx", coalesce(sum($"ds")
           .over(wu.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .withColumn("carry4", flatten(collect_list($"tail4")
-          .over(wu.rowsBetween(Window.unboundedPreceding, -1))))
+        // the last 4 values live within the last 4 previous ACTIVE days
+        // (each boundary row contributes ≥ 1), so the carry frame is
+        // bounded and re-sliced — an unbounded concat would ship
+        // whole-history tails through the per-row join
+        .withColumn("cat4", flatten(collect_list($"tail4")
+          .over(wu.rowsBetween(-4, -1))))
+        .withColumn("carry4",
+          when(size($"cat4") <= 4, $"cat4").otherwise(slice($"cat4", -4, 4)))
         .select($"user_id", $"b", $"pfx", $"carry4")
       local.join(carried.hint("shuffle_hash"), Seq("user_id", "b"))
         .withColumn("need", lit(4) - $"rn")

@@ -393,7 +393,63 @@ object DriftStream {
     Analytics.priceIndex.oracle
   )
 
+  /** Streaming feature-signal monitor — the micro-batch twin of
+    * `agg_mutual_info`: each wave contributes (event_type, value-bucket)
+    * COUNT partials (integer, exactly mergeable under any arrival
+    * split); the shared miFold serves bit-equal MI/NMI — the live "has
+    * the metric decoupled from the segment" drift light next to
+    * stream_ks_drift's distribution alarm. State is bounded by the
+    * ≤50-cell domain × waves. Oracle = the batch MI's, verbatim. */
+  val streamMutualInfo: GraftQuery = GraftQuery(
+    "stream_mutual_info",
+    (s, dir) => {
+      import s.implicits._
+      val src = Analytics.miCellsSource(s, dir)
+      val bounds = src.agg(min($"event_id").as("lo"), max($"event_id").as("hi"))
+      def edge(k: Int): Column =
+        $"lo" - 1 + floor(($"hi" - $"lo" + 1) * lit(k) / lit(Waves.toDouble)).cast("long")
+      val partials = (0 until Waves).map { k =>
+        src.join(broadcast(bounds), $"event_id" > edge(k) && $"event_id" <= edge(k + 1))
+          .groupBy($"t", $"vb").agg(count(lit(1)).as("n"))
+          .localCheckpoint()
+      }
+      val merged = partials.reduce(_.unionAll(_))
+        .groupBy($"t", $"vb").agg(sum($"n").as("n"))
+      Analytics.miFold(merged)
+    },
+    Analytics.mutualInfo.oracle
+  )
+
+  /** Streaming always-valid A/B monitor — the micro-batch twin of
+    * `agg_msprt` (and the op whose SEMANTICS are inherently streaming:
+    * mSPRT exists precisely because dashboards are watched while data
+    * lands): each wave contributes per-(arm, day) BIGINT sufficient
+    * statistics; the merge re-sums them and the shared msprtFold serves
+    * the bit-equal cumulative log Λ path. State is (arms × days) rows
+    * per wave. Oracle = the batch twin's, verbatim. */
+  val streamMsprt: GraftQuery = GraftQuery(
+    "stream_msprt",
+    (s, dir) => {
+      import s.implicits._
+      val src = Analytics.msprtSource(s, dir)
+      val bounds = src.agg(min($"event_id").as("lo"), max($"event_id").as("hi"))
+      def edge(k: Int): Column =
+        $"lo" - 1 + floor(($"hi" - $"lo" + 1) * lit(k) / lit(Waves.toDouble)).cast("long")
+      val partials = (0 until Waves).map { k =>
+        Analytics.msprtDaily(
+          src.join(broadcast(bounds),
+            $"event_id" > edge(k) && $"event_id" <= edge(k + 1)))
+          .localCheckpoint()
+      }
+      val merged = partials.reduce(_.unionAll(_))
+        .groupBy($"arm", $"day")
+        .agg(sum($"dn").as("dn"), sum($"dsc").as("dsc"), sum($"dsc2").as("dsc2"))
+      Analytics.msprtFold(merged)
+    },
+    Analytics.msprt.oracle
+  )
+
   def all: Seq[GraftQuery] = Seq(streamKsDrift, streamTtest, streamChangepoint,
     streamMoments, streamEntropy, streamChecksum, streamBootstrapCi,
-    streamEffectSize, streamPriceIndex)
+    streamEffectSize, streamPriceIndex, streamMutualInfo, streamMsprt)
 }
