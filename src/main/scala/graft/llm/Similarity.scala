@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.GraftQuery
@@ -1857,10 +1857,174 @@ object Similarity {
             FROM z GROUP BY source ORDER BY source""")
   )
 
+  /** EMBEDDING PCA — the corpus's top principal direction via eight
+    * power iterations on the 64×64 covariance, done ENTIRELY in column
+    * expressions on a 1-row frame (no driver-side linear algebra, no
+    * collect): the readout is the leading eigenvalue, its explained-
+    * variance share and the head of the (sign-pinned) eigenvector —
+    * the "is this embedding space collapsing to one axis?" audit, and
+    * the training step behind PCA-whitening / dimension-pruning
+    * decisions for retrieval indexes.
+    *
+    * Determinism: the (Σxᵢxⱼ, Σxᵢ) sufficient statistics QUANTIZE to
+    * exact BIGINTs (floor·10⁴ / ·10⁶) before the covariance forms, so
+    * both engines iterate the IDENTICAL matrix; each matvec folds j in
+    * index order (identical chains), each normalization divides by the
+    * identical ‖v‖; the sign pins to the component of max |v| (exact
+    * compare of identical doubles).
+    *
+    * Scale shape: the Gram pass is one posexplode² map-side-combined
+    * hash aggregate onto the FIXED d² = 4096 cell domain (partials are
+    * bounded regardless of corpus size); the iterations run on one
+    * assembled row. At 100 TB the same plan holds — d² cells is the
+    * only state. */
+  val embedPca: GraftQuery = GraftQuery(
+    "llm_embed_pca",
+    (s, dir) => {
+      import s.implicits._
+      val D = 64
+      val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      val pairs = e
+        .select(posexplode($"embedding").as(Seq("i", "xi")), $"vec_id")
+        .join(e.hint("shuffle_hash"), "vec_id")
+        .select($"i", posexplode($"embedding").as(Seq("j", "xj")), $"xi")
+      val gram = pairs
+        .groupBy($"i", $"j")
+        .agg(floor(sum($"xi".cast("double") * $"xj".cast("double")) * 1e4)
+          .cast("long").as("sq"))
+      val means = e
+        .select(posexplode($"embedding").as(Seq("i", "xi")))
+        .groupBy($"i")
+        .agg(floor(sum($"xi".cast("double")) * 1e6).cast("long").as("sm"),
+          count(lit(1)).as("n"))
+      val cm = gram
+        .join(means.select($"i", $"sm".as("smi"), $"n").hint("shuffle_hash"), "i")
+        .join(means.select($"i".as("j"), $"sm".as("smj")).hint("shuffle_hash"), "j")
+        .withColumn("c",
+          ($"n".cast("double") * ($"sq".cast("double") / 1e4)
+            - ($"smi".cast("double") / 1e6) * ($"smj".cast("double") / 1e6))
+            / ($"n".cast("double") * $"n".cast("double")))
+        .groupBy()
+        .agg(transform(array_sort(collect_list(struct($"i", $"j", $"c"))),
+          x => x.getField("c")).as("cm"),
+          first($"n").as("n_vecs"))
+      def matvec(v: Column): Column =
+        transform(sequence(lit(0), lit(D - 1)), i =>
+          aggregate(zip_with(
+            slice($"cm", i * lit(D) + lit(1), lit(D)), v,
+            (a, b) => a * b), lit(0.0), (acc, x) => acc + x))
+      def norm(v: Column): Column =
+        sqrt(aggregate(transform(v, x => x * x), lit(0.0), (a, x) => a + x))
+      val v0 = array((0 until D).map(_ => lit(1.0 / math.sqrt(D.toDouble))): _*)
+      val iterated = (1 to 8).foldLeft(cm.withColumn("v", v0)) { (df, _) =>
+        df.withColumn("vr", matvec($"v"))
+          .withColumn("v", transform($"vr", x => x / norm($"vr")))
+          .drop("vr")
+      }
+      iterated
+        .withColumn("lam",
+          aggregate(zip_with($"v", matvec($"v"), (a, b) => a * b),
+            lit(0.0), (acc, x) => acc + x))
+        .withColumn("tr",
+          aggregate(transform(sequence(lit(0), lit(D - 1)),
+            i => element_at($"cm", i * lit(D + 1) + lit(1))),
+            lit(0.0), (acc, x) => acc + x))
+        .withColumn("mx",
+          array_max(transform($"v", x => abs(x))))
+        .withColumn("sgn",
+          when(element_at(filter($"v", x => abs(x) === $"mx"), 1) < 0.0,
+            lit(-1.0)).otherwise(lit(1.0)))
+        .select($"n_vecs",
+          GraftQuery.roundNorm($"lam", 6).as("eig1"),
+          GraftQuery.roundNorm($"lam" / $"tr", 6).as("var_share"),
+          GraftQuery.roundNorm(element_at($"v", 1) * $"sgn", 4).as("v1"),
+          GraftQuery.roundNorm(element_at($"v", 2) * $"sgn", 4).as("v2"),
+          GraftQuery.roundNorm(element_at($"v", 3) * $"sgn", 4).as("v3"),
+          GraftQuery.roundNorm(element_at($"v", 4) * $"sgn", 4).as("v4"))
+    },
+    Some {
+      val D = 64
+      // one unrolled power-iteration step: v_k from v_{k-1}
+      def step(k: Int): String = {
+        val prev = if (k == 1) "v0" else s"v${k - 1}"
+        s"""p$k AS (
+              SELECT cm, n_vecs, tr,
+                     list_transform(range(1, ${D + 1}), i ->
+                       list_sum(list_transform(range(1, ${D + 1}), j ->
+                         cm[(i - 1) * $D + j] * v[j]))) AS vr
+              FROM $prev),
+            v$k AS (
+              SELECT cm, n_vecs, tr,
+                     list_transform(vr, x ->
+                       x / sqrt(list_sum(list_transform(vr, y -> y * y)))) AS v
+              FROM p$k)"""
+      }
+      s"""WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          cells AS (
+            SELECT a.dim - 1 AS i, b.dim - 1 AS j,
+                   CAST(floor(sum(a.x * b.x) * 1e4) AS BIGINT) AS sq
+            FROM (SELECT vec_id, generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM e) a
+            JOIN (SELECT vec_id, generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM e) b
+              USING (vec_id)
+            GROUP BY 1, 2),
+          m AS (
+            SELECT dim - 1 AS i,
+                   CAST(floor(sum(x) * 1e6) AS BIGINT) AS sm,
+                   count(*) AS n
+            FROM (SELECT vec_id, generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM e)
+            GROUP BY 1),
+          cov AS (
+            SELECT c.i, c.j,
+                   (CAST(mi.n AS DOUBLE) * (CAST(c.sq AS DOUBLE) / 1e4)
+                    - (CAST(mi.sm AS DOUBLE) / 1e6) * (CAST(mj.sm AS DOUBLE) / 1e6))
+                     / (CAST(mi.n AS DOUBLE) * mi.n) AS c,
+                   mi.n AS n
+            FROM cells c
+            JOIN m mi ON c.i = mi.i
+            JOIN m mj ON c.j = mj.i),
+          asm AS (
+            SELECT list(c ORDER BY i, j) AS cm,
+                   CAST(max(n) AS BIGINT) AS n_vecs
+            FROM cov),
+          trc AS (
+            SELECT cm, n_vecs,
+                   list_sum(list_transform(range(1, ${D + 1}),
+                     i -> cm[(i - 1) * $D + i])) AS tr
+            FROM asm),
+          v0 AS (
+            SELECT cm, n_vecs, tr,
+                   list_transform(range(1, ${D + 1}),
+                     i -> 1.0 / sqrt(${D}.0)) AS v
+            FROM trc),
+          ${(1 to 8).map(step).mkString(",\n          ")},
+          fin AS (
+            SELECT n_vecs, tr, cm, v,
+                   list_sum(list_transform(range(1, ${D + 1}), i ->
+                     v[i] * list_sum(list_transform(range(1, ${D + 1}), j ->
+                       cm[(i - 1) * $D + j] * v[j])))) AS lam,
+                   list_max(list_transform(v, x -> abs(x))) AS mx
+            FROM v8),
+          sg AS (
+            SELECT n_vecs, tr, v, lam,
+                   CASE WHEN list_filter(v, x -> abs(x) = mx)[1] < 0.0
+                        THEN -1.0 ELSE 1.0 END AS sgn
+            FROM fin)
+          SELECT n_vecs,
+                 (round(lam, 6) + 0.0) AS eig1,
+                 (round(lam / tr, 6) + 0.0) AS var_share,
+                 (round(v[1] * sgn, 4) + 0.0) AS v1,
+                 (round(v[2] * sgn, 4) + 0.0) AS v2,
+                 (round(v[3] * sgn, 4) + 0.0) AS v3,
+                 (round(v[4] * sgn, 4) + 0.0) AS v4
+          FROM sg"""
+    }
+  )
+
   def all: Seq[GraftQuery] =
     Seq(bruteTopK, rangeSearch, rangeIvf, lshTopK, ivfTopK, ivf2TopK,
       ivfPersistedTopK, embedStats, pqTopK, indexAppendTopK, indexDeleteTopK,
       ivfPqTopK,
       mmrDiversify, filteredTopK, filteredPersistedTopK, knnJoin,
-      embedQuantize, embedDrift, embedOutliers)
+      embedQuantize, embedDrift, embedOutliers, embedPca)
 }

@@ -2145,10 +2145,101 @@ object Graph {
              ORDER BY nk.k""")
   )
 
+  /** STRONGLY CONNECTED COMPONENTS of the directed nation trade-flow
+    * graph — nations form an edge src→dst when customer-nation src buys
+    * above-average line volume from supplier-nation dst; SCCs are the
+    * mutually-trading blocs (the DIRECTED counterpart of graph_cc: an
+    * 18-nation core bloc + singleton periphery on the fixture). This is
+    * the domain-graph SCC shape: the vertex set is a bounded DIMENSION
+    * (nations, categories, services), derived from an arbitrarily large
+    * fact table by ONE aggregate — so exact transitive closure by
+    * iterative doubling is the right plan (5 squaring rounds cover any
+    * diameter ≤ 32 ≥ |V|; each round is a bounded self-join behind
+    * cutStats). A corpus-scale vertex domain would take the FW-BW peel
+    * instead — the documented escalation, not this operator's case.
+    *
+    * Determinism: edge membership is an integer cross-multiply
+    * (cnt·|pairs| > total — no double threshold); closure, mutual
+    * intersection and min-labels are set algebra over exact ints. */
+  val scc: GraftQuery = GraftQuery(
+    "graph_scc",
+    (s, dir) => {
+      import s.implicits._
+      val flows = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+        .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+        .join(Tables.supplier(s, dir).hint("shuffle_hash"),
+          $"l_suppkey" === $"s_suppkey")
+        .groupBy($"c_nationkey".cast("long").as("src"),
+          $"s_nationkey".cast("long").as("dst"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = flows.agg(sum($"cnt").as("tot"), count(lit(1)).as("np"))
+      val e = flows.crossJoin(broadcast(tot))
+        .filter($"cnt" * $"np" > $"tot" && $"src" =!= $"dst")
+        .select($"src", $"dst")
+        .localCheckpoint()
+      // transitive closure by iterative doubling: after k rounds, reach
+      // holds every path of length ≤ 2^k; 5 rounds ≥ any 25-node
+      // diameter. cutStats severs the self-join statistics tower.
+      var reach = GraftQuery.cutStats(e)
+      for (_ <- 1 to 5) {
+        val r2 = reach.as("a")
+          .join(reach.as("b").hint("shuffle_hash"), $"a.dst" === $"b.src")
+          .select($"a.src".as("src"), $"b.dst".as("dst"))
+        reach = GraftQuery.cutStats(
+          reach.unionByName(r2).distinct().localCheckpoint())
+      }
+      val mutual = reach.as("r1")
+        .join(reach.as("r2").hint("shuffle_hash"),
+          $"r1.src" === $"r2.dst" && $"r1.dst" === $"r2.src")
+        .select($"r1.src".as("v"), $"r1.dst".as("u"))
+      val allv = e.select($"src".as("v"))
+        .union(e.select($"dst".as("v"))).distinct()
+      allv.join(mutual.hint("shuffle_hash"), Seq("v"), "left")
+        .groupBy($"v")
+        .agg(least($"v", coalesce(min($"u"), $"v")).as("scc_id"))
+        .groupBy($"scc_id").agg(count(lit(1)).as("scc_size"),
+          collect_list($"v").as("vs"))
+        .select(explode($"vs").as("nation"), $"scc_id", $"scc_size",
+          ($"scc_size" > 1L).as("in_bloc"))
+        .orderBy($"nation")
+    },
+    Some("""WITH RECURSIVE f AS (
+              SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+                     CAST(s.s_nationkey AS BIGINT) AS dst, count(*) AS cnt
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              GROUP BY 1, 2),
+            t AS (SELECT sum(cnt) AS tot, count(*) AS np FROM f),
+            e AS (SELECT src, dst FROM f, t
+                  WHERE cnt * np > tot AND src <> dst),
+            reach(src, dst) AS (
+              SELECT src, dst FROM e
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+            mutual AS (
+              SELECT r1.src AS v, r1.dst AS u
+              FROM reach r1 JOIN reach r2
+                ON r1.src = r2.dst AND r1.dst = r2.src),
+            allv AS (SELECT DISTINCT src AS v FROM e
+                     UNION SELECT dst FROM e),
+            lab AS (
+              SELECT a.v, least(a.v, coalesce(min(m.u), a.v)) AS scc_id
+              FROM allv a LEFT JOIN mutual m ON m.v = a.v
+              GROUP BY a.v),
+            sz AS (SELECT scc_id, count(*) AS scc_size FROM lab GROUP BY 1)
+            SELECT lab.v AS nation, lab.scc_id, sz.scc_size,
+                   (sz.scc_size > 1) AS in_bloc
+            FROM lab JOIN sz USING (scc_id)
+            ORDER BY nation""")
+  )
+
   def all: Seq[GraftQuery] =
     Seq(pagerank, pagerankDelta, pagerankWeighted, pagerankPersonal, cc, jaccard,
       jaccardCapped, adamicAdar, labelPropagation, bfs,
       closenessLandmarks, edgesIncremental, triangles, degreeDist, kCore,
       mst, assortativity, modularity, conductance, louvain, louvain2, hits, walks, walksBiased,
-      skipgram, clusteringCoeff, reciprocity, richClub)
+      skipgram, clusteringCoeff, reciprocity, richClub, scc)
 }

@@ -1052,16 +1052,66 @@ object TimeSeries {
       // in scaled-integer space, and the sample variance is the exact
       // rational (n·Σc² − (Σc)²)/(n(n−1)) — one sqrt of an identical
       // double in both engines.
+      // SPLIT-PATH frame reassembly (r14 perf iteration): the BULK of
+      // rows (rn ≥ 21: a full in-day 20-row history) gets the frame
+      // sums as PREFIX DIFFERENCES of two within-day running integer
+      // sums — pure codegen'd scalars, no arrays (a per-row HOF
+      // aggregate() fold is interpreted: the array form measured ~6 µs/
+      // row = 26 s on the 4M ladder rung). Only the ≤20 DAY-HEAD rows
+      // per (user, day) touch the carried tail array — a bounded row
+      // subset, so the interpreted fold cost is O(users × days × 20),
+      // independent of corpus size.
       val ev = Tables.events(s, dir)
-        .select($"user_id", $"ts", $"event_id", $"value")
+        .select($"user_id", $"ts", $"event_id", $"value",
+          to_date($"ts").as("b"))
         .withColumn("c", expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
-      lastKCarried(s, ev, "c", 21, "a21")
-        .withColumn("prev", when(size($"a21") === 1,
-            array().cast("array<bigint>"))
-          .otherwise(slice($"a21", lit(1), size($"a21") - 1)))
-        .withColumn("n_hist", size($"prev").cast("long"))
-        .withColumn("sum_c", aggregate($"prev", lit(0L), (a, x) => a + x))
-        .withColumn("sum_c2", aggregate($"prev", lit(0L), (a, x) => a + x * x))
+      val wb = Window.partitionBy($"user_id", $"b").orderBy($"ts", $"event_id")
+      val local = ev
+        .withColumn("rn", row_number().over(wb))
+        .withColumn("ls", sum($"c").over(
+          wb.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("ls2", sum($"c" * $"c").over(
+          wb.rowsBetween(Window.unboundedPreceding, 0)))
+      val bulk = local.filter($"rn" >= 21)
+        .withColumn("n_hist", lit(20L))
+        .withColumn("sum_c",
+          lag($"ls", 1).over(wb) - coalesce(lag($"ls", 21).over(wb), lit(0L)))
+        .withColumn("sum_c2",
+          lag($"ls2", 1).over(wb) - coalesce(lag($"ls2", 21).over(wb), lit(0L)))
+        .select($"user_id", $"ts", $"event_id", $"value",
+          $"n_hist", $"sum_c", $"sum_c2")
+      // day-head rows: in-day part from the local prefixes, the missing
+      // (20 - (rn-1)) values from the previous-active-days tail carry
+      val bounds = ev.groupBy($"user_id", $"b")
+        .agg(transform(
+          array_sort(collect_list(struct($"ts", $"event_id", $"c"))),
+          x => x.getField("c")).as("dayArr"))
+        .withColumn("tail",
+          when(size($"dayArr") <= 20, $"dayArr")
+            .otherwise(slice($"dayArr", -20, 20)))
+      val wu = Window.partitionBy($"user_id").orderBy($"b")
+      val carried = bounds
+        .withColumn("cat", flatten(collect_list($"tail")
+          .over(wu.rowsBetween(-20, -1))))
+        .withColumn("carry",
+          when(size($"cat") <= 20, $"cat").otherwise(slice($"cat", -20, 20)))
+        .select($"user_id", $"b", $"carry")
+      val head = local.filter($"rn" <= 20)
+        .join(carried.hint("shuffle_hash"), Seq("user_id", "b"))
+        .withColumn("need", lit(20) - ($"rn" - 1))
+        .withColumn("seg",
+          when(size($"carry") <= $"need", $"carry")
+            .otherwise(slice($"carry", -$"need", $"need")))
+        .withColumn("n_hist", ($"rn" - 1).cast("long") + size($"seg"))
+        .withColumn("sum_c",
+          coalesce(lag($"ls", 1).over(wb), lit(0L))
+            + aggregate($"seg", lit(0L), (a, x) => a + x))
+        .withColumn("sum_c2",
+          coalesce(lag($"ls2", 1).over(wb), lit(0L))
+            + aggregate($"seg", lit(0L), (a, x) => a + x * x))
+        .select($"user_id", $"ts", $"event_id", $"value",
+          $"n_hist", $"sum_c", $"sum_c2")
+      bulk.unionByName(head)
         .filter($"n_hist" >= 10)
         // greatest(n_hist, 1): subexpression elimination can evaluate a
         // pushed predicate's div EAGERLY (before the n_hist >= 10

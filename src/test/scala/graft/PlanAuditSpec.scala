@@ -109,7 +109,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "stream_price_index", // 1-row base-year broadcast (the batch priceFold plan)
     "llm_curriculum",     // 1-row keep-list-count broadcast onto the rank frame
     "llm_bpe_train",      // 1-row winning-pair broadcast per merge round
-    "llm_bpe_apply"       // 1-row frozen-rules broadcast onto the vocab
+    "llm_bpe_apply",      // 1-row frozen-rules broadcast onto the vocab
+    "agg_mutual_info",    // two 1-row margin frames broadcast onto the cell stats row
+    "stream_mutual_info", // same miFold margin broadcasts over merged wave partials
+    "graph_scc"           // 1-row (total, |pairs|) broadcast thresholds the edge set
   )
 
   /** Round-2 gate: the dedup verification joins must NOT broadcast the
@@ -146,7 +149,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "llm_clf_lift",          // \u226410 decile rows + \u226432-row range-bucket prefix (twoLevelRank)
     "stream_survival_km",    // the batch survivalFold plan over the lifetime-day domain
     "llm_curriculum",        // \u226432-row range-bucket prefix table (twoLevelRank)
-    "ts_cumulative_users")   // bounded day-domain running sum above the first-day agg
+    "ts_cumulative_users",   // bounded day-domain running sum above the first-day agg
+    "agg_raking")            // full-frame total over the 25-cell band×priority aggregate
+                             // (partitionBy(lit(1)) folds to an empty partitionSpec)
 
   /** Round-14 gate (VERDICT r13 item 5): a WindowExec partitioned by
     * EXACTLY one user-scale key (user_id / doc_id) whose input is
