@@ -341,6 +341,26 @@ class IngestSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("n_rows")).sum === n)
   }
 
+  test("vacuum safety: a future root-level metadata sidecar survives (ADVICE r13)") {
+    // Pre-r14 vacuum deleted BY EXCLUSION (anything not in inputFiles and
+    // not named _SUCCESS/_GRAFT_META), so a future reader-invisible
+    // sidecar — exactly what a table format accretes — would be swept
+    // and n_vacuumed would drift. The r14 rule only reclaims files under
+    // hidden ATTEMPT-TREE directories; a root-level '_'-file has no
+    // hidden directory component and must survive every run.
+    val root = new java.io.File(
+      s"/tmp/graft_vacuum/${TestSpark.Sf.replaceAll("[^a-zA-Z0-9]", "_")}")
+    operators.Ingest.ingestVacuum.run(spark, TestSpark.Sf).collect() // layout exists
+    val sidecar = new java.io.File(root, "_GRAFT_FUTURE_SIDECAR")
+    try {
+      java.nio.file.Files.write(sidecar.toPath, "stats-v2".getBytes("UTF-8"))
+      val out = operators.Ingest.ingestVacuum.run(spark, TestSpark.Sf).collect()
+      assert(sidecar.exists, "root-level metadata sidecar must survive vacuum")
+      assert(out.map(_.getAs[Long]("n_vacuumed")).distinct.toSeq === Seq(2L),
+        "only the two planted attempt-tree orphans may be reclaimed")
+    } finally sidecar.delete()
+  }
+
   test("analyze: per-column stats match driver-side recomputes") {
     import org.apache.spark.sql.functions._
     val rows = operators.Ingest.ingestAnalyze.run(spark, TestSpark.Sf).collect()

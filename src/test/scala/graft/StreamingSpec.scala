@@ -601,6 +601,53 @@ class StreamingSpec extends AnyFunSuite {
       "merged sufficient-stat partials must reproduce the batch Welch t exactly")
   }
 
+  test("mSPRT foreachBatch pipeline: per-(arm, day) partials serve the batch log-lambda path") {
+    // The production form of stream_msprt (r14): each micro-batch
+    // appends per-(arm, day) BIGINT sufficient statistics through a
+    // REAL checkpointed AvailableNow drive; the serve step re-sums the
+    // appended partials and runs the shared msprtFold — the always-valid
+    // monitoring path must equal the one-pass batch mSPRT bit-for-bit
+    // at any arrival split.
+    import org.apache.spark.sql.functions._
+    val ev = sources.Tables.events(spark, TestSpark.Sf)
+      .select($"event_id", $"user_id", $"ts", $"value").cache()
+    val mid = ev.agg(floor(max($"event_id") / 2.0).cast("long"))
+      .collect()(0).getLong(0)
+    val base = Files.createTempDirectory("graft_msprtstrm").toString
+    val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+    def runWave(): Unit = {
+      val q = spark.readStream.schema(ev.schema).parquet(src)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select(pmod(col("user_id"), lit(2L)).as("arm"),
+              to_date(col("ts")).as("day"),
+              expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
+            .groupBy(col("arm"), col("day"))
+            .agg(count(lit(1)).as("dn"), sum(col("c")).as("dsc"),
+              sum(col("c") * col("c")).as("dsc2"))
+            .write.mode("append").parquet(out)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    ev.filter($"event_id" <= mid).write.mode("append").parquet(src)
+    runWave()
+    ev.filter($"event_id" > mid).write.mode("append").parquet(src)
+    runWave()
+    val merged = spark.read.parquet(out)
+      .groupBy($"arm", $"day")
+      .agg(sum($"dn").as("dn"), sum($"dsc").as("dsc"), sum($"dsc2").as("dsc2"))
+    val served = operators.Analytics.msprtFold(merged)
+      .collect().map(_.toSeq).toSet
+    val batchTruth = operators.Analytics.msprt.run(spark, TestSpark.Sf)
+      .collect().map(_.toSeq).toSet
+    assert(served === batchTruth,
+      "checkpointed per-(arm, day) partials must reproduce the batch mSPRT path exactly")
+  }
+
   test("cdc foreachBatch pipeline: appended compaction partials serve the batch answer") {
     // The production form of stream_cdc: the change log lands incrementally
     // (two arrival waves through a checkpointed file source); each
