@@ -2945,9 +2945,13 @@ object Analytics {
     "agg_meta_analysis",
     (s, dir) => {
       import s.implicits._
+      // WHOLE-DOLLAR integer metric (cents div 100): order totals reach
+      // ~5.5e7 cents, so a cents-scale Σc² wraps int64 already at sf0.1
+      // (ANSI throws); exact dollars keep ~1000× headroom at sf0.1 and
+      // the guard still raises past it.
       val strata = Tables.orders(s, dir)
         .select($"o_orderpriority".as("stratum"),
-          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) div 100")
             .as("c"))
         .groupBy($"stratum")
         .agg(count(lit(1)).as("n"), sum($"c").as("sc"),
@@ -2957,11 +2961,11 @@ object Analytics {
               < lit(9e18),
             "agg_meta_analysis: BIGINT Σc² near overflow — " +
               "shift the fold to DECIMAL(38,0)").as("sc2"))
-        .withColumn("mean", $"sc".cast("double") / $"n".cast("double") / 100.0)
+        .withColumn("mean", $"sc".cast("double") / $"n".cast("double"))
         .withColumn("var",
           ($"n".cast("double") * $"sc2".cast("double")
             - $"sc".cast("double") * $"sc".cast("double"))
-            / ($"n".cast("double") * ($"n".cast("double") - 1.0)) / 10000.0)
+            / ($"n".cast("double") * ($"n".cast("double") - 1.0)))
         .withColumn("w", $"n".cast("double") / $"var")
       val pooled = strata.agg(
         count(lit(1)).as("k"),
@@ -2980,15 +2984,15 @@ object Analytics {
     },
     Some("""WITH s AS (
               SELECT o_orderpriority AS stratum, count(*) AS n,
-                     CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sc,
-                     CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-                              * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sc2
+                     CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 100) AS BIGINT) AS sc,
+                     CAST(sum((CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 100)
+                              * (CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 100)) AS BIGINT) AS sc2
               FROM orders GROUP BY 1),
             t AS (
               SELECT stratum, n,
-                     CAST(sc AS DOUBLE) / n / 100.0 AS mean,
+                     CAST(sc AS DOUBLE) / n AS mean,
                      (CAST(n AS DOUBLE) * sc2 - CAST(sc AS DOUBLE) * sc)
-                       / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / 10000.0 AS var
+                       / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS var
               FROM s),
             u AS (SELECT stratum, n, mean, CAST(n AS DOUBLE) / var AS w FROM t),
             p AS (

@@ -2204,7 +2204,9 @@ object Graph {
           ($"scc_size" > 1L).as("in_bloc"))
         .orderBy($"nation")
     },
-    Some("""WITH RECURSIVE f AS (
+    Some("""WITH RECURSIVE f AS MATERIALIZED (
+              -- MATERIALIZED: without it DuckDB re-inlines this 4-table
+              -- join into EVERY recursive step (150 s -> 0.7 s at sf0.1)
               SELECT CAST(c.c_nationkey AS BIGINT) AS src,
                      CAST(s.s_nationkey AS BIGINT) AS dst, count(*) AS cnt
               FROM lineitem l
@@ -2213,7 +2215,7 @@ object Graph {
               JOIN supplier s ON l.l_suppkey = s.s_suppkey
               GROUP BY 1, 2),
             t AS (SELECT sum(cnt) AS tot, count(*) AS np FROM f),
-            e AS (SELECT src, dst FROM f, t
+            e AS MATERIALIZED (SELECT src, dst FROM f, t
                   WHERE cnt * np > tot AND src <> dst),
             reach(src, dst) AS (
               SELECT src, dst FROM e

@@ -63,7 +63,8 @@ class NewOps14Spec extends AnyFunSuite {
     assert(r.getAs[Long]("k") === 5L)
     val means = sources.Tables.orders(spark, TestSpark.Sf)
       .groupBy(col("o_orderpriority"))
-      .agg(avg(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)") / 100.0)
+      .agg(avg(expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) div 100"))
         .as("m"))
       .collect().map(_.getAs[Double]("m"))
     val pooled = r.getAs[Double]("pooled_mean")
