@@ -2180,14 +2180,22 @@ object Graph {
         .localCheckpoint()
       // transitive closure by iterative doubling: after k rounds, reach
       // holds every path of length ≤ 2^k; 5 rounds ≥ any 25-node
-      // diameter. cutStats severs the self-join statistics tower.
+      // diameter, with an early exit once a squaring adds no pair (the
+      // fixture converges by round 2 — the remaining rounds were pure
+      // localCheckpoint job overhead). cutStats severs the self-join
+      // statistics tower; the count rides the materialized checkpoint.
       var reach = GraftQuery.cutStats(e)
-      for (_ <- 1 to 5) {
+      var prev = reach.count()
+      var converged = false
+      for (_ <- 1 to 5 if !converged) {
         val r2 = reach.as("a")
           .join(reach.as("b").hint("shuffle_hash"), $"a.dst" === $"b.src")
           .select($"a.src".as("src"), $"b.dst".as("dst"))
         reach = GraftQuery.cutStats(
           reach.unionByName(r2).distinct().localCheckpoint())
+        val n = reach.count()
+        converged = n == prev
+        prev = n
       }
       val mutual = reach.as("r1")
         .join(reach.as("r2").hint("shuffle_hash"),
