@@ -1888,14 +1888,18 @@ object Similarity {
         .select(posexplode($"embedding").as(Seq("i", "xi")), $"vec_id")
         .join(e.hint("shuffle_hash"), "vec_id")
         .select($"i", posexplode($"embedding").as(Seq("j", "xj")), $"xi")
+      // Quantize PER ELEMENT before the integer fold (the zipf_slope/pmi
+      // discipline): floor(sum(double)) sums in engine-dependent order and
+      // can land one quantum apart at a floor boundary; summing the
+      // floored BIGINTs is exact and association-free on both engines.
       val gram = pairs
         .groupBy($"i", $"j")
-        .agg(floor(sum($"xi".cast("double") * $"xj".cast("double")) * 1e4)
-          .cast("long").as("sq"))
+        .agg(sum(floor($"xi".cast("double") * $"xj".cast("double") * 1e4)
+          .cast("long")).as("sq"))
       val means = e
         .select(posexplode($"embedding").as(Seq("i", "xi")))
         .groupBy($"i")
-        .agg(floor(sum($"xi".cast("double")) * 1e6).cast("long").as("sm"),
+        .agg(sum(floor($"xi".cast("double") * 1e6).cast("long")).as("sm"),
           count(lit(1)).as("n"))
       val cm = gram
         .join(means.select($"i", $"sm".as("smi"), $"n").hint("shuffle_hash"), "i")
@@ -1963,14 +1967,14 @@ object Similarity {
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
           cells AS (
             SELECT a.dim - 1 AS i, b.dim - 1 AS j,
-                   CAST(floor(sum(a.x * b.x) * 1e4) AS BIGINT) AS sq
+                   sum(CAST(floor(a.x * b.x * 1e4) AS BIGINT)) AS sq
             FROM (SELECT vec_id, generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM e) a
             JOIN (SELECT vec_id, generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM e) b
               USING (vec_id)
             GROUP BY 1, 2),
           m AS (
             SELECT dim - 1 AS i,
-                   CAST(floor(sum(x) * 1e6) AS BIGINT) AS sm,
+                   sum(CAST(floor(x * 1e6) AS BIGINT)) AS sm,
                    count(*) AS n
             FROM (SELECT vec_id, generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM e)
             GROUP BY 1),

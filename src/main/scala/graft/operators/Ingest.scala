@@ -1297,8 +1297,10 @@ object Ingest {
       val cloneDir = s"/tmp/graft_clone/$key"
       val srcHead = readManifestLines(s, s"$out/manifest-v2")
       writeManifestLines(s, s"$cloneDir/manifest-v1", srcHead)
+      // Match the path COMPONENT exactly — a substring test would also
+      // drop grp=30..39 if the group modulus ever changed from 8.
       writeManifestLines(s, s"$cloneDir/manifest-v2",
-        srcHead.filterNot(_.contains("grp=3")))
+        srcHead.filterNot(_.split('/').contains("grp=3")))
       def stats(label: String, files: Seq[String]): DataFrame =
         s.read.option("basePath", s"$out/data").parquet(files: _*)
           .agg(count(lit(1)).as("n_users"),

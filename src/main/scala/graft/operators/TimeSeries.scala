@@ -109,7 +109,16 @@ object TimeSeries {
     *  - per row: the first (K - rn_day) missing values come from the
     *    carry's tail, the rest from the local collect — day(ts) is
     *    monotone in ts, so the reassembled array is bit-identical to
-    *    the single-level frame. */
+    *    the single-level frame.
+    *
+    * PRECONDITION: column `vName` must be non-null. The local trailing
+    * `collect_list` silently drops NULL values, which would shift array
+    * positions; a lag-faithful NULL treatment (ts_ewma's naive form
+    * gives a NULL lag zero weight) would need a struct wrapper here,
+    * while ts_rolling_median's naive collect_list form WANTS the drop —
+    * the two callers disagree, so the device requires non-null input
+    * (fixture `value` is non-null; callers on nullable columns must
+    * pre-coalesce or fork this device). */
   private def lastKCarried(s: SparkSession, df0: DataFrame, vName: String,
       k: Int, out: String): DataFrame = {
     import s.implicits._
@@ -1034,9 +1043,13 @@ object TimeSeries {
     * The |z| > 3 comparison uses the ROUNDED z on both engines so the
     * boundary keep decision can never diverge on a last-ulp difference
     * (the llm_sim_range rule). */
-  val anomaly: GraftQuery = GraftQuery(
-    "ts_anomaly",
-    (s, dir) => {
+  /** The split-path anomaly pipeline over any (user_id, ts, event_id,
+    * value) frame — extracted so TwoLevelParitySpec can drive a
+    * synthetic >20-events-per-day fixture (the fixture corpus maxes at
+    * 11 events/user-day, so the bulk prefix-difference branch never
+    * fires on it). */
+  private[graft] def anomalyOf(s: SparkSession,
+                               events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       import s.implicits._
       // TWO-LEVEL (r14): the 20-PRECEDING-to-1-PRECEDING integer frame
       // is the inclusive last-21 array minus its last element (the
@@ -1061,7 +1074,7 @@ object TimeSeries {
       // per (user, day) touch the carried tail array — a bounded row
       // subset, so the interpreted fold cost is O(users × days × 20),
       // independent of corpus size.
-      val ev = Tables.events(s, dir)
+      val ev = events
         .select($"user_id", $"ts", $"event_id", $"value",
           to_date($"ts").as("b"))
         .withColumn("c", expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
@@ -1072,12 +1085,21 @@ object TimeSeries {
           wb.rowsBetween(Window.unboundedPreceding, 0)))
         .withColumn("ls2", sum($"c" * $"c").over(
           wb.rowsBetween(Window.unboundedPreceding, 0)))
-      val bulk = local.filter($"rn" >= 21)
+      // The lag columns MUST be computed on the UNFILTERED frame: a
+      // window applied after filter(rn >= 21) runs over the filtered
+      // partition, so rn=21 would see a NULL lag-1 (row dropped) and
+      // rn=22..41 a missing lag-21 (wrong prefix difference). Computing
+      // them here makes lag(ls, k) the prefix at physical row rn-k,
+      // exactly the 20-PRECEDING..1-PRECEDING frame for rn >= 21.
+      val lagged = local
+        .withColumn("pls1", coalesce(lag($"ls", 1).over(wb), lit(0L)))
+        .withColumn("pls21", coalesce(lag($"ls", 21).over(wb), lit(0L)))
+        .withColumn("pls2_1", coalesce(lag($"ls2", 1).over(wb), lit(0L)))
+        .withColumn("pls2_21", coalesce(lag($"ls2", 21).over(wb), lit(0L)))
+      val bulk = lagged.filter($"rn" >= 21)
         .withColumn("n_hist", lit(20L))
-        .withColumn("sum_c",
-          lag($"ls", 1).over(wb) - coalesce(lag($"ls", 21).over(wb), lit(0L)))
-        .withColumn("sum_c2",
-          lag($"ls2", 1).over(wb) - coalesce(lag($"ls2", 21).over(wb), lit(0L)))
+        .withColumn("sum_c", $"pls1" - $"pls21")
+        .withColumn("sum_c2", $"pls2_1" - $"pls2_21")
         .select($"user_id", $"ts", $"event_id", $"value",
           $"n_hist", $"sum_c", $"sum_c2")
       // day-head rows: in-day part from the local prefixes, the missing
@@ -1096,19 +1118,20 @@ object TimeSeries {
         .withColumn("carry",
           when(size($"cat") <= 20, $"cat").otherwise(slice($"cat", -20, 20)))
         .select($"user_id", $"b", $"carry")
-      val head = local.filter($"rn" <= 20)
+      val head = lagged.filter($"rn" <= 20)
         .join(carried.hint("shuffle_hash"), Seq("user_id", "b"))
         .withColumn("need", lit(20) - ($"rn" - 1))
         .withColumn("seg",
           when(size($"carry") <= $"need", $"carry")
             .otherwise(slice($"carry", -$"need", $"need")))
         .withColumn("n_hist", ($"rn" - 1).cast("long") + size($"seg"))
+        // pls1/pls2_1 were computed on the unfiltered frame; for rn <= 20
+        // the full-partition lag-1 row is also rn <= 20, so reusing them
+        // is exact AND saves a second Window sort after the join.
         .withColumn("sum_c",
-          coalesce(lag($"ls", 1).over(wb), lit(0L))
-            + aggregate($"seg", lit(0L), (a, x) => a + x))
+          $"pls1" + aggregate($"seg", lit(0L), (a, x) => a + x))
         .withColumn("sum_c2",
-          coalesce(lag($"ls2", 1).over(wb), lit(0L))
-            + aggregate($"seg", lit(0L), (a, x) => a + x * x))
+          $"pls2_1" + aggregate($"seg", lit(0L), (a, x) => a + x * x))
         .select($"user_id", $"ts", $"event_id", $"value",
           $"n_hist", $"sum_c", $"sum_c2")
       bulk.unionByName(head)
@@ -1135,7 +1158,11 @@ object TimeSeries {
         .select($"user_id", $"event_id", $"value",
           $"mu", round($"sd", 4).as("sd"), $"z")
         .orderBy($"user_id", $"event_id")
-    },
+  }
+
+  val anomaly: GraftQuery = GraftQuery(
+    "ts_anomaly",
+    (s, dir) => anomalyOf(s, Tables.events(s, dir)),
     Some("""WITH s AS (
               SELECT user_id, event_id, value,
                      count(c) OVER w AS n_hist,
@@ -1271,6 +1298,8 @@ object TimeSeries {
       // TWO-LEVEL (r14): the k trailing lags come from the lastKCarried
       // array (bit-identical to the single-level frame); get() is
       // 0-based and null out-of-bounds, exactly lag(value, i)'s nulls.
+      // lastKCarried precondition: fixture `value` is non-null (a NULL
+      // would be dropped from the array and shift lag positions).
       val ev = Tables.events(s, dir)
         .select($"user_id", $"event_id", $"ts", $"value")
       val withArr = lastKCarried(s, ev, "value", k, "a8")
@@ -1424,7 +1453,8 @@ object TimeSeries {
     (s, dir) => {
       import s.implicits._
       // TWO-LEVEL (r14): the 15-row trailing frame materializes through
-      // lastKCarried (bit-identical multiset → identical sorted array).
+      // lastKCarried (bit-identical multiset → identical sorted array;
+      // non-null `value` precondition holds on the fixture).
       val ev = Tables.events(s, dir)
         .select($"user_id", $"event_id", $"ts", $"value")
       lastKCarried(s, ev, "value", 15, "a15")

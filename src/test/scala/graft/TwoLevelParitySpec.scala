@@ -135,6 +135,53 @@ class TwoLevelParitySpec extends AnyFunSuite {
         .orderBy($"user_id", $"event_id"))
   }
 
+  test("ts_anomaly bulk prefix-difference path == naive form on a >20-events/day fixture") {
+    // The fixture corpus maxes at 11 events per user-day, so the bulk
+    // rn >= 21 branch (prefix differences of UNFILTERED within-day
+    // running sums) never fires on the registry drive. This synthetic
+    // frame plants 45 events in one day (rows 21..45 take the bulk
+    // path, row 21 exercising the coalesced missing lag-21) plus a
+    // second short day (head-path carry across the boundary), for two
+    // users with different value shapes including an outlier spike.
+    import java.sql.Timestamp
+    val rows = for {
+      u <- Seq(1L, 2L)
+      (day, n) <- Seq(("2024-01-01", 45), ("2024-01-02", 7))
+      i <- 1 to n
+    } yield {
+      val base = if (u == 1L) 10.0 + (i % 5) * 0.25 else 50.0 + (i % 7) * 1.5
+      val v = if (i == 40) base + 300.0 else base // planted anomaly in-day
+      (u, Timestamp.valueOf(s"$day 00:0${i / 10}:${10 + i % 50}.${i % 10}"),
+        (u * 1000 + (if (day == "2024-01-01") 0 else 100) + i), v)
+    }
+    val syn = rows.toDF("user_id", "ts", "event_id", "value")
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(-20, -1)
+    val naive = syn.select($"user_id", $"ts", $"event_id", $"value")
+      .withColumn("c", expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .withColumn("n_hist", count($"c").over(w))
+      .withColumn("sum_c", sum($"c").over(w))
+      .withColumn("sum_c2", sum($"c" * $"c").over(w))
+      .filter($"n_hist" >= 10)
+      .withColumn("mu", expr("(sum_c * 100) div n_hist").cast("double") / 10000.0)
+      .withColumn("sd", sqrt(
+        expr("CAST(n_hist * sum_c2 - sum_c * sum_c AS DOUBLE)")
+          / expr("CAST(n_hist AS DOUBLE) * CAST(n_hist - 1 AS DOUBLE)")) / 100.0)
+      .filter($"sd" > 1e-9)
+      .withColumn("z", round(($"value" - $"mu") / $"sd", 4))
+      .filter(abs($"z") > 3.0)
+      .select($"user_id", $"event_id", $"value",
+        $"mu", round($"sd", 4).as("sd"), $"z")
+      .orderBy($"user_id", $"event_id")
+    val got = rowsOf(operators.TimeSeries.anomalyOf(spark, syn))
+    val want = rowsOf(naive)
+    assert(want.nonEmpty, "fixture must flag at least the planted spike")
+    assert(got.size === want.size, "ts_anomaly synthetic row count")
+    got.zip(want).zipWithIndex.foreach { case ((g, wnt), i) =>
+      assert(g === wnt, s"ts_anomaly synthetic row $i")
+    }
+  }
+
   test("ts_cusum == naive single-level prefix form") {
     val evc = ev.select($"user_id", $"event_id", $"ts",
       ($"value".cast("decimal(18,2)") * 100).cast("long").as("v100"))
