@@ -797,6 +797,22 @@ object Graph {
     var labels = vertices(adjacency(s, dir))
       .select($"src".as("v"), $"src".as("label"))
       .localCheckpoint()
+    // DELTA-FRONTIER MEASURED AND REJECTED (r15): synchronous LPA's
+    // round-t label of v depends only on round-(t-1) in-neighbor labels,
+    // so a frontier restriction (recompute only dsts with a changed
+    // in-neighbor) is value-identical to the full recompute — but it
+    // only pays if the changed set SHRINKS. Measured on this graph
+    // (graft.DebugLpa, sf0.1, V=5922 E=7146): changed counts are
+    // 5922, 5920, 5919, 5919, 5919... for 8 straight rounds —
+    // synchronous LPA OSCILLATES here (the known 2-cycle of the
+    // synchronous update; Raghavan §4), so the frontier is ≈V every
+    // round at ANY scale and the frontier form is pure overhead
+    // (measured 6.24 s vs 3.00 s full-recompute at sf0.1: semijoin +
+    // distinct + anti-join + union + convergence count per round, no
+    // shrink ever). Full recompute is the optimal plan for fixed-round
+    // synchronous LPA on a non-converging graph; graphs that DO
+    // converge get the frontier win through graph_pagerank_delta /
+    // graph_edges_incremental, which model the discipline.
     for (_ <- 1 to LpaIters)
       labels = lpaRound(e, labels).localCheckpoint()
     labels
@@ -1480,14 +1496,25 @@ object Graph {
       var labels = cut(vertices(adjacency(s, dir))
         .select($"src".as("v"), $"src".as("comp")))
       var forest = el.filter(lit(false))
+      // DELTA-FRONTIER (r15): components only ever MERGE, so an edge
+      // whose endpoints land in the same component is internal forever —
+      // it can never be a cross edge in a later round. Each round's
+      // label join therefore runs over only the PREVIOUS round's cross
+      // edges (`live`), not the full edge list: the O(E) full-list join
+      // happens exactly once, and the per-round edge side shrinks
+      // geometrically with the components (the graph_pagerank_delta /
+      // graph_edges_incremental discipline). Picks are unchanged —
+      // dropped edges are provably never candidates.
+      var live = el
       var round = 0
       var merging = true
       while (merging && round < MaxBoruvkaRounds) {
-        val cross = el
+        val cross = live
           .join(labels.select($"v".as("src"), $"comp".as("ca")), "src")
           .join(labels.select($"v".as("dst"), $"comp".as("cb")).hint("shuffle_hash"), "dst")
           .filter($"ca" =!= $"cb")
           .localCheckpoint()
+        live = cross.select($"src", $"dst", $"support")
         if (cross.isEmpty) { merging = false }
         else {
           val ek = struct((-$"support").as("ns"), $"src", $"dst",
@@ -1632,9 +1659,10 @@ object Graph {
     * bucketed layout matching ITS join key EXCHANGE-FREE (see
     * `bipartite` — the alternating-key double layout), so only the
     * O(V) score vector shuffles, into 8 bucket-matched partitions; one
-    * hash aggregate per side, 1-row normalizer broadcasts; score
-    * vectors are lineage-cut per round (the pagerank_delta
-    * discipline — both vectors stay live across rounds). */
+    * hash aggregate per side, 1-row normalizer broadcasts; the RAW
+    * per-side aggregates are lineage-cut per half-round (the
+    * pagerank_delta discipline), with normalization left as a lazy
+    * projection so each O(E) join+aggregate executes exactly once. */
   val hits: GraftQuery = GraftQuery(
     "graph_hits",
     (s, dir) => {
@@ -1648,18 +1676,26 @@ object Graph {
         .localCheckpoint()
       var a: DataFrame = null
       for (_ <- 1 to HitsIters) {
+        // Checkpoint the RAW aggregate, not the normalized vector: the
+        // normalizer is a 1-row agg over the checkpointed O(V) frame and
+        // the normalized vector a cheap projection over it, so the O(E)
+        // join+aggregate runs ONCE per half-round. (Checkpointing the
+        // normalized form instead ran it twice — once for the normalizer
+        // broadcast job, once for the checkpoint job — the r14 plan
+        // measured 2× this one at sf0.1. Values are bit-identical:
+        // checkpoint placement never changes arithmetic.)
         val araw = ebc.join(h.hint("shuffle_hash"), "c")
           .groupBy($"p").agg(sum($"h").as("a"))
+          .localCheckpoint()
         val asum = araw.agg(sum($"a").as("sa"))
         a = araw.crossJoin(broadcast(asum))
           .select($"p", ($"a" / $"sa").as("a"))
-          .localCheckpoint()
         val hraw = ebp.join(a.hint("shuffle_hash"), "p")
           .groupBy($"c").agg(sum($"a").as("h"))
+          .localCheckpoint()
         val hsum = hraw.agg(sum($"h").as("sh"))
         h = hraw.crossJoin(broadcast(hsum))
           .select($"c", ($"h" / $"sh").as("h"))
-          .localCheckpoint()
       }
       h.select(lit("hub").as("side"), $"c".as("id"), round($"h", 6).as("score"))
         .unionByName(a.select(lit("auth").as("side"), $"p".as("id"),
