@@ -552,6 +552,50 @@ object Graph {
              ORDER BY adamic_adar DESC, a, b LIMIT 50""")
   )
 
+  /** Degree-capped Adamic–Adar — the production form of
+    * graph_adamic_adar, added after the round-15 hub ladder MEASURED
+    * the uncapped wedge enumeration at 82.8 s on a planted 10⁴-degree
+    * hub vs 0.22 s on the same-edge-count ring control (376×; C(10⁴,2)
+    * ≈ 5·10⁷ hub wedges — and a 10⁶-degree celebrity makes it 10¹²).
+    * Exactly graph_jaccard_capped's device: the CENTER degree cap is a
+    * scan-side on-row filter (deg rides the leg row), so enumeration is
+    * bounded at DegCap² per center with zero extra joins; surviving
+    * wedges still score with the center's TRUE degree. The dropped
+    * wedges are precisely the ones the 1/ln(deg) weight already calls
+    * least informative — the cap turns a numeric down-weight into the
+    * compute bound the weight implies. Measured hub-immune on the same
+    * ladder (BASELINE.md hub table). */
+  val adamicAdarCapped: GraftQuery = GraftQuery(
+    "graph_adamic_adar_capped",
+    (s, dir) => {
+      import s.implicits._
+      val legs = adjacency(s, dir)
+        .filter($"deg" <= DegCap)
+        .select($"dst".as("nb"), $"src".as("c"), $"deg".as("cdeg"))
+      legs.as("x").join(legs.as("y").hint("shuffle_hash"),
+          $"x.c" === $"y.c" && $"x.nb" < $"y.nb")
+        .groupBy($"x.nb".as("a"), $"y.nb".as("b"))
+        .agg(round(sum(lit(1.0) / log($"x.cdeg".cast("double"))), 4)
+            .as("adamic_adar"),
+          count(lit(1)).as("common"))
+        .orderBy($"adamic_adar".desc, $"a", $"b")
+        .limit(50)
+    },
+    Some(s"""WITH $edgeCte,
+               deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+               legs AS (SELECT e.dst AS nb, e.src AS c, deg.deg AS cdeg
+                        FROM e JOIN deg ON e.src = deg.src
+                        WHERE deg.deg <= $DegCap),
+               w AS (SELECT x.nb AS a, y.nb AS b,
+                            (round(sum(1.0 / ln(CAST(x.cdeg AS DOUBLE))), 4) + 0.0)
+                              AS adamic_adar,
+                            count(*) AS common
+                     FROM legs x JOIN legs y ON x.c = y.c AND x.nb < y.nb
+                     GROUP BY 1, 2)
+             SELECT a, b, adamic_adar, common FROM w
+             ORDER BY adamic_adar DESC, a, b LIMIT 50""")
+  )
+
   /** Hop bound for BFS — fixed so the result ("distance within ≤ 6
     * hops") is exact and oracle-able; 6 covers the fixture graph's
     * reachable set and is the production-typical neighborhood radius. */
@@ -2284,7 +2328,7 @@ object Graph {
 
   def all: Seq[GraftQuery] =
     Seq(pagerank, pagerankDelta, pagerankWeighted, pagerankPersonal, cc, jaccard,
-      jaccardCapped, adamicAdar, labelPropagation, bfs,
+      jaccardCapped, adamicAdar, adamicAdarCapped, labelPropagation, bfs,
       closenessLandmarks, edgesIncremental, triangles, degreeDist, kCore,
       mst, assortativity, modularity, conductance, louvain, louvain2, hits, walks, walksBiased,
       skipgram, clusteringCoeff, reciprocity, richClub, scc)

@@ -248,6 +248,39 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("capped adamic-adar: matches a brute-force reference and the cap bites") {
+    val cap = operators.Graph.DegCap
+    val adj = bruteAdj
+    val deg = adj.map { case (v, ns) => v -> ns.size }
+    assert(deg.valuesIterator.exists(_ > cap),
+      "no vertex exceeds the cap — the fixture can't exercise the rule")
+    // Wedges through capped centers only; score uses the TRUE center
+    // degree of the surviving wedges.
+    val acc = scala.collection.mutable.Map[(Long, Long), (Double, Long)]()
+    for ((c, ns) <- adj if deg(c) <= cap; a <- ns; b <- ns if a < b) {
+      val (s0, n0) = acc.getOrElse((a, b), (0.0, 0L))
+      acc((a, b)) = (s0 + 1.0 / math.log(deg(c).toDouble), n0 + 1L)
+    }
+    val scored = acc.iterator.map { case ((a, b), (sum, n)) =>
+      (a, b,
+        BigDecimal(sum).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, n)
+    }.toSeq.sortBy { case (a, b, s0, _) => (-s0, a, b) }.take(50)
+    val got = operators.Graph.adamicAdarCapped.run(spark, TestSpark.Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.map(t => (t._1, t._2, t._4)).toSeq ==
+      scored.map(t => (t._1, t._2, t._4)),
+      "top-50 pair set / common counts diverge from the capped reference")
+    got.zip(scored).foreach { case (g, e) =>
+      assert(math.abs(g._3 - e._3) <= 1e-4,
+        s"pair (${g._1},${g._2}): score ${g._3} vs reference ${e._3}")
+    }
+    // the cap must actually drop hub-mediated pairs on this fixture
+    val uncapped = scala.collection.mutable.Set[(Long, Long)]()
+    for ((c, ns) <- adj; a <- ns; b <- ns if a < b) uncapped += ((a, b))
+    assert(acc.size < uncapped.size,
+      "cap dropped no wedge pair — fixture hub never mediated a candidate")
+  }
+
   test("capped jaccard: matches a brute-force reference and the cap bites") {
     val cap = operators.Graph.DegCap
     val adj = bruteAdj
