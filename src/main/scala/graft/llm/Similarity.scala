@@ -1878,49 +1878,82 @@ object Similarity {
     * bounded regardless of corpus size); the iterations run on one
     * assembled row. At 100 TB the same plan holds — d² cells is the
     * only state. */
+  /** Embedding dimensionality shared by the PCA family. */
+  private val PcaD = 64
+
+  /** Power-iteration count shared by llm_embed_pca and
+    * llm_embed_pca_topk (the component-1 rows must stay bit-equal —
+    * NewOps15Spec pins it). 16, up from r14's 8: the deflation chain
+    * amplifies under-convergence — with near-tied eigenvalues an
+    * 8-iteration Rayleigh quotient could land BELOW the next
+    * component's, inverting the reported spectrum (observed at
+    * sf0.001: 0.0260 then 0.0271). */
+  private val PcaIters = 16
+
+  /** The quantized 64×64 covariance as ONE assembled row (cm = row-major
+    * DOUBLE array, n_vecs) — shared by llm_embed_pca and
+    * llm_embed_pca_topk. Sufficient statistics quantize per element to
+    * exact BIGINTs before the fold (see llm_embed_pca Scaladoc), so both
+    * engines iterate the identical matrix. */
+  private def pcaCovFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+    val pairs = e
+      .select(posexplode($"embedding").as(Seq("i", "xi")), $"vec_id")
+      .join(e.hint("shuffle_hash"), "vec_id")
+      .select($"i", posexplode($"embedding").as(Seq("j", "xj")), $"xi")
+    // Quantize PER ELEMENT before the integer fold (the zipf_slope/pmi
+    // discipline): floor(sum(double)) sums in engine-dependent order and
+    // can land one quantum apart at a floor boundary; summing the
+    // floored BIGINTs is exact and association-free on both engines.
+    val gram = pairs
+      .groupBy($"i", $"j")
+      .agg(sum(floor($"xi".cast("double") * $"xj".cast("double") * 1e4)
+        .cast("long")).as("sq"))
+    val means = e
+      .select(posexplode($"embedding").as(Seq("i", "xi")))
+      .groupBy($"i")
+      .agg(sum(floor($"xi".cast("double") * 1e6).cast("long")).as("sm"),
+        count(lit(1)).as("n"))
+    gram
+      .join(means.select($"i", $"sm".as("smi"), $"n").hint("shuffle_hash"), "i")
+      .join(means.select($"i".as("j"), $"sm".as("smj")).hint("shuffle_hash"), "j")
+      .withColumn("c",
+        ($"n".cast("double") * ($"sq".cast("double") / 1e4)
+          - ($"smi".cast("double") / 1e6) * ($"smj".cast("double") / 1e6))
+          / ($"n".cast("double") * $"n".cast("double")))
+      .groupBy()
+      .agg(transform(array_sort(collect_list(struct($"i", $"j", $"c"))),
+        x => x.getField("c")).as("cm"),
+        first($"n").as("n_vecs"))
+  }
+
+  /** One matvec of the row-major `cm` column against `v` — j folds in
+    * index order on both engines (the determinism contract). */
+  private def pcaMatvec(v: Column): Column = {
+    val D = PcaD
+    transform(sequence(lit(0), lit(D - 1)), i =>
+      aggregate(zip_with(
+        slice(col("cm"), i * lit(D) + lit(1), lit(D)), v,
+        (a, b) => a * b), lit(0.0), (acc, x) => acc + x))
+  }
+
+  private def pcaNorm(v: Column): Column =
+    sqrt(aggregate(transform(v, x => x * x), lit(0.0), (a, x) => a + x))
+
+  private def pcaV0: Column =
+    array((0 until PcaD).map(_ => lit(1.0 / math.sqrt(PcaD.toDouble))): _*)
+
   val embedPca: GraftQuery = GraftQuery(
     "llm_embed_pca",
     (s, dir) => {
       import s.implicits._
-      val D = 64
-      val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
-      val pairs = e
-        .select(posexplode($"embedding").as(Seq("i", "xi")), $"vec_id")
-        .join(e.hint("shuffle_hash"), "vec_id")
-        .select($"i", posexplode($"embedding").as(Seq("j", "xj")), $"xi")
-      // Quantize PER ELEMENT before the integer fold (the zipf_slope/pmi
-      // discipline): floor(sum(double)) sums in engine-dependent order and
-      // can land one quantum apart at a floor boundary; summing the
-      // floored BIGINTs is exact and association-free on both engines.
-      val gram = pairs
-        .groupBy($"i", $"j")
-        .agg(sum(floor($"xi".cast("double") * $"xj".cast("double") * 1e4)
-          .cast("long")).as("sq"))
-      val means = e
-        .select(posexplode($"embedding").as(Seq("i", "xi")))
-        .groupBy($"i")
-        .agg(sum(floor($"xi".cast("double") * 1e6).cast("long")).as("sm"),
-          count(lit(1)).as("n"))
-      val cm = gram
-        .join(means.select($"i", $"sm".as("smi"), $"n").hint("shuffle_hash"), "i")
-        .join(means.select($"i".as("j"), $"sm".as("smj")).hint("shuffle_hash"), "j")
-        .withColumn("c",
-          ($"n".cast("double") * ($"sq".cast("double") / 1e4)
-            - ($"smi".cast("double") / 1e6) * ($"smj".cast("double") / 1e6))
-            / ($"n".cast("double") * $"n".cast("double")))
-        .groupBy()
-        .agg(transform(array_sort(collect_list(struct($"i", $"j", $"c"))),
-          x => x.getField("c")).as("cm"),
-          first($"n").as("n_vecs"))
-      def matvec(v: Column): Column =
-        transform(sequence(lit(0), lit(D - 1)), i =>
-          aggregate(zip_with(
-            slice($"cm", i * lit(D) + lit(1), lit(D)), v,
-            (a, b) => a * b), lit(0.0), (acc, x) => acc + x))
-      def norm(v: Column): Column =
-        sqrt(aggregate(transform(v, x => x * x), lit(0.0), (a, x) => a + x))
-      val v0 = array((0 until D).map(_ => lit(1.0 / math.sqrt(D.toDouble))): _*)
-      val iterated = (1 to 8).foldLeft(cm.withColumn("v", v0)) { (df, _) =>
+      val D = PcaD
+      val cm = pcaCovFrame(s, dir)
+      def matvec(v: Column): Column = pcaMatvec(v)
+      def norm(v: Column): Column = pcaNorm(v)
+      val v0 = pcaV0
+      val iterated = (1 to PcaIters).foldLeft(cm.withColumn("v", v0)) { (df, _) =>
         df.withColumn("vr", matvec($"v"))
           .withColumn("v", transform($"vr", x => x / norm($"vr")))
           .drop("vr")
@@ -2001,14 +2034,14 @@ object Similarity {
                    list_transform(range(1, ${D + 1}),
                      i -> 1.0 / sqrt(${D}.0)) AS v
             FROM trc),
-          ${(1 to 8).map(step).mkString(",\n          ")},
+          ${(1 to PcaIters).map(step).mkString(",\n          ")},
           fin AS (
             SELECT n_vecs, tr, cm, v,
                    list_sum(list_transform(range(1, ${D + 1}), i ->
                      v[i] * list_sum(list_transform(range(1, ${D + 1}), j ->
                        cm[(i - 1) * $D + j] * v[j])))) AS lam,
                    list_max(list_transform(v, x -> abs(x))) AS mx
-            FROM v8),
+            FROM v$PcaIters),
           sg AS (
             SELECT n_vecs, tr, v, lam,
                    CASE WHEN list_filter(v, x -> abs(x) = mx)[1] < 0.0
@@ -2025,10 +2058,181 @@ object Similarity {
     }
   )
 
+  /** TOP-K EMBEDDING PCA (k = 4) via Hotelling DEFLATION — the actual
+    * input to whitening / dimension-pruning decisions (one direction
+    * says "is the space collapsing"; the top-4 spectrum says how much
+    * structure survives a cut). After each component converges, the
+    * matrix deflates element-wise: cm ← cm − λ·v·vᵀ, which zeroes the
+    * found direction exactly, so the next power iteration converges to
+    * the next eigenpair; var shares report against the ORIGINAL trace.
+    *
+    * Determinism: identical to llm_embed_pca — both engines iterate the
+    * IDENTICAL quantized-BIGINT covariance, every matvec/normalizer/
+    * deflation is the same IEEE expression in the same fold order, so
+    * the doubles stay bit-equal through all 4 × 8 iterations; signs pin
+    * per component at the max-|v| element.
+    *
+    * Scale shape: unchanged from llm_embed_pca — ONE d²-domain
+    * aggregate over the corpus, then all 32 iterations + 3 deflations
+    * run on a 1-row frame (localCheckpointed per component so the
+    * expression tower resets — state is always the d² matrix + k
+    * vectors, at any corpus size). */
+  val embedPcaTopk: GraftQuery = GraftQuery(
+    "llm_embed_pca_topk",
+    (s, dir) => {
+      import s.implicits._
+      val D = PcaD
+      val K = 4
+      var df = pcaCovFrame(s, dir)
+        .withColumn("tr",
+          aggregate(transform(sequence(lit(0), lit(D - 1)),
+            i => element_at($"cm", i * lit(D + 1) + lit(1))),
+            lit(0.0), (acc, x) => acc + x))
+        .localCheckpoint()
+      for (c <- 1 to K) {
+        var it = df.withColumn("v", pcaV0)
+        for (_ <- 1 to PcaIters) {
+          it = it.withColumn("vr", pcaMatvec($"v"))
+            .withColumn("v", transform($"vr", x => x / pcaNorm($"vr")))
+            .drop("vr")
+        }
+        df = it
+          .withColumn(s"lam$c",
+            aggregate(zip_with($"v", pcaMatvec($"v"), (a, b) => a * b),
+              lit(0.0), (acc, x) => acc + x))
+          .withColumn("mx", array_max(transform($"v", x => abs(x))))
+          .withColumn(s"sgn$c",
+            when(element_at(filter($"v", x => abs(x) === $"mx"), 1) < 0.0,
+              lit(-1.0)).otherwise(lit(1.0)))
+          .withColumn(s"v$c", $"v")
+          .withColumn("cm", expr(
+            s"transform(sequence(0, ${D * D - 1}), i -> " +
+              s"element_at(cm, i + 1) - lam$c * " +
+              s"element_at(v$c, CAST(i div $D AS INT) + 1) * " +
+              s"element_at(v$c, pmod(i, $D) + 1))"))
+          .drop("v", "mx")
+          // 1-row checkpoint per component: resets the 8-iteration
+          // expression tower so analysis/codegen stays bounded.
+          .localCheckpoint()
+      }
+      df.select($"n_vecs", $"tr",
+          explode(array((1 to K).map { c =>
+            struct(lit(c.toLong).as("component"),
+              col(s"lam$c").as("lam"), col(s"sgn$c").as("sgn"),
+              col(s"v$c").as("v"))
+          }: _*)).as("r"))
+        .select($"r.component".as("component"), $"n_vecs",
+          graft.GraftQuery.roundNorm($"r.lam", 6).as("eig"),
+          graft.GraftQuery.roundNorm($"r.lam" / $"tr", 6).as("var_share"),
+          graft.GraftQuery.roundNorm(element_at($"r.v", 1) * $"r.sgn", 4).as("v1"),
+          graft.GraftQuery.roundNorm(element_at($"r.v", 2) * $"r.sgn", 4).as("v2"),
+          graft.GraftQuery.roundNorm(element_at($"r.v", 3) * $"r.sgn", 4).as("v3"),
+          graft.GraftQuery.roundNorm(element_at($"r.v", 4) * $"r.sgn", 4).as("v4"))
+        .orderBy($"component")
+    },
+    Some {
+      val D = PcaD
+      val K = 4
+      def stepC(c: Int, k: Int): String = {
+        val prev = if (k == 1) s"c${c}v0" else s"c${c}v${k - 1}"
+        s"""c${c}p$k AS MATERIALIZED (
+              SELECT cm, n_vecs, tr,
+                     list_transform(range(1, ${D + 1}), i ->
+                       list_sum(list_transform(range(1, ${D + 1}), j ->
+                         cm[(i - 1) * $D + j] * v[j]))) AS vr
+              FROM $prev),
+            c${c}v$k AS MATERIALIZED (
+              SELECT cm, n_vecs, tr,
+                     list_transform(vr, x ->
+                       x / sqrt(list_sum(list_transform(vr, y -> y * y)))) AS v
+              FROM c${c}p$k)"""
+      }
+      def component(c: Int): String = {
+        val base = if (c == 1) "trc" else s"c${c}base"
+        val fin =
+          s"""c${c}v0 AS (
+                SELECT cm, n_vecs, tr,
+                       list_transform(range(1, ${D + 1}),
+                         i -> 1.0 / sqrt(${D}.0)) AS v
+                FROM $base),
+              ${(1 to PcaIters).map(k => stepC(c, k)).mkString(",\n              ")},
+              c${c}fin AS MATERIALIZED (
+                SELECT n_vecs, tr, cm, v,
+                       list_sum(list_transform(range(1, ${D + 1}), i ->
+                         v[i] * list_sum(list_transform(range(1, ${D + 1}), j ->
+                           cm[(i - 1) * $D + j] * v[j])))) AS lam,
+                       list_max(list_transform(v, x -> abs(x))) AS mx
+                FROM c${c}v$PcaIters),
+              c${c}sg AS MATERIALIZED (
+                SELECT n_vecs, tr, cm, v, lam,
+                       CASE WHEN list_filter(v, x -> abs(x) = mx)[1] < 0.0
+                            THEN -1.0 ELSE 1.0 END AS sgn
+                FROM c${c}fin)"""
+        val next = if (c < K)
+          s""",
+              c${c + 1}base AS MATERIALIZED (
+                SELECT list_transform(range(0, ${D * D}), i ->
+                         cm[i + 1] - lam * v[(i // $D) + 1] * v[(i % $D) + 1])
+                         AS cm,
+                       n_vecs, tr
+                FROM c${c}sg)"""
+        else ""
+        fin + next
+      }
+      val outRows = (1 to K).map { c =>
+        s"""SELECT CAST($c AS BIGINT) AS component, n_vecs,
+                   (round(lam, 6) + 0.0) AS eig,
+                   (round(lam / tr, 6) + 0.0) AS var_share,
+                   (round(v[1] * sgn, 4) + 0.0) AS v1,
+                   (round(v[2] * sgn, 4) + 0.0) AS v2,
+                   (round(v[3] * sgn, 4) + 0.0) AS v3,
+                   (round(v[4] * sgn, 4) + 0.0) AS v4
+            FROM c${c}sg"""
+      }.mkString("\n            UNION ALL\n            ")
+      s"""WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          cells AS (
+            SELECT a.dim - 1 AS i, b.dim - 1 AS j,
+                   sum(CAST(floor(a.x * b.x * 1e4) AS BIGINT)) AS sq
+            FROM (SELECT vec_id, generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM e) a
+            JOIN (SELECT vec_id, generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM e) b
+              USING (vec_id)
+            GROUP BY 1, 2),
+          m AS (
+            SELECT dim - 1 AS i,
+                   sum(CAST(floor(x * 1e6) AS BIGINT)) AS sm,
+                   count(*) AS n
+            FROM (SELECT vec_id, generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM e)
+            GROUP BY 1),
+          cov AS (
+            SELECT c.i, c.j,
+                   (CAST(mi.n AS DOUBLE) * (CAST(c.sq AS DOUBLE) / 1e4)
+                    - (CAST(mi.sm AS DOUBLE) / 1e6) * (CAST(mj.sm AS DOUBLE) / 1e6))
+                     / (CAST(mi.n AS DOUBLE) * mi.n) AS c,
+                   mi.n AS n
+            FROM cells c
+            JOIN m mi ON c.i = mi.i
+            JOIN m mj ON c.j = mj.i),
+          asm AS (
+            SELECT list(c ORDER BY i, j) AS cm,
+                   CAST(max(n) AS BIGINT) AS n_vecs
+            FROM cov),
+          trc AS MATERIALIZED (
+            SELECT cm, n_vecs,
+                   list_sum(list_transform(range(1, ${D + 1}),
+                     i -> cm[(i - 1) * $D + i])) AS tr
+            FROM asm),
+          ${(1 to K).map(component).mkString(",\n          ")}
+          SELECT component, n_vecs, eig, var_share, v1, v2, v3, v4 FROM (
+            $outRows)
+          ORDER BY component"""
+    }
+  )
+
   def all: Seq[GraftQuery] =
     Seq(bruteTopK, rangeSearch, rangeIvf, lshTopK, ivfTopK, ivf2TopK,
       ivfPersistedTopK, embedStats, pqTopK, indexAppendTopK, indexDeleteTopK,
       ivfPqTopK,
       mmrDiversify, filteredTopK, filteredPersistedTopK, knnJoin,
-      embedQuantize, embedDrift, embedOutliers, embedPca)
+      embedQuantize, embedDrift, embedOutliers, embedPca, embedPcaTopk)
 }

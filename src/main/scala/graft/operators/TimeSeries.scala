@@ -656,7 +656,7 @@ object TimeSeries {
     * exact per-user `session_seq`, windows partitioned by (user_id, day)
     * plus one per-user pass over the per-(user, day) BOUNDARY table.
     * Columns: user_id, ts, event_id, value, session_seq. */
-  private def sessionFrame(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def sessionFrame(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Tables.events(s, dir)
       .select($"user_id", $"ts", $"event_id", $"value",
@@ -3805,11 +3805,11 @@ object TimeSeries {
     * Sessions come from the shared two-level [[sessionFrame]] (r14):
     * no single-level per-user window anywhere in this plan, so a 4M-row
     * bot user costs one user-DAY sort, not one user-history sort. The
-    * remaining day-partitioned sweep window runs over session BOUNDARY
-    * events (2 per session-day clip — already reduced vs raw events);
-    * a hyper-hot single day still funnels into one task, bounded by
-    * sessions-that-day × 2; two-level by (day, hour) if that ever
-    * measures hot. */
+    * sweep itself is two-leveled by (day, hour) since r15: the in-day
+    * cumsum over boundary events is an integer prefix sum, so it
+    * reassembles exactly from within-hour running sums plus the carry
+    * of previous hour-bucket totals — a hyper-hot day spreads over its
+    * ~24 hour tasks instead of funneling into one. */
   val concurrency: GraftQuery = GraftQuery(
     "ts_concurrency",
     (s, dir) => {
@@ -3831,11 +3831,26 @@ object TimeSeries {
             struct($"ce".as("t"), lit(-1L).as("dl")))).as("e"))
         .select($"user_id", $"session_seq", $"day",
           $"e.t".as("t"), $"e.dl".as("dl"))
-      val wd = Window.partitionBy($"day")
+      // TWO-LEVEL (day, hour) sweep (r15, closing the Scaladoc's own
+      // escalation note): the in-day cumulative sum is an INTEGER prefix
+      // sum over (t, dl, user_id, session_seq) order, and hour(t) is
+      // monotone in t (ties share an hour), so cum = carry(previous
+      // hour-buckets' +/-1 totals within the day) + within-bucket
+      // running sum — bit-identical to the single-DAY window
+      // (TwoLevelParitySpec pins it), with a hyper-hot day now spread
+      // over its 24-25 hour tasks instead of one.
+      val ev2 = events.withColumn("hr", ($"t" / 3600L).cast("long"))
+      val wh = Window.partitionBy($"day", $"hr")
         .orderBy($"t", $"dl", $"user_id", $"session_seq")
         .rowsBetween(Window.unboundedPreceding, 0)
-      events
-        .withColumn("cum", sum($"dl").over(wd))
+      val local = ev2.withColumn("lcum", sum($"dl").over(wh))
+      val wdh = Window.partitionBy($"day").orderBy($"hr")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val carried = ev2.groupBy($"day", $"hr").agg(sum($"dl").as("htot"))
+        .withColumn("carry", coalesce(sum($"htot").over(wdh), lit(0L)))
+        .select($"day", $"hr", $"carry")
+      local.join(carried.hint("shuffle_hash"), Seq("day", "hr"))
+        .withColumn("cum", $"carry" + $"lcum")
         .groupBy($"day")
         .agg(sum(when($"dl" === 1L, 1L).otherwise(0L)).as("n_sessions"),
           max($"cum").as("peak_concurrency"),

@@ -163,7 +163,15 @@ object CorpusStream {
     * eagerly-executed DAG per emulated micro-batch) — shared by
     * stream_curate and stream_train_manifest so the two twins cannot
     * drift on what a wave keeps. */
-  private def curateWaves(s: SparkSession, dir: String): Seq[DataFrame] = {
+  private def curateWaves(s: SparkSession, dir: String): Seq[DataFrame] =
+    // Session memo (r15): stream_curate AND stream_train_manifest
+    // consume these identical waves; each wave lands once per session
+    // (the production shape) instead of once per consuming query.
+    graft.SessionMemo.frames(s, s"curateWaves|$dir") {
+      curateWavesBuild(s, dir)
+    }
+
+  private def curateWavesBuild(s: SparkSession, dir: String): Seq[DataFrame] = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
     val lm = Corpus.lmModel(s, dir)

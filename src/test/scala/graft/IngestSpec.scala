@@ -462,6 +462,44 @@ class IngestSpec extends AnyFunSuite {
     }
   }
 
+  test("lifecycle ops are FS-scheme independent: RawLocalFileSystem leg (ADVICE r13 item 8)") {
+    // The lifecycle family's orphan probes and manifest IO all go
+    // through `path.getFileSystem(hadoopConf)`. The default local
+    // scheme wraps ChecksumFileSystem, which HIDES .crc side files
+    // from listStatus — a behavior HDFS/S3A do not share — so this leg
+    // re-drives vacuum/retention_meta/clone/restore through a raw
+    // `file:` FileSystem (no checksum layer: listStatus SHOWS the .crc
+    // files earlier checksummed runs left on disk) and asserts the
+    // results identical: the hidden-attempt-tree rule and manifest
+    // reads must not depend on the scheme's listing quirks.
+    val lifecycle = Seq("ingest_vacuum", "ingest_retention_meta",
+      "ingest_clone", "ingest_restore")
+    def run(q: String): Seq[String] =
+      SparkEntry.queries(q)(spark, TestSpark.Sf).collect().map(_.toString).toSeq
+    val underDefault = lifecycle.map(q => q -> run(q)).toMap
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prevImpl = hc.get("fs.file.impl")
+    val prevCache = hc.get("fs.file.impl.disable.cache")
+    hc.set("fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+    hc.set("fs.file.impl.disable.cache", "true")
+    try {
+      // sanity: the swap is live — the resolved FS has no checksum layer
+      val fs = new org.apache.hadoop.fs.Path("/tmp")
+        .getFileSystem(hc)
+      assert(fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem],
+        s"fs.file.impl swap did not take: got ${fs.getClass.getName}")
+      for (q <- lifecycle) {
+        assert(run(q) === underDefault(q),
+          s"$q result differs under RawLocalFileSystem")
+      }
+    } finally {
+      if (prevImpl == null) hc.unset("fs.file.impl")
+      else hc.set("fs.file.impl", prevImpl)
+      if (prevCache == null) hc.unset("fs.file.impl.disable.cache")
+      else hc.set("fs.file.impl.disable.cache", prevCache)
+    }
+  }
+
   test("text source: limit-2 split recovers every record byte-exactly") {
     import org.apache.spark.sql.functions._
     // run the registered query once so the line layout exists

@@ -224,6 +224,40 @@ class PlanAuditSpec extends AnyFunSuite {
       p.subqueries.flatMap(singleHotKeyWindows)
   }
 
+  /** Round-15 gate (VERDICT r14 item 3): a WindowExec partitioned by
+    * EXACTLY one day/date key funnels a hyper-hot day — a flash-sale
+    * spike, a bot wave — into ONE task's sort, the day-scale analog of
+    * the hot-user rule above. A sweep/cumulative day window must
+    * two-level by (day, hour)/(day, bucket) (see ts_concurrency's
+    * hour-bucket carry) or carry a reviewed entry here with a written
+    * per-day row bound. Detection is by partition-key TYPE (DateType),
+    * so renamed day columns can't dodge it. */
+  private val singleDayWindowAllowed: Set[String] = Set(
+    // PERMANENT (reviewed): the carry side of the (day, hour) two-level
+    // sweep itself — a day-partitioned ordered sum over the per-(day,
+    // hour) bucket-total table, ≤ 25 rows per day by the hour domain.
+    "ts_concurrency",
+    // PERMANENT (reviewed): the cumulative-LTV window partitions by
+    // cohort_week over the (cohort_week, age_week) REVENUE AGGREGATE —
+    // rows per partition = the age-week count, bounded by calendar span
+    // / 7, not by any per-day data volume.
+    "agg_cohort_ltv")
+
+  private def singleDayWindows(p: SparkPlan): Seq[WindowExec] = {
+    val self = p match {
+      case a: AdaptiveSparkPlanExec => singleDayWindows(a.executedPlan)
+      case w: WindowExec
+          if w.partitionSpec.size == 1 &&
+            w.partitionSpec.head.references.size == 1 &&
+            w.partitionSpec.head.dataType ==
+              org.apache.spark.sql.types.DateType =>
+        Seq(w)
+      case _ => Seq.empty
+    }
+    self ++ p.children.flatMap(singleDayWindows) ++
+      p.subqueries.flatMap(singleDayWindows)
+  }
+
   private def unpartitionedWindows(p: SparkPlan): Seq[WindowExec] = {
     val self = p match {
       case a: AdaptiveSparkPlanExec => unpartitionedWindows(a.executedPlan)
@@ -287,6 +321,15 @@ class PlanAuditSpec extends AnyFunSuite {
             s"into one task; two-level by (key, day) instead (r13 skew " +
             s"ladder: 3.1-3.5x): " +
             hot.map(_.partitionSpec.mkString(",")).mkString(" | "))
+      }
+      if (!singleDayWindowAllowed(q.name)) {
+        val dayWins = singleDayWindows(exec)
+        assert(dayWins.isEmpty,
+          s"${q.name} plans ${dayWins.size} single-DAY-key Window(s) — a " +
+            s"hyper-hot day funnels into one task; two-level by " +
+            s"(day, hour) (the ts_concurrency sweep device) or add a " +
+            s"reviewed allowlist entry with a per-day row bound: " +
+            dayWins.map(_.partitionSpec.mkString(",")).mkString(" | "))
       }
     }
   }

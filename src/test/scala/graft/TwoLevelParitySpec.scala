@@ -182,6 +182,38 @@ class TwoLevelParitySpec extends AnyFunSuite {
     }
   }
 
+  test("ts_concurrency == naive single-DAY sweep form") {
+    // The r15 (day, hour) two-level sweep vs the single-day window it
+    // replaced: the in-day cumsum is an integer prefix sum, so the
+    // hour-bucket carry must reassemble it bit-exactly.
+    val sessions = operators.TimeSeries.sessionFrame(spark, TestSpark.Sf)
+      .groupBy($"user_id", $"session_seq")
+      .agg(min($"ts").cast("long").as("t0"), max($"ts").cast("long").as("t1"))
+    val clips = sessions
+      .withColumn("day", explode(sequence(
+        to_date(from_unixtime($"t0")), to_date(from_unixtime($"t1")))))
+      .withColumn("d0", $"day".cast("timestamp").cast("long"))
+      .withColumn("cs", greatest($"t0", $"d0"))
+      .withColumn("ce", least($"t1" + 1L, $"d0" + 86400L))
+    val events = clips.select($"user_id", $"session_seq", $"day",
+        explode(array(
+          struct($"cs".as("t"), lit(1L).as("dl")),
+          struct($"ce".as("t"), lit(-1L).as("dl")))).as("e"))
+      .select($"user_id", $"session_seq", $"day",
+        $"e.t".as("t"), $"e.dl".as("dl"))
+    val wd = Window.partitionBy($"day")
+      .orderBy($"t", $"dl", $"user_id", $"session_seq")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    assertSame("ts_concurrency",
+      events
+        .withColumn("cum", sum($"dl").over(wd))
+        .groupBy($"day")
+        .agg(sum(when($"dl" === 1L, 1L).otherwise(0L)).as("n_sessions"),
+          max($"cum").as("peak_concurrency"),
+          sum(when($"dl" === 1L, $"cum" - 1L).otherwise(0L)).as("overlap_pairs"))
+        .orderBy($"day"))
+  }
+
   test("ts_cusum == naive single-level prefix form") {
     val evc = ev.select($"user_id", $"event_id", $"ts",
       ($"value".cast("decimal(18,2)") * 100).cast("long").as("v100"))
