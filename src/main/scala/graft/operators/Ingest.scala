@@ -575,6 +575,64 @@ object Ingest {
             FROM s ORDER BY col_name""")
   )
 
+  /** ANALYZE, approx mode — the 100 TB production toggle the exact form's
+    * Scaladoc promises: per-column NDV via approx_count_distinct (HLL++,
+    * rsd 2%) in ONE streaming pass with a fixed-size sketch per column,
+    * versus countDistinct's per-column Expand + distinct aggregate (its
+    * shuffle volume is rows × columns — the thing that does not survive
+    * a 100× scale-up; the sketch pass is what ANALYZE actually runs on a
+    * production warehouse).
+    *
+    * Grading an approximation against an exact-SQL oracle: the output
+    * carries the EXACT ndv (so the row is deterministic) plus a
+    * SELF-CERTIFYING bound column — approx_within_5pct compares Spark's
+    * HLL++ estimate to the exact count; the oracle asserts literal TRUE.
+    * The hash matches iff the estimate actually lands inside the bound
+    * (the ANN planted-closed-form device). HLL++ is deterministic for a
+    * given input, so the certificate cannot flap. */
+  val ingestAnalyzeApprox: GraftQuery = GraftQuery(
+    "ingest_analyze_approx",
+    (s, dir) => {
+      import s.implicits._
+      val t = Tables.orders(s, dir).select(
+        $"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_orderpriority",
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("o_price_cents"),
+        to_date($"o_orderdate").as("o_day"))
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority", "o_price_cents", "o_day")
+      val aggs = cols.flatMap { c =>
+        Seq(countDistinct(col(c)).as(s"ndv_$c"),
+          approx_count_distinct(col(c), 0.02).as(s"andv_$c"))
+      }
+      val stacked = cols.map(c =>
+        s"'$c', ndv_$c, " +
+          s"(abs(CAST(andv_$c AS DOUBLE) / CAST(ndv_$c AS DOUBLE) - 1.0)" +
+          s" <= 0.05)").mkString(", ")
+      t.agg(aggs.head, aggs.tail: _*)
+        .select(expr(s"stack(${cols.size}, $stacked) AS " +
+          "(col_name, ndv, approx_within_5pct)"))
+        .orderBy($"col_name")
+    },
+    Some("""WITH t AS (
+              SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS o_price_cents,
+                     CAST(o_orderdate AS DATE) AS o_day
+              FROM orders),
+            s AS (
+              SELECT 'o_orderkey' AS col_name,
+                     count(DISTINCT o_orderkey) AS ndv FROM t
+              UNION ALL SELECT 'o_custkey', count(DISTINCT o_custkey) FROM t
+              UNION ALL SELECT 'o_orderstatus', count(DISTINCT o_orderstatus) FROM t
+              UNION ALL SELECT 'o_orderpriority', count(DISTINCT o_orderpriority) FROM t
+              UNION ALL SELECT 'o_price_cents', count(DISTINCT o_price_cents) FROM t
+              UNION ALL SELECT 'o_day', count(DISTINCT o_day) FROM t)
+            SELECT col_name, CAST(ndv AS BIGINT) AS ndv,
+                   TRUE AS approx_within_5pct
+            FROM s ORDER BY col_name""")
+  )
+
   /** Incremental load from a committed watermark (R2/R3 batch form):
     * only events past the watermark are consumed; the predicate pushes
     * into the scan. The watermark here is derived (midpoint) to stay
@@ -1382,7 +1440,7 @@ object Ingest {
 
   def all: Seq[GraftQuery] =
     Seq(ingestPartitioned, ingestIncremental, scanPartitionPrune, joinBucketed,
-        ingestUpsert, ingestRetention, ingestRetentionMeta, ingestVacuum, ingestAnalyze, ingestTimeTravel, ingestSnapshotDiff,
+        ingestUpsert, ingestRetention, ingestRetentionMeta, ingestVacuum, ingestAnalyze, ingestAnalyzeApprox, ingestTimeTravel, ingestSnapshotDiff,
         ingestClone, ingestRestore,
         sourceCsv, sourceJson, sourceOrc,
         sourceText, sourceBinary,

@@ -3785,6 +3785,143 @@ object TimeSeries {
             FROM f ORDER BY direction""")
   )
 
+  /** Engle–Granger COINTEGRATION test on the daily click/purchase cent
+    * series — "do the two series share a common stochastic trend?", the
+    * pairs-relationship diagnostic run before building any ratio/spread
+    * feature on two drifting metrics (correlation on nonstationary
+    * series is spurious; cointegration is the defensible statement).
+    *
+    * Two-step EG: (1) OLS y~x on exact BIGINT cent sums — beta/alpha
+    * are exact-rational-derived doubles (the ts_ols discipline); (2) a
+    * Dickey–Fuller t-test on the residuals, Δu_t = ρ·u_{t−1} + ε.
+    *
+    * THE QUANTIZED-RESIDUAL DESIGN (the determinism risk that had this
+    * operator cut in r14): the stage-2 sums Σu_{t−1}Δu_t, Σu², ΣΔu²
+    * over raw double residuals would be order-dependent double folds —
+    * DuckDB's sum association ≠ Spark's (the ts_cusum trap). Instead
+    * the residuals QUANTIZE to integer cents first: u_t is the same
+    * IEEE expression on both engines (identical alpha/beta doubles,
+    * integer inputs → bit-identical per-row doubles), floor() of
+    * identical doubles is an identical BIGINT, and every stage-2 fold
+    * is then exact integer arithmetic at any association. SSE expands
+    * through the sufficient statistics (Syy − 2ρSxy + ρ²Sxx), never a
+    * per-row double fold. The cointegrated flag compares the ROUNDED t
+    * against the 5% EG critical value (−3.34, coefficients-estimated
+    * case) — the llm_sim_range boundary rule.
+    *
+    * Scale shape: one hash aggregate to the day domain, a 1-row OLS
+    * broadcast back onto the day table, one unpartitioned lag over the
+    * REDUCED day-domain series (bounded by calendar days — the
+    * ts_cumulative_users precedent), two guarded integer folds. */
+  val cointegration: GraftQuery = GraftQuery(
+    "ts_cointegration",
+    (s, dir) => {
+      import s.implicits._
+      val cents = expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+      val daily = Tables.events(s, dir)
+        .filter($"event_type".isin("click", "purchase"))
+        .select($"event_type", to_date($"ts").as("d"), cents.as("c"))
+        .groupBy($"event_type", $"d").agg(sum($"c").as("v"))
+      val xs = daily.filter($"event_type" === "click").select($"d", $"v".as("x"))
+      val ys = daily.filter($"event_type" === "purchase").select($"d", $"v".as("y"))
+      val j = xs.join(ys.hint("shuffle_hash"), "d").localCheckpoint()
+      def g(c: Column, tag: String) = graft.GraftQuery.guarded(sum(c),
+        count(lit(1)).cast("double") * max(abs(c)).cast("double") < lit(9e18),
+        s"ts_cointegration: $tag fold past BIGINT headroom — rescale to a " +
+          "coarser unit")
+      def d(c: Column) = c.cast("double")
+      val ab = j.agg(count(lit(1)).as("n"),
+          sum($"x").as("sx"), sum($"y").as("sy"),
+          g($"x" * $"x", "Σx²").as("sxx"),
+          g($"x" * $"y", "Σxy").as("sxy"))
+        .withColumn("cxx", d($"sxx") - d($"sx") * d($"sx") / d($"n"))
+        .withColumn("cxy", d($"sxy") - d($"sx") * d($"sy") / d($"n"))
+        .withColumn("beta", $"cxy" / $"cxx")
+        .withColumn("alpha", (d($"sy") - $"beta" * d($"sx")) / d($"n"))
+        .select($"n", $"beta", $"alpha")
+      val resid = j.crossJoin(broadcast(ab))
+        .withColumn("ru",
+          floor(d($"y") - $"alpha" - $"beta" * d($"x")).cast("long"))
+        .select($"d", $"ru")
+      val w = Window.orderBy($"d")
+      val lagged = resid
+        .withColumn("ru1", lag($"ru", 1).over(w))
+        .filter($"ru1".isNotNull)
+        .withColumn("du", $"ru" - $"ru1")
+      lagged.agg(count(lit(1)).as("n2"),
+          g($"ru1" * $"ru1", "Σu²").as("sxx2"),
+          g($"ru1" * $"du", "Σu·Δu").as("sxy2"),
+          g($"du" * $"du", "ΣΔu²").as("syy2"))
+        .crossJoin(broadcast(ab))
+        .withColumn("rho", d($"sxy2") / d($"sxx2"))
+        .withColumn("sse",
+          d($"syy2") - lit(2.0) * $"rho" * d($"sxy2")
+            + $"rho" * $"rho" * d($"sxx2"))
+        .withColumn("adf_t", graft.GraftQuery.roundNorm(
+          $"rho" / sqrt(($"sse" / (d($"n2") - lit(1.0))) / d($"sxx2")), 4))
+        .select($"n".as("n_days"),
+          graft.GraftQuery.roundNorm($"beta", 6).as("beta"),
+          graft.GraftQuery.roundNorm($"alpha", 4).as("alpha_cents"),
+          $"adf_t",
+          ($"adf_t" < lit(-3.34)).as("cointegrated"))
+    },
+    Some("""WITH daily AS (
+              SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+                     CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+              FROM events
+              WHERE event_type IN ('click', 'purchase')
+              GROUP BY 1, 2),
+            j AS (SELECT a.d, a.v AS x, b.v AS y
+                  FROM daily a JOIN daily b ON a.d = b.d
+                  WHERE a.event_type = 'click' AND b.event_type = 'purchase'),
+            s1 AS (SELECT count(*) AS n,
+                          CAST(sum(x) AS BIGINT) AS sx,
+                          CAST(sum(y) AS BIGINT) AS sy,
+                          CAST(sum(x * x) AS BIGINT) AS sxx,
+                          CAST(sum(x * y) AS BIGINT) AS sxy
+                   FROM j),
+            ab AS (SELECT n,
+                          (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                            / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                            AS beta
+                   FROM s1),
+            ab2 AS (SELECT s1.n, ab.beta,
+                           (CAST(s1.sy AS DOUBLE) - ab.beta * CAST(s1.sx AS DOUBLE)) / CAST(s1.n AS DOUBLE) AS alpha
+                    FROM s1, ab),
+            resid AS (
+              SELECT j.d,
+                     CAST(floor(CAST(j.y AS DOUBLE) - ab2.alpha
+                                - ab2.beta * CAST(j.x AS DOUBLE)) AS BIGINT) AS ru
+              FROM j, ab2),
+            lagged AS (
+              SELECT ru, lag(ru) OVER (ORDER BY d) AS ru1
+              FROM resid QUALIFY ru1 IS NOT NULL),
+            s2 AS (SELECT count(*) AS n2,
+                          CAST(sum(ru1 * ru1) AS BIGINT) AS sxx2,
+                          CAST(sum(ru1 * (ru - ru1)) AS BIGINT) AS sxy2,
+                          CAST(sum((ru - ru1) * (ru - ru1)) AS BIGINT) AS syy2
+                   FROM lagged),
+            fin AS (
+              SELECT ab2.n, ab2.beta, ab2.alpha, s2.n2,
+                     CAST(s2.sxy2 AS DOUBLE) / CAST(s2.sxx2 AS DOUBLE) AS rho,
+                     s2.sxx2, s2.sxy2, s2.syy2
+              FROM s2, ab2),
+            tst AS (
+              SELECT n, beta, alpha, n2, rho, sxx2,
+                     CAST(syy2 AS DOUBLE) - 2.0 * rho * CAST(sxy2 AS DOUBLE)
+                       + rho * rho * CAST(sxx2 AS DOUBLE) AS sse
+              FROM fin)
+            SELECT n AS n_days,
+                   (round(beta, 6) + 0.0) AS beta,
+                   (round(alpha, 4) + 0.0) AS alpha_cents,
+                   (round(rho / sqrt((sse / (CAST(n2 AS DOUBLE) - 1.0))
+                                     / CAST(sxx2 AS DOUBLE)), 4) + 0.0) AS adf_t,
+                   (round(rho / sqrt((sse / (CAST(n2 AS DOUBLE) - 1.0))
+                                     / CAST(sxx2 AS DOUBLE)), 4) + 0.0) < -3.34
+                     AS cointegrated
+            FROM tst""")
+  )
+
   /** Per-day session concurrency via the SWEEP-LINE device — peak
     * simultaneous sessions and the exact count of overlapping session
     * pairs per calendar day, off the ts_sessionize session table: the
@@ -3909,7 +4046,7 @@ object TimeSeries {
       asofNearest, rollingOls, forecastEval, activeUsers, wowGrowth, holtDamped,
       holtWintersDamped, croston, intermittency, drawdown, bollinger, rsi,
       smaCross, macd, varRatio, did, decompose, granger, concurrency,
-      adf, hurst)
+      adf, hurst, cointegration)
 
   /** AUGMENTED DICKEY–FULLER unit-root test per event type over the
     * daily revenue series — "is this metric a random walk or does it

@@ -11,6 +11,51 @@ class NewOps15Spec extends AnyFunSuite {
   private def run(q: String) =
     SparkEntry.queries(q)(spark, TestSpark.Sf).collect()
 
+  test("ts_cointegration: residual regression replays a driver-side Engle-Granger") {
+    import org.apache.spark.sql.functions._
+    val r = run("ts_cointegration").head
+    // driver-side replay on the same daily series
+    val daily = sources.Tables.events(spark, TestSpark.Sf)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), to_date(col("ts")).as("d"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
+      .groupBy(col("event_type"), col("d")).agg(sum(col("c")).as("v"))
+      .collect().map(x => (x.getString(0), x.getDate(1).toString, x.getLong(2)))
+    val xs = daily.filter(_._1 == "click").map(t => t._2 -> t._3).toMap
+    val ys = daily.filter(_._1 == "purchase").map(t => t._2 -> t._3).toMap
+    val days = (xs.keySet & ys.keySet).toSeq.sorted
+    val n = days.size
+    assert(r.getAs[Long]("n_days") === n.toLong)
+    val (sx, sy) = (days.map(xs).sum.toDouble, days.map(ys).sum.toDouble)
+    val sxx = days.map(d => xs(d).toDouble * xs(d)).sum
+    val sxy = days.map(d => xs(d).toDouble * ys(d)).sum
+    val beta = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    val alpha = (sy - beta * sx) / n
+    assert(math.abs(r.getAs[Double]("beta") - beta) <= 1e-4)
+    assert(math.abs(r.getAs[Double]("alpha_cents") - alpha) <= math.abs(alpha) * 1e-4 + 1e-2)
+    val ru = days.map(d => math.floor(ys(d) - alpha - beta * xs(d)).toLong)
+    val (u1, du) = (ru.init, ru.tail.zip(ru.init).map { case (a, b) => a - b })
+    val sxx2 = u1.map(v => v.toDouble * v).sum
+    val sxy2 = u1.zip(du).map { case (a, b) => a.toDouble * b }.sum
+    val syy2 = du.map(v => v.toDouble * v).sum
+    val rho = sxy2 / sxx2
+    val sse = syy2 - 2.0 * rho * sxy2 + rho * rho * sxx2
+    val t = rho / math.sqrt((sse / (n - 2)) / sxx2)
+    assert(math.abs(r.getAs[Double]("adf_t") - t) <= 1e-2,
+      s"adf_t ${r.getAs[Double]("adf_t")} vs driver replay $t")
+    assert(r.getAs[Boolean]("cointegrated") === (r.getAs[Double]("adf_t") < -3.34))
+  }
+
+  test("ingest_analyze_approx: every HLL++ estimate certifies within 5% of the exact NDV") {
+    val rows = run("ingest_analyze_approx")
+    assert(rows.length === 6)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("ndv") > 0L)
+      assert(r.getAs[Boolean]("approx_within_5pct"),
+        s"${r.getAs[String]("col_name")}: estimate left the certified bound")
+    }
+  }
+
   test("llm_embed_pca_topk: descending spectrum, shares sum <= 1, component 1 == llm_embed_pca") {
     val rows = run("llm_embed_pca_topk").sortBy(_.getAs[Long]("component"))
     assert(rows.map(_.getAs[Long]("component")).toSeq === Seq(1L, 2L, 3L, 4L))

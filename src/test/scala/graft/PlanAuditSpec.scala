@@ -94,6 +94,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "agg_assoc_rules",    // 1-row basket-count broadcast onto the \u226425-row pair table
     "llm_clf_lift",       // 1-row (n, P) totals broadcast onto the rank frame
     "ts_did",             // 1-row calendar-bounds broadcast onto the daily frame
+    "ts_cointegration",   // 1-row OLS (alpha, beta) broadcast onto the day series x2
     "agg_price_index",    // 1-row base-year broadcast (non-equi yr <> y0 residual)
     "graph_reciprocity",  // 1-row reciprocal-count broadcast onto the 1-row edge count
     "stream_assoc_rules", // 1-row basket-count broadcast (the batch assocFold plan)
@@ -150,6 +151,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "stream_survival_km",    // the batch survivalFold plan over the lifetime-day domain
     "llm_curriculum",        // \u226432-row range-bucket prefix table (twoLevelRank)
     "ts_cumulative_users",   // bounded day-domain running sum above the first-day agg
+    "ts_cointegration",      // residual lag over the calendar-day-domain series table
     "agg_raking")            // full-frame total over the 25-cell band×priority aggregate
                              // (partitionBy(lit(1)) folds to an empty partitionSpec)
 
