@@ -2326,10 +2326,136 @@ object Graph {
             ORDER BY nation""")
   )
 
+  /** FW-BW strongly-connected-component peel, first round, on the
+    * ORDER-SEQUENCE directed part graph (graph_reciprocity's edge set —
+    * thousands of vertices, the "user-scale" shape) — the corpus-scale
+    * SCC device graph_scc's Scaladoc documents as prose: exact closure
+    * by iterative doubling is O(|V|²) reach pairs and correct ONLY on a
+    * bounded domain like the 25 nations; at user-scale vertex sets the
+    * production algorithm is Forward-Backward (Fleischer–Hendrickson–
+    * Pinar): pick a pivot, compute its forward set F and backward set B
+    * by FRONTIER BFS (per-round cost O(frontier edges), never |V|²),
+    * F ∩ B is exactly the pivot's SCC, and the three remainders
+    * (F∖B, B∖F, neither) are independent subproblems the recursion
+    * peels — this operator grades the round the recursion repeats:
+    * pivot's SCC plus the remainder classification.
+    *
+    * Determinism: pivot = min vertex id; BFS runs to the FIXPOINT
+    * (early-exit when a frontier adds nothing, 64-round failsafe), so
+    * the sets equal the oracle's recursive-CTE fixpoint exactly.
+    *
+    * Scale shape: each BFS round joins only the NEWEST frontier against
+    * the edge table (shuffle-hash on the edge key) and anti-joins the
+    * visited set — the graph_bfs Pregel device; rounds are lineage-cut.
+    * Total work across all rounds is O(E + V·rounds). */
+  /** The FW-BW round over any (src, dst) directed edge frame — factored
+    * so NewOps15Spec can drive a synthetic multi-class digraph (the
+    * fixture's order-sequence graph is one giant SCC, which exercises
+    * only the 'scc' label). Returns (part, side, scc_size). */
+  private[graft] def fwbwClassify(s: SparkSession, p0: DataFrame): DataFrame = {
+    import s.implicits._
+    val p = p0.localCheckpoint()
+    val allv = p.select($"src".as("v")).union(p.select($"dst".as("v")))
+      .distinct().localCheckpoint()
+    val pivotRow = allv.orderBy($"v".asc).limit(1).localCheckpoint()
+    def reach(edges: DataFrame): DataFrame = {
+      var visited = pivotRow
+      var frontier = pivotRow
+      var rounds = 0
+      var done = false
+      while (!done && rounds < 64) {
+        val nxt = edges
+          .join(frontier.select($"v".as("src")).hint("shuffle_hash"), "src")
+          .select($"dst".as("v")).distinct()
+          .join(visited, Seq("v"), "left_anti")
+          .localCheckpoint()
+        if (nxt.isEmpty) done = true
+        else {
+          visited = visited.unionByName(nxt).localCheckpoint()
+          frontier = nxt
+          rounds += 1
+        }
+      }
+      if (!done)
+        throw new IllegalStateException(
+          "graph_scc_fwbw: BFS still expanding after 64 rounds — " +
+            "raise the failsafe (the oracle computes the unbounded fixpoint)")
+      visited
+    }
+    val fwd = reach(p)
+    val bwd = reach(p.select($"dst".as("src"), $"src".as("dst")))
+    val cls = allv
+      .join(fwd.withColumn("inF", lit(1)).hint("shuffle_hash"), Seq("v"), "left")
+      .join(bwd.withColumn("inB", lit(1)).hint("shuffle_hash"), Seq("v"), "left")
+      .select($"v",
+        when($"inF".isNotNull && $"inB".isNotNull, "scc")
+          .when($"inF".isNotNull, "descendant")
+          .when($"inB".isNotNull, "ancestor")
+          .otherwise("other").as("side"))
+      .localCheckpoint()
+    val sz = cls.filter($"side" === "scc").agg(count(lit(1)).as("scc_size"))
+    cls.crossJoin(broadcast(sz))
+      .select($"v".as("part"), $"side", $"scc_size")
+      .orderBy($"part")
+  }
+
+  val sccFwbw: GraftQuery = GraftQuery(
+    "graph_scc_fwbw",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"l_orderkey")
+        .orderBy($"l_linenumber", $"l_partkey")
+      val p = Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_linenumber", $"l_partkey")
+        .withColumn("nxt", lead($"l_partkey", 1).over(w))
+        .filter($"nxt".isNotNull && $"nxt" =!= $"l_partkey")
+        .select($"l_partkey".as("src"), $"nxt".as("dst"))
+        .distinct()
+      fwbwClassify(s, p)
+    },
+    Some("""WITH RECURSIVE seq AS (
+              SELECT l_orderkey, l_linenumber, l_partkey,
+                     lead(l_partkey, 1) OVER (PARTITION BY l_orderkey
+                       ORDER BY l_linenumber, l_partkey) AS nxt
+              FROM lineitem),
+            p AS MATERIALIZED (
+              SELECT DISTINCT l_partkey AS src, nxt AS dst
+              FROM seq WHERE nxt IS NOT NULL AND nxt <> l_partkey),
+            piv AS (SELECT min(v) AS pv FROM (
+              SELECT src AS v FROM p UNION SELECT dst FROM p)),
+            fwd(v) AS (
+              SELECT pv FROM piv
+              UNION
+              SELECT p.dst FROM fwd JOIN p ON p.src = fwd.v),
+            bwd(v) AS (
+              SELECT pv FROM piv
+              UNION
+              SELECT p.src FROM bwd JOIN p ON p.dst = bwd.v),
+            -- explicit subquery, not `SELECT DISTINCT .. UNION ..`:
+            -- DuckDB resolves that form to 4476 rows here (the DISTINCT
+            -- binds oddly against the union); graph_scc's oracle masks
+            -- the same quirk behind a GROUP BY, this one must not.
+            allv AS (SELECT DISTINCT v FROM (
+                       SELECT src AS v FROM p UNION ALL SELECT dst FROM p)),
+            cls AS (
+              SELECT a.v,
+                     CASE WHEN f.v IS NOT NULL AND b.v IS NOT NULL THEN 'scc'
+                          WHEN f.v IS NOT NULL THEN 'descendant'
+                          WHEN b.v IS NOT NULL THEN 'ancestor'
+                          ELSE 'other' END AS side
+              FROM allv a
+              LEFT JOIN (SELECT DISTINCT v FROM fwd) f ON a.v = f.v
+              LEFT JOIN (SELECT DISTINCT v FROM bwd) b ON a.v = b.v),
+            sz AS (SELECT count(*) AS scc_size FROM cls WHERE side = 'scc')
+            SELECT v AS part, side, scc_size FROM cls, sz
+            ORDER BY part""")
+  )
+
   def all: Seq[GraftQuery] =
     Seq(pagerank, pagerankDelta, pagerankWeighted, pagerankPersonal, cc, jaccard,
       jaccardCapped, adamicAdar, adamicAdarCapped, labelPropagation, bfs,
       closenessLandmarks, edgesIncremental, triangles, degreeDist, kCore,
       mst, assortativity, modularity, conductance, louvain, louvain2, hits, walks, walksBiased,
-      skipgram, clusteringCoeff, reciprocity, richClub, scc)
+      skipgram, clusteringCoeff, reciprocity, richClub, scc, sccFwbw)
 }

@@ -97,6 +97,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "ts_cointegration",   // 1-row OLS (alpha, beta) broadcast onto the day series x2
     "agg_price_index",    // 1-row base-year broadcast (non-equi yr <> y0 residual)
     "graph_reciprocity",  // 1-row reciprocal-count broadcast onto the 1-row edge count
+    "graph_scc_fwbw",     // 1-row scc-size broadcast onto the classification table
     "stream_assoc_rules", // 1-row basket-count broadcast (the batch assocFold plan)
     "graph_louvain",      // 1-row m2 broadcast onto scores + 1-row moved-count onto the fold
     "graph_louvain2",     // same pattern: 1-row m2 + 1-row phase-2-counts broadcasts onto the fold
