@@ -601,15 +601,25 @@ object Ingest {
         to_date($"o_orderdate").as("o_day"))
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
         "o_orderpriority", "o_price_cents", "o_day")
-      val aggs = cols.flatMap { c =>
-        Seq(countDistinct(col(c)).as(s"ndv_$c"),
-          approx_count_distinct(col(c), 0.02).as(s"andv_$c"))
-      }
+      // TWO separate passes, assembled broadcast: mixing countDistinct
+      // with approx_count_distinct in ONE agg makes Spark evaluate the
+      // HLL++ sketches over every Expand projection of the
+      // multi-distinct plan (measured 30.4 s vs 1.7 s for the exact
+      // form alone at sf0.1). The approx pass alone — what production
+      // actually runs — is a single expand-free scan; the exact pass
+      // exists only as the certificate's reference.
+      val approxRow = t.agg(
+        approx_count_distinct(col(cols.head), 0.02).as(s"andv_${cols.head}"),
+        cols.tail.map(c =>
+          approx_count_distinct(col(c), 0.02).as(s"andv_$c")): _*)
+      val exactRow = t.agg(
+        countDistinct(col(cols.head)).as(s"ndv_${cols.head}"),
+        cols.tail.map(c => countDistinct(col(c)).as(s"ndv_$c")): _*)
       val stacked = cols.map(c =>
         s"'$c', ndv_$c, " +
           s"(abs(CAST(andv_$c AS DOUBLE) / CAST(ndv_$c AS DOUBLE) - 1.0)" +
           s" <= 0.05)").mkString(", ")
-      t.agg(aggs.head, aggs.tail: _*)
+      exactRow.crossJoin(broadcast(approxRow))
         .select(expr(s"stack(${cols.size}, $stacked) AS " +
           "(col_name, ndv, approx_within_5pct)"))
         .orderBy($"col_name")

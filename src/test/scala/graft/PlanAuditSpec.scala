@@ -105,6 +105,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "ts_attribution",     // 1-row purchase-total broadcast onto the ≤4-row channel table
     "graph_conductance",  // 1-row m2 broadcast onto the community table (the modularity pattern)
     "ingest_analyze",     // four 1-row string-extrema frames assembled into the stats row
+    "ingest_analyze_approx", // 1-row HLL++ pass broadcast onto the 1-row exact pass
     "llm_sim_index_delete", // same serve pipeline: 1-row codebook broadcast on probes
     "stream_survival_km", // 1-row dmax + totals broadcasts (the batch survivalFold plan)
     "llm_embed_drift",    // 1-row global-centroid broadcast onto the source centroids
