@@ -12,7 +12,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class GraftQuery(
     name: String,
     run: (SparkSession, String) => DataFrame,
-    oracle: Option[String] = None)
+    oracle: Option[String] = None,
+    /** Plan-audit surrogates (ADVICE r15): for SessionMemo-memoized
+      * queries, `run`'s steady-state physical plan is a localCheckpoint
+      * scan — auditing it would let pipeline-plan regressions escape
+      * PlanAuditSpec/PlanSnapshot entirely. Queries whose served plan
+      * hides the real pipeline register the UN-memoized, UN-checkpointed
+      * build forms here; the plan gates audit every returned frame
+      * INSTEAD of `run`'s plan. Builders must be construction-pure
+      * (no eager localCheckpoint inside) so audits stay plan-only. */
+    auditPlans: Option[(SparkSession, String) => Seq[DataFrame]] = None)
 
 object GraftQuery {
   /** Build the driver-contract maps from a collection of queries. */
@@ -76,5 +85,26 @@ object GraftQuery {
               msg: String): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{assert_true, lit, when}
     when(assert_true(cond, lit(msg)).isNull, value)
+  }
+
+  /** Guarded Σ(a·b·…) fold whose no-overflow precondition is stated on
+    * the UN-multiplied factors (ADVICE r15): a guard of the form
+    * n·max|a·b| < 9e18 evaluates max over the already-multiplied column,
+    * so a PER-ROW Long product wrap (|a·b| ≥ 2⁶³) has already happened
+    * before the guard sees it — non-ANSI Spark wraps silently where
+    * DuckDB raises, which is exactly the divergence the guard exists to
+    * surface. Here `bounds` are caller-supplied DOUBLE upper bounds on
+    * each factor's |max| (e.g. `max(abs(x)).cast("double")`, or
+    * `max(abs(ru)) + max(abs(ru1))` for a derived difference factor),
+    * and the condition n·Πbounds < 9e18 implies BOTH that every per-row
+    * product fits a Long and that the summed fold cannot wrap — all
+    * checked in double arithmetic that itself cannot overflow. */
+  def guardedProdSum(prod: org.apache.spark.sql.Column,
+                     bounds: Seq[org.apache.spark.sql.Column],
+                     msg: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    val cond =
+      bounds.foldLeft(count(lit(1)).cast("double"))(_ * _) < lit(9e18)
+    guarded(sum(prod), cond, msg)
   }
 }

@@ -18,6 +18,17 @@ object PlanMetrics {
 
   private val shuffleRe = "Exchange (hash|range|Single)".r
 
+  /** Metrics for a query: its `auditPlans` frames summed when registered
+    * (the un-memoized pipeline forms — ADVICE r15: a SessionMemo scan
+    * would otherwise snapshot as shuffle=0 and hide regressions), else
+    * `run`'s plan. */
+  def ofQuery(q: GraftQuery, s: SparkSession, dir: String): Map[String, Int] =
+    q.auditPlans match {
+      case Some(build) =>
+        build(s, dir).map(of).reduce((a, b) => a.map { case (k, v) => k -> (v + b(k)) })
+      case None => of(q.run(s, dir))
+    }
+
   def of(df: DataFrame): Map[String, Int] = {
     val plan = df.queryExecution.executedPlan.toString
     Map(
@@ -74,7 +85,7 @@ object PlanSnapshot {
     spark.sparkContext.setLogLevel("ERROR")
     val lines = SparkEntry.registry.map { q =>
       spark.catalog.clearCache() // cold-cache protocol — see scaladoc above
-      PlanMetrics.line(q.name, PlanMetrics.of(q.run(spark, sfDir)))
+      PlanMetrics.line(q.name, PlanMetrics.ofQuery(q, spark, sfDir))
     }
     val p = java.nio.file.Paths.get(out)
     if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)

@@ -591,7 +591,11 @@ object Dedup {
             WHERE id_b > (SELECT w FROM wm)
               AND CAST(c AS DOUBLE)
                   / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.6
-            ORDER BY id_a, id_b""")
+            ORDER BY id_a, id_b"""),
+    // Plan gates audit the UN-memoized pipeline (ADVICE r15): the served
+    // form is a SessionMemo checkpoint scan after the first build.
+    auditPlans = Some((s, dir) =>
+      Seq(incrementalPipelineBuild(s, dir, saltedPrefixes)))
   )
 
   private[graft] def incrementalPipeline(s: SparkSession, dir: String,
@@ -1284,7 +1288,23 @@ object Dedup {
         .select($"v".as("doc_id"), $"cid".as("cluster_id"), $"cluster_size")
         .orderBy($"doc_id")
     },
-    cluster.oracle
+    cluster.oracle,
+    // Plan gates audit BOTH real plans this query comprises (ADVICE
+    // r15): the un-memoized pair pipeline, and the contract/relabel
+    // merge over the materialized pair set (the served merge plan —
+    // newPairs is a checkpoint by design there, exactly as in `run`).
+    auditPlans = Some((s, dir) => {
+      import s.implicits._
+      val newPairs = incrementalPipeline(s, dir, saltedPrefixes)
+        .select($"id_a".as("src"), $"id_b".as("dst"))
+        .localCheckpoint()
+      Seq(
+        incrementalPipelineBuild(s, dir, saltedPrefixes),
+        mergeLabels(corpusLabels(s, dir), newPairs)
+          .withColumn("cluster_size",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy($"cid")))
+          .select($"v".as("doc_id"), $"cid".as("cluster_id"), $"cluster_size"))
+    })
   )
 
   /** The reduced-graph label merge at the heart of incremental

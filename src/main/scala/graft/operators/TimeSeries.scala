@@ -3703,18 +3703,23 @@ object TimeSeries {
         .withColumn("y1", lag($"own", 1).over(w))
         .withColumn("x1", lag($"cross", 1).over(w))
         .filter($"y1".isNotNull)
-      def g(c: Column, tag: String) = GraftQuery.guarded(sum(c),
-        count(lit(1)).cast("double") * max(abs(c)).cast("double") < lit(9e18),
-        s"ts_granger: $tag fold past BIGINT headroom \u2014 rescale to a "
-          + "coarser unit")
+      // Precondition on the UN-multiplied factors (guardedProdSum,
+      // ADVICE r15): a per-row Long product wraps before any guard over
+      // the multiplied column can see it. y/y1/x1 are raw daily totals
+      // and their lags, so each factor bounds by its own max|\u00b7|.
+      def g(prod: Column, bs: Seq[Column], tag: String) =
+        GraftQuery.guardedProdSum(prod,
+          bs.map(b => max(abs(b)).cast("double")),
+          s"ts_granger: $tag fold past BIGINT headroom \u2014 rescale to a "
+            + "coarser unit")
       val sums = lagged.groupBy($"dn").agg(count(lit(1)).as("n"),
         sum($"y").as("sy"), sum($"y1").as("s1"), sum($"x1").as("s2"),
-        g($"y" * $"y", "\u03a3y\u00b2").as("syy"),
-        g($"y" * $"y1", "\u03a3yy\u2081").as("sy1"),
-        g($"y" * $"x1", "\u03a3yx\u2081").as("sy2"),
-        g($"y1" * $"y1", "\u03a3y\u2081\u00b2").as("s11"),
-        g($"x1" * $"x1", "\u03a3x\u2081\u00b2").as("s22"),
-        g($"y1" * $"x1", "\u03a3y\u2081x\u2081").as("s12"))
+        g($"y" * $"y", Seq($"y", $"y"), "\u03a3y\u00b2").as("syy"),
+        g($"y" * $"y1", Seq($"y", $"y1"), "\u03a3yy\u2081").as("sy1"),
+        g($"y" * $"x1", Seq($"y", $"x1"), "\u03a3yx\u2081").as("sy2"),
+        g($"y1" * $"y1", Seq($"y1", $"y1"), "\u03a3y\u2081\u00b2").as("s11"),
+        g($"x1" * $"x1", Seq($"x1", $"x1"), "\u03a3x\u2081\u00b2").as("s22"),
+        g($"y1" * $"x1", Seq($"y1", $"x1"), "\u03a3y\u2081x\u2081").as("s12"))
       def d(c: Column) = c.cast("double")
       sums
         .withColumn("cyy", d($"syy") - d($"sy") * d($"sy") / d($"n"))
@@ -3825,15 +3830,19 @@ object TimeSeries {
       val xs = daily.filter($"event_type" === "click").select($"d", $"v".as("x"))
       val ys = daily.filter($"event_type" === "purchase").select($"d", $"v".as("y"))
       val j = xs.join(ys.hint("shuffle_hash"), "d").localCheckpoint()
-      def g(c: Column, tag: String) = graft.GraftQuery.guarded(sum(c),
-        count(lit(1)).cast("double") * max(abs(c)).cast("double") < lit(9e18),
-        s"ts_cointegration: $tag fold past BIGINT headroom — rescale to a " +
-          "coarser unit")
+      // Guards state the precondition on the UN-multiplied factors
+      // (GraftQuery.guardedProdSum, ADVICE r15): the per-row Long
+      // product x·x itself wraps at daily sums ≥ ~3.04e9 cents, before
+      // any guard over the multiplied column could see it.
+      def g(prod: Column, bs: Seq[Column], tag: String) =
+        graft.GraftQuery.guardedProdSum(prod, bs.map(_.cast("double")),
+          s"ts_cointegration: $tag fold past BIGINT headroom — rescale to a " +
+            "coarser unit")
       def d(c: Column) = c.cast("double")
       val ab = j.agg(count(lit(1)).as("n"),
           sum($"x").as("sx"), sum($"y").as("sy"),
-          g($"x" * $"x", "Σx²").as("sxx"),
-          g($"x" * $"y", "Σxy").as("sxy"))
+          g($"x" * $"x", Seq(max(abs($"x")), max(abs($"x"))), "Σx²").as("sxx"),
+          g($"x" * $"y", Seq(max(abs($"x")), max(abs($"y"))), "Σxy").as("sxy"))
         .withColumn("cxx", d($"sxx") - d($"sx") * d($"sx") / d($"n"))
         .withColumn("cxy", d($"sxy") - d($"sx") * d($"sy") / d($"n"))
         .withColumn("beta", $"cxy" / $"cxx")
@@ -3848,10 +3857,14 @@ object TimeSeries {
         .withColumn("ru1", lag($"ru", 1).over(w))
         .filter($"ru1".isNotNull)
         .withColumn("du", $"ru" - $"ru1")
+      // Δu = ru − ru1 is itself a derived Long; bound it by
+      // max|ru| + max|ru1| from the un-multiplied inputs so neither the
+      // per-row subtraction nor the products can have wrapped unseen.
+      val duBound = max(abs($"ru")) + max(abs($"ru1"))
       lagged.agg(count(lit(1)).as("n2"),
-          g($"ru1" * $"ru1", "Σu²").as("sxx2"),
-          g($"ru1" * $"du", "Σu·Δu").as("sxy2"),
-          g($"du" * $"du", "ΣΔu²").as("syy2"))
+          g($"ru1" * $"ru1", Seq(max(abs($"ru1")), max(abs($"ru1"))), "Σu²").as("sxx2"),
+          g($"ru1" * $"du", Seq(max(abs($"ru1")), duBound), "Σu·Δu").as("sxy2"),
+          g($"du" * $"du", Seq(duBound, duBound), "ΣΔu²").as("syy2"))
         .crossJoin(broadcast(ab))
         .withColumn("rho", d($"sxy2") / d($"sxx2"))
         .withColumn("sse",
@@ -4076,21 +4089,28 @@ object TimeSeries {
         .withColumn("v1", lag($"v", 1).over(w))
         .withColumn("v2", lag($"v", 2).over(w))
         .filter($"v2".isNotNull)
-        .select($"event_type",
+        .select($"event_type", $"v", $"v2", // raw terms kept for the bounds
           ($"v" - $"v1").as("y"),    // Δv_t
           $"v1".as("x1"),            // v_{t-1}
           ($"v1" - $"v2").as("x2"))  // Δv_{t-1}
-      def g(c: Column, tag: String) = GraftQuery.guarded(sum(c),
-        count(lit(1)).cast("double") * max(abs(c)).cast("double") < lit(9e18),
-        s"ts_adf: $tag fold past BIGINT headroom — rescale to a coarser unit")
+      // Precondition on the UN-multiplied factors (guardedProdSum,
+      // ADVICE r15): y and x2 are derived Long differences, so they
+      // bound by the sum of their raw terms' maxima — computed from v /
+      // v1 / v2 directly, before any subtraction or product can wrap.
+      def g(prod: Column, bs: Seq[Column], tag: String) =
+        GraftQuery.guardedProdSum(prod, bs.map(_.cast("double")),
+          s"ts_adf: $tag fold past BIGINT headroom — rescale to a coarser unit")
+      val by = max(abs($"v")) + max(abs($"x1"))   // |Δv_t| ≤ max|v| + max|v₁|
+      val b1 = max(abs($"x1"))
+      val b2 = max(abs($"x1")) + max(abs($"v2"))  // |Δv_{t-1}| bound
       val sums = lagged.groupBy($"event_type").agg(count(lit(1)).as("n"),
         sum($"y").as("sy"), sum($"x1").as("s1"), sum($"x2").as("s2"),
-        g($"y" * $"y", "Σy²").as("syy"),
-        g($"y" * $"x1", "Σyx₁").as("sy1"),
-        g($"y" * $"x2", "Σyx₂").as("sy2"),
-        g($"x1" * $"x1", "Σx₁²").as("s11"),
-        g($"x2" * $"x2", "Σx₂²").as("s22"),
-        g($"x1" * $"x2", "Σx₁x₂").as("s12"))
+        g($"y" * $"y", Seq(by, by), "Σy²").as("syy"),
+        g($"y" * $"x1", Seq(by, b1), "Σyx₁").as("sy1"),
+        g($"y" * $"x2", Seq(by, b2), "Σyx₂").as("sy2"),
+        g($"x1" * $"x1", Seq(b1, b1), "Σx₁²").as("s11"),
+        g($"x2" * $"x2", Seq(b2, b2), "Σx₂²").as("s22"),
+        g($"x1" * $"x2", Seq(b1, b2), "Σx₁x₂").as("s12"))
       def d(c: Column) = c.cast("double")
       sums
         .withColumn("c1y", d($"sy1") - d($"s1") * d($"sy") / d($"n"))

@@ -171,21 +171,26 @@ object CorpusStream {
       curateWavesBuild(s, dir)
     }
 
-  private def curateWavesBuild(s: SparkSession, dir: String): Seq[DataFrame] = {
+  /** `checkpoint = false` is the plan-audit form (ADVICE r15): identical
+    * construction with every eager localCheckpoint elided, so the plan
+    * gates see the real per-wave pipeline instead of checkpoint scans. */
+  private def curateWavesBuild(s: SparkSession, dir: String,
+                               checkpoint: Boolean = true): Seq[DataFrame] = {
     import s.implicits._
+    def cut(df: DataFrame): DataFrame =
+      if (checkpoint) df.localCheckpoint() else df
     val docs = Tables.documents(s, dir)
     val lm = Corpus.lmModel(s, dir)
     // Frozen once per stream, like the LM: the keeper table needs
     // whole-cluster context, so it is a per-dataset artifact, not a
     // per-batch computation.
-    val keepers = graft.llm.Dedup.clusterKeepers(s, dir).localCheckpoint()
+    val keepers = cut(graft.llm.Dedup.clusterKeepers(s, dir))
     (0 until 3).map { b =>
       val batch = docs.filter(pmod($"doc_id", lit(3)) === b)
-      Corpus.curateBatch(s, dir, batch,
-          Corpus.scoreBigrams(s, Corpus.docBigrams(s, batch), lm), keepers)
-        // One eagerly-executed DAG per emulated micro-batch (the
-        // stream_dedup_incremental convention).
-        .localCheckpoint()
+      // One eagerly-executed DAG per emulated micro-batch (the
+      // stream_dedup_incremental convention).
+      cut(Corpus.curateBatch(s, dir, batch,
+        Corpus.scoreBigrams(s, Corpus.docBigrams(s, batch), lm), keepers))
     }
   }
 
@@ -195,7 +200,10 @@ object CorpusStream {
       import s.implicits._
       curateWaves(s, dir).reduce(_.unionAll(_)).orderBy($"doc_id")
     },
-    Some(Corpus.curateOracle)
+    Some(Corpus.curateOracle),
+    // Plan gates audit the un-checkpointed per-wave pipelines (ADVICE
+    // r15): the served plan is a union of SessionMemo checkpoint scans.
+    auditPlans = Some((s, dir) => curateWavesBuild(s, dir, checkpoint = false))
   )
 
   /** Streaming twin of `llm_train_manifest` — the manifest maintained as
@@ -245,7 +253,21 @@ object CorpusStream {
     },
     // Exactly-mergeable partials: batching cannot move a count or flip a
     // digest bit — the oracle is the batch manifest's, verbatim.
-    Corpus.trainManifest.oracle
+    Corpus.trainManifest.oracle,
+    // Plan gates audit the manifest merge OVER the un-checkpointed wave
+    // pipelines (ADVICE r15) — the full kept→partials→merge plan.
+    auditPlans = Some((s, dir) => {
+      import s.implicits._
+      val tokens = Tables.documents(s, dir)
+        .select($"doc_id",
+          size(split($"text", " ")).cast("long").as("n_tokens"))
+      Seq(curateWavesBuild(s, dir, checkpoint = false)
+        .map(kept => manifestPartials(kept, tokens))
+        .reduce(_.unionAll(_))
+        .groupBy($"split", $"shard")
+        .agg(sum($"n_docs").as("n_docs"), sum($"n_tokens").as("n_tokens"),
+          expr("bit_xor(content_digest)").as("content_digest")))
+    })
   )
 
   /** Streaming source-quality monitor — the micro-batch twin of

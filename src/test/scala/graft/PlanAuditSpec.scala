@@ -78,6 +78,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "llm_curate",         // same 1-row vocab broadcast via the absorbed NLL signal
     "llm_dataset_card",   // 1-row stat frames broadcast-assembled into the card row
     "stream_curate",      // same 1-row vocab broadcast, per emulated micro-batch
+    "stream_train_manifest", // audits the curate-wave builds (auditPlans): same 1-row vocab broadcast per wave
     "llm_dedup_semantic", // 1-row codebook broadcast onto the assignment scans
     "graph_edges_incremental", // 1-row watermark broadcast onto the fact scans
     "graph_pagerank",     // 1-row vertex-count broadcast per power iteration
@@ -290,7 +291,16 @@ class PlanAuditSpec extends AnyFunSuite {
       // cached subtrees registered by OTHER queries otherwise collapse into
       // InMemoryRelations and the audited plan depends on suite order.
       spark.catalog.clearCache()
-      val exec = q.run(spark, TestSpark.Sf).queryExecution.executedPlan
+      // Memoized queries register their un-memoized build forms
+      // (GraftQuery.auditPlans, ADVICE r15): auditing `run`'s steady-state
+      // plan would gate a SessionMemo checkpoint scan, letting pipeline
+      // regressions escape. Audit EVERY registered frame.
+      val frames = q.auditPlans match {
+        case Some(build) => build(spark, TestSpark.Sf)
+        case None => Seq(q.run(spark, TestSpark.Sf))
+      }
+      for (frame <- frames) {
+      val exec = frame.queryExecution.executedPlan
       val plan = exec.toString
       assert(!plan.contains("CartesianProduct"),
         s"${q.name} plans a cartesian product")
@@ -335,6 +345,7 @@ class PlanAuditSpec extends AnyFunSuite {
             s"reviewed allowlist entry with a per-day row bound: " +
             dayWins.map(_.partitionSpec.mkString(",")).mkString(" | "))
       }
+      } // frames
     }
   }
 

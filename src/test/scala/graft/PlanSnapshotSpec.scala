@@ -31,7 +31,9 @@ class PlanSnapshotSpec extends AnyFunSuite {
       // InMemoryRelations and the metrics depend on suite order — the gate
       // then only passes in full-suite order (round-4 verdict finding #3).
       spark.catalog.clearCache()
-      val current = PlanMetrics.of(q.run(spark, TestSpark.Sf))
+      // Memoized queries audit their registered un-memoized build forms
+      // (GraftQuery.auditPlans, ADVICE r15), not the checkpoint scan.
+      val current = PlanMetrics.ofQuery(q, spark, TestSpark.Sf)
       for (metric <- PlanMetrics.Names) {
         assert(current(metric) <= recorded(metric),
           s"${q.name}: $metric grew ${recorded(metric)} -> ${current(metric)} " +
