@@ -99,6 +99,52 @@ object MicroBench {
       if (skewOnly) { spark.stop(); return }
     }
 
+    // Hot-GROUP reservoir ladder (r16): llm_sample_reservoir's claim is
+    // that a bounded-state reservoir aggregate survives a group holding
+    // the whole corpus where a rank window funnels that group through
+    // ONE task's sort. Synthesize documents fixtures — uniform langs vs
+    // one lang carrying ~all docs — and drive the GRADED reservoir plan
+    // against the window-rank twin on identical data. Numbers land in
+    // BASELINE.md's reservoir ladder.
+    if (args.contains("reservoir")) {
+      val base = "/tmp/graft_resv"
+      def mkDocs(tag: String, rows: Long, hotShare: Int): String = {
+        val out = s"$base/$tag"
+        // hotShare of every 100 docs land in lang "hot"; the rest spread
+        // over 20 cold langs. text kept tiny: the ladder stresses the
+        // aggregate, not the scan.
+        spark.range(rows).select(
+          $"id".as("doc_id"), lit("t").as("text"),
+          when($"id" % 100 < hotShare, lit("hot"))
+            .otherwise(concat(lit("l"), ($"id" % 20).cast("string")))
+            .as("lang"),
+          lit("s").as("source"),
+          ($"id" % 9973L + 1L).as("n_chars"))
+          .write.mode("overwrite").parquet(s"$out/documents.parquet")
+        out
+      }
+      val rungs = Seq(
+        "uniform4m" -> mkDocs("uniform4m", 4000000L, 5),
+        "hot4m"     -> mkDocs("hot4m", 4000000L, 95))
+      for ((tag, d) <- rungs) {
+        best3(f"reservoir agg      $tag") {
+          SparkEntry.queries("llm_sample_reservoir")(spark, d).count()
+        }
+        best3(f"reservoir window   $tag") {
+          import org.apache.spark.sql.expressions.Window
+          val h = expr(
+            "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS DOUBLE)")
+          Tables.documents(spark, d)
+            .select($"lang", $"doc_id",
+              ($"n_chars" * lit(1152921504606846976L).cast("double") / h).as("p"))
+            .withColumn("rn", row_number().over(
+              Window.partitionBy($"lang").orderBy($"p".desc, $"doc_id")))
+            .filter($"rn" <= 20).count()
+        }
+      }
+      spark.stop(); return
+    }
+
     // Hot-VERTEX hub ladder (round-14 verdict item 2): the journey-bot
     // ladder covered per-USER windows; the graph family has the
     // analogous untested skew — one hub vertex with 10⁴–10⁵ edges

@@ -701,6 +701,50 @@ object TextStats {
             ORDER BY priority DESC, doc_id LIMIT 100""")
   )
 
+  /** PER-GROUP deterministic weighted reservoir (r15 verdict item 4 —
+    * §12's last clause landed): the k highest-priority docs PER LANG,
+    * priorities the same deterministic w/u device as
+    * llm_sample_weighted (w = n_chars, u from the 15-hex md5 prefix —
+    * never `rand()`), but computed by a BOUNDED-STATE reservoir
+    * aggregate (functions.ReservoirTopK) instead of a global sort or a
+    * rank window: per-group windows sort every member through one
+    * task's shuffle, while the reservoir carries ≤ k pairs per (group ×
+    * partition), folds map-side, and merges associatively — the stratum
+    * sampler that still works when one lang holds 10¹¹ documents.
+    * NewOps16Spec pins partition-split invariance (1/7/13-way
+    * repartitions, identical output) and window-rank parity. */
+  val sampleReservoir: GraftQuery = GraftQuery(
+    "llm_sample_reservoir",
+    (s, dir) => {
+      import s.implicits._
+      val res = udaf(new graft.functions.ReservoirTopK(20))
+      val h = expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS DOUBLE)")
+      Tables.documents(s, dir)
+        .select($"lang", $"doc_id",
+          ($"n_chars" * lit(1152921504606846976L).cast("double") / h).as("p"))
+        .groupBy($"lang")
+        .agg(res($"p", $"doc_id").as("r"))
+        .select($"lang", explode($"r").as("e"))
+        .select($"lang", $"e._2".as("doc_id"),
+          graft.GraftQuery.roundNorm($"e._1", 4).as("priority"))
+        .orderBy($"lang", $"priority".desc, $"doc_id")
+    },
+    Some("""WITH pr AS (
+              SELECT lang, doc_id,
+                     n_chars * CAST(1152921504606846976 AS DOUBLE)
+                       / CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                              AS BIGINT) AS p
+              FROM documents),
+            r AS (SELECT lang, doc_id, p,
+                         row_number() OVER (PARTITION BY lang
+                           ORDER BY p DESC, doc_id) AS rn
+                  FROM pr)
+            SELECT lang, doc_id, (round(p, 4) + 0.0) AS priority
+            FROM r WHERE rn <= 20
+            ORDER BY lang, priority DESC, doc_id""")
+  )
+
   /** Linear quality-classifier INFERENCE (the fastText-style learned
     * filter, as opposed to llm_quality's hand-tuned heuristic): a fixed
     * weight vector over engineered per-document features, squashed
@@ -1707,6 +1751,7 @@ object TextStats {
         qualityGopher,
         vocabTopK, vocabFuzzy, trainSplit, piiScrub, sampleStratified,
         packChunks, domainMix, shardShuffle, chunkSliding, sampleWeighted,
+        sampleReservoir,
         qualityClassifier, winnow, winnowDedup, winnowDedupCapped,
         bpeTrain, bpeApply, ngramTopK, qualityCi, cooccurrence, pmi,
         tokenizerFertility, vocabCoverage, zipf, ngramEntropy)

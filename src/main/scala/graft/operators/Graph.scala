@@ -2631,7 +2631,11 @@ object Graph {
         .agg(least($"v", coalesce(min($"u"), $"v")).as("scc_id"))
         .select($"v", $"scc_id").localCheckpoint()
     }
-    labelParts.reduceLeft(_.unionByName(_))
+    if (labelParts.isEmpty) // empty edge set: no vertices, no labels
+      s.emptyDataFrame
+        .withColumn("v", lit(0L)).withColumn("scc_id", lit(0L))
+        .limit(0)
+    else labelParts.reduceLeft(_.unionByName(_))
   }
 
   /** FULL FW-BW SCC labeling of the part-scale order-sequence digraph —

@@ -607,14 +607,28 @@ object Ingest {
       // multi-distinct plan (measured 30.4 s vs 1.7 s for the exact
       // form alone at sf0.1). The approx pass alone — what production
       // actually runs — is a single expand-free scan; the exact pass
-      // exists only as the certificate's reference.
+      // exists only as the certificate's reference, and since r16
+      // (verdict item 5) it PERSISTS as a fingerprinted 1-row layout
+      // (the perplexityScores discipline): the serve path joins the
+      // certificate parquet instead of re-running the rows × columns
+      // Expand per call — exactly how a warehouse serves ANALYZE
+      // output (computed at ANALYZE time, read at plan time).
       val approxRow = t.agg(
         approx_count_distinct(col(cols.head), 0.02).as(s"andv_${cols.head}"),
         cols.tail.map(c =>
           approx_count_distinct(col(c), 0.02).as(s"andv_$c")): _*)
-      val exactRow = t.agg(
-        countDistinct(col(cols.head)).as(s"ndv_${cols.head}"),
-        cols.tail.map(c => countDistinct(col(c)).as(s"ndv_$c")): _*)
+      val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val certPath = s"/tmp/graft_analyze_cert/$sfx"
+      graft.llm.Layouts.parquetLayout(certPath, certPath,
+          graft.llm.Layouts.fingerprint(Tables.orders(s, dir), "o_orderkey",
+            "o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice",
+            "o_orderdate")) {
+        t.agg(
+            countDistinct(col(cols.head)).as(s"ndv_${cols.head}"),
+            cols.tail.map(c => countDistinct(col(c)).as(s"ndv_$c")): _*)
+          .write.mode("overwrite").parquet(certPath)
+      }
+      val exactRow = s.read.parquet(certPath)
       val stacked = cols.map(c =>
         s"'$c', ndv_$c, " +
           s"(abs(CAST(andv_$c AS DOUBLE) / CAST(ndv_$c AS DOUBLE) - 1.0)" +

@@ -3818,16 +3818,17 @@ object TimeSeries {
     * broadcast back onto the day table, one unpartitioned lag over the
     * REDUCED day-domain series (bounded by calendar days — the
     * ts_cumulative_users precedent), two guarded integer folds. */
-  val cointegration: GraftQuery = GraftQuery(
-    "ts_cointegration",
-    (s, dir) => {
-      import s.implicits._
-      val cents = expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
-      val daily = Tables.events(s, dir)
-        .filter($"event_type".isin("click", "purchase"))
-        .select($"event_type", to_date($"ts").as("d"), cents.as("c"))
-        .groupBy($"event_type", $"d").agg(sum($"c").as("v"))
-      val xs = daily.filter($"event_type" === "click").select($"d", $"v".as("x"))
+  /** The Engle–Granger fold over a merged (event_type, d, v) daily-cents
+    * table — shared verbatim by ts_cointegration (one-pass daily
+    * aggregate) and stream_cointegration (waves of day-domain integer
+    * partials merged by sum): identical input rows → identical OLS,
+    * identical IEEE residuals, identical floors, identical BIGINT
+    * stage-2 folds — which is why the streaming twin grades against the
+    * batch oracle verbatim. */
+  private[graft] def cointegrationFold(s: SparkSession,
+                                       daily: DataFrame): DataFrame = {
+    import s.implicits._
+    val xs = daily.filter($"event_type" === "click").select($"d", $"v".as("x"))
       val ys = daily.filter($"event_type" === "purchase").select($"d", $"v".as("y"))
       val j = xs.join(ys.hint("shuffle_hash"), "d").localCheckpoint()
       // Guards state the precondition on the UN-multiplied factors
@@ -3877,7 +3878,22 @@ object TimeSeries {
           graft.GraftQuery.roundNorm($"alpha", 4).as("alpha_cents"),
           $"adf_t",
           ($"adf_t" < lit(-3.34)).as("cointegrated"))
-    },
+  }
+
+  /** The one-pass daily-cents aggregate feeding [[cointegrationFold]]. */
+  private[graft] def cointegrationDaily(s: SparkSession,
+                                        dir: String): DataFrame = {
+    import s.implicits._
+    val cents = expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    Tables.events(s, dir)
+      .filter($"event_type".isin("click", "purchase"))
+      .select($"event_type", to_date($"ts").as("d"), cents.as("c"))
+      .groupBy($"event_type", $"d").agg(sum($"c").as("v"))
+  }
+
+  val cointegration: GraftQuery = GraftQuery(
+    "ts_cointegration",
+    (s, dir) => cointegrationFold(s, cointegrationDaily(s, dir)),
     Some("""WITH daily AS (
               SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
                      CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v

@@ -373,8 +373,50 @@ object CorpusStream {
     Some(graft.llm.Eval.calibrationOracle)
   )
 
+  /** Streaming weighted-reservoir maintenance — the micro-batch twin of
+    * `llm_sample_reservoir`, and the op whose STATE is the reservoir
+    * itself (the textbook reason reservoirs exist: sampling a stream
+    * without storing it): each wave folds its docs into per-lang
+    * bounded reservoirs (functions.ReservoirTopK — ≤ k (priority, id)
+    * pairs per lang), and the serve step re-merges the wave reservoirs
+    * through the SAME associative aggregate. Reservoir-of-union ==
+    * merge-of-reservoirs (the merge law NewOps16Spec pins), and
+    * priorities are deterministic md5-derived doubles, so the served
+    * sample is bit-equal to the batch sample at any arrival split —
+    * oracle verbatim. State per wave: langs × k pairs, regardless of
+    * how many documents the wave carried. */
+  val streamSampleReservoir: GraftQuery = GraftQuery(
+    "stream_sample_reservoir",
+    (s, dir) => {
+      import s.implicits._
+      val res = udaf(new graft.functions.ReservoirTopK(20))
+      val h = expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS DOUBLE)")
+      val pr = Tables.documents(s, dir)
+        .select($"lang", $"doc_id",
+          ($"n_chars" * lit(1152921504606846976L).cast("double") / h).as("p"))
+      val partials = (0 until 3).map { k =>
+        pr.filter(pmod($"doc_id", lit(3)) === k)
+          .groupBy($"lang")
+          .agg(res($"p", $"doc_id").as("r"))
+          .localCheckpoint()
+      }
+      partials.reduce(_.unionAll(_))
+        .select($"lang", explode($"r").as("e"))
+        .groupBy($"lang")
+        .agg(res($"e._1", $"e._2").as("r"))
+        .select($"lang", explode($"r").as("e"))
+        .select($"lang", $"e._2".as("doc_id"),
+          graft.GraftQuery.roundNorm($"e._1", 4).as("priority"))
+        .orderBy($"lang", $"priority".desc, $"doc_id")
+    },
+    // Merging wave reservoirs cannot change one kept doc: the oracle is
+    // the batch reservoir's, verbatim.
+    graft.llm.TextStats.sampleReservoir.oracle
+  )
+
   def all: Seq[GraftQuery] =
     Seq(streamContamination, streamPerplexity, streamQuality, streamCurate,
       streamQualityCi, streamCooccurrence, streamTrainManifest,
-      streamClfCalibration)
+      streamClfCalibration, streamSampleReservoir)
 }

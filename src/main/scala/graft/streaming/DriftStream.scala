@@ -449,7 +449,50 @@ object DriftStream {
     Analytics.msprt.oracle
   )
 
+  /** Streaming cointegration monitor — the micro-batch twin of
+    * `ts_cointegration` (r15 verdict item 3): the live answer to "is the
+    * click/purchase revenue pair still mean-reverting, or has the spread
+    * started drifting?" — the regime-change alarm a pricing or
+    * forecasting pipeline keeps against the landing feed. Each wave
+    * contributes per-(event_type, day) BIGINT cents-sum partials; the
+    * merge re-sums them per day and the shared Engle–Granger fold
+    * (TimeSeries.cointegrationFold) serves the identical OLS → quantized
+    * residuals → ADF-t chain.
+    *
+    * Why the merge is EXACT at any arrival split: a day's cents total is
+    * an associative integer sum, so Σ waves == the one-pass daily table
+    * bit-for-bit; the fold's stage-2 statistics are sums of exact
+    * BIGINTs over QUANTIZED residuals (identical alpha/beta doubles →
+    * identical IEEE residuals → identical floors — the r15 device), so
+    * no double partial ever crosses a wave boundary. State is
+    * O(types × days) rows per wave — day-domain-sized, never O(events).
+    * Oracle = the batch twin's, verbatim. */
+  val streamCointegration: GraftQuery = GraftQuery(
+    "stream_cointegration",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .filter($"event_type".isin("click", "purchase"))
+        .select($"event_id", $"event_type", to_date($"ts").as("d"),
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
+      val bounds = ev.agg(min($"event_id").as("lo"), max($"event_id").as("hi"))
+      def edge(k: Int): Column =
+        $"lo" - 1 + floor(($"hi" - $"lo" + 1) * lit(k) / lit(Waves.toDouble)).cast("long")
+      val partials = (0 until Waves).map { k =>
+        ev.join(broadcast(bounds),
+            $"event_id" > edge(k) && $"event_id" <= edge(k + 1))
+          .groupBy($"event_type", $"d").agg(sum($"c").as("v"))
+          .localCheckpoint()
+      }
+      val merged = partials.reduce(_.unionAll(_))
+        .groupBy($"event_type", $"d").agg(sum($"v").as("v"))
+      graft.operators.TimeSeries.cointegrationFold(s, merged)
+    },
+    graft.operators.TimeSeries.cointegration.oracle
+  )
+
   def all: Seq[GraftQuery] = Seq(streamKsDrift, streamTtest, streamChangepoint,
     streamMoments, streamEntropy, streamChecksum, streamBootstrapCi,
-    streamEffectSize, streamPriceIndex, streamMutualInfo, streamMsprt)
+    streamEffectSize, streamPriceIndex, streamMutualInfo, streamMsprt,
+    streamCointegration)
 }

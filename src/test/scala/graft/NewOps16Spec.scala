@@ -79,6 +79,55 @@ class NewOps16Spec extends AnyFunSuite {
     assert(sizes.exists(_ == 1), "ladder lost its singleton mass")
   }
 
+  test("llm_sample_reservoir: partition-split invariant and window-rank exact") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val res = udaf(new functions.ReservoirTopK(20))
+    val h = expr(
+      "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS DOUBLE)")
+    val pr = sources.Tables.documents(spark, TestSpark.Sf)
+      .select($"lang", $"doc_id",
+        ($"n_chars" * lit(1152921504606846976L).cast("double") / h).as("p"))
+    def reservoir(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.groupBy($"lang").agg(res($"p", $"doc_id").as("r"))
+        .select($"lang", explode($"r").as("e"))
+        .select($"lang", $"e._2".as("doc_id"), $"e._1".as("p"))
+        .collect().map(_.toSeq).toSet
+    // the reservoir content must be a pure function of the input SET:
+    // any repartitioning (different per-partition reservoirs, different
+    // merge trees) yields the identical sample.
+    val base = reservoir(pr)
+    assert(base.size === spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .select($"lang").distinct.count() * 20)
+    assert(reservoir(pr.repartition(1)) === base)
+    assert(reservoir(pr.repartition(7, $"doc_id")) === base)
+    assert(reservoir(pr.repartition(13, $"lang")) === base)
+    // ...and equals the rank-window formulation exactly.
+    import org.apache.spark.sql.expressions.Window
+    val viaWindow = pr.withColumn("rn", row_number().over(
+        Window.partitionBy($"lang").orderBy($"p".desc, $"doc_id")))
+      .filter($"rn" <= 20).select($"lang", $"doc_id", $"p")
+      .collect().map(_.toSeq).toSet
+    assert(base === viaWindow)
+  }
+
+  test("ReservoirTopK: reduce/merge keep the (priority desc, id asc) top-k order") {
+    val agg = new functions.ReservoirTopK(3)
+    val full = Seq((5.0, 1L), (4.0, 7L), (3.0, 2L), (3.0, 9L), (1.0, 5L))
+      .foldLeft(agg.zero)(agg.reduce)
+    assert(full === Vector((5.0, 1L), (4.0, 7L), (3.0, 2L)))
+    // tie on priority breaks to the LOWER id
+    val tied = agg.reduce(full, (3.0, 0L))
+    assert(tied === Vector((5.0, 1L), (4.0, 7L), (3.0, 0L)))
+    // merge of two reservoirs == reservoir of the union
+    val a = Seq((9.0, 3L), (2.0, 4L)).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.merge(a, full) ===
+      Seq((9.0, 3L), (5.0, 1L), (4.0, 7L), (2.0, 4L), (3.0, 2L))
+        .foldLeft(agg.zero)(agg.reduce))
+    assert(agg.merge(agg.zero, full) === full)
+    assert(agg.merge(full, agg.zero) === full)
+  }
+
   test("graph_scc_fwbw_full: labels agree with graph_scc_fwbw's one-SCC classification") {
     val full = SparkEntry.queries("graph_scc_fwbw_full")(spark, TestSpark.Sf)
       .collect()

@@ -96,6 +96,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "llm_clf_lift",       // 1-row (n, P) totals broadcast onto the rank frame
     "ts_did",             // 1-row calendar-bounds broadcast onto the daily frame
     "ts_cointegration",   // 1-row OLS (alpha, beta) broadcast onto the day series x2
+    "stream_cointegration", // same shared fold + 1-row wave-bounds broadcasts
     "agg_price_index",    // 1-row base-year broadcast (non-equi yr <> y0 residual)
     "graph_reciprocity",  // 1-row reciprocal-count broadcast onto the 1-row edge count
     "graph_scc_fwbw",     // 1-row scc-size broadcast onto the classification table
@@ -155,6 +156,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "llm_curriculum",        // \u226432-row range-bucket prefix table (twoLevelRank)
     "ts_cumulative_users",   // bounded day-domain running sum above the first-day agg
     "ts_cointegration",      // residual lag over the calendar-day-domain series table
+    "stream_cointegration",  // same shared fold: day-domain residual lag
     "agg_raking")            // full-frame total over the 25-cell band×priority aggregate
                              // (partitionBy(lit(1)) folds to an empty partitionSpec)
 

@@ -648,6 +648,51 @@ class StreamingSpec extends AnyFunSuite {
       "checkpointed per-(arm, day) partials must reproduce the batch mSPRT path exactly")
   }
 
+  test("cointegration foreachBatch pipeline: per-(type, day) cents partials serve the batch ADF path") {
+    // The production form of stream_cointegration (r16): each
+    // micro-batch appends per-(event_type, day) BIGINT cents sums
+    // through a REAL checkpointed AvailableNow drive; the serve step
+    // re-sums the appended partials and runs the shared Engle–Granger
+    // fold — the drifting-pair monitor must equal the one-pass batch
+    // ts_cointegration bit-for-bit at any arrival split.
+    import org.apache.spark.sql.functions._
+    val ev = sources.Tables.events(spark, TestSpark.Sf)
+      .filter($"event_type".isin("click", "purchase"))
+      .select($"event_id", $"event_type", $"ts", $"value").cache()
+    val mid = ev.agg(floor(max($"event_id") / 2.0).cast("long"))
+      .collect()(0).getLong(0)
+    val base = Files.createTempDirectory("graft_cointstrm").toString
+    val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+    def runWave(): Unit = {
+      val q = spark.readStream.schema(ev.schema).parquet(src)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select(col("event_type"), to_date(col("ts")).as("d"),
+              expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
+            .groupBy(col("event_type"), col("d"))
+            .agg(sum(col("c")).as("v"))
+            .write.mode("append").parquet(out)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    ev.filter($"event_id" <= mid).write.mode("append").parquet(src)
+    runWave()
+    ev.filter($"event_id" > mid).write.mode("append").parquet(src)
+    runWave()
+    val merged = spark.read.parquet(out)
+      .groupBy($"event_type", $"d").agg(sum($"v").as("v"))
+    val served = operators.TimeSeries.cointegrationFold(spark, merged)
+      .collect().map(_.toSeq).toSet
+    val batchTruth = operators.TimeSeries.cointegration.run(spark, TestSpark.Sf)
+      .collect().map(_.toSeq).toSet
+    assert(served === batchTruth,
+      "checkpointed per-(type, day) cents partials must reproduce the batch Engle–Granger path exactly")
+  }
+
   test("cdc foreachBatch pipeline: appended compaction partials serve the batch answer") {
     // The production form of stream_cdc: the change log lands incrementally
     // (two arrival waves through a checkpointed file source); each
