@@ -9,13 +9,19 @@ import org.apache.spark.sql.expressions.Aggregator
   * (SURVEY §12: the scan_sample_hash device generalized to weighted
   * top-k with deterministic md5-derived priorities; r15 verdict item 4).
   *
-  * Why an Aggregator and not a rank window: a per-group window sorts
-  * EVERY group member through the shuffle; this reservoir carries at
-  * most k pairs per (group × partition) — `reduce` folds map-side (the
-  * common case, a full reservoir rejecting a worse row, is one compare),
-  * `merge` merges two bounded reservoirs — so shuffle traffic is
-  * O(groups × partitions × k) regardless of corpus size: exactly the
-  * "bounded-state per-partition reservoirs merged associatively" shape.
+  * Why an Aggregator and not a rank window — ADJUDICATED against Spark
+  * 4's optimizer, not assumed: a `row_number ≤ k` filter plans a
+  * PARTIAL WindowGroupLimit below the exchange, so the rank-window form
+  * is ALSO skew-immune and shuffle-bounded (k rows per group ×
+  * partition), and the r16 hot-lang ladder measured the two forms at
+  * parity (BASELINE.md). The reservoir's remaining edges are: (a) no
+  * map-side full sort — WindowGroupLimit consumes a Sort of the whole
+  * input partition, the reservoir folds in O(n) compares with an O(1)
+  * reject common case; (b) the buffer is a VALUE — mergeable state the
+  * streaming twin (stream_sample_reservoir) persists per wave and
+  * re-merges without re-reading documents, which no window form
+  * provides; (c) it composes with the typed Dataset API
+  * (KeyValueGroupedDataset.agg).
   *
   * Determinism: selection and merge use the TOTAL order (priority desc,
   * id asc) on raw IEEE priorities — both engines derive identical

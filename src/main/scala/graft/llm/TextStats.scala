@@ -706,13 +706,17 @@ object TextStats {
     * priorities the same deterministic w/u device as
     * llm_sample_weighted (w = n_chars, u from the 15-hex md5 prefix —
     * never `rand()`), but computed by a BOUNDED-STATE reservoir
-    * aggregate (functions.ReservoirTopK) instead of a global sort or a
-    * rank window: per-group windows sort every member through one
-    * task's shuffle, while the reservoir carries ≤ k pairs per (group ×
-    * partition), folds map-side, and merges associatively — the stratum
-    * sampler that still works when one lang holds 10¹¹ documents.
-    * NewOps16Spec pins partition-split invariance (1/7/13-way
-    * repartitions, identical output) and window-rank parity. */
+    * aggregate (functions.ReservoirTopK): ≤ k pairs per (group ×
+    * partition), map-side fold with an O(1) reject common case,
+    * associative merge — the stratum sampler whose STATE is a value a
+    * streaming pipeline can persist per wave and re-merge
+    * (stream_sample_reservoir does exactly that). Spark 4's own
+    * WindowGroupLimit makes the rank-window twin comparably bounded
+    * (measured at parity on the r16 hot-lang ladder, BASELINE.md — see
+    * ReservoirTopK's adjudication); the aggregate form buys the
+    * mergeable state and skips the map-side full sort. NewOps16Spec
+    * pins partition-split invariance (1/7/13-way repartitions,
+    * identical output) and window-rank parity. */
   val sampleReservoir: GraftQuery = GraftQuery(
     "llm_sample_reservoir",
     (s, dir) => {
