@@ -2357,63 +2357,69 @@ object Graph {
     * pids 0/1) and fwbwLabels (2 directions × every live FW-BW
     * remainder, ALL advanced in the same jobs).
     *
-    * Two blocking-job economies vs the r15 form (verdict item 6: the
-    * blocking-round count, not per-round work, is the fixpoint cost
-    * floor at toy scale):
+    * Three per-round economies vs the r15 form (verdict item 6: the
+    * blocking-round ladder and the per-round exchange volume are the
+    * fixpoint cost, not the data size):
     *  - BOTH BFS directions (and in fwbwLabels every live subproblem)
     *    ride ONE keyed frame, so the round ladder is max(diameters),
     *    not their sum — the caller reverses the edge set under a
     *    direction bit in `pid`;
+    *  - the edge table is hash-partitioned on the join key ONCE and
+    *    cached, so the O(E) side moves through ZERO exchange every
+    *    round (the graph_hits bucketed-layout discipline, in memory) —
+    *    only the frontier shuffles, and the frontier is the small side
+    *    by definition;
     *  - the visited set stays a UNION of the per-round checkpointed
     *    frontiers (each already materialized) instead of being
-    *    re-checkpointed each round — one blocking job per round (the
-    *    frontier landing), not two. The anti-join reads the same total
-    *    rows either way; the plan depth is bounded by the diameter.
-    * Per-round cost is O(frontier edges); `act` caps expansion to the
-    * live subproblem membership (pass the full vertex set when nothing
-    * is excluded). */
-  private def keyedReach(s: SparkSession, edges: DataFrame, act: DataFrame,
+    *    re-checkpointed each round — one blocking job per round.
+    * Edges must arrive intra-subproblem (every (pid, src, dst) row has
+    * both endpoints live in pid) — both callers construct exactly that,
+    * so no membership re-filter runs inside the loop. */
+  private def keyedReach(s: SparkSession, edges0: DataFrame,
                          seeds: DataFrame, who: String): DataFrame = {
     import s.implicits._
-    var visitedParts = List(seeds)
-    def visited = visitedParts.reduceLeft(_.unionByName(_))
-    var frontier = seeds
-    var rounds = 0
-    var done = false
-    while (!done && rounds < 64) {
-      val nxt = edges
-        .join(frontier.withColumnRenamed("v", "src").hint("shuffle_hash"),
-          Seq("pid", "src"))
-        .select($"pid", $"dst".as("v")).distinct()
-        .join(act, Seq("pid", "v"), "left_semi")
-        .join(visited, Seq("pid", "v"), "left_anti")
-        .localCheckpoint()
-      if (nxt.isEmpty) done = true
-      else {
-        visitedParts ::= nxt
-        frontier = nxt
-        rounds += 1
+    val edges = edges0.repartition($"pid", $"src").cache()
+    edges.count() // materialize once; every round reads exchange-free
+    try {
+      var visitedParts = List(seeds)
+      def visited = visitedParts.reduceLeft(_.unionByName(_))
+      var frontier = seeds
+      var rounds = 0
+      var done = false
+      while (!done && rounds < 64) {
+        val nxt = edges
+          .join(frontier.withColumnRenamed("v", "src").hint("shuffle_hash"),
+            Seq("pid", "src"))
+          .select($"pid", $"dst".as("v")).distinct()
+          .join(visited, Seq("pid", "v"), "left_anti")
+          .localCheckpoint()
+        if (nxt.isEmpty) done = true
+        else {
+          visitedParts ::= nxt
+          frontier = nxt
+          rounds += 1
+        }
       }
-    }
-    if (!done)
-      throw new IllegalStateException(
-        s"$who: BFS still expanding after 64 rounds — " +
-          "raise the failsafe (the oracle computes the unbounded fixpoint)")
-    visited
+      if (!done)
+        throw new IllegalStateException(
+          s"$who: BFS still expanding after 64 rounds — " +
+            "raise the failsafe (the oracle computes the unbounded fixpoint)")
+      visited
+    } finally edges.unpersist(false)
   }
 
-  /** Both-direction reach in ONE keyed BFS: seeds/act duplicate under
+  /** Both-direction reach in ONE keyed BFS: seeds duplicate under
     * dpid = pid·2 + dir, edges reverse under dir 1; returns (pid, v,
     * inF, inB) for every reached (pid, v). */
-  private def fwbwReach(s: SparkSession, pe: DataFrame, act: DataFrame,
+  private def fwbwReach(s: SparkSession, pe: DataFrame,
                         seeds: DataFrame, who: String): DataFrame = {
     import s.implicits._
     val dirEdges = pe.select(($"pid" * 2).as("pid"), $"src", $"dst")
       .unionByName(pe.select(($"pid" * 2 + 1).as("pid"),
         $"dst".as("src"), $"src".as("dst")))
-    def dup(f: DataFrame) = f.select(($"pid" * 2).as("pid"), $"v")
-      .unionByName(f.select(($"pid" * 2 + 1).as("pid"), $"v"))
-    val vis = keyedReach(s, dirEdges, dup(act), dup(seeds), who)
+    val dirSeeds = seeds.select(($"pid" * 2).as("pid"), $"v")
+      .unionByName(seeds.select(($"pid" * 2 + 1).as("pid"), $"v"))
+    val vis = keyedReach(s, dirEdges, dirSeeds, who)
     vis.select(($"pid" / 2).cast("long").as("pid"), $"v",
         ($"pid" % 2 === 0).as("inF"), ($"pid" % 2 === 1).as("inB"))
       .groupBy($"pid", $"v")
@@ -2428,7 +2434,7 @@ object Graph {
       .union(p.select($"pid", $"dst".as("v")))
       .distinct().localCheckpoint()
     val pivotRow = allv.orderBy($"v".asc).limit(1).localCheckpoint()
-    val vis = fwbwReach(s, p, allv, pivotRow, "graph_scc_fwbw")
+    val vis = fwbwReach(s, p, pivotRow, "graph_scc_fwbw")
       .localCheckpoint()
     val fwd = vis.filter($"inF").select($"v")
     val bwd = vis.filter($"inB").select($"v")
@@ -2578,7 +2584,7 @@ object Graph {
             .as("m"))
           .select($"pid", $"m.v".as("v")).localCheckpoint()
         // 3. forward/backward frontier BFS (one keyed ladder) + classify.
-        val vis = fwbwReach(s, pe, act, piv, "graph_scc_fwbw_full")
+        val vis = fwbwReach(s, pe, piv, "graph_scc_fwbw_full")
         val cls = act
           .join(vis.hint("shuffle_hash"), Seq("pid", "v"), "left")
           .select($"pid", $"v",
