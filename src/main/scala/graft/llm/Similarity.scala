@@ -1888,14 +1888,45 @@ object Similarity {
     * 8-iteration Rayleigh quotient could land BELOW the next
     * component's, inverting the reported spectrum (observed at
     * sf0.001: 0.0260 then 0.0271). */
-  private val PcaIters = 16
+  private[graft] val PcaIters = 16
 
   /** The quantized 64×64 covariance as ONE assembled row (cm = row-major
     * DOUBLE array, n_vecs) — shared by llm_embed_pca and
     * llm_embed_pca_topk. Sufficient statistics quantize per element to
     * exact BIGINTs before the fold (see llm_embed_pca Scaladoc), so both
     * engines iterate the identical matrix. */
-  private def pcaCovFrame(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def pcaCovFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val D = PcaD
+    val e = Tables.embeddings(s, dir)
+      .filter($"embedding".isNotNull).select($"embedding")
+    // One scan, zero joins: each row contributes its quantized outer
+    // product + mean terms as ONE array<long> (PcaQuantGram), folded
+    // map-side by LongVecSum — sums of exact BIGINTs are association-free,
+    // so this equals the r15 posexplode²-self-join form bit-for-bit
+    // (PcaParitySpec pins it; pcaCovFrameJoinForm below is the witness).
+    // Plan: Scan → Project → partial/final ObjectHashAggregate (one 1-row
+    // exchange) vs r15's 3 scans + 2 shuffled joins + N·D² generated rows.
+    val sums = e
+      .select(VectorFunctions.pcaQuantGram(s, $"embedding").as("q"))
+      .agg(udaf(graft.functions.LongVecSum).apply($"q").as("sums"),
+        count(lit(1)).as("n"))
+    sums.select(
+      transform(sequence(lit(0), lit(D * D - 1)), idx => {
+        val i = floor(idx.cast("double") / D).cast("int")
+        val j = pmod(idx, lit(D))
+        val num = $"n".cast("double") *
+          (element_at($"sums", idx + 1).cast("double") / 1e4) -
+          (element_at($"sums", lit(D * D) + i + 1).cast("double") / 1e6) *
+            (element_at($"sums", lit(D * D) + j + 1).cast("double") / 1e6)
+        num / ($"n".cast("double") * $"n".cast("double"))
+      }).as("cm"),
+      $"n".as("n_vecs"))
+  }
+
+  /** The r15 posexplode²-self-join covariance — kept ONLY as the
+    * bit-parity witness for [[pcaCovFrame]] (PcaParitySpec). */
+  private[graft] def pcaCovFrameJoinForm(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
     val pairs = e
@@ -1949,35 +1980,25 @@ object Similarity {
     (s, dir) => {
       import s.implicits._
       val D = PcaD
-      val cm = pcaCovFrame(s, dir)
-      def matvec(v: Column): Column = pcaMatvec(v)
-      def norm(v: Column): Column = pcaNorm(v)
-      val v0 = pcaV0
-      val iterated = (1 to PcaIters).foldLeft(cm.withColumn("v", v0)) { (df, _) =>
-        df.withColumn("vr", matvec($"v"))
-          .withColumn("v", transform($"vr", x => x / norm($"vr")))
-          .drop("vr")
-      }
-      iterated
-        .withColumn("lam",
-          aggregate(zip_with($"v", matvec($"v"), (a, b) => a * b),
-            lit(0.0), (acc, x) => acc + x))
+      // Iterations run inside ONE native expression over the assembled
+      // 1-row covariance (PcaPowerDeflate — bit-equal to the r15 HOF fold
+      // tower by PcaParitySpec): the r15 plan carried 16 nested matvec
+      // Projects that Catalyst re-analyzed every run (~2 s of driver time
+      // per invocation at ANY scale factor).
+      pcaCovFrame(s, dir)
+        .withColumn("c0", element_at(
+          VectorFunctions.pcaPowerDeflate(s, $"cm", PcaIters, 1), 1))
         .withColumn("tr",
           aggregate(transform(sequence(lit(0), lit(D - 1)),
             i => element_at($"cm", i * lit(D + 1) + lit(1))),
             lit(0.0), (acc, x) => acc + x))
-        .withColumn("mx",
-          array_max(transform($"v", x => abs(x))))
-        .withColumn("sgn",
-          when(element_at(filter($"v", x => abs(x) === $"mx"), 1) < 0.0,
-            lit(-1.0)).otherwise(lit(1.0)))
         .select($"n_vecs",
-          GraftQuery.roundNorm($"lam", 6).as("eig1"),
-          GraftQuery.roundNorm($"lam" / $"tr", 6).as("var_share"),
-          GraftQuery.roundNorm(element_at($"v", 1) * $"sgn", 4).as("v1"),
-          GraftQuery.roundNorm(element_at($"v", 2) * $"sgn", 4).as("v2"),
-          GraftQuery.roundNorm(element_at($"v", 3) * $"sgn", 4).as("v3"),
-          GraftQuery.roundNorm(element_at($"v", 4) * $"sgn", 4).as("v4"))
+          GraftQuery.roundNorm($"c0.lam", 6).as("eig1"),
+          GraftQuery.roundNorm($"c0.lam" / $"tr", 6).as("var_share"),
+          GraftQuery.roundNorm(element_at($"c0.v", 1) * $"c0.sgn", 4).as("v1"),
+          GraftQuery.roundNorm(element_at($"c0.v", 2) * $"c0.sgn", 4).as("v2"),
+          GraftQuery.roundNorm(element_at($"c0.v", 3) * $"c0.sgn", 4).as("v3"),
+          GraftQuery.roundNorm(element_at($"c0.v", 4) * $"c0.sgn", 4).as("v4"))
     },
     Some {
       val D = 64
@@ -2077,51 +2098,64 @@ object Similarity {
     * run on a 1-row frame (localCheckpointed per component so the
     * expression tower resets — state is always the d² matrix + k
     * vectors, at any corpus size). */
+  /** The r15 HOF fold-tower deflation chain — kept ONLY as the bit-parity
+    * witness for [[graft.functions.PcaPowerDeflate]] (PcaParitySpec):
+    * given a (cm, …) covariance frame, appends lam\$c/sgn\$c/v\$c for
+    * components 1..k exactly as the r15 llm_embed_pca_topk computed them
+    * (16 in-plan power steps per component, element-wise deflation,
+    * 1-row checkpoint per component to bound the expression tower). */
+  private[graft] def pcaDeflateFoldForm(cov: DataFrame, k: Int): DataFrame = {
+    import cov.sparkSession.implicits._
+    val D = PcaD
+    var df = cov.localCheckpoint()
+    for (c <- 1 to k) {
+      var it = df.withColumn("v", pcaV0)
+      for (_ <- 1 to PcaIters) {
+        it = it.withColumn("vr", pcaMatvec($"v"))
+          .withColumn("v", transform($"vr", x => x / pcaNorm($"vr")))
+          .drop("vr")
+      }
+      df = it
+        .withColumn(s"lam$c",
+          aggregate(zip_with($"v", pcaMatvec($"v"), (a, b) => a * b),
+            lit(0.0), (acc, x) => acc + x))
+        .withColumn("mx", array_max(transform($"v", x => abs(x))))
+        .withColumn(s"sgn$c",
+          when(element_at(filter($"v", x => abs(x) === $"mx"), 1) < 0.0,
+            lit(-1.0)).otherwise(lit(1.0)))
+        .withColumn(s"v$c", $"v")
+        .withColumn("cm", expr(
+          s"transform(sequence(0, ${D * D - 1}), i -> " +
+            s"element_at(cm, i + 1) - lam$c * " +
+            s"element_at(v$c, CAST(i div $D AS INT) + 1) * " +
+            s"element_at(v$c, pmod(i, $D) + 1))"))
+        .drop("v", "mx")
+        .localCheckpoint()
+    }
+    df
+  }
+
   val embedPcaTopk: GraftQuery = GraftQuery(
     "llm_embed_pca_topk",
     (s, dir) => {
       import s.implicits._
       val D = PcaD
       val K = 4
-      var df = pcaCovFrame(s, dir)
+      // All 4 components' 16-step towers + deflations run inside ONE
+      // native expression on the 1-row covariance (PcaPowerDeflate;
+      // bit-equal to the r15 per-component checkpointed HOF chain by
+      // PcaParitySpec) — the r15 plan paid 4 localCheckpoints plus 4
+      // re-analyzed 16-Project towers per run (~8 s driver time at
+      // sf0.001 where the data work is milliseconds).
+      pcaCovFrame(s, dir)
         .withColumn("tr",
           aggregate(transform(sequence(lit(0), lit(D - 1)),
             i => element_at($"cm", i * lit(D + 1) + lit(1))),
             lit(0.0), (acc, x) => acc + x))
-        .localCheckpoint()
-      for (c <- 1 to K) {
-        var it = df.withColumn("v", pcaV0)
-        for (_ <- 1 to PcaIters) {
-          it = it.withColumn("vr", pcaMatvec($"v"))
-            .withColumn("v", transform($"vr", x => x / pcaNorm($"vr")))
-            .drop("vr")
-        }
-        df = it
-          .withColumn(s"lam$c",
-            aggregate(zip_with($"v", pcaMatvec($"v"), (a, b) => a * b),
-              lit(0.0), (acc, x) => acc + x))
-          .withColumn("mx", array_max(transform($"v", x => abs(x))))
-          .withColumn(s"sgn$c",
-            when(element_at(filter($"v", x => abs(x) === $"mx"), 1) < 0.0,
-              lit(-1.0)).otherwise(lit(1.0)))
-          .withColumn(s"v$c", $"v")
-          .withColumn("cm", expr(
-            s"transform(sequence(0, ${D * D - 1}), i -> " +
-              s"element_at(cm, i + 1) - lam$c * " +
-              s"element_at(v$c, CAST(i div $D AS INT) + 1) * " +
-              s"element_at(v$c, pmod(i, $D) + 1))"))
-          .drop("v", "mx")
-          // 1-row checkpoint per component: resets the 8-iteration
-          // expression tower so analysis/codegen stays bounded.
-          .localCheckpoint()
-      }
-      df.select($"n_vecs", $"tr",
-          explode(array((1 to K).map { c =>
-            struct(lit(c.toLong).as("component"),
-              col(s"lam$c").as("lam"), col(s"sgn$c").as("sgn"),
-              col(s"v$c").as("v"))
-          }: _*)).as("r"))
-        .select($"r.component".as("component"), $"n_vecs",
+        .select($"n_vecs", $"tr",
+          posexplode(VectorFunctions.pcaPowerDeflate(s, $"cm", PcaIters, K))
+            .as(Seq("pos", "r")))
+        .select(($"pos" + 1).cast("long").as("component"), $"n_vecs",
           graft.GraftQuery.roundNorm($"r.lam", 6).as("eig"),
           graft.GraftQuery.roundNorm($"r.lam" / $"tr", 6).as("var_share"),
           graft.GraftQuery.roundNorm(element_at($"r.v", 1) * $"r.sgn", 4).as("v1"),

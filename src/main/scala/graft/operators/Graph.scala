@@ -1585,12 +1585,16 @@ object Graph {
           // self-join each, versus diameter rounds of the general CC
           // kernel over the same rows. This is the Shiloach–Vishkin
           // hook-and-compress specialization Borůvka admits.
-          var par = cut(perComp
+          // par0 is a pure projection of the already-checkpointed perComp
+          // — no self-join touches it before the cycle-break, so it needs
+          // no cut of its own (r16 job trim: one blocking job less per
+          // round; the cycle-break's p1/p2 re-read the checkpoint scan).
+          val par0 = perComp
             .select($"comp",
               when($"pick.ca" === $"comp", $"pick.cb")
-                .otherwise($"pick.ca").as("parent")))
-          par = cut(par.as("p1")
-            .join(par.as("p2").hint("shuffle_hash"),
+                .otherwise($"pick.ca").as("parent"))
+          var par = cut(par0.as("p1")
+            .join(par0.as("p2").hint("shuffle_hash"),
               $"p1.parent" === $"p2.comp")
             .select($"p1.comp".as("comp"),
               when($"p2.parent" === $"p1.comp",
@@ -1598,14 +1602,18 @@ object Graph {
                 .otherwise($"p1.parent").as("parent")))
           var compressing = true
           while (compressing) {
+            // Convergence rides the doubling plan itself as a `chg` bit
+            // (parent ≠ grandparent BEFORE this halving) — checking it is
+            // a filter-scan of the fresh checkpoint, not the r15
+            // nxt⋈par+count job (r16 job trim: one join job less per
+            // doubling).
             val nxt = cut(par.as("p1")
               .join(par.as("p2").hint("shuffle_hash"),
                 $"p1.parent" === $"p2.comp")
-              .select($"p1.comp".as("comp"), $"p2.parent".as("parent")))
-            compressing = nxt.as("a")
-              .join(par.select($"comp", $"parent".as("old")), "comp")
-              .filter($"parent" =!= $"old").count() > 0
-            par = nxt
+              .select($"p1.comp".as("comp"), $"p2.parent".as("parent"),
+                ($"p2.parent" =!= $"p1.parent").as("chg")))
+            compressing = !nxt.filter($"chg").isEmpty
+            par = nxt.select($"comp", $"parent")
           }
           labels = cut(labels
             .join(par.select($"comp", $"parent".as("cid")), Seq("comp"), "left")
@@ -2386,23 +2394,37 @@ object Graph {
       var frontier = seeds
       var rounds = 0
       var done = false
+      // TWO edge hops per blocking round (r16: the blocking-job ladder IS
+      // the fixpoint cost at any scale — the per-round data is
+      // O(frontier)): hop 1 and hop 2 ride ONE checkpointed frame under a
+      // `hop` marker, so the checkpoint/lineage-cut count is
+      // ceil(diameter/2), not diameter. h1 appears three times in the
+      // round's plan (h2's expansion, h2's dedup anti-join, the union) —
+      // its distinct's Exchange is planned once and reused
+      // (ReusedExchange), so the round stays one pass over the live
+      // frontier's edges per hop. The reach SET is hop-batching-invariant,
+      // so results are unchanged by construction.
+      def hop(f: DataFrame): DataFrame = edges
+        .join(f.withColumnRenamed("v", "src").hint("shuffle_hash"),
+          Seq("pid", "src"))
+        .select($"pid", $"dst".as("v")).distinct()
+        .join(visited, Seq("pid", "v"), "left_anti")
       while (!done && rounds < 64) {
-        val nxt = edges
-          .join(frontier.withColumnRenamed("v", "src").hint("shuffle_hash"),
-            Seq("pid", "src"))
-          .select($"pid", $"dst".as("v")).distinct()
-          .join(visited, Seq("pid", "v"), "left_anti")
+        val h1 = hop(frontier)
+        val h2 = hop(h1).join(h1, Seq("pid", "v"), "left_anti")
+        val u = h1.withColumn("hop", lit(1))
+          .unionByName(h2.withColumn("hop", lit(2)))
           .localCheckpoint()
-        if (nxt.isEmpty) done = true
+        if (u.isEmpty) done = true
         else {
-          visitedParts ::= nxt
-          frontier = nxt
-          rounds += 1
+          visitedParts ::= u.select($"pid", $"v")
+          frontier = u.filter($"hop" === 2).select($"pid", $"v")
+          if (frontier.isEmpty) done = true else rounds += 1
         }
       }
       if (!done)
         throw new IllegalStateException(
-          s"$who: BFS still expanding after 64 rounds — " +
+          s"$who: BFS still expanding after 64 two-hop rounds — " +
             "raise the failsafe (the oracle computes the unbounded fixpoint)")
       visited
     } finally edges.unpersist(false)

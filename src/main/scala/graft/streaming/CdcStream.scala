@@ -41,7 +41,7 @@ object CdcStream {
         $"event_id".as("seq"),
         when(pmod($"event_id", lit(7L)) === 0, 1).otherwise(0).as("del"),
         $"value")
-      val bounds = log.agg(min($"seq").as("lo"), max($"seq").as("hi"))
+      val bounds = log.agg(min($"seq").as("lo"), max($"seq").as("hi")).localCheckpoint()
       def edge(k: Int): Column =
         $"lo" - 1 + floor(($"hi" - $"lo" + 1) * lit(k) / lit(Waves.toDouble)).cast("long")
       val partials = (0 until Waves).map { k =>

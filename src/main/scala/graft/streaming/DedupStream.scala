@@ -46,9 +46,13 @@ object DedupStream {
       // Watermark (corpus/batch split) + post-watermark id span, as one
       // broadcast 1-row frame — the split stays declarative (no driver
       // collect) and every wave filter joins against it.
+      // 1-row checkpoint (r16): every wave's plan (and the base/prefix
+      // filters) embeds this aggregate via broadcast — uncheckpointed,
+      // each of those separately-executed DAGs re-ran the doc_id scan.
       val bounds = docs.agg(
         floor(max($"doc_id") / 2.0).cast("long").as("wm"),
         max($"doc_id").as("mx"))
+        .localCheckpoint()
       def waveEdge(k: Int): Column =
         $"wm" + floor(($"mx" - $"wm") * lit(k) / lit(Waves.toDouble)).cast("long")
       // Shingle the post-watermark batch ONCE (cached); each wave and each

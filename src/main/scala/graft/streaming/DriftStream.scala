@@ -43,7 +43,7 @@ object DriftStream {
         .filter($"event_type".isin("view", "purchase"))
         .select($"event_id", $"event_type",
           expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cv"))
-      val bounds = ev.agg(min($"event_id").as("lo"), max($"event_id").as("hi"))
+      val bounds = ev.agg(min($"event_id").as("lo"), max($"event_id").as("hi")).localCheckpoint()
       def edge(k: Int): Column =
         $"lo" - 1 + floor(($"hi" - $"lo" + 1) * lit(k) / lit(Waves.toDouble)).cast("long")
       val partials = (0 until Waves).map { k =>
@@ -97,7 +97,7 @@ object DriftStream {
         .filter($"event_type".isin("view", "purchase"))
         .select($"event_id", $"event_type",
           expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cv"))
-      val bounds = ev.agg(min($"event_id").as("lo"), max($"event_id").as("hi"))
+      val bounds = ev.agg(min($"event_id").as("lo"), max($"event_id").as("hi")).localCheckpoint()
       def edge(k: Int): Column =
         $"lo" - 1 + floor(($"hi" - $"lo" + 1) * lit(k) / lit(Waves.toDouble)).cast("long")
       val partials = (0 until Waves).map { k =>
@@ -158,7 +158,7 @@ object DriftStream {
       val ev = Tables.events(s, dir)
         .select($"event_id", $"event_type", to_date($"ts").as("d"),
           expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cv"))
-      val bounds = ev.agg(min($"event_id").as("lo"), max($"event_id").as("hi"))
+      val bounds = ev.agg(min($"event_id").as("lo"), max($"event_id").as("hi")).localCheckpoint()
       def edge(k: Int): Column =
         $"lo" - 1 + floor(($"hi" - $"lo" + 1) * lit(k) / lit(Waves.toDouble)).cast("long")
       val partials = (0 until Waves).map { k =>
@@ -190,7 +190,7 @@ object DriftStream {
     (s, dir) => {
       import s.implicits._
       val rows = graft.operators.Analytics.momentRows(s, dir)
-      val bounds = rows.agg(min($"event_id").as("lo"), max($"event_id").as("hi"))
+      val bounds = rows.agg(min($"event_id").as("lo"), max($"event_id").as("hi")).localCheckpoint()
       def edge(k: Int): Column =
         $"lo" - 1 + floor(($"hi" - $"lo" + 1) * lit(k) / lit(Waves.toDouble)).cast("long")
       val aggs = graft.operators.Analytics.momentAggs
@@ -228,7 +228,7 @@ object DriftStream {
       import s.implicits._
       val ev = Tables.events(s, dir)
         .select($"event_id", to_date($"ts").as("d"), $"event_type")
-      val bounds = ev.agg(min($"event_id").as("lo"), max($"event_id").as("hi"))
+      val bounds = ev.agg(min($"event_id").as("lo"), max($"event_id").as("hi")).localCheckpoint()
       def edge(k: Int): Column =
         $"lo" - 1 + floor(($"hi" - $"lo" + 1) * lit(k) / lit(Waves.toDouble)).cast("long")
       val aggs = Analytics.entropyAggs
@@ -268,7 +268,7 @@ object DriftStream {
                     CAST(event_id AS STRING), '|', event_type, '|',
                     CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS STRING)
                   )), 1, 12), 16, 10) AS BIGINT)""").as("h"))
-      val bounds = rows.agg(min($"event_id").as("lo"), max($"event_id").as("hi"))
+      val bounds = rows.agg(min($"event_id").as("lo"), max($"event_id").as("hi")).localCheckpoint()
       def edge(k: Int): Column =
         $"lo" - 1 + floor(($"hi" - $"lo" + 1) * lit(k) / lit(Waves.toDouble)).cast("long")
       val partials = (0 until Waves).map { k =>
@@ -337,7 +337,7 @@ object DriftStream {
         .filter($"event_type".isin("view", "purchase"))
         .select($"event_id", $"event_type",
           expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cv"))
-      val bounds = ev.agg(min($"event_id").as("lo"), max($"event_id").as("hi"))
+      val bounds = ev.agg(min($"event_id").as("lo"), max($"event_id").as("hi")).localCheckpoint()
       def edge(k: Int): Column =
         $"lo" - 1 + floor(($"hi" - $"lo" + 1) * lit(k) / lit(Waves.toDouble)).cast("long")
       val partials = (0 until Waves).map { k =>
@@ -372,7 +372,7 @@ object DriftStream {
         .select($"l_orderkey", $"l_partkey", year($"l_shipdate").as("yr"),
           expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("pc"),
           expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)").as("qc"))
-      val bounds = li.agg(min($"l_orderkey").as("lo"), max($"l_orderkey").as("hi"))
+      val bounds = li.agg(min($"l_orderkey").as("lo"), max($"l_orderkey").as("hi")).localCheckpoint()
       def edge(k: Int): Column =
         $"lo" - 1 + floor(($"hi" - $"lo" + 1) * lit(k) / lit(Waves.toDouble)).cast("long")
       val partials = (0 until Waves).map { k =>
@@ -405,7 +405,7 @@ object DriftStream {
     (s, dir) => {
       import s.implicits._
       val src = Analytics.miCellsSource(s, dir)
-      val bounds = src.agg(min($"event_id").as("lo"), max($"event_id").as("hi"))
+      val bounds = src.agg(min($"event_id").as("lo"), max($"event_id").as("hi")).localCheckpoint()
       def edge(k: Int): Column =
         $"lo" - 1 + floor(($"hi" - $"lo" + 1) * lit(k) / lit(Waves.toDouble)).cast("long")
       val partials = (0 until Waves).map { k =>
@@ -432,7 +432,7 @@ object DriftStream {
     (s, dir) => {
       import s.implicits._
       val src = Analytics.msprtSource(s, dir)
-      val bounds = src.agg(min($"event_id").as("lo"), max($"event_id").as("hi"))
+      val bounds = src.agg(min($"event_id").as("lo"), max($"event_id").as("hi")).localCheckpoint()
       def edge(k: Int): Column =
         $"lo" - 1 + floor(($"hi" - $"lo" + 1) * lit(k) / lit(Waves.toDouble)).cast("long")
       val partials = (0 until Waves).map { k =>
@@ -475,7 +475,7 @@ object DriftStream {
         .filter($"event_type".isin("click", "purchase"))
         .select($"event_id", $"event_type", to_date($"ts").as("d"),
           expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
-      val bounds = ev.agg(min($"event_id").as("lo"), max($"event_id").as("hi"))
+      val bounds = ev.agg(min($"event_id").as("lo"), max($"event_id").as("hi")).localCheckpoint()
       def edge(k: Int): Column =
         $"lo" - 1 + floor(($"hi" - $"lo" + 1) * lit(k) / lit(Waves.toDouble)).cast("long")
       val partials = (0 until Waves).map { k =>

@@ -48,7 +48,7 @@ object ResampleStream {
         .select($"user_id", $"ts", $"event_id", $"value")
       // Offset span as one broadcast 1-row frame — the wave split stays
       // declarative (no driver collect), as in stream_dedup_incremental.
-      val bounds = ev.agg(min($"event_id").as("lo"), max($"event_id").as("hi"))
+      val bounds = ev.agg(min($"event_id").as("lo"), max($"event_id").as("hi")).localCheckpoint()
       def edge(k: Int): Column =
         $"lo" - 1 + floor(($"hi" - $"lo" + 1) * lit(k) / lit(Waves.toDouble)).cast("long")
       val partials = (0 until Waves).map { k =>
@@ -104,7 +104,7 @@ object ResampleStream {
       import s.implicits._
       val ev = Tables.events(s, dir)
         .select($"event_id", $"user_id", to_date($"ts").as("d"))
-      val bounds = ev.agg(min($"event_id").as("lo"), max($"event_id").as("hi"))
+      val bounds = ev.agg(min($"event_id").as("lo"), max($"event_id").as("hi")).localCheckpoint()
       def edge(k: Int): org.apache.spark.sql.Column =
         $"lo" - 1 + floor(($"hi" - $"lo" + 1) * lit(k) / lit(3.0)).cast("long")
       val partials = (0 until 3).map { k =>
@@ -138,7 +138,7 @@ object ResampleStream {
       import s.implicits._
       val ev = Tables.events(s, dir)
         .select($"event_id", $"user_id", to_date($"ts").as("d"), $"event_type")
-      val bounds = ev.agg(min($"event_id").as("lo"), max($"event_id").as("hi"))
+      val bounds = ev.agg(min($"event_id").as("lo"), max($"event_id").as("hi")).localCheckpoint()
       def edge(k: Int): Column =
         $"lo" - 1 + floor(($"hi" - $"lo" + 1) * lit(k) / lit(Waves.toDouble)).cast("long")
       val partials = (0 until Waves).map { k =>
@@ -171,7 +171,7 @@ object ResampleStream {
       import s.implicits._
       val ev = Tables.events(s, dir)
         .select($"event_id", $"user_id", to_date($"ts").as("dd"))
-      val bounds = ev.agg(min($"event_id").as("lo"), max($"event_id").as("hi"))
+      val bounds = ev.agg(min($"event_id").as("lo"), max($"event_id").as("hi")).localCheckpoint()
       def edge(k: Int): Column =
         $"lo" - 1 + floor(($"hi" - $"lo" + 1) * lit(k) / lit(Waves.toDouble)).cast("long")
       val partials = (0 until Waves).map { k =>
