@@ -1095,27 +1095,36 @@ object Dedup {
     var labels = sym.select($"src".as("v")).distinct()
       .select($"v", $"v".as("cid"))
       .localCheckpoint()
-    var changed = 1L
+    // TWO propagation hops per blocking round (r16: the lineage-cut +
+    // convergence-check ladder is the fixpoint cost, not the data) — the
+    // min-label fixpoint is unique and extra steps past it are identity,
+    // so double-stepping halves the checkpoint count and changes no
+    // label. The inner step's aggregate subtree appears twice in the
+    // round's plan and is planned once (ReusedExchange). Convergence is
+    // a filter-scan isEmpty of the fresh checkpoint, not a count job.
+    def step(l: DataFrame): DataFrame = sym
+      .join(l.withColumnRenamed("v", "src"), "src")
+      .select($"dst".as("v"), $"cid")
+      .union(l)
+      .groupBy($"v").agg(min($"cid").as("cid"))
+    var done = false
     var round = 0
-    while (changed > 0 && round < maxRounds) {
-      val next = sym
-        .join(labels.withColumnRenamed("v", "src"), "src")
-        .select($"dst".as("v"), $"cid")
-        .union(labels)
-        .groupBy($"v").agg(min($"cid").as("ncid"))
+    while (!done && round < maxRounds) {
+      val next = step(step(labels))
+        .withColumnRenamed("cid", "ncid")
         .join(labels, "v")
         .select($"v", $"cid".as("old"), $"ncid".as("cid"))
         .localCheckpoint()
-      changed = next.filter($"cid" < $"old").count()
+      done = next.filter($"cid" < $"old").isEmpty
       labels = next.select($"v", $"cid")
       round += 1
     }
     // Fail loudly rather than return a partition that splits a real
     // component (a keep/drop list built from it would keep duplicates).
-    if (changed > 0)
+    if (!done)
       throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxRounds rounds " +
-        s"($changed labels still changing); raise maxRounds for graphs of this diameter")
+        s"connectedComponents did not converge in $maxRounds two-hop rounds " +
+        "(labels still changing); raise maxRounds for graphs of this diameter")
     labels
   }
 

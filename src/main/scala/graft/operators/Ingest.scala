@@ -1039,7 +1039,8 @@ object Ingest {
       val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
       val frag = s"/tmp/graft_frag/$sfx"
       val compacted = s"/tmp/graft_compacted/$sfx"
-      val meta = graft.llm.Layouts.fingerprint(Tables.events(s, dir), "event_id", "ts")
+      lazy val meta = // forced only on the cold build path (r16)
+        graft.llm.Layouts.fingerprint(Tables.events(s, dir), "event_id", "ts")
       graft.llm.Layouts.parquetLayout(frag, frag, meta) {
         Tables.events(s, dir)
           .withColumn("d", date_format($"ts", "yyyy-MM-dd"))
@@ -1213,7 +1214,8 @@ object Ingest {
       import s.implicits._
       val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
       val path = s"/tmp/graft_zorder/$sfx"
-      val meta = graft.llm.Layouts.fingerprint(Tables.events(s, dir), "event_id", "ts")
+      lazy val meta = // forced only on the cold build path (r16)
+        graft.llm.Layouts.fingerprint(Tables.events(s, dir), "event_id", "ts")
       graft.llm.Layouts.parquetLayout(path, path, meta) {
         val ev = Tables.events(s, dir)
           .select($"user_id", $"value",
@@ -1274,7 +1276,8 @@ object Ingest {
       import s.implicits._
       val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
       val root = s"/tmp/graft_evolve/$sfx"
-      val meta = graft.llm.Layouts.fingerprint(Tables.events(s, dir), "event_id", "ts")
+      lazy val meta = // forced only on the cold build path (r16)
+        graft.llm.Layouts.fingerprint(Tables.events(s, dir), "event_id", "ts")
       graft.llm.Layouts.parquetLayout(root, root, meta) {
         val ev = Tables.events(s, dir)
         // v1 producer: no event_type column yet.

@@ -427,13 +427,20 @@ object Windows {
     (s, dir) => {
       import s.implicits._
       val cents = expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
-      val maxd = Tables.events(s, dir).agg(max(to_date($"ts")).as("d0"))
-      val users = GraftQuery.cutStats(
+      // One events scan, not two (r16): the anchor date is the max of the
+      // per-user maxes, so it reads off the checkpointed user aggregate
+      // instead of re-scanning events inside the broadcast build
+      // (max(last_d) == max(to_date(ts)) — identical value by
+      // associativity of max; the oracle's subquery is unchanged).
+      val base = GraftQuery.cutStats(
         Tables.events(s, dir)
           .select($"user_id", to_date($"ts").as("d"), cents.as("c"))
           .groupBy($"user_id")
           .agg(max($"d").as("last_d"), count(lit(1)).as("frequency"),
-            sum($"c").as("monetary"))
+            sum($"c").as("monetary")))
+      val maxd = base.agg(max($"last_d").as("d0"))
+      val users = GraftQuery.cutStats(
+        base
           .crossJoin(broadcast(maxd))
           .select($"user_id",
             expr("CAST(datediff(d0, last_d) AS BIGINT)").as("recency"),
