@@ -2401,30 +2401,23 @@ object Graph {
       var frontier = seeds
       var rounds = 0
       var done = false
-      // TWO edge hops per blocking round (r16: the blocking-job ladder IS
-      // the fixpoint cost at any scale — the per-round data is
-      // O(frontier)): hop 1 and hop 2 ride ONE checkpointed frame under a
-      // `hop` marker, so the checkpoint/lineage-cut count is
-      // ceil(diameter/2), not diameter. h1 appears three times in the
-      // round's plan (h2's expansion, h2's dedup anti-join, the union) —
-      // its distinct's Exchange is planned once and reused
-      // (ReusedExchange), so the round stays one pass over the live
-      // frontier's edges per hop. The reach SET is hop-batching-invariant,
-      // so results are unchanged by construction.
-      def hop(f: DataFrame): DataFrame = edges
-        .join(f.withColumnRenamed("v", "src").hint("shuffle_hash"),
-          Seq("pid", "src"))
-        .select($"pid", $"dst".as("v")).distinct()
-        .join(visited, Seq("pid", "v"), "left_anti")
+      // One hop per blocking round. r16 note: a 2-hop-batched variant
+      // (both hops in one checkpointed plan under a `hop` marker) was
+      // built and benched — min-of-passes REGRESSED 7.2→10.7 s /
+      // 9.9→13.2 s on the fwbw pair at sf0.1: the deeper per-round plan
+      // (extra distinct, two extra anti-joins, the h1 subtree re-planned
+      // per AQE stage) cost more than the checkpoint it saved. Reverted;
+      // the visited-union consolidation below is the part that survived.
       while (!done && rounds < 64) {
-        val h1 = hop(frontier)
-        val h2 = hop(h1).join(h1, Seq("pid", "v"), "left_anti")
-        val u = h1.withColumn("hop", lit(1))
-          .unionByName(h2.withColumn("hop", lit(2)))
+        val nxt = edges
+          .join(frontier.withColumnRenamed("v", "src").hint("shuffle_hash"),
+            Seq("pid", "src"))
+          .select($"pid", $"dst".as("v")).distinct()
+          .join(visited, Seq("pid", "v"), "left_anti")
           .localCheckpoint()
-        if (u.isEmpty) done = true
+        if (nxt.isEmpty) done = true
         else {
-          visitedParts ::= u.select($"pid", $"v")
+          visitedParts ::= nxt
           // Consolidate the visited union every 8 parts (r16): on a
           // deep-diameter component the union otherwise accretes one leg
           // per round — the anti-join re-plans and re-shuffles O(rounds)
@@ -2434,13 +2427,13 @@ object Graph {
           // same parts.
           if (visitedParts.length >= 8)
             visitedParts = List(visited.localCheckpoint())
-          frontier = u.filter($"hop" === 2).select($"pid", $"v")
-          if (frontier.isEmpty) done = true else rounds += 1
+          frontier = nxt
+          rounds += 1
         }
       }
       if (!done)
         throw new IllegalStateException(
-          s"$who: BFS still expanding after 64 two-hop rounds — " +
+          s"$who: BFS still expanding after 64 rounds — " +
             "raise the failsafe (the oracle computes the unbounded fixpoint)")
       visited
     } finally edges.unpersist(false)
