@@ -47,9 +47,43 @@ object GraftQuery {
     * the bounded default. Linear join chains (PageRank, CC, BFS) only
     * ADD bits per round and don't need this; use it wherever a
     * checkpointed frame joins itself. */
-  def cutStats(df: DataFrame): DataFrame = {
-    val ck = df.localCheckpoint()
-    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  def cutStats(df: DataFrame): DataFrame = severStats(df.localCheckpoint())
+
+  /** The statistics-severance half of [[cutStats]] alone — zero jobs —
+    * for frames that are ALREADY materialized checkpoints (r17: wrapping
+    * a fresh localCheckpoint in cutStats re-materialized the RDD into a
+    * second copy, one wasted blocking job per closure round). */
+  def severStats(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.rdd, df.schema)
+
+  /** localCheckpoint + a convergence statistic riding the SAME
+    * materializing job (r17, guide §1.2/§2.4: the fixpoint ladders'
+    * per-round cost is blocking JOBS, not data — every loop here paid a
+    * separate isEmpty/count probe job per round on the frame it had just
+    * materialized). `Dataset.observe` plants a CollectMetrics node whose
+    * aggregate is folded DURING the checkpoint's own job and delivered
+    * through the query-execution listener, so the probe costs zero extra
+    * jobs. `probe` must be a single aggregate Column yielding a numeric
+    * (count/sum); null (e.g. sum over zero rows) reads as 0. Values are
+    * unchanged by construction: the observed plan computes the identical
+    * rows, and R17OptSpec pins probe==separate-job-count equality. */
+  def checkpointCounted(df: DataFrame,
+                        probe: org.apache.spark.sql.Column): (DataFrame, Long) = {
+    val obs = org.apache.spark.sql.Observation()
+    val ck = df.observe(obs, probe.as("p")).localCheckpoint()
+    val v = obs.get("p") match {
+      case null => 0L
+      case n: java.lang.Number => n.longValue()
+    }
+    (ck, v)
+  }
+
+  /** [[checkpointCounted]] composed with [[cutStats]]'s statistics
+    * severance — for counted rounds whose frame then SELF-JOINS. */
+  def cutStatsCounted(df: DataFrame,
+                      probe: org.apache.spark.sql.Column): (DataFrame, Long) = {
+    val (ck, n) = checkpointCounted(df, probe)
+    (ck.sparkSession.createDataFrame(ck.rdd, ck.schema), n)
   }
 
   /** Signed-zero-safe final-projection rounding (the round-13 ts_macd

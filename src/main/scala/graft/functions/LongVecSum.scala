@@ -19,7 +19,7 @@ object LongVecSum extends Aggregator[Array[Long], Array[Long], Array[Long]] {
   override def zero: Array[Long] = Array.emptyLongArray
 
   override def reduce(b: Array[Long], in: Array[Long]): Array[Long] =
-    if (in == null) b
+    if (in == null || in.isEmpty) b // empty = identity (zero-length row or sentinel)
     else if (b.isEmpty) in.clone()
     else {
       require(b.length == in.length,
@@ -29,8 +29,11 @@ object LongVecSum extends Aggregator[Array[Long], Array[Long], Array[Long]] {
       b
     }
 
+  // The zero() sentinel is identity on BOTH sides (ADVICE r16): global
+  // partial aggregation emits one zero-buffer row per partition and empty
+  // scan partitions are routine, so a non-empty `a` can meet an empty `b`.
   override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
-    if (a.isEmpty) b else reduce(a, b)
+    if (a.isEmpty) b else if (b.isEmpty) a else reduce(a, b)
 
   override def finish(r: Array[Long]): Array[Long] = r
 

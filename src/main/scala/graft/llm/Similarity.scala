@@ -1911,6 +1911,10 @@ object Similarity {
       .select(VectorFunctions.pcaQuantGram(s, $"embedding").as("q"))
       .agg(udaf(graft.functions.LongVecSum).apply($"q").as("sums"),
         count(lit(1)).as("n"))
+      // Empty corpus ⇒ 0 rows, as the r15 join form produced (ADVICE
+      // r16): the global aggregate otherwise emits one n=0 row whose
+      // element_at reads are null and PcaPowerDeflate NPEs downstream.
+      .filter($"n" > 0)
     sums.select(
       transform(sequence(lit(0), lit(D * D - 1)), idx => {
         val i = floor(idx.cast("double") / D).cast("int")

@@ -1431,21 +1431,27 @@ object Graph {
     (s, dir) => {
       import s.implicits._
       val adj = adjacency(s, dir).select($"src", $"dst")
-      var degs = vertices(adj).select($"src".as("v"), $"deg")
-        .localCheckpoint()
-      var removed = degs.filter($"deg" < KCoreK).localCheckpoint()
-      var frontier = removed.count()
+      // One blocking job per peel round (r17; was three): the frontier
+      // count rides the degs checkpoint via observe, and `removed` is a
+      // lazy filter slice of that fresh checkpoint — its own checkpoint
+      // bought nothing (both consumers re-read the in-memory degs rows).
+      val frontierProbe = count(when($"deg" < KCoreK, lit(1)))
+      var (degs, frontier) = GraftQuery.checkpointCounted(
+        vertices(adj).select($"src".as("v"), $"deg"), frontierProbe)
+      def removed = degs.filter($"deg" < KCoreK)
       var round = 0
       while (frontier > 0 && round < MaxPeelRounds) {
-        val msgs = adj.join(removed.select($"v".as("src")), "src")
+        val rem = removed // the PRE-update slice feeds this round's plan
+        val msgs = adj.join(rem.select($"v".as("src")), "src")
           .groupBy($"dst").agg(count(lit(1)).as("dec"))
           .select($"dst".as("v"), $"dec")
-        degs = degs.join(removed.select($"v"), Seq("v"), "left_anti")
-          .join(msgs.hint("shuffle_hash"), Seq("v"), "left")
-          .select($"v", ($"deg" - coalesce($"dec", lit(0L))).as("deg"))
-          .localCheckpoint()
-        removed = degs.filter($"deg" < KCoreK).localCheckpoint()
-        frontier = removed.count()
+        val (d2, f2) = GraftQuery.checkpointCounted(
+          degs.join(rem.select($"v"), Seq("v"), "left_anti")
+            .join(msgs.hint("shuffle_hash"), Seq("v"), "left")
+            .select($"v", ($"deg" - coalesce($"dec", lit(0L))).as("deg")),
+          frontierProbe)
+        degs = d2
+        frontier = f2
         round += 1
       }
       if (frontier > 0)
@@ -1553,13 +1559,15 @@ object Graph {
       var round = 0
       var merging = true
       while (merging && round < MaxBoruvkaRounds) {
-        val cross = live
+        // The cross-edge count rides the checkpoint's own job via observe
+        // (r17) — the isEmpty probe was a second blocking job per round.
+        val (cross, nCross) = GraftQuery.checkpointCounted(live
           .join(labels.select($"v".as("src"), $"comp".as("ca")), "src")
           .join(labels.select($"v".as("dst"), $"comp".as("cb")).hint("shuffle_hash"), "dst")
-          .filter($"ca" =!= $"cb")
-          .localCheckpoint()
+          .filter($"ca" =!= $"cb"),
+          count(lit(1)))
         live = cross.select($"src", $"dst", $"support")
-        if (cross.isEmpty) { merging = false }
+        if (nCross == 0L) { merging = false }
         else {
           val ek = struct((-$"support").as("ns"), $"src", $"dst",
             $"ca", $"cb", $"support")
@@ -1603,16 +1611,17 @@ object Graph {
           var compressing = true
           while (compressing) {
             // Convergence rides the doubling plan itself as a `chg` bit
-            // (parent ≠ grandparent BEFORE this halving) — checking it is
-            // a filter-scan of the fresh checkpoint, not the r15
-            // nxt⋈par+count job (r16 job trim: one join job less per
-            // doubling).
-            val nxt = cut(par.as("p1")
+            // (parent ≠ grandparent BEFORE this halving); r17: the chg
+            // count now rides the checkpoint's own job via observe —
+            // zero probe jobs per doubling (was a filter-scan isEmpty in
+            // r16, a join+count in r15).
+            val (nxt, nChg) = GraftQuery.cutStatsCounted(par.as("p1")
               .join(par.as("p2").hint("shuffle_hash"),
                 $"p1.parent" === $"p2.comp")
               .select($"p1.comp".as("comp"), $"p2.parent".as("parent"),
-                ($"p2.parent" =!= $"p1.parent").as("chg")))
-            compressing = !nxt.filter($"chg").isEmpty
+                ($"p2.parent" =!= $"p1.parent").as("chg")),
+              count(when($"chg", lit(1))))
+            compressing = nChg > 0L
             par = nxt.select($"comp", $"parent")
           }
           labels = cut(labels
@@ -1717,50 +1726,68 @@ object Graph {
     * per-side aggregates are lineage-cut per half-round (the
     * pagerank_delta discipline), with normalization left as a lazy
     * projection so each O(E) join+aggregate executes exactly once. */
+  /** Checkpoint cadence for the HITS fixpoint, in HALF-rounds: 1 = the
+    * r15 per-half-round form, 2 = the r16 per-full-round form (whose
+    * bench rows came out flat-to-worse — r16 verdict item 3 orders the
+    * adjudication), 4 = two full rounds per cut. r17 measured all three
+    * in one quiet window (see OPTIMIZATION_r17.md); the winner is
+    * pinned here. Values are bit-identical under any cadence:
+    * checkpoint placement never changes arithmetic. */
+  private val HitsHalfRoundsPerCkpt = 1
+
+  private[graft] def hitsPipeline(s: SparkSession, dir: String,
+                                  halfPerCkpt: Int): DataFrame = {
+    import s.implicits._
+    // One fingerprint pass shared by both layouts, forced ONLY on the
+    // cold (build/re-register) path — warm serves skip the scans (r16).
+    lazy val fp = bipartiteFp(s, dir)
+    val ebc = bipartite(s, dir, "c", () => fp) // bucketed by c: serves e ⋈ h
+    val ebp = bipartite(s, dir, "p", () => fp) // bucketed by p: serves e ⋈ a
+    val nc = ebc.select($"c").distinct().agg(count(lit(1)).as("n"))
+    var h = ebc.select($"c").distinct().crossJoin(broadcast(nc))
+      .select($"c", (lit(1.0) / $"n").as("h"))
+      .localCheckpoint()
+    var a: DataFrame = null
+    var aCut = false // was the LAST a-half materialized?
+    var half = 0
+    for (_ <- 1 to HitsIters) {
+      // An un-checkpointed half-round stays lazy inside the next
+      // materialized plan — its aggregate subtree appears twice there
+      // (under the normalizer broadcast and under the next join) and is
+      // planned/executed once within that one action (ReusedExchange /
+      // AQE stage reuse). (The r14 2× trap was checkpointing the
+      // NORMALIZED vector — whose normalizer job and checkpoint job
+      // could not share a stage across separate actions.)
+      val araw0 = ebc.join(h.hint("shuffle_hash"), "c")
+        .groupBy($"p").agg(sum($"h").as("a"))
+      half += 1
+      aCut = half % halfPerCkpt == 0
+      val araw = if (aCut) araw0.localCheckpoint() else araw0
+      val asum = araw.agg(sum($"a").as("sa"))
+      a = araw.crossJoin(broadcast(asum))
+        .select($"p", ($"a" / $"sa").as("a"))
+      val hraw0 = ebp.join(a.hint("shuffle_hash"), "p")
+        .groupBy($"c").agg(sum($"a").as("h"))
+      half += 1
+      val hraw = if (half % halfPerCkpt == 0) hraw0.localCheckpoint() else hraw0
+      val hsum = hraw.agg(sum($"h").as("sh"))
+      h = hraw.crossJoin(broadcast(hsum))
+        .select($"c", ($"h" / $"sh").as("h"))
+    }
+    // Materialize the final auth vector once when its half-round wasn't
+    // (ADVICE r16): the closing union/orderBy action would otherwise
+    // re-execute the last a-half's O(E) join+aggregate from scratch —
+    // ReusedExchange only dedups within one action.
+    if (!aCut) a = a.localCheckpoint()
+    h.select(lit("hub").as("side"), $"c".as("id"), round($"h", 6).as("score"))
+      .unionByName(a.select(lit("auth").as("side"), $"p".as("id"),
+        round($"a", 6).as("score")))
+      .orderBy($"side", $"id")
+  }
+
   val hits: GraftQuery = GraftQuery(
     "graph_hits",
-    (s, dir) => {
-      import s.implicits._
-      // One fingerprint pass shared by both layouts, forced ONLY on the
-      // cold (build/re-register) path — warm serves skip the scans (r16).
-      lazy val fp = bipartiteFp(s, dir)
-      val ebc = bipartite(s, dir, "c", () => fp) // bucketed by c: serves e ⋈ h
-      val ebp = bipartite(s, dir, "p", () => fp) // bucketed by p: serves e ⋈ a
-      val nc = ebc.select($"c").distinct().agg(count(lit(1)).as("n"))
-      var h = ebc.select($"c").distinct().crossJoin(broadcast(nc))
-        .select($"c", (lit(1.0) / $"n").as("h"))
-        .localCheckpoint()
-      var a: DataFrame = null
-      for (_ <- 1 to HitsIters) {
-        // ONE checkpoint per FULL round (r16; was one per half-round):
-        // the a-half-round stays lazy inside the h-side's checkpointed
-        // plan — its aggregate subtree appears twice there (under the
-        // asum normalizer broadcast and under the h-side join) and is
-        // planned/executed once (ReusedExchange / AQE stage reuse), so
-        // the blocking-job ladder halves while each O(E) join+aggregate
-        // still executes once per half-round. (The r14 2× trap was
-        // checkpointing the NORMALIZED vector — whose normalizer job and
-        // checkpoint job could not share a stage across separate
-        // actions; within one action the reuse rule handles it.) Values
-        // are bit-identical: checkpoint placement never changes
-        // arithmetic.
-        val araw = ebc.join(h.hint("shuffle_hash"), "c")
-          .groupBy($"p").agg(sum($"h").as("a"))
-        val asum = araw.agg(sum($"a").as("sa"))
-        a = araw.crossJoin(broadcast(asum))
-          .select($"p", ($"a" / $"sa").as("a"))
-        val hraw = ebp.join(a.hint("shuffle_hash"), "p")
-          .groupBy($"c").agg(sum($"a").as("h"))
-          .localCheckpoint()
-        val hsum = hraw.agg(sum($"h").as("sh"))
-        h = hraw.crossJoin(broadcast(hsum))
-          .select($"c", ($"h" / $"sh").as("h"))
-      }
-      h.select(lit("hub").as("side"), $"c".as("id"), round($"h", 6).as("score"))
-        .unionByName(a.select(lit("auth").as("side"), $"p".as("id"),
-          round($"a", 6).as("score")))
-        .orderBy($"side", $"id")
-    },
+    (s, dir) => hitsPipeline(s, dir, HitsHalfRoundsPerCkpt),
     Some {
       // MATERIALIZED, not plain, CTEs: each round references the prior
       // one twice (the aggregate + its normalizer scalar subquery), and
@@ -2269,26 +2296,31 @@ object Graph {
           $"s_nationkey".cast("long").as("dst"))
         .agg(count(lit(1)).as("cnt"))
       val tot = flows.agg(sum($"cnt").as("tot"), count(lit(1)).as("np"))
-      val e = flows.crossJoin(broadcast(tot))
-        .filter($"cnt" * $"np" > $"tot" && $"src" =!= $"dst")
-        .select($"src", $"dst")
-        .localCheckpoint()
       // transitive closure by iterative doubling: after k rounds, reach
       // holds every path of length ≤ 2^k; 5 rounds ≥ any 25-node
       // diameter, with an early exit once a squaring adds no pair (the
       // fixture converges by round 2 — the remaining rounds were pure
       // localCheckpoint job overhead). cutStats severs the self-join
-      // statistics tower; the count rides the materialized checkpoint.
-      var reach = GraftQuery.cutStats(e)
-      var prev = reach.count()
+      // statistics tower. r17 job trims: the pair counts ride the
+      // checkpoints' own jobs via observe (was a count job per round),
+      // severance reuses e's checkpoint instead of re-materializing it,
+      // and the per-round cutStats(x.localCheckpoint()) double
+      // checkpoint collapses to one.
+      val (e, nE) = GraftQuery.checkpointCounted(
+        flows.crossJoin(broadcast(tot))
+          .filter($"cnt" * $"np" > $"tot" && $"src" =!= $"dst")
+          .select($"src", $"dst"),
+        count(lit(1)))
+      var reach = GraftQuery.severStats(e)
+      var prev = nE
       var converged = false
       for (_ <- 1 to 5 if !converged) {
         val r2 = reach.as("a")
           .join(reach.as("b").hint("shuffle_hash"), $"a.dst" === $"b.src")
           .select($"a.src".as("src"), $"b.dst".as("dst"))
-        reach = GraftQuery.cutStats(
-          reach.unionByName(r2).distinct().localCheckpoint())
-        val n = reach.count()
+        val (r, n) = GraftQuery.cutStatsCounted(
+          reach.unionByName(r2).distinct(), count(lit(1)))
+        reach = r
         converged = n == prev
         prev = n
       }
@@ -2409,13 +2441,17 @@ object Graph {
       // per AQE stage) cost more than the checkpoint it saved. Reverted;
       // the visited-union consolidation below is the part that survived.
       while (!done && rounds < 64) {
-        val nxt = edges
+        // Convergence rides the checkpoint's own job via observe (r17):
+        // the per-round isEmpty probe was a second blocking job on the
+        // frame just materialized — ~46 rounds deep on this fixture's
+        // diameter, a pure ladder tax at any data size.
+        val (nxt, nNew) = GraftQuery.checkpointCounted(edges
           .join(frontier.withColumnRenamed("v", "src").hint("shuffle_hash"),
             Seq("pid", "src"))
           .select($"pid", $"dst".as("v")).distinct()
-          .join(visited, Seq("pid", "v"), "left_anti")
-          .localCheckpoint()
-        if (nxt.isEmpty) done = true
+          .join(visited, Seq("pid", "v"), "left_anti"),
+          count(lit(1)))
+        if (nNew == 0L) done = true
         else {
           visitedParts ::= nxt
           // Consolidate the visited union every 8 parts (r16): on a
@@ -2581,16 +2617,22 @@ object Graph {
     import s.implicits._
     val e0 = edges0.select($"src", $"dst")
       .filter($"src" =!= $"dst").distinct().localCheckpoint()
-    var act = e0.select($"src".as("v")).union(e0.select($"dst".as("v")))
-      .distinct().select(lit(0L).as("pid"), $"v").localCheckpoint()
+    // r17 job trims throughout this recursion: every live-vertex count
+    // rides its frame's checkpoint job via observe (was a separate count
+    // job per round/site), and statistics severance of already-
+    // checkpointed frames reuses the materialized RDD instead of
+    // re-checkpointing it.
+    var (act, n) = GraftQuery.checkpointCounted(
+      e0.select($"src".as("v")).union(e0.select($"dst".as("v")))
+        .distinct().select(lit(0L).as("pid"), $"v"),
+      count(lit(1)))
     var labelParts = List.empty[DataFrame]
-    var n = act.count()
     var rounds = 0
     // Intra-partition edge table for the CURRENT act: both endpoints
-    // live and co-partitioned. cutStats severs the self-join statistics
-    // tower (act appears twice).
+    // live and co-partitioned. severStats cuts the self-join statistics
+    // tower (act appears twice); act is always a checkpoint here.
     def intraEdges(a: DataFrame): DataFrame = {
-      val ac = GraftQuery.cutStats(a)
+      val ac = GraftQuery.severStats(a)
       e0.join(ac.select($"v".as("src"), $"pid").hint("shuffle_hash"), "src")
         .join(ac.select($"v".as("dst"), $"pid".as("pid2")).hint("shuffle_hash"),
           "dst")
@@ -2601,13 +2643,14 @@ object Graph {
       rounds += 1
       val pe = intraEdges(act)
       // 1. trim: survivors have BOTH an intra in- and out-edge.
-      val alive = pe.select($"pid", $"src".as("v")).distinct()
-        .join(pe.select($"pid", $"dst".as("v")).distinct(), Seq("pid", "v"))
-        .localCheckpoint()
+      val (alive, nAlive) = GraftQuery.checkpointCounted(
+        pe.select($"pid", $"src".as("v")).distinct()
+          .join(pe.select($"pid", $"dst".as("v")).distinct(), Seq("pid", "v")),
+        count(lit(1)))
       labelParts ::= act.join(alive, Seq("pid", "v"), "left_anti")
         .select($"v", $"v".as("scc_id")).localCheckpoint()
       act = alive
-      n = act.count()
+      n = nAlive
       if (n > 0) {
         // 2. deterministic hash-uniform pivot per partition.
         val piv = act.groupBy($"pid")
@@ -2629,17 +2672,19 @@ object Graph {
         labelParts ::= cls.filter($"isScc")
           .join(sccMin.hint("shuffle_hash"), Seq("pid"))
           .select($"v", $"scc_id").localCheckpoint()
-        act = cls.filter(!$"isScc")
-          .select(($"pid" * 4 + when($"f", 1L).when($"b", 2L).otherwise(3L))
-            .as("pid"), $"v")
-          .localCheckpoint()
-        n = act.count()
+        val (act2, n2) = GraftQuery.checkpointCounted(
+          cls.filter(!$"isScc")
+            .select(($"pid" * 4 + when($"f", 1L).when($"b", 2L).otherwise(3L))
+              .as("pid"), $"v"),
+          count(lit(1)))
+        act = act2
+        n = n2
       }
     }
     if (n > 0) {
       // 4. closure base case, keyed by pid (graph_scc's doubling form).
       val pe = intraEdges(act)
-      var reach = GraftQuery.cutStats(pe)
+      var reach = GraftQuery.severStats(pe) // pe is already a checkpoint
       var prev = reach.count()
       var converged = prev == 0L
       for (_ <- 1 to 20 if !converged) {
@@ -2647,9 +2692,9 @@ object Graph {
           .join(reach.as("y").hint("shuffle_hash"),
             $"x.pid" === $"y.pid" && $"x.dst" === $"y.src")
           .select($"x.pid".as("pid"), $"x.src".as("src"), $"y.dst".as("dst"))
-        reach = GraftQuery.cutStats(
-          reach.unionByName(r2).distinct().localCheckpoint())
-        val c = reach.count()
+        val (rk, c) = GraftQuery.cutStatsCounted(
+          reach.unionByName(r2).distinct(), count(lit(1)))
+        reach = rk
         converged = c == prev
         prev = c
       }

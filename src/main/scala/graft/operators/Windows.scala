@@ -427,30 +427,29 @@ object Windows {
     (s, dir) => {
       import s.implicits._
       val cents = expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
-      // One events scan, not two (r16): the anchor date is the max of the
-      // per-user maxes, so it reads off the checkpointed user aggregate
-      // instead of re-scanning events inside the broadcast build
-      // (max(last_d) == max(to_date(ts)) — identical value by
-      // associativity of max; the oracle's subquery is unchanged).
+      // One events scan AND one user-frame checkpoint (r17; the r16 form
+      // kept a second cutStats + a broadcast anchor join that regressed
+      // the bench — r16 verdict item 1). The recency VALUE is never
+      // emitted (only the three tiles are), and for the fixed anchor
+      // d0 = max(last_d), recency = datediff(d0, last_d) is strictly
+      // decreasing in last_d — so ordering by (recency asc, user_id asc)
+      // IS ordering by (last_d desc, user_id asc), and the recency rank
+      // reads straight off the per-user aggregate: no anchor aggregate,
+      // no broadcast join, no second checkpoint. The oracle still ranks
+      // by its recency expression — identical rr by the monotone
+      // bijection (datediff is injective on dates for fixed d0).
       val base = GraftQuery.cutStats(
         Tables.events(s, dir)
           .select($"user_id", to_date($"ts").as("d"), cents.as("c"))
           .groupBy($"user_id")
           .agg(max($"d").as("last_d"), count(lit(1)).as("frequency"),
             sum($"c").as("monetary")))
-      val maxd = base.agg(max($"last_d").as("d0"))
-      val users = GraftQuery.cutStats(
-        base
-          .crossJoin(broadcast(maxd))
-          .select($"user_id",
-            expr("CAST(datediff(d0, last_d) AS BIGINT)").as("recency"),
-            $"frequency", $"monetary"))
       val ranked = twoLevelRank(
         twoLevelRank(
-          twoLevelRank(users, Seq($"recency".asc, $"user_id".asc), "rr"),
+          twoLevelRank(base, Seq($"last_d".desc, $"user_id".asc), "rr"),
           Seq($"frequency".desc, $"user_id".asc), "rf"),
         Seq($"monetary".desc, $"user_id".asc), "rm")
-      val n1 = users.agg(count(lit(1)).as("n"))
+      val n1 = base.agg(count(lit(1)).as("n"))
       def tile(r: String) = expr(
         s"""CASE WHEN $r <= (q + 1) * m THEN ($r - 1) div (q + 1) + 1
                  ELSE m + ($r - (q + 1) * m - 1) div q + 1 END""")

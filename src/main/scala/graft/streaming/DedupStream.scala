@@ -55,12 +55,18 @@ object DedupStream {
         .localCheckpoint()
       def waveEdge(k: Int): Column =
         $"wm" + floor(($"mx" - $"wm") * lit(k) / lit(Waves.toDouble)).cast("long")
-      // Shingle the post-watermark batch ONCE (cached); each wave and each
-      // wave's delta are id-range slices of it — the graded stand-in for
-      // the appended delta parquet of the true streaming form.
+      // Shingle the post-watermark batch ONCE (checkpointed, r17; was
+      // .cache()): each wave and each wave's delta are id-range slices of
+      // it — the graded stand-in for the appended delta parquet of the
+      // true streaming form. With cache, every wave's separately-executed
+      // DAG still carried (and re-analyzed) the whole shingle pipeline
+      // subtree and paid the cache-lookup path per slice; the checkpoint
+      // makes each wave plan a flat in-memory scan, which is also the
+      // truer emulation (the real form READS an appended parquet delta,
+      // it does not re-derive shingles per wave).
       val batchSh = Dedup.shingleOf(s,
           docs.join(broadcast(bounds), $"doc_id" > $"wm").select($"doc_id", $"text"))
-        .cache()
+        .localCheckpoint()
       def shSlice(cond: Column): DataFrame =
         batchSh.join(broadcast(bounds), cond)
           .select($"doc_id", $"shingles", $"n")
