@@ -2422,6 +2422,12 @@ object Graph {
     * Edges must arrive intra-subproblem (every (pid, src, dst) row has
     * both endpoints live in pid) — both callers construct exactly that,
     * so no membership re-filter runs inside the loop. */
+  /** Visited-union consolidation stride for keyedReach, in rounds.
+    * Adjudicated 8 vs 4 in r17 (interleaved A/B, see AdjBench +
+    * OPTIMIZATION_r17.md); values identical under any stride (union of
+    * the same parts). Mutable ONLY as the AdjBench measurement hook. */
+  private[graft] var ReachConsolidateEvery = 8
+
   private def keyedReach(s: SparkSession, edges0: DataFrame,
                          seeds: DataFrame, who: String): DataFrame = {
     import s.implicits._
@@ -2461,7 +2467,7 @@ object Graph {
           // set whose SIZE is just O(V). One extra blocking job per 8
           // rounds caps the legs at 8. Values unchanged: union of the
           // same parts.
-          if (visitedParts.length >= 8)
+          if (visitedParts.length >= ReachConsolidateEvery)
             visitedParts = List(visited.localCheckpoint())
           frontier = nxt
           rounds += 1
