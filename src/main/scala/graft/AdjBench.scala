@@ -43,6 +43,22 @@ object AdjBench {
           operators.Graph.ReachConsolidateEvery = 4
           SparkEntry.queries("graph_scc_fwbw")(spark, dir).count()
           SparkEntry.queries("graph_scc_fwbw_full")(spark, dir).count(); () }))
+      case "probe" => Seq(
+        "probe-observe" -> (() => {
+          GraftQuery.ObserveProbes = true
+          SparkEntry.queries("graph_scc_fwbw")(spark, dir).count()
+          SparkEntry.queries("graph_scc_fwbw_full")(spark, dir).count(); () }),
+        "probe-aggjob" -> (() => {
+          GraftQuery.ObserveProbes = false
+          SparkEntry.queries("graph_scc_fwbw")(spark, dir).count()
+          SparkEntry.queries("graph_scc_fwbw_full")(spark, dir).count(); () }))
+      case "dedup" => Seq(
+        "dedup-ckpt" -> (() => {
+          streaming.DedupStream.BatchShCheckpoint = true
+          SparkEntry.queries("stream_dedup_incremental")(spark, dir).count(); () }),
+        "dedup-cache" -> (() => {
+          streaming.DedupStream.BatchShCheckpoint = false
+          SparkEntry.queries("stream_dedup_incremental")(spark, dir).count(); () }))
       case other => sys.error(s"unknown adjudication '$other'")
     }
     // One untimed pass pays layout/codegen/catalog warmup for every arm.

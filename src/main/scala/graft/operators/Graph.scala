@@ -1435,8 +1435,11 @@ object Graph {
       // count rides the degs checkpoint via observe, and `removed` is a
       // lazy filter slice of that fresh checkpoint — its own checkpoint
       // bought nothing (both consumers re-read the in-memory degs rows).
+      // cutStats (not plain checkpoint): each round joins degs against
+      // its OWN filter slice, the self-join shape whose carried-stats
+      // bit length doubles per round unsevered.
       val frontierProbe = count(when($"deg" < KCoreK, lit(1)))
-      var (degs, frontier) = GraftQuery.checkpointCounted(
+      var (degs, frontier) = GraftQuery.cutStatsCounted(
         vertices(adj).select($"src".as("v"), $"deg"), frontierProbe)
       def removed = degs.filter($"deg" < KCoreK)
       var round = 0
@@ -1445,7 +1448,7 @@ object Graph {
         val msgs = adj.join(rem.select($"v".as("src")), "src")
           .groupBy($"dst").agg(count(lit(1)).as("dec"))
           .select($"dst".as("v"), $"dec")
-        val (d2, f2) = GraftQuery.checkpointCounted(
+        val (d2, f2) = GraftQuery.cutStatsCounted(
           degs.join(rem.select($"v"), Seq("v"), "left_anti")
             .join(msgs.hint("shuffle_hash"), Seq("v"), "left")
             .select($"v", ($"deg" - coalesce($"dec", lit(0L))).as("deg")),

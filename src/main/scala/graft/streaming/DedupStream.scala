@@ -38,6 +38,12 @@ object DedupStream {
   /** Number of emulated arrival waves in the graded form. */
   private val Waves = 3
 
+  /** AdjBench measurement hook ONLY: `false` restores the r16
+    * `.cache()` form of the shared batch shingle frame so the r17
+    * checkpoint form can be A/B'd interleaved. Values identical either
+    * way (same rows, different materialization). */
+  private[graft] var BatchShCheckpoint = true
+
   val streamDedupIncremental: GraftQuery = GraftQuery(
     "stream_dedup_incremental",
     (s, dir) => {
@@ -64,9 +70,11 @@ object DedupStream {
       // makes each wave plan a flat in-memory scan, which is also the
       // truer emulation (the real form READS an appended parquet delta,
       // it does not re-derive shingles per wave).
-      val batchSh = Dedup.shingleOf(s,
+      val batchShPlan = Dedup.shingleOf(s,
           docs.join(broadcast(bounds), $"doc_id" > $"wm").select($"doc_id", $"text"))
-        .localCheckpoint()
+      val batchSh =
+        if (BatchShCheckpoint) batchShPlan.localCheckpoint()
+        else batchShPlan.cache()
       def shSlice(cond: Column): DataFrame =
         batchSh.join(broadcast(bounds), cond)
           .select($"doc_id", $"shingles", $"n")
